@@ -1,0 +1,62 @@
+"""Fixture catalog: load the TPC-H-ish tables from an sf directory.
+
+The reference's "catalog" is App.config appSettings naming containers and
+directories (``App.config:4-23``, loaded ``Program.cs:44-61``); here the
+catalog is the set of parquet tables under one scale-factor directory
+(see TESTDATA.md / FIXTURES.md), registered as temp views so both the
+DataFrame API and ``spark.sql`` can reach them.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def table_path(sf_dir: str, name: str) -> str:
+    return os.path.join(sf_dir, f"{name}.parquet")
+
+
+def _load_one(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    df = spark.read.parquet(table_path(sf_dir, name))
+    if name == "events":
+        # ts is ns-precision INT64 in parquet; with nanosAsLong it reads
+        # as LongType nanos. Truncate to µs TimestampType — identical to
+        # what DuckDB's parquet reader does, keeping oracle hash parity.
+        from pyspark.sql import functions as F
+        from pyspark.sql.types import LongType
+
+        if isinstance(df.schema["ts"].dataType, LongType):
+            # Integer division — float division here would round-to-nearest
+            # and drift ±1µs off DuckDB's truncation.
+            df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Load every fixture table as a DataFrame (lazy parquet scans)."""
+    return {name: _load_one(spark, sf_dir, name) for name in TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Load tables and register each as a temp view named after the table."""
+    dfs = load_tables(spark, sf_dir)
+    for name, df in dfs.items():
+        df.createOrReplaceTempView(name)
+    return dfs

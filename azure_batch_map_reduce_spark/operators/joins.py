@@ -1,0 +1,315 @@
+"""Join operators: equi (broadcast + sort-merge), semi/anti, outer,
+theta/range, as-of, cross.
+
+The reference sideloads per-task resource files (``Program.cs:346``) — the
+moral equivalent of a broadcast join — and has no relational join at all;
+this module provides the full join surface Spark-natively.
+
+Scale notes (100 TB posture):
+- Dimension tables (region/nation/supplier/part) are broadcast explicitly
+  (`F.broadcast`): the fact side never shuffles for those joins.
+- Fact⋈fact joins (orders⋈lineitem) shuffle on the join key; AQE handles
+  skew-splitting. At 100 TB you would bucket both tables on the key to
+  make this a zero-shuffle sort-merge join — the code is unchanged, only
+  the table layout.
+- The as-of join uses the union+window trick: one shuffle on
+  (key, time) instead of a per-key nested-loop; this scales linearly and
+  avoids `pd.merge_asof`'s per-group Python cost.
+- Non-equi joins keep the small side broadcast so the nested-loop join
+  never materializes a cross product across the cluster.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from azure_batch_map_reduce_spark.catalog import load_tables
+from azure_batch_map_reduce_spark.registry import query
+
+
+@query(
+    "q20_broadcast_join",
+    oracle="""
+    SELECT r.r_name AS region, n.n_name AS nation, count(*) AS n_customers,
+           round(sum(c.c_acctbal), 2) AS total_bal
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name, n.n_name
+    """,
+    tags=("join", "broadcast"),
+)
+def q20_broadcast_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact⋈dim⋈dim with explicit broadcast of both dims — the fact side
+    never shuffles for the join (map-side join, reference L5 sideload)."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t["customer"]
+        .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(t["region"]), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(F.sum("c_acctbal"), 2).alias("total_bal"),
+        )
+    )
+
+
+@query(
+    "q21_revenue_by_nation",
+    oracle="""
+    SELECT n.n_name AS nation,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           count(*) AS n_items
+    FROM lineitem l
+    JOIN orders o   ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    JOIN region r   ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'ASIA' AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+    GROUP BY n.n_name
+    """,
+    tags=("join", "multiway"),
+)
+def q21_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q5-style 5-way join: two fact-side shuffle joins
+    (lineitem⋈orders⋈customer) plus broadcast dims, with the region
+    filter pushed below the join so pruning happens before any shuffle."""
+    t = load_tables(spark, sf_dir)
+    region = t["region"].filter(F.col("r_name") == "ASIA")
+    orders = t["orders"].filter(
+        F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp")
+    )
+    return (
+        t["lineitem"]
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            ),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+@query(
+    "q22_semi_join",
+    oracle="""
+    SELECT c.c_custkey, c.c_name
+    FROM customer c
+    WHERE EXISTS (
+        SELECT 1 FROM orders o
+        WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT'
+    )
+    """,
+    tags=("join", "semi"),
+)
+def q22_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT SEMI join ≡ EXISTS — emits left rows once, never widens."""
+    t = load_tables(spark, sf_dir)
+    urgent = t["orders"].filter(F.col("o_orderpriority") == "1-URGENT")
+    return (
+        t["customer"]
+        .join(urgent, F.col("c_custkey") == F.col("o_custkey"), "left_semi")
+        .select("c_custkey", "c_name")
+    )
+
+
+@query(
+    "q23_anti_join",
+    oracle="""
+    SELECT c.c_custkey, c.c_mktsegment
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+    tags=("join", "anti"),
+)
+def q23_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT ANTI join ≡ NOT EXISTS — null-safe, unlike NOT IN."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t["customer"]
+        .join(t["orders"], F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_mktsegment")
+    )
+
+
+@query(
+    "q24_outer_join",
+    oracle="""
+    WITH cn AS (SELECT c_nationkey AS nk, count(*) AS n_cust FROM customer GROUP BY c_nationkey),
+         sn AS (SELECT s_nationkey AS nk, count(*) AS n_supp FROM supplier GROUP BY s_nationkey)
+    SELECT coalesce(cn.nk, sn.nk) AS nationkey,
+           coalesce(cn.n_cust, 0) AS n_cust,
+           coalesce(sn.n_supp, 0) AS n_supp
+    FROM cn FULL OUTER JOIN sn ON cn.nk = sn.nk
+    """,
+    tags=("join", "outer"),
+)
+def q24_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER join of two pre-aggregated sides (aggregate-below-join:
+    shuffles carry one row per nation, not raw rows)."""
+    t = load_tables(spark, sf_dir)
+    cn = t["customer"].groupBy(F.col("c_nationkey").alias("nk")).agg(
+        F.count(F.lit(1)).alias("n_cust")
+    )
+    sn = t["supplier"].groupBy(F.col("s_nationkey").alias("nk_s")).agg(
+        F.count(F.lit(1)).alias("n_supp")
+    )
+    return (
+        cn.join(sn, F.col("nk") == F.col("nk_s"), "full_outer")
+        .select(
+            F.coalesce(F.col("nk"), F.col("nk_s")).alias("nationkey"),
+            F.coalesce(F.col("n_cust"), F.lit(0)).alias("n_cust"),
+            F.coalesce(F.col("n_supp"), F.lit(0)).alias("n_supp"),
+        )
+    )
+
+
+@query(
+    "q25_theta_join",
+    oracle="""
+    WITH bands(band, lo, hi) AS (
+        VALUES ('low', 0.0, 3000.0), ('mid', 3000.0, 7000.0), ('high', 7000.0, 100000.0)
+    )
+    SELECT b.band, count(*) AS n_suppliers, round(avg(s.s_acctbal), 2) AS avg_bal
+    FROM supplier s
+    JOIN bands b ON s.s_acctbal >= b.lo AND s.s_acctbal < b.hi
+    GROUP BY b.band
+    """,
+    tags=("join", "theta"),
+)
+def q25_theta_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta (non-equi) join against a tiny literal band table — the band
+    side is broadcast so the nested-loop join is map-side only."""
+    t = load_tables(spark, sf_dir)
+    bands = spark.createDataFrame(
+        [("low", 0.0, 3000.0), ("mid", 3000.0, 7000.0), ("high", 7000.0, 100000.0)],
+        "band string, lo double, hi double",
+    )
+    s = t["supplier"]
+    return (
+        s.join(
+            F.broadcast(bands),
+            (F.col("s_acctbal") >= F.col("lo")) & (F.col("s_acctbal") < F.col("hi")),
+        )
+        .groupBy("band")
+        .agg(
+            F.count(F.lit(1)).alias("n_suppliers"),
+            F.round(F.avg("s_acctbal"), 2).alias("avg_bal"),
+        )
+    )
+
+
+@query(
+    "q26_range_residual_join",
+    oracle="""
+    SELECT o.o_orderpriority, count(*) AS n_late_items
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+                 AND l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+    GROUP BY o.o_orderpriority
+    """,
+    tags=("join", "range"),
+)
+def q26_range_residual_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi join with a range residual predicate: the equi key drives a
+    hash/sort-merge join and the range condition is evaluated as a
+    post-join filter — no nested loop."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t["lineitem"]
+        .join(
+            t["orders"],
+            (F.col("l_orderkey") == F.col("o_orderkey"))
+            & (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")),
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_late_items"))
+    )
+
+
+@query(
+    "q27_asof_join",
+    oracle="""
+    SELECT p.event_id, p.user_id, p.ts, c.ts AS last_click_ts
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id AND p.ts >= c.ts
+    """,
+    tags=("join", "asof"),
+)
+def q27_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (for each purchase, the latest click at-or-before it)
+    via the union+window trick: tag both streams, union, window by
+    (user, ts) carrying the last click forward — ONE shuffle on the key,
+    no per-group Python, linear at 100 TB."""
+    ev = load_tables(spark, sf_dir)["events"]
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("ev_ts"), F.lit(0).alias("is_purchase"),
+        F.lit(None).cast("long").alias("event_id"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("ev_ts"), F.lit(1).alias("is_purchase"), "event_id"
+    )
+    unioned = clicks.unionByName(purchases)
+    # Clicks sort before purchases at the same timestamp (is_purchase asc)
+    # so a same-instant click is visible to the purchase — matches the
+    # oracle's `p.ts >= c.ts`.
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ev_ts").asc(), F.col("is_purchase").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    click_ts = F.when(F.col("is_purchase") == 0, F.col("ev_ts"))
+    return (
+        unioned.withColumn("last_click_ts", F.last(click_ts, ignorenulls=True).over(w))
+        .filter(F.col("is_purchase") == 1)
+        .select("event_id", "user_id", F.col("ev_ts").alias("ts"), "last_click_ts")
+    )
+
+
+@query(
+    "q28_cross_join",
+    oracle="""
+    SELECT r.r_name, s.o_orderstatus
+    FROM region r
+    CROSS JOIN (SELECT DISTINCT o_orderstatus FROM orders) s
+    """,
+    tags=("join", "cross"),
+)
+def q28_cross_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Guarded cross join of two tiny inputs (dimension scaffolding, e.g.
+    for dense reporting grids)."""
+    t = load_tables(spark, sf_dir)
+    statuses = t["orders"].select("o_orderstatus").distinct()
+    return t["region"].select("r_name").crossJoin(statuses)
+
+
+@query(
+    "q29_self_join",
+    oracle="""
+    SELECT a.n_name AS nation_a, b.n_name AS nation_b
+    FROM nation a
+    JOIN nation b ON a.n_regionkey = b.n_regionkey AND a.n_nationkey < b.n_nationkey
+    """,
+    tags=("join", "self"),
+)
+def q29_self_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self join producing unordered within-region nation pairs (the
+    pair-generation shape near-dup dedup uses at scale)."""
+    nation = load_tables(spark, sf_dir)["nation"]
+    a = nation.alias("a")
+    b = nation.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.n_regionkey") == F.col("b.n_regionkey"))
+            & (F.col("a.n_nationkey") < F.col("b.n_nationkey")),
+        )
+        .select(F.col("a.n_name").alias("nation_a"), F.col("b.n_name").alias("nation_b"))
+    )

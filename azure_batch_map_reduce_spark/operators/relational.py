@@ -1,0 +1,423 @@
+"""Core relational operators: scan → filter/project → aggregate → sort.
+
+These instantiate the reference's map/reduce contract with schema-aware
+relational operators: the "map" slot (partition-local work —
+``Program.cs:332-349``) becomes scan+filter+project+partial-agg; the
+barrier+reduce slots (``Program.cs:306,355,351-363``) become the shuffle
+and final aggregation that Catalyst plans automatically.
+
+Scale notes (100 TB posture):
+- Aggregations here are all partial+final (map-side combine) by
+  construction — ``groupBy().agg()`` never ships raw rows, only partial
+  states, through the shuffle.
+- Filters compare native parquet-typed columns to literals, so they push
+  down to the parquet scan (min/max + dictionary pruning); projections
+  prune columns at the reader.
+- Global (no-group) aggregates reduce partition-local states to one row —
+  the single-reducer gather of the reference (``Program.cs:365-378``)
+  without materializing inputs on one node.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from azure_batch_map_reduce_spark.catalog import load_tables
+from azure_batch_map_reduce_spark.registry import query
+
+
+@query(
+    "q01_pricing_summary",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2)                                        AS sum_qty,
+           round(sum(l_extendedprice), 2)                                   AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 2)                AS sum_disc_price,
+           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)  AS sum_charge,
+           round(avg(l_quantity), 2)                                        AS avg_qty,
+           round(avg(l_extendedprice), 2)                                   AS avg_price,
+           round(avg(l_discount), 4)                                        AS avg_disc,
+           count(*)                                                         AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    tags=("aggregation", "flagship"),
+)
+def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q1-style pricing summary: the flagship scan→filter→
+    partial-agg→shuffle→final-agg slice (reference L1,L5,L7,L9)."""
+    li = load_tables(spark, sf_dir)["lineitem"]
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "sum_disc_price"
+            ),
+            F.round(
+                F.sum(
+                    F.col("l_extendedprice")
+                    * (1 - F.col("l_discount"))
+                    * (1 + F.col("l_tax"))
+                ),
+                2,
+            ).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 2).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 2).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@query(
+    "q02_filter_predicates",
+    oracle="""
+    SELECT p_partkey, p_name, p_brand, p_type, p_size,
+           round(p_retailprice * 0.9, 2) AS discounted
+    FROM part
+    WHERE p_size BETWEEN 5 AND 25
+      AND p_type IN ('ECONOMY', 'PROMO', 'STANDARD')
+      AND p_name LIKE '%bolt%'
+      AND p_brand IS NOT NULL
+    """,
+    tags=("filter", "project"),
+)
+def q02_filter_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conjunctive filter with BETWEEN / IN / LIKE / IS NOT NULL plus a
+    computed projection — all predicates push down to the parquet scan."""
+    part = load_tables(spark, sf_dir)["part"]
+    return (
+        part.filter(
+            F.col("p_size").between(5, 25)
+            & F.col("p_type").isin("ECONOMY", "PROMO", "STANDARD")
+            & F.col("p_name").like("%bolt%")
+            & F.col("p_brand").isNotNull()
+        )
+        .select(
+            "p_partkey",
+            "p_name",
+            "p_brand",
+            "p_type",
+            "p_size",
+            F.round(F.col("p_retailprice") * 0.9, 2).alias("discounted"),
+        )
+    )
+
+
+@query(
+    "q03_global_agg",
+    oracle="""
+    SELECT count(*)                                    AS n_rows,
+           CAST(sum(l_quantity) AS DOUBLE)             AS total_qty,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue,
+           round(min(l_extendedprice), 2)              AS min_price,
+           round(max(l_extendedprice), 2)              AS max_price,
+           count(DISTINCT l_orderkey)                  AS n_orders
+    FROM lineitem
+    """,
+    tags=("aggregation", "global"),
+)
+def q03_global_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global consolidation with no grouping — the reference's single
+    reduce task (``Program.cs:351-363``), executed as partial aggregates
+    per partition merged into one final row (no single-node gather)."""
+    li = load_tables(spark, sf_dir)["lineitem"]
+    return li.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("l_quantity").cast("double").alias("total_qty"),
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            "total_revenue"
+        ),
+        F.round(F.min("l_extendedprice"), 2).alias("min_price"),
+        F.round(F.max("l_extendedprice"), 2).alias("max_price"),
+        F.countDistinct("l_orderkey").alias("n_orders"),
+    )
+
+
+@query(
+    "q04_distinct",
+    oracle="""
+    SELECT DISTINCT c_mktsegment, c_nationkey
+    FROM customer
+    WHERE c_acctbal > 0
+    """,
+    tags=("distinct",),
+)
+def q04_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISTINCT over a projection (shuffle dedup with partial combine)."""
+    cust = load_tables(spark, sf_dir)["customer"]
+    return cust.filter(F.col("c_acctbal") > 0).select("c_mktsegment", "c_nationkey").distinct()
+
+
+@query(
+    "q05_rollup",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           count(*)                     AS n_orders,
+           round(sum(o_totalprice), 2)  AS total_price,
+           CAST(grouping(o_orderstatus) * 2 + grouping(o_orderpriority) AS BIGINT) AS gid
+    FROM orders
+    GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    """,
+    tags=("aggregation", "rollup"),
+)
+def q05_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP hierarchy totals with grouping_id disambiguation."""
+    orders = load_tables(spark, sf_dir)["orders"]
+    return (
+        orders.rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+            F.grouping_id().alias("gid"),
+        )
+    )
+
+
+@query(
+    "q06_cube",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           count(*)                   AS n_items,
+           round(avg(l_quantity), 2)  AS avg_qty,
+           CAST(grouping(l_returnflag) * 2 + grouping(l_linestatus) AS BIGINT) AS gid
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+    tags=("aggregation", "cube"),
+)
+def q06_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over two low-cardinality dimensions."""
+    li = load_tables(spark, sf_dir)["lineitem"]
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.round(F.avg("l_quantity"), 2).alias("avg_qty"),
+        F.grouping_id().alias("gid"),
+    )
+
+
+@query(
+    "q07_sort_limit",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice, o_orderpriority
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey ASC
+    LIMIT 25
+    """,
+    tags=("sort", "limit"),
+)
+def q07_sort_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-N: Spark plans TakeOrderedAndProject (per-partition
+    top-N then merge — no full global sort materialized). Tie-broken on
+    the unique key so the result is deterministic."""
+    orders = load_tables(spark, sf_dir)["orders"]
+    return (
+        orders.select("o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .limit(25)
+    )
+
+
+@query(
+    "q08_set_ops",
+    oracle="""
+    WITH building AS (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'),
+         rich     AS (SELECT c_custkey FROM customer WHERE c_acctbal > 5000)
+    SELECT 'union' AS op, c_custkey FROM (SELECT c_custkey FROM building UNION SELECT c_custkey FROM rich)
+    UNION ALL
+    SELECT 'intersect' AS op, c_custkey FROM (SELECT c_custkey FROM building INTERSECT SELECT c_custkey FROM rich)
+    UNION ALL
+    SELECT 'except' AS op, c_custkey FROM (SELECT c_custkey FROM building EXCEPT SELECT c_custkey FROM rich)
+    """,
+    tags=("setops",),
+)
+def q08_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION (set), INTERSECT, EXCEPT over two customer slices, labeled
+    and stacked so one result exercises all three."""
+    cust = load_tables(spark, sf_dir)["customer"]
+    building = cust.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    rich = cust.filter(F.col("c_acctbal") > 5000).select("c_custkey")
+    return (
+        building.union(rich).distinct().select(F.lit("union").alias("op"), "c_custkey")
+        .unionByName(
+            building.intersect(rich).select(F.lit("intersect").alias("op"), "c_custkey")
+        )
+        .unionByName(
+            building.exceptAll(rich).distinct().select(F.lit("except").alias("op"), "c_custkey")
+        )
+    )
+
+
+@query(
+    "q09_agg_stats",
+    oracle="""
+    SELECT c_mktsegment,
+           round(stddev_samp(c_acctbal), 2)  AS sd_bal,
+           round(var_samp(c_acctbal), 2)     AS var_bal,
+           round(median(c_acctbal), 2)       AS med_bal,
+           round(corr(c_acctbal, CAST(c_nationkey AS DOUBLE)), 4) AS corr_bal_nation,
+           count(*)                          AS n
+    FROM customer
+    GROUP BY c_mktsegment
+    """,
+    tags=("aggregation", "stats"),
+)
+def q09_agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregates: sample stddev/variance, exact median,
+    Pearson correlation."""
+    cust = load_tables(spark, sf_dir)["customer"]
+    return cust.groupBy("c_mktsegment").agg(
+        F.round(F.stddev_samp("c_acctbal"), 2).alias("sd_bal"),
+        F.round(F.var_samp("c_acctbal"), 2).alias("var_bal"),
+        F.round(F.median("c_acctbal"), 2).alias("med_bal"),
+        F.round(F.corr("c_acctbal", F.col("c_nationkey").cast("double")), 4).alias(
+            "corr_bal_nation"
+        ),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@query(
+    "q10_collect_agg",
+    oracle="""
+    SELECT n_regionkey,
+           array_to_string(list_sort(list(DISTINCT n_name)), ',') AS nations,
+           count(*) AS n
+    FROM nation
+    GROUP BY n_regionkey
+    """,
+    tags=("aggregation", "collect"),
+)
+def q10_collect_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """collect_set rendered as a sorted joined string (order-stable so the
+    value hash is deterministic)."""
+    nation = load_tables(spark, sf_dir)["nation"]
+    return nation.groupBy("n_regionkey").agg(
+        F.array_join(F.sort_array(F.collect_set("n_name")), ",").alias("nations"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@query(
+    "q11_having",
+    oracle="""
+    SELECT o_custkey, count(*) AS n_orders, round(sum(o_totalprice), 2) AS spend
+    FROM orders
+    GROUP BY o_custkey
+    HAVING count(*) >= 5 AND sum(o_totalprice) > 100000
+    """,
+    tags=("aggregation", "having"),
+)
+def q11_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY + HAVING (post-aggregation filter)."""
+    orders = load_tables(spark, sf_dir)["orders"]
+    return (
+        orders.groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("spend"),
+            F.sum("o_totalprice").alias("_raw_spend"),
+        )
+        .filter((F.col("n_orders") >= 5) & (F.col("_raw_spend") > 100000))
+        .drop("_raw_spend")
+    )
+
+
+@query(
+    "q12_null_handling",
+    oracle="""
+    WITH t AS (
+        SELECT c_custkey,
+               CASE WHEN c_acctbal < 0 THEN NULL ELSE c_acctbal END AS bal,
+               nullif(c_mktsegment, 'MACHINERY')                    AS seg
+        FROM customer
+    )
+    SELECT coalesce(seg, 'UNKNOWN')     AS seg_filled,
+           count(*)                     AS n,
+           CAST(sum(CASE WHEN bal IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null_bal,
+           round(sum(coalesce(bal, 0.0)), 2)            AS total_bal
+    FROM t
+    GROUP BY coalesce(seg, 'UNKNOWN')
+    """,
+    tags=("nulls",),
+)
+def q12_null_handling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null creation (nullif), fill (na.fill / coalesce), and null-aware
+    aggregation."""
+    cust = load_tables(spark, sf_dir)["customer"]
+    t = cust.select(
+        "c_custkey",
+        F.when(F.col("c_acctbal") < 0, None).otherwise(F.col("c_acctbal")).alias("bal"),
+        F.nullif(F.col("c_mktsegment"), F.lit("MACHINERY")).alias("seg"),
+    )
+    return (
+        t.withColumn("seg_filled", F.coalesce(F.col("seg"), F.lit("UNKNOWN")))
+        .groupBy("seg_filled")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.when(F.col("bal").isNull(), 1).otherwise(0)).cast("long").alias("n_null_bal"),
+            F.round(F.sum(F.coalesce(F.col("bal"), F.lit(0.0))), 2).alias("total_bal"),
+        )
+    )
+
+
+@query(
+    "q13_pivot",
+    oracle="""
+    SELECT c_nationkey,
+           CAST(count(*) FILTER (WHERE c_mktsegment = 'BUILDING')   AS BIGINT) AS building,
+           CAST(count(*) FILTER (WHERE c_mktsegment = 'MACHINERY')  AS BIGINT) AS machinery,
+           CAST(count(*) FILTER (WHERE c_mktsegment = 'AUTOMOBILE') AS BIGINT) AS automobile,
+           CAST(count(*) FILTER (WHERE c_mktsegment = 'FURNITURE')  AS BIGINT) AS furniture,
+           CAST(count(*) FILTER (WHERE c_mktsegment = 'HOUSEHOLD')  AS BIGINT) AS household
+    FROM customer
+    GROUP BY c_nationkey
+    """,
+    tags=("pivot",),
+)
+def q13_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (long→wide) with an explicit value list so no extra
+    distinct-values job runs — at 100 TB always pass the pivot values."""
+    cust = load_tables(spark, sf_dir)["customer"]
+    segs = ["BUILDING", "MACHINERY", "AUTOMOBILE", "FURNITURE", "HOUSEHOLD"]
+    df = (
+        cust.groupBy("c_nationkey")
+        .pivot("c_mktsegment", segs)
+        .agg(F.count(F.lit(1)))
+    )
+    out = df.select(
+        "c_nationkey",
+        *[F.coalesce(F.col(s), F.lit(0)).cast("long").alias(s.lower()) for s in segs],
+    )
+    return out
+
+
+@query(
+    "q14_unpivot",
+    oracle="""
+    SELECT p_partkey, kind, CAST(val AS DOUBLE) AS val
+    FROM (
+        SELECT p_partkey, 'retail' AS kind, p_retailprice AS val FROM part
+        UNION ALL
+        SELECT p_partkey, 'size'   AS kind, CAST(p_size AS DOUBLE) AS val FROM part
+    )
+    WHERE val > 30
+    """,
+    tags=("unpivot",),
+)
+def q14_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (wide→long) via stack()."""
+    part = load_tables(spark, sf_dir)["part"]
+    return (
+        part.select(
+            "p_partkey",
+            F.expr(
+                "stack(2, 'retail', p_retailprice, 'size', CAST(p_size AS DOUBLE)) AS (kind, val)"
+            ),
+        )
+        .filter(F.col("val") > 30)
+    )

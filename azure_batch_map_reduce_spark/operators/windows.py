@@ -1,0 +1,228 @@
+"""Window functions: ranking, analytic (lag/lead/first/last), frames.
+
+Scale notes: every window here partitions by a real key (custkey,
+nationkey) — never an empty/global window, which would funnel 100 TB
+through one task. Orderings include a unique tiebreak column so results
+are deterministic under any partitioning.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from azure_batch_map_reduce_spark.catalog import load_tables
+from azure_batch_map_reduce_spark.registry import query
+
+
+@query(
+    "q30_topk_per_group",
+    oracle="""
+    SELECT * FROM (
+        SELECT o_custkey, o_orderkey, o_totalprice,
+               CAST(row_number() OVER (
+                   PARTITION BY o_custkey
+                   ORDER BY o_totalprice DESC, o_orderkey ASC) AS INTEGER) AS rn
+        FROM orders
+    ) WHERE rn <= 3
+    """,
+    tags=("window", "topk"),
+)
+def q30_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders per customer via row_number ≤ k — the distributed
+    top-k-per-group idiom (one shuffle on the group key)."""
+    orders = load_tables(spark, sf_dir)["orders"]
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        orders.select(
+            "o_custkey", "o_orderkey", "o_totalprice", F.row_number().over(w).alias("rn")
+        )
+        .filter(F.col("rn") <= 3)
+    )
+
+
+@query(
+    "q31_running_total",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_orderdate,
+           round(sum(o_totalprice) OVER (
+               PARTITION BY o_custkey
+               ORDER BY o_orderdate ASC, o_orderkey ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_spend
+    FROM orders
+    WHERE o_custkey < 100
+    """,
+    tags=("window", "frame"),
+)
+def q31_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative sum with an explicit ROWS frame."""
+    orders = load_tables(spark, sf_dir)["orders"]
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.col("o_orderdate").asc(), F.col("o_orderkey").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return orders.filter(F.col("o_custkey") < 100).select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        F.round(F.sum("o_totalprice").over(w), 2).alias("running_spend"),
+    )
+
+
+@query(
+    "q32_lag_lead",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_orderdate,
+           CAST(date_diff('day',
+               lag(o_orderdate) OVER (
+                   PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC),
+               o_orderdate) AS INTEGER)               AS days_since_prev,
+           lead(o_orderkey) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC) AS next_orderkey
+    FROM orders
+    WHERE o_custkey < 50
+    """,
+    tags=("window", "analytic"),
+)
+def q32_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag/lead analytics: inter-order gap in days and the next order."""
+    orders = load_tables(spark, sf_dir)["orders"]
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").asc(), F.col("o_orderkey").asc()
+    )
+    return orders.filter(F.col("o_custkey") < 50).select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        F.datediff(F.col("o_orderdate"), F.lag("o_orderdate").over(w)).alias(
+            "days_since_prev"
+        ),
+        F.lead("o_orderkey").over(w).alias("next_orderkey"),
+    )
+
+
+@query(
+    "q33_moving_sum",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           round(sum(o_totalprice) OVER (
+               PARTITION BY o_custkey
+               ORDER BY o_orderdate ASC, o_orderkey ASC
+               ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), 2) AS moving_spend,
+           CAST(count(*) OVER (
+               PARTITION BY o_custkey
+               ORDER BY o_orderdate ASC, o_orderkey ASC
+               ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS BIGINT) AS frame_n
+    FROM orders
+    WHERE o_custkey < 100
+    """,
+    tags=("window", "frame"),
+)
+def q33_moving_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Moving sum + count over a bounded ROWS frame (3 preceding +
+    current). Sum (not avg): summed 2-decimal prices stay on the cent
+    grid, so round(…,2) is oracle-exact; a divided average lands on
+    quarter-cent halves where Spark/DuckDB rounding could differ."""
+    orders = load_tables(spark, sf_dir)["orders"]
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.col("o_orderdate").asc(), F.col("o_orderkey").asc())
+        .rowsBetween(-3, Window.currentRow)
+    )
+    return orders.filter(F.col("o_custkey") < 100).select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.sum("o_totalprice").over(w), 2).alias("moving_spend"),
+        F.count(F.lit(1)).over(w).alias("frame_n"),
+    )
+
+
+@query(
+    "q34_rank_ntile",
+    oracle="""
+    SELECT c_custkey, c_nationkey,
+           CAST(rank()       OVER w AS INTEGER) AS rnk,
+           CAST(dense_rank() OVER w AS INTEGER) AS drnk,
+           CAST(ntile(4)     OVER w AS INTEGER) AS quartile
+    FROM customer
+    WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey ASC)
+    """,
+    tags=("window", "ranking"),
+)
+def q34_rank_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rank / dense_rank / ntile per nation, tie-broken on the unique key
+    so ntile assignment is deterministic."""
+    cust = load_tables(spark, sf_dir)["customer"]
+    w = Window.partitionBy("c_nationkey").orderBy(
+        F.col("c_acctbal").desc(), F.col("c_custkey").asc()
+    )
+    return cust.select(
+        "c_custkey",
+        "c_nationkey",
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.ntile(4).over(w).alias("quartile"),
+    )
+
+
+@query(
+    "q35_first_last_nth",
+    oracle="""
+    SELECT DISTINCT c_nationkey,
+           first_value(c_custkey) OVER w AS richest_cust,
+           last_value(c_custkey)  OVER w AS poorest_cust,
+           nth_value(c_custkey, 2) OVER w AS second_richest
+    FROM customer
+    WINDOW w AS (PARTITION BY c_nationkey
+                 ORDER BY c_acctbal DESC, c_custkey ASC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """,
+    tags=("window", "analytic"),
+)
+def q35_first_last_nth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first/last/nth_value over a full-partition frame, collapsed to one
+    row per nation."""
+    cust = load_tables(spark, sf_dir)["customer"]
+    w = (
+        Window.partitionBy("c_nationkey")
+        .orderBy(F.col("c_acctbal").desc(), F.col("c_custkey").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return (
+        cust.select(
+            "c_nationkey",
+            F.first("c_custkey").over(w).alias("richest_cust"),
+            F.last("c_custkey").over(w).alias("poorest_cust"),
+            F.nth_value("c_custkey", 2).over(w).alias("second_richest"),
+        )
+        .distinct()
+    )
+
+
+@query(
+    "q36_range_frame",
+    oracle="""
+    SELECT o_orderkey, o_totalprice,
+           count(*) OVER (
+               ORDER BY o_totalprice
+               RANGE BETWEEN 1000.0 PRECEDING AND 1000.0 FOLLOWING) AS n_similar_price
+    FROM orders
+    WHERE o_custkey < 20
+    """,
+    tags=("window", "frame"),
+)
+def q36_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE frame over a value (±1000 of each order's price). Global
+    window is acceptable only because the input is pre-filtered tiny; at
+    scale this would partition by a bucket key first."""
+    orders = load_tables(spark, sf_dir)["orders"]
+    # Python Window.rangeBetween only takes integer offsets; the SQL
+    # window form supports typed (double) range boundaries.
+    return orders.filter(F.col("o_custkey") < 20).selectExpr(
+        "o_orderkey",
+        "o_totalprice",
+        "count(*) OVER (ORDER BY o_totalprice RANGE BETWEEN 1000.0 PRECEDING"
+        " AND 1000.0 FOLLOWING) AS n_similar_price",
+    )

@@ -1,0 +1,67 @@
+"""Central query registry.
+
+Every public operator of the engine lands here as a named query: a PySpark
+builder ``fn(spark, sf_dir) -> DataFrame`` plus (when SQL-expressible) a
+DuckDB oracle SQL string over the same parquet tables. The driver contract
+(``__spark_entry__.py``) exposes this registry verbatim; the local test
+suite runs the same differential comparison at sf0.001.
+
+This mirrors the reference's single extension point — the pluggable
+map/reduce command slots (``App.config:16-17``) — as a catalog of named,
+schema-checked dataflows instead of opaque executables.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+
+@dataclass
+class Query:
+    name: str
+    fn: QueryFn
+    oracle: str | None  # DuckDB ANSI SQL; None → rows-only check
+    doc: str = ""
+    tags: tuple[str, ...] = field(default_factory=tuple)
+
+
+REGISTRY: dict[str, Query] = {}
+
+
+def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
+    """Decorator registering a query builder under ``name``."""
+
+    def deco(fn: QueryFn) -> QueryFn:
+        if name in REGISTRY:
+            raise ValueError(f"duplicate query name: {name}")
+        REGISTRY[name] = Query(
+            name=name, fn=fn, oracle=oracle, doc=(fn.__doc__ or "").strip(), tags=tags
+        )
+        return fn
+
+    return deco
+
+
+def load_all() -> dict[str, Query]:
+    """Import every module that registers queries; return the registry."""
+    # Imports are side-effectful (decorators populate REGISTRY).
+    from azure_batch_map_reduce_spark.operators import (  # noqa: F401
+        relational,
+        joins,
+        windows,
+    )
+    from azure_batch_map_reduce_spark.functions import (  # noqa: F401
+        scalar,
+        text,
+        dedup,
+        similarity,
+    )
+    from azure_batch_map_reduce_spark.streaming import windows as swindows  # noqa: F401
+    from azure_batch_map_reduce_spark.plans import mapreduce  # noqa: F401
+
+    return REGISTRY
