@@ -1,1 +1,376 @@
-"""(stub — filled in a later milestone)"""
+"""Deduplication operators: exact, normalized, MinHash+LSH near-dup,
+SimHash, character-n-gram Jaccard, embedding-cosine near-dup.
+
+Design (100 TB posture):
+- Exact dedup is a hash-groupBy on ``sha2(text)`` — one shuffle keyed by
+  a 256-bit digest, no skew (uniform key space), map-side partial agg.
+- MinHash is computed from *word ids*, not raw strings, via explicitly
+  parameterized affine permutations ``(a*id + b) mod p`` so the identical
+  arithmetic runs on Spark and on the DuckDB oracle (engine hash builtins
+  differ and would break differential testing). The vocabulary id
+  assignment here uses a rank over distinct words; at 100 TB you'd swap
+  in a precomputed/broadcast vocabulary or a shared hash function — the
+  banding/verification dataflow is unchanged.
+- LSH banding turns all-pairs O(n²) into per-bucket pairs: band signature
+  groupBy (shuffle on band key), pairs generated inside buckets only,
+  then verified with exact Jaccard. This is the scale path; the
+  verification join touches only candidate pairs.
+- Embedding near-dup buckets by ``label`` (stand-in for an IVF/LSH cell
+  id) and compares only within buckets.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window, functions as F
+
+from azure_batch_map_reduce_spark.catalog import load_tables
+from azure_batch_map_reduce_spark.registry import query
+
+# 16 fixed affine permutations for MinHash: (a, b) applied as
+# (a*wid + b) % P. P is the Mersenne prime 2^31-1; constants are
+# arbitrary odd/prime-ish values, hardcoded so both engines agree.
+MINHASH_P = 2_147_483_647
+MINHASH_PERMS: list[tuple[int, int]] = [
+    (1_203_114_875, 613_981_173),
+    (1_636_259_313, 793_603_183),
+    (426_244_251, 1_034_437_501),
+    (979_956_331, 814_242_543),
+    (1_444_621_287, 250_840_447),
+    (754_406_883, 1_855_878_311),
+    (1_600_616_677, 685_490_599),
+    (321_478_523, 1_181_965_451),
+    (855_058_193, 1_725_393_997),
+    (1_972_681_969, 573_340_517),
+    (513_850_717, 1_427_486_009),
+    (1_090_930_541, 954_864_883),
+    (667_214_909, 1_535_789_219),
+    (1_838_929_057, 362_946_071),
+    (233_911_573, 1_648_205_863),
+    (1_308_767_483, 498_619_333),
+]
+N_BANDS, ROWS_PER_BAND = 4, 4  # 16 = 4 × 4; tuned for jaccard ≈ 0.9
+
+
+def _word_set(col: Column) -> Column:
+    return F.array_distinct(F.split(col, " "))
+
+
+@query(
+    "q60_exact_dedup",
+    oracle="""
+    SELECT sha256(text)            AS content_sha,
+           min(doc_id)             AS rep_doc_id,
+           count(*)                AS n_copies,
+           CAST(min(n_chars) AS BIGINT) AS n_chars
+    FROM documents
+    GROUP BY sha256(text)
+    """,
+    tags=("dedup", "exact"),
+)
+def q60_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: group by content digest, keep the smallest doc_id as
+    the deterministic representative (dropDuplicates would keep an
+    arbitrary row — not reproducible across runs/partitionings)."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    return docs.groupBy(F.sha2("text", 256).alias("content_sha")).agg(
+        F.min("doc_id").alias("rep_doc_id"),
+        F.count(F.lit(1)).alias("n_copies"),
+        F.min("n_chars").cast("long").alias("n_chars"),
+    )
+
+
+@query(
+    "q61_normalized_dedup",
+    oracle="""
+    WITH norm AS (
+        SELECT doc_id,
+               sha256(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS norm_sha
+        FROM documents
+    )
+    SELECT norm_sha, min(doc_id) AS rep_doc_id, count(*) AS n_copies
+    FROM norm
+    GROUP BY norm_sha
+    """,
+    tags=("dedup", "exact"),
+)
+def q61_normalized_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalization-then-dedup: lowercase, trim, collapse whitespace
+    before hashing — catches trivially-reformatted copies."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    norm = F.sha2(F.regexp_replace(F.trim(F.lower(F.col("text"))), r"\s+", " "), 256)
+    return docs.groupBy(norm.alias("norm_sha")).agg(
+        F.min("doc_id").alias("rep_doc_id"),
+        F.count(F.lit(1)).alias("n_copies"),
+    )
+
+
+def _minhash_exprs(wid: Column) -> list[Column]:
+    return [
+        F.min((F.lit(a) * wid + F.lit(b)) % MINHASH_P).alias(f"m{i}")
+        for i, (a, b) in enumerate(MINHASH_PERMS)
+    ]
+
+
+def _minhash_sql_cols() -> str:
+    return ",\n".join(
+        f"min(({a} * wid + {b}) % {MINHASH_P}) AS m{i}"
+        for i, (a, b) in enumerate(MINHASH_PERMS)
+    )
+
+
+def _band_key_sql(band: int) -> str:
+    cols = ", ".join(f"m{band * ROWS_PER_BAND + r}" for r in range(ROWS_PER_BAND))
+    return f"concat_ws('_', {cols})"
+
+
+_MINHASH_CTE = f"""
+    w AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS ws FROM documents),
+    ex AS (SELECT doc_id, unnest(ws) AS word FROM w),
+    vocab AS (SELECT word, CAST(row_number() OVER (ORDER BY word) AS BIGINT) AS wid
+              FROM (SELECT DISTINCT word FROM ex)),
+    ids AS (SELECT e.doc_id, v.wid FROM ex e JOIN vocab v USING (word)),
+    mh AS (SELECT doc_id, {_minhash_sql_cols()} FROM ids GROUP BY doc_id)
+"""
+
+
+@query(
+    "q62_minhash_lsh_neardup",
+    oracle=f"""
+    WITH {_MINHASH_CTE},
+    bands AS (
+        {" UNION ALL ".join(f"SELECT doc_id, {b} AS band, {_band_key_sql(b)} AS bkey FROM mh" for b in range(N_BANDS))}
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey
+                                  AND a.doc_id < b.doc_id
+    )
+    SELECT c.doc_a, c.doc_b,
+           round(CAST(length(list_intersect(wa.ws, wb.ws)) AS DOUBLE)
+                 / length(list_distinct(list_concat(wa.ws, wb.ws))), 4) AS jaccard
+    FROM cand c
+    JOIN w wa ON wa.doc_id = c.doc_a
+    JOIN w wb ON wb.doc_id = c.doc_b
+    WHERE round(CAST(length(list_intersect(wa.ws, wb.ws)) AS DOUBLE)
+                / length(list_distinct(list_concat(wa.ws, wb.ws))), 4) >= 0.9
+    """,
+    tags=("dedup", "minhash", "lsh"),
+)
+def q62_minhash_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash + LSH near-duplicate pairs: word-set shingles → 16 affine
+    minhashes → 4 bands of 4 → bucket-join candidates → exact-Jaccard
+    verification at ≥ 0.9. Only bucket-mates are ever paired."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    w = docs.select("doc_id", _word_set(F.col("text")).alias("ws"))
+    ex = w.select("doc_id", F.explode("ws").alias("word"))
+    vocab = (
+        ex.select("word")
+        .distinct()
+        .withColumn(
+            "wid", F.row_number().over(Window.orderBy("word")).cast("long")
+        )
+    )
+    ids = ex.join(F.broadcast(vocab), "word").select("doc_id", "wid")
+    mh = ids.groupBy("doc_id").agg(*_minhash_exprs(F.col("wid")))
+
+    band_rows = []
+    for b in range(N_BANDS):
+        cols = [f"m{b * ROWS_PER_BAND + r}" for r in range(ROWS_PER_BAND)]
+        band_rows.append(
+            mh.select(
+                "doc_id",
+                F.lit(b).alias("band"),
+                F.concat_ws("_", *cols).alias("bkey"),
+            )
+        )
+    bands = band_rows[0]
+    for br in band_rows[1:]:
+        bands = bands.unionByName(br)
+
+    a, b_ = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b_,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bkey") == F.col("b.bkey"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    wa = w.select(F.col("doc_id").alias("doc_a"), F.col("ws").alias("ws_a"))
+    wb = w.select(F.col("doc_id").alias("doc_b"), F.col("ws").alias("ws_b"))
+    jac = F.round(
+        F.size(F.array_intersect("ws_a", "ws_b")).cast("double")
+        / F.size(F.array_union("ws_a", "ws_b")),
+        4,
+    )
+    return (
+        cand.join(wa, "doc_a")
+        .join(wb, "doc_b")
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= 0.9)
+    )
+
+
+def _simhash_sql_bits() -> str:
+    terms = []
+    for j, (a, b) in enumerate(MINHASH_PERMS):
+        terms.append(
+            f"CASE WHEN sum(CASE WHEN (({a} * wid + {b}) % {MINHASH_P}) % 2 = 1 "
+            f"THEN 1 ELSE -1 END) > 0 THEN {1 << j} ELSE 0 END"
+        )
+    return " + ".join(terms)
+
+
+@query(
+    "q63_simhash",
+    oracle=f"""
+    WITH {_MINHASH_CTE}
+    SELECT doc_id, CAST({_simhash_sql_bits()} AS BIGINT) AS simhash
+    FROM ids
+    GROUP BY doc_id
+    """,
+    tags=("dedup", "simhash"),
+)
+def q63_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit SimHash per document: each bit is the sign of the sum of
+    ±1 votes from the document's word ids under a fixed bit-hash.
+    Near-dups differ in few bits (compare by hamming distance)."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    w = docs.select("doc_id", _word_set(F.col("text")).alias("ws"))
+    ex = w.select("doc_id", F.explode("ws").alias("word"))
+    vocab = (
+        ex.select("word")
+        .distinct()
+        .withColumn("wid", F.row_number().over(Window.orderBy("word")).cast("long"))
+    )
+    ids = ex.join(F.broadcast(vocab), "word").select("doc_id", "wid")
+    wid = F.col("wid")
+    bit_terms = None
+    for j, (a, b) in enumerate(MINHASH_PERMS):
+        vote = F.when(((F.lit(a) * wid + F.lit(b)) % MINHASH_P) % 2 == 1, 1).otherwise(-1)
+        term = F.when(F.sum(vote) > 0, F.lit(1 << j)).otherwise(F.lit(0))
+        bit_terms = term if bit_terms is None else bit_terms + term
+    return ids.groupBy("doc_id").agg(bit_terms.cast("long").alias("simhash"))
+
+
+@query(
+    "q64_ngram_jaccard_topk",
+    oracle="""
+    WITH g AS (
+        SELECT doc_id, source,
+               list_distinct(list_transform(generate_series(1, length(substring(text, 1, 120)) - 3),
+                             i -> substring(substring(text, 1, 120), i, 4))) AS grams
+        FROM documents
+    ),
+    pairs AS (
+        SELECT a.source, a.doc_id AS doc_a, b.doc_id AS doc_b,
+               round(CAST(length(list_intersect(a.grams, b.grams)) AS DOUBLE)
+                     / length(list_distinct(list_concat(a.grams, b.grams))), 4) AS jaccard
+        FROM g a JOIN g b ON a.source = b.source AND a.doc_id < b.doc_id
+    )
+    SELECT source, doc_a, doc_b, jaccard
+    FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY source ORDER BY jaccard DESC, doc_a ASC, doc_b ASC) AS rn
+        FROM pairs
+    ) WHERE rn <= 3
+    """,
+    tags=("dedup", "ngram"),
+)
+def q64_ngram_jaccard_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-4-gram Jaccard similarity, all pairs *within a source
+    bucket* (the pair space is bounded per bucket, never global), top-3
+    most-similar pairs per source."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    # SQL-expression transform: F.substring takes only literal positions,
+    # so the per-index slice lives in an expr lambda.
+    g = docs.select(
+        "doc_id",
+        "source",
+        F.expr(
+            "array_distinct(transform(sequence(1, length(substring(text, 1, 120)) - 3),"
+            " i -> substring(substring(text, 1, 120), i, 4)))"
+        ).alias("grams"),
+    )
+    a = g.select(
+        F.col("source"), F.col("doc_id").alias("doc_a"), F.col("grams").alias("grams_a")
+    )
+    b = g.select(
+        F.col("source").alias("source_b"),
+        F.col("doc_id").alias("doc_b"),
+        F.col("grams").alias("grams_b"),
+    )
+    pairs = a.join(
+        b, (F.col("source") == F.col("source_b")) & (F.col("doc_a") < F.col("doc_b"))
+    ).select(
+        "source",
+        "doc_a",
+        "doc_b",
+        F.round(
+            F.size(F.array_intersect("grams_a", "grams_b")).cast("double")
+            / F.size(F.array_union("grams_a", "grams_b")),
+            4,
+        ).alias("jaccard"),
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.col("jaccard").desc(), F.col("doc_a").asc(), F.col("doc_b").asc()
+    )
+    return (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .drop("rn")
+    )
+
+
+@query(
+    "q65_embedding_neardup",
+    oracle="""
+    WITH n AS (
+        SELECT vec_id, label,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+        FROM embeddings
+    ),
+    pairs AS (
+        SELECT a.label, a.vec_id AS vec_a, b.vec_id AS vec_b,
+               round(list_dot_product(a.e, b.e)
+                     / sqrt(list_dot_product(a.e, a.e) * list_dot_product(b.e, b.e)), 6) AS cosine
+        FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
+    )
+    SELECT label, vec_a, vec_b, cosine
+    FROM pairs
+    WHERE cosine >= 0.3
+    """,
+    tags=("dedup", "embedding"),
+)
+def q65_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs, bucketed by label (the
+    IVF-cell stand-in): pairs are only formed inside a bucket, so the
+    join is equi on the bucket key — no global cross product."""
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    n = emb.select(
+        "vec_id",
+        "label",
+        F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("e"),
+    )
+    dot = lambda u, v: F.aggregate(  # noqa: E731
+        F.zip_with(u, v, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+    a = n.select(F.col("label"), F.col("vec_id").alias("vec_a"), F.col("e").alias("ea"))
+    b = n.select(
+        F.col("label").alias("label_b"), F.col("vec_id").alias("vec_b"), F.col("e").alias("eb")
+    )
+    pairs = a.join(
+        b, (F.col("label") == F.col("label_b")) & (F.col("vec_a") < F.col("vec_b"))
+    ).select(
+        "label",
+        "vec_a",
+        "vec_b",
+        F.round(
+            dot(F.col("ea"), F.col("eb"))
+            / F.sqrt(dot(F.col("ea"), F.col("ea")) * dot(F.col("eb"), F.col("eb"))),
+            6,
+        ).alias("cosine"),
+    )
+    return pairs.filter(F.col("cosine") >= 0.3)

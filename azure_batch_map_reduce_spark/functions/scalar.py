@@ -1,1 +1,278 @@
-"""(stub — filled in a later milestone)"""
+"""Scalar-function surface: string / regex / hash / date / math / JSON /
+array / map / explode (SURVEY.md §2.2h).
+
+All expressions are built-in ``pyspark.sql.functions`` — JVM-side, inside
+whole-stage codegen; no Python UDFs anywhere on this path, so the same
+expressions run unchanged over 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from azure_batch_map_reduce_spark.catalog import load_tables
+from azure_batch_map_reduce_spark.registry import query
+
+
+@query(
+    "q40_string_funcs",
+    oracle="""
+    SELECT p_partkey,
+           upper(p_name)                                   AS name_upper,
+           substring(p_name, 1, 5)                         AS name_prefix,
+           concat_ws('|', p_brand, p_type)                 AS brand_type,
+           CAST(length(p_name) AS INTEGER)                 AS name_len,
+           trim(p_name)                                    AS name_trim,
+           replace(p_name, ' ', '_')                       AS name_snake,
+           CAST(levenshtein(p_type, 'PROMO') AS INTEGER)   AS dist_promo
+    FROM part
+    WHERE p_partkey < 100
+    """,
+    tags=("scalar", "string"),
+)
+def q40_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Core string functions: case, substring, concat_ws, length, trim,
+    replace, levenshtein."""
+    part = load_tables(spark, sf_dir)["part"]
+    return part.filter(F.col("p_partkey") < 100).select(
+        "p_partkey",
+        F.upper("p_name").alias("name_upper"),
+        F.substring("p_name", 1, 5).alias("name_prefix"),
+        F.concat_ws("|", "p_brand", "p_type").alias("brand_type"),
+        F.length("p_name").alias("name_len"),
+        F.trim("p_name").alias("name_trim"),
+        F.replace(F.col("p_name"), F.lit(" "), F.lit("_")).alias("name_snake"),
+        F.levenshtein("p_type", F.lit("PROMO")).alias("dist_promo"),
+    )
+
+
+@query(
+    "q41_regexp",
+    oracle="""
+    SELECT p_partkey,
+           regexp_extract(p_brand, '#([0-9]+)', 1)            AS brand_num,
+           regexp_replace(p_name, '[aeiou]', '*', 'g')        AS name_devowel,
+           CASE WHEN regexp_matches(p_name, '^(small|large)') THEN TRUE ELSE FALSE END AS sized
+    FROM part
+    WHERE p_partkey < 200
+    """,
+    tags=("scalar", "regex"),
+)
+def q41_regexp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """regexp_extract / regexp_replace / rlike. Spark regexp_replace is
+    global by default; DuckDB needs the 'g' flag to match."""
+    part = load_tables(spark, sf_dir)["part"]
+    return part.filter(F.col("p_partkey") < 200).select(
+        "p_partkey",
+        F.regexp_extract("p_brand", "#([0-9]+)", 1).alias("brand_num"),
+        F.regexp_replace("p_name", "[aeiou]", "*").alias("name_devowel"),
+        F.col("p_name").rlike("^(small|large)").alias("sized"),
+    )
+
+
+@query(
+    "q42_hash_funcs",
+    oracle="""
+    SELECT doc_id,
+           sha256(text)                 AS content_sha,
+           md5(text)                    AS content_md5,
+           substring(sha256(text), 1, 8) AS short_fp
+    FROM documents
+    WHERE doc_id < 50
+    """,
+    tags=("scalar", "hash"),
+)
+def q42_hash_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content hashing: sha2-256 and md5 hex digests (the exact-dedup
+    fingerprint primitives) — identical hex in Spark and DuckDB."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    return docs.filter(F.col("doc_id") < 50).select(
+        "doc_id",
+        F.sha2("text", 256).alias("content_sha"),
+        F.md5("text").alias("content_md5"),
+        F.substring(F.sha2("text", 256), 1, 8).alias("short_fp"),
+    )
+
+
+@query(
+    "q43_date_funcs",
+    oracle="""
+    SELECT o_orderkey,
+           date_trunc('month', o_orderdate)                  AS order_month,
+           CAST(year(o_orderdate)  AS INTEGER)               AS yr,
+           CAST(month(o_orderdate) AS INTEGER)               AS mo,
+           CAST(dayofweek(o_orderdate) + 1 AS INTEGER)       AS dow,
+           CAST(date_diff('day', o_orderdate, TIMESTAMP '2002-01-01 00:00:00') AS INTEGER) AS days_to_2002,
+           strftime(o_orderdate, '%Y-%m-%d')                 AS order_date,
+           CAST(epoch(o_orderdate) AS BIGINT)                AS epoch_s
+    FROM orders
+    WHERE o_orderkey < 100
+    """,
+    tags=("scalar", "datetime"),
+)
+def q43_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date/time functions: truncation, field extraction, diffs, casts,
+    epoch. DuckDB dayofweek is 0-based Sunday, Spark 1-based — aligned
+    with +1 in the oracle."""
+    orders = load_tables(spark, sf_dir)["orders"]
+    return orders.filter(F.col("o_orderkey") < 100).select(
+        "o_orderkey",
+        F.date_trunc("month", "o_orderdate").alias("order_month"),
+        F.year("o_orderdate").alias("yr"),
+        F.month("o_orderdate").alias("mo"),
+        F.dayofweek("o_orderdate").alias("dow"),
+        F.datediff(F.lit("2002-01-01").cast("timestamp"), F.col("o_orderdate")).alias(
+            "days_to_2002"
+        ),
+        # date_format (not to_date): a raw DATE surfaces as python
+        # datetime.date from Spark but datetime64 from DuckDB — string
+        # rendering is the hash-stable cross-engine form.
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
+        F.unix_timestamp("o_orderdate").alias("epoch_s"),
+    )
+
+
+@query(
+    "q44_math_funcs",
+    oracle="""
+    SELECT s_suppkey,
+           round(abs(s_acctbal), 2)                   AS abs_bal,
+           CAST(floor(s_acctbal / 1000) AS BIGINT)    AS bal_k_floor,
+           CAST(ceil(s_acctbal / 1000)  AS BIGINT)    AS bal_k_ceil,
+           round(pow(s_acctbal / 1000, 2), 4)         AS bal_k_sq,
+           round(ln(abs(s_acctbal) + 1), 4)           AS log_bal,
+           round(sqrt(abs(s_acctbal)), 4)             AS sqrt_bal,
+           CAST(s_suppkey % 7 AS BIGINT)              AS mod7,
+           greatest(s_acctbal, 1000.0)                AS floor_1k,
+           least(s_acctbal, 9000.0)                   AS cap_9k
+    FROM supplier
+    """,
+    tags=("scalar", "math"),
+)
+def q44_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Math functions: abs/floor/ceil/pow/ln/sqrt/mod/greatest/least."""
+    s = load_tables(spark, sf_dir)["supplier"]
+    return s.select(
+        "s_suppkey",
+        F.round(F.abs("s_acctbal"), 2).alias("abs_bal"),
+        F.floor(F.col("s_acctbal") / 1000).alias("bal_k_floor"),
+        F.ceil(F.col("s_acctbal") / 1000).alias("bal_k_ceil"),
+        F.round(F.pow(F.col("s_acctbal") / 1000, 2), 4).alias("bal_k_sq"),
+        F.round(F.log(F.abs(F.col("s_acctbal")) + 1), 4).alias("log_bal"),
+        F.round(F.sqrt(F.abs(F.col("s_acctbal"))), 4).alias("sqrt_bal"),
+        (F.col("s_suppkey") % 7).alias("mod7"),
+        F.greatest(F.col("s_acctbal"), F.lit(1000.0)).alias("floor_1k"),
+        F.least(F.col("s_acctbal"), F.lit(9000.0)).alias("cap_9k"),
+    )
+
+
+@query(
+    "q45_json",
+    oracle="""
+    SELECT event_type,
+           count(*)                                              AS n,
+           CAST(sum(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT) AS sum_k,
+           round(avg(CAST(json_extract_string(props, '$.k') AS INTEGER)), 2)       AS avg_k
+    FROM events
+    GROUP BY event_type
+    """,
+    tags=("scalar", "json"),
+)
+def q45_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON extraction (`from_json` with an explicit schema — no schema
+    inference job) feeding an aggregate."""
+    ev = load_tables(spark, sf_dir)["events"]
+    return (
+        ev.withColumn("k", F.from_json("props", "k INT").getField("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("k").cast("long").alias("sum_k"),
+            F.round(F.avg("k"), 2).alias("avg_k"),
+        )
+    )
+
+
+@query(
+    "q46_array_funcs",
+    oracle="""
+    SELECT vec_id,
+           CAST(len(embedding) AS INTEGER)  AS dim,
+           round(list_aggregate(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'), 4) AS sq_norm,
+           round(CAST(embedding[1] AS DOUBLE), 6)  AS first_val,
+           round(list_aggregate(list_transform(embedding, x -> CAST(x AS DOUBLE)), 'max'), 6) AS max_val,
+           CAST(length(list_filter(embedding, x -> x > 0)) AS INTEGER) AS n_positive
+    FROM embeddings
+    WHERE vec_id < 100
+    """,
+    tags=("scalar", "array", "higher-order"),
+)
+def q46_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order array functions over embedding vectors: transform /
+    aggregate (fold) / filter / element_at — the JVM-side primitives the
+    similarity operators build on (no UDF)."""
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    sq = F.aggregate(
+        F.transform(F.col("embedding"), lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return emb.filter(F.col("vec_id") < 100).select(
+        "vec_id",
+        F.size("embedding").alias("dim"),
+        F.round(sq, 4).alias("sq_norm"),
+        F.round(F.element_at("embedding", 1).cast("double"), 6).alias("first_val"),
+        F.round(
+            F.array_max(F.transform(F.col("embedding"), lambda x: x.cast("double"))), 6
+        ).alias("max_val"),
+        F.size(F.filter(F.col("embedding"), lambda x: x > 0)).alias("n_positive"),
+    )
+
+
+@query(
+    "q47_map_funcs",
+    oracle="""
+    SELECT n_nationkey, k AS attr, v AS val
+    FROM (
+        SELECT n_nationkey, 'name' AS k, n_name AS v FROM nation
+        UNION ALL
+        SELECT n_nationkey, 'region' AS k, CAST(n_regionkey AS VARCHAR) AS v FROM nation
+    )
+    """,
+    tags=("scalar", "map"),
+)
+def q47_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map construction + explosion to key/value rows (create_map →
+    explode), the long-format rendering of struct-ish data."""
+    nation = load_tables(spark, sf_dir)["nation"]
+    m = F.create_map(
+        F.lit("name"), F.col("n_name"),
+        F.lit("region"), F.col("n_regionkey").cast("string"),
+    )
+    return nation.select("n_nationkey", F.explode(m).alias("attr", "val"))
+
+
+@query(
+    "q48_explode_split",
+    oracle="""
+    SELECT word, count(*) AS n
+    FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+    WHERE word <> ''
+    GROUP BY word
+    ORDER BY n DESC, word ASC
+    LIMIT 20
+    """,
+    tags=("scalar", "explode"),
+)
+def q48_explode_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The canonical word count: split → explode → groupBy → top-N, all
+    JVM-side (generator + partial agg + TakeOrdered)."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    return (
+        docs.select(F.explode(F.split("text", " ")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("word").asc())
+        .limit(20)
+    )

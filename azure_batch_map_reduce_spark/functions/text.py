@@ -1,1 +1,208 @@
-"""(stub — filled in a later milestone)"""
+"""Text-analysis operators for an LLM-data pipeline: token counting,
+quality scoring, language ID, document fingerprinting.
+
+Everything is built-in expression work (split / transform / aggregate /
+regexp) — JVM-side, codegen-friendly, no Python in the row path — so the
+same plans run over a 100 TB `documents` corpus. Each query has a DuckDB
+oracle; both engines evaluate the *same* deterministic formulas.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, functions as F
+
+from azure_batch_map_reduce_spark.catalog import load_tables
+from azure_batch_map_reduce_spark.registry import query
+
+# Distinct-marker-word language scoring: deterministic, vocabulary-based.
+# (The fixture text is synthetic word soup; the point is the operator
+# shape — replace marker lists with real frequency tables in production.)
+LANG_MARKERS = {
+    "en": ("the", "a", "of", "and", "to"),
+    "de": ("der", "die", "das", "und", "ist"),
+    "fr": ("le", "la", "les", "et", "est"),
+}
+
+STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "it", "on", "for")
+
+
+def _words(col: Column) -> Column:
+    return F.split(col, " ")
+
+
+@query(
+    "q50_token_stats",
+    oracle="""
+    SELECT lang,
+           count(*)                                                       AS n_docs,
+           CAST(sum(length(string_split(text, ' '))) AS BIGINT)           AS total_ws_tokens,
+           round(avg(length(string_split(text, ' '))), 2)                 AS avg_ws_tokens,
+           CAST(sum(length(regexp_extract_all(text, '[a-z0-9]+'))) AS BIGINT) AS total_re_tokens,
+           CAST(max(length(text)) AS BIGINT)                              AS max_chars
+    FROM documents
+    GROUP BY lang
+    """,
+    tags=("text", "tokenize"),
+)
+def q50_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting two ways — whitespace split and a BPE-ish regex
+    tokenizer — aggregated per language."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    ws_tokens = F.size(_words(F.col("text")))
+    re_tokens = F.size(F.regexp_extract_all(F.col("text"), F.lit("[a-z0-9]+"), 0))
+    return docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(ws_tokens).cast("long").alias("total_ws_tokens"),
+        F.round(F.avg(ws_tokens), 2).alias("avg_ws_tokens"),
+        F.sum(re_tokens).cast("long").alias("total_re_tokens"),
+        F.max(F.length("text")).cast("long").alias("max_chars"),
+    )
+
+
+@query(
+    "q51_quality_score",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, lang, source,
+               CAST(length(text) AS BIGINT)               AS n_chars_actual,
+               length(string_split(text, ' '))            AS n_words,
+               length(list_intersect(list_distinct(string_split(text, ' ')),
+                                     {list(STOPWORDS)}))  AS n_stop
+        FROM documents
+    )
+    SELECT doc_id, lang, source, n_chars_actual,
+           CAST(n_words AS BIGINT)                                        AS n_words,
+           round(CAST(n_chars_actual AS DOUBLE) / n_words, 4)             AS avg_word_len,
+           round(CAST(n_stop AS DOUBLE) / 10, 4)                          AS stopword_coverage,
+           round(least(CAST(n_words AS DOUBLE) / 100, 1.0) * 0.5
+                 + (CAST(n_stop AS DOUBLE) / 10) * 0.5, 4)                AS quality
+    FROM t
+    WHERE doc_id < 200
+    """,
+    tags=("text", "quality"),
+)
+def q51_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document quality signals: length, word count, mean word
+    length, stopword-list coverage, and a composite [0,1] quality score
+    (the filter signal a pretraining pipeline thresholds on)."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    words = _words(F.col("text"))
+    n_words = F.size(words)
+    n_stop = F.size(
+        F.array_intersect(
+            F.array_distinct(words), F.array(*[F.lit(w) for w in STOPWORDS])
+        )
+    )
+    n_chars_actual = F.length("text").cast("long")
+    stop_cov = n_stop.cast("double") / 10
+    quality = F.least(n_words.cast("double") / 100, F.lit(1.0)) * 0.5 + stop_cov * 0.5
+    return docs.filter(F.col("doc_id") < 200).select(
+        "doc_id",
+        "lang",
+        "source",
+        n_chars_actual.alias("n_chars_actual"),
+        n_words.cast("long").alias("n_words"),
+        F.round(n_chars_actual.cast("double") / n_words, 4).alias("avg_word_len"),
+        F.round(stop_cov, 4).alias("stopword_coverage"),
+        F.round(quality, 4).alias("quality"),
+    )
+
+
+def _lang_score_sql(lang: str) -> str:
+    markers = list(LANG_MARKERS[lang])
+    return (
+        f"length(list_intersect(list_distinct(string_split(text, ' ')), {markers}))"
+    )
+
+
+@query(
+    "q52_langid",
+    oracle=f"""
+    WITH s AS (
+        SELECT doc_id, lang AS labeled_lang,
+               {_lang_score_sql('en')} AS s_en,
+               {_lang_score_sql('de')} AS s_de,
+               {_lang_score_sql('fr')} AS s_fr
+        FROM documents
+    )
+    SELECT doc_id, labeled_lang,
+           CAST(s_en AS INTEGER) AS s_en,
+           CAST(s_de AS INTEGER) AS s_de,
+           CAST(s_fr AS INTEGER) AS s_fr,
+           CASE WHEN s_en = 0 AND s_de = 0 AND s_fr = 0 THEN 'unknown'
+                WHEN s_en >= s_de AND s_en >= s_fr THEN 'en'
+                WHEN s_de >= s_fr THEN 'de'
+                ELSE 'fr' END AS detected_lang
+    FROM s
+    """,
+    tags=("text", "langid"),
+)
+def q52_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic language ID: score the document's distinct-word set
+    against per-language marker vocabularies, argmax with a fixed
+    tie-break order. Pure set intersection — no model, no UDF."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    dwords = F.array_distinct(_words(F.col("text")))
+
+    def score(lang: str) -> Column:
+        return F.size(
+            F.array_intersect(dwords, F.array(*[F.lit(w) for w in LANG_MARKERS[lang]]))
+        )
+
+    s_en, s_de, s_fr = score("en"), score("de"), score("fr")
+    detected = (
+        F.when((s_en == 0) & (s_de == 0) & (s_fr == 0), "unknown")
+        .when((s_en >= s_de) & (s_en >= s_fr), "en")
+        .when(s_de >= s_fr, "de")
+        .otherwise("fr")
+    )
+    return docs.select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        s_en.alias("s_en"),
+        s_de.alias("s_de"),
+        s_fr.alias("s_fr"),
+        detected.alias("detected_lang"),
+    )
+
+
+@query(
+    "q53_fingerprint",
+    oracle="""
+    WITH w AS (
+        SELECT doc_id, string_split(text, ' ') AS words FROM documents
+    )
+    SELECT doc_id,
+           sha256(array_to_string(words, ' '))        AS full_sha,
+           list_aggregate(
+               list_transform(generate_series(1, length(words) - 2),
+                              i -> sha256(concat_ws(' ', words[i], words[i+1], words[i+2]))),
+               'min')                                  AS min_shingle_sha
+    FROM w
+    WHERE doc_id < 100
+    """,
+    tags=("text", "fingerprint"),
+)
+def q53_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting: whole-content sha plus a min-hash over
+    word-trigram shingles (the 1-permutation MinHash sketch) — detects
+    near-identical documents that differ in a few words."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    words = _words(F.col("text"))
+    shingle_shas = F.transform(
+        F.sequence(F.lit(1), F.size(words) - 2),
+        lambda i: F.sha2(
+            F.concat_ws(
+                " ",
+                F.element_at(words, i),
+                F.element_at(words, i + 1),
+                F.element_at(words, i + 2),
+            ),
+            256,
+        ),
+    )
+    return docs.filter(F.col("doc_id") < 100).select(
+        "doc_id",
+        F.sha2(F.array_join(words, " "), 256).alias("full_sha"),
+        F.array_min(shingle_shas).alias("min_shingle_sha"),
+    )

@@ -1,1 +1,286 @@
-"""(stub — filled in a later milestone)"""
+"""The literal map/reduce file contract, Spark-native.
+
+Reproduces the reference's computation contract (``Readme.md:7``): for a
+directory of input files, run a pluggable transformation once per file
+(map, ``Program.cs:332-349``), then one consolidation over all map
+outputs (reduce, ``Program.cs:351-384``), with the barrier enforced by
+the DAG (``Program.cs:306,355``). Differences by design:
+
+- Staging (upload/SAS/rename — ``Program.cs:248-290,339-345``) is gone:
+  Spark reads files in place and the shuffle service materializes the
+  map→reduce edge.
+- Failure semantics are *stronger*: the reference only detects failures
+  after completion (``Program.cs:435-456``, no retry — the reducer can
+  silently consume partial inputs); here a failed task is retried
+  ``spark.task.maxFailures`` times and then fails the job.
+- The timeout+terminate monitor (``Program.cs:397-465``) maps to a
+  driver-side timer + ``cancelJobGroup`` (:func:`run_with_timeout`).
+
+Fidelity points kept:
+- one map invocation per input file, file path appended to the command
+  line (argv-append, ``Program.cs:335``);
+- map outputs captured by glob pattern and renamed ``{task_id}.…``
+  (``App.config:19``, ``Program.cs:341-344``), with a *deterministic*
+  task id (file stem) instead of the reference's list-index id
+  (``Program.cs:334``, O(n²) and collision-prone);
+- the reduce step sees every map output (``Program.cs:365-378``).
+"""
+
+from __future__ import annotations
+
+import glob as globmod
+import os
+import shutil
+import subprocess
+import tempfile
+import threading
+from collections.abc import Callable, Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from azure_batch_map_reduce_spark.catalog import load_tables
+from azure_batch_map_reduce_spark.registry import query
+
+MAP_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("task_id", StringType()),
+        StructField("src_path", StringType()),
+        StructField("output_name", StringType()),
+        StructField("content", BinaryType()),
+        StructField("exit_code", LongType()),
+    ]
+)
+
+
+def file_source(
+    spark: SparkSession,
+    input_dir: str,
+    glob: str | None = None,
+    recursive: bool = False,
+) -> DataFrame:
+    """L1 directory scan: one row per file (path, length, content).
+
+    The reference enumerates flat and non-recursive (``Program.cs:252``);
+    ``recursive=True`` opts into the superset. Listing is driver-side
+    metadata only; content reads are distributed."""
+    reader = spark.read.format("binaryFile")
+    if glob:
+        reader = reader.option("pathGlobFilter", glob)
+    if recursive:
+        reader = reader.option("recursiveFileLookup", "true")
+    return reader.load(input_dir)
+
+
+def _run_cmd_on_file(
+    cmd: str, path: str, content: bytes, output_pattern: str | None
+) -> tuple[list[tuple[str, bytes]], int]:
+    """Materialize one file in a scratch dir, run ``cmd <path>`` (argv
+    append, ``Program.cs:335``), capture stdout or glob-matched outputs
+    (``App.config:19`` semantics)."""
+    workdir = tempfile.mkdtemp(prefix="abmr-map-")
+    try:
+        local = os.path.join(workdir, os.path.basename(path))
+        with open(local, "wb") as f:
+            f.write(content)
+        proc = subprocess.run(
+            f"{cmd} {local}",
+            shell=True,
+            cwd=workdir,
+            capture_output=True,
+            timeout=600,
+        )
+        outputs: list[tuple[str, bytes]] = []
+        if output_pattern is None:
+            outputs.append(("stdout", proc.stdout))
+        else:
+            for out in sorted(globmod.glob(os.path.join(workdir, output_pattern))):
+                if os.path.abspath(out) == os.path.abspath(local):
+                    continue
+                with open(out, "rb") as f:
+                    outputs.append((os.path.basename(out), f.read()))
+        return outputs, proc.returncode
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
+
+
+def map_files(
+    spark: SparkSession,
+    input_dir: str,
+    map_cmd: str | None = None,
+    map_fn: Callable[[str, bytes], bytes] | None = None,
+    glob: str | None = None,
+    output_pattern: str | None = None,
+    recursive: bool = False,
+) -> DataFrame:
+    """L5 map fan-out: apply an external command (or a Python function)
+    once per input file. Returns (task_id, src_path, output_name,
+    content, exit_code) — the map-output namespace the reference builds
+    by uploading ``{taskId}.txt`` blobs."""
+    if (map_cmd is None) == (map_fn is None):
+        raise ValueError("exactly one of map_cmd / map_fn is required")
+    files = file_source(spark, input_dir, glob=glob, recursive=recursive)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for path, content in zip(pdf["path"], pdf["content"]):
+                task_id = os.path.splitext(os.path.basename(path))[0]
+                local_path = path[len("file:") :] if path.startswith("file:") else path
+                if map_fn is not None:
+                    out = map_fn(local_path, bytes(content))
+                    rows.append((task_id, path, f"{task_id}.out", out, 0))
+                else:
+                    outputs, code = _run_cmd_on_file(
+                        map_cmd, local_path, bytes(content), output_pattern
+                    )
+                    for name, data in outputs:
+                        rows.append((task_id, path, f"{task_id}.{name}", data, code))
+            yield pd.DataFrame(
+                rows, columns=["task_id", "src_path", "output_name", "content", "exit_code"]
+            )
+
+    # One input file is one row; Spark schedules rows across executors —
+    # the per-file task fan-out of Program.cs:332-335 without per-file RPC.
+    return files.select("path", "content").mapInPandas(run, MAP_OUTPUT_SCHEMA)
+
+
+def gather_reduce(
+    map_outputs: DataFrame,
+    reduce_cmd: str | None = None,
+    reduce_fn: Callable[[list[tuple[str, bytes]]], bytes] | None = None,
+    output_pattern: str | None = None,
+) -> DataFrame:
+    """L7+L8+L9: barrier on all map tasks, gather every map output, run
+    ONE consolidation (``Program.cs:351-384``). ``coalesce(1)`` after the
+    map stage gives the all-upstream barrier + single-consumer layout the
+    reference builds with DependsOn + SAS-spliced ResourceFiles.
+
+    At 100 TB a single reducer is the bottleneck by definition — prefer
+    an aggregation (partial+final) when the consolidation is associative;
+    this literal form exists for pluggable-executable fidelity."""
+    if (reduce_cmd is None) == (reduce_fn is None):
+        raise ValueError("exactly one of reduce_cmd / reduce_fn is required")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        gathered: list[tuple[str, bytes]] = []
+        for pdf in batches:
+            for name, content in zip(pdf["output_name"], pdf["content"]):
+                gathered.append((name, bytes(content)))
+        gathered.sort()
+        if reduce_fn is not None:
+            out = reduce_fn(gathered)
+            yield pd.DataFrame(
+                [("task-reducer", "", "reduce.out", out, 0)],
+                columns=["task_id", "src_path", "output_name", "content", "exit_code"],
+            )
+            return
+        workdir = tempfile.mkdtemp(prefix="abmr-reduce-")
+        try:
+            for name, content in gathered:
+                with open(os.path.join(workdir, name), "wb") as f:
+                    f.write(content)
+            proc = subprocess.run(
+                reduce_cmd, shell=True, cwd=workdir, capture_output=True, timeout=600
+            )
+            rows = []
+            if output_pattern is None:
+                rows.append(("task-reducer", "", "stdout", proc.stdout, proc.returncode))
+            else:
+                for out in sorted(globmod.glob(os.path.join(workdir, output_pattern))):
+                    with open(out, "rb") as f:
+                        rows.append(
+                            ("task-reducer", "", os.path.basename(out), f.read(), proc.returncode)
+                        )
+            yield pd.DataFrame(
+                rows, columns=["task_id", "src_path", "output_name", "content", "exit_code"]
+            )
+        finally:
+            shutil.rmtree(workdir, ignore_errors=True)
+
+    return map_outputs.coalesce(1).mapInPandas(run, MAP_OUTPUT_SCHEMA)
+
+
+def pipe_lines(df: DataFrame, cmd: str, column: str = "value") -> DataFrame:
+    """rdd.pipe wrapper: stream a string column through an external
+    command, one line per record (L5 executable fidelity for line-
+    oriented tools). Binary-unsafe by nature — use map_files for bytes."""
+    spark = df.sparkSession
+    piped = df.select(F.col(column).cast("string")).rdd.map(lambda r: r[0]).pipe(cmd)
+    return spark.createDataFrame(piped.map(lambda s: (s,)), f"{column} string")
+
+
+def run_with_timeout(spark: SparkSession, action: Callable[[], object], timeout_s: float):
+    """Execution monitor (``Program.cs:397-465``): run a blocking Spark
+    action; on timeout cancel the job group and raise — the analog of
+    terminate-job-on-timeout (``Program.cs:418-423``), with Spark's
+    retry-then-fail semantics underneath instead of detect-after."""
+    group = f"abmr-monitored-{id(action)}"
+    sc = spark.sparkContext
+    result: dict[str, object] = {}
+    err: list[BaseException] = []
+
+    def target():
+        sc.setJobGroup(group, "monitored map-reduce run", interruptOnCancel=True)
+        try:
+            result["value"] = action()
+        except BaseException as e:  # noqa: BLE001 — propagated below
+            err.append(e)
+
+    t = threading.Thread(target=target, daemon=True)
+    t.start()
+    t.join(timeout_s)
+    if t.is_alive():
+        sc.cancelJobGroup(group)
+        t.join(10)
+        raise TimeoutError(f"job group {group} cancelled after {timeout_s}s")
+    if err:
+        raise err[0]
+    return result["value"]
+
+
+# ---- registry entries ----
+
+@query("q90_file_manifest", oracle=None, tags=("mapreduce", "source"))
+def q90_file_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L1 literal: enumerate the input directory as (file name, size) —
+    the reference's ResourceFile listing (rows-only check: DuckDB cannot
+    stat files)."""
+    files = file_source(spark, sf_dir, glob="*.parquet")
+    return (
+        files.select(
+            F.element_at(F.split("path", "/"), -1).alias("file_name"),
+            F.col("length").alias("bytes"),
+        )
+        .orderBy("file_name")
+    )
+
+
+@query(
+    "q91_pipe_identity_wordcount",
+    oracle="""
+    SELECT count(*)                                            AS n_lines,
+           CAST(sum(length(string_split(text, ' '))) AS BIGINT) AS n_words
+    FROM documents
+    """,
+    tags=("mapreduce", "pipe"),
+)
+def q91_pipe_identity_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """External-executable map (L5 fidelity): stream every document
+    through ``cat`` via rdd.pipe, then count lines and words of what the
+    executable emitted. pipe(cat) ≡ identity, so the oracle is plain SQL
+    over the original table."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    piped = pipe_lines(docs.select(F.col("text").alias("value")), "cat")
+    return piped.agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum(F.size(F.split("value", " "))).cast("long").alias("n_words"),
+    )

@@ -1,1 +1,167 @@
-"""(stub — filled in a later milestone)"""
+"""Event-time windowed operators: tumbling / sliding / session windows,
+watermarked late-data handling, streaming dedup.
+
+Each transformation is written against a plain DataFrame so the SAME
+function runs in batch mode (checked against the DuckDB oracle here) and
+in Structured Streaming (exercised with ``availableNow`` triggers in
+``tests/test_streaming.py``) — batch/stream parity by construction,
+Spark's unified-engine guarantee.
+
+Scale notes: windowed aggregations shuffle on (window, key) with partial
+aggregation; watermarks bound state size — without one, a 100 TB stream
+accumulates unbounded window state.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from azure_batch_map_reduce_spark.catalog import load_tables
+from azure_batch_map_reduce_spark.registry import query
+
+
+# ---- reusable batch/stream transformations ----
+
+def tumbling_counts(events: DataFrame, width: str = "1 hour") -> DataFrame:
+    return (
+        events.groupBy(F.window("ts", width).alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+
+
+def sliding_counts(events: DataFrame, width: str = "1 hour", slide: str = "30 minutes") -> DataFrame:
+    return (
+        events.groupBy(F.window("ts", width, slide).alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
+        .select(F.col("w.start").alias("window_start"), "n", "total_value")
+    )
+
+
+def session_aggregate(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
+    return (
+        events.groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 2).alias("total_value"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def dedup_first_event(events: DataFrame) -> DataFrame:
+    """Deterministic dedup: earliest (ts, event_id) row per
+    (user_id, event_type). The streaming analog is
+    ``dropDuplicatesWithinWatermark`` (arrival-order, tested in
+    tests/test_streaming.py); batch uses an explicit total order so the
+    result is reproducible and oracle-checkable."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    return (
+        events.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_type", "event_id", "ts", "value")
+    )
+
+
+# ---- registry entries (batch mode over the events fixture) ----
+
+@query(
+    "q80_tumbling_window",
+    oracle="""
+    SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+           event_type,
+           count(*)               AS n,
+           round(sum(value), 2)   AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+    tags=("streaming", "window"),
+)
+def q80_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour event-time windows × event_type."""
+    return tumbling_counts(load_tables(spark, sf_dir)["events"])
+
+
+@query(
+    "q81_sliding_window",
+    oracle="""
+    WITH cand AS (
+        SELECT value,
+               unnest([time_bucket(INTERVAL '30 minutes', ts),
+                       time_bucket(INTERVAL '30 minutes', ts) - INTERVAL 30 MINUTE]) AS window_start
+        FROM events
+    )
+    SELECT window_start, count(*) AS n, round(sum(value), 2) AS total_value
+    FROM cand
+    GROUP BY window_start
+    """,
+    tags=("streaming", "window"),
+)
+def q81_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding 1-hour windows every 30 minutes — each event belongs to
+    exactly two windows (oracle materializes both bucket starts)."""
+    return sliding_counts(load_tables(spark, sf_dir)["events"])
+
+
+@query(
+    "q82_session_window",
+    oracle="""
+    WITH x AS (
+        SELECT user_id, ts, value,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                    THEN 1 ELSE 0 END AS new_sess
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+    ),
+    y AS (
+        SELECT *, sum(new_sess) OVER (
+            PARTITION BY user_id ORDER BY ts ASC
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
+        FROM x
+    )
+    SELECT user_id,
+           min(ts)                        AS session_start,
+           max(ts) + INTERVAL 30 MINUTE   AS session_end,
+           count(*)                       AS n_events,
+           round(sum(value), 2)           AS total_value
+    FROM y
+    GROUP BY user_id, sess_id
+    """,
+    tags=("streaming", "session"),
+)
+def q82_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows (30-minute inactivity gap) per user. The oracle
+    reconstructs sessions with the gaps-and-islands idiom; Spark's
+    session_window end = last event + gap matches max(ts) + 30min."""
+    return session_aggregate(load_tables(spark, sf_dir)["events"])
+
+
+@query(
+    "q83_dedup_events",
+    oracle="""
+    SELECT user_id, event_type, event_id, ts, value
+    FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY user_id, event_type
+            ORDER BY ts ASC, event_id ASC) AS rn
+        FROM events
+    ) WHERE rn = 1
+    """,
+    tags=("streaming", "dedup"),
+)
+def q83_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep-first dedup per (user, event_type) with a total order."""
+    return dedup_first_event(load_tables(spark, sf_dir)["events"])

@@ -1,0 +1,150 @@
+"""Structured Streaming tests: the batch-checked transformations from
+streaming/windows.py run as real streams (availableNow trigger → memory
+sink) and agree with their batch results; plus watermark late-data
+semantics, streaming dedup, and arbitrary stateful processing.
+"""
+
+from __future__ import annotations
+
+import shutil
+import uuid
+
+import pandas as pd
+import pytest
+
+from pyspark.sql import functions as F
+
+from azure_batch_map_reduce_spark.catalog import load_tables, table_path
+from azure_batch_map_reduce_spark.streaming.windows import (
+    session_aggregate,
+    sliding_counts,
+    tumbling_counts,
+)
+
+
+def _events_stream(spark, sf_dir, src_dir):
+    """File-source stream over a copy of events.parquet (ns ts → µs)."""
+    raw_schema = spark.read.parquet(src_dir).schema
+    sdf = spark.readStream.schema(raw_schema).parquet(src_dir)
+    return sdf.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+
+
+@pytest.fixture()
+def events_dir(tmp_path, sf_dir):
+    d = tmp_path / "events_src"
+    d.mkdir()
+    shutil.copy(table_path(sf_dir, "events"), d / "part-0.parquet")
+    return str(d)
+
+
+def _run_to_table(spark, df, mode: str) -> pd.DataFrame:
+    name = f"t_{uuid.uuid4().hex[:8]}"
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    return spark.table(name).toPandas()
+
+
+def _sorted(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    return df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
+
+
+def test_stream_tumbling_equals_batch(spark, sf_dir, events_dir):
+    stream_out = _run_to_table(
+        spark, tumbling_counts(_events_stream(spark, sf_dir, events_dir)), "complete"
+    )
+    batch_out = tumbling_counts(load_tables(spark, sf_dir)["events"]).toPandas()
+    pd.testing.assert_frame_equal(_sorted(stream_out), _sorted(batch_out))
+
+
+def test_stream_sliding_equals_batch(spark, sf_dir, events_dir):
+    stream_out = _run_to_table(
+        spark, sliding_counts(_events_stream(spark, sf_dir, events_dir)), "complete"
+    )
+    batch_out = sliding_counts(load_tables(spark, sf_dir)["events"]).toPandas()
+    pd.testing.assert_frame_equal(_sorted(stream_out), _sorted(batch_out))
+
+
+def test_stream_session_window_equals_batch(spark, sf_dir, events_dir):
+    ev = _events_stream(spark, sf_dir, events_dir).withWatermark("ts", "1 hour")
+    stream_out = _run_to_table(spark, session_aggregate(ev), "complete")
+    batch_out = session_aggregate(load_tables(spark, sf_dir)["events"]).toPandas()
+    pd.testing.assert_frame_equal(_sorted(stream_out), _sorted(batch_out))
+
+
+def test_watermark_append_drops_tail_windows(spark, sf_dir, events_dir):
+    """Append mode emits only windows closed w.r.t. the watermark: with
+    one availableNow batch the final watermark is max(ts) - delay, so
+    exactly the windows ending at-or-before it appear."""
+    ev = _events_stream(spark, sf_dir, events_dir).withWatermark("ts", "10 minutes")
+    agg = (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.end").alias("window_end"), "n")
+    )
+    out = _run_to_table(spark, agg, "append")
+
+    batch_ev = load_tables(spark, sf_dir)["events"]
+    max_ts = batch_ev.agg(F.max("ts")).collect()[0][0]
+    batch = (
+        batch_ev.groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.end").alias("window_end"), "n")
+        .toPandas()
+    )
+    watermark = pd.Timestamp(max_ts) - pd.Timedelta(minutes=10)
+    expected = batch[batch["window_end"] <= watermark]
+    assert len(out) == len(expected) > 0
+    pd.testing.assert_frame_equal(_sorted(out), _sorted(expected))
+
+
+def test_drop_duplicates_within_watermark(spark, sf_dir, tmp_path):
+    """Duplicate arrivals (same file twice) collapse to one row per
+    event_id under dropDuplicatesWithinWatermark."""
+    d = tmp_path / "dup_src"
+    d.mkdir()
+    shutil.copy(table_path(sf_dir, "events"), d / "part-0.parquet")
+    shutil.copy(table_path(sf_dir, "events"), d / "part-1.parquet")
+    sdf = _events_stream(spark, sf_dir, str(d)).withWatermark("ts", "1 hour")
+    deduped = sdf.dropDuplicatesWithinWatermark(["event_id"]).select("event_id")
+    out = _run_to_table(spark, deduped, "append")
+    n_unique = load_tables(spark, sf_dir)["events"].count()
+    assert len(out) == n_unique
+    assert out["event_id"].is_unique
+
+
+def test_apply_in_pandas_with_state(spark, sf_dir, events_dir):
+    """Arbitrary stateful op: per-user event counter via
+    applyInPandasWithState matches the batch groupBy count."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def count_events(key, pdf_iter, state: GroupState):
+        (user_id,) = key
+        n = state.get[0] if state.exists else 0
+        for pdf in pdf_iter:
+            n += len(pdf)
+        state.update((n,))
+        yield pd.DataFrame({"user_id": [user_id], "n": [n]})
+
+    ev = _events_stream(spark, sf_dir, events_dir)
+    counted = ev.groupBy("user_id").applyInPandasWithState(
+        count_events,
+        outputStructType="user_id long, n long",
+        stateStructType="n long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    out = _run_to_table(spark, counted, "update")
+    batch = (
+        load_tables(spark, sf_dir)["events"]
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .toPandas()
+    )
+    pd.testing.assert_frame_equal(_sorted(out), _sorted(batch))
