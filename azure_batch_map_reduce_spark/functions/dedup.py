@@ -55,6 +55,17 @@ def _word_set(col: Column) -> Column:
     return F.array_distinct(F.split(col, " "))
 
 
+def _spread(df: DataFrame, *keys: str) -> DataFrame:
+    """Repartition a small single-split scan across the cores so CPU-heavy
+    per-row work (md5, shingling) parallelizes. At 100 TB the source
+    arrives in thousands of splits and this is a no-op."""
+    spark = df.sparkSession
+    target = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target, *[F.col(k) for k in keys])
+    return df
+
+
 @query(
     "q60_exact_dedup",
     oracle="""
@@ -123,20 +134,57 @@ def _band_key_sql(band: int) -> str:
     return f"concat_ws('_', {cols})"
 
 
-_MINHASH_CTE = f"""
-    w AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS ws FROM documents),
-    ex AS (SELECT doc_id, unnest(ws) AS word FROM w),
-    vocab AS (SELECT word, CAST(row_number() OVER (ORDER BY word) AS BIGINT) AS wid
-              FROM (SELECT DISTINCT word FROM ex)),
-    ids AS (SELECT e.doc_id, v.wid FROM ex e JOIN vocab v USING (word)),
+# Engine-neutral shingle→int hash: first 12 hex chars of md5 (48 bits,
+# no BIGINT overflow), reduced mod P so the affine products stay < 2^62
+# (Spark 4 runs ANSI mode — silent wraparound would instead error).
+_HASH_SQL = "(('0x' || substr(md5({expr}), 1, 12))::BIGINT % 2147483647)"
+
+
+def _hash48(col: Column) -> Column:
+    return F.conv(F.substring(F.md5(col), 1, 12), 16, 10).cast("long") % MINHASH_P
+
+
+# Word-trigram shingle sets: the right granularity for near-dup detection
+# (word *sets* collapse over this corpus's ~50-word vocabulary; trigram
+# jaccard between unrelated docs is ≈0, planted near-dups score ≥0.9).
+_SHINGLE_CTE = f"""
+    w AS (SELECT doc_id,
+                 list_distinct(list_transform(
+                     generate_series(1, length(string_split(text, ' ')) - 2),
+                     i -> concat_ws(' ', string_split(text, ' ')[i],
+                                         string_split(text, ' ')[i+1],
+                                         string_split(text, ' ')[i+2]))) AS sh
+          FROM documents),
+    ids AS (SELECT doc_id, {_HASH_SQL.format(expr="s")} AS wid
+            FROM (SELECT doc_id, unnest(sh) AS s FROM w)),
     mh AS (SELECT doc_id, {_minhash_sql_cols()} FROM ids GROUP BY doc_id)
 """
+
+def _trigram_rows(docs: DataFrame) -> DataFrame:
+    """One row per word-trigram shingle: posexplode the words once, then
+    lead() twice over (doc_id, pos). An array-lambda formulation
+    (transform over sequence) re-evaluates split(text) for every element
+    after Catalyst collapses projections — ~10× slower; this form splits
+    each document exactly once and the window sort reuses the doc_id
+    partitioning."""
+    win = Window.partitionBy("doc_id").orderBy("pos")
+    return (
+        docs.select("doc_id", F.posexplode(F.split("text", " ")).alias("pos", "word"))
+        .select(
+            "doc_id",
+            "word",
+            F.lead("word", 1).over(win).alias("w1"),
+            F.lead("word", 2).over(win).alias("w2"),
+        )
+        .filter(F.col("w2").isNotNull())
+        .select("doc_id", F.concat_ws(" ", "word", "w1", "w2").alias("s"))
+    )
 
 
 @query(
     "q62_minhash_lsh_neardup",
     oracle=f"""
-    WITH {_MINHASH_CTE},
+    WITH {_SHINGLE_CTE},
     bands AS (
         {" UNION ALL ".join(f"SELECT doc_id, {b} AS band, {_band_key_sql(b)} AS bkey FROM mh" for b in range(N_BANDS))}
     ),
@@ -146,46 +194,51 @@ _MINHASH_CTE = f"""
                                   AND a.doc_id < b.doc_id
     )
     SELECT c.doc_a, c.doc_b,
-           round(CAST(length(list_intersect(wa.ws, wb.ws)) AS DOUBLE)
-                 / length(list_distinct(list_concat(wa.ws, wb.ws))), 4) AS jaccard
+           round(CAST(length(list_intersect(wa.sh, wb.sh)) AS DOUBLE)
+                 / length(list_distinct(list_concat(wa.sh, wb.sh))), 4) AS jaccard
     FROM cand c
     JOIN w wa ON wa.doc_id = c.doc_a
     JOIN w wb ON wb.doc_id = c.doc_b
-    WHERE round(CAST(length(list_intersect(wa.ws, wb.ws)) AS DOUBLE)
-                / length(list_distinct(list_concat(wa.ws, wb.ws))), 4) >= 0.9
+    WHERE round(CAST(length(list_intersect(wa.sh, wb.sh)) AS DOUBLE)
+                / length(list_distinct(list_concat(wa.sh, wb.sh))), 4) >= 0.8
     """,
     tags=("dedup", "minhash", "lsh"),
 )
 def q62_minhash_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash + LSH near-duplicate pairs: word-set shingles → 16 affine
-    minhashes → 4 bands of 4 → bucket-join candidates → exact-Jaccard
-    verification at ≥ 0.9. Only bucket-mates are ever paired."""
-    docs = load_tables(spark, sf_dir)["documents"]
-    w = docs.select("doc_id", _word_set(F.col("text")).alias("ws"))
-    ex = w.select("doc_id", F.explode("ws").alias("word"))
-    vocab = (
-        ex.select("word")
-        .distinct()
-        .withColumn(
-            "wid", F.row_number().over(Window.orderBy("word")).cast("long")
-        )
-    )
-    ids = ex.join(F.broadcast(vocab), "word").select("doc_id", "wid")
-    mh = ids.groupBy("doc_id").agg(*_minhash_exprs(F.col("wid")))
+    """MinHash + LSH near-duplicate pairs: word-trigram shingles →
+    md5-derived 48-bit shingle ids (no vocabulary join, fully
+    distributed) → 16 affine minhashes → 4 bands of 4 → bucket-join
+    candidates → exact-Jaccard verification at ≥ 0.8. Only bucket-mates
+    are ever paired, so cost scales with true-duplicate density, not n²."""
+    docs = _spread(load_tables(spark, sf_dir)["documents"], "doc_id")
+    tri = _trigram_rows(docs)
+    # MinHash over duplicate shingles ≡ over the distinct set (min is
+    # idempotent) — no dedup pass needed before hashing.
+    ids = tri.select("doc_id", _hash48(F.col("s")).alias("wid"))
+    # Persist the two small per-doc intermediates: each feeds both sides
+    # of a self-join (bands⋈bands, w⋈candidates) and would otherwise be
+    # recomputed per branch. This is the signature table a production
+    # LSH pipeline materializes; size is O(n_docs), not O(corpus bytes).
+    mh = ids.groupBy("doc_id").agg(*_minhash_exprs(F.col("wid"))).persist()
+    w = tri.groupBy("doc_id").agg(F.collect_set("s").alias("sh")).persist()
 
-    band_rows = []
-    for b in range(N_BANDS):
-        cols = [f"m{b * ROWS_PER_BAND + r}" for r in range(ROWS_PER_BAND)]
-        band_rows.append(
-            mh.select(
-                "doc_id",
+    # Bands via explode of an inline array — ONE pass over mh; a union of
+    # per-band selects would recompute the whole minhash subtree N_BANDS
+    # times (Spark unions don't share common subplans).
+    band_structs = F.array(
+        *[
+            F.struct(
                 F.lit(b).alias("band"),
-                F.concat_ws("_", *cols).alias("bkey"),
+                F.concat_ws(
+                    "_", *[f"m{b * ROWS_PER_BAND + r}" for r in range(ROWS_PER_BAND)]
+                ).alias("bkey"),
             )
-        )
-    bands = band_rows[0]
-    for br in band_rows[1:]:
-        bands = bands.unionByName(br)
+            for b in range(N_BANDS)
+        ]
+    )
+    bands = mh.select("doc_id", F.explode(band_structs).alias("bb")).select(
+        "doc_id", F.col("bb.band").alias("band"), F.col("bb.bkey").alias("bkey")
+    )
 
     a, b_ = bands.alias("a"), bands.alias("b")
     cand = (
@@ -198,18 +251,18 @@ def q62_minhash_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
-    wa = w.select(F.col("doc_id").alias("doc_a"), F.col("ws").alias("ws_a"))
-    wb = w.select(F.col("doc_id").alias("doc_b"), F.col("ws").alias("ws_b"))
+    wa = w.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    wb = w.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
     jac = F.round(
-        F.size(F.array_intersect("ws_a", "ws_b")).cast("double")
-        / F.size(F.array_union("ws_a", "ws_b")),
+        F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+        / F.size(F.array_union("sh_a", "sh_b")),
         4,
     )
     return (
         cand.join(wa, "doc_a")
         .join(wb, "doc_b")
         .select("doc_a", "doc_b", jac.alias("jaccard"))
-        .filter(F.col("jaccard") >= 0.9)
+        .filter(F.col("jaccard") >= 0.8)
     )
 
 
@@ -226,7 +279,7 @@ def _simhash_sql_bits() -> str:
 @query(
     "q63_simhash",
     oracle=f"""
-    WITH {_MINHASH_CTE}
+    WITH {_SHINGLE_CTE}
     SELECT doc_id, CAST({_simhash_sql_bits()} AS BIGINT) AS simhash
     FROM ids
     GROUP BY doc_id
@@ -235,17 +288,15 @@ def _simhash_sql_bits() -> str:
 )
 def q63_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """16-bit SimHash per document: each bit is the sign of the sum of
-    ±1 votes from the document's word ids under a fixed bit-hash.
+    ±1 votes from the document's shingle ids under a fixed bit-hash.
     Near-dups differ in few bits (compare by hamming distance)."""
-    docs = load_tables(spark, sf_dir)["documents"]
-    w = docs.select("doc_id", _word_set(F.col("text")).alias("ws"))
-    ex = w.select("doc_id", F.explode("ws").alias("word"))
-    vocab = (
-        ex.select("word")
+    docs = _spread(load_tables(spark, sf_dir)["documents"], "doc_id")
+    # Distinct shingles per doc: SimHash votes count each shingle once.
+    ids = (
+        _trigram_rows(docs)
         .distinct()
-        .withColumn("wid", F.row_number().over(Window.orderBy("word")).cast("long"))
+        .select("doc_id", _hash48(F.col("s")).alias("wid"))
     )
-    ids = ex.join(F.broadcast(vocab), "word").select("doc_id", "wid")
     wid = F.col("wid")
     bit_terms = None
     for j, (a, b) in enumerate(MINHASH_PERMS):

@@ -1,0 +1,144 @@
+"""Multimodal columns: opaque binary payloads + typed metadata, with
+decode / feature-extraction / frame-sampling plumbing over mapInPandas.
+
+Model: a media asset is a row ``(asset_id, uri, media_type, content:
+binary, meta: struct)`` — the Spark-native rendering of the reference's
+untyped file-as-record model (``Program.cs:252,286-289``), with schema on
+the *metadata* while the payload stays opaque bytes.
+
+The actual codecs (PIL/ffmpeg/torchaudio) are NOT in this container, so
+the decode step is a clearly-marked deterministic stub
+(:func:`fake_decode_meta`) behind the same Arrow-batched interface a real
+decoder would use — the Spark-side plumbing (schema, batch iteration,
+partitioning) is real and tested; swap ``_decode_bytes`` for a real
+decoder in production.
+
+Scale notes: payload rows are large — keep
+``spark.sql.files.maxPartitionBytes`` sized so a batch of payloads fits
+executor memory; feature extraction is mapInPandas (Arrow batches), one
+pass, no shuffle; downstream joins should carry ``asset_id`` + features,
+never the payload.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from azure_batch_map_reduce_spark.plans.mapreduce import file_source
+from azure_batch_map_reduce_spark.registry import query
+
+FEATURE_DIM = 8
+
+ASSET_SCHEMA = (
+    "asset_id string, uri string, media_type string, n_bytes long, "
+    "sha string, width int, height int, channels int"
+)
+
+FEATURE_SCHEMA = f"asset_id string, n_bytes long, feature array<double>"
+
+
+def load_assets(spark: SparkSession, input_dir: str, glob: str | None = None) -> DataFrame:
+    """Binary-file scan → asset rows with opaque content + metadata."""
+    files = file_source(spark, input_dir, glob=glob)
+    return files.select(
+        F.element_at(F.split("path", "/"), -1).alias("asset_id"),
+        F.col("path").alias("uri"),
+        F.element_at(F.split(F.col("path"), r"\."), -1).alias("media_type"),
+        F.col("length").alias("n_bytes"),
+        F.col("content"),
+    )
+
+
+def _decode_bytes(content: bytes) -> tuple[int, int, int]:
+    """STUB decoder. Deterministic fake dimensions derived from a content
+    digest — stands in for PIL/ffmpeg, which are not installed here.
+    Raise instead if strict behavior is wanted: NotImplementedError."""
+    h = hashlib.sha256(content).digest()
+    return 64 + h[0] % 192, 64 + h[1] % 192, 1 + h[2] % 4
+
+
+def decode_metadata(assets: DataFrame) -> DataFrame:
+    """Decode step: per-asset (width, height, channels) via Arrow-batched
+    mapInPandas — the real-decoder call site."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            dims = [_decode_bytes(bytes(c)) for c in pdf["content"]]
+            out = pdf[["asset_id", "uri", "media_type", "n_bytes"]].copy()
+            out["sha"] = [hashlib.sha256(bytes(c)).hexdigest() for c in pdf["content"]]
+            out["width"] = [d[0] for d in dims]
+            out["height"] = [d[1] for d in dims]
+            out["channels"] = [d[2] for d in dims]
+            yield out
+
+    return assets.mapInPandas(run, ASSET_SCHEMA)
+
+
+def extract_features(assets: DataFrame, dim: int = FEATURE_DIM) -> DataFrame:
+    """Feature extraction: fixed-dim double vector per asset (here a
+    deterministic digest-derived fake; production swaps in an encoder).
+    Same mapInPandas shape as a GPU-batched embedding pass."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = []
+            for c in pdf["content"]:
+                h = hashlib.sha256(bytes(c)).digest()
+                feats.append([round(b / 255.0, 6) for b in h[:dim]])
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"],
+                    "n_bytes": pdf["n_bytes"],
+                    "feature": feats,
+                }
+            )
+
+    return assets.mapInPandas(run, FEATURE_SCHEMA)
+
+
+def sample_chunks(assets: DataFrame, chunk_size: int = 65536, max_chunks: int = 4) -> DataFrame:
+    """Frame/segment sampling: split each payload into up-to-N fixed-size
+    chunks (the video-frame / audio-window access pattern), emitted as
+    one row per chunk — a generator (1→N) over binary columns."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for aid, c in zip(pdf["asset_id"], pdf["content"]):
+                data = bytes(c)
+                for i in range(min(max_chunks, (len(data) + chunk_size - 1) // chunk_size)):
+                    chunk = data[i * chunk_size : (i + 1) * chunk_size]
+                    rows.append((aid, i, len(chunk), hashlib.sha256(chunk).hexdigest()))
+            yield pd.DataFrame(
+                rows, columns=["asset_id", "chunk_idx", "chunk_bytes", "chunk_sha"]
+            )
+
+    return assets.mapInPandas(
+        run, "asset_id string, chunk_idx int, chunk_bytes long, chunk_sha string"
+    )
+
+
+@query("q92_multimodal_pipeline", oracle=None, tags=("multimodal",))
+def q92_multimodal_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end multimodal plumbing over the sf_dir files as opaque
+    assets: scan → decode metadata (stub) → feature extraction →
+    per-media-type stats. Rows-only check (payload decoding is outside
+    SQL's reach)."""
+    assets = load_assets(spark, sf_dir, glob="*.parquet")
+    meta = decode_metadata(assets)
+    feats = extract_features(assets)
+    joined = meta.join(feats.select("asset_id", "feature"), "asset_id")
+    return (
+        joined.groupBy("media_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_assets"),
+            F.sum("n_bytes").alias("total_bytes"),
+            F.round(F.avg(F.element_at("feature", 1)), 6).alias("avg_f0"),
+        )
+        .orderBy("media_type")
+    )

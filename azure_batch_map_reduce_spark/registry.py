@@ -60,6 +60,7 @@ def load_all() -> dict[str, Query]:
         text,
         dedup,
         similarity,
+        multimodal,
     )
     from azure_batch_map_reduce_spark.streaming import windows as swindows  # noqa: F401
     from azure_batch_map_reduce_spark.plans import mapreduce  # noqa: F401

@@ -1,0 +1,93 @@
+"""Sources & sinks: parquet/CSV/JSON/text/binary readers, partitioned and
+single-file writers.
+
+The reference's I/O surface is: enumerate a local directory, stage to a
+blob container, download results back (`Program.cs:248-290,474-497`).
+Spark reads sources in place and commits sinks atomically via the task
+commit protocol — the staging/renaming machinery the reference hand-rolls
+(upload-on-completion `Program.cs:343-344`, rename-by-taskid
+`Program.cs:341-344`) is the FileOutputCommitter.
+
+Scale notes:
+- Writers default to snappy parquet with ``partitionBy`` available —
+  partitioned layout enables partition pruning (the 100 TB read path).
+- ``single_file`` mirrors the reference's one-reducer output
+  (`Program.cs:358-359`); it coalesces to 1 task and is therefore a
+  deliberate bottleneck — only for small results.
+- CSV/JSON readers take explicit schemas (no inference job over 100 TB).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import StructType
+
+
+def read_parquet(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.parquet(path)
+
+
+def read_csv(
+    spark: SparkSession,
+    path: str,
+    schema: StructType | str | None = None,
+    header: bool = True,
+    **options: str,
+) -> DataFrame:
+    reader = spark.read.option("header", str(header).lower())
+    if schema is not None:
+        reader = reader.schema(schema)
+    else:
+        reader = reader.option("inferSchema", "true")
+    return reader.options(**options).csv(path)
+
+
+def read_json(
+    spark: SparkSession,
+    path: str,
+    schema: StructType | str | None = None,
+    multi_line: bool = False,
+    **options: str,
+) -> DataFrame:
+    reader = spark.read.option("multiLine", str(multi_line).lower())
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.options(**options).json(path)
+
+
+def read_text(spark: SparkSession, path: str, whole_file: bool = False) -> DataFrame:
+    return spark.read.text(path, wholetext=whole_file)
+
+
+def write_parquet(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    partition_by: list[str] | None = None,
+    sort_by: list[str] | None = None,
+) -> None:
+    """Parquet sink. ``partition_by`` creates the pruning-friendly layout;
+    ``sort_by`` sorts within partitions so parquet row-group min/max
+    stats become selective (DPP + skipping at 100 TB)."""
+    if sort_by:
+        df = df.sortWithinPartitions(*sort_by)
+    writer = df.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)
+
+
+def write_csv(df: DataFrame, path: str, mode: str = "overwrite", header: bool = True) -> None:
+    df.write.mode(mode).option("header", str(header).lower()).csv(path)
+
+
+def write_json(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    df.write.mode(mode).json(path)
+
+
+def single_file(df: DataFrame, path: str, fmt: str = "csv", **options: str) -> None:
+    """One-output-file sink (reference L8/L9 fidelity: exactly one
+    reducer output, ``Program.cs:351-363``). Coalesces the final stage to
+    one task — use only for driver-sized results."""
+    writer = df.coalesce(1).write.mode("overwrite").options(**options)
+    getattr(writer, fmt)(path)

@@ -1,0 +1,72 @@
+#!/usr/bin/env python
+"""Benchmark: run the headline queries at $SPARK_GRAFT_SF_DIR (default
+sf0.1) on local[$SPARK_GRAFT_CPUS]; print ONE JSON line.
+
+Each query is fully materialized through the noop sink (forces every
+operator, skips result serialization). The flagship runs once untimed to
+absorb JVM/codegen warmup.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+from azure_batch_map_reduce_spark.registry import load_all
+from azure_batch_map_reduce_spark.session import get_spark
+
+# Representative, scale-stressing subset: scan+agg, multiway join, top-n,
+# window, explode+agg, JSON, dedup (exact + LSH), similarity, streaming
+# window, set ops, as-of join.
+HEADLINE = [
+    "q01_pricing_summary",
+    "q21_revenue_by_nation",
+    "q07_sort_limit",
+    "q30_topk_per_group",
+    "q27_asof_join",
+    "q45_json",
+    "q48_explode_split",
+    "q60_exact_dedup",
+    "q62_minhash_lsh_neardup",
+    "q70_cosine_topk",
+    "q80_tumbling_window",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
+    registry = load_all()
+    spark = get_spark(app_name="abmr-bench")
+
+    def materialize(name: str) -> float:
+        df = registry[name].fn(spark, sf_dir)
+        t0 = time.perf_counter()
+        df.write.format("noop").mode("overwrite").save()
+        return time.perf_counter() - t0
+
+    materialize("q01_pricing_summary")  # warmup, untimed
+
+    times: dict[str, float] = {}
+    for name in HEADLINE:
+        times[name] = round(materialize(name), 3)
+
+    total = round(sum(times.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_time",
+                "value": total,
+                "unit": "sec",
+                "queries": times,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,63 @@
+"""Multimodal column plumbing tests (binary payload + typed metadata)."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+
+from azure_batch_map_reduce_spark.functions.multimodal import (
+    FEATURE_DIM,
+    decode_metadata,
+    extract_features,
+    load_assets,
+    sample_chunks,
+)
+
+
+@pytest.fixture()
+def assets_dir(tmp_path):
+    d = tmp_path / "media"
+    d.mkdir()
+    (d / "a.img").write_bytes(b"\x89FAKE-IMAGE" + bytes(range(256)) * 10)
+    (d / "b.img").write_bytes(b"\x89FAKE-IMAGE-2" + bytes(range(256)))
+    (d / "c.aud").write_bytes(b"FAKE-AUDIO" + b"\x01\x02" * 100_000)
+    return str(d)
+
+
+def test_load_assets_schema(spark, assets_dir):
+    assets = load_assets(spark, assets_dir)
+    rows = {r["asset_id"]: r for r in assets.collect()}
+    assert set(rows) == {"a.img", "b.img", "c.aud"}
+    assert rows["a.img"]["media_type"] == "img"
+    assert rows["c.aud"]["media_type"] == "aud"
+    assert rows["b.img"]["n_bytes"] == len(b"\x89FAKE-IMAGE-2" + bytes(range(256)))
+
+
+def test_decode_metadata_deterministic(spark, assets_dir):
+    meta = decode_metadata(load_assets(spark, assets_dir)).collect()
+    again = decode_metadata(load_assets(spark, assets_dir)).collect()
+    assert sorted(map(str, meta)) == sorted(map(str, again))
+    for r in meta:
+        assert 64 <= r["width"] < 256 and 64 <= r["height"] < 256
+        assert 1 <= r["channels"] <= 4
+
+
+def test_extract_features_shape_and_value(spark, assets_dir):
+    feats = {r["asset_id"]: r for r in extract_features(load_assets(spark, assets_dir)).collect()}
+    assert all(len(r["feature"]) == FEATURE_DIM for r in feats.values())
+    payload = b"\x89FAKE-IMAGE" + bytes(range(256)) * 10
+    expected0 = round(hashlib.sha256(payload).digest()[0] / 255.0, 6)
+    assert feats["a.img"]["feature"][0] == pytest.approx(expected0)
+
+
+def test_sample_chunks(spark, assets_dir):
+    chunks = sample_chunks(load_assets(spark, assets_dir), chunk_size=1024, max_chunks=3).collect()
+    by_asset = {}
+    for r in chunks:
+        by_asset.setdefault(r["asset_id"], []).append(r)
+    # c.aud is ~200KB → capped at 3 chunks of 1024
+    assert len(by_asset["c.aud"]) == 3
+    assert all(r["chunk_bytes"] == 1024 for r in by_asset["c.aud"])
+    # b.img is small → 1 chunk
+    assert len(by_asset["b.img"]) == 1
