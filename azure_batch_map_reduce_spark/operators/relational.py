@@ -22,7 +22,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from azure_batch_map_reduce_spark.catalog import load_tables
+from azure_batch_map_reduce_spark.catalog import load_tables, register_views
 from azure_batch_map_reduce_spark.registry import query
 
 
@@ -421,3 +421,130 @@ def q14_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("val") > 30)
     )
+
+
+@query(
+    "q15_sketch_aggs",
+    oracle="""
+    SELECT c_mktsegment AS segment,
+           count(DISTINCT c_custkey) AS n_exact,
+           TRUE AS hll_ok,
+           TRUE AS pct_ok
+    FROM customer
+    GROUP BY c_mktsegment
+    """,
+    tags=("aggregation", "sketch"),
+)
+def q15_sketch_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch aggregates with self-verifying error bounds: HyperLogLog++
+    (``approx_count_distinct``, rsd 2%) and KLL-style quantiles
+    (``percentile_approx``, accuracy 10k) computed NEXT TO their exact
+    counterparts; the output carries booleans asserting the sketch landed
+    inside its bound, so the oracle can hash-check an approximate
+    operator. The quantile check is RANK-based (fraction of values ≤ the
+    approximate median must sit near 0.5) — the guarantee
+    percentile_approx actually makes; value-distance would be unbounded
+    on sparse groups. At 100 TB the sketches are the only affordable
+    option — fixed-size state through the shuffle vs. the exact
+    operators' per-distinct-value state."""
+    cust = load_tables(spark, sf_dir)["customer"]
+    agg = cust.groupBy(F.col("c_mktsegment").alias("segment")).agg(
+        F.count_distinct("c_custkey").alias("n_exact"),
+        F.expr("approx_count_distinct(c_custkey, 0.02)").alias("n_hll"),
+        F.percentile_approx("c_acctbal", F.lit(0.5), F.lit(10000)).alias("med_approx"),
+    )
+    # Rank check: one more pass over customer against the broadcast
+    # 5-row aggregate (scale-safe).
+    joined = cust.join(
+        F.broadcast(agg), cust["c_mktsegment"] == agg["segment"]
+    )
+    return (
+        joined.groupBy("segment", "n_exact", "n_hll")
+        .agg(
+            F.avg((F.col("c_acctbal") <= F.col("med_approx")).cast("double")).alias(
+                "frac_le_med"
+            )
+        )
+        .select(
+            "segment",
+            "n_exact",
+            (F.abs(F.col("n_hll") - F.col("n_exact")) <= 0.1 * F.col("n_exact")).alias(
+                "hll_ok"
+            ),
+            F.col("frac_le_med").between(0.35, 0.65).alias("pct_ok"),
+        )
+    )
+
+
+@query(
+    "q16_scalar_correlated_subquery",
+    oracle="""
+    SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+    FROM lineitem, part
+    WHERE p_partkey = l_partkey
+      AND p_brand = 'Brand#1'
+      AND p_size <= 10
+      AND l_quantity < (SELECT 0.5 * avg(l_quantity)
+                        FROM lineitem
+                        WHERE l_partkey = p_partkey)
+    """,
+    tags=("subquery", "join"),
+)
+def q16_scalar_correlated_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q17-shaped correlated scalar subquery (small-quantity
+    revenue). Written as SQL so Catalyst's decorrelation rewrites the
+    per-row subquery into one aggregate + join — the plan contains a
+    single extra shuffle over lineitem, not a nested loop. The reference
+    could only express this as two chained map/reduce jobs
+    (``Program.cs:322-387``) with manual re-staging between them."""
+    register_views(spark, sf_dir)
+    return spark.sql("""
+        SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+        FROM lineitem JOIN part ON p_partkey = l_partkey
+        WHERE p_brand = 'Brand#1'
+          AND p_size <= 10
+          AND l_quantity < (SELECT 0.5 * avg(l_quantity)
+                            FROM lineitem
+                            WHERE l_partkey = p_partkey)
+    """)
+
+
+@query(
+    "q17_top_revenue_supplier",
+    oracle="""
+    WITH revenue AS (
+        SELECT l_suppkey AS supplier_no,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate <  TIMESTAMP '1996-04-01'
+        GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, total_revenue
+    FROM supplier JOIN revenue ON s_suppkey = supplier_no
+    WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+    ORDER BY s_suppkey
+    """,
+    tags=("subquery", "cte"),
+)
+def q17_top_revenue_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q15-shaped: CTE reused twice (once aggregated to a scalar,
+    once joined) — exercises scalar aggregate subqueries and CTE
+    planning. The scalar max() reduces to a one-row broadcast, so the
+    'filter to the max' costs one extra pass over the (already small)
+    aggregate, never over lineitem."""
+    register_views(spark, sf_dir)
+    return spark.sql("""
+        WITH revenue AS (
+            SELECT l_suppkey AS supplier_no,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate <  TIMESTAMP '1996-04-01'
+            GROUP BY l_suppkey
+        )
+        SELECT s_suppkey, s_name, total_revenue
+        FROM supplier JOIN revenue ON s_suppkey = supplier_no
+        WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+        ORDER BY s_suppkey
+    """)

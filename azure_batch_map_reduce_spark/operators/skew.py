@@ -1,0 +1,143 @@
+"""Skew mitigation: salted two-phase aggregation and salted joins.
+
+At 100 TB a handful of hot keys (one returnflag, one mega-customer) can
+pin an entire stage on one reducer. Two deliberate counters, both pure
+DataFrame compositions (no Catalyst changes):
+
+- **Salted aggregation** — split each hot group into ``n_salt``
+  sub-groups on a salt derived from the aggregated column, partially
+  aggregate per (key, salt), then merge. For ``count(DISTINCT x)`` the
+  salt MUST be a function of ``x`` itself so each distinct value lands
+  in exactly one sub-group and the partial distinct-counts are disjoint
+  (summable).
+- **Salted join** — the large skewed side gets a salt in [0, n); the
+  smaller side is exploded ×n so every (key, salt) pair exists; join on
+  (key, salt). Trades n× replication of the small side for an n-way
+  split of each hot key's rows.
+
+Spark's AQE skew-join (``spark.sql.adaptive.skewJoin.enabled``, on in
+:mod:`..session`) handles most join skew at runtime by splitting
+oversized partitions; these helpers are for the cases AQE can't see —
+aggregation skew and deliberate layout control.
+
+The reference has no analog: its unit of parallelism is one file = one
+task (``Program.cs:332-335``), so a skewed input *file* is unsplittable
+by construction.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, functions as F
+
+from azure_batch_map_reduce_spark.catalog import load_tables
+from azure_batch_map_reduce_spark.registry import query
+
+
+def salted_distinct_count(
+    df: DataFrame,
+    group_keys: list[str],
+    distinct_col: str,
+    n_salt: int = 16,
+    extra_aggs: list[Column] | None = None,
+) -> DataFrame:
+    """count(DISTINCT distinct_col) per group_keys via salted two-phase
+    aggregation. Phase 1 groups on (keys, hash(distinct_col) % n_salt):
+    every distinct value belongs to exactly one salt bucket, so phase-2
+    sums of the bucket-local distinct counts are exact."""
+    salt = F.pmod(F.hash(F.col(distinct_col)), F.lit(n_salt)).alias("_salt")
+    phase1 = df.groupBy(*group_keys, salt).agg(
+        F.count_distinct(distinct_col).alias("_partial_distinct"),
+        *(extra_aggs or []),
+    )
+    merge = [F.sum("_partial_distinct").alias(f"n_{distinct_col}")]
+    for c in phase1.columns:
+        if c.startswith("_sum_"):
+            merge.append(F.sum(c).alias(c[5:]))
+    return phase1.groupBy(*group_keys).agg(*merge)
+
+
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    n_salt: int = 8,
+    salt_basis: str | None = None,
+    how: str = "inner",
+) -> DataFrame:
+    """Equi-join with the left (large, skewed) side salted and the right
+    side exploded ×n_salt. ``salt_basis`` is any left column with
+    per-row variation (defaults to a stable hash of the key row id via
+    ``spark_partition_id`` — prefer passing a real column)."""
+    basis = F.col(salt_basis) if salt_basis else F.spark_partition_id()
+    l_salted = left.withColumn("_salt", F.pmod(F.hash(basis), F.lit(n_salt)))
+    r_exploded = right.withColumn(
+        "_salt", F.explode(F.array(*[F.lit(i) for i in range(n_salt)]))
+    )
+    return l_salted.join(r_exploded, on=[key, "_salt"], how=how).drop("_salt")
+
+
+@query(
+    "q18_salted_distinct_agg",
+    oracle="""
+    SELECT l_returnflag,
+           count(DISTINCT l_suppkey)                         AS n_l_suppkey,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    tags=("skew", "aggregation"),
+)
+def q18_salted_distinct_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct suppliers + revenue per returnflag — 3 giant groups, the
+    worst-case aggregation skew — via salted two-phase aggregation. Each
+    (flag, salt) partial fits one reducer; the final merge handles 3×16
+    rows. Result is exactly the plain GROUP BY (oracle)."""
+    li = load_tables(spark, sf_dir)["lineitem"]
+    out = salted_distinct_count(
+        li,
+        ["l_returnflag"],
+        "l_suppkey",
+        n_salt=16,
+        extra_aggs=[
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "_sum_revenue"
+            )
+        ],
+    )
+    return out.select(
+        "l_returnflag", "n_l_suppkey", F.round("revenue", 2).alias("revenue")
+    )
+
+
+@query(
+    "q19_salted_join",
+    oracle="""
+    SELECT o_orderpriority,
+           count(*)                                          AS n_items,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY o_orderpriority
+    """,
+    tags=("skew", "join"),
+)
+def q19_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lineitem ⋈ orders with the fact side salted 8 ways on
+    l_linenumber (per-row variation within each hot orderkey) and orders
+    exploded ×8 — a hot orderkey's rows now spread over 8 reducers.
+    Identical result to the unsalted join (oracle). AQE's skew-join
+    handles this automatically when partition-size stats reveal the
+    skew; the explicit form is for known-hot keys and for engines where
+    the salt must live in the storage layout."""
+    t = load_tables(spark, sf_dir)
+    # salted_join joins on a shared column name; rename orders' key first.
+    li = t["lineitem"]
+    orders = t["orders"].select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_orderpriority"
+    )
+    joined = salted_join(li, orders, key="l_orderkey", n_salt=8, salt_basis="l_linenumber")
+    return joined.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            "revenue"
+        ),
+    )

@@ -54,6 +54,7 @@ def load_all() -> dict[str, Query]:
         relational,
         joins,
         windows,
+        skew,
     )
     from azure_batch_map_reduce_spark.functions import (  # noqa: F401
         scalar,
@@ -62,7 +63,10 @@ def load_all() -> dict[str, Query]:
         similarity,
         multimodal,
     )
-    from azure_batch_map_reduce_spark.streaming import windows as swindows  # noqa: F401
+    from azure_batch_map_reduce_spark.streaming import (  # noqa: F401
+        windows as swindows,
+        stateful as sstateful,
+    )
     from azure_batch_map_reduce_spark.plans import mapreduce  # noqa: F401
 
     return REGISTRY

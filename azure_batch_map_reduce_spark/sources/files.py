@@ -91,3 +91,26 @@ def single_file(df: DataFrame, path: str, fmt: str = "csv", **options: str) -> N
     one task — use only for driver-sized results."""
     writer = df.coalesce(1).write.mode("overwrite").options(**options)
     getattr(writer, fmt)(path)
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_cols: list[str],
+    n_buckets: int = 32,
+    sort_cols: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Bucketed + sorted table sink: pre-shuffles ONCE at write time so
+    every later equi-join/aggregation on ``bucket_cols`` between
+    co-bucketed tables runs shuffle-free (SortMergeJoin with zero
+    Exchange). This is the storage-layout answer to the 100 TB repeated
+    fact⋈fact join — pay the shuffle once, amortize it over every query.
+    Requires ``saveAsTable`` (bucket metadata lives in the catalog)."""
+    writer = df.write.mode(mode).format("parquet").bucketBy(n_buckets, *bucket_cols)
+    writer = writer.sortBy(*(sort_cols or bucket_cols))
+    writer.saveAsTable(table)
+
+
+def read_table(spark: SparkSession, table: str) -> DataFrame:
+    return spark.table(table)

@@ -1,0 +1,177 @@
+"""Arbitrary stateful streaming: per-user sessionization with
+``applyInPandasWithState``.
+
+Unlike :func:`..windows.session_aggregate` (built-in ``session_window``),
+this operator carries custom per-group state across micro-batches and can
+emit measures the built-in cannot — here the maximum inter-event gap
+inside each session.
+
+Semantics: events within a 30-minute inactivity gap belong to one
+session. Each batch emits the sessions observed so far for the group,
+carrying the still-open trailing session in state so a later micro-batch
+can extend it; the emitted row for an extended session is superseded by
+the next snapshot (update-style: latest row per (user_id, session_start)
+wins). Under ``availableNow`` over a static source — the driver's run
+mode — there is exactly one batch, so the output is exactly the final
+session set and hash-matches the batch gaps-and-islands oracle.
+
+Scale notes: state is O(1) per user (five scalars), not O(events) —
+bounded regardless of stream length; groups hash-partition across
+executors, so state shards horizontally. A production deployment adds
+``GroupStateTimeout.ProcessingTimeTimeout`` to flush idle users' open
+sessions instead of waiting for their next event.
+"""
+
+from __future__ import annotations
+
+import uuid
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from azure_batch_map_reduce_spark.catalog import table_path
+from azure_batch_map_reduce_spark.registry import query
+
+GAP_S = 30 * 60.0
+
+OUT_SCHEMA = (
+    "user_id long, session_start timestamp, session_end timestamp, "
+    "n_events long, total_value double, max_gap_s double"
+)
+STATE_SCHEMA = (
+    "session_start timestamp, last_ts timestamp, n long, total double, max_gap double"
+)
+
+
+def _sessionize(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    ev = pd.concat(list(pdfs), ignore_index=True)
+    if ev.empty:
+        return
+    ev = ev.sort_values(["ts", "event_id"], ignore_index=True)
+
+    gaps = ev["ts"].diff().dt.total_seconds()
+    carry = state.get if state.exists else None
+    sessions: list[tuple] = []  # (start, end, n, total, max_gap)
+
+    if carry is not None:
+        start, last_ts, n, total, max_gap = carry
+        first_gap = (ev["ts"].iloc[0] - last_ts).total_seconds()
+        if first_gap <= GAP_S:
+            # first incoming event extends the carried session
+            cur = [start, ev["ts"].iloc[0], n + 1, total + ev["value"].iloc[0],
+                   max(max_gap, first_gap)]
+        else:
+            sessions.append((start, last_ts, n, total, max_gap))
+            cur = [ev["ts"].iloc[0], ev["ts"].iloc[0], 1, ev["value"].iloc[0], 0.0]
+    else:
+        cur = [ev["ts"].iloc[0], ev["ts"].iloc[0], 1, ev["value"].iloc[0], 0.0]
+
+    for i in range(1, len(ev)):
+        g = gaps.iloc[i]
+        if g > GAP_S:
+            sessions.append(tuple(cur))
+            cur = [ev["ts"].iloc[i], ev["ts"].iloc[i], 1, ev["value"].iloc[i], 0.0]
+        else:
+            cur[1] = ev["ts"].iloc[i]
+            cur[2] += 1
+            cur[3] += ev["value"].iloc[i]
+            cur[4] = max(cur[4], g)
+
+    # Trailing session: emitted as a snapshot AND carried in state so the
+    # next batch can extend it (see module docstring for the contract).
+    sessions.append(tuple(cur))
+    state.update((cur[0], cur[1], int(cur[2]), float(cur[3]), float(cur[4])))
+
+    uid = int(key[0])
+    yield pd.DataFrame(
+        {
+            "user_id": [uid] * len(sessions),
+            "session_start": [s[0] for s in sessions],
+            "session_end": [s[1] for s in sessions],
+            "n_events": [int(s[2]) for s in sessions],
+            "total_value": [round(float(s[3]), 2) for s in sessions],
+            "max_gap_s": [round(float(s[4]), 2) for s in sessions],
+        }
+    )
+
+
+def sessionize_stream(events: DataFrame) -> DataFrame:
+    """Apply the stateful sessionizer to a (streaming) events frame."""
+    return (
+        events.select("user_id", "event_id", "ts", "value")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _sessionize,
+            outputStructType=OUT_SCHEMA,
+            stateStructType=STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+@query(
+    "q84_stateful_sessionize",
+    oracle="""
+    WITH x AS (
+        SELECT user_id, event_id, ts, value,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                    THEN 1 ELSE 0 END AS new_sess,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                    THEN NULL
+                    ELSE epoch(ts - lag(ts) OVER w) END AS gap_s
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+    ),
+    y AS (
+        SELECT *, sum(new_sess) OVER (
+            PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
+        FROM x
+    )
+    SELECT user_id,
+           min(ts)                           AS session_start,
+           max(ts)                           AS session_end,
+           count(*)                          AS n_events,
+           round(sum(value), 2)              AS total_value,
+           round(coalesce(max(gap_s), 0), 2) AS max_gap_s
+    FROM y
+    GROUP BY user_id, sess_id
+    """,
+    tags=("streaming", "stateful", "session"),
+)
+def q84_stateful_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful sessionization executed as a REAL stream: file
+    source → applyInPandasWithState → availableNow → memory sink; the
+    collected table hash-matches the batch gaps-and-islands oracle."""
+    src = table_path(sf_dir, "events")
+    raw_schema = spark.read.parquet(src).schema
+    # Streaming file sources take a directory: stream the sf dir with a
+    # glob pinned to the events table.
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .format("parquet")
+        .option("pathGlobFilter", "events.parquet")
+        .load(sf_dir)
+    )
+    if dict(stream.dtypes)["ts"] == "bigint":  # ns-as-long (see catalog.py)
+        stream = stream.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+
+    name = f"q84_sessions_{uuid.uuid4().hex[:8]}"
+    q = (
+        sessionize_stream(stream)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(name)

@@ -1,0 +1,144 @@
+"""Physical-plan shape assertions — the 100 TB posture, checked in CI.
+
+Correctness says the operators compute the right rows; these tests pin
+the *plans*: filters reach the parquet scan, projections prune the read
+schema, dimension joins broadcast, aggregates are partial+final, and
+co-bucketed tables join without a shuffle. A regression here is a silent
+10-100× slowdown at scale even though every oracle still matches.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from azure_batch_map_reduce_spark.catalog import load_tables
+from azure_batch_map_reduce_spark.registry import load_all
+from azure_batch_map_reduce_spark.sources.files import write_bucketed
+
+REGISTRY = load_all()
+
+
+def plan_of(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def optimized_of(df) -> str:
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+def test_filter_pushdown_reaches_parquet_scan(spark, sf_dir):
+    df = REGISTRY["q01_pricing_summary"].fn(spark, sf_dir)
+    explained = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in explained
+
+
+def test_column_pruning_reads_only_needed_columns(spark, sf_dir):
+    df = REGISTRY["q01_pricing_summary"].fn(spark, sf_dir)
+    explained = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    # 7 needed columns of lineitem's 12 — the scan schema must not
+    # contain the unused FK/linenumber columns.
+    read_schema = [l for l in explained.splitlines() if "ReadSchema" in l][0]
+    for unused in ("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber"):
+        assert unused not in read_schema
+
+
+def test_dimension_join_broadcasts(spark, sf_dir):
+    plan = plan_of(REGISTRY["q21_revenue_by_nation"].fn(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_aggregate_is_partial_then_final(spark, sf_dir):
+    plan = plan_of(REGISTRY["q01_pricing_summary"].fn(spark, sf_dir))
+    # Two HashAggregate nodes around the exchange = map-side combine.
+    assert plan.count("HashAggregate") >= 2
+    assert "Exchange hashpartitioning" in plan
+
+
+def test_whole_stage_codegen_covers_agg(spark, sf_dir):
+    # Under AQE the physical plan is only finalized at execution time
+    # (the pre-execution AdaptiveSparkPlan has no codegen subtrees yet),
+    # so run the query and inspect the final executed plan.
+    df = REGISTRY["q01_pricing_summary"].fn(spark, sf_dir)
+    df.collect()
+    # The executed plan marks codegen'd operators with a "*(stageId)"
+    # prefix; both HashAggregates and the Filter/Project must carry one.
+    plan = plan_of(df)
+    assert re.search(r"\*\(\d+\) HashAggregate", plan)
+    assert re.search(r"\*\(\d+\) Filter", plan)
+
+
+def test_semi_join_plans_as_semi(spark, sf_dir):
+    plan = plan_of(REGISTRY["q22_semi_join"].fn(spark, sf_dir))
+    assert "LeftSemi" in plan
+
+
+@pytest.fixture(scope="module")
+def bucketed_tables(spark, sf_dir):
+    t = load_tables(spark, sf_dir)
+    write_bucketed(
+        t["orders"].select("o_orderkey", "o_orderpriority"),
+        "b_orders", ["o_orderkey"], n_buckets=4,
+    )
+    write_bucketed(
+        t["lineitem"].select(
+            F.col("l_orderkey").alias("o_orderkey"), "l_extendedprice"
+        ),
+        "b_lineitem", ["o_orderkey"], n_buckets=4,
+    )
+    yield "b_orders", "b_lineitem"
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
+def test_cobucketed_join_has_no_shuffle(spark, sf_dir, bucketed_tables):
+    """The pay-the-shuffle-once layout: two tables bucketed 4×4 on the
+    join key sort-merge-join with ZERO Exchange in the plan."""
+    bo, bl = bucketed_tables
+    joined = (
+        spark.table(bl)
+        .join(spark.table(bo).hint("merge"), "o_orderkey")
+        .groupBy("o_orderpriority")
+        .agg(F.sum("l_extendedprice").alias("total"))
+    )
+    plan = plan_of(joined)
+    assert "SortMergeJoin" in plan
+    join_section = plan.split("HashAggregate")[-1]  # below the final agg
+    assert "Exchange hashpartitioning" not in join_section
+    # And the result is right: matches the unbucketed computation.
+    t = load_tables(spark, sf_dir)
+    expected = (
+        t["lineitem"]
+        .join(t["orders"], t["lineitem"].l_orderkey == t["orders"].o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(F.sum("l_extendedprice").alias("total"))
+    )
+    got = {r["o_orderpriority"]: round(r["total"], 2) for r in joined.collect()}
+    want = {r["o_orderpriority"]: round(r["total"], 2) for r in expected.collect()}
+    assert got == want
+
+
+def test_salted_join_splits_hot_keys(spark, sf_dir):
+    """Salting must actually spread a hot key: the salted fact side gets
+    8 distinct (key, salt) combinations for a key with ≥8 rows."""
+    from azure_batch_map_reduce_spark.operators.skew import salted_join
+
+    t = load_tables(spark, sf_dir)
+    li = t["lineitem"]
+    hot = (
+        li.groupBy("l_orderkey").count().orderBy(F.desc("count")).first()
+    )
+    if hot["count"] < 4:
+        pytest.skip("fixture has no multi-row orderkey")
+    salted = li.withColumn(
+        "_salt", F.pmod(F.hash(F.col("l_linenumber")), F.lit(8))
+    ).filter(F.col("l_orderkey") == hot["l_orderkey"])
+    n_salts = salted.select("_salt").distinct().count()
+    assert n_salts >= min(4, hot["count"])
