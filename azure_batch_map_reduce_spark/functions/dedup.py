@@ -181,10 +181,10 @@ def _trigram_rows(docs: DataFrame) -> DataFrame:
     )
 
 
-@query(
-    "q62_minhash_lsh_neardup",
-    oracle=f"""
-    WITH {_SHINGLE_CTE},
+# Shared CTE chain ending in `pairs(doc_a, doc_b, jaccard)` — the full
+# MinHash/LSH pipeline in oracle SQL, reused by q62 (pairs) and q66
+# (clusters over the pairs).
+_PAIRS_CTES = f"""{_SHINGLE_CTE},
     bands AS (
         {" UNION ALL ".join(f"SELECT doc_id, {b} AS band, {_band_key_sql(b)} AS bkey FROM mh" for b in range(N_BANDS))}
     ),
@@ -192,15 +192,24 @@ def _trigram_rows(docs: DataFrame) -> DataFrame:
         SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
         FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey
                                   AND a.doc_id < b.doc_id
-    )
-    SELECT c.doc_a, c.doc_b,
-           round(CAST(length(list_intersect(wa.sh, wb.sh)) AS DOUBLE)
-                 / length(list_distinct(list_concat(wa.sh, wb.sh))), 4) AS jaccard
-    FROM cand c
-    JOIN w wa ON wa.doc_id = c.doc_a
-    JOIN w wb ON wb.doc_id = c.doc_b
-    WHERE round(CAST(length(list_intersect(wa.sh, wb.sh)) AS DOUBLE)
-                / length(list_distinct(list_concat(wa.sh, wb.sh))), 4) >= 0.8
+    ),
+    pairs AS (
+        SELECT doc_a, doc_b, jaccard FROM (
+            SELECT c.doc_a, c.doc_b,
+                   round(CAST(length(list_intersect(wa.sh, wb.sh)) AS DOUBLE)
+                         / length(list_distinct(list_concat(wa.sh, wb.sh))), 4) AS jaccard
+            FROM cand c
+            JOIN w wa ON wa.doc_id = c.doc_a
+            JOIN w wb ON wb.doc_id = c.doc_b
+        ) WHERE jaccard >= 0.8
+    )"""
+
+
+@query(
+    "q62_minhash_lsh_neardup",
+    oracle=f"""
+    WITH {_PAIRS_CTES}
+    SELECT doc_a, doc_b, jaccard FROM pairs
     """,
     tags=("dedup", "minhash", "lsh"),
 )
@@ -211,6 +220,12 @@ def q62_minhash_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidates → exact-Jaccard verification at ≥ 0.8. Only bucket-mates
     are ever paired, so cost scales with true-duplicate density, not n²."""
     docs = _spread(load_tables(spark, sf_dir)["documents"], "doc_id")
+    return neardup_pairs(docs)
+
+
+def neardup_pairs(docs: DataFrame) -> DataFrame:
+    """(doc_a, doc_b, jaccard) near-duplicate pairs at jaccard ≥ 0.8 via
+    the MinHash/LSH pipeline described in :func:`q62_minhash_lsh_neardup`."""
     tri = _trigram_rows(docs)
     # MinHash over duplicate shingles ≡ over the distinct set (min is
     # idempotent) — no dedup pass needed before hashing.
@@ -425,3 +440,82 @@ def q65_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("cosine"),
     )
     return pairs.filter(F.col("cosine") >= 0.3)
+
+
+def connected_components(edges: DataFrame, max_iter: int = 25) -> DataFrame:
+    """Label-propagation connected components over an undirected edge
+    list ``(u, v)``; returns ``(node, label)`` with label = the minimum
+    node id in the component.
+
+    Each iteration is one join + one min-aggregation: every node adopts
+    the smallest label among itself and its neighbors. Labels are
+    monotonically non-increasing, so ``sum(label)`` strictly decreases
+    until the fixpoint — the loop exits when it stabilizes (rounds needed
+    = graph diameter; near-dup clusters are dense, so 2-3 in practice).
+    At 100 TB you would swap in the large-star/small-star algorithm
+    (Kiveris et al., "Connected Components in MapReduce and Beyond") to
+    bound rounds at O(log²n) on pathological chains; the per-round
+    dataflow — join on neighbor, min-combine — is identical.
+    """
+    sym = edges.union(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    labels = (
+        sym.select(F.col("u").alias("node")).distinct()
+        .withColumn("label", F.col("node"))
+        .persist()
+    )
+    prev_sum = labels.agg(F.sum("label")).first()[0]
+    for _ in range(max_iter):
+        nbr = sym.join(labels, sym["v"] == labels["node"]).select(
+            sym["u"].alias("node"), "label"
+        )
+        new_labels = (
+            nbr.union(labels).groupBy("node").agg(F.min("label").alias("label"))
+        ).persist()
+        cur_sum = new_labels.agg(F.sum("label")).first()[0]
+        labels.unpersist()
+        labels = new_labels
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    return labels
+
+
+@query(
+    "q66_neardup_clusters",
+    oracle=f"""
+    WITH RECURSIVE {_PAIRS_CTES},
+    edges AS (
+        SELECT doc_a AS u, doc_b AS v FROM pairs
+        UNION
+        SELECT doc_b, doc_a FROM pairs
+    ),
+    reach AS (
+        SELECT u AS node, u AS label FROM edges
+        UNION
+        SELECT e.v AS node, r.label FROM reach r JOIN edges e ON e.u = r.node
+    ),
+    lab AS (SELECT node, min(label) AS cluster_rep FROM reach GROUP BY node)
+    SELECT cluster_rep, count(*) AS cluster_size
+    FROM lab GROUP BY cluster_rep
+    """,
+    tags=("dedup", "clustering", "graph"),
+)
+def q66_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate CLUSTERS: the q62 pair list is only half the dedup
+    story — transitive closure turns pairs into groups (A≈B, B≈C ⇒ one
+    cluster {A,B,C}) so a pipeline keeps exactly one representative per
+    cluster, not one per pair. Pairs → undirected edges → iterative
+    min-label propagation (:func:`connected_components`); output is one
+    row per cluster with its representative (min doc_id) and size. The
+    oracle computes the same closure with a recursive CTE — feasible for
+    DuckDB single-node, while the Spark side stays a bounded loop of
+    distributed joins (the reference could express neither: its DAG is a
+    fixed two-stage fan-out, ``Program.cs:322-387``)."""
+    docs = _spread(load_tables(spark, sf_dir)["documents"], "doc_id")
+    edges = neardup_pairs(docs).select(
+        F.col("doc_a").alias("u"), F.col("doc_b").alias("v")
+    )
+    labels = connected_components(edges)
+    return labels.groupBy(F.col("label").alias("cluster_rep")).agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )

@@ -210,3 +210,124 @@ def q72_label_centroid_similarity(spark: SparkSession, sf_dir: str) -> DataFrame
     return joined.groupBy("label").agg(
         F.count(F.lit(1)).alias("n_vecs"), cos.alias("avg_cos_to_centroid")
     )
+
+
+# Shared cosine SQL fragment for the oracle (DuckDB list ops).
+_COS = (
+    "round(list_dot_product({a}, {b})"
+    " / sqrt(list_dot_product({a}, {a}) * list_dot_product({b}, {b})), 6)"
+)
+
+
+@query(
+    "q73_ivf_ann",
+    oracle=f"""
+    WITH n AS (
+        SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+        FROM embeddings
+    ),
+    dims AS (
+        SELECT label, i, avg(e[i]) AS c
+        FROM n, generate_series(1, 64) AS t(i)
+        GROUP BY label, i
+    ),
+    centroids AS (
+        SELECT label AS cell, list(c ORDER BY i) AS ce FROM dims GROUP BY label
+    ),
+    assigned AS (
+        SELECT vec_id, label, e, cell FROM (
+            SELECT n.vec_id, n.label, n.e, c.cell,
+                   row_number() OVER (
+                       PARTITION BY n.vec_id
+                       ORDER BY {_COS.format(a="n.e", b="c.ce")} DESC, c.cell ASC
+                   ) AS rn
+            FROM n CROSS JOIN centroids c
+        ) WHERE rn = 1
+    ),
+    q AS (SELECT e AS qe FROM n WHERE vec_id = 0),
+    probe AS (
+        SELECT cell FROM (
+            SELECT c.cell, row_number() OVER (
+                ORDER BY {_COS.format(a="q.qe", b="c.ce")} DESC, c.cell ASC
+            ) AS rn
+            FROM centroids c CROSS JOIN q
+        ) WHERE rn <= 2
+    )
+    SELECT a.vec_id, a.label, a.cell,
+           {_COS.format(a="a.e", b="q.qe")} AS cosine
+    FROM assigned a JOIN probe p ON a.cell = p.cell CROSS JOIN q
+    WHERE a.vec_id <> 0
+    ORDER BY cosine DESC, vec_id ASC
+    LIMIT 10
+    """,
+    tags=("similarity", "ann", "ivf"),
+)
+def q73_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style approximate nearest neighbors: per-label centroids act
+    as the trained coarse codebook (the k-means step, deterministic here
+    so the oracle can replay it); every vector is assigned to its nearest
+    centroid (the inverted lists); the query probes only the nprobe=2
+    nearest cells and brute-forces inside them.
+
+    Scale shape: centroids are K rows → broadcast; assignment is a
+    map-side cross join against the broadcast codebook + one per-vector
+    argmin (no corpus shuffle); the probe filter prunes the search to
+    nprobe/K of the corpus before any distance math. At 100 TB the
+    inverted lists become a `cell`-partitioned table so a query reads
+    only its probed partitions (partition pruning on write layout)."""
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    n = emb.select("vec_id", "label", _as_double(F.col("embedding")).alias("e"))
+
+    # Codebook: dimension-wise mean per label (explode → avg → reassemble).
+    dims = (
+        n.select("label", F.posexplode("e").alias("i0", "val"))
+        .groupBy("label", F.col("i0").alias("i"))
+        .agg(F.avg("val").alias("c"))
+    )
+    centroids = dims.groupBy(F.col("label").alias("cell")).agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("i", "c"))), lambda s: s.getField("c")
+        ).alias("ce")
+    )
+
+    def cos(a: str, b: str) -> Column:
+        return F.round(
+            _dot(F.col(a), F.col(b))
+            / F.sqrt(_dot(F.col(a), F.col(a)) * _dot(F.col(b), F.col(b))),
+            6,
+        )
+
+    from pyspark.sql import Window
+
+    # Inverted-list assignment: nearest centroid per vector, broadcast join.
+    w_assign = Window.partitionBy("vec_id").orderBy(
+        F.col("c2c").desc(), F.col("cell").asc()
+    )
+    assigned = (
+        n.crossJoin(F.broadcast(centroids))
+        .withColumn("c2c", cos("e", "ce"))
+        .withColumn("rn", F.row_number().over(w_assign))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "label", "e", "cell")
+    )
+
+    q = n.filter(F.col("vec_id") == 0).select(F.col("e").alias("qe"))
+
+    # Probe cells: the 2 centroids nearest the query (tiny, broadcast).
+    w_probe = Window.orderBy(F.col("q2c").desc(), F.col("cell").asc())
+    probe = (
+        centroids.crossJoin(F.broadcast(q))
+        .withColumn("q2c", cos("qe", "ce"))
+        .withColumn("rn", F.row_number().over(w_probe))
+        .filter(F.col("rn") <= 2)
+        .select("cell")
+    )
+
+    return (
+        assigned.join(F.broadcast(probe), "cell")
+        .filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .select("vec_id", "label", "cell", cos("e", "qe").alias("cosine"))
+        .orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
+        .limit(10)
+    )

@@ -548,3 +548,29 @@ def q17_top_revenue_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
         ORDER BY s_suppkey
     """)
+
+
+_GROUPING_SETS_SQL = """
+    SELECT o_orderpriority,
+           o_orderstatus,
+           count(*)                     AS n_orders,
+           round(sum(o_totalprice), 2)  AS total_price
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus),
+                            (o_orderpriority),
+                            ())
+"""
+
+
+@query(
+    "q37_grouping_sets",
+    oracle=_GROUPING_SETS_SQL,
+    tags=("aggregation", "grouping-sets"),
+)
+def q37_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (the general form of q05's rollup / q06's
+    cube): three grouping combinations computed in ONE pass — Catalyst
+    plans a single Expand node feeding one partial+final aggregate, not
+    three scans unioned. Identical SQL text runs on both engines."""
+    register_views(spark, sf_dir)
+    return spark.sql(_GROUPING_SETS_SQL)

@@ -57,6 +57,7 @@ def load_all() -> dict[str, Query]:
         skew,
     )
     from azure_batch_map_reduce_spark.functions import (  # noqa: F401
+        chunking,
         scalar,
         text,
         dedup,
