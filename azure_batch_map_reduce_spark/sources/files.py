@@ -65,13 +65,17 @@ def write_parquet(
     mode: str = "overwrite",
     partition_by: list[str] | None = None,
     sort_by: list[str] | None = None,
+    block_size_bytes: int = 128 * 1024 * 1024,
 ) -> None:
     """Parquet sink. ``partition_by`` creates the pruning-friendly layout;
     ``sort_by`` sorts within partitions so parquet row-group min/max
-    stats become selective (DPP + skipping at 100 TB)."""
+    stats become selective (DPP + skipping at 100 TB);
+    ``block_size_bytes`` pins the row-group size so it co-tunes with
+    ``spark.sql.files.maxPartitionBytes`` — one scan task ≈ one row
+    group, no stragglers from oversized groups."""
     if sort_by:
         df = df.sortWithinPartitions(*sort_by)
-    writer = df.write.mode(mode)
+    writer = df.write.mode(mode).option("parquet.block.size", str(block_size_bytes))
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.parquet(path)
