@@ -58,6 +58,7 @@ def load_all() -> dict[str, Query]:
     )
     from azure_batch_map_reduce_spark.functions import (  # noqa: F401
         chunking,
+        pandas_udfs,
         scalar,
         text,
         dedup,
