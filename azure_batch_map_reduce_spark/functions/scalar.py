@@ -104,7 +104,9 @@ def q42_hash_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(dayofweek(o_orderdate) + 1 AS INTEGER)       AS dow,
            CAST(date_diff('day', o_orderdate, TIMESTAMP '2002-01-01 00:00:00') AS INTEGER) AS days_to_2002,
            strftime(o_orderdate, '%Y-%m-%d')                 AS order_date,
-           CAST(epoch(o_orderdate) AS BIGINT)                AS epoch_s
+           CAST(epoch(o_orderdate) AS BIGINT)                AS epoch_s,
+           CAST((2002 - year(o_orderdate)) * 12 + 1 - month(o_orderdate) AS DOUBLE)
+                                                             AS months_to_2002
     FROM orders
     WHERE o_orderkey < 100
     """,
@@ -129,6 +131,13 @@ def q43_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         # rendering is the hash-stable cross-engine form.
         F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
         F.unix_timestamp("o_orderdate").alias("epoch_s"),
+        # Both sides truncated to month-start ⇒ months_between is exact
+        # (integral), sidestepping Spark's 31-day-month fractional
+        # convention which DuckDB has no analog for.
+        F.months_between(
+            F.lit("2002-01-01").cast("timestamp"),
+            F.date_trunc("month", "o_orderdate"),
+        ).alias("months_to_2002"),
     )
 
 
@@ -141,6 +150,7 @@ def q43_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(ceil(s_acctbal / 1000)  AS BIGINT)    AS bal_k_ceil,
            round(pow(s_acctbal / 1000, 2), 4)         AS bal_k_sq,
            round(ln(abs(s_acctbal) + 1), 4)           AS log_bal,
+           TRUE                                       AS rand_ok,
            round(sqrt(abs(s_acctbal)), 4)             AS sqrt_bal,
            CAST(s_suppkey % 7 AS BIGINT)              AS mod7,
            greatest(s_acctbal, 1000.0)                AS floor_1k,
@@ -159,6 +169,9 @@ def q44_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.ceil(F.col("s_acctbal") / 1000).alias("bal_k_ceil"),
         F.round(F.pow(F.col("s_acctbal") / 1000, 2), 4).alias("bal_k_sq"),
         F.round(F.log(F.abs(F.col("s_acctbal")) + 1), 4).alias("log_bal"),
+        # rand(seed) values differ across engines by construction; the
+        # checkable property is the [0,1) contract.
+        F.rand(42).between(0.0, 0.9999999999).alias("rand_ok"),
         F.round(F.sqrt(F.abs(F.col("s_acctbal"))), 4).alias("sqrt_bal"),
         (F.col("s_suppkey") % 7).alias("mod7"),
         F.greatest(F.col("s_acctbal"), F.lit(1000.0)).alias("floor_1k"),
@@ -172,7 +185,11 @@ def q44_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT event_type,
            count(*)                                              AS n,
            CAST(sum(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT) AS sum_k,
-           round(avg(CAST(json_extract_string(props, '$.k') AS INTEGER)), 2)       AS avg_k
+           round(avg(CAST(json_extract_string(props, '$.k') AS INTEGER)), 2)       AS avg_k,
+           min(CAST(json_extract_string(props, '$.k') AS INTEGER))                 AS min_k,
+           max(CASE WHEN json_extract_string(props, '$.k') IS NULL THEN '{}'
+                    ELSE concat('{"k":', json_extract_string(props, '$.k'), '}')
+               END)                                                                AS max_kjson
     FROM events
     GROUP BY event_type
     """,
@@ -184,11 +201,17 @@ def q45_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_tables(spark, sf_dir)["events"]
     return (
         ev.withColumn("k", F.from_json("props", "k INT").getField("k"))
+        # get_json_object: the path-extraction form (string out, no
+        # schema); to_json: struct → JSON text round-trip.
+        .withColumn("k2", F.get_json_object("props", "$.k").cast("int"))
+        .withColumn("kjson", F.to_json(F.struct(F.col("k"))))
         .groupBy("event_type")
         .agg(
             F.count(F.lit(1)).alias("n"),
             F.sum("k").cast("long").alias("sum_k"),
             F.round(F.avg("k"), 2).alias("avg_k"),
+            F.min("k2").alias("min_k"),
+            F.max("kjson").alias("max_kjson"),
         )
     )
 
@@ -201,7 +224,8 @@ def q45_json(spark: SparkSession, sf_dir: str) -> DataFrame:
            round(list_aggregate(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'), 4) AS sq_norm,
            round(CAST(embedding[1] AS DOUBLE), 6)  AS first_val,
            round(list_aggregate(list_transform(embedding, x -> CAST(x AS DOUBLE)), 'max'), 6) AS max_val,
-           CAST(length(list_filter(embedding, x -> x > 0)) AS INTEGER) AS n_positive
+           CAST(length(list_filter(embedding, x -> x > 0)) AS INTEGER) AS n_positive,
+           list_contains(embedding, embedding[1])                      AS has_first
     FROM embeddings
     WHERE vec_id < 100
     """,
@@ -226,30 +250,45 @@ def q46_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array_max(F.transform(F.col("embedding"), lambda x: x.cast("double"))), 6
         ).alias("max_val"),
         F.size(F.filter(F.col("embedding"), lambda x: x > 0)).alias("n_positive"),
+        F.array_contains("embedding", F.element_at("embedding", 1)).alias("has_first"),
     )
 
 
 @query(
     "q47_map_funcs",
     oracle="""
-    SELECT n_nationkey, k AS attr, v AS val
+    SELECT n_nationkey, k AS attr, v AS val,
+           CAST(2 AS INTEGER) AS n_keys,
+           'name,region'      AS key_csv,
+           vcsv               AS val_csv
     FROM (
-        SELECT n_nationkey, 'name' AS k, n_name AS v FROM nation
+        SELECT n_nationkey, 'name' AS k, n_name AS v,
+               concat(n_name, ',', CAST(n_regionkey AS VARCHAR)) AS vcsv
+        FROM nation
         UNION ALL
-        SELECT n_nationkey, 'region' AS k, CAST(n_regionkey AS VARCHAR) AS v FROM nation
+        SELECT n_nationkey, 'region' AS k, CAST(n_regionkey AS VARCHAR) AS v,
+               concat(n_name, ',', CAST(n_regionkey AS VARCHAR)) AS vcsv
+        FROM nation
     )
     """,
     tags=("scalar", "map"),
 )
 def q47_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Map construction + explosion to key/value rows (create_map →
-    explode), the long-format rendering of struct-ish data."""
+    explode), plus map introspection (map_keys/map_values) — the
+    long-format rendering of struct-ish data."""
     nation = load_tables(spark, sf_dir)["nation"]
     m = F.create_map(
         F.lit("name"), F.col("n_name"),
         F.lit("region"), F.col("n_regionkey").cast("string"),
     )
-    return nation.select("n_nationkey", F.explode(m).alias("attr", "val"))
+    return nation.select(
+        "n_nationkey",
+        F.explode(m).alias("attr", "val"),
+        F.size(F.map_keys(m)).alias("n_keys"),
+        F.concat_ws(",", F.map_keys(m)).alias("key_csv"),
+        F.concat_ws(",", F.map_values(m)).alias("val_csv"),
+    )
 
 
 @query(

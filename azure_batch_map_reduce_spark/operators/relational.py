@@ -232,6 +232,8 @@ def q07_sort_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT 'intersect' AS op, c_custkey FROM (SELECT c_custkey FROM building INTERSECT SELECT c_custkey FROM rich)
     UNION ALL
     SELECT 'except' AS op, c_custkey FROM (SELECT c_custkey FROM building EXCEPT SELECT c_custkey FROM rich)
+    UNION ALL
+    SELECT 'intersect_all' AS op, c_custkey FROM (SELECT c_custkey FROM building INTERSECT ALL SELECT c_custkey FROM rich)
     """,
     tags=("setops",),
 )
@@ -248,6 +250,11 @@ def q08_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .unionByName(
             building.exceptAll(rich).distinct().select(F.lit("except").alias("op"), "c_custkey")
+        )
+        .unionByName(
+            building.intersectAll(rich).select(
+                F.lit("intersect_all").alias("op"), "c_custkey"
+            )
         )
     )
 

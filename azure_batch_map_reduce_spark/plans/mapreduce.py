@@ -253,12 +253,18 @@ def run_with_timeout(spark: SparkSession, action: Callable[[], object], timeout_
 def q90_file_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L1 literal: enumerate the input directory as (file name, size) —
     the reference's ResourceFile listing (rows-only check: DuckDB cannot
-    stat files)."""
+    stat files). ``input_file_name()`` is the lineage column every row
+    of every source carries; ``monotonically_increasing_id()`` is the
+    engine-assigned unique task/row id replacing the reference's O(n²)
+    ``IndexOf`` id assignment (``Program.cs:334``) — unique by
+    construction (partition id in the high bits), no coordination."""
     files = file_source(spark, sf_dir, glob="*.parquet")
     return (
         files.select(
             F.element_at(F.split("path", "/"), -1).alias("file_name"),
             F.col("length").alias("bytes"),
+            F.element_at(F.split(F.input_file_name(), "/"), -1).alias("source_file"),
+            F.monotonically_increasing_id().alias("map_task_id"),
         )
         .orderBy("file_name")
     )

@@ -24,7 +24,6 @@ sessions instead of waiting for their next event.
 
 from __future__ import annotations
 
-import uuid
 from collections.abc import Iterator
 
 import pandas as pd
@@ -32,7 +31,6 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-from azure_batch_map_reduce_spark.catalog import table_path
 from azure_batch_map_reduce_spark.registry import query
 
 GAP_S = 30 * 60.0
@@ -151,27 +149,9 @@ def q84_stateful_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom stateful sessionization executed as a REAL stream: file
     source → applyInPandasWithState → availableNow → memory sink; the
     collected table hash-matches the batch gaps-and-islands oracle."""
-    src = table_path(sf_dir, "events")
-    raw_schema = spark.read.parquet(src).schema
-    # Streaming file sources take a directory: stream the sf dir with a
-    # glob pinned to the events table.
-    stream = (
-        spark.readStream.schema(raw_schema)
-        .format("parquet")
-        .option("pathGlobFilter", "events.parquet")
-        .load(sf_dir)
+    from azure_batch_map_reduce_spark.streaming.windows import (
+        events_stream,
+        run_available_now,
     )
-    if dict(stream.dtypes)["ts"] == "bigint":  # ns-as-long (see catalog.py)
-        stream = stream.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
 
-    name = f"q84_sessions_{uuid.uuid4().hex[:8]}"
-    q = (
-        sessionize_stream(stream)
-        .writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(300)
-    return spark.table(name)
+    return run_available_now(sessionize_stream(events_stream(spark, sf_dir)))

@@ -14,10 +14,44 @@ accumulates unbounded window state.
 
 from __future__ import annotations
 
+import uuid
+
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from azure_batch_map_reduce_spark.catalog import load_tables
+from azure_batch_map_reduce_spark.catalog import load_tables, table_path
 from azure_batch_map_reduce_spark.registry import query
+
+
+def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The events fixture as a REAL file-source stream (schema read
+    up-front — streaming sources require one; ns-timestamp normalization
+    mirrors catalog.py)."""
+    src = table_path(sf_dir, "events")
+    raw_schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .format("parquet")
+        .option("pathGlobFilter", "events.parquet")
+        .load(sf_dir)
+    )
+    if dict(stream.dtypes)["ts"] == "bigint":  # ns-as-long (see catalog.py)
+        stream = stream.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return stream
+
+
+def run_available_now(df: DataFrame, output_mode: str = "append") -> DataFrame:
+    """Execute a streaming frame with an availableNow trigger into a
+    memory sink; return the completed result table."""
+    name = f"q_{uuid.uuid4().hex[:10]}"
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return df.sparkSession.table(name)
 
 
 # ---- reusable batch/stream transformations ----
@@ -165,3 +199,39 @@ def q82_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q83_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Keep-first dedup per (user, event_type) with a total order."""
     return dedup_first_event(load_tables(spark, sf_dir)["events"])
+
+
+@query(
+    "q85_watermark_late_drop",
+    oracle="""
+    WITH agg AS (
+        SELECT time_bucket(INTERVAL '1 hour', ts) + INTERVAL 1 HOUR AS window_end,
+               count(*)             AS n,
+               round(sum(value), 2) AS total_value
+        FROM events
+        GROUP BY 1
+    )
+    SELECT window_end, n, total_value
+    FROM agg
+    WHERE window_end <= (SELECT max(ts) - INTERVAL 10 MINUTE FROM events)
+    """,
+    tags=("streaming", "watermark"),
+)
+def q85_watermark_late_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked append-mode windows over a REAL stream: only windows
+    closed with respect to the final watermark (max event time − 10 min)
+    are emitted; the trailing open window is withheld. The oracle replays
+    the closure rule in SQL. This is the state-bounding contract that
+    makes a 100 TB stream feasible — without the watermark every window
+    ever seen stays in state forever; with it, state is
+    (horizon × keys) and late stragglers are dropped deterministically."""
+    ev = events_stream(spark, sf_dir).withWatermark("ts", "10 minutes")
+    agg = (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(F.col("w.end").alias("window_end"), "n", "total_value")
+    )
+    return run_available_now(agg, "append")
