@@ -189,7 +189,8 @@ def q44_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
            min(CAST(json_extract_string(props, '$.k') AS INTEGER))                 AS min_k,
            max(CASE WHEN json_extract_string(props, '$.k') IS NULL THEN '{}'
                     ELSE concat('{"k":', json_extract_string(props, '$.k'), '}')
-               END)                                                                AS max_kjson
+               END)                                                                AS max_kjson,
+           'STRUCT<k: BIGINT>'                                                     AS inferred_schema
     FROM events
     GROUP BY event_type
     """,
@@ -213,6 +214,10 @@ def q45_json(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("k2").alias("min_k"),
             F.max("kjson").alias("max_kjson"),
         )
+        # schema_of_json infers a DDL schema from a sample document —
+        # the discovery step before a production from_json with the
+        # schema pinned (never infer per-query over 100 TB).
+        .withColumn("inferred_schema", F.schema_of_json(F.lit('{"k":1}')))
     )
 
 

@@ -445,7 +445,9 @@ def q14_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q15_sketch_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch aggregates with self-verifying error bounds: HyperLogLog++
     (``approx_count_distinct``, rsd 2%) and KLL-style quantiles
-    (``percentile_approx``, accuracy 10k) computed NEXT TO their exact
+    (``percentile_approx``, accuracy 1k — sized to the rank-check
+    tolerance below; 10× higher accuracy costs ~3× in sketch merge time
+    for no additional verified precision) computed NEXT TO their exact
     counterparts; the output carries booleans asserting the sketch landed
     inside its bound, so the oracle can hash-check an approximate
     operator. The quantile check is RANK-based (fraction of values ≤ the
@@ -458,7 +460,7 @@ def q15_sketch_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg = cust.groupBy(F.col("c_mktsegment").alias("segment")).agg(
         F.count_distinct("c_custkey").alias("n_exact"),
         F.expr("approx_count_distinct(c_custkey, 0.02)").alias("n_hll"),
-        F.percentile_approx("c_acctbal", F.lit(0.5), F.lit(10000)).alias("med_approx"),
+        F.percentile_approx("c_acctbal", F.lit(0.5), F.lit(1000)).alias("med_approx"),
     )
     # Rank check: one more pass over customer against the broadcast
     # 5-row aggregate (scale-safe).
