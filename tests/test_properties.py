@@ -1,0 +1,137 @@
+"""Property-based algebraic invariants (SURVEY.md §5.4), via hypothesis.
+
+Each property is the contract a distributed engine must keep under ANY
+partitioning: filters commute, union counts add, semi/anti partition the
+left side, partial+final aggregation ≡ single-pass (the reference's
+L7-L9 map/reduce contract itself), dedup is idempotent, salting is
+result-invariant, and connected components label consistently. Inputs
+are tiny literal row sets; every example also re-runs under a different
+repartitioning to catch partition-sensitivity.
+"""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings, strategies as st
+
+from pyspark.sql import Row, functions as F
+
+SETTINGS = dict(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+rows_st = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=5),       # key
+        st.integers(min_value=-100, max_value=100),  # value
+        st.sampled_from(["a", "b", "c"]),            # tag
+    ),
+    min_size=0,
+    max_size=30,
+)
+
+
+def _df(spark, rows, parts=1):
+    schema = "k int, v int, tag string"
+    if not rows:
+        return spark.createDataFrame([], schema)
+    return spark.createDataFrame(
+        [Row(k=k, v=v, tag=t) for k, v, t in rows], schema
+    ).repartition(parts)
+
+
+@given(rows=rows_st)
+@settings(**SETTINGS)
+def test_filters_commute(spark, rows):
+    df = _df(spark, rows, parts=3)
+    p, q = F.col("v") > 0, F.col("tag") != "b"
+    a = df.filter(p).filter(q)
+    b = df.filter(q).filter(p)
+    c = df.filter(p & q)
+    assert a.count() == b.count() == c.count()
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, c.collect()))
+
+
+@given(rows=rows_st, rows2=rows_st)
+@settings(**SETTINGS)
+def test_union_counts_add(spark, rows, rows2):
+    a, b = _df(spark, rows, 2), _df(spark, rows2, 3)
+    assert a.union(b).count() == a.count() + b.count()
+
+
+@given(rows=rows_st, keys=st.lists(st.integers(0, 5), max_size=6))
+@settings(**SETTINGS)
+def test_semi_anti_partition_left(spark, rows, keys):
+    left = _df(spark, rows, 2)
+    right = spark.createDataFrame([Row(k=k) for k in keys] or [], "k int")
+    semi = left.join(right, "k", "left_semi").count()
+    anti = left.join(right, "k", "left_anti").count()
+    assert semi + anti == left.count()
+
+
+@given(rows=rows_st, parts=st.integers(1, 6))
+@settings(**SETTINGS)
+def test_agg_partitioning_invariant(spark, rows, parts):
+    """Partial+final aggregation must give the same answer for every
+    physical partitioning — the L7-L9 contract."""
+    base = _df(spark, rows, 1)
+    re = base.repartition(parts)
+    g1 = {(r["k"], r["s"], r["n"]) for r in
+          base.groupBy("k").agg(F.sum("v").alias("s"), F.count(F.lit(1)).alias("n")).collect()}
+    g2 = {(r["k"], r["s"], r["n"]) for r in
+          re.groupBy("k").agg(F.sum("v").alias("s"), F.count(F.lit(1)).alias("n")).collect()}
+    assert g1 == g2
+
+
+@given(rows=rows_st)
+@settings(**SETTINGS)
+def test_distinct_idempotent(spark, rows):
+    df = _df(spark, rows, 3)
+    once = df.distinct()
+    assert once.count() == once.distinct().count()
+
+
+@given(rows=rows_st, k=st.integers(0, 10))
+@settings(**SETTINGS)
+def test_limit_bounded(spark, rows, k):
+    df = _df(spark, rows, 2)
+    assert df.limit(k).count() == min(k, df.count())
+
+
+@given(rows=rows_st, n_salt=st.integers(1, 5))
+@settings(**SETTINGS)
+def test_salted_distinct_count_invariant(spark, rows, n_salt):
+    """Salted two-phase count(DISTINCT) is exactly the plain one for any
+    salt width."""
+    from azure_batch_map_reduce_spark.operators.skew import salted_distinct_count
+
+    df = _df(spark, rows, 3)
+    plain = {
+        (r["k"], r["n"])
+        for r in df.groupBy("k").agg(F.count_distinct("v").alias("n")).collect()
+    }
+    salted = {
+        (r["k"], r["n_v"])
+        for r in salted_distinct_count(df, ["k"], "v", n_salt=n_salt).collect()
+    }
+    assert plain == salted
+
+
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 8), st.integers(0, 8)), min_size=1, max_size=12
+    )
+)
+@settings(max_examples=5, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_connected_components_consistent(spark, edges):
+    """Every edge's endpoints share a label, and each label is the min
+    node id of its component (spot-checked: label ≤ node)."""
+    from azure_batch_map_reduce_spark.functions.dedup import connected_components
+
+    e = spark.createDataFrame([Row(u=u, v=v) for u, v in edges], "u int, v int")
+    labels = {r["node"]: r["label"] for r in connected_components(e).collect()}
+    for u, v in edges:
+        assert labels[u] == labels[v]
+    assert all(lbl <= n for n, lbl in labels.items())
