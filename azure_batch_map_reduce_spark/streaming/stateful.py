@@ -155,3 +155,106 @@ def q84_stateful_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return run_available_now(sessionize_stream(events_stream(spark, sf_dir)))
+
+
+# ---- transformWithState (Spark 4 stateful-processor API) ----
+
+try:
+    # The typed-state API needs Spark 4.0+ AND protobuf (its state-server
+    # wire format); gate on both so the module imports on any runtime.
+    import google.protobuf  # noqa: F401
+
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class RunningUserStats(StatefulProcessor):
+        """Per-user running statistics via the typed state-variable API
+        (`getValueState`): count, total and high-water mark survive
+        across micro-batches and each batch emits the group's refreshed
+        snapshot. Richer than applyInPandasWithState: named state
+        variables, timers, and TTL come from the handle instead of one
+        opaque state tuple."""
+
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState(
+                "stats", "n long, total double, mx double"
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            n, total, mx = (
+                tuple(self._state.get()) if self._state.exists() else (0, 0.0, None)
+            )
+            for pdf in rows:
+                n += len(pdf)
+                total += float(pdf["value"].sum())
+                batch_max = float(pdf["value"].max())
+                mx = batch_max if mx is None else max(mx, batch_max)
+            self._state.update((n, total, mx))
+            yield pd.DataFrame(
+                {
+                    "user_id": [int(key[0])],
+                    "n_events": [n],
+                    "total_value": [round(total, 2)],
+                    "max_value": [round(mx, 2)],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    HAS_TWS = True
+except ImportError:  # pragma: no cover
+    HAS_TWS = False
+
+
+def _register_tws() -> None:
+    """Register q86 only where the runtime can execute it; on runtimes
+    without protobuf the engine still exposes the same semantics through
+    q84's applyInPandasWithState."""
+    query(
+        "q86_transform_with_state",
+        oracle="""
+        SELECT user_id,
+               count(*)             AS n_events,
+               round(sum(value), 2) AS total_value,
+               round(max(value), 2) AS max_value
+        FROM events
+        GROUP BY user_id
+        """,
+        tags=("streaming", "stateful", "transformWithState"),
+    )(q86_transform_with_state)
+
+
+def q86_transform_with_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running per-user statistics as a REAL stream through
+    ``transformWithStateInPandas`` (the Spark 4 arbitrary-state API).
+    Under availableNow's single batch the final snapshot per user equals
+    the batch aggregate (oracle). Scale shape: state is three scalars
+    per user in the RocksDB-backed store, sharded by group key across
+    executors — the same horizontal-state contract as q84."""
+    from azure_batch_map_reduce_spark.streaming.windows import (
+        events_stream,
+        run_available_now,
+    )
+
+    out_schema = (
+        "user_id long, n_events long, total_value double, max_value double"
+    )
+    stats = (
+        events_stream(spark, sf_dir)
+        .select("user_id", "value")
+        .groupBy("user_id")
+        .transformWithStateInPandas(
+            RunningUserStats(),
+            outputStructType=out_schema,
+            outputMode="Update",
+            timeMode="None",
+        )
+    )
+    return run_available_now(stats, "update")
+
+
+if HAS_TWS:
+    _register_tws()
