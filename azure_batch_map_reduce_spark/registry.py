@@ -72,3 +72,37 @@ def load_all() -> dict[str, Query]:
     from azure_batch_map_reduce_spark.plans import mapreduce  # noqa: F401
 
     return REGISTRY
+
+
+def write_operator_index(path: str = "OPERATORS.md") -> int:
+    """Regenerate the operator index (``python -m
+    azure_batch_map_reduce_spark.registry``)."""
+    reg = load_all()
+    lines = [
+        "# OPERATORS — registry index "
+        "(auto-generated: `python -m azure_batch_map_reduce_spark.registry`)",
+        "",
+        'One row per `queries()` entry in `__spark_entry__.py`. "SQL oracle" means',
+        "the driver hash-compares the Spark result against the DuckDB oracle at",
+        'sf=0.01; "rows-only" marks genuinely non-SQL-expressible operators.',
+        "",
+        "| query | module | tags | check | what it does |",
+        "|---|---|---|---|---|",
+    ]
+    for name, q in sorted(reg.items()):
+        mod = q.fn.__module__.removeprefix("azure_batch_map_reduce_spark.")
+        doc = (q.doc or "").split("\n")[0].rstrip(".").replace("|", "\\|")
+        check = "SQL oracle" if q.oracle else "rows-only"
+        lines.append(f"| {name} | {mod} | {', '.join(q.tags)} | {check} | {doc} |")
+    with open(path, "w") as f:
+        f.write("\n".join(lines) + "\n")
+    return len(reg)
+
+
+if __name__ == "__main__":
+    # Run via the canonical module object — under `-m` this file executes
+    # as `__main__`, whose REGISTRY is distinct from the one the operator
+    # modules' decorators populate.
+    from azure_batch_map_reduce_spark import registry as _canonical
+
+    print(f"{_canonical.write_operator_index()} operators indexed")

@@ -17,20 +17,23 @@ import time
 from azure_batch_map_reduce_spark.registry import load_all
 from azure_batch_map_reduce_spark.session import get_spark
 
-# Representative, scale-stressing subset: scan+agg, multiway join, top-n,
-# window, explode+agg, JSON, dedup (exact + LSH), similarity, streaming
-# window, set ops, as-of join.
+# Representative, scale-stressing subset: scan+agg, grouping sets,
+# multiway join, top-n, as-of join, JSON, explode+agg, UDTF chunking,
+# dedup (exact + LSH), similarity (brute-force + IVF), streaming window.
 HEADLINE = [
     "q01_pricing_summary",
+    "q37_grouping_sets",
     "q21_revenue_by_nation",
     "q07_sort_limit",
     "q30_topk_per_group",
     "q27_asof_join",
     "q45_json",
     "q48_explode_split",
+    "q49_chunk_udtf",
     "q60_exact_dedup",
     "q62_minhash_lsh_neardup",
     "q70_cosine_topk",
+    "q73_ivf_ann",
     "q80_tumbling_window",
 ]
 

@@ -142,3 +142,40 @@ def test_salted_join_splits_hot_keys(spark, sf_dir):
     ).filter(F.col("l_orderkey") == hot["l_orderkey"])
     n_salts = salted.select("_salt").distinct().count()
     assert n_salts >= min(4, hot["count"])
+
+
+def test_dynamic_partition_pruning(spark, sf_dir, tmp_path):
+    """A fact table written partitionBy(key) joined to a filtered dim on
+    that key must scan only the surviving partitions: the parquet scan's
+    PartitionFilters carries a dynamicpruning subquery fed by the dim —
+    directory-level skipping, the 100 TB payoff of partitioned layout."""
+    from azure_batch_map_reduce_spark.sources.files import write_parquet
+
+    t = load_tables(spark, sf_dir)
+    d = str(tmp_path / "orders_p")
+    write_parquet(t["orders"], d, partition_by=["o_orderpriority"])
+    fact = spark.read.parquet(d)
+    dim = spark.createDataFrame(
+        [("1-URGENT", 1), ("2-HIGH", 1), ("5-LOW", 0)],
+        "o_orderpriority string, keep int",
+    )
+    j = (
+        fact.join(dim.filter(F.col("keep") == 1), "o_orderpriority")
+        .groupBy("o_orderpriority")
+        .count()
+    )
+    explained = j._sc._jvm.PythonSQLUtils.explainString(
+        j._jdf.queryExecution(), "formatted"
+    )
+    assert "dynamicpruning" in explained
+    # And the pruned result is still exact.
+    got = {r["o_orderpriority"]: r["count"] for r in j.collect()}
+    want = {
+        r["o_orderpriority"]: r["count"]
+        for r in t["orders"]
+        .filter(F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"))
+        .groupBy("o_orderpriority")
+        .count()
+        .collect()
+    }
+    assert got == want
