@@ -247,6 +247,51 @@ def run_with_timeout(spark: SparkSession, action: Callable[[], object], timeout_
     return result["value"]
 
 
+class ProgressMonitor:
+    """Execution-progress observer (the reference's MonitorTasks wait
+    loop, ``Program.cs:397-465``, minus the polling RPCs): a daemon
+    thread samples ``SparkContext.statusTracker()`` — active stages,
+    task counts — while the monitored action runs. The reference fetches
+    per-task state through projected REST calls (``Program.cs:406,433``);
+    here the scheduler already aggregates per-stage progress driver-side,
+    so observation is free.
+
+    Usage::
+
+        with ProgressMonitor(spark) as mon:
+            df.collect()
+        mon.snapshots   # [(stage_id, n_tasks, n_active, n_complete), ...]
+    """
+
+    def __init__(self, spark: SparkSession, interval_s: float = 0.2) -> None:
+        self._sc = spark.sparkContext
+        self._interval = interval_s
+        self._stop = threading.Event()
+        self._thread: threading.Thread | None = None
+        self.snapshots: list[tuple[int, int, int, int]] = []
+
+    def _poll(self) -> None:
+        tracker = self._sc.statusTracker()
+        while not self._stop.is_set():
+            for sid in tracker.getActiveStageIds():
+                info = tracker.getStageInfo(sid)
+                if info is not None:
+                    self.snapshots.append(
+                        (sid, info.numTasks, info.numActiveTasks, info.numCompletedTasks)
+                    )
+            self._stop.wait(self._interval)
+
+    def __enter__(self) -> "ProgressMonitor":
+        self._thread = threading.Thread(target=self._poll, daemon=True)
+        self._thread.start()
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self._stop.set()
+        if self._thread is not None:
+            self._thread.join(5)
+
+
 # ---- registry entries ----
 
 @query("q90_file_manifest", oracle=None, tags=("mapreduce", "source"))

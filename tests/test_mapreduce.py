@@ -149,3 +149,19 @@ def test_empty_input_dir(spark, tmp_path):
     (d / ".keep").write_text("")
     df = file_source(spark, str(d), glob="*.txt")
     assert df.count() == 0
+
+
+def test_progress_monitor_observes_stages(spark, sf_dir):
+    from azure_batch_map_reduce_spark.plans.mapreduce import ProgressMonitor
+    from azure_batch_map_reduce_spark.catalog import load_tables
+    from pyspark.sql import functions as F
+
+    li = load_tables(spark, sf_dir)["lineitem"]
+    with ProgressMonitor(spark, interval_s=0.05) as mon:
+        # A multi-stage job slow enough for the poller to catch stages.
+        li.repartition(16, "l_orderkey").groupBy("l_orderkey").agg(
+            F.sum("l_quantity")
+        ).count()
+    assert mon.snapshots, "monitor saw no active stages"
+    sid, n_tasks, n_active, n_done = mon.snapshots[0]
+    assert n_tasks > 0 and 0 <= n_done <= n_tasks
