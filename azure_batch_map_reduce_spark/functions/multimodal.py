@@ -101,6 +101,40 @@ def extract_features(assets: DataFrame, dim: int = FEATURE_DIM) -> DataFrame:
     return assets.mapInPandas(run, FEATURE_SCHEMA)
 
 
+def resize_assets(assets: DataFrame, width: int, height: int) -> DataFrame:
+    """Resize step: per-asset re-encode to target dimensions. The real
+    implementation is one PIL/ffmpeg call per payload inside the same
+    Arrow-batched loop; the stub emits a deterministic surrogate payload
+    (digest-seeded, sized ∝ w·h·channels) so downstream size accounting
+    and schema contracts are exercised for real. Output keeps the asset
+    row shape — resize composes with decode/extract/sample."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_bytes = []
+            for c in pdf["content"]:
+                h = hashlib.sha256(bytes(c)).digest()
+                channels = 1 + h[2] % 4
+                # surrogate "re-encoded" payload: digest tiled to the
+                # target byte budget (real codec output goes here)
+                budget = width * height * channels // 64
+                out_bytes.append((h * (budget // len(h) + 1))[:budget])
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"],
+                    "uri": pdf["uri"],
+                    "media_type": pdf["media_type"],
+                    "n_bytes": [len(b) for b in out_bytes],
+                    "content": out_bytes,
+                }
+            )
+
+    return assets.mapInPandas(
+        run,
+        "asset_id string, uri string, media_type string, n_bytes long, content binary",
+    )
+
+
 def sample_chunks(assets: DataFrame, chunk_size: int = 65536, max_chunks: int = 4) -> DataFrame:
     """Frame/segment sampling: split each payload into up-to-N fixed-size
     chunks (the video-frame / audio-window access pattern), emitted as

@@ -61,3 +61,22 @@ def test_sample_chunks(spark, assets_dir):
     assert all(r["chunk_bytes"] == 1024 for r in by_asset["c.aud"])
     # b.img is small → 1 chunk
     assert len(by_asset["b.img"]) == 1
+
+
+def test_resize_preserves_rows_and_sizes_payloads(spark, sf_dir):
+    from azure_batch_map_reduce_spark.functions.multimodal import (
+        load_assets,
+        resize_assets,
+    )
+
+    assets = load_assets(spark, sf_dir, glob="*.parquet")
+    resized = resize_assets(assets, width=64, height=64)
+    rows = resized.collect()
+    assert len(rows) == assets.count()
+    budgets = {len(bytes(r["content"])) for r in rows}
+    # 64*64*channels//64 with channels in 1..4
+    assert budgets <= {64 * c for c in (1, 2, 3, 4)}
+    assert all(r["n_bytes"] == len(bytes(r["content"])) for r in rows)
+    # deterministic: same input -> same surrogate payload
+    again = {r["asset_id"]: bytes(r["content"]) for r in resize_assets(assets, 64, 64).collect()}
+    assert all(bytes(r["content"]) == again[r["asset_id"]] for r in rows)
