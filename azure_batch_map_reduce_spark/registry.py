@@ -70,6 +70,7 @@ def load_all() -> dict[str, Query]:
         stateful as sstateful,
     )
     from azure_batch_map_reduce_spark.plans import mapreduce  # noqa: F401
+    from azure_batch_map_reduce_spark.sources import files  # noqa: F401
 
     return REGISTRY
 

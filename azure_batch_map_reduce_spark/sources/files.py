@@ -118,3 +118,83 @@ def write_bucketed(
 
 def read_table(spark: SparkSession, table: str) -> DataFrame:
     return spark.table(table)
+
+
+# ---- registry entries: source round-trips, driver-checked ----
+# (imports kept local so the module stays importable without the registry)
+
+
+def _roundtrip_dir(kind: str) -> str:
+    import tempfile
+
+    return tempfile.mkdtemp(prefix=f"abmr-{kind}-rt-")
+
+
+def _register_roundtrips() -> None:
+    from pyspark.sql import functions as F
+
+    from azure_batch_map_reduce_spark.catalog import load_tables
+    from azure_batch_map_reduce_spark.registry import query
+
+    @query(
+        "q96_csv_roundtrip",
+        oracle="""
+        SELECT n_regionkey, count(*) AS n_nations,
+               min(n_name) AS first_name
+        FROM nation
+        GROUP BY n_regionkey
+        """,
+        tags=("source", "csv"),
+    )
+    def q96_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """CSV sink → CSV scan with an explicit schema (no inference
+        job), proven lossless by aggregating the re-read copy against
+        the original table's oracle. Header handling, quoting, and type
+        mapping are what this pins — the classic silent-corruption spots
+        of text formats."""
+        nation = load_tables(spark, sf_dir)["nation"].select(
+            "n_nationkey", "n_name", "n_regionkey"
+        )
+        d = _roundtrip_dir("csv")
+        write_csv(nation, d)
+        back = read_csv(
+            spark, d, schema="n_nationkey long, n_name string, n_regionkey long",
+            header=True,
+        )
+        return back.groupBy("n_regionkey").agg(
+            F.count(F.lit(1)).alias("n_nations"),
+            F.min("n_name").alias("first_name"),
+        )
+
+    @query(
+        "q97_json_roundtrip",
+        oracle="""
+        SELECT o_orderpriority,
+               count(*) AS n,
+               round(sum(o_totalprice), 2) AS total
+        FROM orders
+        GROUP BY o_orderpriority
+        """,
+        tags=("source", "json"),
+    )
+    def q97_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """JSON-lines sink → scan with explicit schema; doubles survive
+        the text round-trip at full precision (shortest-roundtrip float
+        printing), verified by hash-matching the aggregate against the
+        original table."""
+        orders = load_tables(spark, sf_dir)["orders"].select(
+            "o_orderkey", "o_orderpriority", "o_totalprice"
+        )
+        d = _roundtrip_dir("json")
+        write_json(orders, d)
+        back = read_json(
+            spark, d,
+            schema="o_orderkey long, o_orderpriority string, o_totalprice double",
+        )
+        return back.groupBy("o_orderpriority").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+
+
+_register_roundtrips()
