@@ -313,3 +313,90 @@ def q29_self_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.col("a.n_name").alias("nation_a"), F.col("b.n_name").alias("nation_b"))
     )
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    by: str,
+    value_cols: list[str],
+) -> DataFrame:
+    """Backward as-of join: for every left row, carry the latest right
+    row with ``right.on <= left.on`` within the same ``by`` group —
+    generalized from q27. Union+window: ONE shuffle on ``by``, linear in
+    rows, no per-group Python — the 100 TB form.
+
+    Each value column carries independently (``last(..., ignorenulls)``),
+    so a right row with a null in one value column lets an older value
+    show through for that column only."""
+    l_tagged = left.select(
+        F.col(by), F.col(on), F.lit(1).alias("_is_l"),
+        *[F.col(c) for c in left.columns if c not in (by, on)],
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"_v_{c}") for c in value_cols],
+    )
+    r_tagged = right.select(
+        F.col(by), F.col(on), F.lit(0).alias("_is_l"),
+        *[
+            F.lit(None).cast(left.schema[c].dataType).alias(c)
+            for c in left.columns
+            if c not in (by, on)
+        ],
+        *[F.col(c).alias(f"_v_{c}") for c in value_cols],
+    )
+    w = (
+        Window.partitionBy(by)
+        .orderBy(F.col(on).asc(), F.col("_is_l").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = l_tagged.unionByName(r_tagged)
+    for c in value_cols:
+        carried = carried.withColumn(
+            f"_v_{c}",
+            F.last(
+                F.when(F.col("_is_l") == 0, F.col(f"_v_{c}")), ignorenulls=True
+            ).over(w),
+        )
+    out_cols = [F.col(c) for c in left.columns] + [
+        F.col(f"_v_{c}").alias(c) for c in value_cols
+    ]
+    return carried.filter(F.col("_is_l") == 1).select(*out_cols)
+
+
+def asof_join_pandas(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    by: str,
+    value_cols: list[str],
+) -> DataFrame:
+    """Backward as-of join via cogrouped-map ``applyInPandas`` +
+    ``pd.merge_asof`` — the Arrow-batched escape hatch for as-of
+    variants the window form can't express (tolerance bounds, nearest-
+    direction). Both sides shuffle on ``by``; each group pair must fit
+    in memory — prefer :func:`asof_join` unless those options are
+    needed."""
+    import pandas as pd
+
+    schema_parts = [f"{f.name} {f.dataType.simpleString()}" for f in left.schema]
+    schema_parts += [
+        f"{c} {right.schema[c].dataType.simpleString()}" for c in value_cols
+    ]
+    out_schema = ", ".join(schema_parts)
+    left_cols = list(left.columns)
+
+    def merge(lpdf: pd.DataFrame, rpdf: pd.DataFrame) -> pd.DataFrame:
+        if lpdf.empty:
+            return pd.DataFrame(columns=left_cols + value_cols)
+        lpdf = lpdf.sort_values(on)
+        rpdf = rpdf[[on] + value_cols].sort_values(on)
+        merged = pd.merge_asof(
+            lpdf, rpdf, on=on, direction="backward", allow_exact_matches=True
+        )
+        return merged[left_cols + value_cols]
+
+    return (
+        left.groupBy(by)
+        .cogroup(right.groupBy(by))
+        .applyInPandas(lambda l, r: merge(l, r), out_schema)
+    )

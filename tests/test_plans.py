@@ -179,3 +179,33 @@ def test_dynamic_partition_pruning(spark, sf_dir, tmp_path):
         .collect()
     }
     assert got == want
+
+
+def test_asof_helpers_agree_with_q27(spark, sf_dir):
+    """Both as-of implementations (union+window JVM form, cogrouped
+    merge_asof pandas form) must reproduce q27's oracle-checked result."""
+    from azure_batch_map_reduce_spark.operators.joins import (
+        asof_join,
+        asof_join_pandas,
+    )
+
+    ev = load_tables(spark, sf_dir)["events"]
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("ts").alias("last_click_ts")
+    )
+    expected = sorted(
+        (r["event_id"], r["last_click_ts"])
+        for r in REGISTRY["q27_asof_join"].fn(spark, sf_dir).collect()
+    )
+    for impl in (asof_join, asof_join_pandas):
+        got = sorted(
+            (r["event_id"], r["last_click_ts"])
+            for r in impl(
+                purchases, clicks, on="ts", by="user_id",
+                value_cols=["last_click_ts"],
+            ).collect()
+        )
+        assert got == expected, impl.__name__
