@@ -148,3 +148,30 @@ def test_apply_in_pandas_with_state(spark, sf_dir, events_dir):
         .toPandas()
     )
     pd.testing.assert_frame_equal(_sorted(out), _sorted(batch))
+
+
+def test_rate_source_produces_rows(spark):
+    """The built-in rate source (synthetic benchmark stream): a bounded
+    availableNow-style read via processing a couple of micro-batches."""
+    import time
+    import uuid
+
+    name = f"rate_{uuid.uuid4().hex[:8]}"
+    q = (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", 50)
+        .load()
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .start()
+    )
+    try:
+        deadline = time.time() + 30
+        while time.time() < deadline and spark.table(name).count() == 0:
+            time.sleep(0.5)
+        out = spark.table(name)
+        assert out.count() > 0
+        assert set(out.columns) == {"timestamp", "value"}
+    finally:
+        q.stop()
