@@ -536,3 +536,50 @@ def q66_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return labels.groupBy(F.col("label").alias("cluster_rep")).agg(
         F.count(F.lit(1)).alias("cluster_size")
     )
+
+
+@query("q67_ml_minhash_lsh", oracle=None, tags=("dedup", "minhash", "spark-ml"))
+def q67_ml_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """spark.ml composition of the same near-dup pipeline (SURVEY §2.2k):
+    Tokenizer → NGram(3) → HashingTF (binary trigram-shingle features) →
+    MinHashLSH(seed) → approxSimilarityJoin at Jaccard distance ≤ 0.2
+    (same trigram feature space and 0.8 similarity bar as q62 — word
+    SETS would collapse over this corpus's ~50-word vocabulary). Rows-only check:
+    candidate RECALL depends on the library's internal hash seeds, so the
+    found-pair set is not SQL-replayable — but PRECISION is verified in
+    the output itself: `exact_jaccard` recomputes word-set Jaccard with
+    array ops, independent of spark.ml. Complements q62, which builds
+    the identical dataflow from first principles with engine-neutral
+    hashes so DuckDB can replay all of it."""
+    from pyspark.ml.feature import HashingTF, MinHashLSH, NGram, Tokenizer
+
+    docs = _spread(load_tables(spark, sf_dir)["documents"], "doc_id").select(
+        "doc_id", "text"
+    )
+    tok = Tokenizer(inputCol="text", outputCol="words")
+    words = tok.transform(docs)
+    ngram = NGram(n=3, inputCol="words", outputCol="shingles")
+    shingled = ngram.transform(words)
+    tf = HashingTF(
+        inputCol="shingles", outputCol="features", binary=True, numFeatures=1 << 18
+    )
+    feats = tf.transform(shingled)
+    lsh = MinHashLSH(inputCol="features", outputCol="hashes", numHashTables=8, seed=42)
+    model = lsh.fit(feats)
+    pairs = (
+        model.approxSimilarityJoin(feats, feats, 0.2, distCol="jaccard_dist")
+        .filter(F.col("datasetA.doc_id") < F.col("datasetB.doc_id"))
+        .select(
+            F.col("datasetA.doc_id").alias("doc_a"),
+            F.col("datasetB.doc_id").alias("doc_b"),
+            F.round(1 - F.col("jaccard_dist"), 4).alias("ml_jaccard"),
+            F.array_distinct(F.col("datasetA.shingles")).alias("wa"),
+            F.array_distinct(F.col("datasetB.shingles")).alias("wb"),
+        )
+    )
+    exact = F.round(
+        F.size(F.array_intersect("wa", "wb")).cast("double")
+        / F.size(F.array_union("wa", "wb")),
+        4,
+    )
+    return pairs.select("doc_a", "doc_b", "ml_jaccard", exact.alias("exact_jaccard"))
