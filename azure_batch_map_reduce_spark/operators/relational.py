@@ -583,3 +583,66 @@ def q37_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     three scans unioned. Identical SQL text runs on both engines."""
     register_views(spark, sf_dir)
     return spark.sql(_GROUPING_SETS_SQL)
+
+
+@query(
+    "q38_mergeable_sketches",
+    oracle="""
+    SELECT o_orderpriority,
+           count(DISTINCT o_custkey) AS n_exact,
+           TRUE AS hll_ok,
+           TRUE AS med_ok
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+    tags=("aggregation", "sketch", "datasketches"),
+)
+def q38_mergeable_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGEABLE sketches (Apache DataSketches builtins) — the
+    materialize-once / merge-anywhere pattern that q15's
+    approx_count_distinct cannot do: per-(priority, month) HLL and KLL
+    sketches are built in one pass (in production: persisted at ingest),
+    then UNIONED up to the priority level without touching raw rows
+    again. Any future grouping over these months is a merge of
+    fixed-size sketch states — at 100 TB this replaces re-scanning the
+    fact table per rollup. Correctness is self-verified like q15: the
+    HLL estimate must land within 5% of the exact distinct count and the
+    KLL median within the [0.4, 0.6] rank band of the real data."""
+    orders = load_tables(spark, sf_dir)["orders"]
+
+    monthly = orders.groupBy(
+        "o_orderpriority", F.date_trunc("month", "o_orderdate").alias("mo")
+    ).agg(
+        F.hll_sketch_agg("o_custkey").alias("hll"),
+        F.kll_sketch_agg_double(F.col("o_totalprice").cast("double")).alias("kll"),
+    )
+    merged = monthly.groupBy("o_orderpriority").agg(
+        F.round(F.hll_sketch_estimate(F.hll_union_agg("hll"))).alias("n_hll"),
+        # kll_sketch_merge_double is a BINARY merge (no union aggregate
+        # exists) — fold the per-month sketches; groups are O(months).
+        F.expr(
+            """kll_sketch_get_quantile_double(
+                 reduce(collect_list(kll), cast(null as binary),
+                        (acc, x) -> CASE WHEN acc IS NULL THEN x
+                                    ELSE kll_sketch_merge_double(acc, x) END),
+                 0.5)"""
+        ).alias("med"),
+    )
+    joined = orders.join(F.broadcast(merged), "o_orderpriority")
+    return (
+        joined.groupBy("o_orderpriority", "n_hll", "med")
+        .agg(
+            F.count_distinct("o_custkey").alias("n_exact"),
+            F.avg((F.col("o_totalprice") <= F.col("med")).cast("double")).alias(
+                "frac_le_med"
+            ),
+        )
+        .select(
+            "o_orderpriority",
+            "n_exact",
+            (F.abs(F.col("n_hll") - F.col("n_exact")) <= 0.05 * F.col("n_exact")).alias(
+                "hll_ok"
+            ),
+            F.col("frac_le_med").between(0.4, 0.6).alias("med_ok"),
+        )
+    )
