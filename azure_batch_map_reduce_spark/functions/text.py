@@ -206,3 +206,80 @@ def q53_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sha2(F.array_join(words, " "), 256).alias("full_sha"),
         F.array_min(shingle_shas).alias("min_shingle_sha"),
     )
+
+
+@query(
+    "q55_deterministic_split",
+    oracle="""
+    WITH assigned AS (
+        SELECT doc_id, lang,
+               ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 AS bucket
+        FROM documents
+    )
+    SELECT CASE WHEN bucket < 80 THEN 'train'
+                WHEN bucket < 90 THEN 'valid'
+                ELSE 'test' END AS split,
+           count(*)             AS n_docs,
+           count(DISTINCT lang) AS n_langs
+    FROM assigned
+    GROUP BY 1
+    """,
+    tags=("text", "sampling", "split"),
+)
+def q55_deterministic_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 train/valid/test split keyed on a content-
+    independent stable id hash (md5 of doc_id) — the reproducible-split
+    requirement of every training pipeline: re-running over re-
+    partitioned, re-ordered, or incrementally-grown data never moves a
+    document between splits (``rand()`` would). The md5 arithmetic is
+    engine-neutral, so the oracle replays the assignment EXACTLY —
+    stronger than a statistical check."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long") % 100
+    )
+    split = (
+        F.when(bucket < 80, "train").when(bucket < 90, "valid").otherwise("test")
+    )
+    return docs.groupBy(split.alias("split")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count_distinct("lang").alias("n_langs"),
+    )
+
+
+@query(
+    "q56_stratified_sample",
+    oracle="""
+    SELECT lang, TRUE AS frac_ok
+    FROM documents
+    GROUP BY lang
+    HAVING count(*) >= 20
+    """,
+    tags=("text", "sampling", "stratified"),
+)
+def q56_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified sampling (``sampleBy``, seeded): 30% per language —
+    the class-balancing primitive for training-set construction. Spark's
+    sampler is engine-internal, so exact rows aren't SQL-replayable; the
+    check is statistical and self-verifying: each stratum's realized
+    fraction must land in a wide Chernoff-safe band around 0.3. Only
+    strata with ≥20 docs are asserted (tiny strata are all noise);
+    sampling is one pass, no shuffle, and composes with any downstream
+    operator."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    langs = [r["lang"] for r in docs.select("lang").distinct().collect()]
+    sampled = docs.sampleBy("lang", {l: 0.3 for l in langs}, seed=42)
+    totals = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n_total"))
+    got = sampled.groupBy("lang").agg(F.count(F.lit(1)).alias("n_sampled"))
+    return (
+        totals.join(got, "lang", "left")
+        .filter(F.col("n_total") >= 20)
+        .select(
+            "lang",
+            (
+                (F.coalesce(F.col("n_sampled"), F.lit(0)) / F.col("n_total"))
+                .between(0.10, 0.50)
+            ).alias("frac_ok"),
+        )
+    )
