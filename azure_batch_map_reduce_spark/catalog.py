@@ -33,7 +33,21 @@ def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
 
+def ensure_nanos_readable(spark: SparkSession) -> None:
+    """events.parquet stores ns-precision INT64 timestamps, which Spark 4
+    refuses outright unless ``nanosAsLong`` is on. Our session factory
+    sets it at build time, but the catalog must also work under a
+    CALLER-OWNED session (the driver contract hands us one) — the conf is
+    runtime-settable, so set it defensively here."""
+    try:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    except Exception:
+        pass  # read-only conf on some runtimes; the factory already set it
+
+
 def _load_one(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name == "events":
+        ensure_nanos_readable(spark)
     df = spark.read.parquet(table_path(sf_dir, name))
     if name == "events":
         # ts is ns-precision INT64 in parquet; with nanosAsLong it reads

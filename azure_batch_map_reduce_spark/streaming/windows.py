@@ -18,7 +18,11 @@ import uuid
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from azure_batch_map_reduce_spark.catalog import load_tables, table_path
+from azure_batch_map_reduce_spark.catalog import (
+    ensure_nanos_readable,
+    load_tables,
+    table_path,
+)
 from azure_batch_map_reduce_spark.registry import query
 
 
@@ -27,6 +31,7 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     up-front — streaming sources require one; ns-timestamp normalization
     mirrors catalog.py)."""
     src = table_path(sf_dir, "events")
+    ensure_nanos_readable(spark)
     raw_schema = spark.read.parquet(src).schema
     stream = (
         spark.readStream.schema(raw_schema)
