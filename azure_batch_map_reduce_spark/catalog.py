@@ -45,9 +45,21 @@ def ensure_nanos_readable(spark: SparkSession) -> None:
         pass  # read-only conf on some runtimes; the factory already set it
 
 
+def align_session_for_oracle(spark: SparkSession) -> None:
+    """Runtime-settable confs the oracle parity depends on, applied
+    defensively for caller-owned sessions: UTC session timezone (DuckDB
+    timestamps are UTC-naive — a local-TZ session would shift every
+    collected timestamp by the UTC offset) and ns-as-long parquet reads
+    (see :func:`ensure_nanos_readable`)."""
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+    except Exception:
+        pass
+    ensure_nanos_readable(spark)
+
+
 def _load_one(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    if name == "events":
-        ensure_nanos_readable(spark)
+    align_session_for_oracle(spark)
     df = spark.read.parquet(table_path(sf_dir, name))
     if name == "events":
         # ts is ns-precision INT64 in parquet; with nanosAsLong it reads

@@ -19,7 +19,7 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from azure_batch_map_reduce_spark.catalog import (
-    ensure_nanos_readable,
+    align_session_for_oracle,
     load_tables,
     table_path,
 )
@@ -31,7 +31,7 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     up-front — streaming sources require one; ns-timestamp normalization
     mirrors catalog.py)."""
     src = table_path(sf_dir, "events")
-    ensure_nanos_readable(spark)
+    align_session_for_oracle(spark)
     raw_schema = spark.read.parquet(src).schema
     stream = (
         spark.readStream.schema(raw_schema)
