@@ -306,6 +306,11 @@ def q63_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     ±1 votes from the document's shingle ids under a fixed bit-hash.
     Near-dups differ in few bits (compare by hamming distance)."""
     docs = _spread(load_tables(spark, sf_dir)["documents"], "doc_id")
+    return simhash_frame(docs)
+
+
+def simhash_frame(docs: DataFrame) -> DataFrame:
+    """(doc_id, simhash) with the 16-bit fingerprint of q63."""
     # Distinct shingles per doc: SimHash votes count each shingle once.
     ids = (
         _trigram_rows(docs)
@@ -583,3 +588,67 @@ def q67_ml_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         4,
     )
     return pairs.select("doc_a", "doc_b", "ml_jaccard", exact.alias("exact_jaccard"))
+
+
+@query(
+    "q68_simhash_hamming_pairs",
+    oracle=f"""
+    WITH {_SHINGLE_CTE},
+    sh AS (
+        SELECT doc_id, CAST({_simhash_sql_bits()} AS BIGINT) AS simhash
+        FROM ids GROUP BY doc_id
+    ),
+    bands AS (
+        SELECT doc_id, simhash, b, (simhash >> (4 * b)) & 15 AS bv
+        FROM sh, generate_series(0, 3) AS t(b)
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, a.simhash AS sa,
+                        b.doc_id AS doc_b, b.simhash AS sb
+        FROM bands a JOIN bands b ON a.b = b.b AND a.bv = b.bv
+                                  AND a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b, CAST(bit_count(xor(sa, sb)) AS INT) AS hamming
+    FROM cand
+    WHERE bit_count(xor(sa, sb)) <= 3
+    """,
+    tags=("dedup", "simhash", "hamming"),
+)
+def q68_simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash as a complete dedup METHOD (q63 only fingerprints): the
+    16-bit fingerprint splits into 4 bands of 4 bits; docs sharing any
+    band bucket become candidates (pigeonhole: hamming ≤ 3 ⇒ at least
+    one band identical, so recall at the ≤3 threshold is total); pairs
+    verify with an exact popcount on the XOR. Pair generation is an
+    equi-join on (band, value) — never all-pairs — and the verification
+    touches candidates only; fingerprints are 2 bytes/doc through the
+    shuffle, the cheapest of the near-dup families."""
+    docs = _spread(load_tables(spark, sf_dir)["documents"], "doc_id")
+    sh = simhash_frame(docs).persist()
+    bands = sh.select(
+        "doc_id",
+        "simhash",
+        F.explode(F.array(*[F.lit(b) for b in range(4)])).alias("b"),
+    ).withColumn("bv", F.expr("shiftright(simhash, b * 4)").bitwiseAND(15))
+    a, b_ = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b_,
+            (F.col("a.b") == F.col("b.b"))
+            & (F.col("a.bv") == F.col("b.bv"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("a.simhash").alias("sa"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("b.simhash").alias("sb"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("sa").bitwiseXOR(F.col("sb"))).cast("int")
+    return (
+        cand.withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= 3)
+        .select("doc_a", "doc_b", "hamming")
+    )
