@@ -240,3 +240,57 @@ def q85_watermark_late_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("w.end").alias("window_end"), "n", "total_value")
     )
     return run_available_now(agg, "append")
+
+
+@query(
+    "q87_stream_stream_join",
+    oracle="""
+    SELECT p.event_id AS purchase_id,
+           c.event_id AS click_id,
+           p.user_id,
+           p.ts AS purchase_ts,
+           c.ts AS click_ts
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id
+     AND c.ts >= p.ts - INTERVAL 1 HOUR
+     AND c.ts <= p.ts
+    """,
+    tags=("streaming", "join", "interval"),
+)
+def q87_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join as a REAL stream: every purchase
+    joined to the clicks of the same user within the preceding hour.
+    Both sides carry watermarks + the time-range predicate, which is
+    what lets Spark BOUND the join state — each side keeps only rows
+    inside (watermark − interval); without the range condition a
+    stream-stream join must buffer both streams forever. Under
+    availableNow's single batch the emitted set is exactly the batch
+    join (oracle)."""
+    ev = events_stream(spark, sf_dir)
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            "user_id",
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", "10 minutes")
+    )
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "10 minutes")
+    )
+    joined = purchases.join(
+        clicks,
+        (F.col("user_id") == F.col("c_user_id"))
+        & (F.col("click_ts") >= F.col("purchase_ts") - F.expr("INTERVAL 1 HOUR"))
+        & (F.col("click_ts") <= F.col("purchase_ts")),
+        "inner",
+    ).select("purchase_id", "click_id", "user_id", "purchase_ts", "click_ts")
+    return run_available_now(joined, "append")
