@@ -185,12 +185,7 @@ def q44_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT event_type,
            count(*)                                              AS n,
            CAST(sum(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT) AS sum_k,
-           round(avg(CAST(json_extract_string(props, '$.k') AS INTEGER)), 2)       AS avg_k,
-           min(CAST(json_extract_string(props, '$.k') AS INTEGER))                 AS min_k,
-           max(CASE WHEN json_extract_string(props, '$.k') IS NULL THEN '{}'
-                    ELSE concat('{"k":', json_extract_string(props, '$.k'), '}')
-               END)                                                                AS max_kjson,
-           'STRUCT<k: BIGINT>'                                                     AS inferred_schema
+           round(avg(CAST(json_extract_string(props, '$.k') AS INTEGER)), 2)       AS avg_k
     FROM events
     GROUP BY event_type
     """,
@@ -202,21 +197,44 @@ def q45_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_tables(spark, sf_dir)["events"]
     return (
         ev.withColumn("k", F.from_json("props", "k INT").getField("k"))
-        # get_json_object: the path-extraction form (string out, no
-        # schema); to_json: struct → JSON text round-trip.
-        .withColumn("k2", F.get_json_object("props", "$.k").cast("int"))
-        .withColumn("kjson", F.to_json(F.struct(F.col("k"))))
         .groupBy("event_type")
         .agg(
             F.count(F.lit(1)).alias("n"),
             F.sum("k").cast("long").alias("sum_k"),
             F.round(F.avg("k"), 2).alias("avg_k"),
+        )
+    )
+
+
+@query(
+    "q58_json_apis",
+    oracle="""
+    SELECT event_type,
+           min(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS min_k,
+           max(CASE WHEN json_extract_string(props, '$.k') IS NULL THEN '{}'
+                    ELSE concat('{"k":', json_extract_string(props, '$.k'), '}')
+               END)                                                AS max_kjson,
+           'STRUCT<k: BIGINT>'                                     AS inferred_schema
+    FROM events
+    GROUP BY event_type
+    """,
+    tags=("scalar", "json"),
+)
+def q58_json_apis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The rest of the JSON surface, kept OUT of the benched q45 so the
+    hot path parses each document once: get_json_object (schemaless path
+    extraction), to_json (struct → text round-trip), schema_of_json
+    (one-sample schema discovery — the step BEFORE a production
+    from_json with the schema pinned; never infer per-query at 100 TB)."""
+    ev = load_tables(spark, sf_dir)["events"]
+    return (
+        ev.withColumn("k2", F.get_json_object("props", "$.k").cast("int"))
+        .withColumn("kjson", F.to_json(F.struct(F.col("k2").alias("k"))))
+        .groupBy("event_type")
+        .agg(
             F.min("k2").alias("min_k"),
             F.max("kjson").alias("max_kjson"),
         )
-        # schema_of_json infers a DDL schema from a sample document —
-        # the discovery step before a production from_json with the
-        # schema pinned (never infer per-query over 100 TB).
         .withColumn("inferred_schema", F.schema_of_json(F.lit('{"k":1}')))
     )
 
