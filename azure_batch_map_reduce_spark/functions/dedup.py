@@ -234,6 +234,11 @@ def neardup_pairs(docs: DataFrame) -> DataFrame:
     # of a self-join (bands⋈bands, w⋈candidates) and would otherwise be
     # recomputed per branch. This is the signature table a production
     # LSH pipeline materializes; size is O(n_docs), not O(corpus bytes).
+    # Deliberately TWO aggregations, not one fused: mixing the 16
+    # codegen'd min() columns with collect_set in a single agg forces the
+    # whole aggregate onto the ObjectHashAggregate path (measured ~2×
+    # slower cold than the two split aggs, which each use their best
+    # implementation).
     mh = ids.groupBy("doc_id").agg(*_minhash_exprs(F.col("wid"))).persist()
     w = tri.groupBy("doc_id").agg(F.collect_set("s").alias("sh")).persist()
 
