@@ -1,0 +1,155 @@
+"""Incremental-maintenance ETL operators: upsert (MERGE INTO semantics)
+and SCD Type-2 dimension versioning.
+
+The reference's pipeline is re-run-the-world: every run re-stages every
+input file (``Program.cs:248-258``). Real pipelines apply DELTAS — these
+operators are the batch-relational forms of that, expressed as plain
+joins/windows so they run on bare parquet (no table-format dependency;
+on Delta/Iceberg the same logic is the engine's MERGE INTO).
+
+Scale notes: upsert is one full-outer join on the key — shuffle both
+sides once, or zero shuffles if target and updates are co-bucketed on
+the key (``sources.files.write_bucketed``). SCD2 is one window over
+(key, change-ts) — a single shuffle, state-free, embarrassingly
+incremental if changes arrive partitioned by key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from azure_batch_map_reduce_spark.catalog import load_tables
+from azure_batch_map_reduce_spark.registry import query
+
+
+def upsert(target: DataFrame, updates: DataFrame, key: str) -> DataFrame:
+    """MERGE INTO semantics on plain DataFrames: rows in ``updates``
+    replace same-key rows in ``target`` (matched → update), new keys
+    append (not matched → insert). Column sets must match."""
+    cols = target.columns
+    u = updates.select(*[F.col(c).alias(f"_u_{c}") for c in cols])
+    joined = target.join(u, target[key] == u[f"_u_{key}"], "full_outer")
+    merged = [
+        F.coalesce(F.col(f"_u_{c}"), F.col(c)).alias(c) for c in cols
+    ]
+    return joined.select(*merged)
+
+
+@query(
+    "q98_upsert_merge",
+    oracle="""
+    WITH updates AS (
+        SELECT o_orderkey,
+               'P' AS o_orderstatus,
+               round(o_totalprice * 1.1, 2) AS o_totalprice
+        FROM orders WHERE o_orderkey % 10 = 3
+        UNION ALL
+        SELECT 900000000 + o_orderkey, 'N', round(o_totalprice, 2)
+        FROM orders WHERE o_orderkey % 100 = 7
+    ),
+    base AS (
+        SELECT o_orderkey, o_orderstatus, round(o_totalprice, 2) AS o_totalprice
+        FROM orders
+    ),
+    merged AS (
+        SELECT coalesce(u.o_orderkey, b.o_orderkey)         AS o_orderkey,
+               coalesce(u.o_orderstatus, b.o_orderstatus)   AS o_orderstatus,
+               coalesce(u.o_totalprice, b.o_totalprice)     AS o_totalprice
+        FROM base b FULL OUTER JOIN updates u USING (o_orderkey)
+    )
+    SELECT o_orderstatus,
+           count(*)                    AS n,
+           round(sum(o_totalprice), 2) AS total
+    FROM merged
+    GROUP BY o_orderstatus
+    """,
+    tags=("etl", "upsert", "merge"),
+)
+def q98_upsert_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO on bare parquet: a synthetic delta batch (10% price
+    corrections + new late-arriving orders) applied to the orders table
+    via :func:`upsert`, then aggregated so the oracle hash-checks the
+    post-merge state. One full-outer shuffle; co-bucketed layouts make
+    it shuffle-free."""
+    orders = load_tables(spark, sf_dir)["orders"]
+    base = orders.select(
+        "o_orderkey", "o_orderstatus", F.round("o_totalprice", 2).alias("o_totalprice")
+    )
+    corrections = base.filter(F.col("o_orderkey") % 10 == 3).select(
+        "o_orderkey",
+        F.lit("P").alias("o_orderstatus"),
+        F.round(F.col("o_totalprice") * 1.1, 2).alias("o_totalprice"),
+    )
+    inserts = base.filter(F.col("o_orderkey") % 100 == 7).select(
+        (F.lit(900_000_000) + F.col("o_orderkey")).alias("o_orderkey"),
+        F.lit("N").alias("o_orderstatus"),
+        F.col("o_totalprice"),
+    )
+    merged = upsert(base, corrections.unionByName(inserts), "o_orderkey")
+    return merged.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("o_totalprice"), 2).alias("total"),
+    )
+
+
+def scd2(changes: DataFrame, key: str, ts: str) -> DataFrame:
+    """Slowly-changing-dimension Type 2: turn a change log into validity
+    intervals — each version valid from its own timestamp until the next
+    version's (open interval = NULL valid_to, is_current = true)."""
+    w = Window.partitionBy(key).orderBy(F.col(ts).asc())
+    return (
+        changes.withColumn("valid_from", F.col(ts))
+        .withColumn("valid_to", F.lead(ts).over(w))
+        .withColumn("is_current", F.col("valid_to").isNull())
+    )
+
+
+@query(
+    "q99_scd2_versions",
+    oracle="""
+    WITH changes AS (
+        SELECT o_custkey, o_orderdate AS change_ts, o_orderpriority AS attr
+        FROM orders WHERE o_orderkey % 7 = 0
+    ),
+    v AS (
+        SELECT o_custkey, attr,
+               change_ts                    AS valid_from,
+               lead(change_ts) OVER w       AS valid_to,
+               lead(change_ts) OVER w IS NULL AS is_current
+        FROM changes
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY change_ts ASC)
+    )
+    SELECT o_custkey,
+           count(*)                                         AS n_versions,
+           CAST(sum(CASE WHEN is_current THEN 1 ELSE 0 END) AS BIGINT) AS n_current,
+           min(valid_from)                                  AS first_seen,
+           max(valid_from)                                  AS last_change
+    FROM v
+    GROUP BY o_custkey
+    HAVING count(*) > 1
+    """,
+    tags=("etl", "scd2", "versioning"),
+)
+def q99_scd2_versions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type-2 versioning: a change log (per-customer priority
+    changes, ordered by order date) becomes validity intervals via one
+    window pass (:func:`scd2`); exactly one open version per key
+    (checked by the aggregate), no self-join, no state. The oracle
+    replays the interval construction."""
+    orders = load_tables(spark, sf_dir)["orders"]
+    changes = orders.filter(F.col("o_orderkey") % 7 == 0).select(
+        "o_custkey",
+        F.col("o_orderdate").alias("change_ts"),
+        F.col("o_orderpriority").alias("attr"),
+    )
+    v = scd2(changes, key="o_custkey", ts="change_ts")
+    return (
+        v.groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_versions"),
+            F.sum(F.col("is_current").cast("int")).cast("long").alias("n_current"),
+            F.min("valid_from").alias("first_seen"),
+            F.max("valid_from").alias("last_change"),
+        )
+        .filter(F.col("n_versions") > 1)
+    )

@@ -51,6 +51,7 @@ def load_all() -> dict[str, Query]:
     """Import every module that registers queries; return the registry."""
     # Imports are side-effectful (decorators populate REGISTRY).
     from azure_batch_map_reduce_spark.operators import (  # noqa: F401
+        etl,
         relational,
         joins,
         windows,
