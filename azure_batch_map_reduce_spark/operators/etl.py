@@ -153,3 +153,66 @@ def q99_scd2_versions(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_versions") > 1)
     )
+
+
+@query(
+    "q59_column_profile",
+    oracle="""
+    SELECT 'o_orderstatus' AS col,
+           count(*) - count(o_orderstatus)      AS n_null,
+           count(DISTINCT o_orderstatus)        AS n_distinct,
+           CAST(min(o_orderstatus) AS VARCHAR)  AS min_s,
+           CAST(max(o_orderstatus) AS VARCHAR)  AS max_s
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderpriority',
+           count(*) - count(o_orderpriority), count(DISTINCT o_orderpriority),
+           CAST(min(o_orderpriority) AS VARCHAR), CAST(max(o_orderpriority) AS VARCHAR)
+    FROM orders
+    UNION ALL
+    SELECT 'o_custkey',
+           count(*) - count(o_custkey), count(DISTINCT o_custkey),
+           CAST(min(o_custkey) AS VARCHAR), CAST(max(o_custkey) AS VARCHAR)
+    FROM orders
+    UNION ALL
+    SELECT 'o_totalprice',
+           count(*) - count(o_totalprice), count(DISTINCT round(o_totalprice, 2)),
+           CAST(round(min(o_totalprice), 2) AS VARCHAR), CAST(round(max(o_totalprice), 2) AS VARCHAR)
+    FROM orders
+    """,
+    tags=("etl", "profiling", "quality"),
+)
+def q59_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column profiling (the data-quality pass of an ingest pipeline):
+    null count, distinct count, min/max for several columns computed in
+    ONE aggregation job, then unpivoted to long form — the whole profile
+    is a single scan + single (global) aggregate, not one query per
+    column. At 100 TB swap count_distinct for approx_count_distinct
+    (q15/q38 show the sketch trade) — the shape is unchanged."""
+    orders = load_tables(spark, sf_dir)["orders"]
+    cols = ["o_orderstatus", "o_orderpriority", "o_custkey", "o_totalprice"]
+
+    def stats(c: str):
+        val = F.round(F.col(c), 2) if c == "o_totalprice" else F.col(c)
+        return [
+            (F.count(F.lit(1)) - F.count(c)).alias(f"{c}__n_null"),
+            F.count_distinct(val).alias(f"{c}__n_distinct"),
+            F.min(val).cast("string").alias(f"{c}__min_s"),
+            F.max(val).cast("string").alias(f"{c}__max_s"),
+        ]
+
+    wide = orders.agg(*[e for c in cols for e in stats(c)])
+    # Unpivot the single wide row to (col, stats...) long form.
+    struct_per_col = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("col"),
+                F.col(f"{c}__n_null").alias("n_null"),
+                F.col(f"{c}__n_distinct").alias("n_distinct"),
+                F.col(f"{c}__min_s").alias("min_s"),
+                F.col(f"{c}__max_s").alias("max_s"),
+            )
+            for c in cols
+        ]
+    )
+    return wide.select(F.explode(struct_per_col).alias("p")).select("p.*")
