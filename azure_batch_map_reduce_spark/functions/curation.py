@@ -1,0 +1,389 @@
+"""Training-corpus curation operators: PII scrubbing, repetition-based
+quality signals, train/test contamination detection, deterministic
+centroid clustering, and shard planning for training-data export.
+
+These fill the user-pluggable map/reduce slots of the reference
+(``src/AzureBatch/BatchProcessor/App.config:16-17``;
+``Program.cs:332-349`` map fan-out, ``Program.cs:351-384`` global
+consolidation) with the transformations a large-scale LLM-data pipeline
+actually plugs in. Everything is JVM-side builtin expressions — no
+Python UDFs — so the hot path stays inside whole-stage codegen.
+
+100 TB posture, per operator:
+
+- PII scrub is a stateless map (no shuffle): it scales linearly and
+  pushes straight down onto the scan.
+- Repetition signals are per-document array math (map-only) followed by
+  one partial+final aggregation on ``source`` — low-cardinality keys,
+  map-side combine does almost all the work.
+- Contamination explodes word 5-grams and equi-joins test-grams against
+  train-grams. At scale you hash each gram to 64 bits first (xxhash64)
+  so the shuffle carries 8-byte keys instead of strings, and the
+  train side is pre-aggregated to distinct grams before the join.
+- Centroid assignment broadcasts the k centroids (tiny) — the corpus
+  never shuffles; it's one map plus a groupBy on k keys.
+- Shard planning is a pure hash-mod map; the physical export is
+  ``df.repartition("shard").write.partitionBy("shard")`` which lines
+  the shuffle up with the output layout (one file set per shard).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window, functions as F
+
+from azure_batch_map_reduce_spark.catalog import load_tables
+from azure_batch_map_reduce_spark.registry import query
+
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+IPV4_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+
+
+@query(
+    "q54_pii_scrub",
+    oracle=f"""
+    WITH seeded AS (
+        SELECT source,
+               'contact user' || CAST(doc_id AS VARCHAR)
+                   || '@mail.example node 10.' || CAST(doc_id % 256 AS VARCHAR)
+                   || '.0.' || CAST(doc_id % 100 AS VARCHAR) || ' ' || text AS raw
+        FROM documents
+    ),
+    scrubbed AS (
+        SELECT source, raw,
+               regexp_replace(regexp_replace(raw, '{EMAIL_RE}', '<EMAIL>', 'g'),
+                              '{IPV4_RE}', '<IP>', 'g') AS clean
+        FROM seeded
+    )
+    SELECT source,
+           count(*)                                                    AS n_docs,
+           CAST(sum(length(regexp_extract_all(raw, '{EMAIL_RE}'))) AS BIGINT) AS emails_found,
+           CAST(sum(length(regexp_extract_all(raw, '{IPV4_RE}'))) AS BIGINT)  AS ips_found,
+           CAST(sum(length(raw) - length(clean)) AS BIGINT)            AS chars_removed,
+           bool_and(NOT regexp_matches(clean, '{EMAIL_RE}')
+                    AND NOT regexp_matches(clean, '{IPV4_RE}'))        AS all_clean
+    FROM scrubbed
+    GROUP BY source
+    """,
+    tags=("curation", "pii", "text"),
+)
+def q54_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction (emails, IPv4 addresses) with a self-verifying
+    residue check. The fixture word soup carries no PII, so the query
+    first *seeds* each document with a deterministic synthetic email and
+    IP derived from ``doc_id`` (the oracle performs the identical
+    construction), then scrubs with ``regexp_replace`` and proves via
+    ``bool_and(no match remains)`` that redaction is complete. Patterns
+    are kept in the RE2 ∩ Java-regex common subset so both engines
+    compile them identically. Map-only: no shuffle until the final
+    per-source rollup."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    raw = F.concat(
+        F.lit("contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@mail.example node 10."),
+        (F.col("doc_id") % 256).cast("string"),
+        F.lit(".0."),
+        (F.col("doc_id") % 100).cast("string"),
+        F.lit(" "),
+        F.col("text"),
+    )
+    seeded = docs.select("source", raw.alias("raw"))
+    clean = F.regexp_replace(
+        F.regexp_replace(F.col("raw"), EMAIL_RE, "<EMAIL>"), IPV4_RE, "<IP>"
+    )
+    scrubbed = seeded.withColumn("clean", clean)
+    return scrubbed.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(F.regexp_extract_all("raw", F.lit(EMAIL_RE), 0))).alias(
+            "emails_found"
+        ),
+        F.sum(F.size(F.regexp_extract_all("raw", F.lit(IPV4_RE), 0))).alias(
+            "ips_found"
+        ),
+        F.sum(F.length("raw") - F.length("clean")).alias("chars_removed"),
+        F.bool_and(
+            ~F.col("clean").rlike(EMAIL_RE) & ~F.col("clean").rlike(IPV4_RE)
+        ).alias("all_clean"),
+    )
+
+
+def _bigrams(words: Column) -> Column:
+    """Adjacent word pairs; empty (not reversed-sequence) when <2 words."""
+    pair = lambda i: F.concat_ws(  # noqa: E731
+        " ", F.element_at(words, i), F.element_at(words, i + 1)
+    )
+    return F.when(
+        F.size(words) >= 2,
+        F.transform(F.sequence(F.lit(1), F.size(words) - 1), pair),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+@query(
+    "q57_repetition_signals",
+    oracle="""
+    WITH per_doc AS (
+        SELECT source,
+               string_split(text, ' ') AS w,
+               list_transform(range(1, greatest(len(string_split(text, ' ')), 2)),
+                              i -> string_split(text, ' ')[i] || ' '
+                                   || string_split(text, ' ')[i + 1]) AS bg
+        FROM documents
+    ),
+    sig AS (
+        SELECT source,
+               1.0 - CAST(len(list_distinct(w)) AS DOUBLE) / len(w)    AS dup_word_frac,
+               CASE WHEN len(bg) = 0 THEN 0.0
+                    ELSE 1.0 - CAST(len(list_distinct(bg)) AS DOUBLE) / len(bg)
+               END                                                     AS dup_bigram_frac
+        FROM per_doc
+    )
+    SELECT source,
+           count(*)                           AS n_docs,
+           round(avg(dup_word_frac), 6)       AS avg_dup_word_frac,
+           round(avg(dup_bigram_frac), 6)     AS avg_dup_bigram_frac,
+           CAST(sum(CASE WHEN dup_word_frac > 0.5 THEN 1 ELSE 0 END) AS BIGINT)
+                                              AS n_flagged
+    FROM sig
+    GROUP BY source
+    """,
+    tags=("curation", "quality", "text"),
+)
+def q57_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality signals: per-document duplicate-
+    word fraction and duplicate-bigram fraction (1 − distinct/total),
+    rolled up per source with a flagged-document count (dup-word frac
+    > 0.5 → likely boilerplate/spam). All array math — ``array_distinct``
+    over the split words and a ``transform``-built adjacent-bigram list —
+    runs JVM-side per row; the only shuffle is the tiny per-source
+    rollup, which map-side combine reduces to one row per source per
+    task."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    w = F.split(F.col("text"), " ")
+    per_doc = docs.select(
+        "source", w.alias("w"), _bigrams(F.col("w")).alias("bg")
+    )
+    dup_word = 1.0 - F.size(F.array_distinct("w")).cast("double") / F.size("w")
+    dup_bg = F.when(F.size("bg") == 0, F.lit(0.0)).otherwise(
+        1.0 - F.size(F.array_distinct("bg")).cast("double") / F.size("bg")
+    )
+    sig = per_doc.select(
+        "source", dup_word.alias("dup_word_frac"), dup_bg.alias("dup_bigram_frac")
+    )
+    return sig.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg("dup_word_frac"), 6).alias("avg_dup_word_frac"),
+        F.round(F.avg("dup_bigram_frac"), 6).alias("avg_dup_bigram_frac"),
+        F.sum((F.col("dup_word_frac") > 0.5).cast("bigint")).alias("n_flagged"),
+    )
+
+
+@query(
+    "q69_contamination_check",
+    oracle="""
+    WITH assigned AS (
+        SELECT doc_id, lang, string_split(text, ' ') AS w,
+               ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100
+                   AS bucket
+        FROM documents
+    ),
+    grams AS (
+        SELECT doc_id, lang, bucket,
+               unnest(list_transform(range(1, greatest(len(w) - 3, 1)),
+                      i -> list_aggregate(w[i:i+4], 'string_agg', ' '))) AS gram
+        FROM assigned
+    ),
+    train_grams AS (
+        SELECT DISTINCT gram FROM grams WHERE bucket < 80
+    ),
+    test_grams AS (
+        SELECT DISTINCT doc_id, lang, gram FROM grams WHERE bucket >= 90
+    ),
+    hits AS (
+        SELECT t.doc_id, t.lang, t.gram
+        FROM test_grams t JOIN train_grams tr USING (gram)
+    ),
+    test_docs AS (
+        SELECT lang, count(DISTINCT doc_id) AS n_test_docs
+        FROM assigned WHERE bucket >= 90 GROUP BY lang
+    )
+    SELECT d.lang,
+           d.n_test_docs,
+           CAST(coalesce(count(DISTINCT h.doc_id), 0) AS BIGINT) AS n_contaminated,
+           CAST(coalesce(count(DISTINCT h.gram), 0) AS BIGINT)   AS n_shared_grams
+    FROM test_docs d LEFT JOIN hits h USING (lang)
+    GROUP BY d.lang, d.n_test_docs
+    """,
+    tags=("curation", "contamination", "dedup"),
+)
+def q69_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/test contamination detection: a test-split document is
+    contaminated when it shares any word 5-gram with any train-split
+    document (the deterministic md5 split of q55 defines membership, so
+    the check is replayable). Reports per language: test-doc count,
+    contaminated-doc count, and distinct shared grams. The train side
+    collapses to DISTINCT grams before the join — at 100 TB you
+    additionally hash grams to 64-bit (``xxhash64``) so the shuffle key
+    is 8 bytes, and broadcast the (much smaller) test-gram side
+    instead."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    w = F.split(F.col("text"), " ")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long") % 100
+    )
+    gram = lambda i: F.concat_ws(  # noqa: E731
+        " ",
+        F.element_at(F.col("w"), i),
+        F.element_at(F.col("w"), i + 1),
+        F.element_at(F.col("w"), i + 2),
+        F.element_at(F.col("w"), i + 3),
+        F.element_at(F.col("w"), i + 4),
+    )
+    assigned = docs.select(
+        "doc_id", "lang", w.alias("w"), bucket.alias("bucket")
+    ).withColumn(
+        "grams",
+        F.when(
+            F.size("w") >= 5,
+            F.transform(F.sequence(F.lit(1), F.size("w") - 4), gram),
+        ).otherwise(F.array().cast("array<string>")),
+    )
+    grams = assigned.select(
+        "doc_id", "lang", "bucket", F.explode("grams").alias("gram")
+    )
+    train_grams = grams.filter(F.col("bucket") < 80).select("gram").distinct()
+    test_grams = (
+        grams.filter(F.col("bucket") >= 90)
+        .select("doc_id", "lang", "gram")
+        .distinct()
+    )
+    hits = test_grams.join(train_grams, "gram")
+    test_docs = (
+        assigned.filter(F.col("bucket") >= 90)
+        .groupBy("lang")
+        .agg(F.count_distinct("doc_id").alias("n_test_docs"))
+    )
+    per_lang = hits.groupBy("lang").agg(
+        F.count_distinct("doc_id").alias("hit_docs"),
+        F.count_distinct("gram").alias("hit_grams"),
+    )
+    return test_docs.join(per_lang, "lang", "left").select(
+        "lang",
+        "n_test_docs",
+        F.coalesce("hit_docs", F.lit(0)).alias("n_contaminated"),
+        F.coalesce("hit_grams", F.lit(0)).alias("n_shared_grams"),
+    )
+
+
+@query(
+    "q74_centroid_assign",
+    oracle="""
+    WITH c AS (
+        SELECT vec_id AS cid, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ce
+        FROM embeddings ORDER BY vec_id LIMIT 8
+    ),
+    scored AS (
+        SELECT e.vec_id, c.cid,
+               round(list_dot_product(list_transform(e.embedding, x -> CAST(x AS DOUBLE)), c.ce)
+                     / sqrt(list_dot_product(list_transform(e.embedding, x -> CAST(x AS DOUBLE)),
+                                             list_transform(e.embedding, x -> CAST(x AS DOUBLE)))
+                            * list_dot_product(c.ce, c.ce)), 6) AS cosine
+        FROM embeddings e CROSS JOIN c
+    ),
+    best AS (
+        SELECT vec_id, cid, cosine,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY cosine DESC, cid ASC) AS rn
+        FROM scored
+    )
+    SELECT cid                         AS centroid_id,
+           count(*)                    AS n_members,
+           round(avg(cosine), 6)       AS avg_cosine,
+           round(min(cosine), 6)       AS min_cosine
+    FROM best WHERE rn = 1
+    GROUP BY cid
+    """,
+    tags=("curation", "clustering", "similarity"),
+)
+def q74_centroid_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic centroid assignment (one Lloyd iteration of
+    k-means, k=8): centroids are the eight lowest ``vec_id`` vectors,
+    every vector is assigned to its highest-cosine centroid (ties break
+    to the lowest centroid id), and the result reports cluster sizes and
+    cohesion. Used for corpus curation — per-cluster sampling caps and
+    diversity-balanced mixes. The centroid table is 8 rows and is
+    broadcast; the corpus side is map-only + a k-key aggregation, so the
+    plan has no large shuffle and scales linearly. Full iterative
+    k-means is this step in a loop with re-averaged centroids
+    (spark.ml KMeans does exactly that at scale)."""
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    as_d = lambda c: F.transform(c, lambda x: x.cast("double"))  # noqa: E731
+    dot = lambda u, v: F.aggregate(  # noqa: E731
+        F.zip_with(u, v, lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x
+    )
+    cent = (
+        emb.orderBy("vec_id")
+        .limit(8)
+        .select(F.col("vec_id").alias("cid"), as_d("embedding").alias("ce"))
+    )
+    scored = (
+        emb.select("vec_id", as_d("embedding").alias("e"))
+        .crossJoin(F.broadcast(cent))
+        .select(
+            "vec_id",
+            "cid",
+            F.round(
+                dot(F.col("e"), F.col("ce"))
+                / F.sqrt(dot(F.col("e"), F.col("e")) * dot(F.col("ce"), F.col("ce"))),
+                6,
+            ).alias("cosine"),
+        )
+    )
+    best = scored.withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy("vec_id").orderBy(
+                F.col("cosine").desc(), F.col("cid").asc()
+            )
+        ),
+    ).filter(F.col("rn") == 1)
+    return best.groupBy(F.col("cid").alias("centroid_id")).agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.round(F.avg("cosine"), 6).alias("avg_cosine"),
+        F.round(F.min("cosine"), 6).alias("min_cosine"),
+    )
+
+
+@query(
+    "q75_shard_plan",
+    oracle="""
+    SELECT ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 9, 8))::BIGINT % 16
+               AS shard,
+           count(*) AS n_docs,
+           CAST(sum(length(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+           CAST(sum(n_chars) AS BIGINT) AS n_chars
+    FROM documents
+    GROUP BY 1
+    """,
+    tags=("curation", "export", "sharding"),
+)
+def q75_shard_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic shard plan for training-data export: 16 shards
+    keyed on a second md5 window (bytes 9–16, independent of the
+    split bucket in q55 which uses bytes 1–8), with per-shard document,
+    whitespace-token, and character totals — the manifest a trainer
+    reads to plan data loading. The physical export is
+    ``df.repartition("shard").write.partitionBy("shard").parquet(...)``,
+    which aligns the shuffle with the directory layout so each shard is
+    one contiguous file set; shard counts stay balanced because the key
+    is a hash, not a natural attribute."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    shard = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 9, 8), 16, 10)
+        .cast("long") % 16
+    )
+    return docs.groupBy(shard.alias("shard")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(F.split(F.col("text"), " "))).alias("n_tokens"),
+        F.sum("n_chars").alias("n_chars"),
+    )

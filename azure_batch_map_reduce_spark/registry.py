@@ -59,6 +59,7 @@ def load_all() -> dict[str, Query]:
     )
     from azure_batch_map_reduce_spark.functions import (  # noqa: F401
         chunking,
+        curation,
         pandas_udfs,
         scalar,
         text,
