@@ -387,3 +387,136 @@ def q75_shard_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.size(F.split(F.col("text"), " "))).alias("n_tokens"),
         F.sum("n_chars").alias("n_chars"),
     )
+
+
+@query(
+    "q76_embedding_quantize",
+    oracle="""
+    WITH v AS (
+        SELECT vec_id, label,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+        FROM embeddings
+    ),
+    scaled AS (
+        SELECT vec_id, label, e,
+               list_aggregate(e, 'min') AS mn,
+               (list_aggregate(e, 'max') - list_aggregate(e, 'min')) / 255.0 AS sc
+        FROM v
+    ),
+    err AS (
+        SELECT vec_id, label,
+               CASE WHEN sc = 0 THEN 0.0
+                    ELSE list_aggregate(
+                        list_transform(e,
+                            x -> abs((round((x - mn) / sc) * sc + mn) - x)),
+                        'max')
+               END AS max_abs_err
+        FROM scaled
+    )
+    SELECT label,
+           count(*)                     AS n_vecs,
+           round(avg(max_abs_err), 6)   AS avg_max_err,
+           round(max(max_abs_err), 6)   AS worst_err
+    FROM err
+    GROUP BY label
+    """,
+    tags=("curation", "quantization", "similarity"),
+)
+def q76_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 scalar quantization of embedding vectors with a
+    reconstruction-error audit: per vector, min/max-range-scale each
+    dimension to 256 levels, dequantize, and report the worst absolute
+    error per label. This is the 4× memory compression that makes
+    100 TB-scale ANN feasible (quantized vectors fit executor memory /
+    off-heap caches; the full-precision column stays on disk for
+    re-ranking). All arithmetic is higher-order array functions in
+    codegen — identical IEEE double ops to the oracle, so the check is
+    exact after 6-digit rounding. Map-only + k-label rollup: no large
+    shuffle."""
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    e = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    v = emb.select("vec_id", "label", e.alias("e"))
+    scaled = v.select(
+        "vec_id",
+        "label",
+        "e",
+        F.array_min("e").alias("mn"),
+        ((F.array_max("e") - F.array_min("e")) / 255.0).alias("sc"),
+    )
+    recon_err = F.transform(
+        F.col("e"),
+        lambda x: F.abs(
+            (F.round((x - F.col("mn")) / F.col("sc")) * F.col("sc") + F.col("mn")) - x
+        ),
+    )
+    err = scaled.select(
+        "vec_id",
+        "label",
+        F.when(F.col("sc") == 0, F.lit(0.0))
+        .otherwise(F.array_max(recon_err))
+        .alias("max_abs_err"),
+    )
+    return err.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.round(F.avg("max_abs_err"), 6).alias("avg_max_err"),
+        F.round(F.max("max_abs_err"), 6).alias("worst_err"),
+    )
+
+
+@query(
+    "q77_mix_plan",
+    oracle="""
+    WITH per_lang AS (
+        SELECT lang, count(*) AS n_docs,
+               CAST(sum(length(string_split(text, ' '))) AS BIGINT) AS n_tokens
+        FROM documents GROUP BY lang
+    ),
+    tot AS (
+        SELECT CAST(sum(n_docs) AS DOUBLE) / count(*) AS target_docs FROM per_lang
+    )
+    SELECT lang, n_docs, n_tokens,
+           round(least(1.0, t.target_docs / n_docs), 6) AS sample_rate,
+           CAST(round(least(1.0, t.target_docs / n_docs) * n_docs) AS BIGINT)
+               AS planned_docs,
+           CAST(round(least(1.0, t.target_docs / n_docs) * n_tokens) AS BIGINT)
+               AS planned_tokens
+    FROM per_lang CROSS JOIN tot t
+    """,
+    tags=("curation", "sampling", "mix"),
+)
+def q77_mix_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-mix planner: compute the per-language sampling rate that
+    rebalances the corpus toward a uniform language mix (rate =
+    min(1, target/n) with target = total/|langs|), plus the planned
+    document and token budgets — the \"data recipe\" step that precedes
+    ``sampleBy`` (q56) in training-set construction. The per-language
+    totals are one partial+final aggregation; the global target is a
+    1-row broadcast joined back, so the plan is two tiny shuffles
+    regardless of corpus size."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    per_lang = docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(F.split(F.col("text"), " "))).alias("n_tokens"),
+    )
+    tot = per_lang.agg(
+        (F.sum("n_docs").cast("double") / F.count(F.lit(1))).alias("target_docs")
+    )
+    rate = F.round(F.least(F.lit(1.0), F.col("target_docs") / F.col("n_docs")), 6)
+    return per_lang.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        "n_docs",
+        "n_tokens",
+        rate.alias("sample_rate"),
+        F.round(
+            F.least(F.lit(1.0), F.col("target_docs") / F.col("n_docs"))
+            * F.col("n_docs")
+        )
+        .cast("bigint")
+        .alias("planned_docs"),
+        F.round(
+            F.least(F.lit(1.0), F.col("target_docs") / F.col("n_docs"))
+            * F.col("n_tokens")
+        )
+        .cast("bigint")
+        .alias("planned_tokens"),
+    )
