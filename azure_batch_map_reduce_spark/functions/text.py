@@ -9,7 +9,7 @@ oracle; both engines evaluate the *same* deterministic formulas.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession, functions as F
+from pyspark.sql import Column, DataFrame, SparkSession, Window, functions as F
 
 from azure_batch_map_reduce_spark.catalog import load_tables
 from azure_batch_map_reduce_spark.registry import query
@@ -282,4 +282,67 @@ def q56_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .between(0.10, 0.50)
             ).alias("frac_ok"),
         )
+    )
+
+
+@query(
+    "q78_tfidf_keywords",
+    oracle="""
+    WITH words AS (
+        SELECT source, unnest(string_split(text, ' ')) AS word FROM documents
+    ),
+    tf AS (
+        SELECT source, word, count(*) AS tf
+        FROM words GROUP BY source, word
+    ),
+    df AS (
+        SELECT word, count(DISTINCT source) AS df FROM words GROUP BY word
+    ),
+    n AS (SELECT count(DISTINCT source) AS n_sources FROM documents),
+    scored AS (
+        SELECT t.source, t.word,
+               round(t.tf * ln(CAST(n.n_sources AS DOUBLE) / d.df), 6) AS score
+        FROM tf t JOIN df d USING (word) CROSS JOIN n
+    ),
+    ranked AS (
+        SELECT source, word, score,
+               row_number() OVER (PARTITION BY source
+                                  ORDER BY score DESC, word ASC) AS rn
+        FROM scored
+    )
+    SELECT source, word, score, rn FROM ranked WHERE rn <= 3
+    """,
+    tags=("text", "tfidf", "keywords"),
+)
+def q78_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF keyword extraction: top-3 terms per source by
+    tf·ln(N/df), ties broken lexicographically — the signature/topic
+    summarization step of corpus curation (what does each crawl source
+    actually contain?). Term frequencies and document frequencies are
+    two partial+final aggregations over the exploded words; the df table
+    is words-sized (vocabulary, small) and broadcast back onto tf; the
+    final top-k is a per-source window. At 100 TB the vocabulary join
+    stays a broadcast (vocab ≪ corpus) and the explode never
+    materializes — it streams through the partial aggregation."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    words = docs.select("source", F.explode(F.split("text", " ")).alias("word"))
+    tf = words.groupBy("source", "word").agg(F.count(F.lit(1)).alias("tf"))
+    df = words.groupBy("word").agg(F.count_distinct("source").alias("df"))
+    n = docs.agg(F.count_distinct("source").alias("n_sources"))
+    scored = (
+        tf.join(F.broadcast(df), "word")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "source",
+            "word",
+            F.round(
+                F.col("tf") * F.log(F.col("n_sources").cast("double") / F.col("df")), 6
+            ).alias("score"),
+        )
+    )
+    win = Window.partitionBy("source").orderBy(F.col("score").desc(), F.col("word"))
+    return (
+        scored.withColumn("rn", F.row_number().over(win))
+        .filter(F.col("rn") <= 3)
+        .select("source", "word", "score", "rn")
     )
