@@ -331,3 +331,69 @@ def q73_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
         .limit(10)
     )
+
+
+@query(
+    "q79_retrieval_join",
+    oracle="""
+    WITH q AS (
+        SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qe
+        FROM embeddings WHERE vec_id = 7
+    ),
+    scored AS (
+        SELECT e.vec_id,
+               round(list_dot_product(list_transform(e.embedding, x -> CAST(x AS DOUBLE)), q.qe)
+                     / sqrt(list_dot_product(list_transform(e.embedding, x -> CAST(x AS DOUBLE)),
+                                             list_transform(e.embedding, x -> CAST(x AS DOUBLE)))
+                            * list_dot_product(q.qe, q.qe)), 6) AS cosine
+        FROM embeddings e CROSS JOIN q
+        WHERE e.vec_id <> 7
+    ),
+    topk AS (
+        SELECT vec_id, cosine FROM scored
+        ORDER BY cosine DESC, vec_id ASC LIMIT 5
+    )
+    SELECT t.vec_id, t.cosine, d.lang, d.source,
+           CAST(length(string_split(d.text, ' ')) AS BIGINT) AS n_tokens
+    FROM topk t JOIN documents d ON d.doc_id = t.vec_id
+    """,
+    tags=("similarity", "retrieval", "join"),
+)
+def q79_retrieval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end retrieval: cosine top-5 against a query vector, then
+    join the hit ids back to the `documents` table for text metadata —
+    the RAG-shaped scan→score→top-k→hydrate pipeline. The scoring side
+    never shuffles (map + TakeOrdered); hydration joins a 5-row result
+    against documents, which Catalyst turns into a broadcast join of the
+    TINY side — at 100 TB the big fact table is never moved, and with
+    doc_id-bucketed document storage the fetch is partition-pruned."""
+    tables = load_tables(spark, sf_dir)
+    emb, docs = tables["embeddings"], tables["documents"]
+    qv = emb.filter(F.col("vec_id") == 7).select(
+        _as_double(F.col("embedding")).alias("qe")
+    )
+    scored = (
+        emb.filter(F.col("vec_id") != 7)
+        .crossJoin(F.broadcast(qv))
+        .select(
+            "vec_id",
+            F.round(
+                _dot(_as_double(F.col("embedding")), F.col("qe"))
+                / F.sqrt(
+                    _dot(_as_double(F.col("embedding")), _as_double(F.col("embedding")))
+                    * _dot(F.col("qe"), F.col("qe"))
+                ),
+                6,
+            ).alias("cosine"),
+        )
+    )
+    topk = scored.orderBy(F.col("cosine").desc(), F.col("vec_id")).limit(5)
+    return F.broadcast(topk).join(
+        docs, topk["vec_id"] == docs["doc_id"]
+    ).select(
+        "vec_id",
+        "cosine",
+        "lang",
+        "source",
+        F.size(F.split("text", " ")).cast("bigint").alias("n_tokens"),
+    )
