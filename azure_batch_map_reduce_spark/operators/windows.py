@@ -226,3 +226,88 @@ def q36_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         "count(*) OVER (ORDER BY o_totalprice RANGE BETWEEN 1000.0 PRECEDING"
         " AND 1000.0 FOLLOWING) AS n_similar_price",
     )
+
+
+@query(
+    "q88_event_transitions",
+    oracle="""
+    WITH o AS (
+        SELECT user_id, event_type,
+               lead(event_type) OVER (PARTITION BY user_id
+                                      ORDER BY date_trunc('microseconds', ts),
+                                               event_id) AS next_type
+        FROM events
+    )
+    SELECT event_type, next_type, count(*) AS n
+    FROM o WHERE next_type IS NOT NULL
+    GROUP BY event_type, next_type
+    """,
+    tags=("window", "sequence", "events"),
+)
+def q88_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-transition matrix (first-order Markov counts): for each
+    user's time-ordered stream, count (event_type → next_event_type)
+    pairs via ``lead`` over a per-user window. Ordering tie-breaks on
+    ``event_id`` AFTER the µs-truncated timestamp so Spark (µs) and the
+    ns-native oracle sort identically. Per-user windows hash-partition
+    across executors (never a global sort); the transition rollup is a
+    25-key aggregate, all map-side combined."""
+    events = load_tables(spark, sf_dir)["events"]
+    win = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    o = events.select(
+        "user_id", "event_type", F.lead("event_type").over(win).alias("next_type")
+    )
+    return (
+        o.filter(F.col("next_type").isNotNull())
+        .groupBy("event_type", "next_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@query(
+    "q89_funnel_conversion",
+    oracle="""
+    WITH u AS (
+        SELECT user_id,
+               min(CASE WHEN event_type = 'signup'
+                        THEN date_trunc('microseconds', ts) END)   AS s_ts,
+               min(CASE WHEN event_type = 'view'
+                        THEN date_trunc('microseconds', ts) END)   AS v_ts,
+               min(CASE WHEN event_type = 'purchase'
+                        THEN date_trunc('microseconds', ts) END)   AS p_ts
+        FROM events GROUP BY user_id
+    )
+    SELECT count(*)                                          AS n_users,
+           count(s_ts)                                       AS n_signed_up,
+           count(CASE WHEN v_ts > s_ts THEN 1 END)           AS n_viewed_after,
+           count(CASE WHEN p_ts > v_ts AND v_ts > s_ts THEN 1 END)
+                                                             AS n_converted
+    FROM u
+    """,
+    tags=("aggregation", "funnel", "events"),
+)
+def q89_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel analysis signup → first view → first purchase: per user,
+    the earliest timestamp of each stage (conditional min — one
+    partial+final aggregation, no self-joins), then one global rollup
+    counting users that progressed through each stage *in order*. The
+    classic N-way self-join formulation would shuffle the events table
+    three times; conditional aggregation does it in one pass and scales
+    to any number of stages."""
+    events = load_tables(spark, sf_dir)["events"]
+    stage = lambda t: F.min(  # noqa: E731
+        F.when(F.col("event_type") == t, F.col("ts"))
+    )
+    u = events.groupBy("user_id").agg(
+        stage("signup").alias("s_ts"),
+        stage("view").alias("v_ts"),
+        stage("purchase").alias("p_ts"),
+    )
+    return u.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.count("s_ts").alias("n_signed_up"),
+        F.count(F.when(F.col("v_ts") > F.col("s_ts"), 1)).alias("n_viewed_after"),
+        F.count(
+            F.when((F.col("p_ts") > F.col("v_ts")) & (F.col("v_ts") > F.col("s_ts")), 1)
+        ).alias("n_converted"),
+    )
