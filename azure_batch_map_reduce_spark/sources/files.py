@@ -196,5 +196,33 @@ def _register_roundtrips() -> None:
             F.round(F.sum("o_totalprice"), 2).alias("total"),
         )
 
+    @query(
+        "q39_orc_roundtrip",
+        oracle="""
+        SELECT s_nationkey,
+               count(*) AS n_suppliers,
+               round(sum(s_acctbal), 2) AS total_bal
+        FROM supplier
+        GROUP BY s_nationkey
+        """,
+        tags=("source", "orc"),
+    )
+    def q39_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """ORC sink → ORC scan (the second columnar format beside
+        parquet; zlib-compressed, predicate-pushdown capable), proven
+        lossless by hash-matching the re-read copy's aggregate against
+        the original table's oracle. ORC shares parquet's scale posture:
+        column pruning and min/max stripe skipping reach the scan."""
+        supplier = load_tables(spark, sf_dir)["supplier"].select(
+            "s_suppkey", "s_nationkey", "s_acctbal"
+        )
+        d = _roundtrip_dir("orc")
+        supplier.write.mode("overwrite").orc(d)
+        back = spark.read.orc(d)
+        return back.groupBy("s_nationkey").agg(
+            F.count(F.lit(1)).alias("n_suppliers"),
+            F.round(F.sum("s_acctbal"), 2).alias("total_bal"),
+        )
+
 
 _register_roundtrips()
