@@ -135,3 +135,55 @@ def test_connected_components_consistent(spark, edges):
     for u, v in edges:
         assert labels[u] == labels[v]
     assert all(lbl <= n for n, lbl in labels.items())
+
+
+vec_st = st.lists(
+    st.floats(min_value=-10.0, max_value=10.0, allow_nan=False, width=32),
+    min_size=2,
+    max_size=16,
+)
+
+
+@given(vec=vec_st)
+@settings(**SETTINGS)
+def test_quantization_error_bounded_by_half_step(spark, vec):
+    # Int8 min/max-range quantization (q76) guarantees per-dimension
+    # reconstruction error ≤ scale/2 where scale = (max-min)/255 —
+    # round-to-nearest can be off by at most half a level.
+    df = spark.createDataFrame([Row(e=vec)], "e array<double>")
+    sc = (F.array_max("e") - F.array_min("e")) / 255.0
+    recon_err = F.transform(
+        F.col("e"),
+        lambda x: F.abs(
+            (F.round((x - F.array_min("e")) / sc) * sc + F.array_min("e")) - x
+        ),
+    )
+    row = df.select(
+        F.when(sc == 0, F.lit(0.0)).otherwise(F.array_max(recon_err)).alias("err"),
+        F.when(sc == 0, F.lit(0.0)).otherwise(sc).alias("sc"),
+    ).collect()[0]
+    assert row["err"] <= row["sc"] / 2 + 1e-12
+
+
+@given(ids=st.lists(st.integers(min_value=0, max_value=10**6), max_size=25))
+@settings(**SETTINGS)
+def test_md5_split_stable_under_reorder_and_growth(spark, ids):
+    # The q55 split assignment depends only on the id — shuffling row
+    # order or adding new rows never moves an existing id's bucket.
+    def buckets(id_list, parts):
+        if not id_list:
+            return {}
+        df = spark.createDataFrame(
+            [Row(doc_id=i) for i in id_list], "doc_id long"
+        ).repartition(parts)
+        b = (
+            F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+            .cast("long") % 100
+        )
+        return dict(
+            df.select("doc_id", b.alias("b")).distinct().rdd.map(tuple).collect()
+        )
+
+    base = buckets(ids, parts=1)
+    grown = buckets(ids + [10**6 + 1, 10**6 + 2], parts=4)
+    assert all(grown[i] == b for i, b in base.items())
