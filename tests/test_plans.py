@@ -209,3 +209,31 @@ def test_asof_helpers_agree_with_q27(spark, sf_dir):
             ).collect()
         )
         assert got == expected, impl.__name__
+
+
+def test_curation_queries_never_shuffle_the_big_side(spark, sf_dir):
+    # q74: the 8-row centroid table broadcasts; the corpus is map-only.
+    plan = plan_of(REGISTRY["q74_centroid_assign"].fn(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
+    # q79: hydration joins the 5-row top-k against documents broadcast —
+    # the documents fact table must not be exchanged for the join.
+    plan79 = plan_of(REGISTRY["q79_retrieval_join"].fn(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan79
+    assert "CartesianProduct" not in plan79
+
+
+def test_pii_scrub_is_map_only_before_rollup(spark, sf_dir):
+    # Exactly ONE exchange (the per-source rollup): redaction itself
+    # must not introduce a shuffle.
+    plan = plan_of(REGISTRY["q54_pii_scrub"].fn(spark, sf_dir))
+    n_exchanges = len(re.findall(r"Exchange hashpartitioning", plan))
+    assert n_exchanges == 1
+
+
+def test_contamination_join_is_equi_not_nested_loop(spark, sf_dir):
+    plan = plan_of(REGISTRY["q69_contamination_check"].fn(spark, sf_dir))
+    assert "NestedLoop" not in plan.replace("BroadcastNestedLoopJoin", "") \
+        or "BroadcastNestedLoopJoin" not in plan
+    # Gram matching must plan as a hash equi-join (broadcast or shuffled).
+    assert "HashJoin" in plan
