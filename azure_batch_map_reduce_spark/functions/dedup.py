@@ -223,6 +223,28 @@ def q62_minhash_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return neardup_pairs(docs)
 
 
+def _band_frame(mh: DataFrame) -> DataFrame:
+    """(doc_id, band, bkey) LSH band keys from a signature table.
+
+    Bands via explode of an inline array — ONE pass over mh; a union of
+    per-band selects would recompute the whole minhash subtree N_BANDS
+    times (Spark unions don't share common subplans)."""
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.concat_ws(
+                    "_", *[f"m{b * ROWS_PER_BAND + r}" for r in range(ROWS_PER_BAND)]
+                ).alias("bkey"),
+            )
+            for b in range(N_BANDS)
+        ]
+    )
+    return mh.select("doc_id", F.explode(band_structs).alias("bb")).select(
+        "doc_id", F.col("bb.band").alias("band"), F.col("bb.bkey").alias("bkey")
+    )
+
+
 def neardup_pairs(docs: DataFrame) -> DataFrame:
     """(doc_a, doc_b, jaccard) near-duplicate pairs at jaccard ≥ 0.8 via
     the MinHash/LSH pipeline described in :func:`q62_minhash_lsh_neardup`."""
@@ -242,23 +264,7 @@ def neardup_pairs(docs: DataFrame) -> DataFrame:
     mh = ids.groupBy("doc_id").agg(*_minhash_exprs(F.col("wid"))).persist()
     w = tri.groupBy("doc_id").agg(F.collect_set("s").alias("sh")).persist()
 
-    # Bands via explode of an inline array — ONE pass over mh; a union of
-    # per-band selects would recompute the whole minhash subtree N_BANDS
-    # times (Spark unions don't share common subplans).
-    band_structs = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band"),
-                F.concat_ws(
-                    "_", *[f"m{b * ROWS_PER_BAND + r}" for r in range(ROWS_PER_BAND)]
-                ).alias("bkey"),
-            )
-            for b in range(N_BANDS)
-        ]
-    )
-    bands = mh.select("doc_id", F.explode(band_structs).alias("bb")).select(
-        "doc_id", F.col("bb.band").alias("band"), F.col("bb.bkey").alias("bkey")
-    )
+    bands = _band_frame(mh)
 
     a, b_ = bands.alias("a"), bands.alias("b")
     cand = (
@@ -671,4 +677,82 @@ def q68_simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         cand.withColumn("hamming", hamming)
         .filter(F.col("hamming") <= 3)
         .select("doc_a", "doc_b", "hamming")
+    )
+
+
+_INCR_BANDS_SQL = " UNION ALL ".join(
+    f"SELECT doc_id, {b} AS band, {_band_key_sql(b)} AS bkey FROM mh"
+    for b in range(N_BANDS)
+)
+
+
+@query(
+    "q100_incremental_neardup",
+    oracle=f"""
+    WITH {_SHINGLE_CTE},
+    bands AS ({_INCR_BANDS_SQL}),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS batch_doc, b.doc_id AS other_doc
+        FROM bands a JOIN bands b
+          ON a.band = b.band AND a.bkey = b.bkey
+         AND a.doc_id % 10 = 7
+         AND b.doc_id <> a.doc_id
+         AND NOT (b.doc_id % 10 = 7 AND b.doc_id < a.doc_id)
+    )
+    SELECT batch_doc, other_doc, jaccard FROM (
+        SELECT c.batch_doc, c.other_doc,
+               round(CAST(length(list_intersect(wa.sh, wb.sh)) AS DOUBLE)
+                     / length(list_distinct(list_concat(wa.sh, wb.sh))), 4) AS jaccard
+        FROM cand c
+        JOIN w wa ON wa.doc_id = c.batch_doc
+        JOIN w wb ON wb.doc_id = c.other_doc
+    ) WHERE jaccard >= 0.8
+    """,
+    tags=("dedup", "minhash", "incremental"),
+)
+def q100_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental near-dup detection — the ingestion-time shape: a new
+    batch (docs with ``doc_id % 10 = 7``, ~10%) is checked against the
+    existing corpus AND within itself, without recomputing corpus×corpus
+    pairs. Only batch-side band keys probe the index, so per-ingest cost
+    is O(batch × bucket-mates), not O(corpus²); batch-batch pairs are
+    oriented ``a < b`` once, batch-index pairs keep the batch doc first.
+    In production the index signatures (``mh``) and shingle sets (``w``)
+    are precomputed tables maintained by each ingest — here both sides
+    are derived in-query so the oracle can replay them."""
+    docs = _spread(load_tables(spark, sf_dir)["documents"], "doc_id")
+    tri = _trigram_rows(docs)
+    ids = tri.select("doc_id", _hash48(F.col("s")).alias("wid"))
+    mh = ids.groupBy("doc_id").agg(*_minhash_exprs(F.col("wid"))).persist()
+    w = tri.groupBy("doc_id").agg(F.collect_set("s").alias("sh")).persist()
+
+    bands = _band_frame(mh)
+    is_batch = lambda c: c % 10 == 7  # noqa: E731
+    a = bands.filter(is_batch(F.col("doc_id"))).alias("a")
+    b_ = bands.alias("b")
+    cand = (
+        a.join(
+            b_,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bkey") == F.col("b.bkey"))
+            & (F.col("b.doc_id") != F.col("a.doc_id"))
+            & ~(is_batch(F.col("b.doc_id")) & (F.col("b.doc_id") < F.col("a.doc_id"))),
+        )
+        .select(
+            F.col("a.doc_id").alias("batch_doc"), F.col("b.doc_id").alias("other_doc")
+        )
+        .distinct()
+    )
+    wa = w.select(F.col("doc_id").alias("batch_doc"), F.col("sh").alias("sh_a"))
+    wb = w.select(F.col("doc_id").alias("other_doc"), F.col("sh").alias("sh_b"))
+    jac = F.round(
+        F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+        / F.size(F.array_union("sh_a", "sh_b")),
+        4,
+    )
+    return (
+        cand.join(wa, "batch_doc")
+        .join(wb, "other_doc")
+        .select("batch_doc", "other_doc", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= 0.8)
     )
