@@ -338,3 +338,76 @@ def q48_explode_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n").desc(), F.col("word").asc())
         .limit(20)
     )
+
+
+@query(
+    "q101_corrupt_tolerant_json",
+    oracle="""
+    WITH seeded AS (
+        SELECT source, doc_id,
+               CASE WHEN doc_id % 7 = 3
+                    THEN '{"id":' || CAST(doc_id AS VARCHAR) || ' OOPS'
+                    ELSE '{"id":' || CAST(doc_id AS VARCHAR)
+                         || ',"lang":"' || lang || '"}'
+               END AS payload
+        FROM documents
+    )
+    SELECT source,
+           count(*) AS n_rows,
+           CAST(sum(CASE WHEN json_valid(payload) THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_parsed,
+           CAST(sum(CASE WHEN NOT json_valid(payload) THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_corrupt,
+           CAST(sum(CASE WHEN json_valid(payload)
+                    THEN CAST(json_extract(payload, '$.id') AS BIGINT) END) AS BIGINT)
+               AS id_checksum
+    FROM seeded
+    GROUP BY source
+    """,
+    tags=("json", "robustness", "ingest"),
+)
+def q101_corrupt_tolerant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corrupt-record-tolerant JSON ingestion: a deterministic ~14% of
+    payloads are malformed (truncated mid-object, seeded by doc_id so
+    the oracle reconstructs the exact same corruption); ``from_json``
+    in its default PERMISSIVE mode yields NULL for those rows instead of
+    failing the job, and the query accounts for every record — parsed
+    count, corrupt count, and a checksum over successfully-parsed ids
+    proving the good rows parsed *correctly*, not just non-null. This is
+    the expression-level twin of ``spark.read.json``'s
+    PERMISSIVE/_corrupt_record file path: at 100 TB a single bad record
+    must never kill a 1000-executor ingest, and the corrupt count is the
+    data-quality metric ops teams alert on."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    payload = F.when(
+        F.col("doc_id") % 7 == 3,
+        F.concat(F.lit('{"id":'), F.col("doc_id").cast("string"), F.lit(" OOPS")),
+    ).otherwise(
+        F.concat(
+            F.lit('{"id":'),
+            F.col("doc_id").cast("string"),
+            F.lit(',"lang":"'),
+            F.col("lang"),
+            F.lit('"}'),
+        )
+    )
+    seeded = docs.select("source", payload.alias("payload"))
+    # PERMISSIVE from_json yields a struct with null fields for corrupt
+    # input (never a null struct); the _corrupt_record column carries the
+    # raw text for exactly the malformed rows — the same contract as
+    # spark.read.json's columnNameOfCorruptRecord.
+    parsed = seeded.withColumn(
+        "p",
+        F.from_json(
+            "payload",
+            "id BIGINT, lang STRING, _corrupt_record STRING",
+            {"columnNameOfCorruptRecord": "_corrupt_record"},
+        ),
+    )
+    bad = F.col("p._corrupt_record").isNotNull()
+    return parsed.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum((~bad).cast("bigint")).alias("n_parsed"),
+        F.sum(bad.cast("bigint")).alias("n_corrupt"),
+        F.sum(F.when(~bad, F.col("p.id"))).alias("id_checksum"),
+    )
