@@ -520,3 +520,44 @@ def q77_mix_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("planned_tokens"),
     )
+
+
+@query(
+    "q102_reservoir_per_group",
+    oracle="""
+    WITH keyed AS (
+        SELECT lang, doc_id, n_chars,
+               row_number() OVER (
+                   PARTITION BY lang
+                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+        FROM documents
+    )
+    SELECT lang, doc_id, CAST(n_chars AS BIGINT) AS n_chars, rn
+    FROM keyed WHERE rn <= 5
+    """,
+    tags=("curation", "sampling", "reservoir"),
+)
+def q102_reservoir_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-group reservoir: exactly 5 documents per
+    language, selected by ranking on an id hash — the eval-set selection
+    primitive. Unlike ``sampleBy`` (fraction-based, q56) this yields an
+    EXACT count per stratum, and unlike a true random reservoir it is
+    reproducible: the same ids win under any partitioning, row order, or
+    corpus growth that doesn't add smaller hashes. The window
+    partitions by group, so at scale each stratum ranks independently
+    across executors; for extreme per-group cardinality you'd pre-filter
+    with an approximate hash-threshold first (rank only the candidates
+    below it) to keep the sort input tiny."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    win = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    return (
+        docs.select(
+            "lang",
+            "doc_id",
+            F.col("n_chars").cast("bigint").alias("n_chars"),
+            F.row_number().over(win).alias("rn"),
+        )
+        .filter(F.col("rn") <= 5)
+    )
