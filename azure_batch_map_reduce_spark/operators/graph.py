@@ -1,0 +1,151 @@
+"""Iterative graph analytics on DataFrames: weighted PageRank over the
+nation-level trade graph (customer nation → supplier nation, weighted by
+line-item count).
+
+The reference's dataflow vocabulary is a single map→barrier→reduce pass
+(``Program.cs:322-387``); iterative algorithms are that pass *in a
+loop* — each PageRank iteration is one join (ranks onto edges) plus one
+aggregation (incoming mass per destination), exactly the L5/L7/L9 cycle
+repeated. Connected components (``functions/dedup.py``) already covers
+data-dependent iteration counts; PageRank here is the fixed-iteration
+archetype with float state.
+
+Scale posture: the edge table is partitioned by ``src`` and persisted
+once — every iteration reuses the same partitioning, so the per-round
+shuffle moves only the (nodes × 8 bytes) rank vector, never the edges.
+Rank vectors are tiny relative to edges (nodes ≪ edges); Spark
+broadcasts them onto the edge partitions automatically. The dangling-
+mass term is a 1-row aggregate cross-joined back, so no per-round
+driver-side collect touches the data path. The rank vector is
+``localCheckpoint``-ed each round to truncate lineage — the analyzed
+plan would otherwise grow geometrically with iterations; only the
+(|nodes|)-row vector materializes, never the edges.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from azure_batch_map_reduce_spark.catalog import load_tables
+from azure_batch_map_reduce_spark.registry import query
+
+DAMPING = 0.85
+N_ITER = 10
+
+_EDGES_SQL = """
+    edges AS MATERIALIZED (
+        SELECT c.c_nationkey AS src, s.s_nationkey AS dst, count(*) AS w
+        FROM lineitem l
+        JOIN orders o   ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey  = c.c_custkey
+        JOIN supplier s ON l.l_suppkey  = s.s_suppkey
+        GROUP BY c.c_nationkey, s.s_nationkey
+    ),
+    nodes AS MATERIALIZED (SELECT n_nationkey AS node FROM nation),
+    nn AS MATERIALIZED (SELECT count(*) AS n FROM nodes),
+    outw AS MATERIALIZED (SELECT src, CAST(sum(w) AS DOUBLE) AS ow FROM edges GROUP BY src)
+"""
+
+
+def _pagerank_sql() -> str:
+    """10 unrolled iterations (recursive CTEs can't aggregate in the
+    recursive term, so fixed unrolling is the portable formulation).
+    Every CTE is MATERIALIZED: each r{k+1} references r{k} twice (mass
+    propagation + dangling term), so inlining would grow the plan 2^10
+    — DuckDB's optimizer times out minutes deep at sf0.001 without the
+    hint, with it the whole chain runs in well under a second."""
+    ctes = [
+        _EDGES_SQL,
+        "r0 AS MATERIALIZED (SELECT node, 1.0 / (SELECT n FROM nn) AS r FROM nodes)",
+    ]
+    for k in range(N_ITER):
+        prev, cur = f"r{k}", f"r{k + 1}"
+        ctes.append(f"""
+    {cur} AS MATERIALIZED (
+        SELECT n.node,
+               (1 - {DAMPING}) / (SELECT n FROM nn)
+               + {DAMPING} * (
+                   coalesce(inc.s, 0)
+                   + (SELECT coalesce(sum(p.r), 0) FROM {prev} p
+                      LEFT JOIN outw o ON o.src = p.node WHERE o.src IS NULL)
+                     / (SELECT n FROM nn)
+               ) AS r
+        FROM nodes n
+        LEFT JOIN (
+            SELECT e.dst AS node, sum(p.r * e.w / o.ow) AS s
+            FROM edges e
+            JOIN {prev} p ON p.node = e.src
+            JOIN outw o   ON o.src  = e.src
+            GROUP BY e.dst
+        ) inc ON inc.node = n.node
+    )""")
+    return f"""
+    WITH {",".join(ctes)}
+    SELECT nt.n_name AS nation, round(r.r, 6) AS pagerank
+    FROM r{N_ITER} r JOIN nation nt ON nt.n_nationkey = r.node
+    """
+
+
+@query(
+    "q103_pagerank",
+    oracle=_pagerank_sql(),
+    tags=("graph", "iterative", "pagerank"),
+)
+def q103_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted PageRank (damping 0.85, 10 iterations) over the
+    customer-nation → supplier-nation trade graph: which nations sit at
+    the center of the supply network. Demonstrates the iterative
+    DataFrame pattern — per round one join of the rank vector onto the
+    partition-stable edge table plus one aggregation, with the
+    dangling-node mass folded in as a lazy 1-row cross join and the
+    rank vector checkpointed per round to keep plan analysis O(1)."""
+    t = load_tables(spark, sf_dir)
+    edges = (
+        t["lineitem"]
+        .join(t["orders"], t["lineitem"].l_orderkey == t["orders"].o_orderkey)
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
+        .join(t["supplier"], F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy(
+            F.col("c_nationkey").alias("src"), F.col("s_nationkey").alias("dst")
+        )
+        .agg(F.count(F.lit(1)).alias("w"))
+        .repartition("src")
+        .persist()
+    )
+    nodes = t["nation"].select(F.col("n_nationkey").alias("node"))
+    n_nodes = nodes.count()  # driver scalar once; node set is tiny by definition
+    outw = edges.groupBy("src").agg(F.sum("w").cast("double").alias("ow"))
+
+    ranks = nodes.select("node", F.lit(1.0 / n_nodes).alias("r"))
+    for _ in range(N_ITER):
+        inc = (
+            edges.join(ranks, edges["src"] == ranks["node"])
+            .join(outw, "src")
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum(F.col("r") * F.col("w") / F.col("ow")).alias("s"))
+        )
+        dangling = (
+            ranks.join(outw, ranks["node"] == outw["src"], "left_anti")
+            .agg(F.coalesce(F.sum("r"), F.lit(0.0)).alias("dang"))
+        )
+        ranks = (
+            nodes.join(inc, "node", "left")
+            .crossJoin(F.broadcast(dangling))
+            .select(
+                "node",
+                (
+                    F.lit((1 - DAMPING) / n_nodes)
+                    + DAMPING
+                    * (F.coalesce("s", F.lit(0.0)) + F.col("dang") / n_nodes)
+                ).alias("r"),
+            )
+            # Truncate lineage every round: without this the analyzed
+            # plan (and Catalyst's analysis time) grows geometrically
+            # with iterations — the classic iterative-DataFrame trap.
+            # The checkpoint materializes only the rank vector (|nodes|
+            # rows), never the edges.
+            .localCheckpoint(eager=True)
+        )
+    return ranks.join(
+        t["nation"], ranks["node"] == t["nation"]["n_nationkey"]
+    ).select(F.col("n_name").alias("nation"), F.round("r", 6).alias("pagerank"))

@@ -52,6 +52,7 @@ def load_all() -> dict[str, Query]:
     # Imports are side-effectful (decorators populate REGISTRY).
     from azure_batch_map_reduce_spark.operators import (  # noqa: F401
         etl,
+        graph,
         relational,
         joins,
         windows,
