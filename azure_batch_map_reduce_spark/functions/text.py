@@ -346,3 +346,115 @@ def q78_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 3)
         .select("source", "word", "score", "rn")
     )
+
+
+# BM25 parameters (Robertson/Okapi defaults).
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+_BM25_TERMS = ("data", "model", "training")
+
+
+def _bm25_oracle() -> str:
+    """BM25 scoring in ANSI/DuckDB SQL: same tokenization (lowercase,
+    non-alpha split, empties dropped) and the same closed-form score as
+    the Spark side, so both engines compute identical doubles."""
+    tf_cols = ",\n               ".join(
+        f"len(list_filter(toks, x -> x = '{t}')) AS tf_{t}" for t in _BM25_TERMS
+    )
+    score_terms = " + ".join(
+        f"""(ln((stats.n_docs - stats.df_{t} + 0.5) / (stats.df_{t} + 0.5) + 1)
+             * d.tf_{t} * ({_BM25_K1} + 1)
+             / (d.tf_{t} + {_BM25_K1} * (1 - {_BM25_B} + {_BM25_B} * d.dl / stats.avgdl)))"""
+        for t in _BM25_TERMS
+    )
+    df_cols = ", ".join(
+        f"sum(CASE WHEN tf_{t} > 0 THEN 1 ELSE 0 END) AS df_{t}" for t in _BM25_TERMS
+    )
+    return f"""
+    WITH toked AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '[^a-z]+'), x -> x <> '') AS toks
+        FROM documents
+    ),
+    d AS (
+        SELECT doc_id, len(toks) AS dl,
+               {tf_cols}
+        FROM toked
+    ),
+    stats AS (
+        SELECT count(*) AS n_docs, avg(CAST(dl AS DOUBLE)) AS avgdl, {df_cols}
+        FROM d
+    )
+    SELECT d.doc_id, round({score_terms}, 6) AS bm25
+    FROM d CROSS JOIN stats
+    WHERE {" + ".join(f"d.tf_{t}" for t in _BM25_TERMS)} > 0
+    ORDER BY bm25 DESC, d.doc_id ASC
+    LIMIT 10
+    """
+
+
+@query(
+    "q107_bm25_retrieval",
+    oracle=_bm25_oracle(),
+    tags=("text", "retrieval", "bm25", "ranking"),
+)
+def q107_bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 (k1=1.2, b=0.75) lexical retrieval for the fixed query
+    {data, model, training}: top-10 documents by score. Complements
+    q78's TF-IDF (corpus keywording) and q79's dense retrieval with the
+    standard sparse-ranking baseline.
+
+    Scale posture: term frequencies come from `filter()` over the
+    token array per fixed query term — map-side higher-order functions,
+    no explode/shuffle of tokens. Corpus stats (N, avgdl, per-term df)
+    are ONE 1-row aggregate broadcast back; scoring is then pure
+    map-side math and the top-10 is TakeOrdered. Two scans of
+    `documents` total (stats + score), zero data-sized shuffles.
+    """
+    docs = load_tables(spark, sf_dir)["documents"]
+    toks = F.filter(
+        F.split(F.lower(F.col("text")), "[^a-z]+"), lambda x: x != F.lit("")
+    )
+
+    def eq(term):  # 1-arg lambda: a 2-arg signature would mean (elem, index)
+        return lambda x: x == F.lit(term)
+
+    d = docs.select(
+        "doc_id",
+        F.size(toks).alias("dl"),
+        *[F.size(F.filter(toks, eq(t))).alias(f"tf_{t}") for t in _BM25_TERMS],
+    )
+    stats = d.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.avg(F.col("dl").cast("double")).alias("avgdl"),
+        *[
+            F.sum((F.col(f"tf_{t}") > 0).cast("long")).alias(f"df_{t}")
+            for t in _BM25_TERMS
+        ],
+    )
+    idf = {
+        t: F.log(
+            (F.col("n_docs") - F.col(f"df_{t}") + 0.5) / (F.col(f"df_{t}") + 0.5) + 1
+        )
+        for t in _BM25_TERMS
+    }
+    score = None
+    for t in _BM25_TERMS:
+        tf = F.col(f"tf_{t}")
+        part = (
+            idf[t]
+            * tf
+            * (_BM25_K1 + 1)
+            / (tf + _BM25_K1 * (1 - _BM25_B + _BM25_B * F.col("dl") / F.col("avgdl")))
+        )
+        score = part if score is None else score + part
+    any_tf = None
+    for t in _BM25_TERMS:
+        any_tf = F.col(f"tf_{t}") if any_tf is None else any_tf + F.col(f"tf_{t}")
+    return (
+        d.crossJoin(F.broadcast(stats))
+        .where(any_tf > 0)
+        .select("doc_id", F.round(score, 6).alias("bm25"))
+        .orderBy(F.desc("bm25"), F.asc("doc_id"))
+        .limit(10)
+    )

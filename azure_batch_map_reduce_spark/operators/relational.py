@@ -646,3 +646,64 @@ def q38_mergeable_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("frac_le_med").between(0.4, 0.6).alias("med_ok"),
         )
     )
+
+
+@query(
+    "q106_equiwidth_histogram",
+    oracle="""
+    WITH b AS (
+        SELECT min(o_totalprice) AS lo, max(o_totalprice) AS hi FROM orders
+    ),
+    binned AS (
+        SELECT CAST(least(floor((o_totalprice - b.lo) / ((b.hi - b.lo) / 20)), 19)
+                    AS INTEGER) AS bin
+        FROM orders CROSS JOIN b
+    )
+    SELECT n.bin,
+           round(b.lo + n.bin       * (b.hi - b.lo) / 20, 6) AS bin_lo,
+           round(b.lo + (n.bin + 1) * (b.hi - b.lo) / 20, 6) AS bin_hi,
+           CAST(coalesce(c.cnt, 0) AS BIGINT) AS cnt
+    FROM (SELECT unnest(generate_series(0, 19)) AS bin) n
+    CROSS JOIN b
+    LEFT JOIN (SELECT bin, count(*) AS cnt FROM binned GROUP BY bin) c
+           ON c.bin = n.bin
+    """,
+    tags=("aggregation", "histogram", "profiling"),
+)
+def q106_equiwidth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width 20-bin histogram of o_totalprice, empty bins included.
+    Two passes: a 1-row min/max bounds aggregate, then a map-side bin
+    assignment + count. The bounds are broadcast onto the scan via
+    cross join, the bin grid is sequence()+explode (metadata-sized),
+    and the per-bin counts (≤20 rows post-agg) are broadcast onto the
+    grid — the only data-sized shuffle is the partial→final bin count.
+    """
+    o = load_tables(spark, sf_dir)["orders"]
+    b = o.agg(
+        F.min("o_totalprice").alias("lo"), F.max("o_totalprice").alias("hi")
+    )
+    width = (F.col("hi") - F.col("lo")) / 20
+    counts = (
+        o.crossJoin(F.broadcast(b))
+        .select(
+            F.least(
+                F.floor((F.col("o_totalprice") - F.col("lo")) / width), F.lit(19)
+            )
+            .cast("int")
+            .alias("bin")
+        )
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    grid = b.select(
+        F.explode(F.sequence(F.lit(0), F.lit(19))).alias("bin"), "lo", "hi"
+    )
+    return (
+        grid.join(F.broadcast(counts), "bin", "left")
+        .select(
+            "bin",
+            F.round(F.col("lo") + F.col("bin") * width, 6).alias("bin_lo"),
+            F.round(F.col("lo") + (F.col("bin") + 1) * width, 6).alias("bin_hi"),
+            F.coalesce("cnt", F.lit(0)).alias("cnt"),
+        )
+    )

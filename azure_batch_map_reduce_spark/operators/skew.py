@@ -141,3 +141,55 @@ def q19_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             "revenue"
         ),
     )
+
+
+@query(
+    "q105_key_skew_profile",
+    oracle="""
+    WITH per_key AS (
+        SELECT l_suppkey AS key, count(*) AS cnt
+        FROM lineitem GROUP BY l_suppkey
+    ),
+    tot AS (SELECT CAST(sum(cnt) AS DOUBLE) AS total, count(*) AS n_keys FROM per_key)
+    SELECT p.key, p.cnt,
+           round(p.cnt / t.total, 6) AS share,
+           round(p.cnt * t.n_keys / t.total, 6) AS skew_factor
+    FROM per_key p CROSS JOIN tot t
+    ORDER BY p.cnt DESC, p.key ASC
+    LIMIT 20
+    """,
+    tags=("skew", "profiling", "diagnostics"),
+)
+def q105_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-key skew diagnostic: the 20 heaviest l_suppkey hitters
+    with their share of all rows and skew factor (count ÷ mean count —
+    1.0 is perfectly uniform). This is the profiling pass you run
+    BEFORE choosing a salting factor for q19-style salted joins: the
+    max skew_factor bounds the useful salt fan-out.
+
+    Scale posture: one partial→final count per key, then a 1-row total
+    aggregate broadcast back via cross join (never a global window,
+    which would funnel every key through one task). The top-20 is
+    TakeOrdered — per-partition heaps, no global sort materialization.
+    """
+    li = load_tables(spark, sf_dir)["lineitem"]
+    per_key = li.groupBy(F.col("l_suppkey").alias("key")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    tot = per_key.agg(
+        F.sum("cnt").cast("double").alias("total"),
+        F.count(F.lit(1)).alias("n_keys"),
+    )
+    return (
+        per_key.crossJoin(F.broadcast(tot))
+        .select(
+            "key",
+            "cnt",
+            F.round(F.col("cnt") / F.col("total"), 6).alias("share"),
+            F.round(F.col("cnt") * F.col("n_keys") / F.col("total"), 6).alias(
+                "skew_factor"
+            ),
+        )
+        .orderBy(F.desc("cnt"), F.asc("key"))
+        .limit(20)
+    )

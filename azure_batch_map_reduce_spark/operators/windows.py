@@ -311,3 +311,138 @@ def q89_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when((F.col("p_ts") > F.col("v_ts")) & (F.col("v_ts") > F.col("s_ts")), 1)
         ).alias("n_converted"),
     )
+
+
+@query(
+    "q104_gapfill_resample",
+    oracle="""
+    WITH bounds AS (
+        SELECT date_trunc('hour', min(ts)) AS lo, date_trunc('hour', max(ts)) AS hi
+        FROM events
+    ),
+    grid AS (
+        SELECT et.event_type, d.hour
+        FROM (SELECT DISTINCT event_type FROM events) et
+        CROSS JOIN (
+            SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hour
+            FROM bounds
+        ) d
+    ),
+    hourly AS (
+        SELECT event_type, date_trunc('hour', ts) AS hour,
+               count(*) AS n, avg(value) AS v
+        FROM events GROUP BY 1, 2
+    )
+    SELECT g.event_type, g.hour,
+           CAST(coalesce(h.n, 0) AS BIGINT) AS n_events,
+           round(last_value(h.v IGNORE NULLS) OVER (
+               PARTITION BY g.event_type ORDER BY g.hour
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6
+           ) AS avg_value_ffill
+    FROM grid g
+    LEFT JOIN hourly h ON h.event_type = g.event_type AND h.hour = g.hour
+    """,
+    tags=("window", "timeseries", "gapfill", "resample"),
+)
+def q104_gapfill_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series resample + gap-fill: hourly event counts per
+    event_type on a continuous hour grid (global min..max), missing
+    hours zero-filled and the hourly mean value forward-filled
+    (last-observation-carried-forward) — the standard shape for turning
+    an irregular event stream into a regular training series.
+
+    Scale posture: the only data-sized shuffle is the (event_type, hour)
+    aggregation, which Catalyst plans partial→final. The hour grid is
+    sequence()+explode over a 1-row bounds aggregate cross-joined with
+    the distinct type set. The grid is the preserved side of the outer
+    join so it cannot be the broadcast build side — instead the *post-
+    aggregation* hourly table is broadcast: after the agg it is bounded
+    by (types × hours), metadata-sized no matter the input volume. The
+    forward-fill window scans the *grid*, not the events, so its cost is
+    O(types × hours) regardless of data volume; at 100 TB the grain
+    count, not the row count, bounds it.
+    """
+    ev = load_tables(spark, sf_dir)["events"]
+    bounds = ev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    grid = (
+        bounds.select(
+            F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))).alias("hour")
+        )
+        .crossJoin(ev.select("event_type").distinct())
+    )
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("hour")
+    ).agg(F.count(F.lit(1)).alias("n"), F.avg("value").alias("v"))
+    ffill = Window.partitionBy("event_type").orderBy("hour").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return (
+        grid
+        .join(F.broadcast(hourly), ["event_type", "hour"], "left")
+        .select(
+            "event_type",
+            "hour",
+            F.coalesce("n", F.lit(0)).alias("n_events"),
+            F.round(F.last("v", ignorenulls=True).over(ffill), 6).alias(
+                "avg_value_ffill"
+            ),
+        )
+    )
+
+
+@query(
+    "q108_time_weighted_avg",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, value,
+               lead(epoch_us(ts)) OVER (
+                   PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+               ) - epoch_us(ts) AS dur_us
+        FROM events
+    )
+    SELECT user_id,
+           round(sum(value * dur_us) / sum(dur_us), 6) AS twap,
+           CAST(count(*) AS BIGINT) AS n_intervals
+    FROM seq
+    WHERE dur_us IS NOT NULL
+    GROUP BY user_id
+    HAVING sum(dur_us) > 0
+    """,
+    tags=("window", "timeseries", "twap"),
+)
+def q108_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user time-weighted average of `value`: each observation is
+    weighted by how long it was current (microseconds until the user's
+    next event; the open-ended last observation carries no weight) —
+    the standard irregular-sampling average for sensor/price streams,
+    where a plain avg() over-counts bursts.
+
+    Scale posture: one window (partitioned by user_id, never global)
+    to fetch the next-event timestamp, then a partial→final agg on the
+    same key — AQE can even reuse the window's hash partitioning for
+    the groupBy, so the whole thing is a single user_id shuffle.
+    Ordering includes event_id as tiebreak so duplicate timestamps
+    yield deterministic durations under any partitioning.
+    """
+    ev = load_tables(spark, sf_dir)["events"]
+    w = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+    us = F.unix_micros(F.col("ts"))
+    seq = ev.select(
+        "user_id",
+        "value",
+        (F.lead(us).over(w) - us).alias("dur_us"),
+    )
+    return (
+        seq.where(F.col("dur_us").isNotNull())
+        .groupBy("user_id")
+        .agg(
+            F.round(
+                F.sum(F.col("value") * F.col("dur_us")) / F.sum("dur_us"), 6
+            ).alias("twap"),
+            F.count(F.lit(1)).alias("n_intervals"),
+        )
+        .where(F.col("twap").isNotNull())
+    )
