@@ -561,3 +561,47 @@ def q102_reservoir_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("rn") <= 5)
     )
+
+
+@query(
+    "q112_priority_sample",
+    oracle="""
+    SELECT doc_id, n_chars,
+           round(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 17, 8))::BIGINT
+                      AS DOUBLE) / n_chars, 6) AS priority
+    FROM documents
+    WHERE n_chars > 0
+    ORDER BY CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 17, 8))::BIGINT
+                  AS DOUBLE) / n_chars ASC,
+             doc_id ASC
+    LIMIT 20
+    """,
+    tags=("curation", "sampling", "weighted"),
+)
+def q112_priority_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling by priority (Duffield–Lund–Thorup): each
+    document gets priority u/w — u a deterministic uniform from an md5
+    window over doc_id (bytes 17–24, independent of the q55 split and
+    q75 shard windows), w its length — and the k smallest priorities
+    form a size-k sample with inclusion probability ∝ weight. Unlike
+    pow/log-based A-Res keys, u/w is ONE IEEE division, bit-identical
+    across engines, so the sample is reproducible anywhere.
+
+    Scale posture: priority is map-side hash math; the top-k is
+    TakeOrdered (per-partition heaps, no global sort). Rerunning on a
+    grown corpus keeps every previously-sampled doc whose priority
+    still clears the new threshold — the consistent-sampling property
+    that makes incremental re-sampling cheap.
+    """
+    docs = load_tables(spark, sf_dir)["documents"]
+    u = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 17, 8), 16, 10
+    ).cast("double")
+    prio = u / F.col("n_chars")
+    return (
+        docs.where(F.col("n_chars") > 0)
+        .select("doc_id", "n_chars", prio.alias("prio"))
+        .orderBy(F.asc("prio"), F.asc("doc_id"))
+        .limit(20)
+        .select("doc_id", "n_chars", F.round("prio", 6).alias("priority"))
+    )

@@ -756,3 +756,55 @@ def q100_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("batch_doc", "other_doc", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= 0.8)
     )
+
+
+@query(
+    "q111_fuzzy_blocked_join",
+    oracle="""
+    WITH names AS (SELECT DISTINCT p_name FROM part),
+    blocked AS (
+        SELECT p_name, split_part(p_name, ' ', 2) AS blk FROM names
+    )
+    SELECT a.p_name AS name_a, b.p_name AS name_b,
+           CAST(levenshtein(a.p_name, b.p_name) AS INTEGER) AS dist
+    FROM blocked a
+    JOIN blocked b ON a.blk = b.blk AND a.p_name < b.p_name
+    WHERE levenshtein(a.p_name, b.p_name) <= 4
+    """,
+    tags=("dedup", "fuzzy", "join", "blocking"),
+)
+def q111_fuzzy_blocked_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy string self-join with blocking — the record-linkage
+    primitive: candidate part-name pairs within edit distance 4,
+    restricted to pairs sharing a block key (the name's noun, its
+    second token) so the quadratic comparison never crosses blocks.
+    Canonical ordering (a < b) emits each pair once.
+
+    Scale posture: the match runs on the DISTINCT name set, not the raw
+    rows — dedup first, then link, is what bounds the pair space. The
+    equi-join on the block key is an ordinary hash join; the
+    levenshtein residual evaluates only within blocks, so cost is
+    Σ block² instead of N². Hot blocks are the skew risk — the q105
+    profile tells you which, and salting or a length sub-key splits
+    them. Levenshtein is JVM-side codegen, no Python in the pair loop.
+    """
+    part = load_tables(spark, sf_dir)["part"]
+    names = part.select("p_name").distinct()
+    blocked = names.select(
+        "p_name", F.split_part(F.col("p_name"), F.lit(" "), F.lit(2)).alias("blk")
+    )
+    a = blocked.alias("a")
+    b = blocked.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.blk") == F.col("b.blk"))
+            & (F.col("a.p_name") < F.col("b.p_name")),
+        )
+        .where(F.levenshtein(F.col("a.p_name"), F.col("b.p_name")) <= 4)
+        .select(
+            F.col("a.p_name").alias("name_a"),
+            F.col("b.p_name").alias("name_b"),
+            F.levenshtein(F.col("a.p_name"), F.col("b.p_name")).alias("dist"),
+        )
+    )

@@ -458,3 +458,56 @@ def q107_bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("bm25"), F.asc("doc_id"))
         .limit(10)
     )
+
+
+@query(
+    "q113_token_entropy",
+    oracle="""
+    WITH toks AS (
+        SELECT source,
+               unnest(list_filter(string_split_regex(lower(text), '[^a-z]+'),
+                                  x -> x <> '')) AS tok
+        FROM documents
+    ),
+    cnt AS (SELECT source, tok, count(*) AS c FROM toks GROUP BY source, tok)
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS vocab,
+           CAST(sum(c) AS BIGINT) AS n_tokens,
+           round(ln(CAST(sum(c) AS DOUBLE))
+                 - sum(c * ln(CAST(c AS DOUBLE))) / sum(c), 6) AS token_entropy
+    FROM cnt
+    GROUP BY source
+    """,
+    tags=("text", "entropy", "statistics"),
+)
+def q113_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy of the unigram distribution per source — the
+    corpus-diversity signal (low entropy ⇒ templated/repetitive source,
+    a standard pre-training quality filter), plus vocabulary size and
+    token count.
+
+    Scale posture: uses the identity H = ln(N) − Σc·ln(c)/N so entropy
+    falls out of ONE (source, token) count plus one per-source rollup —
+    no join of counts back onto totals and no global pass. The
+    (source, token) shuffle is the only data-sized exchange and it
+    map-side combines; token explosion stays within the stage that
+    consumes it, so nothing token-level is ever persisted.
+    """
+    docs = load_tables(spark, sf_dir)["documents"]
+    toks = F.filter(
+        F.split(F.lower(F.col("text")), "[^a-z]+"), lambda x: x != F.lit("")
+    )
+    cnt = (
+        docs.select("source", F.explode(toks).alias("tok"))
+        .groupBy("source", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    n = F.sum("c")
+    return cnt.groupBy("source").agg(
+        F.count(F.lit(1)).alias("vocab"),
+        n.alias("n_tokens"),
+        F.round(
+            F.log(n.cast("double")) - F.sum(F.col("c") * F.log(F.col("c").cast("double"))) / n,
+            6,
+        ).alias("token_entropy"),
+    )

@@ -216,3 +216,82 @@ def q59_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     )
     return wide.select(F.explode(struct_per_col).alias("p")).select("p.*")
+
+
+@query(
+    "q110_quality_audit",
+    oracle="""
+    SELECT 'orphan_lineitem_orders' AS rule,
+           CAST((SELECT count(*) FROM lineitem l
+                 WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                   WHERE o.o_orderkey = l.l_orderkey)) AS BIGINT) AS violations
+    UNION ALL
+    SELECT 'orphan_orders_customer',
+           CAST((SELECT count(*) FROM orders o
+                 WHERE NOT EXISTS (SELECT 1 FROM customer c
+                                   WHERE c.c_custkey = o.o_custkey)) AS BIGINT)
+    UNION ALL
+    SELECT 'orphan_lineitem_part',
+           CAST((SELECT count(*) FROM lineitem l
+                 WHERE NOT EXISTS (SELECT 1 FROM part p
+                                   WHERE p.p_partkey = l.l_partkey)) AS BIGINT)
+    UNION ALL
+    SELECT 'nonpositive_quantity',
+           CAST((SELECT count(*) FROM lineitem WHERE l_quantity <= 0) AS BIGINT)
+    UNION ALL
+    SELECT 'discount_out_of_range',
+           CAST((SELECT count(*) FROM lineitem
+                 WHERE l_discount < 0 OR l_discount > 0.5) AS BIGINT)
+    UNION ALL
+    SELECT 'null_event_user',
+           CAST((SELECT count(*) FROM events WHERE user_id IS NULL) AS BIGINT)
+    UNION ALL
+    SELECT 'short_document',
+           CAST((SELECT count(*) FROM documents WHERE n_chars < 100) AS BIGINT)
+    """,
+    tags=("etl", "quality", "audit", "constraints"),
+)
+def q110_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality audit — the validation gate of an ingest
+    pipeline: referential-integrity rules (anti-join counts) and value
+    constraints (range/null predicates), emitted long-form as
+    (rule, violations) so downstream alerting is schema-stable as rules
+    are added.
+
+    Scale posture: each FK rule is a LEFT ANTI join that Catalyst plans
+    as broadcast (small parent) or shuffled hash join (big-big) with
+    map-side early-out; value rules are pure scan+filter+count with the
+    predicate pushed to parquet. The per-rule 1-row aggregates union
+    into one result — rules run as independent jobs sharing the scan
+    cache, and no rule ever materializes the violating rows themselves
+    (count-only audit; a triage query would re-filter just the broken
+    rule).
+    """
+    t = load_tables(spark, sf_dir)
+
+    def anti_count(child: DataFrame, parent: DataFrame, cond) -> DataFrame:
+        return child.join(parent, cond, "left_anti").agg(
+            F.count(F.lit(1)).alias("violations")
+        )
+
+    def pred_count(df: DataFrame, pred) -> DataFrame:
+        return df.where(pred).agg(F.count(F.lit(1)).alias("violations"))
+
+    li, o, c, p = t["lineitem"], t["orders"], t["customer"], t["part"]
+    rules = [
+        ("orphan_lineitem_orders", anti_count(li, o, li.l_orderkey == o.o_orderkey)),
+        ("orphan_orders_customer", anti_count(o, c, o.o_custkey == c.c_custkey)),
+        ("orphan_lineitem_part", anti_count(li, p, li.l_partkey == p.p_partkey)),
+        ("nonpositive_quantity", pred_count(li, F.col("l_quantity") <= 0)),
+        (
+            "discount_out_of_range",
+            pred_count(li, (F.col("l_discount") < 0) | (F.col("l_discount") > 0.5)),
+        ),
+        ("null_event_user", pred_count(t["events"], F.col("user_id").isNull())),
+        ("short_document", pred_count(t["documents"], F.col("n_chars") < 100)),
+    ]
+    out = None
+    for name, df in rules:
+        row = df.select(F.lit(name).alias("rule"), "violations")
+        out = row if out is None else out.unionAll(row)
+    return out

@@ -149,3 +149,89 @@ def q103_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranks.join(
         t["nation"], ranks["node"] == t["nation"]["n_nationkey"]
     ).select(F.col("n_name").alias("nation"), F.round("r", 6).alias("pagerank"))
+
+
+_UEDGES_SQL = """
+    uedges AS MATERIALIZED (
+        SELECT DISTINCT
+               least(c.c_nationkey, s.s_nationkey)    AS a,
+               greatest(c.c_nationkey, s.s_nationkey) AS b
+        FROM lineitem l
+        JOIN orders o   ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey  = c.c_custkey
+        JOIN supplier s ON l.l_suppkey  = s.s_suppkey
+        WHERE c.c_nationkey <> s.s_nationkey
+    ),
+    tris AS MATERIALIZED (
+        SELECT e1.a AS a, e1.b AS b, e2.b AS c
+        FROM uedges e1
+        JOIN uedges e2 ON e2.a = e1.b
+        JOIN uedges e3 ON e3.a = e1.a AND e3.b = e2.b
+    )
+"""
+
+
+@query(
+    "q109_triangle_count",
+    oracle=f"""
+    WITH {_UEDGES_SQL}
+    SELECT n.n_name AS nation, CAST(count(*) AS BIGINT) AS n_triangles
+    FROM (
+        SELECT a AS node FROM tris
+        UNION ALL SELECT b FROM tris
+        UNION ALL SELECT c FROM tris
+    ) m
+    JOIN nation n ON n.n_nationkey = m.node
+    GROUP BY n.n_name
+    """,
+    tags=("graph", "triangles", "join"),
+)
+def q109_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation triangle participation in the undirected nation trade
+    graph — the clustering-structure primitive (triangle counting is
+    the canonical "graph analytics on a relational engine" benchmark).
+    Edges are canonicalized a<b, triangles enumerated a<b<c by the
+    node-iterator double self-join, so each triangle is found exactly
+    once; every corner then contributes one count to its nation.
+
+    Scale posture: the expensive part is the DISTINCT edge derivation
+    (one shuffle over the fact join); the triangle join runs on the
+    deduplicated edge set, which is |V|²-bounded — for real graphs you
+    would pre-bucket edges by `a` so both self-joins co-partition, and
+    that is exactly what repartition+persist does here. The a<b<c
+    orientation is the standard trick that caps join fan-out by
+    degeneracy rather than raw degree.
+    """
+    t = load_tables(spark, sf_dir)
+    e = (
+        t["lineitem"]
+        .join(t["orders"], t["lineitem"].l_orderkey == t["orders"].o_orderkey)
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
+        .join(t["supplier"], F.col("l_suppkey") == F.col("s_suppkey"))
+        .where(F.col("c_nationkey") != F.col("s_nationkey"))
+        .select(
+            F.least("c_nationkey", "s_nationkey").alias("a"),
+            F.greatest("c_nationkey", "s_nationkey").alias("b"),
+        )
+        .distinct()
+        .repartition("a")
+        .persist()
+    )
+    e1 = e.alias("e1")
+    e2 = e.alias("e2")
+    e3 = e.alias("e3")
+    tris = (
+        e1.join(e2, F.col("e2.a") == F.col("e1.b"))
+        .join(e3, (F.col("e3.a") == F.col("e1.a")) & (F.col("e3.b") == F.col("e2.b")))
+        .select(F.col("e1.a").alias("a"), F.col("e1.b").alias("b"), F.col("e2.b").alias("c"))
+    )
+    members = (
+        tris.select(F.col("a").alias("node"))
+        .unionAll(tris.select(F.col("b").alias("node")))
+        .unionAll(tris.select(F.col("c").alias("node")))
+    )
+    return (
+        members.join(F.broadcast(t["nation"]), members["node"] == F.col("n_nationkey"))
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
