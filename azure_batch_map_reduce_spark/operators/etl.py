@@ -295,3 +295,69 @@ def q110_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         row = df.select(F.lit(name).alias("rule"), "violations")
         out = row if out is None else out.unionAll(row)
     return out
+
+
+_Z_BITS = 8
+
+
+def _zorder_oracle() -> str:
+    """Arithmetic (dialect-neutral) bit interleave: bit i of x lands at
+    position 2i, bit i of y at 2i+1. Same integers as the Spark side's
+    shift/AND formulation."""
+    terms = []
+    for i in range(_Z_BITS):
+        terms.append(f"((x // {1 << i}) % 2) * {1 << (2 * i)}")
+        terms.append(f"((y // {1 << i}) % 2) * {1 << (2 * i + 1)}")
+    z = " + ".join(terms)
+    return f"""
+    WITH keyed AS (
+        SELECT l_partkey % 256 AS x, l_suppkey % 256 AS y FROM lineitem
+    ),
+    zed AS (SELECT x, y, {z} AS zval FROM keyed)
+    SELECT CAST(zval // 256 AS INTEGER) AS zbucket,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(min(x) AS INTEGER) AS x_lo, CAST(max(x) AS INTEGER) AS x_hi,
+           CAST(min(y) AS INTEGER) AS y_lo, CAST(max(y) AS INTEGER) AS y_hi
+    FROM zed
+    GROUP BY zval // 256
+    """
+
+
+@query(
+    "q115_zorder_layout",
+    oracle=_zorder_oracle(),
+    tags=("etl", "layout", "zorder", "data-skipping"),
+)
+def q115_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) clustering key over (l_partkey, l_suppkey) low
+    bytes, rolled up per 256-value z-bucket with each bucket's x/y
+    bounding box. The bounding boxes are the point: under a z-order
+    sort, every file's min/max footer covers a tight rectangle in BOTH
+    dimensions, so predicates on either key skip most files — the
+    multi-column data-skipping layout a linear sort can't give. Writing
+    is then just `sortWithinPartitions(zval)` before the sink; this
+    query is the layout-planning/inspection half.
+
+    Scale posture: the z-value is pure map-side bit math (shift/AND,
+    whole-stage codegen); the only shuffle is the per-bucket rollup.
+    Bucket stats (256 rows) are what a table-format's file-pruning
+    index stores — computing them IS the skipping metadata.
+    """
+    li = load_tables(spark, sf_dir)["lineitem"]
+    x = (F.col("l_partkey") % 256).cast("long")
+    y = (F.col("l_suppkey") % 256).cast("long")
+    zval = None
+    for i in range(_Z_BITS):
+        tx = F.shiftleft(F.shiftright(x, i).bitwiseAND(F.lit(1)), 2 * i)
+        ty = F.shiftleft(F.shiftright(y, i).bitwiseAND(F.lit(1)), 2 * i + 1)
+        zval = tx + ty if zval is None else zval + tx + ty
+    zed = li.select(x.alias("x"), y.alias("y"), zval.alias("zval"))
+    return zed.groupBy(
+        (F.col("zval") / 256).cast("int").alias("zbucket")
+    ).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min("x").cast("int").alias("x_lo"),
+        F.max("x").cast("int").alias("x_hi"),
+        F.min("y").cast("int").alias("y_lo"),
+        F.max("y").cast("int").alias("y_hi"),
+    )

@@ -235,3 +235,55 @@ def q109_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("n_name").alias("nation"))
         .agg(F.count(F.lit(1)).alias("n_triangles"))
     )
+
+
+MAX_HOPS = 3
+
+_REACH_SQL = f"""
+    WITH RECURSIVE dedges AS (
+        SELECT DISTINCT c.c_nationkey AS src, s.s_nationkey AS dst
+        FROM lineitem l
+        JOIN orders o   ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey  = c.c_custkey
+        JOIN supplier s ON l.l_suppkey  = s.s_suppkey
+        WHERE c.c_nationkey <> s.s_nationkey
+    ),
+    walk AS (
+        SELECT CAST(0 AS BIGINT) AS node, CAST(0 AS INTEGER) AS hop
+        UNION ALL
+        SELECT CAST(e.dst AS BIGINT) AS node, CAST(w.hop + 1 AS INTEGER) AS hop
+        FROM walk w JOIN dedges e ON e.src = w.node
+        WHERE w.hop < {MAX_HOPS}
+    )
+    SELECT n.n_name AS nation, CAST(min(w.hop) AS INTEGER) AS hops
+    FROM walk w JOIN nation n ON n.n_nationkey = w.node
+    GROUP BY n.n_name
+"""
+
+
+@query(
+    "q114_recursive_reachability",
+    oracle=_REACH_SQL,
+    tags=("graph", "recursive", "cte", "bfs"),
+)
+def q114_recursive_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Breadth-first reachability via WITH RECURSIVE (Spark 4 recursive
+    CTE): minimum trade-hop distance from nation 0 to every reachable
+    nation over the directed customer-nation → supplier-nation edge
+    set, capped at 3 hops. The same recursive SQL text runs on
+    both engines — the one operator class the DataFrame API cannot
+    express without a driver loop (q103's pattern); here the engine's
+    own iteration does it.
+
+    Scale posture: each recursive step is one equi-join of the frontier
+    against the (deduplicated, |V|²-bounded) edge table plus the hop
+    bound that terminates the walk — identical shuffle shape to one
+    PageRank round. UNION ALL keeps steps append-only (no per-step
+    distinct); the final min(hop) collapses path multiplicity in a
+    single aggregation. The hop cap bounds blow-up on cyclic graphs,
+    the standard guard for recursive SQL on dense data.
+    """
+    from azure_batch_map_reduce_spark.catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_REACH_SQL)
