@@ -237,3 +237,61 @@ def test_contamination_join_is_equi_not_nested_loop(spark, sf_dir):
         or "BroadcastNestedLoopJoin" not in plan
     # Gram matching must plan as a hash equi-join (broadcast or shuffled).
     assert "HashJoin" in plan
+
+
+def test_bm25_is_map_side_with_takeordered(spark, sf_dir):
+    """BM25 scoring must stay in map-side expressions: no token explode
+    shuffle, corpus stats broadcast, top-k as TakeOrdered (heaps), not
+    a global Sort."""
+    plan = plan_of(REGISTRY["q107_bm25_retrieval"].fn(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+    assert "Generate explode" not in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_gapfill_broadcasts_hourly_onto_grid(spark, sf_dir):
+    """The outer join of grid←hourly must be a broadcast hash join (the
+    post-agg hourly table is grain-bounded), never sort-merge."""
+    plan = plan_of(REGISTRY["q104_gapfill_resample"].fn(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan and "LeftOuter" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_skew_profile_uses_takeordered_not_global_sort(spark, sf_dir):
+    plan = plan_of(REGISTRY["q105_key_skew_profile"].fn(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_priority_sample_is_one_scan_takeordered(spark, sf_dir):
+    """Priority sampling must be hash math + per-partition heaps: one
+    parquet scan, no exchange other than the top-k gather."""
+    plan = plan_of(REGISTRY["q112_priority_sample"].fn(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+    assert plan.count("Scan parquet") == 1
+    assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
+
+
+def test_fuzzy_join_is_equi_on_block_key(spark, sf_dir):
+    """The fuzzy join must hash-join on the block key with levenshtein
+    as a residual filter — a nested-loop plan would be N² at scale."""
+    plan = plan_of(REGISTRY["q111_fuzzy_blocked_join"].fn(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_quality_audit_fk_rules_are_anti_joins(spark, sf_dir):
+    plan = plan_of(REGISTRY["q110_quality_audit"].fn(spark, sf_dir))
+    assert "LeftAnti" in plan
+
+
+def test_zorder_value_is_codegen_map_side(spark, sf_dir):
+    """Z-value bit math must be pure map-side expression work with only
+    the rollup exchange — one scan, partial+final agg, no join. (The
+    AQE pre-execution plan hides WholeStageCodegen wrappers, so assert
+    the shape that implies codegen: projection straight into a
+    two-phase HashAggregate.)"""
+    df = REGISTRY["q115_zorder_layout"].fn(spark, sf_dir)
+    plan = plan_of(df)
+    assert plan.count("Scan parquet") == 1
+    assert "Join" not in plan
+    assert plan.count("HashAggregate") == 2 and "partial_count" in plan
