@@ -400,3 +400,39 @@ def asof_join_pandas(
         .cogroup(right.groupBy(by))
         .applyInPandas(lambda l, r: merge(l, r), out_schema)
     )
+
+
+_LATERAL_SQL = """
+    SELECT n.n_name AS nation, t.c_custkey, round(t.c_acctbal, 2) AS acctbal
+    FROM nation n,
+    LATERAL (
+        SELECT c_custkey, c_acctbal
+        FROM customer c
+        WHERE c.c_nationkey = n.n_nationkey
+        ORDER BY c_acctbal DESC, c_custkey ASC
+        LIMIT 2
+    ) t
+"""
+
+
+@query(
+    "q116_lateral_topk",
+    oracle=_LATERAL_SQL,
+    tags=("join", "lateral", "correlated", "topk"),
+)
+def q116_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL join (SQL:1999 lateral derived table, Spark
+    3.2+): for every nation, its two richest customers — the same SQL
+    text runs on both engines. Complements q30, which expresses the
+    identical semantics with window row_number ≤ k.
+
+    Scale posture: Catalyst decorrelates the lateral subquery into a
+    ranked-window plan rather than re-executing it per outer row, so
+    the physical shape matches q30's single group-key shuffle — the
+    LATERAL form is API surface, not a different (worse) engine path.
+    Verified in tests/test_plans.py: no nested-loop re-execution.
+    """
+    from azure_batch_map_reduce_spark.catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_LATERAL_SQL)

@@ -446,3 +446,30 @@ def q108_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("twap").isNotNull())
     )
+
+
+@query(
+    "q117_distribution_ranks",
+    oracle="""
+    SELECT c_custkey, c_nationkey,
+           round(percent_rank() OVER w, 6) AS pct_rank,
+           round(cume_dist()    OVER w, 6) AS cume
+    FROM customer
+    WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal ASC, c_custkey ASC)
+    """,
+    tags=("window", "ranking", "distribution"),
+)
+def q117_distribution_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percent_rank and cume_dist per nation — the distribution-position
+    ranks (q34 covers the ordinal ranks). Tie-broken on the unique key
+    so both are deterministic; one shuffle on the partition key."""
+    cust = load_tables(spark, sf_dir)["customer"]
+    w = Window.partitionBy("c_nationkey").orderBy(
+        F.col("c_acctbal").asc(), F.col("c_custkey").asc()
+    )
+    return cust.select(
+        "c_custkey",
+        "c_nationkey",
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+    )

@@ -226,3 +226,81 @@ def _register_roundtrips() -> None:
 
 
 _register_roundtrips()
+
+
+def compact_parquet(
+    spark: SparkSession,
+    src_dir: str,
+    dst_dir: str,
+    target_file_bytes: int = 128 << 20,
+) -> int:
+    """Small-files compaction: rewrite a parquet directory into
+    ceil(total_bytes / target) files. The small-files problem is THE
+    operational failure mode of long-running ingest at scale — NameNode
+    /listing pressure, per-file open cost, tiny row groups that defeat
+    column-chunk compression and vectorized reads. Returns the file
+    count written.
+
+    Scale posture: sizing from the source's actual byte size (control-
+    plane listing, mirrors the reference's L1 directory enumeration,
+    ``Program.cs:248-258``) — not row counts, which mispredict badly
+    under compression. ``coalesce`` merges without a shuffle (map-side
+    bin-packing of input splits); use ``repartition`` instead only when
+    the source is skewed enough that merged tasks would be unbalanced.
+    """
+    import glob
+    import os
+
+    files = glob.glob(os.path.join(src_dir, "part-*"))
+    total = sum(os.path.getsize(f) for f in files)
+    n_out = int(max(1, -(-total // target_file_bytes)))
+    df = spark.read.parquet(src_dir)
+    # coalesce only merges; if the scan planned fewer input partitions
+    # than the target (tiny files bin-packed by maxPartitionBytes), a
+    # round-robin repartition is needed to fan back out.
+    cur = df.rdd.getNumPartitions()
+    df = df.coalesce(n_out) if n_out <= cur else df.repartition(n_out)
+    df.write.mode("overwrite").parquet(dst_dir)
+    return len(glob.glob(os.path.join(dst_dir, "part-*")))
+
+
+def _register_compaction() -> None:
+    from pyspark.sql import functions as F
+
+    from azure_batch_map_reduce_spark.catalog import load_tables
+    from azure_batch_map_reduce_spark.registry import query
+
+    @query(
+        "q118_compaction",
+        oracle="""
+        SELECT o_orderpriority,
+               count(*) AS n,
+               round(sum(o_totalprice), 2) AS total
+        FROM orders
+        GROUP BY o_orderpriority
+        """,
+        tags=("source", "compaction", "layout"),
+    )
+    def q118_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Small-files compaction round-trip: orders fragmented into 64
+        tiny files, compacted by :func:`compact_parquet` to the byte-
+        target file count, then aggregated from the compacted copy and
+        hash-checked against the original table — content-lossless,
+        layout-fixed. File-count behavior is pinned in
+        tests/test_sources.py."""
+        orders = load_tables(spark, sf_dir)["orders"].select(
+            "o_orderkey", "o_orderpriority", "o_totalprice"
+        )
+        d = _roundtrip_dir("compact")
+        small_dir = f"{d}/small"
+        compact_dir = f"{d}/compacted"
+        orders.repartition(64).write.mode("overwrite").parquet(small_dir)
+        compact_parquet(spark, small_dir, compact_dir)
+        back = spark.read.parquet(compact_dir)
+        return back.groupBy("o_orderpriority").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+
+
+_register_compaction()

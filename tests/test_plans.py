@@ -295,3 +295,13 @@ def test_zorder_value_is_codegen_map_side(spark, sf_dir):
     assert plan.count("Scan parquet") == 1
     assert "Join" not in plan
     assert plan.count("HashAggregate") == 2 and "partial_count" in plan
+
+
+def test_lateral_topk_decorrelates_to_window_group_limit(spark, sf_dir):
+    """The LATERAL subquery must decorrelate into a ranked-window plan
+    (WindowGroupLimit prunes to k rows per group BEFORE the shuffle) —
+    never a per-outer-row nested-loop re-execution."""
+    plan = plan_of(REGISTRY["q116_lateral_topk"].fn(spark, sf_dir))
+    assert "WindowGroupLimit" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan

@@ -80,3 +80,34 @@ def test_single_file_sink(spark, sf_dir, tmp_path):
     assert len(parts) == 1  # exactly one output file (reference L9)
     with open(parts[0]) as f:
         assert len(f.readlines()) == 6  # header + 5 rows
+
+
+def test_compaction_reduces_file_count_and_preserves_rows(spark, sf_dir, tmp_path):
+    from azure_batch_map_reduce_spark.catalog import load_tables
+    from azure_batch_map_reduce_spark.sources.files import compact_parquet
+
+    orders = load_tables(spark, sf_dir)["orders"].select("o_orderkey", "o_totalprice")
+    small = str(tmp_path / "small")
+    compacted = str(tmp_path / "compacted")
+    orders.repartition(64).write.parquet(small)
+    import glob
+
+    assert len(glob.glob(f"{small}/part-*")) == 64
+    n_files = compact_parquet(spark, small, compacted, target_file_bytes=128 << 20)
+    assert n_files == 1  # tiny fixture ≪ 128 MB target → one file
+    assert spark.read.parquet(compacted).count() == orders.count()
+
+
+def test_compaction_respects_byte_target(spark, sf_dir, tmp_path):
+    """A target smaller than the data must split into multiple files —
+    the sizing is bytes-driven, not a blind coalesce(1)."""
+    from azure_batch_map_reduce_spark.catalog import load_tables
+    from azure_batch_map_reduce_spark.sources.files import compact_parquet
+
+    orders = load_tables(spark, sf_dir)["orders"]
+    small = str(tmp_path / "small")
+    compacted = str(tmp_path / "compacted")
+    orders.repartition(64).write.parquet(small)
+    n_files = compact_parquet(spark, small, compacted, target_file_bytes=64 << 10)
+    assert n_files > 1
+    assert spark.read.parquet(compacted).count() == orders.count()
