@@ -605,3 +605,57 @@ def q112_priority_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(20)
         .select("doc_id", "n_chars", F.round("prio", 6).alias("priority"))
     )
+
+
+@query(
+    "q119_winsorize",
+    oracle="""
+    WITH b AS (
+        SELECT o_orderpriority,
+               quantile_cont(o_totalprice, 0.01) AS lo,
+               quantile_cont(o_totalprice, 0.99) AS hi
+        FROM orders GROUP BY o_orderpriority
+    )
+    SELECT o.o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CASE WHEN o.o_totalprice < b.lo THEN 1 ELSE 0 END) AS BIGINT) AS n_clip_lo,
+           CAST(sum(CASE WHEN o.o_totalprice > b.hi THEN 1 ELSE 0 END) AS BIGINT) AS n_clip_hi,
+           round(sum(least(greatest(o.o_totalprice, b.lo), b.hi)), 2) AS clipped_total,
+           round(sum(o.o_totalprice), 2) AS raw_total
+    FROM orders o JOIN b ON b.o_orderpriority = o.o_orderpriority
+    GROUP BY o.o_orderpriority
+    """,
+    tags=("curation", "outliers", "winsorize"),
+)
+def q119_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-segment winsorization (clip at p1/p99) — the outlier-capping
+    pass of a feature/label pipeline, reported as clip counts + the
+    before/after totals so the oracle pins both the bounds and the
+    clipping arithmetic. Exact interpolated percentiles on both engines
+    (Spark `percentile` ≡ DuckDB `quantile_cont`).
+
+    Scale posture: two passes — a per-segment percentile aggregate
+    (segment-count rows, broadcast back onto the fact scan) and one
+    map-side clip+rollup. Exact percentiles sort within each segment;
+    at extreme cardinality swap in percentile_approx and the same plan
+    shape holds with bounded error.
+    """
+    o = load_tables(spark, sf_dir)["orders"]
+    b = o.groupBy("o_orderpriority").agg(
+        F.percentile("o_totalprice", 0.01).alias("lo"),
+        F.percentile("o_totalprice", 0.99).alias("hi"),
+    )
+    x = F.col("o_totalprice")
+    return (
+        o.join(F.broadcast(b), "o_orderpriority")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum((x < F.col("lo")).cast("long")).alias("n_clip_lo"),
+            F.sum((x > F.col("hi")).cast("long")).alias("n_clip_hi"),
+            F.round(F.sum(F.least(F.greatest(x, F.col("lo")), F.col("hi"))), 2).alias(
+                "clipped_total"
+            ),
+            F.round(F.sum(x), 2).alias("raw_total"),
+        )
+    )

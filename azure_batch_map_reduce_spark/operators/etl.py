@@ -361,3 +361,99 @@ def q115_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("y").cast("int").alias("y_lo"),
         F.max("y").cast("int").alias("y_hi"),
     )
+
+
+_DIFF_HASH = (
+    "('0x' || substr(md5(CAST(o_orderkey AS VARCHAR) || ':' || "
+    "CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS VARCHAR)), 1, 8))::BIGINT"
+)
+
+
+@query(
+    "q121_table_diff",
+    oracle=f"""
+    WITH base AS (
+        SELECT o_orderkey, o_totalprice FROM orders
+    ),
+    delta AS (
+        SELECT o_orderkey,
+               CASE WHEN o_orderkey % 10 = 3
+                    THEN round(o_totalprice * 1.1, 2)
+                    ELSE o_totalprice END AS o_totalprice
+        FROM orders
+    ),
+    cb AS (
+        SELECT o_orderkey % 64 AS bucket, sum({_DIFF_HASH}) AS checksum,
+               count(*) AS n
+        FROM base GROUP BY o_orderkey % 64
+    ),
+    cd AS (
+        SELECT o_orderkey % 64 AS bucket, sum({_DIFF_HASH}) AS checksum,
+               count(*) AS n
+        FROM delta GROUP BY o_orderkey % 64
+    )
+    SELECT cb.bucket,
+           CAST(cb.n AS BIGINT) AS n_rows,
+           cb.checksum <> cd.checksum AS differs
+    FROM cb JOIN cd ON cd.bucket = cb.bucket
+    """,
+    tags=("etl", "diff", "checksum", "sync"),
+)
+def q121_table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucket-level table diff via content checksums — the anti-entropy
+    /incremental-sync primitive: hash every row's (key, value-in-cents)
+    to a 32-bit window of md5, sum per key-bucket, and compare two
+    snapshots bucket by bucket. Only buckets whose checksums differ
+    need row-level reconciliation — a replication checker never
+    re-reads the 99% of buckets that match. The synthetic second
+    snapshot perturbs keys ≡ 3 (mod 10), so exactly the buckets
+    containing such keys flag.
+
+    Scale posture: checksums are map-side hash math + a partial→final
+    sum per bucket — each snapshot is scanned once, and the bucket
+    comparison joins 64-row aggregates. Values are hashed in integer
+    cents: float→string formatting differs across engines, integer
+    strings never do. A Merkle layering (bucket→super-bucket) makes
+    the narrowing logarithmic for trillion-row tables.
+    """
+    o = load_tables(spark, sf_dir)["orders"]
+    base = o.select("o_orderkey", "o_totalprice")
+    delta = o.select(
+        "o_orderkey",
+        F.when(
+            F.col("o_orderkey") % 10 == 3, F.round(F.col("o_totalprice") * 1.1, 2)
+        )
+        .otherwise(F.col("o_totalprice"))
+        .alias("o_totalprice"),
+    )
+
+    def checksums(df: DataFrame) -> DataFrame:
+        h = F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        ":",
+                        F.col("o_orderkey").cast("string"),
+                        F.round(F.col("o_totalprice") * 100)
+                        .cast("long")
+                        .cast("string"),
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        return df.groupBy((F.col("o_orderkey") % 64).alias("bucket")).agg(
+            F.sum(h).alias("checksum"), F.count(F.lit(1)).alias("n")
+        )
+    cb = checksums(base)
+    cd = checksums(delta).select(
+        F.col("bucket").alias("d_bucket"), F.col("checksum").alias("d_checksum")
+    )
+    return cb.join(cd, cb["bucket"] == cd["d_bucket"]).select(
+        "bucket",
+        F.col("n").alias("n_rows"),
+        (F.col("checksum") != F.col("d_checksum")).alias("differs"),
+    )

@@ -707,3 +707,52 @@ def q106_equiwidth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("cnt", F.lit(0)).alias("cnt"),
         )
     )
+
+
+@query(
+    "q120_equidepth_histogram",
+    oracle="""
+    WITH b AS (
+        SELECT quantile_cont(o_totalprice,
+                             [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS bounds
+        FROM orders
+    )
+    SELECT CAST(len(list_filter(b.bounds, x -> o.o_totalprice > x)) AS INTEGER) AS bucket,
+           CAST(count(*) AS BIGINT) AS cnt,
+           round(min(o.o_totalprice), 2) AS lo,
+           round(max(o.o_totalprice), 2) AS hi
+    FROM orders o CROSS JOIN b
+    GROUP BY 1
+    """,
+    tags=("aggregation", "histogram", "quantiles"),
+)
+def q120_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-DEPTH histogram (10 quantile buckets) of o_totalprice —
+    equal row counts per bucket, the layout/statistics complement of
+    q106's equi-width bins and the shape optimizers use for range
+    selectivity. Bucket id = how many decile boundaries the value
+    exceeds, computed by a higher-order filter over the broadcast
+    boundary array — no per-row join, no global sort of the data.
+
+    Scale posture: one exact-percentile aggregate (1 row, broadcast)
+    + one map-side bucket rollup; swap percentile→percentile_approx at
+    extreme scale for the identical plan with bounded error.
+    """
+    o = load_tables(spark, sf_dir)["orders"]
+    b = o.agg(
+        F.percentile(
+            "o_totalprice", [i / 10 for i in range(1, 10)]
+        ).alias("bounds")
+    )
+    x = F.col("o_totalprice")
+    return (
+        o.crossJoin(F.broadcast(b))
+        .groupBy(
+            F.size(F.filter("bounds", lambda v: x > v)).cast("int").alias("bucket")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.round(F.min(x), 2).alias("lo"),
+            F.round(F.max(x), 2).alias("hi"),
+        )
+    )
