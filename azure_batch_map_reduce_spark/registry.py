@@ -71,6 +71,7 @@ def load_all() -> dict[str, Query]:
     from azure_batch_map_reduce_spark.streaming import (  # noqa: F401
         windows as swindows,
         stateful as sstateful,
+        sinks as ssinks,
     )
     from azure_batch_map_reduce_spark.plans import mapreduce  # noqa: F401
     from azure_batch_map_reduce_spark.sources import files  # noqa: F401
