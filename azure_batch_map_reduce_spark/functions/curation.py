@@ -659,3 +659,77 @@ def q119_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum(x), 2).alias("raw_total"),
         )
     )
+
+
+_PACK_BUDGET = 2048
+
+
+@query(
+    "q123_sequence_packing",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id,
+               ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 25, 8))::BIGINT % 16 AS shard,
+               length(string_split(text, ' ')) AS n_tok
+        FROM documents
+    ),
+    packed AS (
+        SELECT shard, doc_id, n_tok,
+               CAST(floor((sum(n_tok) OVER (
+                   PARTITION BY shard
+                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) - n_tok) / {_PACK_BUDGET}) AS BIGINT) AS seq_id
+        FROM toks
+    )
+    SELECT shard, seq_id,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tok) AS BIGINT) AS n_tokens
+    FROM packed
+    GROUP BY shard, seq_id
+    """,
+    tags=("curation", "packing", "training"),
+)
+def q123_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing for training-data assembly — concat-and-split:
+    within each of 16 hash shards, documents are laid out in a
+    deterministic (hash, id) order, token counts cumulated, and each
+    document assigned to sequence floor(preceding_tokens / 2048) — the
+    standard way pretraining pipelines pack variable-length documents
+    into fixed token budgets without a sequential bin-packer. Emits
+    per-sequence document and token counts (fill audit).
+
+    Scale posture: packing is per-shard, so the window never sees more
+    than corpus/16 — shards scale out with the cluster and the shard
+    count is the parallelism dial. The layout order is an md5 window
+    (byte window 25-32, independent of the q55 split / q75 shard / q112
+    sample windows), so packing is reproducible under any partitioning.
+    (Unlike q112's consistent sampling, packing is NOT stable under
+    corpus growth — an inserted document shifts every later cumsum in
+    its shard; repacking a release is a full per-shard rebuild by
+    design, which is how production packers behave too.) One shuffle
+    (by shard), one window pass, one rollup.
+    """
+    docs = load_tables(spark, sf_dir)["documents"]
+    h = F.md5(F.col("doc_id").cast("string"))
+    toks = docs.select(
+        "doc_id",
+        (F.conv(F.substring(h, 25, 8), 16, 10).cast("long") % 16).alias("shard"),
+        F.size(F.split(F.col("text"), " ")).alias("n_tok"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy(F.md5(F.col("doc_id").cast("string")), F.col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    packed = toks.select(
+        "shard",
+        "n_tok",
+        F.floor((F.sum("n_tok").over(w) - F.col("n_tok")) / _PACK_BUDGET).alias(
+            "seq_id"
+        ),
+    )
+    return packed.groupBy("shard", "seq_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").cast("long").alias("n_tokens"),
+    )

@@ -511,3 +511,67 @@ def q113_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("token_entropy"),
     )
+
+
+@query(
+    "q124_vocab_coverage",
+    oracle="""
+    WITH toks AS (
+        SELECT unnest(list_filter(string_split_regex(lower(text), '[^a-z]+'),
+                                  x -> x <> '')) AS tok
+        FROM documents
+    ),
+    cnt AS (SELECT tok, count(*) AS c FROM toks GROUP BY tok),
+    tot AS (SELECT CAST(sum(c) AS DOUBLE) AS n FROM cnt),
+    ranked AS (
+        SELECT tok, c, row_number() OVER (ORDER BY c DESC, tok ASC) AS rnk
+        FROM cnt
+        ORDER BY c DESC, tok ASC
+        LIMIT 100
+    )
+    SELECT r.tok, CAST(r.c AS BIGINT) AS freq,
+           CAST(r.rnk AS INTEGER) AS rnk,
+           round(sum(r.c) OVER (ORDER BY r.rnk
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) / t.n, 6
+           ) AS cum_coverage
+    FROM ranked r CROSS JOIN tot t
+    """,
+    tags=("text", "vocabulary", "coverage"),
+)
+def q124_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary induction with coverage audit: the 100 most frequent
+    corpus tokens, each with its rank and the cumulative share of all
+    token occurrences covered so far — the curve a tokenizer build
+    reads to choose vocabulary size (where coverage plateaus).
+
+    Scale posture: one (token) count shuffle with map-side combine,
+    TakeOrdered for the top-100, and only THEN a global window — over
+    exactly 100 rows, never the corpus. The corpus total rides along as
+    a 1-row broadcast cross join.
+    """
+    docs = load_tables(spark, sf_dir)["documents"]
+    toks = F.filter(
+        F.split(F.lower(F.col("text")), "[^a-z]+"), lambda x: x != F.lit("")
+    )
+    cnt = (
+        docs.select(F.explode(toks).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    tot = cnt.agg(F.sum("c").cast("double").alias("n"))
+    ranked = (
+        cnt.orderBy(F.desc("c"), F.asc("tok"))
+        .limit(100)
+        .select(
+            "tok", "c", F.row_number().over(
+                Window.orderBy(F.desc("c"), F.asc("tok"))
+            ).alias("rnk"),
+        )
+    )
+    wcum = Window.orderBy("rnk").rowsBetween(Window.unboundedPreceding, 0)
+    return ranked.crossJoin(F.broadcast(tot)).select(
+        "tok",
+        F.col("c").cast("long").alias("freq"),
+        F.col("rnk").cast("int").alias("rnk"),
+        F.round(F.sum("c").over(wcum) / F.col("n"), 6).alias("cum_coverage"),
+    )
