@@ -304,3 +304,65 @@ def _register_compaction() -> None:
 
 
 _register_compaction()
+
+
+def _register_schema_evolution() -> None:
+    from pyspark.sql import functions as F
+
+    from azure_batch_map_reduce_spark.catalog import load_tables
+    from azure_batch_map_reduce_spark.registry import query
+
+    @query(
+        "q125_schema_evolution",
+        oracle="""
+        WITH unioned AS (
+            SELECT o_orderkey, o_totalprice, NULL AS o_orderpriority
+            FROM orders WHERE o_orderkey % 2 = 0
+            UNION ALL
+            SELECT o_orderkey, o_totalprice, o_orderpriority
+            FROM orders WHERE o_orderkey % 2 = 1
+        )
+        SELECT coalesce(o_orderpriority, '(pre-schema)') AS priority,
+               CAST(count(*) AS BIGINT) AS n,
+               round(sum(o_totalprice), 2) AS total
+        FROM unioned
+        GROUP BY coalesce(o_orderpriority, '(pre-schema)')
+        """,
+        tags=("source", "schema-evolution", "parquet"),
+    )
+    def q125_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Schema evolution across file generations: an old batch
+        written before a column existed and a new batch carrying it
+        live in one dataset; `mergeSchema=true` widens the scan schema
+        and back-fills the old files with NULLs — the read-side half of
+        additive schema evolution (the in-memory analog is
+        `unionByName(allowMissingColumns=True)`). The aggregate folds
+        pre-schema rows into an explicit '(pre-schema)' bucket so the
+        oracle pins the NULL back-fill behavior, not just the row count.
+
+        Scale posture: mergeSchema reconciles footers at planning time
+        (control plane); the data-plane scan stays columnar and pruned.
+        At 100 TB you pin the merged schema in a metastore instead of
+        re-reconciling per query — same plan, no footer sweep."""
+        orders = load_tables(spark, sf_dir)["orders"]
+        d = _roundtrip_dir("schemaevo")
+        old = orders.filter(F.col("o_orderkey") % 2 == 0).select(
+            "o_orderkey", "o_totalprice"
+        )
+        new = orders.filter(F.col("o_orderkey") % 2 == 1).select(
+            "o_orderkey", "o_totalprice", "o_orderpriority"
+        )
+        old.write.mode("overwrite").parquet(f"{d}/gen=1")
+        new.write.mode("overwrite").parquet(f"{d}/gen=2")
+        merged = spark.read.option("mergeSchema", "true").parquet(
+            f"{d}/gen=1", f"{d}/gen=2"
+        )
+        return merged.groupBy(
+            F.coalesce("o_orderpriority", F.lit("(pre-schema)")).alias("priority")
+        ).agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+
+
+_register_schema_evolution()
