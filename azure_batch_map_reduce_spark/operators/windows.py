@@ -473,3 +473,125 @@ def q117_distribution_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
         F.round(F.cume_dist().over(w), 6).alias("cume"),
     )
+
+
+@query(
+    "q126_linear_interpolation",
+    oracle="""
+    WITH obs AS (
+        SELECT user_id, date_trunc('microseconds', ts) AS ts, value
+        FROM events
+    ),
+    bounds AS (
+        SELECT user_id,
+               date_trunc('hour', min(ts)) AS lo,
+               date_trunc('hour', max(ts)) AS hi
+        FROM obs GROUP BY user_id
+    ),
+    grid AS (
+        SELECT user_id, unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS ts
+        FROM bounds
+    ),
+    aug AS (
+        SELECT user_id, ts, value, 1 AS is_obs FROM obs
+        UNION ALL
+        SELECT user_id, ts, NULL, 0 FROM grid
+    ),
+    walled AS (
+        SELECT user_id, ts, is_obs,
+               last_value(value IGNORE NULLS) OVER (
+                   PARTITION BY user_id ORDER BY ts ASC, is_obs DESC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_prev,
+               last_value(CASE WHEN value IS NOT NULL THEN epoch_us(ts) END IGNORE NULLS) OVER (
+                   PARTITION BY user_id ORDER BY ts ASC, is_obs DESC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS t_prev,
+               last_value(value IGNORE NULLS) OVER (
+                   PARTITION BY user_id ORDER BY ts DESC, is_obs DESC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_next,
+               last_value(CASE WHEN value IS NOT NULL THEN epoch_us(ts) END IGNORE NULLS) OVER (
+                   PARTITION BY user_id ORDER BY ts DESC, is_obs DESC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS t_next
+        FROM aug
+    )
+    SELECT user_id, ts,
+           round(CASE
+               WHEN v_prev IS NULL THEN v_next
+               WHEN v_next IS NULL THEN v_prev
+               WHEN t_next = t_prev THEN v_prev
+               ELSE v_prev + (v_next - v_prev)
+                    * (epoch_us(ts) - t_prev) / (t_next - t_prev)
+           END, 6) AS value_interp
+    FROM walled
+    WHERE is_obs = 0
+    """,
+    tags=("window", "timeseries", "interpolation"),
+)
+def q126_linear_interpolation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear interpolation of each user's `value` series onto an
+    hourly grid — the resampling mode for continuous signals, where
+    q104's last-observation-carried-forward would bias (LOCF for
+    states, linear for measurements). Grid points outside the
+    observation span take the nearest endpoint; a grid point landing
+    exactly on an observation returns it (obs rows sort before grid
+    rows at equal timestamps, and the zero-span guard avoids 0/0).
+
+    Scale posture: the union of observations and grid shuffles once on
+    user_id; both directional scans are windows over that one
+    partitioning (AQE reuses the exchange), so interpolation costs two
+    window passes over (n_obs + n_grid) rows per user — no self-join,
+    no range join, no cross of grid × observations.
+    """
+    ev = load_tables(spark, sf_dir)["events"]
+    obs = ev.select("user_id", "ts", "value")
+    bounds = obs.groupBy("user_id").agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    grid = bounds.select(
+        "user_id",
+        F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))).alias("ts"),
+    )
+    aug = obs.select(
+        "user_id", "ts", "value", F.lit(1).alias("is_obs")
+    ).unionByName(
+        grid.select(
+            "user_id", "ts", F.lit(None).cast("double").alias("value"),
+            F.lit(0).alias("is_obs"),
+        )
+    )
+    t_if_obs = F.when(F.col("value").isNotNull(), F.unix_micros(F.col("ts")))
+    w_back = (
+        Window.partitionBy("user_id")
+        .orderBy(F.asc("ts"), F.desc("is_obs"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_fwd = (
+        Window.partitionBy("user_id")
+        .orderBy(F.desc("ts"), F.desc("is_obs"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    walled = aug.select(
+        "user_id",
+        "ts",
+        "is_obs",
+        F.last("value", ignorenulls=True).over(w_back).alias("v_prev"),
+        F.last(t_if_obs, ignorenulls=True).over(w_back).alias("t_prev"),
+        F.last("value", ignorenulls=True).over(w_fwd).alias("v_next"),
+        F.last(t_if_obs, ignorenulls=True).over(w_fwd).alias("t_next"),
+    )
+    t = F.unix_micros(F.col("ts"))
+    interp = (
+        F.when(F.col("v_prev").isNull(), F.col("v_next"))
+        .when(F.col("v_next").isNull(), F.col("v_prev"))
+        .when(F.col("t_next") == F.col("t_prev"), F.col("v_prev"))
+        .otherwise(
+            F.col("v_prev")
+            + (F.col("v_next") - F.col("v_prev"))
+            * (t - F.col("t_prev"))
+            / (F.col("t_next") - F.col("t_prev"))
+        )
+    )
+    return (
+        walled.where(F.col("is_obs") == 0)
+        .select("user_id", "ts", F.round(interp, 6).alias("value_interp"))
+    )
