@@ -187,3 +187,47 @@ def test_md5_split_stable_under_reorder_and_growth(spark, ids):
     base = buckets(ids, parts=1)
     grown = buckets(ids + [10**6 + 1, 10**6 + 2], parts=4)
     assert all(grown[i] == b for i, b in base.items())
+
+
+@given(
+    ids=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=10**6),   # doc_id
+            st.integers(min_value=1, max_value=10**4),   # weight (n_chars)
+        ),
+        min_size=1,
+        max_size=40,
+        unique_by=lambda t: t[0],
+    ),
+    k=st.integers(min_value=1, max_value=8),
+)
+@settings(**SETTINGS)
+def test_priority_sample_consistent_under_growth(spark, ids, k):
+    # q112's Duffield-Lund-Thorup property: the k smallest priorities of
+    # a SUBSET contain every subset member that made the superset's
+    # top-k — growing the corpus can only evict, never reorder, so
+    # incremental re-samples agree wherever they overlap.
+    def topk(pairs, parts):
+        df = spark.createDataFrame(
+            [Row(doc_id=i, n_chars=w) for i, w in pairs], "doc_id long, n_chars long"
+        ).repartition(parts)
+        u = (
+            F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 17, 8), 16, 10)
+            .cast("double")
+        )
+        prio = u / F.col("n_chars")
+        return [
+            r["doc_id"]
+            for r in df.select("doc_id", prio.alias("p"))
+            .orderBy(F.asc("p"), F.asc("doc_id"))
+            .limit(k)
+            .collect()
+        ]
+
+    subset = ids[: max(1, len(ids) // 2)]
+    sub_ids = {i for i, _ in subset}
+    full_top = topk(ids, parts=3)
+    sub_top = topk(subset, parts=1)
+    # Every subset member that survives the full-corpus cut must appear
+    # in the subset's own sample.
+    assert set(full_top) & sub_ids <= set(sub_top)
