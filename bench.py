@@ -19,7 +19,8 @@ from azure_batch_map_reduce_spark.session import get_spark
 
 # Representative, scale-stressing subset: scan+agg, grouping sets,
 # multiway join, top-n, as-of join, JSON, explode+agg, UDTF chunking,
-# dedup (exact + LSH), similarity (brute-force + IVF), streaming window.
+# dedup (exact + LSH), similarity (brute-force + IVF), streaming window,
+# time-series resample, BM25 retrieval, weighted sampling, layout math.
 HEADLINE = [
     "q01_pricing_summary",
     "q37_grouping_sets",
@@ -35,6 +36,10 @@ HEADLINE = [
     "q70_cosine_topk",
     "q73_ivf_ann",
     "q80_tumbling_window",
+    "q104_gapfill_resample",
+    "q107_bm25_retrieval",
+    "q112_priority_sample",
+    "q115_zorder_layout",
 ]
 
 
