@@ -419,11 +419,20 @@ def q107_bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     def eq(term):  # 1-arg lambda: a 2-arg signature would mean (elem, index)
         return lambda x: x == F.lit(term)
 
-    d = docs.select(
+    # Tokenize ONCE into a named column (the tf/dl expressions would
+    # otherwise each re-run split+filter), and persist the narrow
+    # (doc_id, dl, tf_*) frame — it feeds both the stats aggregate and
+    # the scoring pass, and at any scale it is 5 numbers per doc, tiny
+    # next to re-tokenizing the corpus twice.
+    toked = docs.select("doc_id", toks.alias("toks"))
+    d = toked.select(
         "doc_id",
-        F.size(toks).alias("dl"),
-        *[F.size(F.filter(toks, eq(t))).alias(f"tf_{t}") for t in _BM25_TERMS],
-    )
+        F.size("toks").alias("dl"),
+        *[
+            F.size(F.filter("toks", eq(t))).alias(f"tf_{t}")
+            for t in _BM25_TERMS
+        ],
+    ).persist()
     stats = d.agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.avg(F.col("dl").cast("double")).alias("avgdl"),
