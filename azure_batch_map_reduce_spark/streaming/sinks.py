@@ -72,6 +72,9 @@ def q122_streaming_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     import glob
     import os
 
+    from azure_batch_map_reduce_spark.catalog import align_session_for_oracle
+
+    align_session_for_oracle(spark)  # caller-owned sessions may be non-UTC
     d = tempfile.mkdtemp(prefix="abmr-stream-upsert-")
     src = os.path.join(d, "src")
     tgt = os.path.join(d, "target")

@@ -86,3 +86,29 @@ def test_mapreduce_empty_dir(spark, tmp_path):
         assert "schema" in str(ex).lower() or "path" in str(ex).lower()
     else:
         assert n == 0
+
+
+def test_ts_queries_match_oracle_under_non_utc_session(spark, sf_dir):
+    """Caller-owned sessions are a real driver scenario and may carry a
+    non-UTC timezone; every table-load path must defensively re-align
+    (catalog.align_session_for_oracle). Pin it for the timestamp-heavy
+    operators: gap-fill, TWAP, streaming upsert, interpolation."""
+    from azure_batch_map_reduce_spark.oracle import compare_query, duckdb_connection
+    from azure_batch_map_reduce_spark.registry import load_all
+
+    reg = load_all()
+    con = duckdb_connection(sf_dir)
+    prev = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        for name in (
+            "q104_gapfill_resample",
+            "q108_time_weighted_avg",
+            "q122_streaming_upsert",
+            "q126_linear_interpolation",
+        ):
+            spark.conf.set("spark.sql.session.timeZone", "America/Los_Angeles")
+            res = compare_query(spark, reg[name], sf_dir, con)
+            assert res.ok, f"{name} under non-UTC session: {res.detail}"
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev)
+        con.close()
