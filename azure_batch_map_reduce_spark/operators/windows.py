@@ -595,3 +595,104 @@ def q126_linear_interpolation(spark: SparkSession, sf_dir: str) -> DataFrame:
         walled.where(F.col("is_obs") == 0)
         .select("user_id", "ts", F.round(interp, 6).alias("value_interp"))
     )
+
+
+@query(
+    "q127_trailing_time_window",
+    oracle="""
+    SELECT user_id, event_id,
+           CAST(count(*) OVER w AS BIGINT)      AS n_trailing_1h,
+           round(sum(value) OVER w, 2)          AS sum_trailing_1h
+    FROM events
+    WINDOW w AS (
+        PARTITION BY user_id
+        ORDER BY epoch_us(ts)
+        RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW
+    )
+    """,
+    tags=("window", "frame", "timeseries", "range"),
+)
+def q127_trailing_time_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 1-hour RANGE frame per user: at every event, how many
+    events (and how much value) the user produced in the preceding
+    hour INCLUDING simultaneous rows — a true time-interval frame, not
+    a row-count frame (q33): sparse and dense activity get the same
+    time horizon. Ordering on epoch microseconds makes the frame
+    numeric and identical on both engines; rows sharing a timestamp
+    are RANGE peers, so no tiebreak ambiguity exists by construction.
+
+    Scale posture: one shuffle on user_id; the range frame is evaluated
+    with a sliding two-pointer pass over each sorted partition — O(n)
+    per user, state bounded by the hour horizon.
+    """
+    ev = load_tables(spark, sf_dir)["events"]
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros(F.col("ts")))
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.count(F.lit(1)).over(w).alias("n_trailing_1h"),
+        F.round(F.sum("value").over(w), 2).alias("sum_trailing_1h"),
+    )
+
+
+@query(
+    "q128_cumulative_distinct",
+    oracle="""
+    WITH firsts AS (
+        SELECT date_trunc('day', ts) AS day, user_id,
+               row_number() OVER (
+                   PARTITION BY user_id
+                   ORDER BY date_trunc('microseconds', ts) ASC, event_id ASC
+               ) AS rn
+        FROM events
+    ),
+    daily AS (
+        SELECT day,
+               CAST(count(*) FILTER (WHERE rn = 1) AS BIGINT) AS new_users,
+               CAST(count(DISTINCT user_id) AS BIGINT)        AS active_users
+        FROM firsts
+        GROUP BY day
+    )
+    SELECT day, new_users, active_users,
+           CAST(sum(new_users) OVER (ORDER BY day
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS cumulative_users
+    FROM daily
+    """,
+    tags=("window", "distinct", "retention"),
+)
+def q128_cumulative_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily new / active / cumulative-unique users — the retention
+    dashboard shape. A naive cumulative COUNT(DISTINCT) re-scans all
+    history per day; the first-occurrence trick (row_number = 1 marks
+    each user's first event, then a running sum over the DAILY rollup)
+    gets the same numbers with one user-keyed window + one day rollup.
+
+    Scale posture: the only data-sized operations key on user_id and
+    (day); the final cumulative window runs over day-grain rows — a
+    metadata-sized sequence no matter the input volume. This is the
+    standard OLAP rewrite that turns an O(n²) running-distinct into
+    O(n).
+    """
+    ev = load_tables(spark, sf_dir)["events"]
+    w = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+    firsts = ev.select(
+        F.date_trunc("day", F.col("ts")).alias("day"),
+        "user_id",
+        F.row_number().over(w).alias("rn"),
+    )
+    daily = firsts.groupBy("day").agg(
+        F.sum((F.col("rn") == 1).cast("long")).alias("new_users"),
+        F.countDistinct("user_id").alias("active_users"),
+    )
+    wcum = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return daily.select(
+        "day",
+        "new_users",
+        "active_users",
+        F.sum("new_users").over(wcum).cast("long").alias("cumulative_users"),
+    )
