@@ -733,3 +733,66 @@ def q123_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_tok").cast("long").alias("n_tokens"),
     )
+
+
+@query(
+    "q129_curation_funnel",
+    oracle="""
+    WITH flagged AS (
+        SELECT lang,
+               row_number() OVER (
+                   PARTITION BY md5(text) ORDER BY doc_id ASC
+               ) = 1 AS is_canonical,
+               length(string_split(text, ' ')) >= 30 AS quality_ok,
+               ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 < 90
+                   AS is_train
+        FROM documents
+    )
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_raw,
+           CAST(sum(CASE WHEN is_canonical THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_after_dedup,
+           CAST(sum(CASE WHEN is_canonical AND quality_ok THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_after_quality,
+           CAST(sum(CASE WHEN is_canonical AND quality_ok AND is_train
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_train,
+           CAST(sum(CASE WHEN is_canonical AND quality_ok AND NOT is_train
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_test
+    FROM flagged
+    GROUP BY lang
+    """,
+    tags=("curation", "pipeline", "funnel", "dedup"),
+)
+def q129_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The curation pipeline as ONE composed dataflow — exact dedup
+    (canonical = lowest doc_id per content hash, q60's rule), quality
+    gate (≥30 whitespace tokens, q51's signal family), and the q55
+    deterministic train/test split — reported as a per-language funnel:
+    raw → deduped → quality-passed → train/test. This is the
+    sanity-dashboard a data-curation run publishes, and it proves the
+    operators compose in one pass rather than as N materialized stages.
+
+    Scale posture: one shuffle on the content hash (the dedup window),
+    then every later stage is a flag — conditional aggregation instead
+    of chained filters means the funnel counts all levels in a single
+    rollup with no re-scan per stage.
+    """
+    docs = load_tables(spark, sf_dir)["documents"]
+    w = Window.partitionBy(F.md5("text")).orderBy(F.asc("doc_id"))
+    flagged = docs.select(
+        "lang",
+        (F.row_number().over(w) == 1).alias("is_canonical"),
+        (F.size(F.split(F.col("text"), " ")) >= 30).alias("quality_ok"),
+        (
+            F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+            .cast("long") % 100 < 90
+        ).alias("is_train"),
+    )
+    c, q_, tr = F.col("is_canonical"), F.col("quality_ok"), F.col("is_train")
+    return flagged.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_raw"),
+        F.sum(c.cast("long")).alias("n_after_dedup"),
+        F.sum((c & q_).cast("long")).alias("n_after_quality"),
+        F.sum((c & q_ & tr).cast("long")).alias("n_train"),
+        F.sum((c & q_ & ~tr).cast("long")).alias("n_test"),
+    )
