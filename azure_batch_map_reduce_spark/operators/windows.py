@@ -696,3 +696,116 @@ def q128_cumulative_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         "active_users",
         F.sum("new_users").over(wcum).cast("long").alias("cumulative_users"),
     )
+
+
+@query(
+    "q130_session_paths",
+    oracle="""
+    WITH ordered AS (
+        SELECT user_id, event_type,
+               row_number() OVER (
+                   PARTITION BY user_id
+                   ORDER BY date_trunc('microseconds', ts) ASC, event_id ASC
+               ) AS rn
+        FROM events
+    ),
+    paths AS (
+        SELECT user_id,
+               string_agg(event_type, '>' ORDER BY rn) AS path
+        FROM ordered
+        WHERE rn <= 3
+        GROUP BY user_id
+    )
+    SELECT path, CAST(count(*) AS BIGINT) AS n_users
+    FROM paths
+    GROUP BY path
+    ORDER BY n_users DESC, path ASC
+    LIMIT 15
+    """,
+    tags=("window", "sequence", "paths", "events"),
+)
+def q130_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entry-path mining: each user's first three event types joined
+    into a path string ('signup>view>purchase'), then the 15 most
+    common paths — the onboarding-flow analysis that complements q88's
+    transition matrix (which sees only adjacent pairs) with ordered
+    prefixes.
+
+    Scale posture: one user_id shuffle for ordering, rn≤3 prunes to
+    ≤3 rows per user BEFORE the path aggregation (WindowGroupLimit
+    applies the cut during the sort), and path counting is a
+    low-cardinality rollup with map-side combine; the top-15 is
+    TakeOrdered.
+    """
+    ev = load_tables(spark, sf_dir)["events"]
+    w = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+    ordered = ev.select(
+        "user_id", "event_type", F.row_number().over(w).alias("rn")
+    ).where(F.col("rn") <= 3)
+    paths = ordered.groupBy("user_id").agg(
+        F.concat_ws(
+            ">",
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("rn"), F.col("event_type")))
+                ),
+                lambda s: s["event_type"],
+            ),
+        ).alias("path")
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .orderBy(F.desc("n_users"), F.asc("path"))
+        .limit(15)
+    )
+
+
+@query(
+    "q131_retention_cohorts",
+    oracle="""
+    WITH firsts AS (
+        SELECT user_id, min(date_trunc('week', ts)) AS cohort_week
+        FROM events GROUP BY user_id
+    ),
+    activity AS (
+        SELECT DISTINCT e.user_id, f.cohort_week,
+               date_diff('week', f.cohort_week, date_trunc('week', e.ts)) AS week_offset
+        FROM events e JOIN firsts f ON f.user_id = e.user_id
+    )
+    SELECT cohort_week, CAST(week_offset AS INTEGER) AS week_offset,
+           CAST(count(*) AS BIGINT) AS n_active_users
+    FROM activity
+    GROUP BY cohort_week, week_offset
+    """,
+    tags=("window", "retention", "cohort", "events"),
+)
+def q131_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retention cohort matrix: users grouped by first-activity week,
+    counted in each subsequent week they return — the
+    (cohort × week-offset) triangle every growth dashboard renders.
+
+    Scale posture: the cohort table is one user-keyed aggregate joined
+    back user-to-user (same key, same partitioning — AQE reuses the
+    exchange); the DISTINCT collapses per (user, week) BEFORE the
+    cohort rollup so burst users count once per week. No window
+    needed at all — min-aggregate + join beats a first_value window
+    here because the cohort table is also reusable downstream.
+    """
+    ev = load_tables(spark, sf_dir)["events"]
+    week = lambda c: F.date_trunc("week", c)  # noqa: E731
+    firsts = ev.groupBy("user_id").agg(F.min(week(F.col("ts"))).alias("cohort_week"))
+    activity = (
+        ev.join(firsts, "user_id")
+        .select(
+            "user_id",
+            "cohort_week",
+            (
+                F.datediff(week(F.col("ts")), F.col("cohort_week")) / 7
+            ).cast("int").alias("week_offset"),
+        )
+        .distinct()
+    )
+    return activity.groupBy("cohort_week", "week_offset").agg(
+        F.count(F.lit(1)).alias("n_active_users")
+    )
