@@ -20,7 +20,7 @@ Scale notes (100 TB posture):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from azure_batch_map_reduce_spark.catalog import load_tables, register_views
 from azure_batch_map_reduce_spark.registry import query
@@ -755,4 +755,115 @@ def q120_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.min(x), 2).alias("lo"),
             F.round(F.max(x), 2).alias("hi"),
         )
+    )
+
+
+@query(
+    "q132_benford_audit",
+    oracle="""
+    WITH digits AS (
+        SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1)
+                    AS INTEGER) AS d
+        FROM orders WHERE o_totalprice >= 1
+    ),
+    tot AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM digits)
+    SELECT d.d AS digit,
+           CAST(count(*) AS BIGINT) AS n_obs,
+           round(count(*) / t.n, 6) AS observed_share,
+           round(ln(1.0 + 1.0 / d.d) / ln(10.0), 6) AS benford_share
+    FROM digits d CROSS JOIN tot t
+    GROUP BY d.d, t.n
+    """,
+    tags=("aggregation", "audit", "benford", "quality"),
+)
+def q132_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit audit of o_totalprice: observed leading
+    -digit shares against the log-law expectation ln(1+1/d)/ln(10) —
+    the classic fabricated-data / corrupted-feed screen for financial
+    columns. (TPC-H-style synthetic uniform prices deviate from
+    Benford, which the audit correctly reports — the operator's job is
+    the comparison, not a verdict.)
+
+    Scale posture: digit extraction is map-side string math on the
+    scan, the rollup is 9 keys with map-side combine, and the total
+    rides as a 1-row broadcast. One pass.
+    """
+    o = load_tables(spark, sf_dir)["orders"].where(F.col("o_totalprice") >= 1)
+    d = F.substring(
+        F.floor(F.col("o_totalprice")).cast("long").cast("string"), 1, 1
+    ).cast("int")
+    digits = o.select(d.alias("d"))
+    tot = digits.agg(F.count(F.lit(1)).cast("double").alias("n"))
+    return (
+        digits.crossJoin(F.broadcast(tot))
+        .groupBy("d", "n")
+        .agg(F.count(F.lit(1)).alias("n_obs"))
+        .select(
+            F.col("d").alias("digit"),
+            "n_obs",
+            F.round(F.col("n_obs") / F.col("n"), 6).alias("observed_share"),
+            F.round(
+                F.log(1.0 + 1.0 / F.col("d")) / F.log(F.lit(10.0)), 6
+            ).alias("benford_share"),
+        )
+    )
+
+
+@query(
+    "q133_chisq_independence",
+    oracle="""
+    WITH obs AS (
+        SELECT lang, source, CAST(count(*) AS DOUBLE) AS o
+        FROM documents GROUP BY lang, source
+    ),
+    margins AS (
+        SELECT o.lang, o.source, o.o,
+               sum(o.o) OVER (PARTITION BY o.lang)   AS row_tot,
+               sum(o.o) OVER (PARTITION BY o.source) AS col_tot,
+               sum(o.o) OVER ()                      AS n
+        FROM obs o
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_cells,
+           round(sum(pow(o - row_tot * col_tot / n, 2)
+                     / (row_tot * col_tot / n)), 6) AS chi2,
+           CAST((count(DISTINCT lang) - 1) * (count(DISTINCT source) - 1) AS BIGINT)
+               AS dof
+    FROM margins
+    """,
+    tags=("aggregation", "statistics", "chisq", "profiling"),
+)
+def q133_chisq_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square test of independence between lang and source — the
+    contingency-table statistic a corpus audit uses to ask "is language
+    mix uniform across sources, or does some source skew?" Returns the
+    statistic and degrees of freedom (the caller compares against a
+    critical value; no p-value table needed in-engine).
+
+    Scale posture: margins are windows over the CONTINGENCY TABLE
+    (|langs|×|sources| cells), not the corpus — the only data-sized
+    work is the (lang, source) count with map-side combine. The global
+    window is safe because its input is cells, bounded by category
+    cardinalities.
+    """
+    docs = load_tables(spark, sf_dir)["documents"]
+    obs = docs.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).cast("double").alias("o")
+    )
+    margins = obs.select(
+        "lang",
+        "source",
+        "o",
+        F.sum("o").over(Window.partitionBy("lang")).alias("row_tot"),
+        F.sum("o").over(Window.partitionBy("source")).alias("col_tot"),
+        F.sum("o").over(
+            Window.partitionBy()
+        ).alias("n"),
+    )
+    e = F.col("row_tot") * F.col("col_tot") / F.col("n")
+    return margins.agg(
+        F.count(F.lit(1)).alias("n_cells"),
+        F.round(F.sum(F.pow(F.col("o") - e, 2) / e), 6).alias("chi2"),
+        (
+            (F.countDistinct("lang") - 1) * (F.countDistinct("source") - 1)
+        ).cast("long").alias("dof"),
     )
