@@ -584,3 +584,67 @@ def q124_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("rnk").cast("int").alias("rnk"),
         F.round(F.sum("c").over(wcum) / F.col("n"), 6).alias("cum_coverage"),
     )
+
+
+@query(
+    "q135_skipgram_pairs",
+    oracle="""
+    WITH w AS (
+        SELECT string_split(text, ' ') AS ws FROM documents
+    ),
+    pairs AS (
+        SELECT unnest(
+            list_concat(
+                CASE WHEN len(ws) >= 2 THEN
+                    list_transform(range(1, len(ws)), i -> ws[i] || '|' || ws[i + 1])
+                ELSE [] END,
+                CASE WHEN len(ws) >= 3 THEN
+                    list_transform(range(1, len(ws) - 1), i -> ws[i] || '|' || ws[i + 2])
+                ELSE [] END
+            )
+        ) AS pair
+        FROM w
+    )
+    SELECT pair, CAST(count(*) AS BIGINT) AS n
+    FROM pairs
+    GROUP BY pair
+    ORDER BY n DESC, pair ASC
+    LIMIT 20
+    """,
+    tags=("text", "skipgram", "cooccurrence"),
+)
+def q135_skipgram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skip-gram co-occurrence counts (forward offsets 1 and 2): the
+    (center|context) pair frequencies that train word embeddings and
+    feed PMI collocation mining; top-20 pairs corpus-wide.
+
+    Scale posture: pair generation is per-document array math
+    (transform over an index sequence — no self-join of positions, no
+    Python), so the only shuffle is the pair-count aggregation, whose
+    map-side combine collapses the heavy hitters before the exchange;
+    the top-20 is TakeOrdered. Guarded sequences (size checks) avoid
+    Spark's descending-sequence footgun on short documents.
+    """
+    docs = load_tables(spark, sf_dir)["documents"]
+    ws = F.split(F.col("text"), " ")
+
+    def offset_pairs(o: int):
+        return F.when(
+            F.size(ws) >= o + 1,
+            F.transform(
+                F.sequence(F.lit(1), F.size(ws) - o),
+                lambda i: F.concat_ws(
+                    "|", F.element_at(ws, i), F.element_at(ws, i + F.lit(o))
+                ),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+
+    pairs = docs.select(
+        F.explode(F.concat(offset_pairs(1), offset_pairs(2))).alias("pair")
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("pair"))
+        .limit(20)
+    )

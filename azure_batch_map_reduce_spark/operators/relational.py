@@ -867,3 +867,63 @@ def q133_chisq_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.countDistinct("lang") - 1) * (F.countDistinct("source") - 1)
         ).cast("long").alias("dof"),
     )
+
+
+@query(
+    "q134_weighted_median",
+    oracle="""
+    WITH cum AS (
+        SELECT l_returnflag, l_extendedprice, l_quantity,
+               sum(l_quantity) OVER (
+                   PARTITION BY l_returnflag
+                   ORDER BY l_extendedprice ASC, l_orderkey ASC, l_linenumber ASC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw,
+               sum(l_quantity) OVER (PARTITION BY l_returnflag) AS tot
+        FROM lineitem
+    )
+    SELECT l_returnflag,
+           round(min(l_extendedprice), 2) AS weighted_median_price,
+           round(CAST(min(tot) AS DOUBLE), 2) AS total_weight
+    FROM cum
+    WHERE cw >= tot / 2
+    GROUP BY l_returnflag
+    """,
+    tags=("aggregation", "weighted", "median", "window"),
+)
+def q134_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantity-weighted median price per return flag: the smallest
+    price whose cumulative quantity reaches half the group's total —
+    the inventory-weighted "typical price" that an unweighted median
+    misstates when cheap items trade in bulk. Built from first
+    principles (cumulative-weight crossing with a total-order tiebreak)
+    because neither engine has a weighted-median builtin — and the
+    identical construction runs on both, so the oracle is exact, not
+    approximate.
+
+    Scale posture: two windows sharing one (group, sort) partitioning
+    plus a rollup on the same key — a single shuffle end to end. The
+    crossing filter prunes to ~half of each partition before the final
+    min-aggregate.
+    """
+    li = load_tables(spark, sf_dir)["lineitem"]
+    order = [F.asc("l_extendedprice"), F.asc("l_orderkey"), F.asc("l_linenumber")]
+    wcum = (
+        Window.partitionBy("l_returnflag")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wall = Window.partitionBy("l_returnflag")
+    cum = li.select(
+        "l_returnflag",
+        "l_extendedprice",
+        F.sum("l_quantity").over(wcum).alias("cw"),
+        F.sum("l_quantity").over(wall).alias("tot"),
+    )
+    return (
+        cum.where(F.col("cw") >= F.col("tot") / 2)
+        .groupBy("l_returnflag")
+        .agg(
+            F.round(F.min("l_extendedprice"), 2).alias("weighted_median_price"),
+            F.round(F.min("tot").cast("double"), 2).alias("total_weight"),
+        )
+    )
