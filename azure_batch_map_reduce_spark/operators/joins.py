@@ -436,3 +436,89 @@ def q116_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_views(spark, sf_dir)
     return spark.sql(_LATERAL_SQL)
+
+
+@query(
+    "q136_market_basket_lift",
+    oracle="""
+    WITH baskets AS (
+        SELECT DISTINCT l.l_orderkey, p.p_brand
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    ),
+    tot AS (SELECT count(DISTINCT l_orderkey) AS n_orders FROM baskets),
+    brand_n AS (SELECT p_brand, count(*) AS n FROM baskets GROUP BY p_brand),
+    pairs AS (
+        SELECT a.p_brand AS brand_a, b.p_brand AS brand_b, count(*) AS pair_n
+        FROM baskets a
+        JOIN baskets b
+          ON a.l_orderkey = b.l_orderkey AND a.p_brand < b.p_brand
+        GROUP BY a.p_brand, b.p_brand
+    )
+    SELECT brand_a, brand_b, CAST(pair_n AS BIGINT) AS pair_n,
+           round(CAST(pair_n * n_orders AS DOUBLE) / (na.n * nb.n), 6) AS lift
+    FROM pairs
+    CROSS JOIN tot
+    JOIN brand_n na ON na.p_brand = brand_a
+    JOIN brand_n nb ON nb.p_brand = brand_b
+    ORDER BY lift DESC, brand_a ASC, brand_b ASC
+    LIMIT 15
+    """,
+    tags=("join", "basket", "lift", "cooccurrence"),
+)
+def q136_market_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket lift over brand pairs: for every pair of part brands
+    co-occurring in an order, lift = P(a,b) / (P(a)·P(b)) — the
+    association-rule mining primitive (which brands sell together more
+    than chance predicts); top-15 pairs by lift.
+
+    The reference's map slot (``Program.cs:332-349``) is where such a
+    per-basket itemizer would run; here the whole rule mine is declarative.
+
+    Scale posture: items are mapped to a BOUNDED vocabulary (25 brands)
+    before pairing, so the pair space is ≤ 25² regardless of fact-table
+    size — the self-join is co-partitioned on l_orderkey (both sides
+    share one shuffle key) and every per-basket brand set is tiny. The
+    brand marginals and the order total are scalars/25-row tables,
+    joined by broadcast. Lift is one division of exact integer products:
+    bit-identical across engines.
+    """
+    t = load_tables(spark, sf_dir)
+    baskets = (
+        t["lineitem"]
+        .join(F.broadcast(t["part"]), F.col("l_partkey") == F.col("p_partkey"))
+        .select("l_orderkey", "p_brand")
+        .distinct()
+    )
+    tot = baskets.select(F.countDistinct("l_orderkey").alias("n_orders"))
+    brand_n = baskets.groupBy("p_brand").agg(F.count(F.lit(1)).alias("n"))
+    a, b = baskets.alias("a"), baskets.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.p_brand") < F.col("b.p_brand")),
+        )
+        .groupBy(
+            F.col("a.p_brand").alias("brand_a"), F.col("b.p_brand").alias("brand_b")
+        )
+        .agg(F.count(F.lit(1)).alias("pair_n"))
+    )
+    na = brand_n.select(F.col("p_brand").alias("brand_a"), F.col("n").alias("n_a"))
+    nb = brand_n.select(F.col("p_brand").alias("brand_b"), F.col("n").alias("n_b"))
+    return (
+        pairs.crossJoin(F.broadcast(tot))
+        .join(F.broadcast(na), "brand_a")
+        .join(F.broadcast(nb), "brand_b")
+        .select(
+            "brand_a",
+            "brand_b",
+            "pair_n",
+            F.round(
+                (F.col("pair_n") * F.col("n_orders")).cast("double")
+                / (F.col("n_a") * F.col("n_b")),
+                6,
+            ).alias("lift"),
+        )
+        .orderBy(F.desc("lift"), F.asc("brand_a"), F.asc("brand_b"))
+        .limit(15)
+    )

@@ -809,3 +809,83 @@ def q131_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return activity.groupBy("cohort_week", "week_offset").agg(
         F.count(F.lit(1)).alias("n_active_users")
     )
+
+
+@query(
+    "q137_ohlc_bars",
+    oracle="""
+    WITH base AS (
+        SELECT date_trunc('hour', ts) AS hr, event_type, value,
+               date_trunc('microseconds', ts) AS uts, event_id
+        FROM events
+    ),
+    e AS (
+        SELECT hr, event_type, value,
+               first_value(value) OVER (
+                   PARTITION BY hr, event_type ORDER BY uts ASC, event_id ASC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+               ) AS open_v,
+               last_value(value) OVER (
+                   PARTITION BY hr, event_type ORDER BY uts ASC, event_id ASC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+               ) AS close_v
+        FROM base
+    )
+    SELECT hr, event_type,
+           round(min(open_v), 6)  AS open,
+           round(max(value), 6)   AS high,
+           round(min(value), 6)   AS low,
+           round(min(close_v), 6) AS close,
+           CAST(count(*) AS BIGINT) AS n_ticks
+    FROM e
+    GROUP BY hr, event_type
+    ORDER BY hr, event_type
+    """,
+    tags=("window", "timeseries", "ohlc", "rollup"),
+)
+def q137_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly OHLC bars per event type: open/high/low/close of `value`
+    inside each hour — the hypertable/candlestick rollup every
+    time-series store ships (TimescaleDB's ohlc, kdb's bar builder),
+    with tick count per bar.
+
+    Open/close need a total order inside the bar (ts, then event_id for
+    same-microsecond ties); high/low/count are plain aggregates.
+
+    Scale posture: one shuffle on (hour, event_type) serves both the
+    window pass and the rollup — the window's partition key IS the
+    group key, so Catalyst reuses the exchange. No whole-series global
+    sort: ordering is per-bar. At 100 TB the bar key is also the
+    natural file-partitioning key, making this map-side after layout.
+    """
+    ev = load_tables(spark, sf_dir)["events"]
+    base = ev.select(
+        F.date_trunc("hour", F.col("ts")).alias("hr"),
+        "event_type",
+        "value",
+        "ts",
+        "event_id",
+    )
+    w = (
+        Window.partitionBy("hr", "event_type")
+        .orderBy(F.asc("ts"), F.asc("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    e = base.select(
+        "hr",
+        "event_type",
+        "value",
+        F.first("value").over(w).alias("open_v"),
+        F.last("value").over(w).alias("close_v"),
+    )
+    return (
+        e.groupBy("hr", "event_type")
+        .agg(
+            F.round(F.min("open_v"), 6).alias("open"),
+            F.round(F.max("value"), 6).alias("high"),
+            F.round(F.min("value"), 6).alias("low"),
+            F.round(F.min("close_v"), 6).alias("close"),
+            F.count(F.lit(1)).alias("n_ticks"),
+        )
+        .orderBy("hr", "event_type")
+    )
