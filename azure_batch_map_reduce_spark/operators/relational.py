@@ -927,3 +927,135 @@ def q134_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.min("tot").cast("double"), 2).alias("total_weight"),
         )
     )
+
+
+@query(
+    "q138_ols_trend",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(regr_count(l_extendedprice, l_quantity) AS BIGINT) AS n,
+           round(regr_slope(l_extendedprice, l_quantity), 5)       AS slope,
+           round(regr_intercept(l_extendedprice, l_quantity), 5)  AS intercept,
+           round(regr_r2(l_extendedprice, l_quantity), 6)         AS r2,
+           round(regr_avgx(l_extendedprice, l_quantity), 5)       AS avg_x,
+           round(regr_avgy(l_extendedprice, l_quantity), 5)       AS avg_y
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+    tags=("aggregation", "regression", "statistics"),
+)
+def q138_ols_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group ordinary-least-squares fit of price on quantity using
+    the SQL-standard REGR_* aggregate family (slope, intercept, R²,
+    centroid) — the in-database linear-model primitive behind trend
+    lines, elasticity estimates, and drift monitors.
+
+    Scale posture: REGR_* aggregates are sum-of-products moments, so
+    Catalyst plans partial+final hash aggregation — one shuffle of
+    5-ish rows per group key no matter the fact-table size. No window,
+    no sort, no Python.
+    """
+    li = load_tables(spark, sf_dir)["lineitem"]
+    y, x = F.col("l_extendedprice"), F.col("l_quantity")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.regr_count(y, x).cast("long").alias("n"),
+            F.round(F.regr_slope(y, x), 5).alias("slope"),
+            F.round(F.regr_intercept(y, x), 5).alias("intercept"),
+            F.round(F.regr_r2(y, x), 6).alias("r2"),
+            F.round(F.regr_avgx(y, x), 5).alias("avg_x"),
+            F.round(F.regr_avgy(y, x), 5).alias("avg_y"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@query(
+    "q139_ks_two_sample",
+    oracle="""
+    WITH s AS (
+        SELECT o_totalprice AS price,
+               CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS ia,
+               CASE WHEN o_orderpriority = '5-LOW'    THEN 1 ELSE 0 END AS ib
+        FROM orders
+        WHERE o_orderpriority IN ('1-URGENT', '5-LOW')
+    ),
+    c AS (
+        SELECT ia, ib,
+               sum(ia) OVER (ORDER BY price
+                   RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ca,
+               sum(ib) OVER (ORDER BY price
+                   RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cb,
+               sum(ia) OVER () AS ta,
+               sum(ib) OVER () AS tb
+        FROM s
+    ),
+    agg AS (
+        SELECT CAST(max(ta) AS BIGINT) AS n_a, CAST(max(tb) AS BIGINT) AS n_b,
+               max(abs(CAST(ca AS DOUBLE) / ta - CAST(cb AS DOUBLE) / tb)) AS d
+        FROM c
+    )
+    SELECT n_a, n_b, round(d, 6) AS ks_d,
+           round(1.36 * sqrt(CAST(n_a + n_b AS DOUBLE) / (n_a * n_b)), 6)
+               AS crit_95,
+           CAST(d > 1.36 * sqrt(CAST(n_a + n_b AS DOUBLE) / (n_a * n_b))
+               AS INT) AS reject_95
+    FROM agg
+    """,
+    tags=("aggregation", "statistics", "ks-test", "window"),
+)
+def q139_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov test: does the total-price
+    distribution of 1-URGENT orders differ from 5-LOW orders? D is the
+    max gap between the two empirical CDFs, evaluated tie-correctly via
+    a RANGE cumulative frame (count of ≤ x, not row position), plus the
+    large-sample 95% critical value and the reject decision.
+
+    Every per-row quantity is a ratio of exact integers (one IEEE
+    division), so D is bit-identical across engines — the decision flag
+    can safely compare unrounded values.
+
+    Scale posture: one global range-partitioned sort (Spark samples
+    split points, so no single-reducer bottleneck), cumulative sums in
+    the sorted order, then a scalar max. At 100 TB you'd pre-bucket
+    prices and compute per-bucket CDF deltas instead; the frame
+    semantics are unchanged.
+    """
+    o = load_tables(spark, sf_dir)["orders"]
+    s = o.where(F.col("o_orderpriority").isin("1-URGENT", "5-LOW")).select(
+        F.col("o_totalprice").alias("price"),
+        (F.col("o_orderpriority") == "1-URGENT").cast("int").alias("ia"),
+        (F.col("o_orderpriority") == "5-LOW").cast("int").alias("ib"),
+    )
+    wcum = Window.orderBy("price").rangeBetween(Window.unboundedPreceding, 0)
+    wall = Window.partitionBy()
+    c = s.select(
+        "ia",
+        "ib",
+        F.sum("ia").over(wcum).alias("ca"),
+        F.sum("ib").over(wcum).alias("cb"),
+        F.sum("ia").over(wall).alias("ta"),
+        F.sum("ib").over(wall).alias("tb"),
+    )
+    agg = c.agg(
+        F.max("ta").cast("long").alias("n_a"),
+        F.max("tb").cast("long").alias("n_b"),
+        F.max(
+            F.abs(
+                F.col("ca").cast("double") / F.col("ta")
+                - F.col("cb").cast("double") / F.col("tb")
+            )
+        ).alias("d"),
+    )
+    crit = 1.36 * F.sqrt(
+        (F.col("n_a") + F.col("n_b")).cast("double") / (F.col("n_a") * F.col("n_b"))
+    )
+    return agg.select(
+        "n_a",
+        "n_b",
+        F.round(F.col("d"), 6).alias("ks_d"),
+        F.round(crit, 6).alias("crit_95"),
+        (F.col("d") > crit).cast("int").alias("reject_95"),
+    )
