@@ -1059,3 +1059,205 @@ def q139_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(crit, 6).alias("crit_95"),
         (F.col("d") > crit).cast("int").alias("reject_95"),
     )
+
+
+@query(
+    "q140_mad_outliers",
+    oracle="""
+    WITH rk AS (
+        SELECT l_returnflag, l_extendedprice,
+               row_number() OVER (PARTITION BY l_returnflag
+                                  ORDER BY l_extendedprice) AS rn,
+               count(*) OVER (PARTITION BY l_returnflag) AS n
+        FROM lineitem
+    ),
+    med AS (
+        SELECT l_returnflag, min(l_extendedprice) AS med
+        FROM rk WHERE rn = CAST(floor((n + 1) / 2.0) AS BIGINT)
+        GROUP BY l_returnflag
+    ),
+    dev AS (
+        SELECT l.l_returnflag, l.l_extendedprice, m.med,
+               abs(l.l_extendedprice - m.med) AS adev
+        FROM lineitem l JOIN med m USING (l_returnflag)
+    ),
+    drk AS (
+        SELECT l_returnflag, adev,
+               row_number() OVER (PARTITION BY l_returnflag ORDER BY adev) AS rn,
+               count(*) OVER (PARTITION BY l_returnflag) AS n
+        FROM dev
+    ),
+    mad AS (
+        SELECT l_returnflag, min(adev) AS mad
+        FROM drk WHERE rn = CAST(floor((n + 1) / 2.0) AS BIGINT)
+        GROUP BY l_returnflag
+    )
+    SELECT d.l_returnflag, CAST(count(*) AS BIGINT) AS n,
+           round(min(d.med), 2) AS med, round(min(m.mad), 2) AS mad,
+           CAST(sum(CASE WHEN abs(0.6745 * (d.l_extendedprice - d.med) / m.mad)
+                              > 3.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+           round(max(abs(0.6745 * (d.l_extendedprice - d.med) / m.mad)), 4)
+               AS max_robust_z
+    FROM dev d JOIN mad m USING (l_returnflag)
+    GROUP BY d.l_returnflag
+    ORDER BY d.l_returnflag
+    """,
+    tags=("aggregation", "statistics", "outliers", "robust"),
+)
+def q140_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier detection per group via the median absolute
+    deviation: modified z-score 0.6745·(x−median)/MAD with the
+    Iglewicz–Hoberg 3.5 cutoff — the outlier gate that, unlike
+    mean/stddev z-scores, is not itself dragged by the outliers it
+    hunts.
+
+    Both medians are DISCRETE (the rank-⌈n/2⌉ element, not the
+    interpolated midpoint): an interpolated even-count median averages
+    two doubles, and the two engines' interpolation forms differ by an
+    ulp — enough to flip a round-half boundary. A discrete median is an
+    actual data value, bit-identical everywhere.
+
+    Scale posture: each discrete median is one rank pass over a
+    per-group sorted window (shuffle on the 4-value group key), and the
+    per-group scalars broadcast back onto the fact scan. At 100 TB you
+    would swap the exact rank pass for `approx_percentile(0.5)` and
+    collapse to one aggregation — the shape of the query is unchanged.
+    """
+    li = load_tables(spark, sf_dir)["lineitem"]
+
+    def discrete_median(df: DataFrame, col: str) -> DataFrame:
+        wr = Window.partitionBy("l_returnflag").orderBy(col)
+        wn = Window.partitionBy("l_returnflag")
+        rk = df.select(
+            "l_returnflag",
+            col,
+            F.row_number().over(wr).alias("rn"),
+            F.count(F.lit(1)).over(wn).alias("n"),
+        )
+        return (
+            rk.where(
+                F.col("rn") == F.floor((F.col("n") + 1) / F.lit(2.0)).cast("long")
+            )
+            .groupBy("l_returnflag")
+            .agg(F.min(col).alias("med" if col == "l_extendedprice" else "mad"))
+        )
+
+    med = discrete_median(li, "l_extendedprice")
+    dev = li.join(F.broadcast(med), "l_returnflag").select(
+        "l_returnflag",
+        "l_extendedprice",
+        "med",
+        F.abs(F.col("l_extendedprice") - F.col("med")).alias("adev"),
+    )
+    mad = discrete_median(dev, "adev")
+    z = F.abs(0.6745 * (F.col("l_extendedprice") - F.col("med")) / F.col("mad"))
+    return (
+        dev.join(F.broadcast(mad), "l_returnflag")
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min("med"), 2).alias("med"),
+            F.round(F.min("mad"), 2).alias("mad"),
+            F.sum(F.when(z > 3.5, 1).otherwise(0)).cast("long").alias("n_outliers"),
+            F.round(F.max(z), 4).alias("max_robust_z"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@query(
+    "q141_ab_proportion_ztest",
+    oracle="""
+    WITH trials AS (
+        SELECT user_id, date_trunc('day', ts) AS d,
+               CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END AS variant,
+               max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
+        FROM events
+        GROUP BY user_id, date_trunc('day', ts)
+    ),
+    v AS (
+        SELECT
+            sum(CASE WHEN variant = 'A' THEN 1 ELSE 0 END) AS n_a,
+            sum(CASE WHEN variant = 'A' THEN conv ELSE 0 END) AS c_a,
+            sum(CASE WHEN variant = 'B' THEN 1 ELSE 0 END) AS n_b,
+            sum(CASE WHEN variant = 'B' THEN conv ELSE 0 END) AS c_b
+        FROM trials
+    ),
+    p AS (
+        SELECT n_a, c_a, n_b, c_b,
+               CAST(c_a AS DOUBLE) / n_a AS p_a,
+               CAST(c_b AS DOUBLE) / n_b AS p_b,
+               CAST(c_a + c_b AS DOUBLE) / (n_a + n_b) AS p_pool
+        FROM v
+    )
+    SELECT CAST(n_a AS BIGINT) AS n_a, CAST(c_a AS BIGINT) AS conv_a,
+           CAST(n_b AS BIGINT) AS n_b, CAST(c_b AS BIGINT) AS conv_b,
+           round(p_a, 6) AS rate_a, round(p_b, 6) AS rate_b,
+           round((p_a - p_b)
+                 / sqrt(p_pool * (1.0 - p_pool)
+                        * (1.0 / n_a + 1.0 / n_b)), 4) AS z,
+           CAST(abs((p_a - p_b)
+                 / sqrt(p_pool * (1.0 - p_pool)
+                        * (1.0 / n_a + 1.0 / n_b))) > 1.96 AS INT)
+               AS significant_95
+    FROM p
+    """,
+    tags=("aggregation", "statistics", "abtest", "events"),
+)
+def q141_ab_proportion_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion z-test for an A/B experiment read off the event
+    stream: variant by user-id parity, trial = a user-day, success = a
+    purchase that day; pooled-variance z statistic and the 95%
+    significance verdict — the experimentation-platform primitive.
+
+    Every derived quantity is built from exact integer counts through
+    individually-rounded IEEE ops (divide, multiply, sqrt) in the same
+    expression order on both engines, so the unrounded z feeds the
+    decision flag safely.
+
+    Scale posture: one shuffle to the (user, day) trial grain with the
+    conversion flag folded in as a max — then a single partial+final
+    global aggregation of four counters. Nothing after the first
+    aggregation touches more than one row.
+    """
+    ev = load_tables(spark, sf_dir)["events"]
+    trials = (
+        ev.groupBy("user_id", F.date_trunc("day", F.col("ts")).alias("d"))
+        .agg(
+            F.max(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            ).alias("conv")
+        )
+        .withColumn(
+            "variant", F.when(F.col("user_id") % 2 == 0, "A").otherwise("B")
+        )
+    )
+    v = trials.agg(
+        F.sum(F.when(F.col("variant") == "A", 1).otherwise(0)).alias("n_a"),
+        F.sum(F.when(F.col("variant") == "A", F.col("conv")).otherwise(0)).alias("c_a"),
+        F.sum(F.when(F.col("variant") == "B", 1).otherwise(0)).alias("n_b"),
+        F.sum(F.when(F.col("variant") == "B", F.col("conv")).otherwise(0)).alias("c_b"),
+    )
+    p = v.select(
+        "*",
+        (F.col("c_a").cast("double") / F.col("n_a")).alias("p_a"),
+        (F.col("c_b").cast("double") / F.col("n_b")).alias("p_b"),
+        ((F.col("c_a") + F.col("c_b")).cast("double") / (F.col("n_a") + F.col("n_b"))).alias(
+            "p_pool"
+        ),
+    )
+    zexpr = (F.col("p_a") - F.col("p_b")) / F.sqrt(
+        F.col("p_pool")
+        * (F.lit(1.0) - F.col("p_pool"))
+        * (F.lit(1.0) / F.col("n_a") + F.lit(1.0) / F.col("n_b"))
+    )
+    return p.select(
+        F.col("n_a").cast("long").alias("n_a"),
+        F.col("c_a").cast("long").alias("conv_a"),
+        F.col("n_b").cast("long").alias("n_b"),
+        F.col("c_b").cast("long").alias("conv_b"),
+        F.round("p_a", 6).alias("rate_a"),
+        F.round("p_b", 6).alias("rate_b"),
+        F.round(zexpr, 4).alias("z"),
+        (F.abs(zexpr) > 1.96).cast("int").alias("significant_95"),
+    )
