@@ -648,3 +648,96 @@ def q135_skipgram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n"), F.asc("pair"))
         .limit(20)
     )
+
+
+@query(
+    "q143_bigram_surprisal",
+    oracle="""
+    WITH w AS (
+        SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+    ),
+    pos AS (
+        SELECT doc_id, ws, unnest(range(1, len(ws))) AS i
+        FROM w WHERE len(ws) >= 2
+    ),
+    bg AS (SELECT doc_id, ws[i] AS w1, ws[i + 1] AS w2 FROM pos),
+    vocab AS (
+        SELECT count(DISTINCT u) AS v
+        FROM (SELECT unnest(ws) AS u FROM w)
+    ),
+    c1 AS (SELECT w1, count(*) AS c1 FROM bg GROUP BY w1),
+    c12 AS (SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY w1, w2),
+    scored AS (
+        SELECT b.doc_id,
+               ln(CAST(c.c1 + v.v AS DOUBLE) / (p.c12 + 1)) / ln(2.0) AS s
+        FROM bg b
+        JOIN c12 p USING (w1, w2)
+        JOIN c1 c USING (w1)
+        CROSS JOIN vocab v
+    )
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+           round(avg(s), 6) AS avg_surprisal
+    FROM scored
+    GROUP BY doc_id
+    ORDER BY avg_surprisal DESC, doc_id ASC
+    LIMIT 10
+    """,
+    tags=("text", "language-model", "surprisal", "quality"),
+)
+def q143_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram language-model surprisal per document: train add-one-
+    smoothed bigram statistics on the corpus itself, then score each
+    document's mean −log₂ p(w₂|w₁) — high-surprisal documents read as
+    out-of-distribution (gibberish, wrong language, boilerplate-free)
+    and this self-scored perplexity proxy is a standard pretraining
+    quality filter; top-10 most surprising documents.
+
+    Scale posture: bigram extraction is per-document array math (no
+    position self-join); the model tables c(w1) and c(w1,w2) live at
+    vocabulary grain — bounded, so both broadcast back onto the bigram
+    stream and scoring is map-side. The only big shuffles are the two
+    model-count aggregations (map-side combined) and the per-doc
+    average. Smoothed probability is one exact-integer division inside
+    the log on both engines.
+    """
+    docs = load_tables(spark, sf_dir)["documents"]
+    ws = F.split(F.col("text"), " ")
+    pairs = F.when(
+        F.size(ws) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(ws) - 1),
+            lambda i: F.struct(
+                F.element_at(ws, i).alias("w1"),
+                F.element_at(ws, i + F.lit(1)).alias("w2"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+    bg = docs.select("doc_id", F.explode(pairs).alias("p")).select(
+        "doc_id", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2")
+    )
+    vocab = docs.select(F.explode(ws).alias("u")).agg(
+        F.countDistinct("u").alias("v")
+    )
+    c1 = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    c12 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    scored = (
+        bg.join(F.broadcast(c12), ["w1", "w2"])
+        .join(F.broadcast(c1), ["w1"])
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "doc_id",
+            (
+                F.log((F.col("c1") + F.col("v")).cast("double") / (F.col("c12") + 1))
+                / F.log(F.lit(2.0))
+            ).alias("s"),
+        )
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(F.avg("s"), 6).alias("avg_surprisal"),
+        )
+        .orderBy(F.desc("avg_surprisal"), F.asc("doc_id"))
+        .limit(10)
+    )

@@ -294,3 +294,44 @@ def q87_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "inner",
     ).select("purchase_id", "click_id", "user_id", "purchase_ts", "click_ts")
     return run_available_now(joined, "append")
+
+
+@query(
+    "q142_stream_static_enrich",
+    oracle="""
+    SELECT c.c_mktsegment AS segment,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(sum(e.value), 2) AS total_value
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY c.c_mktsegment
+    """,
+    tags=("streaming", "join", "static", "enrich"),
+)
+def q142_stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment join executed as a REAL stream: the
+    events stream joined to the static customer dimension (user →
+    market segment), then aggregated per segment in complete mode —
+    the canonical "enrich the firehose with a slowly-changing dim"
+    pattern (the streaming face of the reference's per-task sideloaded
+    ResourceFiles, ``Program.cs:346``).
+
+    Scale posture: the static side is planned as a broadcast into every
+    micro-batch, so the stream never shuffles for the join — the only
+    stateful piece is the tiny per-segment running aggregate. The dim
+    is re-resolvable per batch, which is how dimension updates flow in
+    without restarting the query.
+    """
+    from azure_batch_map_reduce_spark.catalog import load_tables
+
+    ev = events_stream(spark, sf_dir)
+    cust = load_tables(spark, sf_dir)["customer"].select(
+        F.col("c_custkey"), F.col("c_mktsegment").alias("segment")
+    )
+    enriched = ev.join(
+        F.broadcast(cust), ev["user_id"] == cust["c_custkey"], "inner"
+    )
+    agg = enriched.groupBy("segment").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+    )
+    return run_available_now(agg, "complete")
