@@ -741,3 +741,76 @@ def q143_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("avg_surprisal"), F.asc("doc_id"))
         .limit(10)
     )
+
+
+@query(
+    "q146_source_vocab_jaccard",
+    oracle="""
+    WITH sv AS (
+        SELECT DISTINCT source, w
+        FROM (SELECT source, unnest(string_split(text, ' ')) AS w
+              FROM documents)
+    ),
+    sizes AS (SELECT source, count(*) AS sz FROM sv GROUP BY source),
+    inter AS (
+        SELECT a.source AS src_a, b.source AS src_b, count(*) AS n_common
+        FROM sv a JOIN sv b ON a.w = b.w AND a.source < b.source
+        GROUP BY a.source, b.source
+    )
+    SELECT src_a, src_b, CAST(n_common AS BIGINT) AS n_common,
+           CAST(sa.sz AS BIGINT) AS vocab_a, CAST(sb.sz AS BIGINT) AS vocab_b,
+           round(CAST(n_common AS DOUBLE) / (sa.sz + sb.sz - n_common), 6)
+               AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.source = src_a
+    JOIN sizes sb ON sb.source = src_b
+    ORDER BY src_a, src_b
+    """,
+    tags=("text", "similarity", "jaccard", "vocabulary"),
+)
+def q146_source_vocab_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise vocabulary overlap between document sources: Jaccard
+    similarity of the distinct-word sets of every source pair — the
+    corpus-composition diagnostic that flags two "different" crawls
+    actually drawing from the same text distribution (a dedup /
+    data-mix planning signal at corpus grain).
+
+    Scale posture: the corpus collapses to (source, word) grain first —
+    bounded by sources × vocabulary — so the pair join runs on the
+    reduced set with the word as the join key; set sizes are a
+    sources-grain table joined by broadcast. Jaccard is one division
+    of exact integers.
+    """
+    docs = load_tables(spark, sf_dir)["documents"]
+    sv = docs.select(
+        "source", F.explode(F.split(F.col("text"), " ")).alias("w")
+    ).distinct()
+    sizes = sv.groupBy("source").agg(F.count(F.lit(1)).alias("sz"))
+    a, b = sv.alias("a"), sv.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.w") == F.col("b.w")) & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(F.col("a.source").alias("src_a"), F.col("b.source").alias("src_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("source").alias("src_a"), F.col("sz").alias("vocab_a"))
+    sb = sizes.select(F.col("source").alias("src_b"), F.col("sz").alias("vocab_b"))
+    return (
+        inter.join(F.broadcast(sa), "src_a")
+        .join(F.broadcast(sb), "src_b")
+        .select(
+            "src_a",
+            "src_b",
+            F.col("n_common").cast("long").alias("n_common"),
+            F.col("vocab_a").cast("long").alias("vocab_a"),
+            F.col("vocab_b").cast("long").alias("vocab_b"),
+            F.round(
+                F.col("n_common").cast("double")
+                / (F.col("vocab_a") + F.col("vocab_b") - F.col("n_common")),
+                6,
+            ).alias("jaccard"),
+        )
+        .orderBy("src_a", "src_b")
+    )

@@ -522,3 +522,61 @@ def q136_market_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("lift"), F.asc("brand_a"), F.asc("brand_b"))
         .limit(15)
     )
+
+
+@query(
+    "q144_null_safe_join",
+    oracle="""
+    WITH cust AS (
+        SELECT nullif(c_nationkey, 0) AS nat, count(*) AS n_cust
+        FROM customer GROUP BY nullif(c_nationkey, 0)
+    ),
+    supp AS (
+        SELECT nullif(s_nationkey, 0) AS nat, count(*) AS n_supp
+        FROM supplier GROUP BY nullif(s_nationkey, 0)
+    )
+    SELECT c.nat, CAST(c.n_cust AS BIGINT) AS n_cust,
+           CAST(s.n_supp AS BIGINT) AS n_supp,
+           CAST(c.n_cust * s.n_supp AS BIGINT) AS n_pairs
+    FROM cust c JOIN supp s ON c.nat IS NOT DISTINCT FROM s.nat
+    ORDER BY c.nat NULLS FIRST
+    """,
+    tags=("join", "null-safe", "nulls"),
+)
+def q144_null_safe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equi join (`<=>` / IS NOT DISTINCT FROM): nation 0 is
+    recoded as NULL ("unknown origin") on BOTH sides, and the null-safe
+    predicate buckets the unknowns together instead of silently
+    dropping them — the semantics a plain equi join gets wrong when a
+    join key uses NULL as a real category.
+
+    Scale posture: both sides aggregate to key grain BEFORE the join
+    (aggregate-below-join), so the null-safe hash join — which cannot
+    use a plain equality hash path on some engines — only ever sees
+    ~25 rows per side here; Spark plans `<=>` as an ordinary hash join
+    key (null-safe comparison is hashable), so there is no nested-loop
+    fallback even at full scale.
+    """
+    t = load_tables(spark, sf_dir)
+    cust = (
+        t["customer"]
+        .select(F.nullif(F.col("c_nationkey"), F.lit(0)).alias("nat"))
+        .groupBy("nat")
+        .agg(F.count(F.lit(1)).alias("n_cust"))
+    )
+    supp = (
+        t["supplier"]
+        .select(F.nullif(F.col("s_nationkey"), F.lit(0)).alias("nat"))
+        .groupBy("nat")
+        .agg(F.count(F.lit(1)).alias("n_supp"))
+    )
+    return (
+        cust.join(supp, cust["nat"].eqNullSafe(supp["nat"]))
+        .select(
+            cust["nat"],
+            F.col("n_cust").cast("long").alias("n_cust"),
+            F.col("n_supp").cast("long").alias("n_supp"),
+            (F.col("n_cust") * F.col("n_supp")).cast("long").alias("n_pairs"),
+        )
+        .orderBy(F.asc_nulls_first("nat"))
+    )

@@ -889,3 +889,97 @@ def q137_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("hr", "event_type")
     )
+
+
+@query(
+    "q145_cusum_changepoint",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type, date_trunc('day', ts) AS d, count(*) AS cnt
+        FROM events GROUP BY event_type, date_trunc('day', ts)
+    ),
+    m AS (
+        SELECT event_type, CAST(sum(cnt) AS DOUBLE) / count(*) AS mu,
+               count(*) AS n_days
+        FROM daily GROUP BY event_type
+    ),
+    c AS (
+        SELECT daily.event_type, daily.d, m.mu, m.n_days,
+               sum(daily.cnt - m.mu) OVER (
+                   PARTITION BY daily.event_type ORDER BY daily.d
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cusum
+        FROM daily JOIN m USING (event_type)
+    ),
+    r AS (
+        SELECT event_type, d, mu, n_days, round(abs(cusum), 6) AS ac,
+               row_number() OVER (
+                   PARTITION BY event_type
+                   ORDER BY round(abs(cusum), 6) DESC, d ASC) AS rn
+        FROM c
+    )
+    SELECT event_type, CAST(n_days AS BIGINT) AS n_days,
+           round(mu, 6) AS mean_daily, d AS changepoint_day,
+           ac AS max_abs_cusum
+    FROM r WHERE rn = 1
+    ORDER BY event_type
+    """,
+    tags=("window", "timeseries", "changepoint", "cusum"),
+)
+def q145_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM changepoint detection on daily event volume: per event
+    type, the running sum of deviations from the series mean peaks (in
+    absolute value) at the most likely level-shift point — the
+    classic drift detector for pipeline monitoring. Emits the
+    changepoint day and the peak |CUSUM|.
+
+    The argmax tie-break ranks on the ROUNDED |CUSUM| so that sub-ulp
+    float-summation differences between engines can never flip which
+    day wins.
+
+    Scale posture: the heavy reduction (events → daily counts) is a
+    partial+final aggregation; everything after runs at days×types
+    grain. The per-type mean broadcasts back, and the cumulative
+    window and the argmax rank share one (type, day) sort.
+    """
+    ev = load_tables(spark, sf_dir)["events"]
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", F.col("ts")).alias("d")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    m = daily.groupBy("event_type").agg(
+        (F.sum("cnt").cast("double") / F.count(F.lit(1))).alias("mu"),
+        F.count(F.lit(1)).alias("n_days"),
+    )
+    wcum = (
+        Window.partitionBy("event_type")
+        .orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    c = daily.join(F.broadcast(m), "event_type").select(
+        "event_type",
+        "d",
+        "mu",
+        "n_days",
+        F.sum(F.col("cnt") - F.col("mu")).over(wcum).alias("cusum"),
+    )
+    wrank = Window.partitionBy("event_type").orderBy(
+        F.desc(F.round(F.abs(F.col("cusum")), 6)), F.asc("d")
+    )
+    return (
+        c.select(
+            "event_type",
+            "d",
+            "mu",
+            "n_days",
+            F.round(F.abs(F.col("cusum")), 6).alias("ac"),
+            F.row_number().over(wrank).alias("rn"),
+        )
+        .where(F.col("rn") == 1)
+        .select(
+            "event_type",
+            F.col("n_days").cast("long").alias("n_days"),
+            F.round(F.col("mu"), 6).alias("mean_daily"),
+            F.col("d").alias("changepoint_day"),
+            F.col("ac").alias("max_abs_cusum"),
+        )
+        .orderBy("event_type")
+    )
