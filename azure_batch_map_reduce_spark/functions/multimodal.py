@@ -176,3 +176,87 @@ def q92_multimodal_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("media_type")
     )
+
+
+FRAME_SCHEMA = (
+    "asset_id string, frame_idx long, frame_ts_ms long, "
+    "phash string, brightness double"
+)
+
+FRAME_RATE_HZ = 4
+TARGET_FRAMES = 6
+
+
+@query("q147_frame_sampling", oracle=None, tags=("multimodal", "video", "sampling"))
+def q147_frame_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uniform frame-sampling plan + per-frame featurization for
+    video-like binary assets: each asset gets a deterministic duration
+    (stubbed from payload size — a real build reads the container
+    header), a uniform grid of TARGET_FRAMES sample timestamps is laid
+    out per asset, and a mapInPandas "decoder" emits one row per
+    sampled frame with a perceptual-hash stub and a brightness stub
+    derived deterministically from (payload sha, frame index).
+
+    This is the Spark-side contract a real ffmpeg-backed sampler needs:
+    grid planning stays declarative (sequence + posexplode — no
+    Python, and ``frame_idx`` is assigned by the plan so the decoder is
+    stateless across Arrow batches), only the per-frame decode runs in
+    Arrow batches, and the payload column is dropped before the frame
+    rows fan out so the shuffle never carries bytes. Rows-only check
+    (payload decoding is outside SQL's reach).
+    """
+    assets = load_assets(spark, sf_dir, glob="*.parquet")
+    # Grid planning: duration_ms is a deterministic stub of the payload
+    # size; a uniform grid of frame timestamps is pure array math, and
+    # posexplode carries the frame index so the decoder never has to
+    # infer position from batch-local state (an Arrow batch boundary
+    # inside one asset's frames must not reset the index).
+    planned = assets.select(
+        "asset_id",
+        "content",
+        (F.length("content").cast("long") % 9000 + 1000).alias("duration_ms"),
+    ).select(
+        "asset_id",
+        "content",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(TARGET_FRAMES - 1)),
+                lambda i: (i * F.col("duration_ms") / F.lit(TARGET_FRAMES)).cast(
+                    "long"
+                ),
+            )
+        ).alias("frame_idx", "frame_ts_ms"),
+    )
+
+    def decode_frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            shas = pdf["content"].map(
+                lambda b: hashlib.sha256(bytes(b)).hexdigest()
+            )
+            mix = [
+                hashlib.sha256(f"{s}:{i}".encode()).hexdigest()
+                for s, i in zip(shas, pdf["frame_idx"])
+            ]
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"],
+                    "frame_idx": pdf["frame_idx"].astype("int64"),
+                    "frame_ts_ms": pdf["frame_ts_ms"].astype("int64"),
+                    "phash": [m[:16] for m in mix],
+                    "brightness": [int(m[:8], 16) / 0xFFFFFFFF for m in mix],
+                }
+            )
+
+    frames = planned.mapInPandas(decode_frames, FRAME_SCHEMA)
+    return (
+        frames.groupBy("asset_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_frames"),
+            F.max("frame_ts_ms").alias("last_frame_ms"),
+            F.round(F.avg("brightness"), 6).alias("avg_brightness"),
+            F.countDistinct("phash").alias("n_distinct_phash"),
+        )
+        .orderBy("asset_id")
+    )
