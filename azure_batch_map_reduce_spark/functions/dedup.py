@@ -808,3 +808,128 @@ def q111_fuzzy_blocked_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.levenshtein(F.col("a.p_name"), F.col("b.p_name")).alias("dist"),
         )
     )
+
+
+PPJOIN_TAU = 0.6  # Jaccard threshold for the prefix-filtered join
+
+
+@query(
+    "q150_prefix_filter_simjoin",
+    oracle="""
+    WITH words AS (
+        SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ),
+    toks AS (
+        SELECT doc_id, list_sort(list_distinct(
+            [w[i] || ' ' || w[i+1] for i in range(1, len(w))])) AS ts
+        FROM words WHERE len(w) >= 2
+    )
+    SELECT a.doc_id AS doc_i, b.doc_id AS doc_j,
+           CAST(len(a.ts) AS BIGINT) AS n_i,
+           CAST(len(b.ts) AS BIGINT) AS n_j,
+           CAST(len(list_intersect(a.ts, b.ts)) AS BIGINT) AS n_common,
+           round(CAST(len(list_intersect(a.ts, b.ts)) AS DOUBLE)
+                 / (len(a.ts) + len(b.ts) - len(list_intersect(a.ts, b.ts))),
+                 6) AS jaccard
+    FROM toks a JOIN toks b ON a.doc_id < b.doc_id
+    WHERE CAST(len(list_intersect(a.ts, b.ts)) AS DOUBLE)
+          / (len(a.ts) + len(b.ts) - len(list_intersect(a.ts, b.ts))) >= 0.6
+    ORDER BY doc_i, doc_j
+    """,
+    tags=("dedup", "simjoin", "prefix-filter", "ppjoin"),
+)
+def q150_prefix_filter_simjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set-similarity self-join with AllPairs/PPJoin prefix filtering:
+    find all document pairs whose word-bigram shingle sets have Jaccard
+    ≥ 0.6, WITHOUT comparing all O(n²) pairs. Each doc's shingles are
+    ordered rarest-first by global document frequency; only the first
+    ``n - ⌈τ·n⌉ + 1`` shingles (the *prefix*) generate join candidates —
+    two sets with Jaccard ≥ τ provably share at least one prefix token
+    under a common global ordering. Candidates are then verified with
+    the exact intersection size.
+
+    The prefix length uses pure integer arithmetic (``⌈3n/5⌉`` as
+    ``(3n+4) div 5``) — ``ceil(0.6*n)`` in floats overshoots for
+    multiples of 5 (0.6 is inexact in binary).
+
+    Scale posture: candidate generation shuffles only prefix tokens
+    (rarest-first ordering makes prefix buckets small — the heaviest
+    shingle never appears in a prefix unless a doc is tiny); the O(n²)
+    blow-up of the naive approach (the oracle runs that shape) never
+    materializes. Verification joins the candidate PAIR list (tiny)
+    against the shingle arrays twice. Compare q62 (MinHash LSH):
+    prefix filtering is exact-recall, LSH is probabilistic.
+    """
+    docs = load_tables(spark, sf_dir)["documents"]
+    words = docs.select("doc_id", F.split("text", " ").alias("w")).filter(
+        F.size("w") >= 2
+    )
+    shingled = words.select(
+        "doc_id",
+        F.array_sort(
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("w") - 1),
+                    lambda i: F.concat_ws(
+                        " ", F.element_at("w", i), F.element_at("w", i + 1)
+                    ),
+                )
+            )
+        ).alias("ts"),
+    )
+    toks = shingled.select(
+        "doc_id", F.size("ts").alias("n"), F.explode("ts").alias("tok")
+    )
+    df_counts = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    ranked = toks.join(F.broadcast(df_counts), "tok").withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy("doc_id").orderBy("df", "tok")
+        ),
+    )
+    # prefix length p = n - ceil(tau*n) + 1, integer-exact for tau=3/5
+    prefix = ranked.filter(
+        F.col("rn") <= F.col("n") - F.expr("(3*n + 4) div 5") + 1
+    )
+    cands = (
+        prefix.alias("a")
+        .join(prefix.alias("b"), "tok")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_i"), F.col("b.doc_id").alias("doc_j")
+        )
+        .distinct()
+    )
+    verified = (
+        cands.join(
+            shingled.select(
+                F.col("doc_id").alias("doc_i"), F.col("ts").alias("ts_i")
+            ),
+            "doc_i",
+        )
+        .join(
+            shingled.select(
+                F.col("doc_id").alias("doc_j"), F.col("ts").alias("ts_j")
+            ),
+            "doc_j",
+        )
+        .withColumn(
+            "n_common", F.size(F.array_intersect("ts_i", "ts_j")).cast("long")
+        )
+        .withColumn("n_i", F.size("ts_i").cast("long"))
+        .withColumn("n_j", F.size("ts_j").cast("long"))
+        .withColumn(
+            "jacc_raw",
+            F.col("n_common").cast("double")
+            / (F.col("n_i") + F.col("n_j") - F.col("n_common")),
+        )
+        .filter(F.col("jacc_raw") >= PPJOIN_TAU)
+    )
+    return verified.select(
+        "doc_i",
+        "doc_j",
+        "n_i",
+        "n_j",
+        "n_common",
+        F.round("jacc_raw", 6).alias("jaccard"),
+    ).orderBy("doc_i", "doc_j")

@@ -983,3 +983,168 @@ def q145_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "q148_rolling_active_users",
+    oracle="""
+    WITH pairs AS (
+        SELECT DISTINCT date_trunc('day', ts) AS d, user_id FROM events
+    ),
+    days AS (SELECT DISTINCT d FROM pairs),
+    wau AS (
+        SELECT days.d, count(DISTINCT pairs.user_id) AS active_7d
+        FROM days JOIN pairs
+          ON pairs.d BETWEEN days.d - INTERVAL 6 DAY AND days.d
+        GROUP BY days.d
+    ),
+    dau AS (SELECT d, count(*) AS active_1d FROM pairs GROUP BY d)
+    SELECT wau.d AS day,
+           CAST(dau.active_1d AS BIGINT) AS dau,
+           CAST(wau.active_7d AS BIGINT) AS wau,
+           round(CAST(dau.active_1d AS DOUBLE) / wau.active_7d, 6) AS stickiness
+    FROM wau JOIN dau ON wau.d = dau.d
+    ORDER BY day
+    """,
+    tags=("window", "timeseries", "distinct", "rolling"),
+)
+def q148_rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day distinct active users (WAU) per day, plus same-day
+    actives (DAU) and the DAU/WAU stickiness ratio — the canonical
+    product-health metric, and a *rolling distinct*, which no window
+    frame can express (COUNT(DISTINCT) over a moving range isn't a
+    streamable frame aggregate).
+
+    Scale posture: the engine never range-joins the raw stream. Events
+    collapse to distinct (day, user) pairs first (partial+final
+    distinct — the only shuffle that sees full cardinality); each pair
+    then map-side EXPLODES to the ≤7 report days it contributes to, and
+    one partial+final count-distinct per report day finishes the job.
+    Explode-then-aggregate scales linearly in pairs×7 with no join at
+    all; the observed-day semi-join is a broadcast of ~hundreds of rows.
+    """
+    events = load_tables(spark, sf_dir)["events"]
+    pairs = events.select(
+        F.date_trunc("day", "ts").alias("d"), "user_id"
+    ).distinct()
+    days = pairs.select(F.col("d").alias("day")).distinct()
+    contrib = pairs.select(
+        F.explode(
+            F.sequence(
+                F.col("d"),
+                F.col("d") + F.expr("INTERVAL 6 DAYS"),
+                F.expr("INTERVAL 1 DAY"),
+            )
+        ).alias("day"),
+        "user_id",
+    )
+    wau = (
+        contrib.join(F.broadcast(days), "day")
+        .groupBy("day")
+        .agg(F.countDistinct("user_id").alias("wau"))
+    )
+    dau = pairs.groupBy(F.col("d").alias("day")).agg(
+        F.count(F.lit(1)).alias("dau")
+    )
+    return (
+        wau.join(dau, "day")
+        .select(
+            "day",
+            "dau",
+            "wau",
+            F.round(F.col("dau").cast("double") / F.col("wau"), 6).alias(
+                "stickiness"
+            ),
+        )
+        .orderBy("day")
+    )
+
+
+@query(
+    "q149_activity_streaks",
+    oracle="""
+    WITH pairs AS (
+        SELECT DISTINCT user_id, date_trunc('day', ts) AS d FROM events
+    ),
+    numbered AS (
+        SELECT user_id, d,
+               row_number() OVER (PARTITION BY user_id ORDER BY d) AS rn
+        FROM pairs
+    ),
+    islands AS (
+        SELECT user_id, d - rn * INTERVAL '1 day' AS island_key,
+               count(*) AS streak_len, min(d) AS streak_start
+        FROM numbered GROUP BY user_id, island_key
+    ),
+    ranked AS (
+        SELECT user_id, streak_len, streak_start,
+               count(*) OVER (PARTITION BY user_id) AS n_streaks,
+               sum(streak_len) OVER (PARTITION BY user_id) AS n_active_days,
+               row_number() OVER (
+                   PARTITION BY user_id
+                   ORDER BY streak_len DESC, streak_start ASC) AS pick
+        FROM islands
+    )
+    SELECT user_id, CAST(n_active_days AS BIGINT) AS n_active_days,
+           CAST(n_streaks AS BIGINT) AS n_streaks,
+           CAST(streak_len AS BIGINT) AS best_streak_len,
+           streak_start AS best_streak_start
+    FROM ranked WHERE pick = 1
+    ORDER BY user_id
+    """,
+    tags=("window", "gaps-islands", "streaks", "events"),
+)
+def q149_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest consecutive-day activity streak per user via the
+    gaps-and-islands idiom: distinct activity days, row_number within
+    user, and ``day - rn·1day`` as the island key — consecutive days
+    share the key, any gap starts a new island. Emits each user's
+    total active days, number of streaks, and the longest streak with
+    its start day (earliest wins ties).
+
+    Scale posture: one shuffle to distinct (user, day) pairs, then both
+    windows and the island aggregation share the same user-key
+    partitioning — no further shuffles. Day arithmetic is exact integer
+    timestamp math, so the island keys agree across engines bit-for-bit.
+    """
+    events = load_tables(spark, sf_dir)["events"]
+    pairs = events.select(
+        "user_id", F.date_trunc("day", "ts").alias("d")
+    ).distinct()
+    numbered = pairs.withColumn(
+        "rn", F.row_number().over(Window.partitionBy("user_id").orderBy("d"))
+    )
+    islands = (
+        numbered.withColumn("island_key", F.expr("d - make_dt_interval(rn)"))
+        .groupBy("user_id", "island_key")
+        .agg(
+            F.count(F.lit(1)).alias("streak_len"),
+            F.min("d").alias("streak_start"),
+        )
+    )
+    w_user = Window.partitionBy("user_id")
+    ranked = islands.select(
+        "user_id",
+        "streak_len",
+        "streak_start",
+        F.count(F.lit(1)).over(w_user).alias("n_streaks"),
+        F.sum("streak_len").over(w_user).alias("n_active_days"),
+        F.row_number()
+        .over(
+            Window.partitionBy("user_id").orderBy(
+                F.col("streak_len").desc(), F.col("streak_start").asc()
+            )
+        )
+        .alias("pick"),
+    )
+    return (
+        ranked.filter(F.col("pick") == 1)
+        .select(
+            "user_id",
+            "n_active_days",
+            "n_streaks",
+            F.col("streak_len").alias("best_streak_len"),
+            F.col("streak_start").alias("best_streak_start"),
+        )
+        .orderBy("user_id")
+    )
