@@ -796,3 +796,81 @@ def q129_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum((c & q_ & tr).cast("long")).alias("n_train"),
         F.sum((c & q_ & ~tr).cast("long")).alias("n_test"),
     )
+
+
+@query(
+    "q151_quantile_normalization",
+    oracle="""
+    WITH binned AS (
+        SELECT source, n_chars,
+               ntile(10) OVER (
+                   PARTITION BY source ORDER BY n_chars, doc_id) AS qbin
+        FROM documents
+    ),
+    per_src AS (
+        SELECT source, qbin, count(*) AS n_docs,
+               CAST(sum(n_chars) AS DOUBLE) / count(*) AS raw_mean
+        FROM binned GROUP BY source, qbin
+    ),
+    ref AS (
+        SELECT qbin, CAST(sum(raw_mean) AS DOUBLE) / count(*) AS norm_value
+        FROM per_src GROUP BY qbin
+    )
+    SELECT p.source, CAST(p.qbin AS INTEGER) AS qbin,
+           CAST(p.n_docs AS BIGINT) AS n_docs,
+           round(p.raw_mean, 6) AS raw_mean,
+           round(r.norm_value, 6) AS norm_value,
+           round(r.norm_value - p.raw_mean, 4) AS shift
+    FROM per_src p JOIN ref r ON p.qbin = r.qbin
+    ORDER BY p.source, qbin
+    """,
+    tags=("curation", "normalization", "quantile", "mixing"),
+)
+def q151_quantile_normalization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile normalization across sources (the microarray/batch-effect
+    idiom, applied to corpus mixing): each source's documents are ranked
+    into 10 within-source quantile bins by length, and every bin is
+    re-centered onto the cross-source reference — the mean over sources
+    of that bin's per-source mean. A source whose lengths run long gets
+    pulled down, a short-doc source gets pulled up, and after the map
+    every source has the same length distribution at bin grain. Emits
+    per (source, bin): size, raw mean, reference value, and the shift
+    the normalization applies.
+
+    Determinism: the ntile order is total (n_chars, doc_id); per-source
+    bin means are exact-integer sums with one IEEE division; only the
+    tiny bins×1 reference layer averages doubles (rounded well inside
+    the comparator's tolerance).
+
+    Scale posture: one window shuffle on source (the natural
+    partitioning of a corpus), one partial+final agg to source×bin
+    grain (~sources×10 rows), and the reference table broadcasts back —
+    nothing after the window touches row grain.
+    """
+    docs = load_tables(spark, sf_dir)["documents"]
+    binned = docs.select(
+        "source",
+        "n_chars",
+        F.ntile(10)
+        .over(Window.partitionBy("source").orderBy("n_chars", "doc_id"))
+        .alias("qbin"),
+    )
+    per_src = binned.groupBy("source", "qbin").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.sum("n_chars").cast("double") / F.count(F.lit(1))).alias("raw_mean"),
+    )
+    ref = per_src.groupBy("qbin").agg(
+        (F.sum("raw_mean") / F.count(F.lit(1))).alias("norm_value")
+    )
+    return (
+        per_src.join(F.broadcast(ref), "qbin")
+        .select(
+            "source",
+            F.col("qbin").cast("int").alias("qbin"),
+            "n_docs",
+            F.round("raw_mean", 6).alias("raw_mean"),
+            F.round("norm_value", 6).alias("norm_value"),
+            F.round(F.col("norm_value") - F.col("raw_mean"), 4).alias("shift"),
+        )
+        .orderBy("source", "qbin")
+    )

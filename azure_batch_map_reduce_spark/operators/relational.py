@@ -1261,3 +1261,104 @@ def q141_ab_proportion_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(zexpr, 4).alias("z"),
         (F.abs(zexpr) > 1.96).cast("int").alias("significant_95"),
     )
+
+
+@query(
+    "q153_pareto_coverage",
+    oracle="""
+    WITH rev AS (
+        SELECT n.n_name, s.s_suppkey,
+           sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100)
+                    AS BIGINT)) AS cents
+        FROM lineitem l
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        JOIN nation n ON s.s_nationkey = n.n_nationkey
+        GROUP BY n.n_name, s.s_suppkey
+    ),
+    ranked AS (
+        SELECT n_name, cents,
+               row_number() OVER (
+                   PARTITION BY n_name ORDER BY cents DESC, s_suppkey) AS rnk,
+               sum(cents) OVER (
+                   PARTITION BY n_name ORDER BY cents DESC, s_suppkey
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_cents,
+               sum(cents) OVER (PARTITION BY n_name) AS total_cents
+        FROM rev
+    )
+    SELECT n_name,
+           CAST(count(*) AS BIGINT) AS n_suppliers,
+           CAST(min(CASE WHEN CAST(cum_cents AS DOUBLE) / total_cents >= 0.8
+                         THEN rnk END) AS BIGINT) AS suppliers_to_80,
+           round(CAST(max(CASE WHEN rnk = 1 THEN cents END) AS DOUBLE)
+                 / max(total_cents), 6) AS top_share,
+           round(CAST(max(total_cents) AS DOUBLE) / 100, 2) AS total_revenue
+    FROM ranked
+    GROUP BY n_name
+    ORDER BY n_name
+    """,
+    tags=("window", "pareto", "concentration", "aggregation"),
+)
+def q153_pareto_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto/concentration analysis: per nation, how many suppliers
+    (ranked by revenue) it takes to cover 80% of the nation's lineitem
+    revenue, plus the top supplier's share — the 80/20 diagnostic that
+    drives skew-aware mix planning.
+
+    All money math runs in exact integer cents (per-row rounding is the
+    only float step, and it's the same IEEE multiply+round on both
+    engines), so cumulative sums are order-insensitive and the 80%
+    threshold crossing is decided by one exact division per row —
+    no float-accumulation ambiguity at the cut point.
+
+    Scale posture: the only full-volume shuffle is lineitem →
+    (nation, supplier) grain (partial+final agg); supplier and nation
+    dims broadcast into the map side. The ranking window runs at
+    supplier grain partitioned by nation — bounded and skew-free.
+    """
+    t = load_tables(spark, sf_dir)
+    cents = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+    ).cast("long")
+    rev = (
+        t["lineitem"]
+        .join(F.broadcast(t["supplier"]), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(t["nation"]), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name", "s_suppkey")
+        .agg(F.sum(cents).alias("cents"))
+    )
+    w_order = Window.partitionBy("n_name").orderBy(
+        F.col("cents").desc(), F.col("s_suppkey")
+    )
+    ranked = rev.select(
+        "n_name",
+        "cents",
+        F.row_number().over(w_order).alias("rnk"),
+        F.sum("cents")
+        .over(w_order.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("cum_cents"),
+        F.sum("cents").over(Window.partitionBy("n_name")).alias("total_cents"),
+    )
+    return (
+        ranked.groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_suppliers"),
+            F.min(
+                F.when(
+                    F.col("cum_cents").cast("double") / F.col("total_cents")
+                    >= 0.8,
+                    F.col("rnk"),
+                )
+            )
+            .cast("long")
+            .alias("suppliers_to_80"),
+            F.round(
+                F.max(F.when(F.col("rnk") == 1, F.col("cents"))).cast("double")
+                / F.max("total_cents"),
+                6,
+            ).alias("top_share"),
+            F.round(F.max("total_cents").cast("double") / 100, 2).alias(
+                "total_revenue"
+            ),
+        )
+        .orderBy("n_name")
+    )

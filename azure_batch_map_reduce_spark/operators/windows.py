@@ -1148,3 +1148,91 @@ def q149_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@query(
+    "q152_last_touch_attribution",
+    oracle="""
+    WITH ordered AS (
+        SELECT user_id, event_type, value,
+               date_trunc('microseconds', ts) AS t,
+               event_id,
+               last_value(CASE WHEN event_type <> 'purchase'
+                               THEN event_type END IGNORE NULLS) OVER w
+                   AS touch_type,
+               last_value(CASE WHEN event_type <> 'purchase'
+                               THEN date_trunc('microseconds', ts)
+                          END IGNORE NULLS) OVER w AS touch_t
+        FROM events
+        WINDOW w AS (
+            PARTITION BY user_id
+            ORDER BY date_trunc('microseconds', ts), event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    )
+    SELECT touch_type,
+           CAST(count(*) AS BIGINT) AS n_purchases,
+           round(sum(value), 2) AS attributed_value,
+           round(CAST(sum(epoch_us(t) - epoch_us(touch_t)) AS DOUBLE)
+                 / (count(*) * 60000000), 6) AS avg_mins_to_convert
+    FROM ordered
+    WHERE event_type = 'purchase' AND touch_type IS NOT NULL
+    GROUP BY touch_type
+    ORDER BY touch_type
+    """,
+    tags=("window", "attribution", "events", "analytic"),
+)
+def q152_last_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch conversion attribution: each purchase is credited to
+    the user's most recent preceding non-purchase event. Emits, per
+    touching event type, the number of purchases it converted, the
+    revenue attributed to it, and the mean touch→purchase latency in
+    minutes.
+
+    The carry-forward is ``last(..., ignorenulls)`` over a ROWS frame
+    ending 1 PRECEDING — the standard "latest qualifying prior row"
+    idiom, with a (ts, event_id) total order so ties can't reorder
+    between engines (the oracle orders on µs-truncated ts because
+    DuckDB sorts the ns-native column). Latency math stays in exact
+    integer microseconds with a single closing division.
+
+    Scale posture: one shuffle on user_id; the window, the purchase
+    filter, and the partial aggregation all run inside that
+    partitioning, and the final agg is touch-type grain (≤ event-type
+    cardinality).
+    """
+    events = load_tables(spark, sf_dir)["events"]
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    non_purchase = F.col("event_type") != "purchase"
+    ordered = events.select(
+        "event_type",
+        "value",
+        "ts",
+        F.last(F.when(non_purchase, F.col("event_type")), ignorenulls=True)
+        .over(w)
+        .alias("touch_type"),
+        F.last(F.when(non_purchase, F.col("ts")), ignorenulls=True)
+        .over(w)
+        .alias("touch_t"),
+    )
+    return (
+        ordered.filter(
+            (F.col("event_type") == "purchase") & F.col("touch_type").isNotNull()
+        )
+        .groupBy("touch_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            F.round(F.sum("value"), 2).alias("attributed_value"),
+            F.round(
+                F.sum(
+                    F.unix_micros("ts") - F.unix_micros("touch_t")
+                ).cast("double")
+                / (F.count(F.lit(1)) * 60000000),
+                6,
+            ).alias("avg_mins_to_convert"),
+        )
+        .orderBy("touch_type")
+    )
