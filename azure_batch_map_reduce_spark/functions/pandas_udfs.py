@@ -133,3 +133,116 @@ def q95_grouped_agg_pandas_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
             _weighted_avg_price(F.col("l_extendedprice"), F.col("l_quantity")), 4
         ).alias("wavg_price")
     )
+
+
+@query(
+    "q157_cogroup_asof",
+    oracle="""
+    WITH p AS (
+        SELECT user_id, date_trunc('microseconds', ts) AS t
+        FROM events WHERE event_type = 'purchase'
+    ),
+    c AS (
+        SELECT user_id, date_trunc('microseconds', ts) AS t
+        FROM events WHERE event_type = 'click'
+    )
+    SELECT p.user_id,
+           CAST(count(*) AS BIGINT) AS n_purchases,
+           CAST(count(c.t) AS BIGINT) AS n_matched,
+           round(CAST(sum(epoch_us(p.t) - epoch_us(c.t)) AS DOUBLE)
+                 / (count(c.t) * 60000000), 6) AS avg_gap_mins
+    FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.t > c.t
+    GROUP BY p.user_id
+    ORDER BY p.user_id
+    """,
+    tags=("udf", "pandas", "cogroup", "asof"),
+)
+def q157_cogroup_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sided grouped-map as-of join via ``cogroup(...).applyInPandas``
+    + ``pd.merge_asof``: per user, each purchase is matched to the
+    latest STRICTLY earlier click (allow_exact_matches=False, mirroring
+    DuckDB's ``ASOF LEFT JOIN ... ON p.t > c.t`` — the oracle runs the
+    real ASOF operator, the engine the cogroup path q27's union-window
+    trick avoids). Gap math converts timestamps to exact integer
+    microseconds (``datetime64[us]``) before differencing — no float
+    seconds. Emits per user: purchases, matched purchases, mean gap in
+    minutes (NULL when no click precedes any purchase).
+
+    The UDF emits the FINAL columns and the plan adds only an orderBy:
+    in Spark 4.1, putting a projection above FlatMapCoGroupsInPandas
+    prunes the cogroup's INPUT columns down to the grouping key
+    (dropping ``ts`` before the UDF ever sees it), so any derived
+    column must be computed inside the UDF.
+
+    Scale posture: cogroup shuffles BOTH inputs once on user_id and
+    streams each user's pair of Arrow batches through one Python
+    worker; state never exceeds one user's events. Pre-aggregating to
+    one row per user inside the UDF keeps the fan-in from Python
+    minimal.
+    """
+    events = load_tables(spark, sf_dir)["events"]
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts"
+    )
+    clicks = events.filter(F.col("event_type") == "click").select(
+        "user_id", "ts"
+    )
+
+    def merge(key: tuple, left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        if len(left) == 0:
+            return pd.DataFrame(
+                {
+                    "user_id": pd.Series([], dtype="int64"),
+                    "n_purchases": pd.Series([], dtype="int64"),
+                    "n_matched": pd.Series([], dtype="int64"),
+                    "avg_gap_mins": pd.Series([], dtype="float64"),
+                }
+            )
+        uid = int(key[0])
+        n = len(left)
+        n_matched = 0
+        avg_gap = np.nan  # Arrow NaN → comparator-null, like the SQL NULL
+        if len(right) > 0:
+            l_sorted = left.sort_values("ts")
+            r_sorted = (
+                right[["ts"]]
+                .rename(columns={"ts": "click_ts"})
+                .sort_values("click_ts")
+            )
+            m = pd.merge_asof(
+                l_sorted,
+                r_sorted,
+                left_on="ts",
+                right_on="click_ts",
+                direction="backward",
+                allow_exact_matches=False,
+            )
+            mask = m["click_ts"].notna()
+            n_matched = int(mask.sum())
+            if n_matched:
+                p_us = m.loc[mask, "ts"].astype("datetime64[us]").astype("int64")
+                c_us = (
+                    m.loc[mask, "click_ts"]
+                    .astype("datetime64[us]")
+                    .astype("int64")
+                )
+                gap_us = int((p_us.values - c_us.values).sum())
+                avg_gap = round(gap_us / (n_matched * 60000000), 6)
+        return pd.DataFrame(
+            {
+                "user_id": [uid],
+                "n_purchases": [n],
+                "n_matched": [n_matched],
+                "avg_gap_mins": [avg_gap],
+            }
+        )
+
+    return (
+        purchases.groupby("user_id")
+        .cogroup(clicks.groupby("user_id"))
+        .applyInPandas(
+            merge,
+            "user_id long, n_purchases long, n_matched long, avg_gap_mins double",
+        )
+        .orderBy("user_id")
+    )

@@ -814,3 +814,80 @@ def q146_source_vocab_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("src_a", "src_b")
     )
+
+
+MG_K = 50  # Misra-Gries summary size; guarantees recall of items > n/K
+
+
+@query(
+    "q158_heavy_hitters",
+    oracle="""
+    WITH t AS (SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+    c AS (SELECT tok, count(*) AS cnt FROM t GROUP BY tok),
+    n AS (SELECT sum(cnt) AS total FROM c)
+    SELECT c.tok, CAST(c.cnt AS BIGINT) AS cnt,
+           round(CAST(c.cnt AS DOUBLE) / n.total, 6) AS share
+    FROM c, n WHERE c.cnt * 50 > n.total
+    ORDER BY cnt DESC, tok
+    """,
+    tags=("text", "sketch", "heavy-hitters", "misra-gries"),
+)
+def q158_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy hitters (tokens with frequency > n/50) via a Misra-Gries
+    prefilter + exact verification — the sketch-as-prefilter pattern
+    that keeps the oracle exact. Stage 1 builds a bounded MG(50)
+    summary per PARTITION in one mapInPandas pass (add counts; when
+    more than K counters survive, subtract the (K+1)-th largest from
+    all and drop non-positives). Any token with global count > n/K must
+    exceed n_p/K in at least one partition (averaging argument) and
+    MG(K) provably retains every such local heavy hitter, so the union
+    of partial summaries is a guaranteed superset of the answer.
+    Stage 2 counts ONLY candidate tokens exactly (broadcast semi-join)
+    and applies the integer threshold ``cnt·50 > n``.
+
+    Scale posture: the full token stream is never shuffled — stage 1 is
+    map-only with O(K) state per partition, and the exact pass shuffles
+    only candidate tokens (≤ K·partitions distinct keys). The oracle
+    runs the full groupBy the sketch exists to avoid.
+    """
+    import pandas as pd
+    from collections.abc import Iterator
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    toks = docs.select(F.explode(F.split("text", " ")).alias("tok"))
+
+    def mg_partial(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        counters: dict[str, int] = {}
+        for pdf in batches:
+            for tok, c in pdf["tok"].value_counts().items():
+                counters[tok] = counters.get(tok, 0) + int(c)
+            if len(counters) > MG_K:
+                vals = sorted(counters.values(), reverse=True)
+                sub = vals[MG_K]
+                counters = {t: c - sub for t, c in counters.items() if c > sub}
+        if counters:
+            yield pd.DataFrame(
+                {"tok": list(counters), "w": list(counters.values())}
+            )
+
+    cands = toks.mapInPandas(mg_partial, "tok string, w long").select(
+        "tok"
+    ).distinct()
+    counts = (
+        toks.join(F.broadcast(cands), "tok", "left_semi")
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    total = toks.agg(F.count(F.lit(1)).alias("total"))
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .filter(F.col("cnt") * 50 > F.col("total"))
+        .select(
+            "tok",
+            "cnt",
+            F.round(F.col("cnt").cast("double") / F.col("total"), 6).alias(
+                "share"
+            ),
+        )
+        .orderBy(F.col("cnt").desc(), "tok")
+    )

@@ -457,3 +457,184 @@ def q121_table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").alias("n_rows"),
         (F.col("checksum") != F.col("d_checksum")).alias("differs"),
     )
+
+
+# Shared engine/oracle SQL for PSI drift: identical text runs on Spark
+# (over registered temp views) and DuckDB (over parquet views), so the
+# binning, smoothing, and log terms are computed by the same expressions.
+_PSI_SQL = """
+WITH ref AS (
+    SELECT event_type, value,
+           row_number() OVER (
+               PARTITION BY event_type ORDER BY value, event_id) AS rn,
+           count(*) OVER (PARTITION BY event_type) AS n
+    FROM events WHERE ts < TIMESTAMP '2024-01-16 00:00:00'
+),
+edges AS (
+    SELECT ref.event_type, g.i,
+           max(CASE WHEN ref.rn * 5 <= ref.n * g.i THEN ref.value END) AS edge
+    FROM ref CROSS JOIN (VALUES (1), (2), (3), (4)) AS g(i)
+    GROUP BY ref.event_type, g.i
+),
+scored AS (
+    SELECT ev.event_id, ev.event_type, ev.ts,
+           1 + sum(CASE WHEN ev.value > e.edge THEN 1 ELSE 0 END) AS bin
+    FROM events ev JOIN edges e ON ev.event_type = e.event_type
+    GROUP BY ev.event_id, ev.event_type, ev.ts
+),
+counts AS (
+    SELECT event_type, bin,
+           sum(CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00'
+                    THEN 1 ELSE 0 END) AS c_ref,
+           sum(CASE WHEN ts >= TIMESTAMP '2024-01-16 00:00:00'
+                    THEN 1 ELSE 0 END) AS c_cur
+    FROM scored GROUP BY event_type, bin
+),
+tot AS (
+    SELECT event_type, sum(c_ref) AS n_ref, sum(c_cur) AS n_cur
+    FROM counts GROUP BY event_type
+),
+terms AS (
+    SELECT c.event_type, t.n_ref, t.n_cur,
+           (CAST(c.c_cur AS DOUBLE) + 0.5) / (t.n_cur + 2.5) AS pc,
+           (CAST(c.c_ref AS DOUBLE) + 0.5) / (t.n_ref + 2.5) AS pr
+    FROM counts c JOIN tot t ON c.event_type = t.event_type
+)
+SELECT event_type,
+       CAST(max(n_ref) AS BIGINT) AS n_ref,
+       CAST(max(n_cur) AS BIGINT) AS n_cur,
+       round(sum((pc - pr) * ln(pc / pr)), 6) AS psi
+FROM terms GROUP BY event_type ORDER BY event_type
+"""
+
+
+@query(
+    "q154_psi_drift",
+    oracle=_PSI_SQL,
+    tags=("etl", "drift", "psi", "monitoring"),
+)
+def q154_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index between the first and second half of
+    the event stream, per event type: the reference half defines 5
+    equal-population value bins (edges picked by integer rank
+    arithmetic — ``rn·5 ≤ n·i`` — so no float quantile interpolation is
+    involved), every event is assigned a bin by comparing against the
+    ≤4 edges, and PSI = Σ (p_cur − p_ref)·ln(p_cur/p_ref) with
+    Laplace-smoothed proportions so an empty bin can't produce ±∞.
+    PSI < 0.1 is conventionally "no drift"; > 0.25 "action".
+
+    The engine runs the IDENTICAL SQL text as the DuckDB oracle
+    (registered temp views), so binning and smoothing semantics can't
+    diverge; the only cross-engine risk is a 1-ulp libm ``ln``
+    difference, absorbed by rounding.
+
+    Scale posture: the edge table is event-types×4 rows (broadcast
+    join); bin assignment is a map-side conditional sum; everything
+    downstream of ``scored`` is type×bin grain. The ranking window in
+    ``ref`` is the one real shuffle, partitioned by event_type — for a
+    skewed type mix, swap in approx edges (percentile_approx) without
+    touching the PSI layer.
+    """
+    from azure_batch_map_reduce_spark.catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_PSI_SQL)
+
+
+@query(
+    "q155_interval_concurrency",
+    oracle="""
+    WITH deltas AS (
+        SELECT l_suppkey, l_shipdate AS t, 1 AS delta,
+               l_orderkey, l_linenumber
+        FROM lineitem
+        UNION ALL
+        SELECT l_suppkey,
+               l_shipdate + (l_orderkey % 7 + 1) * INTERVAL '1 day' AS t,
+               -1 AS delta, l_orderkey, l_linenumber
+        FROM lineitem
+    ),
+    swept AS (
+        SELECT l_suppkey, t, delta,
+               sum(delta) OVER (
+                   PARTITION BY l_suppkey
+                   ORDER BY t, delta, l_orderkey, l_linenumber
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS concurrency
+        FROM deltas
+    ),
+    peak AS (
+        SELECT l_suppkey, max(concurrency) AS max_concurrent
+        FROM swept GROUP BY l_suppkey
+    )
+    SELECT s.l_suppkey,
+           CAST(count(*) / 2 AS BIGINT) AS n_shipments,
+           CAST(max(p.max_concurrent) AS INTEGER) AS max_concurrent,
+           min(CASE WHEN s.concurrency = p.max_concurrent THEN s.t END)
+               AS peak_t
+    FROM swept s JOIN peak p ON s.l_suppkey = p.l_suppkey
+    GROUP BY s.l_suppkey
+    ORDER BY s.l_suppkey
+    """,
+    tags=("etl", "intervals", "sweep", "concurrency"),
+)
+def q155_interval_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximum concurrent open shipments per supplier via the +1/−1
+    boundary-sweep — the O(n log n) interval-overlap idiom that replaces
+    the O(n²) self-join entirely. Each shipment holds a transit window
+    [shipdate, shipdate + 1..7 days) (deterministic synthetic transit —
+    the fixture has no receipt date); every window contributes a +1 at
+    open and a −1 at close, and the running sum under a total order
+    (t, delta, orderkey, linenumber — closes sort before opens at the
+    same instant, making windows half-open) IS the concurrency curve.
+    Emits each supplier's shipment count, peak concurrency, and the
+    first instant the peak is reached.
+
+    Scale posture: the sweep is one shuffle on l_suppkey (both the
+    window and both aggregations share it); no join ever forms interval
+    pairs, so a 100× fan-in of overlapping intervals costs 100× rows,
+    not 10000× pairs. This is the scale path q150's oracle (a true
+    pair join) cannot take.
+    """
+    li = load_tables(spark, sf_dir)["lineitem"]
+    opens = li.select(
+        "l_suppkey",
+        F.col("l_shipdate").alias("t"),
+        F.lit(1).alias("delta"),
+        "l_orderkey",
+        "l_linenumber",
+    )
+    closes = li.select(
+        "l_suppkey",
+        F.expr(
+            "l_shipdate + make_dt_interval(cast(l_orderkey % 7 + 1 as int))"
+        ).alias("t"),
+        F.lit(-1).alias("delta"),
+        "l_orderkey",
+        "l_linenumber",
+    )
+    swept = opens.unionAll(closes).withColumn(
+        "concurrency",
+        F.sum("delta").over(
+            Window.partitionBy("l_suppkey")
+            .orderBy("t", "delta", "l_orderkey", "l_linenumber")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    peak = swept.groupBy("l_suppkey").agg(
+        F.max("concurrency").alias("max_concurrent")
+    )
+    return (
+        swept.join(peak, "l_suppkey")
+        .groupBy("l_suppkey")
+        .agg(
+            (F.count(F.lit(1)) / 2).cast("long").alias("n_shipments"),
+            F.max("max_concurrent").cast("int").alias("max_concurrent"),
+            F.min(
+                F.when(
+                    F.col("concurrency") == F.col("max_concurrent"), F.col("t")
+                )
+            ).alias("peak_t"),
+        )
+        .orderBy("l_suppkey")
+    )

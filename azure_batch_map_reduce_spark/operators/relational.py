@@ -1362,3 +1362,151 @@ def q153_pareto_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("n_name")
     )
+
+
+def _hll_oracle_branch(label: str, table: str, col: str) -> str:
+    """One UNION branch of the q156 oracle: a from-scratch HLL over
+    ``table.col`` in pure DuckDB SQL, register math in exact integers."""
+    h = f"md5('hll|' || CAST({col} AS VARCHAR))"
+    w = f"('0x' || substr({h}, 3, 8))::BIGINT"
+    return f"""
+    SELECT '{label}' AS key_col,
+           CAST(ex.exact_distinct AS BIGINT) AS exact_distinct,
+           round(CASE WHEN r.v > 0 THEN 64 * ln(64.0 / r.v)
+                      ELSE 0.709 * 4096.0 * 1073741824.0 / r.sum_int
+                 END, 4) AS hll_estimate,
+           CAST(r.v AS INTEGER) AS empty_registers
+    FROM (
+        SELECT sum(1::BIGINT << (30 - mj)) AS sum_int,
+               sum(CASE WHEN mj = 0 THEN 1 ELSE 0 END) AS v
+        FROM (
+            SELECT g.j, coalesce(max(x.rho), 0) AS mj
+            FROM range(64) AS g(j)
+            LEFT JOIN (
+                SELECT ('0x' || substr({h}, 1, 2))::BIGINT % 64 AS j,
+                       least(CASE WHEN {w} = 0 THEN 33
+                             ELSE 33 - length(regexp_replace(bin({w}),
+                                                             '^0+', ''))
+                             END, 30) AS rho
+                FROM {table} WHERE {col} IS NOT NULL
+            ) x ON x.j = g.j
+            GROUP BY g.j
+        )
+    ) r CROSS JOIN (
+        SELECT count(DISTINCT {col}) AS exact_distinct FROM {table}
+    ) ex
+    """
+
+
+_HLL_SOURCES = (
+    ("orders.o_custkey", "orders", "o_custkey"),
+    ("lineitem.l_partkey", "lineitem", "l_partkey"),
+    ("events.user_id", "events", "user_id"),
+)
+
+_HLL_ORACLE = (
+    "SELECT key_col, exact_distinct, hll_estimate, empty_registers, "
+    "round((hll_estimate - exact_distinct) / exact_distinct, 6) AS rel_error "
+    "FROM (\n"
+    + "\nUNION ALL\n".join(
+        _hll_oracle_branch(label, table, col)
+        for label, table, col in _HLL_SOURCES
+    )
+    + "\n) ORDER BY key_col"
+)
+
+
+@query(
+    "q156_portable_hll",
+    oracle=_HLL_ORACLE,
+    tags=("aggregation", "sketch", "hll", "distinct"),
+)
+def q156_portable_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """From-scratch HyperLogLog (m=64 registers) with fully
+    cross-engine-deterministic arithmetic, compared against the exact
+    distinct count for three key columns. The hash is a salted md5
+    ('hll|' prefix — a fresh derivation, independent of the byte
+    windows q55/q75/q112/q123 own): hex chars 1-2 pick the register,
+    chars 3-10 give a 32-bit word whose leading-zero count (+1) is the
+    rank, computed by STRING bit-length (``length(regexp_replace(
+    bin(w),'^0+',''))``) — no libm log2. The harmonic mean runs in
+    exact integers: Σ 2^(30−M_j) fits int64, so the only float steps
+    are one constant fold and one final division (plus ``ln`` on the
+    linear-counting branch for sparse registers, taken identically by
+    both engines since the empty-register count V is exact).
+
+    This is the mergeable-sketch pattern the built-in
+    approx_count_distinct (q15/q38) hides: registers are a 64-row
+    table, merge = elementwise max — the partial+final shape Spark
+    plans for the groupBy is exactly HLL's distributed merge.
+
+    Scale posture: register extraction is map-side hash math; the only
+    shuffle is a 64-key groupBy (bounded, skew-free by construction).
+    The exact countDistinct alongside is the expensive check the
+    sketch exists to replace — at 100 TB you'd drop it and keep the
+    64-row state.
+    """
+    register_views(spark, sf_dir)
+    branches = []
+    for label, table, col in _HLL_SOURCES:
+        t = spark.table(table).filter(F.col(col).isNotNull())
+        h = F.md5(F.concat(F.lit("hll|"), F.col(col).cast("string")))
+        w = F.conv(F.substring(h, 3, 8), 16, 10).cast("long")
+        keyed = t.select(
+            (F.conv(F.substring(h, 1, 2), 16, 10).cast("long") % 64).alias(
+                "j"
+            ),
+            F.least(
+                F.when(w == 0, F.lit(33)).otherwise(
+                    33
+                    - F.length(F.regexp_replace(F.bin(w), "^0+", ""))
+                ),
+                F.lit(30),
+            ).alias("rho"),
+        )
+        regs = (
+            spark.range(64)
+            .withColumnRenamed("id", "j")
+            .join(keyed.groupBy("j").agg(F.max("rho").alias("mx")), "j", "left")
+            .select(F.coalesce(F.col("mx"), F.lit(0)).alias("mj"))
+        )
+        state = regs.agg(
+            F.sum(F.expr("shiftleft(cast(1 as bigint), 30 - mj)")).alias(
+                "sum_int"
+            ),
+            F.sum(F.when(F.col("mj") == 0, 1).otherwise(0)).alias("v"),
+        )
+        exact = spark.table(table).agg(
+            F.countDistinct(col).alias("exact_distinct")
+        )
+        branches.append(
+            state.crossJoin(exact).select(
+                F.lit(label).alias("key_col"),
+                F.col("exact_distinct").cast("long"),
+                F.round(
+                    F.when(
+                        F.col("v") > 0,
+                        64 * F.log(64.0 / F.col("v")),
+                    ).otherwise(
+                        F.lit(0.709 * 4096.0 * 1073741824.0)
+                        / F.col("sum_int")
+                    ),
+                    4,
+                ).alias("hll_estimate"),
+                F.col("v").cast("int").alias("empty_registers"),
+            )
+        )
+    out = branches[0]
+    for b in branches[1:]:
+        out = out.unionAll(b)
+    return out.select(
+        "key_col",
+        "exact_distinct",
+        "hll_estimate",
+        "empty_registers",
+        F.round(
+            (F.col("hll_estimate") - F.col("exact_distinct"))
+            / F.col("exact_distinct"),
+            6,
+        ).alias("rel_error"),
+    ).orderBy("key_col")
