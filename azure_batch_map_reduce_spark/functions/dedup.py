@@ -821,8 +821,9 @@ PPJOIN_TAU = 0.6  # Jaccard threshold for the prefix-filtered join
     ),
     toks AS (
         SELECT doc_id, list_sort(list_distinct(
-            [w[i] || ' ' || w[i+1] for i in range(1, len(w))])) AS ts
-        FROM words WHERE len(w) >= 2
+            [w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+             for i in range(1, len(w) - 1)])) AS ts
+        FROM words WHERE len(w) >= 3
     )
     SELECT a.doc_id AS doc_i, b.doc_id AS doc_j,
            CAST(len(a.ts) AS BIGINT) AS n_i,
@@ -840,7 +841,7 @@ PPJOIN_TAU = 0.6  # Jaccard threshold for the prefix-filtered join
 )
 def q150_prefix_filter_simjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Set-similarity self-join with AllPairs/PPJoin prefix filtering:
-    find all document pairs whose word-bigram shingle sets have Jaccard
+    find all document pairs whose word-TRIGRAM shingle sets have Jaccard
     ≥ 0.6, WITHOUT comparing all O(n²) pairs. Each doc's shingles are
     ordered rarest-first by global document frequency; only the first
     ``n - ⌈τ·n⌉ + 1`` shingles (the *prefix*) generate join candidates —
@@ -852,6 +853,14 @@ def q150_prefix_filter_simjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``(3n+4) div 5``) — ``ceil(0.6*n)`` in floats overshoots for
     multiples of 5 (0.6 is inexact in binary).
 
+    Trigram (not bigram) shingles matter at scale here: the fixture's
+    ~31-word vocabulary gives only ~960 possible bigrams, so every
+    bigram bucket holds ~1/960th of the corpus and candidate volume
+    grows quadratically; ~30k possible trigrams keep document frequency
+    (and thus bucket size) flat as the corpus grows. The PPJoin length
+    filter (3·max(n_i,n_j) ≤ 5·min) prunes candidates before the
+    distinct.
+
     Scale posture: candidate generation shuffles only prefix tokens
     (rarest-first ordering makes prefix buckets small — the heaviest
     shingle never appears in a prefix unless a doc is tiny); the O(n²)
@@ -861,22 +870,35 @@ def q150_prefix_filter_simjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
     prefix filtering is exact-recall, LSH is probabilistic.
     """
     docs = load_tables(spark, sf_dir)["documents"]
-    words = docs.select("doc_id", F.split("text", " ").alias("w")).filter(
-        F.size("w") >= 2
+    # Tiny parquet inputs bin-pack to ONE partition; fan out before the
+    # shingling expression so it runs in parallel. Shingles are hashed
+    # to int64 (xxhash64) immediately: prefix rows, join keys, and the
+    # verify arrays all shuffle as longs instead of ~25-char strings
+    # (collision odds over a ~30k vocab are ~1e-11 — irrelevant next to
+    # the 8× shuffle-width saving).
+    words = (
+        docs.select("doc_id", F.split("text", " ").alias("w"))
+        .filter(F.size("w") >= 3)
+        .repartition(32, "doc_id")
     )
     shingled = words.select(
         "doc_id",
         F.array_sort(
             F.array_distinct(
                 F.transform(
-                    F.sequence(F.lit(1), F.size("w") - 1),
-                    lambda i: F.concat_ws(
-                        " ", F.element_at("w", i), F.element_at("w", i + 1)
+                    F.sequence(F.lit(1), F.size("w") - 2),
+                    lambda i: F.xxhash64(
+                        F.concat_ws(
+                            " ",
+                            F.element_at("w", i),
+                            F.element_at("w", i + 1),
+                            F.element_at("w", i + 2),
+                        )
                     ),
                 )
             )
         ).alias("ts"),
-    )
+    ).persist()
     toks = shingled.select(
         "doc_id", F.size("ts").alias("n"), F.explode("ts").alias("tok")
     )
@@ -895,6 +917,11 @@ def q150_prefix_filter_simjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
         prefix.alias("a")
         .join(prefix.alias("b"), "tok")
         .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        # PPJoin length filter: J >= 3/5 forces 3*max(n_i,n_j) <= 5*min
+        .filter(
+            (F.col("a.n") * 3 <= F.col("b.n") * 5)
+            & (F.col("b.n") * 3 <= F.col("a.n") * 5)
+        )
         .select(
             F.col("a.doc_id").alias("doc_i"), F.col("b.doc_id").alias("doc_j")
         )

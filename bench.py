@@ -40,6 +40,10 @@ HEADLINE = [
     "q107_bm25_retrieval",
     "q112_priority_sample",
     "q115_zorder_layout",
+    "q150_prefix_filter_simjoin",
+    "q155_interval_concurrency",
+    "q156_portable_hll",
+    "q158_heavy_hitters",
 ]
 
 
