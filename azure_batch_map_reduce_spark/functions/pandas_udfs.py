@@ -246,3 +246,65 @@ def q157_cogroup_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@query(
+    "q161_grouped_ewma",
+    oracle="""
+    WITH ordered AS (
+        SELECT user_id, value,
+               row_number() OVER (
+                   PARTITION BY user_id
+                   ORDER BY date_trunc('microseconds', ts), event_id) AS rn,
+               count(*) OVER (PARTITION BY user_id) AS n
+        FROM events
+    )
+    SELECT user_id, CAST(max(n) AS BIGINT) AS n_events,
+           round(max(CASE WHEN rn = n THEN value END), 6) AS last_value,
+           round(sum(value * power(0.5, n - rn))
+                 / (2 - power(0.5, max(n) - 1)), 6) AS ewma_last
+    FROM ordered GROUP BY user_id
+    ORDER BY user_id
+    """,
+    tags=("udf", "pandas", "ewma", "timeseries"),
+)
+def q161_grouped_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially weighted moving average per user (α=0.5,
+    adjust=True) over the event value stream, evaluated at each user's
+    final event — the grouped-map smoothing primitive behind metric
+    dashboards. The engine runs pandas ``ewm`` inside applyInPandas
+    under a (ts, event_id) total order; the oracle evaluates the same
+    weighted form Σ v_i·0.5^(n-i) / (2 − 0.5^(n−1)) — α=0.5 makes every
+    weight an exact power of two, so the only cross-engine noise is
+    summation association order, absorbed by rounding.
+
+    The UDF emits the FINAL columns directly (no projection above a
+    pandas grouped-map — the q157 pruning trap applies to the grouped
+    APIs generally).
+
+    Scale posture: one shuffle on user_id; per-group state is one
+    user's series inside an Arrow batch, output is one row per user.
+    """
+    events = load_tables(spark, sf_dir)["events"]
+    src = events.select("user_id", "ts", "event_id", "value")
+
+    def ewma(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["ts", "event_id"])
+        series = pdf["value"].ewm(alpha=0.5, adjust=True).mean()
+        return pd.DataFrame(
+            {
+                "user_id": [int(pdf["user_id"].iloc[0])],
+                "n_events": [len(pdf)],
+                "last_value": [round(float(pdf["value"].iloc[-1]), 6)],
+                "ewma_last": [round(float(series.iloc[-1]), 6)],
+            }
+        )
+
+    return (
+        src.groupby("user_id")
+        .applyInPandas(
+            ewma,
+            "user_id long, n_events long, last_value double, ewma_last double",
+        )
+        .orderBy("user_id")
+    )

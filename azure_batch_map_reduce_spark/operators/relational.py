@@ -1510,3 +1510,94 @@ def q156_portable_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("rel_error"),
     ).orderBy("key_col")
+
+
+@query(
+    "q159_bitmap_distinct_rollup",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type, date_trunc('week', ts) AS week,
+               date_trunc('day', ts) AS d,
+               count(DISTINCT user_id) AS daily_distinct
+        FROM events GROUP BY event_type, date_trunc('week', ts),
+                             date_trunc('day', ts)
+    ),
+    weekly AS (
+        SELECT event_type, date_trunc('week', ts) AS week,
+               count(DISTINCT user_id) AS distinct_users
+        FROM events GROUP BY event_type, date_trunc('week', ts)
+    )
+    SELECT w.event_type, w.week,
+           CAST(w.distinct_users AS BIGINT) AS distinct_users,
+           CAST(sum(d.daily_distinct) AS BIGINT) AS sum_daily_distinct,
+           round(CAST(sum(d.daily_distinct) AS DOUBLE) / w.distinct_users,
+                 6) AS inflation
+    FROM weekly w JOIN daily d
+      ON w.event_type = d.event_type AND w.week = d.week
+    GROUP BY w.event_type, w.week, w.distinct_users
+    ORDER BY w.event_type, w.week
+    """,
+    tags=("aggregation", "bitmap", "distinct", "rollup"),
+)
+def q159_bitmap_distinct_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Re-aggregatable distinct counts via bitmaps: COUNT(DISTINCT) is
+    not additive (summing daily distincts overcounts returning users),
+    but daily per-bucket bitmaps OR-merge losslessly into weekly ones —
+    the materialized-view pattern for distinct rollups. The engine
+    builds day-grain bitmap state (``bitmap_construct_agg`` over
+    ``bitmap_bit_position``, bucketed by ``bitmap_bucket_number`` so id
+    space is unbounded), then produces the weekly exact distinct purely
+    by ``bitmap_or_agg`` + ``bitmap_count`` over the day-grain state —
+    the raw stream is scanned once. Emits the naive additive sum
+    alongside and the inflation ratio it would have reported.
+
+    Scale posture: one shuffle to (type, day, bucket) grain; the weekly
+    rollup re-aggregates KB-size bitmap state, not events. At 100 TB the
+    day-grain state is what you'd persist; any coarser rollup (month,
+    all-time) derives from it by the same OR-merge without touching raw
+    data. The oracle recomputes both grains from scratch with true
+    COUNT(DISTINCT).
+    """
+    events = load_tables(spark, sf_dir)["events"]
+    day_state = (
+        events.select(
+            "event_type",
+            F.date_trunc("week", "ts").alias("week"),
+            F.date_trunc("day", "ts").alias("d"),
+            "user_id",
+        )
+        .groupBy(
+            "event_type", "week", "d", F.expr("bitmap_bucket_number(user_id)").alias("bucket")
+        )
+        .agg(
+            F.expr(
+                "bitmap_construct_agg(bitmap_bit_position(user_id))"
+            ).alias("bmp")
+        )
+    )
+    daily = day_state.groupBy("event_type", "week", "d").agg(
+        F.sum(F.expr("bitmap_count(bmp)")).alias("daily_distinct")
+    )
+    weekly = (
+        day_state.groupBy("event_type", "week", "bucket")
+        .agg(F.expr("bitmap_or_agg(bmp)").alias("bmp"))
+        .groupBy("event_type", "week")
+        .agg(F.sum(F.expr("bitmap_count(bmp)")).alias("distinct_users"))
+    )
+    return (
+        weekly.join(daily, ["event_type", "week"])
+        .groupBy("event_type", "week", "distinct_users")
+        .agg(F.sum("daily_distinct").alias("sum_daily_distinct"))
+        .select(
+            "event_type",
+            "week",
+            F.col("distinct_users").cast("long"),
+            F.col("sum_daily_distinct").cast("long"),
+            F.round(
+                F.col("sum_daily_distinct").cast("double")
+                / F.col("distinct_users"),
+                6,
+            ).alias("inflation"),
+        )
+        .orderBy("event_type", "week")
+    )

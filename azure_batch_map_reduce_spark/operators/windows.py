@@ -1236,3 +1236,90 @@ def q152_last_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("touch_type")
     )
+
+
+@query(
+    "q160_seasonal_anomaly",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type, date_trunc('day', ts) AS d, count(*) AS cnt
+        FROM events GROUP BY event_type, date_trunc('day', ts)
+    ),
+    keyed AS (
+        SELECT event_type, d, cnt,
+               date_diff('day', DATE '1970-01-01', d) % 7 AS dow
+        FROM daily
+    ),
+    baseline AS (
+        SELECT event_type, dow,
+               CAST(sum(cnt) AS DOUBLE) / count(*) AS expected
+        FROM keyed GROUP BY event_type, dow
+    ),
+    resid AS (
+        SELECT k.event_type, k.d, k.cnt, b.expected,
+               k.cnt - b.expected AS r
+        FROM keyed k JOIN baseline b
+          ON k.event_type = b.event_type AND k.dow = b.dow
+    ),
+    spread AS (
+        SELECT event_type, stddev_samp(r) AS sd FROM resid
+        GROUP BY event_type
+    )
+    SELECT r.event_type, r.d AS day, CAST(r.cnt AS BIGINT) AS cnt,
+           round(r.expected, 6) AS expected,
+           round(r.r / s.sd, 4) AS zscore
+    FROM resid r JOIN spread s ON r.event_type = s.event_type
+    WHERE abs(r.r) > 1.5 * s.sd
+    ORDER BY r.event_type, day
+    """,
+    tags=("window", "timeseries", "anomaly", "seasonal"),
+)
+def q160_seasonal_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-baseline anomaly detection on daily event volume: the
+    expected count for a day is the mean over days sharing its
+    day-of-week (the dominant weekly seasonality), and days whose
+    residual exceeds 1.5 residual-stddevs are flagged. Complements q145
+    (CUSUM finds sustained level SHIFTS; this finds single-day spikes
+    against a periodic baseline).
+
+    Day-of-week is computed portably as ``days-since-epoch mod 7`` —
+    engine dayofweek() builtins disagree on week start (Spark 1=Sunday,
+    DuckDB 0=Sunday, isodow 1=Monday), and an off-by-one here silently
+    degrades the baseline rather than erroring.
+
+    Scale posture: events reduce to type×day grain in one partial+final
+    agg; baseline (type×7) and spread (type×1) both broadcast back.
+    Nothing after the first aggregation touches event grain.
+    """
+    events = load_tables(spark, sf_dir)["events"]
+    daily = events.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("d")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    keyed = daily.withColumn(
+        "dow", F.datediff(F.col("d"), F.lit("1970-01-01")) % 7
+    )
+    baseline = keyed.groupBy("event_type", "dow").agg(
+        (F.sum("cnt").cast("double") / F.count(F.lit(1))).alias("expected")
+    )
+    resid = keyed.join(F.broadcast(baseline), ["event_type", "dow"]).select(
+        "event_type",
+        "d",
+        "cnt",
+        "expected",
+        (F.col("cnt") - F.col("expected")).alias("r"),
+    )
+    spread = resid.groupBy("event_type").agg(
+        F.stddev_samp("r").alias("sd")
+    )
+    return (
+        resid.join(F.broadcast(spread), "event_type")
+        .filter(F.abs(F.col("r")) > 1.5 * F.col("sd"))
+        .select(
+            "event_type",
+            F.col("d").alias("day"),
+            F.col("cnt").cast("long"),
+            F.round("expected", 6).alias("expected"),
+            F.round(F.col("r") / F.col("sd"), 4).alias("zscore"),
+        )
+        .orderBy("event_type", "day")
+    )
