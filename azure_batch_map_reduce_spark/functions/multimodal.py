@@ -260,3 +260,90 @@ def q147_frame_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("asset_id")
     )
+
+
+VAD_FRAME_BYTES = 4096
+VAD_THRESHOLD = 0.6
+
+
+@query(
+    "q164_vad_segments",
+    oracle=None,
+    tags=("multimodal", "audio", "segmentation", "vad"),
+)
+def q164_vad_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Voice-activity-style segmentation over opaque audio-like binary
+    payloads: each asset's bytes are framed into fixed 4096-byte
+    windows, each frame gets an energy score (deterministic stub from
+    the frame bytes' sha — a real build computes RMS over decoded PCM;
+    swap ``_frame_energy`` only), frames above threshold are "voiced",
+    and consecutive voiced frames merge into segments (the
+    gaps-and-islands step, run in-process per asset). Emits per asset:
+    frame count, voiced count, segment count, longest segment, and
+    voiced ratio.
+
+    The Spark-side contract: framing + thresholding + islands all
+    happen inside ONE mapInPandas pass over each asset's payload —
+    segmentation is a per-asset sequential computation, so doing it
+    where the bytes already are (instead of exploding frames and
+    re-grouping) avoids shuffling either payloads or frame rows
+    entirely. Compare q147, which fans frame rows out because its
+    consumers are per-frame. Rows-only check (byte decoding is outside
+    SQL's reach).
+    """
+    assets = load_assets(spark, sf_dir, glob="*.parquet")
+
+    def _frame_energy(payload_sha: str, frame_idx: int) -> float:
+        h = hashlib.sha256(f"vad:{payload_sha}:{frame_idx}".encode()).hexdigest()
+        return int(h[:8], 16) / 0xFFFFFFFF
+
+    def segment(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for asset_id, content in zip(pdf["asset_id"], pdf["content"]):
+                data = bytes(content)
+                sha = hashlib.sha256(data).hexdigest()
+                n_frames = max(1, (len(data) + VAD_FRAME_BYTES - 1) // VAD_FRAME_BYTES)
+                voiced = [
+                    _frame_energy(sha, i) > VAD_THRESHOLD
+                    for i in range(n_frames)
+                ]
+                n_segments = 0
+                longest = 0
+                run = 0
+                for flag in voiced:
+                    if flag:
+                        run += 1
+                        if run == 1:
+                            n_segments += 1
+                        longest = max(longest, run)
+                    else:
+                        run = 0
+                rows.append(
+                    (
+                        asset_id,
+                        n_frames,
+                        sum(voiced),
+                        n_segments,
+                        longest,
+                        round(sum(voiced) / n_frames, 6),
+                    )
+                )
+            if rows:
+                yield pd.DataFrame(
+                    rows,
+                    columns=[
+                        "asset_id",
+                        "n_frames",
+                        "n_voiced",
+                        "n_segments",
+                        "longest_segment",
+                        "voiced_ratio",
+                    ],
+                )
+
+    return assets.select("asset_id", "content").mapInPandas(
+        segment,
+        "asset_id string, n_frames long, n_voiced long, n_segments long, "
+        "longest_segment long, voiced_ratio double",
+    ).orderBy("asset_id")

@@ -397,3 +397,154 @@ def q79_retrieval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         F.size(F.split("text", " ")).cast("bigint").alias("n_tokens"),
     )
+
+
+_PCA_DIM = 64
+_PCA_ITERS = 15
+
+
+def _pca_oracle() -> str:
+    """Unrolled power-iteration oracle: every CTE is AS MATERIALIZED
+    (each is referenced twice — without it DuckDB's inlining compounds
+    the 15-deep chain)."""
+    parts = [
+        "WITH idx AS MATERIALIZED (SELECT unnest(generate_series(0, 63)) AS i),",
+        """mu AS MATERIALIZED (
+            SELECT idx.i, avg(e.embedding[idx.i + 1]::DOUBLE) AS m
+            FROM embeddings e, idx GROUP BY idx.i
+        ),""",
+        """exx AS MATERIALIZED (
+            SELECT ii.i AS i, jj.i AS j,
+                   avg(e.embedding[ii.i + 1]::DOUBLE
+                       * e.embedding[jj.i + 1]::DOUBLE) AS p
+            FROM embeddings e, idx ii, idx jj
+            GROUP BY ii.i, jj.i
+        ),""",
+        """cov AS MATERIALIZED (
+            SELECT c.i, c.j, c.p - a.m * b.m AS val
+            FROM exx c JOIN mu a ON c.i = a.i JOIN mu b ON c.j = b.i
+        ),""",
+        "v0 AS MATERIALIZED (SELECT i, 0.125 AS v FROM idx),",
+    ]
+    for k in range(1, _PCA_ITERS + 1):
+        parts.append(
+            f"""m{k} AS MATERIALIZED (
+                SELECT c.i, sum(c.val * v.v) AS s
+                FROM cov c JOIN v{k-1} v ON c.j = v.i GROUP BY c.i
+            ),"""
+        )
+        parts.append(
+            f"""v{k} AS MATERIALIZED (
+                SELECT i, s / (SELECT sqrt(sum(s * s)) FROM m{k}) AS v
+                FROM m{k}
+            ),"""
+        )
+    last = f"v{_PCA_ITERS}"
+    parts.append(
+        f"""pick AS MATERIALIZED (
+            SELECT v FROM {last} ORDER BY abs(v) DESC, i ASC LIMIT 1
+        )
+        SELECT {last}.i AS component,
+               round(CASE WHEN pick.v < 0 THEN -{last}.v ELSE {last}.v END,
+                     4) AS loading,
+               round((SELECT sqrt(sum(s * s)) FROM m{_PCA_ITERS}), 3)
+                   AS eigenvalue
+        FROM {last}, pick ORDER BY component"""
+    )
+    return "\n".join(parts)
+
+
+@query(
+    "q163_power_iteration_pca",
+    oracle=_pca_oracle(),
+    tags=("similarity", "pca", "linear-algebra", "iterative"),
+)
+def q163_power_iteration_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal component of the embedding corpus via the
+    distributed Gram-matrix + power-iteration pattern: each partition
+    reduces its Arrow batches to a 64×64 product-sum matrix, a mean
+    vector, and a count in numpy (mapInPandas — the ONLY thing shuffled
+    is 64²+65 partial-state rows per partition, never vectors); the
+    driver assembles C = Σxxᵀ/n − μμᵀ (bounded 64×64 model state — the
+    same driver-side footprint as MLlib's aggregators) and runs 15
+    power iterations with sqrt-only normalization from the exact start
+    vector 1/8. The sign is canonicalized by making the largest-|value|
+    component positive. The oracle replays the identical recurrence as
+    15 unrolled materialized CTEs; power iteration is contractive, so
+    both engines land on the same fixed point despite float-sum
+    association noise (absorbed at round-4).
+
+    Scale posture: communication is O(partitions · d²) independent of
+    row count — the canonical pattern for any distributed moment/
+    gradient computation. For d too large for d² state, switch to
+    matrix-free C·v passes (one mapInPandas per iteration).
+    """
+    import numpy as np
+
+    emb = load_tables(spark, sf_dir)["embeddings"].select("embedding")
+
+    def gram(batches):
+        import pandas as pd
+
+        sxx = np.zeros((_PCA_DIM, _PCA_DIM))
+        sx = np.zeros(_PCA_DIM)
+        n = 0
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            x = np.array(
+                [np.asarray(v, dtype=np.float64) for v in pdf["embedding"]]
+            )
+            sxx += x.T @ x
+            sx += x.sum(axis=0)
+            n += len(x)
+        if n == 0:
+            return
+        out_i, out_j, out_s = [], [], []
+        for i in range(_PCA_DIM):
+            for j in range(_PCA_DIM):
+                out_i.append(i)
+                out_j.append(j)
+                out_s.append(sxx[i, j])
+        for i in range(_PCA_DIM):
+            out_i.append(i)
+            out_j.append(-1)
+            out_s.append(sx[i])
+        out_i.append(-1)
+        out_j.append(-1)
+        out_s.append(float(n))
+        yield pd.DataFrame({"i": out_i, "j": out_j, "s": out_s})
+
+    merged = (
+        emb.mapInPandas(gram, "i int, j int, s double")
+        .groupBy("i", "j")
+        .agg(F.sum("s").alias("s"))
+        .collect()
+    )
+    sxx = np.zeros((_PCA_DIM, _PCA_DIM))
+    sx = np.zeros(_PCA_DIM)
+    n = 0.0
+    for row in merged:
+        if row["i"] == -1:
+            n = row["s"]
+        elif row["j"] == -1:
+            sx[row["i"]] = row["s"]
+        else:
+            sxx[row["i"], row["j"]] = row["s"]
+    mu = sx / n
+    cov = sxx / n - np.outer(mu, mu)
+    v = np.full(_PCA_DIM, 0.125)
+    lam = 0.0
+    for _ in range(_PCA_ITERS):
+        s = cov @ v
+        lam = float(np.sqrt((s * s).sum()))
+        v = s / lam
+    top = int(np.argmax(np.abs(v)))
+    if v[top] < 0:
+        v = -v
+    rows = [
+        (i, round(float(v[i]), 4), round(lam, 3)) for i in range(_PCA_DIM)
+    ]
+    return spark.createDataFrame(
+        rows, "component int, loading double, eigenvalue double"
+    ).orderBy("component")

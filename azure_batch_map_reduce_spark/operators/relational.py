@@ -1601,3 +1601,75 @@ def q159_bitmap_distinct_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "week")
     )
+
+
+@query(
+    "q162_skyline",
+    oracle="""
+    WITH pts AS (
+        SELECT p_partkey, p_retailprice AS price, p_size AS size FROM part
+    ),
+    best_at_price AS (
+        SELECT price, max(size) AS best FROM pts GROUP BY price
+    ),
+    sweep AS (
+        SELECT price, best,
+               max(best) OVER (
+                   ORDER BY price
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ) AS prev_best
+        FROM best_at_price
+    )
+    SELECT p.p_partkey, round(p.price, 2) AS price,
+           CAST(p.size AS INTEGER) AS size
+    FROM pts p JOIN sweep s ON p.price = s.price
+    WHERE p.size = s.best
+      AND (s.prev_best IS NULL OR p.size > s.prev_best)
+    ORDER BY price, p.p_partkey
+    """,
+    tags=("aggregation", "skyline", "dominance", "pareto"),
+)
+def q162_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skyline (Pareto-dominance) query: parts not dominated on
+    (minimize retail price, maximize size) — no other part is both
+    cheaper-or-equal AND larger-or-equal with at least one strict. The
+    naive formulation is a quadratic NOT EXISTS self-join; this is the
+    sort-sweep reduction: collapse to the best size per price point,
+    run a strictly-preceding cumulative max over prices ascending, and
+    a point survives iff it attains its price's best size AND beats
+    every strictly-cheaper price's best. Pure comparisons on stored
+    values — zero float arithmetic, so cross-engine parity is exact.
+
+    Scale posture: one partial+final agg to price grain, one window
+    over the (bounded) distinct-price sequence, one broadcast-size join
+    back. The O(n²) dominance join never forms. For d>2 criteria the
+    same skeleton nests: sort on one axis, prune with a running
+    dominance frontier per partition, merge frontiers.
+    """
+    pts = load_tables(spark, sf_dir)["part"].select(
+        "p_partkey",
+        F.col("p_retailprice").alias("price"),
+        F.col("p_size").alias("size"),
+    )
+    best = pts.groupBy("price").agg(F.max("size").alias("best"))
+    sweep = best.withColumn(
+        "prev_best",
+        F.max("best").over(
+            Window.orderBy("price").rowsBetween(
+                Window.unboundedPreceding, -1
+            )
+        ),
+    )
+    return (
+        pts.join(F.broadcast(sweep), "price")
+        .filter(
+            (F.col("size") == F.col("best"))
+            & (F.col("prev_best").isNull() | (F.col("size") > F.col("prev_best")))
+        )
+        .select(
+            "p_partkey",
+            F.round("price", 2).alias("price"),
+            F.col("size").cast("int").alias("size"),
+        )
+        .orderBy("price", "p_partkey")
+    )
