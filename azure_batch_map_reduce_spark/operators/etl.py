@@ -638,3 +638,97 @@ def q155_interval_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_suppkey")
     )
+
+
+@query(
+    "q166_point_in_time_join",
+    oracle="""
+    WITH dim AS (
+        SELECT s_suppkey,
+               TIMESTAMP '1995-01-01'
+                 + (s_suppkey % 365) * INTERVAL '1 day'
+                 + (v.vno - 1) * INTERVAL '400 days' AS vf,
+               CASE v.vno WHEN 1 THEN 'bronze' WHEN 2 THEN 'silver'
+                    ELSE 'gold' END AS tier
+        FROM supplier CROSS JOIN (VALUES (1), (2), (3)) AS v(vno)
+    ),
+    f AS (
+        SELECT l_suppkey, l_shipdate,
+               CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                    AS BIGINT) AS cents
+        FROM lineitem
+    )
+    SELECT coalesce(d.tier, 'none') AS tier,
+           CAST(count(*) AS BIGINT) AS n_items,
+           round(CAST(sum(f.cents) AS DOUBLE) / 100, 2) AS revenue
+    FROM f ASOF LEFT JOIN dim d
+      ON f.l_suppkey = d.s_suppkey AND f.l_shipdate >= d.vf
+    GROUP BY coalesce(d.tier, 'none')
+    ORDER BY tier
+    """,
+    tags=("etl", "scd2", "point-in-time", "asof"),
+)
+def q166_point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time join of facts against an SCD2 dimension: every
+    lineitem is priced under the supplier-tier version valid AT its
+    ship date (versions: bronze/silver/gold, deterministic synthetic
+    valid_from staggered per supplier across the fact date range). The
+    engine uses the sort-merge carry-forward idiom — union dimension
+    versions and facts into one stream keyed by supplier, order by
+    (time, dims-first-at-ties so valid_from <= fact is inclusive), and
+    ``last(tier, ignorenulls)`` hands each fact its effective version.
+    This is the scalable PIT shape: ONE shuffle over facts+versions, no
+    range join, no per-fact probe. The oracle runs DuckDB's native
+    ``ASOF LEFT JOIN`` with >= semantics.
+
+    Scale posture: the union stream shuffles once on suppkey; dimension
+    rows are a vanishing fraction of it. Compare q27 (as-of via the
+    same trick on quotes) — here the carried payload is a dimension
+    attribute, i.e. the SCD2 consumption pattern for backtest-safe
+    feature joins.
+    """
+    t = load_tables(spark, sf_dir)
+    versions = (
+        t["supplier"]
+        .select("s_suppkey")
+        .crossJoin(spark.range(1, 4).withColumnRenamed("id", "vno"))
+        .select(
+            F.col("s_suppkey").alias("k"),
+            F.expr(
+                "TIMESTAMP '1995-01-01' + make_dt_interval(cast(s_suppkey % 365 as int))"
+                " + make_dt_interval(cast((vno - 1) * 400 as int))"
+            ).alias("t"),
+            F.when(F.col("vno") == 1, "bronze")
+            .when(F.col("vno") == 2, "silver")
+            .otherwise("gold")
+            .alias("tier"),
+            F.lit(1).alias("is_dim"),
+            F.lit(None).cast("long").alias("cents"),
+        )
+    )
+    facts = t["lineitem"].select(
+        F.col("l_suppkey").alias("k"),
+        F.col("l_shipdate").alias("t"),
+        F.lit(None).cast("string").alias("tier"),
+        F.lit(0).alias("is_dim"),
+        F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100)
+        .cast("long")
+        .alias("cents"),
+    )
+    merged = versions.unionAll(facts).withColumn(
+        "eff_tier",
+        F.last("tier", ignorenulls=True).over(
+            Window.partitionBy("k")
+            .orderBy("t", F.col("is_dim").desc())
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    return (
+        merged.filter(F.col("is_dim") == 0)
+        .groupBy(F.coalesce("eff_tier", F.lit("none")).alias("tier"))
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.round(F.sum("cents").cast("double") / 100, 2).alias("revenue"),
+        )
+        .orderBy("tier")
+    )

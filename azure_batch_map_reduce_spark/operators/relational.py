@@ -1673,3 +1673,85 @@ def q162_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("price", "p_partkey")
     )
+
+
+# Shared engine/oracle SQL: mutual information between event type and
+# global value quartile. Quartile edges come from integer rank
+# arithmetic (rn·4 ≤ n·i) — no float quantile interpolation.
+_MI_SQL = """
+WITH ranked AS (
+    SELECT value, event_id,
+           row_number() OVER (ORDER BY value, event_id) AS rn,
+           (SELECT count(*) FROM events) AS n
+    FROM events
+),
+edges AS (
+    SELECT g.i, max(CASE WHEN r.rn * 4 <= r.n * g.i THEN r.value END) AS edge
+    FROM ranked r CROSS JOIN (VALUES (1), (2), (3)) AS g(i)
+    GROUP BY g.i
+),
+binned AS (
+    SELECT e.event_id, e.event_type,
+           1 + sum(CASE WHEN e.value > d.edge THEN 1 ELSE 0 END) AS bin
+    FROM events e CROSS JOIN edges d
+    GROUP BY e.event_id, e.event_type
+),
+joint AS (
+    SELECT event_type, bin, count(*) AS c FROM binned
+    GROUP BY event_type, bin
+),
+margt AS (SELECT event_type, sum(c) AS ct FROM joint GROUP BY event_type),
+margb AS (SELECT bin, sum(c) AS cb FROM joint GROUP BY bin),
+tot AS (SELECT sum(c) AS n FROM joint),
+scalars AS (
+    SELECT
+        (SELECT max(n) FROM tot) AS n,
+        (SELECT sum((CAST(j.c AS DOUBLE) / t.n)
+                    * ln((CAST(j.c AS DOUBLE) * t.n)
+                         / (CAST(mt.ct AS DOUBLE) * mb.cb)))
+         FROM joint j
+         JOIN margt mt ON j.event_type = mt.event_type
+         JOIN margb mb ON j.bin = mb.bin
+         CROSS JOIN tot t) AS mi,
+        (SELECT -sum((CAST(ct AS DOUBLE) / t.n)
+                     * ln(CAST(ct AS DOUBLE) / t.n))
+         FROM margt CROSS JOIN tot t) AS ht,
+        (SELECT -sum((CAST(cb AS DOUBLE) / t.n)
+                     * ln(CAST(cb AS DOUBLE) / t.n))
+         FROM margb CROSS JOIN tot t) AS hb
+)
+SELECT 'event_type|value_quartile' AS pair,
+       CAST(n AS BIGINT) AS n,
+       round(mi, 6) AS mi_nats,
+       round(ht, 6) AS h_type,
+       round(hb, 6) AS h_bin,
+       round(mi / least(ht, hb), 6) AS nmi
+FROM scalars
+"""
+
+
+@query(
+    "q167_mutual_information",
+    oracle=_MI_SQL,
+    tags=("aggregation", "statistics", "mutual-information", "profiling"),
+)
+def q167_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual information (and normalized MI) between event type and the
+    event value's global quartile: MI = Σ p(t,b)·ln(p(t,b)/(p(t)p(b))),
+    the information-theoretic association measure that complements
+    q133's chi-square (chi2 tests independence; MI quantifies how many
+    nats knowing the value bin tells you about the type — the feature-
+    relevance score used in selection pipelines). The identical SQL
+    text runs on Spark views and on DuckDB, so binning, marginals, and
+    the log terms cannot diverge; quartile edges are integer-rank
+    picks, not float interpolation.
+
+    Scale posture: the joint table is types×4 rows after one
+    aggregation of the binned stream; the bin assignment is a 3-edge
+    broadcast comparison. The global rank window for exact quartile
+    edges is the one single-task step — at 100 TB swap the edges CTE
+    for percentile_approx and keep every downstream expression
+    unchanged.
+    """
+    register_views(spark, sf_dir)
+    return spark.sql(_MI_SQL)

@@ -1323,3 +1323,121 @@ def q160_seasonal_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "day")
     )
+
+
+@query(
+    "q165_window_funnel",
+    oracle="""
+    WITH s1 AS (
+        SELECT user_id, min(date_trunc('microseconds', ts)) AS t1
+        FROM events WHERE event_type = 'signup' GROUP BY user_id
+    ),
+    s2 AS (
+        SELECT s1.user_id, s1.t1,
+               min(date_trunc('microseconds', e.ts)) AS t2
+        FROM s1 JOIN events e
+          ON e.user_id = s1.user_id AND e.event_type = 'click'
+         AND date_trunc('microseconds', e.ts) > s1.t1
+         AND date_trunc('microseconds', e.ts) <= s1.t1 + INTERVAL 24 HOUR
+        GROUP BY s1.user_id, s1.t1
+    ),
+    s3 AS (
+        SELECT s2.user_id, s2.t1, s2.t2,
+               min(date_trunc('microseconds', e.ts)) AS t3
+        FROM s2 JOIN events e
+          ON e.user_id = s2.user_id AND e.event_type = 'purchase'
+         AND date_trunc('microseconds', e.ts) > s2.t2
+         AND date_trunc('microseconds', e.ts) <= s2.t2 + INTERVAL 24 HOUR
+        GROUP BY s2.user_id, s2.t1, s2.t2
+    ),
+    depth AS (
+        SELECT s1.user_id,
+               CASE WHEN s3.t3 IS NOT NULL THEN 3
+                    WHEN s2.t2 IS NOT NULL THEN 2
+                    ELSE 1 END AS reached,
+               CASE WHEN s3.t3 IS NOT NULL
+                    THEN epoch_us(s3.t3) - epoch_us(s1.t1) END AS funnel_us
+        FROM s1
+        LEFT JOIN s2 ON s1.user_id = s2.user_id
+        LEFT JOIN s3 ON s1.user_id = s3.user_id
+    )
+    SELECT reached, CAST(count(*) AS BIGINT) AS n_users,
+           round(CAST(sum(funnel_us) AS DOUBLE)
+                 / (count(funnel_us) * 60000000), 6) AS avg_funnel_mins
+    FROM depth GROUP BY reached ORDER BY reached
+    """,
+    tags=("window", "funnel", "events", "time-constrained"),
+)
+def q165_window_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-constrained funnel (the ClickHouse-windowFunnel shape):
+    signup → click → purchase where each step must land within 24h of
+    the matched previous step, resolved greedily (earliest signup, then
+    earliest qualifying next event). Unlike q89's order-only funnel,
+    the step windows make "converted eventually" and "converted inside
+    the activation window" different answers. Emits users per reached
+    depth and mean signup→purchase latency for completers (exact
+    integer µs, one closing division).
+
+    Scale posture: each stage is a per-user min-aggregation joined back
+    on user_id — three shuffles on the same key (co-partitioned under
+    AQE), state one row per user per stage. No per-user event arrays
+    are ever collected; the greedy chain semantics is what makes the
+    stage-wise min-join decomposition exact.
+    """
+    events = load_tables(spark, sf_dir)["events"]
+    s1 = (
+        events.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    clicks = events.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("ct")
+    )
+    s2 = (
+        s1.join(clicks, "user_id")
+        .filter(
+            (F.col("ct") > F.col("t1"))
+            & (F.col("ct") <= F.col("t1") + F.expr("INTERVAL 24 HOURS"))
+        )
+        .groupBy("user_id", "t1")
+        .agg(F.min("ct").alias("t2"))
+    )
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("pt")
+    )
+    s3 = (
+        s2.join(purchases, "user_id")
+        .filter(
+            (F.col("pt") > F.col("t2"))
+            & (F.col("pt") <= F.col("t2") + F.expr("INTERVAL 24 HOURS"))
+        )
+        .groupBy("user_id", "t1", "t2")
+        .agg(F.min("pt").alias("t3"))
+    )
+    depth = (
+        s1.join(s2.select("user_id", "t2"), "user_id", "left")
+        .join(s3.select("user_id", "t3"), "user_id", "left")
+        .select(
+            "user_id",
+            F.when(F.col("t3").isNotNull(), 3)
+            .when(F.col("t2").isNotNull(), 2)
+            .otherwise(1)
+            .alias("reached"),
+            F.when(
+                F.col("t3").isNotNull(),
+                F.unix_micros("t3") - F.unix_micros("t1"),
+            ).alias("funnel_us"),
+        )
+    )
+    return (
+        depth.groupBy("reached")
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.round(
+                F.sum("funnel_us").cast("double")
+                / (F.count("funnel_us") * 60000000),
+                6,
+            ).alias("avg_funnel_mins"),
+        )
+        .orderBy("reached")
+    )
