@@ -874,3 +874,242 @@ def q151_quantile_normalization(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source", "qbin")
     )
+
+
+@query(
+    "q170_correlated_sample_join",
+    oracle="""
+    WITH keep AS (
+        SELECT o_orderkey AS k
+        FROM orders
+        WHERE ('0x' || substr(md5('cs|' || CAST(o_orderkey AS VARCHAR)),
+                              1, 8))::BIGINT * 5 < 4294967296
+    ),
+    full_j AS (
+        SELECT count(*) AS n,
+               sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100)
+                        AS BIGINT)) AS cents
+        FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    ),
+    samp_j AS (
+        SELECT count(*) AS n,
+               sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100)
+                        AS BIGINT)) AS cents
+        FROM orders o
+        JOIN keep s ON o.o_orderkey = s.k
+        JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        JOIN keep s2 ON l.l_orderkey = s2.k
+    )
+    SELECT m.metric,
+           round(m.actual, 2) AS actual,
+           round(m.estimate, 2) AS estimate,
+           round((m.estimate - m.actual) / m.actual, 6) AS rel_error
+    FROM (
+        SELECT 'join_rows' AS metric,
+               CAST(f.n AS DOUBLE) AS actual,
+               CAST(s.n * 5 AS DOUBLE) AS estimate
+        FROM full_j f, samp_j s
+        UNION ALL
+        SELECT 'join_revenue',
+               CAST(f.cents AS DOUBLE) / 100,
+               CAST(s.cents * 5 AS DOUBLE) / 100
+        FROM full_j f, samp_j s
+    ) m
+    ORDER BY m.metric
+    """,
+    tags=("curation", "sampling", "correlated", "join"),
+)
+def q170_correlated_sample_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated (join-consistent) sampling: both orders AND lineitem
+    are sampled with the SAME deterministic 20% predicate on the JOIN
+    KEY (salted md5 of orderkey, integer threshold u·5 < 2^32), so the
+    join of the samples IS a 20% key-sample of the join — the property
+    independent Bernoulli row-sampling destroys (p² pair survival,
+    key-fragmented joins). Emits actual vs ×5-scaled estimates for join
+    cardinality and revenue with relative errors.
+
+    Key-correlated sampling is the standard trick for cheap pipeline
+    dry-runs and join-cardinality estimation at 100 TB: one hash
+    predicate pushes into EVERY table sharing the key, sampled inputs
+    co-partition exactly like the originals, and scale-up factors stay
+    unbiased per key class. Money stays in exact integer cents.
+
+    Scale posture: the sample predicate is map-side hash math (no
+    sampling shuffle); the sampled join shuffles 20% of each side.
+    """
+    t = load_tables(spark, sf_dir)
+    cents = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+    ).cast("long")
+
+    def keep(col):
+        u = F.conv(
+            F.substring(F.md5(F.concat(F.lit("cs|"), col.cast("string"))), 1, 8),
+            16,
+            10,
+        ).cast("long")
+        return u * 5 < F.lit(4294967296)
+
+    orders, lineitem = t["orders"], t["lineitem"]
+    full_j = (
+        orders.join(lineitem, orders.o_orderkey == lineitem.l_orderkey)
+        .agg(
+            F.count(F.lit(1)).alias("n"), F.sum(cents).alias("cents")
+        )
+    )
+    samp_j = (
+        orders.filter(keep(F.col("o_orderkey")))
+        .join(
+            lineitem.filter(keep(F.col("l_orderkey"))),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"), F.sum(cents).alias("cents"))
+    )
+    f = full_j.select(
+        F.col("n").alias("fn"), F.col("cents").alias("fc")
+    ).crossJoin(samp_j.select(F.col("n").alias("sn"), F.col("cents").alias("sc")))
+    rows = f.select(
+        F.lit("join_rows").alias("metric"),
+        F.col("fn").cast("double").alias("actual"),
+        (F.col("sn") * 5).cast("double").alias("estimate"),
+    ).unionAll(
+        f.select(
+            F.lit("join_revenue").alias("metric"),
+            (F.col("fc").cast("double") / 100).alias("actual"),
+            ((F.col("sc") * 5).cast("double") / 100).alias("estimate"),
+        )
+    )
+    return rows.select(
+        "metric",
+        F.round("actual", 2).alias("actual"),
+        F.round("estimate", 2).alias("estimate"),
+        F.round((F.col("estimate") - F.col("actual")) / F.col("actual"), 6).alias(
+            "rel_error"
+        ),
+    ).orderBy("metric")
+
+
+@query(
+    "q171_lift_curve",
+    oracle="""
+    WITH spend AS (
+        SELECT o_custkey,
+               sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
+        FROM orders GROUP BY o_custkey
+    ),
+    scored AS (
+        SELECT c.c_custkey,
+               ('0x' || substr(md5('lift|' || CAST(c.c_custkey AS VARCHAR)),
+                               1, 8))::BIGINT AS score,
+               CASE WHEN coalesce(s.cents, 0) > 325000000
+                    THEN 1 ELSE 0 END AS pos
+        FROM customer c LEFT JOIN spend s ON c.c_custkey = s.o_custkey
+    ),
+    deciled AS (
+        SELECT pos,
+               ntile(10) OVER (ORDER BY score DESC, c_custkey) AS decile
+        FROM scored
+    ),
+    agg AS (
+        SELECT decile, count(*) AS n, sum(pos) AS n_pos FROM deciled
+        GROUP BY decile
+    ),
+    tot AS (SELECT sum(n) AS nn, sum(n_pos) AS pp FROM agg)
+    SELECT a.decile,
+           CAST(a.n AS BIGINT) AS n_customers,
+           CAST(a.n_pos AS BIGINT) AS n_pos,
+           round(CAST(sum(a.n_pos) OVER (
+                     ORDER BY a.decile
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS DOUBLE) / t.pp, 6) AS capture,
+           round(CAST(a.n_pos * t.nn AS DOUBLE) / (a.n * t.pp), 6) AS lift
+    FROM agg a CROSS JOIN tot t
+    ORDER BY a.decile
+    """,
+    tags=("curation", "lift", "evaluation", "ranking"),
+)
+def q171_lift_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decile lift/gains table — the model-evaluation operator run after
+    every propensity scoring job: customers rank by a model score (a
+    deterministic salted-hash stand-in here), split into score deciles,
+    and each decile reports its positive count (high spenders), the
+    cumulative capture rate, and lift over the base rate. A useful
+    model shows lift≫1 in decile 1; the hash score shows lift≈1
+    everywhere — the null baseline the real model must beat.
+
+    All ratios are single divisions of exact integers (spend threshold
+    applied to integer cents; capture = cum_pos/total_pos; lift =
+    n_pos·N / (n·P)), so decile boundaries and every output value are
+    engine-exact. The ntile order (score desc, custkey) is total.
+
+    Scale posture: spend aggregates partial+final on custkey; the
+    global ntile is a single rank pass at customer grain (at 100 TB:
+    range-partition on the score, compute per-partition offsets — the
+    q07 sample-sort shape). Everything after is 10 rows.
+    """
+    t = load_tables(spark, sf_dir)
+    spend = (
+        t["orders"]
+        .groupBy("o_custkey")
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
+                "cents"
+            )
+        )
+    )
+    scored = (
+        t["customer"]
+        .join(spend, F.col("c_custkey") == F.col("o_custkey"), "left")
+        .select(
+            "c_custkey",
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit("lift|"), F.col("c_custkey").cast("string"))),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            )
+            .cast("long")
+            .alias("score"),
+            F.when(F.coalesce("cents", F.lit(0)) > 325000000, 1)
+            .otherwise(0)
+            .alias("pos"),
+        )
+    )
+    deciled = scored.select(
+        "pos",
+        F.ntile(10)
+        .over(Window.orderBy(F.col("score").desc(), F.col("c_custkey")))
+        .alias("decile"),
+    )
+    agg = deciled.groupBy("decile").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("pos").alias("n_pos")
+    )
+    tot = agg.agg(F.sum("n").alias("nn"), F.sum("n_pos").alias("pp"))
+    return (
+        agg.crossJoin(F.broadcast(tot))
+        .select(
+            "decile",
+            F.col("n").cast("long").alias("n_customers"),
+            F.col("n_pos").cast("long").alias("n_pos"),
+            F.round(
+                F.sum("n_pos")
+                .over(
+                    Window.orderBy("decile").rowsBetween(
+                        Window.unboundedPreceding, Window.currentRow
+                    )
+                )
+                .cast("double")
+                / F.col("pp"),
+                6,
+            ).alias("capture"),
+            F.round(
+                (F.col("n_pos") * F.col("nn")).cast("double")
+                / (F.col("n") * F.col("pp")),
+                6,
+            ).alias("lift"),
+        )
+        .orderBy("decile")
+    )

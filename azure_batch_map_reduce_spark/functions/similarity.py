@@ -17,7 +17,7 @@ mates — the q71 shape.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession, functions as F
+from pyspark.sql import Column, DataFrame, SparkSession, Window, functions as F
 
 from azure_batch_map_reduce_spark.catalog import load_tables
 from azure_batch_map_reduce_spark.registry import query
@@ -548,3 +548,175 @@ def q163_power_iteration_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "component int, loading double, eigenvalue double"
     ).orderBy("component")
+
+
+_KNN_SCALE = 1048576  # 2^20: float32 -> exact integer grid
+
+
+@query(
+    "q169_knn_classify",
+    oracle="""
+    WITH q AS (
+        SELECT vec_id, label,
+               [CAST(round(x::DOUBLE * 1048576) AS BIGINT)
+                FOR x IN embedding] AS qv
+        FROM embeddings
+    ),
+    test AS (SELECT * FROM q WHERE vec_id % 10 = 0),
+    train AS (SELECT * FROM q WHERE vec_id % 10 <> 0),
+    pairs AS (
+        SELECT t.vec_id AS test_id, t.label AS true_label,
+               r.vec_id AS train_id, r.label AS train_label,
+               list_sum([t.qv[i] * r.qv[i] FOR i IN range(1, 65)])
+                   AS dot_i,
+               list_sum([t.qv[i] * t.qv[i] FOR i IN range(1, 65)])
+                   AS nt,
+               list_sum([r.qv[i] * r.qv[i] FOR i IN range(1, 65)])
+                   AS nr
+        FROM test t CROSS JOIN train r
+    ),
+    scored AS (
+        SELECT test_id, true_label, train_id, train_label,
+               CAST(dot_i AS DOUBLE)
+                 / (sqrt(CAST(nt AS DOUBLE)) * sqrt(CAST(nr AS DOUBLE)))
+                 AS cos,
+               row_number() OVER (
+                   PARTITION BY test_id
+                   ORDER BY CAST(dot_i AS DOUBLE)
+                            / (sqrt(CAST(nt AS DOUBLE))
+                               * sqrt(CAST(nr AS DOUBLE))) DESC,
+                            train_id ASC) AS rk
+        FROM pairs
+    ),
+    votes AS (
+        SELECT test_id, true_label, train_label, count(*) AS v
+        FROM scored WHERE rk <= 5
+        GROUP BY test_id, true_label, train_label
+    ),
+    pred AS (
+        SELECT test_id, true_label, train_label AS predicted,
+               row_number() OVER (
+                   PARTITION BY test_id
+                   ORDER BY v DESC, train_label ASC) AS pk
+        FROM votes
+    )
+    SELECT true_label,
+           CAST(count(*) AS BIGINT) AS n_test,
+           CAST(sum(CASE WHEN predicted = true_label THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_correct,
+           round(CAST(sum(CASE WHEN predicted = true_label THEN 1 ELSE 0 END)
+                      AS DOUBLE) / count(*), 6) AS accuracy
+    FROM pred WHERE pk = 1
+    GROUP BY true_label ORDER BY true_label
+    """,
+    tags=("similarity", "knn", "classification", "join"),
+)
+def q169_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NN classification join (k=5, cosine): every 10th vector plays
+    the unlabeled query set; its label is predicted by majority vote of
+    its 5 nearest training vectors, ties to the smallest label. Emits a
+    per-class accuracy table.
+
+    Determinism is engineered: embeddings quantize to the exact 2^-20
+    integer grid (float32 → ×2^20 is an exact power-of-two scale), dot
+    products and squared norms are then EXACT int64 sums, and cosine =
+    dot / (sqrt(n1)·sqrt(n2)) is three correctly-rounded IEEE ops —
+    bit-identical on both engines, so the top-5 cut and vote counts
+    can never differ by a float ulp (the failure mode a float-summed
+    cosine would have at the rank-5/rank-6 boundary).
+
+    Scale posture: the query set broadcasts against the training side
+    (the standard knn-join shape when queries ≪ corpus); ranking and
+    voting share the test_id partitioning. For corpus-scale query
+    sets, swap the cross join for the q73 IVF cell-bucketed variant —
+    scoring, voting, and tie-breaks are unchanged.
+    """
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    q = emb.select(
+        "vec_id",
+        "label",
+        F.transform(
+            "embedding",
+            lambda x: F.round(x.cast("double") * _KNN_SCALE).cast("long"),
+        ).alias("qv"),
+    )
+    test = q.filter(F.col("vec_id") % 10 == 0)
+    train = q.filter(F.col("vec_id") % 10 != 0)
+
+    def idot(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x * y),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        )
+
+    pairs = (
+        F.broadcast(
+            test.select(
+                F.col("vec_id").alias("test_id"),
+                F.col("label").alias("true_label"),
+                F.col("qv").alias("tv"),
+            )
+        )
+        .crossJoin(
+            train.select(
+                F.col("vec_id").alias("train_id"),
+                F.col("label").alias("train_label"),
+                F.col("qv").alias("rv"),
+            )
+        )
+        .select(
+            "test_id",
+            "true_label",
+            "train_id",
+            "train_label",
+            (
+                idot(F.col("tv"), F.col("rv")).cast("double")
+                / (
+                    F.sqrt(idot(F.col("tv"), F.col("tv")).cast("double"))
+                    * F.sqrt(idot(F.col("rv"), F.col("rv")).cast("double"))
+                )
+            ).alias("cos"),
+        )
+    )
+    scored = pairs.withColumn(
+        "rk",
+        F.row_number().over(
+            Window.partitionBy("test_id").orderBy(
+                F.col("cos").desc(), F.col("train_id").asc()
+            )
+        ),
+    )
+    votes = (
+        scored.filter(F.col("rk") <= 5)
+        .groupBy("test_id", "true_label", "train_label")
+        .agg(F.count(F.lit(1)).alias("v"))
+    )
+    pred = votes.withColumn(
+        "pk",
+        F.row_number().over(
+            Window.partitionBy("test_id").orderBy(
+                F.col("v").desc(), F.col("train_label").asc()
+            )
+        ),
+    ).filter(F.col("pk") == 1)
+    return (
+        pred.groupBy("true_label")
+        .agg(
+            F.count(F.lit(1)).alias("n_test"),
+            F.sum(
+                F.when(F.col("train_label") == F.col("true_label"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_correct"),
+        )
+        .select(
+            "true_label",
+            "n_test",
+            "n_correct",
+            F.round(
+                F.col("n_correct").cast("double") / F.col("n_test"), 6
+            ).alias("accuracy"),
+        )
+        .orderBy("true_label")
+    )

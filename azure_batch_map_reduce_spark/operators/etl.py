@@ -732,3 +732,98 @@ def q166_point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("tier")
     )
+
+
+@query(
+    "q168_cdc_materialize",
+    oracle="""
+    WITH log AS (
+        SELECT o_orderkey AS k, o_orderdate AS ts, o_orderkey % 100 AS seq,
+               CASE WHEN o_orderkey % 11 = 0 THEN 'D'
+                    WHEN o_orderkey % 3 = 0 THEN 'U' ELSE 'I' END AS op,
+               o_orderstatus AS val
+        FROM orders
+        UNION ALL
+        SELECT o_orderkey, o_orderdate + INTERVAL 30 DAY, 1000 + o_orderkey % 100,
+               'U', 'X'
+        FROM orders WHERE o_orderkey % 7 = 0
+        UNION ALL
+        SELECT o_orderkey, o_orderdate + INTERVAL 60 DAY, 2000 + o_orderkey % 100,
+               'D', NULL
+        FROM orders WHERE o_orderkey % 13 = 0
+    ),
+    latest AS (
+        SELECT k, op, val,
+               row_number() OVER (
+                   PARTITION BY k ORDER BY ts DESC, seq DESC) AS rn
+        FROM log
+    ),
+    state AS (
+        SELECT k, val FROM latest WHERE rn = 1 AND op <> 'D'
+    )
+    SELECT coalesce(val, '∅∅') AS val, CAST(count(*) AS BIGINT) AS n_keys,
+           CAST(min(k) AS BIGINT) AS min_key, CAST(max(k) AS BIGINT) AS max_key
+    FROM state GROUP BY coalesce(val, '∅∅') ORDER BY val
+    """,
+    tags=("etl", "cdc", "compaction", "materialize"),
+)
+def q168_cdc_materialize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC log materialization (Debezium-style replay): a change log of
+    Insert/Update/Delete operations per key collapses to current table
+    state — last operation per key wins under a (ts, seq) total order,
+    and a terminal Delete removes the key. The log here is synthesized
+    deterministically from orders (base ops + later updates + later
+    deletes for key slices). This is the log-compaction kernel behind
+    every lakehouse MERGE pipeline; emitted as value-grain counts so
+    the oracle hash-checks the materialized state.
+
+    Scale posture: one shuffle on key; row_number + filter is the
+    max-by idiom that needs no self-join. At 100 TB the same pass runs
+    incrementally: union (previous state AS synthetic 'I' ops at
+    epoch) with the new log slice — associativity of last-wins makes
+    the compaction mergeable.
+    """
+    orders = load_tables(spark, sf_dir)["orders"]
+    base = orders.select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderdate").alias("ts"),
+        (F.col("o_orderkey") % 100).alias("seq"),
+        F.when(F.col("o_orderkey") % 11 == 0, "D")
+        .when(F.col("o_orderkey") % 3 == 0, "U")
+        .otherwise("I")
+        .alias("op"),
+        F.col("o_orderstatus").alias("val"),
+    )
+    updates = orders.filter(F.col("o_orderkey") % 7 == 0).select(
+        F.col("o_orderkey").alias("k"),
+        F.expr("o_orderdate + INTERVAL 30 DAYS").alias("ts"),
+        (1000 + F.col("o_orderkey") % 100).alias("seq"),
+        F.lit("U").alias("op"),
+        F.lit("X").alias("val"),
+    )
+    deletes = orders.filter(F.col("o_orderkey") % 13 == 0).select(
+        F.col("o_orderkey").alias("k"),
+        F.expr("o_orderdate + INTERVAL 60 DAYS").alias("ts"),
+        (2000 + F.col("o_orderkey") % 100).alias("seq"),
+        F.lit("D").alias("op"),
+        F.lit(None).cast("string").alias("val"),
+    )
+    log = base.unionAll(updates).unionAll(deletes)
+    latest = log.withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy("k").orderBy(
+                F.col("ts").desc(), F.col("seq").desc()
+            )
+        ),
+    )
+    state = latest.filter((F.col("rn") == 1) & (F.col("op") != "D"))
+    return (
+        state.groupBy(F.coalesce("val", F.lit("∅∅")).alias("val"))
+        .agg(
+            F.count(F.lit(1)).alias("n_keys"),
+            F.min("k").alias("min_key"),
+            F.max("k").alias("max_key"),
+        )
+        .orderBy("val")
+    )
