@@ -891,3 +891,106 @@ def q158_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("cnt").desc(), "tok")
     )
+
+
+@query(
+    "q175_pmi_collocations",
+    oracle="""
+    WITH words AS (
+        SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ),
+    bigrams AS (
+        SELECT unnest([w[i] || ' ' || w[i+1] for i in range(1, len(w))])
+               AS bg
+        FROM words WHERE len(w) >= 2
+    ),
+    uni AS (
+        SELECT unnest(w) AS tok FROM words
+    ),
+    cxy AS (SELECT bg, count(*) AS c FROM bigrams GROUP BY bg),
+    cx AS (SELECT tok, count(*) AS c FROM uni GROUP BY tok),
+    n AS (SELECT sum(c) AS nb FROM cxy),
+    nu AS (SELECT sum(c) AS nw FROM cx),
+    scored AS (
+        SELECT cxy.bg, cxy.c AS c_xy, a.c AS c_x, b.c AS c_y,
+               round(ln((CAST(cxy.c AS DOUBLE) * nu.nw * nu.nw)
+                        / (CAST(n.nb AS DOUBLE) * a.c * b.c)), 6) AS pmi
+        FROM cxy
+        JOIN cx a ON a.tok = string_split(cxy.bg, ' ')[1]
+        JOIN cx b ON b.tok = string_split(cxy.bg, ' ')[2]
+        CROSS JOIN n CROSS JOIN nu
+        WHERE cxy.c >= 100
+    )
+    SELECT bg, CAST(c_xy AS BIGINT) AS c_xy,
+           CAST(c_x AS BIGINT) AS c_x, CAST(c_y AS BIGINT) AS c_y, pmi
+    FROM scored
+    ORDER BY pmi DESC, bg
+    LIMIT 15
+    """,
+    tags=("text", "pmi", "collocations", "ngram"),
+)
+def q175_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining via pointwise mutual information: adjacent
+    word pairs scoring ln(P(x,y)/(P(x)P(y))) — with P(x,y)=c_xy/N_bg and
+    unigram probabilities over the word stream — surface phrases whose
+    parts co-occur far above chance (the phrase-detection pass used
+    before vocabulary building in LLM pipelines; q135's skip-grams count
+    windows, PMI adds the significance score). Min count 100 guards the
+    low-frequency PMI blowup; top-15 ranked on the ROUNDED score so a
+    1-ulp libm ``ln`` difference can't flip the cut.
+
+    Scale posture: bigram and unigram counts are two partial+final
+    aggregations over exploded token streams; the scoring join hits
+    count tables only (vocab-bounded, broadcast), and top-k plans as
+    TakeOrderedAndProject — no global sort.
+    """
+    docs = load_tables(spark, sf_dir)["documents"]
+    words = docs.select(F.split("text", " ").alias("w")).filter(
+        F.size("w") >= 2
+    )
+    bigrams = words.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("w") - 1),
+                lambda i: F.concat_ws(
+                    " ", F.element_at("w", i), F.element_at("w", i + 1)
+                ),
+            )
+        ).alias("bg")
+    )
+    uni = docs.select(
+        F.explode(F.split("text", " ")).alias("tok")
+    )
+    cxy = bigrams.groupBy("bg").agg(F.count(F.lit(1)).alias("c_xy"))
+    cx = uni.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    n_bg = cxy.agg(F.sum("c_xy").alias("nb"))
+    n_w = cx.agg(F.sum("c").alias("nw"))
+    scored = (
+        cxy.filter(F.col("c_xy") >= 100)
+        .withColumn("x", F.split("bg", " ")[0])
+        .withColumn("y", F.split("bg", " ")[1])
+        .join(
+            F.broadcast(cx.select(F.col("tok").alias("x"), F.col("c").alias("c_x"))),
+            "x",
+        )
+        .join(
+            F.broadcast(cx.select(F.col("tok").alias("y"), F.col("c").alias("c_y"))),
+            "y",
+        )
+        .crossJoin(F.broadcast(n_bg))
+        .crossJoin(F.broadcast(n_w))
+        .select(
+            "bg",
+            "c_xy",
+            "c_x",
+            "c_y",
+            F.round(
+                F.log(
+                    (F.col("c_xy").cast("double") * F.col("nw") * F.col("nw"))
+                    / (F.col("nb").cast("double") * F.col("c_x") * F.col("c_y"))
+                ),
+                6,
+            ).alias("pmi"),
+        )
+    )
+    return scored.orderBy(F.col("pmi").desc(), "bg").limit(15)

@@ -1755,3 +1755,102 @@ def q167_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     register_views(spark, sf_dir)
     return spark.sql(_MI_SQL)
+
+
+@query(
+    "q174_bag_setops",
+    oracle="""
+    WITH a AS (SELECT c_nationkey AS k FROM customer),
+    b AS (SELECT s_nationkey AS k FROM supplier),
+    i AS (SELECT k FROM a INTERSECT ALL SELECT k FROM b),
+    e AS (SELECT k FROM a EXCEPT ALL SELECT k FROM b)
+    SELECT 'intersect_all' AS op, k, CAST(count(*) AS BIGINT) AS n
+    FROM i GROUP BY k
+    UNION ALL
+    SELECT 'except_all' AS op, k, CAST(count(*) AS BIGINT) AS n
+    FROM e GROUP BY k
+    ORDER BY op, k
+    """,
+    tags=("setops", "bag", "multiset"),
+)
+def q174_bag_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bag (multiset) set operations — INTERSECT ALL keeps min(m, n)
+    copies per value, EXCEPT ALL keeps max(m−n, 0) — over the customer
+    and supplier nation-key multiplicity profiles. q08 covers the SET
+    forms; the ALL forms are different operators with different plans:
+    Spark rewrites them to a count-compare aggregation (generate rows
+    via replication), not a distinct-based join. Emitted as value-grain
+    counts.
+
+    Scale posture: both rewrite to one shuffle on the value with
+    partial counts per side — no row replication actually materializes
+    until the generate step, and the output grain is bounded by
+    distinct values.
+    """
+    t = load_tables(spark, sf_dir)
+    a = t["customer"].select(F.col("c_nationkey").alias("k"))
+    b = t["supplier"].select(F.col("s_nationkey").alias("k"))
+    inter = (
+        a.intersectAll(b)
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.lit("intersect_all").alias("op"), "k", "n")
+    )
+    exc = (
+        a.exceptAll(b)
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.lit("except_all").alias("op"), "k", "n")
+    )
+    return inter.unionAll(exc).orderBy("op", "k")
+
+
+# Shared engine/oracle SQL: three-way NOT IN / NOT EXISTS null semantics.
+_NOT_IN_SQL = """
+WITH sub_null AS (
+    SELECT s_nationkey AS k FROM supplier
+    UNION ALL SELECT CAST(NULL AS BIGINT)
+),
+sub AS (SELECT s_nationkey AS k FROM supplier),
+a AS (
+    SELECT count(*) AS n FROM customer
+    WHERE c_nationkey NOT IN (SELECT k FROM sub_null)
+),
+b AS (
+    SELECT count(*) AS n FROM customer
+    WHERE c_nationkey NOT IN (SELECT k FROM sub)
+),
+c AS (
+    SELECT count(*) AS n FROM customer cu
+    WHERE NOT EXISTS (SELECT 1 FROM sub_null s WHERE s.k = cu.c_nationkey)
+)
+SELECT 'not_in_with_null' AS variant, CAST(a.n AS BIGINT) AS n_rows FROM a
+UNION ALL
+SELECT 'not_in_clean', CAST(b.n AS BIGINT) FROM b
+UNION ALL
+SELECT 'not_exists_with_null', CAST(c.n AS BIGINT) FROM c
+ORDER BY variant
+"""
+
+
+@query(
+    "q176_not_in_null_semantics",
+    oracle=_NOT_IN_SQL,
+    tags=("join", "anti", "nulls", "null-aware"),
+)
+def q176_not_in_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT IN versus NOT EXISTS under NULLs — the classic three-valued-
+    logic trap, run as the same SQL text on both engines: a single NULL
+    in the NOT IN subquery makes the predicate UNKNOWN for every row
+    (zero results), while NOT EXISTS ignores the NULL and returns the
+    true complement. Spark plans the NOT IN form as a null-aware anti
+    join (BroadcastNestedLoopJoin when the build side may hold NULLs) —
+    a genuinely different operator from the hash left-anti of q23.
+
+    Scale posture: the null-aware anti join is broadcast-nested-loop in
+    the general case — this operator exists to make that cost visible.
+    The fix at scale is the NOT EXISTS / left-anti form, shown side by
+    side; pre-filtering NULLs from the subquery restores the hash plan.
+    """
+    register_views(spark, sf_dir)
+    return spark.sql(_NOT_IN_SQL)

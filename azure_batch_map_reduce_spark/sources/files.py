@@ -366,3 +366,63 @@ def _register_schema_evolution() -> None:
 
 
 _register_schema_evolution()
+
+
+def _register_partition_pruning() -> None:
+    from pyspark.sql import functions as F
+
+    from azure_batch_map_reduce_spark.catalog import load_tables
+    from azure_batch_map_reduce_spark.registry import query
+
+    @query(
+        "q173_partitioned_sink_pruning",
+        oracle="""
+        SELECT o_orderstatus,
+               CAST(count(*) AS BIGINT) AS n,
+               round(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                     / 100.0, 2) AS total
+        FROM orders
+        WHERE year(o_orderdate) = 1997
+        GROUP BY o_orderstatus
+        ORDER BY o_orderstatus
+        """,
+        tags=("source", "partitioning", "pruning", "layout"),
+    )
+    def q173_partitioned_sink_pruning(spark, sf_dir):
+        """Hive-style partitioned sink + partition-pruned scan: orders
+        are written ``partitionBy(order_year)`` (the layout that turns
+        a year predicate into directory pruning instead of data
+        reading), then re-read with ``order_year = 1997`` — the scan's
+        PartitionFilters prune every other year's files without
+        opening them. The aggregate is hash-checked against the oracle
+        running the same predicate on the raw table, proving pruning
+        loses no rows. Money in integer cents.
+
+        Scale posture: this layout is THE lever for time-ranged
+        queries at 100 TB — cost scales with the hit partitions, not
+        the table. Partition count stays bounded (years, not days) so
+        small-file pressure is controlled; combine with q118's
+        compaction inside each partition. Plan-shape is asserted in
+        tests/test_plans.py (PartitionFilters, not PushedFilters).
+        """
+        d = _roundtrip_dir("partpruned")
+        orders = load_tables(spark, sf_dir)["orders"]
+        orders.withColumn(
+            "order_year", F.year("o_orderdate")
+        ).write.mode("overwrite").partitionBy("order_year").parquet(d)
+        pruned = spark.read.parquet(d).filter(F.col("order_year") == 1997)
+        return (
+            pruned.groupBy("o_orderstatus")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.round(
+                    F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+                    / 100.0,
+                    2,
+                ).alias("total"),
+            )
+            .orderBy("o_orderstatus")
+        )
+
+
+_register_partition_pruning()

@@ -335,3 +335,61 @@ def q142_stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum("value"), 2).alias("total_value"),
     )
     return run_available_now(agg, "complete")
+
+
+def windowed_distinct_users(events: DataFrame) -> DataFrame:
+    """Exact distinct users per (6h tumbling window, event_type) as a
+    two-stage stateful pipeline: streaming dropDuplicates scoped to the
+    window key, then a windowed count — the chained-stateful-operator
+    form (Spark 3.4+) of windowed COUNT(DISTINCT), which streaming
+    aggregation cannot express directly. Runs identically in batch
+    (dedup is a plain distinct there)."""
+    return (
+        events.select(
+            F.window("ts", "6 hours").alias("w"), "event_type", "user_id"
+        )
+        .dropDuplicates(["w", "event_type", "user_id"])
+        .groupBy("w", "event_type")
+        .agg(F.count(F.lit(1)).alias("distinct_users"))
+        .select(
+            F.col("w.start").alias("w_start"),
+            "event_type",
+            "distinct_users",
+        )
+    )
+
+
+@query(
+    "q172_stream_windowed_distinct",
+    oracle="""
+    WITH d AS (
+        SELECT DISTINCT
+               make_timestamp(
+                   (epoch_us(date_trunc('microseconds', ts)) // 21600000000)
+                   * 21600000000) AS w_start,
+               event_type, user_id
+        FROM events
+    )
+    SELECT w_start, event_type, CAST(count(*) AS BIGINT) AS distinct_users
+    FROM d GROUP BY w_start, event_type
+    ORDER BY w_start, event_type
+    """,
+    tags=("streaming", "window", "distinct", "stateful"),
+)
+def q172_stream_windowed_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed COUNT(DISTINCT) with batch/stream parity: the same
+    :func:`windowed_distinct_users` transformation runs here in batch
+    (hash-checked against the oracle's epoch-aligned 6h buckets —
+    Spark's ``window()`` aligns to the epoch, so integer µs floor
+    arithmetic reproduces its boundaries exactly) and as a REAL stream
+    in tests/test_streaming.py via availableNow. Streaming distinct
+    needs the chained form — dedup state keyed by (window, type, user),
+    then an ordinary windowed count; a watermark bounds both states.
+
+    Scale posture: dedup and count shuffle on the same (window, type)
+    prefix; state per key is one bit (seen) + one counter. This exact
+    form trades state size for exactness — the sketch alternative is
+    q156's mergeable HLL registers as window state.
+    """
+    events = load_tables(spark, sf_dir)["events"]
+    return windowed_distinct_users(events).orderBy("w_start", "event_type")

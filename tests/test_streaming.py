@@ -175,3 +175,16 @@ def test_rate_source_produces_rows(spark):
         assert set(out.columns) == {"timestamp", "value"}
     finally:
         q.stop()
+
+
+def test_stream_windowed_distinct_equals_batch(spark, sf_dir, events_dir):
+    from azure_batch_map_reduce_spark.streaming.windows import (
+        windowed_distinct_users,
+    )
+
+    ev = _events_stream(spark, sf_dir, events_dir).withWatermark("ts", "1 day")
+    stream_out = _run_to_table(spark, windowed_distinct_users(ev), "complete")
+    batch_out = windowed_distinct_users(
+        load_tables(spark, sf_dir)["events"]
+    ).toPandas()
+    pd.testing.assert_frame_equal(_sorted(stream_out), _sorted(batch_out))
