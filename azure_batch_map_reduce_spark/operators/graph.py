@@ -26,7 +26,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from azure_batch_map_reduce_spark.catalog import load_tables
+from azure_batch_map_reduce_spark.catalog import load_tables, register_views
 from azure_batch_map_reduce_spark.registry import query
 
 DAMPING = 0.85
@@ -287,3 +287,66 @@ def q114_recursive_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_views(spark, sf_dir)
     return spark.sql(_REACH_SQL)
+
+
+_SP_MAX_HOPS = 4
+
+# Shared engine/oracle SQL (Spark 4.1 WITH RECURSIVE, like q114): edge
+# weights are deterministic small integers, costs stay exact BIGINTs.
+_SHORTEST_SQL = f"""
+WITH RECURSIVE wedges AS (
+    SELECT DISTINCT c.c_nationkey AS src, s.s_nationkey AS dst,
+           1 + (c.c_nationkey + s.s_nationkey) % 3 AS w
+    FROM lineitem l
+    JOIN orders o   ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey  = c.c_custkey
+    JOIN supplier s ON l.l_suppkey  = s.s_suppkey
+    WHERE c.c_nationkey <> s.s_nationkey
+),
+paths AS (
+    SELECT CAST(0 AS BIGINT) AS node, CAST(0 AS BIGINT) AS cost,
+           CAST(0 AS INTEGER) AS hop
+    UNION ALL
+    SELECT CAST(e.dst AS BIGINT), p.cost + e.w,
+           CAST(p.hop + 1 AS INTEGER)
+    FROM paths p JOIN wedges e ON e.src = p.node
+    WHERE p.hop < {_SP_MAX_HOPS}
+),
+best AS (
+    SELECT node, min(cost) AS min_cost FROM paths GROUP BY node
+)
+SELECT n.n_name AS nation,
+       CAST(b.min_cost AS BIGINT) AS min_cost,
+       CAST(min(p.hop) AS INTEGER) AS hops
+FROM best b
+JOIN paths p ON p.node = b.node AND p.cost = b.min_cost
+JOIN nation n ON n.n_nationkey = b.node
+GROUP BY n.n_name, b.min_cost
+ORDER BY nation
+"""
+
+
+@query(
+    "q177_shortest_paths",
+    oracle=_SHORTEST_SQL,
+    tags=("graph", "shortest-path", "recursive", "weighted"),
+)
+def q177_shortest_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted single-source shortest paths over the nation trade
+    graph via WITH RECURSIVE (identical SQL text on both engines —
+    Spark 4.1 parses recursive CTEs natively): walks of ≤4 hops fan out
+    from nation 0 carrying exact integer path costs (edge weight
+    1 + (src+dst) mod 3, so the cheapest path is NOT the fewest-hop
+    path — this is Bellman-Ford by unrolling, not BFS like q114), and
+    the closing aggregation keeps the cheapest cost per nation plus
+    the fewest hops achieving it.
+
+    Scale posture: the recursion runs at NATION grain — the distinct
+    edge list collapses the lineitem-volume join first, so each
+    iteration joins a ≤25-node frontier against ≤600 edges no matter
+    the fact-table size. Depth-bounding the walk caps the blow-up of
+    the UNION ALL frontier; at larger diameters you'd switch to the
+    iterate-until-fixpoint DataFrame loop with a convergence check.
+    """
+    register_views(spark, sf_dir)
+    return spark.sql(_SHORTEST_SQL)

@@ -1441,3 +1441,195 @@ def q165_window_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("reached")
     )
+
+
+@query(
+    "q178_theil_sen",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type,
+               date_diff('day', DATE '1970-01-01', date_trunc('day', ts))
+                   AS x,
+               count(*) AS y
+        FROM events GROUP BY event_type, date_trunc('day', ts)
+    ),
+    slopes AS (
+        SELECT a.event_type,
+               CAST(b.y - a.y AS DOUBLE) / (b.x - a.x) AS s
+        FROM daily a JOIN daily b
+          ON a.event_type = b.event_type AND a.x < b.x
+    ),
+    ranked AS (
+        SELECT event_type, s,
+               row_number() OVER (
+                   PARTITION BY event_type ORDER BY s) AS rn,
+               count(*) OVER (PARTITION BY event_type) AS m
+        FROM slopes
+    ),
+    med AS (
+        SELECT event_type, avg(s) AS slope, max(m) AS n_pairs
+        FROM ranked
+        WHERE rn IN ((m + 1) // 2, (m + 2) // 2)
+        GROUP BY event_type
+    ),
+    resid AS (
+        SELECT d.event_type, d.y - m.slope * d.x AS r,
+               row_number() OVER (
+                   PARTITION BY d.event_type
+                   ORDER BY d.y - m.slope * d.x) AS rn,
+               count(*) OVER (PARTITION BY d.event_type) AS k
+        FROM daily d JOIN med m ON d.event_type = m.event_type
+    )
+    SELECT r.event_type,
+           CAST(max(r.k) AS BIGINT) AS n_days,
+           CAST(max(m.n_pairs) AS BIGINT) AS n_pairs,
+           round(max(m.slope), 6) AS slope,
+           round(avg(r.r), 4) AS intercept
+    FROM resid r JOIN med m ON r.event_type = m.event_type
+    WHERE r.rn IN ((r.k + 1) // 2, (r.k + 2) // 2)
+    GROUP BY r.event_type
+    ORDER BY r.event_type
+    """,
+    tags=("window", "regression", "robust", "theil-sen"),
+)
+def q178_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen robust trend estimation on daily event volume: the
+    slope is the MEDIAN of all pairwise day-to-day slopes and the
+    intercept the median residual — the estimator that shrugs off the
+    outlier days that wreck q138's least-squares fit (up to ~29%
+    contamination). Every slope is one exact-integer-difference
+    division; medians select by integer rank (avg of the middle one or
+    two), so the only float steps are deterministic per-pair divisions
+    and a final add-and-halve.
+
+    Scale posture: the pairwise blow-up is per GROUP over day-grain
+    data — bounded by days², not events² (the full stream reduces to
+    type×day first). For long series the same operator runs on a
+    repeated random pair-sample; the median machinery is unchanged.
+    """
+    events = load_tables(spark, sf_dir)["events"]
+    daily = events.groupBy(
+        "event_type",
+        F.datediff(F.date_trunc("day", "ts"), F.lit("1970-01-01")).alias("x"),
+    ).agg(F.count(F.lit(1)).alias("y"))
+    a, b = daily.alias("a"), daily.alias("b")
+    slopes = a.join(
+        b,
+        (F.col("a.event_type") == F.col("b.event_type"))
+        & (F.col("a.x") < F.col("b.x")),
+    ).select(
+        F.col("a.event_type").alias("event_type"),
+        (
+            (F.col("b.y") - F.col("a.y")).cast("double")
+            / (F.col("b.x") - F.col("a.x"))
+        ).alias("s"),
+    )
+    w_t = Window.partitionBy("event_type")
+    ranked = slopes.select(
+        "event_type",
+        "s",
+        F.row_number().over(w_t.orderBy("s")).alias("rn"),
+        F.count(F.lit(1)).over(w_t).alias("m"),
+    )
+    med = (
+        ranked.filter(
+            (F.col("rn") == F.expr("(m + 1) div 2"))
+            | (F.col("rn") == F.expr("(m + 2) div 2"))
+        )
+        .groupBy("event_type")
+        .agg(F.avg("s").alias("slope"), F.max("m").alias("n_pairs"))
+    )
+    resid = daily.join(F.broadcast(med), "event_type").select(
+        "event_type",
+        "n_pairs",
+        "slope",
+        (F.col("y") - F.col("slope") * F.col("x")).alias("r"),
+    )
+    ranked_r = resid.select(
+        "event_type",
+        "n_pairs",
+        "slope",
+        "r",
+        F.row_number().over(w_t.orderBy("r")).alias("rn"),
+        F.count(F.lit(1)).over(w_t).alias("k"),
+    )
+    return (
+        ranked_r.filter(
+            (F.col("rn") == F.expr("(k + 1) div 2"))
+            | (F.col("rn") == F.expr("(k + 2) div 2"))
+        )
+        .groupBy("event_type")
+        .agg(
+            F.max("k").cast("long").alias("n_days"),
+            F.max("n_pairs").cast("long").alias("n_pairs"),
+            F.round(F.max("slope"), 6).alias("slope"),
+            F.round(F.avg("r"), 4).alias("intercept"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@query(
+    "q179_burstiness",
+    oracle="""
+    WITH ordered AS (
+        SELECT user_id,
+               epoch_us(date_trunc('microseconds', ts))
+                 - lag(epoch_us(date_trunc('microseconds', ts))) OVER (
+                       PARTITION BY user_id
+                       ORDER BY date_trunc('microseconds', ts), event_id)
+                 AS gap_us
+        FROM events
+    ),
+    stats AS (
+        SELECT user_id, count(gap_us) AS n_gaps,
+               CAST(sum(gap_us) AS DOUBLE) / count(gap_us) AS mu,
+               stddev_samp(CAST(gap_us AS DOUBLE)) AS sd
+        FROM ordered WHERE gap_us IS NOT NULL
+        GROUP BY user_id HAVING count(gap_us) >= 10
+    )
+    SELECT user_id, CAST(n_gaps AS BIGINT) AS n_gaps,
+           round(mu / 60000000, 4) AS mean_gap_mins,
+           round((sd - mu) / (sd + mu), 6) AS burstiness
+    FROM stats ORDER BY user_id
+    """,
+    tags=("window", "timeseries", "burstiness", "interarrival"),
+)
+def q179_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-arrival burstiness per user: B = (σ−μ)/(σ+μ) over the gaps
+    between consecutive events — B≈−1 is a metronome, B≈0 Poisson, B→1
+    heavy bursts. The temporal-regularity feature used for bot
+    detection and traffic modeling. Gaps are exact integer
+    microseconds from a (ts, event_id) total order; μ is an exact-sum
+    division, and σ's float accumulation is absorbed by rounding.
+
+    Scale posture: one shuffle on user_id shared by the lag window and
+    the aggregation; users below 10 gaps are dropped after the agg
+    (HAVING), not with a second pass.
+    """
+    events = load_tables(spark, sf_dir)["events"]
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ordered = events.select(
+        "user_id",
+        (
+            F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w)
+        ).alias("gap_us"),
+    )
+    stats = (
+        ordered.filter(F.col("gap_us").isNotNull())
+        .groupBy("user_id")
+        .agg(
+            F.count("gap_us").alias("n_gaps"),
+            (F.sum("gap_us").cast("double") / F.count("gap_us")).alias("mu"),
+            F.stddev_samp(F.col("gap_us").cast("double")).alias("sd"),
+        )
+        .filter(F.col("n_gaps") >= 10)
+    )
+    return stats.select(
+        "user_id",
+        F.col("n_gaps").cast("long"),
+        F.round(F.col("mu") / 60000000, 4).alias("mean_gap_mins"),
+        F.round(
+            (F.col("sd") - F.col("mu")) / (F.col("sd") + F.col("mu")), 6
+        ).alias("burstiness"),
+    ).orderBy("user_id")
