@@ -690,8 +690,10 @@ def q166_point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir)
     versions = (
         t["supplier"]
-        .select("s_suppkey")
-        .crossJoin(spark.range(1, 4).withColumnRenamed("id", "vno"))
+        .select(
+            "s_suppkey",
+            F.explode(F.array(F.lit(1), F.lit(2), F.lit(3))).alias("vno"),
+        )
         .select(
             F.col("s_suppkey").alias("k"),
             F.expr(

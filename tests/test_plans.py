@@ -305,3 +305,68 @@ def test_lateral_topk_decorrelates_to_window_group_limit(spark, sf_dir):
     assert "WindowGroupLimit" in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_prefix_simjoin_has_no_cartesian(spark, sf_dir):
+    # q150's whole point: candidates come from an EQUI join on prefix
+    # tokens, never a cartesian/nested-loop pair enumeration.
+    df = REGISTRY["q150_prefix_filter_simjoin"].fn(spark, sf_dir)
+    plan = plan_of(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_pareto_broadcasts_both_dims(spark, sf_dir):
+    # q153: supplier and nation must broadcast into the lineitem scan
+    # side — a shuffle join on the fact table here is the 100 TB bug.
+    df = REGISTRY["q153_pareto_coverage"].fn(spark, sf_dir)
+    plan = plan_of(df)
+    assert plan.count("BroadcastHashJoin") >= 2
+
+
+def test_interval_sweep_is_single_shuffle_no_join(spark, sf_dir):
+    # q155 replaces the O(n^2) overlap join with a sweep: the plan may
+    # join the tiny per-supplier peak table back, but must never form
+    # interval PAIRS via nested-loop or cartesian products.
+    df = REGISTRY["q155_interval_concurrency"].fn(spark, sf_dir)
+    plan = plan_of(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_heavy_hitters_exact_pass_is_semi_filtered(spark, sf_dir):
+    # q158: the exact count must be restricted to sketch candidates via
+    # a broadcast semi join — counting the full token stream unfiltered
+    # would defeat the sketch.
+    df = REGISTRY["q158_heavy_hitters"].fn(spark, sf_dir)
+    plan = plan_of(df)
+    assert "LeftSemi" in plan
+
+
+def test_partitioned_sink_scan_prunes_partitions(spark, sf_dir):
+    # q173: the year predicate must land in PartitionFilters (directory
+    # pruning), not survive as a post-scan filter on data rows.
+    df = REGISTRY["q173_partitioned_sink_pruning"].fn(spark, sf_dir)
+    explained = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    pf = [l for l in explained.splitlines() if "PartitionFilters" in l]
+    assert pf and "order_year" in pf[0]
+
+
+def test_pit_join_is_one_window_no_range_join(spark, sf_dir):
+    # q166: the PIT lookup must be the union+carry-forward window — a
+    # range/theta join between facts and versions would be quadratic in
+    # version overlap.
+    df = REGISTRY["q166_point_in_time_join"].fn(spark, sf_dir)
+    plan = plan_of(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("Window") >= 1
+
+
+def test_knn_broadcasts_query_side(spark, sf_dir):
+    # q169: the small query set must broadcast against the train side.
+    df = REGISTRY["q169_knn_classify"].fn(spark, sf_dir)
+    plan = plan_of(df)
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
