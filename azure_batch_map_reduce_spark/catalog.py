@@ -55,23 +55,46 @@ def align_session_for_oracle(spark: SparkSession) -> None:
         spark.conf.set("spark.sql.session.timeZone", "UTC")
     except Exception:
         pass
+    try:
+        # Parquet µs timestamps with isAdjustedToUTC=false would otherwise
+        # infer as TIMESTAMP_NTZ, which unix_micros/window functions reject
+        # and which diverges from DuckDB's naive-UTC read. Read them as
+        # plain TimestampType (UTC instants) instead.
+        spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+    except Exception:
+        pass
     ensure_nanos_readable(spark)
+
+
+def normalize_event_ts(df: DataFrame, col: str = "ts") -> DataFrame:
+    """Normalize the events timestamp to µs ``TimestampType`` (UTC
+    instant) whatever physical shape the fixture generation produced:
+
+    - ns-precision INT64 (+ ``nanosAsLong``) reads as LongType nanos →
+      integer-divide to µs (float division would round-to-nearest and
+      drift ±1µs off DuckDB's truncation);
+    - µs with ``isAdjustedToUTC=false`` may infer as TIMESTAMP_NTZ under
+      caller-owned sessions that captured the inference conf before we
+      could flip it — the stored wall-clock IS the UTC instant, so
+      ``to_utc_timestamp(ts, 'UTC')`` relabels it without shifting
+      (a bare cast would re-interpret in session-local time).
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType, TimestampNTZType
+
+    dt = df.schema[col].dataType
+    if isinstance(dt, LongType):
+        df = df.withColumn(col, F.expr(f"timestamp_micros({col} div 1000)"))
+    elif isinstance(dt, TimestampNTZType):
+        df = df.withColumn(col, F.expr(f"to_utc_timestamp({col}, 'UTC')"))
+    return df
 
 
 def _load_one(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     align_session_for_oracle(spark)
     df = spark.read.parquet(table_path(sf_dir, name))
     if name == "events":
-        # ts is ns-precision INT64 in parquet; with nanosAsLong it reads
-        # as LongType nanos. Truncate to µs TimestampType — identical to
-        # what DuckDB's parquet reader does, keeping oracle hash parity.
-        from pyspark.sql import functions as F
-        from pyspark.sql.types import LongType
-
-        if isinstance(df.schema["ts"].dataType, LongType):
-            # Integer division — float division here would round-to-nearest
-            # and drift ±1µs off DuckDB's truncation.
-            df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        df = normalize_event_ts(df)
     return df
 
 

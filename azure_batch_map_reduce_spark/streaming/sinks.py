@@ -72,7 +72,10 @@ def q122_streaming_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     import glob
     import os
 
-    from azure_batch_map_reduce_spark.catalog import align_session_for_oracle
+    from azure_batch_map_reduce_spark.catalog import (
+        align_session_for_oracle,
+        normalize_event_ts,
+    )
 
     align_session_for_oracle(spark)  # caller-owned sessions may be non-UTC
     d = tempfile.mkdtemp(prefix="abmr-stream-upsert-")
@@ -88,8 +91,7 @@ def q122_streaming_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("maxFilesPerTrigger", 1)
         .parquet(src)
     )
-    if dict(stream.dtypes)["ts"] == "bigint":  # ns-as-long (see catalog.py)
-        stream = stream.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    stream = normalize_event_ts(stream)
 
     def merge_batch(batch: DataFrame, batch_id: int) -> None:
         incoming = latest_per_user(batch)

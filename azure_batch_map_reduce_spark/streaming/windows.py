@@ -21,6 +21,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from azure_batch_map_reduce_spark.catalog import (
     align_session_for_oracle,
     load_tables,
+    normalize_event_ts,
     table_path,
 )
 from azure_batch_map_reduce_spark.registry import query
@@ -39,9 +40,7 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("pathGlobFilter", "events.parquet")
         .load(sf_dir)
     )
-    if dict(stream.dtypes)["ts"] == "bigint":  # ns-as-long (see catalog.py)
-        stream = stream.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
-    return stream
+    return normalize_event_ts(stream)
 
 
 def run_available_now(df: DataFrame, output_mode: str = "append") -> DataFrame:

@@ -14,7 +14,12 @@ import pytest
 
 from pyspark.sql import functions as F
 
-from azure_batch_map_reduce_spark.catalog import load_tables, table_path
+from azure_batch_map_reduce_spark.catalog import (
+    align_session_for_oracle,
+    load_tables,
+    normalize_event_ts,
+    table_path,
+)
 from azure_batch_map_reduce_spark.streaming.windows import (
     session_aggregate,
     sliding_counts,
@@ -23,10 +28,11 @@ from azure_batch_map_reduce_spark.streaming.windows import (
 
 
 def _events_stream(spark, sf_dir, src_dir):
-    """File-source stream over a copy of events.parquet (ns ts → µs)."""
+    """File-source stream over a copy of events.parquet (ts → µs UTC)."""
+    align_session_for_oracle(spark)
     raw_schema = spark.read.parquet(src_dir).schema
     sdf = spark.readStream.schema(raw_schema).parquet(src_dir)
-    return sdf.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return normalize_event_ts(sdf)
 
 
 @pytest.fixture()
