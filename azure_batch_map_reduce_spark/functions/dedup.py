@@ -960,3 +960,67 @@ def q150_prefix_filter_simjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_common",
         F.round("jacc_raw", 6).alias("jaccard"),
     ).orderBy("doc_i", "doc_j")
+
+
+@query(
+    "q181_golden_record",
+    oracle="""
+    WITH ranked AS (
+        SELECT doc_id, source, lang, n_chars,
+               sha256(text) AS dup_key,
+               row_number() OVER (
+                   PARTITION BY sha256(text)
+                   ORDER BY n_chars DESC, doc_id ASC
+               ) AS rn,
+               count(*) OVER (PARTITION BY sha256(text)) AS grp_n
+        FROM documents
+    )
+    SELECT dup_key,
+           CAST(max(CASE WHEN rn = 1 THEN doc_id END) AS BIGINT) AS survivor_doc_id,
+           max(CASE WHEN rn = 1 THEN source END)                 AS survivor_source,
+           CAST(count(*) AS BIGINT)                              AS n_members,
+           CAST(count(DISTINCT source) AS BIGINT)                AS n_sources,
+           CAST(sum(n_chars) AS BIGINT)                          AS total_chars
+    FROM ranked
+    WHERE grp_n > 1
+    GROUP BY dup_key
+    ORDER BY n_members DESC, dup_key
+    """,
+    tags=("dedup", "survivorship", "golden-record"),
+)
+def q181_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Survivorship / golden-record consolidation: duplicate documents
+    (exact content key) collapse to ONE canonical survivor chosen by a
+    deterministic rule — longest content wins, ties to the lowest
+    ``doc_id`` — while the group's lineage (member count, distinct
+    sources, total bytes) is preserved. This is the record-consolidation
+    step a curation pipeline runs after candidate duplicate detection,
+    distinct from plain dedup: it *merges* metadata instead of merely
+    discarding rows.
+
+    Scale posture: one shuffle keyed by the 32-byte content hash
+    (window + aggregation share the same partitioning, so Catalyst
+    reuses a single Exchange); per-group work is O(group size). Skewed
+    mega-groups (a boilerplate page duplicated millions of times) are
+    the known hazard at 100 TB — cap group fan-in upstream with a
+    per-key limit, or pre-aggregate per (key, salt)."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    w = Window.partitionBy("dup_key").orderBy(
+        F.desc("n_chars"), F.asc("doc_id")
+    )
+    ranked = docs.select(
+        "doc_id", "source", "lang", "n_chars",
+        F.sha2("text", 256).alias("dup_key"),
+    ).withColumn("rn", F.row_number().over(w))
+    return (
+        ranked.groupBy("dup_key")
+        .agg(
+            F.max(F.when(F.col("rn") == 1, F.col("doc_id"))).alias("survivor_doc_id"),
+            F.max(F.when(F.col("rn") == 1, F.col("source"))).alias("survivor_source"),
+            F.count(F.lit(1)).alias("n_members"),
+            F.countDistinct("source").alias("n_sources"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+        .where(F.col("n_members") > 1)
+        .orderBy(F.desc("n_members"), F.asc("dup_key"))
+    )

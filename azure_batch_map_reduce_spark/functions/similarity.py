@@ -720,3 +720,83 @@ def q169_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("true_label")
     )
+
+
+@query(
+    "q183_label_embedding_pool",
+    oracle="""
+    WITH dims AS (SELECT unnest(generate_series(1, 64)) AS dim),
+    per_dim AS (
+        SELECT label, d.dim AS dim,
+               round(avg(CAST(embedding[d.dim] AS DOUBLE)), 6) AS avg_val,
+               count(*) AS n
+        FROM embeddings CROSS JOIN dims d
+        GROUP BY label, d.dim
+    ),
+    ranked AS (
+        SELECT label, dim, avg_val, n,
+               row_number() OVER (
+                   PARTITION BY label ORDER BY avg_val DESC, dim ASC
+               ) AS rn
+        FROM per_dim
+    )
+    SELECT label,
+           CAST(max(n) AS BIGINT)                            AS n_vecs,
+           round(sqrt(sum(avg_val * avg_val)), 6)            AS pooled_norm,
+           CAST(max(CASE WHEN rn = 1 THEN dim END) AS INTEGER) AS top_dim,
+           max(CASE WHEN rn = 1 THEN avg_val END)            AS top_val
+    FROM ranked
+    GROUP BY label
+    ORDER BY label
+    """,
+    tags=("embedding", "pooling", "higher-order", "ml"),
+)
+def q183_label_embedding_pool(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label mean-pooled embedding profile: dimension-wise average
+    vector per label, reported as the pooled vector's L2 norm plus its
+    strongest dimension (argmax, ties to the lowest dim) — the class
+    -centroid summary a curriculum/mixture designer reads before
+    weighting sources.
+
+    Determinism: per-dimension averages are rounded to 1e-6 BEFORE any
+    ranking or norm computation, so the argmax and the norm are
+    computed from identical exact values on both engines regardless of
+    float accumulation order.
+
+    Scale posture: ``posexplode`` widens the shuffle 64× but each row
+    is (label, dim, float) — 16-ish bytes — and map-side combine
+    collapses it to |labels|×64 groups before the exchange, so the
+    shuffle payload is the AGGREGATE state, not the corpus. At larger
+    dims swap the explode for an Arrow ``applyInPandas`` per-label
+    vector sum (one pass, no widening); at fixture scale the explode
+    plan is strictly simpler and equally cheap."""
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    per_dim = (
+        emb.select("label", F.posexplode("embedding").alias("pos", "val"))
+        .select(
+            "label",
+            (F.col("pos") + 1).alias("dim"),
+            F.col("val").cast("double").alias("val"),
+        )
+        .groupBy("label", "dim")
+        .agg(
+            F.round(F.avg("val"), 6).alias("avg_val"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+    w = Window.partitionBy("label").orderBy(F.desc("avg_val"), F.asc("dim"))
+    ranked = per_dim.withColumn("rn", F.row_number().over(w))
+    return (
+        ranked.groupBy("label")
+        .agg(
+            F.max("n").alias("n_vecs"),
+            F.round(F.sqrt(F.sum(F.col("avg_val") * F.col("avg_val"))), 6).alias(
+                "pooled_norm"
+            ),
+            F.max(F.when(F.col("rn") == 1, F.col("dim")))
+            .cast("int")
+            .alias("top_dim"),
+            F.max(F.when(F.col("rn") == 1, F.col("avg_val"))).alias("top_val"),
+        )
+        .orderBy("label")
+    )

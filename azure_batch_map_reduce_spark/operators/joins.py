@@ -580,3 +580,52 @@ def q144_null_safe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.asc_nulls_first("nat"))
     )
+
+
+@query(
+    "q180_order_count_distribution",
+    oracle="""
+    WITH per_cust AS (
+        SELECT c_custkey, count(o_orderkey) AS c_count
+        FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        GROUP BY c_custkey
+    )
+    SELECT CAST(c_count AS BIGINT) AS c_count,
+           CAST(count(*) AS BIGINT) AS custdist
+    FROM per_cust
+    GROUP BY c_count
+    ORDER BY custdist DESC, c_count DESC
+    """,
+    tags=("join", "outer", "distribution", "tpch-q13"),
+)
+def q180_order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer order-count distribution (the TPC-H Q13 shape): how many
+    customers placed exactly N orders, INCLUDING the zero-order
+    customers an inner join would silently drop — the left-outer +
+    count(non-null) idiom.
+
+    Scale posture: orders is aggregated to customer grain BEFORE the
+    join (aggregate-below-join), so the shuffle carries one row per
+    ordering customer instead of one per order, and map-side combine
+    does most of that. The second aggregation's key space is tiny
+    (max orders per customer), so the final distribution is a
+    near-free rollup. The reference would express this as a per-file
+    count map (``Program.cs:332-349``) plus a consolidating reduce
+    (``Program.cs:351-384``); here both stages are one declarative
+    statement Catalyst pipelines."""
+    t = load_tables(spark, sf_dir)
+    per_cust_orders = (
+        t["orders"]
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+    per_cust = (
+        t["customer"]
+        .join(per_cust_orders, F.col("c_custkey") == F.col("o_custkey"), "left")
+        .select(F.coalesce(F.col("n_orders"), F.lit(0)).alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )

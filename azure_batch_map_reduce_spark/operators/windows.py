@@ -1633,3 +1633,101 @@ def q179_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("sd") - F.col("mu")) / (F.col("sd") + F.col("mu")), 6
         ).alias("burstiness"),
     ).orderBy("user_id")
+
+
+@query(
+    "q182_rolling_corr",
+    oracle="""
+    WITH base AS (
+        SELECT user_id, event_id,
+               date_diff('second', TIMESTAMP '2024-01-01', ts) AS x,
+               CAST(floor(value * 1000) AS BIGINT)             AS y
+        FROM events
+    ),
+    sums AS (
+        SELECT user_id, event_id,
+               count(*)   OVER w AS n,
+               sum(x)     OVER w AS sx,
+               sum(y)     OVER w AS sy,
+               sum(x * x) OVER w AS sxx,
+               sum(y * y) OVER w AS syy,
+               sum(x * y) OVER w AS sxy
+        FROM base
+        WINDOW w AS (PARTITION BY user_id ORDER BY x, event_id
+                     ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+    )
+    SELECT user_id, event_id,
+           round(
+               CAST(n * sxy - sx * sy AS DOUBLE)
+               / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                      * CAST(n * syy - sy * sy AS DOUBLE)),
+               4
+           ) AS corr20
+    FROM sums
+    WHERE n = 20
+      AND n * sxx - sx * sx > 0
+      AND n * syy - sy * sy > 0
+    ORDER BY user_id, event_id
+    """,
+    tags=("window", "rolling", "statistics", "correlation"),
+)
+def q182_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 20-event Pearson correlation per user between event time
+    and value — the rolling-correlation signal a monitoring pipeline
+    derives per entity ("is this metric drifting with time?").
+
+    Cross-engine float determinism by construction: both inputs are
+    EXACT integers (seconds since the fixture epoch; value floored to
+    integer milli-units), so every windowed sum is integer arithmetic
+    with no accumulation-order sensitivity — DuckDB's segment-tree
+    window evaluation and Spark's sliding-frame accumulation produce
+    bit-identical sums, and the single double division + sqrt at the
+    end is IEEE-deterministic (see the priority-sampling design note
+    in q112).
+
+    Scale posture: one shuffle on ``user_id``; all six running moments
+    come from ONE window frame (a single sort, no self-join); the
+    per-row state is O(frame) with whole-stage codegen. At 100 TB the
+    same plan holds — rolling moments never materialize the frame."""
+    ev = load_tables(spark, sf_dir)["events"]
+    base = ev.select(
+        "user_id",
+        "event_id",
+        # Integer div — double division could round across a whole-second
+        # boundary and disagree with DuckDB's boundary-crossing count.
+        F.expr(
+            "(unix_micros(ts) - unix_micros(timestamp'2024-01-01 00:00:00'))"
+            " div 1000000"
+        ).alias("x"),
+        F.floor(F.col("value") * 1000).cast("long").alias("y"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.asc("x"), F.asc("event_id"))
+        .rowsBetween(-19, 0)
+    )
+    sums = base.select(
+        "user_id",
+        "event_id",
+        F.count(F.lit(1)).over(w).alias("n"),
+        F.sum("x").over(w).alias("sx"),
+        F.sum("y").over(w).alias("sy"),
+        (F.sum(F.col("x") * F.col("x")).over(w)).alias("sxx"),
+        (F.sum(F.col("y") * F.col("y")).over(w)).alias("syy"),
+        (F.sum(F.col("x") * F.col("y")).over(w)).alias("sxy"),
+    )
+    cov_n = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    var_x = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    var_y = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    return (
+        sums.where((F.col("n") == 20) & (var_x > 0) & (var_y > 0))
+        .select(
+            "user_id",
+            "event_id",
+            F.round(
+                cov_n.cast("double") / F.sqrt(var_x.cast("double") * var_y.cast("double")),
+                4,
+            ).alias("corr20"),
+        )
+        .orderBy("user_id", "event_id")
+    )

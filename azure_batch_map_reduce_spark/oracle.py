@@ -46,7 +46,9 @@ def _normalize(df: pd.DataFrame, float_tol_digits: int = 6) -> pd.DataFrame:
         if isinstance(v, float):
             if math.isnan(v):
                 return "∅"
-            return f"{round(v, float_tol_digits):.{float_tol_digits}f}"
+            # +0.0 collapses IEEE negative zero: -0.0 and 0.0 are equal
+            # values but would otherwise format differently.
+            return f"{round(v, float_tol_digits) + 0.0:.{float_tol_digits}f}"
         if isinstance(v, (pd.Timestamp,)):
             return v.isoformat()
         if isinstance(v, (list, tuple)) or type(v).__name__ == "ndarray":

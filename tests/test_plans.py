@@ -370,3 +370,29 @@ def test_knn_broadcasts_query_side(spark, sf_dir):
     df = REGISTRY["q169_knn_classify"].fn(spark, sf_dir)
     plan = plan_of(df)
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_order_count_distribution_aggregates_below_join(spark, sf_dir):
+    """q180: orders must collapse to customer grain BEFORE the outer
+    join — the join's build input is an Aggregate, not the raw fact."""
+    opt = optimized_of(REGISTRY["q180_order_count_distribution"].fn(spark, sf_dir))
+    join_pos = opt.index("Join")
+    agg_below = opt.index("Aggregate", join_pos)
+    assert agg_below > join_pos  # an Aggregate sits under the join subtree
+
+
+def test_rolling_corr_is_single_data_shuffle(spark, sf_dir):
+    """q182: all six rolling moments share ONE window over one
+    user_id exchange; the only other exchange is the presentation
+    sort's range partitioning."""
+    plan = plan_of(REGISTRY["q182_rolling_corr"].fn(spark, sf_dir))
+    assert plan.count("Window") == 1
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1
+
+
+def test_golden_record_reuses_window_exchange_for_agg(spark, sf_dir):
+    """q181: the survivorship window and the per-key aggregation hash
+    on the same dup_key — Catalyst must not add a second hash
+    exchange for the groupBy."""
+    plan = plan_of(REGISTRY["q181_golden_record"].fn(spark, sf_dir))
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1
