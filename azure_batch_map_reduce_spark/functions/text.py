@@ -994,3 +994,67 @@ def q175_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return scored.orderBy(F.col("pmi").desc(), "bg").limit(15)
+
+
+@query(
+    "q184_zipf_token_slope",
+    oracle="""
+    WITH tok AS (
+        SELECT unnest(string_split(text, ' ')) AS word FROM documents
+    ),
+    freq AS (
+        SELECT word, count(*) AS cnt FROM tok WHERE word <> '' GROUP BY word
+    ),
+    top AS (
+        SELECT cnt, word FROM freq ORDER BY cnt DESC, word ASC LIMIT 1000
+    ),
+    ranked AS (
+        SELECT cnt, row_number() OVER (ORDER BY cnt DESC, word ASC) AS rnk
+        FROM top
+    ),
+    pts AS (
+        SELECT ln(CAST(rnk AS DOUBLE)) AS lx, ln(CAST(cnt AS DOUBLE)) AS ly
+        FROM ranked
+    )
+    SELECT CAST(count(*) AS BIGINT)           AS n_points,
+           round(regr_slope(ly, lx), 4)       AS zipf_slope,
+           round(regr_intercept(ly, lx), 4)   AS zipf_intercept,
+           round(regr_r2(ly, lx), 4)          AS r2
+    FROM pts
+    """,
+    tags=("text", "statistics", "zipf", "regression"),
+)
+def q184_zipf_token_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit over the corpus token-frequency distribution: OLS
+    of ln(frequency) against ln(rank) for the top-1000 tokens. A natural
+    corpus fits slope ≈ −1; synthetic or templated text (or a tokenizer
+    bug) shows up as a flat or kinked slope — a one-row corpus health
+    metric curation pipelines watch per snapshot.
+
+    Scale posture: token counting is explode → partial+final count (the
+    shuffle carries one row per DISTINCT token, not per token
+    occurrence); the top-1000 cut is TakeOrdered (per-partition heaps,
+    no global sort of the vocabulary); the ranking window then runs on
+    exactly 1000 rows, so its single-partition sort is free at any
+    corpus size. ``ln`` feeds only SUMMED regression moments — never a
+    ranking key — so libm ulp differences wash out under round(4)
+    (contrast the float-key traps noted in the verify skill)."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    tok = docs.select(F.explode(F.split("text", " ")).alias("word")).where(
+        F.col("word") != ""
+    )
+    freq = tok.groupBy("word").agg(F.count(F.lit(1)).alias("cnt"))
+    top = freq.orderBy(F.desc("cnt"), F.asc("word")).limit(1000)
+    ranked = top.withColumn(
+        "rnk", F.row_number().over(Window.orderBy(F.desc("cnt"), F.asc("word")))
+    )
+    pts = ranked.select(
+        F.log(F.col("rnk").cast("double")).alias("lx"),
+        F.log(F.col("cnt").cast("double")).alias("ly"),
+    )
+    return pts.agg(
+        F.count(F.lit(1)).alias("n_points"),
+        F.round(F.regr_slope("ly", "lx"), 4).alias("zipf_slope"),
+        F.round(F.regr_intercept("ly", "lx"), 4).alias("zipf_intercept"),
+        F.round(F.regr_r2("ly", "lx"), 4).alias("r2"),
+    )

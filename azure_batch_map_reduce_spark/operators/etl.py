@@ -621,20 +621,27 @@ def q155_interval_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
             .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         ),
     )
-    peak = swept.groupBy("l_suppkey").agg(
-        F.max("concurrency").alias("max_concurrent")
-    )
+    # Argmax in ONE aggregation: lexicographic struct-max picks the
+    # highest concurrency and, among its ties, the EARLIEST t (negated
+    # epoch-µs) — no join back onto swept, so the union+window pipeline
+    # is computed once instead of twice.
+    packed = F.max(
+        F.struct(
+            F.col("concurrency").alias("c"),
+            (-F.unix_micros(F.col("t"))).alias("neg_us"),
+        )
+    ).alias("pk")
     return (
-        swept.join(peak, "l_suppkey")
-        .groupBy("l_suppkey")
+        swept.groupBy("l_suppkey")
         .agg(
             (F.count(F.lit(1)) / 2).cast("long").alias("n_shipments"),
-            F.max("max_concurrent").cast("int").alias("max_concurrent"),
-            F.min(
-                F.when(
-                    F.col("concurrency") == F.col("max_concurrent"), F.col("t")
-                )
-            ).alias("peak_t"),
+            packed,
+        )
+        .select(
+            "l_suppkey",
+            "n_shipments",
+            F.col("pk.c").cast("int").alias("max_concurrent"),
+            F.timestamp_micros(-F.col("pk.neg_us")).alias("peak_t"),
         )
         .orderBy("l_suppkey")
     )

@@ -629,3 +629,55 @@ def q180_order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame
         .agg(F.count(F.lit(1)).alias("custdist"))
         .orderBy(F.desc("custdist"), F.desc("c_count"))
     )
+
+
+@query(
+    "q185_shuffle_hash_join",
+    oracle="""
+    SELECT p_brand,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           round(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                     * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+                 / 10000.0, 2) AS revenue
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE p_size <= 25
+    GROUP BY p_brand
+    ORDER BY revenue DESC, p_brand
+    """,
+    tags=("join", "strategy", "shuffle-hash"),
+)
+def q185_shuffle_hash_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit join-strategy control: a fact⋈dimension join forced to
+    SHUFFLED_HASH instead of the sort-merge default. When the build side
+    fits per-partition memory but is too large to broadcast, SHJ skips
+    BOTH sort passes of SMJ — on a 100 TB fact table that is the sort of
+    the big side you avoid, often 2-3× on the join stage. The hint is
+    the engine's per-query escape hatch where AQE's statistics pick the
+    wrong strategy; the plan shape is pinned in test_plans.py
+    (ShuffledHashJoin node, build side = part).
+
+    The reference has no join at all — its gather is a single reducer
+    over all mapper outputs (``Program.cs:351-378``); strategy choice
+    between broadcast/SMJ/SHJ is exactly the control its pluggable-exe
+    model cannot express."""
+    t = load_tables(spark, sf_dir)
+    part = t["part"].where(F.col("p_size") <= 25).hint("SHUFFLE_HASH")
+    li = t["lineitem"]
+    return (
+        li.join(part, F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            # Exact integer ten-thousandth-units: the double sum rounds
+            # differently between engines exactly at .xx5 boundaries.
+            F.round(
+                F.sum(
+                    F.round(F.col("l_extendedprice") * 100).cast("long")
+                    * (100 - F.round(F.col("l_discount") * 100).cast("long"))
+                )
+                / 10000.0,
+                2,
+            ).alias("revenue"),
+        )
+        .orderBy(F.desc("revenue"), F.asc("p_brand"))
+    )

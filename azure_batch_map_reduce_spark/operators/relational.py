@@ -1453,34 +1453,38 @@ def q156_portable_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
         h = F.md5(F.concat(F.lit("hll|"), F.col(col).cast("string")))
         w = F.conv(F.substring(h, 3, 8), 16, 10).cast("long")
         keyed = t.select(
+            F.col(col).alias("k"),
             (F.conv(F.substring(h, 1, 2), 16, 10).cast("long") % 64).alias(
                 "j"
             ),
             F.least(
-                F.when(w == 0, F.lit(33)).otherwise(
-                    33
-                    - F.length(F.regexp_replace(F.bin(w), "^0+", ""))
-                ),
+                # bin() never prints leading zeros, so length(bin(w)) IS
+                # 32 - clz(w) for w > 0 — no per-row regex needed (the
+                # oracle's regexp_replace form is equivalent).
+                F.when(w == 0, F.lit(33)).otherwise(33 - F.length(F.bin(w))),
                 F.lit(30),
             ).alias("rho"),
         )
-        regs = (
-            spark.range(64)
-            .withColumnRenamed("id", "j")
-            .join(keyed.groupBy("j").agg(F.max("rho").alias("mx")), "j", "left")
-            .select(F.coalesce(F.col("mx"), F.lit(0)).alias("mj"))
+        # ONE scan serves both the sketch and its exact check: every
+        # distinct key hashes to exactly one register, so per-register
+        # countDistinct sums to the global distinct count. Occupied
+        # registers always have rho >= 1, so the v empty ones are just
+        # 64 - |groups| — no range(64) join needed; their 2^30
+        # harmonic-mean terms are added arithmetically.
+        per_reg = keyed.groupBy("j").agg(
+            F.max("rho").alias("mj"),
+            F.countDistinct("k").alias("nd"),
         )
-        state = regs.agg(
-            F.sum(F.expr("shiftleft(cast(1 as bigint), 30 - mj)")).alias(
-                "sum_int"
-            ),
-            F.sum(F.when(F.col("mj") == 0, 1).otherwise(0)).alias("v"),
-        )
-        exact = spark.table(table).agg(
-            F.countDistinct(col).alias("exact_distinct")
+        state = per_reg.agg(
+            (
+                F.sum(F.expr("shiftleft(cast(1 as bigint), 30 - mj)"))
+                + (F.lit(64) - F.count(F.lit(1))) * F.lit(1 << 30)
+            ).alias("sum_int"),
+            (F.lit(64) - F.count(F.lit(1))).alias("v"),
+            F.sum("nd").alias("exact_distinct"),
         )
         branches.append(
-            state.crossJoin(exact).select(
+            state.select(
                 F.lit(label).alias("key_col"),
                 F.col("exact_distinct").cast("long"),
                 F.round(

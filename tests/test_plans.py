@@ -396,3 +396,10 @@ def test_golden_record_reuses_window_exchange_for_agg(spark, sf_dir):
     exchange for the groupBy."""
     plan = plan_of(REGISTRY["q181_golden_record"].fn(spark, sf_dir))
     assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1
+
+
+def test_shuffle_hash_hint_yields_shj_build_on_dim(spark, sf_dir):
+    """q185: the SHUFFLE_HASH hint must materialize as a
+    ShuffledHashJoin (no sort of the fact side)."""
+    plan = plan_of(REGISTRY["q185_shuffle_hash_join"].fn(spark, sf_dir))
+    assert "ShuffledHashJoin" in plan
