@@ -72,20 +72,31 @@ def q20_broadcast_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("join", "multiway"),
 )
 def q21_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H-Q5-style 5-way join: two fact-side shuffle joins
-    (lineitem⋈orders⋈customer) plus broadcast dims, with the region
-    filter pushed below the join so pruning happens before any shuffle."""
+    """TPC-H-Q5-style 5-way join, ordered selectivity-first: the ASIA
+    filter resolves through broadcast dims onto customer BEFORE any
+    fact shuffle, so orders joins a 1/5-sized customer set and lineitem
+    joins the doubly-filtered (date × region) orders — the smallest
+    intermediate at every step. At bench scale AQE broadcasts the
+    shrunken orders side into lineitem (zero fact shuffle); at 100 TB
+    the same ordering minimizes every exchange's payload even when all
+    joins stay sort-merge."""
     t = load_tables(spark, sf_dir)
     region = t["region"].filter(F.col("r_name") == "ASIA")
+    asia_cust = (
+        t["customer"]
+        .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("c_custkey", "n_name")
+    )
     orders = t["orders"].filter(
         F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp")
     )
+    asia_orders = orders.join(
+        asia_cust, F.col("o_custkey") == F.col("c_custkey")
+    ).select("o_orderkey", "n_name")
     return (
         t["lineitem"]
-        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
-        .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
-        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .join(asia_orders, F.col("l_orderkey") == F.col("o_orderkey"))
         .groupBy(F.col("n_name").alias("nation"))
         .agg(
             F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(

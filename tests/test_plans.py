@@ -403,3 +403,40 @@ def test_shuffle_hash_hint_yields_shj_build_on_dim(spark, sf_dir):
     ShuffledHashJoin (no sort of the fact side)."""
     plan = plan_of(REGISTRY["q185_shuffle_hash_join"].fn(spark, sf_dir))
     assert "ShuffledHashJoin" in plan
+
+
+def test_runtime_bloom_filter_injects_on_shuffle_join(spark, sf_dir):
+    """Scale posture: when a selective dimension filter feeds a SHUFFLE
+    join (broadcast unavailable — the 100 TB fact⋈fact case), Spark's
+    runtime bloom filter must inject a pre-shuffle semi-filter on the
+    fact side (bloom_filter_agg on the build, might_contain on the
+    probe). This is the engine's answer to the reference's total lack
+    of pushdown — the filter crosses the join at runtime."""
+    prev_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    prev_scan = spark.conf.get(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold"
+    )
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter."
+            "applicationSideScanSizeThreshold",
+            "0",
+        )
+        t = load_tables(spark, sf_dir)
+        part = t["part"].where(F.col("p_brand") == "Brand#11")
+        df = (
+            t["lineitem"]
+            .join(part, F.col("l_partkey") == F.col("p_partkey"))
+            .groupBy("p_brand")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        opt = optimized_of(df)
+        assert "bloom_filter_agg" in opt and "might_contain" in opt
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_thresh)
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter."
+            "applicationSideScanSizeThreshold",
+            prev_scan,
+        )
