@@ -424,7 +424,9 @@ def q107_bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (doc_id, dl, tf_*) frame — it feeds both the stats aggregate and
     # the scoring pass, and at any scale it is 5 numbers per doc, tiny
     # next to re-tokenizing the corpus twice.
-    toked = docs.select("doc_id", toks.alias("toks"))
+    # Tiny parquet bin-packs to one partition — fan out so the regex
+    # tokenization runs on all cores (same move as q150's shingling).
+    toked = docs.repartition(32, "doc_id").select("doc_id", toks.alias("toks"))
     d = toked.select(
         "doc_id",
         F.size("toks").alias("dl"),
