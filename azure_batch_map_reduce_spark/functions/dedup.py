@@ -169,7 +169,11 @@ def _trigram_rows(docs: DataFrame) -> DataFrame:
     partitioning."""
     win = Window.partitionBy("doc_id").orderBy("pos")
     return (
-        docs.select("doc_id", F.posexplode(F.split("text", " ")).alias("pos", "word"))
+        # Fan out first: the tiny parquet bin-packs to ONE partition and
+        # would run split+posexplode serially; the window's doc_id
+        # shuffle then reuses this partitioning instead of adding one.
+        docs.repartition(32, "doc_id")
+        .select("doc_id", F.posexplode(F.split("text", " ")).alias("pos", "word"))
         .select(
             "doc_id",
             "word",
