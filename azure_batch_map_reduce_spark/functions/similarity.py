@@ -800,3 +800,53 @@ def q183_label_embedding_pool(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+@query(
+    "q186_embedding_dim_variance",
+    oracle="""
+    WITH dims AS (SELECT unnest(generate_series(1, 64)) AS dim),
+    per_dim AS (
+        SELECT d.dim AS dim,
+               round(avg(CAST(embedding[d.dim] AS DOUBLE)), 6)      AS mean_val,
+               round(var_samp(CAST(embedding[d.dim] AS DOUBLE)), 6) AS var_val
+        FROM embeddings CROSS JOIN dims d
+        GROUP BY d.dim
+    )
+    SELECT dim, mean_val, var_val,
+           var_val < 0.05 AS near_constant
+    FROM per_dim
+    ORDER BY dim
+    """,
+    tags=("embedding", "feature-selection", "statistics"),
+)
+def q186_embedding_dim_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension variance profile of the embedding space with a
+    near-constant-dimension flag — the feature-selection pass that runs
+    before indexing or quantization (a dimension carrying no variance
+    wastes index bits and distorts cosine normalization; q76's
+    quantizer would allocate it a full codebook axis).
+
+    Scale posture: posexplode widens 64× but map-side partial
+    aggregation collapses to 64 groups before the exchange — the
+    shuffle carries 64 running (n, mean, M2) states per task, not the
+    corpus. var_samp's merge is Chan's parallel combine, numerically
+    stable at any partition count; round(6) absorbs the
+    accumulation-order ulps (the flag threshold 0.05 sits far from any
+    fixture dimension's variance, so the boolean cannot flip)."""
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    per_dim = (
+        emb.select(F.posexplode("embedding").alias("pos", "val"))
+        .select((F.col("pos") + 1).alias("dim"), F.col("val").cast("double").alias("val"))
+        .groupBy("dim")
+        .agg(
+            F.round(F.avg("val"), 6).alias("mean_val"),
+            F.round(F.var_samp("val"), 6).alias("var_val"),
+        )
+    )
+    return per_dim.select(
+        "dim",
+        "mean_val",
+        "var_val",
+        (F.col("var_val") < 0.05).alias("near_constant"),
+    ).orderBy("dim")

@@ -1060,3 +1060,94 @@ def q184_zipf_token_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.regr_intercept("ly", "lx"), 4).alias("zipf_intercept"),
         F.round(F.regr_r2("ly", "lx"), 4).alias("r2"),
     )
+
+
+@query(
+    "q187_url_domain_mix",
+    oracle="""
+    WITH seeded AS (
+        SELECT source,
+               'see https://site' || CAST(doc_id % 40 AS VARCHAR)
+                   || CASE WHEN doc_id % 3 = 0 THEN '.org' ELSE '.com' END
+                   || '/page' || CAST(doc_id % 7 AS VARCHAR)
+                   || CASE WHEN doc_id % 5 = 0
+                           THEN ' and http://mirror' || CAST(doc_id % 11 AS VARCHAR) || '.net/x'
+                           ELSE '' END
+                   || ' ' || text AS body
+        FROM documents
+    ),
+    urls AS (
+        SELECT source,
+               unnest(regexp_extract_all(body, 'https?://([A-Za-z0-9.-]+)', 1)) AS domain
+        FROM seeded
+    )
+    SELECT source, domain,
+           CAST(count(*) AS BIGINT) AS n_refs,
+           CAST(count(DISTINCT domain) OVER (PARTITION BY source) AS BIGINT)
+               AS n_domains_in_source
+    FROM urls
+    GROUP BY source, domain
+    QUALIFY row_number() OVER (PARTITION BY source
+                               ORDER BY count(*) DESC, domain) <= 5
+    ORDER BY source, n_refs DESC, domain
+    """,
+    tags=("text", "url", "curation", "extraction"),
+)
+def q187_url_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source URL-domain mix: extract every http(s) URL's domain
+    and report each source's top-5 referenced domains plus its domain
+    diversity — the provenance-concentration signal a web-corpus
+    curator watches (one domain dominating a source flags scraped
+    boilerplate). The fixture text carries no URLs, so each document is
+    seeded with 1-2 deterministic synthetic URLs derived from doc_id
+    (the oracle performs the identical construction) — same pattern as
+    q54's PII seeding.
+
+    The regex stays in the RE2 ∩ Java common subset; extraction is
+    ``regexp_extract_all`` group 1 on both engines. Scale posture:
+    extraction is map-side; the per-(source, domain) count is
+    partial+final; top-5 is a per-source window over the AGGREGATED
+    frame (|sources|×|domains| rows, corpus-independent)."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    body = F.concat(
+        F.lit("see https://site"),
+        (F.col("doc_id") % 40).cast("string"),
+        F.when(F.col("doc_id") % 3 == 0, F.lit(".org")).otherwise(F.lit(".com")),
+        F.lit("/page"),
+        (F.col("doc_id") % 7).cast("string"),
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(
+                F.lit(" and http://mirror"),
+                (F.col("doc_id") % 11).cast("string"),
+                F.lit(".net/x"),
+            ),
+        ).otherwise(F.lit("")),
+        F.lit(" "),
+        F.col("text"),
+    )
+    urls = docs.select("source", body.alias("body")).select(
+        "source",
+        F.explode(
+            F.expr(r"regexp_extract_all(body, 'https?://([A-Za-z0-9.-]+)', 1)")
+        ).alias("domain"),
+    )
+    counts = urls.groupBy("source", "domain").agg(
+        F.count(F.lit(1)).alias("n_refs")
+    )
+    w_src = Window.partitionBy("source")
+    w_rank = w_src.orderBy(F.desc("n_refs"), F.asc("domain"))
+    return (
+        counts.withColumn(
+            "n_domains_in_source", F.count(F.lit(1)).over(w_src)
+        )
+        .withColumn("rn", F.row_number().over(w_rank))
+        .where(F.col("rn") <= 5)
+        .select(
+            "source",
+            "domain",
+            "n_refs",
+            F.col("n_domains_in_source").cast("long").alias("n_domains_in_source"),
+        )
+        .orderBy("source", F.desc("n_refs"), "domain")
+    )

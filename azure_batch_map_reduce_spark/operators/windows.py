@@ -1731,3 +1731,92 @@ def q182_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "event_id")
     )
+
+
+@query(
+    "q188_rate_alert_baseline",
+    oracle="""
+    WITH hourly AS (
+        SELECT event_type,
+               date_trunc('hour', ts)                              AS h,
+               epoch(date_trunc('hour', ts))::BIGINT // 3600       AS hr,
+               count(*)                                            AS n
+        FROM events
+        GROUP BY event_type, date_trunc('hour', ts)
+    ),
+    walled AS (
+        SELECT event_type, h, n,
+               sum(n) OVER w   AS base_n,
+               count(*) OVER w AS base_hours
+        FROM hourly
+        WINDOW w AS (PARTITION BY event_type ORDER BY hr
+                     RANGE BETWEEN 24 PRECEDING AND 1 PRECEDING)
+    )
+    SELECT event_type, h AS alert_hour,
+           CAST(n AS BIGINT) AS n_events,
+           round(CAST(base_n AS DOUBLE) / base_hours, 4) AS baseline_rate,
+           round(CAST(n AS DOUBLE) * base_hours / base_n, 4) AS spike_ratio
+    FROM walled
+    WHERE base_hours >= 12
+      AND 2 * n * base_hours > 3 * base_n
+    ORDER BY event_type, alert_hour
+    """,
+    tags=("window", "timeseries", "alerting", "monitoring"),
+)
+def q188_rate_alert_baseline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rate-spike alerting against a trailing baseline: an hour alerts
+    when its event count exceeds 1.5× the mean hourly rate of the
+    trailing 24 hours (current hour excluded; at least 12 baseline
+    hours required so startup noise never alerts) — the
+    ops-monitoring shape behind "error rate spiked".
+
+    The spike predicate is cross-multiplied (``2·n·hours > 3·base``) so
+    the comparison is exact integer arithmetic — no division inside
+    the filter to round differently between engines; the reported
+    ratio columns are display-only.
+
+    Scale posture: raw events collapse to (type, hour) grain map-side
+    BEFORE the window (partial+final count), so the RANGE frame scans
+    |types|×|hours| rows, corpus-size-independent. One hash exchange
+    on event_type serves both the window sort and nothing else — at
+    1000 executors the frame state per type is 25 numbers."""
+    ev = load_tables(spark, sf_dir)["events"]
+    hourly = (
+        ev.select(
+            "event_type",
+            F.date_trunc("hour", F.col("ts")).alias("h"),
+        )
+        .groupBy("event_type", "h")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn("hr", (F.unix_micros("h") / F.lit(3600000000)).cast("long"))
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("hr")
+        .rangeBetween(-24, -1)
+    )
+    walled = hourly.select(
+        "event_type",
+        "h",
+        "n",
+        F.sum("n").over(w).alias("base_n"),
+        F.count(F.lit(1)).over(w).alias("base_hours"),
+    )
+    return (
+        walled.where(
+            (F.col("base_hours") >= 12)
+            & (2 * F.col("n") * F.col("base_hours") > 3 * F.col("base_n"))
+        )
+        .select(
+            "event_type",
+            F.col("h").alias("alert_hour"),
+            F.col("n").cast("long").alias("n_events"),
+            F.round(F.col("base_n").cast("double") / F.col("base_hours"), 4).alias(
+                "baseline_rate"
+            ),
+            F.round(
+                F.col("n").cast("double") * F.col("base_hours") / F.col("base_n"), 4
+            ).alias("spike_ratio"),
+        )
+        .orderBy("event_type", "alert_hour")
+    )

@@ -88,6 +88,10 @@ def compare_query(
         return CompareResult(
             q.name, False, f"row count mismatch: spark={len(sdf)} oracle={len(odf)}", len(sdf), len(odf)
         )
+    if len(sdf) == 0:
+        # Two empty frames with matching columns are equal — pandas
+        # .equals would still compare (and fail on) residual dtypes.
+        return CompareResult(q.name, True, "ok (both empty)", 0, 0)
     a, b = _normalize(sdf), _normalize(odf)
     if not a.equals(b):
         diff_mask = (a != b).any(axis=1)
