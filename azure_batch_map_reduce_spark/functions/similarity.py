@@ -850,3 +850,165 @@ def q186_embedding_dim_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
         "var_val",
         (F.col("var_val") < 0.05).alias("near_constant"),
     ).orderBy("dim")
+
+
+def _rrf_oracle() -> str:
+    from azure_batch_map_reduce_spark.functions.text import (
+        _BM25_B,
+        _BM25_K1,
+        _BM25_TERMS,
+    )
+
+    tf_cols = ",\n               ".join(
+        f"len(list_filter(toks, x -> x = '{t}')) AS tf_{t}" for t in _BM25_TERMS
+    )
+    score_terms = " + ".join(
+        f"""(ln((stats.n_docs - stats.df_{t} + 0.5) / (stats.df_{t} + 0.5) + 1)
+             * d.tf_{t} * ({_BM25_K1} + 1)
+             / (d.tf_{t} + {_BM25_K1} * (1 - {_BM25_B} + {_BM25_B} * d.dl / stats.avgdl)))"""
+        for t in _BM25_TERMS
+    )
+    df_cols = ", ".join(
+        f"sum(CASE WHEN tf_{t} > 0 THEN 1 ELSE 0 END) AS df_{t}"
+        for t in _BM25_TERMS
+    )
+    any_tf = " + ".join(f"d.tf_{t}" for t in _BM25_TERMS)
+    return f"""
+    WITH toked AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '[^a-z]+'), x -> x <> '') AS toks
+        FROM documents
+    ),
+    d AS (
+        SELECT doc_id, len(toks) AS dl,
+               {tf_cols}
+        FROM toked
+    ),
+    stats AS (
+        SELECT count(*) AS n_docs, avg(CAST(dl AS DOUBLE)) AS avgdl, {df_cols}
+        FROM d
+    ),
+    sparse AS (
+        SELECT d.doc_id, round({score_terms}, 6) AS bm25
+        FROM d CROSS JOIN stats
+        WHERE {any_tf} > 0
+    ),
+    sparse_rank AS (
+        SELECT doc_id,
+               row_number() OVER (ORDER BY bm25 DESC, doc_id) AS r_sparse
+        FROM sparse
+        QUALIFY r_sparse <= 20
+    ),
+    q AS (
+        SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qe
+        FROM embeddings WHERE vec_id = 0
+    ),
+    dense AS (
+        SELECT e.vec_id AS doc_id,
+               round(list_dot_product(list_transform(e.embedding, x -> CAST(x AS DOUBLE)), q.qe)
+                     / sqrt(list_dot_product(list_transform(e.embedding, x -> CAST(x AS DOUBLE)),
+                                             list_transform(e.embedding, x -> CAST(x AS DOUBLE)))
+                            * list_dot_product(q.qe, q.qe)), 6) AS cosine
+        FROM embeddings e CROSS JOIN q
+        WHERE e.vec_id <> 0
+    ),
+    dense_rank AS (
+        SELECT doc_id,
+               row_number() OVER (ORDER BY cosine DESC, doc_id) AS r_dense
+        FROM dense
+        QUALIFY r_dense <= 20
+    )
+    SELECT coalesce(s.doc_id, de.doc_id) AS doc_id,
+           round(coalesce(1.0 / (60 + s.r_sparse), 0)
+                 + coalesce(1.0 / (60 + de.r_dense), 0), 6) AS rrf,
+           CAST(s.r_sparse AS INTEGER) AS r_sparse,
+           CAST(de.r_dense AS INTEGER) AS r_dense
+    FROM sparse_rank s FULL OUTER JOIN dense_rank de ON s.doc_id = de.doc_id
+    ORDER BY rrf DESC, doc_id
+    LIMIT 10
+    """
+
+
+@query(
+    "q190_hybrid_rrf_retrieval",
+    oracle=_rrf_oracle(),
+    tags=("retrieval", "rrf", "hybrid", "ranking", "similarity"),
+)
+def q190_hybrid_rrf_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval with reciprocal-rank fusion: the BM25 sparse
+    ranking (q107's scorer) and the dense cosine ranking against query
+    vector 0 (q70's scorer) each contribute ``1/(60 + rank)`` for their
+    top-20, fused by sum and re-ranked — the standard RRF combiner
+    modern RAG stacks run because rank fusion needs no score
+    calibration between the two retrievers.
+
+    Determinism: both ranks order by a round(·,6) score with doc_id
+    tie-break, and the fused score is arithmetic on small INTEGER
+    ranks — bit-identical across engines regardless of float noise in
+    either scorer.
+
+    Scale posture: each side reduces to a top-20 TakeOrdered before
+    ranking (per-partition heaps, no global sort of scores); the
+    fusion is a full outer join of two ≤20-row frames — driver-trivial
+    at any corpus size. The corpus-sized work (tokenize+score, dot
+    products) stays map-only in both retrievers."""
+    from azure_batch_map_reduce_spark.functions.text import bm25_scores
+
+    tables = load_tables(spark, sf_dir)
+    docs, emb = tables["documents"], tables["embeddings"]
+
+    sparse_top = (
+        bm25_scores(docs).orderBy(F.desc("bm25"), F.asc("doc_id")).limit(20)
+    )
+    sparse_rank = sparse_top.withColumn(
+        "r_sparse",
+        F.row_number().over(Window.orderBy(F.desc("bm25"), F.asc("doc_id"))),
+    ).select("doc_id", "r_sparse")
+
+    qv = emb.filter(F.col("vec_id") == 0).select(
+        _as_double(F.col("embedding")).alias("qe")
+    )
+    dense = (
+        emb.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(qv))
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            F.round(
+                _dot(_as_double(F.col("embedding")), F.col("qe"))
+                / F.sqrt(
+                    _dot(
+                        _as_double(F.col("embedding")),
+                        _as_double(F.col("embedding")),
+                    )
+                    * _dot(F.col("qe"), F.col("qe"))
+                ),
+                6,
+            ).alias("cosine"),
+        )
+    )
+    dense_top = dense.orderBy(F.desc("cosine"), F.asc("doc_id")).limit(20)
+    dense_rank = dense_top.withColumn(
+        "r_dense",
+        F.row_number().over(Window.orderBy(F.desc("cosine"), F.asc("doc_id"))),
+    ).select(F.col("doc_id").alias("d_doc_id"), "r_dense")
+
+    fused = sparse_rank.join(
+        dense_rank,
+        sparse_rank["doc_id"] == dense_rank["d_doc_id"],
+        "full_outer",
+    )
+    rrf = F.round(
+        F.coalesce(1.0 / (60 + F.col("r_sparse")), F.lit(0.0))
+        + F.coalesce(1.0 / (60 + F.col("r_dense")), F.lit(0.0)),
+        6,
+    )
+    return (
+        fused.select(
+            F.coalesce(F.col("doc_id"), F.col("d_doc_id")).alias("doc_id"),
+            rrf.alias("rrf"),
+            F.col("r_sparse").cast("int").alias("r_sparse"),
+            F.col("r_dense").cast("int").alias("r_dense"),
+        )
+        .orderBy(F.desc("rrf"), F.asc("doc_id"))
+        .limit(10)
+    )

@@ -393,25 +393,11 @@ def _bm25_oracle() -> str:
     """
 
 
-@query(
-    "q107_bm25_retrieval",
-    oracle=_bm25_oracle(),
-    tags=("text", "retrieval", "bm25", "ranking"),
-)
-def q107_bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """BM25 (k1=1.2, b=0.75) lexical retrieval for the fixed query
-    {data, model, training}: top-10 documents by score. Complements
-    q78's TF-IDF (corpus keywording) and q79's dense retrieval with the
-    standard sparse-ranking baseline.
-
-    Scale posture: term frequencies come from `filter()` over the
-    token array per fixed query term — map-side higher-order functions,
-    no explode/shuffle of tokens. Corpus stats (N, avgdl, per-term df)
-    are ONE 1-row aggregate broadcast back; scoring is then pure
-    map-side math and the top-10 is TakeOrdered. Two scans of
-    `documents` total (stats + score), zero data-sized shuffles.
-    """
-    docs = load_tables(spark, sf_dir)["documents"]
+def bm25_scores(docs: DataFrame) -> DataFrame:
+    """(doc_id, bm25) for every document matching the fixed query terms
+    — the shared scoring core of q107 (sparse retrieval) and q190
+    (hybrid RRF fusion). See :func:`q107_bm25_retrieval` for the scale
+    posture."""
     toks = F.filter(
         F.split(F.lower(F.col("text")), "[^a-z]+"), lambda x: x != F.lit("")
     )
@@ -466,6 +452,30 @@ def q107_bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.crossJoin(F.broadcast(stats))
         .where(any_tf > 0)
         .select("doc_id", F.round(score, 6).alias("bm25"))
+    )
+
+
+@query(
+    "q107_bm25_retrieval",
+    oracle=_bm25_oracle(),
+    tags=("text", "retrieval", "bm25", "ranking"),
+)
+def q107_bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 (k1=1.2, b=0.75) lexical retrieval for the fixed query
+    {data, model, training}: top-10 documents by score. Complements
+    q78's TF-IDF (corpus keywording) and q79's dense retrieval with the
+    standard sparse-ranking baseline.
+
+    Scale posture: term frequencies come from `filter()` over the
+    token array per fixed query term — map-side higher-order functions,
+    no explode/shuffle of tokens. Corpus stats (N, avgdl, per-term df)
+    are ONE 1-row aggregate broadcast back; scoring is then pure
+    map-side math and the top-10 is TakeOrdered. Two scans of
+    `documents` total (stats + score), zero data-sized shuffles.
+    """
+    docs = load_tables(spark, sf_dir)["documents"]
+    return (
+        bm25_scores(docs)
         .orderBy(F.desc("bm25"), F.asc("doc_id"))
         .limit(10)
     )

@@ -1820,3 +1820,56 @@ def q188_rate_alert_baseline(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "alert_hour")
     )
+
+
+@query(
+    "q189_mom_revenue_change",
+    oracle="""
+    WITH monthly AS (
+        SELECT o_orderpriority AS priority,
+               date_trunc('month', o_orderdate) AS month,
+               sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
+        FROM orders
+        GROUP BY o_orderpriority, date_trunc('month', o_orderdate)
+    )
+    SELECT priority, month,
+           round(cents / 100.0, 2) AS revenue,
+           round(lag(cents) OVER w / 100.0, 2) AS prev_revenue,
+           round((cents - lag(cents) OVER w) * 100.0
+                 / lag(cents) OVER w, 4) AS pct_change
+    FROM monthly
+    WINDOW w AS (PARTITION BY priority ORDER BY month)
+    ORDER BY priority, month
+    """,
+    tags=("window", "timeseries", "analytic", "period-over-period"),
+)
+def q189_mom_revenue_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-over-month revenue change per order priority — the
+    period-over-period lag() idiom every BI layer runs. Revenue sums in
+    exact integer cents so both engines agree at every rounding
+    boundary; each partition's first month reports NULL change rather
+    than a fake 0.
+
+    Scale posture: raw orders collapse to (priority, month) grain with
+    map-side partial aggregation BEFORE the lag window, so the window
+    sorts |priorities|×|months| rows regardless of order volume — the
+    aggregate-below-window twin of q180's aggregate-below-join."""
+    orders = load_tables(spark, sf_dir)["orders"]
+    monthly = (
+        orders.select(
+            F.col("o_orderpriority").alias("priority"),
+            F.date_trunc("month", F.col("o_orderdate")).alias("month"),
+            F.round(F.col("o_totalprice") * 100).cast("long").alias("c"),
+        )
+        .groupBy("priority", "month")
+        .agg(F.sum("c").alias("cents"))
+    )
+    w = Window.partitionBy("priority").orderBy("month")
+    prev = F.lag("cents").over(w)
+    return monthly.select(
+        "priority",
+        "month",
+        F.round(F.col("cents") / 100.0, 2).alias("revenue"),
+        F.round(prev / 100.0, 2).alias("prev_revenue"),
+        F.round((F.col("cents") - prev) * 100.0 / prev, 4).alias("pct_change"),
+    ).orderBy("priority", "month")
