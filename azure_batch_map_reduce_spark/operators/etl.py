@@ -836,3 +836,106 @@ def q168_cdc_materialize(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("val")
     )
+
+
+@query(
+    "q191_encoding_layout_stats",
+    oracle="""
+    WITH w AS (
+        SELECT l_returnflag, l_linestatus, l_partkey, l_quantity,
+               CASE WHEN lag(l_returnflag) OVER o IS NULL
+                      OR l_returnflag <> lag(l_returnflag) OVER o
+                    THEN 1 ELSE 0 END AS chg_rf,
+               CASE WHEN lag(l_linestatus) OVER o IS NULL
+                      OR l_linestatus <> lag(l_linestatus) OVER o
+                    THEN 1 ELSE 0 END AS chg_ls,
+               CASE WHEN lag(l_partkey) OVER o IS NULL
+                      OR l_partkey <> lag(l_partkey) OVER o
+                    THEN 1 ELSE 0 END AS chg_pk,
+               CASE WHEN lag(l_quantity) OVER o IS NULL
+                      OR l_quantity <> lag(l_quantity) OVER o
+                    THEN 1 ELSE 0 END AS chg_qt
+        FROM lineitem
+        WINDOW o AS (PARTITION BY l_suppkey
+                     ORDER BY l_shipdate, l_orderkey, l_linenumber)
+    ),
+    agg AS (
+        SELECT count(*) AS n_rows,
+               sum(chg_rf) AS runs_rf, count(DISTINCT l_returnflag) AS nd_rf,
+               sum(chg_ls) AS runs_ls, count(DISTINCT l_linestatus) AS nd_ls,
+               sum(chg_pk) AS runs_pk, count(DISTINCT l_partkey)    AS nd_pk,
+               sum(chg_qt) AS runs_qt, count(DISTINCT l_quantity)   AS nd_qt
+        FROM w
+    )
+    SELECT col_name,
+           CAST(n_rows AS BIGINT)     AS n_rows,
+           CAST(n_runs AS BIGINT)     AS n_runs,
+           CAST(n_distinct AS BIGINT) AS n_distinct,
+           round(CAST(n_runs AS DOUBLE) / n_rows, 6) AS runs_ratio,
+           CAST(n_runs AS DOUBLE) / n_rows < 0.5     AS rle_friendly
+    FROM (
+        SELECT 'l_returnflag' AS col_name, n_rows, runs_rf AS n_runs, nd_rf AS n_distinct FROM agg
+        UNION ALL
+        SELECT 'l_linestatus', n_rows, runs_ls, nd_ls FROM agg
+        UNION ALL
+        SELECT 'l_partkey', n_rows, runs_pk, nd_pk FROM agg
+        UNION ALL
+        SELECT 'l_quantity', n_rows, runs_qt, nd_qt FROM agg
+    )
+    ORDER BY col_name
+    """,
+    tags=("etl", "layout", "encoding", "profiling"),
+)
+def q191_encoding_layout_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Encoding-choice profiling under the table's physical sort order
+    (l_suppkey partitions, shipdate-ordered within — the layout q115/
+    q118 produce): per column, the adjacent-run count, distinct count,
+    and an RLE-friendliness verdict. This is the decision input for
+    parquet encoding tuning — a runs_ratio near 1 means delta/dictionary
+    beats RLE; near 0 means RLE wins. The flag threshold (0.5) sits far
+    from any fixture column's ratio, so the boolean is stable.
+
+    Scale posture: ONE window partitioning (the layout's own
+    partition+sort keys — at rest this pass reads already-sorted
+    parquet and the sort is a no-op) computes every column's lag flag;
+    the aggregate is a single global row of counters, stacked to one
+    output row per column. countDistinct at 100 TB would switch to
+    approx_count_distinct — the verdict tolerates HLL error."""
+    li = load_tables(spark, sf_dir)["lineitem"]
+    o = Window.partitionBy("l_suppkey").orderBy(
+        "l_shipdate", "l_orderkey", "l_linenumber"
+    )
+
+    def chg(c: str):
+        lagged = F.lag(c).over(o)
+        return (
+            F.when(lagged.isNull() | (F.col(c) != lagged), 1).otherwise(0)
+        )
+
+    cols = ("l_returnflag", "l_linestatus", "l_partkey", "l_quantity")
+    flagged = li.select(
+        *cols, *[chg(c).alias(f"chg_{c}") for c in cols]
+    )
+    agg = flagged.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        *[F.sum(f"chg_{c}").alias(f"runs_{c}") for c in cols],
+        *[F.countDistinct(c).alias(f"nd_{c}") for c in cols],
+    )
+    stacked = agg.selectExpr(
+        "n_rows",
+        "stack(4, "
+        + ", ".join(f"'{c}', runs_{c}, nd_{c}" for c in cols)
+        + ") AS (col_name, n_runs, n_distinct)",
+    )
+    return stacked.select(
+        "col_name",
+        F.col("n_rows").cast("long").alias("n_rows"),
+        F.col("n_runs").cast("long").alias("n_runs"),
+        F.col("n_distinct").cast("long").alias("n_distinct"),
+        F.round(F.col("n_runs").cast("double") / F.col("n_rows"), 6).alias(
+            "runs_ratio"
+        ),
+        (F.col("n_runs").cast("double") / F.col("n_rows") < 0.5).alias(
+            "rle_friendly"
+        ),
+    ).orderBy("col_name")

@@ -16,7 +16,7 @@ from __future__ import annotations
 
 import uuid
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from azure_batch_map_reduce_spark.catalog import (
     align_session_for_oracle,
@@ -392,3 +392,83 @@ def q172_stream_windowed_distinct(spark: SparkSession, sf_dir: str) -> DataFrame
     """
     events = load_tables(spark, sf_dir)["events"]
     return windowed_distinct_users(events).orderBy("w_start", "event_type")
+
+
+@query(
+    "q192_lateness_profile",
+    oracle="""
+    WITH arr AS (
+        SELECT user_id, event_type,
+               date_diff('second', ts,
+                   max(date_trunc('microseconds', ts)) OVER (
+                       PARTITION BY user_id ORDER BY event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   )) AS late_s
+        FROM events
+    ),
+    bucketed AS (
+        SELECT event_type,
+               CASE WHEN late_s <= 0 THEN 'on_time'
+                    WHEN late_s < 60 THEN 'lt_1m'
+                    WHEN late_s < 600 THEN 'lt_10m'
+                    WHEN late_s < 3600 THEN 'lt_1h'
+                    ELSE 'ge_1h' END AS bucket,
+               late_s
+        FROM arr
+    )
+    SELECT event_type, bucket,
+           CAST(count(*) AS BIGINT)  AS n_events,
+           CAST(max(late_s) AS BIGINT) AS max_late_s
+    FROM bucketed
+    GROUP BY event_type, bucket
+    ORDER BY event_type, bucket
+    """,
+    tags=("streaming", "watermark", "lateness", "profiling"),
+)
+def q192_lateness_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-lateness profile: treating per-user ``event_id`` order as
+    arrival order, each event's lateness is how far its event-time sits
+    behind the running high-watermark already seen for that user —
+    bucketed into the bands an operator reads to CHOOSE a watermark
+    delay (``withWatermark`` too tight drops the lt_10m band; too loose
+    holds state for ge_1h stragglers nobody needs). This closes the
+    loop on q85's fixed-delay policy by measuring what the delay should
+    be.
+
+    The running max uses µs-truncated timestamps on the oracle side so
+    DuckDB's native-ns max agrees with Spark's µs column; lateness is
+    whole seconds (boundary-crossing count — exact integers).
+
+    Scale posture: one shuffle on user_id for the running-max window,
+    then a tiny (type × 5 buckets) rollup with map-side combine. On a
+    live stream the same running max is the engine's internal watermark
+    tracker; this batch twin makes it observable."""
+    ev = load_tables(spark, sf_dir)["events"]
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    late_s = (
+        F.unix_micros(F.max("ts").over(w)) - F.unix_micros(F.col("ts"))
+    ) / F.lit(1000000)
+    arr = ev.select(
+        "event_type",
+        F.floor(late_s).cast("long").alias("late_s"),
+    )
+    bucket = (
+        F.when(F.col("late_s") <= 0, "on_time")
+        .when(F.col("late_s") < 60, "lt_1m")
+        .when(F.col("late_s") < 600, "lt_10m")
+        .when(F.col("late_s") < 3600, "lt_1h")
+        .otherwise("ge_1h")
+    )
+    return (
+        arr.select("event_type", "late_s", bucket.alias("bucket"))
+        .groupBy("event_type", "bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.max("late_s").cast("long").alias("max_late_s"),
+        )
+        .orderBy("event_type", "bucket")
+    )
