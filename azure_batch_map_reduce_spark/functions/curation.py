@@ -1113,3 +1113,71 @@ def q171_lift_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("decile")
     )
+
+
+@query(
+    "q195_group_aware_split",
+    oracle="""
+    WITH folded AS (
+        SELECT source, doc_id, n_chars,
+               CAST(('0x' || substr(md5('fold|' || source), 1, 8))::BIGINT % 5
+                    AS INTEGER) AS fold
+        FROM documents
+    )
+    SELECT fold,
+           CAST(count(*) AS BIGINT)          AS n_docs,
+           CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+           CAST(sum(n_chars) AS BIGINT)      AS total_chars,
+           CAST((SELECT count(*) FROM (
+               SELECT source FROM folded GROUP BY source
+               HAVING count(DISTINCT fold) > 1
+           )) AS BIGINT)                     AS leaky_sources
+    FROM folded
+    GROUP BY fold
+    ORDER BY fold
+    """,
+    tags=("curation", "split", "sampling", "leakage"),
+)
+def q195_group_aware_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-aware 5-fold split: the fold is a function of the SOURCE,
+    not the document, so every document from one source lands in the
+    same fold — the split discipline that prevents near-duplicate /
+    same-provenance leakage between train and eval (q55's per-document
+    split cannot guarantee it; q69 detects the leakage this prevents).
+    The salted md5 prefix is the same deterministic integer-hash
+    construction as q55, keyed 'fold|'. Every row carries
+    ``leaky_sources`` — the count of sources spanning >1 fold — which
+    must be 0 by construction; the oracle recomputes it independently.
+
+    Scale posture: the fold is map-side hash math; per-fold stats are
+    one partial+final aggregation. The leakage audit aggregates at
+    source grain (tiny) and broadcasts a single number."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    fold = (
+        F.conv(F.substring(F.md5(F.concat(F.lit("fold|"), F.col("source"))), 1, 8), 16, 10)
+        .cast("long") % 5
+    ).cast("int")
+    folded = docs.select("source", "doc_id", "n_chars", fold.alias("fold"))
+    leaky = (
+        folded.groupBy("source")
+        .agg(F.countDistinct("fold").alias("nf"))
+        .where(F.col("nf") > 1)
+        .agg(F.count(F.lit(1)).alias("leaky_sources"))
+    )
+    return (
+        folded.groupBy("fold")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("source").alias("n_sources"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+        .crossJoin(F.broadcast(leaky))
+        .select(
+            "fold",
+            "n_docs",
+            "n_sources",
+            F.col("total_chars").cast("long").alias("total_chars"),
+            F.col("leaky_sources").cast("long").alias("leaky_sources"),
+        )
+        .orderBy("fold")
+    )

@@ -1858,3 +1858,141 @@ def q176_not_in_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     register_views(spark, sf_dir)
     return spark.sql(_NOT_IN_SQL)
+
+
+@query(
+    "q193_ordered_listagg",
+    oracle="""
+    WITH per_nation AS (
+        SELECT n.n_regionkey, n.n_name, count(c.c_custkey) AS n_cust
+        FROM nation n LEFT JOIN customer c ON c.c_nationkey = n.n_nationkey
+        GROUP BY n.n_regionkey, n.n_name
+    )
+    SELECT r.r_name AS region,
+           CAST(count(*) AS BIGINT) AS n_nations,
+           CAST(sum(p.n_cust) AS BIGINT) AS n_customers,
+           string_agg(p.n_name || ':' || CAST(p.n_cust AS VARCHAR), ','
+                      ORDER BY p.n_cust DESC, p.n_name) AS nations_by_size
+    FROM per_nation p JOIN region r ON p.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name
+    ORDER BY r.r_name
+    """,
+    tags=("aggregation", "listagg", "collect", "ordered"),
+)
+def q193_ordered_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered LISTAGG (SQL:2016 T625): per region, the nation roster as
+    one delimited string ordered largest-customer-count-first. Spark has
+    no ordered string_agg aggregate, so the engine form is the
+    collect→sort→join idiom: ``collect_list(struct(sort keys, payload))``
+    then ``array_sort`` + ``transform`` + ``array_join`` — deterministic
+    regardless of row arrival order, which is exactly what a bare
+    ``collect_list`` (arrival-ordered, nondeterministic under retries
+    and AQE) gets wrong at scale.
+
+    Scale posture: the struct sort key makes the aggregate
+    merge-safe (partial lists concatenate, one final sort per group);
+    group payloads here are dimension-sized. For fact-sized groups an
+    ordered-string aggregate is the wrong operator at 100 TB — cap with
+    slice() after sorting, as any LISTAGG ... ON OVERFLOW TRUNCATE
+    would."""
+    t = load_tables(spark, sf_dir)
+    per_nation = (
+        t["nation"]
+        .join(
+            t["customer"],
+            F.col("c_nationkey") == F.col("n_nationkey"),
+            "left",
+        )
+        .groupBy("n_regionkey", "n_name")
+        .agg(F.count("c_custkey").alias("n_cust"))
+    )
+    packed = per_nation.groupBy("n_regionkey").agg(
+        F.count(F.lit(1)).alias("n_nations"),
+        F.sum("n_cust").alias("n_customers"),
+        F.array_sort(
+            F.collect_list(
+                F.struct(
+                    (-F.col("n_cust")).alias("neg_n"),
+                    F.col("n_name").alias("nm"),
+                    F.col("n_cust").alias("n"),
+                )
+            )
+        ).alias("sorted_pack"),
+    )
+    return (
+        packed.join(
+            F.broadcast(load_tables(spark, sf_dir)["region"]),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select(
+            F.col("r_name").alias("region"),
+            F.col("n_nations").cast("long").alias("n_nations"),
+            F.col("n_customers").cast("long").alias("n_customers"),
+            F.array_join(
+                F.transform(
+                    "sorted_pack",
+                    lambda s: F.concat_ws(":", s["nm"], s["n"].cast("string")),
+                ),
+                ",",
+            ).alias("nations_by_size"),
+        )
+        .orderBy("region")
+    )
+
+
+@query(
+    "q194_explode_outer_semantics",
+    oracle="""
+    WITH marked AS (
+        SELECT doc_id, source,
+               list_intersect(list_distinct(string_split(text, ' ')),
+                              ['quantum', 'neural', 'tensor']) AS hits
+        FROM documents
+    ),
+    ex AS (
+        SELECT doc_id, source,
+               unnest(CASE WHEN len(hits) = 0 THEN [NULL] ELSE hits END) AS hit
+        FROM marked
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT)                               AS n_rows,
+           CAST(count(hit) AS BIGINT)                             AS n_hits,
+           CAST(count(DISTINCT CASE WHEN hit IS NULL THEN doc_id END) AS BIGINT)
+               AS n_docs_without
+    FROM ex
+    GROUP BY source
+    ORDER BY source
+    """,
+    tags=("explode", "outer", "nulls", "semantics"),
+)
+def q194_explode_outer_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``explode_outer`` null-preservation semantics: documents with NO
+    marker-word hits survive the explode as a single NULL-hit row
+    instead of disappearing — the difference between "rows per match"
+    and "rows per match, plus presence of the unmatched". A plain
+    explode here silently drops every miss, the classic
+    coverage-report bug. The oracle emulates outer semantics by
+    substituting ``[NULL]`` for empty lists before unnest.
+
+    Scale posture: map-side explode (no shuffle until the per-source
+    rollup); output cardinality is Σ max(|hits|, 1), bounded by
+    corpus + marker count."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    hits = F.array_intersect(
+        F.array_distinct(F.split("text", " ")),
+        F.array(F.lit("quantum"), F.lit("neural"), F.lit("tensor")),
+    )
+    ex = docs.select(
+        "doc_id", "source", F.explode_outer(hits).alias("hit")
+    )
+    return (
+        ex.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count("hit").alias("n_hits"),
+            F.countDistinct(
+                F.when(F.col("hit").isNull(), F.col("doc_id"))
+            ).alias("n_docs_without"),
+        )
+        .orderBy("source")
+    )

@@ -49,6 +49,10 @@ def get_spark(
         # events.parquet stores ns-precision timestamps, which Spark 4
         # refuses by default; read as long and convert in the catalog.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # µs timestamps with isAdjustedToUTC=false must read as plain
+        # TimestampType (UTC instants), matching DuckDB's naive read —
+        # not TIMESTAMP_NTZ (see catalog.normalize_event_ts).
+        .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
