@@ -1996,3 +1996,137 @@ def q194_explode_outer_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+_BLOOM_M = 256  # bits
+_BLOOM_K = 4  # hash functions
+_BLOOM_PROBE_N = 40  # probe keys 0..39; nationkeys cover 0..24
+
+
+_BLOOM_POS = (
+    "('0x' || substr(md5('bloom' || CAST(h.i AS VARCHAR) || '|'"
+    " || CAST({x} AS VARCHAR)), 1, 8))::BIGINT % " + str(_BLOOM_M)
+)
+
+
+@query(
+    "q196_portable_bloom_filter",
+    oracle=f"""
+    WITH hashes AS (
+        SELECT unnest(generate_series(1, {_BLOOM_K})) AS i
+    ),
+    keys AS (
+        SELECT DISTINCT CAST(c_nationkey AS BIGINT) AS k FROM customer
+    ),
+    bits AS (
+        SELECT {_BLOOM_POS.format(x='keys.k')} AS pos
+        FROM keys CROSS JOIN hashes h
+    ),
+    words AS (
+        SELECT pos // 32 AS w, bit_or(1::BIGINT << (pos % 32)) AS mask
+        FROM bits GROUP BY pos // 32
+    ),
+    probes AS (
+        SELECT unnest(generate_series(0, {_BLOOM_PROBE_N - 1})) AS probe_key
+    ),
+    probe_bits AS (
+        SELECT probes.probe_key, {_BLOOM_POS.format(x='probes.probe_key')} AS pos
+        FROM probes CROSS JOIN hashes h
+    ),
+    checked AS (
+        SELECT pb.probe_key,
+               bool_and(coalesce((w.mask >> (pb.pos % 32)) & 1, 0) = 1)
+                   AS predicted
+        FROM probe_bits pb LEFT JOIN words w ON pb.pos // 32 = w.w
+        GROUP BY pb.probe_key
+    )
+    SELECT c.probe_key,
+           c.predicted,
+           EXISTS (SELECT 1 FROM keys WHERE k = c.probe_key) AS actual,
+           c.predicted AND NOT EXISTS
+               (SELECT 1 FROM keys WHERE k = c.probe_key)    AS false_positive
+    FROM checked c
+    ORDER BY c.probe_key
+    """,
+    tags=("sketch", "bloom", "membership", "aggregation"),
+)
+def q196_portable_bloom_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """From-scratch portable Bloom filter (m=256 bits as 8 32-bit words,
+    k=4 salted md5 hashes): built over the distinct customer nation
+    keys, then probed with keys 0..39 — present keys must all predict
+    true (no false negatives, by construction), and the absent probes
+    measure the real false-positive rate at this fill factor. Completes
+    the portable-sketch family: q156 (HLL, cardinality), q159 (bitmap,
+    exact distinct), q158 (Misra-Gries, heavy hitters).
+
+    The filter state is 8 rows of (word, bit_or mask) — the partial+
+    final bit_or aggregation IS the distributed Bloom build (masks OR
+    associatively/commutatively, so map-side combine is exact), and the
+    same 4-row state broadcast to probes is how a 100 TB anti-join
+    prefilter ships: bytes, not keys, cross the wire."""
+    t = load_tables(spark, sf_dir)
+    keys = t["customer"].select(
+        F.col("c_nationkey").cast("long").alias("k")
+    ).distinct()
+
+    def pos(i: int, col):
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit(f"bloom{i}|"), col.cast("string"))),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % _BLOOM_M
+        )
+
+    bits = None
+    for i in range(1, _BLOOM_K + 1):
+        b = keys.select(pos(i, F.col("k")).alias("pos"))
+        bits = b if bits is None else bits.unionAll(b)
+    words = bits.groupBy((F.col("pos") / 32).cast("long").alias("w")).agg(
+        F.expr("bit_or(shiftleft(cast(1 as bigint), cast(pos % 32 as int)))").alias(
+            "mask"
+        )
+    )
+
+    probes = spark.range(_BLOOM_PROBE_N).select(F.col("id").alias("probe_key"))
+    probe_bits = None
+    for i in range(1, _BLOOM_K + 1):
+        b = probes.select("probe_key", pos(i, F.col("probe_key")).alias("pos"))
+        probe_bits = b if probe_bits is None else probe_bits.unionAll(b)
+    checked = (
+        probe_bits.join(
+            F.broadcast(words),
+            (F.col("pos") / 32).cast("long") == F.col("w"),
+            "left",
+        )
+        .select(
+            "probe_key",
+            (
+                F.coalesce(
+                    F.expr("shiftright(mask, cast(pos % 32 as int)) & 1"),
+                    F.lit(0),
+                )
+                == 1
+            ).alias("bit_set"),
+        )
+        .groupBy("probe_key")
+        .agg(F.bool_and("bit_set").alias("predicted"))
+    )
+    actual = keys.select(F.col("k").alias("probe_key"), F.lit(True).alias("actual"))
+    return (
+        checked.join(F.broadcast(actual), "probe_key", "left")
+        .select(
+            "probe_key",
+            "predicted",
+            F.coalesce(F.col("actual"), F.lit(False)).alias("actual"),
+            (
+                F.col("predicted") & ~F.coalesce(F.col("actual"), F.lit(False))
+            ).alias("false_positive"),
+        )
+        .orderBy("probe_key")
+    )

@@ -426,3 +426,95 @@ def _register_partition_pruning() -> None:
 
 
 _register_partition_pruning()
+
+
+def _register_bad_records() -> None:
+    import os
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from azure_batch_map_reduce_spark.catalog import load_tables
+    from azure_batch_map_reduce_spark.registry import query
+
+    @query(
+        "q197_csv_bad_records",
+        oracle="""
+        SELECT o_orderstatus,
+               CAST(sum(CASE WHEN o_orderkey % 13 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_bad,
+               CAST(sum(CASE WHEN o_orderkey % 13 <> 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_good,
+               round(sum(CASE WHEN o_orderkey % 13 <> 0
+                              THEN CAST(round(o_totalprice * 100) AS BIGINT)
+                              ELSE 0 END) / 100.0, 2) AS good_total
+        FROM orders
+        GROUP BY o_orderstatus
+        ORDER BY o_orderstatus
+        """,
+        tags=("source", "csv", "quality", "permissive"),
+    )
+    def q197_csv_bad_records(spark, sf_dir):
+        """PERMISSIVE-mode CSV ingestion with corrupt-record capture:
+        a CSV export where every 13th order's price field is mangled to
+        a non-number must load WITHOUT failing the job — the mangled
+        rows surface as NULL price + a populated
+        ``_corrupt_record`` column, and the query reports good/bad
+        counts and the good-row revenue per status. The oracle derives
+        the identical partition arithmetically from the clean table, so
+        the whole PERMISSIVE machinery (schema coercion failure →
+        corrupt capture, not job abort) is what's actually under test.
+        Sibling of q101's corrupt-JSON tolerance, on the CSV reader.
+
+        Scale posture: the corrupt-capture path is per-row, map-only;
+        bad rows can be routed to a quarantine sink with one extra
+        filter instead of poisoning the batch — the
+        detect-don't-abort posture the reference lacks entirely
+        (a bad file fails its whole mapper, ``Program.cs:440-455``)."""
+        orders = load_tables(spark, sf_dir)["orders"]
+        d = tempfile.mkdtemp(prefix="abmr-badcsv-")
+        path = os.path.join(d, "orders.csv")
+        mangled = orders.select(
+            "o_orderkey",
+            "o_orderstatus",
+            F.when(F.col("o_orderkey") % 13 == 0, F.lit("NOT_A_PRICE"))
+            .otherwise(F.round("o_totalprice", 2).cast("string"))
+            .alias("o_totalprice"),
+        )
+        mangled.write.mode("overwrite").option("header", "true").csv(path)
+        schema = (
+            "o_orderkey BIGINT, o_orderstatus STRING, o_totalprice DOUBLE,"
+            " _corrupt_record STRING"
+        )
+        back = (
+            spark.read.schema(schema)
+            .option("header", "true")
+            .option("mode", "PERMISSIVE")
+            .option("columnNameOfCorruptRecord", "_corrupt_record")
+            .csv(path)
+        )
+        return (
+            back.groupBy("o_orderstatus")
+            .agg(
+                F.sum(
+                    F.col("_corrupt_record").isNotNull().cast("long")
+                ).alias("n_bad"),
+                F.sum(
+                    F.col("_corrupt_record").isNull().cast("long")
+                ).alias("n_good"),
+                F.round(
+                    F.sum(
+                        F.when(
+                            F.col("_corrupt_record").isNull(),
+                            F.round(F.col("o_totalprice") * 100).cast("long"),
+                        ).otherwise(F.lit(0))
+                    )
+                    / 100.0,
+                    2,
+                ).alias("good_total"),
+            )
+            .orderBy("o_orderstatus")
+        )
+
+
+_register_bad_records()
