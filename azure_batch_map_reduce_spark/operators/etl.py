@@ -939,3 +939,71 @@ def q191_encoding_layout_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rle_friendly"
         ),
     ).orderBy("col_name")
+
+
+_ORDERS_CONTRACT = (
+    ("o_orderkey", "BIGINT"),
+    ("o_custkey", "BIGINT"),
+    ("o_orderstatus", "VARCHAR"),
+    ("o_totalprice", "DOUBLE"),
+    ("o_orderdate", "TIMESTAMP"),
+    ("o_orderpriority", "VARCHAR"),
+)
+
+_SPARK_TO_GENERIC = {
+    "bigint": "BIGINT",
+    "long": "BIGINT",
+    "int": "INTEGER",
+    "string": "VARCHAR",
+    "double": "DOUBLE",
+    "timestamp": "TIMESTAMP",
+}
+
+
+@query(
+    "q200_schema_contract_check",
+    oracle=f"""
+    WITH contract(col_name, expected_type) AS (
+        VALUES {", ".join(f"('{c}', '{t}')" for c, t in _ORDERS_CONTRACT)}
+    ),
+    actual AS (
+        SELECT column_name AS col_name, column_type AS actual_type
+        FROM (DESCRIBE SELECT * FROM orders)
+    )
+    SELECT c.col_name,
+           c.expected_type,
+           a.actual_type,
+           a.col_name IS NOT NULL                            AS present,
+           coalesce(a.actual_type = c.expected_type, FALSE)  AS type_ok
+    FROM contract c LEFT JOIN actual a USING (col_name)
+    ORDER BY c.col_name
+    """,
+    tags=("etl", "quality", "schema", "contract"),
+)
+def q200_schema_contract_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-contract validation: the orders table's ACTUAL schema (as
+    loaded) is checked column-by-column against the declared contract —
+    presence and type, reported as one row per contracted column. This
+    is the ingest-gate check that catches upstream type drift (an int
+    silently widened to string) before it poisons downstream jobs;
+    q125's schema-evolution reader is the complementary
+    tolerate-the-change path. Spark type names normalize to generic SQL
+    names so the same contract text governs both engines (the oracle
+    validates via DuckDB's DESCRIBE of the same parquet).
+
+    Scale posture: pure metadata — no data is read at all (schema
+    comes from the parquet footer); the check costs the same at 100 TB
+    as at 100 rows."""
+    orders = load_tables(spark, sf_dir)["orders"]
+    actual = {f.name: _SPARK_TO_GENERIC.get(f.dataType.simpleString(),
+                                            f.dataType.simpleString().upper())
+              for f in orders.schema.fields}
+    rows = []
+    for col, expected in _ORDERS_CONTRACT:
+        a = actual.get(col)
+        rows.append((col, expected, a, a is not None, a == expected))
+    return spark.createDataFrame(
+        rows,
+        "col_name string, expected_type string, actual_type string,"
+        " present boolean, type_ok boolean",
+    ).orderBy("col_name")

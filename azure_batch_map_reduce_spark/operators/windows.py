@@ -1873,3 +1873,67 @@ def q189_mom_revenue_change(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(prev / 100.0, 2).alias("prev_revenue"),
         F.round((F.col("cents") - prev) * 100.0 / prev, 4).alias("pct_change"),
     ).orderBy("priority", "month")
+
+
+@query(
+    "q199_decayed_activity_score",
+    oracle="""
+    WITH aged AS (
+        SELECT user_id, value,
+               date_diff('hour', ts, TIMESTAMP '2024-02-01 00:00:00') AS age_h
+        FROM events
+        WHERE event_type IN ('click', 'purchase')
+    )
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(sum(value * exp(-0.01 * age_h)), 4)  AS decayed_score,
+           round(sum(value), 2)                       AS raw_score,
+           CAST(min(age_h) AS BIGINT)                 AS freshest_age_h
+    FROM aged
+    GROUP BY user_id
+    ORDER BY decayed_score DESC, user_id
+    LIMIT 50
+    """,
+    tags=("aggregation", "decay", "ranking", "timeseries"),
+)
+def q199_decayed_activity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponential time-decay activity scoring: each engagement event
+    contributes ``value·e^(−λ·age)`` toward its user's score (λ=0.01
+    per hour, ages measured from a fixed as-of instant so the result
+    is reproducible) — the recency-weighted ranking signal behind
+    "active users" and feed ordering, where an event a month old is
+    worth a third of one from today.
+
+    Ages are exact integer hours (boundary-crossing count on both
+    engines); ``exp`` feeds only summed terms, never a ranking key
+    directly, and the final ordering compares round(4) values with a
+    user_id tie-break — the float-determinism discipline of q184.
+
+    Scale posture: pure partial+final aggregation, map-side combine
+    does the exponential math once per row; no window, no join. An
+    incremental refresh multiplies yesterday's score by e^(−24λ) and
+    adds the new day — the algebraic property that makes this the
+    cheapest of all recency weightings to maintain."""
+    ev = load_tables(spark, sf_dir)["events"]
+    asof = "2024-02-01 00:00:00"
+    aged = ev.where(F.col("event_type").isin("click", "purchase")).select(
+        "user_id",
+        "value",
+        F.expr(
+            f"(unix_micros(timestamp'{asof}') div 3600000000)"
+            " - (unix_micros(ts) div 3600000000)"
+        ).alias("age_h"),
+    )
+    return (
+        aged.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(
+                F.sum(F.col("value") * F.exp(-0.01 * F.col("age_h"))), 4
+            ).alias("decayed_score"),
+            F.round(F.sum("value"), 2).alias("raw_score"),
+            F.min("age_h").cast("long").alias("freshest_age_h"),
+        )
+        .orderBy(F.desc("decayed_score"), F.asc("user_id"))
+        .limit(50)
+    )

@@ -472,3 +472,77 @@ def q192_lateness_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "bucket")
     )
+
+
+@query(
+    "q198_debounce_events",
+    oracle="""
+    WITH flagged AS (
+        SELECT user_id, event_type, event_id,
+               date_trunc('microseconds', ts) AS ts,
+               value,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR date_diff('second', lag(ts) OVER w, ts) >= 5
+                    THEN 1 ELSE 0 END AS is_leader
+        FROM events
+        WINDOW w AS (PARTITION BY user_id, event_type
+                     ORDER BY ts, event_id)
+    )
+    SELECT user_id, event_type,
+           CAST(count(*) AS BIGINT)        AS n_raw,
+           CAST(sum(is_leader) AS BIGINT)  AS n_debounced,
+           min(CASE WHEN is_leader = 1 THEN ts END) AS first_kept
+    FROM flagged
+    GROUP BY user_id, event_type
+    HAVING count(*) > sum(is_leader)
+    ORDER BY user_id, event_type
+    """,
+    tags=("streaming", "dedup", "debounce", "window"),
+)
+def q198_debounce_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Debounce: within each (user, event_type), an event is kept only
+    if it arrives ≥5 s after the previously KEPT-or-seen event — here
+    the simpler and shuffle-identical lag-threshold form (an event
+    leads a burst if its predecessor is ≥5 s older), reporting
+    raw-vs-debounced counts for the keys where debouncing actually
+    collapsed bursts. This is the double-click / retry-storm
+    suppression every event pipeline runs; q83 is its exact-duplicate
+    special case.
+
+    Lateness note: lag vs the previous SEEN event makes a rolling
+    burst collapse to one leader even if the burst outlasts 5 s
+    end-to-end — the behavior ``dropDuplicatesWithinWatermark`` on a
+    coarse time bucket cannot express.
+
+    Scale posture: one shuffle on (user, type) shared by the lag
+    window and the rollup; integer-second gaps, so both engines agree
+    exactly."""
+    ev = load_tables(spark, sf_dir)["events"]
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    # Whole-second-BOUNDARY crossings (floor(ts)-floor(prev)), matching
+    # DuckDB date_diff('second', ...) — flooring the raw µs difference
+    # would disagree whenever a burst straddles a second boundary.
+    sec = F.expr("unix_micros(ts) div 1000000")
+    gap_s = sec - F.lag(sec).over(w)
+    flagged = ev.select(
+        "user_id",
+        "event_type",
+        "event_id",
+        "ts",
+        "value",
+        F.when(
+            F.lag("ts").over(w).isNull() | (gap_s >= 5), 1
+        ).otherwise(0).alias("is_leader"),
+    )
+    return (
+        flagged.groupBy("user_id", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_raw"),
+            F.sum("is_leader").cast("long").alias("n_debounced"),
+            F.min(F.when(F.col("is_leader") == 1, F.col("ts"))).alias(
+                "first_kept"
+            ),
+        )
+        .where(F.col("n_raw") > F.col("n_debounced"))
+        .orderBy("user_id", "event_type")
+    )
