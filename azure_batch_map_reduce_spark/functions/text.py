@@ -1161,3 +1161,67 @@ def q187_url_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source", F.desc("n_refs"), "domain")
     )
+
+
+@query(
+    "q202_vocab_dictionary",
+    oracle="""
+    WITH tok AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+    ),
+    vocab AS (
+        SELECT word,
+               count(*)                 AS tf,
+               count(DISTINCT doc_id)   AS df
+        FROM tok WHERE word <> ''
+        GROUP BY word
+    )
+    SELECT CAST(row_number() OVER (ORDER BY tf DESC, word) - 1 AS BIGINT)
+               AS token_id,
+           word,
+           CAST(tf AS BIGINT) AS tf,
+           CAST(df AS BIGINT) AS df
+    FROM vocab
+    QUALIFY token_id < 200
+    ORDER BY token_id
+    """,
+    tags=("text", "vocabulary", "dictionary", "training"),
+)
+def q202_vocab_dictionary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary dictionary build: assign contiguous token ids in
+    frequency order (most-frequent = id 0, word-lexicographic
+    tie-break) with term and document frequencies — the token→id
+    mapping a training pipeline freezes before numericalizing a
+    corpus; truncated to the top-200 ids here (the vocab-size cap
+    every tokenizer applies).
+
+    Scale posture: counting is explode → partial+final (shuffle is one
+    row per distinct token); the id assignment takes the top-V by
+    TakeOrdered (per-partition heaps) and only THEN runs the
+    row_number over V rows — the full vocabulary is never globally
+    sorted. df comes from the same shuffle via countDistinct. An
+    uncapped dictionary at web scale would swap the window for
+    zipWithIndex over a df-sorted write."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    tok = docs.repartition(32, "doc_id").select(
+        "doc_id", F.explode(F.split("text", " ")).alias("word")
+    ).where(F.col("word") != "")
+    vocab = tok.groupBy("word").agg(
+        F.count(F.lit(1)).alias("tf"),
+        F.countDistinct("doc_id").alias("df"),
+    )
+    top = vocab.orderBy(F.desc("tf"), F.asc("word")).limit(200)
+    return (
+        top.withColumn(
+            "token_id",
+            F.row_number().over(Window.orderBy(F.desc("tf"), F.asc("word")))
+            - 1,
+        )
+        .select(
+            F.col("token_id").cast("long").alias("token_id"),
+            "word",
+            F.col("tf").cast("long").alias("tf"),
+            F.col("df").cast("long").alias("df"),
+        )
+        .orderBy("token_id")
+    )

@@ -2130,3 +2130,66 @@ def q196_portable_bloom_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("probe_key")
     )
+
+
+@query(
+    "q203_percentile_disc_vs_cont",
+    oracle="""
+    SELECT c_mktsegment,
+           CAST(count(*) AS BIGINT)                          AS n,
+           round(quantile_cont(c_acctbal, 0.5), 4)           AS p50_cont,
+           round(quantile_disc(c_acctbal, 0.5), 4)           AS p50_disc,
+           round(quantile_cont(c_acctbal, 0.9), 4)           AS p90_cont,
+           round(quantile_disc(c_acctbal, 0.9), 4)           AS p90_disc,
+           round(quantile_cont(c_acctbal, 0.5)
+                 - quantile_disc(c_acctbal, 0.5), 4)         AS p50_gap
+    FROM customer
+    GROUP BY c_mktsegment
+    ORDER BY c_mktsegment
+    """,
+    tags=("aggregation", "quantiles", "statistics", "semantics"),
+)
+def q203_percentile_disc_vs_cont(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERCENTILE_CONT vs PERCENTILE_DISC semantics, side by side per
+    segment: CONT interpolates between the two bracketing order
+    statistics (SQL:2008; Spark's exact ``percentile``), DISC returns
+    the first actual value at-or-above the rank (Spark has no disc
+    aggregate — it is reconstructed EXACTLY as the minimum value whose
+    cume_dist reaches p, via one window pass). The gap column makes
+    the difference auditable — on skewed balances the two medians
+    genuinely differ, and treating one as the other is a silent
+    reporting bug.
+
+    Scale posture: CONT is one partial+final exact-percentile
+    aggregate; the DISC reconstruction shares the segment partition
+    for its cume_dist window. At 100 TB both downgrade to
+    approx_percentile with bounded rank error (q15's posture)."""
+    cust = load_tables(spark, sf_dir)["customer"]
+    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal")
+    with_cd = cust.select(
+        "c_mktsegment",
+        "c_acctbal",
+        F.cume_dist().over(w).alias("cd"),
+    )
+    disc = with_cd.groupBy("c_mktsegment").agg(
+        F.min(F.when(F.col("cd") >= 0.5, F.col("c_acctbal"))).alias("d50"),
+        F.min(F.when(F.col("cd") >= 0.9, F.col("c_acctbal"))).alias("d90"),
+    )
+    cont = cust.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.percentile("c_acctbal", F.lit(0.5)).alias("c50"),
+        F.percentile("c_acctbal", F.lit(0.9)).alias("c90"),
+    )
+    return (
+        cont.join(disc, "c_mktsegment")
+        .select(
+            "c_mktsegment",
+            F.col("n").cast("long").alias("n"),
+            F.round("c50", 4).alias("p50_cont"),
+            F.round("d50", 4).alias("p50_disc"),
+            F.round("c90", 4).alias("p90_cont"),
+            F.round("d90", 4).alias("p90_disc"),
+            F.round(F.col("c50") - F.col("d50"), 4).alias("p50_gap"),
+        )
+        .orderBy("c_mktsegment")
+    )

@@ -1937,3 +1937,94 @@ def q199_decayed_activity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("decayed_score"), F.asc("user_id"))
         .limit(50)
     )
+
+
+@query(
+    "q201_trending_windows",
+    oracle="""
+    WITH win AS (
+        SELECT event_type,
+               time_bucket(INTERVAL '6 hours', ts) AS w_start,
+               count(*) AS n
+        FROM events
+        GROUP BY event_type, time_bucket(INTERVAL '6 hours', ts)
+    ),
+    with_prev AS (
+        SELECT event_type, w_start, n,
+               lag(n) OVER (PARTITION BY event_type ORDER BY w_start) AS prev_n
+        FROM win
+    ),
+    ranked AS (
+        SELECT event_type, w_start, n, prev_n,
+               row_number() OVER (
+                   PARTITION BY w_start
+                   ORDER BY n * 1000 // prev_n DESC, event_type
+               ) AS rn
+        FROM with_prev
+        WHERE prev_n IS NOT NULL AND prev_n > 0 AND n > prev_n
+    )
+    SELECT w_start, event_type,
+           CAST(n AS BIGINT)      AS n,
+           CAST(prev_n AS BIGINT) AS prev_n,
+           round(CAST(n AS DOUBLE) / prev_n, 4) AS growth
+    FROM ranked
+    WHERE rn = 1
+    ORDER BY w_start
+    """,
+    tags=("window", "trending", "timeseries", "ranking"),
+)
+def q201_trending_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trending detection: for every 6-hour window, the event type with
+    the highest count growth over its own previous window (growth > 1
+    required — "trending" means accelerating, not merely big). The
+    ranking key is the INTEGER cross-multiple ``n·1000/prev_n``
+    (integer division, identical on both engines) rather than a float
+    ratio, with event_type as tie-break — the q182/q188 determinism
+    discipline applied to a rank.
+
+    Scale posture: events collapse to (type, window) grain map-side
+    first; the lag runs per type over its own windows and the per
+    -window rank runs over |types| rows — both corpus-size
+    -independent. The streaming twin is this exact frame over q80's
+    tumbling aggregate in update mode."""
+    ev = load_tables(spark, sf_dir)["events"]
+    win = (
+        ev.select(
+            "event_type",
+            F.window("ts", "6 hours").getField("start").alias("w_start"),
+        )
+        .groupBy("event_type", "w_start")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    prev = F.lag("n").over(
+        Window.partitionBy("event_type").orderBy("w_start")
+    )
+    with_prev = win.select("event_type", "w_start", "n", prev.alias("prev_n"))
+    ranked = (
+        with_prev.where(
+            F.col("prev_n").isNotNull()
+            & (F.col("prev_n") > 0)
+            & (F.col("n") > F.col("prev_n"))
+        )
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("w_start").orderBy(
+                    F.desc(F.expr("n * 1000 div prev_n")), F.asc("event_type")
+                )
+            ),
+        )
+    )
+    return (
+        ranked.where(F.col("rn") == 1)
+        .select(
+            "w_start",
+            "event_type",
+            F.col("n").cast("long").alias("n"),
+            F.col("prev_n").cast("long").alias("prev_n"),
+            F.round(F.col("n").cast("double") / F.col("prev_n"), 4).alias(
+                "growth"
+            ),
+        )
+        .orderBy("w_start")
+    )
