@@ -21,6 +21,8 @@ groups).
 
 from __future__ import annotations
 
+from collections.abc import Iterator
+
 import numpy as np
 import pandas as pd
 
@@ -307,4 +309,100 @@ def q161_grouped_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
             "user_id long, n_events long, last_value double, ewma_last double",
         )
         .orderBy("user_id")
+    )
+
+
+@query(
+    "q204_scalar_iter_udf",
+    oracle="""
+    SELECT doc_id,
+           round(1.0 / (1.0 + exp(-(n_chars - 500) / 200.0)), 6) AS size_score
+    FROM documents
+    WHERE doc_id < 100
+    ORDER BY doc_id
+    """,
+    tags=("udf", "pandas", "iterator", "arrow"),
+)
+def q204_scalar_iter_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterator-of-Series pandas UDF (SCALAR_ITER): the UDF variant for
+    per-executor amortization — expensive initialization (model load,
+    compiled automaton, lookup table) runs ONCE per Python worker and
+    is reused across every Arrow batch streamed through the iterator,
+    instead of once per batch as a plain scalar UDF would. Here the
+    "model" is a sigmoid document-size scorer; the oracle recomputes
+    the identical closed form, proving the batched path is
+    value-transparent.
+
+    Scale posture: Arrow-columnar transfer per batch, numpy-vectorized
+    inside; state amortized O(workers), not O(batches). This, q93
+    (scalar), q94 (grouped map), q95 (grouped agg), q49 (UDTF), and
+    q205 (mapInArrow) complete the Python-crossing surface of SURVEY
+    §2.2j."""
+    @pandas_udf(DoubleType())
+    def size_score(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        # "Expensive" init, once per worker — NOT per batch.
+        center, scale = 500.0, 200.0
+        for s in batches:
+            yield pd.Series(
+                1.0 / (1.0 + np.exp(-(s.to_numpy(dtype="float64") - center) / scale))
+            )
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    return (
+        docs.where(F.col("doc_id") < 100)
+        .select("doc_id", F.round(size_score(F.col("n_chars")), 6).alias("size_score"))
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "q205_arrow_batch_norms",
+    oracle="""
+    SELECT vec_id,
+           round(sqrt(list_dot_product(
+               list_transform(embedding, x -> CAST(x AS DOUBLE)),
+               list_transform(embedding, x -> CAST(x AS DOUBLE)))), 6) AS l2_norm
+    FROM embeddings
+    WHERE vec_id < 100
+    ORDER BY vec_id
+    """,
+    tags=("udf", "arrow", "embedding", "vectorized"),
+)
+def q205_arrow_batch_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``mapInArrow``: the zero-copy batch interface — the UDF receives
+    raw ``pyarrow.RecordBatch``es (no pandas conversion at all) and
+    emits RecordBatches, the lowest-overhead Python crossing Spark has.
+    Embedding L2 norms computed with numpy over the Arrow buffers; the
+    oracle recomputes them with DuckDB list arithmetic.
+
+    Scale posture: for wide array columns the pandas bridge pays a
+    Series-of-lists materialization per batch; Arrow hands the same
+    buffers over pointer-style. This is the interface multimodal
+    decode stubs (q92/q147/q164) would use with real codecs at 100 TB.
+    Float32 values are widened to float64 BEFORE the dot product on
+    both engines, so the only cross-engine noise is summation order —
+    absorbed by round(6)."""
+    from collections.abc import Iterator
+
+    import pyarrow as pa
+
+    def norms(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        import numpy as np
+
+        for batch in batches:
+            ids = batch.column("vec_id")
+            emb = batch.column("embedding")
+            mat = np.array(emb.to_pylist(), dtype=np.float64)
+            l2 = np.sqrt((mat * mat).sum(axis=1)) if len(mat) else np.zeros(0)
+            yield pa.RecordBatch.from_arrays(
+                [ids, pa.array(l2, type=pa.float64())],
+                names=["vec_id", "l2_norm"],
+            )
+
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    out = emb.where(F.col("vec_id") < 100).select("vec_id", "embedding")
+    return (
+        out.mapInArrow(norms, "vec_id long, l2_norm double")
+        .select("vec_id", F.round("l2_norm", 6).alias("l2_norm"))
+        .orderBy("vec_id")
     )
