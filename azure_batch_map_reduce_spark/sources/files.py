@@ -518,3 +518,78 @@ def _register_bad_records() -> None:
 
 
 _register_bad_records()
+
+
+def _register_dpp() -> None:
+    import os
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from azure_batch_map_reduce_spark.catalog import load_tables
+    from azure_batch_map_reduce_spark.registry import query
+
+    @query(
+        "q206_dynamic_partition_pruning",
+        oracle="""
+        SELECT o_orderpriority,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               round(sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0, 2)
+                   AS revenue
+        FROM orders
+        WHERE year(o_orderdate) IN (1994, 1997)
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
+        """,
+        tags=("source", "partitioning", "dpp", "pruning", "join"),
+    )
+    def q206_dynamic_partition_pruning(spark, sf_dir):
+        """Dynamic partition pruning: the fact table is laid out
+        partitioned by order year; the year filter lives ONLY on the
+        dimension side of a join, yet Spark injects a runtime
+        DynamicPruningSubquery into the fact scan so non-matching
+        partition DIRECTORIES are never even listed — the at-rest
+        counterpart of q196's runtime bloom filter (which prunes rows
+        in flight; DPP prunes files before the scan). The plan shape
+        is pinned in test_plans.py.
+
+        The dimension predicate must be statistically selective (an
+        IN-list here) — Spark's PartitionPruning rule ignores bare
+        boolean attributes; that subtlety is exactly why the plan
+        assertion exists.
+
+        Scale posture: at 100 TB with a date-partitioned fact, DPP is
+        the difference between scanning 3 of 2,500 daily partitions
+        and scanning all of them — the single biggest I/O lever a
+        star-schema layout has. The build writes the partitioned copy
+        per call at fixture scale; a real deployment reads the
+        already-partitioned table."""
+        orders = load_tables(spark, sf_dir)["orders"]
+        d = tempfile.mkdtemp(prefix="abmr-dpp-")
+        fact_dir, dim_dir = os.path.join(d, "fact"), os.path.join(d, "dim")
+        orders.withColumn("order_year", F.year("o_orderdate")).write.partitionBy(
+            "order_year"
+        ).mode("overwrite").parquet(fact_dir)
+        spark.range(1992, 2002).select(
+            F.col("id").cast("int").alias("y"),
+            F.concat(F.lit("Y"), F.col("id")).alias("year_name"),
+        ).write.mode("overwrite").parquet(dim_dir)
+
+        fact = spark.read.parquet(fact_dir)
+        dim = spark.read.parquet(dim_dir).where(F.col("y").isin(1994, 1997))
+        return (
+            fact.join(dim, fact["order_year"] == dim["y"])
+            .groupBy("o_orderpriority")
+            .agg(
+                F.count(F.lit(1)).alias("n_orders"),
+                F.round(
+                    F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+                    / 100.0,
+                    2,
+                ).alias("revenue"),
+            )
+            .orderBy("o_orderpriority")
+        )
+
+
+_register_dpp()

@@ -440,3 +440,11 @@ def test_runtime_bloom_filter_injects_on_shuffle_join(spark, sf_dir):
             "applicationSideScanSizeThreshold",
             prev_scan,
         )
+
+
+def test_dpp_injects_runtime_partition_filter(spark, sf_dir):
+    """q206: the year predicate sits on the dim side only; the fact
+    scan must carry a dynamicpruning PartitionFilter (files of
+    non-matching years never listed)."""
+    plan = plan_of(REGISTRY["q206_dynamic_partition_pruning"].fn(spark, sf_dir))
+    assert "dynamicpruning" in plan.lower()
