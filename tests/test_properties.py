@@ -231,3 +231,79 @@ def test_priority_sample_consistent_under_growth(spark, ids, k):
     # Every subset member that survives the full-corpus cut must appear
     # in the subset's own sample.
     assert set(full_top) & sub_ids <= set(sub_top)
+
+
+@given(keys=st.lists(st.integers(min_value=0, max_value=10_000), min_size=1, max_size=40, unique=True))
+@settings(**SETTINGS)
+def test_bloom_filter_has_no_false_negatives(spark, keys):
+    """q196's Bloom construction: every inserted key must test present —
+    false positives are allowed, false negatives never (the property
+    that makes a Bloom prefilter safe for anti-join pruning)."""
+    from pyspark.sql import functions as F
+
+    def pos(i, col):
+        return (
+            F.conv(
+                F.substring(F.md5(F.concat(F.lit(f"bloom{i}|"), col.cast("string"))), 1, 8),
+                16, 10,
+            ).cast("long") % 256
+        )
+
+    kdf = spark.createDataFrame([(k,) for k in keys], "k long")
+    bits = None
+    for i in range(1, 5):
+        b = kdf.select(pos(i, F.col("k")).alias("pos"))
+        bits = b if bits is None else bits.unionAll(b)
+    words = bits.groupBy((F.col("pos") / 32).cast("long").alias("w")).agg(
+        F.expr("bit_or(shiftleft(cast(1 as bigint), cast(pos % 32 as int)))").alias("mask")
+    )
+    probe_bits = None
+    for i in range(1, 5):
+        b = kdf.select(F.col("k").alias("probe_key"), pos(i, F.col("k")).alias("pos"))
+        probe_bits = b if probe_bits is None else probe_bits.unionAll(b)
+    checked = (
+        probe_bits.join(F.broadcast(words), (F.col("pos") / 32).cast("long") == F.col("w"), "left")
+        .select(
+            "probe_key",
+            (F.coalesce(F.expr("shiftright(mask, cast(pos % 32 as int)) & 1"), F.lit(0)) == 1).alias("bit_set"),
+        )
+        .groupBy("probe_key")
+        .agg(F.bool_and("bit_set").alias("predicted"))
+    )
+    assert checked.where(~F.col("predicted")).count() == 0
+
+
+@given(rows=rows_st)
+@settings(**SETTINGS)
+def test_debounce_leaders_bound_burst_count(spark, rows):
+    """q198's lag-threshold debounce, algebraically: leaders per key are
+    at least 1 (any nonempty key has a first event) and at most the
+    event count; and with a 0-second threshold EVERY event leads (the
+    identity edge case)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    if not rows:
+        return
+    df = spark.createDataFrame(
+        [Row(k=k, sec=abs(v), eid=i) for i, (k, v, _t) in enumerate(rows)],
+        "k int, sec int, eid int",
+    )
+    w = Window.partitionBy("k").orderBy("sec", "eid")
+    gap = F.col("sec") - F.lag("sec").over(w)
+    for threshold, expect_all in ((0, True), (5, False)):
+        flagged = df.select(
+            "k",
+            F.when(F.lag("sec").over(w).isNull() | (gap >= threshold), 1)
+            .otherwise(0)
+            .alias("lead"),
+        )
+        agg = flagged.groupBy("k").agg(
+            F.count(F.lit(1)).alias("n"), F.sum("lead").alias("leaders")
+        )
+        bad = agg.where(
+            (F.col("leaders") < 1) | (F.col("leaders") > F.col("n"))
+        ).count()
+        assert bad == 0
+        if expect_all:
+            assert agg.where(F.col("leaders") != F.col("n")).count() == 0
