@@ -411,3 +411,63 @@ def q101_corrupt_tolerant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(bad.cast("bigint")).alias("n_corrupt"),
         F.sum(F.when(~bad, F.col("p.id"))).alias("id_checksum"),
     )
+
+
+@query(
+    "q207_try_functions",
+    oracle="""
+    WITH t AS (
+        SELECT l_orderkey, l_linenumber, l_quantity, l_discount,
+               CASE WHEN l_discount = 0 THEN NULL
+                    ELSE l_extendedprice / l_discount END          AS per_disc,
+               TRY_CAST('x' || CAST(l_linenumber AS VARCHAR) AS INTEGER) AS bad_parse,
+               TRY_CAST(CAST(l_linenumber AS VARCHAR) AS INTEGER)  AS good_parse
+        FROM lineitem
+        WHERE l_orderkey < 200
+    )
+    SELECT CAST(count(*) AS BIGINT)                       AS n_rows,
+           CAST(count(per_disc) AS BIGINT)                AS n_divisible,
+           CAST(count(bad_parse) AS BIGINT)               AS n_bad_parsed,
+           CAST(count(good_parse) AS BIGINT)              AS n_good_parsed,
+           round(sum(per_disc), 2)                        AS sum_per_disc
+    FROM t
+    """,
+    tags=("scalar", "ansi", "error-handling", "try"),
+)
+def q207_try_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI-mode error containment with the ``try_*`` family: under
+    Spark 4's ANSI default, division by zero and bad casts ABORT the
+    job (the right default at 100 TB — a wrapped overflow is silent
+    corruption); ``try_divide``/``try_cast`` opt individual
+    expressions back into NULL-on-error semantics, so one dirty value
+    poisons one cell, not the batch. The discount=0 rows and the
+    unparseable strings are the in-fixture dirty values; counts prove
+    exactly which cells nulled out.
+
+    DuckDB divides to NULL differently (it errors too; its oracle uses
+    an explicit NULLIF guard and TRY_CAST), so the oracle documents
+    the portable SQL equivalent of each try_ function.
+
+    Scale posture: all map-side scalar work; the containment property
+    is what matters — a quarantine filter on ``per_disc IS NULL``
+    routes dirty rows aside exactly as q197 does for corrupt CSV."""
+    li = load_tables(spark, sf_dir)["lineitem"].where(F.col("l_orderkey") < 200)
+    t = li.select(
+        F.try_divide(F.col("l_extendedprice"), F.col("l_discount")).alias(
+            "per_disc"
+        ),
+        F.try_to_number(
+            F.concat(F.lit("x"), F.col("l_linenumber").cast("string")),
+            F.lit("999"),
+        ).cast("int").alias("bad_parse"),
+        F.try_to_number(
+            F.col("l_linenumber").cast("string"), F.lit("999")
+        ).cast("int").alias("good_parse"),
+    )
+    return t.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("per_disc").alias("n_divisible"),
+        F.count("bad_parse").alias("n_bad_parsed"),
+        F.count("good_parse").alias("n_good_parsed"),
+        F.round(F.sum("per_disc"), 2).alias("sum_per_disc"),
+    )

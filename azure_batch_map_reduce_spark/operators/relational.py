@@ -2193,3 +2193,47 @@ def q203_percentile_disc_vs_cont(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_mktsegment")
     )
+
+
+@query(
+    "q208_histogram_2d",
+    oracle="""
+    SELECT CAST(floor(l_quantity / 10) AS INTEGER)        AS qty_bin,
+           CAST(round(l_discount * 100) AS INTEGER) // 2  AS disc_bin,
+           CAST(count(*) AS BIGINT)                       AS n,
+           round(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) / 100.0, 2)
+               AS revenue
+    FROM lineitem
+    GROUP BY 1, 2
+    ORDER BY qty_bin, disc_bin
+    """,
+    tags=("aggregation", "histogram", "profiling"),
+)
+def q208_histogram_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D histogram: lineitem binned jointly by quantity decade and
+    discount percentage pair — the joint-distribution heatmap feed
+    that reveals correlations a pair of 1-D histograms (q106/q120)
+    cannot (e.g. discounts concentrated on bulk orders). Bin edges are
+    integer arithmetic on exact cents/units, identical on both
+    engines.
+
+    Scale posture: the purest partial+final shape there is — map-side
+    binning into a bounded (|qty bins| × |disc bins|) key space means
+    the shuffle carries only the aggregate states; this plan is
+    unchanged at any corpus size."""
+    li = load_tables(spark, sf_dir)["lineitem"]
+    return (
+        li.select(
+            F.floor(F.col("l_quantity") / 10).cast("int").alias("qty_bin"),
+            F.expr(
+                "cast(cast(round(l_discount * 100) as int) div 2 as int)"
+            ).alias("disc_bin"),
+            F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents"),
+        )
+        .groupBy("qty_bin", "disc_bin")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("cents") / 100.0, 2).alias("revenue"),
+        )
+        .orderBy("qty_bin", "disc_bin")
+    )
