@@ -44,6 +44,12 @@ HEADLINE = [
     "q155_interval_concurrency",
     "q156_portable_hll",
     "q158_heavy_hitters",
+    "q180_order_count_distribution",
+    "q182_rolling_corr",
+    "q188_rate_alert_baseline",
+    "q190_hybrid_rrf_retrieval",
+    "q202_vocab_dictionary",
+    "q208_histogram_2d",
 ]
 
 
