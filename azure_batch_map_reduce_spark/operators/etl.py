@@ -1007,3 +1007,66 @@ def q200_schema_contract_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         "col_name string, expected_type string, actual_type string,"
         " present boolean, type_ok boolean",
     ).orderBy("col_name")
+
+
+@query(
+    "q209_forget_users",
+    oracle="""
+    WITH requests AS (
+        SELECT DISTINCT user_id FROM events WHERE user_id % 97 = 13
+    ),
+    purged AS (
+        SELECT e.* FROM events e
+        WHERE NOT EXISTS (SELECT 1 FROM requests r WHERE r.user_id = e.user_id)
+    )
+    SELECT e.event_type,
+           CAST(count(*) AS BIGINT)                         AS rows_before,
+           CAST((SELECT count(*) FROM purged p
+                 WHERE p.event_type = e.event_type) AS BIGINT) AS rows_after,
+           CAST(count(*) - (SELECT count(*) FROM purged p
+                 WHERE p.event_type = e.event_type) AS BIGINT) AS rows_purged,
+           CAST((SELECT count(*) FROM purged p JOIN requests r
+                 ON p.user_id = r.user_id) AS BIGINT)       AS remnants
+    FROM events e
+    GROUP BY e.event_type
+    ORDER BY e.event_type
+    """,
+    tags=("etl", "deletion", "compliance", "anti-join"),
+)
+def q209_forget_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deletion-request propagation (the right-to-be-forgotten purge):
+    a request set of user ids is anti-joined out of the events table,
+    with a per-type before/after/purged audit and a REMNANTS column —
+    the independent count of surviving rows that still match any
+    requested id, which must be zero and is recomputed from the purged
+    result rather than assumed. Purge-and-prove, not purge-and-hope.
+
+    Scale posture: the request set is dimension-sized → broadcast
+    LEFT ANTI join, fact never shuffles. On a partitioned lake the
+    same anti-join drives a partition-scoped rewrite (only files
+    containing matches are rewritten — pair with q206's pruning to
+    find them); the audit aggregates are one partial+final pass each
+    over before and after."""
+    ev = load_tables(spark, sf_dir)["events"]
+    requests = ev.where(F.col("user_id") % 97 == 13).select("user_id").distinct()
+    purged = ev.join(F.broadcast(requests), "user_id", "left_anti")
+    before = ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("rows_before"))
+    after = purged.groupBy("event_type").agg(F.count(F.lit(1)).alias("rows_after"))
+    remnants = (
+        purged.join(F.broadcast(requests), "user_id", "left_semi")
+        .agg(F.count(F.lit(1)).alias("remnants"))
+    )
+    return (
+        before.join(after, "event_type", "left")
+        .crossJoin(F.broadcast(remnants))
+        .select(
+            "event_type",
+            F.col("rows_before").cast("long").alias("rows_before"),
+            F.coalesce(F.col("rows_after"), F.lit(0)).cast("long").alias("rows_after"),
+            (F.col("rows_before") - F.coalesce(F.col("rows_after"), F.lit(0)))
+            .cast("long")
+            .alias("rows_purged"),
+            F.col("remnants").cast("long").alias("remnants"),
+        )
+        .orderBy("event_type")
+    )
