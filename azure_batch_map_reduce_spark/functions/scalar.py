@@ -471,3 +471,54 @@ def q207_try_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("good_parse").alias("n_good_parsed"),
         F.round(F.sum("per_disc"), 2).alias("sum_per_disc"),
     )
+
+
+@query(
+    "q210_variant_semistructured",
+    oracle="""
+    WITH v AS (
+        SELECT event_type,
+               TRY_CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
+        FROM events
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT)  AS n_events,
+           CAST(count(k) AS BIGINT)  AS n_with_k,
+           CAST(sum(k) AS BIGINT)    AS sum_k,
+           CAST(min(k) AS INTEGER)   AS min_k,
+           CAST(max(k) AS INTEGER)   AS max_k
+    FROM v
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    tags=("scalar", "json", "variant", "semistructured"),
+)
+def q210_variant_semistructured(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VARIANT-typed semi-structured handling (Spark 4): ``parse_json``
+    ingests the raw JSON string ONCE into the binary variant encoding,
+    and typed paths come out via ``try_variant_get`` — no up-front
+    schema, unlike q45's ``from_json(schema)``, and no re-parse per
+    extracted field, unlike chained ``get_json_object`` calls. This is
+    the schema-flexible lane for payloads whose shape drifts; q45/q58
+    remain the schema-pinned fast lane.
+
+    Scale posture: variant parse+extract is map-side columnar work;
+    at 100 TB the win is storing the PARSED variant column so every
+    downstream query skips string parsing entirely (shred-on-write).
+    The rollup is bounded-key partial+final."""
+    ev = load_tables(spark, sf_dir)["events"]
+    v = ev.select(
+        "event_type",
+        F.try_variant_get(F.parse_json(F.col("props")), "$.k", "int").alias("k"),
+    )
+    return (
+        v.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.count("k").alias("n_with_k"),
+            F.sum("k").cast("long").alias("sum_k"),
+            F.min("k").cast("int").alias("min_k"),
+            F.max("k").cast("int").alias("max_k"),
+        )
+        .orderBy("event_type")
+    )
