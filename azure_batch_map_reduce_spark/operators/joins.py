@@ -692,3 +692,132 @@ def q185_shuffle_hash_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("revenue"), F.asc("p_brand"))
     )
+
+
+_GRID_R = 0.02  # radius; also the grid cell size
+
+
+def _unit_coord_sql(salt: str, key: str) -> str:
+    """Deterministic uniform [0,1) coordinate from a salted md5 prefix —
+    the same 32-bit integer division on both engines (no float keys)."""
+    return (
+        f"(('0x' || substr(md5('{salt}|' || CAST({key} AS VARCHAR)), 1, 8))"
+        f"::BIGINT / 4294967296.0)"
+    )
+
+
+@query(
+    "q211_spatial_grid_join",
+    oracle=f"""
+    WITH cust AS (
+        SELECT c_custkey, c_nationkey,
+               {_unit_coord_sql('px', 'c_custkey')} AS x,
+               {_unit_coord_sql('py', 'c_custkey')} AS y
+        FROM customer
+    ),
+    supp AS (
+        SELECT s_suppkey,
+               {_unit_coord_sql('qx', 's_suppkey')} AS x,
+               {_unit_coord_sql('qy', 's_suppkey')} AS y
+        FROM supplier
+    ),
+    pairs AS (
+        SELECT c.c_nationkey, c.c_custkey, s.s_suppkey,
+               (c.x - s.x) * (c.x - s.x) + (c.y - s.y) * (c.y - s.y) AS d2
+        FROM cust c JOIN supp s
+          ON abs(floor(c.x / {_GRID_R}) - floor(s.x / {_GRID_R})) <= 1
+         AND abs(floor(c.y / {_GRID_R}) - floor(s.y / {_GRID_R})) <= 1
+        WHERE (c.x - s.x) * (c.x - s.x) + (c.y - s.y) * (c.y - s.y)
+              <= {_GRID_R} * {_GRID_R}
+    )
+    SELECT c_nationkey,
+           CAST(count(*) AS BIGINT)           AS n_pairs,
+           CAST(count(DISTINCT c_custkey) AS BIGINT) AS n_customers,
+           round(min(sqrt(d2)), 6)            AS closest
+    FROM pairs
+    GROUP BY c_nationkey
+    ORDER BY c_nationkey
+    """,
+    tags=("join", "spatial", "grid", "range"),
+)
+def q211_spatial_grid_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed spatial radius join via grid bucketing: customers
+    and suppliers get deterministic synthetic unit-square coordinates
+    (salted-hash uniforms — the fixture has no geo columns; the
+    OPERATOR is the point); each point lands in an r-sized grid cell,
+    candidate pairs come from a 3×3 neighbor-cell equi-join (one
+    side explodes its 9 neighbor cells), and the exact Euclidean
+    radius predicate verifies candidates. The oracle runs the same
+    construction as a theta join.
+
+    This is the standard "spatial join without a spatial index"
+    pattern: the grid turns an O(n·m) distance cross-join into
+    per-cell locality, exactly how the prefix filter (q150) turns the
+    similarity cross-join into per-token locality.
+
+    Scale posture: the EXPLODED side carries 9 rows per point keyed by
+    cell — the shuffle is an equi-join on cell ids with bounded
+    per-cell fan-in (cell size = radius caps candidates per cell);
+    no nested-loop join ever forms. Skewed cells (a city) salt like
+    any hot key (q19)."""
+    t = load_tables(spark, sf_dir)
+
+    def coord(salt: str, col):
+        return (
+            F.conv(
+                F.substring(F.md5(F.concat(F.lit(f"{salt}|"), col.cast("string"))), 1, 8),
+                16,
+                10,
+            ).cast("long")
+            / F.lit(4294967296.0)
+        )
+
+    r = F.lit(_GRID_R)
+    cust = t["customer"].select(
+        "c_custkey",
+        "c_nationkey",
+        coord("px", F.col("c_custkey")).alias("x"),
+        coord("py", F.col("c_custkey")).alias("y"),
+    ).select(
+        "*",
+        F.floor(F.col("x") / r).alias("cx"),
+        F.floor(F.col("y") / r).alias("cy"),
+    )
+    supp = t["supplier"].select(
+        "s_suppkey",
+        coord("qx", F.col("s_suppkey")).alias("sx"),
+        coord("qy", F.col("s_suppkey")).alias("sy"),
+    ).select(
+        "*",
+        F.floor(F.col("sx") / r).alias("scx"),
+        F.floor(F.col("sy") / r).alias("scy"),
+    )
+    # One side fans out to its 9 neighbor cells → pure equi-join keys.
+    neighbors = supp.select(
+        "*",
+        F.explode(
+            F.expr(
+                "flatten(transform(sequence(-1, 1), dx ->"
+                " transform(sequence(-1, 1), dy ->"
+                " struct(scx + dx AS ncx, scy + dy AS ncy))))"
+            )
+        ).alias("nc"),
+    ).select("s_suppkey", "sx", "sy", F.col("nc.ncx").alias("ncx"), F.col("nc.ncy").alias("ncy"))
+    d2 = (F.col("x") - F.col("sx")) ** 2 + (F.col("y") - F.col("sy")) ** 2
+    pairs = (
+        cust.join(
+            neighbors,
+            (F.col("cx") == F.col("ncx")) & (F.col("cy") == F.col("ncy")),
+        )
+        .where(d2 <= F.lit(_GRID_R * _GRID_R))
+        .select("c_nationkey", "c_custkey", d2.alias("d2"))
+    )
+    return (
+        pairs.groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.countDistinct("c_custkey").alias("n_customers"),
+            F.round(F.sqrt(F.min("d2")), 6).alias("closest"),
+        )
+        .orderBy("c_nationkey")
+    )
