@@ -821,3 +821,90 @@ def q211_spatial_grid_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_nationkey")
     )
+
+
+@query(
+    "q212_item_cf_cosine",
+    oracle="""
+    WITH baskets AS (
+        SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    item_n AS (
+        SELECT l_partkey, count(*) AS n FROM baskets GROUP BY l_partkey
+    ),
+    pairs AS (
+        SELECT a.l_partkey AS pa, b.l_partkey AS pb, count(*) AS n_ab
+        FROM baskets a JOIN baskets b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY a.l_partkey, b.l_partkey
+        HAVING count(*) >= 3
+    )
+    SELECT p.pa, p.pb,
+           CAST(p.n_ab AS BIGINT) AS n_ab,
+           CAST(na.n AS BIGINT)   AS n_a,
+           CAST(nb.n AS BIGINT)   AS n_b,
+           round(p.n_ab / sqrt(CAST(na.n AS DOUBLE) * nb.n), 6) AS cosine
+    FROM pairs p
+    JOIN item_n na ON p.pa = na.l_partkey
+    JOIN item_n nb ON p.pb = nb.l_partkey
+    ORDER BY cosine DESC, p.pa, p.pb
+    LIMIT 20
+    """,
+    tags=("join", "recommender", "cooccurrence", "similarity"),
+)
+def q212_item_cf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Item-item collaborative filtering: cosine similarity between
+    parts from order-basket co-occurrence (n_ab / √(n_a·n_b)), top-20
+    pairs with a ≥3-basket support floor — the classic
+    "customers who bought X also bought Y" neighborhood model, built
+    from counts alone (q136's lift is the independence-test view of
+    the same pair counts; cosine is the recommender's ranking view).
+
+    Determinism: cosine ranks by a round(6) value computed from exact
+    integer counts with (pa, pb) tie-breaks.
+
+    Scale posture: the pair generation self-joins baskets on order id —
+    fan-in per order is basket size, so pairs grow as Σ k²/2 per
+    basket, NOT |items|²; the support floor prunes the long tail
+    before the item-count joins (aggregate-below-join on both).
+    Ubiquitous items are the hazard (a k-item basket emits k-1 pairs
+    per hot item): at 100 TB, cap or downsample items whose basket
+    count exceeds a frequency ceiling first — they carry no ranking
+    signal anyway."""
+    li = load_tables(spark, sf_dir)["lineitem"]
+    baskets = li.select("l_orderkey", "l_partkey").distinct()
+    item_n = baskets.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n"))
+    a = baskets.alias("a")
+    b = baskets.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("pa"), F.col("b.l_partkey").alias("pb")
+        )
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .where(F.col("n_ab") >= 3)
+    )
+    na = item_n.select(F.col("l_partkey").alias("pa"), F.col("n").alias("n_a"))
+    nb = item_n.select(F.col("l_partkey").alias("pb"), F.col("n").alias("n_b"))
+    return (
+        pairs.join(na, "pa")
+        .join(nb, "pb")
+        .select(
+            "pa",
+            "pb",
+            F.col("n_ab").cast("long").alias("n_ab"),
+            F.col("n_a").cast("long").alias("n_a"),
+            F.col("n_b").cast("long").alias("n_b"),
+            F.round(
+                F.col("n_ab")
+                / F.sqrt(F.col("n_a").cast("double") * F.col("n_b")),
+                6,
+            ).alias("cosine"),
+        )
+        .orderBy(F.desc("cosine"), F.asc("pa"), F.asc("pb"))
+        .limit(20)
+    )

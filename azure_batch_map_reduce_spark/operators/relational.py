@@ -2237,3 +2237,83 @@ def q208_histogram_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("qty_bin", "disc_bin")
     )
+
+
+@query(
+    "q213_date_spine",
+    oracle="""
+    WITH bounds AS (
+        SELECT date_trunc('day', min(o_orderdate)) AS lo,
+               date_trunc('day', max(o_orderdate)) AS hi
+        FROM orders
+    ),
+    spine AS (
+        SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS d FROM bounds
+    ),
+    daily AS (
+        SELECT date_trunc('day', o_orderdate) AS d,
+               count(*) AS n_orders,
+               sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
+        FROM orders
+        GROUP BY date_trunc('day', o_orderdate)
+    )
+    SELECT date_trunc('month', s.d) AS month,
+           CAST(count(*) AS BIGINT) AS n_days,
+           CAST(sum(CASE WHEN daily.d IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS zero_order_days,
+           CAST(coalesce(sum(daily.n_orders), 0) AS BIGINT) AS n_orders,
+           round(coalesce(sum(daily.cents), 0) / 100.0, 2)  AS revenue
+    FROM spine s LEFT JOIN daily ON s.d = daily.d
+    GROUP BY date_trunc('month', s.d)
+    ORDER BY month
+    """,
+    tags=("timeseries", "calendar", "spine", "outer"),
+)
+def q213_date_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date-spine densification: generate the CONTINUOUS calendar
+    between the first and last order dates (``sequence`` — the
+    warehouse "date dimension" built on the fly), left-join daily
+    aggregates onto it, and report per month how many calendar days
+    had zero orders — the silence a plain GROUP BY day can never show,
+    and the difference between "no row" and "zero" every reporting
+    layer trips over. Complements q104's gap-fill (which interpolates
+    values; the spine exposes the gaps themselves).
+
+    Scale posture: the spine is |days| rows generated from a 1-row
+    bounds aggregate — broadcast onto the daily rollup; orders
+    collapse to day grain map-side before any join. Day/month columns
+    stay TIMESTAMPs (DATE-typed results normalize differently across
+    engines — see the verify-skill trap)."""
+    orders = load_tables(spark, sf_dir)["orders"]
+    bounds = orders.agg(
+        F.date_trunc("day", F.min("o_orderdate")).alias("lo"),
+        F.date_trunc("day", F.max("o_orderdate")).alias("hi"),
+    )
+    spine = bounds.select(
+        F.explode(
+            F.sequence("lo", "hi", F.expr("INTERVAL 1 DAY"))
+        ).alias("d")
+    )
+    daily = (
+        orders.select(
+            F.date_trunc("day", F.col("o_orderdate")).alias("d"),
+            F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        )
+        .groupBy("d")
+        .agg(F.count(F.lit(1)).alias("n_orders"), F.sum("cents").alias("cents"))
+    )
+    joined = spine.join(daily, "d", "left")
+    return (
+        joined.groupBy(F.date_trunc("month", F.col("d")).alias("month"))
+        .agg(
+            F.count(F.lit(1)).alias("n_days"),
+            F.sum(F.col("n_orders").isNull().cast("long")).alias(
+                "zero_order_days"
+            ),
+            F.coalesce(F.sum("n_orders"), F.lit(0)).cast("long").alias("n_orders"),
+            F.round(F.coalesce(F.sum("cents"), F.lit(0)) / 100.0, 2).alias(
+                "revenue"
+            ),
+        )
+        .orderBy("month")
+    )
