@@ -29,6 +29,7 @@ import pandas as pd
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from azure_batch_map_reduce_spark.catalog import load_tables
 from azure_batch_map_reduce_spark.plans.mapreduce import file_source
 from azure_batch_map_reduce_spark.registry import query
 
@@ -347,3 +348,65 @@ def q164_vad_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         "asset_id string, n_frames long, n_voiced long, n_segments long, "
         "longest_segment long, voiced_ratio double",
     ).orderBy("asset_id")
+
+
+@query(
+    "q214_modality_alignment",
+    oracle="""
+    WITH d AS (SELECT doc_id, source FROM documents),
+    e AS (SELECT vec_id FROM embeddings)
+    SELECT d.source,
+           CAST(count(*) AS BIGINT)                           AS n_docs,
+           CAST(sum(CASE WHEN e.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_embedded,
+           CAST(sum(CASE WHEN e.vec_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_missing_embedding,
+           CAST((SELECT count(*) FROM e
+                 WHERE NOT EXISTS (SELECT 1 FROM d WHERE d.doc_id = e.vec_id))
+                AS BIGINT)                                    AS orphan_embeddings
+    FROM d LEFT JOIN e ON d.doc_id = e.vec_id
+    GROUP BY d.source
+    ORDER BY d.source
+    """,
+    tags=("multimodal", "quality", "alignment", "audit"),
+)
+def q214_modality_alignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-modality alignment audit: every document should have an
+    embedding row (doc_id = vec_id) and every embedding should have a
+    document — per-source coverage counts plus the global orphan
+    -embedding count (computed independently via anti-join, same
+    purge-and-prove discipline as q209). A multimodal training
+    pipeline runs exactly this before pairing modalities: silent
+    misalignment becomes mislabeled training pairs, the worst kind of
+    data bug.
+
+    Scale posture: one outer join at id grain; for the audit-only
+    counts both sides could pre-aggregate, but the row-level join IS
+    the alignment being tested. At lake scale both tables bucket by
+    the shared id (write_bucketed) and this join is shuffle-free."""
+    t = load_tables(spark, sf_dir)
+    d = t["documents"].select("doc_id", "source")
+    e = t["embeddings"].select("vec_id")
+    orphans = e.join(
+        d.select(F.col("doc_id").alias("vec_id")), "vec_id", "left_anti"
+    ).agg(F.count(F.lit(1)).alias("orphan_embeddings"))
+    return (
+        d.join(e, d["doc_id"] == e["vec_id"], "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.col("vec_id").isNotNull().cast("long")).alias("n_embedded"),
+            F.sum(F.col("vec_id").isNull().cast("long")).alias(
+                "n_missing_embedding"
+            ),
+        )
+        .crossJoin(F.broadcast(orphans))
+        .select(
+            "source",
+            "n_docs",
+            "n_embedded",
+            "n_missing_embedding",
+            F.col("orphan_embeddings").cast("long").alias("orphan_embeddings"),
+        )
+        .orderBy("source")
+    )
