@@ -1225,3 +1225,85 @@ def q202_vocab_dictionary(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("token_id")
     )
+
+
+@query(
+    "q215_token_offsets",
+    oracle="""
+    WITH tok AS (
+        SELECT doc_id, text,
+               unnest(string_split(text, ' ')) AS word,
+               generate_subscripts(string_split(text, ' '), 1) AS pos
+        FROM documents
+        WHERE doc_id < 50
+    ),
+    offs AS (
+        SELECT doc_id, text, word, pos,
+               CAST(coalesce(sum(length(word) + 1) OVER (
+                   PARTITION BY doc_id ORDER BY pos
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ), 0) AS BIGINT) AS start_off
+        FROM tok
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT)                          AS n_tokens,
+           bool_and(substr(text, CAST(start_off + 1 AS INTEGER),
+                           length(word)) = word)             AS offsets_valid,
+           CAST(max(start_off + length(word)) AS BIGINT)     AS last_end,
+           CAST(max(length(text)) AS BIGINT)                 AS text_len
+    FROM offs
+    GROUP BY doc_id
+    ORDER BY doc_id
+    """,
+    tags=("text", "spans", "offsets", "annotation"),
+)
+def q215_token_offsets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token span offsets: every token gets its exact (start, end)
+    character offsets via a running length sum — the span table an
+    annotation/NER pipeline aligns labels against. SELF-VERIFYING: the
+    result re-slices the original text at each computed offset and
+    proves it reproduces the token (``offsets_valid``), and the last
+    token's end must equal the text length — the query carries its own
+    correctness witness, so a tokenizer/offset drift can never pass
+    silently.
+
+    Scale posture: one shuffle on doc_id shared by the offset window
+    and the rollup; the span table is the explode of the corpus — at
+    100 TB it stays partitioned by doc and is usually consumed fused
+    with its producer, never materialized wide."""
+    docs = load_tables(spark, sf_dir)["documents"].where(F.col("doc_id") < 50)
+    tok = docs.select(
+        "doc_id",
+        "text",
+        F.posexplode(F.split("text", " ")).alias("pos", "word"),
+    )
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offs = tok.select(
+        "doc_id",
+        "text",
+        "word",
+        F.coalesce(F.sum(F.length("word") + 1).over(w), F.lit(0))
+        .cast("long")
+        .alias("start_off"),
+    )
+    return (
+        offs.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.bool_and(
+                F.expr(
+                    "substr(text, cast(start_off + 1 as int), length(word))"
+                )
+                == F.col("word")
+            ).alias("offsets_valid"),
+            F.max(F.col("start_off") + F.length("word"))
+            .cast("long")
+            .alias("last_end"),
+            F.max(F.length("text")).cast("long").alias("text_len"),
+        )
+        .orderBy("doc_id")
+    )

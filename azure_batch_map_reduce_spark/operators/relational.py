@@ -2317,3 +2317,66 @@ def q213_date_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("month")
     )
+
+
+@query(
+    "q216_union_schema_reconcile",
+    oracle="""
+    WITH legacy AS (
+        SELECT o_orderkey, o_orderstatus,
+               CAST(NULL AS DOUBLE) AS o_totalprice,
+               CAST(NULL AS VARCHAR) AS o_orderpriority
+        FROM orders WHERE o_orderkey % 2 = 0
+    ),
+    modern AS (
+        SELECT o_orderkey, o_orderstatus, o_totalprice, o_orderpriority
+        FROM orders WHERE o_orderkey % 2 = 1
+    ),
+    unified AS (
+        SELECT * FROM legacy UNION ALL SELECT * FROM modern
+    )
+    SELECT o_orderstatus,
+           CAST(count(*) AS BIGINT)                 AS n_rows,
+           CAST(count(o_totalprice) AS BIGINT)      AS n_with_price,
+           CAST(count(o_orderpriority) AS BIGINT)   AS n_with_priority,
+           round(sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0, 2)
+               AS modern_revenue
+    FROM unified
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+    """,
+    tags=("setops", "schema-evolution", "union"),
+)
+def q216_union_schema_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-reconciling union: a legacy extract missing two columns
+    unions with the modern shape via ``unionByName(allowMissingColumns
+    =True)`` — absent columns back-fill as NULL by NAME, not by
+    position, which is the difference between correct evolution and
+    the silent column-swap a positional UNION ALL commits when shapes
+    drift. The code-level twin of q125's mergeSchema read path.
+
+    Scale posture: union is a no-op plan node (no shuffle); the
+    NULL back-fill is free metadata. The rollup counts per column
+    prove exactly which rows carried which fields."""
+    orders = load_tables(spark, sf_dir)["orders"]
+    legacy = orders.where(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey", "o_orderstatus"
+    )
+    modern = orders.where(F.col("o_orderkey") % 2 == 1).select(
+        "o_orderkey", "o_orderstatus", "o_totalprice", "o_orderpriority"
+    )
+    unified = legacy.unionByName(modern, allowMissingColumns=True)
+    return (
+        unified.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count("o_totalprice").alias("n_with_price"),
+            F.count("o_orderpriority").alias("n_with_priority"),
+            F.round(
+                F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+                / 100.0,
+                2,
+            ).alias("modern_revenue"),
+        )
+        .orderBy("o_orderstatus")
+    )
