@@ -448,3 +448,30 @@ def test_dpp_injects_runtime_partition_filter(spark, sf_dir):
     non-matching years never listed)."""
     plan = plan_of(REGISTRY["q206_dynamic_partition_pruning"].fn(spark, sf_dir))
     assert "dynamicpruning" in plan.lower()
+
+
+def test_decayed_score_is_pure_partial_final_agg(spark, sf_dir):
+    """q199: no window, no join — two HashAggregates around one
+    exchange, TakeOrdered for the top-50."""
+    plan = plan_of(REGISTRY["q199_decayed_activity_score"].fn(spark, sf_dir))
+    assert "Window" not in plan and "Join" not in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_item_cf_pair_generation_is_equi_join(spark, sf_dir):
+    """q212: basket pair generation must be an equi-join on the order
+    key (the < predicate is a residual filter) — never a cartesian
+    product; and the support floor survives as a filter on the pair
+    aggregate."""
+    df = REGISTRY["q212_item_cf_cosine"].fn(spark, sf_dir)
+    plan = plan_of(df)
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+    opt = optimized_of(df)
+    assert "(n_ab" in opt and ">= 3" in opt
+
+
+def test_date_spine_broadcasts_onto_daily_rollup(spark, sf_dir):
+    """q213: the |days|-row spine joins the day-grain aggregate — a
+    broadcast join, never a fact-sized shuffle join."""
+    plan = plan_of(REGISTRY["q213_date_spine"].fn(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
