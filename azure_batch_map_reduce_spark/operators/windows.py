@@ -2028,3 +2028,107 @@ def q201_trending_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("w_start")
     )
+
+
+@query(
+    "q217_sprt_sequential_test",
+    oracle="""
+    WITH b AS (
+        SELECT user_id % 2 AS variant,
+               CASE WHEN event_type = 'purchase' THEN 223 ELSE -64 END AS inc,
+               ts, event_id
+        FROM events
+    ),
+    scored AS (
+        SELECT variant, ts, event_id,
+               CASE WHEN inc = 223 THEN 1 ELSE 0 END AS conv,
+               row_number() OVER w AS n,
+               CAST(sum(inc) OVER (PARTITION BY variant ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+                   AS score
+        FROM b
+        WINDOW w AS (PARTITION BY variant ORDER BY ts, event_id)
+    ),
+    crossing AS (
+        SELECT variant, min(n) AS crossing_n
+        FROM scored
+        WHERE score >= 2944 OR score <= -2944
+        GROUP BY variant
+    )
+    SELECT s.variant,
+           CAST(max(s.n) AS BIGINT)       AS n_events,
+           CAST(sum(s.conv) AS BIGINT)    AS n_conversions,
+           CAST(max(c.crossing_n) AS BIGINT) AS crossing_n,
+           CAST(max(CASE WHEN s.n = c.crossing_n THEN s.score END) AS BIGINT)
+               AS score_at_crossing,
+           CASE WHEN max(c.crossing_n) IS NULL THEN 'continue'
+                WHEN max(CASE WHEN s.n = c.crossing_n THEN s.score END) > 0
+                THEN 'accept_h1' ELSE 'accept_h0' END AS decision
+    FROM scored s LEFT JOIN crossing c ON s.variant = c.variant
+    GROUP BY s.variant
+    ORDER BY s.variant
+    """,
+    tags=("statistics", "abtest", "sequential", "window"),
+)
+def q217_sprt_sequential_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential probability ratio test (Wald's SPRT) over each
+    variant's event stream: every event moves an integer-scaled
+    log-likelihood score (+223 per conversion ≈ 1000·ln(p1/p0),
+    −64 otherwise ≈ 1000·ln((1−p1)/(1−p0)) for p0=0.20 vs p1=0.25)
+    and the stream DECIDES at the first ±2944 (≈1000·ln 19,
+    α=β=0.05) crossing — the always-valid early-stopping design that
+    replaces q141's fixed-horizon z-test when peeking is allowed.
+    Integer scores make the running sum and crossing index
+    bit-identical across engines (the chess-engine trick applied to
+    sequential statistics: no float accumulates, no libm in any
+    comparison).
+
+    Scale posture: one shuffle on variant; the running score and the
+    crossing argmin share the same window sort; everything after the
+    per-variant cumsum touches |variants| rows. The streaming twin
+    maintains the score in applyInPandasWithState and emits on
+    crossing."""
+    ev = load_tables(spark, sf_dir)["events"]
+    b = ev.select(
+        (F.col("user_id") % 2).alias("variant"),
+        F.when(F.col("event_type") == "purchase", 223)
+        .otherwise(-64)
+        .alias("inc"),
+        "ts",
+        "event_id",
+    )
+    w = Window.partitionBy("variant").orderBy("ts", "event_id")
+    scored = b.select(
+        "variant",
+        (F.col("inc") == 223).cast("int").alias("conv"),
+        F.row_number().over(w).alias("n"),
+        F.sum("inc")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("long")
+        .alias("score"),
+    )
+    crossing = (
+        scored.where((F.col("score") >= 2944) | (F.col("score") <= -2944))
+        .groupBy("variant")
+        .agg(F.min("n").alias("crossing_n"))
+    )
+    joined = scored.join(F.broadcast(crossing), "variant", "left")
+    agg = joined.groupBy("variant").agg(
+        F.max("n").cast("long").alias("n_events"),
+        F.sum("conv").cast("long").alias("n_conversions"),
+        F.max("crossing_n").cast("long").alias("crossing_n"),
+        F.max(F.when(F.col("n") == F.col("crossing_n"), F.col("score")))
+        .cast("long")
+        .alias("score_at_crossing"),
+    )
+    return agg.select(
+        "variant",
+        "n_events",
+        "n_conversions",
+        "crossing_n",
+        "score_at_crossing",
+        F.when(F.col("crossing_n").isNull(), "continue")
+        .when(F.col("score_at_crossing") > 0, "accept_h1")
+        .otherwise("accept_h0")
+        .alias("decision"),
+    ).orderBy("variant")
