@@ -350,3 +350,89 @@ def q177_shortest_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     register_views(spark, sf_dir)
     return spark.sql(_SHORTEST_SQL)
+
+
+@query(
+    "q218_degree_distribution",
+    oracle="""
+    WITH cooc AS (
+        SELECT DISTINCT a.user_id AS u, b.user_id AS v
+        FROM (SELECT DISTINCT user_id, event_type,
+                     date_trunc('hour', ts) AS h FROM events) a
+        JOIN (SELECT DISTINCT user_id, event_type,
+                     date_trunc('hour', ts) AS h FROM events) b
+          ON a.event_type = b.event_type AND a.h = b.h
+         AND a.user_id < b.user_id
+    ),
+    degrees AS (
+        SELECT u AS user_id, count(*) AS deg FROM (
+            SELECT u FROM cooc UNION ALL SELECT v FROM cooc
+        ) t(u)
+        GROUP BY u
+    )
+    SELECT CAST(floor(ln(deg) / ln(2)) AS INTEGER) AS deg_bucket_log2,
+           CAST(count(*) AS BIGINT)                AS n_users,
+           CAST(min(deg) AS BIGINT)                AS min_deg,
+           CAST(max(deg) AS BIGINT)                AS max_deg
+    FROM degrees
+    GROUP BY 1
+    ORDER BY deg_bucket_log2
+    """,
+    tags=("graph", "degree", "profiling", "cooccurrence"),
+)
+def q218_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree distribution of the user co-activity graph (edges between
+    users active in the same event-type × hour cell), bucketed log2 —
+    the FIRST profile run before any graph algorithm: a heavy-tailed
+    degree histogram predicts exactly which keys will skew the
+    PageRank (q103) / triangle (q109) / component (q66) shuffles, and
+    log2 buckets are how that tail is read.
+
+    Determinism: degrees are exact integers; the log2 bucket is
+    floor(ln d/ln 2), flip-safe because d is an integer and powers of
+    two land exactly (ln(2^k)/ln(2) = k within one ulp, floored the
+    same way on both engines for k ≤ 40 — the hazard would start at
+    degrees ~2^50).
+
+    Scale posture: the cell self-join has bounded fan-in per
+    (type, hour) cell like q211's grid; degrees are one explode +
+    count; the histogram is a bounded-key rollup. A dense cell (every
+    user active the same hour) is the quadratic hazard — cap or
+    sample cells beyond a width threshold, as the docstring of q212
+    prescribes for hot items."""
+    ev = load_tables(spark, sf_dir)["events"]
+    cells = ev.select(
+        "user_id",
+        "event_type",
+        F.date_trunc("hour", F.col("ts")).alias("h"),
+    ).distinct()
+    a, b = cells.alias("a"), cells.alias("b")
+    cooc = (
+        a.join(
+            b,
+            (F.col("a.event_type") == F.col("b.event_type"))
+            & (F.col("a.h") == F.col("b.h"))
+            & (F.col("a.user_id") < F.col("b.user_id")),
+        )
+        .select(F.col("a.user_id").alias("u"), F.col("b.user_id").alias("v"))
+        .distinct()
+    )
+    degrees = (
+        cooc.select(F.col("u").alias("user_id"))
+        .unionAll(cooc.select(F.col("v").alias("user_id")))
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    return (
+        degrees.groupBy(
+            F.floor(F.log(F.col("deg").cast("double")) / F.log(F.lit(2.0)))
+            .cast("int")
+            .alias("deg_bucket_log2")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.min("deg").cast("long").alias("min_deg"),
+            F.max("deg").cast("long").alias("max_deg"),
+        )
+        .orderBy("deg_bucket_log2")
+    )

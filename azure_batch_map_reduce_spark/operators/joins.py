@@ -908,3 +908,83 @@ def q212_item_cf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("cosine"), F.asc("pa"), F.asc("pb"))
         .limit(20)
     )
+
+
+@query(
+    "q219_cold_start_fallback",
+    oracle="""
+    WITH nation_top AS (
+        SELECT c.c_nationkey AS nk, l.l_partkey,
+               count(*) AS n_bought,
+               row_number() OVER (
+                   PARTITION BY c.c_nationkey
+                   ORDER BY count(*) DESC, l.l_partkey
+               ) AS rnk
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        GROUP BY c.c_nationkey, l.l_partkey
+    ),
+    cold AS (
+        SELECT c_custkey, c_nationkey FROM customer c
+        WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    )
+    SELECT cold.c_custkey,
+           cold.c_nationkey,
+           t.l_partkey                    AS rec_partkey,
+           CAST(t.rnk AS INTEGER)         AS rec_rank,
+           CAST(t.n_bought AS BIGINT)     AS rec_support
+    FROM cold
+    JOIN nation_top t ON t.nk = cold.c_nationkey AND t.rnk <= 3
+    ORDER BY cold.c_custkey, rec_rank
+    """,
+    tags=("join", "recommender", "cold-start", "anti"),
+)
+def q219_cold_start_fallback(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cold-start fallback recommendations: customers with NO purchase
+    history (anti-join) receive their nation's top-3 most-bought parts
+    — the popularity prior every recommender backs off to before
+    personal signal exists (q212's item-item model needs history;
+    this serves the users it cannot). Deterministic ranks: count
+    descending, part key tie-break.
+
+    Scale posture: the popularity table aggregates facts down to
+    (nation, part) and is top-k-pruned per nation BEFORE joining —
+    3×|nations| rows broadcast onto the cold-customer list, so the
+    enrichment join moves kilobytes regardless of fact volume. The
+    cold list itself is a broadcast anti-join against the distinct
+    buyer set."""
+    t = load_tables(spark, sf_dir)
+    bought = (
+        t["lineitem"]
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy(F.col("c_nationkey").alias("nk"), "l_partkey")
+        .agg(F.count(F.lit(1)).alias("n_bought"))
+    )
+    top3 = (
+        bought.withColumn(
+            "rnk",
+            F.row_number().over(
+                Window.partitionBy("nk").orderBy(
+                    F.desc("n_bought"), F.asc("l_partkey")
+                )
+            ),
+        )
+        .where(F.col("rnk") <= 3)
+    )
+    buyers = t["orders"].select("o_custkey").distinct()
+    cold = t["customer"].join(
+        F.broadcast(buyers), F.col("c_custkey") == F.col("o_custkey"), "left_anti"
+    ).select("c_custkey", "c_nationkey")
+    return (
+        cold.join(F.broadcast(top3), F.col("c_nationkey") == F.col("nk"))
+        .select(
+            "c_custkey",
+            "c_nationkey",
+            F.col("l_partkey").alias("rec_partkey"),
+            F.col("rnk").cast("int").alias("rec_rank"),
+            F.col("n_bought").cast("long").alias("rec_support"),
+        )
+        .orderBy("c_custkey", "rec_rank")
+    )
