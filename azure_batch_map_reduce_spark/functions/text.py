@@ -1307,3 +1307,100 @@ def q215_token_offsets(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@query(
+    "q220_numericalize_corpus",
+    oracle="""
+    WITH tok_all AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS word,
+               generate_subscripts(string_split(text, ' '), 1) AS pos
+        FROM documents
+    ),
+    vocab AS (
+        SELECT word, count(*) AS tf FROM tok_all WHERE word <> '' GROUP BY word
+    ),
+    top AS (
+        SELECT word, tf FROM vocab ORDER BY tf DESC, word ASC LIMIT 200
+    ),
+    dict AS (
+        SELECT word,
+               row_number() OVER (ORDER BY tf DESC, word ASC) - 1 AS token_id
+        FROM top
+    ),
+    ids AS (
+        SELECT t.doc_id, t.pos,
+               CAST(coalesce(d.token_id, -1) AS INTEGER) AS id
+        FROM tok_all t LEFT JOIN dict d ON t.word = d.word
+        WHERE t.doc_id < 50 AND t.word <> ''
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT)                         AS n_tokens,
+           CAST(sum(CASE WHEN id = -1 THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+           round(sum(CASE WHEN id = -1 THEN 1 ELSE 0 END)
+                 * 1.0 / count(*), 4)                       AS oov_rate,
+           (list(id ORDER BY pos))[1:10]                    AS first_ids
+    FROM ids
+    GROUP BY doc_id
+    ORDER BY doc_id
+    """,
+    tags=("text", "training", "numericalize", "vocabulary"),
+)
+def q220_numericalize_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus numericalization: tokens map to ids through the frozen
+    frequency dictionary (q202's construction, id −1 for OOV) and each
+    document re-assembles as an ORDERED id sequence — the text→tensor
+    step of a training pipeline, with per-document OOV rate as the
+    vocabulary-fit signal (a rising OOV rate on new data means the
+    frozen vocab no longer fits the distribution).
+
+    Order preservation is the subtle part at scale: the token→id join
+    destroys row order, so ids carry their position and re-sort INSIDE
+    the collect (collect_list of (pos,id) structs → array_sort →
+    project), never relying on shuffle arrival order — same
+    discipline as q193's ordered LISTAGG.
+
+    Scale posture: the dictionary is vocab-capped and broadcast; the
+    corpus explode joins it map-side, so the only real shuffle is the
+    per-document regroup — partitioned by doc_id, the grain the
+    output is consumed at."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    tok_all = docs.repartition(32, "doc_id").select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "word")
+    ).where(F.col("word") != "")
+    vocab = tok_all.groupBy("word").agg(F.count(F.lit(1)).alias("tf"))
+    top = vocab.orderBy(F.desc("tf"), F.asc("word")).limit(200)
+    dict_df = top.withColumn(
+        "token_id",
+        F.row_number().over(Window.orderBy(F.desc("tf"), F.asc("word"))) - 1,
+    ).select("word", "token_id")
+    ids = (
+        tok_all.where(F.col("doc_id") < 50)
+        .join(F.broadcast(dict_df), "word", "left")
+        .select(
+            "doc_id",
+            "pos",
+            F.coalesce(F.col("token_id"), F.lit(-1)).cast("int").alias("id"),
+        )
+    )
+    packed = ids.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum((F.col("id") == -1).cast("long")).alias("n_oov"),
+        F.slice(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("pos"), F.col("id")))
+                ),
+                lambda s: s["id"],
+            ),
+            1,
+            10,
+        ).alias("first_ids"),
+    )
+    return packed.select(
+        "doc_id",
+        "n_tokens",
+        "n_oov",
+        F.round(F.col("n_oov") * 1.0 / F.col("n_tokens"), 4).alias("oov_rate"),
+        "first_ids",
+    ).orderBy("doc_id")
