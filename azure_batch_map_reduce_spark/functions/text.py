@@ -1404,3 +1404,81 @@ def q220_numericalize_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("n_oov") * 1.0 / F.col("n_tokens"), 4).alias("oov_rate"),
         "first_ids",
     ).orderBy("doc_id")
+
+
+@query(
+    "q221_feature_hashing",
+    oracle="""
+    WITH tok AS (
+        SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS word
+        FROM documents WHERE text <> ''
+    ),
+    hashed AS (
+        SELECT doc_id, word,
+               ('0x' || substr(md5('feat|' || word), 1, 8))::BIGINT % 64 AS bucket
+        FROM tok WHERE word <> ''
+    ),
+    per_bucket AS (
+        SELECT doc_id, bucket,
+               count(*) AS n_words_in_bucket
+        FROM hashed GROUP BY doc_id, bucket
+    )
+    SELECT CAST(bucket AS INTEGER) AS bucket,
+           CAST(count(*) AS BIGINT) AS n_doc_hits,
+           CAST(sum(n_words_in_bucket) AS BIGINT) AS n_word_hits,
+           CAST(sum(CASE WHEN n_words_in_bucket > 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_collided_docs,
+           round(avg(n_words_in_bucket), 4) AS avg_words_per_hit
+    FROM per_bucket
+    GROUP BY bucket
+    ORDER BY bucket
+    """,
+    tags=("text", "features", "hashing-trick", "ml"),
+)
+def q221_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hashing trick: distinct words map straight to a fixed
+    64-bucket feature space through a salted hash — no dictionary to
+    build, broadcast, or keep in sync (the stateless alternative to
+    q202/q220's frozen vocab), at the price of collisions, which this
+    query MEASURES per bucket (docs whose bucket holds >1 distinct
+    word have collided features). Reading this histogram against the
+    OOV rate of q220 is exactly how the vocab-vs-hashing tradeoff is
+    decided.
+
+    Scale posture: stateless map-side hash math — the one featurizer
+    that needs no fit step at all, so it parallelizes perfectly and
+    never drifts between train and serve. The rollup is bounded at 64
+    keys."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    tok = (
+        docs.where(F.col("text") != "")
+        .repartition(32, "doc_id")
+        .select("doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("word"))
+        .where(F.col("word") != "")
+    )
+    hashed = tok.select(
+        "doc_id",
+        (
+            F.conv(
+                F.substring(F.md5(F.concat(F.lit("feat|"), F.col("word"))), 1, 8),
+                16,
+                10,
+            ).cast("long")
+            % 64
+        ).alias("bucket"),
+    )
+    per_bucket = hashed.groupBy("doc_id", "bucket").agg(
+        F.count(F.lit(1)).alias("n_words_in_bucket")
+    )
+    return (
+        per_bucket.groupBy(F.col("bucket").cast("int").alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_doc_hits"),
+            F.sum("n_words_in_bucket").cast("long").alias("n_word_hits"),
+            F.sum((F.col("n_words_in_bucket") > 1).cast("long")).alias(
+                "n_collided_docs"
+            ),
+            F.round(F.avg("n_words_in_bucket"), 4).alias("avg_words_per_hit"),
+        )
+        .orderBy("bucket")
+    )

@@ -2380,3 +2380,79 @@ def q216_union_schema_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderstatus")
     )
+
+
+@query(
+    "q222_fit_transform_bucketing",
+    oracle="""
+    WITH train AS (
+        SELECT o_totalprice FROM orders WHERE o_orderkey % 10 < 8
+    ),
+    bounds AS (
+        SELECT quantile_cont(o_totalprice, 0.25) AS q1,
+               quantile_cont(o_totalprice, 0.50) AS q2,
+               quantile_cont(o_totalprice, 0.75) AS q3
+        FROM train
+    ),
+    test AS (
+        SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 10 >= 8
+    ),
+    bucketed AS (
+        SELECT CASE WHEN t.o_totalprice < b.q1 THEN 0
+                    WHEN t.o_totalprice < b.q2 THEN 1
+                    WHEN t.o_totalprice < b.q3 THEN 2
+                    ELSE 3 END AS bucket,
+               t.o_totalprice
+        FROM test t CROSS JOIN bounds b
+    )
+    SELECT CAST(bucket AS INTEGER) AS bucket,
+           CAST(count(*) AS BIGINT) AS n_test_rows,
+           round(min(o_totalprice), 2) AS min_price,
+           round(max(o_totalprice), 2) AS max_price
+    FROM bucketed
+    GROUP BY bucket
+    ORDER BY bucket
+    """,
+    tags=("aggregation", "features", "discretization", "fit-transform"),
+)
+def q222_fit_transform_bucketing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fit-transform discipline for feature discretization: quartile
+    boundaries are FIT on the train split only, then applied to the
+    held-out test split — computing boundaries over all data would
+    leak test distribution into the features (the quiet sibling of
+    q195's group leakage). A well-fit transform puts roughly a quarter
+    of unseen rows in each bucket; the per-bucket test counts are the
+    drift check.
+
+    Scale posture: the fit is one exact-percentile aggregate reduced
+    to a single 3-number row, broadcast into a map-side CASE over the
+    test split — the transform never shuffles. At 100 TB swap the fit
+    to approx_percentile and persist the boundary row as the model
+    artifact (fit once, transform forever)."""
+    orders = load_tables(spark, sf_dir)["orders"]
+    train = orders.where(F.col("o_orderkey") % 10 < 8)
+    bounds = train.agg(
+        F.percentile("o_totalprice", F.lit(0.25)).alias("q1"),
+        F.percentile("o_totalprice", F.lit(0.50)).alias("q2"),
+        F.percentile("o_totalprice", F.lit(0.75)).alias("q3"),
+    )
+    test = orders.where(F.col("o_orderkey") % 10 >= 8).select(
+        "o_orderkey", "o_totalprice"
+    )
+    bucket = (
+        F.when(F.col("o_totalprice") < F.col("q1"), 0)
+        .when(F.col("o_totalprice") < F.col("q2"), 1)
+        .when(F.col("o_totalprice") < F.col("q3"), 2)
+        .otherwise(3)
+    )
+    return (
+        test.crossJoin(F.broadcast(bounds))
+        .select(bucket.cast("int").alias("bucket"), "o_totalprice")
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_test_rows"),
+            F.round(F.min("o_totalprice"), 2).alias("min_price"),
+            F.round(F.max("o_totalprice"), 2).alias("max_price"),
+        )
+        .orderBy("bucket")
+    )
