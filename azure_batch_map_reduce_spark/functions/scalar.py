@@ -522,3 +522,100 @@ def q210_variant_semistructured(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "q224_json_key_drift",
+    oracle="""
+    WITH seeded AS (
+        SELECT event_id, ts,
+               CASE WHEN event_id % 3 = 0 THEN
+                   '{"k": ' || CAST(event_id % 100 AS VARCHAR)
+                   || ', "retry": ' || CAST(event_id % 5 AS VARCHAR) || '}'
+               WHEN event_id % 7 = 0 THEN
+                   '{"k": ' || CAST(event_id % 100 AS VARCHAR)
+                   || ', "trace_id": "t' || CAST(event_id AS VARCHAR) || '"}'
+               ELSE '{"k": ' || CAST(event_id % 100 AS VARCHAR) || '}'
+               END AS payload,
+               CASE WHEN ts < TIMESTAMP '2024-01-15 00:00:00'
+                    THEN 'early' ELSE 'late' END AS half
+        FROM events
+    ),
+    keys AS (
+        SELECT half, unnest(json_keys(payload)) AS key FROM seeded
+    )
+    SELECT key,
+           CAST(sum(CASE WHEN half = 'early' THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_early,
+           CAST(sum(CASE WHEN half = 'late' THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_late
+    FROM keys
+    GROUP BY key
+    ORDER BY key
+    """,
+    tags=("scalar", "json", "schema-drift", "map"),
+)
+def q224_json_key_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic-key JSON profiling: payloads parse into a MAP type
+    (``from_json(.., "map<string,string>")`` — no schema pinned, keys
+    discovered per row via ``map_keys``) and key frequencies are
+    compared between the early and late halves of the stream — the
+    drift detector that notices an upstream service started emitting a
+    new field (or dropped one) before any schema-pinned job breaks.
+    The fixture props carry one fixed key, so payloads are seeded with
+    deterministic conditional extra keys (q54's seeding pattern); the
+    oracle replays the construction with ``json_keys``.
+
+    Completes the JSON lanes: q45/q58 schema-pinned structs, q210
+    variant paths, and now schema-free map discovery.
+
+    Scale posture: parse + explode of keys is map-side; the rollup is
+    bounded by the distinct key universe. In production this runs on a
+    sample tail of the stream, not the full corpus."""
+    ev = load_tables(spark, sf_dir)["events"]
+    payload = (
+        F.when(
+            F.col("event_id") % 3 == 0,
+            F.concat(
+                F.lit('{"k": '),
+                (F.col("event_id") % 100).cast("string"),
+                F.lit(', "retry": '),
+                (F.col("event_id") % 5).cast("string"),
+                F.lit("}"),
+            ),
+        )
+        .when(
+            F.col("event_id") % 7 == 0,
+            F.concat(
+                F.lit('{"k": '),
+                (F.col("event_id") % 100).cast("string"),
+                F.lit(', "trace_id": "t'),
+                F.col("event_id").cast("string"),
+                F.lit('"}'),
+            ),
+        )
+        .otherwise(
+            F.concat(
+                F.lit('{"k": '),
+                (F.col("event_id") % 100).cast("string"),
+                F.lit("}"),
+            )
+        )
+    )
+    half = F.when(
+        F.col("ts") < F.lit("2024-01-15 00:00:00").cast("timestamp"), "early"
+    ).otherwise("late")
+    keys = ev.select(
+        half.alias("half"),
+        F.explode(
+            F.map_keys(F.from_json(payload, "map<string,string>"))
+        ).alias("key"),
+    )
+    return (
+        keys.groupBy("key")
+        .agg(
+            F.sum((F.col("half") == "early").cast("long")).alias("n_early"),
+            F.sum((F.col("half") == "late").cast("long")).alias("n_late"),
+        )
+        .orderBy("key")
+    )

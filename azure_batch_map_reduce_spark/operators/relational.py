@@ -2456,3 +2456,70 @@ def q222_fit_transform_bucketing(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+@query(
+    "q223_sharded_exact_topk",
+    oracle="""
+    WITH per_part AS (
+        SELECT l_partkey,
+               sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                        AS BIGINT)) AS rev_cents
+        FROM lineitem
+        GROUP BY l_partkey
+    )
+    SELECT l_partkey,
+           round(rev_cents / 100.0, 2) AS revenue
+    FROM per_part
+    ORDER BY rev_cents DESC, l_partkey
+    LIMIT 10
+    """,
+    tags=("aggregation", "topk", "sharding", "distributed"),
+)
+def q223_sharded_exact_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT distributed top-k via key-disjoint sharding: per-part
+    revenue is aggregated, sharded by a hash of the KEY into 8 shards,
+    each shard keeps its local top-10, and the ≤80 survivors merge to
+    the global top-10. Because sharding is BY KEY after full
+    aggregation, every key's total lives in exactly one shard — the
+    local top-10s provably contain the global top-10 (this is the
+    condition that makes two-phase top-k exact; sharding raw rows
+    before aggregation would NOT be). The oracle computes the direct
+    top-10; equality IS the proof.
+
+    Scale posture: this is how top-k over more keys than one node can
+    hold actually ships — per-shard heaps bound memory at k per
+    shard, and the merge moves 8k rows. Spark's own TakeOrdered does
+    the same thing per partition; the explicit shard column makes the
+    invariant visible and portable (e.g. to a map/reduce runtime like
+    the reference's, one shard per mapper)."""
+    li = load_tables(spark, sf_dir)["lineitem"]
+    per_part = (
+        li.select(
+            "l_partkey",
+            F.round(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+            )
+            .cast("long")
+            .alias("cents"),
+        )
+        .groupBy("l_partkey")
+        .agg(F.sum("cents").alias("rev_cents"))
+    )
+    sharded = per_part.withColumn(
+        "shard", F.pmod(F.xxhash64("l_partkey"), F.lit(8))
+    )
+    w = Window.partitionBy("shard").orderBy(
+        F.desc("rev_cents"), F.asc("l_partkey")
+    )
+    local_topk = sharded.withColumn("rn", F.row_number().over(w)).where(
+        F.col("rn") <= 10
+    )
+    return (
+        local_topk.orderBy(F.desc("rev_cents"), F.asc("l_partkey"))
+        .limit(10)
+        .select(
+            "l_partkey",
+            F.round(F.col("rev_cents") / 100.0, 2).alias("revenue"),
+        )
+    )
