@@ -1181,3 +1181,115 @@ def q195_group_aware_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("fold")
     )
+
+
+@query(
+    "q225_slice_evaluation",
+    oracle=f"""
+    WITH scored AS (
+        SELECT source, lang AS labeled,
+               length(list_intersect(list_distinct(string_split(text, ' ')),
+                      ['the', 'a', 'of', 'and', 'to'])) AS s_en,
+               length(list_intersect(list_distinct(string_split(text, ' ')),
+                      ['der', 'die', 'das', 'und', 'ist'])) AS s_de,
+               length(list_intersect(list_distinct(string_split(text, ' ')),
+                      ['le', 'la', 'les', 'et', 'est'])) AS s_fr
+        FROM documents
+    ),
+    pred AS (
+        SELECT source, labeled,
+               CASE WHEN s_en = 0 AND s_de = 0 AND s_fr = 0 THEN 'unknown'
+                    WHEN s_en >= s_de AND s_en >= s_fr THEN 'en'
+                    WHEN s_de >= s_fr THEN 'de'
+                    ELSE 'fr' END AS detected
+        FROM scored
+    ),
+    overall AS (
+        SELECT sum(CASE WHEN detected = labeled THEN 1 ELSE 0 END) AS hits,
+               count(*) AS n
+        FROM pred
+    )
+    SELECT p.source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN p.detected = p.labeled THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_correct,
+           round(sum(CASE WHEN p.detected = p.labeled THEN 1 ELSE 0 END)
+                 * 1.0 / count(*), 4) AS slice_accuracy,
+           round(max(o.hits) * 1.0 / max(o.n), 4) AS overall_accuracy,
+           (sum(CASE WHEN p.detected = p.labeled THEN 1 ELSE 0 END)
+            * max(o.n) * 10 < 8 * count(*) * max(o.hits)) AS underperforming
+    FROM pred p CROSS JOIN overall o
+    GROUP BY p.source
+    ORDER BY p.source
+    """,
+    tags=("curation", "evaluation", "slicing", "quality"),
+)
+def q225_slice_evaluation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slice-based model evaluation: the q52 language-ID heuristic is
+    scored per SOURCE slice against its labels, next to the overall
+    accuracy, with an exact cross-multiplied flag for slices running
+    below 80% of global accuracy — aggregate metrics hide exactly
+    these pockets (a model can be 90% overall and 40% on one
+    upstream's documents), and slice evaluation is how data-centric
+    debugging finds them.
+
+    Scale posture: scoring is map-side set math (q52); the global
+    accuracy is a 1-row aggregate broadcast into the per-slice
+    rollup; the comparison is integer arithmetic — no float in the
+    flag."""
+    from azure_batch_map_reduce_spark.functions.text import LANG_MARKERS
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    dwords = F.array_distinct(F.split(F.col("text"), " "))
+
+    def score(lang: str):
+        return F.size(
+            F.array_intersect(
+                dwords, F.array(*[F.lit(w) for w in LANG_MARKERS[lang]])
+            )
+        )
+
+    s_en, s_de, s_fr = score("en"), score("de"), score("fr")
+    detected = (
+        F.when((s_en == 0) & (s_de == 0) & (s_fr == 0), "unknown")
+        .when((s_en >= s_de) & (s_en >= s_fr), "en")
+        .when(s_de >= s_fr, "de")
+        .otherwise("fr")
+    )
+    pred = docs.select(
+        "source",
+        F.col("lang").alias("labeled"),
+        detected.alias("detected"),
+    )
+    overall = pred.agg(
+        F.sum((F.col("detected") == F.col("labeled")).cast("long")).alias("hits"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    return (
+        pred.crossJoin(F.broadcast(overall))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum((F.col("detected") == F.col("labeled")).cast("long")).alias(
+                "n_correct"
+            ),
+            F.max("hits").alias("hits"),
+            F.max("n").alias("n"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_correct",
+            F.round(F.col("n_correct") * 1.0 / F.col("n_docs"), 4).alias(
+                "slice_accuracy"
+            ),
+            F.round(F.col("hits") * 1.0 / F.col("n"), 4).alias(
+                "overall_accuracy"
+            ),
+            (
+                F.col("n_correct") * F.col("n") * 10
+                < 8 * F.col("n_docs") * F.col("hits")
+            ).alias("underperforming"),
+        )
+        .orderBy("source")
+    )

@@ -1070,3 +1070,89 @@ def q209_forget_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "q226_temporal_embargo_split",
+    oracle="""
+    WITH assigned AS (
+        SELECT user_id, event_id, ts,
+               CASE WHEN ts < TIMESTAMP '2024-01-20 00:00:00' THEN 'train'
+                    WHEN ts < TIMESTAMP '2024-01-21 00:00:00' THEN 'embargo'
+                    ELSE 'test' END AS split
+        FROM events
+    ),
+    leakage AS (
+        SELECT count(*) AS n_leaky_users FROM (
+            SELECT user_id FROM assigned
+            WHERE split <> 'embargo'
+            GROUP BY user_id
+            HAVING max(CASE WHEN split = 'train' THEN ts END)
+                   >= min(CASE WHEN split = 'test' THEN ts END)
+        )
+    )
+    SELECT a.split,
+           CAST(count(*) AS BIGINT)                  AS n_events,
+           CAST(count(DISTINCT a.user_id) AS BIGINT) AS n_users,
+           min(date_trunc('microseconds', a.ts))     AS first_ts,
+           max(date_trunc('microseconds', a.ts))     AS last_ts,
+           CAST(max(l.n_leaky_users) AS BIGINT)      AS leaky_users
+    FROM assigned a CROSS JOIN leakage l
+    GROUP BY a.split
+    ORDER BY a.split
+    """,
+    tags=("etl", "split", "temporal", "leakage"),
+)
+def q226_temporal_embargo_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal train/test split with an embargo day: train strictly
+    before the cut, a full embargoed day discarded, test strictly
+    after — the time-series discipline that keeps label horizons from
+    leaking across the boundary (a random split like q55 is WRONG for
+    forecasting data; this is its temporal counterpart, and the
+    embargo width is the label horizon). The leakage audit recomputes
+    from the assignment that no user's train events reach past their
+    test start — structurally zero here by construction, verified
+    anyway (q209's purge-and-prove discipline).
+
+    Scale posture: the assignment is a map-side CASE on the partition
+    -friendly time column — on a date-partitioned lake the three
+    splits prune to disjoint partition ranges (q206's DPP serves
+    exactly this read); the audit is one aggregate at user grain."""
+    ev = load_tables(spark, sf_dir)["events"]
+    cut = F.lit("2024-01-20 00:00:00").cast("timestamp")
+    test_start = F.lit("2024-01-21 00:00:00").cast("timestamp")
+    assigned = ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.when(F.col("ts") < cut, "train")
+        .when(F.col("ts") < test_start, "embargo")
+        .otherwise("test")
+        .alias("split"),
+    )
+    leakage = (
+        assigned.where(F.col("split") != "embargo")
+        .groupBy("user_id")
+        .agg(
+            F.max(F.when(F.col("split") == "train", F.col("ts"))).alias(
+                "last_train"
+            ),
+            F.min(F.when(F.col("split") == "test", F.col("ts"))).alias(
+                "first_test"
+            ),
+        )
+        .where(F.col("last_train") >= F.col("first_test"))
+        .agg(F.count(F.lit(1)).alias("n_leaky_users"))
+    )
+    return (
+        assigned.crossJoin(F.broadcast(leakage))
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.min("ts").alias("first_ts"),
+            F.max("ts").alias("last_ts"),
+            F.max("n_leaky_users").cast("long").alias("leaky_users"),
+        )
+        .orderBy("split")
+    )
