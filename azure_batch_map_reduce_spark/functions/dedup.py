@@ -1034,3 +1034,115 @@ def q181_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("n_members") > 1)
         .orderBy(F.desc("n_members"), F.asc("dup_key"))
     )
+
+
+@query(
+    "q228_dedup_threshold_sweep",
+    oracle="""
+    WITH words AS (
+        SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ),
+    toks AS (
+        SELECT doc_id, list_sort(list_distinct(
+            [w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+             for i in range(1, len(w) - 1)])) AS ts
+        FROM words WHERE len(w) >= 3
+    ),
+    pairs AS (
+        SELECT CAST(len(list_intersect(a.ts, b.ts)) AS DOUBLE)
+               / (len(a.ts) + len(b.ts) - len(list_intersect(a.ts, b.ts)))
+                   AS jaccard
+        FROM toks a JOIN toks b ON a.doc_id < b.doc_id
+        WHERE len(list_intersect(a.ts, b.ts)) * 2
+              > len(a.ts) + len(b.ts) - len(list_intersect(a.ts, b.ts))
+    )
+    SELECT t.threshold,
+           CAST(count(CASE WHEN p.jaccard >= t.threshold THEN 1 END) AS BIGINT)
+               AS n_pairs
+    FROM (VALUES (0.6), (0.7), (0.8), (0.9)) t(threshold)
+    LEFT JOIN pairs p ON TRUE
+    GROUP BY t.threshold
+    ORDER BY t.threshold
+    """,
+    tags=("dedup", "simjoin", "threshold", "tuning"),
+)
+def q228_dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup operating curve: near-duplicate PAIR counts at four
+    Jaccard thresholds from one pass — the sensitivity sweep that
+    picks the dedup aggressiveness (too low merges distinct docs, too
+    high leaves templated near-copies in; the knee of this curve is
+    the defensible setting). Candidates come from the τ=0.5 prefix
+    filter ONCE; each exact pair Jaccard then increments every
+    threshold bucket it clears, so widening the sweep costs nothing.
+
+    Scale posture: identical to q150 (the prefix filter does the
+    pruning at the LOOSEST threshold; counts per band are a bounded
+    rollup). The jaccard-vs-threshold comparison cross-multiplies
+    integer set sizes — no float enters any band decision."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    words = (
+        docs.select("doc_id", F.split("text", " ").alias("w"))
+        .filter(F.size("w") >= 3)
+        .repartition(32, "doc_id")
+    )
+    shingled = words.select(
+        "doc_id",
+        F.array_sort(
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("w") - 2),
+                    lambda i: F.xxhash64(
+                        F.concat_ws(
+                            " ",
+                            F.element_at("w", i),
+                            F.element_at("w", i + 1),
+                            F.element_at("w", i + 2),
+                        )
+                    ),
+                )
+            )
+        ).alias("ts"),
+    ).persist()
+    # Prefix at tau=0.5: p = n - ceil(n/2) + 1 = n div 2 + 1
+    prefix = shingled.select(
+        "doc_id",
+        F.size("ts").alias("n"),
+        F.explode(F.expr("slice(ts, 1, size(ts) div 2 + 1)")).alias("tok"),
+    )
+    cands = (
+        prefix.alias("a")
+        .join(prefix.alias("b"), "tok")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .filter(
+            (F.col("a.n") <= F.col("b.n") * 2)
+            & (F.col("b.n") <= F.col("a.n") * 2)
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_i"), F.col("b.doc_id").alias("doc_j")
+        )
+        .distinct()
+    )
+    wa = shingled.select(F.col("doc_id").alias("doc_i"), F.col("ts").alias("ts_i"))
+    wb = shingled.select(F.col("doc_id").alias("doc_j"), F.col("ts").alias("ts_j"))
+    inter = F.size(F.array_intersect("ts_i", "ts_j")).cast("long")
+    uni = (
+        F.size("ts_i").cast("long") + F.size("ts_j").cast("long") - inter
+    )
+    pairs = (
+        cands.join(wa, "doc_i")
+        .join(wb, "doc_j")
+        .select(inter.alias("i"), uni.alias("u"))
+        .where(F.col("i") * 2 > F.col("u"))
+    )
+    thresholds = pairs.sparkSession.createDataFrame(
+        [(0.6,), (0.7,), (0.8,), (0.9,)], "threshold double"
+    )
+    # Cross-multiplied integer band test: jaccard >= t  ⇔  10·i >= 10·t·u
+    # with t ∈ {0.6,0.7,0.8,0.9} ⇔ 10·i >= k·u for integer k = 10t.
+    return (
+        F.broadcast(thresholds)
+        .join(pairs, F.expr("i * 10 >= cast(round(threshold * 10) as bigint) * u"), "left")
+        .groupBy("threshold")
+        .agg(F.count("i").alias("n_pairs"))
+        .orderBy("threshold")
+    )

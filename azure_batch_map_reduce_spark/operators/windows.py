@@ -2132,3 +2132,83 @@ def q217_sprt_sequential_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("accept_h0")
         .alias("decision"),
     ).orderBy("variant")
+
+
+@query(
+    "q227_sequence_feature_frame",
+    oracle="""
+    WITH base AS (
+        SELECT user_id, event_id,
+               CAST(floor(value * 1000) AS BIGINT) AS v
+        FROM events
+    ),
+    feats AS (
+        SELECT user_id, event_id, v,
+               lag(v, 1) OVER w AS lag1,
+               lag(v, 2) OVER w AS lag2,
+               lag(v, 3) OVER w AS lag3,
+               lead(v, 1) OVER w AS target,
+               CAST(sum(v) OVER (PARTITION BY user_id ORDER BY event_id
+                    ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS BIGINT)
+                   AS sum5,
+               count(*) OVER (PARTITION BY user_id ORDER BY event_id
+                    ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS cnt5
+        FROM base
+        WINDOW w AS (PARTITION BY user_id ORDER BY event_id)
+    )
+    SELECT user_id, event_id, v, lag1, lag2, lag3, target,
+           round(CAST(sum5 AS DOUBLE) / cnt5 / 1000.0, 4) AS rolling_mean
+    FROM feats
+    WHERE lag3 IS NOT NULL AND target IS NOT NULL
+    ORDER BY user_id, event_id
+    """,
+    tags=("window", "features", "sequence", "ml"),
+)
+def q227_sequence_feature_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supervised sequence-feature assembly: for every event, three
+    lagged values, a trailing-5 rolling mean, and the NEXT value as
+    the prediction target — the flat (features, label) frame a
+    forecasting model trains on, with warm-up rows (incomplete lags)
+    and the final row (no target) dropped so no NULL ever reaches the
+    trainer. Values are exact integer milli-units; only the display
+    mean divides.
+
+    One window partitioning serves all six columns — adding a feature
+    is free; this is why feature frames are built in one pass, not
+    one join per lag. Scale posture: a single user_id shuffle;
+    output width grows, rows don't."""
+    ev = load_tables(spark, sf_dir)["events"]
+    base = ev.select(
+        "user_id",
+        "event_id",
+        F.floor(F.col("value") * 1000).cast("long").alias("v"),
+    )
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    w5 = w.rowsBetween(-4, 0)
+    feats = base.select(
+        "user_id",
+        "event_id",
+        "v",
+        F.lag("v", 1).over(w).alias("lag1"),
+        F.lag("v", 2).over(w).alias("lag2"),
+        F.lag("v", 3).over(w).alias("lag3"),
+        F.lead("v", 1).over(w).alias("target"),
+        F.sum("v").over(w5).cast("long").alias("sum5"),
+        F.count(F.lit(1)).over(w5).alias("cnt5"),
+    )
+    return (
+        feats.where(F.col("lag3").isNotNull() & F.col("target").isNotNull())
+        .select(
+            "user_id",
+            "event_id",
+            "v",
+            "lag1",
+            "lag2",
+            "lag3",
+            "target",
+            F.round(
+                F.col("sum5").cast("double") / F.col("cnt5") / 1000.0, 4
+            ).alias("rolling_mean"),
+        )
+        .orderBy("user_id", "event_id")
+    )
