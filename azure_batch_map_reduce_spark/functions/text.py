@@ -1482,3 +1482,107 @@ def q221_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+@query(
+    "q230_mergeable_corpus_stats",
+    oracle="""
+    WITH toked AS (
+        SELECT doc_id, doc_id % 2 AS half,
+               list_filter(string_split_regex(lower(text), '[^a-z]+'),
+                           x -> x <> '') AS toks
+        FROM documents
+    ),
+    per_half AS (
+        SELECT half,
+               count(*) AS n_docs,
+               CAST(sum(len(toks)) AS BIGINT) AS total_tokens,
+               CAST(sum(CASE WHEN len(list_filter(toks, x -> x = 'data')) > 0
+                             THEN 1 ELSE 0 END) AS BIGINT) AS df_data,
+               CAST(sum(CASE WHEN len(list_filter(toks, x -> x = 'model')) > 0
+                             THEN 1 ELSE 0 END) AS BIGINT) AS df_model
+        FROM toked GROUP BY half
+    ),
+    merged AS (
+        SELECT sum(n_docs) AS n_docs, sum(total_tokens) AS total_tokens,
+               sum(df_data) AS df_data, sum(df_model) AS df_model
+        FROM per_half
+    ),
+    direct AS (
+        SELECT count(*) AS n_docs,
+               CAST(sum(len(toks)) AS BIGINT) AS total_tokens,
+               CAST(sum(CASE WHEN len(list_filter(toks, x -> x = 'data')) > 0
+                             THEN 1 ELSE 0 END) AS BIGINT) AS df_data,
+               CAST(sum(CASE WHEN len(list_filter(toks, x -> x = 'model')) > 0
+                             THEN 1 ELSE 0 END) AS BIGINT) AS df_model
+        FROM toked
+    )
+    SELECT CAST(m.n_docs AS BIGINT)      AS n_docs,
+           CAST(m.total_tokens AS BIGINT) AS total_tokens,
+           CAST(m.df_data AS BIGINT)     AS df_data,
+           CAST(m.df_model AS BIGINT)    AS df_model,
+           m.n_docs = d.n_docs AND m.total_tokens = d.total_tokens
+           AND m.df_data = d.df_data AND m.df_model = d.df_model
+               AS merge_equals_direct
+    FROM merged m CROSS JOIN direct d
+    """,
+    tags=("text", "retrieval", "mergeable", "statistics"),
+)
+def q230_mergeable_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeability proof for retrieval corpus statistics: the BM25
+    inputs (document count, token total, per-term document
+    frequencies) computed per sub-corpus and SUMMED must equal the
+    direct whole-corpus computation — verified in the result itself
+    (``merge_equals_direct``). This is the property that lets a 100 TB
+    corpus maintain its retrieval stats incrementally: new shards
+    compute their own counts and merge by addition, no recompute (the
+    same partial+final algebra q38 proves for sketches, here for the
+    q107/q190 scoring inputs).
+
+    Scale posture: integer counters only — associative, commutative,
+    exact; the merge is a 2-row sum."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    toks = F.filter(
+        F.split(F.lower(F.col("text")), "[^a-z]+"), lambda x: x != F.lit("")
+    )
+
+    def has(term):
+        def pred(x):  # 1-arg: a 2-arg signature would bind the index
+            return x == F.lit(term)
+
+        return (F.size(F.filter("toks", pred)) > 0).cast("long")
+
+    toked = docs.repartition(32, "doc_id").select(
+        "doc_id", (F.col("doc_id") % 2).alias("half"), toks.alias("toks")
+    )
+    stats_cols = lambda df, keys: df.groupBy(*keys).agg(  # noqa: E731
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size("toks")).cast("long").alias("total_tokens"),
+        F.sum(has("data")).cast("long").alias("df_data"),
+        F.sum(has("model")).cast("long").alias("df_model"),
+    )
+    per_half = stats_cols(toked, ["half"])
+    merged = per_half.agg(
+        F.sum("n_docs").alias("n_docs"),
+        F.sum("total_tokens").alias("total_tokens"),
+        F.sum("df_data").alias("df_data"),
+        F.sum("df_model").alias("df_model"),
+    )
+    direct = stats_cols(toked, []).select(
+        F.col("n_docs").alias("d_n_docs"),
+        F.col("total_tokens").alias("d_total_tokens"),
+        F.col("df_data").alias("d_df_data"),
+        F.col("df_model").alias("d_df_model"),
+    )
+    return merged.crossJoin(direct).select(
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.col("total_tokens").cast("long").alias("total_tokens"),
+        F.col("df_data").cast("long").alias("df_data"),
+        F.col("df_model").cast("long").alias("df_model"),
+        (
+            (F.col("n_docs") == F.col("d_n_docs"))
+            & (F.col("total_tokens") == F.col("d_total_tokens"))
+            & (F.col("df_data") == F.col("d_df_data"))
+            & (F.col("df_model") == F.col("d_df_model"))
+        ).alias("merge_equals_direct"),
+    )

@@ -193,3 +193,74 @@ def q105_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("cnt"), F.asc("key"))
         .limit(20)
     )
+
+
+@query(
+    "q229_salting_plan",
+    oracle="""
+    WITH counts AS (
+        SELECT 63 - (length(bin((o_orderkey % 65536) + 1)) - 1) AS key,
+               count(*) AS n
+        FROM orders GROUP BY 1
+    ),
+    stats AS (
+        SELECT CAST(ceil(avg(n) * 2) AS BIGINT) AS target FROM counts
+    )
+    SELECT c.key,
+           CAST(c.n AS BIGINT) AS n_rows,
+           CAST(max(s.target) AS BIGINT) AS target_per_salt,
+           CAST(CASE WHEN c.n > max(s.target)
+                     THEN (c.n + max(s.target) - 1) // max(s.target)
+                     ELSE 1 END AS INTEGER) AS salt_factor
+    FROM counts c CROSS JOIN stats s
+    GROUP BY c.key, c.n
+    HAVING CASE WHEN c.n > max(s.target)
+                THEN (c.n + max(s.target) - 1) // max(s.target)
+                ELSE 1 END > 1
+    ORDER BY n_rows DESC, c.key
+    """,
+    tags=("skew", "salting", "planning", "aggregation"),
+)
+def q229_salting_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salting-plan generation: from per-key row counts, emit the salt
+    factor each hot key needs (⌈n / target⌉ for keys above 2× the mean
+    key size) — the PLAN that q19's salted join and q18's salted
+    distinct consume (the key here is a bit-length bucketing of the
+    order key, giving the exponential key-frequency shape real hot-key
+    columns exhibit), produced as data so it can be broadcast, stored
+    with the table, and refreshed as skew drifts. AQE handles skew it
+    can observe at runtime; a persisted plan handles the skew you know
+    about at design time (the one mega-customer) without replanning
+    every query. Integer ceiling division everywhere — no float in
+    any factor.
+
+    Scale posture: one partial+final count per key; the threshold is a
+    1-row aggregate broadcast back; output is only the hot tail."""
+    orders = load_tables(spark, sf_dir)["orders"]
+    # Exponentially skewed derived key (bit-length bucketing of the
+    # order key): bucket j holds ~2^-j of the rows — the Zipf-shaped
+    # distribution a real hot-key column exhibits. length(bin(v))-1 is
+    # floor(log2 v) EXACTLY on both engines (no libm).
+    counts = orders.select(
+        (63 - (F.length(F.bin((F.col("o_orderkey") % 65536) + 1)) - 1)).alias(
+            "key"
+        )
+    ).groupBy("key").agg(F.count(F.lit(1)).alias("n"))
+    stats = counts.agg(
+        F.ceil(F.avg("n") * 2).cast("long").alias("target")
+    )
+    planned = counts.crossJoin(F.broadcast(stats)).select(
+        "key",
+        F.col("n").cast("long").alias("n_rows"),
+        F.col("target").alias("target_per_salt"),
+        F.when(
+            F.col("n") > F.col("target"),
+            F.expr("(n + target - 1) div target"),
+        )
+        .otherwise(1)
+        .cast("int")
+        .alias("salt_factor"),
+    )
+    return planned.where(F.col("salt_factor") > 1).orderBy(
+        F.desc("n_rows"), F.asc("key")
+    )
