@@ -1156,3 +1156,113 @@ def q226_temporal_embargo_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("split")
     )
+
+
+@query(
+    "q231_freshness_slo",
+    oracle="""
+    SELECT event_type,
+           max(date_trunc('microseconds', ts)) AS latest_ts,
+           CAST(date_diff('hour', max(date_trunc('microseconds', ts)),
+                          TIMESTAMP '2024-02-01 00:00:00') AS BIGINT)
+               AS staleness_h,
+           date_diff('hour', max(date_trunc('microseconds', ts)),
+                     TIMESTAMP '2024-02-01 00:00:00') > 48 AS slo_breached
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    tags=("etl", "monitoring", "freshness", "slo"),
+)
+def q231_freshness_slo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-freshness SLO check: per stream partition (event type), the
+    newest event's age against a fixed as-of instant, breach-flagged
+    at 48 hours — the staleness monitor that catches a silently
+    stalled upstream BEFORE consumers read old data as current. Ages
+    are whole-hour boundary crossings (exact integers both engines);
+    the as-of is pinned so the check is reproducible, exactly as
+    q199's decay clock is.
+
+    Scale posture: a max() per key — partial+final over the scan's
+    min/max footer stats when the table is partitioned by the key; on
+    a date-partitioned lake this reads metadata only, like q200."""
+    ev = load_tables(spark, sf_dir)["events"]
+    asof_h = F.expr(
+        "unix_micros(timestamp'2024-02-01 00:00:00') div 3600000000"
+    )
+    return (
+        ev.groupBy("event_type")
+        .agg(F.max("ts").alias("latest_ts"))
+        .select(
+            "event_type",
+            "latest_ts",
+            (asof_h - F.expr("unix_micros(latest_ts) div 3600000000"))
+            .cast("long")
+            .alias("staleness_h"),
+        )
+        .withColumn("slo_breached", F.col("staleness_h") > 48)
+        .orderBy("event_type")
+    )
+
+
+@query(
+    "q232_uniqueness_profile",
+    oracle="""
+    WITH stats AS (
+        SELECT count(*) AS n,
+               count(DISTINCT o_orderkey)      AS d_orderkey,
+               count(DISTINCT o_custkey)       AS d_custkey,
+               count(DISTINCT o_orderstatus)   AS d_status,
+               count(DISTINCT o_orderpriority) AS d_priority
+        FROM orders
+    )
+    SELECT col_name,
+           CAST(n AS BIGINT)          AS n_rows,
+           CAST(n_distinct AS BIGINT) AS n_distinct,
+           n_distinct = n             AS is_candidate_key,
+           round(CAST(n_distinct AS DOUBLE) / n, 6) AS uniqueness
+    FROM (
+        SELECT 'o_orderkey' AS col_name, n, d_orderkey AS n_distinct FROM stats
+        UNION ALL SELECT 'o_custkey', n, d_custkey FROM stats
+        UNION ALL SELECT 'o_orderstatus', n, d_status FROM stats
+        UNION ALL SELECT 'o_orderpriority', n, d_priority FROM stats
+    )
+    ORDER BY col_name
+    """,
+    tags=("etl", "profiling", "keys", "uniqueness"),
+)
+def q232_uniqueness_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate-key discovery by uniqueness ratio: distinct/total per
+    column in ONE multi-countDistinct aggregate — ratio 1.0 marks a
+    candidate key (o_orderkey), near-0 marks an enum; the profile a
+    modeling/ingest layer runs before declaring primary keys or
+    choosing bucketing columns (a bucketBy on a 3-value column is a
+    useless layout — this is the query that would have said so).
+
+    Scale posture: Spark plans multiple count-distincts in one pass
+    via expand (rows × #columns before partial agg); at 100 TB swap
+    each to approx_count_distinct — key discovery tolerates HLL error
+    since the decision boundary is ratio ≈ 1 vs ratio « 1."""
+    orders = load_tables(spark, sf_dir)["orders"]
+    stats = orders.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("o_orderkey").alias("d_orderkey"),
+        F.countDistinct("o_custkey").alias("d_custkey"),
+        F.countDistinct("o_orderstatus").alias("d_status"),
+        F.countDistinct("o_orderpriority").alias("d_priority"),
+    )
+    stacked = stats.selectExpr(
+        "n",
+        "stack(4, 'o_orderkey', d_orderkey, 'o_custkey', d_custkey,"
+        " 'o_orderstatus', d_status, 'o_orderpriority', d_priority)"
+        " AS (col_name, n_distinct)",
+    )
+    return stacked.select(
+        "col_name",
+        F.col("n").cast("long").alias("n_rows"),
+        F.col("n_distinct").cast("long").alias("n_distinct"),
+        (F.col("n_distinct") == F.col("n")).alias("is_candidate_key"),
+        F.round(F.col("n_distinct").cast("double") / F.col("n"), 6).alias(
+            "uniqueness"
+        ),
+    ).orderBy("col_name")
