@@ -988,3 +988,89 @@ def q219_cold_start_fallback(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_custkey", "rec_rank")
     )
+
+
+@query(
+    "q234_order_reconciliation",
+    oracle="""
+    WITH li AS (
+        SELECT l_orderkey,
+               sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS li_cents,
+               count(*) AS n_lines
+        FROM lineitem GROUP BY l_orderkey
+    ),
+    rec AS (
+        SELECT o.o_orderkey, o.o_orderstatus,
+               CAST(round(o.o_totalprice * 100) AS BIGINT) AS ord_cents,
+               li.li_cents, li.n_lines
+        FROM orders o LEFT JOIN li ON o.o_orderkey = li.l_orderkey
+    )
+    SELECT o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CASE WHEN li_cents IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_headerless_detail,
+           CAST(sum(CASE WHEN li_cents IS NOT NULL
+                         AND abs(ord_cents - li_cents) * 100 <= 5 * ord_cents
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_reconciled_5pct,
+           round(avg(CASE WHEN li_cents IS NOT NULL
+                          THEN abs(ord_cents - li_cents) / 100.0 END), 2)
+               AS avg_abs_gap
+    FROM rec
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+    """,
+    tags=("join", "reconciliation", "audit", "quality"),
+)
+def q234_order_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Header-detail reconciliation: each order's stated total against
+    the SUM of its line items — the finance-grade consistency audit
+    between an aggregate column and its supposed source of truth,
+    reporting per status how many orders reconcile within 5% (exact
+    cross-multiplied cents — no float in the tolerance test), how
+    many carry no detail lines at all, and the mean absolute gap.
+    A pipeline that maintains denormalized aggregates runs exactly
+    this after every load; q110's FK audit checks rows exist, this
+    checks the NUMBERS agree.
+
+    Scale posture: detail collapses to header grain map-side before
+    the join (aggregate-below-join, q180's shape); the reconciliation
+    is then header-sized. Co-bucketing both tables on the order key
+    makes the join shuffle-free."""
+    t = load_tables(spark, sf_dir)
+    li = (
+        t["lineitem"]
+        .select(
+            "l_orderkey",
+            F.round(F.col("l_extendedprice") * 100).cast("long").alias("c"),
+        )
+        .groupBy("l_orderkey")
+        .agg(F.sum("c").alias("li_cents"), F.count(F.lit(1)).alias("n_lines"))
+    )
+    rec = t["orders"].select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("ord_cents"),
+    ).join(li, F.col("o_orderkey") == F.col("l_orderkey"), "left")
+    gap = F.abs(F.col("ord_cents") - F.col("li_cents"))
+    return (
+        rec.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("li_cents").isNull().cast("long")).alias(
+                "n_headerless_detail"
+            ),
+            F.sum(
+                (
+                    F.col("li_cents").isNotNull()
+                    & (gap * 100 <= 5 * F.col("ord_cents"))
+                ).cast("long")
+            ).alias("n_reconciled_5pct"),
+            F.round(
+                F.avg(
+                    F.when(F.col("li_cents").isNotNull(), gap / 100.0)
+                ),
+                2,
+            ).alias("avg_abs_gap"),
+        )
+        .orderBy("o_orderstatus")
+    )

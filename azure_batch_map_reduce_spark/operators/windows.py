@@ -2212,3 +2212,95 @@ def q227_sequence_feature_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "event_id")
     )
+
+
+@query(
+    "q233_duplicate_payment_rule",
+    oracle="""
+    WITH payments AS (
+        SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice FROM orders
+        UNION ALL
+        SELECT o_custkey, 900000000 + o_orderkey,
+               o_orderdate + INTERVAL 3 DAY, o_totalprice
+        FROM orders WHERE o_orderkey % 50 = 0
+    ),
+    keyed AS (
+        SELECT o_custkey,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+               o_orderkey, o_orderdate,
+               lag(o_orderdate) OVER w AS prev_date,
+               lag(o_orderkey) OVER w AS prev_orderkey
+        FROM payments
+        WINDOW w AS (PARTITION BY o_custkey,
+                     CAST(round(o_totalprice * 100) AS BIGINT)
+                     ORDER BY o_orderdate, o_orderkey)
+    )
+    SELECT o_custkey,
+           round(cents / 100.0, 2) AS amount,
+           CAST(prev_orderkey AS BIGINT) AS first_orderkey,
+           CAST(o_orderkey AS BIGINT)    AS second_orderkey,
+           CAST(date_diff('day', prev_date, o_orderdate) AS BIGINT)
+               AS days_apart
+    FROM keyed
+    WHERE prev_date IS NOT NULL
+      AND date_diff('day', prev_date, o_orderdate) <= 7
+    ORDER BY o_custkey, second_orderkey
+    """,
+    tags=("window", "fraud", "dedup", "rule"),
+)
+def q233_duplicate_payment_rule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-payment detection rule: two orders by the SAME
+    customer for the EXACT same amount within 7 days flag as suspected
+    double charges — the classic finance-ops dedup rule, distinct from
+    content dedup (q60): the key is (who, how much, when-close), not
+    identity. Amounts compare as exact integer cents; day gaps are
+    boundary-crossing integers; the lag window means each suspect pair
+    reports once (consecutive in amount order), not quadratically.
+
+    Scale posture: one shuffle on (customer, cents) shared by the lag
+    window; no self-join ever forms — the window formulation of what
+    is naively an O(n²)-per-customer pair search (same move as q155's
+    sweep vs the pair join)."""
+    orders = load_tables(spark, sf_dir)["orders"]
+    # The fixture's continuous prices never collide naturally, so a
+    # deterministic "accidental resubmission" batch is seeded (every
+    # 50th order, same amount, 3 days later) — q54's seeding pattern;
+    # the oracle constructs the identical batch.
+    resubmitted = orders.where(F.col("o_orderkey") % 50 == 0).select(
+        "o_custkey",
+        (F.lit(900_000_000) + F.col("o_orderkey")).alias("o_orderkey"),
+        F.expr("o_orderdate + INTERVAL 3 DAY").alias("o_orderdate"),
+        "o_totalprice",
+    )
+    payments = orders.select(
+        "o_custkey", "o_orderkey", "o_orderdate", "o_totalprice"
+    ).unionByName(resubmitted)
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    w = Window.partitionBy("o_custkey", "cents").orderBy(
+        "o_orderdate", "o_orderkey"
+    )
+    keyed = payments.select(
+        "o_custkey",
+        cents.alias("cents"),
+        "o_orderkey",
+        "o_orderdate",
+    ).select(
+        "*",
+        F.lag("o_orderdate").over(w).alias("prev_date"),
+        F.lag("o_orderkey").over(w).alias("prev_orderkey"),
+    )
+    day = F.expr(
+        "(unix_micros(o_orderdate) div 86400000000)"
+        " - (unix_micros(prev_date) div 86400000000)"
+    )
+    return (
+        keyed.where(F.col("prev_date").isNotNull() & (day <= 7))
+        .select(
+            "o_custkey",
+            F.round(F.col("cents") / 100.0, 2).alias("amount"),
+            F.col("prev_orderkey").cast("long").alias("first_orderkey"),
+            F.col("o_orderkey").cast("long").alias("second_orderkey"),
+            day.cast("long").alias("days_apart"),
+        )
+        .orderBy("o_custkey", "second_orderkey")
+    )
