@@ -2304,3 +2304,104 @@ def q233_duplicate_payment_rule(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_custkey", "second_orderkey")
     )
+
+
+@query(
+    "q235_rfm_segmentation",
+    oracle="""
+    WITH per_cust AS (
+        SELECT o_custkey,
+               max(o_orderdate) AS last_order,
+               count(*) AS frequency,
+               sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS monetary_cents
+        FROM orders
+        GROUP BY o_custkey
+    ),
+    scored AS (
+        SELECT o_custkey,
+               ntile(5) OVER (ORDER BY last_order DESC, o_custkey)     AS r,
+               ntile(5) OVER (ORDER BY frequency DESC, o_custkey)      AS f,
+               ntile(5) OVER (ORDER BY monetary_cents DESC, o_custkey) AS m,
+               monetary_cents
+        FROM per_cust
+    )
+    SELECT CAST(r AS INTEGER) AS r, CAST(f AS INTEGER) AS f,
+           CAST(m AS INTEGER) AS m,
+           CASE WHEN r = 1 AND f = 1 THEN 'champion'
+                WHEN r >= 4 AND f = 1 THEN 'at_risk_loyal'
+                WHEN r = 1 AND f >= 4 THEN 'new'
+                WHEN r >= 4 AND f >= 4 THEN 'hibernating'
+                ELSE 'core' END AS segment,
+           CAST(count(*) AS BIGINT) AS n_customers,
+           round((sum(monetary_cents) // count(*)) / 100.0, 2)
+               AS avg_monetary
+    FROM scored
+    GROUP BY r, f, m
+    ORDER BY r, f, m
+    """,
+    tags=("window", "rfm", "segmentation", "analytics"),
+)
+def q235_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation: every buying customer scores 1-5 on Recency,
+    Frequency, and Monetary via ntile quintiles (best = 1), and the
+    (r, f) corners map to the canonical lifecycle labels (champion /
+    at-risk-loyal / new / hibernating) — the customer-analytics
+    workhorse behind retention targeting. Every ntile orders with a
+    custkey tie-break so quintile boundaries are deterministic on
+    both engines; monetary is exact cents.
+
+    Scale posture: orders collapse to customer grain first; the three
+    ntiles share one global sort each over customer-grain rows. At
+    true scale global ntile becomes a two-pass percentile-boundary
+    assignment (fit boundaries via approx_percentile, then a map-side
+    bucket — q222's fit-transform shape); the quintile semantics are
+    unchanged."""
+    orders = load_tables(spark, sf_dir)["orders"]
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.max("o_orderdate").alias("last_order"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
+            "monetary_cents"
+        ),
+    )
+    scored = per_cust.select(
+        "o_custkey",
+        "monetary_cents",
+        F.ntile(5)
+        .over(Window.orderBy(F.desc("last_order"), F.asc("o_custkey")))
+        .alias("r"),
+        F.ntile(5)
+        .over(Window.orderBy(F.desc("frequency"), F.asc("o_custkey")))
+        .alias("f"),
+        F.ntile(5)
+        .over(Window.orderBy(F.desc("monetary_cents"), F.asc("o_custkey")))
+        .alias("m"),
+    )
+    segment = (
+        F.when((F.col("r") == 1) & (F.col("f") == 1), "champion")
+        .when((F.col("r") >= 4) & (F.col("f") == 1), "at_risk_loyal")
+        .when((F.col("r") == 1) & (F.col("f") >= 4), "new")
+        .when((F.col("r") >= 4) & (F.col("f") >= 4), "hibernating")
+        .otherwise("core")
+    )
+    return (
+        scored.groupBy("r", "f", "m")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            # Integer floor-division to whole cents BEFORE any float:
+            # small groups land sum/n exactly on .5-cent boundaries,
+            # where engine round() rules disagree.
+            F.round(
+                F.expr("sum(monetary_cents) div count(1)") / 100.0, 2
+            ).alias("avg_monetary"),
+        )
+        .select(
+            F.col("r").cast("int").alias("r"),
+            F.col("f").cast("int").alias("f"),
+            F.col("m").cast("int").alias("m"),
+            segment.alias("segment"),
+            "n_customers",
+            "avg_monetary",
+        )
+        .orderBy("r", "f", "m")
+    )
