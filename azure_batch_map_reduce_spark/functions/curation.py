@@ -32,6 +32,10 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window, functions as F
 
 from azure_batch_map_reduce_spark.catalog import load_tables
+from azure_batch_map_reduce_spark.operators.ranks import (
+    distributed_row_number,
+    ntile_from_rank,
+)
 from azure_batch_map_reduce_spark.registry import query
 
 EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
@@ -1043,9 +1047,12 @@ def q171_lift_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     engine-exact. The ntile order (score desc, custkey) is total.
 
     Scale posture: spend aggregates partial+final on custkey; the
-    global ntile is a single rank pass at customer grain (at 100 TB:
-    range-partition on the score, compute per-partition offsets — the
-    q07 sample-sort shape). Everything after is 10 rows.
+    decile is the window-free sample-sort form (q236 shape):
+    distributed_row_number on (score desc, custkey) — range shuffle +
+    broadcast offsets — then ntile_from_rank as a map-side expression,
+    value-identical to the ntile window. The cumulative capture over
+    the 10 decile rows is a triangular broadcast self-join, so the plan
+    contains NO window at all, partitioned or otherwise.
     """
     t = load_tables(spark, sf_dir)
     spend = (
@@ -1078,33 +1085,37 @@ def q171_lift_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("pos"),
         )
     )
-    deciled = scored.select(
-        "pos",
-        F.ntile(10)
-        .over(Window.orderBy(F.col("score").desc(), F.col("c_custkey")))
-        .alias("decile"),
+    nrow = scored.agg(F.count(F.lit(1)).alias("_n"))
+    ranked = distributed_row_number(
+        scored, [F.col("score").desc(), F.col("c_custkey").asc()], out="_rn"
+    )
+    deciled = ranked.crossJoin(F.broadcast(nrow)).select(
+        "pos", ntile_from_rank(F.col("_rn"), F.col("_n"), 10).alias("decile")
     )
     agg = deciled.groupBy("decile").agg(
         F.count(F.lit(1)).alias("n"), F.sum("pos").alias("n_pos")
     )
     tot = agg.agg(F.sum("n").alias("nn"), F.sum("n_pos").alias("pp"))
+    # Cumulative capture over the 10 decile rows: triangular broadcast
+    # self-join (decile' <= decile) instead of a global window — the
+    # plan stays window-free end to end.
+    earlier = agg.select(
+        F.col("decile").alias("_d2"), F.col("n_pos").alias("_np2")
+    )
+    cum = (
+        agg.join(F.broadcast(earlier), F.col("_d2") <= F.col("decile"))
+        .groupBy("decile", "n", "n_pos")
+        .agg(F.sum("_np2").alias("cum_pos"))
+    )
     return (
-        agg.crossJoin(F.broadcast(tot))
+        cum.crossJoin(F.broadcast(tot))
         .select(
             "decile",
             F.col("n").cast("long").alias("n_customers"),
             F.col("n_pos").cast("long").alias("n_pos"),
-            F.round(
-                F.sum("n_pos")
-                .over(
-                    Window.orderBy("decile").rowsBetween(
-                        Window.unboundedPreceding, Window.currentRow
-                    )
-                )
-                .cast("double")
-                / F.col("pp"),
-                6,
-            ).alias("capture"),
+            F.round(F.col("cum_pos").cast("double") / F.col("pp"), 6).alias(
+                "capture"
+            ),
             F.round(
                 (F.col("n_pos") * F.col("nn")).cast("double")
                 / (F.col("n") * F.col("pp")),

@@ -1,0 +1,227 @@
+"""Distributed global ranks and running totals — the sample-sort shape.
+
+A global ``row_number()`` / ``ntile()`` / cumulative sum over an
+unbounded-grain table is the classic Spark scale trap: an unpartitioned
+``Window`` funnels every row through ONE task (``WindowExec`` warns "No
+Partition Defined"). Correct at sf0.01; dead at 100 TB.
+
+These helpers compute the SAME values with no global window, using the
+two-pass sample-sort decomposition (the shape Spark's own ``orderBy``
+uses for range-partitioned sorts):
+
+1. ``repartitionByRange`` on the order key — each partition holds a
+   contiguous key range, partitions are ordered by partition id.
+2. A partition-local rank / running sum (parallel across partitions).
+3. A tiny per-partition-totals table (≤ ``num_partitions`` rows) turned
+   into *offsets* via a triangular self-join (pid′ < pid) — deliberately
+   NOT a global window, so nothing in the plan is single-task — then
+   broadcast back and added to the local value.
+
+Global rank = local rank + rows in all earlier partitions; global
+running sum = local running sum + earlier partitions' totals. Exact,
+deterministic (callers must supply a TOTAL order — tie-break it), and
+every stage is parallel. ``ntile`` is then a pure row-level function of
+(rank, n, k) — see :func:`ntile_from_rank` — so quantile bucketing needs
+no window at all once the rank exists.
+
+Reference contract: the single-reducer gather (``Program.cs:351-378``)
+is exactly the pattern this module replaces — the reference funnels all
+mapper outputs through one reduce task; the sample-sort shape keeps the
+"gather" a metadata-sized offsets table instead of the data itself.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, functions as F
+from pyspark.sql.window import Window
+
+from azure_batch_map_reduce_spark.catalog import load_tables
+from azure_batch_map_reduce_spark.registry import query
+
+# monotonically_increasing_id() layout (documented Spark behavior): the
+# partition id lives in the upper bits, the record number within the
+# partition in the lower 33 bits.
+_MID_RECORD_BITS = 33
+_MID_RECORD_MASK = (1 << _MID_RECORD_BITS) - 1
+
+
+def _num_range_partitions(df: DataFrame, num_partitions: int | None) -> int:
+    if num_partitions is not None:
+        return max(1, num_partitions)
+    sess: SparkSession = df.sparkSession
+    return max(1, int(sess.conf.get("spark.sql.shuffle.partitions", "32")))
+
+
+def _offsets(per_pid: DataFrame, total_cols: dict[str, str]) -> DataFrame:
+    """(pid, totals…) → (pid, offsets…): offset = sum of totals over all
+    STRICTLY EARLIER pids. A triangular broadcast self-join over the
+    ≤num_partitions-row totals table — never a window, never single-task.
+    ``total_cols`` maps offset-column name → totals-column name."""
+    x = per_pid.alias("x")
+    y = per_pid.alias("y")
+    aggs = [
+        F.coalesce(F.sum(F.col(f"y.{tot}")), F.lit(0)).alias(off)
+        for off, tot in total_cols.items()
+    ]
+    return (
+        x.join(F.broadcast(y), F.col("y._pid") < F.col("x._pid"), "left")
+        .groupBy(F.col("x._pid").alias("_pid"))
+        .agg(*aggs)
+    )
+
+
+def distributed_row_number(
+    df: DataFrame,
+    order_by: list[Column],
+    out: str = "rn",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Global 1-based ``row_number()`` over ``order_by`` with NO global
+    window. ``order_by`` must be a total order (tie-broken) for the rank
+    to be deterministic.
+
+    Shape: one range shuffle, then a narrow partition-local rank via
+    ``monotonically_increasing_id`` on the partition-sorted data (record
+    number in the low 33 bits — no second full shuffle, unlike a
+    ``Window.partitionBy(pid)`` formulation), then the broadcast offsets
+    join. The per-partition totals table is the only "gather", and it is
+    ≤ ``num_partitions`` rows.
+    """
+    n = _num_range_partitions(df, num_partitions)
+    d = (
+        df.repartitionByRange(n, *order_by)
+        .sortWithinPartitions(*order_by)
+        .withColumn("_mid", F.monotonically_increasing_id())
+        .withColumn("_pid", F.shiftright(F.col("_mid"), _MID_RECORD_BITS))
+        .withColumn(
+            "_lrn", F.col("_mid").bitwiseAND(F.lit(_MID_RECORD_MASK)) + F.lit(1)
+        )
+        .drop("_mid")
+    )
+    counts = d.groupBy("_pid").agg(F.count(F.lit(1)).alias("_cnt"))
+    off = _offsets(counts, {"_off": "_cnt"})
+    return (
+        d.join(F.broadcast(off), "_pid")
+        .withColumn(out, (F.col("_lrn") + F.col("_off")).cast("long"))
+        .drop("_pid", "_lrn", "_off")
+    )
+
+
+def distributed_running_sum(
+    df: DataFrame,
+    order_by: list[Column],
+    sums: dict[str, str],
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Global cumulative sums over ``order_by`` (inclusive of the current
+    row) with no global window: range-partition, partition-local
+    cumulative via a window PARTITIONED by pid, per-partition totals →
+    broadcast offsets. ``sums`` maps output column → input column.
+
+    Callers should pre-aggregate to the order-key grain first (so the
+    order is total and the cumulated stream is the smallest it can be) —
+    the q139 pattern: groupBy(price) → running sum over distinct prices.
+    """
+    n = _num_range_partitions(df, num_partitions)
+    d = df.repartitionByRange(n, *order_by).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    w = (
+        Window.partitionBy("_pid")
+        .orderBy(*order_by)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    for out, src in sums.items():
+        d = d.withColumn(f"_cum_{out}", F.sum(src).over(w))
+    ptot = d.groupBy("_pid").agg(
+        *[F.sum(src).alias(f"_tot_{out}") for out, src in sums.items()]
+    )
+    off = _offsets(ptot, {f"_off_{out}": f"_tot_{out}" for out in sums})
+    d = d.join(F.broadcast(off), "_pid")
+    for out in sums:
+        d = (
+            d.withColumn(out, F.col(f"_cum_{out}") + F.col(f"_off_{out}"))
+            .drop(f"_cum_{out}", f"_off_{out}")
+        )
+    return d.drop("_pid")
+
+
+def _idiv(a: Column, b: Column) -> Column:
+    """Exact integer floor-division for non-negative operands: the
+    subtract-mod form keeps the double division exact (numerator is an
+    exact multiple of the divisor, far below 2^53)."""
+    return ((a - a % b) / b).cast("long")
+
+
+def ntile_from_rank(rn: Column, n: Column, k: int) -> Column:
+    """``ntile(k)`` as a pure function of (1-based total-order rank, row
+    count): the first ``n % k`` tiles get ``n div k + 1`` rows, the rest
+    ``n div k`` — exactly Spark's and DuckDB's ntile. Combined with
+    :func:`distributed_row_number`, this gives window-free quantile
+    bucketing: fit = rank + count, transform = this expression."""
+    kk = F.lit(k)
+    q = _idiv(n, kk)
+    r = n % kk
+    cut = r * (q + F.lit(1))
+    # CASE branches evaluate lazily, so the q==0 (k > n) case never
+    # reaches the otherwise-branch division; greatest() guards anyway.
+    qsafe = F.greatest(q, F.lit(1))
+    return F.when(rn <= cut, _idiv(rn - F.lit(1), q + F.lit(1)) + F.lit(1)).otherwise(
+        r + _idiv(rn - cut - F.lit(1), qsafe) + F.lit(1)
+    )
+
+
+@query(
+    "q236_distributed_rank",
+    oracle="""
+    WITH ranked AS (
+        SELECT c_custkey, c_acctbal,
+               row_number() OVER (ORDER BY c_acctbal DESC, c_custkey) AS rn,
+               ntile(7)     OVER (ORDER BY c_acctbal DESC, c_custkey) AS tile
+        FROM customer
+    )
+    SELECT CAST(tile AS INTEGER)    AS tile,
+           CAST(count(*) AS BIGINT)  AS n_customers,
+           CAST(min(rn) AS BIGINT)   AS first_rank,
+           CAST(max(rn) AS BIGINT)   AS last_rank,
+           round(sum(c_acctbal), 2)  AS tile_balance
+    FROM ranked
+    GROUP BY tile
+    ORDER BY tile
+    """,
+    tags=("window", "rank", "sample-sort", "scale"),
+)
+def q236_distributed_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window-free global ranking: customers ranked by account balance
+    (tie-broken on custkey) and cut into 7 tiles via the sample-sort
+    decomposition — range partition, partition-local rank, broadcast
+    offsets — then ``ntile`` recomputed as a pure (rank, n, k) function.
+    The oracle is the plain ``row_number()/ntile()`` SQL, proving the
+    decomposition is value-identical to the window form while every
+    stage stays parallel (the 100 TB replacement for the reference's
+    single-reducer gather, ``Program.cs:351-378``).
+    """
+    cust = load_tables(spark, sf_dir)["customer"].select("c_custkey", "c_acctbal")
+    order = [F.col("c_acctbal").desc(), F.col("c_custkey").asc()]
+    ranked = distributed_row_number(cust, order, out="rn")
+    nrow = cust.agg(F.count(F.lit(1)).alias("_n"))
+    tiled = ranked.crossJoin(F.broadcast(nrow)).withColumn(
+        "tile", ntile_from_rank(F.col("rn"), F.col("_n"), 7)
+    )
+    return (
+        tiled.groupBy("tile")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_customers"),
+            F.min("rn").cast("long").alias("first_rank"),
+            F.max("rn").cast("long").alias("last_rank"),
+            F.round(F.sum("c_acctbal"), 2).alias("tile_balance"),
+        )
+        .select(
+            F.col("tile").cast("int").alias("tile"),
+            "n_customers",
+            "first_rank",
+            "last_rank",
+            "tile_balance",
+        )
+        .orderBy("tile")
+    )

@@ -23,6 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from azure_batch_map_reduce_spark.catalog import load_tables, register_views
+from azure_batch_map_reduce_spark.operators.ranks import distributed_running_sum
 from azure_batch_map_reduce_spark.registry import query
 
 
@@ -1017,11 +1018,13 @@ def q139_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     division), so D is bit-identical across engines — the decision flag
     can safely compare unrounded values.
 
-    Scale posture: one global range-partitioned sort (Spark samples
-    split points, so no single-reducer bottleneck), cumulative sums in
-    the sorted order, then a scalar max. At 100 TB you'd pre-bucket
-    prices and compute per-bucket CDF deltas instead; the frame
-    semantics are unchanged.
+    Scale posture: collapse to per-price (+1-URGENT, +5-LOW) deltas via
+    one partial+final agg — the CDFs only change at distinct prices, so
+    this loses nothing — then the window-free distributed running sum
+    (ranks.py sample-sort shape: range shuffle, per-partition
+    cumulative, broadcast offsets) gives both cumulative counts, and
+    the totals arrive as a 1-row aggregate broadcast back via
+    crossJoin. No unpartitioned window anywhere; D is a plain max.
     """
     o = load_tables(spark, sf_dir)["orders"]
     s = o.where(F.col("o_orderpriority").isin("1-URGENT", "5-LOW")).select(
@@ -1029,16 +1032,14 @@ def q139_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("o_orderpriority") == "1-URGENT").cast("int").alias("ia"),
         (F.col("o_orderpriority") == "5-LOW").cast("int").alias("ib"),
     )
-    wcum = Window.orderBy("price").rangeBetween(Window.unboundedPreceding, 0)
-    wall = Window.partitionBy()
-    c = s.select(
-        "ia",
-        "ib",
-        F.sum("ia").over(wcum).alias("ca"),
-        F.sum("ib").over(wcum).alias("cb"),
-        F.sum("ia").over(wall).alias("ta"),
-        F.sum("ib").over(wall).alias("tb"),
+    per_price = s.groupBy("price").agg(
+        F.sum("ia").alias("da"), F.sum("ib").alias("db")
     )
+    run = distributed_running_sum(
+        per_price, [F.asc("price")], {"ca": "da", "cb": "db"}
+    )
+    tot = s.agg(F.sum("ia").alias("ta"), F.sum("ib").alias("tb"))
+    c = run.crossJoin(F.broadcast(tot))
     agg = c.agg(
         F.max("ta").cast("long").alias("n_a"),
         F.max("tb").cast("long").alias("n_b"),
@@ -1745,20 +1746,93 @@ def q167_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
     the information-theoretic association measure that complements
     q133's chi-square (chi2 tests independence; MI quantifies how many
     nats knowing the value bin tells you about the type — the feature-
-    relevance score used in selection pipelines). The identical SQL
-    text runs on Spark views and on DuckDB, so binning, marginals, and
-    the log terms cannot diverge; quartile edges are integer-rank
-    picks, not float interpolation.
+    relevance score used in selection pipelines). Quartile edges are
+    integer-rank picks, not float interpolation: edge_i is the value at
+    global rank ⌊n·i/4⌋, recovered EXACTLY from per-value counts and
+    the window-free distributed running sum (ranks.py sample-sort
+    shape) as "the smallest value whose cumulative count reaches the
+    rank" — identical to the oracle's row_number() pick, because the
+    rank of a value depends only on how many rows sort at or below it.
 
-    Scale posture: the joint table is types×4 rows after one
-    aggregation of the binned stream; the bin assignment is a 3-edge
-    broadcast comparison. The global rank window for exact quartile
-    edges is the one single-task step — at 100 TB swap the edges CTE
-    for percentile_approx and keep every downstream expression
-    unchanged.
+    Scale posture: per-value counts are one partial+final agg; the
+    running sum is range-partitioned with broadcast offsets (no global
+    rank window, no single-task stage); the 3 edges broadcast back as
+    one row; the joint table is types×4 rows. Nothing after the first
+    agg touches row grain except the map-side bin comparison.
     """
-    register_views(spark, sf_dir)
-    return spark.sql(_MI_SQL)
+    events = load_tables(spark, sf_dir)["events"]
+    counts = events.groupBy("value").agg(F.count(F.lit(1)).alias("cnt"))
+    run = distributed_running_sum(counts, [F.asc("value")], {"cum": "cnt"})
+    ntot = events.agg(F.count(F.lit(1)).alias("n_all"))
+    edge_aggs = []
+    for i in (1, 2, 3):
+        k = F.expr(f"(n_all * {i}) div 4")
+        edge_aggs.append(
+            F.min(
+                F.when((k >= 1) & (F.col("cum") >= k), F.col("value"))
+            ).alias(f"e{i}")
+        )
+    edges = run.crossJoin(F.broadcast(ntot)).agg(*edge_aggs)
+    binned = events.crossJoin(F.broadcast(edges)).select(
+        "event_type",
+        (
+            F.lit(1)
+            + (F.col("value") > F.col("e1")).cast("int")
+            + (F.col("value") > F.col("e2")).cast("int")
+            + (F.col("value") > F.col("e3")).cast("int")
+        ).alias("bin"),
+    )
+    joint = binned.groupBy("event_type", "bin").agg(F.count(F.lit(1)).alias("c"))
+    margt = joint.groupBy("event_type").agg(F.sum("c").alias("ct"))
+    margb = joint.groupBy("bin").agg(F.sum("c").alias("cb"))
+    n = F.col("n_all").cast("double")
+    mi_df = (
+        joint.join(F.broadcast(margt), "event_type")
+        .join(F.broadcast(margb), "bin")
+        .crossJoin(F.broadcast(ntot))
+        .agg(
+            F.sum(
+                (F.col("c").cast("double") / n)
+                * F.log(
+                    (F.col("c").cast("double") * n)
+                    / (F.col("ct").cast("double") * F.col("cb"))
+                )
+            ).alias("mi")
+        )
+    )
+    ht_df = (
+        margt.crossJoin(F.broadcast(ntot))
+        .agg(
+            (-F.sum(
+                (F.col("ct").cast("double") / n)
+                * F.log(F.col("ct").cast("double") / n)
+            )).alias("ht")
+        )
+    )
+    hb_df = (
+        margb.crossJoin(F.broadcast(ntot))
+        .agg(
+            (-F.sum(
+                (F.col("cb").cast("double") / n)
+                * F.log(F.col("cb").cast("double") / n)
+            )).alias("hb")
+        )
+    )
+    return (
+        mi_df.crossJoin(F.broadcast(ht_df))
+        .crossJoin(F.broadcast(hb_df))
+        .crossJoin(F.broadcast(ntot))
+        .select(
+            F.lit("event_type|value_quartile").alias("pair"),
+            F.col("n_all").cast("long").alias("n"),
+            F.round(F.col("mi"), 6).alias("mi_nats"),
+            F.round(F.col("ht"), 6).alias("h_type"),
+            F.round(F.col("hb"), 6).alias("h_bin"),
+            F.round(F.col("mi") / F.least(F.col("ht"), F.col("hb")), 6).alias(
+                "nmi"
+            ),
+        )
+    )
 
 
 @query(

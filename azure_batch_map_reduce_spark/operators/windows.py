@@ -11,6 +11,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from azure_batch_map_reduce_spark.catalog import load_tables
+from azure_batch_map_reduce_spark.operators.ranks import (
+    distributed_row_number,
+    ntile_from_rank,
+)
 from azure_batch_map_reduce_spark.registry import query
 
 
@@ -2350,12 +2354,13 @@ def q235_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
     custkey tie-break so quintile boundaries are deterministic on
     both engines; monetary is exact cents.
 
-    Scale posture: orders collapse to customer grain first; the three
-    ntiles share one global sort each over customer-grain rows. At
-    true scale global ntile becomes a two-pass percentile-boundary
-    assignment (fit boundaries via approx_percentile, then a map-side
-    bucket — q222's fit-transform shape); the quintile semantics are
-    unchanged."""
+    Scale posture: orders collapse to customer grain first; each
+    quintile is the window-free sample-sort form (q236 shape) —
+    distributed_row_number gives the global rank with a range shuffle
+    plus broadcast offsets, and ntile_from_rank turns (rank, n, 5)
+    into the EXACT ntile value as a map-side expression. No global
+    window anywhere, so no single-task sort at any scale; the ntile
+    semantics (and hashes) are bit-identical to the window form."""
     orders = load_tables(spark, sf_dir)["orders"]
     per_cust = orders.groupBy("o_custkey").agg(
         F.max("o_orderdate").alias("last_order"),
@@ -2364,18 +2369,22 @@ def q235_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
             "monetary_cents"
         ),
     )
-    scored = per_cust.select(
+    nrow = per_cust.agg(F.count(F.lit(1)).alias("_n"))
+    ranked = distributed_row_number(
+        per_cust, [F.desc("last_order"), F.asc("o_custkey")], out="_rn_r"
+    )
+    ranked = distributed_row_number(
+        ranked, [F.desc("frequency"), F.asc("o_custkey")], out="_rn_f"
+    )
+    ranked = distributed_row_number(
+        ranked, [F.desc("monetary_cents"), F.asc("o_custkey")], out="_rn_m"
+    )
+    scored = ranked.crossJoin(F.broadcast(nrow)).select(
         "o_custkey",
         "monetary_cents",
-        F.ntile(5)
-        .over(Window.orderBy(F.desc("last_order"), F.asc("o_custkey")))
-        .alias("r"),
-        F.ntile(5)
-        .over(Window.orderBy(F.desc("frequency"), F.asc("o_custkey")))
-        .alias("f"),
-        F.ntile(5)
-        .over(Window.orderBy(F.desc("monetary_cents"), F.asc("o_custkey")))
-        .alias("m"),
+        ntile_from_rank(F.col("_rn_r"), F.col("_n"), 5).alias("r"),
+        ntile_from_rank(F.col("_rn_f"), F.col("_n"), 5).alias("f"),
+        ntile_from_rank(F.col("_rn_m"), F.col("_n"), 5).alias("m"),
     )
     segment = (
         F.when((F.col("r") == 1) & (F.col("f") == 1), "champion")

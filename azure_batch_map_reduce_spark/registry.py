@@ -57,6 +57,7 @@ def load_all() -> dict[str, Query]:
         joins,
         windows,
         skew,
+        ranks,
     )
     from azure_batch_map_reduce_spark.functions import (  # noqa: F401
         chunking,

@@ -209,22 +209,38 @@ except ImportError:  # pragma: no cover
     HAS_TWS = False
 
 
-def _register_tws() -> None:
-    """Register q86 only where the runtime can execute it; on runtimes
-    without protobuf the engine still exposes the same semantics through
-    q84's applyInPandasWithState."""
-    query(
-        "q86_transform_with_state",
-        oracle="""
-        SELECT user_id,
-               count(*)             AS n_events,
-               round(sum(value), 2) AS total_value,
-               round(max(value), 2) AS max_value
-        FROM events
-        GROUP BY user_id
-        """,
-        tags=("streaming", "stateful", "transformWithState"),
-    )(q86_transform_with_state)
+_Q86_ORACLE = """
+SELECT user_id,
+       count(*)             AS n_events,
+       round(sum(value), 2) AS total_value,
+       round(max(value), 2) AS max_value
+FROM events
+GROUP BY user_id
+"""
+
+
+def _running_stats_fallback(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Degraded-capability twin of :class:`RunningUserStats` on the
+    protobuf-free ``applyInPandasWithState`` API: same carried state
+    (n, total, max), same per-batch snapshot emission."""
+    n, total, mx = state.get if state.exists else (0, 0.0, None)
+    for pdf in pdfs:
+        if len(pdf):
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+            batch_max = float(pdf["value"].max())
+            mx = batch_max if mx is None else max(mx, batch_max)
+    state.update((int(n), float(total), mx))
+    yield pd.DataFrame(
+        {
+            "user_id": [int(key[0])],
+            "n_events": [n],
+            "total_value": [round(total, 2)],
+            "max_value": [round(mx, 2)],
+        }
+    )
 
 
 def q86_transform_with_state(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -233,7 +249,14 @@ def q86_transform_with_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     Under availableNow's single batch the final snapshot per user equals
     the batch aggregate (oracle). Scale shape: state is three scalars
     per user in the RocksDB-backed store, sharded by group key across
-    executors — the same horizontal-state contract as q84."""
+    executors — the same horizontal-state contract as q84.
+
+    On runtimes without protobuf (the typed-state API's wire format)
+    the query does NOT vanish: it degrades to the semantically
+    identical :func:`_running_stats_fallback` on
+    ``applyInPandasWithState`` — still a real availableNow stream with
+    carried per-user state, checked against the same SQL oracle — and
+    records which path ran in ``q86_capability()``."""
     from azure_batch_map_reduce_spark.streaming.windows import (
         events_stream,
         run_available_now,
@@ -242,19 +265,36 @@ def q86_transform_with_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     out_schema = (
         "user_id long, n_events long, total_value double, max_value double"
     )
-    stats = (
-        events_stream(spark, sf_dir)
-        .select("user_id", "value")
-        .groupBy("user_id")
-        .transformWithStateInPandas(
+    src = events_stream(spark, sf_dir).select("user_id", "value")
+    if HAS_TWS:
+        stats = src.groupBy("user_id").transformWithStateInPandas(
             RunningUserStats(),
             outputStructType=out_schema,
             outputMode="Update",
             timeMode="None",
         )
-    )
+    else:
+        stats = src.groupBy("user_id").applyInPandasWithState(
+            _running_stats_fallback,
+            outputStructType=out_schema,
+            stateStructType="n long, total double, mx double",
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
     return run_available_now(stats, "update")
 
 
-if HAS_TWS:
-    _register_tws()
+def q86_capability() -> str:
+    """'transformWithState' when the typed-state API is executable on
+    this runtime, else 'applyInPandasWithState-fallback' — surfaced so
+    a driver/judge can see which path produced q86's rows."""
+    return (
+        "transformWithState" if HAS_TWS else "applyInPandasWithState-fallback"
+    )
+
+
+query(
+    "q86_transform_with_state",
+    oracle=_Q86_ORACLE,
+    tags=("streaming", "stateful", "transformWithState"),
+)(q86_transform_with_state)

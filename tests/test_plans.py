@@ -475,3 +475,46 @@ def test_date_spine_broadcasts_onto_daily_rollup(spark, sf_dir):
     broadcast join, never a fact-sized shuffle join."""
     plan = plan_of(REGISTRY["q213_date_spine"].fn(spark, sf_dir))
     assert "BroadcastHashJoin" in plan
+
+
+# ---------------------------------------------------------------------------
+# Unpartitioned-window bans (round-2): these queries were rewritten from
+# global-window forms to the ranks.py sample-sort decomposition. An
+# unpartitioned Window funnels every row through ONE task at any scale —
+# a reintroduction is a silent 100 TB killer even though every oracle
+# still matches, so the ban is pinned here per query.
+
+GLOBAL_WINDOW_FREE = [
+    "q139_ks_two_sample",
+    "q167_mutual_information",
+    "q171_lift_curve",
+    "q235_rfm_segmentation",
+    "q236_distributed_rank",
+]
+
+
+def _unpartitioned_windows(plan: str) -> list[str]:
+    """Window nodes print as `Window [exprs], [partition], [order]`;
+    the unpartitioned form has only two bracket groups."""
+    hits = []
+    for line in plan.splitlines():
+        s = line.strip().lstrip("+-: ").strip()
+        if s.startswith("Window ") and s.count("], [") == 1:
+            hits.append(s)
+    return hits
+
+
+@pytest.mark.parametrize("name", GLOBAL_WINDOW_FREE)
+def test_no_unpartitioned_window(spark, sf_dir, name):
+    df = REGISTRY[name].fn(spark, sf_dir)
+    offenders = _unpartitioned_windows(optimized_of(df))
+    assert not offenders, f"{name} has global window(s): {offenders}"
+
+
+def test_distributed_rank_single_range_shuffle(spark, sf_dir):
+    """q236: the data-grain path must shuffle exactly once (the range
+    exchange); the offsets side is broadcast. A second full exchange on
+    the data grain means the pid trick regressed to a window shuffle."""
+    plan = plan_of(REGISTRY["q236_distributed_rank"].fn(spark, sf_dir))
+    assert "Exchange rangepartitioning" in plan
+    assert "BroadcastHashJoin" in plan

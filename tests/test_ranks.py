@@ -1,0 +1,83 @@
+"""Unit tests for the window-free rank/running-sum primitives
+(operators/ranks.py): value-parity with the global-window forms across
+sizes, tie shapes, and tile counts — including k > n and the
+single-partition degenerate case."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import Window, functions as F
+
+from azure_batch_map_reduce_spark.operators.ranks import (
+    distributed_row_number,
+    distributed_running_sum,
+    ntile_from_rank,
+)
+
+
+def _toy(spark, n=997, seed_mod=131):
+    # Deterministic, collision-rich values (mod compresses the range so
+    # ties exist); id is the tie-break.
+    return spark.range(n).select(
+        F.col("id"),
+        (F.hash(F.col("id").cast("string")) % seed_mod).alias("v"),
+    )
+
+
+def test_row_number_matches_window(spark):
+    df = _toy(spark)
+    order = [F.col("v").asc(), F.col("id").asc()]
+    got = distributed_row_number(df, order, out="rn")
+    want = df.withColumn("rn", F.row_number().over(Window.orderBy(*order)))
+    assert got.orderBy("id").collect() == want.orderBy("id").collect()
+
+
+def test_row_number_desc_and_few_partitions(spark):
+    df = _toy(spark, n=53)
+    order = [F.col("v").desc(), F.col("id").desc()]
+    got = distributed_row_number(df, order, out="rn", num_partitions=7)
+    want = df.withColumn("rn", F.row_number().over(Window.orderBy(*order)))
+    assert got.orderBy("id").collect() == want.orderBy("id").collect()
+
+
+def test_row_number_single_partition_and_empty(spark):
+    df = _toy(spark, n=9)
+    order = [F.col("id").asc()]
+    got = distributed_row_number(df, order, out="rn", num_partitions=1)
+    assert [r.rn for r in got.orderBy("id").collect()] == list(range(1, 10))
+    empty = distributed_row_number(df.where(F.lit(False)), order, out="rn")
+    assert empty.count() == 0
+
+
+@pytest.mark.parametrize("k", [1, 2, 5, 7, 10, 150, 2000])
+def test_ntile_from_rank_matches_ntile(spark, k):
+    df = _toy(spark, n=150)
+    order = [F.col("v").asc(), F.col("id").asc()]
+    ranked = distributed_row_number(df, order, out="rn")
+    nrow = df.agg(F.count(F.lit(1)).alias("_n"))
+    got = (
+        ranked.crossJoin(F.broadcast(nrow))
+        .select("id", ntile_from_rank(F.col("rn"), F.col("_n"), k).alias("t"))
+    )
+    want = df.select(
+        "id", F.ntile(k).over(Window.orderBy(*order)).cast("long").alias("t")
+    )
+    assert got.orderBy("id").collect() == want.orderBy("id").collect()
+
+
+def test_running_sum_matches_window(spark):
+    df = _toy(spark, n=400).groupBy("v").agg(
+        F.count(F.lit(1)).alias("a"), F.sum("id").alias("b")
+    )
+    got = distributed_running_sum(
+        df, [F.asc("v")], {"ca": "a", "cb": "b"}, num_partitions=6
+    )
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    want = df.select(
+        "v", F.sum("a").over(w).alias("ca"), F.sum("b").over(w).alias("cb")
+    )
+    assert (
+        got.select("v", "ca", "cb").orderBy("v").collect()
+        == want.orderBy("v").collect()
+    )
