@@ -98,9 +98,35 @@ def _load_one(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+# (session, sf_dir) → (session ref, tables). Building a parquet
+# DataFrame costs ~75 ms of driver-side setup (file listing + footer
+# schema read) per table; re-resolving all 10 tables on every query
+# invocation would tax each query ~0.8 s that has nothing to do with its
+# plan. DataFrames are immutable logical plans, so reuse is safe. The
+# session object is held strongly in the value so a dead session's id()
+# can't be recycled into a false cache hit. The cached plan pins the
+# file listing — call :func:`clear_table_cache` after rewriting fixture
+# files in place.
+_TABLE_CACHE: dict[tuple[int, str], tuple[SparkSession, dict[str, DataFrame]]] = {}
+
+
+def clear_table_cache() -> None:
+    _TABLE_CACHE.clear()
+
+
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
-    """Load every fixture table as a DataFrame (lazy parquet scans)."""
-    return {name: _load_one(spark, sf_dir, name) for name in TABLES}
+    """Load every fixture table as a DataFrame (lazy parquet scans),
+    memoized per (session, sf_dir)."""
+    key = (id(spark), os.path.abspath(sf_dir))
+    hit = _TABLE_CACHE.get(key)
+    if hit is None:
+        hit = (spark, {name: _load_one(spark, sf_dir, name) for name in TABLES})
+        _TABLE_CACHE[key] = hit
+    else:
+        # Still re-assert the runtime confs: a caller-owned session may
+        # have flipped timezone/parquet confs between queries.
+        align_session_for_oracle(spark)
+    return dict(hit[1])
 
 
 def register_views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

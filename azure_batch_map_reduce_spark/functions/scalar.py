@@ -429,7 +429,8 @@ def q101_corrupt_tolerant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(count(per_disc) AS BIGINT)                AS n_divisible,
            CAST(count(bad_parse) AS BIGINT)               AS n_bad_parsed,
            CAST(count(good_parse) AS BIGINT)              AS n_good_parsed,
-           round(sum(per_disc), 2)                        AS sum_per_disc
+           round(sum(CAST(round(per_disc * 100) AS BIGINT)) / 100.0, 2)
+                                                          AS sum_per_disc
     FROM t
     """,
     tags=("scalar", "ansi", "error-handling", "try"),
@@ -447,6 +448,13 @@ def q207_try_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     DuckDB divides to NULL differently (it errors too; its oracle uses
     an explicit NULLIF guard and TRY_CAST), so the oracle documents
     the portable SQL equivalent of each try_ function.
+
+    The sum rounds each per-row quotient to integer cents BEFORE
+    accumulating (both engines): each quotient is one IEEE division of
+    identical inputs, so the cents are bit-determined per row, and the
+    accumulation is exact integer addition — summing the raw doubles
+    instead would let accumulation-order ulps flip the 2-decimal
+    rounding at larger scale factors.
 
     Scale posture: all map-side scalar work; the containment property
     is what matters — a quarantine filter on ``per_disc IS NULL``
@@ -469,7 +477,9 @@ def q207_try_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("per_disc").alias("n_divisible"),
         F.count("bad_parse").alias("n_bad_parsed"),
         F.count("good_parse").alias("n_good_parsed"),
-        F.round(F.sum("per_disc"), 2).alias("sum_per_disc"),
+        F.round(
+            F.sum(F.round(F.col("per_disc") * 100).cast("long")) / 100.0, 2
+        ).alias("sum_per_disc"),
     )
 
 

@@ -1074,3 +1074,65 @@ def q234_order_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderstatus")
     )
+
+
+@query(
+    "q237_window_group_limit_topk",
+    oracle="""
+    WITH ranked AS (
+        SELECT o_custkey, o_orderkey, o_totalprice,
+               row_number() OVER (PARTITION BY o_custkey
+                                  ORDER BY o_totalprice DESC, o_orderkey)
+                   AS rnk
+        FROM orders
+    )
+    SELECT c.c_custkey, r.o_orderkey, round(r.o_totalprice, 2) AS amount
+    FROM customer c JOIN ranked r ON r.o_custkey = c.c_custkey
+    WHERE r.rnk <= 2
+    ORDER BY c.c_custkey, amount DESC, r.o_orderkey
+    """,
+    tags=("join", "top-k", "window-group-limit", "decorrelation"),
+)
+def q237_window_group_limit_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group LIMIT as a first-class plan operator: "each customer's
+    two biggest orders" via rank-filter, which Spark 4 rewrites into
+    WindowGroupLimit — group-local top-k HEAPS applied map-side
+    (Partial) and again post-shuffle (Final), so at most 2 rows per
+    customer ever cross into the join, with no full per-group sort
+    materialization. Ties break on o_orderkey, making the pick
+    total-order deterministic.
+
+    Deliberate non-choice, recorded for the 100 TB posture: Spark 4.1
+    also accepts the correlated ``LATERAL (... ORDER BY ... LIMIT 2)``
+    spelling, but decorrelates it through a GLOBAL sort whose ordering
+    must survive a hash re-shuffle into an ORDER-BY-less window — an
+    order-stability assumption that holds single-node and silently
+    breaks under multi-executor shuffle fetch nondeterminism. The
+    rank-filter form pins the ordering inside the window spec itself.
+
+    Scale posture: one shuffle of orders on o_custkey (heap-limited on
+    the map side first), customer broadcast onto post-limit grain.
+    Plan pinned in tests/test_plans.py: WindowGroupLimit present, no
+    CartesianProduct/BroadcastNestedLoopJoin.
+    """
+    t = load_tables(spark, sf_dir)
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    top2 = (
+        t["orders"]
+        .select("o_custkey", "o_orderkey", "o_totalprice")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 2)
+    )
+    return (
+        t["customer"]
+        .select("c_custkey")
+        .join(top2, F.col("c_custkey") == F.col("o_custkey"))
+        .select(
+            "c_custkey",
+            "o_orderkey",
+            F.round("o_totalprice", 2).alias("amount"),
+        )
+        .orderBy("c_custkey", F.desc("amount"), "o_orderkey")
+    )

@@ -1441,80 +1441,85 @@ def q156_portable_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     table, merge = elementwise max — the partial+final shape Spark
     plans for the groupBy is exactly HLL's distributed merge.
 
-    Scale posture: register extraction is map-side hash math; the only
-    shuffle is a 64-key groupBy (bounded, skew-free by construction).
-    The exact countDistinct alongside is the expensive check the
-    sketch exists to replace — at 100 TB you'd drop it and keep the
-    64-row state.
+    Scale posture: registers and the exact audit both depend only on
+    the DISTINCT key set, so the three key streams union into ONE
+    (key_col, k) pipeline: one two-phase parallel distinct
+    (hash-partitioned on the key, map-side partial dedup), md5/conv
+    hash math once per DISTINCT key (20× less string hashing than
+    per-row at sf0.1), then one two-level rollup in which count(1) per
+    register IS the exact audit (the stream is key-distinct, so no
+    countDistinct expansion, no second branch, no join). One linear
+    3-exchange chain — at local scale that's the difference between
+    measuring the sketch and measuring stage overhead; at 100 TB you'd
+    drop the audit column and keep the 64-row state per source.
     """
     register_views(spark, sf_dir)
-    branches = []
-    for label, table, col in _HLL_SOURCES:
-        t = spark.table(table).filter(F.col(col).isNotNull())
-        h = F.md5(F.concat(F.lit("hll|"), F.col(col).cast("string")))
-        w = F.conv(F.substring(h, 3, 8), 16, 10).cast("long")
-        keyed = t.select(
-            F.col(col).alias("k"),
-            (F.conv(F.substring(h, 1, 2), 16, 10).cast("long") % 64).alias(
-                "j"
-            ),
-            F.least(
-                # bin() never prints leading zeros, so length(bin(w)) IS
-                # 32 - clz(w) for w > 0 — no per-row regex needed (the
-                # oracle's regexp_replace form is equivalent).
-                F.when(w == 0, F.lit(33)).otherwise(33 - F.length(F.bin(w))),
-                F.lit(30),
-            ).alias("rho"),
+    frames = [
+        spark.table(table)
+        .filter(F.col(col).isNotNull())
+        .select(
+            F.lit(label).alias("key_col"), F.col(col).cast("long").alias("k")
         )
-        # ONE scan serves both the sketch and its exact check: every
-        # distinct key hashes to exactly one register, so per-register
-        # countDistinct sums to the global distinct count. Occupied
-        # registers always have rho >= 1, so the v empty ones are just
-        # 64 - |groups| — no range(64) join needed; their 2^30
-        # harmonic-mean terms are added arithmetically.
-        per_reg = keyed.groupBy("j").agg(
-            F.max("rho").alias("mj"),
-            F.countDistinct("k").alias("nd"),
-        )
-        state = per_reg.agg(
-            (
-                F.sum(F.expr("shiftleft(cast(1 as bigint), 30 - mj)"))
-                + (F.lit(64) - F.count(F.lit(1))) * F.lit(1 << 30)
-            ).alias("sum_int"),
-            (F.lit(64) - F.count(F.lit(1))).alias("v"),
-            F.sum("nd").alias("exact_distinct"),
-        )
-        branches.append(
-            state.select(
-                F.lit(label).alias("key_col"),
-                F.col("exact_distinct").cast("long"),
-                F.round(
-                    F.when(
-                        F.col("v") > 0,
-                        64 * F.log(64.0 / F.col("v")),
-                    ).otherwise(
-                        F.lit(0.709 * 4096.0 * 1073741824.0)
-                        / F.col("sum_int")
-                    ),
-                    4,
-                ).alias("hll_estimate"),
-                F.col("v").cast("int").alias("empty_registers"),
-            )
-        )
-    out = branches[0]
-    for b in branches[1:]:
-        out = out.unionAll(b)
-    return out.select(
+        for label, table, col in _HLL_SOURCES
+    ]
+    allk = frames[0].unionAll(frames[1]).unionAll(frames[2]).distinct()
+    h = F.md5(F.concat(F.lit("hll|"), F.col("k").cast("string")))
+    w = F.conv(F.substring(h, 3, 8), 16, 10).cast("long")
+    keyed = allk.select(
         "key_col",
-        "exact_distinct",
-        "hll_estimate",
-        "empty_registers",
-        F.round(
-            (F.col("hll_estimate") - F.col("exact_distinct"))
-            / F.col("exact_distinct"),
-            6,
-        ).alias("rel_error"),
-    ).orderBy("key_col")
+        (F.conv(F.substring(h, 1, 2), 16, 10).cast("long") % 64).alias("j"),
+        F.least(
+            # bin() never prints leading zeros, so length(bin(w)) IS
+            # 32 - clz(w) for w > 0 — no per-row regex needed (the
+            # oracle's regexp_replace form is equivalent).
+            F.when(w == 0, F.lit(33)).otherwise(33 - F.length(F.bin(w))),
+            F.lit(30),
+        ).alias("rho"),
+    )
+    # Occupied registers always have rho >= 1, so the v empty ones are
+    # just 64 - |groups| — no range(64) join needed; their 2^30
+    # harmonic-mean terms are added arithmetically. Because the stream
+    # is already key-distinct, a plain count(1) per register IS the
+    # per-register distinct count, so the exact audit folds into the
+    # same two-level rollup — no second branch, no join, one linear
+    # stage chain.
+    per_reg = keyed.groupBy("key_col", "j").agg(
+        F.max("rho").alias("mj"), F.count(F.lit(1)).alias("nd")
+    )
+    state = per_reg.groupBy("key_col").agg(
+        (
+            F.sum(F.expr("shiftleft(cast(1 as bigint), 30 - mj)"))
+            + (F.lit(64) - F.count(F.lit(1))) * F.lit(1 << 30)
+        ).alias("sum_int"),
+        (F.lit(64) - F.count(F.lit(1))).alias("v"),
+        F.sum("nd").alias("exact_distinct"),
+    )
+    return (
+        state
+        .select(
+            "key_col",
+            F.col("exact_distinct").cast("long").alias("exact_distinct"),
+            F.round(
+                F.when(F.col("v") > 0, 64 * F.log(64.0 / F.col("v"))).otherwise(
+                    F.lit(0.709 * 4096.0 * 1073741824.0) / F.col("sum_int")
+                ),
+                4,
+            ).alias("hll_estimate"),
+            F.col("v").cast("int").alias("empty_registers"),
+        )
+        .select(
+            "key_col",
+            "exact_distinct",
+            "hll_estimate",
+            "empty_registers",
+            F.round(
+                (F.col("hll_estimate") - F.col("exact_distinct"))
+                / F.col("exact_distinct"),
+                6,
+            ).alias("rel_error"),
+        )
+        .orderBy("key_col")
+    )
 
 
 @query(
@@ -2597,3 +2602,58 @@ def q223_sharded_exact_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("rev_cents") / 100.0, 2).alias("revenue"),
         )
     )
+
+
+# Shared engine/oracle SQL (q238): WITH RECURSIVE month spine bounded by
+# the orders date range, left-joined to monthly revenue. Identical text
+# runs on Spark 4.1 and DuckDB; months surface as TIMESTAMP on both
+# sides (a DATE column would normalize differently in the comparator).
+_RECURSIVE_SPINE_SQL = """
+WITH RECURSIVE bounds AS (
+    SELECT CAST(date_trunc('month', min(o_orderdate)) AS DATE) AS lo,
+           CAST(date_trunc('month', max(o_orderdate)) AS DATE) AS hi
+    FROM orders
+),
+spine AS (
+    SELECT lo AS m FROM bounds
+    UNION ALL
+    SELECT CAST(m + INTERVAL '1' MONTH AS DATE) AS m
+    FROM spine, bounds WHERE m < hi
+),
+rev AS (
+    SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS m,
+           sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents,
+           count(*) AS n_orders
+    FROM orders
+    GROUP BY 1
+)
+SELECT CAST(s.m AS TIMESTAMP)               AS month,
+       CAST(coalesce(r.n_orders, 0) AS BIGINT) AS n_orders,
+       round(coalesce(r.cents, 0) / CAST(100 AS DOUBLE), 2) AS revenue
+FROM spine s LEFT JOIN rev r ON CAST(s.m AS TIMESTAMP) = r.m
+ORDER BY month
+"""
+
+
+@query(
+    "q238_recursive_month_spine",
+    oracle=_RECURSIVE_SPINE_SQL,
+    tags=("sql", "recursive-cte", "spine", "gapfill"),
+)
+def q238_recursive_month_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE (Spark 4.1 ``WITH RECURSIVE``) generating the
+    month spine between the first and last order month, left-joined to
+    monthly revenue so empty months surface as explicit zero rows — the
+    iterative-sequence operator class (hierarchies, frontiers, ledgers)
+    expressed in-dialect instead of via driver-side loops. The same SQL
+    text runs on both engines, so spine construction and the
+    exact-cents revenue cannot diverge; q213's generate-series spine is
+    the non-recursive special case of this shape.
+
+    Scale posture: the recursion touches only the |months|-row spine
+    (anchor + one tiny step per month — driver-iterated metadata, never
+    data-grain); revenue is one partial+final agg at month grain, and
+    the spine⋈rev join is broadcast-sized by construction.
+    """
+    register_views(spark, sf_dir)
+    return spark.sql(_RECURSIVE_SPINE_SQL)

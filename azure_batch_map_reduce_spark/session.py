@@ -17,11 +17,51 @@ import os
 from pyspark.sql import SparkSession
 
 
+def autoscale_conf(
+    max_executors: int = 5,
+    min_executors: int = 0,
+    idle_timeout_s: int = 60,
+    backlog_timeout_s: int = 1,
+) -> dict[str, str]:
+    """The reference's pool-autoscale policy (L17, ``Readme.md:29-41``)
+    as Spark dynamic-allocation configuration — executable, not prose.
+
+    Reference formula → Spark mapping:
+
+    - *target = pending-task count* (``Readme.md:35``): dynamic
+      allocation requests executors to match the task backlog;
+      ``executorAllocationRatio=1.0`` keeps the one-slot-per-pending-
+      task shape (the reference's 1 task = 1 file = 1 node unit).
+    - *15-min samples / 70% threshold* (``Readme.md:31-33``): Spark
+      samples continuously instead; ``schedulerBacklogTimeout`` is the
+      debounce before scale-up reacts to a backlog.
+    - *pool size cap of 5* (``Readme.md:36-38``): ``maxExecutors``
+      (default mirrors the reference's code constant).
+    - *halve when idle* (``Readme.md:35``) and *deallocate on task
+      completion* (``Readme.md:40``): ``executorIdleTimeout`` releases
+      idle executors; shuffle tracking + decommission migrate shuffle
+      state so release is safe without an external shuffle service.
+    """
+    return {
+        "spark.dynamicAllocation.enabled": "true",
+        "spark.dynamicAllocation.minExecutors": str(min_executors),
+        "spark.dynamicAllocation.maxExecutors": str(max_executors),
+        "spark.dynamicAllocation.executorAllocationRatio": "1.0",
+        "spark.dynamicAllocation.schedulerBacklogTimeout": f"{backlog_timeout_s}s",
+        "spark.dynamicAllocation.executorIdleTimeout": f"{idle_timeout_s}s",
+        "spark.dynamicAllocation.shuffleTracking.enabled": "true",
+        "spark.decommission.enabled": "true",
+        "spark.storage.decommission.shuffleBlocks.enabled": "true",
+    }
+
+
 def get_spark(
     app_name: str = "azure-batch-map-reduce-spark",
     master: str | None = None,
     shuffle_partitions: int | None = None,
     extra_conf: dict[str, str] | None = None,
+    dynamic_allocation: bool = False,
+    max_executors: int = 5,
 ) -> SparkSession:
     """Build (or fetch) the configured SparkSession.
 
@@ -29,6 +69,11 @@ def get_spark(
     parallelism. Shuffle partitions default to the core count: at local
     test scale 200 default partitions would be pure overhead, and on a
     real cluster AQE coalesces post-shuffle partitions anyway.
+
+    ``dynamic_allocation=True`` applies :func:`autoscale_conf` — the
+    executable form of the reference's pool-autoscale formula (L17).
+    Local masters have no executor-backend to scale, so the flag is
+    meaningful on cluster masters; the conf set itself is unit-tested.
     """
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
     if master is None:
@@ -63,6 +108,9 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.sql.execution.pyspark.udf.simplifiedTraceback", "true")
     )
+    if dynamic_allocation:
+        for k, v in autoscale_conf(max_executors=max_executors).items():
+            builder = builder.config(k, v)
     if extra_conf:
         for k, v in extra_conf.items():
             builder = builder.config(k, v)

@@ -399,11 +399,14 @@ def q172_stream_windowed_distinct(spark: SparkSession, sf_dir: str) -> DataFrame
     oracle="""
     WITH arr AS (
         SELECT user_id, event_type,
-               date_diff('second', ts,
-                   max(date_trunc('microseconds', ts)) OVER (
-                       PARTITION BY user_id ORDER BY event_id
-                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-                   )) AS late_s
+               (epoch_us(max(date_trunc('microseconds', ts)) OVER (
+                   PARTITION BY user_id
+                   ORDER BY ('0x' || substr(md5('arr|' || CAST(event_id AS VARCHAR)),
+                                            1, 8))::BIGINT,
+                            event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               )) // 1000000)
+               - (epoch_us(date_trunc('microseconds', ts)) // 1000000) AS late_s
         FROM events
     ),
     bucketed AS (
@@ -426,35 +429,53 @@ def q172_stream_windowed_distinct(spark: SparkSession, sf_dir: str) -> DataFrame
     tags=("streaming", "watermark", "lateness", "profiling"),
 )
 def q192_lateness_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Event-lateness profile: treating per-user ``event_id`` order as
-    arrival order, each event's lateness is how far its event-time sits
-    behind the running high-watermark already seen for that user —
-    bucketed into the bands an operator reads to CHOOSE a watermark
-    delay (``withWatermark`` too tight drops the lt_10m band; too loose
-    holds state for ge_1h stragglers nobody needs). This closes the
-    loop on q85's fixed-delay policy by measuring what the delay should
-    be.
+    """Event-lateness profile: each event's lateness is how far its
+    event-time sits behind the running high-watermark already seen for
+    that user in ARRIVAL order — bucketed into the bands an operator
+    reads to CHOOSE a watermark delay (``withWatermark`` too tight
+    drops the lt_10m band; too loose holds state for ge_1h stragglers
+    nobody needs). This closes the loop on q85's fixed-delay policy by
+    measuring what the delay should be.
 
-    The running max uses µs-truncated timestamps on the oracle side so
-    DuckDB's native-ns max agrees with Spark's µs column; lateness is
-    whole seconds (boundary-crossing count — exact integers).
+    Arrival order is a deterministic salted-hash permutation of the
+    events (md5 'arr|'+event_id, the q195 integer-hash construction):
+    the fixture's event_id order IS timestamp order, so using it as
+    arrival order would make every event on-time and the profile
+    vacuous — the hash order genuinely interleaves early and late
+    event-times, exercising every band.
+
+    Lateness counts whole-second BOUNDARY crossings
+    (``unix_micros div 1000000`` floor differences, the q198/q182
+    form), matching DuckDB ``date_diff`` semantics exactly — flooring
+    the raw µs difference would disagree on any event whose gap
+    straddles a second boundary. The running max uses µs-truncated
+    timestamps on the oracle side so DuckDB's native-ns max agrees
+    with Spark's µs column.
 
     Scale posture: one shuffle on user_id for the running-max window,
     then a tiny (type × 5 buckets) rollup with map-side combine. On a
     live stream the same running max is the engine's internal watermark
     tracker; this batch twin makes it observable."""
     ev = load_tables(spark, sf_dir)["events"]
+    arrival_key = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("arr|"), F.col("event_id").cast("string"))),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("long")
     w = (
         Window.partitionBy("user_id")
-        .orderBy("event_id")
+        .orderBy(arrival_key.asc(), F.col("event_id").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    late_s = (
-        F.unix_micros(F.max("ts").over(w)) - F.unix_micros(F.col("ts"))
-    ) / F.lit(1000000)
-    arr = ev.select(
+    arr = ev.withColumn("_hwm", F.max("ts").over(w)).select(
         "event_type",
-        F.floor(late_s).cast("long").alias("late_s"),
+        F.expr(
+            "unix_micros(_hwm) div 1000000 - unix_micros(ts) div 1000000"
+        ).alias("late_s"),
     )
     bucket = (
         F.when(F.col("late_s") <= 0, "on_time")

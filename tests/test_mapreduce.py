@@ -153,14 +153,19 @@ def test_empty_input_dir(spark, tmp_path):
 
 def test_progress_monitor_observes_stages(spark, sf_dir):
     from azure_batch_map_reduce_spark.plans.mapreduce import ProgressMonitor
-    from azure_batch_map_reduce_spark.catalog import load_tables
-    from pyspark.sql import functions as F
 
-    li = load_tables(spark, sf_dir)["lineitem"]
-    with ProgressMonitor(spark, interval_s=0.05) as mon:
-        # A multi-stage job slow enough for the poller to catch stages.
-        li.repartition(16, "l_orderkey").groupBy("l_orderkey").agg(
-            F.sum("l_quantity")
+    with ProgressMonitor(spark, interval_s=0.02) as mon:
+        # A job deterministically slower than the poll interval: each
+        # task sleeps, so the poller always observes active stages (a
+        # data-sized job at sf0.001 can finish between polls).
+        def slow_part(it):
+            import time as _t
+
+            _t.sleep(0.3)
+            return it
+
+        spark.sparkContext.parallelize(range(8), 8).mapPartitions(
+            slow_part
         ).count()
     assert mon.snapshots, "monitor saw no active stages"
     sid, n_tasks, n_active, n_done = mon.snapshots[0]

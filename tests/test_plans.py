@@ -518,3 +518,16 @@ def test_distributed_rank_single_range_shuffle(spark, sf_dir):
     plan = plan_of(REGISTRY["q236_distributed_rank"].fn(spark, sf_dir))
     assert "Exchange rangepartitioning" in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_group_limit_applied_before_join(spark, sf_dir):
+    """q237: the rank<=2 filter must compile to WindowGroupLimit (heap
+    per group, map-side Partial + post-shuffle Final) — not a full
+    window materialization — and the join must stay equi (no nested
+    loop)."""
+    df = REGISTRY["q237_window_group_limit_topk"].fn(spark, sf_dir)
+    opt = optimized_of(df)
+    assert "WindowGroupLimit" in opt
+    plan = plan_of(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoop" not in plan
