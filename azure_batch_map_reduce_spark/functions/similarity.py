@@ -313,12 +313,19 @@ def q73_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     q = n.filter(F.col("vec_id") == 0).select(F.col("e").alias("qe"))
 
-    # Probe cells: the 2 centroids nearest the query (tiny, broadcast).
-    w_probe = Window.orderBy(F.col("q2c").desc(), F.col("cell").asc())
+    # Probe cells: the 2 centroids nearest the query. The candidate set
+    # is the centroid table (bounded by the codebook size, never the
+    # corpus), so rank it window-free via rank_small — a sorted-array
+    # aggregate instead of an unpartitioned WindowExec.
+    from azure_batch_map_reduce_spark.operators.ranks import desc_key, rank_small
+
     probe = (
-        centroids.crossJoin(F.broadcast(q))
-        .withColumn("q2c", cos("qe", "ce"))
-        .withColumn("rn", F.row_number().over(w_probe))
+        rank_small(
+            centroids.crossJoin(F.broadcast(q)).withColumn("q2c", cos("qe", "ce")),
+            key=[desc_key(F.col("q2c")).alias("_nq"), F.col("cell").alias("_c")],
+            payload=["cell"],
+            out="rn",
+        )
         .filter(F.col("rn") <= 2)
         .select("cell")
     )
@@ -948,22 +955,27 @@ def q190_hybrid_rrf_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     either scorer.
 
     Scale posture: each side reduces to a top-20 TakeOrdered before
-    ranking (per-partition heaps, no global sort of scores); the
-    fusion is a full outer join of two ≤20-row frames — driver-trivial
-    at any corpus size. The corpus-sized work (tokenize+score, dot
-    products) stays map-only in both retrievers."""
+    ranking (per-partition heaps, no global sort of scores); the ≤20
+    survivors are numbered by the window-free ``rank_small`` aggregate
+    and fused with a full outer join — driver-trivial at any corpus
+    size, zero WindowExec nodes in the plan. The corpus-sized work
+    (tokenize+score, dot products) stays map-only in both retrievers."""
     from azure_batch_map_reduce_spark.functions.text import bm25_scores
 
     tables = load_tables(spark, sf_dir)
     docs, emb = tables["documents"], tables["embeddings"]
 
+    from azure_batch_map_reduce_spark.operators.ranks import desc_key, rank_small
+
     sparse_top = (
         bm25_scores(docs).orderBy(F.desc("bm25"), F.asc("doc_id")).limit(20)
     )
-    sparse_rank = sparse_top.withColumn(
-        "r_sparse",
-        F.row_number().over(Window.orderBy(F.desc("bm25"), F.asc("doc_id"))),
-    ).select("doc_id", "r_sparse")
+    sparse_rank = rank_small(
+        sparse_top,
+        key=[desc_key(F.col("bm25")).alias("_nb"), F.col("doc_id").alias("_d")],
+        payload=["doc_id"],
+        out="r_sparse",
+    )
 
     qv = emb.filter(F.col("vec_id") == 0).select(
         _as_double(F.col("embedding")).alias("qe")
@@ -987,9 +999,11 @@ def q190_hybrid_rrf_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     dense_top = dense.orderBy(F.desc("cosine"), F.asc("doc_id")).limit(20)
-    dense_rank = dense_top.withColumn(
-        "r_dense",
-        F.row_number().over(Window.orderBy(F.desc("cosine"), F.asc("doc_id"))),
+    dense_rank = rank_small(
+        dense_top,
+        key=[desc_key(F.col("cosine")).alias("_nc"), F.col("doc_id").alias("_d")],
+        payload=["doc_id"],
+        out="r_dense",
     ).select(F.col("doc_id").alias("d_doc_id"), "r_dense")
 
     fused = sparse_rank.join(

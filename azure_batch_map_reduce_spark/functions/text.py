@@ -1197,11 +1197,12 @@ def q202_vocab_dictionary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale posture: counting is explode → partial+final (shuffle is one
     row per distinct token); the id assignment takes the top-V by
-    TakeOrdered (per-partition heaps) and only THEN runs the
-    row_number over V rows — the full vocabulary is never globally
-    sorted. df comes from the same shuffle via countDistinct. An
-    uncapped dictionary at web scale would swap the window for
-    zipWithIndex over a df-sorted write."""
+    TakeOrdered (per-partition heaps) and only THEN numbers the V
+    survivors via a sorted-array aggregate (``rank_small``) — the full
+    vocabulary is never globally sorted and no window appears in the
+    plan. df comes from the same shuffle via countDistinct. An uncapped
+    dictionary at web scale would swap this for
+    ``distributed_row_number`` over a tf-sorted write."""
     docs = load_tables(spark, sf_dir)["documents"]
     tok = docs.repartition(32, "doc_id").select(
         "doc_id", F.explode(F.split("text", " ")).alias("word")
@@ -1210,15 +1211,18 @@ def q202_vocab_dictionary(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("tf"),
         F.countDistinct("doc_id").alias("df"),
     )
+    from azure_batch_map_reduce_spark.operators.ranks import rank_small
+
     top = vocab.orderBy(F.desc("tf"), F.asc("word")).limit(200)
     return (
-        top.withColumn(
-            "token_id",
-            F.row_number().over(Window.orderBy(F.desc("tf"), F.asc("word")))
-            - 1,
+        rank_small(
+            top,
+            key=[(-F.col("tf")).alias("_ntf"), F.col("word").alias("_w")],
+            payload=["word", "tf", "df"],
+            out="_rn",
         )
         .select(
-            F.col("token_id").cast("long").alias("token_id"),
+            (F.col("_rn") - 1).cast("long").alias("token_id"),
             "word",
             F.col("tf").cast("long").alias("tf"),
             F.col("df").cast("long").alias("df"),

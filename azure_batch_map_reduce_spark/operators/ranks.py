@@ -171,6 +171,51 @@ def ntile_from_rank(rn: Column, n: Column, k: int) -> Column:
     )
 
 
+def desc_key(col: Column) -> Column:
+    """Descending numeric sort key for :func:`rank_small`: ``0 - col``
+    instead of ``-col`` so a stray ``-0.0`` (e.g. ``round(-1e-9, 6)``)
+    normalizes to ``+0.0`` and compares equal to a true zero — the same
+    signed-zero normalization Spark's ``NormalizeFloatingNumbers`` rule
+    applies to SortOrder keys but NOT inside ``array_sort``."""
+    return F.lit(0.0) - col
+
+
+def rank_small(
+    df: DataFrame,
+    key: list[Column],
+    payload: list[str],
+    out: str = "rnk",
+) -> DataFrame:
+    """Deterministic 1-based row-numbering of a BOUNDED-cardinality
+    DataFrame (post-LIMIT top-k frames, centroid tables, capped
+    vocabularies) with no window at all: collect into ONE sorted array
+    (``array_sort`` of structs — field-by-field ascending), then
+    ``posexplode`` so rank = position + 1.
+
+    Why not a global ``Window.orderBy``: even over 20 rows it plans a
+    WindowExec with no partition spec, which (a) logs the "No Partition
+    Defined" scale warning on every run and (b) costs a sort exchange.
+    The collect-sort form is a plain partial+final aggregate — the rows
+    reach one task either way (they must: a global rank is a global
+    gather), but here the gather is the L8/L9-shaped aggregate the rest
+    of the engine uses, not a window.
+
+    ``key`` columns must be ALIASED, encode direction (wrap descending
+    numerics in :func:`desc_key`), and form a total order. ``payload``
+    names pass-through columns. Callers own the boundedness argument —
+    for unbounded grains use :func:`distributed_row_number` instead.
+    """
+    s = F.struct(*key, *[F.col(c).alias(c) for c in payload])
+    return (
+        df.agg(F.array_sort(F.collect_list(s)).alias("_a"))
+        .select(F.posexplode("_a").alias("_p", "_s"))
+        .select(
+            (F.col("_p") + 1).alias(out),
+            *[F.col(f"_s.{c}").alias(c) for c in payload],
+        )
+    )
+
+
 @query(
     "q236_distributed_rank",
     oracle="""

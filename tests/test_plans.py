@@ -490,6 +490,12 @@ GLOBAL_WINDOW_FREE = [
     "q171_lift_curve",
     "q235_rfm_segmentation",
     "q236_distributed_rank",
+    # Bounded-grain global windows replaced by the rank_small sorted-array
+    # aggregate so the whole bench headline set plans zero WindowExec-
+    # without-partition nodes (these three were the remaining warners).
+    "q73_ivf_ann",
+    "q190_hybrid_rrf_retrieval",
+    "q202_vocab_dictionary",
 ]
 
 
