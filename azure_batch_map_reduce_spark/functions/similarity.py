@@ -297,37 +297,83 @@ def q73_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         )
 
-    from pyspark.sql import Window
-
-    # Inverted-list assignment: nearest centroid per vector, broadcast join.
-    w_assign = Window.partitionBy("vec_id").orderBy(
-        F.col("c2c").desc(), F.col("cell").asc()
+    # Inverted-list assignment: nearest centroid per vector, computed
+    # ENTIRELY map-side — the codebook collapses to a 1-row broadcast
+    # array of (cell, centroid) structs and each vector argmins over it
+    # with higher-order functions. Zero shuffle of the corpus: at 100 TB
+    # assignment stays embarrassingly parallel (the earlier form ran a
+    # per-vec_id window over the vectors×centroids expansion, i.e. a
+    # corpus-sized shuffle+sort for what is a per-row reduction).
+    # 0.0 - cosine (not unary minus) so a round()ed -0.0 can't order
+    # against +0.0 inside the struct comparison.
+    # Norms hoist out of the per-cell lambda (vector norm once per row,
+    # centroid norms once in the codebook); the cosine stays
+    # round(dot / sqrt(en*cn), 6) — the exact operand order the oracle
+    # uses, so hoisting is bit-identical.
+    cents = (
+        centroids.withColumn("cn", _dot(F.col("ce"), F.col("ce")))
+        .agg(F.collect_list(F.struct("cell", "ce", "cn")).alias("cents"))
+    )
+    best = F.array_min(
+        F.transform(
+            "cents",
+            lambda c: F.struct(
+                (
+                    F.lit(0.0)
+                    - F.round(
+                        _dot(F.col("e"), c["ce"])
+                        / F.sqrt(F.col("en") * c["cn"]),
+                        6,
+                    )
+                ).alias("nc"),
+                c["cell"].alias("cell"),
+            ),
+        )
     )
     assigned = (
-        n.crossJoin(F.broadcast(centroids))
-        .withColumn("c2c", cos("e", "ce"))
-        .withColumn("rn", F.row_number().over(w_assign))
-        .filter(F.col("rn") == 1)
+        n.withColumn("en", _dot(F.col("e"), F.col("e")))
+        .crossJoin(F.broadcast(cents))
+        .withColumn("cell", best["cell"])
         .select("vec_id", "label", "e", "cell")
     )
 
-    q = n.filter(F.col("vec_id") == 0).select(F.col("e").alias("qe"))
+    q = n.filter(F.col("vec_id") == 0).select(
+        F.col("e").alias("qe"),
+        _dot(F.col("e"), F.col("e")).alias("qn"),
+    )
 
-    # Probe cells: the 2 centroids nearest the query. The candidate set
-    # is the centroid table (bounded by the codebook size, never the
-    # corpus), so rank it window-free via rank_small — a sorted-array
-    # aggregate instead of an unpartitioned WindowExec.
-    from azure_batch_map_reduce_spark.operators.ranks import desc_key, rank_small
-
+    # Probe cells: the 2 centroids nearest the query, derived from the
+    # SAME 1-row cents array the assignment uses (the codebook subtree
+    # is built once, not re-aggregated per consumer) — sort/slice in the
+    # array domain, then explode the 2 survivors. No window, no second
+    # pass over the corpus, and the probe cosine keeps the oracle's
+    # sqrt(qn*cn) operand order.
     probe = (
-        rank_small(
-            centroids.crossJoin(F.broadcast(q)).withColumn("q2c", cos("qe", "ce")),
-            key=[desc_key(F.col("q2c")).alias("_nq"), F.col("cell").alias("_c")],
-            payload=["cell"],
-            out="rn",
+        cents.crossJoin(F.broadcast(q))
+        .select(
+            F.slice(
+                F.array_sort(
+                    F.transform(
+                        "cents",
+                        lambda c: F.struct(
+                            (
+                                F.lit(0.0)
+                                - F.round(
+                                    _dot(F.col("qe"), c["ce"])
+                                    / F.sqrt(F.col("qn") * c["cn"]),
+                                    6,
+                                )
+                            ).alias("nq"),
+                            c["cell"].alias("cell"),
+                        ),
+                    )
+                ),
+                1,
+                2,
+            ).alias("top")
         )
-        .filter(F.col("rn") <= 2)
-        .select("cell")
+        .select(F.explode("top").alias("t"))
+        .select(F.col("t.cell").alias("cell"))
     )
 
     return (
