@@ -46,6 +46,9 @@ _VERIFY_FIRST = [
     # round-2 rewritten scale shapes + the new rank primitive
     "q139_ks_two_sample", "q167_mutual_information", "q171_lift_curve",
     "q235_rfm_segmentation", "q236_distributed_rank",
+    # round-2 new LLM-pipeline operators
+    "q239_bpe_merge_training", "q240_temperature_mixing",
+    "q241_hard_negative_mining",
     # text-analysis core
     "q50_token_stats", "q51_quality_score", "q52_langid", "q53_fingerprint",
     "q54_pii_scrub", "q158_heavy_hitters",

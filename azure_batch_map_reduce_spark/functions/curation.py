@@ -1304,3 +1304,78 @@ def q225_slice_evaluation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@query(
+    "q240_temperature_mixing",
+    oracle="""
+    WITH s AS (
+        SELECT source, count(*) AS n_docs,
+               sum(length(text)) AS n_chars
+        FROM documents
+        GROUP BY source
+    ),
+    t AS (
+        SELECT CAST(sum(n_docs) AS DOUBLE)          AS total,
+               sum(sqrt(CAST(n_docs AS DOUBLE)))    AS z
+        FROM s
+    )
+    SELECT s.source,
+           CAST(s.n_docs AS BIGINT)  AS n_docs,
+           CAST(s.n_chars AS BIGINT) AS n_chars,
+           round(s.n_docs / t.total, 6)                          AS raw_share,
+           round(sqrt(CAST(s.n_docs AS DOUBLE)) / t.z, 6)        AS temp_share,
+           round(sqrt(CAST(s.n_docs AS DOUBLE)) * t.total
+                 / (t.z * s.n_docs), 6)                          AS sample_boost
+    FROM s CROSS JOIN t
+    ORDER BY s.source
+    """,
+    tags=("curation", "mixing", "sampling", "training"),
+)
+def q240_temperature_mixing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based corpus mixing weights (T=2 ⇒ exponent 1/2):
+    each source's sampling share is n^(1/T) renormalized — the standard
+    rebalancing that keeps huge web crawls from drowning small
+    high-quality sources in a training mix (multilingual-LM sampling,
+    data-mix tuning). Emits raw vs tempered share and the per-document
+    sampling boost each source gets (boost > 1 = upsampled).
+
+    The exponent is exactly 1/2 so the power is ``sqrt`` — IEEE
+    correctly-rounded and therefore bit-identical across engines,
+    unlike a libm ``pow(n, 0.3)`` (the float-determinism discipline in
+    SCALE.md: division and sqrt are exact; pow/ln are
+    platform-dependent). The only cross-engine float risk is the
+    summation order of z over |sources| values, washed out by round(6).
+
+    Scale posture: one partial+final count per source (the shuffle
+    carries |sources| rows), a 1-row totals broadcast cross join, pure
+    map-side arithmetic after. The emitted plan *is* the input a
+    weighted sampler (q112's Duffield-Lund-Thorup shape) consumes."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    s = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.length("text")).alias("n_chars"),
+    )
+    t = s.agg(
+        F.sum("n_docs").cast("double").alias("total"),
+        F.sum(F.sqrt(F.col("n_docs").cast("double"))).alias("z"),
+    )
+    return (
+        s.crossJoin(F.broadcast(t))
+        .select(
+            "source",
+            F.col("n_docs").cast("long").alias("n_docs"),
+            F.col("n_chars").cast("long").alias("n_chars"),
+            F.round(F.col("n_docs") / F.col("total"), 6).alias("raw_share"),
+            F.round(
+                F.sqrt(F.col("n_docs").cast("double")) / F.col("z"), 6
+            ).alias("temp_share"),
+            F.round(
+                F.sqrt(F.col("n_docs").cast("double"))
+                * F.col("total")
+                / (F.col("z") * F.col("n_docs")),
+                6,
+            ).alias("sample_boost"),
+        )
+        .orderBy("source")
+    )

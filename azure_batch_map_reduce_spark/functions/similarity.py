@@ -1072,3 +1072,110 @@ def q190_hybrid_rrf_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("rrf"), F.asc("doc_id"))
         .limit(10)
     )
+
+
+@query(
+    "q241_hard_negative_mining",
+    oracle="""
+    WITH n AS (
+        SELECT vec_id, label,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e,
+               concat_ws('', CASE WHEN embedding[1] >= 0 THEN '1' ELSE '0' END,
+                             CASE WHEN embedding[2] >= 0 THEN '1' ELSE '0' END,
+                             CASE WHEN embedding[3] >= 0 THEN '1' ELSE '0' END,
+                             CASE WHEN embedding[4] >= 0 THEN '1' ELSE '0' END,
+                             CASE WHEN embedding[5] >= 0 THEN '1' ELSE '0' END,
+                             CASE WHEN embedding[6] >= 0 THEN '1' ELSE '0' END) AS sig
+        FROM embeddings
+    ),
+    pairs AS (
+        SELECT a.vec_id, a.label, b.vec_id AS neg_id, b.label AS neg_label,
+               round(list_dot_product(a.e, b.e)
+                     / sqrt(list_dot_product(a.e, a.e)
+                            * list_dot_product(b.e, b.e)), 6) AS cosine
+        FROM n a JOIN n b ON a.sig = b.sig AND a.label <> b.label
+        WHERE a.vec_id < 40
+    )
+    SELECT vec_id, label, neg_id, neg_label, cosine
+    FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY vec_id ORDER BY cosine DESC, neg_id ASC) AS rn
+        FROM pairs
+    ) WHERE rn = 1
+    ORDER BY vec_id
+    """,
+    tags=("similarity", "lsh", "contrastive", "training"),
+)
+def q241_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive training: for each anchor
+    vector (vec_id < 40), the most-cosine-similar vector with a
+    DIFFERENT label — the near-miss negatives that make embedding /
+    reranker training converge, mined without an all-pairs join by
+    restricting candidates to the anchor's sign-bit LSH bucket (q71's
+    6-bit signature). Anchors whose bucket holds no other-label vector
+    yield no row (they have no hard negative at this recall level —
+    widen with multi-probe in production).
+
+    Determinism: cosine rounds to 6 digits; ties break on the lowest
+    candidate vec_id; the per-anchor argmax is a lexicographic
+    struct-max (cosine, −neg_id) — ``0.0 −`` so a rounded −0.0 cannot
+    mis-order against +0.0.
+
+    Scale posture: the candidate join is an equi-join on the bucket
+    signature (shuffle keyed by sig — never a cross product); the
+    per-anchor best is a partial+final struct-max aggregate, not a
+    window, so heavy buckets combine map-side. At 100 TB: raise the
+    signature width to keep bucket occupancy bounded, salt the hottest
+    buckets (q229's salting plan), and multi-probe neighboring
+    signatures for recall."""
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    sig = F.concat_ws(
+        "",
+        *[
+            F.when(F.element_at("embedding", i) >= 0, "1").otherwise("0")
+            for i in range(1, 7)
+        ],
+    )
+    n = emb.select(
+        "vec_id", "label", _as_double(F.col("embedding")).alias("e"), sig.alias("sig")
+    )
+    anchors = n.filter(F.col("vec_id") < 40)
+    cands = n.select(
+        F.col("sig").alias("sig_b"),
+        F.col("vec_id").alias("neg_id"),
+        F.col("label").alias("neg_label"),
+        F.col("e").alias("eb"),
+    )
+    pairs = anchors.join(
+        cands,
+        (F.col("sig") == F.col("sig_b")) & (F.col("label") != F.col("neg_label")),
+    ).select(
+        "vec_id",
+        "label",
+        "neg_id",
+        "neg_label",
+        F.round(
+            _dot(F.col("e"), F.col("eb"))
+            / F.sqrt(_dot(F.col("e"), F.col("e")) * _dot(F.col("eb"), F.col("eb"))),
+            6,
+        ).alias("cosine"),
+    )
+    best = F.max(
+        F.struct(
+            (F.lit(0.0) + F.col("cosine")).alias("c"),
+            (-F.col("neg_id")).alias("nn"),
+            F.col("neg_label").alias("nl"),
+        )
+    ).alias("b")
+    return (
+        pairs.groupBy("vec_id", "label")
+        .agg(best)
+        .select(
+            "vec_id",
+            "label",
+            (-F.col("b.nn")).cast("long").alias("neg_id"),
+            F.col("b.nl").alias("neg_label"),
+            F.col("b.c").alias("cosine"),
+        )
+        .orderBy("vec_id")
+    )

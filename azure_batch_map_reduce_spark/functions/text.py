@@ -1590,3 +1590,146 @@ def q230_mergeable_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("df_model") == F.col("d_df_model"))
         ).alias("merge_equals_direct"),
     )
+
+
+def _bpe_oracle() -> str:
+    """DuckDB twin of the 3-round BPE trainer. CTEs are MATERIALIZED:
+    each round's word table is referenced by the next round AND by its
+    pair counter, and inlined repetition compounds exponentially (the
+    PageRank-unrolling trap recorded in the verify skill)."""
+    words = """
+    words AS MATERIALIZED (
+        SELECT w, count(*) AS freq
+        FROM (
+            SELECT unnest(list_filter(
+                       string_split_regex(lower(text), '[^a-z]+'),
+                       x -> x <> '')) AS w
+            FROM documents
+        )
+        GROUP BY w
+    ),
+    wf0 AS MATERIALIZED (
+        SELECT w, freq, regexp_replace(w, '(.)', '|\\1', 'g') AS s FROM words
+    )"""
+    round_tpl = """
+    pc{i} AS MATERIALIZED (
+        SELECT p.l AS l, p.r AS r, sum(freq) AS cnt
+        FROM (
+            SELECT freq,
+                   unnest(list_transform(
+                       range(1, len(syms)),
+                       i -> struct_pack(l := syms[i], r := syms[i + 1]))) AS p
+            FROM (
+                SELECT freq,
+                       list_filter(string_split(s, '|'), x -> x <> '') AS syms
+                FROM wf{i}
+            )
+        )
+        GROUP BY p.l, p.r
+    ),
+    b{i} AS MATERIALIZED (
+        SELECT l, r, cnt FROM pc{i} ORDER BY cnt DESC, l ASC, r ASC LIMIT 1
+    ),
+    wf{j} AS MATERIALIZED (
+        SELECT w, freq,
+               replace(s, '|' || b.l || '|' || b.r, '|' || b.l || b.r) AS s
+        FROM wf{i} CROSS JOIN b{i} b
+    )"""
+    rounds = ",".join(round_tpl.format(i=i, j=i + 1) for i in range(3))
+    finals = "\n    UNION ALL\n".join(
+        f"    SELECT {i + 1} AS iter, l AS lhs, r AS rhs, l || r AS merged,"
+        f" CAST(cnt AS BIGINT) AS pair_count FROM b{i}"
+        for i in range(3)
+    )
+    return f"WITH {words},{rounds}\n{finals}\n    ORDER BY iter"
+
+
+@query(
+    "q239_bpe_merge_training",
+    oracle=_bpe_oracle(),
+    tags=("text", "tokenizer", "bpe", "training", "iterative"),
+)
+def q239_bpe_merge_training(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Byte-pair-encoding tokenizer training, 3 merge rounds: count
+    adjacent symbol-pair frequencies over the corpus, adopt the most
+    frequent pair as a merge (ties: lexicographic on the pair), rewrite
+    the vocabulary, repeat. Emits each round's learned merge with its
+    pair count — the merge table a BPE tokenizer ships.
+
+    Words are represented as '|'-PREFIXED symbol strings ('abc' →
+    '|a|b|c') so a merge is one literal string replace of '|l|r' with
+    '|lr': the prefix delimiter means occurrences of a pair never share
+    a character, making single-pass left-to-right literal replacement
+    exactly the greedy BPE merge order ('|a|a|a' → '|aa|a'), and a
+    needle can never match inside a longer symbol. Both engines run the
+    identical replace, so parity is exact (integer counts, string ops,
+    zero floats).
+
+    Scale posture: the corpus is touched ONCE (explode → word-histogram
+    shuffle with map-side combine) — the same word-type-grain
+    optimization production BPE trainers use. Every merge round then
+    runs at vocabulary grain: pair counting is explode → partial+final
+    sum per distinct word (not per occurrence), the winning pair is a
+    TakeOrdered(1), and the rewrite is a 1-row broadcast cross join +
+    map-side replace. A 100 TB corpus costs one shuffle; rounds cost
+    O(|vocab|) each. Reference contract: the pluggable map slot
+    (``App.config:16``) is the per-word rewrite; the reduce slot
+    (``App.config:17``) is the pair-count consolidation."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    words = (
+        docs.select(
+            F.explode(
+                F.filter(
+                    F.split(F.lower(F.col("text")), "[^a-z]+"),
+                    lambda x: x != F.lit(""),
+                )
+            ).alias("w")
+        )
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    wf = words.withColumn("s", F.regexp_replace(F.col("w"), "(.)", r"|$1"))
+
+    def pair_counts(frame: DataFrame) -> DataFrame:
+        syms = F.filter(F.split(F.col("s"), "[|]"), lambda x: x != F.lit(""))
+        prs = F.when(
+            F.size(syms) >= 2,
+            F.transform(
+                F.sequence(F.lit(1), F.size(syms) - 1),
+                lambda i: F.struct(
+                    F.element_at(syms, i).alias("l"),
+                    F.element_at(syms, i + 1).alias("r"),
+                ),
+            ),
+        ).otherwise(F.array().cast("array<struct<l:string,r:string>>"))
+        return (
+            frame.select("freq", F.explode(prs).alias("p"))
+            .groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
+            .agg(F.sum("freq").alias("cnt"))
+        )
+
+    outs = []
+    for i in range(3):
+        best = pair_counts(wf).orderBy(
+            F.desc("cnt"), F.asc("l"), F.asc("r")
+        ).limit(1)
+        outs.append(
+            best.select(
+                F.lit(i + 1).alias("iter"),
+                F.col("l").alias("lhs"),
+                F.col("r").alias("rhs"),
+                F.concat(F.col("l"), F.col("r")).alias("merged"),
+                F.col("cnt").cast("long").alias("pair_count"),
+            )
+        )
+        wf = wf.crossJoin(F.broadcast(best)).select(
+            "w",
+            "freq",
+            F.replace(
+                F.col("s"),
+                F.concat(F.lit("|"), F.col("l"), F.lit("|"), F.col("r")),
+                F.concat(F.lit("|"), F.col("l"), F.col("r")),
+            ).alias("s"),
+        )
+
+    return outs[0].unionAll(outs[1]).unionAll(outs[2]).orderBy("iter")

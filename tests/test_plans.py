@@ -496,6 +496,11 @@ GLOBAL_WINDOW_FREE = [
     "q73_ivf_ann",
     "q190_hybrid_rrf_retrieval",
     "q202_vocab_dictionary",
+    # Round-2 additions, window-free by construction (struct-max /
+    # TakeOrdered / broadcast-join shapes).
+    "q239_bpe_merge_training",
+    "q240_temperature_mixing",
+    "q241_hard_negative_mining",
 ]
 
 
