@@ -48,7 +48,7 @@ _VERIFY_FIRST = [
     "q235_rfm_segmentation", "q236_distributed_rank",
     # round-2 new LLM-pipeline operators
     "q239_bpe_merge_training", "q240_temperature_mixing",
-    "q241_hard_negative_mining",
+    "q241_hard_negative_mining", "q242_pq_ann",
     # text-analysis core
     "q50_token_stats", "q51_quality_score", "q52_langid", "q53_fingerprint",
     "q54_pii_scrub", "q158_heavy_hitters",

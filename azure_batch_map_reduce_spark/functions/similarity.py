@@ -1179,3 +1179,152 @@ def q241_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("vec_id")
     )
+
+
+@query(
+    "q242_pq_ann",
+    oracle="""
+    WITH n AS MATERIALIZED (
+        SELECT vec_id, label,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+        FROM embeddings
+    ),
+    cbe AS MATERIALIZED (
+        SELECT (label % 4) AS g, (i - 1) // 8 AS s, ((i - 1) % 8) + 1 AS si,
+               avg(e[i]) AS c
+        FROM n, generate_series(1, 64) AS t(i)
+        GROUP BY g, s, si
+    ),
+    cb AS MATERIALIZED (
+        SELECT s, g, list(c ORDER BY si) AS c FROM cbe GROUP BY s, g
+    ),
+    q AS (SELECT e AS qe FROM n WHERE vec_id = 0),
+    cbq AS MATERIALIZED (
+        SELECT cb.s, cb.g, cb.c,
+               list_reduce(
+                   list_transform(range(1, 9),
+                       i -> (q.qe[cb.s * 8 + i] - cb.c[i])
+                            * (q.qe[cb.s * 8 + i] - cb.c[i])),
+                   (a, b) -> a + b) AS dq
+        FROM cb CROSS JOIN q
+    ),
+    dists AS (
+        SELECT n.vec_id, n.label, k.s, k.g, k.dq,
+               round(list_reduce(
+                   list_transform(range(1, 9),
+                       i -> (n.e[k.s * 8 + i] - k.c[i])
+                            * (n.e[k.s * 8 + i] - k.c[i])),
+                   (a, b) -> a + b), 6) AS dv
+        FROM n CROSS JOIN cbq k
+        WHERE n.vec_id <> 0
+    ),
+    best AS (
+        SELECT vec_id, label, s, dq
+        FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY vec_id, s ORDER BY dv ASC, g ASC) AS rn
+            FROM dists
+        ) WHERE rn = 1
+    )
+    SELECT vec_id, label, round(sum(dq), 6) AS adc_dist
+    FROM best
+    GROUP BY vec_id, label
+    ORDER BY adc_dist ASC, vec_id ASC
+    LIMIT 10
+    """,
+    tags=("similarity", "ann", "pq", "quantization"),
+)
+def q242_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (the IVFPQ/FAISS memory-scale path,
+    completing the ANN family: brute q70, LSH q71, IVF q73): the 64-dim
+    space splits into m=8 subspaces of 8 dims; each subspace gets a
+    k=4-entry codebook (sub-centroids over deterministic training
+    groups ``label % 4``, so the oracle replays training); each vector
+    encodes as its per-subspace nearest codebook entry; the query
+    scores candidates with the asymmetric-distance (ADC) lookup table —
+    sum over subspaces of ||q_sub − centroid[code]||². Top-10 by ADC.
+
+    Determinism: per-subspace distances round to 6 digits BEFORE the
+    argmin with a code-id tie-break, so a near-equidistant centroid
+    pair cannot flip the code across engines on accumulation ulps; the
+    fold ``aggregate(…, 0.0, +)`` is bit-identical to DuckDB's
+    ``list_reduce`` because the first step 0.0+x² is IEEE-exact.
+
+    Scale posture: the codebook is 32 rows → a 1-row broadcast array
+    (with the query's ADC table precomputed into it); encoding AND
+    scoring are then one map-side expression per vector — zero corpus
+    shuffle, like q73's assignment — and the top-10 is TakeOrdered. At
+    100 TB the 8-byte codes (vs 256-byte vectors) are the point: the
+    code table fits hot storage at 32× compression and re-ranking
+    fetches full vectors for the short list only."""
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    n = emb.select("vec_id", "label", _as_double(F.col("embedding")).alias("e"))
+
+    # Codebook: per (subspace s, group g) dimension-wise mean.
+    cbe = (
+        n.select(
+            (F.col("label") % 4).alias("g"), F.posexplode("e").alias("i0", "val")
+        )
+        .groupBy(
+            "g",
+            (F.col("i0") / 8).cast("int").alias("s"),
+            (F.col("i0") % 8 + 1).alias("si"),
+        )
+        .agg(F.avg("val").alias("c"))
+    )
+    cb = cbe.groupBy("s", "g").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("si", "c"))),
+            lambda x: x.getField("c"),
+        ).alias("c")
+    )
+    q = n.filter(F.col("vec_id") == 0).select(F.col("e").alias("qe"))
+
+    def l2(vec: Column, off: Column, cent: Column) -> Column:
+        return F.aggregate(
+            F.transform(
+                F.sequence(F.lit(1), F.lit(8)),
+                lambda i: (F.element_at(vec, off * 8 + i) - F.element_at(cent, i))
+                * (F.element_at(vec, off * 8 + i) - F.element_at(cent, i)),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    # 1-row broadcast codebook with the query's ADC entries baked in,
+    # sorted by (s, g) for positional lookup cb[s*4+g+1].
+    cbq = (
+        cb.crossJoin(F.broadcast(q))
+        .select(F.struct("s", "g", "c", l2(F.col("qe"), F.col("s"), F.col("c")).alias("dq")).alias("ent"))
+        .agg(F.array_sort(F.collect_list("ent")).alias("cb"))
+    )
+
+    def best_dq(s: Column) -> Column:
+        return F.array_min(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(3)),
+                lambda g: F.struct(
+                    F.round(
+                        l2(
+                            F.col("e"),
+                            s,
+                            F.element_at(F.col("cb"), s * 4 + g + 1)["c"],
+                        ),
+                        6,
+                    ).alias("dv"),
+                    g.alias("g"),
+                    F.element_at(F.col("cb"), s * 4 + g + 1)["dq"].alias("dq"),
+                ),
+            )
+        )["dq"]
+
+    adc = F.aggregate(
+        F.sequence(F.lit(0), F.lit(7)), F.lit(0.0), lambda acc, s: acc + best_dq(s)
+    )
+    return (
+        n.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(cbq))
+        .select("vec_id", "label", F.round(adc, 6).alias("adc_dist"))
+        .orderBy(F.asc("adc_dist"), F.asc("vec_id"))
+        .limit(10)
+    )

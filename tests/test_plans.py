@@ -501,6 +501,7 @@ GLOBAL_WINDOW_FREE = [
     "q239_bpe_merge_training",
     "q240_temperature_mixing",
     "q241_hard_negative_mining",
+    "q242_pq_ann",
 ]
 
 
