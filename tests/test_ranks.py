@@ -81,3 +81,50 @@ def test_running_sum_matches_window(spark):
         got.select("v", "ca", "cb").orderBy("v").collect()
         == want.orderBy("v").collect()
     )
+
+
+def test_rank_small_matches_window_row_number(spark):
+    from azure_batch_map_reduce_spark.operators.ranks import desc_key, rank_small
+
+    df = _toy(spark, n=200)
+    got = rank_small(
+        df,
+        key=[desc_key(F.col("v").cast("double")).alias("_nv"), F.col("id").alias("_i")],
+        payload=["id", "v"],
+        out="rnk",
+    )
+    want = df.withColumn(
+        "rnk",
+        F.row_number().over(Window.orderBy(F.col("v").desc(), F.col("id").asc())),
+    ).select("rnk", "id", "v")
+    assert got.orderBy("id").collect() == want.orderBy("id").collect()
+
+
+def test_rank_small_empty_and_singleton(spark):
+    from azure_batch_map_reduce_spark.operators.ranks import rank_small
+
+    df = _toy(spark, n=1)
+    got = rank_small(df, key=[F.col("id").alias("_i")], payload=["id"], out="rnk")
+    assert [(r.rnk, r.id) for r in got.collect()] == [(1, 0)]
+    empty = rank_small(
+        df.where(F.lit(False)), key=[F.col("id").alias("_i")], payload=["id"]
+    )
+    assert empty.count() == 0
+
+
+def test_desc_key_normalizes_signed_zero(spark):
+    from azure_batch_map_reduce_spark.operators.ranks import desc_key, rank_small
+
+    # round(-1e-9, 6) is IEEE -0.0; a naive unary-minus key would order
+    # it apart from +0.0 inside array_sort's struct comparison. desc_key
+    # must collapse both to the same key so the id tie-break decides.
+    df = spark.createDataFrame([(1, -1e-9), (2, 0.0)], "id long, x double").select(
+        "id", F.round("x", 6).alias("x")
+    )
+    got = rank_small(
+        df,
+        key=[desc_key(F.col("x")).alias("_nx"), F.col("id").alias("_i")],
+        payload=["id"],
+        out="rnk",
+    )
+    assert [(r.rnk, r.id) for r in got.orderBy("rnk").collect()] == [(1, 1), (2, 2)]
