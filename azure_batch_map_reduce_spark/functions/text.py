@@ -1688,7 +1688,14 @@ def q239_bpe_merge_training(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("freq"))
     )
-    wf = words.withColumn("s", F.regexp_replace(F.col("w"), "(.)", r"|$1"))
+    # Persisted: every merge round's pair counter re-derives from this
+    # word-type table, and Catalyst does NOT reuse the histogram
+    # exchange across the three rounds' separate aggregates (7 corpus
+    # scans observed uncached). The cache is O(|vocab|), the same
+    # materialization a production BPE trainer keeps pinned.
+    wf = words.withColumn(
+        "s", F.regexp_replace(F.col("w"), "(.)", r"|$1")
+    ).persist()
 
     def pair_counts(frame: DataFrame) -> DataFrame:
         syms = F.filter(F.split(F.col("s"), "[|]"), lambda x: x != F.lit(""))
