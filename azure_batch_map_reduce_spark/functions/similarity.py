@@ -1214,7 +1214,7 @@ def q241_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
                    list_transform(range(1, 9),
                        i -> (n.e[k.s * 8 + i] - k.c[i])
                             * (n.e[k.s * 8 + i] - k.c[i])),
-                   (a, b) -> a + b), 6) AS dv
+                   (a, b) -> a + b), 4) AS dv
         FROM n CROSS JOIN cbq k
         WHERE n.vec_id <> 0
     ),
@@ -1310,7 +1310,7 @@ def q242_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
                             s,
                             F.element_at(F.col("cb"), s * 4 + g + 1)["c"],
                         ),
-                        6,
+                        4,
                     ).alias("dv"),
                     g.alias("g"),
                     F.element_at(F.col("cb"), s * 4 + g + 1)["dq"].alias("dq"),
@@ -1328,3 +1328,251 @@ def q242_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.asc("adc_dist"), F.asc("vec_id"))
         .limit(10)
     )
+
+
+@query(
+    "q243_kmeans_lloyd_step",
+    oracle="""
+    WITH n AS MATERIALIZED (
+        SELECT vec_id, label,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+        FROM embeddings
+    ),
+    dims0 AS MATERIALIZED (
+        SELECT label AS cell, i, avg(e[i]) AS c
+        FROM n, generate_series(1, 64) AS t(i)
+        GROUP BY cell, i
+    ),
+    init AS MATERIALIZED (
+        SELECT cell, list(c ORDER BY i) AS c0 FROM dims0 GROUP BY cell
+    ),
+    assigned AS MATERIALIZED (
+        SELECT vec_id, e, cell FROM (
+            SELECT n.vec_id, n.e, k.cell,
+                   row_number() OVER (
+                       PARTITION BY n.vec_id
+                       ORDER BY round(list_reduce(
+                           list_transform(range(1, 65),
+                               i -> (n.e[i] - k.c0[i]) * (n.e[i] - k.c0[i])),
+                           (a, b) -> a + b), 4) ASC, k.cell ASC) AS rn
+            FROM n CROSS JOIN init k
+        ) WHERE rn = 1
+    ),
+    upd AS MATERIALIZED (
+        SELECT a.cell, i, avg(e[i]) AS c, count(*) AS nv
+        FROM assigned a, generate_series(1, 64) AS t(i)
+        GROUP BY a.cell, i
+    ),
+    newc AS MATERIALIZED (
+        SELECT cell, max(nv) AS n_assigned, list(c ORDER BY i) AS c1
+        FROM upd GROUP BY cell
+    ),
+    norms AS (
+        SELECT cell,
+               sum(list_reduce(list_transform(range(1, 65),
+                       i -> e[i] * e[i]), (a, b) -> a + b)) AS ssq
+        FROM assigned GROUP BY cell
+    )
+    SELECT nc.cell,
+           CAST(nc.n_assigned AS BIGINT) AS n_assigned,
+           round(s.ssq - nc.n_assigned
+                 * list_reduce(list_transform(range(1, 65),
+                       i -> nc.c1[i] * nc.c1[i]), (a, b) -> a + b), 2)
+               AS inertia,
+           round(list_reduce(list_transform(range(1, 65),
+                       i -> (nc.c1[i] - it.c0[i]) * (nc.c1[i] - it.c0[i])),
+                   (a, b) -> a + b), 6) AS shift_sq
+    FROM newc nc
+    JOIN init it ON nc.cell = it.cell
+    JOIN norms s ON nc.cell = s.cell
+    ORDER BY nc.cell
+    """,
+    tags=("similarity", "kmeans", "clustering", "iterative"),
+)
+def q243_kmeans_lloyd_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One Lloyd iteration of k-means (k=10, init = per-label means, the
+    deterministic seed the oracle can replay): assign every vector to
+    its nearest centroid, recompute cluster means, and emit per cluster
+    the assignment count, the within-cluster inertia, and the squared
+    centroid shift — the convergence trace a clustering job monitors
+    per round. Completes the codebook-training story whose consumers
+    are already in the registry (IVF q73, PQ q242, centroid audit q72).
+
+    Determinism: assignment distances round to 6 digits before the
+    argmin with a cell-id tie-break (the q242 discipline — ulp-level
+    near-ties cannot flip cluster membership across engines). Inertia
+    uses the mean-decomposition Σ‖x−μ‖² = Σ‖x‖² − n·‖μ‖² so it needs
+    only per-cluster aggregates — no second pass over the corpus
+    against the new centroids.
+
+    Scale posture: init centroids collapse to a 1-row broadcast array;
+    assignment is one map-side argmin expression per vector (zero
+    corpus shuffle, q73's shape); the update is explode → (cell, dim)
+    partial+final means — the shuffle carries k×64 cells, not vectors;
+    Σ‖x‖² rides the same groupBy. Iterating = re-running this dataflow
+    with c1 as the next init; each round is one corpus scan."""
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    n = emb.select("vec_id", "label", _as_double(F.col("embedding")).alias("e"))
+
+    dims0 = (
+        n.select(F.col("label").alias("cell"), F.posexplode("e").alias("i0", "val"))
+        .groupBy("cell", (F.col("i0") + 1).alias("i"))
+        .agg(F.avg("val").alias("c"))
+    )
+    init = dims0.groupBy("cell").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("i", "c"))),
+            lambda x: x.getField("c"),
+        ).alias("c0")
+    )
+    cents = init.agg(
+        F.array_sort(F.collect_list(F.struct("cell", "c0"))).alias("cb")
+    )
+
+    def sqdist(a: Column, b: Column) -> Column:
+        return F.aggregate(
+            F.transform(
+                F.sequence(F.lit(1), F.lit(64)),
+                lambda i: (F.element_at(a, i) - F.element_at(b, i))
+                * (F.element_at(a, i) - F.element_at(b, i)),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    best = F.array_min(
+        F.transform(
+            "cb",
+            lambda k: F.struct(
+                F.round(sqdist(F.col("e"), k["c0"]), 4).alias("d"),
+                k["cell"].alias("cell"),
+            ),
+        )
+    )
+    assigned = (
+        n.crossJoin(F.broadcast(cents))
+        .select("vec_id", "e", best["cell"].alias("cell"))
+    )
+
+    ssq_row = F.aggregate(
+        F.transform(F.col("e"), lambda x: x * x), F.lit(0.0), lambda a, x: a + x
+    )
+    upd = (
+        assigned.select(
+            "cell", ssq_row.alias("ssq"), F.posexplode("e").alias("i0", "val")
+        )
+        .groupBy("cell", (F.col("i0") + 1).alias("i"))
+        .agg(
+            F.avg("val").alias("c"),
+            F.count(F.lit(1)).alias("nv"),
+            # Every dim row of a vector carries the same ssq; dividing
+            # by 64 at the final rollup undoes the explode fan-out
+            # without a second corpus pass.
+            F.sum("ssq").alias("ssq_sum"),
+        )
+    )
+    newc = upd.groupBy("cell").agg(
+        F.max("nv").cast("long").alias("n_assigned"),
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("i", "c"))),
+            lambda x: x.getField("c"),
+        ).alias("c1"),
+        (F.sum("ssq_sum") / 64.0).alias("ssq"),
+    )
+    norm_sq = F.aggregate(
+        F.transform(F.col("c1"), lambda x: x * x), F.lit(0.0), lambda a, x: a + x
+    )
+    return (
+        newc.join(F.broadcast(init), "cell")
+        .select(
+            "cell",
+            "n_assigned",
+            F.round(
+                F.col("ssq") - F.col("n_assigned") * norm_sq, 2
+            ).alias("inertia"),
+            F.round(sqdist(F.col("c1"), F.col("c0")), 6).alias("shift_sq"),
+        )
+        .orderBy("cell")
+    )
+
+
+def _mrl_oracle() -> str:
+    def cosk(k: int) -> str:
+        return (
+            f"round(list_dot_product(e[1:{k}], qe[1:{k}])"
+            f" / sqrt(list_dot_product(e[1:{k}], e[1:{k}])"
+            f" * list_dot_product(qe[1:{k}], qe[1:{k}])), 6)"
+        )
+
+    per = ",\n               ".join(f"{cosk(k)} AS c{k}" for k in (8, 16, 32, 64))
+    rows = "\n    UNION ALL\n".join(
+        f"    SELECT {k} AS dims, round(avg(abs(c{k} - c64)), 4) AS avg_abs_err,"
+        f" round(max(abs(c{k} - c64)), 4) AS max_abs_err,"
+        f" round(corr(c{k}, c64), 4) AS pearson FROM per"
+        for k in (8, 16, 32, 64)
+    )
+    return f"""
+    WITH n AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+        FROM embeddings
+    ),
+    q AS (SELECT e AS qe FROM n WHERE vec_id = 0),
+    per AS MATERIALIZED (
+        SELECT {per}
+        FROM n CROSS JOIN q WHERE vec_id <> 0
+    )
+{rows}
+    ORDER BY dims
+    """
+
+
+@query(
+    "q245_matryoshka_fidelity",
+    oracle=_mrl_oracle(),
+    tags=("similarity", "matryoshka", "truncation", "evaluation"),
+)
+def q245_matryoshka_fidelity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-style truncation fidelity: how well do the first
+    8/16/32 dimensions of each embedding reproduce the full-64-dim
+    cosine against the query vector? Emits per truncation width the
+    mean and max absolute cosine error and the Pearson correlation with
+    the full-width score — the evaluation a pipeline runs before
+    adopting truncated embeddings for the cheap first-stage retrieval
+    tier (full width re-ranks the short list only).
+
+    Determinism: every cosine rounds to 6 digits before the error math;
+    corr's accumulation-order ulps wash out under round(4) (the q182
+    summed-moments discipline — floats feed aggregates, never ranking
+    keys).
+
+    Scale posture: ONE corpus scan computes all four cosines per row
+    (map-side, query broadcast); the four (avg, max, corr) triples ride
+    a single global partial+final aggregate, and the wide→long pivot is
+    a 1-row stack. Nothing shuffles but 1-row aggregate states."""
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    n = emb.select("vec_id", _as_double(F.col("embedding")).alias("e"))
+    q = n.filter(F.col("vec_id") == 0).select(F.col("e").alias("qe"))
+
+    def cosk(k: int) -> Column:
+        a, b = F.slice(F.col("e"), 1, k), F.slice(F.col("qe"), 1, k)
+        return F.round(
+            _dot(a, b) / F.sqrt(_dot(a, a) * _dot(b, b)), 6
+        ).alias(f"c{k}")
+
+    per = (
+        n.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .select(*[cosk(k) for k in (8, 16, 32, 64)])
+    )
+    aggs = []
+    for k in (8, 16, 32, 64):
+        aggs += [
+            F.round(F.avg(F.abs(F.col(f"c{k}") - F.col("c64"))), 4).alias(f"a{k}"),
+            F.round(F.max(F.abs(F.col(f"c{k}") - F.col("c64"))), 4).alias(f"m{k}"),
+            F.round(F.corr(f"c{k}", "c64"), 4).alias(f"r{k}"),
+        ]
+    wide = per.agg(*aggs)
+    stacked = ", ".join(f"{k}, a{k}, m{k}, r{k}" for k in (8, 16, 32, 64))
+    return wide.selectExpr(
+        f"stack(4, {stacked}) AS (dims, avg_abs_err, max_abs_err, pearson)"
+    ).orderBy("dims")

@@ -502,6 +502,8 @@ GLOBAL_WINDOW_FREE = [
     "q240_temperature_mixing",
     "q241_hard_negative_mining",
     "q242_pq_ann",
+    "q243_kmeans_lloyd_step",
+    "q245_matryoshka_fidelity",
 ]
 
 
