@@ -1379,3 +1379,81 @@ def q240_temperature_mixing(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@query(
+    "q244_group_kfold_split",
+    oracle="""
+    WITH folded AS (
+        SELECT source,
+               CAST(('0x' || substr(md5('fold|' || source), 1, 8))::BIGINT % 5
+                    AS INTEGER) AS fold,
+               count(*)         AS n_docs,
+               sum(length(text)) AS n_chars
+        FROM documents
+        GROUP BY source
+    ),
+    tot AS (
+        SELECT CAST(sum(n_docs) AS DOUBLE) AS total,
+               count(*)                    AS n_sources_all
+        FROM folded
+    )
+    SELECT f.fold,
+           CAST(count(*) AS BIGINT)        AS n_sources,
+           CAST(sum(f.n_docs) AS BIGINT)   AS n_docs,
+           CAST(sum(f.n_chars) AS BIGINT)  AS n_chars,
+           round(sum(f.n_docs) / t.total, 6) AS doc_share,
+           (count(*) = count(DISTINCT f.source)) AS no_group_leakage
+    FROM folded f CROSS JOIN tot t
+    GROUP BY f.fold, t.total
+    ORDER BY f.fold
+    """,
+    tags=("curation", "split", "kfold", "leakage", "evaluation"),
+)
+def q244_group_kfold_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group k-fold assignment (k=5) with a leakage audit: every SOURCE
+    lands wholly in one fold — the split discipline that stops
+    correlated documents (same crawl domain, same provider) from
+    leaking between train and validation, the group analog of q226's
+    temporal embargo. Fold = md5 of the source name mod k, so the
+    assignment is content-addressed (stable under corpus growth — a new
+    snapshot re-derives identical folds, no stored mapping), and the
+    oracle replays it bit-for-bit via the shared hex-prefix idiom
+    (q156's portable-hash discipline; never engine-native hash()).
+    Emits per fold the source/doc/char counts, the doc share (balance
+    check — group k-fold trades balance for isolation), and the
+    per-fold no-leakage invariant.
+
+    Scale posture: one partial+final aggregate to source grain (the
+    shuffle carries |sources| rows), a 1-row totals broadcast, then a
+    k-row rollup. The fold column is the partition key a downstream
+    training-data writer would `partitionBy` — fold-pruned reads at
+    evaluation time."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    fold = (
+        F.conv(F.substring(F.md5(F.concat(F.lit("fold|"), F.col("source"))), 1, 8), 16, 10)
+        .cast("long") % 5
+    ).cast("int")
+    folded = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.length("text")).alias("n_chars"),
+    ).withColumn("fold", fold)
+    tot = folded.agg(
+        F.sum("n_docs").cast("double").alias("total"),
+        F.count(F.lit(1)).alias("n_sources_all"),
+    )
+    return (
+        folded.crossJoin(F.broadcast(tot))
+        .groupBy("fold", "total")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_sources"),
+            F.sum("n_docs").cast("long").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("n_chars"),
+            F.round(F.sum("n_docs") / F.first("total"), 6).alias("doc_share"),
+            (F.count(F.lit(1)) == F.countDistinct("source")).alias(
+                "no_group_leakage"
+            ),
+        )
+        .drop("total")
+        .orderBy("fold")
+    )

@@ -503,6 +503,7 @@ GLOBAL_WINDOW_FREE = [
     "q241_hard_negative_mining",
     "q242_pq_ann",
     "q243_kmeans_lloyd_step",
+    "q244_group_kfold_split",
     "q245_matryoshka_fidelity",
 ]
 
