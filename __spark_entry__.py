@@ -50,7 +50,7 @@ _VERIFY_FIRST = [
     "q239_bpe_merge_training", "q240_temperature_mixing",
     "q241_hard_negative_mining", "q242_pq_ann",
     "q243_kmeans_lloyd_step", "q244_group_kfold_split",
-    "q245_matryoshka_fidelity",
+    "q245_matryoshka_fidelity", "q246_bpe_compression_rate",
     # text-analysis core
     "q50_token_stats", "q51_quality_score", "q52_langid", "q53_fingerprint",
     "q54_pii_scrub", "q158_heavy_hitters",

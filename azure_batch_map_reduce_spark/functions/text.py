@@ -1740,3 +1740,114 @@ def q239_bpe_merge_training(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return outs[0].unionAll(outs[1]).unionAll(outs[2]).orderBy("iter")
+
+
+def _bpe_apply_oracle() -> str:
+    """Shares q239's training CTE chain, then APPLIES the 3 learned
+    merges to every word and measures the corpus compression."""
+    train = _bpe_oracle()
+    # Strip q239's final SELECT (everything after the last CTE) and
+    # reuse the WITH chain up through wf3.
+    head = train[: train.rindex("    SELECT 1 AS iter")].rstrip().rstrip(",")
+    return head + """,
+    stats AS (
+        SELECT
+            sum(freq * length(w))                      AS n_chars,
+            sum(freq * len(list_filter(string_split(s, '|'),
+                                       x -> x <> '')))  AS n_symbols,
+            sum(freq)                                   AS n_words
+        FROM wf3
+    )
+    SELECT CAST(n_words AS BIGINT)   AS n_words,
+           CAST(n_chars AS BIGINT)   AS n_chars,
+           CAST(n_symbols AS BIGINT) AS n_symbols,
+           round(CAST(n_chars AS DOUBLE) / n_symbols, 4)  AS chars_per_symbol,
+           round(1.0 - CAST(n_symbols AS DOUBLE) / n_chars, 4) AS compression
+    FROM stats
+    """
+
+
+@query(
+    "q246_bpe_compression_rate",
+    oracle=_bpe_apply_oracle(),
+    tags=("text", "tokenizer", "bpe", "evaluation", "training"),
+)
+def q246_bpe_compression_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply q239's three learned BPE merges to the whole corpus and
+    measure what they bought: occurrence-weighted symbol count vs
+    character count, chars-per-symbol, and the fractional compression —
+    the tokenizer-efficiency metric (≈ tokens-per-byte) that decides
+    how many merges a vocabulary build should run. Composes the trainer
+    (fit) with its transform exactly as a production pipeline does:
+    same merge table, applied corpus-wide.
+
+    Scale posture: identical to q239 (one corpus shuffle to word types;
+    merge rounds at vocab grain) plus a single occurrence-weighted
+    final aggregate — frequencies multiply back so no per-occurrence
+    row ever materializes."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    words = (
+        docs.select(
+            F.explode(
+                F.filter(
+                    F.split(F.lower(F.col("text")), "[^a-z]+"),
+                    lambda x: x != F.lit(""),
+                )
+            ).alias("w")
+        )
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    wf = words.withColumn(
+        "s", F.regexp_replace(F.col("w"), "(.)", r"|$1")
+    ).persist()
+
+    def pair_counts(frame: DataFrame) -> DataFrame:
+        syms = F.filter(F.split(F.col("s"), "[|]"), lambda x: x != F.lit(""))
+        prs = F.when(
+            F.size(syms) >= 2,
+            F.transform(
+                F.sequence(F.lit(1), F.size(syms) - 1),
+                lambda i: F.struct(
+                    F.element_at(syms, i).alias("l"),
+                    F.element_at(syms, i + 1).alias("r"),
+                ),
+            ),
+        ).otherwise(F.array().cast("array<struct<l:string,r:string>>"))
+        return (
+            frame.select("freq", F.explode(prs).alias("p"))
+            .groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
+            .agg(F.sum("freq").alias("cnt"))
+        )
+
+    for _ in range(3):
+        best = pair_counts(wf).orderBy(
+            F.desc("cnt"), F.asc("l"), F.asc("r")
+        ).limit(1)
+        wf = wf.crossJoin(F.broadcast(best)).select(
+            "w",
+            "freq",
+            F.replace(
+                F.col("s"),
+                F.concat(F.lit("|"), F.col("l"), F.lit("|"), F.col("r")),
+                F.concat(F.lit("|"), F.col("l"), F.col("r")),
+            ).alias("s"),
+        )
+
+    n_sym = F.size(F.filter(F.split(F.col("s"), "[|]"), lambda x: x != F.lit("")))
+    stats = wf.agg(
+        F.sum("freq").cast("long").alias("n_words"),
+        F.sum(F.col("freq") * F.length("w")).cast("long").alias("n_chars"),
+        F.sum(F.col("freq") * n_sym).cast("long").alias("n_symbols"),
+    )
+    return stats.select(
+        "n_words",
+        "n_chars",
+        "n_symbols",
+        F.round(F.col("n_chars").cast("double") / F.col("n_symbols"), 4).alias(
+            "chars_per_symbol"
+        ),
+        F.round(
+            1.0 - F.col("n_symbols").cast("double") / F.col("n_chars"), 4
+        ).alias("compression"),
+    )

@@ -505,7 +505,20 @@ GLOBAL_WINDOW_FREE = [
     "q243_kmeans_lloyd_step",
     "q244_group_kfold_split",
     "q245_matryoshka_fidelity",
+    "q246_bpe_compression_rate",
 ]
+
+
+@pytest.mark.parametrize(
+    "name", ["q73_ivf_ann", "q242_pq_ann", "q243_kmeans_lloyd_step"]
+)
+def test_vector_assignment_never_shuffles_corpus(spark, sf_dir, name):
+    """The ANN/codebook family assigns vectors map-side against a 1-row
+    broadcast codebook array. A regression to the vectors×centroids
+    expansion shows up as a hash exchange keyed on vec_id — the
+    corpus-sized shuffle these rewrites removed."""
+    plan = plan_of(REGISTRY[name].fn(spark, sf_dir))
+    assert "hashpartitioning(vec_id" not in plan, name
 
 
 def _unpartitioned_windows(plan: str) -> list[str]:
