@@ -34,24 +34,25 @@ _VERIFY_FIRST = [
     "q73_ivf_ann", "q79_retrieval_join", "q163_power_iteration_pca",
     "q169_knn_classify", "q183_label_embedding_pool",
     "q186_embedding_dim_variance", "q190_hybrid_rrf_retrieval",
-    # streaming (all real availableNow streams)
-    "q80_tumbling_window", "q81_sliding_window", "q82_session_window",
-    "q83_dedup_events", "q85_watermark_late_drop", "q87_stream_stream_join",
+    # round-2 NEW LLM-pipeline operators (never driver-sampled)
+    "q239_bpe_merge_training", "q240_temperature_mixing",
+    "q241_hard_negative_mining", "q242_pq_ann",
+    "q243_kmeans_lloyd_step", "q244_group_kfold_split",
+    "q245_matryoshka_fidelity", "q246_bpe_compression_rate",
+    # round-2 rewritten scale shapes + the new rank primitive
+    "q139_ks_two_sample", "q167_mutual_information", "q171_lift_curve",
+    "q235_rfm_segmentation", "q236_distributed_rank",
+    # streaming (all real availableNow streams; q84/q86 = stateful)
+    "q80_tumbling_window", "q82_session_window",
+    "q85_watermark_late_drop", "q87_stream_stream_join",
     "q142_stream_static_enrich", "q172_stream_windowed_distinct",
     "q192_lateness_profile", "q198_debounce_events",
     "q84_stateful_sessionize", "q86_transform_with_state",
     "q122_streaming_upsert",
     # retrieval + curation north stars
     "q107_bm25_retrieval", "q129_curation_funnel",
-    # round-2 rewritten scale shapes + the new rank primitive
-    "q139_ks_two_sample", "q167_mutual_information", "q171_lift_curve",
-    "q235_rfm_segmentation", "q236_distributed_rank",
-    # round-2 new LLM-pipeline operators
-    "q239_bpe_merge_training", "q240_temperature_mixing",
-    "q241_hard_negative_mining", "q242_pq_ann",
-    "q243_kmeans_lloyd_step", "q244_group_kfold_split",
-    "q245_matryoshka_fidelity", "q246_bpe_compression_rate",
-    # text-analysis core
+    # remaining streaming + text-analysis core
+    "q81_sliding_window", "q83_dedup_events",
     "q50_token_stats", "q51_quality_score", "q52_langid", "q53_fingerprint",
     "q54_pii_scrub", "q158_heavy_hitters",
 ]
