@@ -2414,3 +2414,94 @@ def q235_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("r", "f", "m")
     )
+
+
+@query(
+    "q247_seasonal_decompose",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type, date_trunc('day', ts) AS day,
+               CAST(count(*) AS BIGINT) AS n
+        FROM events
+        GROUP BY event_type, day
+    ),
+    trended AS (
+        SELECT event_type, day, n,
+               avg(n) OVER (PARTITION BY event_type ORDER BY day
+                            ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS trend
+        FROM daily
+    ),
+    detrended AS (
+        SELECT *, n - trend AS det,
+               CAST(date_diff('day', TIMESTAMP '2024-01-01', day) % 7
+                    AS INTEGER) AS dow
+        FROM trended
+    ),
+    seasonal AS (
+        SELECT event_type, dow, round(avg(det), 4) AS seas
+        FROM detrended GROUP BY event_type, dow
+    )
+    SELECT d.event_type, d.day, d.n,
+           round(d.trend, 4)          AS trend,
+           s.seas                     AS seasonal,
+           round(d.det - s.seas, 4)   AS residual
+    FROM detrended d JOIN seasonal s
+      ON d.event_type = s.event_type AND d.dow = s.dow
+    ORDER BY d.event_type, d.day
+    """,
+    tags=("window", "timeseries", "seasonality", "decomposition"),
+)
+def q247_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Additive seasonal decomposition of daily event volume per type
+    (STL-lite): trend = centered 7-day moving average, seasonal =
+    day-of-week mean of the detrended series, residual = remainder —
+    the decomposition an ops/curation dashboard reads to separate
+    growth from weekly rhythm from genuine anomalies (the residual
+    column is what q188's rate alerts would consume).
+
+    Determinism: the trend average sums ≤7 exact integer counts in
+    frame order (identical sequential IEEE ops on both engines — no
+    partial-agg reordering inside a sliding frame), day-of-week comes
+    from integer day-diff arithmetic (engine dayofweek() conventions
+    differ: Spark is 1-7 Sun-first, DuckDB 0-6 — never use them
+    cross-engine), and the seasonal group-average ulps wash out under
+    round(4) applied identically before the residual subtraction.
+
+    Scale posture: one corpus-grain shuffle to (type, day); the moving
+    average runs over the BOUNDED per-type day series (timeline grain,
+    not event grain — the window partition is the anomaly-free kind);
+    the seasonal profile is a ≤(types×7)-row broadcast join back."""
+    ev = load_tables(spark, sf_dir)["events"]
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", F.col("ts")).alias("day")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(-3, 3)
+    )
+    detrended = daily.withColumn("trend", F.avg("n").over(w)).select(
+        "event_type",
+        "day",
+        "n",
+        "trend",
+        (F.col("n") - F.col("trend")).alias("det"),
+        (
+            F.datediff(F.col("day"), F.lit("2024-01-01").cast("timestamp")) % 7
+        ).cast("int").alias("dow"),
+    )
+    seasonal = detrended.groupBy("event_type", "dow").agg(
+        F.round(F.avg("det"), 4).alias("seas")
+    )
+    return (
+        detrended.join(F.broadcast(seasonal), ["event_type", "dow"])
+        .select(
+            "event_type",
+            "day",
+            "n",
+            F.round("trend", 4).alias("trend"),
+            F.col("seas").alias("seasonal"),
+            F.round(F.col("det") - F.col("seas"), 4).alias("residual"),
+        )
+        .orderBy("event_type", "day")
+    )
