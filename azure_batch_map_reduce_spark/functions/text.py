@@ -1851,3 +1851,99 @@ def q246_bpe_compression_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             1.0 - F.col("n_symbols").cast("double") / F.col("n_chars"), 4
         ).alias("compression"),
     )
+
+
+@query(
+    "q248_vocab_kl_drift",
+    oracle="""
+    WITH tok AS (
+        SELECT CASE WHEN doc_id % 2 = 0 THEN 'a' ELSE 'b' END AS half,
+               unnest(list_filter(string_split_regex(lower(text), '[^a-z]+'),
+                                  x -> x <> '')) AS w
+        FROM documents
+    ),
+    cnt AS (
+        SELECT w,
+               sum(CASE WHEN half = 'a' THEN 1 ELSE 0 END) AS ca,
+               sum(CASE WHEN half = 'b' THEN 1 ELSE 0 END) AS cb
+        FROM tok GROUP BY w
+    ),
+    tot AS (
+        SELECT CAST(sum(ca) AS DOUBLE) AS na, CAST(sum(cb) AS DOUBLE) AS nb,
+               CAST(count(*) AS DOUBLE) AS v
+        FROM cnt
+    ),
+    terms AS (
+        SELECT (ca + 1) / (na + v) AS pa, (cb + 1) / (nb + v) AS pb
+        FROM cnt CROSS JOIN tot
+    )
+    SELECT CAST(t.v AS BIGINT)                              AS vocab_size,
+           CAST(t.na AS BIGINT)                             AS tokens_a,
+           CAST(t.nb AS BIGINT)                             AS tokens_b,
+           round(sum(pa * ln(pa / pb)), 4)                  AS kl_a_to_b,
+           round(sum(pb * ln(pb / pa)), 4)                  AS kl_b_to_a,
+           round(sum((pa - pb) * ln(pa / pb)), 4)           AS j_divergence
+    FROM terms CROSS JOIN tot t
+    GROUP BY t.v, t.na, t.nb
+    """,
+    tags=("text", "drift", "kl-divergence", "curation", "monitoring"),
+)
+def q248_vocab_kl_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary distribution drift between two corpus snapshots (the
+    even/odd doc_id halves stand in for consecutive crawls): add-one-
+    smoothed unigram distributions compared by KL divergence both ways
+    plus Jeffreys' J-divergence — the distribution-shift monitor a
+    curation pipeline runs per snapshot before retraining decisions
+    (q154's PSI is the binned-numeric sibling; this is the
+    full-vocabulary categorical form).
+
+    Determinism: counts are exact integers; smoothing and the
+    probability ratios are single IEEE divisions; ``ln`` appears only
+    inside SUMMED terms (never a ranking key), so libm/accumulation
+    ulps wash out under round(4) — the q184 Zipf-fit discipline.
+
+    Scale posture: one explode → (word) count shuffle with map-side
+    combine carrying BOTH half-counts per distinct word (a conditional
+    sum, not two scans); totals are a 1-row broadcast; the KL terms
+    reduce in the same final aggregate. Cost is one corpus pass at any
+    scale."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    tok = docs.select(
+        F.when(F.col("doc_id") % 2 == 0, "a").otherwise("b").alias("half"),
+        F.explode(
+            F.filter(
+                F.split(F.lower(F.col("text")), "[^a-z]+"),
+                lambda x: x != F.lit(""),
+            )
+        ).alias("w"),
+    )
+    cnt = tok.groupBy("w").agg(
+        F.sum(F.when(F.col("half") == "a", 1).otherwise(0)).alias("ca"),
+        F.sum(F.when(F.col("half") == "b", 1).otherwise(0)).alias("cb"),
+    )
+    tot = cnt.agg(
+        F.sum("ca").cast("double").alias("na"),
+        F.sum("cb").cast("double").alias("nb"),
+        F.count(F.lit(1)).cast("double").alias("v"),
+    )
+    pa = (F.col("ca") + 1) / (F.col("na") + F.col("v"))
+    pb = (F.col("cb") + 1) / (F.col("nb") + F.col("v"))
+    terms = cnt.crossJoin(F.broadcast(tot)).select(
+        "na", "nb", "v", pa.alias("pa"), pb.alias("pb")
+    )
+    return terms.groupBy(
+        F.col("v").cast("long").alias("vocab_size"),
+        F.col("na").cast("long").alias("tokens_a"),
+        F.col("nb").cast("long").alias("tokens_b"),
+    ).agg(
+        F.round(F.sum(F.col("pa") * F.log(F.col("pa") / F.col("pb"))), 4).alias(
+            "kl_a_to_b"
+        ),
+        F.round(F.sum(F.col("pb") * F.log(F.col("pb") / F.col("pa"))), 4).alias(
+            "kl_b_to_a"
+        ),
+        F.round(
+            F.sum((F.col("pa") - F.col("pb")) * F.log(F.col("pa") / F.col("pb"))),
+            4,
+        ).alias("j_divergence"),
+    )
