@@ -270,3 +270,75 @@ def q236_distributed_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("tile")
     )
+
+
+@query(
+    "q249_exact_quantiles_distributed",
+    oracle="""
+    WITH ranked AS (
+        SELECT o_totalprice,
+               row_number() OVER (ORDER BY o_totalprice, o_orderkey) AS rn
+        FROM orders
+    ),
+    n AS (SELECT count(*) AS n FROM orders),
+    pos AS (
+        SELECT q.label, q.num, q.den,
+               (n.n * q.num + q.den - 1) // q.den AS p
+        FROM (VALUES ('p25', 1, 4), ('p50', 1, 2), ('p75', 3, 4),
+                     ('p90', 9, 10), ('p99', 99, 100)) AS q(label, num, den)
+        CROSS JOIN n
+    )
+    SELECT pos.label AS quantile,
+           CAST(pos.p AS BIGINT) AS rank_pos,
+           round(r.o_totalprice, 2) AS value
+    FROM pos JOIN ranked r ON r.rn = pos.p
+    ORDER BY pos.p
+    """,
+    tags=("window", "rank", "quantiles", "sample-sort", "scale"),
+)
+def q249_exact_quantiles_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT discrete quantiles (p25/p50/p75/p90/p99) of order totals at
+    unbounded grain, window-free: the second consumer of
+    :func:`distributed_row_number` (after q236), proving the sample-sort
+    rank primitive composes into order statistics — the exact
+    counterpart to ``approx_percentile`` when an SLA needs true values
+    (billing tiers, contractual percentiles).
+
+    Rank positions are pure integer arithmetic, ⌈q·n⌉ as
+    ``(n·num + den − 1) div den`` — no float quantile definition to
+    reconcile between engines (DuckDB's quantile_disc/cont interpolation
+    conventions never enter; both sides share the same rank formula).
+    The oracle uses the plain global-window ``row_number`` to prove the
+    decomposition value-identical.
+
+    Scale posture: one range shuffle ranks the data (every stage
+    parallel — see the module docstring); the 5 probe positions come
+    from a 1-row count broadcast, and the final position lookup is a
+    broadcast semi-probe into the ranked table, not a sort."""
+    orders = load_tables(spark, sf_dir)["orders"]
+    ranked = distributed_row_number(
+        orders.select("o_totalprice", "o_orderkey"),
+        [F.col("o_totalprice").asc(), F.col("o_orderkey").asc()],
+        out="rn",
+    )
+    n = orders.agg(F.count(F.lit(1)).alias("n"))
+    fracs = spark.createDataFrame(
+        [("p25", 1, 4), ("p50", 1, 2), ("p75", 3, 4), ("p90", 9, 10),
+         ("p99", 99, 100)],
+        "label string, num int, den int",
+    )
+    pos = fracs.crossJoin(F.broadcast(n)).select(
+        "label",
+        _idiv(
+            F.col("n") * F.col("num") + F.col("den") - 1, F.col("den")
+        ).alias("p"),
+    )
+    return (
+        ranked.join(F.broadcast(pos), ranked["rn"] == pos["p"])
+        .select(
+            F.col("label").alias("quantile"),
+            F.col("p").cast("long").alias("rank_pos"),
+            F.round("o_totalprice", 2).alias("value"),
+        )
+        .orderBy("rank_pos")
+    )

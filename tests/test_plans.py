@@ -506,6 +506,7 @@ GLOBAL_WINDOW_FREE = [
     "q244_group_kfold_split",
     "q245_matryoshka_fidelity",
     "q246_bpe_compression_rate",
+    "q249_exact_quantiles_distributed",
 ]
 
 
