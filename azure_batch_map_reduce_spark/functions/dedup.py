@@ -1146,3 +1146,79 @@ def q228_dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("i").alias("n_pairs"))
         .orderBy("threshold")
     )
+
+
+def _cluster_profile_oracle() -> str:
+    """Wraps q66's transitive-closure oracle as a CTE and profiles the
+    cluster-size distribution (nested WITH is legal in a CTE body)."""
+    from azure_batch_map_reduce_spark.registry import REGISTRY
+
+    q66 = REGISTRY["q66_neardup_clusters"].oracle
+    return f"""
+    WITH clusters AS ({q66}),
+    sized AS (
+        SELECT CAST(cluster_size AS BIGINT)      AS cluster_size,
+               CAST(count(*) AS BIGINT)          AS n_clusters,
+               CAST(sum(cluster_size) AS BIGINT) AS n_docs
+        FROM clusters GROUP BY cluster_size
+    ),
+    tot AS (SELECT count(*) AS total FROM documents),
+    dup AS (SELECT coalesce(sum(n_docs), 0) AS in_clusters FROM sized)
+    SELECT * FROM (
+        SELECT cluster_size, n_clusters, n_docs FROM sized
+        UNION ALL
+        SELECT CAST(1 AS BIGINT),
+               CAST(t.total - d.in_clusters AS BIGINT),
+               CAST(t.total - d.in_clusters AS BIGINT)
+        FROM tot t CROSS JOIN dup d
+    )
+    ORDER BY cluster_size
+    """
+
+
+@query(
+    "q250_dedup_cluster_profile",
+    oracle=_cluster_profile_oracle(),
+    tags=("dedup", "clusters", "profiling", "curation"),
+)
+def q250_dedup_cluster_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate cluster-size distribution with singleton
+    accounting: how many clusters of each size the corpus contains,
+    including the size-1 row for documents with no near-duplicate —
+    the dedup planning read (sum of (size−1)·n_clusters over sizes ≥ 2
+    is exactly the row count deduplication will remove; a fat tail of
+    giant clusters flags boilerplate/template contamination before the
+    purge runs). Composes q66's transitive closure — same dataflow,
+    same oracle CTE — with a size-grain rollup and a total-count
+    broadcast for the singleton remainder.
+
+    Scale posture: everything past q66's bounded label-propagation
+    loop is a |clusters|-grain aggregate plus a 1-row cross join; the
+    singleton count is derived by subtraction, never by materializing
+    an anti-join of the corpus against the pair list."""
+    docs = _spread(load_tables(spark, sf_dir)["documents"], "doc_id")
+    edges = neardup_pairs(docs).select(
+        F.col("doc_a").alias("u"), F.col("doc_b").alias("v")
+    )
+    clusters = connected_components(edges).groupBy(
+        F.col("label").alias("cluster_rep")
+    ).agg(F.count(F.lit(1)).alias("cluster_size"))
+    sized = clusters.groupBy(
+        F.col("cluster_size").cast("long").alias("cluster_size")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_clusters"),
+        F.sum("cluster_size").cast("long").alias("n_docs"),
+    )
+    tot = docs.agg(F.count(F.lit(1)).alias("total"))
+    dup = sized.agg(
+        F.coalesce(F.sum("n_docs"), F.lit(0)).alias("in_clusters")
+    )
+    singleton = (
+        tot.crossJoin(F.broadcast(dup))
+        .select(
+            F.lit(1).cast("long").alias("cluster_size"),
+            (F.col("total") - F.col("in_clusters")).cast("long").alias("n_clusters"),
+            (F.col("total") - F.col("in_clusters")).cast("long").alias("n_docs"),
+        )
+    )
+    return sized.unionAll(singleton).orderBy("cluster_size")
