@@ -2505,3 +2505,71 @@ def q247_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "day")
     )
+
+
+@query(
+    "q251_markov_transitions",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, event_type,
+               lag(event_type) OVER (
+                   PARTITION BY user_id
+                   ORDER BY date_trunc('microseconds', ts), event_id
+               ) AS prev_type
+        FROM events
+    ),
+    trans AS (
+        SELECT prev_type AS from_type, event_type AS to_type,
+               count(*) AS n
+        FROM seq WHERE prev_type IS NOT NULL
+        GROUP BY from_type, to_type
+    ),
+    tot AS (
+        SELECT from_type, sum(n) AS row_n FROM trans GROUP BY from_type
+    )
+    SELECT t.from_type, t.to_type,
+           CAST(t.n AS BIGINT) AS n,
+           round(t.n / CAST(tot.row_n AS DOUBLE), 6) AS p
+    FROM trans t JOIN tot ON t.from_type = tot.from_type
+    ORDER BY t.from_type, t.to_type
+    """,
+    tags=("window", "markov", "sequence", "events", "journey"),
+)
+def q251_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over user event journeys:
+    for each user's time-ordered event stream, count consecutive
+    (from_type → to_type) transitions and normalize each row to
+    probabilities — the user-journey model behind next-action
+    prediction, funnel leak diagnosis, and bot detection (a near-
+    deterministic row is scripted traffic). Complements q130 (literal
+    entry paths) and q135 (intra-document skip-grams) with the
+    cross-event sequential model.
+
+    Determinism: ordering is (µs-truncated ts, event_id) — a total
+    order shared with DuckDB's ns-native timestamps per the verify-
+    skill discipline; probabilities are one exact integer division
+    under round(6).
+
+    Scale posture: the lag window partitions by user_id (bounded
+    per-user streams — the safe window kind); transition counting is
+    partial+final at (from, to) grain (|types|² rows through the final
+    shuffle); row totals join back from a ≤|types|-row broadcast."""
+    ev = load_tables(spark, sf_dir)["events"]
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type", F.lag("event_type").over(w).alias("from_type")
+    ).filter(F.col("from_type").isNotNull())
+    trans = seq.groupBy("from_type", F.col("event_type").alias("to_type")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    tot = trans.groupBy("from_type").agg(F.sum("n").alias("row_n"))
+    return (
+        trans.join(F.broadcast(tot), "from_type")
+        .select(
+            "from_type",
+            "to_type",
+            F.col("n").cast("long").alias("n"),
+            F.round(F.col("n") / F.col("row_n").cast("double"), 6).alias("p"),
+        )
+        .orderBy("from_type", "to_type")
+    )
