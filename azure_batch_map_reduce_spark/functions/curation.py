@@ -1457,3 +1457,88 @@ def q244_group_kfold_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         .drop("total")
         .orderBy("fold")
     )
+
+
+@query(
+    "q252_length_bucket_batching",
+    oracle="""
+    WITH lens AS (
+        SELECT doc_id,
+               len(list_filter(string_split(text, ' '), x -> x <> '')) AS n_tok
+        FROM documents
+    ),
+    bucketed AS (
+        SELECT CASE WHEN n_tok <= 16 THEN 16
+                    WHEN n_tok <= 32 THEN 32
+                    WHEN n_tok <= 64 THEN 64
+                    WHEN n_tok <= 128 THEN 128
+                    ELSE 256 END AS bucket,
+               n_tok
+        FROM lens
+    )
+    SELECT CAST(bucket AS INTEGER)                          AS bucket,
+           CAST(count(*) AS BIGINT)                         AS n_docs,
+           CAST((count(*) + 31) // 32 AS BIGINT)            AS n_batches,
+           CAST(sum(n_tok) AS BIGINT)                       AS real_tokens,
+           CAST(count(*) * bucket AS BIGINT)                AS padded_tokens,
+           round(sum(n_tok) / CAST(count(*) * bucket AS DOUBLE), 4)
+               AS pack_efficiency
+    FROM bucketed
+    GROUP BY bucket
+    ORDER BY bucket
+    """,
+    tags=("curation", "batching", "packing", "training", "padding"),
+)
+def q252_length_bucket_batching(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-bucketed batch assembly plan: documents sort into
+    power-of-two token-length buckets (pad-to-bucket-width batching,
+    the alternative to q123's concat-and-split packing when example
+    boundaries must survive); emits per bucket the document count,
+    32-example batch count, real vs padded token volume, and packing
+    efficiency — the padding-waste read that decides bucket boundaries
+    before a training run burns accelerator hours on pad tokens.
+
+    Determinism: token counts and bucket edges are exact integers;
+    batch count is integer ceiling division; efficiency is one exact
+    division under round(4).
+
+    Scale posture: a map-side token count + CASE bucket per document,
+    then one partial+final aggregate at bucket grain (5 rows through
+    the shuffle). The bucket column is what a writer would
+    ``partitionBy`` so each training shard reads one width."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    n_tok = F.size(F.filter(F.split("text", " "), lambda x: x != F.lit("")))
+    bucket = (
+        F.when(n_tok <= 16, 16)
+        .when(n_tok <= 32, 32)
+        .when(n_tok <= 64, 64)
+        .when(n_tok <= 128, 128)
+        .otherwise(256)
+    )
+    bucketed = docs.select(bucket.alias("bucket"), n_tok.alias("n_tok"))
+    return (
+        bucketed.groupBy(F.col("bucket").cast("int").alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            ((F.count(F.lit(1)) + 31) - (F.count(F.lit(1)) + 31) % 32)
+            .cast("long").alias("_num"),
+            F.sum("n_tok").cast("long").alias("real_tokens"),
+            (F.count(F.lit(1)) * F.first("bucket")).cast("long").alias(
+                "padded_tokens"
+            ),
+            F.round(
+                F.sum("n_tok")
+                / (F.count(F.lit(1)) * F.first("bucket")).cast("double"),
+                4,
+            ).alias("pack_efficiency"),
+        )
+        .select(
+            "bucket",
+            "n_docs",
+            (F.col("_num") / 32).cast("long").alias("n_batches"),
+            "real_tokens",
+            "padded_tokens",
+            "pack_efficiency",
+        )
+        .orderBy("bucket")
+    )
