@@ -567,3 +567,86 @@ def q198_debounce_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("n_raw") > F.col("n_debounced"))
         .orderBy("user_id", "event_type")
     )
+
+
+def windowed_type_counts(events: DataFrame, width: str = "6 hours") -> DataFrame:
+    return (
+        events.groupBy(F.window("ts", width).alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n")
+    )
+
+
+@query(
+    "q253_stream_dominant_type",
+    oracle="""
+    WITH counts AS (
+        SELECT time_bucket(INTERVAL '6 hours', ts) AS window_start,
+               event_type, count(*) AS n
+        FROM events
+        GROUP BY window_start, event_type
+    )
+    SELECT window_start,
+           CAST(tot AS BIGINT) AS n_events,
+           event_type          AS top_type,
+           CAST(n AS BIGINT)   AS top_n,
+           round(n / CAST(tot AS DOUBLE), 6) AS top_share
+    FROM (
+        SELECT *, row_number() OVER (
+                   PARTITION BY window_start
+                   ORDER BY n DESC, event_type ASC) AS rn,
+               sum(n) OVER (PARTITION BY window_start) AS tot
+        FROM counts
+    )
+    WHERE rn = 1
+    ORDER BY window_start
+    """,
+    tags=("streaming", "window", "argmax", "serving"),
+)
+def q253_stream_dominant_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dominant event type per 6-hour window, with the streaming and
+    serving layers split the way a production lambda-free stack splits
+    them: the STREAM maintains the (window × type) count table — one
+    aggregation, the only kind Structured Streaming allows per query —
+    through a real availableNow run into the sink; the serving-layer
+    argmax (top type, its count and share per window) is the cheap
+    batch rollup any dashboard runs over the sink table. Chaining both
+    aggregations into one streaming query is unsupported by design
+    (multiple stateful aggs per stream), so the operator demonstrates
+    the correct decomposition rather than fighting it.
+
+    Determinism: the argmax is a lexicographic struct-MIN on
+    (−count, type) — count ties break to the alphabetically FIRST type
+    on both engines (the integer-negation trick; strings cannot
+    negate, so the key order inverts instead); shares are one exact
+    integer division under round(6).
+
+    Scale posture: stream state is (windows × types) rows, bounded;
+    the rollup shuffles the same bounded grain. At 100 TB/day the sink
+    is a partitioned table and the rollup prunes to the queried day."""
+    sink = run_available_now(
+        windowed_type_counts(events_stream(spark, sf_dir)), "complete"
+    )
+    best = F.min(
+        F.struct(
+            (-F.col("n")).alias("nn"),
+            F.col("event_type").alias("t"),
+        )
+    )
+    return (
+        sink.groupBy("window_start")
+        .agg(
+            F.sum("n").cast("long").alias("n_events"),
+            best.alias("b"),
+        )
+        .select(
+            "window_start",
+            "n_events",
+            F.col("b.t").alias("top_type"),
+            (-F.col("b.nn")).cast("long").alias("top_n"),
+            F.round(
+                (-F.col("b.nn")) / F.col("n_events").cast("double"), 6
+            ).alias("top_share"),
+        )
+        .orderBy("window_start")
+    )
