@@ -2657,3 +2657,117 @@ def q238_recursive_month_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     register_views(spark, sf_dir)
     return spark.sql(_RECURSIVE_SPINE_SQL)
+
+
+_CMS_D = 4      # hash rows
+_CMS_W = 32     # counters per row
+_CMS_PROBES = (1, 7, 13, 19, 25)  # supplier keys to estimate
+
+
+def _cms_oracle() -> str:
+    idx = ("CAST(('0x' || substr(md5('cms' || CAST({j} AS VARCHAR) || '|'"
+           " || CAST({k} AS VARCHAR)), 1, 8))::BIGINT % 32 AS INTEGER)")
+    return f"""
+    WITH rows_j AS (SELECT unnest(range(4)) AS j),
+    sketch AS (
+        SELECT r.j, {idx.format(j="r.j", k="l.l_suppkey")} AS idx,
+               CAST(count(*) AS BIGINT) AS c
+        FROM lineitem l CROSS JOIN rows_j r
+        GROUP BY r.j, idx
+    ),
+    probes AS (SELECT unnest([1, 7, 13, 19, 25]) AS suppkey),
+    est AS (
+        SELECT p.suppkey, min(s.c) AS cms_estimate
+        FROM probes p
+        JOIN rows_j r ON true
+        LEFT JOIN sketch s
+          ON s.j = r.j AND s.idx = {idx.format(j="r.j", k="p.suppkey")}
+        GROUP BY p.suppkey
+    ),
+    exact AS (
+        SELECT l_suppkey AS suppkey, count(*) AS n
+        FROM lineitem WHERE l_suppkey IN (1, 7, 13, 19, 25)
+        GROUP BY l_suppkey
+    )
+    SELECT e.suppkey,
+           CAST(coalesce(x.n, 0) AS BIGINT)  AS exact_count,
+           CAST(e.cms_estimate AS BIGINT)    AS cms_estimate,
+           CAST(e.cms_estimate - coalesce(x.n, 0) AS BIGINT) AS overcount
+    FROM est e LEFT JOIN exact x ON e.suppkey = x.suppkey
+    ORDER BY e.suppkey
+    """
+
+
+@query(
+    "q254_portable_count_min",
+    oracle=_cms_oracle(),
+    tags=("aggregation", "sketch", "count-min", "frequency"),
+)
+def q254_portable_count_min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """From-scratch count-min sketch (d=4 rows × w=32 counters) with
+    fully cross-engine-deterministic arithmetic, completing the
+    portable-sketch family (HLL q156, Bloom filter q196): every
+    lineitem increments one counter per hash row (salted md5 hex
+    prefix mod w — the q156 idiom, never engine-native hash), and a
+    key's frequency estimate is the MIN over its d counters —
+    one-sided error, never an undercount. Five probe suppliers are
+    estimated and audited against their exact counts; `overcount` is
+    the collision inflation (≥ 0 by construction, the sketch's
+    correctness invariant).
+
+    Like the HLL's registers, the 128-counter table is the mergeable
+    state: merge = elementwise SUM, which is exactly the partial+final
+    aggregate Spark plans — a per-source or per-hour sketch rolls up
+    to any coarser grain without rescanning facts.
+
+    Scale posture: the d-fold fan-out explodes a 4-element literal
+    array (map-side ×4, no join); the only shuffle is the (j, idx)
+    128-cell aggregate with map-side combine; probes read the 128-row
+    sketch via a broadcast join. At 100 TB widen w, not the dataflow.
+    """
+    li = load_tables(spark, sf_dir)["lineitem"]
+
+    def idx(j: Column, k: Column) -> Column:
+        h = F.md5(
+            F.concat(
+                F.lit("cms"), j.cast("string"), F.lit("|"), k.cast("string")
+            )
+        )
+        return (F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % 32).cast(
+            "int"
+        )
+
+    fan = li.select(
+        "l_suppkey", F.explode(F.array(*[F.lit(j) for j in range(4)])).alias("j")
+    )
+    sketch = fan.groupBy(
+        "j", idx(F.col("j"), F.col("l_suppkey")).alias("idx")
+    ).agg(F.count(F.lit(1)).alias("c"))
+
+    probes = li.sparkSession.createDataFrame(
+        [(k,) for k in _CMS_PROBES], "suppkey long"
+    )
+    probe_cells = probes.crossJoin(
+        li.sparkSession.createDataFrame([(j,) for j in range(4)], "j int")
+    ).withColumn("idx", idx(F.col("j"), F.col("suppkey")))
+    est = (
+        probe_cells.join(F.broadcast(sketch), ["j", "idx"], "left")
+        .groupBy("suppkey")
+        .agg(F.min("c").alias("cms_estimate"))
+    )
+    exact = (
+        li.filter(F.col("l_suppkey").isin(*_CMS_PROBES))
+        .groupBy(F.col("l_suppkey").alias("suppkey"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return (
+        est.join(F.broadcast(exact), "suppkey", "left")
+        .select(
+            "suppkey",
+            F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("exact_count"),
+            F.col("cms_estimate").cast("long").alias("cms_estimate"),
+            (F.col("cms_estimate") - F.coalesce(F.col("n"), F.lit(0)))
+            .cast("long").alias("overcount"),
+        )
+        .orderBy("suppkey")
+    )
