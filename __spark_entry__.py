@@ -43,6 +43,7 @@ _VERIFY_FIRST = [
     "q249_exact_quantiles_distributed", "q250_dedup_cluster_profile",
     "q251_markov_transitions", "q252_length_bucket_batching",
     "q253_stream_dominant_type", "q254_portable_count_min",
+    "q255_distributed_auc",
     # round-2 rewritten scale shapes + the new rank primitive
     "q139_ks_two_sample", "q167_mutual_information", "q171_lift_curve",
     "q235_rfm_segmentation", "q236_distributed_rank",

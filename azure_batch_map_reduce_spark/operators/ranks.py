@@ -342,3 +342,96 @@ def q249_exact_quantiles_distributed(spark: SparkSession, sf_dir: str) -> DataFr
         )
         .orderBy("rank_pos")
     )
+
+
+@query(
+    "q255_distributed_auc",
+    oracle="""
+    WITH scored AS (
+        SELECT len(list_filter(string_split(text, ' '), x -> x <> ''))
+                   AS score,
+               CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos
+        FROM documents
+    ),
+    g AS (
+        SELECT score, count(*) AS cnt, sum(pos) AS np
+        FROM scored GROUP BY score
+    ),
+    ranked AS (
+        SELECT score, cnt, np,
+               coalesce(sum(cnt) OVER (ORDER BY score
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS cum_before
+        FROM g
+    ),
+    tot AS (
+        SELECT sum(np) AS n_pos, sum(cnt) - sum(np) AS n_neg FROM g
+    )
+    SELECT CAST(t.n_pos AS BIGINT) AS n_pos,
+           CAST(t.n_neg AS BIGINT) AS n_neg,
+           round((sum(r.np * (r.cum_before + (r.cnt + 1) / 2.0))
+                  - t.n_pos * (t.n_pos + 1) / 2.0)
+                 / (t.n_pos * CAST(t.n_neg AS DOUBLE)), 6) AS auc
+    FROM ranked r CROSS JOIN tot t
+    GROUP BY t.n_pos, t.n_neg
+    """,
+    tags=("window", "rank", "auc", "evaluation", "scale"),
+)
+def q255_distributed_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT ROC-AUC at any scale, window-free: the Mann-Whitney
+    rank-sum form AUC = (Σ midranks of positives − n⁺(n⁺+1)/2) /
+    (n⁺·n⁻), with tie-correct midranks from the sample-sort running
+    sum — the third consumer of the ranks primitives (rank q236,
+    quantiles q249, now an evaluation metric). Scores a trivially
+    derivable classifier (token count predicting lang='en') purely to
+    exercise the math; swap any model score column in.
+
+    Exactness is total, not approximate: midranks are halves, counts
+    are integers, and sums of exactly-representable multiples of 0.5
+    below 2^51 are order-independent in IEEE double — so cross-engine
+    parity needs no rounding discipline at all; the single final
+    division is bit-identical. (Contrast every float-keyed ranking in
+    the verify-skill traps.)
+
+    Scale posture: one shuffle to score grain with map-side combine,
+    the running sum via ``distributed_running_sum`` (range partition +
+    broadcast offsets — no global window even though the oracle uses
+    one), a 1-row totals broadcast, one final aggregate."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    scored = docs.select(
+        F.size(F.filter(F.split("text", " "), lambda x: x != F.lit("")))
+        .alias("score"),
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("pos"),
+    )
+    g = scored.groupBy("score").agg(
+        F.count(F.lit(1)).alias("cnt"), F.sum("pos").alias("np")
+    )
+    ranked = distributed_running_sum(
+        g, [F.col("score").asc()], {"cum_incl": "cnt"}
+    ).withColumn("cum_before", F.col("cum_incl") - F.col("cnt"))
+    tot = g.agg(
+        F.sum("np").alias("n_pos"),
+        (F.sum("cnt") - F.sum("np")).alias("n_neg"),
+    )
+    return (
+        ranked.crossJoin(F.broadcast(tot))
+        .groupBy("n_pos", "n_neg")
+        .agg(
+            F.round(
+                (
+                    F.sum(
+                        F.col("np")
+                        * (F.col("cum_before") + (F.col("cnt") + 1) / 2.0)
+                    )
+                    - F.first("n_pos") * (F.first("n_pos") + 1) / 2.0
+                )
+                / (F.first("n_pos") * F.first("n_neg").cast("double")),
+                6,
+            ).alias("auc")
+        )
+        .select(
+            F.col("n_pos").cast("long").alias("n_pos"),
+            F.col("n_neg").cast("long").alias("n_neg"),
+            "auc",
+        )
+    )

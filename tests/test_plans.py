@@ -507,6 +507,7 @@ GLOBAL_WINDOW_FREE = [
     "q245_matryoshka_fidelity",
     "q246_bpe_compression_rate",
     "q249_exact_quantiles_distributed",
+    "q255_distributed_auc",
 ]
 
 
