@@ -35,6 +35,7 @@ from azure_batch_map_reduce_spark.catalog import load_tables
 from azure_batch_map_reduce_spark.operators.ranks import (
     distributed_row_number,
     ntile_from_rank,
+    round_nz,
 )
 from azure_batch_map_reduce_spark.registry import query
 
@@ -824,7 +825,7 @@ def q129_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(p.n_docs AS BIGINT) AS n_docs,
            round(p.raw_mean, 6) AS raw_mean,
            round(r.norm_value, 6) AS norm_value,
-           round(r.norm_value - p.raw_mean, 4) AS shift
+           round(r.norm_value - p.raw_mean, 4) + 0.0 AS shift
     FROM per_src p JOIN ref r ON p.qbin = r.qbin
     ORDER BY p.source, qbin
     """,
@@ -874,7 +875,7 @@ def q151_quantile_normalization(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_docs",
             F.round("raw_mean", 6).alias("raw_mean"),
             F.round("norm_value", 6).alias("norm_value"),
-            F.round(F.col("norm_value") - F.col("raw_mean"), 4).alias("shift"),
+            round_nz(F.col("norm_value") - F.col("raw_mean"), 4).alias("shift"),
         )
         .orderBy("source", "qbin")
     )
@@ -907,7 +908,7 @@ def q151_quantile_normalization(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT m.metric,
            round(m.actual, 2) AS actual,
            round(m.estimate, 2) AS estimate,
-           round((m.estimate - m.actual) / m.actual, 6) AS rel_error
+           round((m.estimate - m.actual) / m.actual, 6) + 0.0 AS rel_error
     FROM (
         SELECT 'join_rows' AS metric,
                CAST(f.n AS DOUBLE) AS actual,
@@ -987,7 +988,7 @@ def q170_correlated_sample_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "metric",
         F.round("actual", 2).alias("actual"),
         F.round("estimate", 2).alias("estimate"),
-        F.round((F.col("estimate") - F.col("actual")) / F.col("actual"), 6).alias(
+        round_nz((F.col("estimate") - F.col("actual")) / F.col("actual"), 6).alias(
             "rel_error"
         ),
     ).orderBy("metric")

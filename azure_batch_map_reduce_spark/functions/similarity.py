@@ -1244,7 +1244,7 @@ def q242_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     scores candidates with the asymmetric-distance (ADC) lookup table —
     sum over subspaces of ||q_sub − centroid[code]||². Top-10 by ADC.
 
-    Determinism: per-subspace distances round to 6 digits BEFORE the
+    Determinism: per-subspace distances round to 4 digits BEFORE the
     argmin with a code-id tie-break, so a near-equidistant centroid
     pair cannot flip the code across engines on accumulation ulps; the
     fold ``aggregate(…, 0.0, +)`` is bit-identical to DuckDB's
@@ -1398,7 +1398,7 @@ def q243_kmeans_lloyd_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     per round. Completes the codebook-training story whose consumers
     are already in the registry (IVF q73, PQ q242, centroid audit q72).
 
-    Determinism: assignment distances round to 6 digits before the
+    Determinism: assignment distances round to 4 digits before the
     argmin with a cell-id tie-break (the q242 discipline — ulp-level
     near-ties cannot flip cluster membership across engines). Inertia
     uses the mean-decomposition Σ‖x−μ‖² = Σ‖x‖² − n·‖μ‖² so it needs

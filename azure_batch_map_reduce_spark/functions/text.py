@@ -1632,7 +1632,13 @@ def _bpe_oracle() -> str:
     ),
     wf{j} AS MATERIALIZED (
         SELECT w, freq,
-               replace(s, '|' || b.l || '|' || b.r, '|' || b.l || b.r) AS s
+               list_reduce(
+                   list_prepend('', list_filter(string_split(s, '|'),
+                                                x -> x <> '')),
+                   (acc, x) -> CASE WHEN x = b.r
+                                     AND ends_with(acc, '|' || b.l)
+                               THEN acc || x
+                               ELSE acc || '|' || x END) AS s
         FROM wf{i} CROSS JOIN b{i} b
     )"""
     rounds = ",".join(round_tpl.format(i=i, j=i + 1) for i in range(3))
@@ -1642,6 +1648,38 @@ def _bpe_oracle() -> str:
         for i in range(3)
     )
     return f"WITH {words},{rounds}\n{finals}\n    ORDER BY iter"
+
+
+def bpe_merge_symbols(s, l, r):
+    """One greedy left-to-right BPE merge pass over a leading-delimited
+    symbol string ('abc' → '|a|b|c'): fold the symbol list with an
+    accumulator that is the rebuilt string — when the accumulator's LAST
+    symbol equals ``l`` and the incoming symbol equals ``r``, append
+    ``r`` without a delimiter (merging them); otherwise append '|'+sym.
+    ``ends_with(acc, '|'+l)`` tests exact last-symbol equality because
+    '|' delimits and symbols are [a-z]+ only.
+
+    Why a fold and not a literal replace: replace of '|l|r' corrupts a
+    longer merged symbol that merely STARTS with r ('|s|th' matches
+    needle '|s|t'), and the trailing-sentinel variant ('|l|r|'→'|lr|')
+    misses symbol-ADJACENT occurrences because consecutive matches
+    share the delimiter character the first replacement consumed
+    ('aththb' would keep its second 'th'). The fold is exactly greedy:
+    a just-merged symbol can't immediately re-merge (its full text no
+    longer equals ``l``), runs of an (a,a) pair alternate correctly,
+    and both engines evaluate the identical sequential lambda
+    (F.aggregate here, list_reduce with a prepended '' seed in the
+    DuckDB oracle). Unit-tested in tests/test_llm_ops.py against both
+    failure shapes."""
+    syms = F.filter(F.split(s, "[|]"), lambda x: x != F.lit(""))
+    return F.aggregate(
+        syms,
+        F.lit(""),
+        lambda acc, x: F.when(
+            (x == r) & acc.endswith(F.concat(F.lit("|"), l)),
+            F.concat(acc, x),
+        ).otherwise(F.concat(acc, F.lit("|"), x)),
+    )
 
 
 @query(
@@ -1657,13 +1695,11 @@ def q239_bpe_merge_training(spark: SparkSession, sf_dir: str) -> DataFrame:
     pair count — the merge table a BPE tokenizer ships.
 
     Words are represented as '|'-PREFIXED symbol strings ('abc' →
-    '|a|b|c') so a merge is one literal string replace of '|l|r' with
-    '|lr': the prefix delimiter means occurrences of a pair never share
-    a character, making single-pass left-to-right literal replacement
-    exactly the greedy BPE merge order ('|a|a|a' → '|aa|a'), and a
-    needle can never match inside a longer symbol. Both engines run the
-    identical replace, so parity is exact (integer counts, string ops,
-    zero floats).
+    '|a|b|c'); a merge round rewrites each word with the greedy
+    left-to-right fold in :func:`bpe_merge_symbols` (see its docstring
+    for why literal replace — with or without a trailing sentinel — is
+    subtly wrong). Both engines run the identical sequential lambda, so
+    parity is exact (integer counts, string ops, zero floats).
 
     Scale posture: the corpus is touched ONCE (explode → word-histogram
     shuffle with map-side combine) — the same word-type-grain
@@ -1692,7 +1728,10 @@ def q239_bpe_merge_training(spark: SparkSession, sf_dir: str) -> DataFrame:
     # word-type table, and Catalyst does NOT reuse the histogram
     # exchange across the three rounds' separate aggregates (7 corpus
     # scans observed uncached). The cache is O(|vocab|), the same
-    # materialization a production BPE trainer keeps pinned.
+    # materialization a production BPE trainer keeps pinned. Lifetime:
+    # a query fn returns an un-materialized DataFrame, so it cannot
+    # unpersist after its own action — the runners (bench.py, the
+    # oracle differential) clearCache() after each query instead.
     wf = words.withColumn(
         "s", F.regexp_replace(F.col("w"), "(.)", r"|$1")
     ).persist()
@@ -1732,11 +1771,7 @@ def q239_bpe_merge_training(spark: SparkSession, sf_dir: str) -> DataFrame:
         wf = wf.crossJoin(F.broadcast(best)).select(
             "w",
             "freq",
-            F.replace(
-                F.col("s"),
-                F.concat(F.lit("|"), F.col("l"), F.lit("|"), F.col("r")),
-                F.concat(F.lit("|"), F.col("l"), F.col("r")),
-            ).alias("s"),
+            bpe_merge_symbols(F.col("s"), F.col("l"), F.col("r")).alias("s"),
         )
 
     return outs[0].unionAll(outs[1]).unionAll(outs[2]).orderBy("iter")
@@ -1827,11 +1862,7 @@ def q246_bpe_compression_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         wf = wf.crossJoin(F.broadcast(best)).select(
             "w",
             "freq",
-            F.replace(
-                F.col("s"),
-                F.concat(F.lit("|"), F.col("l"), F.lit("|"), F.col("r")),
-                F.concat(F.lit("|"), F.col("l"), F.col("r")),
-            ).alias("s"),
+            bpe_merge_symbols(F.col("s"), F.col("l"), F.col("r")).alias("s"),
         )
 
     n_sym = F.size(F.filter(F.split(F.col("s"), "[|]"), lambda x: x != F.lit("")))

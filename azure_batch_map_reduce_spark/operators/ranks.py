@@ -171,6 +171,21 @@ def ntile_from_rank(rn: Column, n: Column, k: int) -> Column:
     )
 
 
+def round_nz(col: Column, digits: int) -> Column:
+    """``F.round`` with IEEE signed-zero normalization: ``round(x, d) +
+    0.0`` so a tiny negative input (e.g. ``-1e-9``) that rounds to zero
+    yields ``+0.0`` on EVERY engine. Spark's round goes through
+    BigDecimal (which has no negative zero) and already returns
+    ``+0.0``; DuckDB's round preserves the sign and returns ``-0.0`` —
+    a bit-level divergence a sign-sensitive value hash flags even
+    though the values compare equal (q247's round-2 failure). Every
+    query whose final rounded column can be a negative epsilon must use
+    this on the Spark side AND append ``+ 0.0`` after the matching
+    ``round()`` in its DuckDB oracle; ``-0.0 + 0.0 = +0.0`` under
+    round-to-nearest, and the add is the identity everywhere else."""
+    return F.round(col, digits) + F.lit(0.0)
+
+
 def desc_key(col: Column) -> Column:
     """Descending numeric sort key for :func:`rank_small`: ``0 - col``
     instead of ``-col`` so a stray ``-0.0`` (e.g. ``round(-1e-9, 6)``)

@@ -23,7 +23,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from azure_batch_map_reduce_spark.catalog import load_tables, register_views
-from azure_batch_map_reduce_spark.operators.ranks import distributed_running_sum
+from azure_batch_map_reduce_spark.operators.ranks import (
+    distributed_running_sum,
+    round_nz,
+)
 from azure_batch_map_reduce_spark.registry import query
 
 
@@ -267,7 +270,7 @@ def q08_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
            round(stddev_samp(c_acctbal), 2)  AS sd_bal,
            round(var_samp(c_acctbal), 2)     AS var_bal,
            round(median(c_acctbal), 2)       AS med_bal,
-           round(corr(c_acctbal, CAST(c_nationkey AS DOUBLE)), 4) AS corr_bal_nation,
+           round(corr(c_acctbal, CAST(c_nationkey AS DOUBLE)), 4) + 0.0 AS corr_bal_nation,
            count(*)                          AS n
     FROM customer
     GROUP BY c_mktsegment
@@ -282,7 +285,7 @@ def q09_agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.stddev_samp("c_acctbal"), 2).alias("sd_bal"),
         F.round(F.var_samp("c_acctbal"), 2).alias("var_bal"),
         F.round(F.median("c_acctbal"), 2).alias("med_bal"),
-        F.round(F.corr("c_acctbal", F.col("c_nationkey").cast("double")), 4).alias(
+        round_nz(F.corr("c_acctbal", F.col("c_nationkey").cast("double")), 4).alias(
             "corr_bal_nation"
         ),
         F.count(F.lit(1)).alias("n"),
@@ -1407,7 +1410,7 @@ _HLL_SOURCES = (
 
 _HLL_ORACLE = (
     "SELECT key_col, exact_distinct, hll_estimate, empty_registers, "
-    "round((hll_estimate - exact_distinct) / exact_distinct, 6) AS rel_error "
+    "round((hll_estimate - exact_distinct) / exact_distinct, 6) + 0.0 AS rel_error "
     "FROM (\n"
     + "\nUNION ALL\n".join(
         _hll_oracle_branch(label, table, col)
@@ -1512,7 +1515,7 @@ def q156_portable_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
             "exact_distinct",
             "hll_estimate",
             "empty_registers",
-            F.round(
+            round_nz(
                 (F.col("hll_estimate") - F.col("exact_distinct"))
                 / F.col("exact_distinct"),
                 6,
@@ -2221,7 +2224,7 @@ def q196_portable_bloom_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
            round(quantile_cont(c_acctbal, 0.9), 4)           AS p90_cont,
            round(quantile_disc(c_acctbal, 0.9), 4)           AS p90_disc,
            round(quantile_cont(c_acctbal, 0.5)
-                 - quantile_disc(c_acctbal, 0.5), 4)         AS p50_gap
+                 - quantile_disc(c_acctbal, 0.5), 4) + 0.0   AS p50_gap
     FROM customer
     GROUP BY c_mktsegment
     ORDER BY c_mktsegment
@@ -2268,7 +2271,7 @@ def q203_percentile_disc_vs_cont(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("d50", 4).alias("p50_disc"),
             F.round("c90", 4).alias("p90_cont"),
             F.round("d90", 4).alias("p90_disc"),
-            F.round(F.col("c50") - F.col("d50"), 4).alias("p50_gap"),
+            round_nz(F.col("c50") - F.col("d50"), 4).alias("p50_gap"),
         )
         .orderBy("c_mktsegment")
     )

@@ -14,6 +14,7 @@ from azure_batch_map_reduce_spark.catalog import load_tables
 from azure_batch_map_reduce_spark.operators.ranks import (
     distributed_row_number,
     ntile_from_rank,
+    round_nz,
 )
 from azure_batch_map_reduce_spark.registry import query
 
@@ -1487,8 +1488,8 @@ def q165_window_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT r.event_type,
            CAST(max(r.k) AS BIGINT) AS n_days,
            CAST(max(m.n_pairs) AS BIGINT) AS n_pairs,
-           round(max(m.slope), 6) AS slope,
-           round(avg(r.r), 4) AS intercept
+           round(max(m.slope), 6) + 0.0 AS slope,
+           round(avg(r.r), 4) + 0.0 AS intercept
     FROM resid r JOIN med m ON r.event_type = m.event_type
     WHERE r.rn IN ((r.k + 1) // 2, (r.k + 2) // 2)
     GROUP BY r.event_type
@@ -1566,8 +1567,8 @@ def q178_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.max("k").cast("long").alias("n_days"),
             F.max("n_pairs").cast("long").alias("n_pairs"),
-            F.round(F.max("slope"), 6).alias("slope"),
-            F.round(F.avg("r"), 4).alias("intercept"),
+            round_nz(F.max("slope"), 6).alias("slope"),
+            round_nz(F.avg("r"), 4).alias("intercept"),
         )
         .orderBy("event_type")
     )
@@ -1594,7 +1595,7 @@ def q178_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT user_id, CAST(n_gaps AS BIGINT) AS n_gaps,
            round(mu / 60000000, 4) AS mean_gap_mins,
-           round((sd - mu) / (sd + mu), 6) AS burstiness
+           round((sd - mu) / (sd + mu), 6) + 0.0 AS burstiness
     FROM stats ORDER BY user_id
     """,
     tags=("window", "timeseries", "burstiness", "interarrival"),
@@ -1633,7 +1634,7 @@ def q179_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         F.col("n_gaps").cast("long"),
         F.round(F.col("mu") / 60000000, 4).alias("mean_gap_mins"),
-        F.round(
+        round_nz(
             (F.col("sd") - F.col("mu")) / (F.col("sd") + F.col("mu")), 6
         ).alias("burstiness"),
     ).orderBy("user_id")
@@ -1666,7 +1667,7 @@ def q179_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
                / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
                       * CAST(n * syy - sy * sy AS DOUBLE)),
                4
-           ) AS corr20
+           ) + 0.0 AS corr20
     FROM sums
     WHERE n = 20
       AND n * sxx - sx * sx > 0
@@ -1728,7 +1729,7 @@ def q182_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "user_id",
             "event_id",
-            F.round(
+            round_nz(
                 cov_n.cast("double") / F.sqrt(var_x.cast("double") * var_y.cast("double")),
                 4,
             ).alias("corr20"),
@@ -1840,7 +1841,7 @@ def q188_rate_alert_baseline(spark: SparkSession, sf_dir: str) -> DataFrame:
            round(cents / 100.0, 2) AS revenue,
            round(lag(cents) OVER w / 100.0, 2) AS prev_revenue,
            round((cents - lag(cents) OVER w) * 100.0
-                 / lag(cents) OVER w, 4) AS pct_change
+                 / lag(cents) OVER w, 4) + 0.0 AS pct_change
     FROM monthly
     WINDOW w AS (PARTITION BY priority ORDER BY month)
     ORDER BY priority, month
@@ -1875,7 +1876,7 @@ def q189_mom_revenue_change(spark: SparkSession, sf_dir: str) -> DataFrame:
         "month",
         F.round(F.col("cents") / 100.0, 2).alias("revenue"),
         F.round(prev / 100.0, 2).alias("prev_revenue"),
-        F.round((F.col("cents") - prev) * 100.0 / prev, 4).alias("pct_change"),
+        round_nz((F.col("cents") - prev) * 100.0 / prev, 4).alias("pct_change"),
     ).orderBy("priority", "month")
 
 
@@ -2438,13 +2439,13 @@ def q235_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM trended
     ),
     seasonal AS (
-        SELECT event_type, dow, round(avg(det), 4) AS seas
+        SELECT event_type, dow, round(avg(det), 4) + 0.0 AS seas
         FROM detrended GROUP BY event_type, dow
     )
     SELECT d.event_type, d.day, d.n,
-           round(d.trend, 4)          AS trend,
-           s.seas                     AS seasonal,
-           round(d.det - s.seas, 4)   AS residual
+           round(d.trend, 4) + 0.0          AS trend,
+           s.seas                           AS seasonal,
+           round(d.det - s.seas, 4) + 0.0   AS residual
     FROM detrended d JOIN seasonal s
       ON d.event_type = s.event_type AND d.dow = s.dow
     ORDER BY d.event_type, d.day
@@ -2491,7 +2492,7 @@ def q247_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).cast("int").alias("dow"),
     )
     seasonal = detrended.groupBy("event_type", "dow").agg(
-        F.round(F.avg("det"), 4).alias("seas")
+        round_nz(F.avg("det"), 4).alias("seas")
     )
     return (
         detrended.join(F.broadcast(seasonal), ["event_type", "dow"])
@@ -2499,9 +2500,9 @@ def q247_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_type",
             "day",
             "n",
-            F.round("trend", 4).alias("trend"),
+            round_nz(F.col("trend"), 4).alias("trend"),
             F.col("seas").alias("seasonal"),
-            F.round(F.col("det") - F.col("seas"), 4).alias("residual"),
+            round_nz(F.col("det") - F.col("seas"), 4).alias("residual"),
         )
         .orderBy("event_type", "day")
     )

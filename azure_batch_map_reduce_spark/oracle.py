@@ -46,9 +46,14 @@ def _normalize(df: pd.DataFrame, float_tol_digits: int = 6) -> pd.DataFrame:
         if isinstance(v, float):
             if math.isnan(v):
                 return "∅"
-            # +0.0 collapses IEEE negative zero: -0.0 and 0.0 are equal
-            # values but would otherwise format differently.
-            return f"{round(v, float_tol_digits) + 0.0:.{float_tol_digits}f}"
+            # Deliberately sign-SENSITIVE: -0.0 formats as "-0.000000"
+            # and mismatches "+0.0", mirroring the driver's value hash.
+            # Round-2's q247 failure (Spark +0.0 vs DuckDB -0.0 after
+            # round()) passed locally only because this line used to
+            # collapse signed zeros; queries must normalize at the
+            # source instead (operators/ranks.py round_nz + oracle-side
+            # `+ 0.0`).
+            return f"{round(v, float_tol_digits):.{float_tol_digits}f}"
         if isinstance(v, (pd.Timestamp,)):
             return v.isoformat()
         if isinstance(v, (list, tuple)) or type(v).__name__ == "ndarray":
@@ -63,7 +68,13 @@ def _normalize(df: pd.DataFrame, float_tol_digits: int = 6) -> pd.DataFrame:
 def compare_query(
     spark: SparkSession, q: Query, sf_dir: str, con: duckdb.DuckDBPyConnection | None = None
 ) -> CompareResult:
-    sdf = q.fn(spark, sf_dir).toPandas()
+    try:
+        sdf = q.fn(spark, sf_dir).toPandas()
+    finally:
+        # Queries that persist() intermediates (q239/q246 word-type
+        # histograms) must not leak cached blocks across the hundreds of
+        # queries a differential session runs.
+        spark.catalog.clearCache()
     if q.oracle is None:
         ok = len(sdf) >= 0
         return CompareResult(q.name, ok, "rows-only (no oracle)", len(sdf), -1)

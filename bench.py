@@ -5,6 +5,12 @@ sf0.1) on local[$SPARK_GRAFT_CPUS]; print ONE JSON line.
 Each query is fully materialized through the noop sink (forces every
 operator, skips result serialization). The flagship runs once untimed to
 absorb JVM/codegen warmup.
+
+Protocol history: round 1 recorded ONE timed run per query; round 2
+switched to warm-up + best-of-2 (commit 697d23a). Cross-round totals
+straddling that change conflate real speedups with the lower-biased
+estimator — compare per-query times within a protocol, not across it.
+Round 3 keeps the round-2 protocol unchanged.
 """
 
 from __future__ import annotations
@@ -77,6 +83,10 @@ def main() -> None:
         # uniformly to every query.
         materialize(name)
         times[name] = round(min(materialize(name), materialize(name)), 3)
+        # Queries that persist() intermediates (q239/q246 word-type
+        # histograms) must not accumulate cached blocks across a
+        # many-query session.
+        spark.catalog.clearCache()
 
     total = round(sum(times.values()), 3)
     print(

@@ -73,3 +73,52 @@ def test_pq_agrees_with_exact_knn_on_recall(spark, sf_dir):
     pq = {r.vec_id for r in REGISTRY["q242_pq_ann"].fn(spark, sf_dir).collect()}
     exact = {r.vec_id for r in REGISTRY["q70_cosine_topk"].fn(spark, sf_dir).collect()}
     assert len(pq & exact) >= 1
+
+
+def test_bpe_merge_fold_exact_greedy(spark):
+    """Pin bpe_merge_symbols against the two literal-replace failure
+    shapes (round-2 ADVICE item): (1) a needle must never match a
+    longer merged symbol that merely STARTS with rhs ('|s|th' with
+    merge (s,t) stays intact); (2) symbol-ADJACENT occurrences must
+    both merge ('aththb' with (t,h) → a,th,th,b — the trailing-sentinel
+    replace would miss the second); plus the same-symbol run
+    alternation greedy BPE requires."""
+    from azure_batch_map_reduce_spark.functions.text import bpe_merge_symbols
+
+    cases = [
+        ("|s|th", "s", "t", "|s|th"),          # prefix-of-merged-symbol
+        ("|a|th|t|h|b", "t", "h", "|a|th|th|b"),  # adjacent occurrences
+        ("|a|a|a", "a", "a", "|aa|a"),
+        ("|a|a|a|a", "a", "a", "|aa|aa"),
+        ("|a|a|a|a|a", "a", "a", "|aa|aa|a"),
+        ("|x|a|b|y", "a", "b", "|x|ab|y"),
+        ("|a", "a", "a", "|a"),
+        ("|ab|a|b", "a", "b", "|ab|ab"),       # earlier merged symbol inert
+    ]
+    df = spark.createDataFrame(
+        [(s, l, r) for s, l, r, _ in cases], "s string, l string, r string"
+    )
+    got = [
+        r.m
+        for r in df.select(
+            bpe_merge_symbols(F.col("s"), F.col("l"), F.col("r")).alias("m")
+        ).collect()
+    ]
+    assert got == [want for _, _, _, want in cases]
+
+    # And the DuckDB oracle form is the same fold, case by case.
+    import duckdb
+
+    con = duckdb.connect()
+    for s, l, r, want in cases:
+        v = con.execute(
+            """
+            SELECT list_reduce(
+                list_prepend('', list_filter(string_split(?, '|'),
+                                             x -> x <> '')),
+                (acc, x) -> CASE WHEN x = ? AND ends_with(acc, '|' || ?)
+                            THEN acc || x ELSE acc || '|' || x END)
+            """,
+            [s, r, l],
+        ).fetchone()[0]
+        assert v == want, (s, l, r, v, want)

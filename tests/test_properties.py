@@ -307,3 +307,61 @@ def test_debounce_leaders_bound_burst_count(spark, rows):
         assert bad == 0
         if expect_all:
             assert agg.where(F.col("leaders") != F.col("n")).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# Signed-zero discipline (round-2 q247 regression class)
+# ---------------------------------------------------------------------------
+
+def test_comparator_is_signed_zero_sensitive():
+    """The local comparator must mismatch -0.0 vs +0.0 exactly like the
+    driver's value hash does — otherwise a DuckDB round() emitting -0.0
+    against Spark's +0.0 passes locally and fails on the driver (the
+    round-2 q247 failure mode)."""
+    import pandas as pd
+
+    from azure_batch_map_reduce_spark.oracle import _normalize
+
+    a = _normalize(pd.DataFrame({"x": [-0.0]}))
+    b = _normalize(pd.DataFrame({"x": [0.0]}))
+    assert not a.equals(b)
+    # And identical signed zeros still agree with themselves.
+    assert a.equals(_normalize(pd.DataFrame({"x": [-0.0]})))
+
+
+def test_round_nz_collapses_negative_zero(spark):
+    """round_nz (Spark side) and `round(...) + 0.0` (DuckDB side) must
+    agree on +0.0 for every epsilon input; plain round() would not —
+    DuckDB preserves the sign while Spark's BigDecimal path drops it."""
+    import duckdb
+
+    from azure_batch_map_reduce_spark.operators.ranks import round_nz
+
+    eps = [-1e-9, -0.0, 0.0, 1e-9, -0.00004, 0.00004]
+    sdf = spark.createDataFrame([(v,) for v in eps], "x double").select(
+        round_nz(F.col("x"), 4).alias("r")
+    )
+    spark_vals = [r.r for r in sdf.collect()]
+    duck_vals = [
+        duckdb.sql(f"SELECT round({v!r}::DOUBLE, 4) + 0.0").fetchone()[0]
+        for v in eps
+    ]
+    for s, d in zip(spark_vals, duck_vals):
+        assert s == d == 0.0
+        # copysign is the sign-sensitive check repr/format would apply
+        import math
+
+        assert math.copysign(1.0, s) == 1.0, f"spark kept -0.0 for {s}"
+        assert math.copysign(1.0, d) == 1.0, f"duckdb kept -0.0 for {d}"
+
+
+def test_duckdb_round_preserves_negative_zero_without_nz():
+    """Pin the underlying engine divergence round_nz exists to fix: if a
+    DuckDB upgrade ever stops emitting -0.0 from round(), this test
+    flags that the normalization (and this trap note) can be retired."""
+    import math
+
+    import duckdb
+
+    v = duckdb.sql("SELECT round((-1e-9)::DOUBLE, 4)").fetchone()[0]
+    assert v == 0.0 and math.copysign(1.0, v) == -1.0
