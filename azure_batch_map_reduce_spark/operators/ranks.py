@@ -146,6 +146,74 @@ def distributed_running_sum(
     return d.drop("_pid")
 
 
+_EXTREMUM = {
+    "max": (F.max, F.greatest),
+    "min": (F.min, F.least),
+}
+
+
+def distributed_running_extremum(
+    df: DataFrame,
+    order_by: list[Column],
+    cols: dict[str, str],
+    fn: str = "max",
+    inclusive: bool = True,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Global running max/min over ``order_by`` with no global window —
+    the extremum-monoid sibling of :func:`distributed_running_sum`
+    (round-2 verdict task #3: q162's prefix-max sweep was the last
+    data-sized unpartitioned window).
+
+    Same sample-sort shape: range-partition, a PARTITION-LOCAL running
+    extremum (parallel), per-partition totals → strictly-earlier-pid
+    extremum offsets via the ≤num_partitions-row triangular broadcast
+    join, then ``greatest``/``least`` of (local, offset). Extremum
+    merge needs no coalesce-to-identity: ``greatest`` skips NULLs, so a
+    first partition (no offset) and — under ``inclusive=False`` — a
+    partition-first row (no local prefix) degrade to NULL exactly like
+    the window form's empty frame.
+
+    ``inclusive=False`` gives the ROWS BETWEEN UNBOUNDED PRECEDING AND
+    1 PRECEDING frame (the skyline-sweep shape); callers must supply a
+    total order for that frame to be well-defined row-wise.
+    """
+    if fn not in _EXTREMUM:
+        raise ValueError(f"fn must be one of {sorted(_EXTREMUM)}: {fn!r}")
+    agg_fn, merge_fn = _EXTREMUM[fn]
+    n = _num_range_partitions(df, num_partitions)
+    d = df.repartitionByRange(n, *order_by).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    w = (
+        Window.partitionBy("_pid")
+        .orderBy(*order_by)
+        .rowsBetween(Window.unboundedPreceding, 0 if inclusive else -1)
+    )
+    for out, src in cols.items():
+        d = d.withColumn(f"_loc_{out}", agg_fn(src).over(w))
+    ptot = d.groupBy("_pid").agg(
+        *[agg_fn(src).alias(f"_tot_{out}") for out, src in cols.items()]
+    )
+    x, y = ptot.alias("x"), ptot.alias("y")
+    off = (
+        x.join(F.broadcast(y), F.col("y._pid") < F.col("x._pid"), "left")
+        .groupBy(F.col("x._pid").alias("_pid"))
+        .agg(
+            *[
+                agg_fn(F.col(f"y._tot_{out}")).alias(f"_off_{out}")
+                for out in cols
+            ]
+        )
+    )
+    d = d.join(F.broadcast(off), "_pid")
+    for out in cols:
+        d = d.withColumn(
+            out, merge_fn(F.col(f"_loc_{out}"), F.col(f"_off_{out}"))
+        ).drop(f"_loc_{out}", f"_off_{out}")
+    return d.drop("_pid")
+
+
 def _idiv(a: Column, b: Column) -> Column:
     """Exact integer floor-division for non-negative operands: the
     subtract-mod form keeps the double division exact (numerator is an

@@ -24,6 +24,7 @@ from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from azure_batch_map_reduce_spark.catalog import load_tables, register_views
 from azure_batch_map_reduce_spark.operators.ranks import (
+    distributed_running_extremum,
     distributed_running_sum,
     round_nz,
 )
@@ -1653,11 +1654,18 @@ def q162_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
     every strictly-cheaper price's best. Pure comparisons on stored
     values — zero float arithmetic, so cross-engine parity is exact.
 
-    Scale posture: one partial+final agg to price grain, one window
-    over the (bounded) distinct-price sequence, one broadcast-size join
-    back. The O(n²) dominance join never forms. For d>2 criteria the
-    same skeleton nests: sort on one axis, prune with a running
-    dominance frontier per partition, merge frontiers.
+    Scale posture: one partial+final agg to price grain, then the
+    strictly-preceding cumulative max runs on the sample-sort
+    decomposition (``ranks.distributed_running_extremum``, exclusive
+    frame) — range-partition the distinct-price sequence, parallel
+    partition-local prefix max, ≤32-row broadcast offsets — because
+    distinct prices grow with the part table and a global
+    ``Window.orderBy`` would funnel them through ONE task at 100 TB
+    (the round-2 verdict's last flagged single-partition window).
+    Finally one broadcast join back to part grain. The O(n²) dominance
+    join never forms. For d>2 criteria the same skeleton nests: sort on
+    one axis, prune with a running dominance frontier per partition,
+    merge frontiers.
     """
     pts = load_tables(spark, sf_dir)["part"].select(
         "p_partkey",
@@ -1665,13 +1673,12 @@ def q162_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("p_size").alias("size"),
     )
     best = pts.groupBy("price").agg(F.max("size").alias("best"))
-    sweep = best.withColumn(
-        "prev_best",
-        F.max("best").over(
-            Window.orderBy("price").rowsBetween(
-                Window.unboundedPreceding, -1
-            )
-        ),
+    sweep = distributed_running_extremum(
+        best,
+        [F.col("price")],
+        {"prev_best": "best"},
+        fn="max",
+        inclusive=False,
     )
     return (
         pts.join(F.broadcast(sweep), "price")

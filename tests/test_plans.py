@@ -508,6 +508,9 @@ GLOBAL_WINDOW_FREE = [
     "q246_bpe_compression_rate",
     "q249_exact_quantiles_distributed",
     "q255_distributed_auc",
+    # Round-3: prefix-max sweep moved onto distributed_running_extremum
+    # (the last data-sized unpartitioned window flagged by the r2 verdict).
+    "q162_skyline",
 ]
 
 

@@ -128,3 +128,62 @@ def test_desc_key_normalizes_signed_zero(spark):
         out="rnk",
     )
     assert [(r.rnk, r.id) for r in got.orderBy("rnk").collect()] == [(1, 1), (2, 2)]
+
+
+@pytest.mark.parametrize("fn", ["max", "min"])
+@pytest.mark.parametrize("inclusive", [True, False])
+def test_running_extremum_matches_window(spark, fn, inclusive):
+    from azure_batch_map_reduce_spark.operators.ranks import (
+        distributed_running_extremum,
+    )
+
+    df = _toy(spark, n=400).groupBy("v").agg(
+        F.max("id").alias("a"), F.min("id").alias("b")
+    )
+    got = distributed_running_extremum(
+        df,
+        [F.asc("v")],
+        {"ra": "a", "rb": "b"},
+        fn=fn,
+        inclusive=inclusive,
+        num_partitions=6,
+    )
+    agg = F.max if fn == "max" else F.min
+    w = Window.orderBy("v").rowsBetween(
+        Window.unboundedPreceding, 0 if inclusive else -1
+    )
+    want = df.select(
+        "v", agg("a").over(w).alias("ra"), agg("b").over(w).alias("rb")
+    )
+    assert (
+        got.select("v", "ra", "rb").orderBy("v").collect()
+        == want.orderBy("v").collect()
+    )
+
+
+def test_running_extremum_degenerates(spark):
+    from azure_batch_map_reduce_spark.operators.ranks import (
+        distributed_running_extremum,
+    )
+
+    df = _toy(spark, n=5).select("id", "v")
+    # Exclusive frame on the first row must be NULL (empty frame),
+    # matching the window form, even with a single partition.
+    got = (
+        distributed_running_extremum(
+            df, [F.asc("id")], {"pm": "v"}, fn="max",
+            inclusive=False, num_partitions=1,
+        )
+        .orderBy("id")
+        .collect()
+    )
+    assert got[0].pm is None
+    vals = [r.v for r in got]
+    run = None
+    for i, r in enumerate(got[1:], start=1):
+        run = max(vals[:i])
+        assert r.pm == run
+    empty = distributed_running_extremum(
+        df.where(F.lit(False)), [F.asc("id")], {"pm": "v"}
+    )
+    assert empty.count() == 0
