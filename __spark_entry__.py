@@ -16,50 +16,67 @@ from azure_batch_map_reduce_spark.registry import load_all
 
 SMOKE_SF_DIR = "/root/testdata/sf0.001"
 
-# Families already driver-verified in round 1 (CORRECTNESS_r01: the etl /
-# graph / core-relational block) move to the back; the LLM-pipeline
-# (dedup / ANN / retrieval / curation), streaming, and this round's
-# rewritten scale-shape queries lead, so sampled verification reaches the
-# operators with the least driver coverage first.
+# Round-3 verification ordering: ALL 156 queries with no driver
+# CORRECTNESS row across rounds 1-2 lead (the driver samples 50/round),
+# ordered by the round-2 verdict's priority families — scalar/JSON
+# (zero coverage on SURVEY 2.2h), stateful streaming (q84/q86/q122),
+# retrieval/curation, joins, sources/sinks, the pandas-UDF surface,
+# text analysis, remaining streaming, multimodal — then the rest of the
+# never-sampled set in query order. Already-verified queries follow via
+# _ordered()'s registry fallthrough.
 _VERIFY_FIRST = [
-    # exact + near-dup dedup family
-    "q60_exact_dedup", "q61_normalized_dedup", "q62_minhash_lsh_neardup",
-    "q63_simhash", "q64_ngram_jaccard_topk", "q65_embedding_neardup",
-    "q66_neardup_clusters", "q67_ml_minhash_lsh", "q68_simhash_hamming_pairs",
-    "q100_incremental_neardup", "q111_fuzzy_blocked_join",
-    "q150_prefix_filter_simjoin", "q181_golden_record",
-    "q228_dedup_threshold_sweep",
-    # similarity / ANN family
-    "q70_cosine_topk", "q71_lsh_bucketed_ann", "q72_label_centroid_similarity",
-    "q73_ivf_ann", "q79_retrieval_join", "q163_power_iteration_pca",
-    "q169_knn_classify", "q183_label_embedding_pool",
-    "q186_embedding_dim_variance", "q190_hybrid_rrf_retrieval",
-    # round-2 NEW LLM-pipeline operators (never driver-sampled)
-    "q239_bpe_merge_training", "q240_temperature_mixing",
-    "q241_hard_negative_mining", "q242_pq_ann",
-    "q243_kmeans_lloyd_step", "q244_group_kfold_split",
-    "q245_matryoshka_fidelity", "q246_bpe_compression_rate",
-    "q247_seasonal_decompose", "q248_vocab_kl_drift",
-    "q249_exact_quantiles_distributed", "q250_dedup_cluster_profile",
-    "q251_markov_transitions", "q252_length_bucket_batching",
-    "q253_stream_dominant_type", "q254_portable_count_min",
-    "q255_distributed_auc",
-    # round-2 rewritten scale shapes + the new rank primitive
-    "q139_ks_two_sample", "q167_mutual_information", "q171_lift_curve",
-    "q235_rfm_segmentation", "q236_distributed_rank",
-    # streaming (all real availableNow streams; q84/q86 = stateful)
-    "q80_tumbling_window", "q82_session_window",
-    "q85_watermark_late_drop", "q87_stream_stream_join",
-    "q142_stream_static_enrich", "q172_stream_windowed_distinct",
-    "q192_lateness_profile", "q198_debounce_events",
-    "q84_stateful_sessionize", "q86_transform_with_state",
-    "q122_streaming_upsert",
-    # retrieval + curation north stars
-    "q107_bm25_retrieval", "q129_curation_funnel",
-    # remaining streaming + text-analysis core
-    "q81_sliding_window", "q83_dedup_events",
-    "q50_token_stats", "q51_quality_score", "q52_langid", "q53_fingerprint",
-    "q54_pii_scrub", "q158_heavy_hitters",
+    "q40_string_funcs", "q41_regexp", "q42_hash_funcs",
+    "q43_date_funcs", "q44_math_funcs", "q45_json",
+    "q46_array_funcs", "q47_map_funcs", "q48_explode_split",
+    "q58_json_apis", "q101_corrupt_tolerant_json", "q207_try_functions",
+    "q210_variant_semistructured", "q224_json_key_drift", "q84_stateful_sessionize",
+    "q86_transform_with_state", "q122_streaming_upsert", "q107_bm25_retrieval",
+    "q129_curation_funnel", "q20_broadcast_join", "q21_revenue_by_nation",
+    "q22_semi_join", "q23_anti_join", "q24_outer_join",
+    "q25_theta_join", "q26_range_residual_join", "q27_asof_join",
+    "q28_cross_join", "q29_self_join", "q18_salted_distinct_agg",
+    "q19_salted_join", "q144_null_safe_join", "q185_shuffle_hash_join",
+    "q157_cogroup_asof", "q90_file_manifest", "q91_pipe_identity_wordcount",
+    "q96_csv_roundtrip", "q97_json_roundtrip", "q39_orc_roundtrip",
+    "q118_compaction", "q125_schema_evolution", "q173_partitioned_sink_pruning",
+    "q197_csv_bad_records", "q206_dynamic_partition_pruning", "q93_scalar_pandas_udf",
+    "q94_grouped_map_zscore", "q95_grouped_agg_pandas_udf", "q49_chunk_udtf",
+    "q204_scalar_iter_udf", "q205_arrow_batch_norms", "q50_token_stats",
+    "q51_quality_score", "q52_langid", "q53_fingerprint",
+    "q54_pii_scrub", "q81_sliding_window", "q83_dedup_events",
+    "q142_stream_static_enrich", "q172_stream_windowed_distinct", "q192_lateness_profile",
+    "q198_debounce_events", "q92_multimodal_pipeline", "q147_frame_sampling",
+    "q164_vad_segments", "q214_modality_alignment", "q30_topk_per_group",
+    "q31_running_total", "q32_lag_lead", "q33_moving_sum",
+    "q34_rank_ntile", "q35_first_last_nth", "q36_range_frame",
+    "q55_deterministic_split", "q56_stratified_sample", "q57_repetition_signals",
+    "q69_contamination_check", "q74_centroid_assign", "q75_shard_plan",
+    "q76_embedding_quantize", "q77_mix_plan", "q78_tfidf_keywords",
+    "q88_event_transitions", "q89_funnel_conversion", "q102_reservoir_per_group",
+    "q104_gapfill_resample", "q105_key_skew_profile", "q108_time_weighted_avg",
+    "q112_priority_sample", "q113_token_entropy", "q116_lateral_topk",
+    "q117_distribution_ranks", "q119_winsorize", "q123_sequence_packing",
+    "q124_vocab_coverage", "q126_linear_interpolation", "q127_trailing_time_window",
+    "q128_cumulative_distinct", "q130_session_paths", "q131_retention_cohorts",
+    "q135_skipgram_pairs", "q136_market_basket_lift", "q137_ohlc_bars",
+    "q143_bigram_surprisal", "q145_cusum_changepoint", "q146_source_vocab_jaccard",
+    "q148_rolling_active_users", "q149_activity_streaks", "q151_quantile_normalization",
+    "q152_last_touch_attribution", "q156_portable_hll", "q158_heavy_hitters",
+    "q159_bitmap_distinct_rollup", "q160_seasonal_anomaly", "q161_grouped_ewma",
+    "q162_skyline", "q165_window_funnel", "q170_correlated_sample_join",
+    "q174_bag_setops", "q175_pmi_collocations", "q176_not_in_null_semantics",
+    "q178_theil_sen", "q179_burstiness", "q180_order_count_distribution",
+    "q182_rolling_corr", "q184_zipf_token_slope", "q187_url_domain_mix",
+    "q188_rate_alert_baseline", "q189_mom_revenue_change", "q193_ordered_listagg",
+    "q194_explode_outer_semantics", "q195_group_aware_split", "q196_portable_bloom_filter",
+    "q199_decayed_activity_score", "q201_trending_windows", "q202_vocab_dictionary",
+    "q203_percentile_disc_vs_cont", "q208_histogram_2d", "q211_spatial_grid_join",
+    "q212_item_cf_cosine", "q213_date_spine", "q215_token_offsets",
+    "q216_union_schema_reconcile", "q217_sprt_sequential_test", "q219_cold_start_fallback",
+    "q220_numericalize_corpus", "q221_feature_hashing", "q222_fit_transform_bucketing",
+    "q223_sharded_exact_topk", "q225_slice_evaluation", "q227_sequence_feature_frame",
+    "q229_salting_plan", "q230_mergeable_corpus_stats", "q233_duplicate_payment_rule",
+    "q234_order_reconciliation", "q237_window_group_limit_topk", "q238_recursive_month_spine",
 ]
 
 

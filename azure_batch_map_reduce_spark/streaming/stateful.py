@@ -209,11 +209,17 @@ except ImportError:  # pragma: no cover
     HAS_TWS = False
 
 
-_Q86_ORACLE = """
+# The executed-path column is baked into BOTH sides at registration
+# time (HAS_TWS is a module-import constant, identical at registration
+# and execution), so the driver's CORRECTNESS row records which state
+# API produced q86's rows — round-2 verdict task #4.
+_Q86_ORACLE = f"""
 SELECT user_id,
        count(*)             AS n_events,
        round(sum(value), 2) AS total_value,
-       round(max(value), 2) AS max_value
+       round(max(value), 2) AS max_value,
+       '{'transformWithState' if HAS_TWS else 'applyInPandasWithState-fallback'}'
+           AS state_api
 FROM events
 GROUP BY user_id
 """
@@ -256,7 +262,9 @@ def q86_transform_with_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     identical :func:`_running_stats_fallback` on
     ``applyInPandasWithState`` — still a real availableNow stream with
     carried per-user state, checked against the same SQL oracle — and
-    records which path ran in ``q86_capability()``."""
+    records which path ran in ``q86_capability()`` AND in the result's
+    ``state_api`` column (mirrored as a literal in the generated
+    oracle, so the driver's hash check captures the executed path)."""
     from azure_batch_map_reduce_spark.streaming.windows import (
         events_stream,
         run_available_now,
@@ -281,7 +289,9 @@ def q86_transform_with_state(spark: SparkSession, sf_dir: str) -> DataFrame:
             outputMode="update",
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
-    return run_available_now(stats, "update")
+    return run_available_now(stats, "update").withColumn(
+        "state_api", F.lit(q86_capability())
+    )
 
 
 def q86_capability() -> str:
