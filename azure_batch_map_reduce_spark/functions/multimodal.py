@@ -163,24 +163,54 @@ def q92_multimodal_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end multimodal plumbing over the sf_dir files as opaque
     assets: scan → decode metadata (stub) → feature extraction →
     per-media-type stats. Rows-only check (payload decoding is outside
-    SQL's reach)."""
+    SQL's reach), so the result carries self-verifying invariants the
+    way q15/q156 carry error bounds: ``bytes_conserved`` compares the
+    UDF-path byte total against an INDEPENDENT declarative aggregate
+    over the raw scan (no Python in that branch — a decode that drops
+    or duplicates rows flips it false), ``counts_conserved`` does the
+    same for row counts through the decode+extract join, and
+    ``features_ok`` pins every feature vector to FEATURE_DIM values in
+    [0, 1]. tests/test_multimodal.py asserts all three all-true."""
     assets = load_assets(spark, sf_dir, glob="*.parquet")
     meta = decode_metadata(assets)
     feats = extract_features(assets)
+    # Independent no-UDF branch: what the scan itself says per type.
+    scan_truth = assets.groupBy("media_type").agg(
+        F.count(F.lit(1)).alias("scan_assets"),
+        F.sum("n_bytes").alias("scan_bytes"),
+    )
     joined = meta.join(feats.select("asset_id", "feature"), "asset_id")
+    feature_ok = (F.size("feature") == FEATURE_DIM) & F.forall(
+        "feature", lambda v: (v >= 0.0) & (v <= 1.0)
+    )
     return (
         joined.groupBy("media_type")
         .agg(
             F.count(F.lit(1)).alias("n_assets"),
             F.sum("n_bytes").alias("total_bytes"),
             F.round(F.avg(F.element_at("feature", 1)), 6).alias("avg_f0"),
+            F.min(feature_ok).alias("features_ok"),
+        )
+        .join(F.broadcast(scan_truth), "media_type")
+        .select(
+            "media_type",
+            "n_assets",
+            "total_bytes",
+            "avg_f0",
+            "features_ok",
+            (F.col("total_bytes") == F.col("scan_bytes")).alias(
+                "bytes_conserved"
+            ),
+            (F.col("n_assets") == F.col("scan_assets")).alias(
+                "counts_conserved"
+            ),
         )
         .orderBy("media_type")
     )
 
 
 FRAME_SCHEMA = (
-    "asset_id string, frame_idx long, frame_ts_ms long, "
+    "asset_id string, duration_ms long, frame_idx long, frame_ts_ms long, "
     "phash string, brightness double"
 )
 
@@ -204,7 +234,14 @@ def q147_frame_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
     stateless across Arrow batches), only the per-frame decode runs in
     Arrow batches, and the payload column is dropped before the frame
     rows fan out so the shuffle never carries bytes. Rows-only check
-    (payload decoding is outside SQL's reach).
+    (payload decoding is outside SQL's reach), so the result carries
+    self-verifying invariants: ``grid_ok`` recomputes the expected
+    frame grid DECLARATIVELY from duration_ms and checks the
+    UDF-emitted rows against it — exactly TARGET_FRAMES frames, first
+    ts 0, last ts floor((N−1)·duration/N), all timestamps distinct
+    (stride ≥ 1000/6 ms, so a correct grid never collides) — and
+    ``brightness_ok`` pins the stub's [0,1] range.
+    tests/test_multimodal.py asserts both all-true.
     """
     assets = load_assets(spark, sf_dir, glob="*.parquet")
     # Grid planning: duration_ms is a deterministic stub of the payload
@@ -219,6 +256,7 @@ def q147_frame_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "asset_id",
         "content",
+        "duration_ms",
         F.posexplode(
             F.transform(
                 F.sequence(F.lit(0), F.lit(TARGET_FRAMES - 1)),
@@ -243,6 +281,7 @@ def q147_frame_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame(
                 {
                     "asset_id": pdf["asset_id"],
+                    "duration_ms": pdf["duration_ms"].astype("int64"),
                     "frame_idx": pdf["frame_idx"].astype("int64"),
                     "frame_ts_ms": pdf["frame_ts_ms"].astype("int64"),
                     "phash": [m[:16] for m in mix],
@@ -251,13 +290,38 @@ def q147_frame_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     frames = planned.mapInPandas(decode_frames, FRAME_SCHEMA)
+    n = F.lit(TARGET_FRAMES)
     return (
         frames.groupBy("asset_id")
         .agg(
             F.count(F.lit(1)).alias("n_frames"),
+            F.max("duration_ms").alias("duration_ms"),
+            F.min("frame_ts_ms").alias("first_frame_ms"),
             F.max("frame_ts_ms").alias("last_frame_ms"),
+            F.countDistinct("frame_ts_ms").alias("n_distinct_ts"),
             F.round(F.avg("brightness"), 6).alias("avg_brightness"),
             F.countDistinct("phash").alias("n_distinct_phash"),
+            F.min(
+                (F.col("brightness") >= 0.0) & (F.col("brightness") <= 1.0)
+            ).alias("brightness_ok"),
+        )
+        .select(
+            "asset_id",
+            "n_frames",
+            "duration_ms",
+            "last_frame_ms",
+            "avg_brightness",
+            "n_distinct_phash",
+            "brightness_ok",
+            (
+                (F.col("n_frames") == n)
+                & (F.col("first_frame_ms") == 0)
+                & (
+                    F.col("last_frame_ms")
+                    == ((n - 1) * F.col("duration_ms") / n).cast("long")
+                )
+                & (F.col("n_distinct_ts") == F.col("n_frames"))
+            ).alias("grid_ok"),
         )
         .orderBy("asset_id")
     )
@@ -290,7 +354,15 @@ def q164_vad_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     re-grouping) avoids shuffling either payloads or frame rows
     entirely. Compare q147, which fans frame rows out because its
     consumers are per-frame. Rows-only check (byte decoding is outside
-    SQL's reach).
+    SQL's reach), so the result carries self-verifying invariants:
+    ``frames_ok`` recomputes the expected frame count DECLARATIVELY
+    from the scan's n_bytes (ceil-division in plain column math — no
+    Python in that branch) against the UDF's n_frames; ``counts_ok``
+    pins the gaps-and-islands algebra (segments ≤ voiced ≤ frames,
+    longest ≤ voiced, segments and voiced vanish together, and the
+    pigeonhole bound longest·segments ≥ voiced); ``ratio_ok``
+    recomputes voiced_ratio from the emitted counts.
+    tests/test_multimodal.py asserts all three all-true.
     """
     assets = load_assets(spark, sf_dir, glob="*.parquet")
 
@@ -320,6 +392,11 @@ def q164_vad_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
                         longest = max(longest, run)
                     else:
                         run = 0
+                # Raw IEEE division, NOT Python round(): Python rounds
+                # half-to-even while Spark's round is HALF_UP, so the
+                # plan-side ratio_ok recomputation would flip on exact
+                # half-ulp boundaries (n_frames = 2^a·5^b). Both sides
+                # round the same raw double in the plan instead.
                 rows.append(
                     (
                         asset_id,
@@ -327,7 +404,7 @@ def q164_vad_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
                         sum(voiced),
                         n_segments,
                         longest,
-                        round(sum(voiced) / n_frames, 6),
+                        sum(voiced) / n_frames,
                     )
                 )
             if rows:
@@ -343,11 +420,45 @@ def q164_vad_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
                     ],
                 )
 
-    return assets.select("asset_id", "content").mapInPandas(
+    segmented = assets.select("asset_id", "content").mapInPandas(
         segment,
         "asset_id string, n_frames long, n_voiced long, n_segments long, "
         "longest_segment long, voiced_ratio double",
-    ).orderBy("asset_id")
+    )
+    fb = F.lit(VAD_FRAME_BYTES)
+    expected_frames = F.greatest(
+        F.lit(1).cast("long"),
+        ((F.col("n_bytes") + fb - 1).cast("long") / fb).cast("long"),
+    )
+    return (
+        segmented.join(
+            F.broadcast(assets.select("asset_id", "n_bytes")), "asset_id"
+        )
+        .select(
+            "asset_id",
+            "n_frames",
+            "n_voiced",
+            "n_segments",
+            "longest_segment",
+            F.round("voiced_ratio", 6).alias("voiced_ratio"),
+            (F.col("n_frames") == expected_frames).alias("frames_ok"),
+            (
+                (F.col("n_segments") <= F.col("n_voiced"))
+                & (F.col("n_voiced") <= F.col("n_frames"))
+                & (F.col("longest_segment") <= F.col("n_voiced"))
+                & ((F.col("n_segments") == 0) == (F.col("n_voiced") == 0))
+                & (
+                    F.col("longest_segment") * F.col("n_segments")
+                    >= F.col("n_voiced")
+                )
+            ).alias("counts_ok"),
+            (
+                F.col("voiced_ratio")
+                == F.col("n_voiced").cast("double") / F.col("n_frames")
+            ).alias("ratio_ok"),
+        )
+        .orderBy("asset_id")
+    )
 
 
 @query(

@@ -302,7 +302,14 @@ def q90_file_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     of every source carries; ``monotonically_increasing_id()`` is the
     engine-assigned unique task/row id replacing the reference's O(n²)
     ``IndexOf`` id assignment (``Program.cs:334``) — unique by
-    construction (partition id in the high bits), no coordination."""
+    construction (partition id in the high bits), no coordination.
+
+    Self-verifying invariants carried in-result (rows-only queries
+    must prove themselves the way q15/q156 carry error bounds):
+    ``lineage_ok`` pins the binaryFile path against input_file_name
+    lineage per row, ``bytes_positive`` pins non-degenerate stats;
+    tests/test_multimodal.py asserts both all-true plus
+    map_task_id uniqueness."""
     files = file_source(spark, sf_dir, glob="*.parquet")
     return (
         files.select(
@@ -311,6 +318,8 @@ def q90_file_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.element_at(F.split(F.input_file_name(), "/"), -1).alias("source_file"),
             F.monotonically_increasing_id().alias("map_task_id"),
         )
+        .withColumn("lineage_ok", F.col("file_name") == F.col("source_file"))
+        .withColumn("bytes_positive", F.col("bytes") > 0)
         .orderBy("file_name")
     )
 

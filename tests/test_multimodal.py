@@ -80,3 +80,48 @@ def test_resize_preserves_rows_and_sizes_payloads(spark, sf_dir):
     # deterministic: same input -> same surrogate payload
     again = {r["asset_id"]: bytes(r["content"]) for r in resize_assets(assets, 64, 64).collect()}
     assert all(bytes(r["content"]) == again[r["asset_id"]] for r in rows)
+
+
+def _registry():
+    from azure_batch_map_reduce_spark.registry import load_all
+
+    return load_all()
+
+
+def test_q90_manifest_invariants(spark, sf_dir):
+    rows = _registry()["q90_file_manifest"].fn(spark, sf_dir).collect()
+    assert rows, "manifest empty"
+    assert all(r.lineage_ok for r in rows)
+    assert all(r.bytes_positive for r in rows)
+    ids = [r.map_task_id for r in rows]
+    assert len(ids) == len(set(ids)), "map_task_id not unique"
+
+
+def test_q92_pipeline_invariants(spark, sf_dir):
+    rows = _registry()["q92_multimodal_pipeline"].fn(spark, sf_dir).collect()
+    assert rows
+    assert all(r.bytes_conserved for r in rows)
+    assert all(r.counts_conserved for r in rows)
+    assert all(r.features_ok for r in rows)
+
+
+def test_q147_frame_grid_invariants(spark, sf_dir):
+    rows = _registry()["q147_frame_sampling"].fn(spark, sf_dir).collect()
+    assert rows
+    assert all(r.grid_ok for r in rows), [r for r in rows if not r.grid_ok]
+    assert all(r.brightness_ok for r in rows)
+    # independent Python recomputation of one asset's grid
+    r0 = rows[0]
+    from azure_batch_map_reduce_spark.functions.multimodal import TARGET_FRAMES
+
+    assert r0.n_frames == TARGET_FRAMES
+    assert r0.last_frame_ms == (TARGET_FRAMES - 1) * r0.duration_ms // TARGET_FRAMES
+
+
+def test_q164_vad_invariants(spark, sf_dir):
+    rows = _registry()["q164_vad_segments"].fn(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.frames_ok, r
+        assert r.counts_ok, r
+        assert r.ratio_ok, r
