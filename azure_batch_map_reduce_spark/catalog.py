@@ -129,6 +129,28 @@ def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return dict(hit[1])
 
 
+def rebalance_for_cpu(df: DataFrame, min_ratio: float = 0.5) -> DataFrame:
+    """Round-robin-repartition a PROJECTED (narrow) frame to the core
+    count when its scan under-provisions the CPUs — only then.
+
+    Why: per-row hash/digest work (CMS/HLL/MinHash) is compute-bound,
+    and Spark's scan parallelism is capped by input-split structure —
+    a single-row-group parquet file (exactly what the fixtures are,
+    and a real hazard in lakes written by one-shot jobs) yields ONE
+    productive task no matter how small ``maxPartitionBytes`` goes, so
+    31 of 32 local cores idle through the hash stage. The gate keeps
+    the exchange out of well-split inputs: at cluster scale input
+    splits ≫ cores and this is a no-op decision, not a corpus shuffle.
+    Callers must project down to the needed columns FIRST so the
+    rebalanced payload is bytes-per-row-minimal (the exchange then
+    costs less than the digests it parallelizes)."""
+    sess = df.sparkSession
+    cores = sess.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= max(1, int(cores * min_ratio)):
+        return df
+    return df.repartition(cores)
+
+
 def register_views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     """Load tables and register each as a temp view named after the table."""
     dfs = load_tables(spark, sf_dir)

@@ -1543,3 +1543,158 @@ def q252_length_bucket_batching(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+@query(
+    "q256_bradley_terry_preferences",
+    oracle="""
+    WITH ordered AS (
+        SELECT user_id, event_type, value,
+               lag(event_type) OVER w AS pt,
+               lag(value)      OVER w AS pv
+        FROM events
+        WINDOW w AS (PARTITION BY user_id
+                     ORDER BY date_trunc('microseconds', ts), event_id)
+    ),
+    games AS (
+        SELECT CASE WHEN value > pv THEN event_type ELSE pt END AS winner,
+               least(event_type, pt)    AS lo,
+               greatest(event_type, pt) AS hi
+        FROM ordered
+        WHERE pt IS NOT NULL AND pt <> event_type AND value <> pv
+    ),
+    wins   AS (SELECT winner AS t, count(*) AS w FROM games GROUP BY winner),
+    pair_n AS (SELECT lo, hi, count(*) AS n FROM games GROUP BY lo, hi),
+    sides AS (
+        SELECT lo AS t, hi AS j, n FROM pair_n
+        UNION ALL
+        SELECT hi AS t, lo AS j, n FROM pair_n
+    ),
+    tot AS (SELECT t, sum(n) AS n_games FROM sides GROUP BY t),
+    s1 AS (
+        SELECT tot.t, tot.n_games, coalesce(w.w, 0) AS n_wins,
+               2.0 * coalesce(w.w, 0) / tot.n_games AS s
+        FROM tot LEFT JOIN wins w ON w.t = tot.t
+    ),
+    terms AS (
+        SELECT s.t, sd.j, sd.n / (s.s + sj.s) AS term
+        FROM sides sd
+        JOIN s1 s  ON sd.t = s.t
+        JOIN s1 sj ON sd.j = sj.t
+    ),
+    denom AS (
+        SELECT t,
+               list_reduce(list_prepend(0.0, list(term ORDER BY j)),
+                           (a, b) -> a + b) AS d
+        FROM terms GROUP BY t
+    )
+    SELECT s1.t                         AS event_type,
+           CAST(s1.n_games AS BIGINT)   AS n_games,
+           CAST(s1.n_wins AS BIGINT)    AS n_wins,
+           round(s1.s, 6)               AS strength_iter1,
+           round(s1.n_wins / d.d, 6)    AS strength_iter2
+    FROM s1 JOIN denom d ON s1.t = d.t
+    ORDER BY event_type
+    """,
+    tags=("curation", "preferences", "bradley-terry", "rlhf", "iterative"),
+)
+def q256_bradley_terry_preferences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bradley-Terry strength estimation over implicit preference pairs —
+    the aggregation an RLHF/DPO data pipeline runs to turn pairwise
+    comparisons into per-item quality scores. Preference pairs are mined
+    from the event stream (consecutive events of one user; the
+    higher-value event's type "wins"; ties and self-pairs drop), then
+    two minorization-maximization iterations from uniform strengths:
+    s_i ← W_i / Σ_j n_ij/(s_i+s_j). Iteration 1 closes to 2·W_i/N_i;
+    iteration 2 uses the full opponent-aware denominator. Emits per
+    type: games, wins, and both iterates (the convergence trace).
+
+    Determinism: pair mining is a lag over the (ts, event_id) total
+    order; W/N are exact integers, so s1 is one exact-operand IEEE
+    division; s2's denominator folds the per-opponent terms in SORTED
+    opponent order via a prepended-zero list_reduce / F.aggregate —
+    identical sequential additions on both engines (the q239 fold
+    discipline) rather than engine-ordered SUM(). A pair with games
+    always has a winner, so s1_i + s1_j > 0 — no zero denominators.
+
+    Scale posture: one user_id shuffle for the lag; everything after
+    runs at type-pair grain (≤|types|² rows — bounded, broadcastable);
+    the fold arrays are ≤|types| long. MM iterations at vocab grain,
+    corpus touched once — the q239 iterative-training shape. Reference
+    contract: pluggable reduce slot (``App.config:17``) as the
+    strength consolidation step."""
+    ev = load_tables(spark, sf_dir)["events"]
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ordered = ev.select(
+        "event_type",
+        "value",
+        F.lag("event_type").over(w).alias("pt"),
+        F.lag("value").over(w).alias("pv"),
+    )
+    games = ordered.where(
+        F.col("pt").isNotNull()
+        & (F.col("pt") != F.col("event_type"))
+        & (F.col("value") != F.col("pv"))
+    ).select(
+        F.when(F.col("value") > F.col("pv"), F.col("event_type"))
+        .otherwise(F.col("pt"))
+        .alias("winner"),
+        F.least("event_type", "pt").alias("lo"),
+        F.greatest("event_type", "pt").alias("hi"),
+    )
+    wins = games.groupBy(F.col("winner").alias("t")).agg(
+        F.count(F.lit(1)).alias("w")
+    )
+    pair_n = games.groupBy("lo", "hi").agg(F.count(F.lit(1)).alias("n"))
+    sides = pair_n.select(
+        F.col("lo").alias("t"), F.col("hi").alias("j"), "n"
+    ).unionAll(
+        pair_n.select(F.col("hi").alias("t"), F.col("lo").alias("j"), "n")
+    )
+    tot = sides.groupBy("t").agg(F.sum("n").alias("n_games"))
+    s1 = (
+        tot.join(wins, "t", "left")
+        .select(
+            "t",
+            "n_games",
+            F.coalesce(F.col("w"), F.lit(0)).alias("n_wins"),
+            (
+                2.0 * F.coalesce(F.col("w"), F.lit(0)) / F.col("n_games")
+            ).alias("s"),
+        )
+    )
+    terms = (
+        sides.join(F.broadcast(s1.select("t", "s")), "t")
+        .join(
+            F.broadcast(
+                s1.select(F.col("t").alias("j"), F.col("s").alias("sj"))
+            ),
+            "j",
+        )
+        .select("t", "j", (F.col("n") / (F.col("s") + F.col("sj"))).alias("term"))
+    )
+    denom = terms.groupBy("t").agg(
+        F.aggregate(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("j"), F.col("term")))
+                ),
+                lambda x: x["term"],
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).alias("d")
+    )
+    return (
+        s1.join(denom, "t")
+        .select(
+            F.col("t").alias("event_type"),
+            F.col("n_games").cast("long").alias("n_games"),
+            F.col("n_wins").cast("long").alias("n_wins"),
+            F.round(F.col("s"), 6).alias("strength_iter1"),
+            F.round(F.col("n_wins").cast("double") / F.col("d"), 6).alias(
+                "strength_iter2"
+            ),
+        )
+        .orderBy("event_type")
+    )

@@ -22,7 +22,11 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
-from azure_batch_map_reduce_spark.catalog import load_tables, register_views
+from azure_batch_map_reduce_spark.catalog import (
+    load_tables,
+    rebalance_for_cpu,
+    register_views,
+)
 from azure_batch_map_reduce_spark.operators.ranks import (
     distributed_running_extremum,
     distributed_running_sum,
@@ -2675,8 +2679,10 @@ _CMS_PROBES = (1, 7, 13, 19, 25)  # supplier keys to estimate
 
 
 def _cms_oracle() -> str:
-    idx = ("CAST(('0x' || substr(md5('cms' || CAST({j} AS VARCHAR) || '|'"
-           " || CAST({k} AS VARCHAR)), 1, 8))::BIGINT % 32 AS INTEGER)")
+    # One md5 digest per key; hash row j reads the j-th disjoint 8-hex
+    # (32-bit) window of it — see the q254 docstring.
+    idx = ("CAST(('0x' || substr(md5('cms|' || CAST({k} AS VARCHAR)),"
+           " 1 + 8 * {j}, 8))::BIGINT % 32 AS INTEGER)")
     return f"""
     WITH rows_j AS (SELECT unnest(range(4)) AS j),
     sketch AS (
@@ -2725,6 +2731,13 @@ def q254_portable_count_min(spark: SparkSession, sf_dir: str) -> DataFrame:
     the collision inflation (≥ 0 by construction, the sketch's
     correctness invariant).
 
+    The d row-hashes come from ONE md5 digest per key: hash row j
+    reads the j-th disjoint 8-hex (32-bit) window of md5('cms|'+key)
+    — md5 output bits are independent across windows, which is all
+    the pairwise-independence CMS's error bound needs, and it cuts
+    the map-side hash work d-fold (the round-3 bench showed 4
+    digests/row dominating the runtime on a 3-partition scan).
+
     Like the HLL's registers, the 128-counter table is the mergeable
     state: merge = elementwise SUM, which is exactly the partial+final
     aggregate Spark plans — a per-source or per-hour sketch rolls up
@@ -2737,29 +2750,35 @@ def q254_portable_count_min(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     li = load_tables(spark, sf_dir)["lineitem"]
 
-    def idx(j: Column, k: Column) -> Column:
-        h = F.md5(
-            F.concat(
-                F.lit("cms"), j.cast("string"), F.lit("|"), k.cast("string")
-            )
-        )
-        return (F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % 32).cast(
-            "int"
-        )
+    def digest(k: Column) -> Column:
+        return F.md5(F.concat(F.lit("cms|"), k.cast("string")))
 
-    fan = li.select(
-        "l_suppkey", F.explode(F.array(*[F.lit(j) for j in range(4)])).alias("j")
+    def idx(j: Column, h: Column) -> Column:
+        return (
+            F.conv(F.substring(h, 1 + j * 8, 8), 16, 10).cast("long") % 32
+        ).cast("int")
+
+    # Digest ONCE per row (a scalar column survives projection
+    # collapse), then explode the j axis and window into the digest.
+    # The key column is rebalanced across cores first: fixture parquet
+    # is single-row-group, so the scan alone gives the hash stage ONE
+    # productive task (see catalog.rebalance_for_cpu).
+    keys = rebalance_for_cpu(li.select("l_suppkey"))
+    fan = keys.select(digest(F.col("l_suppkey")).alias("h")).select(
+        "h", F.explode(F.array(*[F.lit(j) for j in range(4)])).alias("j")
     )
     sketch = fan.groupBy(
-        "j", idx(F.col("j"), F.col("l_suppkey")).alias("idx")
+        "j", idx(F.col("j"), F.col("h")).alias("idx")
     ).agg(F.count(F.lit(1)).alias("c"))
 
-    probes = li.sparkSession.createDataFrame(
-        [(k,) for k in _CMS_PROBES], "suppkey long"
-    )
-    probe_cells = probes.crossJoin(
-        li.sparkSession.createDataFrame([(j,) for j in range(4)], "j int")
-    ).withColumn("idx", idx(F.col("j"), F.col("suppkey")))
+    # One literal probes×rows table, NOT a crossJoin of two local
+    # DataFrames: each local side defaults to |defaultParallelism|
+    # partitions, so the cartesian planned 32×32 = 1024 tasks for 20
+    # rows — 15 s of pure task-scheduling overhead at sf0.1 (caught by
+    # the round-3 bench; the sketch math itself is sub-second).
+    probe_cells = li.sparkSession.createDataFrame(
+        [(k, j) for k in _CMS_PROBES for j in range(4)], "suppkey long, j int"
+    ).withColumn("idx", idx(F.col("j"), digest(F.col("suppkey"))))
     est = (
         probe_cells.join(F.broadcast(sketch), ["j", "idx"], "left")
         .groupBy("suppkey")

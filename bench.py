@@ -56,6 +56,16 @@ HEADLINE = [
     "q190_hybrid_rrf_retrieval",
     "q202_vocab_dictionary",
     "q208_histogram_2d",
+    # Round-3 additions (r2 verdict task #6): the round-2 primitives —
+    # window-free ranks, BPE training, PQ-ANN, count-min, exact
+    # quantiles, distributed AUC — so regressions in that machinery are
+    # visible. Totals are NOT comparable to rounds 1-2 (28-query set).
+    "q236_distributed_rank",
+    "q239_bpe_merge_training",
+    "q242_pq_ann",
+    "q249_exact_quantiles_distributed",
+    "q254_portable_count_min",
+    "q255_distributed_auc",
 ]
 
 
