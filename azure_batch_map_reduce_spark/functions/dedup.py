@@ -1222,3 +1222,196 @@ def q250_dedup_cluster_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return sized.unionAll(singleton).orderBy("cluster_size")
+
+
+@query(
+    "q258_semantic_cluster_dedup",
+    oracle="""
+    WITH RECURSIVE n AS (
+        SELECT vec_id, label,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+        FROM embeddings
+    ),
+    pairs AS (
+        SELECT a.vec_id AS va, b.vec_id AS vb
+        FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
+        WHERE round(list_dot_product(a.e, b.e)
+              / sqrt(list_dot_product(a.e, a.e)
+                     * list_dot_product(b.e, b.e)), 6) >= 0.3
+    ),
+    edges AS (SELECT va AS u, vb AS v FROM pairs
+              UNION SELECT vb, va FROM pairs),
+    reach AS (
+        SELECT u AS node, u AS lab0 FROM edges
+        UNION
+        SELECT e.v, r.lab0 FROM reach r JOIN edges e ON e.u = r.node
+    ),
+    comp AS (SELECT node, min(lab0) AS grp FROM reach GROUP BY node),
+    flat AS (
+        SELECT vec_id, label,
+               unnest(list_transform(range(1, len(e) + 1),
+                      i -> struct_pack(dim := i, v := e[i]))) AS s
+        FROM n
+    ),
+    f2 AS (SELECT vec_id, label, s.dim AS dim, s.v AS v FROM flat),
+    cent AS (
+        SELECT label, dim,
+               list_reduce(list_prepend(0.0, list(v ORDER BY vec_id)),
+                           (a, b) -> a + b) / count(*) AS c
+        FROM f2 GROUP BY label, dim
+    ),
+    cvec AS (SELECT label, list(c ORDER BY dim) AS cl FROM cent GROUP BY label),
+    dist AS (
+        SELECT n.vec_id, n.label,
+               round(list_reduce(list_prepend(0.0,
+                     list_transform(range(1, len(n.e) + 1),
+                                    i -> (n.e[i] - cv.cl[i])
+                                         * (n.e[i] - cv.cl[i]))),
+                     (a, b) -> a + b), 4) AS d2
+        FROM n JOIN cvec cv ON n.label = cv.label
+    ),
+    member AS (
+        SELECT c.grp, d.label, d.vec_id, d.d2
+        FROM comp c JOIN dist d ON c.node = d.vec_id
+    ),
+    gstats AS (
+        SELECT grp, label, count(*) AS group_size, max(d2) AS keeper_dist
+        FROM member GROUP BY grp, label
+    ),
+    keeper AS (
+        SELECT m.grp, min(m.vec_id) AS keeper_vec_id
+        FROM member m
+        JOIN gstats g ON m.grp = g.grp AND m.d2 = g.keeper_dist
+        GROUP BY m.grp
+    )
+    SELECT g.label, g.grp AS group_rep,
+           CAST(g.group_size AS BIGINT)     AS group_size,
+           CAST(g.group_size - 1 AS BIGINT) AS n_removed,
+           k.keeper_vec_id, g.keeper_dist
+    FROM gstats g JOIN keeper k ON g.grp = k.grp
+    ORDER BY label, group_rep
+    """,
+    tags=("dedup", "embedding", "semantic", "clustering", "semdedup"),
+)
+def q258_semantic_cluster_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023): form
+    near-duplicate groups from within-cluster cosine pairs (label = the
+    cluster assignment, the q65 bucketing), close them transitively,
+    and keep per group the member FARTHEST from its cluster centroid —
+    SemDeDup's representative choice (the edge of the semantic
+    neighborhood carries the most residual information). Emits each dup
+    group with its size, removal count, keeper, and the keeper's
+    centroid distance — the purge list a semantic-dedup pass hands the
+    curation pipeline.
+
+    Determinism: pair edges threshold on round-6 cosine (q65); the
+    per-(cluster, dim) centroid folds member values in vec_id order
+    and the per-vector distance folds dims in dim order (prepended-zero
+    fold on both engines — bit-identical centroids, unlike a bare
+    AVG whose partial-agg order is engine-chosen); distances round to
+    4 with the min-vec_id tie on the argmax resolved by a two-step
+    max-then-filter (portable where struct-valued arg_max is not).
+
+    Scale posture: pairs form only inside a cluster (equi-join on the
+    cluster key — never all-pairs); transitive closure is the bounded
+    label-propagation loop (dup clusters are dense, 2-3 rounds);
+    centroids are (clusters × dims) grain and broadcast back as
+    arrays; the argmax is a group-grain aggregate. At 100 TB the
+    cluster key comes from k-means/IVF assignment (q243/q73) instead
+    of a stored label — same dataflow."""
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    dot = lambda u, v: F.aggregate(  # noqa: E731
+        F.zip_with(u, v, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+    n = emb.select(
+        "vec_id",
+        "label",
+        F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("e"),
+    ).withColumn("nrm", F.sqrt(dot(F.col("e"), F.col("e"))))
+    a = n.select(
+        "label",
+        F.col("vec_id").alias("va"),
+        F.col("e").alias("ea"),
+        F.col("nrm").alias("na"),
+    )
+    b = n.select(
+        F.col("label").alias("label_b"),
+        F.col("vec_id").alias("vb"),
+        F.col("e").alias("eb"),
+        F.col("nrm").alias("nb"),
+    )
+    pairs = a.join(
+        b, (F.col("label") == F.col("label_b")) & (F.col("va") < F.col("vb"))
+    ).where(
+        F.round(dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb")), 6)
+        >= 0.3
+    )
+    comp = connected_components(
+        pairs.select(F.col("va").alias("u"), F.col("vb").alias("v"))
+    ).select(F.col("node"), F.col("label").alias("grp"))
+    flat = n.select(
+        "vec_id", "label", F.posexplode("e").alias("dim0", "v")
+    ).select("vec_id", "label", (F.col("dim0") + 1).alias("dim"), "v")
+    cent = flat.groupBy("label", "dim").agg(
+        (
+            F.aggregate(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct(F.col("vec_id"), F.col("v")))
+                    ),
+                    lambda x: x["v"],
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            / F.count(F.lit(1))
+        ).alias("c")
+    )
+    cvec = cent.groupBy("label").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct(F.col("dim"), F.col("c")))),
+            lambda x: x["c"],
+        ).alias("cl")
+    )
+    dist = n.join(F.broadcast(cvec), "label").select(
+        "vec_id",
+        "label",
+        F.round(
+            F.aggregate(
+                F.zip_with(
+                    F.col("e"), F.col("cl"), lambda x, y: (x - y) * (x - y)
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+            4,
+        ).alias("d2"),
+    )
+    member = comp.join(dist, comp["node"] == dist["vec_id"]).select(
+        "grp", "label", "vec_id", "d2"
+    )
+    gstats = member.groupBy("grp", "label").agg(
+        F.count(F.lit(1)).alias("group_size"),
+        F.max("d2").alias("keeper_dist"),
+    )
+    keeper = (
+        member.join(
+            F.broadcast(gstats.select("grp", "keeper_dist")),
+            ["grp"],
+        )
+        .where(F.col("d2") == F.col("keeper_dist"))
+        .groupBy("grp")
+        .agg(F.min("vec_id").alias("keeper_vec_id"))
+    )
+    return (
+        gstats.join(F.broadcast(keeper), "grp")
+        .select(
+            "label",
+            F.col("grp").alias("group_rep"),
+            F.col("group_size").cast("long").alias("group_size"),
+            (F.col("group_size") - 1).cast("long").alias("n_removed"),
+            "keeper_vec_id",
+            "keeper_dist",
+        )
+        .orderBy("label", "group_rep")
+    )

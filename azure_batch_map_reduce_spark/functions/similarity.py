@@ -1576,3 +1576,128 @@ def q245_matryoshka_fidelity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return wide.selectExpr(
         f"stack(4, {stacked}) AS (dims, avg_abs_err, max_abs_err, pearson)"
     ).orderBy("dims")
+
+
+@query(
+    "q259_rag_context_assembly",
+    oracle="""
+    WITH qv AS (
+        SELECT vec_id AS query_id,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qe
+        FROM embeddings WHERE vec_id < 5
+    ),
+    cand AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+        FROM embeddings WHERE vec_id >= 5
+    ),
+    scored AS (
+        SELECT q.query_id, c.vec_id,
+               round(list_dot_product(c.e, q.qe)
+                     / sqrt(list_dot_product(c.e, c.e)
+                            * list_dot_product(q.qe, q.qe)), 6) AS cosine
+        FROM cand c CROSS JOIN qv q
+    ),
+    ranked AS (
+        SELECT query_id, vec_id, cosine,
+               CAST(row_number() OVER (
+                   PARTITION BY query_id
+                   ORDER BY cosine DESC, vec_id ASC) AS INTEGER) AS rank
+        FROM scored
+    ),
+    topk AS (SELECT * FROM ranked WHERE rank <= 8),
+    with_cost AS (
+        SELECT t.query_id, t.rank, t.vec_id AS doc_id, t.cosine,
+               (d.n_chars + 3) // 4 AS tokens
+        FROM topk t JOIN documents d ON d.doc_id = t.vec_id
+    ),
+    packed AS (
+        SELECT *,
+               sum(tokens) OVER (
+                   PARTITION BY query_id ORDER BY rank
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS cum_tokens
+        FROM with_cost
+    )
+    SELECT query_id, rank, doc_id, cosine,
+           CAST(tokens AS BIGINT)     AS tokens,
+           CAST(cum_tokens AS BIGINT) AS cum_tokens,
+           cum_tokens <= 400          AS included
+    FROM packed
+    ORDER BY query_id, rank
+    """,
+    tags=("similarity", "retrieval", "rag", "packing", "budget"),
+)
+def q259_rag_context_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAG context-window assembly: for each query vector, retrieve the
+    top-8 documents by cosine, price each at (n_chars+3) div 4 tokens,
+    and include the rank-ordered prefix that fits the 400-token
+    context budget — the retrieve-then-pack step between a vector
+    index and a prompt template. Emits the full candidate list with
+    rank, token cost, running total, and the inclusion decision, so
+    the downstream assembler (and the eval harness measuring context
+    precision) sees both what went in and what got cut.
+
+    Determinism: cosines round to 6 before ranking with a vec_id
+    tie-break (q70); token costs are integer div; the running total is
+    an integer sum over the rank order; inclusion is an integer
+    compare. Zero float accumulation anywhere past the cosine.
+
+    Scale posture: query vectors broadcast against the corpus
+    (map-side scoring, q70's shape); the rank<=8 filter compiles to
+    WindowGroupLimit (per-group heap, map-side partial — q237's pin),
+    so the per-query window state is 8 rows; the packing cumsum runs
+    on ≤8-row partitions. Document costs join at id grain AFTER
+    top-k — 40 rows here, never the corpus."""
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    docs = load_tables(spark, sf_dir)["documents"]
+    qv = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        _as_double(F.col("embedding")).alias("qe"),
+    )
+    cand = emb.filter(F.col("vec_id") >= 5).select(
+        "vec_id", _as_double(F.col("embedding")).alias("e")
+    )
+    scored = cand.crossJoin(F.broadcast(qv)).select(
+        "query_id",
+        "vec_id",
+        F.round(
+            _dot(F.col("e"), F.col("qe"))
+            / F.sqrt(_dot(F.col("e"), F.col("e")) * _dot(F.col("qe"), F.col("qe"))),
+            6,
+        ).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("vec_id")
+    )
+    topk = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 8)
+    )
+    with_cost = topk.join(
+        F.broadcast(docs.select("doc_id", "n_chars")),
+        topk["vec_id"] == F.col("doc_id"),
+    ).select(
+        "query_id",
+        F.col("rank").cast("int").alias("rank"),
+        "doc_id",
+        "cosine",
+        F.expr("(n_chars + 3) div 4").alias("tokens"),
+    )
+    wp = (
+        Window.partitionBy("query_id")
+        .orderBy("rank")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        with_cost.withColumn("cum_tokens", F.sum("tokens").over(wp))
+        .select(
+            "query_id",
+            "rank",
+            "doc_id",
+            "cosine",
+            F.col("tokens").cast("long").alias("tokens"),
+            F.col("cum_tokens").cast("long").alias("cum_tokens"),
+            (F.col("cum_tokens") <= 400).alias("included"),
+        )
+        .orderBy("query_id", "rank")
+    )

@@ -1978,3 +1978,139 @@ def q248_vocab_kl_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("j_divergence"),
     )
+
+
+@query(
+    "q257_bigram_lm_filter",
+    oracle="""
+    WITH words AS (
+        SELECT doc_id, source,
+               list_filter(string_split_regex(lower(text), '[^a-z]+'),
+                           x -> x <> '') AS arr
+        FROM documents
+    ),
+    pos AS (
+        SELECT doc_id, source, unnest(range(1, len(arr))) AS pos, arr
+        FROM words WHERE len(arr) >= 2
+    ),
+    bigr AS (
+        SELECT doc_id, source, pos, arr[pos] AS w1, arr[pos + 1] AS w2
+        FROM pos
+    ),
+    c2 AS (SELECT w1, w2, count(*) AS c FROM bigr GROUP BY w1, w2),
+    c1 AS (SELECT w1, count(*) AS c FROM bigr GROUP BY w1),
+    v AS (
+        SELECT count(DISTINCT w) AS v
+        FROM (SELECT w1 AS w FROM bigr UNION ALL SELECT w2 FROM bigr)
+    ),
+    terms AS (
+        SELECT b.doc_id, b.source, b.pos,
+               ln((c2.c + 1.0) / (c1.c + v.v)) AS lp
+        FROM bigr b
+        JOIN c2 ON b.w1 = c2.w1 AND b.w2 = c2.w2
+        JOIN c1 ON b.w1 = c1.w1
+        CROSS JOIN v
+    )
+    SELECT doc_id, source,
+           CAST(count(*) AS BIGINT) AS n_bigrams,
+           round(list_reduce(list_prepend(0.0, list(lp ORDER BY pos)),
+                             (a, b) -> a + b) / count(*), 4) AS avg_logprob,
+           round(list_reduce(list_prepend(0.0, list(lp ORDER BY pos)),
+                             (a, b) -> a + b) / count(*), 4) >= -3.4 AS keep
+    FROM terms
+    GROUP BY doc_id, source
+    ORDER BY doc_id
+    """,
+    tags=("text", "language-model", "perplexity", "curation", "filtering"),
+)
+def q257_bigram_lm_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM perplexity filtering (the CCNet/KenLM curation idiom):
+    train an add-one-smoothed bigram language model ON the corpus
+    itself, score every document by its mean bigram log-probability,
+    and flag low-likelihood documents for the drop list — the standard
+    statistical-quality gate a pretraining pipeline runs before any
+    neural scoring. Emits per doc: bigram count, mean log-prob, and
+    the keep decision at the −3.4 threshold (≈ the corpus's lower
+    quartile, probed in DuckDB first per the selectivity discipline).
+
+    Determinism: bigram/context/vocab counts are exact integers;
+    P(w2|w1) = (c₂+1)/(c₁+V) is one IEEE division per bigram type;
+    ln() is libm (ulp-level engine skew) but each document's term sum
+    folds in POSITION order via the prepended-zero aggregate /
+    list_reduce (the q256 discipline), so accumulation order is
+    engine-identical and round(4) absorbs the ulps; the keep flag
+    compares the ROUNDED score so both engines decide on the same
+    value.
+
+    Scale posture: one corpus-grain explode to bigram occurrences;
+    model tables (c₂ bigram-type, c₁ context-type) join back equi on
+    the bigram key — vocab-grain state, map-side joinable when the
+    model is broadcastable and a plain shuffle join beyond; V is a
+    1-row broadcast. The per-doc fold arrays are document-length
+    bounded. Training-corpus scoring touches the corpus exactly twice
+    (count, score) — the two-pass shape of a production LM filter.
+    Reference contract: map slot (``App.config:16``) = per-doc
+    scoring; reduce slot (``App.config:17``) = model-count
+    consolidation."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    arr = F.filter(
+        F.split(F.lower(F.col("text")), "[^a-z]+"), lambda x: x != F.lit("")
+    )
+    words = docs.select("doc_id", "source", arr.alias("arr")).where(
+        F.size("arr") >= 2
+    )
+    bigr = words.select(
+        "doc_id",
+        "source",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("arr") - 1),
+                lambda i: F.struct(
+                    i.alias("pos"),
+                    F.element_at(F.col("arr"), i).alias("w1"),
+                    F.element_at(F.col("arr"), i + 1).alias("w2"),
+                ),
+            )
+        ).alias("b"),
+    ).select("doc_id", "source", "b.pos", "b.w1", "b.w2")
+    c2 = bigr.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+    c1 = bigr.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    v = (
+        bigr.select(F.col("w1").alias("w"))
+        .unionAll(bigr.select(F.col("w2").alias("w")))
+        .agg(F.countDistinct("w").alias("v"))
+    )
+    terms = (
+        bigr.join(c2, ["w1", "w2"])
+        .join(c1, "w1")
+        .crossJoin(F.broadcast(v))
+        .select(
+            "doc_id",
+            "source",
+            "pos",
+            F.log((F.col("c2") + 1.0) / (F.col("c1") + F.col("v"))).alias("lp"),
+        )
+    )
+    folded = terms.groupBy("doc_id", "source").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        (
+            F.aggregate(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct(F.col("pos"), F.col("lp")))
+                    ),
+                    lambda x: x["lp"],
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            / F.count(F.lit(1))
+        ).alias("alp"),
+    )
+    return folded.select(
+        "doc_id",
+        "source",
+        F.col("n_bigrams").cast("long").alias("n_bigrams"),
+        F.round("alp", 4).alias("avg_logprob"),
+        (F.round("alp", 4) >= -3.4).alias("keep"),
+    ).orderBy("doc_id")
