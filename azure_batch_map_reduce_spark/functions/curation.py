@@ -1698,3 +1698,160 @@ def q256_bradley_terry_preferences(spark: SparkSession, sf_dir: str) -> DataFram
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "q261_score_calibration_ece",
+    oracle="""
+    WITH scored AS (
+        SELECT doc_id,
+               round(1.0 / (1.0 + exp(-(n_chars - 500) / 200.0)), 6) AS score,
+               CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+        FROM documents
+    ),
+    binned AS (
+        SELECT doc_id, y, score,
+               least(CAST(floor(score * 10) AS INTEGER), 9) AS bin
+        FROM scored
+    ),
+    per_bin AS (
+        SELECT bin,
+               count(*)  AS n,
+               sum(y)    AS n_pos,
+               list_reduce(list_prepend(0.0, list(score ORDER BY doc_id)),
+                           (a, b) -> a + b) / count(*) AS conf
+        FROM binned GROUP BY bin
+    ),
+    tot AS (SELECT count(*) AS total FROM binned),
+    gaps AS (
+        SELECT bin, n, n_pos, conf,
+               CAST(n_pos AS DOUBLE) / n AS acc,
+               abs(CAST(n_pos AS DOUBLE) / n - conf) AS gap
+        FROM per_bin
+    ),
+    ece AS (
+        SELECT round(list_reduce(
+                   list_prepend(0.0,
+                       list(n * gap / t.total ORDER BY bin)),
+                   (a, b) -> a + b), 6) AS ece
+        FROM gaps CROSS JOIN tot t GROUP BY t.total
+    )
+    SELECT g.bin,
+           CAST(g.n AS BIGINT)     AS n_docs,
+           CAST(g.n_pos AS BIGINT) AS n_pos,
+           round(g.conf, 6)        AS mean_score,
+           round(g.acc, 6)         AS pos_rate,
+           round(g.gap, 6)         AS calibration_gap,
+           e.ece                   AS ece
+    FROM gaps g CROSS JOIN ece e
+    ORDER BY g.bin
+    """,
+    tags=("curation", "calibration", "evaluation", "quality", "ece"),
+)
+def q261_score_calibration_ece(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier-score calibration audit (reliability diagram + ECE):
+    a length-based quality score (the q-size_score sigmoid) is treated
+    as a probability that a document is English, bucketed into 10
+    confidence bins, and each bin's mean score is compared against its
+    empirical positive rate; expected calibration error is the
+    doc-weighted mean absolute gap. This is the audit a curation
+    pipeline runs on ANY learned quality/toxicity scorer before using
+    its scores as sampling weights — miscalibrated scores silently
+    skew the corpus mixture.
+
+    Determinism: exp() is libm (ulp skew) but the sigmoid rounds to 6
+    before EVERYTHING — binning (floor of rounded·10, capped at 9),
+    per-bin mean (folded in doc_id order), and the ECE fold (bin
+    order) all consume the rounded score, so a sub-round ulp cannot
+    move a document across bins or reorder any accumulation. Counts
+    and positive rates are exact integers with one closing division.
+
+    Scale posture: one partial+final aggregate to 10 bins (the fold
+    arrays are per-bin document lists — at 100 TB swap the ordered
+    fold for plain SUM once the comparator tolerance owns the ulps, or
+    pre-aggregate scores at source grain); the total and ECE are
+    1-row broadcasts back across 10 rows."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    scored = docs.select(
+        "doc_id",
+        F.round(
+            1.0 / (1.0 + F.exp(-(F.col("n_chars") - 500) / 200.0)), 6
+        ).alias("score"),
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("y"),
+    )
+    binned = scored.select(
+        "doc_id",
+        "y",
+        "score",
+        F.least(F.floor(F.col("score") * 10).cast("int"), F.lit(9)).alias(
+            "bin"
+        ),
+    )
+    per_bin = binned.groupBy("bin").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("y").alias("n_pos"),
+        (
+            F.aggregate(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct(F.col("doc_id"), F.col("score")))
+                    ),
+                    lambda x: x["score"],
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            / F.count(F.lit(1))
+        ).alias("conf"),
+    )
+    tot = binned.agg(F.count(F.lit(1)).alias("total"))
+    gaps = per_bin.select(
+        "bin",
+        "n",
+        "n_pos",
+        "conf",
+        (F.col("n_pos").cast("double") / F.col("n")).alias("acc"),
+        F.abs(F.col("n_pos").cast("double") / F.col("n") - F.col("conf")).alias(
+            "gap"
+        ),
+    )
+    ece = (
+        gaps.crossJoin(F.broadcast(tot))
+        .groupBy("total")
+        .agg(
+            F.round(
+                F.aggregate(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(
+                                F.struct(
+                                    F.col("bin"),
+                                    (
+                                        F.col("n") * F.col("gap") / F.col("total")
+                                    ).alias("wgap"),
+                                )
+                            )
+                        ),
+                        lambda x: x["wgap"],
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                ),
+                6,
+            ).alias("ece")
+        )
+        .select("ece")
+    )
+    return (
+        gaps.crossJoin(F.broadcast(ece))
+        .select(
+            "bin",
+            F.col("n").cast("long").alias("n_docs"),
+            F.col("n_pos").cast("long").alias("n_pos"),
+            F.round("conf", 6).alias("mean_score"),
+            F.round("acc", 6).alias("pos_rate"),
+            F.round("gap", 6).alias("calibration_gap"),
+            "ece",
+        )
+        .orderBy("bin")
+    )

@@ -1415,3 +1415,132 @@ def q258_semantic_cluster_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label", "group_rep")
     )
+
+
+_SHINGLE_K = 24      # shingle length (chars)
+_SHINGLE_STRIDE = 8  # sampling stride
+_SHINGLE_DF_CAP = 50  # shingles in more docs than this are boilerplate
+_SHINGLE_MIN_SHARED = 3
+
+
+@query(
+    "q260_substring_shingle_overlap",
+    oracle=f"""
+    WITH sh AS (
+        SELECT DISTINCT doc_id,
+               substr(lower(text), CAST(p AS INTEGER), {_SHINGLE_K}) AS s
+        FROM (
+            SELECT doc_id, lower(text) AS text,
+                   unnest(range(1, length(text) - {_SHINGLE_K} + 2,
+                                {_SHINGLE_STRIDE})) AS p
+            FROM documents
+            WHERE length(text) >= {_SHINGLE_K}
+        )
+    ),
+    df AS (
+        SELECT s FROM sh GROUP BY s
+        HAVING count(*) <= {_SHINGLE_DF_CAP}
+    ),
+    kept AS (SELECT sh.doc_id, sh.s FROM sh JOIN df ON sh.s = df.s),
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM kept GROUP BY doc_id),
+    shared AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
+        FROM kept a JOIN kept b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+        HAVING count(*) >= {_SHINGLE_MIN_SHARED}
+    )
+    SELECT s.doc_a, s.doc_b,
+           CAST(s.n_shared AS BIGINT) AS n_shared,
+           CAST(za.n_sh AS BIGINT)    AS n_sh_a,
+           CAST(zb.n_sh AS BIGINT)    AS n_sh_b,
+           round(CAST(s.n_shared AS DOUBLE)
+                 / least(za.n_sh, zb.n_sh), 4) AS containment
+    FROM shared s
+    JOIN sizes za ON za.doc_id = s.doc_a
+    JOIN sizes zb ON zb.doc_id = s.doc_b
+    ORDER BY doc_a, doc_b
+    """,
+    tags=("dedup", "shingle", "substring", "containment", "text"),
+)
+def q260_substring_shingle_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sampled-substring overlap detection (the exact-substring-dedup
+    idiom used on code/web corpora, e.g. The Stack's dedup): every
+    document contributes its distinct 24-char shingles sampled every 8
+    chars; shingles occurring in more than 50 documents are dropped as
+    boilerplate (the document-frequency cap that BOTH kills the
+    template noise a web corpus is full of AND bounds the join skew);
+    document pairs sharing >= 3 surviving shingles emit with their
+    shared count and containment n_shared/min(|A|,|B|).
+
+    Determinism: pure string arithmetic end to end — substr positions
+    are integer stride math, matching is exact string equality, and
+    the single float op (containment) is one exact-integer division
+    rounded at 4.
+
+    Scale posture: candidate generation is an equi-join on the shingle
+    key — never all-pairs; the DF cap is the skew guard (a shingle's
+    join fan-out is capped at 50², and the cap itself is a
+    partial+final count at shingle grain); per-doc DISTINCT runs
+    map-heavy before the join. At 100 TB, swap the raw 24-char key
+    for its 8-byte hash to shrink shuffle width — same plan shape
+    (the reference's pluggable map slot ``App.config:16`` is exactly
+    this per-doc shingle extraction)."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    lowered = docs.select(
+        "doc_id", F.lower(F.col("text")).alias("t")
+    ).where(F.length("t") >= _SHINGLE_K)
+    sh = (
+        lowered.select(
+            "doc_id",
+            F.explode(
+                F.sequence(
+                    F.lit(1),
+                    F.length("t") - _SHINGLE_K + 1,
+                    F.lit(_SHINGLE_STRIDE),
+                )
+            ).alias("p"),
+            "t",
+        )
+        .select(
+            "doc_id", F.substring(F.col("t"), F.col("p"), _SHINGLE_K).alias("s")
+        )
+        .distinct()
+    )
+    df_keep = sh.groupBy("s").agg(F.count(F.lit(1)).alias("df")).where(
+        F.col("df") <= _SHINGLE_DF_CAP
+    )
+    kept = sh.join(df_keep.select("s"), "s")
+    sizes = kept.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = kept.select(F.col("doc_id").alias("doc_a"), "s")
+    b = kept.select(F.col("doc_id").alias("doc_b"), "s")
+    shared = (
+        a.join(b, (a["s"] == b["s"]) & (F.col("doc_a") < F.col("doc_b")))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .where(F.col("n_shared") >= _SHINGLE_MIN_SHARED)
+    )
+    return (
+        shared.join(
+            F.broadcast(sizes.select(F.col("doc_id").alias("doc_a"),
+                                     F.col("n_sh").alias("n_sh_a"))),
+            "doc_a",
+        )
+        .join(
+            F.broadcast(sizes.select(F.col("doc_id").alias("doc_b"),
+                                     F.col("n_sh").alias("n_sh_b"))),
+            "doc_b",
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            F.col("n_shared").cast("long").alias("n_shared"),
+            F.col("n_sh_a").cast("long").alias("n_sh_a"),
+            F.col("n_sh_b").cast("long").alias("n_sh_b"),
+            F.round(
+                F.col("n_shared").cast("double")
+                / F.least("n_sh_a", "n_sh_b"),
+                4,
+            ).alias("containment"),
+        )
+        .orderBy("doc_a", "doc_b")
+    )
