@@ -1855,3 +1855,409 @@ def q261_score_calibration_ece(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bin")
     )
+
+
+@query(
+    "q262_corpus_version_diff",
+    oracle="""
+    WITH v1 AS (
+        SELECT doc_id, source, text, n_chars
+        FROM documents WHERE doc_id % 5 <> 4
+    ),
+    v2 AS (
+        SELECT doc_id, source,
+               CASE WHEN doc_id % 10 = 3 THEN text || ' [edited]'
+                    ELSE text END AS text,
+               CASE WHEN doc_id % 10 = 3 THEN n_chars + 9
+                    ELSE n_chars END AS n_chars
+        FROM documents WHERE doc_id % 7 <> 6
+    ),
+    j AS (
+        SELECT coalesce(v1.source, v2.source) AS source,
+               CASE
+                   WHEN v1.doc_id IS NULL THEN 'added'
+                   WHEN v2.doc_id IS NULL THEN 'removed'
+                   WHEN md5(v1.text) <> md5(v2.text) THEN 'changed'
+                   ELSE 'unchanged'
+               END AS status,
+               coalesce(v2.n_chars, 0) - coalesce(v1.n_chars, 0) AS byte_delta
+        FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id
+    )
+    SELECT source, status,
+           CAST(count(*) AS BIGINT)        AS n_docs,
+           CAST(sum(byte_delta) AS BIGINT) AS byte_delta
+    FROM j GROUP BY source, status
+    ORDER BY source, status
+    """,
+    tags=("curation", "versioning", "diff", "audit", "snapshot"),
+)
+def q262_corpus_version_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus snapshot diff — the dataset-versioning audit run between
+    two releases of a training corpus: full-outer-join the versions on
+    doc id, classify every document added / removed / changed /
+    unchanged (changed = content-hash mismatch, so a renamed or
+    re-crawled doc with identical bytes stays 'unchanged'), and roll
+    up per (source, status) with net byte deltas. Versions are
+    deterministic fixture slices (v1 drops doc_id%5=4, v2 drops
+    doc_id%7=6 and edits doc_id%10=3) so the diff exercises all four
+    statuses. The per-source 'changed' row count is the re-training
+    trigger a pipeline watches; byte_delta is the storage-planning
+    read.
+
+    Determinism: integer modular slicing, md5 content identity,
+    exact-integer byte deltas — zero floats.
+
+    Scale posture: ONE full outer join at doc-id grain (both sides
+    hash-partition on the id; at lake scale both snapshots bucket by
+    doc_id and the join is shuffle-free) followed by a partial+final
+    rollup to source×status grain. Content hashes compare WITHOUT
+    shipping text twice: md5 computes map-side on each branch before
+    the join projects text away."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    v1 = docs.where(F.col("doc_id") % 5 != 4).select(
+        "doc_id",
+        F.col("source").alias("source1"),
+        F.md5("text").alias("h1"),
+        F.col("n_chars").alias("c1"),
+    )
+    v2 = docs.where(F.col("doc_id") % 7 != 6).select(
+        "doc_id",
+        F.col("source").alias("source2"),
+        F.when(
+            F.col("doc_id") % 10 == 3, F.md5(F.concat("text", F.lit(" [edited]")))
+        ).otherwise(F.md5("text")).alias("h2"),
+        F.when(F.col("doc_id") % 10 == 3, F.col("n_chars") + 9)
+        .otherwise(F.col("n_chars"))
+        .alias("c2"),
+    )
+    j = v1.join(v2, "doc_id", "full_outer").select(
+        F.coalesce("source1", "source2").alias("source"),
+        F.when(F.col("h1").isNull(), "added")
+        .when(F.col("h2").isNull(), "removed")
+        .when(F.col("h1") != F.col("h2"), "changed")
+        .otherwise("unchanged")
+        .alias("status"),
+        (
+            F.coalesce(F.col("c2"), F.lit(0)) - F.coalesce(F.col("c1"), F.lit(0))
+        ).alias("byte_delta"),
+    )
+    return (
+        j.groupBy("source", "status")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("byte_delta").cast("long").alias("byte_delta"),
+        )
+        .orderBy("source", "status")
+    )
+
+
+@query(
+    "q263_token_budget_waterfill",
+    oracle="""
+    WITH src AS (
+        SELECT source, sum((n_chars + 3) // 4) AS tokens
+        FROM documents GROUP BY source
+    ),
+    tot AS (
+        SELECT sum(tokens) AS total_tokens,
+               (sum(tokens) * 2) // 5 AS budget,
+               count(*) AS n_src
+        FROM src
+    ),
+    ranked AS (
+        SELECT s.source, s.tokens, t.budget, t.n_src,
+               sum(s.tokens) OVER (ORDER BY s.tokens, s.source
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS prefix,
+               CAST(row_number() OVER (ORDER BY s.tokens, s.source)
+                    AS BIGINT) AS rn
+        FROM src s CROSS JOIN tot t
+    ),
+    capped AS (
+        -- the water level lies above the i-1 smallest sources iff
+        -- filling everyone else to t_i would overshoot the budget
+        SELECT *,
+               CASE WHEN prefix - tokens + (n_src - rn + 1) * tokens
+                         >= budget
+                    THEN (budget - (prefix - tokens)) // (n_src - rn + 1)
+               END AS cap_here
+        FROM ranked
+    ),
+    lvl AS (SELECT min(cap_here) AS cap FROM capped WHERE cap_here IS NOT NULL)
+    SELECT r.source,
+           CAST(r.tokens AS BIGINT) AS tokens,
+           CAST(CASE WHEN l.cap IS NULL THEN r.tokens
+                     ELSE least(r.tokens, l.cap) END AS BIGINT) AS allocated,
+           l.cap IS NOT NULL AND r.tokens > l.cap AS capped,
+           CAST(r.budget AS BIGINT) AS budget
+    FROM ranked r CROSS JOIN lvl l
+    ORDER BY r.source
+    """,
+    tags=("curation", "mixing", "budget", "waterfill", "allocation"),
+)
+def q263_token_budget_waterfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Water-filling token allocation across sources: given a global
+    training budget (40% of corpus tokens), find the per-source cap c
+    such that Σ min(tokens_s, c) fills the budget — small sources
+    contribute everything, large sources are clipped at the water
+    level. This is the fair-share mixture allocator (the alternative
+    to q240's temperature weights) a pretraining pipeline uses when no
+    source may dominate the mixture. Emits per source: raw tokens, the
+    allocation, whether it was clipped, and the budget.
+
+    The cap solves in closed form over the token-sorted source list:
+    at the first rank i where filling all remaining sources to
+    tokens_i overshoots, c = (budget − prefix_{i−1}) div (n−i+1).
+    Every step — token pricing, prefix sums, the cap division, the
+    min — is exact integer arithmetic; floor division leaves a
+    sub-|sources| remainder unallocated by design (deterministic,
+    documented) rather than float-splitting it.
+
+    Scale posture: token totals are one partial+final agg to source
+    grain; the sort/prefix/row_number windows run on the |sources|-row
+    frame (bounded — a corpus has tens of sources, not millions), and
+    the cap broadcasts back. If sources were unbounded (per-domain
+    allocation over the open web), the same prefix argument rides
+    ranks.distributed_running_sum — the dataflow is already written."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    src = docs.groupBy("source").agg(
+        F.sum(F.expr("(n_chars + 3) div 4")).alias("tokens")
+    )
+    tot = src.agg(
+        F.sum("tokens").alias("total_tokens"),
+        F.expr("(sum(tokens) * 2) div 5").alias("budget"),
+        F.count(F.lit(1)).alias("n_src"),
+    )
+    w = Window.orderBy("tokens", "source")
+    ranked = (
+        src.crossJoin(F.broadcast(tot))
+        .withColumn(
+            "prefix",
+            F.sum("tokens").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+        .withColumn("rn", F.row_number().over(w).cast("long"))
+    )
+    capped = ranked.withColumn(
+        "cap_here",
+        F.when(
+            F.col("prefix") - F.col("tokens")
+            + (F.col("n_src") - F.col("rn") + 1) * F.col("tokens")
+            >= F.col("budget"),
+            F.expr("(budget - (prefix - tokens)) div (n_src - rn + 1)"),
+        ),
+    )
+    lvl = capped.agg(F.min("cap_here").alias("cap"))
+    return (
+        ranked.crossJoin(F.broadcast(lvl))
+        .select(
+            "source",
+            F.col("tokens").cast("long").alias("tokens"),
+            F.when(F.col("cap").isNull(), F.col("tokens"))
+            .otherwise(F.least("tokens", "cap"))
+            .cast("long")
+            .alias("allocated"),
+            (F.col("cap").isNotNull() & (F.col("tokens") > F.col("cap"))).alias(
+                "capped"
+            ),
+            F.col("budget").cast("long").alias("budget"),
+        )
+        .orderBy("source")
+    )
+
+
+@query(
+    "q264_doremi_mixture_reweight",
+    oracle="""
+    WITH words AS (
+        SELECT doc_id, source,
+               unnest(list_filter(string_split_regex(lower(text), '[^a-z]+'),
+                                  x -> x <> '')) AS w
+        FROM documents
+    ),
+    pos AS (
+        SELECT doc_id, source, w,
+               row_number() OVER (PARTITION BY doc_id ORDER BY w) AS pos
+        FROM words
+    ),
+    uni AS (SELECT w, count(*) AS c FROM words GROUP BY w),
+    n AS (SELECT count(*) AS n FROM words),
+    doc_loss AS (
+        SELECT p.doc_id, p.source,
+               list_reduce(list_prepend(0.0,
+                   list(-ln(CAST(u.c AS DOUBLE) / t.n) ORDER BY p.pos)),
+                   (a, b) -> a + b) / count(*) AS loss
+        FROM pos p JOIN uni u ON p.w = u.w CROSS JOIN n t
+        GROUP BY p.doc_id, p.source
+    ),
+    src AS (
+        SELECT source, count(*) AS n_docs,
+               sum((SELECT sum((n_chars + 3) // 4) FROM documents d2
+                    WHERE d2.doc_id = doc_loss.doc_id)) AS tokens,
+               list_reduce(list_prepend(0.0, list(loss ORDER BY doc_id)),
+                           (a, b) -> a + b) / count(*) AS mean_loss
+        FROM doc_loss GROUP BY source
+    ),
+    ref AS (
+        SELECT sum(n_docs * mean_loss) / sum(n_docs) AS ref_loss,
+               sum(tokens) AS total_tokens
+        FROM (SELECT * FROM src ORDER BY source)
+    ),
+    scored AS (
+        SELECT s.source, s.n_docs, s.tokens, s.mean_loss,
+               CAST(s.tokens AS DOUBLE) / r.total_tokens AS base_w,
+               greatest(0.0, s.mean_loss - r.ref_loss) AS excess
+        FROM src s CROSS JOIN ref r
+    ),
+    z AS (
+        SELECT list_reduce(list_prepend(0.0,
+                   list(base_w * exp(excess) ORDER BY source)),
+                   (a, b) -> a + b) AS z
+        FROM scored
+    )
+    SELECT s.source,
+           CAST(s.n_docs AS BIGINT) AS n_docs,
+           CAST(s.tokens AS BIGINT) AS tokens,
+           round(s.mean_loss, 4)    AS mean_loss,
+           round(s.base_w, 6)       AS base_weight,
+           round(s.excess, 4)       AS excess_loss,
+           round(s.base_w * exp(s.excess) / z.z, 6) AS new_weight
+    FROM scored s CROSS JOIN z
+    ORDER BY s.source
+    """,
+    tags=("curation", "mixing", "doremi", "reweighting", "language-model"),
+)
+def q264_doremi_mixture_reweight(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DoReMi-style domain reweighting, one exponentiated-gradient
+    step: each source's proxy loss is its mean per-document unigram
+    surprisal (−ln of corpus word frequency, the zero-training
+    stand-in for a reference-model loss); sources whose loss exceeds
+    the doc-weighted corpus reference get upweighted multiplicatively
+    (w′ ∝ tokens-share · exp(excess)), then weights renormalize. This
+    is the mixture-optimization step between q240's static temperature
+    mixing and a full DoReMi loop. Emits per source: docs, tokens,
+    loss, base and updated weights.
+
+    Determinism: unigram counts are exact integers; every float
+    accumulation — per-doc surprisal (word order), per-source mean
+    (doc order), the reference, and the softmax normalizer (source
+    order) — is a prepended-zero ordered fold, never engine-ordered
+    SUM; ln/exp libm ulps are absorbed by round(4)/round(6) on pure
+    outputs (no rounded value feeds a comparison). The excess clamp
+    ``greatest(0, ·)`` yields +0.0, not −0.0.
+
+    Scale posture: one corpus-grain explode; the unigram model joins
+    back equi at word grain (vocab-sized state); everything after doc
+    grain is |sources| rows. The per-doc fold arrays are
+    document-length bounded, per-source fold arrays are doc-count
+    bounded — at open-web scale the per-source mean would ride a
+    compensated SUM instead (comparator-tolerance owned), same plan."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    words = docs.select(
+        "doc_id",
+        "source",
+        F.explode(
+            F.filter(
+                F.split(F.lower(F.col("text")), "[^a-z]+"),
+                lambda x: x != F.lit(""),
+            )
+        ).alias("w"),
+    )
+    uni = words.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    n = words.agg(F.count(F.lit(1)).alias("n"))
+    doc_loss = (
+        words.join(uni, "w")
+        .crossJoin(F.broadcast(n))
+        .groupBy("doc_id", "source")
+        .agg(
+            (
+                F.aggregate(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(
+                                F.struct(
+                                    F.col("w"),
+                                    (-F.log(F.col("c").cast("double") / F.col("n"))).alias("lp"),
+                                )
+                            )
+                        ),
+                        lambda x: x["lp"],
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                )
+                / F.count(F.lit(1))
+            ).alias("loss")
+        )
+    )
+    tokens = docs.select(
+        "doc_id", F.expr("(n_chars + 3) div 4").alias("tok")
+    )
+    src = (
+        doc_loss.join(tokens, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("tok").alias("tokens"),
+            (
+                F.aggregate(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(F.struct(F.col("doc_id"), F.col("loss")))
+                        ),
+                        lambda x: x["loss"],
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                )
+                / F.count(F.lit(1))
+            ).alias("mean_loss"),
+        )
+    )
+    ref = src.agg(
+        (F.sum(F.col("n_docs") * F.col("mean_loss")) / F.sum("n_docs")).alias(
+            "ref_loss"
+        ),
+        F.sum("tokens").alias("total_tokens"),
+    )
+    scored = src.crossJoin(F.broadcast(ref)).select(
+        "source",
+        "n_docs",
+        "tokens",
+        "mean_loss",
+        (F.col("tokens").cast("double") / F.col("total_tokens")).alias("base_w"),
+        F.greatest(F.lit(0.0), F.col("mean_loss") - F.col("ref_loss")).alias(
+            "excess"
+        ),
+    )
+    z = scored.agg(
+        F.aggregate(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            F.col("source"),
+                            (F.col("base_w") * F.exp(F.col("excess"))).alias("t"),
+                        )
+                    )
+                ),
+                lambda x: x["t"],
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).alias("z")
+    )
+    return (
+        scored.crossJoin(F.broadcast(z))
+        .select(
+            "source",
+            F.col("n_docs").cast("long").alias("n_docs"),
+            F.col("tokens").cast("long").alias("tokens"),
+            F.round("mean_loss", 4).alias("mean_loss"),
+            F.round("base_w", 6).alias("base_weight"),
+            F.round("excess", 4).alias("excess_loss"),
+            F.round(
+                F.col("base_w") * F.exp(F.col("excess")) / F.col("z"), 6
+            ).alias("new_weight"),
+        )
+        .orderBy("source")
+    )
