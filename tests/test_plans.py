@@ -564,3 +564,55 @@ def test_group_limit_applied_before_join(spark, sf_dir):
     plan = plan_of(df)
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoop" not in plan
+
+
+# ---------------------------------------------------------------------------
+# Round-3 additions (q256-q264): candidate generation must stay equi-keyed.
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "q258_semantic_cluster_dedup",   # pairs equi on cluster label
+        "q260_substring_shingle_overlap",  # pairs equi on shingle key
+    ],
+)
+def test_r3_pair_generation_never_cartesian(spark, sf_dir, name):
+    """The r3 dedup operators form candidate pairs via bucketed
+    equi-joins (cluster label / shingle key). A CartesianProduct here
+    is the all-pairs blow-up these designs exist to avoid."""
+    plan = plan_of(REGISTRY[name].fn(spark, sf_dir))
+    assert "CartesianProduct" not in plan, name
+
+
+def test_q256_pair_grain_broadcasts(spark, sf_dir):
+    """Bradley-Terry's iteration-2 term join runs at type-pair grain
+    against the broadcast s1 table — the data-grain shuffle is the one
+    user_id lag exchange, nothing else."""
+    plan = plan_of(REGISTRY["q256_bradley_terry_preferences"].fn(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q257_lm_joins_are_equi(spark, sf_dir):
+    """The bigram-occurrence -> model join must be an equi hash join on
+    the bigram key; V is the only nested-loop (1-row broadcast)."""
+    plan = plan_of(REGISTRY["q257_bigram_lm_filter"].fn(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+
+
+def test_q259_topk_uses_window_group_limit(spark, sf_dir):
+    """rank<=8 over the scored candidates must compile to
+    WindowGroupLimit (per-group heap, map-side partial) — not a full
+    window materialization of every candidate."""
+    opt = optimized_of(REGISTRY["q259_rag_context_assembly"].fn(spark, sf_dir))
+    assert "WindowGroupLimit" in opt
+
+
+def test_q262_diff_is_single_outer_join(spark, sf_dir):
+    """The snapshot diff is ONE full-outer SortMergeJoin/ShuffledHash
+    at doc-id grain; content hashes must be computed below the join
+    (projection side), never via a second corpus pass."""
+    plan = plan_of(REGISTRY["q262_corpus_version_diff"].fn(spark, sf_dir))
+    assert plan.count("FullOuter") >= 1
+    assert "CartesianProduct" not in plan
