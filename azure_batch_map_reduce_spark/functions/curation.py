@@ -2261,3 +2261,252 @@ def q264_doremi_mixture_reweight(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+_BOOT_REPS = 20
+
+
+@query(
+    "q265_poisson_bootstrap_ci",
+    oracle=f"""
+    WITH reps AS (SELECT unnest(range({_BOOT_REPS})) AS rep),
+    weighted AS (
+        SELECT r.rep, d.doc_id, d.n_chars,
+               (CASE WHEN ('0x' || substr(md5('boot|' || CAST(r.rep AS VARCHAR)
+                           || '|' || CAST(d.doc_id AS VARCHAR) || '|0'), 1, 8))::BIGINT
+                          % 4 = 0 THEN 1 ELSE 0 END)
+             + (CASE WHEN ('0x' || substr(md5('boot|' || CAST(r.rep AS VARCHAR)
+                           || '|' || CAST(d.doc_id AS VARCHAR) || '|1'), 1, 8))::BIGINT
+                          % 4 = 0 THEN 1 ELSE 0 END)
+             + (CASE WHEN ('0x' || substr(md5('boot|' || CAST(r.rep AS VARCHAR)
+                           || '|' || CAST(d.doc_id AS VARCHAR) || '|2'), 1, 8))::BIGINT
+                          % 4 = 0 THEN 1 ELSE 0 END)
+             + (CASE WHEN ('0x' || substr(md5('boot|' || CAST(r.rep AS VARCHAR)
+                           || '|' || CAST(d.doc_id AS VARCHAR) || '|3'), 1, 8))::BIGINT
+                          % 4 = 0 THEN 1 ELSE 0 END) AS w
+        FROM documents d CROSS JOIN reps r
+    ),
+    per_rep AS (
+        SELECT rep,
+               sum(w) AS n_eff,
+               round(CAST(sum(w * n_chars) AS DOUBLE) / sum(w), 4) AS mean_chars
+        FROM weighted GROUP BY rep HAVING sum(w) > 0
+    ),
+    ranked AS (
+        SELECT *, CAST(row_number() OVER (ORDER BY mean_chars, rep)
+                       AS BIGINT) AS rk,
+               count(*) OVER () AS m
+        FROM per_rep
+    ),
+    full_mean AS (
+        SELECT round(CAST(sum(n_chars) AS DOUBLE) / count(*), 4) AS point
+        FROM documents
+    )
+    SELECT r.rep, CAST(r.n_eff AS BIGINT) AS n_eff, r.mean_chars,
+           f.point AS point_estimate,
+           (SELECT min(mean_chars) FROM ranked x
+            WHERE x.rk * 10 > x.m)      AS ci_lo,
+           (SELECT max(mean_chars) FROM ranked x
+            WHERE x.rk * 10 <= 9 * x.m) AS ci_hi
+    FROM ranked r CROSS JOIN full_mean f
+    ORDER BY r.rep
+    """,
+    tags=("curation", "bootstrap", "evaluation", "statistics", "sampling"),
+)
+def q265_poisson_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed Poisson bootstrap (the Chamandy et al. / streaming
+    bootstrap): classic resampling needs the whole dataset per
+    replicate, but drawing each row's per-replicate multiplicity from
+    an independent Binomial(4, ¼) ≈ Poisson(1) turns all 20 replicates
+    into ONE weighted pass — the only way to bootstrap a 100 TB eval
+    metric. Emits each replicate's weighted mean doc length, the full
+    -data point estimate, and the [10%, 90%] bootstrap interval by
+    replicate rank (integer rank arithmetic, q-MI's edge idiom — no
+    float quantile interpolation).
+
+    Determinism: multiplicities are salted-md5 coin flips (exact
+    integers, the q156 hash idiom); each replicate's mean is an
+    exact-integer weighted sum with one closing division; CI edges
+    select members of the rounded replicate-mean set by integer rank
+    with a rep tie-break.
+
+    Scale posture: the 20× fan-out is a map-side cross with a literal
+    reps axis (the q254 lesson: never a cartesian of two local
+    frames); per-replicate sums are one partial+final aggregate at
+    rep grain; the 20-row replicate table ranks in a bounded window.
+    HAVING n_eff>0 guards the degenerate all-zeros replicate at toy
+    corpus sizes."""
+    docs = load_tables(spark, sf_dir)["documents"]
+
+    def flip(rep: Column, k: int) -> Column:
+        h = F.md5(
+            F.concat(
+                F.lit("boot|"),
+                rep.cast("string"),
+                F.lit("|"),
+                F.col("doc_id").cast("string"),
+                F.lit(f"|{k}"),
+            )
+        )
+        return F.when(
+            F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % 4 == 0, 1
+        ).otherwise(0)
+
+    weighted = docs.select(
+        "doc_id",
+        "n_chars",
+        F.explode(F.array(*[F.lit(r) for r in range(_BOOT_REPS)])).alias("rep"),
+    ).select(
+        "rep",
+        "n_chars",
+        sum([flip(F.col("rep"), k) for k in range(4)], F.lit(0)).alias("w"),
+    )
+    per_rep = (
+        weighted.groupBy("rep")
+        .agg(
+            F.sum("w").alias("n_eff"),
+            F.round(
+                F.sum(F.col("w") * F.col("n_chars")).cast("double")
+                / F.sum("w"),
+                4,
+            ).alias("mean_chars"),
+        )
+        .where(F.col("n_eff") > 0)
+    )
+    w_rank = Window.orderBy("mean_chars", "rep")
+    ranked = per_rep.select(
+        "rep",
+        "n_eff",
+        "mean_chars",
+        F.row_number().over(w_rank).cast("long").alias("rk"),
+        F.count(F.lit(1)).over(
+            Window.rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("m"),
+    )
+    edges = ranked.agg(
+        F.min(F.when(F.col("rk") * 10 > F.col("m"), F.col("mean_chars"))).alias(
+            "ci_lo"
+        ),
+        F.max(
+            F.when(F.col("rk") * 10 <= 9 * F.col("m"), F.col("mean_chars"))
+        ).alias("ci_hi"),
+    )
+    full_mean = docs.agg(
+        F.round(
+            F.sum("n_chars").cast("double") / F.count(F.lit(1)), 4
+        ).alias("point")
+    )
+    return (
+        ranked.crossJoin(F.broadcast(full_mean))
+        .crossJoin(F.broadcast(edges))
+        .select(
+            "rep",
+            F.col("n_eff").cast("long").alias("n_eff"),
+            "mean_chars",
+            F.col("point").alias("point_estimate"),
+            "ci_lo",
+            "ci_hi",
+        )
+        .orderBy("rep")
+    )
+
+
+@query(
+    "q266_class_balanced_undersample",
+    oracle="""
+    WITH sized AS (
+        SELECT event_type, count(*) AS n FROM events GROUP BY event_type
+    ),
+    m AS (SELECT min(n) AS m FROM sized),
+    ranked AS (
+        SELECT event_type, event_id,
+               row_number() OVER (
+                   PARTITION BY event_type
+                   ORDER BY md5('bal|' || CAST(event_id AS VARCHAR)),
+                            event_id) AS rk
+        FROM events
+    ),
+    kept AS (
+        SELECT r.event_type, r.event_id
+        FROM ranked r CROSS JOIN m WHERE r.rk <= m.m
+    )
+    SELECT s.event_type,
+           CAST(s.n AS BIGINT)              AS n_before,
+           CAST(count(k.event_id) AS BIGINT) AS n_kept,
+           CAST(sum(k.event_id) AS BIGINT)   AS kept_id_sum,
+           CAST(min(k.event_id) AS BIGINT)   AS kept_id_min,
+           CAST(max(k.event_id) AS BIGINT)   AS kept_id_max
+    FROM sized s JOIN kept k ON s.event_type = k.event_type
+    GROUP BY s.event_type, s.n
+    ORDER BY s.event_type
+    """,
+    tags=("curation", "sampling", "class-balance", "undersample", "ranks"),
+)
+def q266_class_balanced_undersample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Class-balanced undersampling: every event type is cut to the
+    minority class's size by keeping each type's first m rows under a
+    deterministic salted-hash shuffle order — the label-balancing step
+    before training a classifier on skewed telemetry (and the same
+    shape as per-domain corpus capping). The kept set is audited
+    exactly: per type, the sum/min/max of kept ids — so the check
+    pins WHICH rows survive, not just how many.
+
+    Determinism: the per-type order is (md5 of salted id, id) — total,
+    engine-portable, and independent of physical row order; m and all
+    audit columns are exact integers.
+
+    Scale posture: the within-type rank does NOT use a per-type window
+    — with a handful of types each window partition would be
+    corpus/|types| rows through one task. Instead the GLOBAL
+    row_number over (type, hash, id) rides the sample-sort
+    decomposition (ranks.distributed_row_number — every stage
+    parallel), and the within-type rank is global_rank − the type's
+    min rank + 1 (a |types|-row broadcast). The oracle states the
+    same thing as a plain partitioned window, which is correct at
+    oracle grain."""
+    from azure_batch_map_reduce_spark.operators.ranks import (
+        distributed_row_number,
+    )
+
+    ev = load_tables(spark, sf_dir)["events"]
+    sized = ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    m = sized.agg(F.min("n").alias("m"))
+    hashed = ev.select(
+        "event_type",
+        "event_id",
+        F.md5(F.concat(F.lit("bal|"), F.col("event_id").cast("string"))).alias(
+            "hk"
+        ),
+    )
+    ranked = distributed_row_number(
+        hashed,
+        [F.asc("event_type"), F.asc("hk"), F.asc("event_id")],
+        out="grn",
+    )
+    offsets = ranked.groupBy("event_type").agg(F.min("grn").alias("base"))
+    kept = (
+        ranked.join(F.broadcast(offsets), "event_type")
+        .crossJoin(F.broadcast(m))
+        .where(F.col("grn") - F.col("base") + 1 <= F.col("m"))
+    )
+    return (
+        kept.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_kept"),
+            F.sum("event_id").cast("long").alias("kept_id_sum"),
+            F.min("event_id").cast("long").alias("kept_id_min"),
+            F.max("event_id").cast("long").alias("kept_id_max"),
+        )
+        .join(F.broadcast(sized), "event_type")
+        .select(
+            "event_type",
+            F.col("n").cast("long").alias("n_before"),
+            "n_kept",
+            "kept_id_sum",
+            "kept_id_min",
+            "kept_id_max",
+        )
+        .orderBy("event_type")
+    )
