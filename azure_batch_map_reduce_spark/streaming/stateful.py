@@ -308,3 +308,137 @@ query(
     oracle=_Q86_ORACLE,
     tags=("streaming", "stateful", "transformWithState"),
 )(q86_transform_with_state)
+
+
+# ---- token-bucket rate limiting (q267) ----
+
+_TB_TOKEN_US = 14_400_000_000  # one token refills per 4 h (in µs)
+_TB_CAP_US = 2 * _TB_TOKEN_US  # bucket capacity: 2 tokens
+
+# Accumulator is a BIGINT LIST [last_t, tokens, n_allowed], NOT a
+# struct: DuckDB's struct_pack inside a list_reduce lambda lets LATER
+# fields observe the ALREADY-REWRITTEN earlier fields of `acc` (a
+# field named like an acc member shadows it), which silently corrupts
+# any fold whose fields read each other — list literals evaluate every
+# element against the unmodified acc. (Trap pinned in
+# tests/test_streaming.py::test_duckdb_struct_pack_lambda_shadowing.)
+_Q267_ORACLE = f"""
+WITH seq AS (
+    SELECT user_id,
+           list([epoch_us(date_trunc('microseconds', ts)),
+                 CAST(0 AS BIGINT), CAST(0 AS BIGINT)]
+                ORDER BY date_trunc('microseconds', ts), event_id) AS l
+    FROM events GROUP BY user_id
+),
+folded AS (
+    SELECT user_id, len(l) AS n_events,
+           list_reduce(
+               list_prepend([l[1][1], CAST({_TB_CAP_US} AS BIGINT),
+                             CAST(0 AS BIGINT)], l),
+               (acc, x) -> [
+                   x[1],
+                   CASE WHEN least(CAST({_TB_CAP_US} AS BIGINT),
+                                   acc[2] + (x[1] - acc[1]))
+                             >= {_TB_TOKEN_US}
+                        THEN least(CAST({_TB_CAP_US} AS BIGINT),
+                                   acc[2] + (x[1] - acc[1]))
+                             - {_TB_TOKEN_US}
+                        ELSE least(CAST({_TB_CAP_US} AS BIGINT),
+                                   acc[2] + (x[1] - acc[1])) END,
+                   acc[3] + CASE WHEN least(CAST({_TB_CAP_US} AS BIGINT),
+                                            acc[2] + (x[1] - acc[1]))
+                                      >= {_TB_TOKEN_US}
+                                 THEN 1 ELSE 0 END]) AS f
+    FROM seq
+)
+SELECT user_id,
+       CAST(n_events AS BIGINT)           AS n_events,
+       CAST(f[3] AS BIGINT)               AS n_allowed,
+       CAST(n_events - f[3] AS BIGINT)    AS n_denied,
+       CAST(f[2] AS BIGINT)               AS leftover_tokens_us
+FROM folded
+ORDER BY user_id
+"""
+
+
+def _rate_limit(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Token bucket in exact integer microseconds: tokens refill
+    linearly (1 token per 4 h, capacity 2), an event is admitted iff a
+    full token is available and spends it. State carries (last event
+    µs, leftover token-µs, admitted count, total count) across
+    micro-batches; under availableNow's single batch the final
+    snapshot equals the batch fold oracle."""
+    ev = pd.concat(list(pdfs), ignore_index=True)
+    if ev.empty:
+        return
+    ev = ev.sort_values(["ts", "event_id"], ignore_index=True)
+    ts_us = (ev["ts"].astype("int64") // 1000).tolist()
+
+    if state.exists:
+        last_t, tokens, n_allowed, n_events = state.get
+    else:
+        last_t, tokens, n_allowed, n_events = ts_us[0], _TB_CAP_US, 0, 0
+
+    for t in ts_us:
+        tokens = min(_TB_CAP_US, tokens + (t - last_t))
+        if tokens >= _TB_TOKEN_US:
+            tokens -= _TB_TOKEN_US
+            n_allowed += 1
+        last_t = t
+        n_events += 1
+
+    state.update((int(last_t), int(tokens), int(n_allowed), int(n_events)))
+    yield pd.DataFrame(
+        {
+            "user_id": [int(key[0])],
+            "n_events": [int(n_events)],
+            "n_allowed": [int(n_allowed)],
+            "n_denied": [int(n_events - n_allowed)],
+            "leftover_tokens_us": [int(tokens)],
+        }
+    )
+
+
+def q267_stateful_rate_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user token-bucket rate limiting as a REAL stateful stream
+    (``applyInPandasWithState``): the admission-control / quota
+    operator an event-ingestion pipeline runs in front of expensive
+    downstream work. Refill arithmetic is EXACT integer microseconds
+    (1 token = 4 h of µs; capacity 2 tokens; bucket starts full at a
+    user's first event), so the stream result is bit-identical to the
+    DuckDB oracle, which states the same recurrence as a sequential
+    list_reduce with a prepended [last_t, tokens, n] LIST accumulator
+    (the q239 fold discipline extended to multi-field state — see the
+    _Q267_ORACLE comment for why the accumulator must not be a
+    struct).
+
+    Scale posture: state is four integers per user, sharded by group
+    key across executors; each micro-batch sorts only its own rows.
+    The oracle's per-user fold list is event-count bounded — oracle
+    grain only, the stream never materializes it."""
+    from azure_batch_map_reduce_spark.streaming.windows import (
+        events_stream,
+        run_available_now,
+    )
+
+    src = events_stream(spark, sf_dir).select("user_id", "event_id", "ts")
+    stats = src.groupBy("user_id").applyInPandasWithState(
+        _rate_limit,
+        outputStructType=(
+            "user_id long, n_events long, n_allowed long, n_denied long, "
+            "leftover_tokens_us long"
+        ),
+        stateStructType="last_t long, tokens long, n_allowed long, n_events long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    return run_available_now(stats, "update").orderBy("user_id")
+
+
+query(
+    "q267_stateful_rate_limit",
+    oracle=_Q267_ORACLE,
+    tags=("streaming", "stateful", "rate-limit", "quota"),
+)(q267_stateful_rate_limit)

@@ -194,3 +194,71 @@ def test_stream_windowed_distinct_equals_batch(spark, sf_dir, events_dir):
         load_tables(spark, sf_dir)["events"]
     ).toPandas()
     pd.testing.assert_frame_equal(_sorted(stream_out), _sorted(batch_out))
+
+
+def test_duckdb_struct_pack_lambda_shadowing():
+    """Pin the DuckDB quirk q267's oracle works around: in a
+    list_reduce lambda whose struct_pack fields cross-reference the
+    accumulator, a later field can observe an earlier field's
+    ALREADY-REWRITTEN value (observed on DuckDB 1.0.0 with the
+    token-bucket shape below: the n-field's condition reads the new
+    `tokens`, losing an increment). If this ever returns n=2 (the
+    correct fold), DuckDB fixed the lambda scoping and the
+    list-accumulator workaround can revert to a readable struct."""
+    import duckdb
+
+    got = duckdb.sql(
+        """
+        SELECT list_reduce(
+            list_prepend(struct_pack(t := CAST(0 AS BIGINT),
+                                     tokens := CAST(20 AS BIGINT),
+                                     n := CAST(0 AS BIGINT)),
+                         [struct_pack(t := CAST(0 AS BIGINT),
+                                      tokens := CAST(0 AS BIGINT),
+                                      n := CAST(0 AS BIGINT)),
+                          struct_pack(t := CAST(1 AS BIGINT),
+                                      tokens := CAST(0 AS BIGINT),
+                                      n := CAST(0 AS BIGINT))]),
+            (acc, x) -> struct_pack(
+                t := x.t,
+                tokens := CASE WHEN least(CAST(20 AS BIGINT),
+                                          acc.tokens + (x.t - acc.t)) >= 10
+                               THEN least(CAST(20 AS BIGINT),
+                                          acc.tokens + (x.t - acc.t)) - 10
+                               ELSE least(CAST(20 AS BIGINT),
+                                          acc.tokens + (x.t - acc.t)) END,
+                n := acc.n + CASE WHEN least(CAST(20 AS BIGINT),
+                                             acc.tokens + (x.t - acc.t)) >= 10
+                                  THEN 1 ELSE 0 END))
+        """
+    ).fetchone()[0]
+    assert got["tokens"] == 1  # the tokens chain itself is right
+    assert got["n"] == 1, (
+        "DuckDB struct_pack lambda scoping changed — revisit q267 oracle"
+    )
+
+    # The list-literal accumulator sees the unmodified acc throughout:
+    # same fold, correct n=2.
+    got2 = duckdb.sql(
+        """
+        SELECT list_reduce(
+            list_prepend([CAST(0 AS BIGINT), CAST(20 AS BIGINT),
+                          CAST(0 AS BIGINT)],
+                         [[CAST(0 AS BIGINT), CAST(0 AS BIGINT),
+                           CAST(0 AS BIGINT)],
+                          [CAST(1 AS BIGINT), CAST(0 AS BIGINT),
+                           CAST(0 AS BIGINT)]]),
+            (acc, x) -> [
+                x[1],
+                CASE WHEN least(CAST(20 AS BIGINT),
+                                acc[2] + (x[1] - acc[1])) >= 10
+                     THEN least(CAST(20 AS BIGINT),
+                                acc[2] + (x[1] - acc[1])) - 10
+                     ELSE least(CAST(20 AS BIGINT),
+                                acc[2] + (x[1] - acc[1])) END,
+                acc[3] + CASE WHEN least(CAST(20 AS BIGINT),
+                                         acc[2] + (x[1] - acc[1])) >= 10
+                              THEN 1 ELSE 0 END])
+        """
+    ).fetchone()[0]
+    assert got2 == [1, 1, 2]
