@@ -30,7 +30,16 @@ _VERIFY_FIRST = [
     "q46_array_funcs", "q47_map_funcs", "q48_explode_split",
     "q58_json_apis", "q101_corrupt_tolerant_json", "q207_try_functions",
     "q210_variant_semistructured", "q224_json_key_drift", "q84_stateful_sessionize",
-    "q86_transform_with_state", "q122_streaming_upsert", "q107_bm25_retrieval",
+    "q86_transform_with_state", "q122_streaming_upsert",
+    # round-3 NEW operators (registered this round, no driver rows yet)
+    "q256_bradley_terry_preferences", "q257_bigram_lm_filter",
+    "q258_semantic_cluster_dedup", "q259_rag_context_assembly",
+    "q260_substring_shingle_overlap", "q261_score_calibration_ece",
+    "q262_corpus_version_diff", "q263_token_budget_waterfill",
+    "q264_doremi_mixture_reweight", "q265_poisson_bootstrap_ci",
+    "q266_class_balanced_undersample", "q267_stateful_rate_limit",
+    "q268_scd2_history",
+    "q107_bm25_retrieval",
     "q129_curation_funnel", "q20_broadcast_join", "q21_revenue_by_nation",
     "q22_semi_join", "q23_anti_join", "q24_outer_join",
     "q25_theta_join", "q26_range_residual_join", "q27_asof_join",

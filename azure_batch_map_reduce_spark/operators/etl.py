@@ -1266,3 +1266,99 @@ def q232_uniqueness_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             "uniqueness"
         ),
     ).orderBy("col_name")
+
+
+@query(
+    "q268_scd2_history",
+    oracle="""
+    WITH snapped AS (
+        SELECT user_id,
+               date_trunc('microseconds', ts) AS ts,
+               event_id,
+               CAST(round(value * 100) AS BIGINT) AS cents
+        FROM events WHERE event_type IN ('view', 'purchase')
+    ),
+    ordered AS (
+        SELECT *,
+               lag(cents) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS prev_cents
+        FROM snapped
+    ),
+    changes AS (
+        SELECT user_id, ts, event_id, cents
+        FROM ordered
+        WHERE prev_cents IS NULL OR cents <> prev_cents
+    ),
+    versioned AS (
+        SELECT user_id, cents,
+               ts AS valid_from,
+               lead(ts) OVER (PARTITION BY user_id
+                              ORDER BY ts, event_id) AS valid_to,
+               CAST(row_number() OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id)
+                    AS BIGINT) AS version
+        FROM changes
+    )
+    SELECT user_id, version, cents, valid_from, valid_to,
+           valid_to IS NULL AS is_current
+    FROM versioned
+    ORDER BY user_id, version
+    """,
+    tags=("etl", "scd2", "dimension", "history", "merge"),
+)
+def q268_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-2 slowly-changing-dimension history build: fold a change
+    stream (each qualifying event sets the user's attribute, in exact
+    integer cents) into versioned dimension rows with
+    [valid_from, valid_to) intervals, no-op updates collapsed (an
+    event restating the current value opens no version — the
+    idempotence a CDC feed needs), and the open version flagged
+    current. This is the MERGE a warehouse runs to maintain dimension
+    history from a CDC topic, expressed as the deterministic batch
+    rebuild (the replayable form; an incremental MERGE must converge
+    to exactly this table).
+
+    Determinism: change detection is exact integer-cents inequality
+    over the (ts, event_id) total order; interval edges are the event
+    timestamps themselves; versions are row_number on the same order.
+
+    Scale posture: ONE shuffle on user_id serves the change-detect
+    lag, the interval lead, and the version rank (same partition key
+    and sort — Spark plans a single sort+window cascade, no second
+    exchange); state per user is its change count, and no-op collapse
+    happens BEFORE versioning so the window input is the change set,
+    not the raw stream."""
+    ev = load_tables(spark, sf_dir)["events"]
+    snapped = ev.where(F.col("event_type").isin("view", "purchase")).select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    changes = (
+        snapped.withColumn("prev_cents", F.lag("cents").over(w))
+        .where(
+            F.col("prev_cents").isNull()
+            | (F.col("cents") != F.col("prev_cents"))
+        )
+        .drop("prev_cents")
+    )
+    return (
+        changes.select(
+            "user_id",
+            "cents",
+            F.col("ts").alias("valid_from"),
+            F.lead("ts").over(w).alias("valid_to"),
+            F.row_number().over(w).cast("long").alias("version"),
+        )
+        .select(
+            "user_id",
+            "version",
+            "cents",
+            "valid_from",
+            "valid_to",
+            F.col("valid_to").isNull().alias("is_current"),
+        )
+        .orderBy("user_id", "version")
+    )
