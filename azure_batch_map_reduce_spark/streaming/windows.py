@@ -650,3 +650,116 @@ def q253_stream_dominant_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("window_start")
     )
+
+
+@query(
+    "q269_stream_dist_drift",
+    oracle="""
+    WITH counts AS (
+        SELECT time_bucket(INTERVAL '6 hours', ts) AS window_start,
+               event_type, count(*) AS n
+        FROM events
+        GROUP BY window_start, event_type
+    ),
+    wtot AS (
+        SELECT window_start, sum(n) AS wn FROM counts GROUP BY window_start
+    ),
+    gtot AS (
+        SELECT event_type, sum(n) AS gn FROM counts GROUP BY event_type
+    ),
+    g AS (SELECT sum(gn) AS total FROM gtot),
+    terms AS (
+        SELECT c.window_start, c.event_type, w.wn,
+               (CAST(c.n AS DOUBLE) / w.wn)
+               * ln((CAST(c.n AS DOUBLE) / w.wn)
+                    / (CAST(t.gn AS DOUBLE) / g.total)) AS kl_term
+        FROM counts c
+        JOIN wtot w ON c.window_start = w.window_start
+        JOIN gtot t ON c.event_type = t.event_type
+        CROSS JOIN g
+    )
+    SELECT window_start,
+           CAST(max(wn) AS BIGINT) AS n_events,
+           CAST(count(*) AS BIGINT) AS n_types,
+           round(list_reduce(
+               list_prepend(0.0, list(kl_term ORDER BY event_type)),
+               (a, b) -> a + b), 6) AS kl_drift
+    FROM terms
+    GROUP BY window_start
+    ORDER BY window_start
+    """,
+    tags=("streaming", "window", "drift", "kl", "monitoring", "serving"),
+)
+def q269_stream_dist_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming distribution-drift monitor: the STREAM maintains the
+    (6h window × event type) count table through a real availableNow
+    run (q253's one-aggregation-per-stream decomposition); the serving
+    layer scores each window's type distribution against the all-time
+    distribution with KL divergence — the alert a data-quality monitor
+    fires when an ingest hour stops looking like the corpus (upstream
+    schema breaks, bot floods, dropped producers all show here first).
+
+    Determinism: both distributions come from exact integer counts in
+    the SAME sink table (the global reference is the column-sum of the
+    windows, so stream and oracle derive it from identical state);
+    each window's KL folds its ≤|types| ln-terms in type order via the
+    prepended-zero fold; ln ulps are absorbed by round(6) on a pure
+    output.
+
+    Scale posture: stream state is (windows × types) rows, bounded;
+    the serving rollup shuffles the same bounded grain twice (window
+    totals, global totals — both broadcast back). At production scale
+    the reference distribution would pin to a trailing partition of
+    the sink rather than all-time; the dataflow is unchanged."""
+    # localCheckpoint pins the BOUNDED (windows × types) sink table to
+    # a stable lineage: the serving layer joins the table against two
+    # of its own rollups, and the memory-sink relation cannot
+    # self-join (Spark internal error on ambiguous stream-relation
+    # attributes). Eager + bounded grain, so this is a row-count-tiny
+    # materialization, not a corpus one.
+    sink = run_available_now(
+        windowed_type_counts(events_stream(spark, sf_dir)), "complete"
+    ).localCheckpoint(eager=True)
+    wtot = sink.groupBy("window_start").agg(F.sum("n").alias("wn"))
+    gtot = sink.groupBy("event_type").agg(F.sum("n").alias("gn"))
+    g = gtot.agg(F.sum("gn").alias("total"))
+    terms = (
+        sink.join(F.broadcast(wtot), "window_start")
+        .join(F.broadcast(gtot), "event_type")
+        .crossJoin(F.broadcast(g))
+        .select(
+            "window_start",
+            "event_type",
+            "wn",
+            (
+                (F.col("n").cast("double") / F.col("wn"))
+                * F.log(
+                    (F.col("n").cast("double") / F.col("wn"))
+                    / (F.col("gn").cast("double") / F.col("total"))
+                )
+            ).alias("kl_term"),
+        )
+    )
+    return (
+        terms.groupBy("window_start")
+        .agg(
+            F.max("wn").cast("long").alias("n_events"),
+            F.count(F.lit(1)).cast("long").alias("n_types"),
+            F.round(
+                F.aggregate(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(
+                                F.struct(F.col("event_type"), F.col("kl_term"))
+                            )
+                        ),
+                        lambda x: x["kl_term"],
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                ),
+                6,
+            ).alias("kl_drift"),
+        )
+        .orderBy("window_start")
+    )
