@@ -1701,3 +1701,214 @@ def q259_rag_context_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_id", "rank")
     )
+
+
+_Q270_COS = ("round(list_dot_product({a}, {b}) / sqrt("
+             "list_dot_product({a}, {a}) * list_dot_product({b}, {b})), 6)")
+
+
+@query(
+    "q270_ivf_recall_audit",
+    oracle=f"""
+    WITH n AS (
+        SELECT vec_id, label,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+        FROM embeddings
+    ),
+    qv AS (SELECT vec_id AS query_id, e AS qe FROM n WHERE vec_id < 5),
+    corpus AS (SELECT vec_id, label, e FROM n WHERE vec_id >= 5),
+    dims AS (
+        SELECT label, i, avg(e[i]) AS c
+        FROM corpus, generate_series(1, 64) AS t(i)
+        GROUP BY label, i
+    ),
+    centroids AS (
+        SELECT label AS cell, list(c ORDER BY i) AS ce FROM dims GROUP BY label
+    ),
+    assigned AS (
+        SELECT vec_id, cell FROM (
+            SELECT v.vec_id, c.cell,
+                   row_number() OVER (
+                       PARTITION BY v.vec_id
+                       ORDER BY {_Q270_COS.format(a="v.e", b="c.ce")} DESC,
+                                c.cell ASC) AS rn
+            FROM corpus v CROSS JOIN centroids c
+        ) WHERE rn = 1
+    ),
+    probes AS (
+        SELECT query_id, cell, unnest(range(rk, 4)) AS nprobe FROM (
+            SELECT q.query_id, c.cell,
+                   row_number() OVER (
+                       PARTITION BY q.query_id
+                       ORDER BY {_Q270_COS.format(a="q.qe", b="c.ce")} DESC,
+                                c.cell ASC) AS rk
+            FROM qv q CROSS JOIN centroids c
+        ) WHERE rk <= 3
+    ),
+    scored AS (
+        SELECT q.query_id, v.vec_id,
+               {_Q270_COS.format(a="v.e", b="q.qe")} AS cosine
+        FROM corpus v CROSS JOIN qv q
+    ),
+    gt AS (
+        SELECT query_id, vec_id FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY query_id
+                ORDER BY cosine DESC, vec_id ASC) AS rn
+            FROM scored
+        ) WHERE rn <= 10
+    ),
+    cand AS (
+        SELECT p.query_id, p.nprobe, s.vec_id, s.cosine
+        FROM probes p
+        JOIN assigned a ON a.cell = p.cell
+        JOIN scored s ON s.query_id = p.query_id AND s.vec_id = a.vec_id
+    ),
+    ivf AS (
+        SELECT query_id, nprobe, vec_id FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY query_id, nprobe
+                ORDER BY cosine DESC, vec_id ASC) AS rn
+            FROM cand
+        ) WHERE rn <= 10
+    ),
+    sizes AS (
+        SELECT query_id, nprobe, count(*) AS n_candidates
+        FROM cand GROUP BY query_id, nprobe
+    )
+    SELECT z.query_id, CAST(z.nprobe AS INTEGER) AS nprobe,
+           CAST(z.n_candidates AS BIGINT) AS n_candidates,
+           CAST(count(g.vec_id) AS BIGINT) AS n_hits,
+           round(count(g.vec_id) / 10.0, 4) AS recall_at_10
+    FROM sizes z
+    JOIN ivf i ON i.query_id = z.query_id AND i.nprobe = z.nprobe
+    LEFT JOIN gt g ON g.query_id = i.query_id AND g.vec_id = i.vec_id
+    GROUP BY z.query_id, z.nprobe, z.n_candidates
+    ORDER BY z.query_id, z.nprobe
+    """,
+    tags=("similarity", "ann", "ivf", "evaluation", "recall"),
+)
+def q270_ivf_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN quality audit: recall@10 of the IVF index (q73's design)
+    against brute-force ground truth, swept over nprobe ∈ {1,2,3} —
+    the recall/cost curve that decides an ANN deployment's probe
+    budget (the eval a vector-search rollout runs before trusting the
+    index). Emits per (query, nprobe): candidate-list size (the cost
+    proxy) and recall.
+
+    Determinism: every ranking (cell assignment, probe order, ground
+    truth, IVF top-10) is on round-6 cosine with an id tie-break
+    (q70/q73 discipline); recall is an exact integer count over a
+    10-row intersection.
+
+    Scale posture: query vectors and the |cells| codebook broadcast;
+    corpus scoring is map-side; both top-10s compile to per-group
+    WindowGroupLimit heaps; the probe sweep materializes as rank→
+    sequence explode (a cell probed at rank r serves every nprobe ≥ r
+    — no re-scoring per sweep point). The intersection joins 10-row
+    frames. At 100 TB the audit runs on a query SAMPLE against a
+    corpus slice — the dataflow is sampling-invariant."""
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    n = emb.select(
+        "vec_id", "label", _as_double(F.col("embedding")).alias("e")
+    )
+    qv = n.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("e").alias("qe")
+    )
+    corpus = n.where(F.col("vec_id") >= 5)
+
+    def cos(a, b) -> Column:
+        return F.round(
+            _dot(a, b) / F.sqrt(_dot(a, a) * _dot(b, b)), 6
+        )
+
+    dims = (
+        corpus.select("label", F.posexplode("e").alias("i0", "val"))
+        .groupBy("label", F.col("i0").alias("i"))
+        .agg(F.avg("val").alias("c"))
+    )
+    centroids = dims.groupBy(F.col("label").alias("cell")).agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("i", "c"))),
+            lambda s: s.getField("c"),
+        ).alias("ce")
+    )
+    w_assign = Window.partitionBy("vec_id").orderBy(
+        F.desc("ccos"), F.asc("cell")
+    )
+    assigned = (
+        corpus.crossJoin(F.broadcast(centroids))
+        .select(
+            "vec_id", "cell", cos(F.col("e"), F.col("ce")).alias("ccos")
+        )
+        .withColumn("rn", F.row_number().over(w_assign))
+        .where(F.col("rn") == 1)
+        .select("vec_id", "cell")
+    )
+    w_probe = Window.partitionBy("query_id").orderBy(
+        F.desc("qcos"), F.asc("cell")
+    )
+    probes = (
+        qv.crossJoin(F.broadcast(centroids))
+        .select(
+            "query_id", "cell", cos(F.col("qe"), F.col("ce")).alias("qcos")
+        )
+        .withColumn("rk", F.row_number().over(w_probe))
+        .where(F.col("rk") <= 3)
+        .select(
+            "query_id",
+            "cell",
+            F.explode(F.sequence(F.col("rk"), F.lit(3))).alias("nprobe"),
+        )
+    )
+    scored = corpus.crossJoin(F.broadcast(qv)).select(
+        "query_id", "vec_id", cos(F.col("e"), F.col("qe")).alias("cosine")
+    )
+    w_gt = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("vec_id")
+    )
+    # Fresh aliases on BOTH columns: gt and ivf share the `scored`
+    # lineage, and a same-attribute join condition silently collapses
+    # to trivially-true (Spark warns, then mis-joins).
+    gt = (
+        scored.withColumn("rn", F.row_number().over(w_gt))
+        .where(F.col("rn") <= 10)
+        .select(
+            F.col("query_id").alias("gt_query"),
+            F.col("vec_id").alias("gt_vec"),
+        )
+    )
+    cand = probes.join(F.broadcast(assigned), "cell").join(
+        scored, ["query_id", "vec_id"]
+    )
+    w_ivf = Window.partitionBy("query_id", "nprobe").orderBy(
+        F.desc("cosine"), F.asc("vec_id")
+    )
+    ivf = (
+        cand.withColumn("rn", F.row_number().over(w_ivf))
+        .where(F.col("rn") <= 10)
+        .select("query_id", "nprobe", "vec_id")
+    )
+    sizes = cand.groupBy("query_id", "nprobe").agg(
+        F.count(F.lit(1)).alias("n_candidates")
+    )
+    return (
+        ivf.join(
+            F.broadcast(gt),
+            (F.col("query_id") == F.col("gt_query"))
+            & (F.col("vec_id") == F.col("gt_vec")),
+            "left",
+        )
+        .drop("gt_query")
+        .groupBy("query_id", "nprobe")
+        .agg(F.count("gt_vec").alias("n_hits"))
+        .join(F.broadcast(sizes), ["query_id", "nprobe"])
+        .select(
+            "query_id",
+            F.col("nprobe").cast("int").alias("nprobe"),
+            F.col("n_candidates").cast("long").alias("n_candidates"),
+            F.col("n_hits").cast("long").alias("n_hits"),
+            F.round(F.col("n_hits") / 10.0, 4).alias("recall_at_10"),
+        )
+        .orderBy("query_id", "nprobe")
+    )
