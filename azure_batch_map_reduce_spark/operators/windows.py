@@ -335,15 +335,16 @@ def q89_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     hourly AS (
         SELECT event_type, date_trunc('hour', ts) AS hour,
-               count(*) AS n, avg(value) AS v
+               count(*) AS n,
+               sum(CAST(round(value * 1000000) AS BIGINT)) // count(*) AS v
         FROM events GROUP BY 1, 2
     )
     SELECT g.event_type, g.hour,
            CAST(coalesce(h.n, 0) AS BIGINT) AS n_events,
-           round(last_value(h.v IGNORE NULLS) OVER (
+           CAST(last_value(h.v IGNORE NULLS) OVER (
                PARTITION BY g.event_type ORDER BY g.hour
-               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6
-           ) AS avg_value_ffill
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT
+           ) AS avg_value_ffill_micro
     FROM grid g
     LEFT JOIN hourly h ON h.event_type = g.event_type AND h.hour = g.hour
     """,
@@ -355,6 +356,14 @@ def q104_gapfill_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     hours zero-filled and the hourly mean value forward-filled
     (last-observation-carried-forward) — the standard shape for turning
     an irregular event stream into a regular training series.
+
+    The hourly mean is carried in exact integer MICRO-units
+    (sum of round(value·10⁶) div count): a float avg() differs across
+    engines in accumulation order, and even a bit-identical mean can
+    sit close enough to a 6-decimal half-boundary that Spark's
+    BigDecimal HALF_UP and DuckDB's scaled-multiply round() disagree
+    (exactly one grid row flipped at sf0.1). Integer floor-division is
+    the q189 cents discipline at micro grain.
 
     Scale posture: the only data-sized shuffle is the (event_type, hour)
     aggregation, which Catalyst plans partial→final. The hour grid is
@@ -380,7 +389,12 @@ def q104_gapfill_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     hourly = ev.groupBy(
         "event_type", F.date_trunc("hour", F.col("ts")).alias("hour")
-    ).agg(F.count(F.lit(1)).alias("n"), F.avg("value").alias("v"))
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.expr(
+            "sum(cast(round(value * 1000000) as bigint)) div count(1)"
+        ).alias("v"),
+    )
     ffill = Window.partitionBy("event_type").orderBy("hour").rowsBetween(
         Window.unboundedPreceding, 0
     )
@@ -391,9 +405,10 @@ def q104_gapfill_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_type",
             "hour",
             F.coalesce("n", F.lit(0)).alias("n_events"),
-            F.round(F.last("v", ignorenulls=True).over(ffill), 6).alias(
-                "avg_value_ffill"
-            ),
+            F.last("v", ignorenulls=True)
+            .over(ffill)
+            .cast("long")
+            .alias("avg_value_ffill_micro"),
         )
     )
 
@@ -457,8 +472,8 @@ def q108_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q117_distribution_ranks",
     oracle="""
     SELECT c_custkey, c_nationkey,
-           round(percent_rank() OVER w, 6) AS pct_rank,
-           round(cume_dist()    OVER w, 6) AS cume
+           percent_rank() OVER w AS pct_rank,
+           cume_dist()    OVER w AS cume
     FROM customer
     WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal ASC, c_custkey ASC)
     """,
@@ -467,7 +482,16 @@ def q108_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q117_distribution_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """percent_rank and cume_dist per nation — the distribution-position
     ranks (q34 covers the ordinal ranks). Tie-broken on the unique key
-    so both are deterministic; one shuffle on the partition key."""
+    so both are deterministic; one shuffle on the partition key.
+
+    Deliberately UNROUNDED: both ranks are single IEEE divisions of
+    exact integers ((rank−1)/(n−1), k/n) — bit-identical across
+    engines — while round(·, 6) is what diverges: k/n lands exactly ON
+    a decimal half-boundary whenever n divides a power of 2·10⁶, and
+    Spark's BigDecimal HALF_UP disagrees with DuckDB's scaled-multiply
+    rounding there (surfaced at sf0.1, where a 640-customer nation put
+    3 rows on boundaries). For exact-ratio outputs, NOT rounding is
+    the deterministic choice."""
     cust = load_tables(spark, sf_dir)["customer"]
     w = Window.partitionBy("c_nationkey").orderBy(
         F.col("c_acctbal").asc(), F.col("c_custkey").asc()
@@ -475,8 +499,8 @@ def q117_distribution_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cust.select(
         "c_custkey",
         "c_nationkey",
-        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
-        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
     )
 
 
