@@ -1544,3 +1544,96 @@ def q260_substring_shingle_overlap(spark: SparkSession, sf_dir: str) -> DataFram
         )
         .orderBy("doc_a", "doc_b")
     )
+
+
+@query(
+    "q271_dedup_transitive_safety",
+    oracle=f"""
+    WITH RECURSIVE {_PAIRS_CTES},
+    edges AS (
+        SELECT doc_a AS u, doc_b AS v FROM pairs
+        UNION
+        SELECT doc_b, doc_a FROM pairs
+    ),
+    reach AS (
+        SELECT u AS node, u AS lab0 FROM edges
+        UNION
+        SELECT e.v AS node, r.lab0 FROM reach r JOIN edges e ON e.u = r.node
+    ),
+    comp AS (SELECT node, min(lab0) AS grp FROM reach GROUP BY node),
+    sized AS (
+        SELECT grp, count(*) AS cluster_size FROM comp GROUP BY grp
+        HAVING count(*) >= 2
+    ),
+    direct AS (
+        SELECT ca.grp, count(*) AS n_direct
+        FROM pairs p
+        JOIN comp ca ON ca.node = p.doc_a
+        GROUP BY ca.grp
+    )
+    SELECT s.grp AS cluster_rep,
+           CAST(s.cluster_size AS BIGINT) AS cluster_size,
+           CAST(d.n_direct AS BIGINT)     AS n_direct,
+           CAST(s.cluster_size * (s.cluster_size - 1) // 2 AS BIGINT)
+               AS n_possible,
+           CAST((1000000 * (s.cluster_size * (s.cluster_size - 1) // 2
+                            - d.n_direct))
+                // (s.cluster_size * (s.cluster_size - 1) // 2)
+                AS BIGINT) AS indirect_ppm
+    FROM sized s JOIN direct d ON s.grp = d.grp
+    ORDER BY cluster_rep
+    """,
+    tags=("dedup", "clustering", "audit", "transitivity"),
+)
+def q271_dedup_transitive_safety(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive-closure contamination audit for near-dup clusters:
+    per cluster, how many member pairs are NOT directly similar
+    (friend-of-friend members pulled in only through chains). A high
+    indirect fraction means the dedup purge would delete documents
+    that never actually matched anything it keeps — the known failure
+    mode of closing MinHash edges transitively (semantic drift through
+    chains), and the audit that decides between cluster-level and
+    edge-level dedup policies. Emits per multi-member cluster: size,
+    direct-edge count, possible-pair count, and the indirect share in
+    exact integer ppm (k/n ratios land on round() half-boundaries —
+    the q117 lesson — so the share is floor-scaled integer division,
+    never a rounded float).
+
+    Scale posture: reuses q66's bounded label-propagation closure and
+    banded-LSH pair generation (equi-join candidates only); the audit
+    itself is two |clusters|-grain aggregates and one broadcast join —
+    the direct-edge recount joins each PAIR to its cluster label at
+    pair grain, never expanding all member pairs."""
+    docs = _spread(load_tables(spark, sf_dir)["documents"], "doc_id")
+    prs = neardup_pairs(docs).select("doc_a", "doc_b")
+    comp = connected_components(
+        prs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
+    ).select("node", F.col("label").alias("grp"))
+    sized = (
+        comp.groupBy("grp")
+        .agg(F.count(F.lit(1)).alias("cluster_size"))
+        .where(F.col("cluster_size") >= 2)
+    )
+    direct = (
+        prs.join(
+            F.broadcast(comp.select(F.col("node").alias("doc_a"), "grp")),
+            "doc_a",
+        )
+        .groupBy("grp")
+        .agg(F.count(F.lit(1)).alias("n_direct"))
+    )
+    possible = F.expr("cluster_size * (cluster_size - 1) div 2")
+    return (
+        sized.join(direct, "grp")
+        .select(
+            F.col("grp").alias("cluster_rep"),
+            F.col("cluster_size").cast("long").alias("cluster_size"),
+            F.col("n_direct").cast("long").alias("n_direct"),
+            possible.cast("long").alias("n_possible"),
+            F.expr(
+                "(1000000 * (cluster_size * (cluster_size - 1) div 2"
+                " - n_direct)) div (cluster_size * (cluster_size - 1) div 2)"
+            ).cast("long").alias("indirect_ppm"),
+        )
+        .orderBy("cluster_rep")
+    )
