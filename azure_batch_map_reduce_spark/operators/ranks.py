@@ -52,6 +52,21 @@ def _num_range_partitions(df: DataFrame, num_partitions: int | None) -> int:
     return max(1, int(sess.conf.get("spark.sql.shuffle.partitions", "32")))
 
 
+def _pin_partitioning(d: DataFrame) -> DataFrame:
+    """Persist the range-partitioned frame so the offsets branch and
+    the data branch of a sample-sort decomposition read ONE
+    materialization. Without it, each branch re-evaluates the
+    ``repartitionByRange``, whose boundaries come from reservoir
+    sampling over the upstream partitions' arrival order — a
+    nondeterministic-order shuffle upstream (any join/agg) can hand
+    the two evaluations DIFFERENT boundaries, silently corrupting
+    ranks/offsets (q171 at sf0.1). MEMORY_AND_DISK (the default) keeps
+    it spill-safe; the cache is released by the runners'
+    ``spark.catalog.clearCache()`` after each query (a query fn cannot
+    unpersist what its un-materialized result still needs)."""
+    return d.persist()
+
+
 def _offsets(per_pid: DataFrame, total_cols: dict[str, str]) -> DataFrame:
     """(pid, totals…) → (pid, offsets…): offset = sum of totals over all
     STRICTLY EARLIER pids. A triangular broadcast self-join over the
@@ -86,9 +101,20 @@ def distributed_row_number(
     ``Window.partitionBy(pid)`` formulation), then the broadcast offsets
     join. The per-partition totals table is the only "gather", and it is
     ≤ ``num_partitions`` rows.
+
+    ``d`` is PERSISTED before branching (see :func:`_pin_partitioning`):
+    the offsets branch and the main branch would otherwise evaluate the
+    range shuffle twice, and ``repartitionByRange`` SAMPLES its
+    boundaries from whatever intra-partition order the upstream shuffle
+    happened to produce — two evaluations can pick different
+    boundaries, making the broadcast offsets disagree with the rows
+    they are added to (ranks silently duplicate/skip; surfaced as
+    q171's uneven deciles in the round-3 sf0.1 sweep — sf0.01 was too
+    small to diverge). One materialization = one partitioning, by
+    construction.
     """
     n = _num_range_partitions(df, num_partitions)
-    d = (
+    d = _pin_partitioning(
         df.repartitionByRange(n, *order_by)
         .sortWithinPartitions(*order_by)
         .withColumn("_mid", F.monotonically_increasing_id())
@@ -123,8 +149,12 @@ def distributed_running_sum(
     the q139 pattern: groupBy(price) → running sum over distinct prices.
     """
     n = _num_range_partitions(df, num_partitions)
-    d = df.repartitionByRange(n, *order_by).withColumn(
-        "_pid", F.spark_partition_id()
+    # Persisted before branching — same two-evaluation boundary hazard
+    # as distributed_row_number (see _pin_partitioning).
+    d = _pin_partitioning(
+        df.repartitionByRange(n, *order_by).withColumn(
+            "_pid", F.spark_partition_id()
+        )
     )
     w = (
         Window.partitionBy("_pid")
@@ -182,8 +212,12 @@ def distributed_running_extremum(
         raise ValueError(f"fn must be one of {sorted(_EXTREMUM)}: {fn!r}")
     agg_fn, merge_fn = _EXTREMUM[fn]
     n = _num_range_partitions(df, num_partitions)
-    d = df.repartitionByRange(n, *order_by).withColumn(
-        "_pid", F.spark_partition_id()
+    # Persisted before branching — same two-evaluation boundary hazard
+    # as distributed_row_number (see _pin_partitioning).
+    d = _pin_partitioning(
+        df.repartitionByRange(n, *order_by).withColumn(
+            "_pid", F.spark_partition_id()
+        )
     )
     w = (
         Window.partitionBy("_pid")
