@@ -1912,3 +1912,112 @@ def q270_ivf_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_id", "nprobe")
     )
+
+
+def _q272_sub_cos_sql(qs: int, ds: int) -> str:
+    """Rounded cosine between query subvector qs and doc subvector ds
+    (1-based 16-dim slices) — oracle text."""
+    a = f"q.qe[{(qs - 1) * 16 + 1}:{qs * 16}]"
+    b = f"d.de[{(ds - 1) * 16 + 1}:{ds * 16}]"
+    return (f"round(list_dot_product({a}, {b}) / sqrt("
+            f"list_dot_product({a}, {a}) * list_dot_product({b}, {b})), 4)")
+
+
+def _q272_oracle() -> str:
+    per_q = " + ".join(
+        "greatest(" + ", ".join(_q272_sub_cos_sql(qs, ds) for ds in (1, 2, 3, 4)) + ")"
+        for qs in (1, 2, 3, 4)
+    )
+    return f"""
+    WITH qv AS (
+        SELECT vec_id AS query_id,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qe
+        FROM embeddings WHERE vec_id < 5
+    ),
+    dv AS (
+        SELECT vec_id, label,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS de
+        FROM embeddings WHERE vec_id >= 5
+    ),
+    scored AS (
+        SELECT q.query_id, d.vec_id, d.label,
+               round({per_q}, 4) AS maxsim
+        FROM dv d CROSS JOIN qv q
+    )
+    SELECT query_id, vec_id, label, maxsim
+    FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY query_id
+            ORDER BY maxsim DESC, vec_id ASC) AS rn
+        FROM scored
+    ) WHERE rn <= 5
+    ORDER BY query_id, rn
+    """
+
+
+@query(
+    "q272_maxsim_late_interaction",
+    oracle=_q272_oracle(),
+    tags=("similarity", "retrieval", "maxsim", "late-interaction", "colbert"),
+)
+def q272_maxsim_late_interaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ColBERT-style late-interaction retrieval (MaxSim): both query
+    and document vectors decompose into 4 16-dim subvectors ("token
+    embeddings"); a document scores Σ over query subvectors of the MAX
+    cosine against any document subvector — the fine-grained matcher
+    that beats single-vector cosine when different parts of a query
+    match different parts of a document. Top-5 documents per query.
+
+    Determinism: each of the 16 subvector cosines rounds to 4 BEFORE
+    max/sum (the q242 argmin discipline — ulps cannot flip which
+    subvector wins); the 4-term sum is a fixed left-to-right
+    expression, identical on both engines; the final score re-rounds
+    at 4 and ranks with a vec_id tie-break.
+
+    Scale posture: queries broadcast; MaxSim is one map-side
+    expression per (doc, query) — the 16 sub-cosines share the two
+    sliced operands via common-subexpression reuse; top-5 compiles to
+    WindowGroupLimit. At production scale documents pre-normalize
+    their subvectors at write time, halving the per-pair math; the
+    dataflow (broadcast probe → map-side score → per-query heap) is
+    q70's, with a richer scoring kernel."""
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    qv = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        _as_double(F.col("embedding")).alias("qe"),
+    )
+    dv = emb.where(F.col("vec_id") >= 5).select(
+        "vec_id", "label", _as_double(F.col("embedding")).alias("de")
+    )
+
+    def sub(col: str, s: int) -> Column:
+        return F.slice(F.col(col), (s - 1) * 16 + 1, 16)
+
+    def sub_cos(qs: int, ds: int) -> Column:
+        a, b = sub("qe", qs), sub("de", ds)
+        return F.round(
+            _dot(a, b) / F.sqrt(_dot(a, a) * _dot(b, b)), 4
+        )
+
+    maxsim = F.round(
+        sum(
+            (
+                F.greatest(*[sub_cos(qs, ds) for ds in (1, 2, 3, 4)])
+                for qs in (2, 3, 4)
+            ),
+            F.greatest(*[sub_cos(1, ds) for ds in (1, 2, 3, 4)]),
+        ),
+        4,
+    )
+    scored = dv.crossJoin(F.broadcast(qv)).select(
+        "query_id", "vec_id", "label", maxsim.alias("maxsim")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("maxsim"), F.asc("vec_id")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 5)
+        .select("query_id", "vec_id", "label", "maxsim")
+        .orderBy("query_id", F.desc("maxsim"), F.asc("vec_id"))
+    )
