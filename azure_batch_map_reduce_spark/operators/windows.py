@@ -2186,7 +2186,7 @@ def q217_sprt_sequential_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         WINDOW w AS (PARTITION BY user_id ORDER BY event_id)
     )
     SELECT user_id, event_id, v, lag1, lag2, lag3, target,
-           round(CAST(sum5 AS DOUBLE) / cnt5 / 1000.0, 4) AS rolling_mean
+           (sum5 * 1000) // cnt5 AS rolling_mean_micro
     FROM feats
     WHERE lag3 IS NOT NULL AND target IS NOT NULL
     ORDER BY user_id, event_id
@@ -2199,8 +2199,11 @@ def q227_sequence_feature_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     the prediction target — the flat (features, label) frame a
     forecasting model trains on, with warm-up rows (incomplete lags)
     and the final row (no target) dropped so no NULL ever reaches the
-    trainer. Values are exact integer milli-units; only the display
-    mean divides.
+    trainer. Values are exact integer milli-units END TO END — the
+    rolling mean is floor-scaled integer micro-units ((sum·1000) div
+    count), because sum/4/1000 lands exactly on 4-decimal half
+    boundaries where engine round() rules disagree (surfaced at
+    sf0.1; the q104/q117 class).
 
     One window partitioning serves all six columns — adding a feature
     is free; this is why feature frames are built in one pass, not
@@ -2235,9 +2238,7 @@ def q227_sequence_feature_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
             "lag2",
             "lag3",
             "target",
-            F.round(
-                F.col("sum5").cast("double") / F.col("cnt5") / 1000.0, 4
-            ).alias("rolling_mean"),
+            F.expr("(sum5 * 1000) div cnt5").alias("rolling_mean_micro"),
         )
         .orderBy("user_id", "event_id")
     )
