@@ -66,6 +66,12 @@ HEADLINE = [
     "q249_exact_quantiles_distributed",
     "q254_portable_count_min",
     "q255_distributed_auc",
+    # Round-3 operators: LM scoring (corpus-heavy text), shingle-join
+    # dedup, SCD2 window cascade, late-interaction vector kernel.
+    "q257_bigram_lm_filter",
+    "q260_substring_shingle_overlap",
+    "q268_scd2_history",
+    "q272_maxsim_late_interaction",
 ]
 
 
