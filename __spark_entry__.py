@@ -41,6 +41,8 @@ _VERIFY_FIRST = [
     "q268_scd2_history", "q269_stream_dist_drift",
     "q270_ivf_recall_audit", "q271_dedup_transitive_safety",
     "q272_maxsim_late_interaction",
+    "q273_segment_boilerplate_removal", "q274_positional_inverted_index",
+    "q275_stream_left_outer_join",
     "q107_bm25_retrieval",
     "q129_curation_funnel", "q20_broadcast_join", "q21_revenue_by_nation",
     "q22_semi_join", "q23_anti_join", "q24_outer_join",

@@ -2114,3 +2114,231 @@ def q257_bigram_lm_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("alp", 4).alias("avg_logprob"),
         (F.round("alp", 4) >= -3.4).alias("keep"),
     ).orderBy("doc_id")
+
+
+_SEG_W = 3            # words per pseudo-line segment
+_SEG_MIN_DF = 3       # absolute boilerplate floor
+_SEG_DF_FRAC = 0.005  # relative boilerplate threshold (frac of corpus docs)
+_SEG_KEEP_FRAC = 0.7  # doc survives if this fraction of segments is clean
+
+
+@query(
+    "q273_segment_boilerplate_removal",
+    oracle=f"""
+    WITH w AS (
+        SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents
+    ),
+    nd AS (SELECT count(*) AS n_docs FROM documents),
+    seg AS (
+        SELECT DISTINCT doc_id,
+               array_to_string(list_slice(ws, i * {_SEG_W} + 1,
+                                          i * {_SEG_W} + {_SEG_W}), ' ') AS s
+        FROM (
+            SELECT doc_id, ws,
+                   unnest(range(0, (len(ws) + {_SEG_W} - 1) // {_SEG_W})) AS i
+            FROM w
+        )
+    ),
+    dfq AS (SELECT s, count(*) AS df FROM seg GROUP BY s),
+    boiler AS (
+        SELECT s FROM dfq CROSS JOIN nd
+        WHERE df >= greatest({_SEG_MIN_DF},
+                             CAST(ceil({_SEG_DF_FRAC} * n_docs) AS BIGINT))
+    ),
+    per AS (
+        SELECT seg.doc_id,
+               count(*) AS n_segments,
+               sum(CASE WHEN b.s IS NOT NULL THEN 1 ELSE 0 END) AS n_boiler
+        FROM seg LEFT JOIN boiler b ON seg.s = b.s
+        GROUP BY seg.doc_id
+    )
+    SELECT doc_id,
+           CAST(n_segments AS BIGINT) AS n_segments,
+           CAST(n_boiler AS BIGINT)   AS n_boiler,
+           round(1.0 - CAST(n_boiler AS DOUBLE) / n_segments, 4) AS retained_frac,
+           (round(1.0 - CAST(n_boiler AS DOUBLE) / n_segments, 4)
+               >= {_SEG_KEEP_FRAC}) AS keep
+    FROM per
+    ORDER BY doc_id
+    """,
+    tags=("text", "curation", "boilerplate", "dedup"),
+)
+def q273_segment_boilerplate_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style frequency-based boilerplate removal, adapted to the
+    fixture's unpunctuated word-stream texts: each document is cut into
+    consecutive 3-word "pseudo-line" segments (the deterministic stand-in
+    for CCNet's paragraph/line grain); a segment appearing in >=
+    max(3, 0.5% of corpus docs) distinct documents is boilerplate (nav
+    chrome, license headers, share buttons in a real web corpus); each
+    doc reports its clean-segment fraction and a keep flag at 70%.
+
+    Determinism: pure integer/string work — segmentation is integer
+    stride math, the threshold is integer-ceil of a fixed fraction, and
+    the single float (retained_frac) is one exact-integer division
+    rounded at 4.
+
+    Scale posture: segment doc-frequency is a partial+final count at
+    segment grain (the shuffled key is the segment text — at 100 TB,
+    hash it to 8 bytes first, same plan); the boilerplate set joins
+    back by segment key (its size is corpus-frequency-capped from
+    BELOW, so it is the small, broadcastable tail of the df
+    distribution); per-doc rollup re-shuffles on doc_id once. The
+    corpus-size scalar is a 1-row broadcast. Reference contract: the
+    per-doc segmentation is the pluggable map slot (``App.config:16``),
+    the df consolidation the reduce slot (``App.config:17``)."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    w = docs.select(
+        "doc_id", F.split(F.lower(F.col("text")), " ").alias("ws")
+    )
+    nd = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    seg = (
+        w.select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(
+                        F.lit(0),
+                        F.floor((F.size("ws") + _SEG_W - 1) / _SEG_W) - 1,
+                    ),
+                    lambda i: F.array_join(
+                        F.slice(F.col("ws"), i * _SEG_W + 1, _SEG_W), " "
+                    ),
+                )
+            ).alias("s"),
+        )
+        .distinct()
+    )
+    dfq = seg.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
+    boiler = dfq.crossJoin(F.broadcast(nd)).where(
+        F.col("df")
+        >= F.greatest(
+            F.lit(_SEG_MIN_DF),
+            F.ceil(F.lit(_SEG_DF_FRAC) * F.col("n_docs")),
+        )
+    ).select("s", F.lit(1).alias("is_boiler"))
+    per = (
+        seg.join(boiler, "s", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_segments"),
+            F.sum(
+                F.when(F.col("is_boiler").isNotNull(), 1).otherwise(0)
+            ).alias("n_boiler"),
+        )
+    )
+    retained = F.round(
+        1.0 - F.col("n_boiler").cast("double") / F.col("n_segments"), 4
+    )
+    return per.select(
+        "doc_id",
+        F.col("n_segments").cast("long").alias("n_segments"),
+        F.col("n_boiler").cast("long").alias("n_boiler"),
+        retained.alias("retained_frac"),
+        (retained >= _SEG_KEEP_FRAC).alias("keep"),
+    ).orderBy("doc_id")
+
+
+_IDX_TOP_TERMS = 12   # index-head page: most frequent terms
+_IDX_MAX_POSTINGS = 50  # postings page size per term
+
+
+@query(
+    "q274_positional_inverted_index",
+    oracle=f"""
+    WITH occ AS (
+        SELECT doc_id, ws[p + 1] AS term, p AS pos
+        FROM (
+            SELECT doc_id, ws, unnest(range(0, len(ws))) AS p
+            FROM (
+                SELECT doc_id, string_split(lower(text), ' ') AS ws
+                FROM documents
+            )
+        )
+    ),
+    top_terms AS (
+        SELECT term, count(*) AS cf, count(DISTINCT doc_id) AS df
+        FROM occ GROUP BY term
+        ORDER BY cf DESC, term ASC LIMIT {_IDX_TOP_TERMS}
+    ),
+    postings AS (
+        SELECT o.term, o.doc_id, count(*) AS tf,
+               list(o.pos ORDER BY o.pos) AS positions
+        FROM occ o JOIN top_terms t ON o.term = t.term
+        GROUP BY o.term, o.doc_id
+    )
+    SELECT p.term,
+           CAST(t.df AS BIGINT) AS df,
+           CAST(t.cf AS BIGINT) AS cf,
+           p.doc_id,
+           CAST(p.tf AS BIGINT) AS tf,
+           p.positions
+    FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY term ORDER BY doc_id ASC) AS rn
+        FROM postings
+    ) p JOIN top_terms t ON p.term = t.term
+    WHERE p.rn <= {_IDX_MAX_POSTINGS}
+    ORDER BY p.term, p.doc_id
+    """,
+    tags=("text", "retrieval", "index", "postings"),
+)
+def q274_positional_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional inverted-index build — the core data structure behind
+    BM25/phrase search (q107 computes scores directly; this materializes
+    the index itself): token occurrences with 0-based positions roll up
+    to per-(term, doc) postings {tf, sorted position list}, annotated
+    with term-level df/cf. Output is bounded to the index HEAD — the 12
+    most frequent terms (ties lexicographic) with their first 50
+    postings by doc_id — the "hot page" a serving shard keeps pinned.
+
+    Determinism: integer positions, exact counts, lexicographic ties;
+    position lists are sorted on both engines.
+
+    Scale posture: occurrence extraction is map-side explode; postings
+    build is ONE shuffle on (term, doc_id) with partial aggregation;
+    term stats (df/cf) are a second aggregate at term grain that the
+    head filter reduces to a broadcastable 12-row table BEFORE the
+    postings join, so the big posting shuffle only materializes for
+    head terms. Per-term postings ranking partitions by term and is
+    page-capped. At 100 TB the same plan shards by term-hash — posting
+    lists never concentrate on one node because the (term, doc) grain,
+    not the term grain, is the shuffle key. Reference contract: per-doc
+    tokenize = map slot (``App.config:16``); postings consolidation =
+    reduce slot (``App.config:17``)."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    occ = docs.select(
+        "doc_id",
+        F.posexplode(F.split(F.lower(F.col("text")), " ")).alias("pos", "term"),
+    )
+    top_terms = (
+        occ.groupBy("term")
+        .agg(
+            F.count(F.lit(1)).alias("cf"),
+            F.countDistinct("doc_id").alias("df"),
+        )
+        .orderBy(F.desc("cf"), F.asc("term"))
+        .limit(_IDX_TOP_TERMS)
+    )
+    postings = (
+        occ.join(F.broadcast(top_terms.select("term")), "term")
+        .groupBy("term", "doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("tf"),
+            F.sort_array(F.collect_list("pos")).alias("positions"),
+        )
+    )
+    w = Window.partitionBy("term").orderBy(F.asc("doc_id"))
+    return (
+        postings.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= _IDX_MAX_POSTINGS)
+        .join(F.broadcast(top_terms), "term")
+        .select(
+            "term",
+            F.col("df").cast("long").alias("df"),
+            F.col("cf").cast("long").alias("cf"),
+            "doc_id",
+            F.col("tf").cast("long").alias("tf"),
+            "positions",
+        )
+        .orderBy("term", "doc_id")
+    )

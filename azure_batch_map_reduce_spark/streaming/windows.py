@@ -763,3 +763,87 @@ def q269_stream_dist_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("window_start")
     )
+
+
+@query(
+    "q275_stream_left_outer_join",
+    oracle="""
+    WITH p AS (
+        SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+    ),
+    c AS (
+        SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+    ),
+    wm AS (
+        SELECT least((SELECT max(ts) FROM p), (SELECT max(ts) FROM c))
+               - INTERVAL 10 MINUTE AS w
+    )
+    SELECT p.event_id AS purchase_id, p.user_id, p.ts AS purchase_ts,
+           c.event_id AS click_id, c.ts AS click_ts
+    FROM p JOIN c ON p.user_id = c.user_id
+       AND c.ts >= p.ts - INTERVAL 1 HOUR
+       AND c.ts <= p.ts
+    UNION ALL
+    SELECT p.event_id, p.user_id, p.ts,
+           CAST(NULL AS BIGINT), CAST(NULL AS TIMESTAMP)
+    FROM p CROSS JOIN wm
+    WHERE p.ts < wm.w
+      AND NOT EXISTS (
+          SELECT 1 FROM c
+          WHERE c.user_id = p.user_id
+            AND c.ts >= p.ts - INTERVAL 1 HOUR
+            AND c.ts <= p.ts
+      )
+    """,
+    tags=("streaming", "join", "outer", "watermark"),
+)
+def q275_stream_left_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream LEFT OUTER interval join as a REAL stream: every
+    purchase joined to same-user clicks in the preceding hour; purchases
+    with NO matching click emit a null-padded row — but only once the
+    watermark PROVES no match can still arrive. This is the abandoned-
+    attribution shape ("purchases without a preceding click") that an
+    inner join (q87) cannot express on a stream.
+
+    Null-emission contract (the part the oracle replays): a left row is
+    held in state until the global watermark — min over both streams of
+    (max event time − 10 min), because the latest click that can match
+    a purchase is at purchase_ts itself — passes purchase_ts; then it
+    emits with nulls. Under availableNow, rows whose fate the final
+    watermark never settles (purchase_ts ≥ watermark, unmatched) are
+    withheld, exactly like q85's open trailing window. Matched rows
+    emit eagerly, watermark-independent.
+
+    Scale posture: same bounded-state design as q87 — the range
+    condition lets Spark evict both sides at (watermark − interval), so
+    state is (1 h + delay) × arrival rate, not the stream's history;
+    the outer-ness adds only a per-row matched bit to that state.
+    Without the range condition Spark would reject the outer join
+    outright rather than buffer forever."""
+    ev = events_stream(spark, sf_dir)
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            "user_id",
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", "10 minutes")
+    )
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "10 minutes")
+    )
+    joined = purchases.join(
+        clicks,
+        (F.col("user_id") == F.col("c_user_id"))
+        & (F.col("click_ts") >= F.col("purchase_ts") - F.expr("INTERVAL 1 HOUR"))
+        & (F.col("click_ts") <= F.col("purchase_ts")),
+        "leftOuter",
+    ).select("purchase_id", "user_id", "purchase_ts", "click_id", "click_ts")
+    return run_available_now(joined, "append")
