@@ -42,7 +42,9 @@ _VERIFY_FIRST = [
     "q270_ivf_recall_audit", "q271_dedup_transitive_safety",
     "q272_maxsim_late_interaction",
     "q273_segment_boilerplate_removal", "q274_positional_inverted_index",
-    "q275_stream_left_outer_join",
+    "q275_stream_left_outer_join", "q276_kmv_overlap_estimate",
+    "q277_isotonic_calibration", "q278_fellegi_sunter_weights",
+    "q279_acf_daily_autocorrelation", "q280_multiprobe_lsh_ann",
     "q107_bm25_retrieval",
     "q129_curation_funnel", "q20_broadcast_join", "q21_revenue_by_nation",
     "q22_semi_join", "q23_anti_join", "q24_outer_join",

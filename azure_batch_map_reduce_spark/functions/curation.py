@@ -2510,3 +2510,126 @@ def q266_class_balanced_undersample(spark: SparkSession, sf_dir: str) -> DataFra
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "q277_isotonic_calibration",
+    oracle="""
+    WITH scored AS (
+        SELECT doc_id,
+               round(1.0 / (1.0 + exp(-(n_chars - 500) / 200.0)), 6) AS score,
+               CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+        FROM documents
+    ),
+    per_bin AS (
+        SELECT least(CAST(floor(score * 10) AS INTEGER), 9) AS bin,
+               count(*) AS n, sum(y) AS n_pos
+        FROM scored GROUP BY 1
+    ),
+    iv AS (
+        SELECT a.bin AS i, b.bin AS j,
+               CAST(sum(m.n_pos) AS DOUBLE) / sum(m.n) AS avg_ij
+        FROM per_bin a
+        JOIN per_bin b ON a.bin <= b.bin
+        JOIN per_bin m ON m.bin BETWEEN a.bin AND b.bin
+        GROUP BY a.bin, b.bin
+    ),
+    mn AS (
+        SELECT iv.i, k.bin AS k, min(iv.avg_ij) AS m
+        FROM iv JOIN per_bin k ON iv.i <= k.bin AND iv.j >= k.bin
+        GROUP BY iv.i, k.bin
+    ),
+    iso AS (SELECT k AS bin, max(m) AS iso FROM mn GROUP BY k)
+    SELECT p.bin,
+           CAST(p.n AS BIGINT)     AS n_docs,
+           CAST(p.n_pos AS BIGINT) AS n_pos,
+           round(CAST(p.n_pos AS DOUBLE) / p.n, 6) AS raw_rate,
+           round(i.iso, 6)                         AS iso_rate,
+           (round(CAST(p.n_pos AS DOUBLE) / p.n, 6)
+               <> round(i.iso, 6))                 AS adjusted
+    FROM per_bin p JOIN iso i ON p.bin = i.bin
+    ORDER BY p.bin
+    """,
+    tags=("curation", "calibration", "isotonic", "evaluation"),
+)
+def q277_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Isotonic (monotone) calibration of a classifier score via
+    pool-adjacent-violators, computed with PAV's max-min closed form:
+    the fitted rate at bin k equals max over starts i<=k of (min over
+    ends j>=k of the pooled positive rate on [i..j]). Same scorer and
+    binning as the ECE audit (q261); where q261 only MEASURES
+    miscalibration, this produces the corrected per-bin probabilities a
+    pipeline substitutes for raw scores (the sklearn
+    IsotonicRegression / Zadrozny-Elkan recipe). `adjusted` marks bins
+    the pooling changed — a run of adjusted bins is exactly a
+    monotonicity violation in the raw scorer.
+
+    Determinism: every interval rate is ONE exact-integer division in
+    IEEE doubles (bit-identical cross-engine); min/max selection has no
+    accumulation order; rounding at 6 happens after fit. Binning
+    consumes the 6-rounded sigmoid exactly as q261 does.
+
+    Scale posture: the corpus collapses to 10 bins in one partial+final
+    aggregate; the PAV triangle (interval pooling, min-over-ends,
+    max-over-starts) is three joins on the 10-row bin table — O(B³)
+    driver-free arithmetic at B=10, independent of corpus size. This is
+    the textbook reduction: isotonic regression is sequential, so pool
+    FIRST at bounded grain, fit at that grain. Reference contract: the
+    per-doc scoring is the map slot (``App.config:16``); bin pooling is
+    the reduce slot (``App.config:17``)."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    scored = docs.select(
+        F.round(
+            1.0 / (1.0 + F.exp(-(F.col("n_chars") - 500) / 200.0)), 6
+        ).alias("score"),
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("y"),
+    )
+    per_bin = (
+        scored.select(
+            F.least(F.floor(F.col("score") * 10).cast("int"), F.lit(9)).alias(
+                "bin"
+            ),
+            "y",
+        )
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("y").alias("n_pos"))
+    )
+    a = per_bin.select(F.col("bin").alias("i"))
+    b = per_bin.select(F.col("bin").alias("j"))
+    m = per_bin.select(
+        F.col("bin").alias("mb"), F.col("n").alias("mn"), F.col("n_pos").alias("mp")
+    )
+    iv = (
+        a.join(F.broadcast(b), F.col("i") <= F.col("j"))
+        .join(
+            F.broadcast(m),
+            (F.col("mb") >= F.col("i")) & (F.col("mb") <= F.col("j")),
+        )
+        .groupBy("i", "j")
+        .agg(
+            (F.sum("mp").cast("double") / F.sum("mn")).alias("avg_ij")
+        )
+    )
+    k = per_bin.select(F.col("bin").alias("k"))
+    mn = (
+        iv.join(
+            F.broadcast(k),
+            (F.col("i") <= F.col("k")) & (F.col("j") >= F.col("k")),
+        )
+        .groupBy("i", "k")
+        .agg(F.min("avg_ij").alias("m"))
+    )
+    iso = mn.groupBy("k").agg(F.max("m").alias("iso"))
+    raw = F.round(F.col("n_pos").cast("double") / F.col("n"), 6)
+    return (
+        per_bin.join(F.broadcast(iso), per_bin["bin"] == iso["k"])
+        .select(
+            "bin",
+            F.col("n").cast("long").alias("n_docs"),
+            F.col("n_pos").cast("long").alias("n_pos"),
+            raw.alias("raw_rate"),
+            F.round("iso", 6).alias("iso_rate"),
+            (raw != F.round("iso", 6)).alias("adjusted"),
+        )
+        .orderBy("bin")
+    )

@@ -1637,3 +1637,133 @@ def q271_dedup_transitive_safety(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cluster_rep")
     )
+
+
+_FS_M = {"segment": 0.95, "acctbal_band": 0.9, "name_suffix": 0.8}
+
+
+@query(
+    "q278_fellegi_sunter_weights",
+    oracle=f"""
+    WITH fields AS (
+        SELECT c_nationkey AS blk, 'segment' AS field,
+               c_mktsegment AS val FROM customer
+        UNION ALL
+        SELECT c_nationkey, 'acctbal_band',
+               CAST(CAST(floor(c_acctbal / 1000) AS INTEGER) AS VARCHAR)
+        FROM customer
+        UNION ALL
+        SELECT c_nationkey, 'name_suffix',
+               substr(c_name, length(c_name) - 1, 2)
+        FROM customer
+    ),
+    blocks AS (
+        SELECT c_nationkey AS blk, count(*) AS s FROM customer
+        GROUP BY c_nationkey
+    ),
+    n_pairs AS (
+        SELECT sum(s * (s - 1) // 2) AS np FROM blocks
+    ),
+    agree AS (
+        SELECT field, sum(c * (c - 1) // 2) AS na
+        FROM (
+            SELECT field, blk, val, count(*) AS c
+            FROM fields GROUP BY field, blk, val
+        )
+        GROUP BY field
+    ),
+    m AS (
+        SELECT * FROM (VALUES
+            ('segment', {_FS_M["segment"]}),
+            ('acctbal_band', {_FS_M["acctbal_band"]}),
+            ('name_suffix', {_FS_M["name_suffix"]})) t(field, m)
+    )
+    SELECT a.field,
+           CAST(p.np AS BIGINT) AS n_pairs,
+           CAST(a.na AS BIGINT) AS n_agree,
+           round(CAST(a.na AS DOUBLE) / p.np, 6)      AS u,
+           m.m                                        AS m,
+           round(log2(m.m / (CAST(a.na AS DOUBLE) / p.np)), 4)
+                                                      AS weight_agree,
+           round(log2((1 - m.m)
+                      / (1 - CAST(a.na AS DOUBLE) / p.np)), 4)
+                                                      AS weight_disagree
+    FROM agree a CROSS JOIN n_pairs p JOIN m ON a.field = m.field
+    ORDER BY a.field
+    """,
+    tags=("dedup", "entity-resolution", "fellegi-sunter", "linkage"),
+)
+def q278_fellegi_sunter_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fellegi-Sunter record-linkage weight estimation (the model behind
+    Splink/production ER): for each comparison field — market segment,
+    account-balance band, name suffix — estimate u (the probability
+    two NON-matching records agree by chance) from the blocked-pair
+    population, pair it with a fixed prior m (agreement probability
+    among true matches), and emit the log2 agreement/disagreement
+    weights that score candidate pairs. Complements q111 (fuzzy
+    candidate join) and q181 (golden record): this is the step that
+    LEARNS the scoring weights those consumers apply.
+
+    The u estimate uses the pair-free identity: the number of blocked
+    pairs agreeing on field f equals sum over (block, value) groups of
+    C(count, 2) — so NO pair is ever materialized; blocking on nation
+    makes u an estimate over the match-plausible population, per
+    standard practice.
+
+    Determinism: counts are exact integers (C(n,2) in integer math); u
+    is one exact-integer IEEE division; log2 is libm but rounds at 4
+    with operands far from rounding boundaries (pinned by the
+    differential at two scales).
+
+    Scale posture: two partial+final aggregates — (field, block, value)
+    grain then field grain (3 rows); the pair population size is a
+    1-row broadcast. A naive formulation joins the blocked pairs
+    (quadratic in block size); this one never leaves linear counting —
+    the difference between feasible and not at 100 TB. Reference
+    contract: per-record field extraction = map slot
+    (``App.config:16``); agreement consolidation = reduce slot
+    (``App.config:17``)."""
+    cust = load_tables(spark, sf_dir)["customer"]
+    fields = cust.select(
+        F.col("c_nationkey").alias("blk"),
+        F.expr(
+            "stack(3, "
+            "'segment', c_mktsegment, "
+            "'acctbal_band', cast(cast(floor(c_acctbal / 1000) as int) as string), "
+            "'name_suffix', substr(c_name, length(c_name) - 1, 2)"
+            ") as (field, val)"
+        ),
+    )
+    blocks = cust.groupBy("c_nationkey").agg(F.count(F.lit(1)).alias("s"))
+    n_pairs = blocks.agg(
+        F.sum((F.col("s") * (F.col("s") - 1)).cast("long") / 2).cast("long").alias("np")
+    )
+    agree = (
+        fields.groupBy("field", "blk", "val")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("field")
+        .agg(
+            F.sum((F.col("c") * (F.col("c") - 1)).cast("long") / 2)
+            .cast("long")
+            .alias("na")
+        )
+    )
+    m_rows = [(k, v) for k, v in sorted(_FS_M.items())]
+    m_df = spark.createDataFrame(m_rows, "field string, m double")
+    u = F.col("na").cast("double") / F.col("np")
+    return (
+        agree.crossJoin(F.broadcast(n_pairs))
+        .join(F.broadcast(m_df), "field")
+        .select(
+            "field",
+            F.col("np").cast("long").alias("n_pairs"),
+            F.col("na").cast("long").alias("n_agree"),
+            F.round(u, 6).alias("u"),
+            "m",
+            F.round(F.log2(F.col("m") / u), 4).alias("weight_agree"),
+            F.round(F.log2((1 - F.col("m")) / (1 - u)), 4).alias(
+                "weight_disagree"
+            ),
+        )
+        .orderBy("field")
+    )

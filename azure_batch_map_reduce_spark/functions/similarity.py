@@ -2021,3 +2021,115 @@ def q272_maxsim_late_interaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "vec_id", "label", "maxsim")
         .orderBy("query_id", F.desc("maxsim"), F.asc("vec_id"))
     )
+
+
+@query(
+    "q280_multiprobe_lsh_ann",
+    oracle="""
+    WITH n AS (
+        SELECT vec_id, label,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e,
+               concat_ws('', CASE WHEN embedding[1] >= 0 THEN '1' ELSE '0' END,
+                             CASE WHEN embedding[2] >= 0 THEN '1' ELSE '0' END,
+                             CASE WHEN embedding[3] >= 0 THEN '1' ELSE '0' END,
+                             CASE WHEN embedding[4] >= 0 THEN '1' ELSE '0' END,
+                             CASE WHEN embedding[5] >= 0 THEN '1' ELSE '0' END,
+                             CASE WHEN embedding[6] >= 0 THEN '1' ELSE '0' END) AS sig
+        FROM embeddings
+    ),
+    q AS (SELECT sig AS qsig, e AS qe FROM n WHERE vec_id = 0),
+    probes AS (
+        SELECT qsig AS psig, 0 AS pdist, qe FROM q
+        UNION ALL
+        SELECT substr(qsig, 1, CAST(i - 1 AS INTEGER))
+               || (CASE WHEN substr(qsig, CAST(i AS INTEGER), 1) = '1'
+                   THEN '0' ELSE '1' END)
+               || substr(qsig, CAST(i + 1 AS INTEGER)),
+               1, qe
+        FROM q, unnest(range(1, 7)) t(i)
+    )
+    SELECT n.vec_id, n.label, p.pdist AS probe_dist,
+           round(list_dot_product(n.e, p.qe)
+                 / sqrt(list_dot_product(n.e, n.e)
+                        * list_dot_product(p.qe, p.qe)), 6) AS cosine
+    FROM n JOIN probes p ON n.sig = p.psig AND n.vec_id <> 0
+    ORDER BY cosine DESC, vec_id ASC
+    LIMIT 10
+    """,
+    tags=("similarity", "lsh", "ann", "multiprobe"),
+)
+def q280_multiprobe_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe LSH ANN (Lv et al., VLDB'07): instead of growing
+    recall by adding hash TABLES (more memory) the query probes its own
+    bucket PLUS the 6 buckets at Hamming distance 1 in signature space
+    — the buckets a near neighbor most likely fell into when one
+    hyperplane test flipped. Single-bucket LSH (q71) trades recall for
+    speed; multi-probe buys most of the recall back at zero index
+    cost. Emits the exact-cosine top-10 among probed candidates with
+    the probe distance that surfaced each (pdist=0: home bucket).
+
+    Determinism: probe-key construction is pure string arithmetic; the
+    candidate set is an exact equi-join; cosine rounds at 6 with the
+    lexicographic vec_id tie-break.
+
+    Scale posture: the probe set is 7 rows built from the 1-row query —
+    broadcast to the corpus scan, so candidate generation is a
+    map-side semi-join with NO corpus shuffle (same shape as q73's
+    broadcast codebook); scoring touches only probed-bucket rows and
+    top-k is a TakeOrdered. At 1000 executors the 100 TB corpus stays
+    partition-local end to end. Reference contract: per-vector
+    signature = map slot (``App.config:16``); top-k consolidation =
+    reduce slot (``App.config:17``)."""
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    sig = F.concat_ws(
+        "",
+        *[
+            F.when(F.element_at("embedding", i) >= 0, "1").otherwise("0")
+            for i in range(1, 7)
+        ],
+    )
+    n = emb.select(
+        "vec_id", "label", _as_double(F.col("embedding")).alias("e"), sig.alias("sig")
+    )
+    q = n.filter(F.col("vec_id") == 0).select(
+        F.col("sig").alias("qsig"), F.col("e").alias("qe")
+    )
+
+    def flip(i: int):
+        return F.concat(
+            F.substring("qsig", 1, i - 1),
+            F.when(F.substring("qsig", i, 1) == "1", "0").otherwise("1"),
+            F.substring("qsig", i + 1, 6 - i),
+        )
+
+    probes = q.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("qsig").alias("psig"), F.lit(0).alias("pdist")),
+                *[
+                    F.struct(flip(i).alias("psig"), F.lit(1).alias("pdist"))
+                    for i in range(1, 7)
+                ],
+            )
+        ).alias("p"),
+        "qe",
+    ).select(F.col("p.psig").alias("psig"), F.col("p.pdist").alias("pdist"), "qe")
+    cand = n.filter(F.col("vec_id") != 0).join(
+        F.broadcast(probes), F.col("sig") == F.col("psig")
+    )
+    return (
+        cand.select(
+            "vec_id",
+            "label",
+            F.col("pdist").alias("probe_dist"),
+            F.round(
+                _dot(F.col("e"), F.col("qe"))
+                / F.sqrt(
+                    _dot(F.col("e"), F.col("e")) * _dot(F.col("qe"), F.col("qe"))
+                ),
+                6,
+            ).alias("cosine"),
+        )
+        .orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
+        .limit(10)
+    )

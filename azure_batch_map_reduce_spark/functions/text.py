@@ -2342,3 +2342,192 @@ def q274_positional_inverted_index(spark: SparkSession, sf_dir: str) -> DataFram
         )
         .orderBy("term", "doc_id")
     )
+
+
+_KMV_K = 64               # sketch size (minimum hash values kept)
+_KMV_M = 1_000_000_007    # hash modulus (fits BIGINT after *131 step)
+
+
+@query(
+    "q276_kmv_overlap_estimate",
+    oracle=f"""
+    WITH bg AS (
+        SELECT DISTINCT source, ws[i + 1] || ' ' || ws[i + 2] AS b
+        FROM (
+            SELECT source, ws, unnest(range(0, len(ws) - 1)) AS i
+            FROM (
+                SELECT source, string_split(lower(text), ' ') AS ws
+                FROM documents
+            )
+        )
+    ),
+    h AS (
+        SELECT DISTINCT source,
+               list_reduce(
+                   list_prepend(CAST(0 AS BIGINT),
+                                list_transform(string_split(b, ''),
+                                               c -> CAST(ascii(c) AS BIGINT))),
+                   (acc, c) -> (acc * 131 + c) % {_KMV_M}) AS hv
+        FROM bg
+    ),
+    sk AS (
+        SELECT source, list_slice(list_sort(list(hv)), 1, {_KMV_K}) AS sketch,
+               count(*) AS n_exact
+        FROM h GROUP BY source
+    ),
+    ex AS (
+        SELECT a.source AS source_a, b.source AS source_b, count(*) AS n_inter
+        FROM bg a JOIN bg b ON a.b = b.b AND a.source < b.source
+        GROUP BY a.source, b.source
+    ),
+    pairs AS (
+        SELECT a.source AS source_a, b.source AS source_b,
+               a.sketch AS ska, b.sketch AS skb,
+               a.n_exact AS na, b.n_exact AS nb,
+               least({_KMV_K}, len(a.sketch)) AS ka,
+               least({_KMV_K}, len(b.sketch)) AS kb
+        FROM sk a JOIN sk b ON a.source < b.source
+    ),
+    est AS (
+        SELECT source_a, source_b, na, nb,
+               round((ka - 1) * CAST({_KMV_M} AS DOUBLE) / ska[ka], 2) AS est_distinct_a,
+               round((kb - 1) * CAST({_KMV_M} AS DOUBLE) / skb[kb], 2) AS est_distinct_b,
+               len(list_intersect(
+                   list_intersect(
+                       list_slice(list_sort(list_distinct(ska || skb)),
+                                  1, {_KMV_K}),
+                       ska), skb)) AS n_shared
+        FROM pairs
+    )
+    SELECT e.source_a, e.source_b,
+           e.est_distinct_a, e.est_distinct_b,
+           round(CAST(e.n_shared AS DOUBLE) / {_KMV_K}, 4) AS est_jaccard,
+           round(CAST(x.n_inter AS DOUBLE)
+                 / (e.na + e.nb - x.n_inter), 4) AS exact_jaccard,
+           round(abs(CAST(e.n_shared AS DOUBLE) / {_KMV_K}
+                     - CAST(x.n_inter AS DOUBLE)
+                       / (e.na + e.nb - x.n_inter)), 4) AS abs_err
+    FROM est e JOIN ex x
+      ON e.source_a = x.source_a AND e.source_b = x.source_b
+    ORDER BY e.source_a, e.source_b
+    """,
+    tags=("text", "sketch", "kmv", "jaccard", "dedup"),
+)
+def q276_kmv_overlap_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-minimum-values (KMV / bottom-k) sketches per source over the
+    distinct word-bigram space, with pairwise set-OVERLAP estimation —
+    the capability the rest of the sketch family lacks: HLL (q156) and
+    CMS (q254) answer cardinality/frequency but cannot intersect; a
+    bottom-k sketch is a uniform sample of the hashed universe, so the
+    k-smallest of a UNION of two sketches estimates Jaccard as the
+    fraction of those values present in both (Beyer et al., SIGMOD'07).
+    Emits per source pair: KMV distinct estimates, estimated vs exact
+    Jaccard, and the absolute error — the audit column that tells an
+    operator whether k=64 suffices before scaling out.
+
+    Determinism: the hash is an explicit polynomial fold ((acc*131 +
+    ascii) mod 1e9+7) evaluated as the SAME sequential lambda on both
+    engines (seed prepended on the DuckDB side because list_reduce
+    seeds with the first element); estimates are exact-integer
+    divisions in IEEE doubles, the one float op that is bit-identical
+    cross-engine (SCALE.md determinism note).
+
+    Scale posture: sketch build is partial+final — distinct (source,
+    bigram) shuffle, then a per-source bounded sort keeping 64 values;
+    the sketch table is |sources| rows × 64 ints, broadcastable at any
+    corpus size, and pairwise estimation is array math on that tiny
+    table (never touches the corpus). The EXACT Jaccard path is the
+    audit: an equi-join on the bigram key — drop it in production and
+    the query reads each document exactly once. Reference contract:
+    per-doc shingle+hash = map slot (``App.config:16``); bottom-k
+    consolidation = reduce slot (``App.config:17``)."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    ws = docs.select("source", F.split(F.lower(F.col("text")), " ").alias("ws"))
+    bg = (
+        ws.select(
+            "source",
+            F.explode(
+                F.when(
+                    F.size("ws") >= 2,
+                    F.transform(
+                        F.sequence(F.lit(1), F.size("ws") - 1),
+                        lambda i: F.concat(
+                            F.element_at(F.col("ws"), i),
+                            F.lit(" "),
+                            F.element_at(F.col("ws"), i + 1),
+                        ),
+                    ),
+                ).otherwise(F.array().cast("array<string>"))
+            ).alias("b"),
+        )
+        .distinct()
+    )
+    hv = F.aggregate(
+        F.split(F.col("b"), ""),
+        F.lit(0).cast("long"),
+        lambda acc, c: (acc * 131 + F.ascii(c)) % _KMV_M,
+    )
+    h = bg.select("source", hv.alias("hv")).distinct()
+    sk = h.groupBy("source").agg(
+        F.slice(F.array_sort(F.collect_list("hv")), 1, _KMV_K).alias("sketch"),
+        F.count(F.lit(1)).alias("n_exact"),
+    )
+    ex = (
+        bg.alias("a")
+        .join(
+            bg.alias("b"),
+            (F.col("a.b") == F.col("b.b"))
+            & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(
+            F.col("a.source").alias("source_a"),
+            F.col("b.source").alias("source_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    a = sk.select(
+        F.col("source").alias("source_a"),
+        F.col("sketch").alias("ska"),
+        F.col("n_exact").alias("na"),
+    )
+    b = sk.select(
+        F.col("source").alias("source_b"),
+        F.col("sketch").alias("skb"),
+        F.col("n_exact").alias("nb"),
+    )
+    pairs = a.join(F.broadcast(b), F.col("source_a") < F.col("source_b"))
+    ka = F.least(F.lit(_KMV_K), F.size("ska"))
+    kb = F.least(F.lit(_KMV_K), F.size("skb"))
+    u64 = F.slice(F.array_sort(F.array_union("ska", "skb")), 1, _KMV_K)
+    est = pairs.select(
+        "source_a",
+        "source_b",
+        "na",
+        "nb",
+        F.round(
+            (ka - 1).cast("double") * _KMV_M / F.element_at("ska", ka), 2
+        ).alias("est_distinct_a"),
+        F.round(
+            (kb - 1).cast("double") * _KMV_M / F.element_at("skb", kb), 2
+        ).alias("est_distinct_b"),
+        F.size(
+            F.array_intersect(F.array_intersect(u64, F.col("ska")), F.col("skb"))
+        ).alias("n_shared"),
+    )
+    ej = F.col("n_shared").cast("double") / _KMV_K
+    xj = F.col("n_inter").cast("double") / (
+        F.col("na") + F.col("nb") - F.col("n_inter")
+    )
+    return (
+        est.join(F.broadcast(ex), ["source_a", "source_b"])
+        .select(
+            "source_a",
+            "source_b",
+            "est_distinct_a",
+            "est_distinct_b",
+            F.round(ej, 4).alias("est_jaccard"),
+            F.round(xj, 4).alias("exact_jaccard"),
+            F.round(F.abs(ej - xj), 4).alias("abs_err"),
+        )
+        .orderBy("source_a", "source_b")
+    )

@@ -2599,3 +2599,113 @@ def q251_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("from_type", "to_type")
     )
+
+
+_ACF_MAX_LAG = 7
+
+
+@query(
+    "q279_acf_daily_autocorrelation",
+    oracle=f"""
+    WITH daily AS (
+        SELECT date_trunc('day', ts) AS day,
+               CAST(count(*) AS DOUBLE) AS x
+        FROM events GROUP BY 1
+    ),
+    series AS (
+        SELECT list(x ORDER BY day) AS arr, count(*) AS n FROM daily
+    ),
+    stats AS (
+        SELECT arr, n,
+               list_reduce(list_prepend(0.0, arr), (a, b) -> a + b) / n AS m
+        FROM series
+    ),
+    centered AS (
+        SELECT arr, n, m,
+               list_reduce(list_prepend(0.0,
+                   list_transform(arr, x -> (x - m) * (x - m))),
+                   (a, b) -> a + b) AS denom
+        FROM stats
+    )
+    SELECT lag,
+           CAST(n AS BIGINT) AS n_days,
+           round(list_reduce(list_prepend(0.0,
+                     list_transform(range(1, n - lag + 1),
+                                    i -> (arr[CAST(i AS INTEGER)] - m)
+                                       * (arr[CAST(i + lag AS INTEGER)] - m))),
+                     (a, b) -> a + b) / denom, 6) + 0.0 AS acf
+    FROM centered, unnest(range(1, {_ACF_MAX_LAG} + 1)) t(lag)
+    ORDER BY lag
+    """,
+    tags=("timeseries", "statistics", "autocorrelation", "window"),
+)
+def q279_acf_daily_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation function of the daily event-count series at lags
+    1..7 — the periodicity probe run before any seasonal model (q247's
+    decomposition assumes a cycle; this MEASURES whether one exists and
+    at which lag). r_l = Σ(x_t − x̄)(x_{t+l} − x̄) / Σ(x_t − x̄)², the
+    standard biased ACF estimator.
+
+    Determinism: the corpus collapses to one day-ordered array; mean,
+    denominator, and every lag's numerator are sequential left-to-right
+    folds over that array (Spark `aggregate` seeded 0.0 ≡ DuckDB
+    `list_reduce` with a prepended 0.0 seed), so accumulation order is
+    engine-identical; the closing division rounds at 6 with signed-zero
+    normalization (`round_nz` / `+ 0.0`) because a lag's covariance can
+    be a negative epsilon.
+
+    Scale posture: ONE partial+final aggregate to day grain (bounded:
+    days, not events), then a ≤|days|-element array folded per lag — 7
+    rows of arithmetic independent of event volume. The day-grain
+    pre-aggregation is the whole trick: ACF over raw events is a
+    self-join; ACF over the daily rollup is free. Reference contract:
+    per-event day bucketing = map slot (``App.config:16``); series
+    assembly = reduce slot (``App.config:17``)."""
+    events = load_tables(spark, sf_dir)["events"]
+    daily = events.groupBy(
+        F.date_trunc("day", F.col("ts")).alias("day")
+    ).agg(F.count(F.lit(1)).cast("double").alias("x"))
+    series = daily.agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("day", "x"))),
+            lambda s: s.getField("x"),
+        ).alias("arr"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    stats = series.withColumn(
+        "m",
+        F.aggregate(F.col("arr"), F.lit(0.0), lambda a, b: a + b) / F.col("n"),
+    ).withColumn(
+        "denom",
+        F.aggregate(
+            F.transform(
+                F.col("arr"), lambda x: (x - F.col("m")) * (x - F.col("m"))
+            ),
+            F.lit(0.0),
+            lambda a, b: a + b,
+        ),
+    )
+    lagged = stats.select(
+        "arr",
+        "n",
+        "m",
+        "denom",
+        F.explode(F.sequence(F.lit(1), F.lit(_ACF_MAX_LAG))).alias("lag"),
+    )
+    num = F.aggregate(
+        F.transform(
+            F.sequence(F.lit(1), F.col("n") - F.col("lag")),
+            lambda i: (F.element_at("arr", i.cast("int")) - F.col("m"))
+            * (
+                F.element_at("arr", (i + F.col("lag")).cast("int"))
+                - F.col("m")
+            ),
+        ),
+        F.lit(0.0),
+        lambda a, b: a + b,
+    )
+    return lagged.select(
+        "lag",
+        F.col("n").cast("long").alias("n_days"),
+        round_nz(num / F.col("denom"), 6).alias("acf"),
+    ).orderBy("lag")
