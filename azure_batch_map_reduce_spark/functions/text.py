@@ -2531,3 +2531,314 @@ def q276_kmv_overlap_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source_a", "source_b")
     )
+
+
+# Phrase gazetteer: surface form -> (entity id, entity type). Multi-word
+# spans up to 3 tokens; stands in for a production entity dictionary
+# (locations, products, org names) matched against token streams.
+_GAZETTEER = (
+    ("hash join", "HASH_JOIN", "operator"),
+    ("sort merge", "SORT_MERGE", "operator"),
+    ("table scan", "TABLE_SCAN", "operator"),
+    ("group agg", "GROUP_AGG", "operator"),
+    ("stream window", "STREAM_WINDOW", "operator"),
+    ("merge join key", "MERGE_JOIN_KEY", "operator"),
+)
+_GAZ_TOPN = 20
+
+
+@query(
+    "q281_gazetteer_span_match",
+    oracle=f"""
+    WITH dict AS (
+        SELECT * FROM (VALUES
+            {",".join(f"('{p}', '{e}', '{t}', {len(p.split())})" for p, e, t in _GAZETTEER)}
+        ) t(phrase, entity, etype, n_words)
+    ),
+    w AS (
+        SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents
+    ),
+    spans AS (
+        SELECT doc_id, i AS pos,
+               array_to_string(list_slice(ws, CAST(i + 1 AS INTEGER),
+                                          CAST(i + n AS INTEGER)), ' ') AS phrase
+        FROM w, unnest(range(0, len(ws) - 1)) t(i), (VALUES (2), (3)) g(n)
+        WHERE i + n <= len(ws)
+    ),
+    hits AS (
+        SELECT s.doc_id, d.entity, d.etype,
+               count(*) AS n_mentions,
+               list(s.pos ORDER BY s.pos) AS positions
+        FROM spans s JOIN dict d ON s.phrase = d.phrase
+        GROUP BY s.doc_id, d.entity, d.etype
+    )
+    SELECT doc_id, entity, etype,
+           CAST(n_mentions AS BIGINT) AS n_mentions, positions
+    FROM hits
+    ORDER BY n_mentions DESC, doc_id ASC, entity ASC
+    LIMIT {_GAZ_TOPN}
+    """,
+    tags=("text", "ner", "gazetteer", "span", "dictionary"),
+)
+def q281_gazetteer_span_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dictionary-based entity span matching (gazetteer NER — the
+    Aho-Corasick-style tagging step of entity linking pipelines,
+    expressed relationally): every 2- and 3-token span of every
+    document joins against a phrase dictionary; matches aggregate to
+    (doc, entity) with mention counts and 0-based token start
+    positions. Emits the 20 heaviest taggings (mentions desc, doc,
+    entity) — the review queue a curation pass inspects.
+
+    Determinism: spans are integer stride math over the token array;
+    matching is exact string equality; positions sort ascending on
+    both engines; the top-20 tie-break is total.
+
+    Scale posture: span extraction is map-side explode (k·n spans per
+    n-token doc, k=2 span widths); the dictionary — like any real
+    gazetteer, orders of magnitude smaller than the corpus — joins as
+    a BROADCAST, so candidate matching never shuffles the corpus; the
+    only shuffle is the (doc, entity)-grain rollup of actual HITS,
+    which is match-sparse by construction. Top-k is a TakeOrdered.
+    At 100 TB: identical plan, dictionary still broadcast. Reference
+    contract: per-doc span scan = map slot (``App.config:16``); hit
+    consolidation = reduce slot (``App.config:17``)."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    dict_df = spark.createDataFrame(
+        [(p, e, t, len(p.split())) for p, e, t in _GAZETTEER],
+        "phrase string, entity string, etype string, n_words int",
+    )
+    w = docs.select("doc_id", F.split(F.lower(F.col("text")), " ").alias("ws"))
+    # Closure factory, NOT a default-arg lambda: a second lambda
+    # parameter silently binds to the ELEMENT INDEX in Spark
+    # higher-order functions (verify-skill trap).
+    def _span_fn(n: int):
+        return lambda i: F.struct(
+            i.alias("pos"),
+            F.array_join(F.slice(F.col("ws"), i + 1, n), " ").alias("phrase"),
+        )
+
+    span_parts = []
+    for n in (2, 3):
+        span_parts.append(
+            w.select(
+                "doc_id",
+                F.explode(
+                    F.when(
+                        F.size("ws") >= n,
+                        F.transform(
+                            F.sequence(F.lit(0), F.size("ws") - n),
+                            _span_fn(n),
+                        ),
+                    ).otherwise(
+                        F.array().cast(
+                            "array<struct<pos:bigint,phrase:string>>"
+                        )
+                    )
+                ).alias("sp"),
+            ).select("doc_id", F.col("sp.pos").alias("pos"), F.col("sp.phrase").alias("phrase"))
+        )
+    spans = span_parts[0].unionAll(span_parts[1])
+    hits = (
+        spans.join(F.broadcast(dict_df), "phrase")
+        .groupBy("doc_id", "entity", "etype")
+        .agg(
+            F.count(F.lit(1)).alias("n_mentions"),
+            F.sort_array(F.collect_list("pos")).alias("positions"),
+        )
+    )
+    return (
+        hits.select(
+            "doc_id",
+            "entity",
+            "etype",
+            F.col("n_mentions").cast("long").alias("n_mentions"),
+            "positions",
+        )
+        .orderBy(F.desc("n_mentions"), F.asc("doc_id"), F.asc("entity"))
+        .limit(_GAZ_TOPN)
+    )
+
+
+_WFQ_STEPS = 40
+
+
+@query(
+    "q282_wfq_interleave_schedule",
+    oracle=f"""
+    WITH toks AS (
+        SELECT source, sum(len(string_split(lower(text), ' '))) AS n_tokens
+        FROM documents GROUP BY source
+    ),
+    ranked AS (
+        SELECT d.doc_id, d.source,
+               row_number() OVER (PARTITION BY d.source ORDER BY d.doc_id) AS r,
+               sqrt(CAST(t.n_tokens AS DOUBLE)) AS w
+        FROM documents d JOIN toks t ON d.source = t.source
+    ),
+    vtimed AS (
+        SELECT doc_id, source, r, CAST(r AS DOUBLE) / w AS vt FROM ranked
+    ),
+    ordered AS (
+        SELECT doc_id, source, r, vt,
+               row_number() OVER (ORDER BY vt, source, doc_id) AS step
+        FROM vtimed
+    )
+    SELECT step, source, doc_id,
+           CAST(r AS BIGINT) AS in_source_rank,
+           round(vt, 6) AS virtual_time
+    FROM ordered WHERE step <= {_WFQ_STEPS}
+    ORDER BY step
+    """,
+    tags=("curation", "training", "schedule", "mixing", "wfq"),
+)
+def q282_wfq_interleave_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted-fair-queueing interleave of sources into a global
+    training order — the step AFTER mixture-weight computation (q240
+    temperature mixing, q264 DoReMi decide HOW MUCH of each source;
+    this decides WHEN each document is seen): each source's documents
+    get virtual finish times r/w (in-source rank over weight =
+    sqrt of source token mass), and the global schedule is the merge
+    by virtual time — sources emit proportionally to weight at every
+    prefix, the property round-robin lacks for unequal weights. Emits
+    the first 40 steps.
+
+    Determinism: ranks are integers; sqrt and the r/w division are
+    both IEEE correctly-rounded single ops (bit-identical
+    cross-engine, the SCALE.md float discipline); ties in vt break by
+    (source, doc_id).
+
+    Scale posture: token mass is a partial+final aggregate at source
+    grain, broadcast back; in-source ranking partitions by source
+    (grain-bounded per source shard — at 100 TB swap for the
+    sample-sort rank primitive per source, operators/ranks.py); the
+    top-40 of the merged order is a TakeOrdered, and the step number
+    is a row_number over ONLY those 40 survivors — no global window
+    ever sees the corpus. Reference contract: per-doc virtual-time
+    assignment = map slot (``App.config:16``); global merge = reduce
+    slot (``App.config:17``)."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    toks = docs.groupBy("source").agg(
+        F.sum(F.size(F.split(F.lower(F.col("text")), " "))).alias("n_tokens")
+    )
+    ranked = docs.join(F.broadcast(toks), "source").select(
+        "doc_id",
+        "source",
+        F.row_number()
+        .over(Window.partitionBy("source").orderBy("doc_id"))
+        .alias("r"),
+        F.sqrt(F.col("n_tokens").cast("double")).alias("w"),
+    )
+    vtimed = ranked.select(
+        "doc_id", "source", "r", (F.col("r").cast("double") / F.col("w")).alias("vt")
+    )
+    top = vtimed.orderBy("vt", "source", "doc_id").limit(_WFQ_STEPS)
+    step = F.row_number().over(
+        Window.orderBy("vt", "source", "doc_id")
+    )
+    return top.select(
+        step.alias("step"),
+        "source",
+        "doc_id",
+        F.col("r").cast("long").alias("in_source_rank"),
+        F.round("vt", 6).alias("virtual_time"),
+    ).orderBy("step")
+
+
+_NOVELTY_BATCH = 50
+
+
+@query(
+    "q283_ngram_novelty_curve",
+    oracle=f"""
+    WITH bg AS (
+        SELECT DISTINCT doc_id // {_NOVELTY_BATCH} AS batch,
+               ws[i + 1] || ' ' || ws[i + 2] AS b
+        FROM (
+            SELECT doc_id, ws, unnest(range(0, len(ws) - 1)) AS i
+            FROM (
+                SELECT doc_id, string_split(lower(text), ' ') AS ws
+                FROM documents
+            )
+        )
+    ),
+    first_seen AS (SELECT b, min(batch) AS fs FROM bg GROUP BY b),
+    per_batch AS (
+        SELECT batch, count(*) AS n_bigrams FROM bg GROUP BY batch
+    ),
+    news AS (
+        SELECT fs AS batch, count(*) AS n_new FROM first_seen GROUP BY fs
+    )
+    SELECT p.batch,
+           CAST(p.n_bigrams AS BIGINT) AS n_bigrams,
+           CAST(coalesce(n.n_new, 0) AS BIGINT) AS n_new,
+           round(CAST(coalesce(n.n_new, 0) AS DOUBLE) / p.n_bigrams, 4)
+               AS novelty_rate
+    FROM per_batch p LEFT JOIN news n ON p.batch = n.batch
+    ORDER BY p.batch
+    """,
+    tags=("text", "dedup", "novelty", "curation", "monitoring"),
+)
+def q283_ngram_novelty_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus novelty curve: documents arrive in doc_id order in
+    batches of 50; each batch reports the fraction of its distinct
+    word-bigrams never seen in ANY earlier batch. The curve is how a
+    crawl/ingest pipeline decides when a source is exhausted (novelty
+    decays toward the template floor) and is the longitudinal
+    companion to pairwise near-dup detection (q62/q260): those find
+    WHICH documents repeat, this tracks how fast the corpus stops
+    teaching anything new.
+
+    Determinism: integer batch assignment (doc_id // 50), exact
+    distinct counts, one exact-integer division rounded at 4.
+
+    Scale posture: two partial+final aggregates at bigram grain —
+    distinct (batch, bigram), then min(batch) per bigram (first-seen)
+    — followed by batch-grain rollups; nothing is ever quadratic and
+    no batch's state depends on replaying prior batches (first-seen
+    is an associative MIN, so the same query runs incrementally as
+    new batches land, the q100 pattern). At 100 TB hash the bigram
+    key to 8 bytes to shrink both shuffles. Reference contract:
+    per-doc shingling = map slot (``App.config:16``); first-seen
+    consolidation = reduce slot (``App.config:17``)."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    ws = docs.select(
+        (F.col("doc_id") / _NOVELTY_BATCH).cast("long").alias("batch"),
+        F.split(F.lower(F.col("text")), " ").alias("ws"),
+    )
+    bg = (
+        ws.select(
+            "batch",
+            F.explode(
+                F.when(
+                    F.size("ws") >= 2,
+                    F.transform(
+                        F.sequence(F.lit(1), F.size("ws") - 1),
+                        lambda i: F.concat(
+                            F.element_at(F.col("ws"), i),
+                            F.lit(" "),
+                            F.element_at(F.col("ws"), i + 1),
+                        ),
+                    ),
+                ).otherwise(F.array().cast("array<string>"))
+            ).alias("b"),
+        )
+        .distinct()
+    )
+    first_seen = bg.groupBy("b").agg(F.min("batch").alias("fs"))
+    per_batch = bg.groupBy("batch").agg(F.count(F.lit(1)).alias("n_bigrams"))
+    news = first_seen.groupBy(F.col("fs").alias("batch")).agg(
+        F.count(F.lit(1)).alias("n_new")
+    )
+    n_new = F.coalesce(F.col("n_new"), F.lit(0))
+    return (
+        per_batch.join(news, "batch", "left")
+        .select(
+            "batch",
+            F.col("n_bigrams").cast("long").alias("n_bigrams"),
+            n_new.cast("long").alias("n_new"),
+            F.round(
+                n_new.cast("double") / F.col("n_bigrams"), 4
+            ).alias("novelty_rate"),
+        )
+        .orderBy("batch")
+    )
