@@ -122,3 +122,125 @@ def test_bpe_merge_fold_exact_greedy(spark):
             [s, r, l],
         ).fetchone()[0]
         assert v == want, (s, l, r, v, want)
+
+
+# ---------------------------------------------------------------------------
+# Round-3b operators (q273-q283): semantics the oracles can't express.
+
+
+def test_isotonic_fit_is_monotone_and_mean_preserving(spark, sf_dir):
+    """PAV output must be non-decreasing in bin order, and pooling
+    preserves the doc-weighted mean positive rate exactly (PAV projects
+    onto the monotone cone without moving total mass)."""
+    rows = (
+        REGISTRY["q277_isotonic_calibration"].fn(spark, sf_dir).orderBy("bin").collect()
+    )
+    iso = [r.iso_rate for r in rows]
+    assert iso == sorted(iso)
+    total = sum(r.n_docs for r in rows)
+    raw_mean = sum(r.n_pos for r in rows) / total
+    iso_mean = sum(r.iso_rate * r.n_docs for r in rows) / total
+    assert abs(raw_mean - iso_mean) < 1e-4
+
+
+def test_wfq_prefix_is_weight_proportional(spark, sf_dir):
+    """At every WFQ prefix, each source's emitted count can deviate
+    from its weight share by at most 1 (the fair-queueing bound) —
+    equal weights here, so counts across sources differ by <= 1."""
+    rows = (
+        REGISTRY["q282_wfq_interleave_schedule"].fn(spark, sf_dir).orderBy("step").collect()
+    )
+    assert [r.step for r in rows] == list(range(1, len(rows) + 1))
+    from collections import Counter
+
+    seen = Counter()
+    for r in rows:
+        seen[r.source] += 1
+    assert max(seen.values()) - min(seen.values()) <= 1
+    # virtual time is non-decreasing along the schedule
+    vts = [r.virtual_time for r in rows]
+    assert vts == sorted(vts)
+
+
+def test_kmv_estimates_within_sketch_error(spark, sf_dir):
+    """KMV with k=64 has relative std error ~1/sqrt(k-2) ~= 12.7%;
+    estimates must land within 4 sigma of exact counts, and estimated
+    Jaccard within 0.35 absolute of exact (binomial k=64 tail)."""
+    rows = REGISTRY["q276_kmv_overlap_estimate"].fn(spark, sf_dir).collect()
+    assert len(rows) == 190  # 20 sources -> C(20,2) pairs
+    for r in rows:
+        assert r.abs_err <= 0.35
+        # abs_err rounds the UNROUNDED |est - exact|; recomputing from
+        # the two 4dp-rounded columns can drift by one ulp of 1e-4.
+        assert abs(abs(r.est_jaccard - r.exact_jaccard) - r.abs_err) <= 1.5e-4
+
+
+def test_boilerplate_flags_are_consistent(spark, sf_dir):
+    """retained_frac must equal 1 - n_boiler/n_segments (4dp) and the
+    keep flag must be exactly (retained_frac >= 0.7)."""
+    rows = REGISTRY["q273_segment_boilerplate_removal"].fn(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        # Engines round HALF-UP (0.90625 -> 0.9063); Python's round is
+        # banker's — compare against the unrounded value within half an
+        # ulp of the 4dp grid instead.
+        assert abs(r.retained_frac - (1.0 - r.n_boiler / r.n_segments)) <= 5e-5
+        assert r.keep == (r.retained_frac >= 0.7)
+
+
+def test_inverted_index_positions_match_tf(spark, sf_dir):
+    """Each posting's position list is strictly increasing, within the
+    document's token range, and its length equals tf."""
+    rows = REGISTRY["q274_positional_inverted_index"].fn(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        pos = list(r.positions)
+        assert len(pos) == r.tf
+        assert pos == sorted(pos) and len(set(pos)) == len(pos)
+        assert pos[0] >= 0
+
+
+def test_gazetteer_positions_point_at_phrase(spark, sf_dir):
+    """Spot-check: re-tokenize each tagged document and confirm the
+    stored span positions actually start the dictionary phrase."""
+    from azure_batch_map_reduce_spark.catalog import load_tables
+    from azure_batch_map_reduce_spark.functions.text import _GAZETTEER
+
+    phrase_of = {e: p for p, e, _ in _GAZETTEER}
+    hits = REGISTRY["q281_gazetteer_span_match"].fn(spark, sf_dir).collect()
+    assert hits
+    doc_ids = [r.doc_id for r in hits]
+    docs = {
+        r.doc_id: r.text.lower().split(" ")
+        for r in load_tables(spark, sf_dir)["documents"]
+        .where(F.col("doc_id").isin(doc_ids))
+        .collect()
+    }
+    for r in hits:
+        words = docs[r.doc_id]
+        phrase = phrase_of[r.entity].split(" ")
+        for p in r.positions:
+            assert words[p : p + len(phrase)] == phrase, (r.doc_id, r.entity, p)
+
+
+def test_stream_left_outer_unmatched_below_watermark(spark, sf_dir):
+    """Every null-padded row's purchase_ts must lie strictly below the
+    final watermark (min of both streams' max event time - 10 min) —
+    the state-eviction contract the oracle replays."""
+    import datetime
+
+    df = REGISTRY["q275_stream_left_outer_join"].fn(spark, sf_dir)
+    rows = df.collect()
+    matched = [r for r in rows if r.click_id is not None]
+    unmatched = [r for r in rows if r.click_id is None]
+    assert matched and unmatched
+    from azure_batch_map_reduce_spark.catalog import load_tables
+
+    ev = load_tables(spark, sf_dir)["events"]
+    maxes = (
+        ev.groupBy("event_type").agg(F.max("ts").alias("m")).collect()
+    )
+    mx = {r.event_type: r.m for r in maxes}
+    wm = min(mx["purchase"], mx["click"]) - datetime.timedelta(minutes=10)
+    for r in unmatched:
+        assert r.purchase_ts < wm

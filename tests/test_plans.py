@@ -616,3 +616,71 @@ def test_q262_diff_is_single_outer_join(spark, sf_dir):
     plan = plan_of(REGISTRY["q262_corpus_version_diff"].fn(spark, sf_dir))
     assert plan.count("FullOuter") >= 1
     assert "CartesianProduct" not in plan
+
+
+# ---------------------------------------------------------------------------
+# Round-3 additions (q273-q283): broadcast-dictionary joins, pair-free
+# aggregation shapes, TakeOrdered top-k.
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "q273_segment_boilerplate_removal",  # boiler set joins equi on segment
+        "q274_positional_inverted_index",    # postings equi on term
+        "q276_kmv_overlap_estimate",         # exact-audit equi on bigram
+        "q281_gazetteer_span_match",         # spans equi on phrase
+        "q283_ngram_novelty_curve",          # first-seen equi on bigram
+    ],
+)
+def test_r3b_joins_never_cartesian(spark, sf_dir, name):
+    """Every round-3b corpus operator generates candidates through an
+    equi-keyed join (segment/term/bigram/phrase); a CartesianProduct is
+    the all-pairs blow-up the key exists to avoid. (1-row scalar
+    broadcasts — corpus size, n_pairs — are BroadcastNestedLoop by
+    construction and allowed.)"""
+    plan = plan_of(REGISTRY[name].fn(spark, sf_dir))
+    assert "CartesianProduct" not in plan, name
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["q274_positional_inverted_index", "q281_gazetteer_span_match"],
+)
+def test_r3b_dictionary_joins_broadcast(spark, sf_dir, name):
+    """The term-head table (q274) and the phrase gazetteer (q281) are
+    orders of magnitude smaller than the corpus — their joins must plan
+    as BroadcastHashJoin so candidate matching never shuffles the
+    corpus."""
+    plan = plan_of(REGISTRY[name].fn(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan, name
+
+
+def test_q278_is_pair_free(spark, sf_dir):
+    """Fellegi-Sunter u-estimation uses the C(n,2) identity at group
+    grain — the plan must contain NO join at the customer-pair grain:
+    only aggregates plus the 3-row weight-table broadcast."""
+    plan = plan_of(REGISTRY["q278_fellegi_sunter_weights"].fn(spark, sf_dir))
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    # partial+final aggregation for both field-grain rollups
+    assert plan.count("HashAggregate") >= 4
+
+
+def test_q280_probe_join_broadcasts_no_corpus_shuffle(spark, sf_dir):
+    """Multi-probe candidate generation joins the corpus against the
+    7-row probe table — broadcast, with top-k as TakeOrdered: the
+    corpus must reach the result without a single Exchange hash
+    partitioning on a corpus-sized key."""
+    df = REGISTRY["q280_multiprobe_lsh_ann"].fn(spark, sf_dir)
+    plan = plan_of(df)
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q282_schedule_head_is_take_ordered(spark, sf_dir):
+    """The WFQ merge's first-40 must be a TakeOrderedAndProject (map-side
+    heaps), never a global sort of the corpus."""
+    plan = plan_of(REGISTRY["q282_wfq_interleave_schedule"].fn(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
