@@ -46,7 +46,8 @@ _VERIFY_FIRST = [
     "q277_isotonic_calibration", "q278_fellegi_sunter_weights",
     "q279_acf_daily_autocorrelation", "q280_multiprobe_lsh_ann",
     "q281_gazetteer_span_match", "q282_wfq_interleave_schedule",
-    "q283_ngram_novelty_curve",
+    "q283_ngram_novelty_curve", "q284_lsh_s_curve_tuning",
+    "q285_mergeable_quantile_histogram", "q286_mmr_diversified_topk",
     "q107_bm25_retrieval",
     "q129_curation_funnel", "q20_broadcast_join", "q21_revenue_by_nation",
     "q22_semi_join", "q23_anti_join", "q24_outer_join",

@@ -1767,3 +1767,213 @@ def q278_fellegi_sunter_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("field")
     )
+
+
+# LSH parameter grid: (bands, rows) factorizations of a 24-hash
+# signature. The S-curve P(s) = 1 - (1 - s^r)^b trades precision
+# against recall along this grid.
+_SCURVE_CONFIGS = ((1, 24), (2, 12), (3, 8), (4, 6), (6, 4), (8, 3), (12, 2), (24, 1))
+
+
+@query(
+    "q284_lsh_s_curve_tuning",
+    oracle=f"""
+    WITH raw AS (
+        SELECT doc_id, source,
+               list_distinct(list_transform(generate_series(1, length(substring(text, 1, 120)) - 3),
+                             i -> {_HASH_SQL.format(expr="substring(substring(text, 1, 120), i, 4)")})) AS grams
+        FROM documents
+    ),
+    g AS (SELECT doc_id, source, grams, length(grams) AS ng FROM raw),
+    hist AS (
+        SELECT round(CAST(length(list_intersect(a.grams, b.grams)) AS DOUBLE)
+                     / (a.ng + b.ng - length(list_intersect(a.grams, b.grams))), 2) AS s,
+               count(*) AS n
+        FROM g a JOIN g b ON a.source = b.source AND a.doc_id < b.doc_id
+        GROUP BY 1
+    ),
+    configs AS (
+        SELECT * FROM (VALUES
+            {",".join(f"({b}, {r})" for b, r in _SCURVE_CONFIGS)}
+        ) t(bands, rows_per_band)
+    ),
+    probs AS (
+        SELECT c.bands, c.rows_per_band, h.s, h.n,
+               1.0 - list_reduce(
+                   list_prepend(1.0, list_transform(range(1, c.bands + 1),
+                       z -> 1.0 - list_reduce(
+                           list_prepend(1.0, list_transform(range(1, c.rows_per_band + 1),
+                                                            y -> h.s)),
+                           (acc, x) -> acc * x))),
+                   (acc, x) -> acc * x) AS p
+        FROM configs c CROSS JOIN hist h
+    ),
+    cfg AS (
+        -- literals CAST to DOUBLE: DuckDB otherwise folds DECIMAL(2,1)
+        -- and truncates 0.5*0.5 to 0.2 at scale 1
+        SELECT bands, rows_per_band,
+               round(1.0 - list_reduce(
+                   list_prepend(CAST(1.0 AS DOUBLE), list_transform(range(1, bands + 1),
+                       z -> 1.0 - list_reduce(
+                           list_prepend(CAST(1.0 AS DOUBLE),
+                               list_transform(range(1, rows_per_band + 1),
+                                              y -> CAST(0.5 AS DOUBLE))),
+                           (acc, x) -> acc * x))),
+                   (acc, x) -> acc * x), 6) AS p_at_050,
+               round(pow(1.0 / bands, 1.0 / rows_per_band), 4)
+                   AS approx_threshold
+        FROM configs
+    ),
+    agg AS (
+        SELECT bands, rows_per_band,
+               CAST(sum(n) AS BIGINT) AS n_pairs_total,
+               round(list_reduce(list_prepend(0.0, list(n * p ORDER BY s)),
+                                 (a, b) -> a + b), 2) AS expected_detected
+        FROM probs
+        GROUP BY bands, rows_per_band
+    )
+    SELECT a.bands, a.rows_per_band, a.n_pairs_total, a.expected_detected,
+           c.p_at_050, c.approx_threshold
+    FROM agg a JOIN cfg c
+      ON a.bands = c.bands AND a.rows_per_band = c.rows_per_band
+    ORDER BY a.bands
+    """,
+    tags=("dedup", "lsh", "minhash", "tuning", "s-curve"),
+)
+def q284_lsh_s_curve_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH parameter tuning from the corpus's OWN similarity
+    distribution: the observed within-source pair Jaccards (q64's
+    engine-neutral gram-hash pair space) collapse to a 2dp histogram,
+    and for every (bands, rows) factorization of a 24-hash signature
+    the S-curve P(s) = 1 − (1 − s^r)^b integrates against that
+    histogram — expected candidate-pair volume per config, the
+    detection probability at s = 0.5, and the analytic threshold
+    (1/b)^(1/r). This answers the question q228's empirical sweep
+    (which re-RUNS dedup per threshold) answers, analytically, before
+    any LSH job is launched — the difference between tuning on 100 TB
+    and tuning on a histogram.
+
+    Determinism: s^r and (1−s^r)^b are integer-exponent powers
+    evaluated as sequential multiplication folds (identical order both
+    engines — no libm pow in any value that feeds a comparison); the
+    histogram integral folds in s order; only the display-only
+    approx_threshold uses pow, rounded at 4.
+
+    Scale posture: pair similarity is computed once (bounded
+    per-source pair space, q64's plan) and immediately collapsed to a
+    ≤101-row histogram; the config × histogram grid is ≤808 rows of
+    arithmetic. At 100 TB you'd feed the histogram from a SAMPLE of
+    pairs; the tuning math is corpus-size-free either way. Reference
+    contract: pair scoring = map slot (``App.config:16``); histogram +
+    S-curve integral = reduce slot (``App.config:17``)."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    hash48_sql = (
+        "conv(substring(md5(substring(substring(text, 1, 120), i, 4)), 1, 12), 16, 10)"
+        f" % {MINHASH_P}"
+    )
+    g = docs.select(
+        "doc_id",
+        "source",
+        F.expr(
+            "array_distinct(transform(sequence(1, length(substring(text, 1, 120)) - 3),"
+            f" i -> CAST({hash48_sql} AS BIGINT)))"
+        ).alias("grams"),
+    ).withColumn("ng", F.size("grams"))
+    a = g.select(
+        F.col("source"),
+        F.col("doc_id").alias("doc_a"),
+        F.col("grams").alias("grams_a"),
+        F.col("ng").alias("na"),
+    )
+    b = g.select(
+        F.col("source").alias("source_b"),
+        F.col("doc_id").alias("doc_b"),
+        F.col("grams").alias("grams_b"),
+        F.col("ng").alias("nb"),
+    )
+    inter = F.size(F.array_intersect("grams_a", "grams_b"))
+    hist = (
+        a.join(
+            b,
+            (F.col("source") == F.col("source_b"))
+            & (F.col("doc_a") < F.col("doc_b")),
+        )
+        .select(
+            F.round(
+                inter.cast("double") / (F.col("na") + F.col("nb") - inter), 2
+            ).alias("s")
+        )
+        .groupBy("s")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    configs = spark.createDataFrame(
+        list(_SCURVE_CONFIGS), "bands int, rows_per_band int"
+    )
+
+    def int_pow(base, exp_col):
+        # base^k via a sequential multiplication fold — engine-identical
+        # accumulation, no libm pow in the value path.
+        return F.aggregate(
+            F.transform(F.sequence(F.lit(1), exp_col), lambda _: base),
+            F.lit(1.0),
+            lambda acc, x: acc * x,
+        )
+
+    cfg = configs.select(
+        "bands",
+        "rows_per_band",
+        F.round(
+            1.0
+            - int_pow(
+                1.0 - int_pow(F.lit(0.5), F.col("rows_per_band")),
+                F.col("bands"),
+            ),
+            6,
+        ).alias("p_at_050"),
+        F.round(
+            F.pow(1.0 / F.col("bands"), 1.0 / F.col("rows_per_band")), 4
+        ).alias("approx_threshold"),
+    )
+    probs = configs.crossJoin(F.broadcast(hist)).select(
+        "bands",
+        "rows_per_band",
+        "s",
+        "n",
+        (
+            1.0
+            - int_pow(
+                1.0 - int_pow(F.col("s"), F.col("rows_per_band")),
+                F.col("bands"),
+            )
+        ).alias("p"),
+    )
+    agg = probs.groupBy("bands", "rows_per_band").agg(
+        F.sum("n").cast("long").alias("n_pairs_total"),
+        F.round(
+            F.aggregate(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct(F.col("s"), (F.col("n") * F.col("p")).alias("np"))
+                        )
+                    ),
+                    lambda x: x["np"],
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+            2,
+        ).alias("expected_detected"),
+    )
+    return (
+        agg.join(F.broadcast(cfg), ["bands", "rows_per_band"])
+        .select(
+            "bands",
+            "rows_per_band",
+            "n_pairs_total",
+            "expected_detected",
+            "p_at_050",
+            "approx_threshold",
+        )
+        .orderBy("bands")
+    )

@@ -2133,3 +2133,164 @@ def q280_multiprobe_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
         .limit(10)
     )
+
+
+_MMR_POOL = 30   # candidate pool (relevance top-k)
+_MMR_K = 8       # diversified results to select
+_MMR_LAMBDA = 0.7
+
+_COS4 = (
+    "round(list_dot_product({a}, {b})"
+    " / sqrt(list_dot_product({a}, {a}) * list_dot_product({b}, {b})), 4)"
+)
+
+
+def _mmr_oracle() -> str:
+    """Unrolled greedy MMR: every CTE MATERIALIZED (each round
+    references the cumulative selection twice — candidate exclusion +
+    similarity join — so inlining compounds, the q103 discipline)."""
+    head = f"""
+    WITH n AS MATERIALIZED (
+        SELECT vec_id, label,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+        FROM embeddings
+    ),
+    q AS MATERIALIZED (SELECT e AS qe FROM n WHERE vec_id = 0),
+    cands AS MATERIALIZED (
+        SELECT n.vec_id, n.label, n.e,
+               {_COS4.format(a="n.e", b="q.qe")} AS rel
+        FROM n CROSS JOIN q
+        WHERE n.vec_id <> 0
+        ORDER BY rel DESC, n.vec_id ASC
+        LIMIT {_MMR_POOL}
+    ),
+    pairs AS MATERIALIZED (
+        SELECT a.vec_id AS va, b.vec_id AS vb,
+               {_COS4.format(a="a.e", b="b.e")} AS sim
+        FROM cands a JOIN cands b ON a.vec_id <> b.vec_id
+    ),
+    sel1 AS MATERIALIZED (
+        SELECT vec_id, 1 AS step, rel AS mmr FROM cands
+        ORDER BY rel DESC, vec_id ASC LIMIT 1
+    )"""
+    rounds = []
+    for t in range(2, _MMR_K + 1):
+        prev = f"sel{t - 1}"
+        rounds.append(f"""
+    w{t} AS MATERIALIZED (
+        SELECT c.vec_id, round({_MMR_LAMBDA} * c.rel
+                   - {round(1 - _MMR_LAMBDA, 10)} * max(p.sim), 4) AS mmr
+        FROM cands c
+        JOIN pairs p ON p.va = c.vec_id
+        JOIN {prev} s ON p.vb = s.vec_id
+        WHERE c.vec_id NOT IN (SELECT vec_id FROM {prev})
+        GROUP BY c.vec_id, c.rel
+        ORDER BY mmr DESC, c.vec_id ASC LIMIT 1
+    ),
+    sel{t} AS MATERIALIZED (
+        SELECT vec_id, step, mmr FROM {prev}
+        UNION ALL
+        SELECT vec_id, {t} AS step, mmr FROM w{t}
+    )""")
+    tail = f"""
+    SELECT s.step, s.vec_id, c.label, c.rel, s.mmr AS mmr_score
+    FROM sel{_MMR_K} s JOIN cands c ON s.vec_id = c.vec_id
+    ORDER BY s.step
+    """
+    return head + "," + ",".join(rounds) + tail
+
+
+@query(
+    "q286_mmr_diversified_topk",
+    oracle=_mmr_oracle(),
+    tags=("similarity", "retrieval", "mmr", "diversity", "iterative"),
+)
+def q286_mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal Marginal Relevance reranking (Carbonell & Goldstein,
+    SIGIR'98): from the relevance top-30 against query vec_id 0, pick 8
+    results greedily by mmr_i = λ·rel_i − (1−λ)·max_{s∈S} sim(i, s)
+    with λ = 0.7 — each pick trades relevance against redundancy with
+    everything already selected. This is the diversification stage a
+    retrieval stack runs between scoring (q70/q190/q272) and context
+    assembly (q259): without it, near-duplicate passages crowd out
+    coverage.
+
+    Determinism: all cosines (relevance AND pairwise) round to 4
+    BEFORE any argmax — the cross-engine argmax-key discipline — and
+    every greedy winner tie-breaks on vec_id; MMR scores are single
+    multiply/subtract ops on rounded operands.
+
+    Scale posture: corpus work is ONE map-side scored scan +
+    TakeOrdered(30) (no shuffle, the q70 shape); everything after —
+    the 30×29 pairwise matrix and 8 greedy rounds — runs at pool
+    grain, persisted once, with each round's cumulative selection
+    localCheckpoint-ed so plan analysis stays O(1) in rounds (the
+    q103 iterative discipline). Pool size, not corpus size, bounds
+    the sequential part; that is the standard two-stage
+    retrieve-then-rerank split. Reference contract: scoring = map slot
+    (``App.config:16``); greedy selection = reduce slot
+    (``App.config:17``)."""
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    n = emb.select("vec_id", "label", _as_double(F.col("embedding")).alias("e"))
+    q = n.filter(F.col("vec_id") == 0).select(F.col("e").alias("qe"))
+    rel = F.round(
+        _dot(F.col("e"), F.col("qe"))
+        / F.sqrt(_dot(F.col("e"), F.col("e")) * _dot(F.col("qe"), F.col("qe"))),
+        4,
+    )
+    cands = (
+        n.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .select("vec_id", "label", "e", rel.alias("rel"))
+        .orderBy(F.desc("rel"), F.asc("vec_id"))
+        .limit(_MMR_POOL)
+        .persist()
+    )
+    a = cands.select(F.col("vec_id").alias("va"), F.col("e").alias("ea"))
+    b = cands.select(F.col("vec_id").alias("vb"), F.col("e").alias("eb"))
+    sim = F.round(
+        _dot(F.col("ea"), F.col("eb"))
+        / F.sqrt(_dot(F.col("ea"), F.col("ea")) * _dot(F.col("eb"), F.col("eb"))),
+        4,
+    )
+    pairs = (
+        a.join(F.broadcast(b), F.col("va") != F.col("vb"))
+        .select("va", "vb", sim.alias("sim"))
+        .persist()
+    )
+    sel = (
+        cands.orderBy(F.desc("rel"), F.asc("vec_id"))
+        .limit(1)
+        .select("vec_id", F.lit(1).alias("step"), F.col("rel").alias("mmr"))
+        .localCheckpoint(eager=True)
+    )
+    for t in range(2, _MMR_K + 1):
+        msim = (
+            pairs.join(
+                F.broadcast(sel.select(F.col("vec_id").alias("sel_id"))),
+                F.col("vb") == F.col("sel_id"),
+            )
+            .groupBy("va")
+            .agg(F.max("sim").alias("ms"))
+        )
+        winner = (
+            cands.join(sel.select("vec_id"), "vec_id", "left_anti")
+            .join(msim, F.col("vec_id") == F.col("va"))
+            .select(
+                "vec_id",
+                F.lit(t).alias("step"),
+                F.round(
+                    _MMR_LAMBDA * F.col("rel")
+                    - (1 - _MMR_LAMBDA) * F.col("ms"),
+                    4,
+                ).alias("mmr"),
+            )
+            .orderBy(F.desc("mmr"), F.asc("vec_id"))
+            .limit(1)
+        )
+        sel = sel.unionAll(winner).localCheckpoint(eager=True)
+    return (
+        sel.join(cands.select("vec_id", "label", "rel"), "vec_id")
+        .select("step", "vec_id", "label", "rel", F.col("mmr").alias("mmr_score"))
+        .orderBy("step")
+    )

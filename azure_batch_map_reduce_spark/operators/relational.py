@@ -2800,3 +2800,159 @@ def q254_portable_count_min(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("suppkey")
     )
+
+
+_QH_WIDTH = 500.0   # histogram bin width over l_extendedprice
+_QH_TARGETS = (0.5, 0.9, 0.99)
+
+
+@query(
+    "q285_mergeable_quantile_histogram",
+    oracle=f"""
+    WITH partials AS (
+        SELECT l_returnflag AS grp,
+               CAST(floor(l_extendedprice / {_QH_WIDTH}) AS BIGINT) AS bin,
+               count(*) AS cnt
+        FROM lineitem
+        GROUP BY l_returnflag, 2
+    ),
+    merged AS (
+        SELECT bin, sum(cnt) AS cnt FROM partials GROUP BY bin
+    ),
+    cum AS (
+        SELECT bin, cnt,
+               sum(cnt) OVER (ORDER BY bin) AS cum,
+               sum(cnt) OVER (ORDER BY bin) - cnt AS cum_before
+        FROM merged
+    ),
+    meta AS (
+        SELECT sum(cnt) AS n_rows, count(*) AS n_bins FROM merged
+    ),
+    targets AS (
+        SELECT * FROM (VALUES {",".join(f"({p})" for p in _QH_TARGETS)}) t(p)
+    ),
+    est AS (
+        SELECT t.p, m.n_rows, m.n_bins,
+               round({_QH_WIDTH} * c.bin
+                     + {_QH_WIDTH} * (t.p * m.n_rows - c.cum_before) / c.cnt,
+                     4) AS est_value
+        FROM targets t CROSS JOIN meta m
+        JOIN cum c ON c.cum >= t.p * m.n_rows
+                  AND c.cum_before < t.p * m.n_rows
+    ),
+    exact AS (
+        SELECT {",".join(f"round(quantile_cont(l_extendedprice, {p}), 4) AS x{i}" for i, p in enumerate(_QH_TARGETS))}
+        FROM lineitem
+    ),
+    exact_rows AS (
+        {" UNION ALL ".join(f"SELECT {p} AS p, x{i} AS exact_value FROM exact" for i, p in enumerate(_QH_TARGETS))}
+    )
+    SELECT e.p, e.est_value, x.exact_value,
+           round(abs(e.est_value - x.exact_value) / x.exact_value, 6)
+               AS rel_err,
+           CAST(e.n_bins AS BIGINT) AS n_bins,
+           CAST(e.n_rows AS BIGINT) AS n_rows
+    FROM est e JOIN exact_rows x ON e.p = x.p
+    ORDER BY e.p
+    """,
+    tags=("aggregation", "sketch", "quantile", "histogram", "mergeable"),
+)
+def q285_mergeable_quantile_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable fixed-width quantile histogram with an exact audit —
+    the last missing member of the portable-sketch family (HLL q156:
+    cardinality; CMS q254: frequency; KMV q276: intersection; bloom
+    q196: membership; this: quantiles): per-group partial histograms
+    over l_extendedprice (bin = floor(v/500)) merge by plain SUM —
+    associative, so sketches from different days/engines/shards
+    combine — and each target quantile reads off the merged histogram
+    by linear interpolation inside the crossing bin. Emits p50/p90/p99
+    estimate vs exact percentile and the relative error the bin width
+    bounds (≤ width/value ≈ 0.5%/p50 here).
+
+    Determinism: binning is floor of one IEEE division (identical
+    cross-engine); interpolation is exact-integer arithmetic with one
+    division; the exact side pins Spark `percentile` ≡ DuckDB
+    `quantile_cont` interpolation (the q203 parity), both rounded 4.
+
+    Scale posture: the sketch is a partial+final count at bin grain —
+    bounded by value range/width, corpus-independent — so the corpus
+    is touched once map-side; the cumulative scan and quantile lookup
+    run on the ≤|bins|-row merged table (the bounded-grain window
+    documented safe). The exact `percentile` audit is the expensive
+    path (exact distributed percentile buffers values) — drop it in
+    production and only the histogram remains. Reference contract:
+    per-row binning = map slot (``App.config:16``); histogram merge =
+    reduce slot (``App.config:17``)."""
+    li = load_tables(spark, sf_dir)["lineitem"]
+    partials = li.groupBy(
+        F.col("l_returnflag").alias("grp"),
+        F.floor(F.col("l_extendedprice") / _QH_WIDTH).cast("long").alias("bin"),
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    merged = partials.groupBy("bin").agg(F.sum("cnt").alias("cnt"))
+    # Bounded-grain cumulative: |bins| = price-range / width, independent
+    # of corpus size — the one place an unpartitioned window is safe.
+    w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    cum = merged.select(
+        "bin",
+        "cnt",
+        F.sum("cnt").over(w).alias("cum"),
+        (F.sum("cnt").over(w) - F.col("cnt")).alias("cum_before"),
+    )
+    meta = merged.agg(
+        F.sum("cnt").alias("n_rows"), F.count(F.lit(1)).alias("n_bins")
+    )
+    targets = spark.createDataFrame([(p,) for p in _QH_TARGETS], "p double")
+    est = (
+        targets.crossJoin(F.broadcast(meta))
+        .join(
+            F.broadcast(cum),
+            (F.col("cum") >= F.col("p") * F.col("n_rows"))
+            & (F.col("cum_before") < F.col("p") * F.col("n_rows")),
+        )
+        .select(
+            "p",
+            "n_rows",
+            "n_bins",
+            F.round(
+                _QH_WIDTH * F.col("bin")
+                + _QH_WIDTH
+                * (F.col("p") * F.col("n_rows") - F.col("cum_before"))
+                / F.col("cnt"),
+                4,
+            ).alias("est_value"),
+        )
+    )
+    exact = li.agg(
+        *[
+            F.round(F.percentile("l_extendedprice", F.lit(p)), 4).alias(f"x{i}")
+            for i, p in enumerate(_QH_TARGETS)
+        ]
+    )
+    exact_rows = exact.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(p).alias("p"), F.col(f"x{i}").alias("exact_value")
+                    )
+                    for i, p in enumerate(_QH_TARGETS)
+                ]
+            )
+        ).alias("e")
+    ).select(F.col("e.p").alias("p"), F.col("e.exact_value").alias("exact_value"))
+    return (
+        est.join(F.broadcast(exact_rows), "p")
+        .select(
+            "p",
+            "est_value",
+            "exact_value",
+            F.round(
+                F.abs(F.col("est_value") - F.col("exact_value"))
+                / F.col("exact_value"),
+                6,
+            ).alias("rel_err"),
+            F.col("n_bins").cast("long").alias("n_bins"),
+            F.col("n_rows").cast("long").alias("n_rows"),
+        )
+        .orderBy("p")
+    )
