@@ -847,3 +847,142 @@ def q275_stream_left_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "leftOuter",
     ).select("purchase_id", "user_id", "purchase_ts", "click_id", "click_ts")
     return run_available_now(joined, "append")
+
+
+_SHLL_M = 64  # registers per window
+
+
+@query(
+    "q287_streaming_hll_distinct",
+    oracle="""
+    WITH keyed AS (
+        SELECT time_bucket(INTERVAL '1 day', ts) + INTERVAL 1 DAY AS window_end,
+               user_id,
+               ('0x' || substr(md5('hll|' || CAST(user_id AS VARCHAR)), 1, 2))::BIGINT % 64 AS j,
+               least(CASE WHEN ('0x' || substr(md5('hll|' || CAST(user_id AS VARCHAR)), 3, 8))::BIGINT = 0
+                          THEN 33
+                          ELSE 33 - length(regexp_replace(
+                              bin(('0x' || substr(md5('hll|' || CAST(user_id AS VARCHAR)), 3, 8))::BIGINT),
+                              '^0+', ''))
+                     END, 30) AS rho
+        FROM events
+    ),
+    per_reg AS (
+        SELECT window_end, j, max(rho) AS mj
+        FROM keyed GROUP BY window_end, j
+    ),
+    state AS (
+        SELECT window_end,
+               sum(1::BIGINT << (30 - mj))
+                   + (64 - count(*)) * (1::BIGINT << 30) AS sum_int,
+               64 - count(*) AS v
+        FROM per_reg GROUP BY window_end
+    ),
+    exact AS (
+        SELECT time_bucket(INTERVAL '1 day', ts) + INTERVAL 1 DAY AS window_end,
+               count(DISTINCT user_id) AS exact_distinct
+        FROM events GROUP BY 1
+    )
+    SELECT s.window_end,
+           round(CASE WHEN s.v > 0 THEN 64 * ln(64.0 / s.v)
+                      ELSE 0.709 * 4096.0 * 1073741824.0 / s.sum_int
+                 END, 4) AS hll_estimate,
+           CAST(s.v AS INTEGER) AS empty_registers,
+           CAST(e.exact_distinct AS BIGINT) AS exact_distinct,
+           round((CASE WHEN s.v > 0 THEN 64 * ln(64.0 / s.v)
+                       ELSE 0.709 * 4096.0 * 1073741824.0 / s.sum_int
+                  END - e.exact_distinct) / e.exact_distinct, 4) + 0.0
+               AS rel_error
+    FROM state s JOIN exact e ON s.window_end = e.window_end
+    WHERE s.window_end <= (SELECT max(ts) - INTERVAL 10 MINUTE FROM events)
+    ORDER BY s.window_end
+    """,
+    tags=("streaming", "sketch", "hll", "distinct", "watermark"),
+)
+def q287_streaming_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate distinct users per day over a REAL stream via the
+    portable 64-register HyperLogLog (q156's register math) folded into
+    a SINGLE streaming aggregate: each window's state is 64 register
+    maxima (one `max(CASE j)` column each) — constant bytes per window
+    regardless of arrival volume — where the exact streaming distinct
+    (q172) must hold every key seen. Windows close by watermark (q85's
+    append-mode rule); the post-stream batch join audits each estimate
+    against the exact per-window distinct.
+
+    Determinism: the hash/register derivation is q156's engine-pinned
+    md5 arithmetic (no libm in the register path; the ln on the
+    sparse-registers branch takes identical operands on both engines);
+    harmonic sums are exact int64; rel_error rounds with signed-zero
+    normalization.
+
+    Scale posture: streaming state = windows × 64 small ints, the
+    textbook bounded-state sketch; registers merge by MAX so the same
+    aggregate shape distributes across partitions (partial maxima
+    combine map-side) AND across restarts/backfills — a batch-built
+    sketch and a stream-built sketch for the same window are
+    interchangeable. The exact audit is the expensive path; production
+    keeps only the register aggregate. Reference contract: per-event
+    register derivation = map slot (``App.config:16``); register-max
+    consolidation = reduce slot (``App.config:17``)."""
+    ev = events_stream(spark, sf_dir).withWatermark("ts", "10 minutes")
+    h = F.md5(F.concat(F.lit("hll|"), F.col("user_id").cast("string")))
+    w = F.conv(F.substring(h, 3, 8), 16, 10).cast("long")
+    keyed = ev.select(
+        "ts",
+        (F.conv(F.substring(h, 1, 2), 16, 10).cast("long") % _SHLL_M).alias("j"),
+        F.least(
+            F.when(w == 0, F.lit(33)).otherwise(33 - F.length(F.bin(w))),
+            F.lit(30),
+        ).alias("rho"),
+    )
+    agg = keyed.groupBy(F.window("ts", "1 day").alias("wnd")).agg(
+        *[
+            F.max(F.when(F.col("j") == jj, F.col("rho"))).alias(f"m{jj}")
+            for jj in range(_SHLL_M)
+        ]
+    )
+    streamed = run_available_now(
+        agg.select(F.col("wnd.end").alias("window_end"), *[f"m{j}" for j in range(_SHLL_M)]),
+        "append",
+    )
+    regs = F.array(*[F.col(f"m{j}") for j in range(_SHLL_M)])
+    # SQL-expr fold: python F.shiftleft only takes a literal bit count,
+    # the SQL function takes a column.
+    sum_int = F.expr(
+        "aggregate(transform(regs, x -> shiftleft(cast(1 as bigint),"
+        " 30 - coalesce(x, 0))), cast(0 as bigint), (acc, x) -> acc + x)"
+    )
+    v = F.size(F.filter(regs, lambda x: x.isNull()))
+    est = F.round(
+        F.when(F.col("v") > 0, _SHLL_M * F.log(_SHLL_M / F.col("v").cast("double"))).otherwise(
+            F.lit(0.709 * 4096.0 * 1073741824.0) / F.col("sum_int")
+        ),
+        4,
+    )
+    state = streamed.withColumn("regs", regs).select(
+        "window_end", sum_int.alias("sum_int"), v.alias("v")
+    )
+    events_batch = load_tables(spark, sf_dir)["events"]
+    exact = events_batch.groupBy(
+        (F.date_trunc("day", F.col("ts")) + F.expr("INTERVAL 1 DAY")).alias(
+            "window_end"
+        )
+    ).agg(F.countDistinct("user_id").alias("exact_distinct"))
+    from azure_batch_map_reduce_spark.operators.ranks import round_nz
+
+    return (
+        state.withColumn("hll_estimate", est)
+        .join(exact, "window_end")
+        .select(
+            "window_end",
+            "hll_estimate",
+            F.col("v").cast("int").alias("empty_registers"),
+            F.col("exact_distinct").cast("long").alias("exact_distinct"),
+            round_nz(
+                (F.col("hll_estimate") - F.col("exact_distinct"))
+                / F.col("exact_distinct"),
+                4,
+            ).alias("rel_error"),
+        )
+        .orderBy("window_end")
+    )
