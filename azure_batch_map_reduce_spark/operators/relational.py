@@ -2840,12 +2840,22 @@ _QH_TARGETS = (0.5, 0.9, 0.99)
         JOIN cum c ON c.cum >= t.p * m.n_rows
                   AND c.cum_before < t.p * m.n_rows
     ),
-    exact AS (
-        SELECT {",".join(f"round(quantile_cont(l_extendedprice, {p}), 4) AS x{i}" for i, p in enumerate(_QH_TARGETS))}
+    ranked AS MATERIALIZED (
+        SELECT l_extendedprice AS v,
+               row_number() OVER (
+                   ORDER BY l_extendedprice, l_orderkey, l_linenumber) AS rn
         FROM lineitem
     ),
     exact_rows AS (
-        {" UNION ALL ".join(f"SELECT {p} AS p, x{i} AS exact_value FROM exact" for i, p in enumerate(_QH_TARGETS))}
+        SELECT t.p,
+               round(lo.v + (1 + t.p * (m.n_rows - 1)
+                             - floor(1 + t.p * (m.n_rows - 1)))
+                          * (hi.v - lo.v), 4) AS exact_value
+        FROM targets t CROSS JOIN meta m
+        JOIN ranked lo
+          ON lo.rn = CAST(floor(1 + t.p * (m.n_rows - 1)) AS BIGINT)
+        JOIN ranked hi
+          ON hi.rn = CAST(ceil(1 + t.p * (m.n_rows - 1)) AS BIGINT)
     )
     SELECT e.p, e.est_value, x.exact_value,
            round(abs(e.est_value - x.exact_value) / x.exact_value, 6)
@@ -2871,15 +2881,19 @@ def q285_mergeable_quantile_histogram(spark: SparkSession, sf_dir: str) -> DataF
 
     Determinism: binning is floor of one IEEE division (identical
     cross-engine); interpolation is exact-integer arithmetic with one
-    division; the exact side pins Spark `percentile` ≡ DuckDB
-    `quantile_cont` interpolation (the q203 parity), both rounded 4.
+    division; the exact side computes quantile_cont's definition —
+    v_lo + frac·(v_hi − v_lo) at ranks floor/ceil(1 + p(n−1)) — from
+    explicit row numbers, so no engine interpolation convention is
+    trusted, both rounded 4.
 
     Scale posture: the sketch is a partial+final count at bin grain —
     bounded by value range/width, corpus-independent — so the corpus
     is touched once map-side; the cumulative scan and quantile lookup
     run on the ≤|bins|-row merged table (the bounded-grain window
-    documented safe). The exact `percentile` audit is the expensive
-    path (exact distributed percentile buffers values) — drop it in
+    documented safe). The exact audit rides the sample-sort rank
+    primitive (q249's machinery, every stage parallel — Spark's exact
+    `percentile` aggregate buffers all values into one reducer and
+    cost 7.9 s at sf0.1) plus two broadcast point lookups — drop it in
     production and only the histogram remains. Reference contract:
     per-row binning = map slot (``App.config:16``); histogram merge =
     reduce slot (``App.config:17``)."""
@@ -2922,24 +2936,42 @@ def q285_mergeable_quantile_histogram(spark: SparkSession, sf_dir: str) -> DataF
             ).alias("est_value"),
         )
     )
-    exact = li.agg(
-        *[
-            F.round(F.percentile("l_extendedprice", F.lit(p)), 4).alias(f"x{i}")
-            for i, p in enumerate(_QH_TARGETS)
-        ]
+    # Exact audit via the sample-sort rank primitive (q249's machinery):
+    # Spark's exact `percentile` aggregate buffers every value into one
+    # final reducer (7.9 s at sf0.1); ranking + two point lookups at
+    # floor/ceil(1 + p(n-1)) computes the identical interpolated value
+    # with every stage parallel.
+    from azure_batch_map_reduce_spark.operators.ranks import (
+        distributed_row_number,
     )
-    exact_rows = exact.select(
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(p).alias("p"), F.col(f"x{i}").alias("exact_value")
-                    )
-                    for i, p in enumerate(_QH_TARGETS)
-                ]
-            )
-        ).alias("e")
-    ).select(F.col("e.p").alias("p"), F.col("e.exact_value").alias("exact_value"))
+
+    ranked = distributed_row_number(
+        li.select(
+            F.col("l_extendedprice").alias("v"), "l_orderkey", "l_linenumber"
+        ),
+        [F.col("v").asc(), F.col("l_orderkey").asc(), F.col("l_linenumber").asc()],
+        out="rn",
+    )
+    h = 1 + F.col("p") * (F.col("n_rows") - 1)
+    pos = targets.crossJoin(F.broadcast(meta)).select(
+        "p",
+        F.floor(h).cast("long").alias("rn_lo"),
+        F.ceil(h).cast("long").alias("rn_hi"),
+        (h - F.floor(h)).alias("frac"),
+    )
+    lo = ranked.join(
+        F.broadcast(pos.select("p", "frac", F.col("rn_lo").alias("rn"))), "rn"
+    ).select("p", "frac", F.col("v").alias("v_lo"))
+    hi = ranked.join(
+        F.broadcast(pos.select(F.col("p").alias("p2"), F.col("rn_hi").alias("rn"))),
+        "rn",
+    ).select(F.col("p2").alias("p"), F.col("v").alias("v_hi"))
+    exact_rows = lo.join(F.broadcast(hi), "p").select(
+        "p",
+        F.round(
+            F.col("v_lo") + F.col("frac") * (F.col("v_hi") - F.col("v_lo")), 4
+        ).alias("exact_value"),
+    )
     return (
         est.join(F.broadcast(exact_rows), "p")
         .select(

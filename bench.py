@@ -72,6 +72,14 @@ HEADLINE = [
     "q260_substring_shingle_overlap",
     "q268_scd2_history",
     "q272_maxsim_late_interaction",
+    # Round-3b operators: boilerplate segment counting, posting-list
+    # build, KMV sketch + exact-overlap audit, sampled-pair S-curve
+    # integral, histogram quantiles + rank-primitive exact audit.
+    "q273_segment_boilerplate_removal",
+    "q274_positional_inverted_index",
+    "q276_kmv_overlap_estimate",
+    "q284_lsh_s_curve_tuning",
+    "q285_mergeable_quantile_histogram",
 ]
 
 
