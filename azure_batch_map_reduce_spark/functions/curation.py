@@ -2633,3 +2633,204 @@ def q277_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bin")
     )
+
+
+_MASK_SPAN = 3        # corrupted span length (tokens)
+_MASK_DENOM = 20      # 1-in-20 start positions -> ~15% corruption
+
+
+@query(
+    "q288_span_corruption_plan",
+    oracle=f"""
+    WITH w AS (
+        SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents
+    ),
+    starts AS (
+        SELECT doc_id, len(ws) AS n, i
+        FROM (SELECT doc_id, ws, unnest(range(1, len(ws) + 1)) AS i FROM w)
+        WHERE ('0x' || substr(md5('mask|' || CAST(doc_id AS VARCHAR)
+                                  || '|' || CAST(i AS VARCHAR)), 1, 8))::BIGINT
+              % {_MASK_DENOM} = 0
+          AND i + {_MASK_SPAN} - 1 <= len(ws)
+    ),
+    covered AS (
+        SELECT DISTINCT doc_id, n, i + o AS pos
+        FROM starts, unnest(range(0, {_MASK_SPAN})) t(o)
+    ),
+    per AS (
+        SELECT c.doc_id, c.n,
+               count(*) AS n_masked,
+               (SELECT count(*) FROM starts s WHERE s.doc_id = c.doc_id)
+                   AS n_spans
+        FROM covered c GROUP BY c.doc_id, c.n
+    )
+    SELECT w.doc_id,
+           CAST(len(w.ws) AS BIGINT)          AS n_tokens,
+           CAST(coalesce(p.n_spans, 0) AS BIGINT)  AS n_spans,
+           CAST(coalesce(p.n_masked, 0) AS BIGINT) AS n_masked,
+           round(CAST(coalesce(p.n_masked, 0) AS DOUBLE) / len(w.ws), 4)
+               AS corruption_rate,
+           CAST(coalesce(p.n_masked, 0) + coalesce(p.n_spans, 0) AS BIGINT)
+               AS target_len
+    FROM w LEFT JOIN per p ON w.doc_id = p.doc_id
+    ORDER BY w.doc_id
+    """,
+    tags=("curation", "training", "masking", "t5", "span-corruption"),
+)
+def q288_span_corruption_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-corruption masking plan (the T5/UL2 denoising objective's
+    data prep): deterministic hash-chosen span starts (1-in-20 of token
+    positions, span length 3 → ≈15% corruption, the T5 default) are
+    expanded to covered positions, overlaps merged by DISTINCT, and
+    each document reports its mask accounting — span count, masked
+    tokens, corruption rate, and the encoder-target length (masked
+    tokens + one sentinel per span). A trainer shards THIS table to
+    materialize corrupted inputs; making the plan a deterministic pure
+    function of (doc_id, position) is what lets two pipeline runs —
+    or the input and target writers — agree on the same masks with no
+    shared state.
+
+    Determinism: mask choice is salted-md5 integer arithmetic per
+    (doc, position) — the house derivation discipline (fresh 'mask|'
+    salt); all outputs are exact counts and one rounded division.
+
+    Scale posture: pure map-side work per document (explode positions
+    → hash filter → distinct within doc) followed by one doc-grain
+    rollup; no joins beyond re-attaching the per-doc totals. At
+    100 TB the hash filter prunes ~95% of positions before the span
+    expansion. Reference contract: per-doc masking = map slot
+    (``App.config:16``); accounting rollup = reduce slot
+    (``App.config:17``)."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    w = docs.select(
+        "doc_id", F.split(F.lower(F.col("text")), " ").alias("ws")
+    )
+    h = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.lit("mask|"),
+                    F.col("doc_id").cast("string"),
+                    F.lit("|"),
+                    F.col("i").cast("string"),
+                )
+            ),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("long")
+    starts = (
+        w.select(
+            "doc_id",
+            F.size("ws").alias("n"),
+            F.explode(F.sequence(F.lit(1), F.size("ws"))).alias("i"),
+        )
+        .where((h % _MASK_DENOM == 0) & (F.col("i") + _MASK_SPAN - 1 <= F.col("n")))
+    )
+    covered = (
+        starts.select(
+            "doc_id",
+            "n",
+            F.explode(
+                F.sequence(F.col("i"), F.col("i") + _MASK_SPAN - 1)
+            ).alias("pos"),
+        )
+        .distinct()
+    )
+    n_spans = starts.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_spans"))
+    per = (
+        covered.groupBy("doc_id", "n")
+        .agg(F.count(F.lit(1)).alias("n_masked"))
+        .join(n_spans, "doc_id")
+    )
+    base = w.select("doc_id", F.size("ws").alias("n_tokens"))
+    ns = F.coalesce(F.col("n_spans"), F.lit(0))
+    nm = F.coalesce(F.col("n_masked"), F.lit(0))
+    return (
+        base.join(per.select("doc_id", "n_spans", "n_masked"), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            ns.cast("long").alias("n_spans"),
+            nm.cast("long").alias("n_masked"),
+            F.round(nm.cast("double") / F.col("n_tokens"), 4).alias(
+                "corruption_rate"
+            ),
+            (nm + ns).cast("long").alias("target_len"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "q289_fim_split_plan",
+    oracle="""
+    WITH w AS (
+        SELECT doc_id, len(string_split(lower(text), ' ')) AS n FROM documents
+    ),
+    cuts AS (
+        SELECT doc_id, n,
+               1 + ('0x' || substr(md5('fim1|' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % (n - 1) AS c1,
+               1 + ('0x' || substr(md5('fim2|' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % (n - 1) AS c2
+        FROM w WHERE n >= 2
+    )
+    SELECT doc_id,
+           CAST(n AS BIGINT)                          AS n_tokens,
+           CAST(least(c1, c2) AS BIGINT)              AS len_prefix,
+           CAST(greatest(c1, c2) - least(c1, c2) AS BIGINT) AS len_middle,
+           CAST(n - greatest(c1, c2) AS BIGINT)       AS len_suffix,
+           round(CAST(greatest(c1, c2) - least(c1, c2) AS DOUBLE) / n, 4)
+               AS middle_frac
+    FROM cuts
+    ORDER BY doc_id
+    """,
+    tags=("curation", "training", "fim", "split"),
+)
+def q289_fim_split_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fill-in-the-middle split plan (Bavarian et al., 2022 — the FIM
+    transformation behind code-model infilling): two deterministic
+    hash-chosen cut points per document split its token stream into
+    prefix | middle | suffix; training rearranges to PSM order with the
+    middle as the completion target. Emits the per-document length
+    accounting (lengths partition the document exactly — the invariant
+    tests/test_llm_ops.py pins) and the middle fraction.
+
+    Determinism: cut points are salted-md5 integer arithmetic per
+    doc_id (fresh 'fim1|'/'fim2|' salts — independent draws), reduced
+    mod (n−1) into [1, n−1]; min/max ordering makes the two draws
+    exchangeable.
+
+    Scale posture: strictly map-side — one expression per document, no
+    shuffle at all (the sort is presentation-only); the plan table is
+    what a sharded trainer joins back to raw text at materialization
+    time. Reference contract: per-doc split = map slot
+    (``App.config:16``); the rollup is the identity."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    w = docs.select(
+        "doc_id", F.size(F.split(F.lower(F.col("text")), " ")).alias("n")
+    ).where(F.col("n") >= 2)
+
+    def cut(salt: str):
+        return 1 + F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(salt), F.col("doc_id").cast("string"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long") % (F.col("n") - 1)
+
+    cuts = w.select("doc_id", "n", cut("fim1|").alias("c1"), cut("fim2|").alias("c2"))
+    lo = F.least("c1", "c2")
+    hi = F.greatest("c1", "c2")
+    return cuts.select(
+        "doc_id",
+        F.col("n").cast("long").alias("n_tokens"),
+        lo.cast("long").alias("len_prefix"),
+        (hi - lo).cast("long").alias("len_middle"),
+        (F.col("n") - hi).cast("long").alias("len_suffix"),
+        F.round((hi - lo).cast("double") / F.col("n"), 4).alias("middle_frac"),
+    ).orderBy("doc_id")

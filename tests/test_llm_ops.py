@@ -244,3 +244,32 @@ def test_stream_left_outer_unmatched_below_watermark(spark, sf_dir):
     wm = min(mx["purchase"], mx["click"]) - datetime.timedelta(minutes=10)
     for r in unmatched:
         assert r.purchase_ts < wm
+
+
+def test_fim_lengths_partition_document(spark, sf_dir):
+    """prefix + middle + suffix must equal the token count exactly,
+    with middle length >= 0 and prefix >= 1."""
+    rows = REGISTRY["q289_fim_split_plan"].fn(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.len_prefix + r.len_middle + r.len_suffix == r.n_tokens
+        assert r.len_prefix >= 1 and r.len_middle >= 0 and r.len_suffix >= 0
+
+
+def test_span_corruption_accounting(spark, sf_dir):
+    """Masked positions are bounded by span arithmetic (overlap only
+    shrinks coverage): n_spans <= n_masked <= 3 * n_spans, target is
+    masked + sentinels, and the corpus-level corruption rate lands
+    near the designed 15%."""
+    rows = REGISTRY["q288_span_corruption_plan"].fn(spark, sf_dir).collect()
+    assert rows
+    tot_m = tot_t = 0
+    for r in rows:
+        if r.n_spans:
+            assert r.n_spans <= r.n_masked <= 3 * r.n_spans
+        else:
+            assert r.n_masked == 0
+        assert r.target_len == r.n_masked + r.n_spans
+        tot_m += r.n_masked
+        tot_t += r.n_tokens
+    assert 0.10 <= tot_m / tot_t <= 0.20
