@@ -49,7 +49,8 @@ _VERIFY_FIRST = [
     "q283_ngram_novelty_curve", "q284_lsh_s_curve_tuning",
     "q285_mergeable_quantile_histogram", "q286_mmr_diversified_topk",
     "q287_streaming_hll_distinct", "q288_span_corruption_plan",
-    "q289_fim_split_plan",
+    "q289_fim_split_plan", "q290_lpt_shard_balancing",
+    "q291_weak_supervision_lf_summary",
     "q107_bm25_retrieval",
     "q129_curation_funnel", "q20_broadcast_join", "q21_revenue_by_nation",
     "q22_semi_join", "q23_anti_join", "q24_outer_join",

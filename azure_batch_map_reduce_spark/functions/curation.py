@@ -2834,3 +2834,115 @@ def q289_fim_split_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("n") - hi).cast("long").alias("len_suffix"),
         F.round((hi - lo).cast("double") / F.col("n"), 4).alias("middle_frac"),
     ).orderBy("doc_id")
+
+
+# Labeling functions for weak supervision: (name, vote expression).
+# Labels: 1 = "engine/tech" doc, 2 = "business" doc, NULL = abstain.
+_LF_SQL = (
+    ("lf_spark_kw", "CASE WHEN text LIKE '%spark%' THEN 1 END"),
+    ("lf_customer_kw", "CASE WHEN text LIKE '%customer%' THEN 2 END"),
+    ("lf_long_doc", "CASE WHEN n_chars > 300 THEN 1 END"),
+    ("lf_slow_kw", "CASE WHEN text LIKE '%slow%' THEN 2 END"),
+)
+
+
+@query(
+    "q291_weak_supervision_lf_summary",
+    oracle=f"""
+    WITH votes AS (
+        {" UNION ALL ".join(f"SELECT doc_id, '{n}' AS lf, {e} AS vote FROM documents" for n, e in _LF_SQL)}
+    ),
+    cast_votes AS (SELECT * FROM votes WHERE vote IS NOT NULL),
+    nd AS (SELECT count(*) AS n_docs FROM documents),
+    pairs AS (
+        SELECT a.lf, a.doc_id,
+               max(CASE WHEN b.lf <> a.lf THEN 1 ELSE 0 END) AS overlapped,
+               max(CASE WHEN b.lf <> a.lf AND b.vote <> a.vote
+                   THEN 1 ELSE 0 END) AS conflicted
+        FROM cast_votes a
+        JOIN cast_votes b ON a.doc_id = b.doc_id
+        GROUP BY a.lf, a.doc_id
+    )
+    SELECT p.lf,
+           CAST(count(*) AS BIGINT) AS n_votes,
+           round(CAST(count(*) AS DOUBLE) / any_value(nd.n_docs), 4)
+               AS coverage,
+           round(CAST(sum(p.overlapped) AS DOUBLE) / count(*), 4)
+               AS overlap_rate,
+           round(CAST(sum(p.conflicted) AS DOUBLE) / count(*), 4)
+               AS conflict_rate
+    FROM pairs p CROSS JOIN nd
+    GROUP BY p.lf
+    ORDER BY p.lf
+    """,
+    tags=("curation", "weak-supervision", "labeling", "snorkel"),
+)
+def q291_weak_supervision_lf_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snorkel-style labeling-function summary (the lf_summary table a
+    weak-supervision pipeline inspects before fitting a label model):
+    four deterministic LFs vote 1 ("tech"), 2 ("business"), or abstain
+    over every document; each LF reports coverage (fraction of corpus
+    it votes on), overlap rate (of its votes, how often ANOTHER LF
+    also votes), and conflict rate (how often another LF votes
+    DIFFERENTLY). High-coverage/low-conflict LFs anchor the label
+    model; high-conflict ones get down-weighted or rewritten — this
+    table is how you find out which is which without any ground truth.
+
+    Determinism: votes are exact predicates; rates are exact-integer
+    divisions rounded at 4.
+
+    Scale posture: one map-side pass emits (doc, lf, vote) triples
+    (the unpivot is per-row expression work); overlap/conflict is an
+    equi-join on doc_id whose fan-out is bounded by |LFs| (≤4 votes
+    per doc, so ≤16 pair rows per doc — linear in corpus, never
+    quadratic); the final rollup is |LFs| rows. Reference contract:
+    per-doc LF evaluation = map slot (``App.config:16``); summary
+    consolidation = reduce slot (``App.config:17``)."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    stack_expr = "stack({}, {}) as (lf, vote)".format(
+        len(_LF_SQL),
+        ", ".join(f"'{n}', ({e})" for n, e in _LF_SQL),
+    )
+    votes = docs.select("doc_id", F.expr(stack_expr)).where(
+        F.col("vote").isNotNull()
+    )
+    nd = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    a = votes.select("doc_id", "lf", "vote")
+    b = votes.select(
+        F.col("doc_id").alias("doc_id_b"),
+        F.col("lf").alias("lf_b"),
+        F.col("vote").alias("vote_b"),
+    )
+    pairs = (
+        a.join(b, F.col("doc_id") == F.col("doc_id_b"))
+        .groupBy("lf", "doc_id")
+        .agg(
+            F.max(
+                F.when(F.col("lf_b") != F.col("lf"), 1).otherwise(0)
+            ).alias("overlapped"),
+            F.max(
+                F.when(
+                    (F.col("lf_b") != F.col("lf"))
+                    & (F.col("vote_b") != F.col("vote")),
+                    1,
+                ).otherwise(0)
+            ).alias("conflicted"),
+        )
+    )
+    return (
+        pairs.crossJoin(F.broadcast(nd))
+        .groupBy("lf")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_votes"),
+            F.round(
+                F.count(F.lit(1)).cast("double") / F.first("n_docs"), 4
+            ).alias("coverage"),
+            F.round(
+                F.sum("overlapped").cast("double") / F.count(F.lit(1)), 4
+            ).alias("overlap_rate"),
+            F.round(
+                F.sum("conflicted").cast("double") / F.count(F.lit(1)), 4
+            ).alias("conflict_rate"),
+        )
+        .orderBy("lf")
+    )

@@ -2294,3 +2294,181 @@ def q286_mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("step", "vec_id", "label", "rel", F.col("mmr").alias("mmr_score"))
         .orderBy("step")
     )
+
+
+_LPT_SHARDS = 8
+
+
+@query(
+    "q290_lpt_shard_balancing",
+    oracle=f"""
+    WITH cells AS (
+        SELECT concat_ws('', CASE WHEN embedding[1] >= 0 THEN '1' ELSE '0' END,
+                            CASE WHEN embedding[2] >= 0 THEN '1' ELSE '0' END,
+                            CASE WHEN embedding[3] >= 0 THEN '1' ELSE '0' END,
+                            CASE WHEN embedding[4] >= 0 THEN '1' ELSE '0' END,
+                            CASE WHEN embedding[5] >= 0 THEN '1' ELSE '0' END,
+                            CASE WHEN embedding[6] >= 0 THEN '1' ELSE '0' END) AS sig,
+               count(*) AS n
+        FROM embeddings GROUP BY 1
+    ),
+    ordered AS (
+        SELECT list(CAST(n AS DOUBLE) ORDER BY n DESC, sig ASC) AS sizes,
+               list(sig ORDER BY n DESC, sig ASC) AS sigs
+        FROM cells
+    ),
+    folded AS (
+        -- acc: first {_LPT_SHARDS} doubles = shard loads, then one
+        -- assigned shard id (0-based, as double) per item in LPT order.
+        -- Same-type LIST accumulator, every field read from the
+        -- UNMODIFIED acc (the q267 struct_pack-shadowing discipline).
+        SELECT sigs,
+               list_reduce(
+                   list_prepend([CAST(0 AS DOUBLE) FOR _ IN range({_LPT_SHARDS})],
+                                list_transform(sizes, s -> [s])),
+                   (acc, item) -> list_transform(
+                       range(1, len(acc) + 2),
+                       i -> CASE
+                           WHEN i <= {_LPT_SHARDS} THEN
+                               acc[CAST(i AS INTEGER)]
+                               + CASE WHEN i = list_position(
+                                     list_slice(acc, 1, {_LPT_SHARDS}),
+                                     list_min(list_slice(acc, 1, {_LPT_SHARDS})))
+                                 THEN item[1] ELSE 0.0 END
+                           WHEN i <= len(acc) THEN acc[CAST(i AS INTEGER)]
+                           ELSE CAST(list_position(
+                                    list_slice(acc, 1, {_LPT_SHARDS}),
+                                    list_min(list_slice(acc, 1, {_LPT_SHARDS})))
+                                    - 1 AS DOUBLE)
+                       END)) AS acc
+        FROM ordered
+    ),
+    assigned AS (
+        SELECT sigs[i] AS sig,
+               CAST(acc[{_LPT_SHARDS} + i] AS BIGINT) AS shard
+        FROM folded, unnest(range(1, len(sigs) + 1)) t(i)
+    ),
+    loads AS (
+        SELECT a.shard, sum(c.n) AS shard_load
+        FROM assigned a JOIN cells c ON a.sig = c.sig
+        GROUP BY a.shard
+    )
+    SELECT a.sig, CAST(c.n AS BIGINT) AS n_vectors, a.shard,
+           CAST(l.shard_load AS BIGINT) AS shard_load
+    FROM assigned a
+    JOIN cells c ON a.sig = c.sig
+    JOIN loads l ON a.shard = l.shard
+    ORDER BY a.sig
+    """,
+    tags=("similarity", "sharding", "lpt", "planning", "serving"),
+)
+def q290_lpt_shard_balancing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Size-aware shard balancing for an ANN serving index: the 6-bit
+    LSH cells (q71's buckets — naturally SKEWED, unlike q75's uniform
+    hash shards) are packed onto 8 shards by Longest-Processing-Time
+    greedy: sort cells by size descending, assign each to the
+    currently lightest shard (ties: lowest shard id). LPT guarantees
+    max-load ≤ 4/3·OPT — the planning step that keeps one hot cell
+    from pinning a serving node while hash-sharding would split cells
+    and duplicate routing state.
+
+    Determinism: cell sizes are exact counts; the greedy fold runs in
+    a total (size desc, sig asc) order; loads are integer-valued
+    doubles so min/argmin comparisons are exact; first-index
+    tie-breaking matches on both engines.
+
+    Scale posture: cell statistics are one partial+final count (cells
+    ≤ 2^bits, corpus-independent); the sequential LPT fold runs at
+    CELL grain inside a single-row array fold — the same
+    pool-then-fit reduction as q277's PAV (pool at bounded grain, run
+    the inherently-sequential algorithm there). The accumulator is a
+    same-type list of doubles (loads ++ assignments), every element
+    built from the unmodified accumulator — the q267 DuckDB fold
+    discipline. Reference contract: per-vector cell assignment = map
+    slot (``App.config:16``); the packing fold = reduce slot
+    (``App.config:17``)."""
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    sig = F.concat_ws(
+        "",
+        *[
+            F.when(F.element_at("embedding", i) >= 0, "1").otherwise("0")
+            for i in range(1, 7)
+        ],
+    )
+    cells = emb.select(sig.alias("sig")).groupBy("sig").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    ordered = cells.agg(
+        F.transform(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        (F.lit(0.0) - F.col("n")).alias("negn"),
+                        F.col("sig").alias("sig"),
+                        F.col("n").cast("double").alias("nd"),
+                    )
+                )
+            ),
+            lambda s: F.struct(s.getField("sig").alias("sig"), s.getField("nd").alias("nd")),
+        ).alias("items")
+    )
+    k = _LPT_SHARDS
+    # acc: k shard loads then one 0-based shard id per processed item.
+    folded = ordered.select(
+        "items",
+        F.aggregate(
+            F.col("items"),
+            F.array(*[F.lit(0.0) for _ in range(k)]),
+            lambda acc, item: F.concat(
+                F.transform(
+                    F.slice(acc, 1, k),
+                    lambda x, i: F.when(
+                        i
+                        == F.array_position(
+                            F.slice(acc, 1, k), F.array_min(F.slice(acc, 1, k))
+                        )
+                        - 1,
+                        x + item.getField("nd"),
+                    ).otherwise(x),
+                ),
+                F.slice(acc, k + 1, F.size(acc) - k),
+                F.array(
+                    (
+                        F.array_position(
+                            F.slice(acc, 1, k), F.array_min(F.slice(acc, 1, k))
+                        )
+                        - 1
+                    ).cast("double")
+                ),
+            ),
+        ).alias("acc"),
+    )
+    assigned = folded.select(
+        F.posexplode(
+            F.transform(
+                F.col("items"),
+                lambda item, i: F.struct(
+                    item.getField("sig").alias("sig"),
+                    F.element_at(F.col("acc"), i + k + 1).cast("long").alias(
+                        "shard"
+                    ),
+                ),
+            )
+        ).alias("pos", "a")
+    ).select(F.col("a.sig").alias("sig"), F.col("a.shard").alias("shard"))
+    loads = (
+        assigned.join(cells, "sig")
+        .groupBy("shard")
+        .agg(F.sum("n").alias("shard_load"))
+    )
+    return (
+        assigned.join(F.broadcast(cells), "sig")
+        .join(F.broadcast(loads), "shard")
+        .select(
+            "sig",
+            F.col("n").cast("long").alias("n_vectors"),
+            "shard",
+            F.col("shard_load").cast("long").alias("shard_load"),
+        )
+        .orderBy("sig")
+    )
