@@ -50,7 +50,8 @@ _VERIFY_FIRST = [
     "q285_mergeable_quantile_histogram", "q286_mmr_diversified_topk",
     "q287_streaming_hll_distinct", "q288_span_corruption_plan",
     "q289_fim_split_plan", "q290_lpt_shard_balancing",
-    "q291_weak_supervision_lf_summary",
+    "q291_weak_supervision_lf_summary", "q292_dynamic_partition_overwrite",
+    "q293_ndcg_retrieval_eval",
     "q107_bm25_retrieval",
     "q129_curation_funnel", "q20_broadcast_join", "q21_revenue_by_nation",
     "q22_semi_join", "q23_anti_join", "q24_outer_join",

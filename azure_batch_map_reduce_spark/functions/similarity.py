@@ -2472,3 +2472,174 @@ def q290_lpt_shard_balancing(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("sig")
     )
+
+
+_NDCG_K = 10
+_NDCG_QUERIES = 5  # vec_ids 0..4 serve as queries
+
+
+@query(
+    "q293_ndcg_retrieval_eval",
+    oracle=f"""
+    WITH n AS (
+        SELECT vec_id, label,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+        FROM embeddings
+    ),
+    q AS (
+        SELECT vec_id AS qid, label AS q_label, e AS qe
+        FROM n WHERE vec_id < {_NDCG_QUERIES}
+    ),
+    scored AS (
+        SELECT q.qid, q.q_label, n.vec_id,
+               CASE WHEN n.label = q.q_label THEN 1 ELSE 0 END AS gain,
+               round(list_dot_product(n.e, q.qe)
+                     / sqrt(list_dot_product(n.e, n.e)
+                            * list_dot_product(q.qe, q.qe)), 4) AS cos
+        FROM n CROSS JOIN q
+        WHERE n.vec_id >= {_NDCG_QUERIES}
+    ),
+    ranked AS (
+        SELECT qid, q_label, gain,
+               row_number() OVER (
+                   PARTITION BY qid ORDER BY cos DESC, vec_id ASC) AS rnk
+        FROM scored
+    ),
+    nrel AS (
+        SELECT qid, sum(gain) AS n_rel FROM scored GROUP BY qid
+    ),
+    dcg AS (
+        SELECT qid, q_label,
+               list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                   list(gain / log2(rnk + 1.0) ORDER BY rnk)),
+                   (a, b) -> a + b) AS dcg
+        FROM ranked WHERE rnk <= {_NDCG_K}
+        GROUP BY qid, q_label
+    ),
+    idcg AS (
+        SELECT r.qid,
+               list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                   list(1.0 / log2(i + 1.0) ORDER BY i)),
+                   (a, b) -> a + b) AS idcg
+        FROM nrel r, unnest(range(1, {_NDCG_K} + 1)) t(i)
+        WHERE i <= least({_NDCG_K}, r.n_rel)
+        GROUP BY r.qid
+    )
+    SELECT d.qid, d.q_label,
+           round(d.dcg, 6) AS dcg,
+           round(i.idcg, 6) AS idcg,
+           round(d.dcg / i.idcg, 6) AS ndcg
+    FROM dcg d JOIN idcg i ON d.qid = i.qid
+    ORDER BY d.qid
+    """,
+    tags=("similarity", "retrieval", "evaluation", "ndcg"),
+)
+def q293_ndcg_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """nDCG@10 retrieval evaluation — the standard graded-ranking
+    metric the recall audit (q270) and AUC (q255) don't cover: vectors
+    0-4 serve as queries, binary gain = same-label, ranking by exact
+    cosine; DCG discounts each hit by log2(rank+1) and normalizes by
+    the ideal ordering's DCG. This is the offline eval a retrieval
+    stack runs per index/model change; per-query rows (not a single
+    mean) keep regressions attributable.
+
+    Determinism: ranks are total-ordered (4dp cosine key + vec_id
+    tie); log2 is libm but applied to exact INTEGER+1 operands —
+    identical inputs both engines — and the discounted sums fold in
+    rank order; final values round at 6.
+
+    Scale posture: scoring is a broadcast of the 5-query table onto
+    one corpus scan (map-side, the q70 shape); per-query ranking
+    partitions by qid with a group-limit at k=10; DCG folds run at
+    ≤k-row grain and IDCG is closed-form from the per-query relevant
+    count. Queries × corpus never materializes beyond the scored scan.
+    Reference contract: per-vector scoring = map slot
+    (``App.config:16``); per-query metric consolidation = reduce slot
+    (``App.config:17``)."""
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    n = emb.select("vec_id", "label", _as_double(F.col("embedding")).alias("e"))
+    q = n.filter(F.col("vec_id") < _NDCG_QUERIES).select(
+        F.col("vec_id").alias("qid"),
+        F.col("label").alias("q_label"),
+        F.col("e").alias("qe"),
+    )
+    scored = (
+        n.filter(F.col("vec_id") >= _NDCG_QUERIES)
+        .crossJoin(F.broadcast(q))
+        .select(
+            "qid",
+            "q_label",
+            "vec_id",
+            F.when(F.col("label") == F.col("q_label"), 1).otherwise(0).alias(
+                "gain"
+            ),
+            F.round(
+                _dot(F.col("e"), F.col("qe"))
+                / F.sqrt(
+                    _dot(F.col("e"), F.col("e")) * _dot(F.col("qe"), F.col("qe"))
+                ),
+                4,
+            ).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cos"), F.asc("vec_id"))
+    ranked = scored.withColumn("rnk", F.row_number().over(w)).where(
+        F.col("rnk") <= _NDCG_K
+    )
+    nrel = scored.groupBy("qid").agg(F.sum("gain").alias("n_rel"))
+    dcg = ranked.groupBy("qid", "q_label").agg(
+        F.aggregate(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            F.col("rnk"),
+                            (
+                                F.col("gain") / F.log2(F.col("rnk") + 1.0)
+                            ).alias("term"),
+                        )
+                    )
+                ),
+                lambda s: s.getField("term"),
+            ),
+            F.lit(0.0),
+            lambda a, b: a + b,
+        ).alias("dcg")
+    )
+    idcg = (
+        nrel.select(
+            "qid",
+            F.explode(F.sequence(F.lit(1), F.lit(_NDCG_K))).alias("i"),
+            "n_rel",
+        )
+        .where(F.col("i") <= F.least(F.lit(_NDCG_K), F.col("n_rel")))
+        .groupBy("qid")
+        .agg(
+            F.aggregate(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct(
+                                F.col("i"),
+                                (1.0 / F.log2(F.col("i") + 1.0)).alias("term"),
+                            )
+                        )
+                    ),
+                    lambda s: s.getField("term"),
+                ),
+                F.lit(0.0),
+                lambda a, b: a + b,
+            ).alias("idcg")
+        )
+    )
+    return (
+        dcg.join(F.broadcast(idcg), "qid")
+        .select(
+            "qid",
+            "q_label",
+            F.round("dcg", 6).alias("dcg"),
+            F.round("idcg", 6).alias("idcg"),
+            F.round(F.col("dcg") / F.col("idcg"), 6).alias("ndcg"),
+        )
+        .orderBy("qid")
+    )

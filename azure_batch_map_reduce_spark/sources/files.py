@@ -593,3 +593,95 @@ def _register_dpp() -> None:
 
 
 _register_dpp()
+
+
+def _register_dynamic_overwrite() -> None:
+    from pyspark.sql import functions as F
+
+    from azure_batch_map_reduce_spark.catalog import load_tables
+    from azure_batch_map_reduce_spark.registry import query
+
+    @query(
+        "q292_dynamic_partition_overwrite",
+        oracle="""
+        WITH final AS (
+            SELECT strftime(ts, '%Y-%m-%d') AS day, event_type, value
+            FROM events
+            WHERE strftime(ts, '%Y-%m-%d') <> '2024-01-05'
+            UNION ALL
+            SELECT strftime(ts, '%Y-%m-%d'), event_type, value * 2
+            FROM events
+            WHERE strftime(ts, '%Y-%m-%d') = '2024-01-05'
+              AND event_id % 2 = 0
+        )
+        SELECT day,
+               CAST(count(*) AS BIGINT) AS n_events,
+               round(sum(value), 2) AS total_value
+        FROM final
+        GROUP BY day
+        ORDER BY day
+        """,
+        tags=("source", "sink", "partition", "overwrite", "restatement"),
+    )
+    def q292_dynamic_partition_overwrite(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        """Dynamic partition overwrite — the lakehouse restatement
+        primitive: the events table lands day-partitioned; a corrected
+        batch for 2024-01-05 (even event_ids only, values doubled) is
+        written with ``partitionOverwriteMode=dynamic``, which replaces
+        ONLY the partitions present in the incoming batch. Static
+        overwrite mode would truncate every other day — the classic
+        data-loss foot-gun this mode exists to prevent; the oracle
+        proves all other days survived byte-for-byte (per-day counts
+        and value sums).
+
+        Determinism: partition keys are exact date strings; the
+        restatement predicate is integer arithmetic.
+
+        Scale posture: the write shuffles once on the partition key
+        (`repartition(day)` aligns the shuffle with the directory
+        layout, one file set per day); the overwrite touches only the
+        restated partition's files, so restating one day of a 100 TB
+        table moves one day of bytes. The writer-level option keeps
+        the session config untouched. Reference contract: the sink
+        staging mirrors L3/L15's container ensure + download
+        (``Program.cs:110-111,474-497``); selective replacement is the
+        engine-side upgrade over the reference's whole-container
+        download."""
+        events = load_tables(spark, sf_dir)["events"]
+        base = events.select(
+            F.date_format("ts", "yyyy-MM-dd").alias("day"),
+            "event_id",
+            "event_type",
+            "value",
+        )
+        d = _roundtrip_dir("dynover")
+        (
+            base.repartition("day")
+            .write.mode("overwrite")
+            .partitionBy("day")
+            .parquet(d)
+        )
+        restated = base.where(
+            (F.col("day") == "2024-01-05") & (F.col("event_id") % 2 == 0)
+        ).withColumn("value", F.col("value") * 2)
+        (
+            restated.repartition("day")
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("day")
+            .parquet(d)
+        )
+        back = spark.read.parquet(d)
+        return (
+            back.groupBy("day")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_events"),
+                F.round(F.sum("value"), 2).alias("total_value"),
+            )
+            .orderBy("day")
+        )
+
+
+_register_dynamic_overwrite()
