@@ -2988,3 +2988,146 @@ def q285_mergeable_quantile_histogram(spark: SparkSession, sf_dir: str) -> DataF
         )
         .orderBy("p")
     )
+
+
+_SW_DAYS = 7  # trailing window width (days)
+
+
+@query(
+    "q294_sliding_hll_union",
+    oracle=f"""
+    WITH keyed AS (
+        SELECT date_trunc('day', ts) AS day,
+               user_id,
+               ('0x' || substr(md5('hll|' || CAST(user_id AS VARCHAR)), 1, 2))::BIGINT % 64 AS j,
+               least(CASE WHEN ('0x' || substr(md5('hll|' || CAST(user_id AS VARCHAR)), 3, 8))::BIGINT = 0
+                          THEN 33
+                          ELSE 33 - length(regexp_replace(
+                              bin(('0x' || substr(md5('hll|' || CAST(user_id AS VARCHAR)), 3, 8))::BIGINT),
+                              '^0+', ''))
+                     END, 30) AS rho
+        FROM events
+    ),
+    day_reg AS (
+        SELECT day, j, max(rho) AS mj FROM keyed GROUP BY day, j
+    ),
+    days AS (SELECT DISTINCT day FROM day_reg),
+    win_reg AS (
+        SELECT w.day, r.j, max(r.mj) AS mj
+        FROM days w
+        JOIN day_reg r
+          ON r.day > w.day - INTERVAL {_SW_DAYS} DAY AND r.day <= w.day
+        GROUP BY w.day, r.j
+    ),
+    state AS (
+        SELECT day,
+               sum(1::BIGINT << (30 - mj))
+                   + (64 - count(*)) * (1::BIGINT << 30) AS sum_int,
+               64 - count(*) AS v
+        FROM win_reg GROUP BY day
+    ),
+    exact AS (
+        SELECT w.day, count(DISTINCT k.user_id) AS exact_distinct
+        FROM days w
+        JOIN keyed k
+          ON k.day > w.day - INTERVAL {_SW_DAYS} DAY AND k.day <= w.day
+        GROUP BY w.day
+    )
+    SELECT s.day AS window_day,
+           round(CASE WHEN s.v > 0 THEN 64 * ln(64.0 / s.v)
+                      ELSE 0.709 * 4096.0 * 1073741824.0 / s.sum_int
+                 END, 4) AS hll_estimate,
+           CAST(e.exact_distinct AS BIGINT) AS exact_distinct,
+           round((CASE WHEN s.v > 0 THEN 64 * ln(64.0 / s.v)
+                       ELSE 0.709 * 4096.0 * 1073741824.0 / s.sum_int
+                  END - e.exact_distinct) / e.exact_distinct, 4) + 0.0
+               AS rel_error
+    FROM state s JOIN exact e ON s.day = e.day
+    ORDER BY s.day
+    """,
+    tags=("aggregation", "sketch", "hll", "sliding", "rolling", "distinct"),
+)
+def q294_sliding_hll_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day distinct users per day via MERGED day sketches —
+    the pre-aggregate-then-reuse pattern that makes rolling distinct
+    feasible at 100 TB: each day's events collapse ONCE into a
+    64-register HLL; every 7-day window then unions seven day-sketches
+    by elementwise register MAX (the mergeability q156 establishes)
+    instead of re-scanning seven days of raw events per window the way
+    the exact rolling form (q148) must. The exact audit column
+    quantifies what the sketch trades away.
+
+    Determinism: q156's engine-pinned register derivation; merge is
+    MAX (order-free); harmonic sums exact int64; rel_error rounds with
+    signed-zero normalization.
+
+    Scale posture: raw events are touched exactly once (day×register
+    partial+final aggregate, ≤ days×64 rows); the sliding union is a
+    bounded range join at DAY grain (7×64 rows per window) — corpus
+    volume never re-enters. Day sketches persist as a tiny table in
+    production, so backfilling a new window width touches no raw data
+    at all. The exact audit is the expensive path (range join at event
+    grain) — production drops it. Reference contract: per-event
+    register derivation = map slot (``App.config:16``); register-max
+    consolidation = reduce slot (``App.config:17``)."""
+    events = load_tables(spark, sf_dir)["events"]
+    h = F.md5(F.concat(F.lit("hll|"), F.col("user_id").cast("string")))
+    wrd = F.conv(F.substring(h, 3, 8), 16, 10).cast("long")
+    keyed = events.select(
+        F.date_trunc("day", F.col("ts")).alias("day"),
+        "user_id",
+        (F.conv(F.substring(h, 1, 2), 16, 10).cast("long") % 64).alias("j"),
+        F.least(
+            F.when(wrd == 0, F.lit(33)).otherwise(33 - F.length(F.bin(wrd))),
+            F.lit(30),
+        ).alias("rho"),
+    )
+    day_reg = keyed.groupBy("day", "j").agg(F.max("rho").alias("mj"))
+    days = day_reg.select("day").distinct()
+    r = day_reg.select(
+        F.col("day").alias("rday"), "j", "mj"
+    )
+    win_reg = (
+        days.join(
+            r,
+            (F.col("rday") > F.col("day") - F.expr(f"INTERVAL {_SW_DAYS} DAY"))
+            & (F.col("rday") <= F.col("day")),
+        )
+        .groupBy("day", "j")
+        .agg(F.max("mj").alias("mj"))
+    )
+    state = win_reg.groupBy("day").agg(
+        (
+            F.sum(F.expr("shiftleft(cast(1 as bigint), 30 - mj)"))
+            + (F.lit(64) - F.count(F.lit(1))) * F.lit(1 << 30)
+        ).alias("sum_int"),
+        (F.lit(64) - F.count(F.lit(1))).alias("v"),
+    )
+    ek = keyed.select(F.col("day").alias("kday"), "user_id")
+    exact = (
+        days.join(
+            ek,
+            (F.col("kday") > F.col("day") - F.expr(f"INTERVAL {_SW_DAYS} DAY"))
+            & (F.col("kday") <= F.col("day")),
+        )
+        .groupBy("day")
+        .agg(F.countDistinct("user_id").alias("exact_distinct"))
+    )
+    est = F.when(
+        F.col("v") > 0, 64 * F.log(64.0 / F.col("v").cast("double"))
+    ).otherwise(F.lit(0.709 * 4096.0 * 1073741824.0) / F.col("sum_int"))
+    from azure_batch_map_reduce_spark.operators.ranks import round_nz
+
+    return (
+        state.join(exact, "day")
+        .select(
+            F.col("day").alias("window_day"),
+            F.round(est, 4).alias("hll_estimate"),
+            F.col("exact_distinct").cast("long").alias("exact_distinct"),
+            round_nz(
+                (est - F.col("exact_distinct")) / F.col("exact_distinct"),
+                4,
+            ).alias("rel_error"),
+        )
+        .orderBy("window_day")
+    )

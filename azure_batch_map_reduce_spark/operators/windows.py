@@ -2709,3 +2709,198 @@ def q279_acf_daily_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFram
         F.col("n").cast("long").alias("n_days"),
         round_nz(num / F.col("denom"), 6).alias("acf"),
     ).orderBy("lag")
+
+
+# Exact factorials for the Shapley coefficient at |channels| <= 5.
+_FACT_CASE_SQL = (
+    "CASE {x} WHEN 0 THEN 1.0 WHEN 1 THEN 1.0 WHEN 2 THEN 2.0"
+    " WHEN 3 THEN 6.0 WHEN 4 THEN 24.0 ELSE 120.0 END"
+)
+
+
+@query(
+    "q295_shapley_attribution",
+    oracle=f"""
+    WITH chans AS (
+        SELECT list(DISTINCT event_type ORDER BY event_type) AS cs
+        FROM events WHERE event_type <> 'purchase'
+    ),
+    usersets AS (
+        SELECT user_id,
+               array_to_string(list(DISTINCT event_type ORDER BY event_type)
+                   FILTER (WHERE event_type <> 'purchase'), ',') AS skey,
+               max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                   AS converted
+        FROM events GROUP BY user_id
+    ),
+    v AS (
+        SELECT skey, CAST(sum(converted) AS DOUBLE) / count(*) AS vr
+        FROM usersets GROUP BY skey
+    ),
+    touched AS (
+        SELECT event_type AS channel, count(DISTINCT user_id) AS n_touched
+        FROM events WHERE event_type <> 'purchase' GROUP BY event_type
+    ),
+    masks AS (
+        SELECT c.cs, len(c.cs) AS n, m.mask
+        FROM chans c, unnest(range(0, 1 << len(c.cs))) m(mask)
+    ),
+    terms AS (
+        SELECT c.cs[ci.i] AS channel, k.mask,
+               {_FACT_CASE_SQL.format(x="bit_count(k.mask)")}
+               * {_FACT_CASE_SQL.format(x="k.n - 1 - bit_count(k.mask)")}
+               / {_FACT_CASE_SQL.format(x="k.n")} AS w,
+               array_to_string(list_filter(k.cs,
+                   (x, i) -> ((k.mask >> (i - 1)) & 1) = 1), ',') AS s_key,
+               array_to_string(list_filter(k.cs,
+                   (x, i) -> (((k.mask | (1 << (ci.i - 1))) >> (i - 1)) & 1) = 1),
+                   ',') AS si_key
+        FROM masks k
+        CROSS JOIN chans c
+        JOIN (SELECT unnest(range(1, len(cs) + 1)) AS i FROM chans) ci ON true
+        WHERE ((k.mask >> (ci.i - 1)) & 1) = 0
+    ),
+    scored AS (
+        SELECT t.channel, t.mask,
+               t.w * (coalesce(vi.vr, 0.0) - coalesce(vs.vr, 0.0)) AS term
+        FROM terms t
+        LEFT JOIN v vs ON vs.skey = t.s_key
+        LEFT JOIN v vi ON vi.skey = t.si_key
+    )
+    SELECT s.channel,
+           CAST(tc.n_touched AS BIGINT) AS n_touched,
+           round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                     list(term ORDER BY mask)), (a, b) -> a + b), 6) + 0.0
+               AS shapley
+    FROM scored s JOIN touched tc ON s.channel = tc.channel
+    GROUP BY s.channel, tc.n_touched
+    ORDER BY s.channel
+    """,
+    tags=("attribution", "shapley", "marketing", "events", "game-theory"),
+)
+def q295_shapley_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT Shapley-value conversion attribution (the data-driven
+    attribution model behind e.g. Google DDA; Zhao et al. 2018):
+    each user's touched-channel SET (non-purchase event types) defines
+    a coalition; v(S) = conversion rate of users with exactly that
+    set (unobserved coalitions → 0); each channel's credit is the
+    Shapley value Σ_S |S|!(n−1−|S|)!/n! · (v(S∪{{i}}) − v(S)). Where
+    last-touch (q152) gives the final click all credit, Shapley splits
+    it by marginal contribution over every arrival order — the
+    fairness axioms are the point. Efficiency (Σφ = v(N) − v(∅)) is
+    pinned in tests/test_llm_ops.py.
+
+    Determinism: coalition rates are exact-integer divisions; Shapley
+    coefficients are exact small-factorial CASE arithmetic; per-channel
+    sums fold in mask order; output rounds at 6 with signed-zero
+    normalization (marginals can be negative).
+
+    Scale posture: the corpus collapses to user-grain sets (one
+    shuffle) then to coalition grain (≤2^n rows, n = |channels|); the
+    Shapley enumeration is n·2^(n−1) terms of arithmetic on that tiny
+    table — the standard exact-Shapley reduction, feasible because
+    channels (unlike users) number in the handfuls. At 20+ channels
+    you'd swap the enumeration for permutation sampling; every stage
+    before it is unchanged. Reference contract: per-user coalition
+    build = map slot (``App.config:16``); coalition-rate + Shapley
+    consolidation = reduce slot (``App.config:17``)."""
+    events = load_tables(spark, sf_dir)["events"]
+    chans = events.where(F.col("event_type") != "purchase").agg(
+        F.array_sort(F.collect_set("event_type")).alias("cs")
+    )
+    usersets = events.groupBy("user_id").agg(
+        F.array_join(
+            F.array_sort(
+                F.collect_set(
+                    F.when(F.col("event_type") != "purchase", F.col("event_type"))
+                )
+            ),
+            ",",
+        ).alias("skey"),
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("converted"),
+    )
+    v = usersets.groupBy("skey").agg(
+        (F.sum("converted").cast("double") / F.count(F.lit(1))).alias("vr")
+    )
+    touched = (
+        events.where(F.col("event_type") != "purchase")
+        .groupBy(F.col("event_type").alias("channel"))
+        .agg(F.countDistinct("user_id").alias("n_touched"))
+    )
+    masks = chans.select(
+        "cs",
+        F.size("cs").alias("n"),
+        F.expr("explode(sequence(0, shiftleft(1, size(cs)) - 1))").alias("mask"),
+    )
+    fact = _FACT_CASE_SQL
+    terms = (
+        masks.select(
+            "cs",
+            "n",
+            "mask",
+            F.expr("posexplode(cs)").alias("i0", "channel"),
+        )
+        .where(F.expr("((mask >> i0) & 1) = 0"))
+        .select(
+            "channel",
+            "mask",
+            F.expr(
+                f"{fact.format(x='bit_count(mask)')}"
+                f" * {fact.format(x='n - 1 - bit_count(mask)')}"
+                f" / {fact.format(x='n')}"
+            ).alias("w"),
+            F.expr(
+                "array_join(filter(cs, (x, i) -> ((mask >> i) & 1) = 1), ',')"
+            ).alias("s_key"),
+            F.expr(
+                "array_join(filter(cs,"
+                " (x, i) -> (((mask | shiftleft(1, i0)) >> i) & 1) = 1), ',')"
+            ).alias("si_key"),
+        )
+    )
+    vs = v.select(F.col("skey").alias("s_key"), F.col("vr").alias("v_s"))
+    vi = v.select(F.col("skey").alias("si_key"), F.col("vr").alias("v_si"))
+    scored = (
+        terms.join(F.broadcast(vs), "s_key", "left")
+        .join(F.broadcast(vi), "si_key", "left")
+        .select(
+            "channel",
+            "mask",
+            (
+                F.col("w")
+                * (
+                    F.coalesce("v_si", F.lit(0.0))
+                    - F.coalesce("v_s", F.lit(0.0))
+                )
+            ).alias("term"),
+        )
+    )
+    from azure_batch_map_reduce_spark.operators.ranks import round_nz
+
+    return (
+        scored.groupBy("channel")
+        .agg(
+            round_nz(
+                F.aggregate(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(F.struct(F.col("mask"), F.col("term")))
+                        ),
+                        lambda s: s.getField("term"),
+                    ),
+                    F.lit(0.0),
+                    lambda a, b: a + b,
+                ),
+                6,
+            ).alias("shapley")
+        )
+        .join(F.broadcast(touched), "channel")
+        .select(
+            "channel",
+            F.col("n_touched").cast("long").alias("n_touched"),
+            "shapley",
+        )
+        .orderBy("channel")
+    )

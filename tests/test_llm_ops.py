@@ -273,3 +273,34 @@ def test_span_corruption_accounting(spark, sf_dir):
         tot_m += r.n_masked
         tot_t += r.n_tokens
     assert 0.10 <= tot_m / tot_t <= 0.20
+
+
+def test_shapley_efficiency_axiom(spark, sf_dir):
+    """Shapley values must satisfy efficiency: the credits sum to
+    v(full channel set) - v(empty set), computed independently from
+    the user coalition table."""
+    rows = REGISTRY["q295_shapley_attribution"].fn(spark, sf_dir).collect()
+    assert len(rows) == 4
+    from azure_batch_map_reduce_spark.catalog import load_tables
+
+    ev = load_tables(spark, sf_dir)["events"]
+    usersets = ev.groupBy("user_id").agg(
+        F.array_join(
+            F.array_sort(
+                F.collect_set(
+                    F.when(F.col("event_type") != "purchase", F.col("event_type"))
+                )
+            ),
+            ",",
+        ).alias("skey"),
+        F.max(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias("c"),
+    )
+    v = {
+        r.skey: r.vr
+        for r in usersets.groupBy("skey")
+        .agg((F.sum("c") / F.count(F.lit(1))).alias("vr"))
+        .collect()
+    }
+    full = ",".join(sorted({r.channel for r in rows}))
+    expect = v.get(full, 0.0) - v.get("", 0.0)
+    assert abs(sum(r.shapley for r in rows) - expect) < 1e-4
