@@ -684,3 +684,54 @@ def test_q282_schedule_head_is_take_ordered(spark, sf_dir):
     heaps), never a global sort of the corpus."""
     plan = plan_of(REGISTRY["q282_wfq_interleave_schedule"].fn(spark, sf_dir))
     assert "TakeOrderedAndProject" in plan
+
+
+# ---------------------------------------------------------------------------
+# Round-3b additions (q284-q295): bounded-grain folds fed by equi-joins,
+# broadcast model tables, sketch-grain rollups.
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "q284_lsh_s_curve_tuning",        # pairs equi on source; hist broadcast
+        "q291_weak_supervision_lf_summary",  # pairs equi on doc_id
+        "q293_ndcg_retrieval_eval",       # queries broadcast onto corpus scan
+        "q294_sliding_hll_union",         # range join at DAY grain only
+    ],
+)
+def test_r3c_no_cartesian(spark, sf_dir, name):
+    """Candidate/term generation must stay keyed (source, doc_id, day)
+    or ride a broadcast — a CartesianProduct at corpus grain is the
+    blow-up these shapes exist to avoid."""
+    plan = plan_of(REGISTRY[name].fn(spark, sf_dir))
+    assert "CartesianProduct" not in plan, name
+
+
+def test_q285_histogram_is_partial_final_and_audit_rides_ranks(spark, sf_dir):
+    """The quantile sketch must aggregate partial+final at bin grain
+    and its exact audit must use the range-shuffle rank primitive, not
+    Spark's single-reducer exact percentile."""
+    plan = plan_of(REGISTRY["q285_mergeable_quantile_histogram"].fn(spark, sf_dir))
+    assert "Percentile" not in plan
+    assert plan.count("HashAggregate") >= 2
+    assert "RangePartitioning" in plan or "rangepartitioning" in plan.lower()
+
+
+def test_q288_q289_plans_are_map_side(spark, sf_dir):
+    """The masking/FIM planners are per-document expression work: no
+    join in q289 at all; q288 only re-attaches doc-grain totals."""
+    plan289 = plan_of(REGISTRY["q289_fim_split_plan"].fn(spark, sf_dir))
+    for node in ("SortMergeJoin", "BroadcastHashJoin", "CartesianProduct"):
+        assert node not in plan289
+    plan288 = plan_of(REGISTRY["q288_span_corruption_plan"].fn(spark, sf_dir))
+    assert "CartesianProduct" not in plan288
+
+
+def test_q290_fold_runs_at_cell_grain(spark, sf_dir):
+    """LPT packing aggregates the corpus to cells first; the greedy
+    fold is a single-row array expression, so the plan has no join or
+    window at vector grain."""
+    plan = plan_of(REGISTRY["q290_lpt_shard_balancing"].fn(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "Window" not in plan
