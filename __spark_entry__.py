@@ -52,7 +52,8 @@ _VERIFY_FIRST = [
     "q289_fim_split_plan", "q290_lpt_shard_balancing",
     "q291_weak_supervision_lf_summary", "q292_dynamic_partition_overwrite",
     "q293_ndcg_retrieval_eval", "q294_sliding_hll_union",
-    "q295_shapley_attribution",
+    "q295_shapley_attribution", "q296_adamic_adar_links",
+    "q297_winnowing_fingerprints", "q298_holt_linear_forecast",
     "q107_bm25_retrieval",
     "q129_curation_funnel", "q20_broadcast_join", "q21_revenue_by_nation",
     "q22_semi_join", "q23_anti_join", "q24_outer_join",

@@ -1987,3 +1987,148 @@ def q284_lsh_s_curve_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bands")
     )
+
+
+_WIN_K = 8       # char-gram length
+_WIN_W = 4       # winnowing window (grams)
+_WIN_PREFIX = 200
+_WIN_DF_CAP = 50
+_WIN_MIN_SHARED = 10
+
+
+@query(
+    "q297_winnowing_fingerprints",
+    oracle=f"""
+    WITH g AS (
+        SELECT doc_id,
+               list_transform(generate_series(1, length(substring(lower(text), 1, {_WIN_PREFIX})) - {_WIN_K} + 1),
+                   i -> {_HASH_SQL.format(expr=f"substring(substring(lower(text), 1, {_WIN_PREFIX}), i, {_WIN_K})")}) AS hs
+        FROM documents
+        WHERE length(text) >= {_WIN_K + _WIN_W - 1}
+    ),
+    fp AS (
+        SELECT DISTINCT doc_id,
+               list_min(list_slice(hs, CAST(i AS INTEGER),
+                                   CAST(i + {_WIN_W} - 1 AS INTEGER))) AS f
+        FROM (
+            SELECT doc_id, hs,
+                   unnest(range(1, len(hs) - {_WIN_W} + 2)) AS i
+            FROM g WHERE len(hs) >= {_WIN_W}
+        )
+    ),
+    keep AS (
+        SELECT f FROM fp GROUP BY f HAVING count(*) <= {_WIN_DF_CAP}
+    ),
+    kept AS (SELECT fp.doc_id, fp.f FROM fp JOIN keep k ON fp.f = k.f),
+    sizes AS (SELECT doc_id, count(*) AS n_fp FROM kept GROUP BY doc_id),
+    shared AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
+        FROM kept a JOIN kept b ON a.f = b.f AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+        HAVING count(*) >= {_WIN_MIN_SHARED}
+    )
+    SELECT s.doc_a, s.doc_b,
+           CAST(s.n_shared AS BIGINT) AS n_shared,
+           CAST(za.n_fp AS BIGINT) AS n_fp_a,
+           CAST(zb.n_fp AS BIGINT) AS n_fp_b,
+           round(CAST(s.n_shared AS DOUBLE)
+                 / least(za.n_fp, zb.n_fp), 4) AS overlap
+    FROM shared s
+    JOIN sizes za ON za.doc_id = s.doc_a
+    JOIN sizes zb ON zb.doc_id = s.doc_b
+    ORDER BY doc_a, doc_b
+    """,
+    tags=("dedup", "winnowing", "fingerprint", "moss", "text"),
+)
+def q297_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken,
+    SIGMOD'03 — the MOSS algorithm): hash every 8-char gram of the
+    200-char prefix, then keep only each 4-gram window's MINIMUM hash.
+    Winnowing guarantees any shared substring of length ≥ k+w−1 = 11
+    chars yields a shared fingerprint, while storing ~2/(w+1) of the
+    gram hashes — the density/guarantee trade q260's fixed-stride
+    sampling cannot make (stride sampling can MISS an aligned-off
+    match; winnowing provably cannot). Pairs sharing ≥ 10 surviving
+    fingerprints emit with containment overlap (the synthetic word-soup
+    fixture shares short runs everywhere, so the match bar sits well
+    above noise); a 50-doc
+    document-frequency cap drops boilerplate fingerprints and bounds
+    join skew.
+
+    Determinism: the gram hash is the engine-neutral md5 window
+    (q64's derivation); window minima are exact integer comparisons;
+    overlap is one exact-integer division rounded at 4.
+
+    Scale posture: fingerprint selection is pure map-side array math
+    per document (the local-min structure never crosses documents);
+    candidate pairs form only through the fingerprint equi-join with
+    the df cap as skew guard — the q260 plan shape at ~1/3 the
+    shuffled key volume thanks to winnowing's density bound.
+    Reference contract: per-doc winnowing = map slot
+    (``App.config:16``); fingerprint-match consolidation = reduce
+    slot (``App.config:17``)."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    hash48_sql = (
+        f"conv(substring(md5(substring(substring(lower(text), 1, {_WIN_PREFIX}), i, {_WIN_K})), 1, 12), 16, 10)"
+        f" % {MINHASH_P}"
+    )
+    g = docs.where(F.length("text") >= _WIN_K + _WIN_W - 1).select(
+        "doc_id",
+        F.expr(
+            f"transform(sequence(1, length(substring(lower(text), 1, {_WIN_PREFIX})) - {_WIN_K} + 1),"
+            f" i -> CAST({hash48_sql} AS BIGINT))"
+        ).alias("hs"),
+    )
+    fp = (
+        g.where(F.size("hs") >= _WIN_W)
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("hs") - _WIN_W + 1),
+                    lambda i: F.array_min(
+                        F.slice(F.col("hs"), i, _WIN_W)
+                    ),
+                )
+            ).alias("f"),
+        )
+        .distinct()
+    )
+    keep = fp.groupBy("f").agg(F.count(F.lit(1)).alias("df")).where(
+        F.col("df") <= _WIN_DF_CAP
+    )
+    kept = fp.join(keep.select("f"), "f")
+    sizes = kept.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_fp"))
+    a = kept.select(F.col("doc_id").alias("doc_a"), "f")
+    b = kept.select(F.col("doc_id").alias("doc_b"), F.col("f").alias("f_b"))
+    shared = (
+        a.join(b, (F.col("f") == F.col("f_b")) & (F.col("doc_a") < F.col("doc_b")))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .where(F.col("n_shared") >= _WIN_MIN_SHARED)
+    )
+    return (
+        shared.join(
+            F.broadcast(
+                sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_fp").alias("n_fp_a"))
+            ),
+            "doc_a",
+        )
+        .join(
+            F.broadcast(
+                sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_fp").alias("n_fp_b"))
+            ),
+            "doc_b",
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            F.col("n_shared").cast("long").alias("n_shared"),
+            F.col("n_fp_a").cast("long").alias("n_fp_a"),
+            F.col("n_fp_b").cast("long").alias("n_fp_b"),
+            F.round(
+                F.col("n_shared").cast("double") / F.least("n_fp_a", "n_fp_b"), 4
+            ).alias("overlap"),
+        )
+        .orderBy("doc_a", "doc_b")
+    )

@@ -436,3 +436,108 @@ def q218_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("deg_bucket_log2")
     )
+
+
+_AA_DEG_CAP = 50   # parts bought by more customers than this are hubs
+_AA_TOPN = 20
+
+
+@query(
+    "q296_adamic_adar_links",
+    oracle=f"""
+    WITH bought AS (
+        SELECT DISTINCT o.o_custkey AS cust, l.l_partkey AS part
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    ),
+    deg AS (
+        SELECT part, count(*) AS d FROM bought GROUP BY part
+        HAVING count(*) BETWEEN 2 AND {_AA_DEG_CAP}
+    ),
+    pairs AS (
+        SELECT a.cust AS cust_a, b.cust AS cust_b, d.part, d.d
+        FROM bought a
+        JOIN bought b ON a.part = b.part AND a.cust < b.cust
+        JOIN deg d ON a.part = d.part
+    )
+    SELECT cust_a, cust_b,
+           CAST(count(*) AS BIGINT) AS n_common,
+           round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                     list(1.0 / ln(CAST(d AS DOUBLE)) ORDER BY part)),
+                 (x, y) -> x + y), 6) AS adamic_adar
+    FROM pairs
+    GROUP BY cust_a, cust_b
+    ORDER BY adamic_adar DESC, cust_a ASC, cust_b ASC
+    LIMIT {_AA_TOPN}
+    """,
+    tags=("graph", "link-prediction", "adamic-adar", "recsys"),
+)
+def q296_adamic_adar_links(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adamic-Adar link prediction over the customer-part bipartite
+    graph (who-bought-what): two customers' affinity is Σ 1/ln(deg(z))
+    over the parts z both bought — rare shared parts score high, and
+    parts bought by more than 50 customers are dropped as hubs (their
+    1/ln term is noise and their pair fan-out is the quadratic
+    blow-up). The standard neighborhood-overlap recommender baseline,
+    complementing q212's item-item cosine with a user-user signal.
+    Emits the top-20 predicted links.
+
+    Determinism: degrees are exact counts; ln takes identical integer
+    operands on both engines; per-pair sums fold in part-key order;
+    ties break (cust_a, cust_b).
+
+    Scale posture: the bipartite edge list dedups once (distinct
+    (cust, part) shuffle); candidate pairs form ONLY through the
+    part-key equi-join, with the degree cap bounding per-part fan-out
+    at C(50,2) — never all-pairs; top-k is a TakeOrdered. This is the
+    q62/q260 blocking discipline applied to graphs: the join key (the
+    shared neighbor) IS the block. Reference contract: per-order edge
+    extraction = map slot (``App.config:16``); pair-score
+    consolidation = reduce slot (``App.config:17``)."""
+    t = load_tables(spark, sf_dir)
+    bought = (
+        t["lineitem"]
+        .join(t["orders"], t["lineitem"]["l_orderkey"] == t["orders"]["o_orderkey"])
+        .select(
+            F.col("o_custkey").alias("cust"), F.col("l_partkey").alias("part")
+        )
+        .distinct()
+    )
+    deg = (
+        bought.groupBy("part")
+        .agg(F.count(F.lit(1)).alias("d"))
+        .where((F.col("d") >= 2) & (F.col("d") <= _AA_DEG_CAP))
+    )
+    a = bought.select(F.col("cust").alias("cust_a"), "part")
+    b = bought.select(F.col("cust").alias("cust_b"), F.col("part").alias("part_b"))
+    pairs = (
+        a.join(b, (F.col("part") == F.col("part_b")) & (F.col("cust_a") < F.col("cust_b")))
+        .join(deg, "part")
+    )
+    return (
+        pairs.groupBy("cust_a", "cust_b")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_common"),
+            F.round(
+                F.aggregate(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(
+                                F.struct(
+                                    F.col("part"),
+                                    (1.0 / F.log(F.col("d").cast("double"))).alias(
+                                        "term"
+                                    ),
+                                )
+                            )
+                        ),
+                        lambda s: s.getField("term"),
+                    ),
+                    F.lit(0.0),
+                    lambda x, y: x + y,
+                ),
+                6,
+            ).alias("adamic_adar"),
+        )
+        .orderBy(F.desc("adamic_adar"), F.asc("cust_a"), F.asc("cust_b"))
+        .limit(_AA_TOPN)
+    )

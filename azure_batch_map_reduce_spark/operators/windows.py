@@ -2904,3 +2904,142 @@ def q295_shapley_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("channel")
     )
+
+
+_HOLT_ALPHA = 0.3
+_HOLT_BETA = 0.1
+
+
+@query(
+    "q298_holt_linear_forecast",
+    oracle=f"""
+    WITH daily AS (
+        SELECT date_trunc('day', ts) AS day,
+               CAST(count(*) AS DOUBLE) AS x
+        FROM events GROUP BY 1
+    ),
+    series AS (
+        SELECT list(day ORDER BY day) AS days,
+               list(x ORDER BY day) AS xs
+        FROM daily
+    ),
+    folded AS (
+        -- acc: [level, trend, f_2, f_3, ...] — one-step-ahead forecast
+        -- per day from day 2 on; same-type DOUBLE list, every element
+        -- built from the unmodified acc (q267 fold discipline);
+        -- literals CAST to DOUBLE (q284 DECIMAL-truncation trap).
+        SELECT days, xs,
+               list_reduce(
+                   list_prepend([xs[1], xs[2] - xs[1]],
+                                list_transform(list_slice(xs, 2, len(xs)),
+                                               v -> [v])),
+                   (acc, item) -> list_concat(
+                       [CAST({_HOLT_ALPHA} AS DOUBLE) * item[1]
+                            + CAST({1 - _HOLT_ALPHA} AS DOUBLE)
+                              * (acc[1] + acc[2]),
+                        CAST({_HOLT_BETA} AS DOUBLE)
+                            * (CAST({_HOLT_ALPHA} AS DOUBLE) * item[1]
+                               + CAST({1 - _HOLT_ALPHA} AS DOUBLE)
+                                 * (acc[1] + acc[2]) - acc[1])
+                            + CAST({1 - _HOLT_BETA} AS DOUBLE) * acc[2]],
+                       list_concat(list_slice(acc, 3, len(acc)),
+                                   [acc[1] + acc[2]]))) AS acc
+        FROM series
+    )
+    SELECT days[CAST(i AS INTEGER)] AS day,
+           round(xs[CAST(i AS INTEGER)], 4) AS actual,
+           round(acc[CAST(i + 1 AS INTEGER)], 4) AS forecast,
+           round(xs[CAST(i AS INTEGER)]
+                 - acc[CAST(i + 1 AS INTEGER)], 4) + 0.0 AS residual
+    FROM folded, unnest(range(2, len(xs) + 1)) t(i)
+    ORDER BY day
+    """,
+    tags=("timeseries", "forecast", "holt", "smoothing"),
+)
+def q298_holt_linear_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt linear (double-exponential) smoothing over the daily event
+    series: level and trend update jointly (α = 0.3, β = 0.1,
+    initialized level = x₁, trend = x₂ − x₁) and each day reports the
+    one-step-ahead forecast made BEFORE seeing it plus its residual —
+    the capacity-planning companion to the grouped single-EWMA (q161,
+    no trend term) and the seasonal decomposition (q247, descriptive
+    not predictive).
+
+    Determinism: the recursion is inherently sequential, so both
+    engines run the IDENTICAL left-to-right fold over the day-ordered
+    array with a same-type [level, trend, forecasts...] DOUBLE-list
+    accumulator (every element built from the unmodified accumulator —
+    the q267 DuckDB fold discipline; float literals CAST to DOUBLE —
+    the q284 DECIMAL trap); residuals round with signed-zero
+    normalization.
+
+    Scale posture: the corpus collapses to day grain in one
+    partial+final aggregate; the sequential smoother runs on the
+    ≤|days| array in a single row — pool at bounded grain, run the
+    sequential algorithm there (the q277/q290 reduction). Per-key
+    smoothing at scale partitions the fold by key, exactly q161's
+    shape. Reference contract: per-event day bucketing = map slot
+    (``App.config:16``); series assembly + smoothing = reduce slot
+    (``App.config:17``)."""
+    events = load_tables(spark, sf_dir)["events"]
+    daily = events.groupBy(
+        F.date_trunc("day", F.col("ts")).alias("day")
+    ).agg(F.count(F.lit(1)).cast("double").alias("x"))
+    series = daily.agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("day", "x"))),
+            lambda s: s.getField("day"),
+        ).alias("days"),
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("day", "x"))),
+            lambda s: s.getField("x"),
+        ).alias("xs"),
+    )
+    a, b = _HOLT_ALPHA, _HOLT_BETA
+    folded = series.withColumn(
+        "acc",
+        F.aggregate(
+            F.slice(F.col("xs"), 2, F.size("xs") - 1),
+            F.array(
+                F.element_at("xs", 1),
+                F.element_at("xs", 2) - F.element_at("xs", 1),
+            ),
+            lambda acc, item: F.concat(
+                F.array(
+                    F.lit(a) * item
+                    + F.lit(1 - a)
+                    * (F.element_at(acc, 1) + F.element_at(acc, 2)),
+                    F.lit(b)
+                    * (
+                        F.lit(a) * item
+                        + F.lit(1 - a)
+                        * (F.element_at(acc, 1) + F.element_at(acc, 2))
+                        - F.element_at(acc, 1)
+                    )
+                    + F.lit(1 - b) * F.element_at(acc, 2),
+                ),
+                F.slice(acc, 3, F.greatest(F.size(acc) - 2, F.lit(0))),
+                F.array(F.element_at(acc, 1) + F.element_at(acc, 2)),
+            ),
+        ),
+    )
+    from azure_batch_map_reduce_spark.operators.ranks import round_nz
+
+    out = folded.select(
+        F.explode(F.sequence(F.lit(2), F.size("xs"))).alias("i"),
+        "days",
+        "xs",
+        "acc",
+    )
+    return out.select(
+        F.element_at("days", F.col("i").cast("int")).alias("day"),
+        F.round(F.element_at("xs", F.col("i").cast("int")), 4).alias("actual"),
+        F.round(F.element_at("acc", (F.col("i") + 1).cast("int")), 4).alias(
+            "forecast"
+        ),
+        round_nz(
+            F.element_at("xs", F.col("i").cast("int"))
+            - F.element_at("acc", (F.col("i") + 1).cast("int")),
+            4,
+        ).alias("residual"),
+    ).orderBy("day")
