@@ -2946,3 +2946,84 @@ def q291_weak_supervision_lf_summary(spark: SparkSession, sf_dir: str) -> DataFr
         )
         .orderBy("lf")
     )
+
+
+_AL_PER_SOURCE = 2   # diversity cap per source
+_AL_BATCH = 16       # labeling batch size
+
+
+@query(
+    "q299_active_learning_batch",
+    oracle=f"""
+    WITH scored AS (
+        SELECT doc_id, source,
+               round(1.0 / (1.0 + exp(-(n_chars - 500) / 200.0)), 6) AS score
+        FROM documents
+    ),
+    margins AS (
+        SELECT doc_id, source, score,
+               round(abs(score - 0.5), 6) AS margin
+        FROM scored
+    ),
+    diverse AS (
+        SELECT doc_id, source, score, margin,
+               row_number() OVER (
+                   PARTITION BY source
+                   ORDER BY margin ASC, doc_id ASC) AS rn_src
+        FROM margins
+    )
+    SELECT doc_id, source, score, margin
+    FROM (
+        SELECT *, row_number() OVER (
+                   ORDER BY margin ASC, doc_id ASC) AS rn
+        FROM diverse WHERE rn_src <= {_AL_PER_SOURCE}
+    )
+    WHERE rn <= {_AL_BATCH}
+    ORDER BY margin, doc_id
+    """,
+    tags=("curation", "active-learning", "sampling", "labeling"),
+)
+def q299_active_learning_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Margin-based active-learning batch selection with a diversity
+    constraint: the documents the quality classifier (q261's scorer)
+    is LEAST sure about (|score − 0.5| smallest) are the most
+    informative to label next, but uncertainty alone floods the batch
+    from whichever source sits nearest the boundary — so selection
+    first caps at 2 per source, then takes the global 16 most
+    uncertain. This is the loop that turns q261's calibration audit
+    and q291's weak labels into a labeling budget.
+
+    Determinism: margins derive from the 6dp-rounded sigmoid; both
+    rank stages tie-break on doc_id.
+
+    Scale posture: per-source ranking partitions by source
+    (grain-bounded shards; the sample-sort primitive takes over if one
+    source dominates); the global stage ranks only the ≤2·|sources|
+    survivors — the corpus never reaches an unpartitioned window. The
+    per-source cap is also the skew guard. Reference contract:
+    per-doc margin = map slot (``App.config:16``); batch selection =
+    reduce slot (``App.config:17``)."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    scored = docs.select(
+        "doc_id",
+        "source",
+        F.round(
+            1.0 / (1.0 + F.exp(-(F.col("n_chars") - 500) / 200.0)), 6
+        ).alias("score"),
+    )
+    margins = scored.withColumn(
+        "margin", F.round(F.abs(F.col("score") - 0.5), 6)
+    )
+    w_src = Window.partitionBy("source").orderBy(
+        F.asc("margin"), F.asc("doc_id")
+    )
+    diverse = margins.withColumn("rn_src", F.row_number().over(w_src)).where(
+        F.col("rn_src") <= _AL_PER_SOURCE
+    )
+    w_all = Window.orderBy(F.asc("margin"), F.asc("doc_id"))
+    return (
+        diverse.withColumn("rn", F.row_number().over(w_all))
+        .where(F.col("rn") <= _AL_BATCH)
+        .select("doc_id", "source", "score", "margin")
+        .orderBy("margin", "doc_id")
+    )

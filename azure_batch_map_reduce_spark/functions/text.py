@@ -2842,3 +2842,104 @@ def q283_ngram_novelty_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("batch")
     )
+
+
+@query(
+    "q300_speculative_draft_acceptance",
+    oracle="""
+    WITH bigr AS (
+        SELECT source, ws[i + 1] AS w1, ws[i + 2] AS w2
+        FROM (
+            SELECT source, ws, unnest(range(0, len(ws) - 1)) AS i
+            FROM (SELECT source, string_split(lower(text), ' ') AS ws
+                  FROM documents)
+        )
+    ),
+    cnt AS (SELECT w1, w2, count(*) AS c FROM bigr GROUP BY w1, w2),
+    mx AS (SELECT w1, max(c) AS mc FROM cnt GROUP BY w1),
+    draft AS (
+        SELECT c.w1, min(c.w2) AS draft_w2
+        FROM cnt c JOIN mx ON c.w1 = mx.w1 AND c.c = mx.mc
+        GROUP BY c.w1
+    )
+    SELECT b.source,
+           CAST(count(*) AS BIGINT) AS n_positions,
+           CAST(sum(CASE WHEN b.w2 = d.draft_w2 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_accepted,
+           round(CAST(sum(CASE WHEN b.w2 = d.draft_w2 THEN 1 ELSE 0 END)
+                      AS DOUBLE) / count(*), 4) AS acceptance_rate,
+           round(1.0 + CAST(sum(CASE WHEN b.w2 = d.draft_w2 THEN 1 ELSE 0 END)
+                            AS DOUBLE) / count(*), 4) AS est_speedup
+    FROM bigr b JOIN draft d ON b.w1 = d.w1
+    GROUP BY b.source
+    ORDER BY b.source
+    """,
+    tags=("text", "inference", "speculative-decoding", "lm"),
+)
+def q300_speculative_draft_acceptance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Speculative-decoding acceptance-rate estimation from corpus
+    statistics: a bigram draft model proposes, for every token, the
+    corpus-wide most frequent continuation (ties: lexicographically
+    smallest); the acceptance rate is how often the actual next token
+    matches — the α that determines whether speculative decoding pays
+    off for this corpus, and the per-source breakdown shows where a
+    draft model transfers (est_speedup = 1 + α is the 1-token-draft
+    expected tokens-per-verify-step). This is the measurement a
+    serving stack runs BEFORE spending on a draft model — on the
+    corpus, with no model in the loop.
+
+    Determinism: exact counts; the draft argmax resolves ties by
+    max-count-then-min-token (two grouped aggregates — no float
+    comparison anywhere); rates are exact-integer divisions rounded 4.
+
+    Scale posture: the corpus explodes once to bigram occurrences; the
+    draft table is a (vocab-grain) double aggregate that joins back by
+    the preceding-token key — broadcastable for any real vocabulary;
+    acceptance rolls up at source grain. No corpus-sized state beyond
+    the two shuffles. Reference contract: per-doc bigram emission =
+    map slot (``App.config:16``); model + acceptance consolidation =
+    reduce slot (``App.config:17``)."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    ws = docs.select("source", F.split(F.lower(F.col("text")), " ").alias("ws"))
+    bigr = ws.select(
+        "source",
+        F.explode(
+            F.when(
+                F.size("ws") >= 2,
+                F.transform(
+                    F.sequence(F.lit(1), F.size("ws") - 1),
+                    lambda i: F.struct(
+                        F.element_at(F.col("ws"), i).alias("w1"),
+                        F.element_at(F.col("ws"), i + 1).alias("w2"),
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+        ).alias("b"),
+    ).select("source", F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
+    cnt = bigr.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c"))
+    mx = cnt.groupBy("w1").agg(F.max("c").alias("mc")).select(
+        F.col("w1").alias("mw1"), "mc"
+    )
+    draft = (
+        cnt.join(mx, (F.col("w1") == F.col("mw1")) & (F.col("c") == F.col("mc")))
+        .groupBy(F.col("w1").alias("dw1"))
+        .agg(F.min("w2").alias("draft_w2"))
+    )
+    accepted = F.sum(
+        F.when(F.col("w2") == F.col("draft_w2"), 1).otherwise(0)
+    )
+    return (
+        bigr.join(F.broadcast(draft), bigr["w1"] == draft["dw1"])
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_positions"),
+            accepted.cast("long").alias("n_accepted"),
+            F.round(
+                accepted.cast("double") / F.count(F.lit(1)), 4
+            ).alias("acceptance_rate"),
+            F.round(
+                1.0 + accepted.cast("double") / F.count(F.lit(1)), 4
+            ).alias("est_speedup"),
+        )
+        .orderBy("source")
+    )

@@ -986,3 +986,99 @@ def q287_streaming_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("window_end")
     )
+
+
+@query(
+    "q301_lambda_reconciliation",
+    oracle="""
+    WITH batch AS (
+        SELECT time_bucket(INTERVAL '1 hour', ts) + INTERVAL 1 HOUR AS window_end,
+               count(*)             AS n,
+               round(sum(value), 2) AS total_value
+        FROM events GROUP BY 1
+    ),
+    stream AS (
+        SELECT * FROM batch
+        WHERE window_end <= (SELECT max(ts) - INTERVAL 10 MINUTE FROM events)
+    )
+    SELECT b.window_end,
+           CAST(s.n AS BIGINT)  AS stream_n,
+           CAST(b.n AS BIGINT)  AS batch_n,
+           round(b.total_value - coalesce(s.total_value, 0.0), 2) + 0.0
+               AS value_delta,
+           CASE WHEN s.n IS NULL THEN 'backfilled'
+                WHEN s.n = b.n THEN 'match'
+                ELSE 'corrected' END AS status
+    FROM batch b LEFT JOIN stream s ON b.window_end = s.window_end
+    ORDER BY b.window_end
+    """,
+    tags=("streaming", "lambda", "reconciliation", "backfill", "watermark"),
+)
+def q301_lambda_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lambda-architecture reconciliation: the SPEED layer is the real
+    watermarked streaming aggregate (q85's append-mode hourly windows —
+    it can only ever emit windows the watermark has closed); the BATCH
+    layer recomputes every window from the full table; the serving
+    merge full-outer-joins them and labels each window `match`
+    (stream already correct), `backfilled` (watermark had withheld it
+    — the trailing open windows), or `corrected` (a late-data
+    discrepancy; under availableNow's total replay this state is
+    reachable only with a lossy speed layer, which is exactly what the
+    audit exists to detect). This is the pattern that lets a 100 TB
+    pipeline serve fresh streaming numbers AND converge to batch truth
+    nightly.
+
+    Determinism: both layers share q85's exact arithmetic; the
+    closure rule is replayed in SQL; value deltas round at 2 with
+    signed-zero normalization.
+
+    Scale posture: the stream side is bounded-state windowed
+    aggregation (watermark-evicted); the batch side is one
+    partial+final aggregate; the reconciliation join runs at WINDOW
+    grain (hours, not events). Backfill touches only rows the join
+    labels non-match — the q292 selective-restatement discipline
+    applied to streaming. Reference contract: the dual map paths are
+    the map slot (``App.config:16``); the serving merge = reduce slot
+    (``App.config:17``)."""
+    from azure_batch_map_reduce_spark.catalog import load_tables
+    from azure_batch_map_reduce_spark.operators.ranks import round_nz
+
+    ev = events_stream(spark, sf_dir).withWatermark("ts", "10 minutes")
+    agg = (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(F.col("w.end").alias("window_end"), "n", "total_value")
+    )
+    stream = run_available_now(agg, "append").select(
+        F.col("window_end").alias("s_end"),
+        F.col("n").alias("stream_n"),
+        F.col("total_value").alias("stream_value"),
+    )
+    batch = (
+        load_tables(spark, sf_dir)["events"]
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("batch_n"),
+            F.round(F.sum("value"), 2).alias("batch_value"),
+        )
+        .select(F.col("w.end").alias("window_end"), "batch_n", "batch_value")
+    )
+    return (
+        batch.join(stream, batch["window_end"] == stream["s_end"], "left")
+        .select(
+            "window_end",
+            F.col("stream_n").cast("long").alias("stream_n"),
+            F.col("batch_n").cast("long").alias("batch_n"),
+            round_nz(
+                F.col("batch_value") - F.coalesce("stream_value", F.lit(0.0)), 2
+            ).alias("value_delta"),
+            F.when(F.col("stream_n").isNull(), "backfilled")
+            .when(F.col("stream_n") == F.col("batch_n"), "match")
+            .otherwise("corrected")
+            .alias("status"),
+        )
+        .orderBy("window_end")
+    )
