@@ -55,7 +55,8 @@ _VERIFY_FIRST = [
     "q295_shapley_attribution", "q296_adamic_adar_links",
     "q297_winnowing_fingerprints", "q298_holt_linear_forecast",
     "q299_active_learning_batch", "q300_speculative_draft_acceptance",
-    "q301_lambda_reconciliation",
+    "q301_lambda_reconciliation", "q302_cms_join_size_estimate",
+    "q303_phrase_query_positional",
     "q107_bm25_retrieval",
     "q129_curation_funnel", "q20_broadcast_join", "q21_revenue_by_nation",
     "q22_semi_join", "q23_anti_join", "q24_outer_join",

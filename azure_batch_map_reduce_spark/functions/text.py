@@ -2943,3 +2943,104 @@ def q300_speculative_draft_acceptance(spark: SparkSession, sf_dir: str) -> DataF
         )
         .orderBy("source")
     )
+
+
+_PHRASE = ("hash", "join")
+_PHRASE_TOPN = 25
+
+
+@query(
+    "q303_phrase_query_positional",
+    oracle=f"""
+    WITH occ AS (
+        SELECT doc_id, ws[p + 1] AS term, p AS pos
+        FROM (
+            SELECT doc_id, ws, unnest(range(0, len(ws))) AS p
+            FROM (SELECT doc_id, string_split(lower(text), ' ') AS ws
+                  FROM documents)
+        )
+        WHERE ws[p + 1] IN ('{_PHRASE[0]}', '{_PHRASE[1]}')
+    ),
+    pa AS (
+        SELECT doc_id, list(pos ORDER BY pos) AS ps, count(*) AS tf
+        FROM occ WHERE term = '{_PHRASE[0]}' GROUP BY doc_id
+    ),
+    pb AS (
+        SELECT doc_id, list(pos ORDER BY pos) AS ps, count(*) AS tf
+        FROM occ WHERE term = '{_PHRASE[1]}' GROUP BY doc_id
+    ),
+    hits AS (
+        SELECT a.doc_id,
+               len(list_intersect(list_transform(a.ps, x -> x + 1), b.ps))
+                   AS n_phrase,
+               a.tf AS tf_a, b.tf AS tf_b
+        FROM pa a JOIN pb b ON a.doc_id = b.doc_id
+    )
+    SELECT doc_id,
+           CAST(n_phrase AS BIGINT) AS n_phrase,
+           CAST(tf_a AS BIGINT) AS tf_{_PHRASE[0]},
+           CAST(tf_b AS BIGINT) AS tf_{_PHRASE[1]}
+    FROM hits WHERE n_phrase >= 1
+    ORDER BY n_phrase DESC, doc_id ASC
+    LIMIT {_PHRASE_TOPN}
+    """,
+    tags=("text", "retrieval", "phrase", "positional", "index"),
+)
+def q303_phrase_query_positional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional phrase query — the operation the positional inverted
+    index (q274) exists to serve: find documents containing the exact
+    phrase "hash join" by intersecting the two terms' position lists
+    with an offset (positions(hash)+1 ∩ positions(join)), counting
+    true phrase occurrences per document; top-25 by phrase frequency.
+    BM25 (q107) and bag-of-words retrieval cannot distinguish
+    "hash join" from "join ... hash" — positional adjacency can.
+
+    Determinism: integer positions, exact set intersection,
+    (n_phrase desc, doc_id) total order.
+
+    Scale posture: the term filter pushes down to the scan (only the
+    two query terms' occurrences survive the explode — at 100 TB this
+    reads the pre-built q274 index instead of re-tokenizing); per-doc
+    position lists aggregate in one shuffle at (doc, term) grain and
+    the adjacency intersection is per-doc array math; top-k is a
+    TakeOrdered. Reference contract: per-doc position extraction =
+    map slot (``App.config:16``); phrase-match consolidation = reduce
+    slot (``App.config:17``)."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    occ = docs.select(
+        "doc_id",
+        F.posexplode(F.split(F.lower(F.col("text")), " ")).alias("pos", "term"),
+    ).where(F.col("term").isin(*_PHRASE))
+    pa = (
+        occ.where(F.col("term") == _PHRASE[0])
+        .groupBy("doc_id")
+        .agg(
+            F.sort_array(F.collect_list("pos")).alias("ps_a"),
+            F.count(F.lit(1)).alias("tf_a"),
+        )
+    )
+    pb = (
+        occ.where(F.col("term") == _PHRASE[1])
+        .groupBy("doc_id")
+        .agg(
+            F.sort_array(F.collect_list("pos")).alias("ps_b"),
+            F.count(F.lit(1)).alias("tf_b"),
+        )
+    )
+    n_phrase = F.size(
+        F.array_intersect(
+            F.transform(F.col("ps_a"), lambda x: x + 1), F.col("ps_b")
+        )
+    )
+    return (
+        pa.join(pb, "doc_id")
+        .select(
+            "doc_id",
+            n_phrase.cast("long").alias("n_phrase"),
+            F.col("tf_a").cast("long").alias(f"tf_{_PHRASE[0]}"),
+            F.col("tf_b").cast("long").alias(f"tf_{_PHRASE[1]}"),
+        )
+        .where(F.col("n_phrase") >= 1)
+        .orderBy(F.desc("n_phrase"), F.asc("doc_id"))
+        .limit(_PHRASE_TOPN)
+    )

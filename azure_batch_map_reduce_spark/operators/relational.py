@@ -3131,3 +3131,161 @@ def q294_sliding_hll_union(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("window_day")
     )
+
+
+def _jse_idx(j: str, k: str) -> str:
+    return (
+        "CAST(('0x' || substr(md5('cms|' || CAST({k} AS VARCHAR)),"
+        " 1 + 8 * {j}, 8))::BIGINT % 32 AS INTEGER)"
+    ).format(j=j, k=k)
+
+
+@query(
+    "q302_cms_join_size_estimate",
+    oracle=f"""
+    WITH rows_j AS (SELECT unnest(range(4)) AS j),
+    sk_part AS (
+        SELECT r.j, {_jse_idx("r.j", "l.l_partkey")} AS idx,
+               CAST(count(*) AS BIGINT) AS c
+        FROM lineitem l CROSS JOIN rows_j r
+        GROUP BY r.j, idx
+    ),
+    sk_lord AS (
+        SELECT r.j, {_jse_idx("r.j", "l.l_orderkey")} AS idx,
+               CAST(count(*) AS BIGINT) AS c
+        FROM lineitem l CROSS JOIN rows_j r
+        GROUP BY r.j, idx
+    ),
+    sk_oord AS (
+        SELECT r.j, {_jse_idx("r.j", "o.o_orderkey")} AS idx,
+               CAST(count(*) AS BIGINT) AS c
+        FROM orders o CROSS JOIN rows_j r
+        GROUP BY r.j, idx
+    ),
+    est_self AS (
+        SELECT min(s) AS est FROM (
+            SELECT j, sum(c * c) AS s FROM sk_part GROUP BY j
+        )
+    ),
+    est_fk AS (
+        SELECT min(s) AS est FROM (
+            SELECT a.j, sum(a.c * b.c) AS s
+            FROM sk_lord a JOIN sk_oord b ON a.j = b.j AND a.idx = b.idx
+            GROUP BY a.j
+        )
+    ),
+    ex_self AS (
+        SELECT sum(d * d) AS n FROM (
+            SELECT count(*) AS d FROM lineitem GROUP BY l_partkey
+        )
+    ),
+    ex_fk AS (SELECT count(*) AS n FROM lineitem l
+              JOIN orders o ON l.l_orderkey = o.o_orderkey)
+    SELECT 'lineitem_x_lineitem_on_partkey' AS join_name,
+           CAST(x.n AS BIGINT) AS exact_size,
+           CAST(e.est AS BIGINT) AS cms_estimate,
+           round((e.est - x.n) / CAST(x.n AS DOUBLE), 4) + 0.0 AS rel_overcount
+    FROM est_self e CROSS JOIN ex_self x
+    UNION ALL
+    SELECT 'lineitem_x_orders_on_orderkey',
+           CAST(x.n AS BIGINT), CAST(e.est AS BIGINT),
+           round((e.est - x.n) / CAST(x.n AS DOUBLE), 4) + 0.0
+    FROM est_fk e CROSS JOIN ex_fk x
+    ORDER BY join_name
+    """,
+    tags=("aggregation", "sketch", "count-min", "join", "cardinality"),
+)
+def q302_cms_join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-size estimation from count sketches (the AGMS/CMS
+    inner-product result: |A ⋈ B| = Σ_k degA(k)·degB(k) ≤ Σ_idx
+    rowA[idx]·rowB[idx] for every hash row, so min over rows
+    estimates from above): the self-join of lineitem on partkey (the
+    worst-case quadratic blow-up an optimizer must predict) and the
+    FK join to orders, each estimated from 4×32-counter sketches and
+    audited against the exact size. This is how an optimizer or a
+    dedup planner (q62's band joins!) prices a join WITHOUT running it
+    — 256 integers per table instead of a pass per candidate plan.
+
+    Determinism: q254's engine-pinned md5 register derivation (same
+    'cms|' salt family); inner products are exact int64 sums; min
+    over 4 rows; the relative overcount rounds with signed-zero
+    normalization (it can be exactly 0).
+
+    Scale posture: each sketch is one partial+final count at (row,
+    counter) grain — 128 cells per table regardless of corpus size —
+    and the inner product joins sketches cell-to-cell (128-row join).
+    Sketches are mergeable (counter-wise sum), so per-partition
+    sketches combine map-side and per-day sketches roll up like q294's
+    registers. The exact audit is the expensive path production drops.
+    Reference contract: per-row counter increment = map slot
+    (``App.config:16``); inner-product consolidation = reduce slot
+    (``App.config:17``)."""
+    t = load_tables(spark, sf_dir)
+    li, orders = t["lineitem"], t["orders"]
+    rows_j = spark.createDataFrame([(j,) for j in range(4)], "j int")
+
+    def sketch(df, key):
+        h = F.md5(F.concat(F.lit("cms|"), F.col(key).cast("string")))
+        return (
+            df.select(F.col(key))
+            .crossJoin(F.broadcast(rows_j))
+            .select(
+                "j",
+                (
+                    F.conv(
+                        F.substring(h, F.lit(1) + F.lit(8) * F.col("j"), 8),
+                        16,
+                        10,
+                    ).cast("long")
+                    % 32
+                ).cast("int").alias("idx"),
+            )
+            .groupBy("j", "idx")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+
+    sk_part = sketch(li, "l_partkey")
+    sk_lord = sketch(li, "l_orderkey")
+    sk_oord = sketch(orders, "o_orderkey")
+    est_self = (
+        sk_part.groupBy("j")
+        .agg(F.sum(F.col("c") * F.col("c")).alias("s"))
+        .agg(F.min("s").alias("est"))
+    )
+    b = sk_oord.select(
+        F.col("j").alias("jb"), F.col("idx").alias("idxb"), F.col("c").alias("cb")
+    )
+    est_fk = (
+        sk_lord.join(b, (F.col("j") == F.col("jb")) & (F.col("idx") == F.col("idxb")))
+        .groupBy("j")
+        .agg(F.sum(F.col("c") * F.col("cb")).alias("s"))
+        .agg(F.min("s").alias("est"))
+    )
+    ex_self = (
+        li.groupBy("l_partkey")
+        .agg(F.count(F.lit(1)).alias("d"))
+        .agg(F.sum(F.col("d") * F.col("d")).alias("n"))
+    )
+    ex_fk = li.join(orders, li["l_orderkey"] == orders["o_orderkey"]).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    from azure_batch_map_reduce_spark.operators.ranks import round_nz
+
+    def row(name, est, ex):
+        return (
+            est.crossJoin(F.broadcast(ex))
+            .select(
+                F.lit(name).alias("join_name"),
+                F.col("n").cast("long").alias("exact_size"),
+                F.col("est").cast("long").alias("cms_estimate"),
+                round_nz(
+                    (F.col("est") - F.col("n")) / F.col("n").cast("double"), 4
+                ).alias("rel_overcount"),
+            )
+        )
+
+    return (
+        row("lineitem_x_lineitem_on_partkey", est_self, ex_self)
+        .unionAll(row("lineitem_x_orders_on_orderkey", est_fk, ex_fk))
+        .orderBy("join_name")
+    )
