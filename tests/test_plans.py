@@ -735,3 +735,44 @@ def test_q290_fold_runs_at_cell_grain(spark, sf_dir):
     plan = plan_of(REGISTRY["q290_lpt_shard_balancing"].fn(spark, sf_dir))
     assert "CartesianProduct" not in plan
     assert "Window" not in plan
+
+
+# ---------------------------------------------------------------------------
+# Round-3d additions (q296-q303).
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "q296_adamic_adar_links",      # pairs equi on shared part, deg-capped
+        "q297_winnowing_fingerprints",  # pairs equi on fingerprint, df-capped
+        "q300_speculative_draft_acceptance",  # model joins equi on w1
+        "q303_phrase_query_positional",  # postings equi on doc_id
+    ],
+)
+def test_r3d_joins_stay_keyed(spark, sf_dir, name):
+    plan = plan_of(REGISTRY[name].fn(spark, sf_dir))
+    assert "CartesianProduct" not in plan, name
+
+
+def test_q302_sketches_are_bounded_aggregates(spark, sf_dir):
+    """Join-size estimation must never execute the joins it prices at
+    data grain beyond the exact-audit paths: the sketch inner product
+    joins 128-cell tables cell-to-cell."""
+    plan = plan_of(REGISTRY["q302_cms_join_size_estimate"].fn(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert plan.count("HashAggregate") >= 6  # 3 sketches partial+final
+
+
+def test_q299_global_rank_sees_only_survivors(spark, sf_dir):
+    """The global uncertainty rank runs after the per-source cap, so
+    the unpartitioned window's input is <= 2 x |sources| rows — assert
+    the filter sits below the second window."""
+    df = REGISTRY["q299_active_learning_batch"].fn(spark, sf_dir)
+    opt = optimized_of(df)
+    # two Window operators with the rn_src filter between them
+    first_win = opt.find("Window")
+    assert first_win != -1
+    second_win = opt.find("Window", first_win + 6)
+    assert second_win != -1
+    assert "rn_src" in opt[:second_win]
