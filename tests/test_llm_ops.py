@@ -304,3 +304,28 @@ def test_shapley_efficiency_axiom(spark, sf_dir):
     full = ",".join(sorted({r.channel for r in rows}))
     expect = v.get(full, 0.0) - v.get("", 0.0)
     assert abs(sum(r.shapley for r in rows) - expect) < 1e-4
+
+
+def test_cms_join_estimate_never_undercounts(spark, sf_dir):
+    """CMS inner products overestimate join sizes (hash collisions only
+    ADD mass): estimate >= exact on every row, and the FK-join exact
+    size equals |lineitem| (every lineitem matches exactly one order)."""
+    rows = REGISTRY["q302_cms_join_size_estimate"].fn(spark, sf_dir).collect()
+    assert len(rows) == 2
+    for r in rows:
+        assert r.cms_estimate >= r.exact_size
+        assert r.rel_overcount >= 0.0
+    fk = next(r for r in rows if "orders" in r.join_name)
+    from azure_batch_map_reduce_spark.catalog import load_tables
+
+    assert fk.exact_size == load_tables(spark, sf_dir)["lineitem"].count()
+
+
+def test_adamic_adar_scores_positive_and_ranked(spark, sf_dir):
+    rows = REGISTRY["q296_adamic_adar_links"].fn(spark, sf_dir).collect()
+    assert 0 < len(rows) <= 20
+    scores = [r.adamic_adar for r in rows]
+    assert scores == sorted(scores, reverse=True)
+    for r in rows:
+        assert r.adamic_adar > 0 and r.n_common >= 1
+        assert r.cust_a < r.cust_b
