@@ -82,7 +82,8 @@ _VERIFY_FIRST = [
     "q297_winnowing_fingerprints", "q298_holt_linear_forecast",
     "q299_active_learning_batch", "q300_speculative_draft_acceptance",
     "q301_lambda_reconciliation", "q302_cms_join_size_estimate",
-    "q303_phrase_query_positional",
+    "q303_phrase_query_positional", "q304_out_of_order_profile",
+    "q305_watermark_delay_recommendation",
     "q107_bm25_retrieval",
     "q129_curation_funnel", "q20_broadcast_join", "q21_revenue_by_nation",
     "q22_semi_join", "q23_anti_join", "q24_outer_join",

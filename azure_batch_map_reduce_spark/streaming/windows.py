@@ -1082,3 +1082,225 @@ def q301_lambda_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("window_end")
     )
+
+
+@query(
+    "q304_out_of_order_profile",
+    oracle="""
+    WITH jit AS (
+        SELECT event_type, user_id, ts,
+               epoch_us(ts) + ('0x' || substr(md5('arr|' || CAST(event_id AS VARCHAR)), 1, 8))::BIGINT
+                   % 120000000 AS arrival_us,
+               event_id
+        FROM events
+    ),
+    seq AS (
+        SELECT event_type, user_id, ts,
+               lag(ts) OVER (PARTITION BY user_id, event_type
+                             ORDER BY arrival_us, event_id) AS prev_ts
+        FROM jit
+    ),
+    pairs AS (
+        SELECT event_type,
+               CASE WHEN ts < prev_ts THEN 1 ELSE 0 END AS inv,
+               CASE WHEN ts < prev_ts
+                    THEN CAST(epoch_us(prev_ts) - epoch_us(ts) AS BIGINT)
+                    ELSE 0 END AS backstep_us
+        FROM seq WHERE prev_ts IS NOT NULL
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT)  AS n_pairs,
+           CAST(sum(inv) AS BIGINT)  AS n_inversions,
+           round(CAST(sum(inv) AS DOUBLE) / count(*), 4) AS inversion_rate,
+           round(max(backstep_us) / 1000000.0, 3) AS max_backstep_s
+    FROM pairs
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    tags=("streaming", "quality", "disorder", "event-time"),
+)
+def q304_out_of_order_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-producer event-time disorder profile: within each (user,
+    event_type) stream, arrival order is the event_id sequence; an
+    inversion is a consecutive arrival pair whose event time goes
+    BACKWARD. Emits per event_type the inversion rate and the worst
+    backstep in seconds — the ingestion-quality numbers that tell you
+    whether a source needs a watermark at all and roughly how rough it
+    is (q192 measures lateness against a CHOSEN watermark; this
+    measures the disorder itself, and q305 turns it into a delay
+    recommendation).
+
+    Determinism: inversions are exact timestamp comparisons; backsteps
+    are integer microsecond differences.
+
+    Scale posture: the lag runs per (user, event_type) — producer
+    grain, the natural partitioning of arrival sequences, never a
+    global window — and rolls up with partial+final aggregation to
+    |event_types| rows. Reference contract: per-producer sequencing =
+    map slot (``App.config:16``); profile consolidation = reduce slot
+    (``App.config:17``)."""
+    events = load_tables(spark, sf_dir)["events"]
+    arrival = F.unix_micros("ts") + (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("arr|"), F.col("event_id").cast("string"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 120000000
+    )
+    jit = events.select(
+        "event_type", "user_id", "ts", "event_id", arrival.alias("arrival_us")
+    )
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        "arrival_us", "event_id"
+    )
+    seq = jit.select(
+        "event_type",
+        "ts",
+        F.lag("ts").over(w).alias("prev_ts"),
+    ).where(F.col("prev_ts").isNotNull())
+    inv = F.when(F.col("ts") < F.col("prev_ts"), 1).otherwise(0)
+    backstep = F.when(
+        F.col("ts") < F.col("prev_ts"),
+        F.unix_micros("prev_ts") - F.unix_micros("ts"),
+    ).otherwise(F.lit(0))
+    return (
+        seq.select("event_type", inv.alias("inv"), backstep.alias("backstep_us"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.sum("inv").cast("long").alias("n_inversions"),
+            F.round(
+                F.sum("inv").cast("double") / F.count(F.lit(1)), 4
+            ).alias("inversion_rate"),
+            F.round(F.max("backstep_us") / 1000000.0, 3).alias(
+                "max_backstep_s"
+            ),
+        )
+        .orderBy("event_type")
+    )
+
+
+@query(
+    "q305_watermark_delay_recommendation",
+    oracle="""
+    WITH jit AS (
+        SELECT epoch_us(ts) AS ts_us,
+               epoch_us(ts) + ('0x' || substr(md5('arr|' || CAST(event_id AS VARCHAR)), 1, 8))::BIGINT
+                   % 120000000 AS arrival_us,
+               event_id
+        FROM events
+    ),
+    arr AS (
+        SELECT ts_us,
+               max(ts_us) OVER (
+                   ORDER BY arrival_us, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS mx
+        FROM jit
+    ),
+    late AS (
+        SELECT greatest(mx - ts_us, 0) AS late_us,
+               row_number() OVER (ORDER BY greatest(mx - ts_us, 0), ts_us)
+                   AS rn,
+               count(*) OVER () AS n
+        FROM arr
+    ),
+    pos AS (
+        SELECT q.label, q.num, q.den,
+               (n * q.num + q.den - 1) // q.den AS p, n
+        FROM (VALUES ('p50', 1, 2), ('p95', 19, 20), ('p99', 99, 100),
+                     ('max', 1, 1)) AS q(label, num, den)
+        CROSS JOIN (SELECT any_value(n) AS n FROM late) t
+    )
+    SELECT pos.label AS quantile,
+           CAST(pos.p AS BIGINT) AS rank_pos,
+           round(l.late_us / 1000000.0, 3) AS delay_s
+    FROM pos JOIN late l ON l.rn = pos.p
+    ORDER BY pos.p
+    """,
+    tags=("streaming", "watermark", "tuning", "rank", "scale"),
+)
+def q305_watermark_delay_recommendation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark delay recommendation from observed arrival disorder:
+    each event's lateness-at-arrival is (max event time seen so far in
+    arrival order) − (its own event time) — exactly the quantity a
+    watermark with delay d forgives when ≤ d (arrival order = event
+    time + the same deterministic ≤ 120 s delivery jitter as q304) — and the recommended
+    delay is its p50/p95/p99/max. Pick p99 and the q85/q275 pipelines
+    drop ~1% of stragglers; pick max and nothing is ever late at the
+    cost of that much extra state and latency. This turns q304's
+    descriptive disorder into the actual tuning number.
+
+    Determinism: lateness is integer microsecond arithmetic; quantile
+    positions are ⌈q·n⌉ integer ranks with a (late_us, ts_us)
+    tie-break; output rounds at 3.
+
+    Scale posture: the running maximum over arrival order rides
+    `distributed_running_extremum` (range shuffle + partition-local
+    prefix max + ≤32-row offset broadcast — no global window), and the
+    quantile lookup rides `distributed_row_number` (q249's shape):
+    BOTH sample-sort primitives compose, every stage parallel, on an
+    operation that naively needs two global sorts. Reference contract:
+    per-event lateness = map slot (``App.config:16``); quantile
+    consolidation = reduce slot (``App.config:17``)."""
+    from azure_batch_map_reduce_spark.operators.ranks import (
+        _idiv,
+        distributed_row_number,
+        distributed_running_extremum,
+    )
+
+    events = load_tables(spark, sf_dir)["events"]
+    arrival = F.unix_micros("ts") + (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("arr|"), F.col("event_id").cast("string"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 120000000
+    )
+    arr = distributed_running_extremum(
+        events.select(
+            "event_id",
+            F.unix_micros("ts").alias("ts_us"),
+            arrival.alias("arrival_us"),
+        ),
+        [F.col("arrival_us").asc(), F.col("event_id").asc()],
+        {"mx": "ts_us"},
+        fn="max",
+        inclusive=True,
+    )
+    late = arr.select(
+        F.greatest(F.col("mx") - F.col("ts_us"), F.lit(0)).alias("late_us"),
+        "ts_us",
+    )
+    ranked = distributed_row_number(
+        late, [F.col("late_us").asc(), F.col("ts_us").asc()], out="rn"
+    )
+    n = late.agg(F.count(F.lit(1)).alias("n"))
+    fracs = spark.createDataFrame(
+        [("p50", 1, 2), ("p95", 19, 20), ("p99", 99, 100), ("max", 1, 1)],
+        "label string, num int, den int",
+    )
+    pos = fracs.crossJoin(F.broadcast(n)).select(
+        "label",
+        _idiv(F.col("n") * F.col("num") + F.col("den") - 1, F.col("den")).alias(
+            "p"
+        ),
+    )
+    return (
+        ranked.join(F.broadcast(pos), ranked["rn"] == pos["p"])
+        .select(
+            F.col("label").alias("quantile"),
+            F.col("p").cast("long").alias("rank_pos"),
+            F.round(F.col("late_us") / 1000000.0, 3).alias("delay_s"),
+        )
+        .orderBy("rank_pos")
+    )
