@@ -83,7 +83,9 @@ _VERIFY_FIRST = [
     "q299_active_learning_batch", "q300_speculative_draft_acceptance",
     "q301_lambda_reconciliation", "q302_cms_join_size_estimate",
     "q303_phrase_query_positional", "q304_out_of_order_profile",
-    "q305_watermark_delay_recommendation",
+    "q305_watermark_delay_recommendation", "q306_negative_sampling_table",
+    "q307_submodular_coverage_selection", "q308_neyman_allocation",
+    "q309_bloom_join_pruning",
     "q107_bm25_retrieval",
     "q129_curation_funnel", "q20_broadcast_join", "q21_revenue_by_nation",
     "q22_semi_join", "q23_anti_join", "q24_outer_join",

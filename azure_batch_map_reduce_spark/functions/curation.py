@@ -3027,3 +3027,244 @@ def q299_active_learning_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "source", "score", "margin")
         .orderBy("margin", "doc_id")
     )
+
+
+_NEYMAN_BUDGET = 1000  # total samples to allocate
+
+
+@query(
+    "q308_neyman_allocation",
+    oracle=f"""
+    WITH strata AS (
+        SELECT event_type,
+               count(*) AS nh,
+               sqrt(sum(value * value) / count(*)
+                    - (sum(value) / count(*)) * (sum(value) / count(*)))
+                   AS sh
+        FROM events GROUP BY event_type
+    ),
+    z AS (
+        SELECT list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                   list(nh * sh ORDER BY event_type)), (a, b) -> a + b) AS z,
+               list_reduce(list_prepend(CAST(0 AS BIGINT),
+                   list(nh ORDER BY event_type)), (a, b) -> a + b) AS n_total
+        FROM strata
+    )
+    SELECT s.event_type,
+           CAST(s.nh AS BIGINT) AS n_pop,
+           round(s.sh, 4) AS stratum_std,
+           CAST(round({_NEYMAN_BUDGET} * s.nh * s.sh / z.z) AS BIGINT)
+               AS neyman_n,
+           CAST(round({_NEYMAN_BUDGET} * CAST(s.nh AS DOUBLE) / z.n_total)
+               AS BIGINT) AS proportional_n
+    FROM strata s CROSS JOIN z
+    ORDER BY s.event_type
+    """,
+    tags=("curation", "sampling", "stratified", "neyman", "statistics"),
+)
+def q308_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neyman (optimal) stratified-sample allocation: given a 1000-row
+    labeling/inspection budget over event-type strata, allocate
+    n_h ∝ N_h·S_h (stratum size × stratum standard deviation) — the
+    variance-minimizing split survey statistics prescribes — side by
+    side with naive proportional allocation, so the reader sees where
+    variability (not just volume) demands samples. This prices q299's
+    labeling budget and q56's stratified draw correctly.
+
+    Determinism: population variance from exact sums (one sqrt,
+    correctly rounded IEEE); the N·S normalizer folds in stratum
+    order; allocations are round() of a single division.
+
+    Scale posture: one partial+final aggregate to |strata| rows;
+    everything after is arithmetic on that tiny table with a 1-row
+    broadcast normalizer. Reference contract: per-event moment
+    accumulation = map slot (``App.config:16``); allocation =
+    reduce slot (``App.config:17``)."""
+    events = load_tables(spark, sf_dir)["events"]
+    strata = events.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("nh"),
+        F.sqrt(
+            F.sum(F.col("value") * F.col("value")) / F.count(F.lit(1))
+            - (F.sum("value") / F.count(F.lit(1)))
+            * (F.sum("value") / F.count(F.lit(1)))
+        ).alias("sh"),
+    )
+    z = strata.agg(
+        F.aggregate(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(F.col("event_type"), (F.col("nh") * F.col("sh")).alias("ns"))
+                    )
+                ),
+                lambda s: s.getField("ns"),
+            ),
+            F.lit(0.0),
+            lambda a, b: a + b,
+        ).alias("z"),
+        F.sum("nh").alias("n_total"),
+    )
+    return (
+        strata.crossJoin(F.broadcast(z))
+        .select(
+            "event_type",
+            F.col("nh").cast("long").alias("n_pop"),
+            F.round("sh", 4).alias("stratum_std"),
+            F.round(
+                _NEYMAN_BUDGET * F.col("nh") * F.col("sh") / F.col("z"), 0
+            ).cast("long").alias("neyman_n"),
+            F.round(
+                _NEYMAN_BUDGET * F.col("nh").cast("double") / F.col("n_total"), 0
+            ).cast("long").alias("proportional_n"),
+        )
+        .orderBy("event_type")
+    )
+
+
+_COV_K = 8   # documents to select
+
+
+def _coverage_oracle() -> str:
+    """Unrolled greedy max-coverage (MATERIALIZED per round — each
+    round references the covered mask twice, the q103/q286 rule)."""
+    head = """
+    WITH vocab AS MATERIALIZED (
+        SELECT w, row_number() OVER (ORDER BY w) - 1 AS idx
+        FROM (SELECT DISTINCT unnest(string_split(lower(text), ' ')) AS w
+              FROM documents)
+    ),
+    nv AS MATERIALIZED (SELECT count(*) AS nv FROM vocab),
+    dm AS MATERIALIZED (
+        SELECT t.doc_id, bit_or(1::BIGINT << v.idx) AS mask
+        FROM (SELECT DISTINCT doc_id,
+                     unnest(string_split(lower(text), ' ')) AS w
+              FROM documents) t
+        JOIN vocab v ON t.w = v.w
+        GROUP BY t.doc_id
+    ),
+    s1 AS MATERIALIZED (
+        SELECT doc_id, 1 AS step, bit_count(mask) AS gain, mask AS cov
+        FROM dm ORDER BY bit_count(mask) DESC, doc_id ASC LIMIT 1
+    )"""
+    rounds = []
+    for t in range(2, _COV_K + 1):
+        prev = f"s{t - 1}"
+        rounds.append(f"""
+    w{t} AS MATERIALIZED (
+        SELECT d.doc_id, {t} AS step,
+               bit_count(d.mask & ~p.cov) AS gain,
+               p.cov | d.mask AS cov
+        FROM dm d CROSS JOIN (SELECT cov FROM {prev}
+                              WHERE step = {t - 1}) p
+        WHERE d.doc_id NOT IN (SELECT doc_id FROM {prev})
+        ORDER BY bit_count(d.mask & ~p.cov) DESC, d.doc_id ASC LIMIT 1
+    ),
+    s{t} AS MATERIALIZED (
+        SELECT * FROM {prev} UNION ALL SELECT * FROM w{t}
+    )""")
+    tail = f"""
+    SELECT s.step, s.doc_id,
+           CAST(s.gain AS BIGINT) AS gain,
+           CAST(bit_count(s.cov) AS BIGINT) AS covered_terms,
+           round(CAST(bit_count(s.cov) AS DOUBLE) / nv.nv, 4)
+               AS coverage_frac
+    FROM s{_COV_K} s CROSS JOIN nv
+    ORDER BY s.step
+    """
+    return head + "," + ",".join(rounds) + tail
+
+
+@query(
+    "q307_submodular_coverage_selection",
+    oracle=_coverage_oracle(),
+    tags=("curation", "selection", "submodular", "coverage", "iterative"),
+)
+def q307_submodular_coverage_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Submodular data selection by greedy max-coverage: pick 8
+    documents that together cover as much of the corpus vocabulary as
+    possible — each round selects the document adding the most
+    still-uncovered terms (the (1−1/e)-approximate greedy that
+    facility-location/coverage-based data-selection methods use to
+    build small high-diversity training subsets). Emits each pick with
+    its marginal gain and the running coverage fraction — the
+    saturation curve that tells you when more data stops helping.
+
+    Determinism: term sets compress to BIGINT bitmasks over the sorted
+    vocabulary (fixture vocabulary ≤ 31 terms; wider vocabularies use
+    an array of words — same plan); gains are exact popcounts; ties
+    break on doc_id.
+
+    Scale posture: masks are built in one (doc, term) distinct shuffle
+    + vocab-grain broadcast join; each greedy round is a map-side
+    popcount against a 1-row broadcast covered-mask plus a
+    TakeOrdered(1) — corpus touched k times but never shuffled after
+    the mask build, with the covered mask localCheckpoint-ed per round
+    (the q103/q286 iterative discipline). Lazy-greedy or stochastic
+    variants cut the k passes at larger k; the plan shape is
+    unchanged. Reference contract: per-doc mask build = map slot
+    (``App.config:16``); greedy consolidation = reduce slot
+    (``App.config:17``)."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    words = docs.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.col("text")), " ")).alias("w"),
+    ).distinct()
+    vocab = (
+        words.select("w")
+        .distinct()
+        .orderBy("w")
+        .select(
+            "w",
+            (F.row_number().over(Window.orderBy("w")) - 1).alias("idx"),
+        )
+    )
+    nv = vocab.agg(F.count(F.lit(1)).alias("nv"))
+    dm = (
+        words.join(F.broadcast(vocab), "w")
+        .groupBy("doc_id")
+        .agg(
+            F.expr("bit_or(shiftleft(cast(1 as bigint), idx))").alias("mask")
+        )
+        .persist()
+    )
+    sel = (
+        dm.select(
+            "doc_id",
+            F.lit(1).alias("step"),
+            F.expr("bit_count(mask)").alias("gain"),
+            F.col("mask").alias("cov"),
+        )
+        .orderBy(F.desc("gain"), F.asc("doc_id"))
+        .limit(1)
+        .localCheckpoint(eager=True)
+    )
+    for t in range(2, _COV_K + 1):
+        prev_cov = sel.where(F.col("step") == t - 1).select(
+            F.col("cov").alias("pcov")
+        )
+        winner = (
+            dm.join(sel.select("doc_id"), "doc_id", "left_anti")
+            .crossJoin(F.broadcast(prev_cov))
+            .select(
+                "doc_id",
+                F.lit(t).alias("step"),
+                F.expr("bit_count(mask & ~pcov)").alias("gain"),
+                F.expr("pcov | mask").alias("cov"),
+            )
+            .orderBy(F.desc("gain"), F.asc("doc_id"))
+            .limit(1)
+        )
+        sel = sel.unionAll(winner).localCheckpoint(eager=True)
+    return (
+        sel.crossJoin(F.broadcast(nv))
+        .select(
+            "step",
+            "doc_id",
+            F.col("gain").cast("long").alias("gain"),
+            F.expr("cast(bit_count(cov) as bigint)").alias("covered_terms"),
+            F.round(
+                F.expr("cast(bit_count(cov) as double)") / F.col("nv"), 4
+            ).alias("coverage_frac"),
+        )
+        .orderBy("step")
+    )

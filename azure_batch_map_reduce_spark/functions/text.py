@@ -3044,3 +3044,93 @@ def q303_phrase_query_positional(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_phrase"), F.asc("doc_id"))
         .limit(_PHRASE_TOPN)
     )
+
+
+_NEG_POW_NUM = 3  # unigram^(3/4): integer-ratio exponent
+_NEG_POW_DEN = 4
+_NEG_TOPN = 20
+
+
+@query(
+    "q306_negative_sampling_table",
+    oracle=f"""
+    WITH cnt AS (
+        SELECT w, count(*) AS c FROM (
+            SELECT unnest(string_split(lower(text), ' ')) AS w FROM documents
+        ) GROUP BY w
+    ),
+    pw AS (
+        SELECT w, c, pow(CAST(c AS DOUBLE), {_NEG_POW_NUM}.0 / {_NEG_POW_DEN})
+                   AS cp
+        FROM cnt
+    ),
+    z AS (
+        SELECT list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                   list(cp ORDER BY w)), (a, b) -> a + b) AS z
+        FROM pw
+    )
+    SELECT p.w AS token,
+           CAST(p.c AS BIGINT) AS count,
+           round(p.cp / z.z, 6) AS p_negative,
+           round(CAST(p.c AS DOUBLE)
+                 / (SELECT sum(c) FROM cnt), 6) AS p_unigram
+    FROM pw p CROSS JOIN z
+    ORDER BY p.c DESC, p.w ASC
+    LIMIT {_NEG_TOPN}
+    """,
+    tags=("text", "training", "negative-sampling", "word2vec"),
+)
+def q306_negative_sampling_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Negative-sampling distribution table (word2vec/contrastive
+    training): tokens are drawn as negatives with probability
+    ∝ count^(3/4) — the Mikolov exponent that damps head tokens and
+    boosts the tail relative to the raw unigram distribution (both
+    columns emitted so the flattening is visible). A trainer
+    materializes this table once and samples from it billions of
+    times; computing it is one vocabulary-grain aggregate.
+
+    Determinism: pow(c, 0.75) takes exact integer operands identically
+    on both engines; the normalizer folds in token order; outputs
+    round at 6 with count-then-token ordering.
+
+    Scale posture: one corpus explode → vocab-grain partial+final
+    count; the power/normalize math runs at vocab grain with a 1-row
+    normalizer broadcast. Reference contract: per-doc token emission =
+    map slot (``App.config:16``); distribution consolidation = reduce
+    slot (``App.config:17``)."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    cnt = (
+        docs.select(
+            F.explode(F.split(F.lower(F.col("text")), " ")).alias("w")
+        )
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    pw = cnt.withColumn(
+        "cp", F.pow(F.col("c").cast("double"), _NEG_POW_NUM / _NEG_POW_DEN)
+    )
+    z = pw.agg(
+        F.aggregate(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct(F.col("w"), F.col("cp")))),
+                lambda s: s.getField("cp"),
+            ),
+            F.lit(0.0),
+            lambda a, b: a + b,
+        ).alias("z")
+    )
+    tot = cnt.agg(F.sum("c").alias("tot"))
+    return (
+        pw.crossJoin(F.broadcast(z))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.col("w").alias("token"),
+            F.col("c").cast("long").alias("count"),
+            F.round(F.col("cp") / F.col("z"), 6).alias("p_negative"),
+            F.round(F.col("c").cast("double") / F.col("tot"), 6).alias(
+                "p_unigram"
+            ),
+        )
+        .orderBy(F.desc("count"), F.asc("token"))
+        .limit(_NEG_TOPN)
+    )

@@ -3289,3 +3289,185 @@ def q302_cms_join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(row("lineitem_x_orders_on_orderkey", est_fk, ex_fk))
         .orderBy("join_name")
     )
+
+
+_BJ_M = 1024   # bloom bits
+_BJ_K = 4      # hash functions
+_BJ_NATIONS = (1, 5, 9)
+_BJ_POS = (
+    "('0x' || substr(md5('bjoin' || CAST(h.i AS VARCHAR) || '|'"
+    " || CAST({x} AS VARCHAR)), 1, 8))::BIGINT % " + str(_BJ_M)
+)
+
+
+@query(
+    "q309_bloom_join_pruning",
+    oracle=f"""
+    WITH hashes AS (SELECT unnest(generate_series(1, {_BJ_K})) AS i),
+    nations AS (SELECT unnest([{", ".join(map(str, _BJ_NATIONS))}]) AS nk),
+    build AS (
+        SELECT s.s_nationkey AS nk, s.s_suppkey AS k
+        FROM supplier s JOIN nations n ON s.s_nationkey = n.nk
+    ),
+    words AS (
+        SELECT b.nk, pos // 32 AS w, bit_or(1::BIGINT << (pos % 32)) AS mask
+        FROM (SELECT build.nk, {_BJ_POS.format(x='build.k')} AS pos
+              FROM build CROSS JOIN hashes h) b
+        GROUP BY b.nk, pos // 32
+    ),
+    probe AS (
+        SELECT l.l_orderkey AS ok, l.l_linenumber AS ln, l.l_suppkey AS sk,
+               n.nk
+        FROM lineitem l CROSS JOIN nations n
+    ),
+    checked AS (
+        SELECT pb.nk, pb.ok, pb.ln, pb.sk,
+               bool_and(coalesce((w.mask >> (pb.pos % 32)) & 1, 0) = 1)
+                   AS passed
+        FROM (SELECT probe.nk, probe.ok, probe.ln, probe.sk,
+                     {_BJ_POS.format(x='probe.sk')} AS pos
+              FROM probe CROSS JOIN hashes h) pb
+        LEFT JOIN words w ON pb.nk = w.nk AND pb.pos // 32 = w.w
+        GROUP BY pb.nk, pb.ok, pb.ln, pb.sk
+    ),
+    flagged AS (
+        SELECT c.nk, c.passed,
+               (b.k IS NOT NULL) AS actual
+        FROM checked c
+        LEFT JOIN (SELECT DISTINCT nk, k FROM build) b
+          ON c.nk = b.nk AND c.sk = b.k
+    )
+    SELECT nk AS nationkey,
+           CAST(count(*) AS BIGINT) AS n_probe_rows,
+           CAST(sum(CASE WHEN passed THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_passed,
+           CAST(sum(CASE WHEN actual THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_true_match,
+           CAST(sum(CASE WHEN passed AND NOT actual THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_false_pass,
+           round(1.0 - CAST(sum(CASE WHEN passed THEN 1 ELSE 0 END)
+                 AS DOUBLE) / count(*), 4) AS prune_rate
+    FROM flagged
+    GROUP BY nk
+    ORDER BY nk
+    """,
+    tags=("sketch", "bloom", "join", "pruning", "runtime-filter"),
+)
+def q309_bloom_join_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter join pruning — the portable version of the runtime
+    bloom filters Spark injects for shuffle joins (pinned in
+    tests/test_plans.py): for each of three build-side key sets
+    (suppliers of nations 1/5/9) a 1024-bit, 4-hash bloom built from
+    q196's register arithmetic pre-filters the lineitem probe side
+    BEFORE any join. Emits per nation the probe volume, rows passed,
+    true matches, false passes (blooms never false-negative — the
+    audit column proves n_passed ≥ n_true always with equality iff no
+    collisions), and the prune rate — the fraction of probe I/O and
+    shuffle a 100 TB join never pays.
+
+    Determinism: q196's engine-pinned md5 bit positions (fresh 'bjoin'
+    salt); popcount/bit tests are exact; rates round at 4.
+
+    Scale posture: the filter is 32 words per build set — broadcast
+    state ~Kb where the build-side key set might be millions of rows;
+    probing is map-side bit arithmetic; only survivors reach the
+    nation-grain rollup (in a real join, only survivors reach the
+    shuffle — that's the point). Blooms OR-merge, so partial filters
+    from build-side partitions combine map-side. Reference contract:
+    per-row membership probe = map slot (``App.config:16``); filter
+    build + stats = reduce slot (``App.config:17``)."""
+    t = load_tables(spark, sf_dir)
+    sup, li = t["supplier"], t["lineitem"]
+    hashes = spark.createDataFrame([(i,) for i in range(1, _BJ_K + 1)], "i int")
+    nations = spark.createDataFrame([(n,) for n in _BJ_NATIONS], "nk int")
+    build = sup.join(
+        F.broadcast(nations), sup["s_nationkey"] == nations["nk"]
+    ).select("nk", F.col("s_suppkey").alias("k"))
+
+    def pos_of(key_col):
+        h = F.md5(
+            F.concat(
+                F.lit("bjoin"),
+                F.col("i").cast("string"),
+                F.lit("|"),
+                key_col.cast("string"),
+            )
+        )
+        return F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % _BJ_M
+
+    words = (
+        build.crossJoin(F.broadcast(hashes))
+        .select("nk", pos_of(F.col("k")).alias("pos"))
+        .groupBy("nk", (F.col("pos") / 32).cast("long").alias("w"))
+        .agg(
+            F.expr("bit_or(shiftleft(cast(1 as bigint), cast(pos % 32 as int)))").alias(
+                "mask"
+            )
+        )
+    )
+    probe = li.select(
+        F.col("l_orderkey").alias("ok"),
+        F.col("l_linenumber").alias("ln"),
+        F.col("l_suppkey").alias("sk"),
+    ).crossJoin(F.broadcast(nations))
+    pb = probe.crossJoin(F.broadcast(hashes)).select(
+        "nk", "ok", "ln", "sk", pos_of(F.col("sk")).alias("pos")
+    )
+    w2 = words.select(
+        F.col("nk").alias("wnk"), F.col("w").alias("ww"), "mask"
+    )
+    checked = (
+        pb.join(
+            F.broadcast(w2),
+            (F.col("nk") == F.col("wnk"))
+            & ((F.col("pos") / 32).cast("long") == F.col("ww")),
+            "left",
+        )
+        .groupBy("nk", "ok", "ln", "sk")
+        .agg(
+            F.min(
+                F.when(
+                    F.coalesce(
+                        F.expr(
+                            "(mask >> cast(pos % 32 as int)) & 1"
+                        ),
+                        F.lit(0),
+                    )
+                    == 1,
+                    1,
+                ).otherwise(0)
+            ).alias("passed_i")
+        )
+    )
+    bset = build.select(
+        F.col("nk").alias("bnk"), F.col("k").alias("bk")
+    ).distinct()
+    flagged = checked.join(
+        F.broadcast(bset),
+        (F.col("nk") == F.col("bnk")) & (F.col("sk") == F.col("bk")),
+        "left",
+    ).select(
+        "nk",
+        (F.col("passed_i") == 1).alias("passed"),
+        F.col("bk").isNotNull().alias("actual"),
+    )
+    passed = F.sum(F.when(F.col("passed"), 1).otherwise(0))
+    return (
+        flagged.groupBy(F.col("nk").alias("nationkey"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_probe_rows"),
+            passed.cast("long").alias("n_passed"),
+            F.sum(F.when(F.col("actual"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_true_match"),
+            F.sum(
+                F.when(F.col("passed") & ~F.col("actual"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_false_pass"),
+            F.round(
+                1.0 - passed.cast("double") / F.count(F.lit(1)), 4
+            ).alias("prune_rate"),
+        )
+        .orderBy("nationkey")
+    )
