@@ -3292,18 +3292,20 @@ def q302_cms_join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _BJ_M = 1024   # bloom bits
-_BJ_K = 4      # hash functions
+_BJ_K = 4      # hash functions (4 disjoint 8-hex windows of ONE digest)
 _BJ_NATIONS = (1, 5, 9)
+# One md5 per key; hash i reads the i-th disjoint 32-bit hex window —
+# the q254 CMS derivation, 4x less hashing than per-hash salting.
 _BJ_POS = (
-    "('0x' || substr(md5('bjoin' || CAST(h.i AS VARCHAR) || '|'"
-    " || CAST({x} AS VARCHAR)), 1, 8))::BIGINT % " + str(_BJ_M)
+    "('0x' || substr(md5('bjoin|' || CAST({x} AS VARCHAR)),"
+    " 1 + 8 * {i}, 8))::BIGINT % " + str(_BJ_M)
 )
 
 
 @query(
     "q309_bloom_join_pruning",
     oracle=f"""
-    WITH hashes AS (SELECT unnest(generate_series(1, {_BJ_K})) AS i),
+    WITH hashes AS (SELECT unnest(range({_BJ_K})) AS i),
     nations AS (SELECT unnest([{", ".join(map(str, _BJ_NATIONS))}]) AS nk),
     build AS (
         SELECT s.s_nationkey AS nk, s.s_suppkey AS k
@@ -3311,28 +3313,36 @@ _BJ_POS = (
     ),
     words AS (
         SELECT b.nk, pos // 32 AS w, bit_or(1::BIGINT << (pos % 32)) AS mask
-        FROM (SELECT build.nk, {_BJ_POS.format(x='build.k')} AS pos
+        FROM (SELECT build.nk, {_BJ_POS.format(x="build.k", i="h.i")} AS pos
               FROM build CROSS JOIN hashes h) b
         GROUP BY b.nk, pos // 32
     ),
+    warr AS (
+        SELECT nk, list(coalesce(mask, 0) ORDER BY wi) AS arr
+        FROM (
+            SELECT n.nk, wi.wi, w.mask
+            FROM nations n
+            CROSS JOIN (SELECT unnest(range({_BJ_M // 32})) AS wi) wi
+            LEFT JOIN words w ON w.nk = n.nk AND w.w = wi.wi
+        ) GROUP BY nk
+    ),
     probe AS (
-        SELECT l.l_orderkey AS ok, l.l_linenumber AS ln, l.l_suppkey AS sk,
-               n.nk
-        FROM lineitem l CROSS JOIN nations n
+        SELECT l.l_suppkey AS sk, a.nk, a.arr
+        FROM lineitem l CROSS JOIN warr a
     ),
     checked AS (
-        SELECT pb.nk, pb.ok, pb.ln, pb.sk,
-               bool_and(coalesce((w.mask >> (pb.pos % 32)) & 1, 0) = 1)
-                   AS passed
-        FROM (SELECT probe.nk, probe.ok, probe.ln, probe.sk,
-                     {_BJ_POS.format(x='probe.sk')} AS pos
-              FROM probe CROSS JOIN hashes h) pb
-        LEFT JOIN words w ON pb.nk = w.nk AND pb.pos // 32 = w.w
-        GROUP BY pb.nk, pb.ok, pb.ln, pb.sk
+        SELECT nk, sk,
+               list_reduce(
+                   list_prepend(true,
+                       list_transform(range({_BJ_K}),
+                           i -> (arr[CAST(({_BJ_POS.format(x="sk", i="i")}) // 32 + 1 AS INTEGER)]
+                                 >> CAST(({_BJ_POS.format(x="sk", i="i")}) % 32 AS INTEGER))
+                                & 1 = 1)),
+                   (acc, x) -> acc AND x) AS passed
+        FROM probe
     ),
     flagged AS (
-        SELECT c.nk, c.passed,
-               (b.k IS NOT NULL) AS actual
+        SELECT c.nk, c.passed, (b.k IS NOT NULL) AS actual
         FROM checked c
         LEFT JOIN (SELECT DISTINCT nk, k FROM build) b
           ON c.nk = b.nk AND c.sk = b.k
@@ -3357,87 +3367,95 @@ def q309_bloom_join_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bloom-filter join pruning — the portable version of the runtime
     bloom filters Spark injects for shuffle joins (pinned in
     tests/test_plans.py): for each of three build-side key sets
-    (suppliers of nations 1/5/9) a 1024-bit, 4-hash bloom built from
-    q196's register arithmetic pre-filters the lineitem probe side
-    BEFORE any join. Emits per nation the probe volume, rows passed,
-    true matches, false passes (blooms never false-negative — the
-    audit column proves n_passed ≥ n_true always with equality iff no
-    collisions), and the prune rate — the fraction of probe I/O and
-    shuffle a 100 TB join never pays.
+    (suppliers of nations 1/5/9) a 1024-bit bloom — 4 hash positions
+    read as disjoint 32-bit windows of ONE md5 digest, the q254
+    derivation — pre-filters the lineitem probe side BEFORE any join.
+    Emits per nation the probe volume, rows passed, true matches,
+    false passes (blooms never false-negative — n_passed ≥ n_true
+    always), and the prune rate — the probe I/O and shuffle a 100 TB
+    join never pays.
 
-    Determinism: q196's engine-pinned md5 bit positions (fresh 'bjoin'
-    salt); popcount/bit tests are exact; rates round at 4.
+    Determinism: engine-pinned md5 bit positions (fresh 'bjoin|'
+    salt); bit tests are exact; rates round at 4.
 
-    Scale posture: the filter is 32 words per build set — broadcast
-    state ~Kb where the build-side key set might be millions of rows;
-    probing is map-side bit arithmetic; only survivors reach the
-    nation-grain rollup (in a real join, only survivors reach the
-    shuffle — that's the point). Blooms OR-merge, so partial filters
-    from build-side partitions combine map-side. Reference contract:
-    per-row membership probe = map slot (``App.config:16``); filter
-    build + stats = reduce slot (``App.config:17``)."""
+    Scale posture: each filter is a DENSE 32-word array broadcast as
+    ONE row per build set, so probing is pure map-side expression work
+    — one digest per probe row, no per-hash explode, no row-grain
+    shuffle (the first cut exploded rows × hashes and paid a 7.2M-row
+    aggregate: 7.4 s; this shape is map + nation-grain rollup). Blooms
+    OR-merge, so partial filters from build partitions combine
+    map-side. Reference contract: per-row membership probe = map slot
+    (``App.config:16``); filter build + stats = reduce slot
+    (``App.config:17``)."""
     t = load_tables(spark, sf_dir)
     sup, li = t["supplier"], t["lineitem"]
-    hashes = spark.createDataFrame([(i,) for i in range(1, _BJ_K + 1)], "i int")
+    hashes = spark.createDataFrame([(i,) for i in range(_BJ_K)], "i int")
     nations = spark.createDataFrame([(n,) for n in _BJ_NATIONS], "nk int")
     build = sup.join(
         F.broadcast(nations), sup["s_nationkey"] == nations["nk"]
     ).select("nk", F.col("s_suppkey").alias("k"))
 
-    def pos_of(key_col):
-        h = F.md5(
-            F.concat(
-                F.lit("bjoin"),
-                F.col("i").cast("string"),
-                F.lit("|"),
-                key_col.cast("string"),
-            )
+    def pos_sql(key: str, i: str) -> str:
+        return (
+            f"conv(substring(md5(concat('bjoin|', cast({key} as string))),"
+            f" 1 + 8 * {i}, 8), 16, 10) % {_BJ_M}"
         )
-        return F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % _BJ_M
 
     words = (
         build.crossJoin(F.broadcast(hashes))
-        .select("nk", pos_of(F.col("k")).alias("pos"))
+        .select("nk", F.expr(f"cast({pos_sql('k', 'i')} as bigint)").alias("pos"))
         .groupBy("nk", (F.col("pos") / 32).cast("long").alias("w"))
         .agg(
-            F.expr("bit_or(shiftleft(cast(1 as bigint), cast(pos % 32 as int)))").alias(
-                "mask"
-            )
+            F.expr(
+                "bit_or(shiftleft(cast(1 as bigint), cast(pos % 32 as int)))"
+            ).alias("mask")
         )
     )
-    probe = li.select(
-        F.col("l_orderkey").alias("ok"),
-        F.col("l_linenumber").alias("ln"),
+    # Dense word array per REQUESTED nation (left join: a nation with no
+    # build keys still yields an all-zero filter, matching the oracle),
+    # broadcast as one row per nation.
+    wmap = words.groupBy("nk").agg(
+        F.map_from_entries(
+            F.collect_list(F.struct(F.col("w"), F.col("mask")))
+        ).alias("m")
+    )
+    warr = (
+        nations.join(wmap, "nk", "left")
+        .select(
+            "nk",
+            F.expr(
+                f"transform(sequence(0, {_BJ_M // 32 - 1}),"
+                " wi -> coalesce(element_at(m, cast(wi as bigint)),"
+                " cast(0 as bigint)))"
+            ).alias("arr"),
+        )
+    )
+    # ONE digest per probe row (positions are nation-independent);
+    # Catalyst does not CSE repeated md5 calls, so materialize the four
+    # window positions as columns BEFORE the nation fan-out.
+    from azure_batch_map_reduce_spark.catalog import rebalance_for_cpu
+
+    dg = F.md5(F.concat(F.lit("bjoin|"), F.col("l_suppkey").cast("string")))
+    # Single-row-group fixture parquet caps the scan at ~1 task; the
+    # digest stage is compute-bound, so fan the 1-column projection out
+    # to the cores (no-op on well-split inputs — the q254 discipline).
+    probe0 = rebalance_for_cpu(li.select("l_suppkey")).select(
         F.col("l_suppkey").alias("sk"),
-    ).crossJoin(F.broadcast(nations))
-    pb = probe.crossJoin(F.broadcast(hashes)).select(
-        "nk", "ok", "ln", "sk", pos_of(F.col("sk")).alias("pos")
+        *[
+            (
+                F.conv(F.substring(dg, 1 + 8 * i, 8), 16, 10).cast("long")
+                % _BJ_M
+            ).alias(f"p{i}")
+            for i in range(_BJ_K)
+        ],
     )
-    w2 = words.select(
-        F.col("nk").alias("wnk"), F.col("w").alias("ww"), "mask"
-    )
-    checked = (
-        pb.join(
-            F.broadcast(w2),
-            (F.col("nk") == F.col("wnk"))
-            & ((F.col("pos") / 32).cast("long") == F.col("ww")),
-            "left",
-        )
-        .groupBy("nk", "ok", "ln", "sk")
-        .agg(
-            F.min(
-                F.when(
-                    F.coalesce(
-                        F.expr(
-                            "(mask >> cast(pos % 32 as int)) & 1"
-                        ),
-                        F.lit(0),
-                    )
-                    == 1,
-                    1,
-                ).otherwise(0)
-            ).alias("passed_i")
-        )
+    checks = [
+        f"((element_at(arr, cast(p{i} div 32 as int) + 1)"
+        f" >> cast(p{i} % 32 as int)) & 1) = 1"
+        for i in range(_BJ_K)
+    ]
+    checked = probe0.crossJoin(F.broadcast(warr)).select(
+        "nk", "sk", F.expr(" AND ".join(checks)).alias("passed")
     )
     bset = build.select(
         F.col("nk").alias("bnk"), F.col("k").alias("bk")
@@ -3448,7 +3466,7 @@ def q309_bloom_join_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
         "left",
     ).select(
         "nk",
-        (F.col("passed_i") == 1).alias("passed"),
+        "passed",
         F.col("bk").isNotNull().alias("actual"),
     )
     passed = F.sum(F.when(F.col("passed"), 1).otherwise(0))
