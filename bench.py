@@ -80,6 +80,9 @@ HEADLINE = [
     "q276_kmv_overlap_estimate",
     "q284_lsh_s_curve_tuning",
     "q285_mergeable_quantile_histogram",
+    # Round-3e: rank-primitive composition, broadcast bloom probing.
+    "q305_watermark_delay_recommendation",
+    "q309_bloom_join_pruning",
 ]
 
 
