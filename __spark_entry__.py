@@ -85,7 +85,7 @@ _VERIFY_FIRST = [
     "q303_phrase_query_positional", "q304_out_of_order_profile",
     "q305_watermark_delay_recommendation", "q306_negative_sampling_table",
     "q307_submodular_coverage_selection", "q308_neyman_allocation",
-    "q309_bloom_join_pruning",
+    "q309_bloom_join_pruning", "q310_late_arriving_dimension",
     "q107_bm25_retrieval",
     "q129_curation_funnel", "q20_broadcast_join", "q21_revenue_by_nation",
     "q22_semi_join", "q23_anti_join", "q24_outer_join",

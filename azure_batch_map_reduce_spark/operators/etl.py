@@ -1362,3 +1362,69 @@ def q268_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "version")
     )
+
+
+@query(
+    "q310_late_arriving_dimension",
+    oracle="""
+    WITH dim AS (
+        SELECT c_custkey, c_mktsegment
+        FROM customer WHERE c_custkey % 7 <> 0
+    ),
+    joined AS (
+        SELECT e.event_id, e.user_id, e.value,
+               d.c_mktsegment
+        FROM events e LEFT JOIN dim d ON e.user_id = d.c_custkey
+    )
+    SELECT coalesce(c_mktsegment, 'UNRESOLVED') AS segment,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(sum(value), 2) AS total_value,
+           CAST(count(DISTINCT CASE WHEN c_mktsegment IS NULL
+                THEN user_id END) AS BIGINT) AS n_pending_keys
+    FROM joined
+    GROUP BY coalesce(c_mktsegment, 'UNRESOLVED')
+    ORDER BY segment
+    """,
+    tags=("etl", "dimension", "late-arriving", "warehouse"),
+)
+def q310_late_arriving_dimension(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Late-arriving-dimension handling — the warehouse pattern for
+    facts that land before their dimension row (simulated: customers
+    with key % 7 == 0 have 'not yet arrived'): facts LEFT-join the
+    dimension and unresolved rows roll up under an explicit
+    'UNRESOLVED' placeholder member with their distinct pending-key
+    count — the reprocessing queue a nightly pass re-joins once the
+    dim catches up (q292's selective overwrite then restates exactly
+    those rows). Dropping or inner-joining these facts silently loses
+    revenue; the placeholder keeps totals conserved and the gap
+    measurable.
+
+    Determinism: exact counts/sums; placeholder labeling is a null
+    check.
+
+    Scale posture: one broadcast (dim) left join + one partial+final
+    rollup at segment grain; the pending-key distinct is bounded by
+    the unresolved key population. Reference contract: per-fact
+    enrichment = map slot (``App.config:16``); segment rollup =
+    reduce slot (``App.config:17``)."""
+    t = load_tables(spark, sf_dir)
+    dim = t["customer"].where(F.col("c_custkey") % 7 != 0).select(
+        "c_custkey", "c_mktsegment"
+    )
+    joined = t["events"].join(
+        F.broadcast(dim), t["events"]["user_id"] == dim["c_custkey"], "left"
+    )
+    seg = F.coalesce(F.col("c_mktsegment"), F.lit("UNRESOLVED"))
+    return (
+        joined.groupBy(seg.alias("segment"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+            F.countDistinct(
+                F.when(F.col("c_mktsegment").isNull(), F.col("user_id"))
+            )
+            .cast("long")
+            .alias("n_pending_keys"),
+        )
+        .orderBy("segment")
+    )
