@@ -2643,3 +2643,260 @@ def q293_ndcg_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("qid")
     )
+
+
+_SQ_LEVELS = 255  # int8-style quantization levels
+
+
+@query(
+    "q311_sq8_quantization_audit",
+    oracle=f"""
+    WITH n AS (
+        SELECT vec_id, label,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+        FROM embeddings
+    ),
+    dims AS (
+        SELECT i, min(e[CAST(i AS INTEGER)]) AS lo, max(e[CAST(i AS INTEGER)]) AS hi
+        FROM n, unnest(range(1, 65)) t(i)
+        GROUP BY i
+    ),
+    scale AS (
+        SELECT list(lo ORDER BY i) AS los,
+               list((hi - lo) / {_SQ_LEVELS} ORDER BY i) AS steps
+        FROM dims
+    ),
+    quant AS (
+        SELECT vec_id, label, e,
+               list_transform(range(1, 65),
+                   i -> round((e[CAST(i AS INTEGER)] - s.los[CAST(i AS INTEGER)])
+                              / s.steps[CAST(i AS INTEGER)])) AS q
+        FROM n CROSS JOIN scale s
+    ),
+    deq AS (
+        SELECT vec_id, label, e,
+               list_transform(range(1, 65),
+                   i -> s.los[CAST(i AS INTEGER)]
+                        + q[CAST(i AS INTEGER)] * s.steps[CAST(i AS INTEGER)]) AS d
+        FROM quant CROSS JOIN scale s
+    ),
+    mse AS (
+        SELECT vec_id, label,
+               list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                   list_transform(range(1, 65),
+                       i -> (e[CAST(i AS INTEGER)] - d[CAST(i AS INTEGER)])
+                          * (e[CAST(i AS INTEGER)] - d[CAST(i AS INTEGER)]))),
+                   (a, b) -> a + b) / 64 AS mse
+        FROM deq
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_vectors,
+           round(avg(mse), 8)       AS avg_mse,
+           round(max(mse), 8)       AS max_mse,
+           round(avg(sqrt(mse)), 6) AS avg_rmse
+    FROM mse
+    """,
+    tags=("similarity", "quantization", "sq8", "compression", "audit"),
+)
+def q311_sq8_quantization_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar (int8-style) quantization audit — the 4x-compression
+    baseline every vector store offers before PQ (q242) and truncation
+    (q245): per-dimension min/max over the corpus define a 255-level
+    uniform grid; each vector quantizes to grid codes and dequantizes
+    back; the audit reports reconstruction MSE/RMSE — the distortion
+    budget that decides whether SQ8 suffices or PQ's codebooks are
+    needed. (Per-dim scaling is the part people get wrong: a single
+    global scale wastes levels on narrow dimensions.)
+
+    Determinism: min/max are exact comparisons; quantization is
+    round() of one IEEE affine transform per cell; reconstruction
+    error folds in dimension order; outputs round at 8/6.
+
+    Scale posture: the scale table is ONE partial+final aggregate at
+    dimension grain (64 rows, broadcast back); quantize/dequantize/
+    error is pure map-side array math per vector — the corpus is
+    touched twice (train scale, apply) exactly like q222's
+    fit-then-transform discipline. Reference contract: per-vector
+    encode = map slot (``App.config:16``); scale fit + distortion
+    rollup = reduce slot (``App.config:17``)."""
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    n = emb.select("vec_id", "label", _as_double(F.col("embedding")).alias("e"))
+    dims = (
+        n.select(F.posexplode("e").alias("i0", "v"))
+        .groupBy((F.col("i0") + 1).alias("i"))
+        .agg(F.min("v").alias("lo"), F.max("v").alias("hi"))
+    )
+    scale = dims.agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("i", "lo"))),
+            lambda s: s.getField("lo"),
+        ).alias("los"),
+        F.transform(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        "i", ((F.col("hi") - F.col("lo")) / _SQ_LEVELS).alias("st")
+                    )
+                )
+            ),
+            lambda s: s.getField("st"),
+        ).alias("steps"),
+    )
+    quant = n.crossJoin(F.broadcast(scale)).select(
+        "vec_id",
+        "label",
+        "e",
+        "los",
+        "steps",
+        F.expr(
+            "transform(sequence(1, 64),"
+            " i -> round((e[i - 1] - los[i - 1]) / steps[i - 1]))"
+        ).alias("q"),
+    )
+    deq = quant.select(
+        "vec_id",
+        "label",
+        "e",
+        F.expr(
+            "transform(sequence(1, 64),"
+            " i -> los[i - 1] + q[i - 1] * steps[i - 1])"
+        ).alias("d"),
+    )
+    mse = deq.select(
+        (
+            F.aggregate(
+                F.expr(
+                    "transform(sequence(1, 64),"
+                    " i -> (e[i - 1] - d[i - 1]) * (e[i - 1] - d[i - 1]))"
+                ),
+                F.lit(0.0),
+                lambda a, b: a + b,
+            )
+            / 64
+        ).alias("mse")
+    )
+    return mse.agg(
+        F.count(F.lit(1)).cast("long").alias("n_vectors"),
+        F.round(F.avg("mse"), 8).alias("avg_mse"),
+        F.round(F.max("mse"), 8).alias("max_mse"),
+        F.round(F.avg(F.sqrt("mse")), 6).alias("avg_rmse"),
+    )
+
+
+_HUB_K = 3     # neighbors per query in the bucketed kNN graph
+_HUB_TOPN = 15
+
+
+@query(
+    "q312_knn_hubness_audit",
+    oracle=f"""
+    WITH n AS (
+        SELECT vec_id, label,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e,
+               concat_ws('', CASE WHEN embedding[1] >= 0 THEN '1' ELSE '0' END,
+                             CASE WHEN embedding[2] >= 0 THEN '1' ELSE '0' END,
+                             CASE WHEN embedding[3] >= 0 THEN '1' ELSE '0' END,
+                             CASE WHEN embedding[4] >= 0 THEN '1' ELSE '0' END,
+                             CASE WHEN embedding[5] >= 0 THEN '1' ELSE '0' END,
+                             CASE WHEN embedding[6] >= 0 THEN '1' ELSE '0' END) AS sig
+        FROM embeddings
+    ),
+    pairs AS (
+        SELECT a.sig, a.vec_id AS va, b.vec_id AS vb,
+               round(list_dot_product(a.e, b.e)
+                     / sqrt(list_dot_product(a.e, a.e)
+                            * list_dot_product(b.e, b.e)), 4) AS cos
+        FROM n a JOIN n b ON a.sig = b.sig AND a.vec_id <> b.vec_id
+    ),
+    knn AS (
+        SELECT va, vb FROM (
+            SELECT va, vb, row_number() OVER (
+                PARTITION BY sig, va ORDER BY cos DESC, vb ASC) AS rn
+            FROM pairs
+        ) WHERE rn <= {_HUB_K}
+    ),
+    occ AS (
+        SELECT vb AS vec_id, count(*) AS k_occurrence
+        FROM knn GROUP BY vb
+    ),
+    bsz AS (SELECT sig, count(*) AS n_in_bucket FROM n GROUP BY sig)
+    SELECT o.vec_id, n.label,
+           CAST(o.k_occurrence AS BIGINT) AS k_occurrence,
+           CAST(b.n_in_bucket AS BIGINT)  AS n_in_bucket
+    FROM occ o
+    JOIN n ON o.vec_id = n.vec_id
+    JOIN bsz b ON n.sig = b.sig
+    ORDER BY o.k_occurrence DESC, o.vec_id ASC
+    LIMIT {_HUB_TOPN}
+    """,
+    tags=("similarity", "ann", "hubness", "audit", "knn"),
+)
+def q312_knn_hubness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kNN hubness audit (Radovanović et al., JMLR'10): in high
+    dimensions some vectors become HUBS — they appear in far more
+    k-nearest lists than average — which silently skews kNN
+    classification (q169), ANN recall (q270), and near-dup clustering
+    (q66). Over the sign-LSH bucketed k=3 neighbor graph (the same
+    candidate structure the ANN family serves from), each vector's
+    k-occurrence is counted and the 15 heaviest hubs emit with their
+    bucket size — the audit that tells you whether hub-aware scoring
+    (mutual kNN, local scaling) is warranted before trusting the
+    neighbor graph.
+
+    Determinism: candidate edges are exact within buckets; ranking
+    keys round to 4 with vec_id tie-break; k-occurrences are exact
+    counts.
+
+    Scale posture: candidate pairs form only inside LSH buckets (q71's
+    equi-join — never all-pairs); per-query ranking partitions by
+    (bucket, query) with a group limit; k-occurrence is one
+    partial+final count at vector grain; top-k is a TakeOrdered.
+    Reference contract: per-vector neighbor scoring = map slot
+    (``App.config:16``); occurrence consolidation = reduce slot
+    (``App.config:17``)."""
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    sig = F.concat_ws(
+        "",
+        *[
+            F.when(F.element_at("embedding", i) >= 0, "1").otherwise("0")
+            for i in range(1, 7)
+        ],
+    )
+    n = emb.select(
+        "vec_id", "label", _as_double(F.col("embedding")).alias("e"), sig.alias("sig")
+    )
+    a = n.select("sig", F.col("vec_id").alias("va"), F.col("e").alias("ea"))
+    b = n.select(
+        F.col("sig").alias("sig_b"), F.col("vec_id").alias("vb"), F.col("e").alias("eb")
+    )
+    pairs = a.join(
+        b, (F.col("sig") == F.col("sig_b")) & (F.col("va") != F.col("vb"))
+    ).select(
+        "sig",
+        "va",
+        "vb",
+        F.round(
+            _dot(F.col("ea"), F.col("eb"))
+            / F.sqrt(_dot(F.col("ea"), F.col("ea")) * _dot(F.col("eb"), F.col("eb"))),
+            4,
+        ).alias("cos"),
+    )
+    w = Window.partitionBy("sig", "va").orderBy(F.desc("cos"), F.asc("vb"))
+    knn = pairs.withColumn("rn", F.row_number().over(w)).where(
+        F.col("rn") <= _HUB_K
+    )
+    occ = knn.groupBy(F.col("vb").alias("vec_id")).agg(
+        F.count(F.lit(1)).alias("k_occurrence")
+    )
+    bsz = n.groupBy("sig").agg(F.count(F.lit(1)).alias("n_in_bucket"))
+    return (
+        occ.join(n.select("vec_id", "label", "sig"), "vec_id")
+        .join(F.broadcast(bsz), "sig")
+        .select(
+            "vec_id",
+            "label",
+            F.col("k_occurrence").cast("long").alias("k_occurrence"),
+            F.col("n_in_bucket").cast("long").alias("n_in_bucket"),
+        )
+        .orderBy(F.desc("k_occurrence"), F.asc("vec_id"))
+        .limit(_HUB_TOPN)
+    )
