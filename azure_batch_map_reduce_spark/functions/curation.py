@@ -3268,3 +3268,137 @@ def q307_submodular_coverage_selection(spark: SparkSession, sf_dir: str) -> Data
         )
         .orderBy("step")
     )
+
+
+_SHARD_N = 16  # q75's shard fan-out
+
+
+@query(
+    "q313_shard_entropy_balance",
+    oracle=f"""
+    WITH toks AS (
+        SELECT ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 9, 8))::BIGINT
+                   % {_SHARD_N} AS shard,
+               unnest(string_split(lower(text), ' ')) AS w
+        FROM documents
+    ),
+    sh AS (
+        SELECT shard, w, count(*) AS c FROM toks GROUP BY shard, w
+    ),
+    sh_tot AS (SELECT shard, sum(c) AS n FROM sh GROUP BY shard),
+    sh_ent AS (
+        SELECT s.shard,
+               -list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                   list((s.c / CAST(t.n AS DOUBLE))
+                        * ln(s.c / CAST(t.n AS DOUBLE)) ORDER BY s.w)),
+                   (a, b) -> a + b) AS ent,
+               any_value(t.n) AS n_tokens
+        FROM sh s JOIN sh_tot t ON s.shard = t.shard
+        GROUP BY s.shard
+    ),
+    corpus AS (
+        SELECT -list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                   list((c / CAST(tot AS DOUBLE))
+                        * ln(c / CAST(tot AS DOUBLE)) ORDER BY w)),
+                   (a, b) -> a + b) AS corpus_ent
+        FROM (SELECT w, sum(c) AS c FROM sh GROUP BY w),
+             (SELECT sum(c) AS tot FROM sh)
+        GROUP BY tot
+    )
+    SELECT s.shard,
+           CAST(s.n_tokens AS BIGINT) AS n_tokens,
+           round(s.ent, 6) AS shard_entropy,
+           round(c.corpus_ent, 6) AS corpus_entropy,
+           round(s.ent - c.corpus_ent, 6) + 0.0 AS entropy_gap
+    FROM sh_ent s CROSS JOIN corpus c
+    ORDER BY s.shard
+    """,
+    tags=("curation", "sharding", "entropy", "balance", "audit"),
+)
+def q313_shard_entropy_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shard content-balance audit: each of q75's 16 hash shards
+    reports its token-distribution Shannon entropy against the
+    corpus-wide entropy. Hash sharding balances SIZES by construction
+    (q75 checks that); this checks the shards are also content-IID —
+    a shard whose entropy sits well below the corpus's is topically
+    concentrated, which turns into correlated gradients when a trainer
+    consumes shards sequentially. The gap column is the alarm.
+
+    Determinism: entropies fold per shard in token order over exact
+    count ratios; ln takes identical operands both engines; the gap
+    rounds with signed-zero normalization.
+
+    Scale posture: one (shard, token) partial+final count — the only
+    corpus shuffle; both entropy rollups run at (shards × vocab)
+    grain. At 100 TB the same table feeds q75's size manifest and
+    this balance audit in one pass. Reference contract: per-doc token
+    emission = map slot (``App.config:16``); entropy consolidation =
+    reduce slot (``App.config:17``)."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    shard = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 9, 8), 16, 10)
+        .cast("long")
+        % _SHARD_N
+    )
+    toks = docs.select(
+        shard.alias("shard"),
+        F.explode(F.split(F.lower(F.col("text")), " ")).alias("w"),
+    )
+    sh = toks.groupBy("shard", "w").agg(F.count(F.lit(1)).alias("c"))
+    sh_tot = sh.groupBy("shard").agg(F.sum("c").alias("n"))
+
+    def entropy_fold(key_col):
+        return -F.aggregate(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct(key_col, F.col("term")))),
+                lambda s: s.getField("term"),
+            ),
+            F.lit(0.0),
+            lambda a, b: a + b,
+        )
+
+    sh_ent = (
+        sh.join(sh_tot, "shard")
+        .select(
+            "shard",
+            "w",
+            "n",
+            (
+                (F.col("c") / F.col("n").cast("double"))
+                * F.log(F.col("c") / F.col("n").cast("double"))
+            ).alias("term"),
+        )
+        .groupBy("shard")
+        .agg(
+            entropy_fold(F.col("w")).alias("ent"),
+            F.first("n").alias("n_tokens"),
+        )
+    )
+    corpus_counts = sh.groupBy("w").agg(F.sum("c").alias("c"))
+    tot = corpus_counts.agg(F.sum("c").alias("tot"))
+    corpus = (
+        corpus_counts.crossJoin(F.broadcast(tot))
+        .select(
+            "w",
+            (
+                (F.col("c") / F.col("tot").cast("double"))
+                * F.log(F.col("c") / F.col("tot").cast("double"))
+            ).alias("term"),
+        )
+        .agg(entropy_fold(F.col("w")).alias("corpus_ent"))
+    )
+    from azure_batch_map_reduce_spark.operators.ranks import round_nz
+
+    return (
+        sh_ent.crossJoin(F.broadcast(corpus))
+        .select(
+            "shard",
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            F.round("ent", 6).alias("shard_entropy"),
+            F.round("corpus_ent", 6).alias("corpus_entropy"),
+            round_nz(F.col("ent") - F.col("corpus_ent"), 6).alias(
+                "entropy_gap"
+            ),
+        )
+        .orderBy("shard")
+    )

@@ -3043,3 +3043,131 @@ def q298_holt_linear_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("residual"),
     ).orderBy("day")
+
+
+@query(
+    "q314_funnel_step_latency",
+    oracle="""
+    WITH v AS (
+        SELECT user_id, min(ts) AS t FROM events
+        WHERE event_type = 'view' GROUP BY user_id
+    ),
+    c AS (
+        SELECT e.user_id, min(e.ts) AS t
+        FROM events e JOIN v ON e.user_id = v.user_id AND e.ts > v.t
+        WHERE e.event_type = 'click'
+        GROUP BY e.user_id
+    ),
+    p AS (
+        SELECT e.user_id, min(e.ts) AS t
+        FROM events e JOIN c ON e.user_id = c.user_id AND e.ts > c.t
+        WHERE e.event_type = 'purchase'
+        GROUP BY e.user_id
+    ),
+    deltas AS (
+        SELECT 'view_to_click' AS step_pair,
+               epoch_us(c.t) - epoch_us(v.t) AS d_us, c.user_id
+        FROM c JOIN v ON c.user_id = v.user_id
+        UNION ALL
+        SELECT 'click_to_purchase',
+               epoch_us(p.t) - epoch_us(c.t), p.user_id
+        FROM p JOIN c ON p.user_id = c.user_id
+    ),
+    ranked AS (
+        SELECT step_pair, d_us,
+               row_number() OVER (PARTITION BY step_pair
+                                  ORDER BY d_us, user_id) AS rn,
+               count(*) OVER (PARTITION BY step_pair) AS n
+        FROM deltas
+    )
+    SELECT step_pair,
+           CAST(any_value(n) AS BIGINT) AS n_users,
+           round(max(CASE WHEN rn = (n + 1) // 2 THEN d_us END)
+                 / 1000000.0, 3) AS median_s,
+           round(max(CASE WHEN rn = (9 * n + 9) // 10 THEN d_us END)
+                 / 1000000.0, 3) AS p90_s
+    FROM ranked
+    GROUP BY step_pair
+    ORDER BY step_pair
+    """,
+    tags=("funnel", "latency", "events", "quantile"),
+)
+def q314_funnel_step_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel step-transition latency: per user, the FIRST view, the
+    first click strictly after it, and the first purchase strictly
+    after that; per step-pair the exact discrete median and p90 of the
+    transition delay. Conversion funnels (q89/q165) count WHO
+    converts; this measures HOW LONG each step takes — the number a
+    product team actually tunes against.
+
+    Determinism: step anchoring is min-timestamp with strict
+    inequality joins; deltas are integer microseconds; quantile
+    positions are ⌈q·n⌉ integer ranks with a user_id tie-break.
+
+    Scale posture: step anchors are per-user partial+final MINs with
+    key-equi conditional joins (never a window over raw events); the
+    delta table is USER grain — orders of magnitude below event grain
+    — so the per-step rank runs on a bounded frame (swap in
+    distributed_row_number if users ever rival events). Reference
+    contract: per-event anchoring = map slot (``App.config:16``);
+    latency consolidation = reduce slot (``App.config:17``)."""
+    events = load_tables(spark, sf_dir)["events"]
+    v = (
+        events.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("vt"))
+    )
+    c = (
+        events.where(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .where(F.col("ts") > F.col("vt"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("ct"))
+    )
+    p = (
+        events.where(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .where(F.col("ts") > F.col("ct"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("pt"))
+    )
+    d1 = c.join(v, "user_id").select(
+        F.lit("view_to_click").alias("step_pair"),
+        (F.unix_micros("ct") - F.unix_micros("vt")).alias("d_us"),
+        "user_id",
+    )
+    d2 = p.join(c, "user_id").select(
+        F.lit("click_to_purchase").alias("step_pair"),
+        (F.unix_micros("pt") - F.unix_micros("ct")).alias("d_us"),
+        "user_id",
+    )
+    deltas = d1.unionAll(d2)
+    w = Window.partitionBy("step_pair").orderBy("d_us", "user_id")
+    wc = Window.partitionBy("step_pair")
+    ranked = deltas.select(
+        "step_pair",
+        "d_us",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wc).alias("n"),
+    )
+    from azure_batch_map_reduce_spark.operators.ranks import _idiv
+
+    med_pos = _idiv(F.col("n") + 1, F.lit(2))
+    p90_pos = _idiv(9 * F.col("n") + 9, F.lit(10))
+    return (
+        ranked.groupBy("step_pair")
+        .agg(
+            F.first("n").cast("long").alias("n_users"),
+            F.round(
+                F.max(F.when(F.col("rn") == med_pos, F.col("d_us")))
+                / 1000000.0,
+                3,
+            ).alias("median_s"),
+            F.round(
+                F.max(F.when(F.col("rn") == p90_pos, F.col("d_us")))
+                / 1000000.0,
+                3,
+            ).alias("p90_s"),
+        )
+        .orderBy("step_pair")
+    )

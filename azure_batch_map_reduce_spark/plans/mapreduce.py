@@ -344,3 +344,69 @@ def q91_pipe_identity_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_lines"),
         F.sum(F.size(F.split("value", " "))).cast("long").alias("n_words"),
     )
+
+
+@query(
+    "q315_observed_metrics",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT)        AS n_rows,
+           round(sum(l_quantity), 2)       AS sum_qty,
+           round(min(l_extendedprice), 2)  AS min_price,
+           round(max(l_extendedprice), 2)  AS max_price,
+           round(avg(l_discount), 6)       AS avg_disc
+    FROM lineitem
+    WHERE l_shipdate <= DATE '1998-09-02'
+    """,
+    tags=("monitoring", "observation", "metrics", "execution"),
+)
+def q315_observed_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zero-cost pipeline metrics via the Observation API — the
+    engine-side upgrade of the reference's polling monitor
+    (``Program.cs:397-465`` polls task states from outside; Spark's
+    ``df.observe`` rides metrics on the SAME job, no second pass and
+    no extra scan): the q01-style filtered lineitem scan runs once
+    through the noop sink with count/sum/min/max/avg observed in
+    flight, and the captured metrics come back as the result row. The
+    oracle recomputes them relationally, proving observe() sees every
+    row exactly once — the accounting a production pipeline attaches
+    to each stage for row-count reconciliation (L12/L13 monitoring +
+    failure detection).
+
+    Determinism: exact counts and extrema; sums of 2dp decimals round
+    at 2/6.
+
+    Scale posture: observation is a map-side accumulator merged on the
+    driver — zero shuffle, zero extra reads at any scale; the one
+    materialization inside the builder is the observed job itself
+    (same pattern as the streaming queries' run_available_now)."""
+    from pyspark.sql import Observation
+
+    from azure_batch_map_reduce_spark.catalog import load_tables
+
+    li = load_tables(spark, sf_dir)["lineitem"].where(
+        F.col("l_shipdate") <= F.lit("1998-09-02").cast("date")
+    )
+    obs = Observation("q315")
+    observed = li.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.round(F.min("l_extendedprice"), 2).alias("min_price"),
+        F.round(F.max("l_extendedprice"), 2).alias("max_price"),
+        F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+    )
+    observed.write.format("noop").mode("overwrite").save()
+    m = obs.get
+    return spark.createDataFrame(
+        [
+            (
+                int(m["n_rows"]),
+                float(m["sum_qty"]),
+                float(m["min_price"]),
+                float(m["max_price"]),
+                float(m["avg_disc"]),
+            )
+        ],
+        "n_rows long, sum_qty double, min_price double, max_price double,"
+        " avg_disc double",
+    )
