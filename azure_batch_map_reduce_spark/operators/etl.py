@@ -1428,3 +1428,100 @@ def q310_late_arriving_dimension(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("segment")
     )
+
+
+@query(
+    "q317_referential_integrity_audit",
+    oracle="""
+    WITH checks AS (
+        SELECT 'lineitem.l_orderkey -> orders' AS fk,
+               (SELECT count(*) FROM lineitem) AS n_child,
+               (SELECT count(*) FROM lineitem l
+                WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                  WHERE o.o_orderkey = l.l_orderkey))
+                   AS n_orphans
+        UNION ALL
+        SELECT 'orders.o_custkey -> customer',
+               (SELECT count(*) FROM orders),
+               (SELECT count(*) FROM orders o
+                WHERE NOT EXISTS (SELECT 1 FROM customer c
+                                  WHERE c.c_custkey = o.o_custkey))
+        UNION ALL
+        SELECT 'lineitem.l_partkey -> part',
+               (SELECT count(*) FROM lineitem),
+               (SELECT count(*) FROM lineitem l
+                WHERE NOT EXISTS (SELECT 1 FROM part p
+                                  WHERE p.p_partkey = l.l_partkey))
+        UNION ALL
+        SELECT 'lineitem.l_suppkey -> supplier',
+               (SELECT count(*) FROM lineitem),
+               (SELECT count(*) FROM lineitem l
+                WHERE NOT EXISTS (SELECT 1 FROM supplier s
+                                  WHERE s.s_suppkey = l.l_suppkey))
+        UNION ALL
+        SELECT 'customer.c_nationkey -> nation',
+               (SELECT count(*) FROM customer),
+               (SELECT count(*) FROM customer c
+                WHERE NOT EXISTS (SELECT 1 FROM nation n
+                                  WHERE n.n_nationkey = c.c_nationkey))
+    )
+    SELECT fk,
+           CAST(n_child AS BIGINT)   AS n_child,
+           CAST(n_orphans AS BIGINT) AS n_orphans,
+           (n_orphans = 0)           AS intact
+    FROM checks
+    ORDER BY fk
+    """,
+    tags=("etl", "quality", "referential-integrity", "audit"),
+)
+def q317_referential_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit across the star schema's five FK
+    relationships: orphan child rows (an FK value with no parent) per
+    relationship via LEFT-ANTI joins, with an intact flag. Lakehouse
+    tables have no enforced constraints — this audit IS the
+    constraint, run after every load (the q110/q232 quality-gate
+    family extended to cross-table invariants); a non-zero orphan
+    count is how silent partial loads and out-of-order ingestion
+    surface.
+
+    Determinism: exact anti-join counts.
+
+    Scale posture: each check is one LEFT-ANTI join on the FK key —
+    parent sides are dimension-sized and broadcast; the two
+    lineitem-parent checks share the child scan. No check materializes
+    more than a count. Reference contract: per-row key probe = map
+    slot (``App.config:16``); audit consolidation = reduce slot
+    (``App.config:17``)."""
+    t = load_tables(spark, sf_dir)
+    checks = [
+        ("lineitem.l_orderkey -> orders", t["lineitem"], "l_orderkey",
+         t["orders"], "o_orderkey"),
+        ("orders.o_custkey -> customer", t["orders"], "o_custkey",
+         t["customer"], "c_custkey"),
+        ("lineitem.l_partkey -> part", t["lineitem"], "l_partkey",
+         t["part"], "p_partkey"),
+        ("lineitem.l_suppkey -> supplier", t["lineitem"], "l_suppkey",
+         t["supplier"], "s_suppkey"),
+        ("customer.c_nationkey -> nation", t["customer"], "c_nationkey",
+         t["nation"], "n_nationkey"),
+    ]
+    outs = []
+    for name, child, ck, parent, pk in checks:
+        n_child = child.count()
+        orphans = child.select(F.col(ck)).join(
+            F.broadcast(parent.select(F.col(pk).alias(ck)).distinct()),
+            ck,
+            "left_anti",
+        )
+        outs.append(
+            orphans.agg(F.count(F.lit(1)).alias("n_orphans")).select(
+                F.lit(name).alias("fk"),
+                F.lit(n_child).cast("long").alias("n_child"),
+                F.col("n_orphans").cast("long").alias("n_orphans"),
+                (F.col("n_orphans") == 0).alias("intact"),
+            )
+        )
+    res = outs[0]
+    for o in outs[1:]:
+        res = res.unionAll(o)
+    return res.orderBy("fk")
