@@ -89,7 +89,8 @@ _VERIFY_FIRST = [
     "q311_sq8_quantization_audit", "q312_knn_hubness_audit",
     "q313_shard_entropy_balance", "q314_funnel_step_latency",
     "q315_observed_metrics", "q316_zone_map_skipping",
-    "q317_referential_integrity_audit",
+    "q317_referential_integrity_audit", "q318_cuped_variance_reduction",
+    "q319_feature_screening",
     "q107_bm25_retrieval",
     "q129_curation_funnel", "q20_broadcast_join", "q21_revenue_by_nation",
     "q22_semi_join", "q23_anti_join", "q24_outer_join",

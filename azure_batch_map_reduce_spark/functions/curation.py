@@ -3402,3 +3402,226 @@ def q313_shard_entropy_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("shard")
     )
+
+
+@query(
+    "q318_cuped_variance_reduction",
+    oracle="""
+    WITH marks AS (
+        -- integer-µs midpoint: interval division decomposes days and
+        -- micros separately in DuckDB and diverges from Spark
+        SELECT (epoch_us(min(ts)) + epoch_us(max(ts))) // 2 AS mid_us
+        FROM events
+    ),
+    user_metrics AS (
+        SELECT e.user_id,
+               ('0x' || substr(md5('exp|' || CAST(e.user_id AS VARCHAR)), 1, 8))::BIGINT
+                   % 2 AS arm,
+               sum(CASE WHEN epoch_us(e.ts) < m.mid_us
+                   THEN e.value ELSE 0 END) AS pre,
+               sum(CASE WHEN epoch_us(e.ts) >= m.mid_us
+                   THEN e.value ELSE 0 END) AS post
+        FROM events e CROSS JOIN marks m
+        GROUP BY e.user_id, arm
+    ),
+    moments AS (
+        SELECT count(*) AS n,
+               sum(pre) / count(*) AS mpre,
+               sum(post) / count(*) AS mpost,
+               (sum(pre * post) - sum(pre) * sum(post) / count(*))
+                   / count(*) AS cov_pp,
+               (sum(pre * pre) - sum(pre) * sum(pre) / count(*))
+                   / count(*) AS var_pre,
+               (sum(post * post) - sum(post) * sum(post) / count(*))
+                   / count(*) AS var_post
+        FROM user_metrics
+    ),
+    adj AS (
+        SELECT u.arm,
+               count(*) AS n_users,
+               sum(u.post) / count(*) AS raw_mean,
+               sum(u.post - (m.cov_pp / m.var_pre) * (u.pre - m.mpre))
+                   / count(*) AS cuped_mean,
+               m.cov_pp * m.cov_pp / (m.var_pre * m.var_post) AS rho2
+        FROM user_metrics u CROSS JOIN moments m
+        GROUP BY u.arm, m.cov_pp, m.var_pre, m.var_post
+    )
+    SELECT arm,
+           CAST(n_users AS BIGINT) AS n_users,
+           round(raw_mean, 4)   AS raw_mean,
+           round(cuped_mean, 4) AS cuped_mean,
+           round(rho2, 4)       AS variance_reduction
+    FROM adj
+    ORDER BY arm
+    """,
+    tags=("experimentation", "cuped", "variance-reduction", "ab-test"),
+)
+def q318_cuped_variance_reduction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED variance reduction (Deng et al., WSDM'13 — the standard
+    industry A/B variance-reduction technique): users hash-split into
+    two arms ('exp|' salt, the q55 assignment discipline); each user's
+    pre-period value total (first half of the window) is the
+    covariate; the adjusted metric is post − θ(pre − mean(pre)) with
+    θ = cov(pre, post)/var(pre), cutting metric variance by ρ² — the
+    variance_reduction column — which shrinks experiment durations by
+    the same factor. Emits per-arm raw vs CUPED-adjusted means.
+
+    Determinism: assignment is exact hash arithmetic; moments are
+    sums of doubles whose partial-aggregation reordering noise
+    (~1e-10 relative) sits far below the 4dp output grid — the q311
+    tolerance rationale — with every division a single IEEE op.
+
+    Scale posture: one user-grain partial+final aggregate builds
+    (pre, post); θ comes from a 1-row moment broadcast; the adjusted
+    rollup is a second pass over user grain. No window, no pair
+    blow-up. Reference contract: per-event period bucketing = map
+    slot (``App.config:16``); moment + arm consolidation = reduce
+    slot (``App.config:17``)."""
+    events = load_tables(spark, sf_dir)["events"]
+    marks = events.agg(
+        (
+            (F.unix_micros(F.min("ts")) + F.unix_micros(F.max("ts"))) / 2
+        ).cast("long").alias("mid_us")
+    )
+    arm = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("exp|"), F.col("user_id").cast("string"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 2
+    )
+    um = (
+        events.crossJoin(F.broadcast(marks))
+        .groupBy("user_id", arm.alias("arm"))
+        .agg(
+            F.sum(
+                F.when(
+                    F.unix_micros("ts") < F.col("mid_us"), F.col("value")
+                ).otherwise(0.0)
+            ).alias("pre"),
+            F.sum(
+                F.when(
+                    F.unix_micros("ts") >= F.col("mid_us"), F.col("value")
+                ).otherwise(0.0)
+            ).alias("post"),
+        )
+    )
+    n = F.count(F.lit(1))
+    moments = um.agg(
+        (F.sum("pre") / n).alias("mpre"),
+        (
+            (F.sum(F.col("pre") * F.col("post")) - F.sum("pre") * F.sum("post") / n)
+            / n
+        ).alias("cov_pp"),
+        (
+            (F.sum(F.col("pre") * F.col("pre")) - F.sum("pre") * F.sum("pre") / n)
+            / n
+        ).alias("var_pre"),
+        (
+            (
+                F.sum(F.col("post") * F.col("post"))
+                - F.sum("post") * F.sum("post") / n
+            )
+            / n
+        ).alias("var_post"),
+    )
+    return (
+        um.crossJoin(F.broadcast(moments))
+        .groupBy("arm")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_users"),
+            F.round(F.sum("post") / F.count(F.lit(1)), 4).alias("raw_mean"),
+            F.round(
+                F.sum(
+                    F.col("post")
+                    - (F.col("cov_pp") / F.col("var_pre"))
+                    * (F.col("pre") - F.col("mpre"))
+                )
+                / F.count(F.lit(1)),
+                4,
+            ).alias("cuped_mean"),
+            F.round(
+                F.first(
+                    F.col("cov_pp")
+                    * F.col("cov_pp")
+                    / (F.col("var_pre") * F.col("var_post"))
+                ),
+                4,
+            ).alias("variance_reduction"),
+        )
+        .orderBy("arm")
+    )
+
+
+_FS_NUMERIC = ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+_FS_CORR_FLAG = 0.8
+_FS_NZV_RATIO = 0.02  # variance/mean^2 below this -> near-constant
+
+
+@query(
+    "q319_feature_screening",
+    oracle=f"""
+    WITH moments AS (
+        SELECT {", ".join(
+            f"sum({c}) AS s_{c}, sum({c} * {c}) AS ss_{c}" for c in _FS_NUMERIC
+        )}, count(*) AS n
+        FROM lineitem
+    ),
+    stats AS (
+        {" UNION ALL ".join(
+            f"SELECT '{c}' AS feature, s_{c} / n AS mean,"
+            f" ss_{c} / n - (s_{c} / n) * (s_{c} / n) AS var FROM moments"
+            for c in _FS_NUMERIC
+        )}
+    )
+    SELECT s.feature,
+           round(s.mean, 4) AS mean,
+           round(s.var, 4)  AS variance,
+           (s.var / (s.mean * s.mean) < {_FS_NZV_RATIO}) AS near_zero_variance
+    FROM stats s
+    ORDER BY s.feature
+    """,
+    tags=("curation", "features", "screening", "statistics"),
+)
+def q319_feature_screening(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature screening over the lineitem numeric columns: per-feature
+    mean/variance with a near-zero-variance flag (relative variance
+    var/mean² below 2% — the caret/sklearn NZV screen that drops
+    features carrying no signal before any model touches them).
+
+    Determinism: exact moment sums at 2dp-decimal inputs; flags
+    compare unrounded ratios identically on both engines.
+
+    Scale posture: ALL feature moments ride ONE aggregate pass (a
+    single partial+final row of sums — not one scan per feature),
+    then unpivot to feature grain. Reference contract: per-row moment
+    accumulation = map slot (``App.config:16``); screen consolidation
+    = reduce slot (``App.config:17``)."""
+    li = load_tables(spark, sf_dir)["lineitem"]
+    aggs = []
+    for c in _FS_NUMERIC:
+        aggs.append(F.sum(F.col(c)).alias(f"s_{c}"))
+        aggs.append(F.sum(F.col(c) * F.col(c)).alias(f"ss_{c}"))
+    aggs.append(F.count(F.lit(1)).alias("n"))
+    moments = li.agg(*aggs)
+    stack = "stack({}, {}) as (feature, mean, var)".format(
+        len(_FS_NUMERIC),
+        ", ".join(
+            f"'{c}', s_{c} / n, ss_{c} / n - (s_{c} / n) * (s_{c} / n)"
+            for c in _FS_NUMERIC
+        ),
+    )
+    stats = moments.select(F.expr(stack))
+    return stats.select(
+        "feature",
+        F.round("mean", 4).alias("mean"),
+        F.round("var", 4).alias("variance"),
+        (
+            F.col("var") / (F.col("mean") * F.col("mean")) < _FS_NZV_RATIO
+        ).alias("near_zero_variance"),
+    ).orderBy("feature")
