@@ -90,7 +90,8 @@ _VERIFY_FIRST = [
     "q313_shard_entropy_balance", "q314_funnel_step_latency",
     "q315_observed_metrics", "q316_zone_map_skipping",
     "q317_referential_integrity_audit", "q318_cuped_variance_reduction",
-    "q319_feature_screening",
+    "q319_feature_screening", "q320_difference_in_differences",
+    "q321_dataset_card",
     "q107_bm25_retrieval",
     "q129_curation_funnel", "q20_broadcast_join", "q21_revenue_by_nation",
     "q22_semi_join", "q23_anti_join", "q24_outer_join",

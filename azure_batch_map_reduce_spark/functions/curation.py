@@ -3625,3 +3625,221 @@ def q319_feature_screening(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("var") / (F.col("mean") * F.col("mean")) < _FS_NZV_RATIO
         ).alias("near_zero_variance"),
     ).orderBy("feature")
+
+
+@query(
+    "q320_difference_in_differences",
+    oracle="""
+    WITH marks AS (
+        SELECT (epoch_us(min(ts)) + epoch_us(max(ts))) // 2 AS mid_us
+        FROM events
+    ),
+    cells AS (
+        SELECT ('0x' || substr(md5('exp|' || CAST(e.user_id AS VARCHAR)), 1, 8))::BIGINT
+                   % 2 AS arm,
+               CASE WHEN epoch_us(e.ts) < m.mid_us THEN 0 ELSE 1 END AS period,
+               count(*) AS n,
+               sum(e.value) / count(*) AS mean_value
+        FROM events e CROSS JOIN marks m
+        GROUP BY arm, period
+    ),
+    did AS (
+        SELECT ((SELECT mean_value FROM cells WHERE arm = 1 AND period = 1)
+                - (SELECT mean_value FROM cells WHERE arm = 1 AND period = 0))
+               - ((SELECT mean_value FROM cells WHERE arm = 0 AND period = 1)
+                  - (SELECT mean_value FROM cells WHERE arm = 0 AND period = 0))
+                   AS did_estimate
+    )
+    SELECT c.arm, c.period,
+           CAST(c.n AS BIGINT) AS n_events,
+           round(c.mean_value, 4) AS mean_value,
+           round(d.did_estimate, 4) + 0.0 AS did_estimate
+    FROM cells c CROSS JOIN did d
+    ORDER BY c.arm, c.period
+    """,
+    tags=("experimentation", "causal", "did", "ab-test"),
+)
+def q320_difference_in_differences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences — the causal-inference workhorse when
+    assignment isn't randomized per-exposure: the q318 hash arms ×
+    pre/post periods form the 2×2 design, and the DiD estimate
+    (Δtreated − Δcontrol) cancels both the arms' level difference and
+    the common time trend. Emits all four cell means (the parallel-
+    trends eyeball check) with the estimate on every row.
+
+    Determinism: q318's exact hash assignment and integer-µs period
+    split; cell means are exact-count divisions; the estimate rounds
+    with signed-zero normalization (it is a difference of
+    differences).
+
+    Scale posture: ONE partial+final aggregate to 4 cells; the
+    estimate is arithmetic on that 4-row table (broadcast back).
+    Reference contract: per-event cell bucketing = map slot
+    (``App.config:16``); cell + estimate consolidation = reduce slot
+    (``App.config:17``)."""
+    from azure_batch_map_reduce_spark.operators.ranks import round_nz
+
+    events = load_tables(spark, sf_dir)["events"]
+    marks = events.agg(
+        ((F.unix_micros(F.min("ts")) + F.unix_micros(F.max("ts"))) / 2)
+        .cast("long")
+        .alias("mid_us")
+    )
+    arm = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("exp|"), F.col("user_id").cast("string"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 2
+    )
+    cells = (
+        events.crossJoin(F.broadcast(marks))
+        .groupBy(
+            arm.alias("arm"),
+            F.when(F.unix_micros("ts") < F.col("mid_us"), 0)
+            .otherwise(1)
+            .alias("period"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (F.sum("value") / F.count(F.lit(1))).alias("mean_value"),
+        )
+    )
+    pick = lambda a, p: F.max(
+        F.when((F.col("arm") == a) & (F.col("period") == p), F.col("mean_value"))
+    )
+    did = cells.agg(
+        ((pick(1, 1) - pick(1, 0)) - (pick(0, 1) - pick(0, 0))).alias(
+            "did_estimate"
+        )
+    )
+    return (
+        cells.crossJoin(F.broadcast(did))
+        .select(
+            "arm",
+            "period",
+            F.col("n").cast("long").alias("n_events"),
+            F.round("mean_value", 4).alias("mean_value"),
+            round_nz(F.col("did_estimate"), 4).alias("did_estimate"),
+        )
+        .orderBy("arm", "period")
+    )
+
+
+@query(
+    "q321_dataset_card",
+    oracle="""
+    WITH base AS (
+        SELECT count(*) AS n_docs,
+               count(DISTINCT lang) AS n_langs,
+               count(DISTINCT source) AS n_sources,
+               sum(n_chars) AS total_chars,
+               sum(len(string_split(text, ' '))) AS total_ws_tokens,
+               min(n_chars) AS min_chars,
+               max(n_chars) AS max_chars
+        FROM documents
+    ),
+    dup AS (
+        SELECT count(*) AS n_distinct_texts
+        FROM (SELECT DISTINCT md5(text) FROM documents)
+    )
+    SELECT metric, value FROM (
+        SELECT 'n_docs' AS metric, CAST(n_docs AS DOUBLE) AS value, 1 AS ord
+            FROM base
+        UNION ALL SELECT 'n_langs', CAST(n_langs AS DOUBLE), 2 FROM base
+        UNION ALL SELECT 'n_sources', CAST(n_sources AS DOUBLE), 3 FROM base
+        UNION ALL SELECT 'total_chars', CAST(total_chars AS DOUBLE), 4 FROM base
+        UNION ALL SELECT 'total_ws_tokens', CAST(total_ws_tokens AS DOUBLE), 5
+            FROM base
+        UNION ALL SELECT 'avg_chars_per_doc',
+            round(CAST(total_chars AS DOUBLE) / n_docs, 4), 6 FROM base
+        UNION ALL SELECT 'min_chars', CAST(min_chars AS DOUBLE), 7 FROM base
+        UNION ALL SELECT 'max_chars', CAST(max_chars AS DOUBLE), 8 FROM base
+        UNION ALL SELECT 'exact_dup_rate',
+            round(1.0 - CAST(d.n_distinct_texts AS DOUBLE) / b.n_docs, 6), 9
+            FROM base b CROSS JOIN dup d
+    ) ORDER BY ord
+    """,
+    tags=("curation", "profile", "dataset-card", "summary"),
+)
+def q321_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset card — the one-table corpus summary shipped alongside a
+    published dataset (HuggingFace card / Datasheets for Datasets):
+    document/language/source counts, character and whitespace-token
+    totals, per-doc length envelope, and the exact-duplicate rate —
+    the headline numbers every downstream consumer reads first. Each
+    statistic exists as a dedicated operator (q50 tokens, q59 profile,
+    q60 dedup); this is the roll-up a `describe_corpus()` API returns.
+
+    Determinism: exact counts and extrema; two rounded divisions.
+
+    Scale posture: one partial+final pass for the base stats plus one
+    content-hash distinct for the dup rate (hash computed map-side,
+    the q60 plan) — two corpus scans total, both shuffle-light.
+    Reference contract: per-doc accounting = map slot
+    (``App.config:16``); card consolidation = reduce slot
+    (``App.config:17``)."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    base = docs.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.countDistinct("source").alias("n_sources"),
+        F.sum("n_chars").alias("total_chars"),
+        F.sum(F.size(F.split(F.col("text"), " "))).alias("total_ws_tokens"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+    )
+    dup = docs.select(F.md5("text").alias("h")).distinct().agg(
+        F.count(F.lit(1)).alias("n_distinct_texts")
+    )
+    joined = base.crossJoin(F.broadcast(dup))
+    rows = [
+        ("n_docs", F.col("n_docs").cast("double"), 1),
+        ("n_langs", F.col("n_langs").cast("double"), 2),
+        ("n_sources", F.col("n_sources").cast("double"), 3),
+        ("total_chars", F.col("total_chars").cast("double"), 4),
+        ("total_ws_tokens", F.col("total_ws_tokens").cast("double"), 5),
+        (
+            "avg_chars_per_doc",
+            F.round(F.col("total_chars").cast("double") / F.col("n_docs"), 4),
+            6,
+        ),
+        ("min_chars", F.col("min_chars").cast("double"), 7),
+        ("max_chars", F.col("max_chars").cast("double"), 8),
+        (
+            "exact_dup_rate",
+            F.round(
+                1.0
+                - F.col("n_distinct_texts").cast("double") / F.col("n_docs"),
+                6,
+            ),
+            9,
+        ),
+    ]
+    card = joined.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(m).alias("metric"),
+                        v.alias("value"),
+                        F.lit(o).alias("ord"),
+                    )
+                    for m, v, o in rows
+                ]
+            )
+        ).alias("r")
+    )
+    return (
+        card.select(
+            F.col("r.metric").alias("metric"), F.col("r.value").alias("value"), F.col("r.ord").alias("ord")
+        )
+        .orderBy("ord")
+        .drop("ord")
+        .select("metric", "value")
+    )
