@@ -91,7 +91,8 @@ _VERIFY_FIRST = [
     "q315_observed_metrics", "q316_zone_map_skipping",
     "q317_referential_integrity_audit", "q318_cuped_variance_reduction",
     "q319_feature_screening", "q320_difference_in_differences",
-    "q321_dataset_card",
+    "q321_dataset_card", "q322_kaplan_meier_survival",
+    "q323_bh_fdr_control", "q324_mcnemar_paired_eval",
     "q107_bm25_retrieval",
     "q129_curation_funnel", "q20_broadcast_join", "q21_revenue_by_nation",
     "q22_semi_join", "q23_anti_join", "q24_outer_join",

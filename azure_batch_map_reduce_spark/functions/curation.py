@@ -35,6 +35,7 @@ from azure_batch_map_reduce_spark.catalog import load_tables
 from azure_batch_map_reduce_spark.operators.ranks import (
     distributed_row_number,
     ntile_from_rank,
+    rank_small,
     round_nz,
 )
 from azure_batch_map_reduce_spark.registry import query
@@ -3842,4 +3843,409 @@ def q321_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("ord")
         .drop("ord")
         .select("metric", "value")
+    )
+
+
+_KM_BIN_DAYS = 30
+_KM_CHURN_GAP_DAYS = 90
+_US_PER_DAY = 86_400_000_000
+
+
+@query(
+    "q322_kaplan_meier_survival",
+    oracle=f"""
+    WITH per_cust AS (
+        SELECT o_custkey,
+               min(epoch_us(o_orderdate) // {_US_PER_DAY}) AS f_day,
+               max(epoch_us(o_orderdate) // {_US_PER_DAY}) AS l_day
+        FROM orders GROUP BY o_custkey
+    ),
+    horizon AS (
+        SELECT max(epoch_us(o_orderdate) // {_US_PER_DAY}) AS mx_day FROM orders
+    ),
+    labeled AS (
+        SELECT (p.l_day - p.f_day) // {_KM_BIN_DAYS} AS bin,
+               CASE WHEN h.mx_day - p.l_day > {_KM_CHURN_GAP_DAYS}
+                    THEN 1 ELSE 0 END AS ev
+        FROM per_cust p CROSS JOIN horizon h
+    ),
+    bins AS (
+        SELECT bin, sum(ev) AS deaths, sum(1 - ev) AS censored
+        FROM labeled GROUP BY bin
+    ),
+    tot AS (SELECT sum(deaths + censored) AS n_total FROM bins),
+    at_risk AS (
+        SELECT b.bin, b.deaths, b.censored,
+               t.n_total - coalesce(sum(b.deaths + b.censored) OVER (
+                   ORDER BY b.bin
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS n_risk
+        FROM bins b CROSS JOIN tot t
+    )
+    SELECT CAST(bin * {_KM_BIN_DAYS} AS BIGINT) AS bin_start_days,
+           CAST(n_risk AS BIGINT)   AS n_risk,
+           CAST(deaths AS BIGINT)   AS deaths,
+           CAST(censored AS BIGINT) AS censored,
+           round(product(1.0 - CAST(deaths AS DOUBLE) / n_risk) OVER (
+               ORDER BY bin
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) + 0.0
+               AS survival
+    FROM at_risk
+    ORDER BY bin_start_days
+    """,
+    tags=("experimentation", "survival", "kaplan-meier", "statistics"),
+)
+def q322_kaplan_meier_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan–Meier survival curve over customer order lifetimes: per
+    customer the observation is last-minus-first order day (binned to
+    30-day intervals); the "death" event is churn (no order within 90
+    days of the corpus horizon), otherwise the lifetime is right-
+    censored — the estimator the retention deck actually plots, with
+    censoring handled correctly instead of dropped.
+
+    Determinism: day indices are integer µs-divisions; each hazard
+    d/n_risk is ONE IEEE division of exact integers (bit-identical
+    cross-engine); the cumulative product multiplies those factors in
+    ascending-bin frame order on both engines, so the unrounded
+    survival is bit-identical before the signed-zero-safe round.
+
+    Scale posture: per-customer extrema and bin counts are partial+
+    final aggregates; the KM table itself is BOUNDED grain (lifetime
+    range / 30 days ≈ 25 rows no matter the scale factor), so the
+    ordered cumulative windows run over a ≤25-row frame — the heavy
+    lifting (N customers → 25 bins) all happens in the parallel
+    aggregates. Reference contract: per-customer lifetime extraction =
+    map slot (``App.config:16``); life-table consolidation = reduce
+    slot (``App.config:17``)."""
+    orders = load_tables(spark, sf_dir)["orders"]
+    day = F.expr(f"unix_micros(o_orderdate) div {_US_PER_DAY}")
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.min(day).alias("f_day"), F.max(day).alias("l_day")
+    )
+    horizon = orders.agg(F.max(day).alias("mx_day"))
+    labeled = per_cust.crossJoin(F.broadcast(horizon)).select(
+        F.expr(f"(l_day - f_day) div {_KM_BIN_DAYS}").alias("bin"),
+        F.when(
+            F.col("mx_day") - F.col("l_day") > _KM_CHURN_GAP_DAYS, 1
+        )
+        .otherwise(0)
+        .alias("ev"),
+    )
+    bins = labeled.groupBy("bin").agg(
+        F.sum("ev").alias("deaths"), F.sum(1 - F.col("ev")).alias("censored")
+    )
+    tot = bins.agg(F.sum(F.col("deaths") + F.col("censored")).alias("n_total"))
+    # Bounded grain: lifetimes span ~2 years -> <=25 bins; the ordered
+    # windows below run over that fixed-size life table, never the
+    # customer population (same justification as relational.py's
+    # bounded-bin cumulative histogram).
+    wprev = Window.orderBy("bin").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    wcum = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    at_risk = bins.crossJoin(F.broadcast(tot)).withColumn(
+        "n_risk",
+        F.col("n_total")
+        - F.coalesce(
+            F.sum(F.col("deaths") + F.col("censored")).over(wprev), F.lit(0)
+        ),
+    )
+    return at_risk.select(
+        (F.col("bin") * _KM_BIN_DAYS).cast("long").alias("bin_start_days"),
+        F.col("n_risk").cast("long").alias("n_risk"),
+        F.col("deaths").cast("long").alias("deaths"),
+        F.col("censored").cast("long").alias("censored"),
+        round_nz(
+            F.product(
+                F.lit(1.0)
+                - F.col("deaths").cast("double") / F.col("n_risk")
+            ).over(wcum),
+            6,
+        ).alias("survival"),
+    ).orderBy("bin_start_days")
+
+
+_BH_FDR_Q_NUM = 1  # q = 1/10 kept as a ratio so the step-up
+_BH_FDR_Q_DEN = 10  # comparison p*m*10 <= i stays in exact arithmetic
+
+
+@query(
+    "q323_bh_fdr_control",
+    oracle=f"""
+    WITH cells AS (
+        SELECT event_type,
+               (epoch_us(ts) // {_US_PER_DAY}) % 7 AS dow,
+               count(*) AS n,
+               sum(CAST(round(value * 100) AS BIGINT)) AS s,
+               sum(CAST(round(value * 100) AS BIGINT)
+                   * CAST(round(value * 100) AS BIGINT)) AS ss
+        FROM events GROUP BY event_type, dow
+    ),
+    gstats AS (
+        SELECT sum(n) AS gn, sum(s) AS gs, sum(ss) AS gss FROM cells
+    ),
+    pvals AS (
+        SELECT c.event_type, c.dow, c.n,
+               CASE WHEN c.n
+                         * (CAST(c.s AS DOUBLE) / (100.0 * c.n)
+                            - CAST(g.gs AS DOUBLE) / (100.0 * g.gn))
+                         * (CAST(c.s AS DOUBLE) / (100.0 * c.n)
+                            - CAST(g.gs AS DOUBLE) / (100.0 * g.gn))
+                         / (CAST(g.gss AS DOUBLE) / (10000.0 * g.gn)
+                            - (CAST(g.gs AS DOUBLE) / (100.0 * g.gn))
+                              * (CAST(g.gs AS DOUBLE) / (100.0 * g.gn))) > 0
+                    THEN least(1.0,
+                        1.0 / (c.n
+                         * (CAST(c.s AS DOUBLE) / (100.0 * c.n)
+                            - CAST(g.gs AS DOUBLE) / (100.0 * g.gn))
+                         * (CAST(c.s AS DOUBLE) / (100.0 * c.n)
+                            - CAST(g.gs AS DOUBLE) / (100.0 * g.gn))
+                         / (CAST(g.gss AS DOUBLE) / (10000.0 * g.gn)
+                            - (CAST(g.gs AS DOUBLE) / (100.0 * g.gn))
+                              * (CAST(g.gs AS DOUBLE) / (100.0 * g.gn)))))
+                    ELSE 1.0 END AS p
+        FROM cells c CROSS JOIN gstats g
+    ),
+    ranked AS (
+        SELECT event_type, dow, n, p,
+               row_number() OVER (ORDER BY p, event_type, dow) AS i,
+               count(*) OVER () AS m
+        FROM pvals
+    ),
+    cutoff AS (
+        SELECT max(CASE WHEN p * m * {_BH_FDR_Q_DEN} <= i * {_BH_FDR_Q_NUM}
+                        THEN i ELSE 0 END) AS k
+        FROM ranked
+    )
+    SELECT r.event_type,
+           CAST(r.dow AS INTEGER) AS dow,
+           CAST(r.n AS BIGINT) AS n_events,
+           round(r.p, 6) AS p_chebyshev,
+           CAST(r.i AS INTEGER) AS p_rank,
+           (r.i <= c.k) AS rejected
+    FROM ranked r CROSS JOIN cutoff c
+    ORDER BY p_rank
+    """,
+    tags=("experimentation", "fdr", "multiple-testing", "statistics"),
+)
+def q323_bh_fdr_control(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benjamini–Hochberg FDR control over the (event_type × day-of-
+    week) mean-value hypothesis family: each cell tests "does this
+    cell's mean spend differ from the global mean", the per-cell
+    p-value is the distribution-free Chebyshev bound min(1, 1/z²)
+    with z² = n·(μ_cell − μ_global)²/σ²_global (no normal CDF — erf is
+    libm-dependent and cross-engine unsafe), and the BH step-up
+    procedure rejects the largest prefix of the p-sorted family with
+    p₍ᵢ₎ ≤ i·q/m at q = 0.10. The multiple-testing gate every
+    metrics-cutting dashboard needs before coloring cells red.
+
+    Determinism: cell moments are exact integer cents (and cents²)
+    sums; every downstream quantity is the same fixed sequence of IEEE
+    divisions/multiplications on both engines, so p-values are
+    bit-identical pre-round; the step-up comparison p·m·10 ≤ i avoids
+    the inexact literal 0.1; rank ties break on (event_type, dow).
+
+    Scale posture: the corpus collapses to ≤(types × 7) cells in ONE
+    partial+final aggregate; ranking and the step-up cutoff run at
+    that bounded family grain (the window spans ≤35 rows by
+    construction). Reference contract: per-event cell accumulation =
+    map slot (``App.config:16``); family-wise decision = reduce slot
+    (``App.config:17``)."""
+    events = load_tables(spark, sf_dir)["events"]
+    cents = F.round(F.col("value") * 100).cast("long")
+    cells = events.groupBy(
+        "event_type",
+        (F.expr(f"unix_micros(ts) div {_US_PER_DAY}") % 7).alias("dow"),
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(cents).alias("s"),
+        F.sum(cents * cents).alias("ss"),
+    )
+    glob = cells.agg(
+        F.sum("n").alias("gn"), F.sum("s").alias("gs"), F.sum("ss").alias("gss")
+    )
+    mean_c = F.col("s").cast("double") / (100.0 * F.col("n"))
+    mean_g = F.col("gs").cast("double") / (100.0 * F.col("gn"))
+    var_g = F.col("gss").cast("double") / (10000.0 * F.col("gn")) - mean_g * mean_g
+    z2 = F.col("n") * (mean_c - mean_g) * (mean_c - mean_g) / var_g
+    pvals = cells.crossJoin(F.broadcast(glob)).select(
+        "event_type",
+        "dow",
+        "n",
+        F.when(z2 > 0, F.least(F.lit(1.0), F.lit(1.0) / z2))
+        .otherwise(F.lit(1.0))
+        .alias("p"),
+    )
+    ranked = rank_small(
+        pvals,
+        key=[
+            F.col("p").alias("p_key"),
+            F.col("event_type").alias("et_key"),
+            F.col("dow").alias("dow_key"),
+        ],
+        payload=["event_type", "dow", "n", "p"],
+        out="i",
+    )
+    sized = ranked.crossJoin(
+        F.broadcast(ranked.agg(F.max("i").alias("m")))
+    )
+    cutoff = sized.agg(
+        F.max(
+            F.when(
+                F.col("p") * F.col("m") * _BH_FDR_Q_DEN
+                <= F.col("i") * _BH_FDR_Q_NUM,
+                F.col("i"),
+            ).otherwise(0)
+        ).alias("k")
+    )
+    return (
+        sized.crossJoin(F.broadcast(cutoff))
+        .select(
+            "event_type",
+            F.col("dow").cast("integer").alias("dow"),
+            F.col("n").cast("long").alias("n_events"),
+            F.round("p", 6).alias("p_chebyshev"),
+            F.col("i").cast("integer").alias("p_rank"),
+            (F.col("i") <= F.col("k")).alias("rejected"),
+        )
+        .orderBy("p_rank")
+    )
+
+
+@query(
+    "q324_mcnemar_paired_eval",
+    oracle="""
+    WITH preds AS (
+        SELECT label % 2 AS truth,
+               xor(label % 2,
+                   CASE WHEN ('0x' || substr(md5('clfA|' ||
+                        CAST(vec_id AS VARCHAR)), 1, 8))::BIGINT % 4 = 0
+                     THEN 1 ELSE 0 END) AS pred_a,
+               xor(label % 2,
+                   CASE WHEN ('0x' || substr(md5('clfB|' ||
+                        CAST(vec_id AS VARCHAR)), 1, 8))::BIGINT % 3 = 0
+                     THEN 1 ELSE 0 END) AS pred_b
+        FROM embeddings
+    ),
+    counts AS (
+        SELECT count(*) AS n,
+               sum(CASE WHEN pred_a = truth AND pred_b = truth
+                        THEN 1 ELSE 0 END) AS both_correct,
+               sum(CASE WHEN pred_a <> truth AND pred_b <> truth
+                        THEN 1 ELSE 0 END) AS both_wrong,
+               sum(CASE WHEN pred_a = truth AND pred_b <> truth
+                        THEN 1 ELSE 0 END) AS a_only,
+               sum(CASE WHEN pred_a <> truth AND pred_b = truth
+                        THEN 1 ELSE 0 END) AS b_only
+        FROM preds
+    )
+    SELECT CAST(n AS BIGINT) AS n_examples,
+           CAST(both_correct AS BIGINT) AS both_correct,
+           CAST(both_wrong AS BIGINT) AS both_wrong,
+           CAST(a_only AS BIGINT) AS a_only,
+           CAST(b_only AS BIGINT) AS b_only,
+           round(CAST(both_correct + a_only AS DOUBLE) / n, 6)
+               AS accuracy_a,
+           round(CAST(both_correct + b_only AS DOUBLE) / n, 6)
+               AS accuracy_b,
+           round((abs(a_only - b_only) - 1.0)
+                 * (abs(a_only - b_only) - 1.0)
+                 / (a_only + b_only), 6) AS mcnemar_chi2
+    FROM counts
+    """,
+    tags=("experimentation", "evaluation", "mcnemar", "paired-test"),
+)
+def q324_mcnemar_paired_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """McNemar's paired test over two classifiers scored on the SAME
+    examples — the correct significance test for "is model B actually
+    better than model A on this eval set" (a two-proportion z-test is
+    wrong there: it ignores that the errors are paired). Truth is
+    label parity; the two deterministic pseudo-classifiers flip truth
+    on disjoint hash channels at 25% / 33% rates, so their discordant
+    cells (b = A-only-correct, c = B-only-correct) are non-trivial.
+    Emits the full 2×2 concordance table, both accuracies, and the
+    continuity-corrected statistic (|b−c|−1)²/(b+c).
+
+    Determinism: predictions are md5-channel hashes (the q320 arm
+    pattern); every count is exact; the statistic is one division of
+    exact integers.
+
+    Scale posture: map-side prediction + ONE partial+final count
+    aggregate to a single row — no shuffle beyond the 5-counter
+    combine. Reference contract: per-example scoring = map slot
+    (``App.config:16``); concordance consolidation = reduce slot
+    (``App.config:17``)."""
+    emb = load_tables(spark, sf_dir)["embeddings"]
+
+    def channel(tag: str, mod: int) -> Column:
+        h = F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(tag + "|"), F.col("vec_id").cast("string"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        return F.when(h % mod == 0, 1).otherwise(0)
+
+    truth = (F.col("label") % 2).alias("truth")
+    preds = emb.select(
+        truth,
+        (F.col("label") % 2).bitwiseXOR(channel("clfA", 4)).alias("pred_a"),
+        (F.col("label") % 2).bitwiseXOR(channel("clfB", 3)).alias("pred_b"),
+    )
+    counts = preds.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(
+            F.when(
+                (F.col("pred_a") == F.col("truth"))
+                & (F.col("pred_b") == F.col("truth")),
+                1,
+            ).otherwise(0)
+        ).alias("both_correct"),
+        F.sum(
+            F.when(
+                (F.col("pred_a") != F.col("truth"))
+                & (F.col("pred_b") != F.col("truth")),
+                1,
+            ).otherwise(0)
+        ).alias("both_wrong"),
+        F.sum(
+            F.when(
+                (F.col("pred_a") == F.col("truth"))
+                & (F.col("pred_b") != F.col("truth")),
+                1,
+            ).otherwise(0)
+        ).alias("a_only"),
+        F.sum(
+            F.when(
+                (F.col("pred_a") != F.col("truth"))
+                & (F.col("pred_b") == F.col("truth")),
+                1,
+            ).otherwise(0)
+        ).alias("b_only"),
+    )
+    return counts.select(
+        F.col("n").cast("long").alias("n_examples"),
+        F.col("both_correct").cast("long").alias("both_correct"),
+        F.col("both_wrong").cast("long").alias("both_wrong"),
+        F.col("a_only").cast("long").alias("a_only"),
+        F.col("b_only").cast("long").alias("b_only"),
+        F.round(
+            (F.col("both_correct") + F.col("a_only")).cast("double")
+            / F.col("n"),
+            6,
+        ).alias("accuracy_a"),
+        F.round(
+            (F.col("both_correct") + F.col("b_only")).cast("double")
+            / F.col("n"),
+            6,
+        ).alias("accuracy_b"),
+        F.round(
+            (F.abs(F.col("a_only") - F.col("b_only")) - 1.0)
+            * (F.abs(F.col("a_only") - F.col("b_only")) - 1.0)
+            / (F.col("a_only") + F.col("b_only")),
+            6,
+        ).alias("mcnemar_chi2"),
     )
