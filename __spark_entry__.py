@@ -93,6 +93,8 @@ _VERIFY_FIRST = [
     "q319_feature_screening", "q320_difference_in_differences",
     "q321_dataset_card", "q322_kaplan_meier_survival",
     "q323_bh_fdr_control", "q324_mcnemar_paired_eval",
+    "q325_prefix_cache_sharing", "q326_tokenizer_fertility",
+    "q327_jl_projection_distortion",
     "q107_bm25_retrieval",
     "q129_curation_funnel", "q20_broadcast_join", "q21_revenue_by_nation",
     "q22_semi_join", "q23_anti_join", "q24_outer_join",

@@ -2900,3 +2900,170 @@ def q312_knn_hubness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("k_occurrence"), F.asc("vec_id"))
         .limit(_HUB_TOPN)
     )
+
+
+_JL_IN_DIM = 64
+_JL_OUT_DIM = 16
+
+
+def _jl_sign_matrix() -> list[list[float]]:
+    """Deterministic ±1 Rademacher matrix (16×64) from md5 channel
+    hashes — the same constants are baked into the Spark literal array
+    and the oracle SQL text, so both engines project with the
+    identical matrix (no RNG, no seed drift)."""
+    import hashlib
+
+    rows = []
+    for j in range(_JL_OUT_DIM):
+        row = []
+        for i in range(_JL_IN_DIM):
+            h = int(
+                hashlib.md5(f"jl|{j}|{i}".encode()).hexdigest()[:8], 16
+            )
+            row.append(1.0 if h % 2 == 0 else -1.0)
+        rows.append(row)
+    return rows
+
+
+_JL_M = _jl_sign_matrix()
+_JL_M_SQL = (
+    "["
+    + ", ".join(
+        "[" + ", ".join(f"CAST({v} AS DOUBLE)" for v in row) + "]"
+        for row in _JL_M
+    )
+    + "]"
+)
+
+
+@query(
+    "q327_jl_projection_distortion",
+    oracle=f"""
+    WITH pairs AS (
+        SELECT a.embedding AS ea, b.embedding AS eb
+        FROM embeddings a JOIN embeddings b ON a.vec_id + 1 = b.vec_id
+    ),
+    mat AS (SELECT {_JL_M_SQL} AS m),
+    diffs AS (
+        SELECT list_transform(generate_series(1, {_JL_IN_DIM}),
+                   i -> CAST(ea[i] AS DOUBLE) - CAST(eb[i] AS DOUBLE)) AS dx
+        FROM pairs
+    ),
+    ratios AS (
+        SELECT
+            list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                list_transform(
+                    list_transform(generate_series(0, {_JL_OUT_DIM - 1}),
+                        j -> list_reduce(
+                            list_prepend(CAST(0.0 AS DOUBLE),
+                                list_transform(
+                                    generate_series(1, {_JL_IN_DIM}),
+                                    i -> dx[i] * m[j + 1][i])),
+                            (x, y) -> x + y)),
+                    p -> p * p)),
+                (x, y) -> x + y)
+            / {_JL_OUT_DIM}
+            / list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                  list_transform(dx, d -> d * d)),
+                  (x, y) -> x + y) AS ratio
+        FROM diffs, mat
+    )
+    SELECT CAST(least(CAST(floor(ratio * 10) AS INTEGER), 30) AS INTEGER)
+               AS ratio_bin,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           round(min(ratio), 6) AS min_ratio,
+           round(max(ratio), 6) AS max_ratio
+    FROM ratios
+    GROUP BY ratio_bin
+    ORDER BY ratio_bin
+    """,
+    tags=("llm", "ann", "johnson-lindenstrauss", "random-projection"),
+)
+def q327_jl_projection_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson–Lindenstrauss random-projection distortion audit: project
+    the 64-d embeddings to 16-d with a deterministic Rademacher (±1)
+    sign matrix and histogram the squared-distance distortion ratio
+    ‖P·dx‖²/16 ÷ ‖dx‖² over consecutive-id vector pairs. The decision
+    input for "can the ANN index run on 4× cheaper 16-d vectors" —
+    JL says the ratio concentrates near 1, this measures how tightly
+    for THIS corpus (the round-trip twin of q245's matryoshka
+    truncation, which drops dims instead of mixing them).
+
+    Determinism: the sign matrix is md5-channel constants baked into
+    both engines; dx, each projection, and both squared norms fold in
+    fixed element order with an exact 0.0-prepend seed, so every
+    ratio is bit-identical cross-engine before binning; bins floor a
+    shared-bit double.
+
+    Scale posture: projection is a map-side expression per pair (the
+    16×64 literal lives in the plan, no join); the pair join is a
+    shifted-key equi-join; output is a ≤31-bin histogram via
+    partial+final aggregation. At 100 TB the projection runs once per
+    vector (not per pair) and persists as a 16-float column — 4×
+    smaller index pages. Reference contract: per-pair distortion =
+    map slot (``App.config:16``); histogram = reduce slot
+    (``App.config:17``)."""
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    a = emb.select(
+        F.col("vec_id").alias("ida"), F.col("embedding").alias("ea")
+    )
+    b = emb.select(
+        F.col("vec_id").alias("idb"), F.col("embedding").alias("eb")
+    )
+    pairs = a.join(b, F.col("ida") + 1 == F.col("idb"))
+    dx = F.zip_with(
+        F.col("ea"),
+        F.col("eb"),
+        lambda x, y: x.cast("double") - y.cast("double"),
+    )
+    diffs = pairs.select(dx.alias("dx"))
+    m_col = F.array(
+        *[
+            F.array(*[F.lit(v) for v in row])
+            for row in _JL_M
+        ]
+    )
+    projs = F.transform(
+        F.sequence(F.lit(0), F.lit(_JL_OUT_DIM - 1)),
+        lambda j: F.aggregate(
+            F.zip_with(
+                F.col("dx"),
+                F.element_at(m_col, (j + 1).cast("integer")),
+                lambda d, s: d * s,
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+    )
+    num = F.aggregate(
+        F.transform(projs, lambda p: p * p),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    den = F.aggregate(
+        F.transform(F.col("dx"), lambda d: d * d),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    ratios = diffs.select(
+        (num / _JL_OUT_DIM / den).alias("ratio")
+    )
+    return (
+        ratios.groupBy(
+            F.least(
+                F.floor(F.col("ratio") * 10).cast("integer"), F.lit(30)
+            ).alias("ratio_bin")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.round(F.min("ratio"), 6).alias("min_ratio"),
+            F.round(F.max("ratio"), 6).alias("max_ratio"),
+        )
+        .select(
+            F.col("ratio_bin").cast("integer").alias("ratio_bin"),
+            F.col("n_pairs").cast("long").alias("n_pairs"),
+            "min_ratio",
+            "max_ratio",
+        )
+        .orderBy("ratio_bin")
+    )

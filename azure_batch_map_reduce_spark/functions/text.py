@@ -3134,3 +3134,163 @@ def q306_negative_sampling_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("count"), F.asc("token"))
         .limit(_NEG_TOPN)
     )
+
+
+_PFX_MAX_DEPTH = 8
+
+
+@query(
+    "q325_prefix_cache_sharing",
+    oracle=f"""
+    WITH ks AS (SELECT unnest(generate_series(1, {_PFX_MAX_DEPTH})) AS k),
+    tok AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    pfx AS (
+        SELECT ks.k,
+               array_to_string(list_slice(t.toks, 1, ks.k), ' ') AS prefix
+        FROM tok t CROSS JOIN ks
+        WHERE len(t.toks) >= ks.k
+    ),
+    grp AS (SELECT k, prefix, count(*) AS cnt FROM pfx GROUP BY k, prefix),
+    agg AS (
+        SELECT k,
+               sum(cnt) AS n_docs,
+               count(*) AS distinct_prefixes,
+               sum(CASE WHEN cnt > 1 THEN cnt ELSE 0 END) AS docs_sharing,
+               sum((cnt - 1) * k) AS reusable_tokens
+        FROM grp GROUP BY k
+    )
+    SELECT CAST(k AS INTEGER) AS prefix_len,
+           CAST(n_docs AS BIGINT) AS n_docs_at_depth,
+           CAST(distinct_prefixes AS BIGINT) AS distinct_prefixes,
+           CAST(docs_sharing AS BIGINT) AS docs_sharing,
+           CAST(reusable_tokens AS BIGINT) AS reusable_tokens,
+           round(CAST(reusable_tokens AS DOUBLE) / (n_docs * k), 6)
+               AS cache_hit_ratio
+    FROM agg
+    ORDER BY prefix_len
+    """,
+    tags=("llm", "serving", "kv-cache", "prefix", "text"),
+)
+def q325_prefix_cache_sharing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KV-prefix-cache sharing audit — the inference-serving planner's
+    first question about a corpus: at token-prefix depth k (1–8
+    whitespace tokens), how many documents share their prefix with at
+    least one other, and what fraction of prefix tokens a shared
+    radix-tree cache (vLLM/SGLang automatic prefix caching) would
+    serve from cache if requests were grouped by prefix. reusable(k) =
+    Σ over prefix groups (cnt−1)·k; the hit ratio divides by the k·n
+    prefix tokens processed at that depth.
+
+    Determinism: exact counts; one rounded division of exact integers.
+
+    Scale posture: the corpus explodes to ≤8 (depth, prefix) rows per
+    doc, aggregates partial+final on the compound key, then collapses
+    to EIGHT depth rows. At 100 TB the prefix string shuffle key is
+    replaced by xxhash64(prefix) (8-byte keys, same counts) — the
+    q69 contamination-gram discipline. Reference contract: per-doc
+    prefix emission = map slot (``App.config:16``); depth roll-up =
+    reduce slot (``App.config:17``)."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    pfx = (
+        docs.select(F.split(F.col("text"), " ").alias("toks"))
+        .select(
+            F.explode(
+                F.sequence(F.lit(1), F.lit(_PFX_MAX_DEPTH))
+            ).alias("k"),
+            F.col("toks"),
+        )
+        .where(F.size("toks") >= F.col("k"))
+        .select(
+            "k",
+            F.array_join(F.expr("slice(toks, 1, k)"), " ").alias("prefix"),
+        )
+    )
+    grp = pfx.groupBy("k", "prefix").agg(F.count(F.lit(1)).alias("cnt"))
+    agg = grp.groupBy("k").agg(
+        F.sum("cnt").alias("n_docs"),
+        F.count(F.lit(1)).alias("distinct_prefixes"),
+        F.sum(F.when(F.col("cnt") > 1, F.col("cnt")).otherwise(0)).alias(
+            "docs_sharing"
+        ),
+        F.sum((F.col("cnt") - 1) * F.col("k")).alias("reusable_tokens"),
+    )
+    return agg.select(
+        F.col("k").cast("integer").alias("prefix_len"),
+        F.col("n_docs").cast("long").alias("n_docs_at_depth"),
+        F.col("distinct_prefixes").cast("long").alias("distinct_prefixes"),
+        F.col("docs_sharing").cast("long").alias("docs_sharing"),
+        F.col("reusable_tokens").cast("long").alias("reusable_tokens"),
+        F.round(
+            F.col("reusable_tokens").cast("double")
+            / (F.col("n_docs") * F.col("k")),
+            6,
+        ).alias("cache_hit_ratio"),
+    ).orderBy("prefix_len")
+
+
+_SUBWORD_RE = "[A-Za-z]+|[0-9]|[^A-Za-z0-9 ]"
+
+
+@query(
+    "q326_tokenizer_fertility",
+    oracle=f"""
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars,
+           CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_words,
+           CAST(sum(len(regexp_extract_all(text, '{_SUBWORD_RE}')))
+                AS BIGINT) AS total_subwords,
+           round(CAST(sum(n_chars) AS DOUBLE)
+                 / sum(len(regexp_extract_all(text, '{_SUBWORD_RE}'))), 6)
+               AS chars_per_subword,
+           round(CAST(sum(len(regexp_extract_all(text, '{_SUBWORD_RE}')))
+                      AS DOUBLE)
+                 / sum(len(string_split(text, ' '))), 6)
+               AS fertility
+    FROM documents
+    GROUP BY lang
+    ORDER BY lang
+    """,
+    tags=("llm", "tokenizer", "fertility", "text"),
+)
+def q326_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility by language — the multilingual-tokenizer
+    health metric (tokens emitted per whitespace word) plus its dual
+    (characters per token): a language whose fertility is 2× the
+    corpus median pays 2× the context budget for the same content,
+    the standard argument for retraining the vocabulary before a
+    multilingual run. The subword proxy is the BPE-ish pre-tokenizer
+    split (letter runs | single digits | single punctuation).
+
+    Determinism: token counts are exact integers; two rounded
+    divisions per language.
+
+    Scale posture: regex counting is a stateless map; ONE partial+
+    final aggregate on the low-cardinality ``lang`` key — map-side
+    combine does virtually all the reduction. Reference contract:
+    per-doc token accounting = map slot (``App.config:16``); language
+    roll-up = reduce slot (``App.config:17``)."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    subwords = F.size(
+        F.regexp_extract_all(F.col("text"), F.lit(_SUBWORD_RE), 0)
+    )
+    words = F.size(F.split(F.col("text"), " "))
+    agg = docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.sum(words).alias("total_words"),
+        F.sum(subwords).alias("total_subwords"),
+    )
+    return agg.select(
+        "lang",
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.col("total_chars").cast("long").alias("total_chars"),
+        F.col("total_words").cast("long").alias("total_words"),
+        F.col("total_subwords").cast("long").alias("total_subwords"),
+        F.round(
+            F.col("total_chars").cast("double") / F.col("total_subwords"), 6
+        ).alias("chars_per_subword"),
+        F.round(
+            F.col("total_subwords").cast("double") / F.col("total_words"), 6
+        ).alias("fertility"),
+    ).orderBy("lang")
