@@ -94,7 +94,8 @@ _VERIFY_FIRST = [
     "q321_dataset_card", "q322_kaplan_meier_survival",
     "q323_bh_fdr_control", "q324_mcnemar_paired_eval",
     "q325_prefix_cache_sharing", "q326_tokenizer_fertility",
-    "q327_jl_projection_distortion",
+    "q327_jl_projection_distortion", "q328_shipping_priority",
+    "q329_large_volume_orders", "q330_late_shipment_priority",
     "q107_bm25_retrieval",
     "q129_curation_funnel", "q20_broadcast_join", "q21_revenue_by_nation",
     "q22_semi_join", "q23_anti_join", "q24_outer_join",

@@ -1136,3 +1136,204 @@ def q237_window_group_limit_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_custkey", F.desc("amount"), "o_orderkey")
     )
+
+
+@query(
+    "q328_shipping_priority",
+    oracle="""
+    WITH per_order AS (
+        SELECT l.l_orderkey,
+               o.o_orderdate,
+               o.o_orderpriority,
+               sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100)
+                        AS BIGINT)) AS revenue_cents
+        FROM customer c
+        JOIN orders o   ON c.c_custkey = o.o_custkey
+        JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        WHERE c.c_mktsegment = 'BUILDING'
+          AND o.o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+          AND l.l_shipdate  > TIMESTAMP '1998-01-01 00:00:00'
+        GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+    )
+    SELECT l_orderkey,
+           CAST(revenue_cents AS DOUBLE) / 100 AS revenue,
+           o_orderdate,
+           o_orderpriority
+    FROM per_order
+    ORDER BY revenue_cents DESC, o_orderdate, l_orderkey
+    LIMIT 10
+    """,
+    tags=("join", "tpch", "topk", "olap"),
+)
+def q328_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 (shipping priority): the ten unshipped-revenue-heaviest
+    BUILDING-segment orders placed before the cutoff with line items
+    still shipping after it — the classic 3-way selective fact join
+    with a global top-k.
+
+    Determinism: revenue accumulates as exact integer cents (each
+    item's cents rounds independently of summation order), and the
+    top-10 cutoff sorts on that exact integer with (date, orderkey)
+    tie-breaks — no float at the boundary.
+
+    Scale posture: both filters push to the scans; the segment-
+    filtered customer side broadcasts onto orders before the fact
+    join, so lineitem shuffles once on l_orderkey; the top-10 is a
+    TakeOrdered (per-partition heap → 10-row driver merge), never a
+    global sort. Reference: this is the L5 map fan-out + L9 global
+    reduce shape (``Program.cs:332-384``) with a k-row consolidation."""
+    t = load_tables(spark, sf_dir)
+    cutoff = F.lit("1998-01-01 00:00:00").cast("timestamp")
+    building = t["customer"].filter(F.col("c_mktsegment") == "BUILDING")
+    orders = t["orders"].filter(F.col("o_orderdate") < cutoff)
+    late_items = t["lineitem"].filter(F.col("l_shipdate") > cutoff)
+    cents = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+    ).cast("long")
+    per_order = (
+        orders.join(
+            F.broadcast(building.select("c_custkey")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .join(late_items, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(cents).alias("revenue_cents"))
+    )
+    return (
+        per_order.orderBy(
+            F.desc("revenue_cents"), F.asc("o_orderdate"), F.asc("l_orderkey")
+        )
+        .limit(10)
+        .select(
+            "l_orderkey",
+            (F.col("revenue_cents").cast("double") / 100).alias("revenue"),
+            "o_orderdate",
+            "o_orderpriority",
+        )
+    )
+
+
+_LARGE_ORDER_QTY = 300
+
+
+@query(
+    "q329_large_volume_orders",
+    oracle=f"""
+    WITH big AS (
+        SELECT l_orderkey, sum(l_quantity) AS total_qty
+        FROM lineitem
+        GROUP BY l_orderkey
+        HAVING sum(l_quantity) > {_LARGE_ORDER_QTY}
+    )
+    SELECT c.c_name,
+           c.c_custkey,
+           o.o_orderkey,
+           o.o_orderdate,
+           round(o.o_totalprice, 2) AS o_totalprice,
+           round(b.total_qty, 2) AS total_qty
+    FROM big b
+    JOIN orders o   ON b.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    ORDER BY b.total_qty DESC, o.o_orderkey
+    LIMIT 100
+    """,
+    tags=("join", "tpch", "having", "olap"),
+)
+def q329_large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 (large-volume customer): orders whose total line-item
+    quantity exceeds the 99.9th-percentile-ish threshold (300), joined
+    back to their order and customer rows — the aggregate-then-
+    join-back shape (HAVING on a fact rollup driving a dimension
+    lookup).
+
+    Determinism: quantities are small integral doubles whose sums are
+    exact; the sort key is that exact sum with an orderkey tie-break.
+
+    Scale posture: the HAVING rollup is partial+final on l_orderkey;
+    the survivor set (~0.1% of orders) is tiny and BROADCASTS into
+    orders — the full orders table never shuffles; the final 100-row
+    cut is TakeOrdered. Reference: L7 barrier then L8 gather of a
+    filtered aggregate (``Program.cs:351-384``)."""
+    t = load_tables(spark, sf_dir)
+    big = (
+        t["lineitem"]
+        .groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("total_qty"))
+        .filter(F.col("total_qty") > _LARGE_ORDER_QTY)
+    )
+    return (
+        t["orders"]
+        .join(F.broadcast(big), F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
+        .orderBy(F.desc("total_qty"), F.asc("o_orderkey"))
+        .limit(100)
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            "o_orderdate",
+            F.round("o_totalprice", 2).alias("o_totalprice"),
+            F.round("total_qty", 2).alias("total_qty"),
+        )
+    )
+
+
+_LATE_SHIP_DAYS_US = 60 * 86_400_000_000
+
+
+@query(
+    "q330_late_shipment_priority",
+    oracle=f"""
+    SELECT o.o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_late_orders
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1998-01-01 00:00:00'
+      AND o.o_orderdate <  TIMESTAMP '1999-01-01 00:00:00'
+      AND EXISTS (
+          SELECT 1 FROM lineitem l
+          WHERE l.l_orderkey = o.o_orderkey
+            AND epoch_us(l.l_shipdate) - epoch_us(o.o_orderdate)
+                > {_LATE_SHIP_DAYS_US}
+      )
+    GROUP BY o.o_orderpriority
+    ORDER BY o.o_orderpriority
+    """,
+    tags=("join", "tpch", "semi", "olap"),
+)
+def q330_late_shipment_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 (order-priority checking): for one order-year, count
+    orders per priority class that had at least one line item ship
+    more than 60 days after the order date — the EXISTS-correlated
+    semi-join aggregate that audits fulfilment SLAs by priority.
+
+    Determinism: the lateness predicate compares exact integer
+    microseconds (never float day arithmetic); counts are exact.
+
+    Scale posture: the date filter pushes onto the orders scan (one
+    year ≈ 1/7 of the fact); the EXISTS compiles to a LEFT SEMI join
+    on l_orderkey that emits each order at most once regardless of
+    item fan-out; the final rollup is 5 keys with map-side combine.
+    Reference: conditional reduce over mapper outputs
+    (``Program.cs:351-384``) keyed by the L13 exit-code analog."""
+    t = load_tables(spark, sf_dir)
+    orders = t["orders"].filter(
+        (F.col("o_orderdate") >= F.lit("1998-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1999-01-01 00:00:00").cast("timestamp"))
+    )
+    li = t["lineitem"].select(
+        "l_orderkey", F.unix_micros("l_shipdate").alias("ship_us")
+    )
+    late = orders.join(
+        li,
+        (F.col("l_orderkey") == F.col("o_orderkey"))
+        & (
+            F.col("ship_us") - F.unix_micros("o_orderdate")
+            > F.lit(_LATE_SHIP_DAYS_US)
+        ),
+        "left_semi",
+    )
+    return (
+        late.groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_late_orders"))
+        .orderBy("o_orderpriority")
+    )
