@@ -776,3 +776,57 @@ def test_q299_global_rank_sees_only_survivors(spark, sf_dir):
     second_win = opt.find("Window", first_win + 6)
     assert second_win != -1
     assert "rn_src" in opt[:second_win]
+
+
+# ---------------------------------------------------------------------------
+# Round-3f additions (q322-q330).
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "q323_bh_fdr_control",         # cells x gstats are 1-row broadcasts
+        "q324_mcnemar_paired_eval",    # pure map + single-row aggregate
+        "q325_prefix_cache_sharing",   # explode + keyed rollups only
+        "q326_tokenizer_fertility",    # stateless map + lang rollup
+        "q327_jl_projection_distortion",  # shifted-key equi-join on vec_id
+    ],
+)
+def test_r3f_no_cartesian(spark, sf_dir, name):
+    """The new stats/LLM shapes stay keyed or broadcast — never a
+    data-sized CartesianProduct (1-row broadcast cross joins are
+    BroadcastNestedLoop, which is fine)."""
+    plan = plan_of(REGISTRY[name].fn(spark, sf_dir))
+    assert "CartesianProduct" not in plan, name
+
+
+def test_q322_km_heavy_lifting_is_aggregated_before_window(spark, sf_dir):
+    """Kaplan-Meier's ordered windows must run on the bounded life
+    table (bin grain), i.e. above at least two partial+final
+    aggregates (per-customer extrema, bin rollup) — never over the
+    customer population."""
+    plan = plan_of(REGISTRY["q322_kaplan_meier_survival"].fn(spark, sf_dir))
+    assert plan.count("HashAggregate") >= 4
+    assert "CartesianProduct" not in plan
+
+
+def test_q328_q329_broadcast_the_small_side(spark, sf_dir):
+    """TPC-H Q3/Q18 analogs: the filtered/aggregated small side must
+    broadcast so the fact table shuffles at most once, and the top-k
+    must be a TakeOrdered, not a global sort."""
+    p328 = plan_of(REGISTRY["q328_shipping_priority"].fn(spark, sf_dir))
+    assert "BroadcastHashJoin" in p328
+    assert "TakeOrderedAndProject" in p328
+    p329 = plan_of(REGISTRY["q329_large_volume_orders"].fn(spark, sf_dir))
+    assert "BroadcastHashJoin" in p329
+    assert "TakeOrderedAndProject" in p329
+
+
+def test_q330_exists_compiles_to_semi_join(spark, sf_dir):
+    """The EXISTS lateness audit must plan as a LEFT SEMI join (each
+    order emitted at most once) with the year filter pushed to the
+    orders scan."""
+    df = REGISTRY["q330_late_shipment_priority"].fn(spark, sf_dir)
+    plan = plan_of(df)
+    assert "LeftSemi" in plan or "left_semi" in plan.lower()
+    assert "PushedFilters" in plan
