@@ -3294,3 +3294,211 @@ def q326_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("total_subwords").cast("double") / F.col("total_words"), 6
         ).alias("fertility"),
     ).orderBy("lang")
+
+
+_TYPO_RATE_MOD = 100   # corrupt 1% of token occurrences
+_TYPO_MIN_LEN = 3      # never corrupt 1-2 char tokens
+_SS_FREQ_MULT = 50     # frequent <=> cnt * 50 > total (scale-free)
+_SS_RATIO = 10         # correction needs cnt_f >= 10 * cnt_r
+
+
+@query(
+    "q332_symspell_typo_correction",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, s.tok AS tok, s.p AS pos FROM (
+            SELECT doc_id,
+                   unnest(list_transform(string_split(text, ' '),
+                       (t, i) -> struct_pack(tok := t, p := i))) AS s
+            FROM documents)
+    ),
+    stream AS (
+        SELECT CASE WHEN ('0x' || substr(md5('typo|' || CAST(doc_id AS VARCHAR)
+                        || '|' || CAST(pos AS VARCHAR)), 1, 8))::BIGINT
+                        % {_TYPO_RATE_MOD} = 0
+                    AND len(tok) >= {_TYPO_MIN_LEN}
+               THEN substr(tok, 1, CAST(('0x' || substr(md5('pos|'
+                        || CAST(doc_id AS VARCHAR) || '|'
+                        || CAST(pos AS VARCHAR)), 1, 8))::BIGINT
+                        % len(tok) AS INTEGER))
+                    || substr(tok, CAST(('0x' || substr(md5('pos|'
+                        || CAST(doc_id AS VARCHAR) || '|'
+                        || CAST(pos AS VARCHAR)), 1, 8))::BIGINT
+                        % len(tok) AS INTEGER) + 2, len(tok))
+               ELSE tok END AS tok
+        FROM toks
+    ),
+    counts AS (SELECT tok, count(*) AS cnt FROM stream GROUP BY tok),
+    tot AS (SELECT sum(cnt) AS total FROM counts),
+    vocab AS (
+        SELECT c.tok, c.cnt,
+               (c.cnt * {_SS_FREQ_MULT} > t.total) AS is_freq
+        FROM counts c CROSS JOIN tot t
+    ),
+    rare AS (SELECT tok, cnt FROM vocab WHERE NOT is_freq),
+    freq AS (SELECT tok, cnt FROM vocab WHERE is_freq),
+    rv AS (
+        SELECT tok, cnt, s.v AS v, s.p AS p FROM (
+            SELECT tok, cnt,
+                   unnest(list_transform(generate_series(1, len(tok)),
+                       i -> struct_pack(v := substr(tok, 1, i - 1)
+                                || substr(tok, i + 1, len(tok)), p := i))) AS s
+            FROM rare)
+    ),
+    fv AS (
+        SELECT tok, cnt, s.v AS v, s.p AS p FROM (
+            SELECT tok, cnt,
+                   unnest(list_transform(generate_series(1, len(tok)),
+                       i -> struct_pack(v := substr(tok, 1, i - 1)
+                                || substr(tok, i + 1, len(tok)), p := i))) AS s
+            FROM freq)
+    ),
+    cands AS (
+        SELECT rv.tok AS r, f.tok AS f, rv.cnt AS cnt_r, f.cnt AS cnt_f
+        FROM rv JOIN freq f ON rv.v = f.tok
+        UNION
+        SELECT r.tok, fv.tok, r.cnt, fv.cnt
+        FROM fv JOIN rare r ON fv.v = r.tok
+        UNION
+        SELECT rv.tok, fv.tok, rv.cnt, fv.cnt
+        FROM rv JOIN fv ON rv.v = fv.v AND rv.p = fv.p
+        WHERE len(rv.tok) = len(fv.tok) AND rv.tok <> fv.tok
+    ),
+    scored AS (
+        SELECT r, f, cnt_r, cnt_f,
+               row_number() OVER (PARTITION BY r
+                                  ORDER BY cnt_f DESC, f) AS rk
+        FROM cands
+        WHERE cnt_f >= {_SS_RATIO} * cnt_r
+    )
+    SELECT r AS typo, f AS correction,
+           CAST(cnt_r AS BIGINT) AS typo_count,
+           CAST(cnt_f AS BIGINT) AS correction_count
+    FROM scored WHERE rk = 1
+    ORDER BY typo
+    """,
+    tags=("llm", "text", "symspell", "spell-correction", "dedup"),
+)
+def q332_symspell_typo_correction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SymSpell-style spell-correction table: find, for every rare
+    token within edit distance 1 of a frequent token, its best
+    correction — via the deletion-neighborhood blocking join (Garbe's
+    SymSpell), never a quadratic edit-distance scan. ed(r,f)=1 holds
+    iff f is a 1-deletion of r, r is a 1-deletion of f, or they share
+    a 1-deletion variant at the SAME position (substitution); the
+    position condition matters — "ab"/"ba" share variant "a" at
+    different positions but are distance 2. The fixture vocabulary is
+    clean, so the query first injects deterministic 1% character-
+    deletion noise (md5 occurrence channel — the documented corpus-
+    corruption harness), then provably recovers the corrections: a
+    rare form maps to a frequent form with ≥10× its count.
+
+    Determinism: corruption is md5(doc,pos)-channel; counts exact;
+    the frequent/rare split is the scale-free integer test
+    cnt·50 > total; best-correction ties break (count desc, word).
+
+    Scale posture: corruption is a stateless map; token counting is
+    partial+final; ALL candidate joins run at VOCABULARY grain
+    (tokens × word-length deletion variants — thousands of rows at
+    100 TB, not billions) with equi-keys (variant) or (variant, pos),
+    so the corpus is touched exactly twice (count + nothing else).
+    Reference contract: per-doc token emission = map slot
+    (``App.config:16``); vocabulary join + correction pick = reduce
+    slot (``App.config:17``)."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    toks = docs.select(
+        "doc_id",
+        F.posexplode(F.split("text", " ")).alias("p0", "tok"),
+    ).select("doc_id", (F.col("p0") + 1).alias("pos"), "tok")
+
+    def chan(tag: str) -> Column:
+        return F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit(tag + "|"),
+                        F.col("doc_id").cast("string"),
+                        F.lit("|"),
+                        F.col("pos").cast("string"),
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+
+    del_idx = chan("pos") % F.length("tok")  # 0-based deletion index
+    stream = toks.select(
+        F.when(
+            (chan("typo") % _TYPO_RATE_MOD == 0)
+            & (F.length("tok") >= _TYPO_MIN_LEN),
+            F.concat(
+                F.col("tok").substr(F.lit(1), del_idx),
+                F.col("tok").substr(del_idx + 2, F.length("tok")),
+            ),
+        )
+        .otherwise(F.col("tok"))
+        .alias("tok")
+    )
+    counts = stream.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
+    tot = counts.agg(F.sum("cnt").alias("total"))
+    vocab = counts.crossJoin(F.broadcast(tot)).select(
+        "tok",
+        "cnt",
+        (F.col("cnt") * _SS_FREQ_MULT > F.col("total")).alias("is_freq"),
+    )
+    rare = vocab.filter(~F.col("is_freq")).select("tok", "cnt")
+    freq = vocab.filter(F.col("is_freq")).select("tok", "cnt")
+
+    def variants(df: DataFrame) -> DataFrame:
+        return df.select(
+            "tok",
+            "cnt",
+            F.expr(
+                "posexplode(transform(sequence(1, length(tok)),"
+                " i -> concat(substring(tok, 1, i - 1),"
+                " substring(tok, i + 1, length(tok)))))"
+            ).alias("p0", "v"),
+        ).select("tok", "cnt", (F.col("p0") + 1).alias("p"), "v")
+
+    rv = variants(rare)
+    fv = variants(freq)
+    ca = rv.join(
+        freq.select(F.col("tok").alias("f"), F.col("cnt").alias("cnt_f")),
+        rv["v"] == F.col("f"),
+    ).select(F.col("tok").alias("r"), F.col("cnt").alias("cnt_r"), "f", "cnt_f")
+    cb = fv.join(
+        rare.select(F.col("tok").alias("r"), F.col("cnt").alias("cnt_r")),
+        fv["v"] == F.col("r"),
+    ).select("r", "cnt_r", F.col("tok").alias("f"), F.col("cnt").alias("cnt_f"))
+    cc = (
+        rv.select(
+            F.col("tok").alias("r"), F.col("cnt").alias("cnt_r"), "v", "p"
+        )
+        .join(
+            fv.select(
+                F.col("tok").alias("f"), F.col("cnt").alias("cnt_f"), "v", "p"
+            ),
+            ["v", "p"],
+        )
+        .where(
+            (F.length("r") == F.length("f")) & (F.col("r") != F.col("f"))
+        )
+        .select("r", "cnt_r", "f", "cnt_f")
+    )
+    cands = ca.unionByName(cb).unionByName(cc).distinct()
+    w = Window.partitionBy("r").orderBy(F.desc("cnt_f"), F.asc("f"))
+    return (
+        cands.where(F.col("cnt_f") >= _SS_RATIO * F.col("cnt_r"))
+        .withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") == 1)
+        .select(
+            F.col("r").alias("typo"),
+            F.col("f").alias("correction"),
+            F.col("cnt_r").cast("long").alias("typo_count"),
+            F.col("cnt_f").cast("long").alias("correction_count"),
+        )
+        .orderBy("typo")
+    )

@@ -1525,3 +1525,100 @@ def q317_referential_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFr
     for o in outs[1:]:
         res = res.unionAll(o)
     return res.orderBy("fk")
+
+
+_MASK_GEN_OFFSET = 1_000_000_000  # shifts cents positive so div == floor
+
+
+@query(
+    "q331_column_masking_policy",
+    oracle=f"""
+    WITH policy AS (
+        SELECT c_mktsegment AS segment,
+               c_name,
+               'cust_' || substr(md5('mask|' || c_name), 1, 12) AS name_token,
+               CAST(round(c_acctbal * 100) AS BIGINT) AS cents
+        FROM customer
+        WHERE c_mktsegment <> 'AUTOMOBILE'
+    ),
+    gen AS (
+        SELECT segment, c_name, name_token, cents,
+               ((cents + {_MASK_GEN_OFFSET}) // 10000) * 10000
+                   - {_MASK_GEN_OFFSET} AS gen_cents
+        FROM policy
+    )
+    SELECT segment,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(DISTINCT c_name) AS BIGINT) AS n_distinct_names,
+           CAST(count(DISTINCT name_token) AS BIGINT) AS n_distinct_tokens,
+           (count(DISTINCT c_name) = count(DISTINCT name_token))
+               AS join_consistent,
+           CAST(sum(gen_cents) AS DOUBLE) / 100 AS generalized_balance_total,
+           CAST(sum(cents - gen_cents) AS BIGINT) AS info_loss_total_cents
+    FROM gen
+    GROUP BY segment
+    ORDER BY segment
+    """,
+    tags=("governance", "masking", "row-level-security", "privacy"),
+)
+def q331_column_masking_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-masking + row-level-security policy applied as a view —
+    the governance layer an analyst role reads through: rows in the
+    restricted segment are filtered out (RLS), names are replaced by
+    deterministic md5 tokens (masking that PRESERVES joinability —
+    the same name always maps to the same token, so masked tables
+    still join on identity), and balances are generalized to $100
+    buckets (k-anonymity-style coarsening). The audit emitted here is
+    the policy's utility contract: distinct-token count must equal
+    distinct-name count (no mask collisions, joins survive), and the
+    info-loss column prices the generalization in exact cents.
+    Companion to q209 (the GDPR delete path) and q54 (PII scrub).
+
+    Determinism: md5 tokens; generalization is integer-cents
+    arithmetic with a positive offset so truncating div equals floor
+    on negative balances on BOTH engines; counts exact.
+
+    Scale posture: masking/generalization are stateless map
+    expressions over the scan (the RLS predicate pushes into
+    parquet); the audit is one partial+final aggregate on the 4-key
+    segment grain — count(DISTINCT) runs as Spark's two-phase expand
+    aggregate. Reference contract: per-row policy application = map
+    slot (``App.config:16``); audit roll-up = reduce slot
+    (``App.config:17``)."""
+    cust = load_tables(spark, sf_dir)["customer"]
+    policy = cust.filter(F.col("c_mktsegment") != "AUTOMOBILE").select(
+        F.col("c_mktsegment").alias("segment"),
+        "c_name",
+        F.concat(
+            F.lit("cust_"),
+            F.substring(F.md5(F.concat(F.lit("mask|"), F.col("c_name"))), 1, 12),
+        ).alias("name_token"),
+        F.round(F.col("c_acctbal") * 100).cast("long").alias("cents"),
+    )
+    gen = policy.withColumn(
+        "gen_cents",
+        F.expr(
+            f"((cents + {_MASK_GEN_OFFSET}) div 10000) * 10000"
+            f" - {_MASK_GEN_OFFSET}"
+        ),
+    )
+    return (
+        gen.groupBy("segment")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.countDistinct("c_name").cast("long").alias("n_distinct_names"),
+            F.countDistinct("name_token")
+            .cast("long")
+            .alias("n_distinct_tokens"),
+            (
+                F.countDistinct("c_name") == F.countDistinct("name_token")
+            ).alias("join_consistent"),
+            (F.sum("gen_cents").cast("double") / 100).alias(
+                "generalized_balance_total"
+            ),
+            F.sum(F.col("cents") - F.col("gen_cents"))
+            .cast("long")
+            .alias("info_loss_total_cents"),
+        )
+        .orderBy("segment")
+    )
