@@ -83,6 +83,13 @@ HEADLINE = [
     # Round-3e: rank-primitive composition, broadcast bloom probing.
     "q305_watermark_delay_recommendation",
     "q309_bloom_join_pruning",
+    # Round-3g: classic TPC-H joins, corpus-heavy prefix/typo text
+    # shapes, the JL pair-join vector kernel, bounded-window KM.
+    "q322_kaplan_meier_survival",
+    "q325_prefix_cache_sharing",
+    "q327_jl_projection_distortion",
+    "q328_shipping_priority",
+    "q332_symspell_typo_correction",
 ]
 
 
