@@ -4249,3 +4249,322 @@ def q324_mcnemar_paired_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("mcnemar_chi2"),
     )
+
+
+_CP_ALPHA_NUM = 9  # nominal coverage 9/10 kept as a ratio for exact
+_CP_ALPHA_DEN = 10  # integer rank arithmetic
+
+
+@query(
+    "q333_conformal_prediction",
+    oracle=f"""
+    WITH base AS (
+        SELECT event_type,
+               CAST(round(value * 100) AS BIGINT) AS cents,
+               event_id,
+               ('0x' || substr(md5('cp|' || CAST(event_id AS VARCHAR)),
+                               1, 8))::BIGINT % 3 AS split
+        FROM events
+    ),
+    tr AS (
+        SELECT event_type, cents,
+               row_number() OVER (PARTITION BY event_type
+                                  ORDER BY cents, event_id) AS rn,
+               count(*) OVER (PARTITION BY event_type) AS n
+        FROM base WHERE split = 0
+    ),
+    med AS (
+        SELECT event_type, n AS n_train, cents AS med_cents
+        FROM tr WHERE rn = (n + 1) // 2
+    ),
+    cal AS (
+        SELECT b.event_type, abs(b.cents - m.med_cents) AS resid,
+               b.event_id
+        FROM base b JOIN med m ON b.event_type = m.event_type
+        WHERE b.split = 1
+    ),
+    calr AS (
+        SELECT event_type, resid,
+               row_number() OVER (PARTITION BY event_type
+                                  ORDER BY resid, event_id) AS rn,
+               count(*) OVER (PARTITION BY event_type) AS n
+        FROM cal
+    ),
+    qhat AS (
+        SELECT event_type, n AS n_cal, resid AS qhat_cents
+        FROM calr
+        WHERE rn = least(({_CP_ALPHA_NUM} * (n + 1) + {_CP_ALPHA_DEN} - 1)
+                             // {_CP_ALPHA_DEN}, n)
+    ),
+    test AS (
+        SELECT b.event_type,
+               count(*) AS n_test,
+               sum(CASE WHEN abs(b.cents - m.med_cents) <= q.qhat_cents
+                        THEN 1 ELSE 0 END) AS n_covered
+        FROM base b
+        JOIN med m  ON b.event_type = m.event_type
+        JOIN qhat q ON b.event_type = q.event_type
+        WHERE b.split = 2
+        GROUP BY b.event_type
+    )
+    SELECT m.event_type,
+           CAST(m.n_train AS BIGINT) AS n_train,
+           CAST(q.n_cal AS BIGINT) AS n_cal,
+           CAST(m.med_cents AS DOUBLE) / 100 AS predicted_median,
+           CAST(q.qhat_cents AS DOUBLE) / 100 AS interval_halfwidth,
+           CAST(t.n_test AS BIGINT) AS n_test,
+           round(CAST(t.n_covered AS DOUBLE) / t.n_test, 6)
+               AS empirical_coverage
+    FROM med m
+    JOIN qhat q ON m.event_type = q.event_type
+    JOIN test t ON m.event_type = t.event_type
+    ORDER BY m.event_type
+    """,
+    tags=("experimentation", "conformal", "uncertainty", "ml-eval"),
+)
+def q333_conformal_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-conformal prediction intervals with a coverage audit — the
+    distribution-free uncertainty wrapper every deployed predictor
+    should ship with: a 3-way hash split (train/calibration/test), a
+    per-type train-median predictor, the conformal quantile q̂ =
+    ⌈0.9·(n+1)⌉-th smallest calibration residual, and the test-split
+    empirical coverage of median ± q̂ (finite-sample guaranteed
+    ≥ 90% under exchangeability — the audit column shows it).
+
+    Determinism: the split is an md5 channel; residuals are exact
+    integer cents; the median and q̂ are exact ORDER STATISTICS
+    selected by integer rank (ceil done in integer arithmetic), so no
+    quantile-interpolation convention can drift between engines.
+
+    Scale posture: both order statistics ride the window-free
+    sample-sort rank primitive over (type, residual) — every stage
+    parallel, the only gathers are ≤32-row offset tables; the
+    coverage pass is one broadcast of the 5-row (median, q̂) table
+    into a partial+final count. Reference contract: per-event scoring
+    = map slot (``App.config:16``); per-type calibration = reduce
+    slot (``App.config:17``)."""
+    events = load_tables(spark, sf_dir)["events"]
+    base = events.select(
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+        "event_id",
+        (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(F.lit("cp|"), F.col("event_id").cast("string"))
+                    ),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % 3
+        ).alias("split"),
+    ).persist()
+
+    def per_group_order_stat(
+        df: DataFrame, value_col: str, pick_expr: str, n_alias: str
+    ) -> DataFrame:
+        """Exact per-type order statistic via ONE global distributed
+        rank: local rank = global rn − (type's min rn) + 1; the pick
+        row satisfies ``pick_expr`` over (local_rn, n)."""
+        ranked = distributed_row_number(
+            df,
+            order_by=[
+                F.col("event_type"),
+                F.col(value_col),
+                F.col("event_id"),
+            ],
+        )
+        bounds = ranked.groupBy("event_type").agg(
+            F.min("rn").alias("_rn0"), F.count(F.lit(1)).alias("n")
+        )
+        return (
+            ranked.join(F.broadcast(bounds), "event_type")
+            .withColumn("_lrn", F.col("rn") - F.col("_rn0") + 1)
+            .where(F.expr(pick_expr))
+            .select(
+                "event_type",
+                F.col("n").alias(n_alias),
+                F.col(value_col),
+            )
+        )
+
+    med = per_group_order_stat(
+        base.where(F.col("split") == 0).select(
+            "event_type", "cents", "event_id"
+        ),
+        "cents",
+        "_lrn = (n + 1) div 2",
+        "n_train",
+    ).withColumnRenamed("cents", "med_cents")
+
+    cal = (
+        base.where(F.col("split") == 1)
+        .join(F.broadcast(med), "event_type")
+        .select(
+            "event_type",
+            F.abs(F.col("cents") - F.col("med_cents")).alias("resid"),
+            "event_id",
+        )
+    )
+    qhat = per_group_order_stat(
+        cal,
+        "resid",
+        f"_lrn = least(({_CP_ALPHA_NUM} * (n + 1) + {_CP_ALPHA_DEN} - 1)"
+        f" div {_CP_ALPHA_DEN}, n)",
+        "n_cal",
+    ).withColumnRenamed("resid", "qhat_cents")
+
+    test = (
+        base.where(F.col("split") == 2)
+        .join(F.broadcast(med), "event_type")
+        .join(F.broadcast(qhat), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.max("n_train").alias("n_train"),
+            F.max("n_cal").alias("n_cal"),
+            F.max("med_cents").alias("med_cents"),
+            F.max("qhat_cents").alias("qhat_cents"),
+            F.count(F.lit(1)).alias("n_test"),
+            F.sum(
+                F.when(
+                    F.abs(F.col("cents") - F.col("med_cents"))
+                    <= F.col("qhat_cents"),
+                    1,
+                ).otherwise(0)
+            ).alias("n_covered"),
+        )
+    )
+    out = test.select(
+        "event_type",
+        F.col("n_train").cast("long").alias("n_train"),
+        F.col("n_cal").cast("long").alias("n_cal"),
+        (F.col("med_cents").cast("double") / 100).alias("predicted_median"),
+        (F.col("qhat_cents").cast("double") / 100).alias(
+            "interval_halfwidth"
+        ),
+        F.col("n_test").cast("long").alias("n_test"),
+        F.round(
+            F.col("n_covered").cast("double") / F.col("n_test"), 6
+        ).alias("empirical_coverage"),
+    ).orderBy("event_type")
+    return out
+
+
+@query(
+    "q334_quantile_treatment_effect",
+    oracle="""
+    WITH base AS (
+        SELECT ('0x' || substr(md5('exp|' || CAST(user_id AS VARCHAR)),
+                               1, 8))::BIGINT % 2 AS arm,
+               CAST(round(value * 100) AS BIGINT) AS cents,
+               event_id
+        FROM events
+    ),
+    ranked AS (
+        SELECT arm, cents,
+               row_number() OVER (PARTITION BY arm
+                                  ORDER BY cents, event_id) AS rn,
+               count(*) OVER (PARTITION BY arm) AS n
+        FROM base
+    ),
+    deciles AS (SELECT unnest(generate_series(1, 9)) AS d),
+    picks AS (
+        SELECT d.d AS decile, r.arm, r.cents
+        FROM ranked r
+        JOIN deciles d
+          ON r.rn = (d.d * r.n + 10 - 1) // 10
+    )
+    SELECT c.decile,
+           CAST(c.cents AS DOUBLE) / 100 AS q_control,
+           CAST(t.cents AS DOUBLE) / 100 AS q_treatment,
+           CAST(t.cents - c.cents AS DOUBLE) / 100 AS qte
+    FROM picks c
+    JOIN picks t ON c.decile = t.decile AND t.arm = 1
+    WHERE c.arm = 0
+    ORDER BY c.decile
+    """,
+    tags=("experimentation", "causal", "quantile", "qte"),
+)
+def q334_quantile_treatment_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile treatment effects at the deciles — what the mean-only
+    DiD (q320) cannot see: a treatment that shifts the tails without
+    moving the mean shows up as a sloped QTE curve. Arms reuse q318's
+    deterministic user-hash assignment; at each decile d the effect is
+    the exact treated-minus-control order-statistic difference
+    (type-1/disc quantiles — no interpolation).
+
+    Determinism: exact integer-cents order statistics selected by
+    integer ceil-rank (⌈d·n/10⌉); the 9×2 pick table joins on
+    (decile, arm); differences are exact integers scaled by 100.
+
+    Scale posture: ONE window-free distributed rank over (arm, value)
+    covers both arms; the decile targets join against an 18-row
+    broadcast; everything after runs at the 9-row decile grain.
+    Reference contract: per-event arm bucketing = map slot
+    (``App.config:16``); decile consolidation = reduce slot
+    (``App.config:17``)."""
+    events = load_tables(spark, sf_dir)["events"]
+    base = events.select(
+        (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(F.lit("exp|"), F.col("user_id").cast("string"))
+                    ),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % 2
+        ).alias("arm"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+        "event_id",
+    )
+    ranked = distributed_row_number(
+        base, order_by=[F.col("arm"), F.col("cents"), F.col("event_id")]
+    )
+    bounds = ranked.groupBy("arm").agg(
+        F.min("rn").alias("_rn0"), F.count(F.lit(1)).alias("n")
+    )
+    local = ranked.join(F.broadcast(bounds), "arm").withColumn(
+        "_lrn", F.col("rn") - F.col("_rn0") + 1
+    )
+    targets = (
+        bounds.select(
+            "arm",
+            "n",
+            F.explode(F.sequence(F.lit(1), F.lit(9))).alias("decile"),
+        )
+        .select(
+            "arm",
+            "decile",
+            F.expr("(decile * n + 10 - 1) div 10").alias("_lrn"),
+        )
+    )
+    picks = local.join(F.broadcast(targets), ["arm", "_lrn"]).select(
+        "decile", "arm", "cents"
+    )
+    c = picks.where(F.col("arm") == 0).select(
+        "decile", F.col("cents").alias("c_cents")
+    )
+    t = picks.where(F.col("arm") == 1).select(
+        "decile", F.col("cents").alias("t_cents")
+    )
+    return (
+        c.join(t, "decile")
+        .select(
+            "decile",
+            (F.col("c_cents").cast("double") / 100).alias("q_control"),
+            (F.col("t_cents").cast("double") / 100).alias("q_treatment"),
+            (
+                (F.col("t_cents") - F.col("c_cents")).cast("double") / 100
+            ).alias("qte"),
+        )
+        .orderBy("decile")
+    )
