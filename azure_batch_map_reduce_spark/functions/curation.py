@@ -4568,3 +4568,146 @@ def q334_quantile_treatment_effect(spark: SparkSession, sf_dir: str) -> DataFram
         )
         .orderBy("decile")
     )
+
+
+@query(
+    "q336_uplift_qini_curve",
+    oracle="""
+    WITH units AS (
+        SELECT event_id,
+               ('0x' || substr(md5('exp|' || CAST(user_id AS VARCHAR)),
+                               1, 8))::BIGINT % 2 AS arm,
+               CAST(round(value * 100) AS BIGINT) AS score,
+               CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END
+                   AS responded
+        FROM events
+    ),
+    ranked AS (
+        SELECT arm, responded,
+               ntile(10) OVER (ORDER BY score DESC, event_id) AS decile
+        FROM units
+    ),
+    cells AS (
+        SELECT decile,
+               sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS n_treat,
+               sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS n_ctrl,
+               sum(CASE WHEN arm = 1 THEN responded ELSE 0 END) AS resp_treat,
+               sum(CASE WHEN arm = 0 THEN responded ELSE 0 END) AS resp_ctrl
+        FROM ranked GROUP BY decile
+    ),
+    curve AS (
+        SELECT decile, n_treat, n_ctrl, resp_treat, resp_ctrl,
+               sum(resp_treat) OVER w AS cum_rt,
+               sum(resp_ctrl)  OVER w AS cum_rc,
+               sum(n_treat)    OVER w AS cum_nt,
+               sum(n_ctrl)     OVER w AS cum_nc
+        FROM cells
+        WINDOW w AS (ORDER BY decile
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    )
+    SELECT CAST(decile AS INTEGER) AS decile,
+           CAST(n_treat AS BIGINT) AS n_treat,
+           CAST(n_ctrl AS BIGINT) AS n_ctrl,
+           CAST(resp_treat AS BIGINT) AS resp_treat,
+           CAST(resp_ctrl AS BIGINT) AS resp_ctrl,
+           round(CAST(resp_treat AS DOUBLE) / n_treat
+                 - CAST(resp_ctrl AS DOUBLE) / n_ctrl, 6) + 0.0 AS uplift,
+           round(cum_rt - CAST(cum_rc AS DOUBLE) * cum_nt / cum_nc, 6)
+               + 0.0 AS qini
+    FROM curve
+    ORDER BY decile
+    """,
+    tags=("experimentation", "uplift", "qini", "causal", "targeting"),
+)
+def q336_uplift_qini_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uplift modeling evaluation — per-decile incremental response and
+    the Qini curve: exposure units rank by a targeting score (event
+    value), and each decile compares purchase response between the
+    q318 user-hash arms (cluster-randomized, as user-keyed rollouts
+    are); qini(d) = cumulative treated responders − control responders
+    scaled to the treated exposure — the area under this curve is how
+    uplift models are actually compared (targeting the top deciles
+    should capture most of the incremental lift).
+
+    Determinism: arms and response are exact; the decile assignment is
+    the window-free ntile over exact integer cents with an event_id
+    tie-break; uplift/qini are fixed sequences of IEEE divisions on
+    exact counts, rounded signed-zero-safe (both are differences).
+
+    Scale posture: unit scoring is a stateless map; the global decile
+    ranking rides the sample-sort rank primitive + the closed-form
+    ntile (every stage parallel); the curve math runs at the 10-row
+    decile grain. Reference contract: per-event user accumulation =
+    map slot (``App.config:16``); decile curve = reduce slot
+    (``App.config:17``)."""
+    events = load_tables(spark, sf_dir)["events"]
+    units = events.select(
+        (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(F.lit("exp|"), F.col("user_id").cast("string"))
+                    ),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % 2
+        ).alias("arm"),
+        F.when(F.col("event_type") == "purchase", 1)
+        .otherwise(0)
+        .alias("responded"),
+        F.round(F.col("value") * 100).cast("long").alias("score"),
+        "event_id",
+    )
+    ranked = distributed_row_number(
+        units,
+        order_by=[(-F.col("score")).alias("_negscore"), F.col("event_id")],
+    )
+    n = ranked.agg(F.count(F.lit(1)).alias("_n"))
+    cells = (
+        ranked.crossJoin(F.broadcast(n))
+        .withColumn(
+            "decile", ntile_from_rank(F.col("rn"), F.col("_n"), 10)
+        )
+        .groupBy("decile")
+        .agg(
+            F.sum(F.when(F.col("arm") == 1, 1).otherwise(0)).alias("n_treat"),
+            F.sum(F.when(F.col("arm") == 0, 1).otherwise(0)).alias("n_ctrl"),
+            F.sum(
+                F.when(F.col("arm") == 1, F.col("responded")).otherwise(0)
+            ).alias("resp_treat"),
+            F.sum(
+                F.when(F.col("arm") == 0, F.col("responded")).otherwise(0)
+            ).alias("resp_ctrl"),
+        )
+    )
+    # Bounded grain: the cumulative window spans exactly 10 decile rows.
+    wc = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    curve = (
+        cells.withColumn("cum_rt", F.sum("resp_treat").over(wc))
+        .withColumn("cum_rc", F.sum("resp_ctrl").over(wc))
+        .withColumn("cum_nt", F.sum("n_treat").over(wc))
+        .withColumn("cum_nc", F.sum("n_ctrl").over(wc))
+    )
+    return curve.select(
+        F.col("decile").cast("integer").alias("decile"),
+        F.col("n_treat").cast("long").alias("n_treat"),
+        F.col("n_ctrl").cast("long").alias("n_ctrl"),
+        F.col("resp_treat").cast("long").alias("resp_treat"),
+        F.col("resp_ctrl").cast("long").alias("resp_ctrl"),
+        round_nz(
+            F.col("resp_treat").cast("double") / F.col("n_treat")
+            - F.col("resp_ctrl").cast("double") / F.col("n_ctrl"),
+            6,
+        ).alias("uplift"),
+        round_nz(
+            F.col("cum_rt")
+            - F.col("cum_rc").cast("double")
+            * F.col("cum_nt")
+            / F.col("cum_nc"),
+            6,
+        ).alias("qini"),
+    ).orderBy("decile")

@@ -3171,3 +3171,200 @@ def q314_funnel_step_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("step_pair")
     )
+
+
+_HW_ALPHA = 0.3
+_HW_BETA = 0.1
+_HW_GAMMA = 0.2
+_HW_P = 7  # weekly additive seasonality
+
+
+def _hw_sql_newl() -> str:
+    """The level update expanded inline (SQL lambdas cannot bind a
+    local): α·(x − s₁) + (1−α)·(l + b), against the UNMODIFIED acc."""
+    return (
+        f"CAST({_HW_ALPHA} AS DOUBLE) * (item[1] - acc[3])"
+        f" + CAST({1 - _HW_ALPHA} AS DOUBLE) * (acc[1] + acc[2])"
+    )
+
+
+@query(
+    "q335_holt_winters_seasonal",
+    oracle=f"""
+    WITH daily AS (
+        SELECT date_trunc('day', ts) AS day,
+               CAST(count(*) AS DOUBLE) AS x
+        FROM events GROUP BY 1
+    ),
+    series AS (
+        SELECT list(day ORDER BY day) AS days,
+               list(x ORDER BY day) AS xs
+        FROM daily
+    ),
+    init AS (
+        SELECT days, xs,
+               (xs[1] + xs[2] + xs[3] + xs[4] + xs[5] + xs[6] + xs[7])
+                   / 7 AS l0,
+               ((xs[8] + xs[9] + xs[10] + xs[11] + xs[12] + xs[13] + xs[14])
+                - (xs[1] + xs[2] + xs[3] + xs[4] + xs[5] + xs[6] + xs[7]))
+                   / 49 AS b0
+        FROM series
+        WHERE len(xs) >= {_HW_P * 2 + 1}
+    ),
+    folded AS (
+        -- acc layout: [l, b, s1..s7 (rotating, head = index for the
+        -- CURRENT day), forecasts...]; every element of the new acc is
+        -- built from the UNMODIFIED acc (q267 fold discipline), float
+        -- literals CAST to DOUBLE (q284 DECIMAL trap), the level
+        -- update expanded inline wherever it appears.
+        SELECT days, xs,
+               list_reduce(
+                   list_prepend(
+                       list_concat([l0, b0],
+                           list_transform(list_slice(xs, 1, {_HW_P}),
+                                          v -> v - l0)),
+                       list_transform(list_slice(xs, {_HW_P + 1}, len(xs)),
+                                      v -> [v])),
+                   (acc, item) -> list_concat(
+                       list_concat(
+                           [{_hw_sql_newl()},
+                            CAST({_HW_BETA} AS DOUBLE)
+                                * ({_hw_sql_newl()} - acc[1])
+                                + CAST({1 - _HW_BETA} AS DOUBLE) * acc[2]],
+                           list_concat(
+                               list_slice(acc, 4, 9),
+                               [CAST({_HW_GAMMA} AS DOUBLE)
+                                    * (item[1] - ({_hw_sql_newl()}))
+                                + CAST({1 - _HW_GAMMA} AS DOUBLE)
+                                  * acc[3]])),
+                       list_concat(
+                           list_slice(acc, 10, len(acc)),
+                           [acc[1] + acc[2] + acc[3]]))) AS acc
+        FROM init
+    )
+    SELECT days[CAST(i AS INTEGER)] AS day,
+           round(xs[CAST(i AS INTEGER)], 4) AS actual,
+           round(acc[CAST(i + 2 AS INTEGER)], 4) AS forecast,
+           round(xs[CAST(i AS INTEGER)]
+                 - acc[CAST(i + 2 AS INTEGER)], 4) + 0.0 AS residual
+    FROM folded, unnest(range({_HW_P + 1}, len(xs) + 1)) t(i)
+    ORDER BY day
+    """,
+    tags=("timeseries", "forecast", "holt-winters", "seasonal"),
+)
+def q335_holt_winters_seasonal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Additive Holt-Winters (level + trend + weekly seasonality,
+    α=0.3, β=0.1, γ=0.2) over the daily event series — the seasonal
+    completion of the forecasting ladder: q161 (level only), q298
+    (level+trend), here (+ period-7 seasonal indices). Initialization
+    is the textbook two-week scheme (level = week-1 mean, trend =
+    (week-2 mean − week-1 mean)/7, seasonal = week-1 deviations);
+    each day from day 8 reports the one-step-ahead forecast
+    l + b + s made BEFORE observing it.
+
+    Determinism: inherently sequential, so both engines run the
+    identical left-to-right fold with a same-type DOUBLE-list
+    accumulator [l, b, s₁..s₇, forecasts...] where the seasonal block
+    ROTATES (head = the index due today, the update appends at the
+    block's tail) — mod-7 indexing without any mod; every new-acc
+    element derives from the unmodified acc with the level update
+    expanded inline; residuals round signed-zero-safe.
+
+    Scale posture: corpus → day grain in one partial+final aggregate;
+    the smoother folds a ≤|days| array in one row (pool at bounded
+    grain, 8e/8f discipline); per-key seasonal smoothing at scale
+    partitions the same fold by key. Reference contract: day
+    bucketing = map slot (``App.config:16``); series assembly +
+    smoothing = reduce slot (``App.config:17``)."""
+    from azure_batch_map_reduce_spark.operators.ranks import round_nz
+
+    events = load_tables(spark, sf_dir)["events"]
+    daily = events.groupBy(
+        F.date_trunc("day", F.col("ts")).alias("day")
+    ).agg(F.count(F.lit(1)).cast("double").alias("x"))
+    series = daily.agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("day", "x"))),
+            lambda s: s.getField("day"),
+        ).alias("days"),
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("day", "x"))),
+            lambda s: s.getField("x"),
+        ).alias("xs"),
+    ).where(F.size("xs") >= _HW_P * 2 + 1)
+    week1 = sum(
+        (F.element_at("xs", i) for i in range(2, _HW_P + 1)),
+        F.element_at("xs", 1),
+    )
+    week2 = sum(
+        (F.element_at("xs", i) for i in range(_HW_P + 2, 2 * _HW_P + 1)),
+        F.element_at("xs", _HW_P + 1),
+    )
+    init = series.select(
+        "days",
+        "xs",
+        (week1 / _HW_P).alias("l0"),
+        ((week2 - week1) / (_HW_P * _HW_P)).alias("b0"),
+    )
+    al, be, ga = _HW_ALPHA, _HW_BETA, _HW_GAMMA
+
+    def new_l(acc, item):
+        return F.lit(al) * (item - F.element_at(acc, 3)) + F.lit(1 - al) * (
+            F.element_at(acc, 1) + F.element_at(acc, 2)
+        )
+
+    folded = init.withColumn(
+        "acc",
+        F.aggregate(
+            F.slice(F.col("xs"), _HW_P + 1, F.size("xs") - _HW_P),
+            F.concat(
+                F.array(F.col("l0"), F.col("b0")),
+                F.transform(
+                    F.slice(F.col("xs"), 1, _HW_P),
+                    lambda v: v - F.col("l0"),
+                ),
+            ),
+            lambda acc, item: F.concat(
+                F.array(
+                    new_l(acc, item),
+                    F.lit(be) * (new_l(acc, item) - F.element_at(acc, 1))
+                    + F.lit(1 - be) * F.element_at(acc, 2),
+                ),
+                F.slice(acc, 4, _HW_P - 1),
+                F.array(
+                    F.lit(ga) * (item - new_l(acc, item))
+                    + F.lit(1 - ga) * F.element_at(acc, 3)
+                ),
+                F.slice(
+                    acc,
+                    _HW_P + 3,
+                    F.greatest(F.size(acc) - (_HW_P + 2), F.lit(0)),
+                ),
+                F.array(
+                    F.element_at(acc, 1)
+                    + F.element_at(acc, 2)
+                    + F.element_at(acc, 3)
+                ),
+            ),
+        ),
+    )
+    out = folded.select(
+        F.explode(F.sequence(F.lit(_HW_P + 1), F.size("xs"))).alias("i"),
+        "days",
+        "xs",
+        "acc",
+    )
+    return out.select(
+        F.element_at("days", F.col("i").cast("int")).alias("day"),
+        F.round(F.element_at("xs", F.col("i").cast("int")), 4).alias(
+            "actual"
+        ),
+        F.round(F.element_at("acc", (F.col("i") + 2).cast("int")), 4).alias(
+            "forecast"
+        ),
+        round_nz(
+            F.element_at("xs", F.col("i").cast("int"))
+            - F.element_at("acc", (F.col("i") + 2).cast("int")),
+            4,
+        ).alias("residual"),
+    ).orderBy("day")
