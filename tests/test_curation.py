@@ -70,3 +70,129 @@ def test_split_and_shard_keys_are_independent(spark):
     # Every shard contains test docs at roughly the global 10% rate.
     for r in got:
         assert 0.0 < r["test_frac"] < 0.35
+
+
+# ---------------------------------------------------------------------------
+# Round-3g semantic invariants (q322-q336) — properties the DuckDB
+# differential cannot express because both engines could share a bug.
+
+
+def test_q322_km_survival_is_monotone_and_risk_set_conserves(spark, sf_dir):
+    from azure_batch_map_reduce_spark.registry import load_all
+
+    rows = (
+        load_all()["q322_kaplan_meier_survival"]
+        .fn(spark, sf_dir)
+        .collect()
+    )
+    assert rows, "life table must not be empty"
+    # n_risk starts at the full cohort and shrinks by exactly the
+    # deaths+censored of the preceding bins.
+    total = rows[0]["n_risk"]
+    seen = 0
+    prev_s = 1.0
+    for r in rows:
+        assert r["n_risk"] == total - seen
+        seen += r["deaths"] + r["censored"]
+        assert r["survival"] <= prev_s + 1e-12, "survival must not increase"
+        assert 0.0 <= r["survival"] <= 1.0
+        prev_s = r["survival"]
+    assert seen == total, "every customer must die or be censored"
+
+
+def test_q323_bh_rejections_form_a_prefix(spark, sf_dir):
+    from azure_batch_map_reduce_spark.registry import load_all
+
+    rows = (
+        load_all()["q323_bh_fdr_control"].fn(spark, sf_dir).collect()
+    )
+    flags = [r["rejected"] for r in sorted(rows, key=lambda r: r["p_rank"])]
+    # step-up: every rejection precedes every acceptance
+    if True in flags:
+        last_reject = max(i for i, f in enumerate(flags) if f)
+        assert all(flags[: last_reject + 1]), "rejected set must be a prefix"
+
+
+def test_q332_corrections_are_true_edit_distance_one(spark, sf_dir):
+    from azure_batch_map_reduce_spark.registry import load_all
+
+    def ed1(a: str, b: str) -> bool:
+        if a == b:
+            return False
+        la, lb = len(a), len(b)
+        if abs(la - lb) > 1:
+            return False
+        # classic two-pointer check for edit distance exactly 1
+        i = j = diff = 0
+        while i < la and j < lb:
+            if a[i] == b[j]:
+                i += 1
+                j += 1
+                continue
+            diff += 1
+            if diff > 1:
+                return False
+            if la == lb:
+                i += 1
+                j += 1
+            elif la > lb:
+                i += 1
+            else:
+                j += 1
+        return diff + (la - i) + (lb - j) == 1
+
+    rows = (
+        load_all()["q332_symspell_typo_correction"]
+        .fn(spark, sf_dir)
+        .collect()
+    )
+    assert rows, "typo injection must produce candidates"
+    for r in rows:
+        assert ed1(r["typo"], r["correction"]), (
+            r["typo"],
+            r["correction"],
+        )
+        assert r["correction_count"] >= 10 * r["typo_count"]
+
+
+def test_q333_conformal_coverage_near_nominal(spark, sf_dir):
+    from azure_batch_map_reduce_spark.registry import load_all
+
+    rows = (
+        load_all()["q333_conformal_prediction"].fn(spark, sf_dir).collect()
+    )
+    assert rows
+    for r in rows:
+        assert r["interval_halfwidth"] >= 0
+        assert 0.0 <= r["empirical_coverage"] <= 1.0
+        # finite-sample conformal guarantee is >= 0.9 in expectation
+        # over splits; allow small-n slack at fixture scale.
+        assert r["empirical_coverage"] >= 0.8, r
+
+
+def test_q336_qini_curve_telescopes_to_overall_lift(spark, sf_dir):
+    from azure_batch_map_reduce_spark.registry import load_all
+
+    rows = (
+        load_all()["q336_uplift_qini_curve"].fn(spark, sf_dir).collect()
+    )
+    assert len(rows) == 10
+    nt = sum(r["n_treat"] for r in rows)
+    nc = sum(r["n_ctrl"] for r in rows)
+    rt = sum(r["resp_treat"] for r in rows)
+    rc = sum(r["resp_ctrl"] for r in rows)
+    last = rows[-1]["qini"]
+    expected = rt - rc * nt / nc
+    assert abs(last - expected) < 1e-4, (last, expected)
+
+
+def test_q335_hw_residuals_recompute_and_span(spark, sf_dir):
+    from azure_batch_map_reduce_spark.registry import load_all
+
+    rows = (
+        load_all()["q335_holt_winters_seasonal"].fn(spark, sf_dir).collect()
+    )
+    # one forecast row per day after the first seasonal period
+    assert len(rows) >= 7
+    for r in rows:
+        assert abs(r["residual"] - round(r["actual"] - r["forecast"], 4)) <= 1e-9
