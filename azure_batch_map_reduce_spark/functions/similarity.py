@@ -3067,3 +3067,193 @@ def q327_jl_projection_distortion(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .orderBy("ratio_bin")
     )
+
+
+_KNNSV_K = 5
+_KNNSV_N_QUERIES = 20
+_KNNSV_TOPN = 20
+
+
+@query(
+    "q337_knn_shapley_valuation",
+    oracle=f"""
+    WITH q AS (
+        SELECT vec_id AS qid, embedding AS qe, label % 2 AS qy
+        FROM embeddings WHERE vec_id < {_KNNSV_N_QUERIES}
+    ),
+    tr AS (
+        SELECT vec_id AS tid, embedding AS te, label % 2 AS ty
+        FROM embeddings WHERE vec_id >= {_KNNSV_N_QUERIES}
+    ),
+    scored AS (
+        SELECT q.qid, tr.tid, tr.ty,
+               CASE WHEN tr.ty = q.qy THEN 1 ELSE 0 END AS hit,
+               round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                   list_transform(generate_series(1, 64),
+                       i -> (CAST(tr.te[i] AS DOUBLE)
+                             - CAST(q.qe[i] AS DOUBLE))
+                            * (CAST(tr.te[i] AS DOUBLE)
+                               - CAST(q.qe[i] AS DOUBLE)))),
+                   (x, y) -> x + y), 4) AS dist_r
+        FROM tr CROSS JOIN q
+    ),
+    ranked AS (
+        SELECT qid, tid, ty, hit,
+               row_number() OVER (PARTITION BY qid
+                                  ORDER BY dist_r, tid) AS rn,
+               count(*) OVER (PARTITION BY qid) AS n,
+               lead(hit) OVER (PARTITION BY qid
+                               ORDER BY dist_r, tid) AS hit_next
+        FROM scored
+    ),
+    terms AS (
+        SELECT qid, tid,
+               CASE WHEN rn = n
+                    THEN CAST(hit AS DOUBLE) / n
+                    ELSE CAST(hit - hit_next AS DOUBLE)
+                         / greatest({_KNNSV_K}, rn) END AS t,
+               rn
+        FROM ranked
+    ),
+    sv AS (
+        SELECT qid, tid,
+               sum(t) OVER (PARTITION BY qid ORDER BY rn DESC
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND CURRENT ROW) AS sv
+        FROM terms
+    ),
+    pooled AS (
+        SELECT tid,
+               list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                   list(sv ORDER BY qid)), (x, y) -> x + y)
+                   / {_KNNSV_N_QUERIES} AS mean_sv
+        FROM sv GROUP BY tid
+    )
+    SELECT p.tid AS train_vec_id,
+           t.ty AS train_label,
+           round(p.mean_sv, 6) + 0.0 AS mean_shapley
+    FROM pooled p JOIN tr t ON p.tid = t.tid
+    ORDER BY round(p.mean_sv, 6) DESC, p.tid
+    LIMIT {_KNNSV_TOPN}
+    """,
+    tags=("llm", "data-valuation", "shapley", "knn", "curation"),
+)
+def q337_knn_shapley_valuation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact KNN-Shapley data valuation (Jia et al., VLDB'19): each
+    training vector's Shapley value for a K=5 nearest-neighbor
+    classifier, computed EXACTLY by the closed-form recursion — sort
+    train points by distance to a test query, then
+    s₍N₎ = δ_N/N and s₍ᵢ₎ = s₍ᵢ₊₁₎ + (δᵢ − δᵢ₊₁)/max(K, i) — and
+    averaged over a 20-query probe set. The training points whose
+    removal most hurts the classifier surface at the top; negative
+    values flag mislabeled/harmful examples — the principled version
+    of "which data is worth keeping" that q299 (uncertainty) and q307
+    (coverage) approximate.
+
+    Determinism: distances fold in element order (bit-identical) and
+    round to 4 with a tid tie-break BEFORE ranking (the argmin
+    discipline); the suffix sum runs in identical descending-rank
+    frame order on both engines; the 20 per-query values pool via an
+    ORDERED list fold (never an unordered float sum); the final top-20
+    sorts on the rounded value with a tid tie-break.
+
+    Scale posture: the probe set is a 20-row broadcast (map-side
+    fan-out; the corpus never shuffles for scoring); ranks and the
+    recursion run in windows PARTITIONED by query — 20 independent
+    sequential scans, never a global gather. At 100 TB the per-query
+    candidate set is first shortlisted by the q73/q280 ANN index
+    (the recursion's tail contributes O(1/i) — truncation is the
+    standard approximation), making each window O(shortlist) instead
+    of O(N). Reference contract: per-pair scoring = map slot
+    (``App.config:16``); per-query recursion + pooling = reduce slot
+    (``App.config:17``)."""
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    q = emb.where(F.col("vec_id") < _KNNSV_N_QUERIES).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("qe"),
+        (F.col("label") % 2).alias("qy"),
+    )
+    tr = emb.where(F.col("vec_id") >= _KNNSV_N_QUERIES).select(
+        F.col("vec_id").alias("tid"),
+        F.col("embedding").alias("te"),
+        (F.col("label") % 2).alias("ty"),
+    )
+    dist = F.aggregate(
+        F.zip_with(
+            F.col("te"),
+            F.col("qe"),
+            lambda a, b: (a.cast("double") - b.cast("double"))
+            * (a.cast("double") - b.cast("double")),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    scored = tr.join(F.broadcast(q)).select(
+        "qid",
+        "tid",
+        "ty",
+        F.when(F.col("ty") == F.col("qy"), 1).otherwise(0).alias("hit"),
+        F.round(dist, 4).alias("dist_r"),
+    )
+    wq = Window.partitionBy("qid").orderBy("dist_r", "tid")
+    ranked = scored.select(
+        "qid",
+        "tid",
+        "ty",
+        "hit",
+        F.row_number().over(wq).alias("rn"),
+        F.count(F.lit(1))
+        .over(Window.partitionBy("qid"))
+        .alias("n"),
+        F.lead("hit").over(wq).alias("hit_next"),
+    )
+    terms = ranked.select(
+        "qid",
+        "tid",
+        "rn",
+        F.when(
+            F.col("rn") == F.col("n"),
+            F.col("hit").cast("double") / F.col("n"),
+        )
+        .otherwise(
+            (F.col("hit") - F.col("hit_next")).cast("double")
+            / F.greatest(F.lit(_KNNSV_K), F.col("rn"))
+        )
+        .alias("t"),
+    )
+    wsuf = (
+        Window.partitionBy("qid")
+        .orderBy(F.desc("rn"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    sv = terms.select("qid", "tid", F.sum("t").over(wsuf).alias("sv"))
+    pooled = (
+        sv.groupBy("tid")
+        .agg(
+            F.aggregate(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("qid", "sv"))),
+                    lambda s: s.getField("sv"),
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ).alias("sum_sv")
+        )
+        .select(
+            "tid", (F.col("sum_sv") / _KNNSV_N_QUERIES).alias("mean_sv")
+        )
+    )
+    from azure_batch_map_reduce_spark.operators.ranks import round_nz
+
+    return (
+        pooled.join(tr.select("tid", "ty"), "tid")
+        .select(
+            F.col("tid").alias("train_vec_id"),
+            F.col("ty").alias("train_label"),
+            round_nz(F.col("mean_sv"), 6).alias("mean_shapley"),
+            F.round(F.col("mean_sv"), 6).alias("_key"),
+        )
+        .orderBy(F.desc("_key"), F.asc("train_vec_id"))
+        .limit(_KNNSV_TOPN)
+        .drop("_key")
+    )
