@@ -4711,3 +4711,220 @@ def q336_uplift_qini_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("qini"),
     ).orderBy("decile")
+
+
+_EPOCH_N = 3
+_EPOCH_SHARDS = 8
+
+
+@query(
+    "q338_epoch_shuffle_plan",
+    oracle=f"""
+    WITH epochs AS (SELECT unnest(generate_series(1, {_EPOCH_N})) AS epoch),
+    assigned AS (
+        SELECT e.epoch, d.doc_id, d.source,
+               ('0x' || substr(md5('shuffle|' || CAST(e.epoch AS VARCHAR)
+                    || '|' || CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT
+                   % {_EPOCH_SHARDS} AS shard
+        FROM documents d CROSS JOIN epochs e
+    ),
+    cells AS (
+        SELECT epoch, shard, count(*) AS n_docs,
+               count(DISTINCT source) AS n_sources
+        FROM assigned GROUP BY epoch, shard
+    ),
+    moved AS (
+        SELECT a1.epoch AS epoch,
+               sum(CASE WHEN a1.shard <> a2.shard THEN 1 ELSE 0 END)
+                   AS n_moved,
+               count(*) AS n_total
+        FROM assigned a1
+        JOIN assigned a2
+          ON a1.doc_id = a2.doc_id AND a2.epoch = a1.epoch + 1
+        GROUP BY a1.epoch
+    )
+    SELECT c.epoch, CAST(c.shard AS INTEGER) AS shard,
+           CAST(c.n_docs AS BIGINT) AS n_docs,
+           CAST(c.n_sources AS BIGINT) AS n_sources,
+           round(CAST(m.n_moved AS DOUBLE) / m.n_total, 6)
+               AS reshuffle_rate_to_next
+    FROM cells c
+    LEFT JOIN moved m ON c.epoch = m.epoch
+    ORDER BY c.epoch, c.shard
+    """,
+    tags=("llm", "curation", "shuffle", "training", "epochs"),
+)
+def q338_epoch_shuffle_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Epoch-wise training-shuffle plan: every epoch reassigns each
+    document to one of 8 reader shards via a seed=epoch hash channel —
+    the deterministic global shuffle a multi-epoch training run needs
+    (same data, different order every epoch, reproducible from the
+    epoch number alone, no RNG state to checkpoint). The audit emits
+    per-(epoch, shard) composition (balanced counts, all sources
+    present in every shard) and the epoch-to-epoch reshuffle rate,
+    which must sit near 1 − 1/shards ≈ 0.875 — a LOW rate means the
+    "shuffle" is recycling last epoch's order, the classic
+    data-loader bug that correlates batches across epochs.
+
+    Determinism: assignment is an md5(epoch, doc) channel; counts
+    exact; one rounded division per epoch pair.
+
+    Scale posture: assignment is a stateless map replicated per epoch
+    (epochs is a 3-row broadcast); the composition audit is
+    partial+final on 24 cells; the reshuffle join is an equi-join on
+    doc_id between consecutive epochs — at 100 TB the physical
+    realization is ``repartition(shards, hash)`` + ``write.partitionBy``
+    per epoch, and THIS plan's counts predict its file sizes exactly.
+    Reference contract: per-doc shard hashing = map slot
+    (``App.config:16``); composition audit = reduce slot
+    (``App.config:17``)."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    epochs = spark.range(1, _EPOCH_N + 1).select(
+        F.col("id").cast("integer").alias("epoch")
+    )
+    assigned = docs.crossJoin(F.broadcast(epochs)).select(
+        "epoch",
+        "doc_id",
+        "source",
+        (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.lit("shuffle|"),
+                            F.col("epoch").cast("string"),
+                            F.lit("|"),
+                            F.col("doc_id").cast("string"),
+                        )
+                    ),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % _EPOCH_SHARDS
+        ).alias("shard"),
+    )
+    cells = assigned.groupBy("epoch", "shard").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("source").alias("n_sources"),
+    )
+    a1 = assigned.select("doc_id", "epoch", F.col("shard").alias("s1"))
+    a2 = assigned.select(
+        "doc_id",
+        (F.col("epoch") - 1).alias("epoch"),
+        F.col("shard").alias("s2"),
+    )
+    moved = (
+        a1.join(a2, ["doc_id", "epoch"])
+        .groupBy("epoch")
+        .agg(
+            F.sum(
+                F.when(F.col("s1") != F.col("s2"), 1).otherwise(0)
+            ).alias("n_moved"),
+            F.count(F.lit(1)).alias("n_total"),
+        )
+    )
+    return (
+        cells.join(F.broadcast(moved), "epoch", "left")
+        .select(
+            "epoch",
+            F.col("shard").cast("integer").alias("shard"),
+            F.col("n_docs").cast("long").alias("n_docs"),
+            F.col("n_sources").cast("long").alias("n_sources"),
+            F.round(
+                F.col("n_moved").cast("double") / F.col("n_total"), 6
+            ).alias("reshuffle_rate_to_next"),
+        )
+        .orderBy("epoch", "shard")
+    )
+
+
+# Standard normal quantiles as LITERAL constants (z for alpha=0.05
+# two-sided and power=0.8) — never computed via erf/ppf, which are
+# libm-dependent and cross-engine unsafe.
+_PWR_Z_ALPHA = 1.959963984540054
+_PWR_Z_BETA = 0.8416212335729143
+_PWR_MDE_REL_NUM = 1  # minimum detectable effect = 10% relative lift
+_PWR_MDE_REL_DEN = 10
+
+
+@query(
+    "q339_power_analysis_sample_size",
+    oracle=f"""
+    WITH rates AS (
+        SELECT event_type,
+               count(*) AS n_events,
+               count(DISTINCT user_id) AS n_users,
+               sum(CASE WHEN value > 100 THEN 1 ELSE 0 END) AS conv
+        FROM events
+        GROUP BY event_type
+    ),
+    calc AS (
+        SELECT event_type, n_events, n_users,
+               CAST(conv AS DOUBLE) / n_events AS p1,
+               CAST(conv AS DOUBLE) / n_events
+                   * (1.0 + CAST({_PWR_MDE_REL_NUM} AS DOUBLE)
+                          / {_PWR_MDE_REL_DEN}) AS p2
+        FROM rates
+    )
+    SELECT event_type,
+           CAST(n_events AS BIGINT) AS n_events,
+           round(p1, 6) AS baseline_rate,
+           round(p2, 6) AS target_rate,
+           CAST(ceil(({_PWR_Z_ALPHA} + {_PWR_Z_BETA})
+                     * ({_PWR_Z_ALPHA} + {_PWR_Z_BETA})
+                     * (p1 * (1.0 - p1) + p2 * (1.0 - p2))
+                     / ((p2 - p1) * (p2 - p1))) AS BIGINT)
+               AS required_n_per_arm,
+           (n_events >= 2 * ceil(({_PWR_Z_ALPHA} + {_PWR_Z_BETA})
+                     * ({_PWR_Z_ALPHA} + {_PWR_Z_BETA})
+                     * (p1 * (1.0 - p1) + p2 * (1.0 - p2))
+                     / ((p2 - p1) * (p2 - p1)))) AS currently_powered
+    FROM calc
+    ORDER BY event_type
+    """,
+    tags=("experimentation", "power", "sample-size", "ab-test"),
+)
+def q339_power_analysis_sample_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B-test power analysis — the question asked BEFORE q141's
+    z-test ever runs: for each event family's baseline conversion
+    rate (value > 100), how many units per arm does a two-proportion
+    test need to detect a 10% relative lift at α=0.05 (two-sided)
+    with 80% power, and does the current traffic volume clear it.
+    n = (z_α/2 + z_β)²·(p₁q₁ + p₂q₂)/(p₂ − p₁)² with the normal
+    quantiles as literal constants (erf⁻¹ is libm-dependent and
+    banned by the determinism discipline).
+
+    Determinism: conversion counts exact; the formula is a fixed
+    sequence of IEEE arithmetic on both engines; ceil on a
+    bit-identical double.
+
+    Scale posture: ONE partial+final aggregate to the event-type
+    grain; the formula is per-row arithmetic on 5 rows. Reference
+    contract: per-event conversion flagging = map slot
+    (``App.config:16``); power roll-up = reduce slot
+    (``App.config:17``)."""
+    events = load_tables(spark, sf_dir)["events"]
+    rates = events.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.sum(F.when(F.col("value") > 100, 1).otherwise(0)).alias("conv"),
+    )
+    p1 = F.col("conv").cast("double") / F.col("n_events")
+    p2 = p1 * (1.0 + _PWR_MDE_REL_NUM / _PWR_MDE_REL_DEN)
+    z2 = (_PWR_Z_ALPHA + _PWR_Z_BETA) ** 2
+    required = F.ceil(
+        F.lit(z2)
+        * (p1 * (1.0 - p1) + p2 * (1.0 - p2))
+        / ((p2 - p1) * (p2 - p1))
+    )
+    return rates.select(
+        "event_type",
+        F.col("n_events").cast("long").alias("n_events"),
+        F.round(p1, 6).alias("baseline_rate"),
+        F.round(p2, 6).alias("target_rate"),
+        required.cast("long").alias("required_n_per_arm"),
+        (F.col("n_events") >= 2 * required).alias("currently_powered"),
+    ).orderBy("event_type")
