@@ -830,3 +830,65 @@ def test_q330_exists_compiles_to_semi_join(spark, sf_dir):
     plan = plan_of(df)
     assert "LeftSemi" in plan or "left_semi" in plan.lower()
     assert "PushedFilters" in plan
+
+
+# ---------------------------------------------------------------------------
+# Round-3g additions (q331-q339).
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "q331_column_masking_policy",   # stateless map + segment rollup
+        "q333_conformal_prediction",    # rank primitive + 5-row broadcasts
+        "q334_quantile_treatment_effect",  # rank primitive + 18-row targets
+        "q336_uplift_qini_curve",       # rank primitive + 10-row curve
+        "q338_epoch_shuffle_plan",      # 3-row epoch broadcast, doc equi-join
+        "q339_power_analysis_sample_size",  # single partial+final aggregate
+    ],
+)
+def test_r3g_no_cartesian(spark, sf_dir, name):
+    plan = plan_of(REGISTRY[name].fn(spark, sf_dir))
+    assert "CartesianProduct" not in plan, name
+
+
+def test_q331_rls_predicate_pushes_to_scan(spark, sf_dir):
+    """The row-level-security filter must reach the parquet scan as a
+    pushed filter, not run post-scan."""
+    plan = plan_of(REGISTRY["q331_column_masking_policy"].fn(spark, sf_dir))
+    assert "PushedFilters" in plan
+    assert "c_mktsegment" in plan
+
+
+def test_q332_candidate_joins_run_at_vocab_grain(spark, sf_dir):
+    """SymSpell candidate generation joins variant tables derived from
+    the counted VOCABULARY — the corpus-grain token stream feeds only
+    the count aggregate, so the plan has exactly one corpus-grain
+    aggregation subtree and no cartesian product."""
+    plan = plan_of(
+        REGISTRY["q332_symspell_typo_correction"].fn(spark, sf_dir)
+    )
+    assert "CartesianProduct" not in plan
+
+
+def test_q334_rank_rides_range_partitioning(spark, sf_dir):
+    """The QTE quantiles must use the sample-sort rank primitive (range
+    shuffle), not a global single-partition window."""
+    plan = plan_of(
+        REGISTRY["q334_quantile_treatment_effect"].fn(spark, sf_dir)
+    )
+    assert "rangepartitioning" in plan.lower()
+
+
+def test_q337_probe_set_broadcasts_and_windows_are_partitioned(spark, sf_dir):
+    """KNN-Shapley: the 20-query probe set must broadcast (corpus never
+    shuffles for scoring) and every window must be PARTITIONED by
+    query — no 'No Partition Defined' global gather."""
+    df = REGISTRY["q337_knn_shapley_valuation"].fn(spark, sf_dir)
+    plan = plan_of(df)
+    assert "Broadcast" in plan
+    opt = optimized_of(df)
+    specs = opt.split("windowspecdefinition(")[1:]
+    assert specs, "expected window specs in the optimized plan"
+    for spec in specs:
+        assert spec.startswith("qid"), spec[:80]
