@@ -90,6 +90,7 @@ HEADLINE = [
     "q327_jl_projection_distortion",
     "q328_shipping_priority",
     "q332_symspell_typo_correction",
+    "q337_knn_shapley_valuation",
 ]
 
 
