@@ -3368,3 +3368,130 @@ def q335_holt_winters_seasonal(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("residual"),
     ).orderBy("day")
+
+
+_UPA_FIRST_BP = 4000  # U-shaped: 40% first touch, 40% last, 20% middle
+_UPA_LAST_BP = 4000
+_UPA_MID_BP = 2000
+
+
+@query(
+    "q340_position_based_attribution",
+    oracle=f"""
+    WITH conv AS (
+        SELECT user_id, min(ts) AS conv_ts FROM events
+        WHERE event_type = 'purchase' GROUP BY user_id
+    ),
+    touches AS (
+        SELECT e.user_id, e.event_type, e.ts, e.event_id,
+               row_number() OVER (PARTITION BY e.user_id
+                   ORDER BY date_trunc('microseconds', e.ts), e.event_id)
+                   AS pos,
+               count(*) OVER (PARTITION BY e.user_id) AS k
+        FROM events e JOIN conv c ON e.user_id = c.user_id
+        WHERE e.ts < c.conv_ts AND e.event_type <> 'purchase'
+    ),
+    credited AS (
+        SELECT event_type,
+               CASE
+                 WHEN k = 1 THEN 10000
+                 WHEN k = 2 THEN
+                   CASE WHEN pos = 1
+                        THEN {_UPA_FIRST_BP + _UPA_MID_BP // 2}
+                        ELSE {_UPA_LAST_BP + _UPA_MID_BP - _UPA_MID_BP // 2}
+                        END
+                 WHEN pos = 1 THEN {_UPA_FIRST_BP}
+                 WHEN pos = k THEN {_UPA_LAST_BP}
+                 ELSE {_UPA_MID_BP} // (k - 2)
+                      + CASE WHEN pos - 1 <= {_UPA_MID_BP} % (k - 2)
+                             THEN 1 ELSE 0 END
+               END AS credit_bp
+        FROM touches
+    )
+    SELECT event_type AS channel,
+           CAST(count(*) AS BIGINT) AS n_touches,
+           CAST(sum(credit_bp) AS BIGINT) AS credit_bp,
+           round(CAST(sum(credit_bp) AS DOUBLE) / 10000, 4)
+               AS conversions_credited
+    FROM credited
+    GROUP BY event_type
+    ORDER BY channel
+    """,
+    tags=("window", "attribution", "marketing", "funnel"),
+)
+def q340_position_based_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Position-based (U-shaped) multi-touch attribution: each
+    converting user's pre-purchase touches split one conversion's
+    credit 40% / 20% / 40% across first / middle / last touch — the
+    standard middle ground between last-touch (q152) and Shapley
+    (q295). Middle credit allocates in EXACT integer basis points:
+    2000 div (k−2) each plus one extra bp to the earliest
+    (2000 mod (k−2)) middle touches, so every journey credits exactly
+    10000 bp — conservation is an integer identity, not a float hope
+    (2-touch journeys split the middle share 1000/1000).
+
+    Determinism: touch order is (µs-truncated ts, event_id) — the ns
+    oracle-sort trap; credit is pure integer arithmetic; one rounded
+    division at report time.
+
+    Scale posture: per-user windows are keyed (user_id partitions);
+    the conversion table joins back user-keyed; the report is a
+    5-key rollup with map-side combine. Reference contract: per-event
+    credit assignment = map slot (``App.config:16``); channel rollup
+    = reduce slot (``App.config:17``)."""
+    events = load_tables(spark, sf_dir)["events"]
+    conv = (
+        events.where(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("conv_ts"))
+    )
+    touches = (
+        events.join(conv, "user_id")
+        .where(
+            (F.col("ts") < F.col("conv_ts"))
+            & (F.col("event_type") != "purchase")
+        )
+        .select("user_id", "event_type", "ts", "event_id")
+    )
+    wu = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wk = Window.partitionBy("user_id")
+    pos_k = touches.select(
+        "event_type",
+        F.row_number().over(wu).alias("pos"),
+        F.count(F.lit(1)).over(wk).alias("k"),
+    )
+    half = _UPA_MID_BP // 2
+    credit = (
+        F.when(F.col("k") == 1, 10000)
+        .when(
+            F.col("k") == 2,
+            F.when(F.col("pos") == 1, _UPA_FIRST_BP + half).otherwise(
+                _UPA_LAST_BP + _UPA_MID_BP - half
+            ),
+        )
+        .when(F.col("pos") == 1, _UPA_FIRST_BP)
+        .when(F.col("pos") == F.col("k"), _UPA_LAST_BP)
+        .otherwise(
+            F.expr(f"{_UPA_MID_BP} div (k - 2)")
+            + F.when(
+                F.col("pos") - 1 <= _UPA_MID_BP % (F.col("k") - 2), 1
+            ).otherwise(0)
+        )
+    )
+    return (
+        pos_k.select("event_type", credit.alias("credit_bp"))
+        .groupBy(F.col("event_type").alias("channel"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_touches"),
+            F.sum("credit_bp").cast("long").alias("credit_bp"),
+        )
+        .select(
+            "channel",
+            "n_touches",
+            "credit_bp",
+            F.round(F.col("credit_bp").cast("double") / 10000, 4).alias(
+                "conversions_credited"
+            ),
+        )
+        .orderBy("channel")
+    )

@@ -196,3 +196,34 @@ def test_q335_hw_residuals_recompute_and_span(spark, sf_dir):
     assert len(rows) >= 7
     for r in rows:
         assert abs(r["residual"] - round(r["actual"] - r["forecast"], 4)) <= 1e-9
+
+
+def test_q340_attribution_conserves_credit_exactly(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from azure_batch_map_reduce_spark.catalog import load_tables
+    from azure_batch_map_reduce_spark.registry import load_all
+
+    rows = (
+        load_all()["q340_position_based_attribution"]
+        .fn(spark, sf_dir)
+        .collect()
+    )
+    total_bp = sum(r["credit_bp"] for r in rows)
+    events = load_tables(spark, sf_dir)["events"]
+    conv = (
+        events.where(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("conv_ts"))
+    )
+    converters_with_touches = (
+        events.join(conv, "user_id")
+        .where(
+            (F.col("ts") < F.col("conv_ts"))
+            & (F.col("event_type") != "purchase")
+        )
+        .select("user_id")
+        .distinct()
+        .count()
+    )
+    assert total_bp == 10000 * converters_with_touches
