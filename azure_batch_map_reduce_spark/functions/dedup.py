@@ -509,22 +509,26 @@ def connected_components(edges: DataFrame, max_iter: int = 25) -> DataFrame:
     sym = edges.union(
         edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
     ).persist()
+    # localCheckpoint (NOT persist) per round: persist caches data but
+    # keeps lineage, so each round's plan embeds every previous round's
+    # tree — at sf0.1 the CC loop needed enough rounds that plan-tree
+    # STRING generation alone OOMed an 8g driver (the q103 iterative-
+    # DataFrame trap, resurfaced). Eager localCheckpoint materializes
+    # the (|nodes|)-row label vector and cuts the plan back to a leaf.
     labels = (
         sym.select(F.col("u").alias("node")).distinct()
         .withColumn("label", F.col("node"))
-        .persist()
+        .localCheckpoint(eager=True)
     )
     prev_sum = labels.agg(F.sum("label")).first()[0]
     for _ in range(max_iter):
         nbr = sym.join(labels, sym["v"] == labels["node"]).select(
             sym["u"].alias("node"), "label"
         )
-        new_labels = (
+        labels = (
             nbr.union(labels).groupBy("node").agg(F.min("label").alias("label"))
-        ).persist()
-        cur_sum = new_labels.agg(F.sum("label")).first()[0]
-        labels.unpersist()
-        labels = new_labels
+        ).localCheckpoint(eager=True)
+        cur_sum = labels.agg(F.sum("label")).first()[0]
         if cur_sum == prev_sum:
             break
         prev_sum = cur_sum

@@ -41,25 +41,28 @@ def upsert(target: DataFrame, updates: DataFrame, key: str) -> DataFrame:
     WITH updates AS (
         SELECT o_orderkey,
                'P' AS o_orderstatus,
-               round(o_totalprice * 1.1, 2) AS o_totalprice
+               (CAST(round(o_totalprice * 100) AS BIGINT) * 110 + 50) // 100
+                   AS cents
         FROM orders WHERE o_orderkey % 10 = 3
         UNION ALL
-        SELECT 900000000 + o_orderkey, 'N', round(o_totalprice, 2)
+        SELECT 900000000 + o_orderkey, 'N',
+               CAST(round(o_totalprice * 100) AS BIGINT)
         FROM orders WHERE o_orderkey % 100 = 7
     ),
     base AS (
-        SELECT o_orderkey, o_orderstatus, round(o_totalprice, 2) AS o_totalprice
+        SELECT o_orderkey, o_orderstatus,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS cents
         FROM orders
     ),
     merged AS (
         SELECT coalesce(u.o_orderkey, b.o_orderkey)         AS o_orderkey,
                coalesce(u.o_orderstatus, b.o_orderstatus)   AS o_orderstatus,
-               coalesce(u.o_totalprice, b.o_totalprice)     AS o_totalprice
+               coalesce(u.cents, b.cents)                   AS cents
         FROM base b FULL OUTER JOIN updates u USING (o_orderkey)
     )
     SELECT o_orderstatus,
-           count(*)                    AS n,
-           round(sum(o_totalprice), 2) AS total
+           count(*)                        AS n,
+           CAST(sum(cents) AS DOUBLE) / 100 AS total
     FROM merged
     GROUP BY o_orderstatus
     """,
@@ -72,23 +75,31 @@ def q98_upsert_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     post-merge state. One full-outer shuffle; co-bucketed layouts make
     it shuffle-free."""
     orders = load_tables(spark, sf_dir)["orders"]
+    # Money stays in exact integer cents end-to-end: the 10% correction
+    # round(price*1.1, 2) hits half-cent boundaries differently per
+    # engine at sf0.1 (0.06 total drift observed), and a 60k-row raw
+    # double sum adds order-dependent ulps — both die when the
+    # correction is (cents*110 + 50) div 100 and the rollup sums longs
+    # (the q207 float-cents discipline).
     base = orders.select(
-        "o_orderkey", "o_orderstatus", F.round("o_totalprice", 2).alias("o_totalprice")
+        "o_orderkey",
+        "o_orderstatus",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
     )
     corrections = base.filter(F.col("o_orderkey") % 10 == 3).select(
         "o_orderkey",
         F.lit("P").alias("o_orderstatus"),
-        F.round(F.col("o_totalprice") * 1.1, 2).alias("o_totalprice"),
+        F.expr("(cents * 110 + 50) div 100").alias("cents"),
     )
     inserts = base.filter(F.col("o_orderkey") % 100 == 7).select(
         (F.lit(900_000_000) + F.col("o_orderkey")).alias("o_orderkey"),
         F.lit("N").alias("o_orderstatus"),
-        F.col("o_totalprice"),
+        F.col("cents"),
     )
     merged = upsert(base, corrections.unionByName(inserts), "o_orderkey")
     return merged.groupBy("o_orderstatus").agg(
         F.count(F.lit(1)).alias("n"),
-        F.round(F.sum("o_totalprice"), 2).alias("total"),
+        (F.sum("cents").cast("double") / 100).alias("total"),
     )
 
 
