@@ -3489,3 +3489,165 @@ def q309_bloom_join_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("nationkey")
     )
+
+
+def _ols3_formulas() -> dict[str, str]:
+    """Cramer's-rule solution of the 3×3 normal equations as SHARED
+    formula text — the identical expression string evaluates in Spark
+    (``F.expr``) and DuckDB, so given exact integer sums both engines
+    run the same IEEE op sequence and the coefficients are
+    bit-identical. A = [[n,s1,s2],[s1,s11,s12],[s2,s12,s22]],
+    b = [sy,s1y,s2y]; products overflow BIGINT, so every term is
+    computed in DOUBLE (same rounding both sides)."""
+    n, s1, s2 = "CAST(n AS DOUBLE)", "CAST(s1 AS DOUBLE)", "CAST(s2 AS DOUBLE)"
+    s11, s12, s22 = (
+        "CAST(s11 AS DOUBLE)",
+        "CAST(s12 AS DOUBLE)",
+        "CAST(s22 AS DOUBLE)",
+    )
+    sy, s1y, s2y = (
+        "CAST(sy AS DOUBLE)",
+        "CAST(s1y AS DOUBLE)",
+        "CAST(s2y AS DOUBLE)",
+    )
+    det = (
+        f"({n} * ({s11} * {s22} - {s12} * {s12})"
+        f" - {s1} * ({s1} * {s22} - {s12} * {s2})"
+        f" + {s2} * ({s1} * {s12} - {s11} * {s2}))"
+    )
+    det0 = (
+        f"({sy} * ({s11} * {s22} - {s12} * {s12})"
+        f" - {s1} * ({s1y} * {s22} - {s12} * {s2y})"
+        f" + {s2} * ({s1y} * {s12} - {s11} * {s2y}))"
+    )
+    det1 = (
+        f"({n} * ({s1y} * {s22} - {s12} * {s2y})"
+        f" - {sy} * ({s1} * {s22} - {s12} * {s2})"
+        f" + {s2} * ({s1} * {s2y} - {s1y} * {s2}))"
+    )
+    det2 = (
+        f"({n} * ({s11} * {s2y} - {s1y} * {s12})"
+        f" - {s1} * ({s1} * {s2y} - {s1y} * {s2})"
+        f" + {sy} * ({s1} * {s12} - {s11} * {s2}))"
+    )
+    b0, b1, b2 = (
+        f"({det0} / {det})",
+        f"({det1} / {det})",
+        f"({det2} / {det})",
+    )
+    sse = (
+        f"(CAST(syy AS DOUBLE) - {b0} * {sy} - {b1} * {s1y} - {b2} * {s2y})"
+    )
+    sst = f"(CAST(syy AS DOUBLE) - {sy} * {sy} / {n})"
+    return {
+        "b0": b0,
+        "b1": b1,
+        "b2": b2,
+        "r2": f"(1.0 - {sse} / {sst})",
+    }
+
+
+_OLS3 = _ols3_formulas()
+
+
+@query(
+    "q341_multiple_regression_closed_form",
+    oracle=f"""
+    WITH obs AS (
+        SELECT CAST(l_quantity AS BIGINT) AS x1,
+               CAST(round(l_discount * 10000) AS BIGINT) AS x2,
+               CAST(round(l_extendedprice) AS BIGINT) AS y
+        FROM lineitem
+    ),
+    sums AS (
+        SELECT count(*) AS n,
+               sum(x1) AS s1, sum(x2) AS s2,
+               sum(x1 * x1) AS s11, sum(x1 * x2) AS s12,
+               sum(x2 * x2) AS s22,
+               sum(y) AS sy, sum(x1 * y) AS s1y, sum(x2 * y) AS s2y,
+               sum(y * y) AS syy
+        FROM obs
+    )
+    SELECT term, coefficient FROM (
+        SELECT 'intercept' AS term,
+               round({_OLS3["b0"]}, 6) + 0.0 AS coefficient, 1 AS ord
+        FROM sums
+        UNION ALL
+        SELECT 'quantity', round({_OLS3["b1"]}, 6) + 0.0, 2 FROM sums
+        UNION ALL
+        SELECT 'discount_bp', round({_OLS3["b2"]}, 6) + 0.0, 3 FROM sums
+        UNION ALL
+        SELECT 'r_squared', round({_OLS3["r2"]}, 6) + 0.0, 4 FROM sums
+    ) ORDER BY ord
+    """,
+    tags=("statistics", "regression", "closed-form", "ols"),
+)
+def q341_multiple_regression_closed_form(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Multiple linear regression (price ~ quantity + discount) solved
+    in CLOSED FORM from one aggregation pass — the normal equations
+    X'X β = X'y with Cramer's rule on the 3×3 system: the way OLS
+    actually runs at 100 TB (one partial+final pass over the fact
+    table collects ten moment sums; the solve is constant work),
+    generalizing q138's single-feature trend line. Emits the three
+    coefficients and R².
+
+    Determinism: every moment is an exact BIGINT sum of scaled-integer
+    observations (quantity integral, discount in basis points, price
+    in whole dollars so Σy² stays in range); the Cramer solve and R²
+    evaluate the SAME formula text on both engines (``_ols3_formulas``
+    — one IEEE op sequence), so the pre-round coefficients are
+    bit-identical; all outputs round signed-zero-safe.
+
+    Scale posture: ONE partial+final aggregate to a single 10-column
+    row; the solve is per-row arithmetic. Adding features grows the
+    moment vector O(p²) but never adds a pass — the standard
+    normal-equations tradeoff (p small, n huge). Reference contract:
+    per-row moment accumulation = map slot (``App.config:16``);
+    system solve = reduce slot (``App.config:17``)."""
+    li = load_tables(spark, sf_dir)["lineitem"]
+    obs = li.select(
+        F.col("l_quantity").cast("long").alias("x1"),
+        F.round(F.col("l_discount") * 10000).cast("long").alias("x2"),
+        F.round(F.col("l_extendedprice")).cast("long").alias("y"),
+    )
+    sums = obs.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x1").alias("s1"),
+        F.sum("x2").alias("s2"),
+        F.sum(F.col("x1") * F.col("x1")).alias("s11"),
+        F.sum(F.col("x1") * F.col("x2")).alias("s12"),
+        F.sum(F.col("x2") * F.col("x2")).alias("s22"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x1") * F.col("y")).alias("s1y"),
+        F.sum(F.col("x2") * F.col("y")).alias("s2y"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    rows = [
+        ("intercept", _OLS3["b0"], 1),
+        ("quantity", _OLS3["b1"], 2),
+        ("discount_bp", _OLS3["b2"], 3),
+        ("r_squared", _OLS3["r2"], 4),
+    ]
+    from azure_batch_map_reduce_spark.operators.ranks import round_nz
+
+    out = sums.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(t).alias("term"),
+                        round_nz(F.expr(e), 6).alias("coefficient"),
+                        F.lit(o).alias("ord"),
+                    )
+                    for t, e, o in rows
+                ]
+            )
+        ).alias("r")
+    ).select(
+        F.col("r.term").alias("term"),
+        F.col("r.coefficient").alias("coefficient"),
+        F.col("r.ord").alias("ord"),
+    )
+    return out.orderBy("ord").drop("ord").select("term", "coefficient")
