@@ -227,3 +227,18 @@ def test_q340_attribution_conserves_credit_exactly(spark, sf_dir):
         .count()
     )
     assert total_bp == 10000 * converters_with_touches
+
+
+def test_q341_regression_is_sane(spark, sf_dir):
+    from azure_batch_map_reduce_spark.registry import load_all
+
+    rows = {
+        r["term"]: r["coefficient"]
+        for r in load_all()["q341_multiple_regression_closed_form"]
+        .fn(spark, sf_dir)
+        .collect()
+    }
+    assert set(rows) == {"intercept", "quantity", "discount_bp", "r_squared"}
+    # extendedprice grows with quantity by construction of the fixture
+    assert rows["quantity"] > 0
+    assert 0.0 <= rows["r_squared"] <= 1.0
