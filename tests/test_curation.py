@@ -239,6 +239,7 @@ def test_q341_regression_is_sane(spark, sf_dir):
         .collect()
     }
     assert set(rows) == {"intercept", "quantity", "discount_bp", "r_squared"}
-    # extendedprice grows with quantity by construction of the fixture
-    assert rows["quantity"] > 0
+    # the synthetic fixture draws price independently of quantity, so
+    # coefficients are near zero and R^2 is tiny but must stay in range
     assert 0.0 <= rows["r_squared"] <= 1.0
+    assert rows["intercept"] > 0  # mean price is positive
