@@ -3651,3 +3651,129 @@ def q341_multiple_regression_closed_form(
         F.col("r.ord").alias("ord"),
     )
     return out.orderBy("ord").drop("ord").select("term", "coefficient")
+
+
+_RIDGE_LAMBDAS = (0, 10_000, 1_000_000)
+
+
+def _ridge2_formulas(lam: str) -> dict[str, str]:
+    """Centered 2-feature ridge solve as shared formula text (same
+    string runs in Spark ``F.expr`` and DuckDB): C = centered Gram,
+    β = inv(C + λI)·c, intercept unpenalized via the centering
+    identity b0 = ȳ − b1·x̄1 − b2·x̄2. Exact integer sums in, one
+    shared IEEE op sequence out."""
+    n = "CAST(n AS DOUBLE)"
+    c11 = f"(CAST(s11 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / {n})"
+    c22 = f"(CAST(s22 AS DOUBLE) - CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE) / {n})"
+    c12 = f"(CAST(s12 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s2 AS DOUBLE) / {n})"
+    c1y = f"(CAST(s1y AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(sy AS DOUBLE) / {n})"
+    c2y = f"(CAST(s2y AS DOUBLE) - CAST(s2 AS DOUBLE) * CAST(sy AS DOUBLE) / {n})"
+    det = f"(({c11} + {lam}) * ({c22} + {lam}) - {c12} * {c12})"
+    b1 = f"(({c1y} * ({c22} + {lam}) - {c2y} * {c12}) / {det})"
+    b2 = f"(({c2y} * ({c11} + {lam}) - {c1y} * {c12}) / {det})"
+    b0 = (
+        f"(CAST(sy AS DOUBLE) / {n} - {b1} * CAST(s1 AS DOUBLE) / {n}"
+        f" - {b2} * CAST(s2 AS DOUBLE) / {n})"
+    )
+    return {"b0": b0, "b1": b1, "b2": b2}
+
+
+@query(
+    "q342_ridge_regularization_path",
+    oracle=f"""
+    WITH obs AS (
+        SELECT CAST(l_quantity AS BIGINT) AS x1,
+               CAST(round(l_discount * 10000) AS BIGINT) AS x2,
+               CAST(round(l_extendedprice) AS BIGINT) AS y
+        FROM lineitem
+    ),
+    sums AS (
+        SELECT count(*) AS n,
+               sum(x1) AS s1, sum(x2) AS s2,
+               sum(x1 * x1) AS s11, sum(x1 * x2) AS s12,
+               sum(x2 * x2) AS s22,
+               sum(y) AS sy, sum(x1 * y) AS s1y, sum(x2 * y) AS s2y
+        FROM obs
+    )
+    SELECT lam, term, coefficient FROM (
+        {" UNION ALL ".join(
+            f'''SELECT CAST({lam} AS BIGINT) AS lam, '{t}' AS term,
+                round({_ridge2_formulas(f"CAST({lam} AS DOUBLE)")[k]}, 6)
+                    + 0.0 AS coefficient, {o} AS ord FROM sums'''
+            for lam in _RIDGE_LAMBDAS
+            for t, k, o in (
+                ("intercept", "b0", 1),
+                ("quantity", "b1", 2),
+                ("discount_bp", "b2", 3),
+            )
+        )}
+    ) ORDER BY lam, ord
+    """,
+    tags=("statistics", "regression", "ridge", "regularization"),
+)
+def q342_ridge_regularization_path(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Ridge regression regularization path from ONE aggregation pass:
+    the q341 moment sums solve (C + λI)β = c for a λ grid
+    {{0, 10⁴, 10⁶}} with the intercept left unpenalized (centered
+    formulation) — showing coefficient shrinkage toward zero as λ
+    grows, at zero extra data passes. λ=0 reproduces the OLS solution;
+    the path is how the regularization strength is actually chosen
+    before committing to a model at scale.
+
+    Determinism: moments are exact BIGINT sums; each λ's solve is the
+    same shared formula text on both engines (one IEEE sequence);
+    outputs round signed-zero-safe.
+
+    Scale posture: identical to q341 — one partial+final pass, then
+    |grid|×3 rows of per-row arithmetic; the grid adds solves, never
+    passes. Reference contract: moment accumulation = map slot
+    (``App.config:16``); path solve = reduce slot
+    (``App.config:17``)."""
+    from azure_batch_map_reduce_spark.operators.ranks import round_nz
+
+    li = load_tables(spark, sf_dir)["lineitem"]
+    obs = li.select(
+        F.col("l_quantity").cast("long").alias("x1"),
+        F.round(F.col("l_discount") * 10000).cast("long").alias("x2"),
+        F.round(F.col("l_extendedprice")).cast("long").alias("y"),
+    )
+    sums = obs.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x1").alias("s1"),
+        F.sum("x2").alias("s2"),
+        F.sum(F.col("x1") * F.col("x1")).alias("s11"),
+        F.sum(F.col("x1") * F.col("x2")).alias("s12"),
+        F.sum(F.col("x2") * F.col("x2")).alias("s22"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x1") * F.col("y")).alias("s1y"),
+        F.sum(F.col("x2") * F.col("y")).alias("s2y"),
+    )
+    structs = []
+    for lam in _RIDGE_LAMBDAS:
+        fs = _ridge2_formulas(f"CAST({lam} AS DOUBLE)")
+        for t, k, o in (
+            ("intercept", "b0", 1),
+            ("quantity", "b1", 2),
+            ("discount_bp", "b2", 3),
+        ):
+            structs.append(
+                F.struct(
+                    F.lit(lam).cast("long").alias("lam"),
+                    F.lit(t).alias("term"),
+                    round_nz(F.expr(fs[k]), 6).alias("coefficient"),
+                    F.lit(o).alias("ord"),
+                )
+            )
+    return (
+        sums.select(F.explode(F.array(*structs)).alias("r"))
+        .select(
+            F.col("r.lam").alias("lam"),
+            F.col("r.term").alias("term"),
+            F.col("r.coefficient").alias("coefficient"),
+            F.col("r.ord").alias("ord"),
+        )
+        .orderBy("lam", "ord")
+        .drop("ord")
+    )
