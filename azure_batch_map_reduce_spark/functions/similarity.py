@@ -3257,3 +3257,167 @@ def q337_knn_shapley_valuation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(_KNNSV_TOPN)
         .drop("_key")
     )
+
+
+_GD_STEPS = 3
+_GD_LR = 0.1
+_GD_QSCALE = 1_000_000  # gradients quantized to 1e-6 before the exact sum
+
+
+def _gd_oracle_sql() -> str:
+    """Three unrolled full-batch GD steps in SQL. Each step: per-row
+    error from the previous weight list (prepend-0 fold in dim order),
+    per-dim INTEGER-quantized gradient sums (exact, order-free), then
+    the weight update in one shared-arithmetic expression. Every step
+    CTE is MATERIALIZED (the pagerank inlining rule)."""
+    dims = "generate_series(1, 65)"
+    step_tpl = """
+    g{k} AS MATERIALIZED (
+        SELECT s.dim AS dim,
+               sum(CAST(round(err * s.xv * {qs}) AS BIGINT)) AS gq,
+               sum(CAST(round(err * err * {qs}) AS BIGINT)) AS lq,
+               count(*) AS n
+        FROM (
+            SELECT e.err,
+                   unnest(list_transform({dims},
+                       i -> struct_pack(dim := i, xv := e.xa[i]))) AS s
+            FROM (
+                SELECT xa, y,
+                       list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                           list_transform({dims},
+                               i -> xa[i] * w.wl[i])), (a, b) -> a + b) - y
+                           AS err
+                FROM obs CROSS JOIN w{p} w
+            ) e
+        )
+        GROUP BY s.dim
+    ),
+    w{k} AS MATERIALIZED (
+        SELECT list(w.wl[g.dim]
+                    - {lr} * (CAST(g.gq AS DOUBLE) / {qs} / g.n)
+                    ORDER BY g.dim) AS wl,
+               max(CAST(g.lq AS DOUBLE) / {qs} / g.n) AS loss
+        FROM g{k} g CROSS JOIN w{p} w
+    )"""
+    steps = ",".join(
+        step_tpl.format(
+            k=k, p=k - 1 if k > 1 else 0, qs=_GD_QSCALE, lr=_GD_LR, dims=dims
+        )
+        for k in range(1, _GD_STEPS + 1)
+    )
+    selects = " UNION ALL ".join(
+        f"SELECT 'loss' AS item, {k} AS idx, round(loss, 6) + 0.0 AS value"
+        f" FROM w{k}"
+        for k in range(1, _GD_STEPS + 1)
+    )
+    return f"""
+    WITH obs AS (
+        SELECT list_prepend(CAST(1.0 AS DOUBLE),
+                   list_transform(embedding, x -> CAST(x AS DOUBLE))) AS xa,
+               CAST(2 * (label % 2) - 1 AS DOUBLE) AS y
+        FROM embeddings
+    ),
+    w0 AS (SELECT list_transform({dims}, i -> CAST(0.0 AS DOUBLE)) AS wl),
+    {steps}
+    SELECT item, CAST(idx AS INTEGER) AS idx, value FROM (
+        {selects}
+        UNION ALL
+        SELECT 'w', s.dim, round(s.wv, 6) + 0.0
+        FROM (
+            SELECT unnest(list_transform({dims},
+                i -> struct_pack(dim := i, wv := w.wl[i]))) AS s
+            FROM w{_GD_STEPS} w
+        )
+    ) ORDER BY item, idx
+    """
+
+
+@query(
+    "q343_linear_model_gd_steps",
+    oracle=_gd_oracle_sql(),
+    tags=("llm", "training", "gradient-descent", "ml", "linear-model"),
+)
+def q343_linear_model_gd_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed model training — three full-batch gradient-descent
+    steps of a linear classifier (squared loss, 64 features + bias,
+    y = ±1 from label parity) where each step is ONE partial+final
+    aggregate over the data: the canonical data-parallel training
+    loop (compute gradients where the data lives, update the small
+    model centrally — the q103 rank-vector shape with a 65-float
+    model instead of a rank table). Emits the per-step training loss
+    (decreasing) and the final weights.
+
+    Determinism: distributed gradient sums of doubles are
+    order-dependent, so each example's per-dimension contribution is
+    QUANTIZED to 1e-6 and summed as exact BIGINTs (the deterministic
+    twin of fp32 compensated accumulation); the weight update and the
+    per-row error fold (dim order, 0.0-prepend seed) are the same
+    shared IEEE sequence on both engines, so weights stay
+    bit-identical across all three steps.
+
+    Scale posture: per step, the corpus is scanned once, the shuffle
+    carries 65 integer cells (map-side combined), and the model state
+    is 65 doubles — mini-batching, momentum, and more steps change
+    constants, not the dataflow. The oracle unrolls the same three
+    steps in materialized CTEs. Reference contract: per-example
+    gradient = map slot (``App.config:16``); model update = reduce
+    slot (``App.config:17``)."""
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    obs = emb.select(
+        F.concat(
+            F.array(F.lit(1.0)),
+            F.transform(F.col("embedding"), lambda x: x.cast("double")),
+        ).alias("xa"),
+        (2 * (F.col("label") % 2) - 1).cast("double").alias("y"),
+    ).persist()
+    w = [0.0] * 65
+    losses = []
+    n_rows = None
+    for _ in range(_GD_STEPS):
+        wlit = F.array(*[F.lit(v) for v in w])
+        err = (
+            F.aggregate(
+                F.zip_with(F.col("xa"), wlit, lambda x, wv: x * wv),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            - F.col("y")
+        )
+        per_dim = (
+            obs.select(
+                err.alias("err"),
+                F.posexplode("xa").alias("dim0", "xv"),
+            )
+            .groupBy((F.col("dim0") + 1).alias("dim"))
+            .agg(
+                F.sum(
+                    F.round(F.col("err") * F.col("xv") * _GD_QSCALE).cast(
+                        "long"
+                    )
+                ).alias("gq"),
+                F.sum(
+                    F.round(F.col("err") * F.col("err") * _GD_QSCALE).cast(
+                        "long"
+                    )
+                ).alias("lq"),
+                F.count(F.lit(1)).alias("n"),
+            )
+        )
+        rows = per_dim.collect()
+        n_rows = rows[0]["n"]
+        # Mirror the oracle's update arithmetic exactly: binary64 ops in
+        # the same order (w − lr·(gq/1e6/n)).
+        gq = {r["dim"]: r["gq"] for r in rows}
+        lq = rows[0]["lq"]  # same total in every dim group
+        losses.append(lq / _GD_QSCALE / n_rows)
+        w = [
+            w[d - 1] - _GD_LR * (gq[d] / _GD_QSCALE / n_rows)
+            for d in range(1, 66)
+        ]
+    obs.unpersist()
+    out_rows = [("loss", k + 1, round(losses[k], 6) + 0.0) for k in range(_GD_STEPS)]
+    out_rows += [("w", d, round(w[d - 1], 6) + 0.0) for d in range(1, 66)]
+    return (
+        spark.createDataFrame(out_rows, "item string, idx int, value double")
+        .orderBy("item", "idx")
+    )

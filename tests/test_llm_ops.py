@@ -329,3 +329,16 @@ def test_adamic_adar_scores_positive_and_ranked(spark, sf_dir):
     for r in rows:
         assert r.adamic_adar > 0 and r.n_common >= 1
         assert r.cust_a < r.cust_b
+
+
+def test_q343_training_loss_decreases(spark, sf_dir):
+    from azure_batch_map_reduce_spark.registry import load_all
+
+    rows = (
+        load_all()["q343_linear_model_gd_steps"].fn(spark, sf_dir).collect()
+    )
+    losses = [r["value"] for r in rows if r["item"] == "loss"]
+    assert len(losses) == 3
+    assert losses[0] > losses[1] > losses[2], losses
+    weights = [r for r in rows if r["item"] == "w"]
+    assert len(weights) == 65
