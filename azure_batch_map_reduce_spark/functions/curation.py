@@ -4928,3 +4928,244 @@ def q339_power_analysis_sample_size(spark: SparkSession, sf_dir: str) -> DataFra
         required.cast("long").alias("required_n_per_arm"),
         (F.col("n_events") >= 2 * required).alias("currently_powered"),
     ).orderBy("event_type")
+
+
+@query(
+    "q344_welch_t_test",
+    oracle="""
+    WITH assigned AS (
+        SELECT event_type,
+               ('0x' || substr(md5('exp|' || CAST(user_id AS VARCHAR)),
+                               1, 8))::BIGINT % 2 AS arm,
+               CAST(round(value * 100) AS BIGINT) AS cents
+        FROM events
+    ),
+    cells AS (
+        SELECT event_type, arm, count(*) AS n,
+               sum(cents) AS s, sum(cents * cents) AS ss
+        FROM assigned GROUP BY event_type, arm
+    ),
+    stats AS (
+        SELECT event_type, arm, n,
+               CAST(s AS DOUBLE) / (100.0 * n) AS mean,
+               (CAST(ss AS DOUBLE) / 10000.0
+                - (CAST(s AS DOUBLE) / 100.0)
+                  * (CAST(s AS DOUBLE) / 100.0) / n) / (n - 1) AS var
+        FROM cells
+    ),
+    wide AS (
+        SELECT c.event_type,
+               c.n AS n_ctrl, c.mean AS mean_ctrl, c.var AS var_ctrl,
+               t.n AS n_treat, t.mean AS mean_treat, t.var AS var_treat
+        FROM stats c JOIN stats t
+          ON c.event_type = t.event_type AND c.arm = 0 AND t.arm = 1
+    )
+    SELECT event_type,
+           CAST(n_ctrl AS BIGINT) AS n_ctrl,
+           CAST(n_treat AS BIGINT) AS n_treat,
+           round(mean_treat - mean_ctrl, 6) + 0.0 AS mean_diff,
+           round((mean_treat - mean_ctrl)
+                 / sqrt(var_treat / n_treat + var_ctrl / n_ctrl), 6) + 0.0
+               AS welch_t,
+           round((var_treat / n_treat + var_ctrl / n_ctrl)
+                 * (var_treat / n_treat + var_ctrl / n_ctrl)
+                 / ((var_treat / n_treat) * (var_treat / n_treat)
+                        / (n_treat - 1)
+                    + (var_ctrl / n_ctrl) * (var_ctrl / n_ctrl)
+                        / (n_ctrl - 1)), 2)
+               AS satterthwaite_dof
+    FROM wide
+    ORDER BY event_type
+    """,
+    tags=("experimentation", "t-test", "welch", "ab-test"),
+)
+def q344_welch_t_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's unequal-variance t-test per event family between the
+    q318 hash arms — the variance-honest upgrade of q141's pooled
+    z-test (arms need not share a variance), with the Satterthwaite
+    effective degrees of freedom. The statistic and dof are reported
+    rather than a p-value: the t CDF needs incomplete-beta (libm-
+    dependent, banned); the caller compares |t| against the literal
+    critical value for the emitted dof.
+
+    Determinism: cell moments are exact cents/cents² integer sums;
+    means, variances, the statistic, and the dof are one shared
+    sequence of IEEE arithmetic (sqrt is correctly rounded per IEEE);
+    differences round signed-zero-safe.
+
+    Scale posture: ONE partial+final aggregate to (type × arm) cells;
+    everything after is 10-row arithmetic. Reference contract:
+    per-event cell accumulation = map slot (``App.config:16``);
+    test evaluation = reduce slot (``App.config:17``)."""
+    events = load_tables(spark, sf_dir)["events"]
+    cents = F.round(F.col("value") * 100).cast("long")
+    arm = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("exp|"), F.col("user_id").cast("string"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 2
+    )
+    cells = events.groupBy("event_type", arm.alias("arm")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(cents).alias("s"),
+        F.sum(cents * cents).alias("ss"),
+    )
+    mean = F.col("s").cast("double") / (100.0 * F.col("n"))
+    var = (
+        F.col("ss").cast("double") / 10000.0
+        - (F.col("s").cast("double") / 100.0)
+        * (F.col("s").cast("double") / 100.0)
+        / F.col("n")
+    ) / (F.col("n") - 1)
+    stats = cells.select(
+        "event_type", "arm", "n", mean.alias("mean"), var.alias("var")
+    )
+    c = stats.where(F.col("arm") == 0).select(
+        "event_type",
+        F.col("n").alias("n_ctrl"),
+        F.col("mean").alias("mean_ctrl"),
+        F.col("var").alias("var_ctrl"),
+    )
+    t = stats.where(F.col("arm") == 1).select(
+        "event_type",
+        F.col("n").alias("n_treat"),
+        F.col("mean").alias("mean_treat"),
+        F.col("var").alias("var_treat"),
+    )
+    w = c.join(t, "event_type")
+    se_t = F.col("var_treat") / F.col("n_treat")
+    se_c = F.col("var_ctrl") / F.col("n_ctrl")
+    return w.select(
+        "event_type",
+        F.col("n_ctrl").cast("long").alias("n_ctrl"),
+        F.col("n_treat").cast("long").alias("n_treat"),
+        round_nz(F.col("mean_treat") - F.col("mean_ctrl"), 6).alias(
+            "mean_diff"
+        ),
+        round_nz(
+            (F.col("mean_treat") - F.col("mean_ctrl"))
+            / F.sqrt(se_t + se_c),
+            6,
+        ).alias("welch_t"),
+        F.round(
+            (se_t + se_c)
+            * (se_t + se_c)
+            / (
+                se_t * se_t / (F.col("n_treat") - 1)
+                + se_c * se_c / (F.col("n_ctrl") - 1)
+            ),
+            2,
+        ).alias("satterthwaite_dof"),
+    ).orderBy("event_type")
+
+
+@query(
+    "q345_cohort_ltv_matrix",
+    oracle="""
+    WITH m AS (
+        SELECT o_custkey,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+               year(o_orderdate) * 12 + (month(o_orderdate) - 1) AS midx
+        FROM orders
+    ),
+    firsts AS (
+        SELECT o_custkey, min(midx) AS cohort FROM m GROUP BY o_custkey
+    ),
+    sizes AS (
+        SELECT cohort, count(*) AS cohort_size FROM firsts GROUP BY cohort
+    ),
+    cells AS (
+        SELECT f.cohort, m.midx - f.cohort AS age,
+               sum(m.cents) AS rev_cents
+        FROM m JOIN firsts f ON m.o_custkey = f.o_custkey
+        WHERE m.midx - f.cohort <= 11
+        GROUP BY f.cohort, age
+    ),
+    cum AS (
+        SELECT cohort, age, rev_cents,
+               sum(rev_cents) OVER (PARTITION BY cohort ORDER BY age
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS cum_cents
+        FROM cells
+    )
+    SELECT CAST(c.cohort AS INTEGER) AS cohort_month_idx,
+           CAST(c.age AS INTEGER) AS age_months,
+           CAST(s.cohort_size AS BIGINT) AS cohort_size,
+           CAST(c.cum_cents AS DOUBLE) / 100 AS cum_revenue,
+           CAST((2 * c.cum_cents * 100 + s.cohort_size)
+                // (2 * s.cohort_size) AS DOUBLE) / 10000
+               AS cum_ltv_per_customer
+    FROM cum c JOIN sizes s ON c.cohort = s.cohort
+    ORDER BY cohort_month_idx, age_months
+    """,
+    tags=("window", "cohort", "ltv", "retention", "olap"),
+)
+def q345_cohort_ltv_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort LTV matrix — the revenue companion to q131's retention
+    triangle: customers cohort by first-order month, and each
+    (cohort, age≤11 months) cell reports cumulative revenue and
+    cumulative LTV per customer — the table a payback-period model
+    reads off directly (which age column crosses acquisition cost).
+
+    Determinism: month indices are integer year×12 arithmetic (no
+    cross-engine date_diff convention); revenue is exact integer
+    cents; the cumulative window is keyed by cohort over ≤12 ordered
+    ages; one rounded division per cell.
+
+    Scale posture: first-order extraction and cell rollup are
+    partial+final aggregates; the cumulative window runs at the
+    bounded (cohorts × 12) grain; the join back to cohort sizes is a
+    broadcast. Reference contract: per-order cohort tagging = map
+    slot (``App.config:16``); matrix assembly = reduce slot
+    (``App.config:17``)."""
+    orders = load_tables(spark, sf_dir)["orders"]
+    m = orders.select(
+        "o_custkey",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        (
+            F.year("o_orderdate") * 12 + (F.month("o_orderdate") - 1)
+        ).alias("midx"),
+    )
+    firsts = m.groupBy("o_custkey").agg(F.min("midx").alias("cohort"))
+    sizes = firsts.groupBy("cohort").agg(
+        F.count(F.lit(1)).alias("cohort_size")
+    )
+    cells = (
+        m.join(firsts, "o_custkey")
+        .where(F.col("midx") - F.col("cohort") <= 11)
+        .groupBy("cohort", (F.col("midx") - F.col("cohort")).alias("age"))
+        .agg(F.sum("cents").alias("rev_cents"))
+    )
+    wc = (
+        Window.partitionBy("cohort")
+        .orderBy("age")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = cells.withColumn("cum_cents", F.sum("rev_cents").over(wc))
+    return (
+        cum.join(F.broadcast(sizes), "cohort")
+        .select(
+            F.col("cohort").cast("integer").alias("cohort_month_idx"),
+            F.col("age").cast("integer").alias("age_months"),
+            F.col("cohort_size").cast("long").alias("cohort_size"),
+            (F.col("cum_cents").cast("double") / 100).alias("cum_revenue"),
+            # round-half-up in exact integers: round(c/100/size, 4) hits
+            # half-boundary 4th decimals where Spark (HALF_UP) and
+            # DuckDB (half-even) disagree — (2a+b) div (2b) is the
+            # shared-arithmetic form.
+            (
+                F.expr(
+                    "(2 * cum_cents * 100 + cohort_size)"
+                    " div (2 * cohort_size)"
+                ).cast("double")
+                / 10000
+            ).alias("cum_ltv_per_customer"),
+        )
+        .orderBy("cohort_month_idx", "age_months")
+    )
