@@ -3502,3 +3502,108 @@ def q332_symspell_typo_correction(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .orderBy("typo")
     )
+
+
+@query(
+    "q346_incremental_index_maintenance",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS word
+        FROM documents
+    ),
+    base_idx AS (
+        SELECT word, count(DISTINCT doc_id) AS df, count(*) AS cf
+        FROM toks WHERE doc_id % 10 <> 0 GROUP BY word
+    ),
+    delta_idx AS (
+        SELECT word, count(DISTINCT doc_id) AS df, count(*) AS cf
+        FROM toks WHERE doc_id % 10 = 0 GROUP BY word
+    ),
+    merged AS (
+        SELECT coalesce(b.word, d.word) AS word,
+               coalesce(b.df, 0) + coalesce(d.df, 0) AS df,
+               coalesce(b.cf, 0) + coalesce(d.cf, 0) AS cf
+        FROM base_idx b FULL OUTER JOIN delta_idx d USING (word)
+    ),
+    rebuild AS (
+        SELECT word, count(DISTINCT doc_id) AS df, count(*) AS cf
+        FROM toks GROUP BY word
+    )
+    SELECT m.word,
+           CAST(m.df AS BIGINT) AS doc_freq,
+           CAST(m.cf AS BIGINT) AS term_count,
+           (m.df = r.df AND m.cf = r.cf) AS matches_rebuild
+    FROM merged m JOIN rebuild r ON m.word = r.word
+    ORDER BY m.cf DESC, m.word
+    LIMIT 20
+    """,
+    tags=("text", "index", "incremental", "ivm", "retrieval"),
+)
+def q346_incremental_index_maintenance(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Incremental inverted-index maintenance — the L8/L9 gather shape
+    applied to index freshness: a delta batch (10% of documents)
+    indexes on its own, merges into the standing base index with a
+    keyed full-outer ADD (document frequency and term count are both
+    mergeable counters), and the result is audited cell-by-cell
+    against a from-scratch rebuild — the equivalence that makes
+    incremental view maintenance trustworthy. Valid because doc sets
+    are DISJOINT by the split, so count(DISTINCT doc) adds exactly.
+
+    Determinism: all counters exact; tie-break (count desc, word) on
+    the top-20 cut.
+
+    Scale posture: only the DELTA is tokenized per refresh at
+    production scale (the base index is stored state — here both
+    sides rebuild from the fixture for the audit); the merge is a
+    keyed outer join at vocabulary grain; the rollup is partial+final
+    with map-side combine. Reference contract: per-doc posting
+    emission = map slot (``App.config:16``); index merge = reduce
+    slot (``App.config:17``)."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    toks = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("word")
+    ).persist()
+
+    def idx(df: DataFrame) -> DataFrame:
+        return df.groupBy("word").agg(
+            F.countDistinct("doc_id").alias("df"),
+            F.count(F.lit(1)).alias("cf"),
+        )
+
+    base = idx(toks.where(F.col("doc_id") % 10 != 0)).select(
+        "word", F.col("df").alias("df_b"), F.col("cf").alias("cf_b")
+    )
+    delta = idx(toks.where(F.col("doc_id") % 10 == 0)).select(
+        "word", F.col("df").alias("df_d"), F.col("cf").alias("cf_d")
+    )
+    merged = (
+        base.join(delta, "word", "full_outer")
+        .select(
+            "word",
+            (
+                F.coalesce("df_b", F.lit(0)) + F.coalesce("df_d", F.lit(0))
+            ).alias("df"),
+            (
+                F.coalesce("cf_b", F.lit(0)) + F.coalesce("cf_d", F.lit(0))
+            ).alias("cf"),
+        )
+    )
+    rebuild = idx(toks).select(
+        "word", F.col("df").alias("df_r"), F.col("cf").alias("cf_r")
+    )
+    return (
+        merged.join(rebuild, "word")
+        .select(
+            "word",
+            F.col("df").cast("long").alias("doc_freq"),
+            F.col("cf").cast("long").alias("term_count"),
+            (
+                (F.col("df") == F.col("df_r"))
+                & (F.col("cf") == F.col("cf_r"))
+            ).alias("matches_rebuild"),
+        )
+        .orderBy(F.desc("term_count"), F.asc("word"))
+        .limit(20)
+    )
