@@ -104,7 +104,7 @@ _VERIFY_FIRST = [
     "q341_multiple_regression_closed_form",
     "q342_ridge_regularization_path", "q343_linear_model_gd_steps",
     "q344_welch_t_test", "q345_cohort_ltv_matrix",
-    "q346_incremental_index_maintenance",
+    "q346_incremental_index_maintenance", "q347_srm_check",
     "q107_bm25_retrieval",
     "q129_curation_funnel", "q20_broadcast_join", "q21_revenue_by_nation",
     "q22_semi_join", "q23_anti_join", "q24_outer_join",

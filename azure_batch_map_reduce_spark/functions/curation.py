@@ -5169,3 +5169,100 @@ def q345_cohort_ltv_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cohort_month_idx", "age_months")
     )
+
+
+_SRM_CHI2_CRIT = 3.841  # chi-square(1 dof) at alpha=0.05 — literal constant
+
+
+@query(
+    "q347_srm_check",
+    oracle=f"""
+    WITH units AS (
+        SELECT DISTINCT user_id,
+               ('0x' || substr(md5('exp|' || CAST(user_id AS VARCHAR)),
+                               1, 8))::BIGINT % 2 AS arm
+        FROM events
+    ),
+    counts AS (
+        SELECT sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS n0,
+               sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS n1,
+               count(*) AS n
+        FROM units
+    )
+    SELECT CAST(n0 AS BIGINT) AS n_control,
+           CAST(n1 AS BIGINT) AS n_treatment,
+           round(CAST(n1 AS DOUBLE) / n, 6) AS treatment_share,
+           round((CAST(n0 AS DOUBLE) - CAST(n AS DOUBLE) / 2)
+                 * (CAST(n0 AS DOUBLE) - CAST(n AS DOUBLE) / 2)
+                 / (CAST(n AS DOUBLE) / 2)
+                 + (CAST(n1 AS DOUBLE) - CAST(n AS DOUBLE) / 2)
+                 * (CAST(n1 AS DOUBLE) - CAST(n AS DOUBLE) / 2)
+                 / (CAST(n AS DOUBLE) / 2), 6) AS srm_chi2,
+           ((CAST(n0 AS DOUBLE) - CAST(n AS DOUBLE) / 2)
+                 * (CAST(n0 AS DOUBLE) - CAST(n AS DOUBLE) / 2)
+                 / (CAST(n AS DOUBLE) / 2)
+                 + (CAST(n1 AS DOUBLE) - CAST(n AS DOUBLE) / 2)
+                 * (CAST(n1 AS DOUBLE) - CAST(n AS DOUBLE) / 2)
+                 / (CAST(n AS DOUBLE) / 2)) > {_SRM_CHI2_CRIT}
+               AS srm_detected
+    FROM counts
+    """,
+    tags=("experimentation", "srm", "chi-square", "ab-test", "trust"),
+)
+def q347_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample-ratio-mismatch check — the trust gate that must pass
+    BEFORE any other experiment readout (q141/q318/q320/q344) is
+    believed: a chi-square goodness-of-fit of the observed arm counts
+    against the designed 50/50 split at the RANDOMIZATION-UNIT grain
+    (users, not events — event-grain counts inherit per-user volume
+    variance and false-alarm). An SRM means the assignment or logging
+    pipeline is biased and every downstream metric is suspect. The
+    threshold is the literal χ²(1) critical value, not a computed
+    quantile.
+
+    Determinism: exact distinct-user counts; the statistic is one
+    shared IEEE sequence; the flag compares the unrounded statistic
+    to a literal.
+
+    Scale posture: one distinct + one partial+final count to a single
+    row. Reference contract: per-user arm hashing = map slot
+    (``App.config:16``); ratio test = reduce slot
+    (``App.config:17``)."""
+    events = load_tables(spark, sf_dir)["events"]
+    units = events.select(
+        "user_id",
+        (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(F.lit("exp|"), F.col("user_id").cast("string"))
+                    ),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % 2
+        ).alias("arm"),
+    ).distinct()
+    counts = units.agg(
+        F.sum(F.when(F.col("arm") == 0, 1).otherwise(0)).alias("n0"),
+        F.sum(F.when(F.col("arm") == 1, 1).otherwise(0)).alias("n1"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    half = F.col("n").cast("double") / 2
+    chi2 = (F.col("n0").cast("double") - half) * (
+        F.col("n0").cast("double") - half
+    ) / half + (F.col("n1").cast("double") - half) * (
+        F.col("n1").cast("double") - half
+    ) / half
+    return counts.select(
+        F.col("n0").cast("long").alias("n_control"),
+        F.col("n1").cast("long").alias("n_treatment"),
+        F.round(F.col("n1").cast("double") / F.col("n"), 6).alias(
+            "treatment_share"
+        ),
+        F.round(chi2, 6).alias("srm_chi2"),
+        (chi2 > _SRM_CHI2_CRIT).alias("srm_detected"),
+    )
