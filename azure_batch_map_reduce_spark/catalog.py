@@ -63,6 +63,16 @@ def align_session_for_oracle(spark: SparkSession) -> None:
         spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     except Exception:
         pass
+    try:
+        # Keep ranks.bounded_order's declared constant partition key
+        # (see session.py) under caller-owned sessions too — purely a
+        # warning-hygiene conf, values are identical either way.
+        spark.conf.set(
+            "spark.sql.optimizer.excludedRules",
+            "org.apache.spark.sql.catalyst.optimizer.EliminateWindowPartitions",
+        )
+    except Exception:
+        pass
     ensure_nanos_readable(spark)
 
 

@@ -33,6 +33,7 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window, functions as F
 
 from azure_batch_map_reduce_spark.catalog import load_tables
 from azure_batch_map_reduce_spark.operators.ranks import (
+    bounded_order,
     distributed_row_number,
     ntile_from_rank,
     rank_small,
@@ -2029,7 +2030,7 @@ def q263_token_budget_waterfill(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("(sum(tokens) * 2) div 5").alias("budget"),
         F.count(F.lit(1)).alias("n_src"),
     )
-    w = Window.orderBy("tokens", "source")
+    w = bounded_order("tokens", "source")
     ranked = (
         src.crossJoin(F.broadcast(tot))
         .withColumn(
@@ -2374,7 +2375,7 @@ def q265_poisson_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("n_eff") > 0)
     )
-    w_rank = Window.orderBy("mean_chars", "rep")
+    w_rank = bounded_order("mean_chars", "rep")
     ranked = per_rep.select(
         "rep",
         "n_eff",
@@ -3021,7 +3022,7 @@ def q299_active_learning_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     diverse = margins.withColumn("rn_src", F.row_number().over(w_src)).where(
         F.col("rn_src") <= _AL_PER_SOURCE
     )
-    w_all = Window.orderBy(F.asc("margin"), F.asc("doc_id"))
+    w_all = bounded_order(F.asc("margin"), F.asc("doc_id"))
     return (
         diverse.withColumn("rn", F.row_number().over(w_all))
         .where(F.col("rn") <= _AL_BATCH)
@@ -3191,9 +3192,11 @@ def q307_submodular_coverage_selection(spark: SparkSession, sf_dir: str) -> Data
     saturation curve that tells you when more data stops helping.
 
     Determinism: term sets compress to BIGINT bitmasks over the sorted
-    vocabulary (fixture vocabulary ≤ 31 terms; wider vocabularies use
-    an array of words — same plan); gains are exact popcounts; ties
-    break on doc_id.
+    vocabulary; a runtime guard rejects vocabularies wider than 63
+    terms (``shiftleft`` on a BIGINT wraps mod 64 silently in the JVM
+    — and DuckDB wraps too, so the differential could NOT catch the
+    corruption); wider vocabularies use an array-of-words mask — same
+    plan. Gains are exact popcounts; ties break on doc_id.
 
     Scale posture: masks are built in one (doc, term) distinct shuffle
     + vocab-grain broadcast join; each greedy round is a map-side
@@ -3216,10 +3219,21 @@ def q307_submodular_coverage_selection(spark: SparkSession, sf_dir: str) -> Data
         .orderBy("w")
         .select(
             "w",
-            (F.row_number().over(Window.orderBy("w")) - 1).alias("idx"),
+            (F.row_number().over(bounded_order("w")) - 1).alias("idx"),
         )
     )
     nv = vocab.agg(F.count(F.lit(1)).alias("nv"))
+    # Bitmask-width guard: shiftleft(1L, idx) wraps mod 64 in the JVM
+    # with no error — and DuckDB's oracle wraps identically, so the
+    # differential would stay green on corrupted masks. Fail loudly
+    # instead; idx 0..62 keeps the sign bit clear. (1-row bounded
+    # collect, same cost class as the per-round localCheckpoints.)
+    nv_val = nv.first()["nv"]
+    if nv_val > 63:
+        raise ValueError(
+            f"q307 bitmask coverage supports at most 63 vocabulary terms, "
+            f"got {nv_val}; use an array-of-words mask for wider vocabularies"
+        )
     dm = (
         words.join(F.broadcast(vocab), "w")
         .groupBy("doc_id")
@@ -3939,10 +3953,10 @@ def q322_kaplan_meier_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
     # windows below run over that fixed-size life table, never the
     # customer population (same justification as relational.py's
     # bounded-bin cumulative histogram).
-    wprev = Window.orderBy("bin").rowsBetween(
+    wprev = bounded_order("bin").rowsBetween(
         Window.unboundedPreceding, -1
     )
-    wcum = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    wcum = bounded_order("bin").rowsBetween(Window.unboundedPreceding, 0)
     at_risk = bins.crossJoin(F.broadcast(tot)).withColumn(
         "n_risk",
         F.col("n_total")
@@ -4685,7 +4699,7 @@ def q336_uplift_qini_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     # Bounded grain: the cumulative window spans exactly 10 decile rows.
-    wc = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    wc = bounded_order("decile").rowsBetween(Window.unboundedPreceding, 0)
     curve = (
         cells.withColumn("cum_rt", F.sum("resp_treat").over(wc))
         .withColumn("cum_rc", F.sum("resp_ctrl").over(wc))

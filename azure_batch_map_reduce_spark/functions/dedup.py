@@ -1523,15 +1523,21 @@ def q260_substring_shingle_overlap(spark: SparkSession, sf_dir: str) -> DataFram
         .agg(F.count(F.lit(1)).alias("n_shared"))
         .where(F.col("n_shared") >= _SHINGLE_MIN_SHARED)
     )
+    # The sizes table is DOC-grain (one row per surviving document) —
+    # at 100 TB that is billions of rows and must never be broadcast.
+    # `shared` (pairs surviving the >=3-shared filter) is the small
+    # side; no hint on either — AQE picks shuffle vs broadcast from
+    # runtime sizes, and the plan pin (tests/test_plans.py) asserts no
+    # forced BroadcastExchange of the doc-grain side.
     return (
         shared.join(
-            F.broadcast(sizes.select(F.col("doc_id").alias("doc_a"),
-                                     F.col("n_sh").alias("n_sh_a"))),
+            sizes.select(F.col("doc_id").alias("doc_a"),
+                         F.col("n_sh").alias("n_sh_a")),
             "doc_a",
         )
         .join(
-            F.broadcast(sizes.select(F.col("doc_id").alias("doc_b"),
-                                     F.col("n_sh").alias("n_sh_b"))),
+            sizes.select(F.col("doc_id").alias("doc_b"),
+                         F.col("n_sh").alias("n_sh_b")),
             "doc_b",
         )
         .select(
@@ -1778,16 +1784,28 @@ def q278_fellegi_sunter_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 # against recall along this grid.
 _SCURVE_CONFIGS = ((1, 24), (2, 12), (3, 8), (4, 6), (6, 4), (8, 3), (12, 2), (24, 1))
 
+# Fixed ABSOLUTE per-source sample size for the tuning histogram: the
+# within-source pair join is Θ(m²) per source, so a constant m makes
+# the histogram job corpus-size-free (a constant-RATE sample would keep
+# the job quadratic in corpus size — the round-3 bug).
+_SCURVE_SAMPLE_M = 32
+
 
 @query(
     "q284_lsh_s_curve_tuning",
     oracle=f"""
-    WITH raw AS (
+    WITH sampled AS (
+        SELECT doc_id, source, text FROM documents
+        QUALIFY row_number() OVER (
+            PARTITION BY source
+            ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+        ) <= {_SCURVE_SAMPLE_M}
+    ),
+    raw AS (
         SELECT doc_id, source,
                list_distinct(list_transform(generate_series(1, length(substring(text, 1, 120)) - 3),
                              i -> {_HASH_SQL.format(expr="substring(substring(text, 1, 120), i, 4)")})) AS grams
-        FROM documents
-        WHERE doc_id % 5 = 0
+        FROM sampled
     ),
     g AS (SELECT doc_id, source, grams, length(grams) AS ng FROM raw),
     hist AS (
@@ -1864,22 +1882,34 @@ def q284_lsh_s_curve_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
     histogram integral folds in s order; only the display-only
     approx_threshold uses pow, rounded at 4.
 
-    Scale posture: the histogram is fed from a deterministic 1-in-5
-    document sample (doc_id % 5) — tuning needs the similarity
-    distribution's shape, not every pair, so the pair join runs at
-    1/25th volume and shrinks further at higher corpus scale; pair
-    similarity is computed once (bounded per-source pair space, q64's
-    plan) and immediately collapsed to a ≤101-row histogram; the
-    config × histogram grid is ≤808 rows of arithmetic. The tuning
-    math is corpus-size-free either way. Reference
+    Scale posture: the histogram is fed from a FIXED-SIZE deterministic
+    per-source sample — the m documents with the smallest md5(doc_id)
+    per source (m = 32) — so the within-source pair join is Θ(m²) per
+    source regardless of corpus size: the whole histogram job is
+    corpus-size-free, not merely rate-reduced (a constant-rate sample
+    keeps the join quadratic in corpus size). Gram extraction runs
+    only on the ≤ m·|sources| sampled docs; pair similarity is
+    computed once and immediately collapsed to a ≤101-row histogram;
+    the config × histogram grid is ≤808 rows of arithmetic. The
+    per-source top-m itself is a rank-k selection (row_number within
+    source); at extreme per-source cardinality swap it for the
+    sample-sort rank primitive (q285/q305) — the pair join, the
+    quadratic part, stays bounded either way. Reference
     contract: pair scoring = map slot (``App.config:16``); histogram +
     S-curve integral = reduce slot (``App.config:17``)."""
-    # Deterministic 1-in-5 doc sample: the tuning histogram needs the
-    # SHAPE of the similarity distribution, not every pair — the full
-    # sf0.1 pair space (622k pairs) cost 6.4 s for a result the sample
-    # reproduces at 1/25th the join volume (the 100 TB posture below).
-    docs = load_tables(spark, sf_dir)["documents"].where(
-        F.col("doc_id") % 5 == 0
+    # Fixed-size per-source sample: the tuning histogram needs the
+    # SHAPE of the similarity distribution, not every pair. Top-m by
+    # md5(doc_id) is deterministic, uniform-ish in doc ordering, and
+    # engine-identical (lowercase hex compare both sides).
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    docs = (
+        load_tables(spark, sf_dir)["documents"]
+        .select("doc_id", "source", "text")
+        .withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= _SCURVE_SAMPLE_M)
+        .drop("rk")
     )
     hash48_sql = (
         "conv(substring(md5(substring(substring(text, 1, 120), i, 4)), 1, 12), 16, 10)"

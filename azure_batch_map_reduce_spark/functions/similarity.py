@@ -2945,9 +2945,18 @@ _JL_M_SQL = (
     ),
     mat AS (SELECT {_JL_M_SQL} AS m),
     diffs AS (
-        SELECT list_transform(generate_series(1, {_JL_IN_DIM}),
-                   i -> CAST(ea[i] AS DOUBLE) - CAST(eb[i] AS DOUBLE)) AS dx
-        FROM pairs
+        SELECT dx,
+               list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                   list_transform(dx, d -> d * d)),
+                   (x, y) -> x + y) AS den
+        FROM (
+            SELECT list_transform(generate_series(1, {_JL_IN_DIM}),
+                       i -> CAST(ea[i] AS DOUBLE) - CAST(eb[i] AS DOUBLE)) AS dx
+            FROM pairs
+        )
+        -- identical-vector pairs have den = 0 → NaN ratio; drop them
+        -- on BOTH sides (the Spark plan filters den > 0 too)
+        WHERE den > 0
     ),
     ratios AS (
         SELECT
@@ -2963,9 +2972,7 @@ _JL_M_SQL = (
                     p -> p * p)),
                 (x, y) -> x + y)
             / {_JL_OUT_DIM}
-            / list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-                  list_transform(dx, d -> d * d)),
-                  (x, y) -> x + y) AS ratio
+            / den AS ratio
         FROM diffs, mat
     )
     SELECT CAST(least(CAST(floor(ratio * 10) AS INTEGER), 30) AS INTEGER)
@@ -3016,7 +3023,17 @@ def q327_jl_projection_distortion(spark: SparkSession, sf_dir: str) -> DataFrame
         F.col("eb"),
         lambda x, y: x.cast("double") - y.cast("double"),
     )
-    diffs = pairs.select(dx.alias("dx"))
+    # Identical consecutive vectors give den = 0 → NaN ratio (and the
+    # oracle's CAST(floor(...)) would error); filter den > 0 on both
+    # sides (ADVICE r3).
+    den_of = lambda c: F.aggregate(  # noqa: E731
+        F.transform(c, lambda d: d * d), F.lit(0.0), lambda acc, x: acc + x
+    )
+    diffs = (
+        pairs.select(dx.alias("dx"))
+        .withColumn("den", den_of(F.col("dx")))
+        .where(F.col("den") > 0)
+    )
     m_col = F.array(
         *[
             F.array(*[F.lit(v) for v in row])
@@ -3040,13 +3057,8 @@ def q327_jl_projection_distortion(spark: SparkSession, sf_dir: str) -> DataFrame
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
-    den = F.aggregate(
-        F.transform(F.col("dx"), lambda d: d * d),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
     ratios = diffs.select(
-        (num / _JL_OUT_DIM / den).alias("ratio")
+        (num / _JL_OUT_DIM / F.col("den")).alias("ratio")
     )
     return (
         ratios.groupBy(
@@ -3123,10 +3135,13 @@ _KNNSV_TOPN = 20
         FROM terms
     ),
     pooled AS (
+        -- divide by the COUNTED probe-set size, not the vec_id bound:
+        -- if vec_ids are not dense from 0 the two differ, and the
+        -- shared literal would hide the mis-scaling (ADVICE r3)
         SELECT tid,
                list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
                    list(sv ORDER BY qid)), (x, y) -> x + y)
-                   / {_KNNSV_N_QUERIES} AS mean_sv
+                   / (SELECT count(*) FROM q) AS mean_sv
         FROM sv GROUP BY tid
     )
     SELECT p.tid AS train_vec_id,
@@ -3239,8 +3254,13 @@ def q337_knn_shapley_valuation(spark: SparkSession, sf_dir: str) -> DataFrame:
                 lambda acc, x: acc + x,
             ).alias("sum_sv")
         )
+        .crossJoin(F.broadcast(q.agg(F.count(F.lit(1)).alias("n_q"))))
         .select(
-            "tid", (F.col("sum_sv") / _KNNSV_N_QUERIES).alias("mean_sv")
+            # counted probe-set size, mirroring the oracle (1-row
+            # broadcast; the literal bound would mis-scale the mean
+            # on non-dense vec_ids)
+            "tid",
+            (F.col("sum_sv") / F.col("n_q")).alias("mean_sv"),
         )
     )
     from azure_batch_map_reduce_spark.operators.ranks import round_nz
@@ -3415,9 +3435,17 @@ def q343_linear_model_gd_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
             for d in range(1, 66)
         ]
     obs.unpersist()
-    out_rows = [("loss", k + 1, round(losses[k], 6) + 0.0) for k in range(_GD_STEPS)]
-    out_rows += [("w", d, round(w[d - 1], 6) + 0.0) for d in range(1, 66)]
+    # Final rounding runs Spark-side (F.round = half-up) so the repo
+    # keeps ONE rounding convention against DuckDB's round() — Python
+    # round() is half-EVEN and diverges at exact half boundaries (the
+    # q345 rounding-mode discipline; ADVICE r3). round_nz normalizes
+    # the signed zero exactly like the oracle's `+ 0.0`.
+    from azure_batch_map_reduce_spark.operators.ranks import round_nz
+
+    out_rows = [("loss", k + 1, losses[k]) for k in range(_GD_STEPS)]
+    out_rows += [("w", d, w[d - 1]) for d in range(1, 66)]
     return (
-        spark.createDataFrame(out_rows, "item string, idx int, value double")
+        spark.createDataFrame(out_rows, "item string, idx int, raw double")
+        .select("item", "idx", round_nz(F.col("raw"), 6).alias("value"))
         .orderBy("item", "idx")
     )

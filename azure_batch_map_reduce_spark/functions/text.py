@@ -12,6 +12,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window, functions as F
 
 from azure_batch_map_reduce_spark.catalog import load_tables
+from azure_batch_map_reduce_spark.operators.ranks import bounded_order
 from azure_batch_map_reduce_spark.registry import query
 
 # Distinct-marker-word language scoring: deterministic, vocabulary-based.
@@ -585,11 +586,11 @@ def q124_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(100)
         .select(
             "tok", "c", F.row_number().over(
-                Window.orderBy(F.desc("c"), F.asc("tok"))
+                bounded_order(F.desc("c"), F.asc("tok"))
             ).alias("rnk"),
         )
     )
-    wcum = Window.orderBy("rnk").rowsBetween(Window.unboundedPreceding, 0)
+    wcum = bounded_order("rnk").rowsBetween(Window.unboundedPreceding, 0)
     return ranked.crossJoin(F.broadcast(tot)).select(
         "tok",
         F.col("c").cast("long").alias("freq"),
@@ -1058,7 +1059,7 @@ def q184_zipf_token_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     freq = tok.groupBy("word").agg(F.count(F.lit(1)).alias("cnt"))
     top = freq.orderBy(F.desc("cnt"), F.asc("word")).limit(1000)
     ranked = top.withColumn(
-        "rnk", F.row_number().over(Window.orderBy(F.desc("cnt"), F.asc("word")))
+        "rnk", F.row_number().over(bounded_order(F.desc("cnt"), F.asc("word")))
     )
     pts = ranked.select(
         F.log(F.col("rnk").cast("double")).alias("lx"),
@@ -1376,7 +1377,7 @@ def q220_numericalize_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     top = vocab.orderBy(F.desc("tf"), F.asc("word")).limit(200)
     dict_df = top.withColumn(
         "token_id",
-        F.row_number().over(Window.orderBy(F.desc("tf"), F.asc("word"))) - 1,
+        F.row_number().over(bounded_order(F.desc("tf"), F.asc("word"))) - 1,
     ).select("word", "token_id")
     ids = (
         tok_all.where(F.col("doc_id") < 50)
@@ -2733,7 +2734,7 @@ def q282_wfq_interleave_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     top = vtimed.orderBy("vt", "source", "doc_id").limit(_WFQ_STEPS)
     step = F.row_number().over(
-        Window.orderBy("vt", "source", "doc_id")
+        bounded_order("vt", "source", "doc_id")
     )
     return top.select(
         step.alias("step"),

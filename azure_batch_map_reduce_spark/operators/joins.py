@@ -1250,10 +1250,13 @@ def q329_large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact; the sort key is that exact sum with an orderkey tie-break.
 
     Scale posture: the HAVING rollup is partial+final on l_orderkey;
-    the survivor set (~0.1% of orders) is tiny and BROADCASTS into
-    orders — the full orders table never shuffles; the final 100-row
-    cut is TakeOrdered. Reference: L7 barrier then L8 gather of a
-    filtered aggregate (``Program.cs:351-384``)."""
+    the survivor set (~0.1% of orders) is usually broadcast-sized, but
+    0.1% of a 100 TB orders table can exceed the broadcast limit — so
+    no forced hint: AQE promotes the join to broadcast from the
+    survivor set's RUNTIME size and falls back to shuffle when it
+    must (ADVICE r3). The final 100-row cut is TakeOrdered.
+    Reference: L7 barrier then L8 gather of a filtered aggregate
+    (``Program.cs:351-384``)."""
     t = load_tables(spark, sf_dir)
     big = (
         t["lineitem"]
@@ -1263,7 +1266,7 @@ def q329_large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         t["orders"]
-        .join(F.broadcast(big), F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(big, F.col("o_orderkey") == F.col("l_orderkey"))
         .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
         .orderBy(F.desc("total_qty"), F.asc("o_orderkey"))
         .limit(100)

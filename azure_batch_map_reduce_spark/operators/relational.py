@@ -28,6 +28,7 @@ from azure_batch_map_reduce_spark.catalog import (
     register_views,
 )
 from azure_batch_map_reduce_spark.operators.ranks import (
+    bounded_order,
     distributed_running_extremum,
     distributed_running_sum,
     round_nz,
@@ -864,9 +865,10 @@ def q133_chisq_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o",
         F.sum("o").over(Window.partitionBy("lang")).alias("row_tot"),
         F.sum("o").over(Window.partitionBy("source")).alias("col_tot"),
-        F.sum("o").over(
-            Window.partitionBy()
-        ).alias("n"),
+        # bounded (|langs|x|sources|) grain: constant partition key
+        # declares the single-partition total intentional (no WindowExec
+        # warning; see ranks.bounded_order)
+        F.sum("o").over(Window.partitionBy(F.lit(0))).alias("n"),
     )
     e = F.col("row_tot") * F.col("col_tot") / F.col("n")
     return margins.agg(
@@ -1684,8 +1686,12 @@ def q162_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
         fn="max",
         inclusive=False,
     )
+    # No broadcast hint: sweep is distinct-price grain — the very table
+    # whose growth justified the distributed prefix-max. A shuffle
+    # equi-join on price is the scale-safe shape (AQE may still choose
+    # broadcast at small SF from runtime sizes).
     return (
-        pts.join(F.broadcast(sweep), "price")
+        pts.join(sweep, "price")
         .filter(
             (F.col("size") == F.col("best"))
             & (F.col("prev_best").isNull() | (F.col("size") > F.col("prev_best")))
@@ -2905,7 +2911,7 @@ def q285_mergeable_quantile_histogram(spark: SparkSession, sf_dir: str) -> DataF
     merged = partials.groupBy("bin").agg(F.sum("cnt").alias("cnt"))
     # Bounded-grain cumulative: |bins| = price-range / width, independent
     # of corpus size — the one place an unpartitioned window is safe.
-    w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    w = bounded_order("bin").rowsBetween(Window.unboundedPreceding, 0)
     cum = merged.select(
         "bin",
         "cnt",

@@ -12,6 +12,7 @@ from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from azure_batch_map_reduce_spark.catalog import load_tables
 from azure_batch_map_reduce_spark.operators.ranks import (
+    bounded_order,
     distributed_row_number,
     ntile_from_rank,
     round_nz,
@@ -718,7 +719,7 @@ def q128_cumulative_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum((F.col("rn") == 1).cast("long")).alias("new_users"),
         F.countDistinct("user_id").alias("active_users"),
     )
-    wcum = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    wcum = bounded_order("day").rowsBetween(Window.unboundedPreceding, 0)
     return daily.select(
         "day",
         "new_users",

@@ -82,7 +82,10 @@ def compare_query(
     if own_con:
         con = duckdb_connection(sf_dir)
     try:
-        odf = con.sql(q.oracle).df()
+        # Table functions (read_blob/glob) only accept constant paths,
+        # so path-dependent oracles carry a __SF_DIR__ placeholder
+        # (q90); `oracle_sql()` substitutes the driver's sf0.01 grain.
+        odf = con.sql(q.oracle.replace("__SF_DIR__", sf_dir)).df()
     finally:
         if own_con:
             con.close()

@@ -38,7 +38,7 @@ from collections.abc import Callable, Iterator
 
 import pandas as pd
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 from pyspark.sql.types import (
     BinaryType,
     LongType,
@@ -48,6 +48,7 @@ from pyspark.sql.types import (
 )
 
 from azure_batch_map_reduce_spark.catalog import load_tables
+from azure_batch_map_reduce_spark.operators.ranks import bounded_order
 from azure_batch_map_reduce_spark.registry import query
 
 MAP_OUTPUT_SCHEMA = StructType(
@@ -294,32 +295,57 @@ class ProgressMonitor:
 
 # ---- registry entries ----
 
-@query("q90_file_manifest", oracle=None, tags=("mapreduce", "source"))
+@query(
+    "q90_file_manifest",
+    # DuckDB CAN stat files: read_blob('<dir>/*.parquet') exposes
+    # (filename, size) — projection pushdown skips the content column.
+    # Table functions only accept CONSTANT paths, so the sf dir is a
+    # __SF_DIR__ placeholder substituted by both harnesses (the local
+    # differential with its active dir, `oracle_sql()` with the
+    # driver's documented sf0.01 grain).
+    oracle="""
+    SELECT regexp_extract(filename, '([^/]+)$', 1) AS file_name,
+           CAST(size AS BIGINT) AS bytes,
+           CAST(row_number() OVER (
+               ORDER BY regexp_extract(filename, '([^/]+)$', 1)
+           ) - 1 AS BIGINT) AS map_task_id,
+           TRUE AS lineage_ok,
+           size > 0 AS bytes_positive
+    FROM read_blob('__SF_DIR__/*.parquet')
+    ORDER BY file_name
+    """,
+    tags=("mapreduce", "source"),
+)
 def q90_file_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L1 literal: enumerate the input directory as (file name, size) —
-    the reference's ResourceFile listing (rows-only check: DuckDB cannot
-    stat files). ``input_file_name()`` is the lineage column every row
-    of every source carries; ``monotonically_increasing_id()`` is the
-    engine-assigned unique task/row id replacing the reference's O(n²)
-    ``IndexOf`` id assignment (``Program.cs:334``) — unique by
-    construction (partition id in the high bits), no coordination.
+    the reference's ResourceFile listing. ``input_file_name()`` is the
+    lineage column every row of every source carries; ``map_task_id``
+    is the engine-assigned unique, DETERMINISTIC task id (dense rank at
+    file grain) replacing the reference's O(n²) ``IndexOf`` id
+    assignment (``Program.cs:334``). The id window is |files|-grain —
+    a manifest is bounded by construction (one row per input file, the
+    reference's own task-per-file layout ``Program.cs:332-335``).
 
-    Self-verifying invariants carried in-result (rows-only queries
-    must prove themselves the way q15/q156 carry error bounds):
-    ``lineage_ok`` pins the binaryFile path against input_file_name
-    lineage per row, ``bytes_positive`` pins non-degenerate stats;
-    tests/test_multimodal.py asserts both all-true plus
-    map_task_id uniqueness."""
+    Self-verifying invariants carried in-result: ``lineage_ok`` pins
+    the binaryFile path against input_file_name lineage per row,
+    ``bytes_positive`` pins non-degenerate stats; additionally the
+    whole manifest now hash-checks against DuckDB's ``read_blob``
+    directory stat (r3 verdict task 8 — this was the one rows-only
+    row in CORRECTNESS_r03)."""
     files = file_source(spark, sf_dir, glob="*.parquet")
+    manifest = files.select(
+        F.element_at(F.split("path", "/"), -1).alias("file_name"),
+        F.col("length").alias("bytes"),
+        F.element_at(F.split(F.input_file_name(), "/"), -1).alias("source_file"),
+    )
+    w = bounded_order("file_name")
     return (
-        files.select(
-            F.element_at(F.split("path", "/"), -1).alias("file_name"),
-            F.col("length").alias("bytes"),
-            F.element_at(F.split(F.input_file_name(), "/"), -1).alias("source_file"),
-            F.monotonically_increasing_id().alias("map_task_id"),
+        manifest.withColumn(
+            "map_task_id", (F.row_number().over(w) - 1).cast("long")
         )
         .withColumn("lineage_ok", F.col("file_name") == F.col("source_file"))
         .withColumn("bytes_positive", F.col("bytes") > 0)
+        .drop("source_file")
         .orderBy("file_name")
     )
 

@@ -100,6 +100,17 @@ def get_spark(
         .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Audited bounded-grain frames declare their single partition
+        # with a constant key (ranks.bounded_order); this rule would
+        # fold the constant away and re-trigger WindowExec's "No
+        # Partition Defined" warning, erasing the signal that separates
+        # documented ≤|bins|-row frames from ACCIDENTAL global windows.
+        # Runtime cost of keeping the constant: none (hash of a
+        # constant = the same single partition).
+        .config(
+            "spark.sql.optimizer.excludedRules",
+            "org.apache.spark.sql.catalyst.optimizer.EliminateWindowPartitions",
+        )
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         # Keep broadcast threshold at default 10MB; dimension tables
         # (region/nation/supplier/part at fixture SF) broadcast freely.

@@ -10,7 +10,14 @@ Protocol history: round 1 recorded ONE timed run per query; round 2
 switched to warm-up + best-of-2 (commit 697d23a). Cross-round totals
 straddling that change conflate real speedups with the lower-biased
 estimator — compare per-query times within a protocol, not across it.
-Round 3 keeps the round-2 protocol unchanged.
+Rounds 3-4 keep the round-2 protocol unchanged.
+
+Warning budget: ZERO `WARN WindowExec: No Partition Defined` lines in
+the bench stderr. Every audited bounded-grain frame (bins / deciles /
+days / vocab ranks) goes through ``ranks.bounded_order`` which
+declares the single partition explicitly, so any occurrence of that
+warning here is a REAL accidental global window — treat it as a
+regression, not noise (r3 verdict task 10).
 """
 
 from __future__ import annotations
@@ -91,6 +98,19 @@ HEADLINE = [
     "q328_shipping_priority",
     "q332_symspell_typo_correction",
     "q337_knn_shapley_valuation",
+    # Round-4 additions (r3 verdict task 7): the newest reduce-slot
+    # instantiations — attribution, closed-form regression + ridge
+    # path, quantized-gradient GD, Welch t, cohort LTV, incremental
+    # index maintenance, SRM gate — so cost regressions in them are
+    # visible (they previously had no bench rows at all).
+    "q340_position_based_attribution",
+    "q341_multiple_regression_closed_form",
+    "q342_ridge_regularization_path",
+    "q343_linear_model_gd_steps",
+    "q344_welch_t_test",
+    "q345_cohort_ltv_matrix",
+    "q346_incremental_index_maintenance",
+    "q347_srm_check",
 ]
 
 

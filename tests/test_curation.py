@@ -243,3 +243,31 @@ def test_q341_regression_is_sane(spark, sf_dir):
     # coefficients are near zero and R^2 is tiny but must stay in range
     assert 0.0 <= rows["r_squared"] <= 1.0
     assert rows["intercept"] > 0  # mean price is positive
+
+
+def test_q307_rejects_vocab_wider_than_63_terms(spark, sf_dir, tmp_path):
+    """The BIGINT bitmask wraps shiftleft mod 64 silently — and DuckDB
+    wraps too, so the differential can NOT catch the corruption. The
+    guard must fail loudly on a >63-term vocabulary (r3 verdict task 5).
+    Synthetic fixture: the real sf dir with documents swapped for one
+    doc containing 70 distinct words."""
+    import os
+
+    import pytest
+
+    from azure_batch_map_reduce_spark.catalog import TABLES
+    from azure_batch_map_reduce_spark.registry import load_all
+
+    for name in TABLES:
+        if name != "documents":
+            os.symlink(
+                os.path.join(sf_dir, f"{name}.parquet"),
+                tmp_path / f"{name}.parquet",
+            )
+    words = " ".join(f"w{i:03d}" for i in range(70))
+    spark.createDataFrame(
+        [(1, "src0", words)], "doc_id bigint, source string, text string"
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+    q307 = load_all()["q307_submodular_coverage_selection"].fn
+    with pytest.raises(ValueError, match="63"):
+        q307(spark, str(tmp_path))

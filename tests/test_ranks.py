@@ -187,3 +187,19 @@ def test_running_extremum_degenerates(spark):
         df.where(F.lit(False)), [F.asc("id")], {"pm": "v"}
     )
     assert empty.count() == 0
+
+
+def test_bounded_order_keeps_constant_partition(spark):
+    """The session must exclude Catalyst's EliminateWindowPartitions so
+    bounded_order's declared constant key survives optimization —
+    otherwise WindowExec logs 'No Partition Defined' for every audited
+    bounded-grain frame and the zero-warning bench signal dies."""
+    from pyspark.sql import functions as F
+
+    from azure_batch_map_reduce_spark.operators.ranks import bounded_order
+
+    df = spark.range(10).withColumn(
+        "r", F.row_number().over(bounded_order("id"))
+    )
+    opt = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "windowspecdefinition(0," in opt
