@@ -233,6 +233,12 @@ _VERIFY_FIRST = [
     "q172_stream_windowed_distinct",
     "q192_lateness_profile",
     "q198_debounce_events",
+    # ---- round-4 additions (never sampled yet) ----
+    "q348_returned_item_customers",
+    "q349_ship_delay_priority_mix",
+    "q350_promo_revenue_share",
+    "q351_disjunctive_predicate_revenue",
+    "q352_inactive_high_balance",
 ]
 
 

@@ -1340,3 +1340,363 @@ def q330_late_shipment_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("long").alias("n_late_orders"))
         .orderBy("o_orderpriority")
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-4 TPC-H classics (q348-q352). The reference's pluggable
+# map/reduce slots (App.config:16-17) instantiate textbook OLAP shapes;
+# q01/q21/q328/q329/q330 covered Q1/Q5/Q3/Q18/Q4 — these add the
+# returned-items top-k (Q10), the conditional-aggregation fact-fact mix
+# (Q12 shape), the promo revenue share (Q14), the disjunctive-predicate
+# scan (Q19 shape), and the inactive-high-balance anti-join (Q22 shape),
+# each adapted to the fixture's trimmed columns.
+
+
+@query(
+    "q348_returned_item_customers",
+    oracle="""
+    SELECT c.c_custkey,
+           c.c_name,
+           n.n_name AS nation,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           CAST(count(*) AS BIGINT) AS n_items
+    FROM customer c
+    JOIN orders o   ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    WHERE l.l_returnflag = 'R'
+    GROUP BY c.c_custkey, c.c_name, n.n_name
+    ORDER BY round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) DESC,
+             c.c_custkey
+    LIMIT 20
+    """,
+    tags=("join", "tpch", "topk", "olap"),
+)
+def q348_returned_item_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 (returned-item reporting): the 20 customers who
+    generated the most revenue on RETURNED line items — the
+    lost-revenue ranking a retention team works from.
+
+    Determinism: revenue is rounded to cents BEFORE the ordering and
+    the cut, with a custkey tie-break (the q337 argmax discipline —
+    raw float sums differ by summation-order ulps across engines, so
+    they never order a result directly).
+
+    Scale posture: the returnflag filter pushes to the lineitem scan
+    (1/3 selectivity), the fact⋈fact join shuffles once on orderkey,
+    the customer rollup is partial+final on custkey, nation is a
+    broadcast dim, and the 20-row cut is TakeOrdered — no global
+    sort. Reference contract: per-file revenue scoring = map slot
+    (``App.config:16``), ranked consolidation = reduce slot
+    (``App.config:17``)."""
+    t = load_tables(spark, sf_dir)
+    returned = t["lineitem"].where(F.col("l_returnflag") == "R").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    return (
+        returned.join(
+            t["orders"].select("o_orderkey", "o_custkey"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(
+            t["customer"].select("c_custkey", "c_name", "c_nationkey"),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .join(
+            F.broadcast(t["nation"].select("n_nationkey", "n_name")),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .groupBy("c_custkey", "c_name", F.col("n_name").alias("nation"))
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+@query(
+    "q349_ship_delay_priority_mix",
+    oracle="""
+    SELECT CASE WHEN d < 30 THEN 'fast'
+                WHEN d < 90 THEN 'normal'
+                ELSE 'slow' END AS delay_class,
+           CAST(sum(CASE WHEN pri IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(sum(CASE WHEN pri IN ('1-URGENT', '2-HIGH')
+                         THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+    FROM (
+        SELECT (epoch_us(l.l_shipdate) - epoch_us(o.o_orderdate))
+                   // 86400000000 AS d,
+               o.o_orderpriority AS pri
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    )
+    GROUP BY delay_class
+    ORDER BY delay_class
+    """,
+    tags=("join", "tpch", "conditional-agg", "olap"),
+)
+def q349_ship_delay_priority_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape (the fixture has no shipmode column, so the
+    grouping key is the shipping-DELAY class): per delay class
+    (<30 d fast / <90 d normal / slow), how many line items belonged
+    to critical-priority orders vs the rest — the conditional
+    aggregation (CASE-sum pivot) over a fact⋈fact join that answers
+    "does slow shipping hit urgent orders".
+
+    Determinism: the delay is exact integer microsecond arithmetic
+    floor-divided to days (Spark ``unix_micros`` ≡ DuckDB
+    ``epoch_us``; never engine date_diff, whose boundary conventions
+    differ); all outputs are integer counts.
+
+    Scale posture: both CASE-sums evaluate map-side inside one
+    partial+final aggregate over a 3-row grain — one orderkey shuffle
+    for the join, one tiny final agg. Reference contract: per-item
+    classification = map slot, priority-mix consolidation = reduce
+    slot (``App.config:16-17``)."""
+    t = load_tables(spark, sf_dir)
+    d = (
+        (F.unix_micros("l_shipdate") - F.unix_micros("o_orderdate"))
+        / F.lit(86_400_000_000)
+    ).cast("long")  # exact: both operands are integral micros
+    joined = (
+        t["lineitem"]
+        .select("l_orderkey", "l_shipdate")
+        .join(
+            t["orders"].select("o_orderkey", "o_orderdate", "o_orderpriority"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .select(
+            F.when(
+                F.unix_micros("l_shipdate") - F.unix_micros("o_orderdate")
+                < 30 * 86_400_000_000,
+                "fast",
+            )
+            .when(
+                F.unix_micros("l_shipdate") - F.unix_micros("o_orderdate")
+                < 90 * 86_400_000_000,
+                "normal",
+            )
+            .otherwise("slow")
+            .alias("delay_class"),
+            F.col("o_orderpriority").isin("1-URGENT", "2-HIGH").alias("hi"),
+        )
+    )
+    return (
+        joined.groupBy("delay_class")
+        .agg(
+            F.sum(F.when(F.col("hi"), 1).otherwise(0))
+            .cast("long")
+            .alias("high_line_count"),
+            F.sum(F.when(F.col("hi"), 0).otherwise(1))
+            .cast("long")
+            .alias("low_line_count"),
+        )
+        .orderBy("delay_class")
+    )
+
+
+@query(
+    "q350_promo_revenue_share",
+    oracle="""
+    SELECT date_trunc('month', l.l_shipdate) AS ship_month,
+           round(100.0 * sum(CASE WHEN p.p_type = 'PROMO'
+                                  THEN l.l_extendedprice * (1 - l.l_discount)
+                                  ELSE 0 END)
+                 / sum(l.l_extendedprice * (1 - l.l_discount)), 4)
+               AS promo_share_pct,
+           CAST(count(*) AS BIGINT) AS n_items
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    GROUP BY ship_month
+    ORDER BY ship_month
+    """,
+    tags=("join", "tpch", "olap", "ratio"),
+)
+def q350_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 (promotion effect), widened from the classic's single
+    row to a monthly series: the share of revenue attributable to
+    PROMO-type parts per ship month — the marketing-effect trend line.
+
+    Determinism: the share is one float division of two same-order
+    conditional sums rounded at 4 (both engines aggregate the same
+    pairs; summation-order ulps wash out at 4dp — the q141/q189 ratio
+    discipline); the month key stays a TIMESTAMP on both sides (the
+    DATE-normalization trap).
+
+    Scale posture: part joins broadcast into the fact scan; both
+    conditional sums are map-side partial aggregates over the
+    ≤|months| grain — one shuffle at month grain, no fact⋈fact.
+    Reference contract: per-item promo tagging = map slot, monthly
+    share consolidation = reduce slot (``App.config:16-17``)."""
+    t = load_tables(spark, sf_dir)
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        t["lineitem"]
+        .select("l_partkey", "l_shipdate", "l_extendedprice", "l_discount")
+        .join(
+            F.broadcast(t["part"].select("p_partkey", "p_type")),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .groupBy(F.date_trunc("month", F.col("l_shipdate")).alias("ship_month"))
+        .agg(
+            F.round(
+                100.0
+                * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(0.0))
+                / F.sum(rev),
+                4,
+            ).alias("promo_share_pct"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .orderBy("ship_month")
+    )
+
+
+@query(
+    "q351_disjunctive_predicate_revenue",
+    oracle="""
+    SELECT p.p_brand,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           CAST(count(*) AS BIGINT) AS n_items
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity BETWEEN 1 AND 11)
+       OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 10 AND 25
+           AND l.l_quantity BETWEEN 10 AND 20)
+       OR (p.p_brand = 'Brand#34' AND p.p_size BETWEEN 20 AND 50
+           AND l.l_quantity BETWEEN 20 AND 30)
+    GROUP BY p.p_brand
+    ORDER BY p.p_brand
+    """,
+    tags=("join", "tpch", "pushdown", "olap"),
+)
+def q351_disjunctive_predicate_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape (discounted revenue under a disjunction of
+    brand/size/quantity envelopes — the classic OR-of-ANDs predicate
+    that naive planners evaluate post-join).
+
+    Determinism: integer/equality predicates only; revenue rounds to
+    cents after the sum.
+
+    Scale posture: Catalyst splits the disjunction — the common
+    disjunct of part-only predicates prunes the broadcast dim BEFORE
+    the join, the quantity residual evaluates in the join filter, and
+    the lineitem scan keeps a quantity range filter from the OR'd
+    bounds (plan-pinned: PushedFilters on the scan contains an Or).
+    At 100 TB this is the query where predicate decomposition is the
+    difference between scanning 3 brands' rows and scanning
+    everything. Reference contract: the whole WHERE is the map slot's
+    per-file filter program (``App.config:16``)."""
+    t = load_tables(spark, sf_dir)
+    cond = (
+        (
+            (F.col("p_brand") == "Brand#12")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#23")
+            & F.col("p_size").between(10, 25)
+            & F.col("l_quantity").between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#34")
+            & F.col("p_size").between(20, 50)
+            & F.col("l_quantity").between(20, 30)
+        )
+    )
+    return (
+        t["lineitem"]
+        .select("l_partkey", "l_quantity", "l_extendedprice", "l_discount")
+        .join(
+            F.broadcast(t["part"].select("p_partkey", "p_brand", "p_size")),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .where(cond)
+        .groupBy("p_brand")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .orderBy("p_brand")
+    )
+
+
+_INACTIVE_CUTOFF = "1999-01-01 00:00:00"
+
+
+@query(
+    "q352_inactive_high_balance",
+    oracle=f"""
+    WITH thresh AS (
+        SELECT round(avg(c_acctbal), 2) AS a
+        FROM customer WHERE c_acctbal > 0
+    )
+    SELECT n.n_name AS nation,
+           CAST(count(*) AS BIGINT) AS n_customers,
+           round(sum(c.c_acctbal), 2) AS total_bal
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    CROSS JOIN thresh
+    WHERE c.c_acctbal > thresh.a
+      AND NOT EXISTS (
+          SELECT 1 FROM orders o
+          WHERE o.o_custkey = c.c_custkey
+            AND o.o_orderdate >= TIMESTAMP '{_INACTIVE_CUTOFF}'
+      )
+    GROUP BY n.n_name
+    ORDER BY n.n_name
+    """,
+    tags=("join", "tpch", "anti-join", "subquery", "olap"),
+)
+def q352_inactive_high_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape (global sales opportunity; the fixture has no
+    phone column, so the segmentation key is the nation dim):
+    customers whose balance exceeds the positive-balance average but
+    who placed NO order since the cutoff — the dormant-value segment,
+    per nation. Combines a scalar aggregate subquery, an anti-join,
+    and a dim rollup in one statement.
+
+    Determinism: the threshold is rounded to cents BEFORE the
+    comparison on both engines — the raw averages differ by
+    summation-order ulps, and a customer sitting exactly on the
+    rounded threshold then compares identically everywhere (strict >
+    of two equal doubles).
+
+    Scale posture: the threshold is a 1-row broadcast (crossJoin of a
+    global aggregate); the inactivity check is a LEFT ANTI join
+    against the date-filtered orders (the filter pushes to the orders
+    scan first — at 100 TB the anti-join probe side is only the
+    post-cutoff slice, not all orders); nation is a broadcast dim.
+    Reference contract: threshold = one reduce-slot pass, the
+    anti-joined rollup = a second map+reduce round
+    (``App.config:16-17``)."""
+    t = load_tables(spark, sf_dir)
+    thresh = (
+        t["customer"]
+        .where(F.col("c_acctbal") > 0)
+        .agg(F.round(F.avg("c_acctbal"), 2).alias("a"))
+    )
+    recent = t["orders"].where(
+        F.col("o_orderdate") >= F.lit(_INACTIVE_CUTOFF).cast("timestamp")
+    ).select("o_custkey")
+    return (
+        t["customer"]
+        .crossJoin(F.broadcast(thresh))
+        .where(F.col("c_acctbal") > F.col("a"))
+        .join(recent, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .join(
+            F.broadcast(t["nation"].select("n_nationkey", "n_name")),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_customers"),
+            F.round(F.sum("c_acctbal"), 2).alias("total_bal"),
+        )
+        .orderBy("nation")
+    )

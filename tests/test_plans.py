@@ -957,3 +957,42 @@ def test_q284_sample_is_fixed_size_per_source(spark, sf_dir):
     m = _SCURVE_SAMPLE_M
     # all pairs are within-source: total pairs <= |sources| * C(m, 2)
     assert total <= n_sources * m * (m - 1) // 2
+
+
+# ---------------------------------------------------------------------------
+# Round-4 TPC-H classics (q348-q352).
+
+
+def test_q348_topk_is_take_ordered_with_broadcast_dim(spark, sf_dir):
+    """Q10 analog: 20-row cut must be TakeOrdered (no global sort of
+    the customer rollup) and nation must broadcast."""
+    plan = plan_of(REGISTRY["q348_returned_item_customers"].fn(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q351_disjunction_reaches_the_scans(spark, sf_dir):
+    """Q19 analog: the OR-of-ANDs must decompose — the part-only
+    disjunct prunes the broadcast dim scan, and the lineitem scan
+    keeps an Or'd quantity predicate (PushedFilters), so neither side
+    is scanned unfiltered at 100 TB."""
+    df = REGISTRY["q351_disjunctive_predicate_revenue"].fn(spark, sf_dir)
+    explained = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    pushed = [l for l in explained.splitlines() if "PushedFilters" in l]
+    assert any("Or(" in l for l in pushed), pushed
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "q349_ship_delay_priority_mix",     # CASE-sums in one partial+final agg
+        "q350_promo_revenue_share",         # broadcast part dim, month grain
+        "q352_inactive_high_balance",       # 1-row threshold + anti-join
+    ],
+)
+def test_r4_tpch_no_cartesian(spark, sf_dir, name):
+    plan = plan_of(REGISTRY[name].fn(spark, sf_dir))
+    assert "CartesianProduct" not in plan
