@@ -239,6 +239,9 @@ _VERIFY_FIRST = [
     "q350_promo_revenue_share",
     "q351_disjunctive_predicate_revenue",
     "q352_inactive_high_balance",
+    "q353_mann_whitney_u",
+    "q354_ips_offpolicy_eval",
+    "q355_spearman_rank_correlation",
 ]
 
 

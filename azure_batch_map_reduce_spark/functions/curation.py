@@ -35,6 +35,7 @@ from azure_batch_map_reduce_spark.catalog import load_tables
 from azure_batch_map_reduce_spark.operators.ranks import (
     bounded_order,
     distributed_row_number,
+    distributed_running_sum,
     ntile_from_rank,
     rank_small,
     round_nz,
@@ -5279,4 +5280,327 @@ def q347_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.round(chi2, 6).alias("srm_chi2"),
         (chi2 > _SRM_CHI2_CRIT).alias("srm_detected"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Round-4 additions: rank statistics + counterfactual evaluation
+# (q353-q355). Reference contract: per-row scoring/weighting is the map
+# slot (``App.config:16``), the test/estimator consolidation the reduce
+# slot (``App.config:17``).
+
+
+@query(
+    "q353_mann_whitney_u",
+    oracle="""
+    WITH s AS (
+        SELECT l_extendedprice AS v,
+               CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS ia,
+               CASE WHEN l_returnflag = 'N' THEN 1 ELSE 0 END AS ib
+        FROM lineitem WHERE l_returnflag IN ('R', 'N')
+    ),
+    pv AS (
+        SELECT v, sum(ia) AS da, sum(ib) AS db, count(*) AS t
+        FROM s GROUP BY v
+    ),
+    run AS (
+        SELECT da, t,
+               sum(t) OVER (ORDER BY v) AS ct
+        FROM pv
+    ),
+    agg AS (
+        SELECT sum(da * (ct - t + (t + 1) / 2.0))  AS ra,
+               sum(t * t * t - t)                  AS ties
+        FROM run
+    ),
+    tot AS (SELECT sum(da) AS na, sum(db) AS nb FROM pv),
+    z AS (
+        SELECT na, nb,
+               ra - na * (na + 1) / 2.0 AS u,
+               round((ra - na * (na + 1) / 2.0 - na * nb / 2.0)
+                     / sqrt(na * nb / 12.0
+                            * ((na + nb + 1)
+                               - ties / ((na + nb) * (na + nb - 1.0)))),
+                     6) + 0.0 AS zr
+        FROM agg, tot
+    )
+    SELECT CAST(na AS BIGINT) AS n_a,
+           CAST(nb AS BIGINT) AS n_b,
+           round(u, 2) AS u_stat,
+           zr AS z,
+           abs(zr) > 1.96 AS reject_95
+    FROM z
+    """,
+    tags=("stats", "rank-test", "nonparametric", "experimentation"),
+)
+def q353_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann–Whitney U (Wilcoxon rank-sum) test with tie-corrected
+    normal approximation: do RETURNED line items ('R') carry a
+    different price distribution than non-returned ('N')? The
+    distribution-free two-sample test an experimentation stack
+    reaches for when t-tests' normality assumption fails (the rank
+    twin of q344's Welch t and q139's KS distance).
+
+    Determinism: midranks are computed at VALUE grain —
+    cum_before + (t+1)/2 — so every rank is an exact half-integer in
+    doubles, the rank-sum and tie term Σ(t³−t) are exact-integer
+    sums (< 2^53 through sf0.1 with margin), and z is one shared
+    division+sqrt chain over identical inputs — bit-identical
+    cross-engine; the reject flag compares the ROUNDED z.
+
+    Scale posture: one partial+final agg to distinct-price grain, the
+    cumulative tie-aware count rides the window-free
+    ``distributed_running_sum`` (range shuffle + broadcast offsets —
+    never a global window over data-sized distinct prices), then a
+    single 1-row aggregate. The oracle uses a plain SQL window; the
+    engine deliberately does not (q139's posture)."""
+    li = load_tables(spark, sf_dir)["lineitem"]
+    s = li.where(F.col("l_returnflag").isin("R", "N")).select(
+        F.col("l_extendedprice").alias("v"),
+        (F.col("l_returnflag") == "R").cast("int").alias("ia"),
+        (F.col("l_returnflag") == "N").cast("int").alias("ib"),
+    )
+    pv = s.groupBy("v").agg(
+        F.sum("ia").alias("da"),
+        F.sum("ib").alias("db"),
+        F.count(F.lit(1)).alias("t"),
+    )
+    run = distributed_running_sum(pv, [F.asc("v")], {"ct": "t"})
+    agg = run.agg(
+        F.sum(
+            F.col("da")
+            * (F.col("ct") - F.col("t") + (F.col("t") + 1) / F.lit(2.0))
+        ).alias("ra"),
+        F.sum(F.col("t") * F.col("t") * F.col("t") - F.col("t")).alias("ties"),
+        F.sum("da").alias("na"),
+        F.sum("db").alias("nb"),
+    )
+    na, nb = F.col("na"), F.col("nb")
+    u = F.col("ra") - na * (na + 1) / F.lit(2.0)
+    zr = round_nz(
+        (F.col("ra") - na * (na + 1) / F.lit(2.0) - na * nb / F.lit(2.0))
+        / F.sqrt(
+            na * nb / F.lit(12.0)
+            * (
+                (na + nb + 1)
+                - F.col("ties") / ((na + nb) * (na + nb - F.lit(1.0)))
+            )
+        ),
+        6,
+    )
+    return agg.select(
+        na.cast("long").alias("n_a"),
+        nb.cast("long").alias("n_b"),
+        F.round(u, 2).alias("u_stat"),
+        zr.alias("z"),
+        (F.abs(zr) > 1.96).alias("reject_95"),
+    )
+
+
+_IPS_N_BUCKETS = 10
+_IPS_TOP_K = 3
+
+
+@query(
+    "q354_ips_offpolicy_eval",
+    oracle=f"""
+    WITH top3 AS (
+        SELECT event_type FROM events GROUP BY event_type
+        ORDER BY count(*) DESC, event_type LIMIT {_IPS_TOP_K}
+    ),
+    b AS (
+        SELECT user_id % {_IPS_N_BUCKETS} AS bucket, event_type, value
+        FROM events
+    ),
+    mu AS (
+        SELECT bucket, event_type, count(*) AS c_ba
+        FROM b GROUP BY bucket, event_type
+    ),
+    cb AS (SELECT bucket, count(*) AS c_b FROM b GROUP BY bucket),
+    w AS (
+        SELECT b.bucket, b.value,
+               CASE WHEN b.event_type IN (SELECT event_type FROM top3)
+                    THEN CAST(cb.c_b AS DOUBLE)
+                         / ({_IPS_TOP_K}.0 * mu.c_ba)
+                    ELSE 0.0 END AS wt
+        FROM b
+        JOIN mu ON mu.bucket = b.bucket AND mu.event_type = b.event_type
+        JOIN cb ON cb.bucket = b.bucket
+    )
+    SELECT bucket,
+           CAST(count(*) AS BIGINT) AS n_logged,
+           round(sum(value * wt) / count(*), 4) AS ips_value,
+           round(sum(value * wt) / sum(wt), 4)  AS snips_value,
+           round(sum(wt) * sum(wt) / sum(wt * wt), 2) AS effective_n
+    FROM w GROUP BY bucket ORDER BY bucket
+    """,
+    tags=("counterfactual", "off-policy", "ips", "experimentation", "llm"),
+)
+def q354_ips_offpolicy_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Off-policy (counterfactual) evaluation from logged feedback:
+    treat the events table as bandit logs — context = user bucket,
+    action = event type, reward = value — and estimate what a TARGET
+    policy (uniform over the global top-3 actions) would earn, without
+    running it. IPS (inverse-propensity-scored mean), the
+    self-normalized SNIPS variant (lower variance, slight bias), and
+    the effective sample size (Σw)²/Σw² that says how much logged
+    data actually supports the counterfactual — the standard triple
+    for offline evaluation of recommendation/serving policy changes
+    before an A/B slot is spent.
+
+    Determinism: the behavior propensity is the empirical frequency
+    μ(a|bucket) = c_ba/c_b, so each weight is ONE IEEE division of
+    exact integers (c_b/(3·c_ba)); reward×weight sums differ by
+    summation-order ulps only and all emitted ratios round at 4/2.
+    The top-3 action set breaks count ties by name.
+
+    Scale posture: propensities are a (bucket × action)-grain
+    partial+final count joined back as a broadcast (grain ≤
+    buckets×|actions|); the target-action set is a ≤3-row semi-join
+    input; estimators are one partial+final agg at bucket grain. No
+    per-event state, no window. Reference contract: weighting = map
+    slot, estimator consolidation = reduce slot
+    (``App.config:16-17``)."""
+    ev = load_tables(spark, sf_dir)["events"]
+    b = ev.select(
+        (F.col("user_id") % _IPS_N_BUCKETS).alias("bucket"),
+        "event_type",
+        "value",
+    )
+    top3 = (
+        b.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.desc("c"), F.asc("event_type"))
+        .limit(_IPS_TOP_K)
+        .select("event_type", F.lit(1).alias("in_target"))
+    )
+    mu = b.groupBy("bucket", "event_type").agg(F.count(F.lit(1)).alias("c_ba"))
+    cb = b.groupBy("bucket").agg(F.count(F.lit(1)).alias("c_b"))
+    w = (
+        b.join(F.broadcast(mu), ["bucket", "event_type"])
+        .join(F.broadcast(cb), "bucket")
+        .join(F.broadcast(top3), "event_type", "left")
+        .select(
+            "bucket",
+            "value",
+            F.when(
+                F.col("in_target").isNotNull(),
+                F.col("c_b").cast("double")
+                / (F.lit(float(_IPS_TOP_K)) * F.col("c_ba")),
+            )
+            .otherwise(0.0)
+            .alias("wt"),
+        )
+    )
+    return (
+        w.groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_logged"),
+            F.round(
+                F.sum(F.col("value") * F.col("wt")) / F.count(F.lit(1)), 4
+            ).alias("ips_value"),
+            F.round(
+                F.sum(F.col("value") * F.col("wt")) / F.sum("wt"), 4
+            ).alias("snips_value"),
+            F.round(
+                F.sum("wt") * F.sum("wt") / F.sum(F.col("wt") * F.col("wt")),
+                2,
+            ).alias("effective_n"),
+        )
+        .orderBy("bucket")
+    )
+
+
+@query(
+    "q355_spearman_rank_correlation",
+    oracle="""
+    WITH d AS (
+        SELECT doc_id, n_chars AS x,
+               length(string_split(text, ' ')) AS y
+        FROM documents
+    ),
+    rx AS (
+        SELECT x, count(*) AS t, sum(count(*)) OVER (ORDER BY x) AS ct
+        FROM d GROUP BY x
+    ),
+    mx AS (SELECT x, ct - t + (t + 1) / 2.0 AS mr FROM rx),
+    ry AS (
+        SELECT y, count(*) AS t, sum(count(*)) OVER (ORDER BY y) AS ct
+        FROM d GROUP BY y
+    ),
+    my AS (SELECT y, ct - t + (t + 1) / 2.0 AS mr FROM ry),
+    j AS (
+        SELECT mx.mr AS rxv, my.mr AS ryv
+        FROM d JOIN mx ON d.x = mx.x JOIN my ON d.y = my.y
+    ),
+    s AS (
+        SELECT count(*) AS n, sum(rxv) AS sx, sum(ryv) AS sy,
+               sum(rxv * rxv) AS sxx, sum(ryv * ryv) AS syy,
+               sum(rxv * ryv) AS sxy
+        FROM j
+    )
+    SELECT CAST(n AS BIGINT) AS n_docs,
+           round((n * sxy - sx * sy)
+                 / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)),
+                 6) + 0.0 AS spearman_rho
+    FROM s
+    """,
+    tags=("stats", "rank-test", "correlation", "nonparametric"),
+)
+def q355_spearman_rank_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation between document length (chars) and
+    whitespace token count — the monotone-association measure that is
+    robust to the heavy length tails where Pearson (q182's windowed
+    twin) saturates; near-1 here confirms chars-per-token stability,
+    a cheap corpus-health signal.
+
+    Determinism: midranks at VALUE grain (exact half-integers, the
+    q353 construction), so all five moment sums are exact-integer/
+    quarter-fraction sums in doubles (< 2^53 through sf0.1); ρ is one
+    shared division+sqrt — bit-identical before the 6dp round
+    (round_nz: a near-zero ρ can be a negative epsilon).
+
+    Scale posture: two value-grain aggs (distinct char counts /
+    distinct token counts), cumulative tie counts on the window-free
+    running sum, two shuffle equi-joins back to doc grain, one
+    1-row moment aggregate. The oracle uses plain SQL windows; the
+    engine does not."""
+    docs = load_tables(spark, sf_dir)["documents"].select(
+        F.col("n_chars").alias("x"),
+        F.size(F.split("text", " ")).alias("y"),
+    )
+
+    def midranks(df, col):
+        pv = df.groupBy(col).agg(F.count(F.lit(1)).alias("t"))
+        run = distributed_running_sum(pv, [F.asc(col)], {"ct": "t"})
+        return run.select(
+            col,
+            (
+                F.col("ct") - F.col("t") + (F.col("t") + 1) / F.lit(2.0)
+            ).alias(f"mr_{col}"),
+        )
+    j = (
+        docs.join(midranks(docs, "x"), "x")
+        .join(midranks(docs, "y"), "y")
+        .select(F.col("mr_x").alias("rxv"), F.col("mr_y").alias("ryv"))
+    )
+    s = j.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("rxv").alias("sx"),
+        F.sum("ryv").alias("sy"),
+        F.sum(F.col("rxv") * F.col("rxv")).alias("sxx"),
+        F.sum(F.col("ryv") * F.col("ryv")).alias("syy"),
+        F.sum(F.col("rxv") * F.col("ryv")).alias("sxy"),
+    )
+    n = F.col("n")
+    return s.select(
+        n.cast("long").alias("n_docs"),
+        round_nz(
+            (n * F.col("sxy") - F.col("sx") * F.col("sy"))
+            / F.sqrt(
+                (n * F.col("sxx") - F.col("sx") * F.col("sx"))
+                * (n * F.col("syy") - F.col("sy") * F.col("sy"))
+            ),
+            6,
+        ).alias("spearman_rho"),
     )

@@ -996,3 +996,25 @@ def test_q351_disjunction_reaches_the_scans(spark, sf_dir):
 def test_r4_tpch_no_cartesian(spark, sf_dir, name):
     plan = plan_of(REGISTRY[name].fn(spark, sf_dir))
     assert "CartesianProduct" not in plan
+
+
+def test_q353_q355_rank_stats_ride_range_partitioning(spark, sf_dir):
+    """Mann-Whitney / Spearman midranks must ride the window-free
+    running-sum primitive (range exchange + broadcast offsets), never
+    a global window over data-sized distinct values."""
+    for name in ("q353_mann_whitney_u", "q355_spearman_rank_correlation"):
+        df = REGISTRY[name].fn(spark, sf_dir)
+        plan = plan_of(df)
+        assert "Exchange rangepartitioning" in plan, name
+        assert "CartesianProduct" not in plan, name
+        offenders = _unpartitioned_windows(optimized_of(df))
+        assert not offenders, (name, offenders)
+
+
+def test_q354_propensity_joins_broadcast(spark, sf_dir):
+    """IPS weights come from (bucket x action)-grain count tables —
+    broadcast joins onto the event stream; no cartesian, no window."""
+    df = REGISTRY["q354_ips_offpolicy_eval"].fn(spark, sf_dir)
+    plan = plan_of(df)
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
