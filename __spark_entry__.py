@@ -242,6 +242,10 @@ _VERIFY_FIRST = [
     "q353_mann_whitney_u",
     "q354_ips_offpolicy_eval",
     "q355_spearman_rank_correlation",
+    "q356_dsir_importance_resampling",
+    "q357_chunk_first_occurrence_dedup",
+    "q358_encoding_corruption_audit",
+    "q359_largest_remainder_allocation",
 ]
 
 

@@ -5604,3 +5604,241 @@ def q355_spearman_rank_correlation(spark: SparkSession, sf_dir: str) -> DataFram
             6,
         ).alias("spearman_rho"),
     )
+
+
+_DSIR_BUCKETS = 64
+_DSIR_TARGET_SOURCE = "src0"
+_DSIR_TOP = 50
+_DSIR_HASH_DUCK = "(('0x' || substr(md5(tok), 1, 12))::BIGINT % 64)"
+
+
+@query(
+    "q356_dsir_importance_resampling",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, source, unnest(string_split(text, ' ')) AS tok
+        FROM documents
+    ),
+    bt AS (
+        SELECT doc_id, source, {_DSIR_HASH_DUCK} AS b FROM toks
+    ),
+    raw AS (SELECT b, count(*) AS c_r FROM bt GROUP BY b),
+    tgt AS (
+        SELECT b, count(*) AS c_t FROM bt
+        WHERE source = '{_DSIR_TARGET_SOURCE}' GROUP BY b
+    ),
+    nr AS (SELECT count(*) AS n_r FROM bt),
+    nt AS (
+        SELECT count(*) AS n_t FROM bt
+        WHERE source = '{_DSIR_TARGET_SOURCE}'
+    ),
+    lr AS (
+        SELECT raw.b,
+               ln((coalesce(tgt.c_t, 0) + 1)
+                  / CAST(nt.n_t + {_DSIR_BUCKETS} AS DOUBLE))
+               - ln((raw.c_r + 1)
+                    / CAST(nr.n_r + {_DSIR_BUCKETS} AS DOUBLE)) AS w
+        FROM raw LEFT JOIN tgt ON raw.b = tgt.b
+        CROSS JOIN nr CROSS JOIN nt
+    ),
+    db AS (
+        SELECT doc_id, source, b, count(*) AS c_db
+        FROM bt GROUP BY doc_id, source, b
+    ),
+    dw AS (
+        SELECT db.doc_id, db.source,
+               CAST(sum(db.c_db) AS BIGINT) AS n_tokens,
+               round(list_reduce(
+                   list_prepend(CAST(0.0 AS DOUBLE),
+                                list(db.c_db * lr.w ORDER BY db.b)),
+                   (a, x) -> a + x), 4) + 0.0 AS log_weight
+        FROM db JOIN lr ON db.b = lr.b
+        GROUP BY db.doc_id, db.source
+    )
+    SELECT doc_id, source, n_tokens, log_weight
+    FROM dw
+    ORDER BY log_weight DESC, doc_id
+    LIMIT {_DSIR_TOP}
+    """,
+    tags=("llm", "curation", "selection", "importance-sampling", "dsir"),
+)
+def q356_dsir_importance_resampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style data selection via importance resampling (Xie et al.
+    2023): score every document by how much more likely its hashed
+    unigram features are under a TARGET distribution (here the src0
+    slice, standing in for the high-quality exemplar set) than under
+    the raw corpus, and keep the top-50 — the cheap lexical method
+    that selects pretraining data "shaped like" a trusted reference
+    without any neural scorer. Weight(doc) = Σ_b c_b·(ln p_tgt(b) −
+    ln p_raw(b)) over 64 hashed feature buckets, add-one smoothed.
+
+    Determinism: bucket ids are the shared md5-prefix hash; counts are
+    exact; ln() is libm (ulp skew) but each document's ≤64 bucket
+    terms fold in BUCKET order via the prepended-zero aggregate (the
+    q256/q257 discipline), and the selection ranks the ROUNDED weight
+    with a doc_id tie-break (the q337 argmax rule).
+
+    Scale posture: the feature model is 64-row state built by
+    partial+final counts (two corpus passes: model, score — the DSIR
+    paper's own shape); scoring joins the 64-row log-ratio table as a
+    broadcast at (doc, bucket) grain; the 50-row cut is TakeOrdered.
+    Nothing data-sized ever sits on one task. Reference contract:
+    hashed featurization = map slot (``App.config:16``); weight fold +
+    resample cut = reduce slot (``App.config:17``)."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    bt = docs.select(
+        "doc_id",
+        "source",
+        F.explode(F.split("text", " ")).alias("tok"),
+    ).select(
+        "doc_id",
+        "source",
+        (
+            F.conv(F.substring(F.md5("tok"), 1, 12), 16, 10).cast("long")
+            % _DSIR_BUCKETS
+        ).alias("b"),
+    )
+    raw = bt.groupBy("b").agg(F.count(F.lit(1)).alias("c_r"))
+    tgt = (
+        bt.where(F.col("source") == _DSIR_TARGET_SOURCE)
+        .groupBy("b")
+        .agg(F.count(F.lit(1)).alias("c_t"))
+    )
+    nr = bt.agg(F.count(F.lit(1)).alias("n_r"))
+    nt = bt.where(F.col("source") == _DSIR_TARGET_SOURCE).agg(
+        F.count(F.lit(1)).alias("n_t")
+    )
+    lr = (
+        raw.join(tgt, "b", "left")
+        .crossJoin(F.broadcast(nr))
+        .crossJoin(F.broadcast(nt))
+        .select(
+            "b",
+            (
+                F.log(
+                    (F.coalesce(F.col("c_t"), F.lit(0)) + 1)
+                    / (F.col("n_t") + _DSIR_BUCKETS).cast("double")
+                )
+                - F.log(
+                    (F.col("c_r") + 1)
+                    / (F.col("n_r") + _DSIR_BUCKETS).cast("double")
+                )
+            ).alias("w"),
+        )
+    )
+    db = bt.groupBy("doc_id", "source", "b").agg(
+        F.count(F.lit(1)).alias("c_db")
+    )
+    dw = (
+        db.join(F.broadcast(lr), "b")
+        .groupBy("doc_id", "source")
+        .agg(
+            F.sum("c_db").cast("long").alias("n_tokens"),
+            round_nz(
+                F.aggregate(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(
+                                F.struct(
+                                    F.col("b"),
+                                    (F.col("c_db") * F.col("w")).alias("t"),
+                                )
+                            )
+                        ),
+                        lambda s: s.getField("t"),
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                ),
+                4,
+            ).alias("log_weight"),
+        )
+    )
+    return (
+        dw.select("doc_id", "source", "n_tokens", "log_weight")
+        .orderBy(F.desc("log_weight"), F.asc("doc_id"))
+        .limit(_DSIR_TOP)
+    )
+
+
+_LRA_BUDGET = 1000
+
+
+@query(
+    "q359_largest_remainder_allocation",
+    oracle=f"""
+    WITH s AS (
+        SELECT source, count(*) AS n_docs FROM documents GROUP BY source
+    ),
+    tot AS (SELECT sum(n_docs) AS n FROM s),
+    q AS (
+        SELECT source, n_docs,
+               ({_LRA_BUDGET} * n_docs) // tot.n AS base,
+               ({_LRA_BUDGET} * n_docs) % tot.n  AS rem
+        FROM s CROSS JOIN tot
+    ),
+    short AS (
+        SELECT {_LRA_BUDGET} - sum(base) AS k FROM q
+    ),
+    ranked AS (
+        SELECT source, n_docs, base, rem,
+               row_number() OVER (ORDER BY rem DESC, source) AS rk
+        FROM q
+    )
+    SELECT r.source,
+           CAST(r.n_docs AS BIGINT) AS n_docs,
+           CAST(r.base AS BIGINT) AS base_alloc,
+           CAST(CASE WHEN r.rk <= short.k THEN 1 ELSE 0 END AS BIGINT)
+               AS extra,
+           CAST(r.base + CASE WHEN r.rk <= short.k THEN 1 ELSE 0 END
+                AS BIGINT) AS alloc
+    FROM ranked r CROSS JOIN short
+    ORDER BY r.source
+    """,
+    tags=("curation", "sampling", "allocation", "integer-exact"),
+)
+def q359_largest_remainder_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Largest-remainder (Hamilton) allocation of an exact sample
+    budget across sources: each source gets ⌊K·n_s/N⌋, and the
+    leftover seats go to the largest fractional remainders — the
+    allocation that sums to EXACTLY K with every share within one of
+    its exact proportional entitlement (the proportional complement
+    to q308's variance-optimal Neyman split; proportional is what a
+    mixture spec usually pins).
+
+    Determinism: pure integer arithmetic — quotas are integer
+    div/mod, the remainder ranking breaks ties by source name, and
+    the invariant Σalloc = K is tested exactly.
+
+    Scale posture: one partial+final count to |sources| grain; the
+    remainder rank is a bounded_order window over ≤|sources| rows;
+    the shortfall is a 1-row broadcast. Reference contract: counting
+    = map slot, seat assignment = reduce slot (``App.config:16-17``)."""
+    s = (
+        load_tables(spark, sf_dir)["documents"]
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+    tot = s.agg(F.sum("n_docs").alias("n"))
+    q = s.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        F.expr(f"({_LRA_BUDGET} * n_docs) div n").alias("base"),
+        (F.lit(_LRA_BUDGET) * F.col("n_docs") % F.col("n")).alias("rem"),
+    )
+    short = q.agg((F.lit(_LRA_BUDGET) - F.sum("base")).alias("k"))
+    ranked = q.withColumn(
+        "rk", F.row_number().over(bounded_order(F.desc("rem"), F.asc("source")))
+    )
+    extra = F.when(F.col("rk") <= F.col("k"), 1).otherwise(0)
+    return (
+        ranked.crossJoin(F.broadcast(short))
+        .select(
+            "source",
+            F.col("n_docs").cast("long").alias("n_docs"),
+            F.col("base").cast("long").alias("base_alloc"),
+            extra.cast("long").alias("extra"),
+            (F.col("base") + extra).cast("long").alias("alloc"),
+        )
+        .orderBy("source")
+    )

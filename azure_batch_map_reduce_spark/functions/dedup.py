@@ -2166,3 +2166,115 @@ def q297_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_a", "doc_b")
     )
+
+
+_CHUNK_W = 8  # words per dedup chunk
+
+
+@query(
+    "q357_chunk_first_occurrence_dedup",
+    oracle=f"""
+    WITH words AS (
+        SELECT doc_id, source, string_split(text, ' ') AS w
+        FROM documents
+    ),
+    occ AS (
+        SELECT doc_id, source, p,
+               array_to_string(w[(p - 1) * {_CHUNK_W} + 1 :
+                                 p * {_CHUNK_W}], ' ') AS seg,
+               doc_id * 1000 + p AS k
+        FROM (
+            SELECT doc_id, source, w,
+                   unnest(generate_series(1, length(w) // {_CHUNK_W})) AS p
+            FROM words
+        )
+    ),
+    firsts AS (SELECT seg, min(k) AS first_k FROM occ GROUP BY seg),
+    marked AS (
+        SELECT o.source,
+               CASE WHEN o.k = f.first_k THEN 1 ELSE 0 END AS kept
+        FROM occ o JOIN firsts f ON o.seg = f.seg
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_chunks,
+           CAST(sum(kept) AS BIGINT) AS n_retained,
+           CAST((1000000 * (count(*) - sum(kept))) // count(*) AS BIGINT)
+               AS dedup_ppm
+    FROM marked
+    GROUP BY source
+    ORDER BY source
+    """,
+    tags=("dedup", "chunk", "storage", "first-occurrence"),
+)
+def q357_chunk_first_occurrence_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk-level first-occurrence dedup (the storage-dedup /
+    exact-substring-dedup policy, chunk grain): cut every document
+    into consecutive 8-word chunks, keep only each distinct chunk's
+    GLOBALLY FIRST occurrence (smallest (doc_id, position)), and
+    report per source how much volume dedup would reclaim — the
+    chunk-store accounting that decides whether content-addressed
+    storage pays for a corpus, and the per-source attribution of who
+    contributes the duplicated bytes. Complements q260 (pair
+    detection) and q273 (frequency-based boilerplate): this one is a
+    POLICY with a conserved-volume invariant, not a detector.
+
+    Determinism: segmentation is integer stride math; the first
+    occurrence is an exact integer argmin (doc_id·1000 + position —
+    positions are < 1000 by the 8-word stride over bounded docs);
+    outputs are counts and a floor-scaled integer ppm (the q271
+    lesson — never a rounded float ratio of integers).
+
+    Scale posture: occurrences explode map-side; the argmin is one
+    partial+final MIN at chunk-text grain (at 100 TB, swap the raw
+    8-word key for its 64-bit hash to shrink the shuffle — q260's
+    note); the ownership check is an equi-join on the chunk key; the
+    rollup is |sources|-grain. No pair joins anywhere. Reference
+    contract: chunking = map slot (``App.config:16``), ownership +
+    accounting = reduce slot (``App.config:17``)."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    words = docs.select(
+        "doc_id", "source", F.split("text", " ").alias("w")
+    )
+    occ = (
+        words.select(
+            "doc_id",
+            "source",
+            # Guard the sequence: Spark's sequence(1, 0) is a
+            # DESCENDING [1, 0] while DuckDB's generate_series(1, 0)
+            # is empty (SKILL trap) — sub-chunk docs must emit nothing.
+            F.explode(
+                F.when(
+                    F.size("w") >= _CHUNK_W,
+                    F.sequence(
+                        F.lit(1),
+                        F.floor(F.size("w") / F.lit(_CHUNK_W)).cast("int"),
+                    ),
+                )
+            ).alias("p"),
+            "w",
+        )
+        .select(
+            "source",
+            F.array_join(
+                F.slice(F.col("w"), (F.col("p") - 1) * _CHUNK_W + 1, _CHUNK_W),
+                " ",
+            ).alias("seg"),
+            (F.col("doc_id") * 1000 + F.col("p")).alias("k"),
+        )
+    )
+    firsts = occ.groupBy("seg").agg(F.min("k").alias("first_k"))
+    marked = occ.join(firsts, "seg").select(
+        "source",
+        F.when(F.col("k") == F.col("first_k"), 1).otherwise(0).alias("kept"),
+    )
+    return (
+        marked.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_chunks"),
+            F.sum("kept").cast("long").alias("n_retained"),
+            F.expr(
+                "cast((1000000 * (count(1) - sum(kept))) div count(1) as bigint)"
+            ).alias("dedup_ppm"),
+        )
+        .orderBy("source")
+    )

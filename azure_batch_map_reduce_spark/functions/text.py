@@ -3608,3 +3608,105 @@ def q346_incremental_index_maintenance(
         .orderBy(F.desc("term_count"), F.asc("word"))
         .limit(20)
     )
+
+
+# Deterministic corruption classes for the encoding audit: every 17th
+# doc gets a U+FFFD replacement char, the next a BEL control byte, the
+# next the classic 'Ã©' UTF-8-as-Latin-1 digraph. chr() codepoints are
+# used on both engines so no raw bytes live in source text.
+_ENC_REPL = "�"
+_ENC_CTRL = "\x07"
+_ENC_MOJI = "Ã©"  # 'Ã©'
+
+
+@query(
+    "q358_encoding_corruption_audit",
+    oracle=f"""
+    WITH corrupted AS (
+        SELECT doc_id, source,
+               CASE WHEN doc_id % 17 = 0 THEN text || ' ' || chr(65533)
+                    WHEN doc_id % 17 = 1 THEN text || ' ' || chr(7)
+                    WHEN doc_id % 17 = 2
+                        THEN text || ' ' || chr(195) || chr(169)
+                    ELSE text END AS t
+        FROM documents
+    ),
+    flags AS (
+        SELECT source,
+               CASE WHEN strpos(t, chr(65533)) > 0 THEN 1 ELSE 0 END AS f_repl,
+               CASE WHEN regexp_matches(t, '[\\x00-\\x08\\x0b-\\x1f]')
+                    THEN 1 ELSE 0 END AS f_ctrl,
+               CASE WHEN strpos(t, chr(195) || chr(169)) > 0
+                      OR strpos(t, chr(226) || chr(8364)) > 0
+                    THEN 1 ELSE 0 END AS f_moji
+        FROM corrupted
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(f_repl) AS BIGINT) AS n_replacement,
+           CAST(sum(f_ctrl) AS BIGINT) AS n_control,
+           CAST(sum(f_moji) AS BIGINT) AS n_mojibake,
+           CAST((1000000 * sum(CASE WHEN f_repl + f_ctrl + f_moji = 0
+                                    THEN 1 ELSE 0 END)) // count(*)
+                AS BIGINT) AS clean_ppm
+    FROM flags
+    GROUP BY source
+    ORDER BY source
+    """,
+    tags=("text", "quality", "encoding", "audit", "llm"),
+)
+def q358_encoding_corruption_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Encoding-corruption audit for a text corpus: per source, how
+    many documents carry U+FFFD replacement characters (lossy decode),
+    C0 control bytes (binary bleed-through), or the classic
+    UTF-8-read-as-Latin-1 mojibake digraphs ('Ã©', 'â€¦') — the three
+    signatures a web-crawl quality gate screens before tokenization
+    (corrupt encodings poison BPE merges and inflate vocab with junk).
+    The fixture corpus is clean ASCII, so corruption is INJECTED
+    deterministically first (every 17th doc per class — the q332
+    deterministic-corruption discipline) and the detector must find
+    exactly those.
+
+    Determinism: corruption and detection are pure string ops on
+    shared codepoints (chr() on both engines — no raw bytes in source
+    text); counts are integers; the clean rate is a floor-scaled
+    integer ppm.
+
+    Scale posture: one stateless map over documents (flags are
+    per-row expressions — whole-stage codegen territory), one
+    |sources|-grain partial+final rollup. This is the cheapest kind
+    of corpus pass and the plan shows it. Reference contract: per-doc
+    flagging = map slot, rollup = reduce slot (``App.config:16-17``)."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    t = (
+        F.when(F.col("doc_id") % 17 == 0, F.concat("text", F.lit(" " + _ENC_REPL)))
+        .when(F.col("doc_id") % 17 == 1, F.concat("text", F.lit(" " + _ENC_CTRL)))
+        .when(F.col("doc_id") % 17 == 2, F.concat("text", F.lit(" " + _ENC_MOJI)))
+        .otherwise(F.col("text"))
+    )
+    flags = docs.select(
+        "source",
+        (F.instr(t, _ENC_REPL) > 0).cast("int").alias("f_repl"),
+        t.rlike("[\\x00-\\x08\\x0b-\\x1f]").cast("int").alias("f_ctrl"),
+        (
+            (F.instr(t, _ENC_MOJI) > 0)
+            | (F.instr(t, "â€") > 0)
+        ).cast("int").alias("f_moji"),
+    )
+    clean = F.when(
+        F.col("f_repl") + F.col("f_ctrl") + F.col("f_moji") == 0, 1
+    ).otherwise(0)
+    return (
+        flags.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("f_repl").cast("long").alias("n_replacement"),
+            F.sum("f_ctrl").cast("long").alias("n_control"),
+            F.sum("f_moji").cast("long").alias("n_mojibake"),
+            F.expr(
+                "cast((1000000 * sum(case when f_repl + f_ctrl + f_moji = 0 "
+                "then 1 else 0 end)) div count(1) as bigint)"
+            ).alias("clean_ppm"),
+        )
+        .orderBy("source")
+    )

@@ -271,3 +271,37 @@ def test_q307_rejects_vocab_wider_than_63_terms(spark, sf_dir, tmp_path):
     q307 = load_all()["q307_submodular_coverage_selection"].fn
     with pytest.raises(ValueError, match="63"):
         q307(spark, str(tmp_path))
+
+
+def test_q359_allocation_sums_exactly_to_budget(spark, sf_dir):
+    """Largest-remainder invariant: allocations sum to EXACTLY the
+    budget and each source is within 1 of its exact entitlement."""
+    from azure_batch_map_reduce_spark.functions.curation import _LRA_BUDGET
+    from azure_batch_map_reduce_spark.registry import load_all
+
+    rows = load_all()["q359_largest_remainder_allocation"].fn(
+        spark, sf_dir
+    ).collect()
+    assert sum(r["alloc"] for r in rows) == _LRA_BUDGET
+    n = sum(r["n_docs"] for r in rows)
+    for r in rows:
+        exact = _LRA_BUDGET * r["n_docs"] / n
+        assert abs(r["alloc"] - exact) < 1.0, (r, exact)
+
+
+def test_q356_dsir_prefers_target_source(spark, sf_dir):
+    """DSIR sanity: documents from the target source (whose features
+    define p_tgt) must be over-represented in the selected top-50
+    relative to their corpus share (1/20 of docs)."""
+    from azure_batch_map_reduce_spark.functions.curation import (
+        _DSIR_TARGET_SOURCE,
+        _DSIR_TOP,
+    )
+    from azure_batch_map_reduce_spark.registry import load_all
+
+    rows = load_all()["q356_dsir_importance_resampling"].fn(
+        spark, sf_dir
+    ).collect()
+    assert len(rows) == _DSIR_TOP
+    share = sum(r["source"] == _DSIR_TARGET_SOURCE for r in rows) / _DSIR_TOP
+    assert share > 1 / 20

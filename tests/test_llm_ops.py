@@ -342,3 +342,63 @@ def test_q343_training_loss_decreases(spark, sf_dir):
     assert losses[0] > losses[1] > losses[2], losses
     weights = [r for r in rows if r["item"] == "w"]
     assert len(weights) == 65
+
+
+def test_q357_first_occurrence_conserves_volume(spark, sf_dir):
+    """Chunk dedup invariants: retained <= chunks per source, total
+    retained == number of DISTINCT chunks corpus-wide, and every
+    distinct chunk is retained exactly once."""
+    from azure_batch_map_reduce_spark.catalog import load_tables
+    from azure_batch_map_reduce_spark.functions.dedup import _CHUNK_W
+    from azure_batch_map_reduce_spark.registry import load_all
+
+    from pyspark.sql import functions as F
+
+    rows = load_all()["q357_chunk_first_occurrence_dedup"].fn(
+        spark, sf_dir
+    ).collect()
+    assert all(r["n_retained"] <= r["n_chunks"] for r in rows)
+    docs = load_tables(spark, sf_dir)["documents"]
+    w = docs.select(F.split("text", " ").alias("w")).where(
+        F.size("w") >= _CHUNK_W
+    )
+    distinct_chunks = (
+        w.select(
+            F.explode(
+                F.sequence(
+                    F.lit(1), F.floor(F.size("w") / _CHUNK_W).cast("int")
+                )
+            ).alias("p"),
+            "w",
+        )
+        .select(
+            F.array_join(
+                F.slice(F.col("w"), (F.col("p") - 1) * _CHUNK_W + 1, _CHUNK_W),
+                " ",
+            ).alias("seg")
+        )
+        .distinct()
+        .count()
+    )
+    assert sum(r["n_retained"] for r in rows) == distinct_chunks
+
+
+def test_q358_detects_exactly_the_injected_corruption(spark, sf_dir):
+    """The audit's per-class counts must equal the deterministic
+    injection pattern (doc_id % 17 in {0,1,2}) — detection is
+    independent string machinery, so equality is a real check."""
+    from azure_batch_map_reduce_spark.catalog import load_tables
+    from azure_batch_map_reduce_spark.registry import load_all
+
+    from pyspark.sql import functions as F
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    want = {
+        m: docs.where(F.col("doc_id") % 17 == m).count() for m in (0, 1, 2)
+    }
+    rows = load_all()["q358_encoding_corruption_audit"].fn(
+        spark, sf_dir
+    ).collect()
+    assert sum(r["n_replacement"] for r in rows) == want[0]
+    assert sum(r["n_control"] for r in rows) == want[1]
+    assert sum(r["n_mojibake"] for r in rows) == want[2]

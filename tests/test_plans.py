@@ -1018,3 +1018,25 @@ def test_q354_propensity_joins_broadcast(spark, sf_dir):
     plan = plan_of(df)
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_q356_model_tables_broadcast_no_cartesian(spark, sf_dir):
+    """DSIR: the 64-row log-ratio model must broadcast into the
+    (doc, bucket) score join and the 50-row cut must be TakeOrdered."""
+    plan = plan_of(REGISTRY["q356_dsir_importance_resampling"].fn(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "q357_chunk_first_occurrence_dedup",  # chunk-grain argmin equi-join
+        "q358_encoding_corruption_audit",     # stateless map + source rollup
+        "q359_largest_remainder_allocation",  # |sources|-grain + 1-row bcast
+    ],
+)
+def test_r4_curation_no_cartesian(spark, sf_dir, name):
+    plan = plan_of(REGISTRY[name].fn(spark, sf_dir))
+    assert "CartesianProduct" not in plan
