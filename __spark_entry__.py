@@ -246,6 +246,8 @@ _VERIFY_FIRST = [
     "q357_chunk_first_occurrence_dedup",
     "q358_encoding_corruption_audit",
     "q359_largest_remainder_allocation",
+    "q360_query_likelihood_dirichlet",
+    "q361_incremental_aggregate_maintenance",
 ]
 
 

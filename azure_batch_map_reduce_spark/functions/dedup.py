@@ -1431,8 +1431,13 @@ _SHINGLE_MIN_SHARED = 3
     "q260_substring_shingle_overlap",
     oracle=f"""
     WITH sh AS (
+        -- shingle keyed by its 48-bit md5 prefix: same plan, ~1/3 the
+        -- shuffle width of the raw 24-char key (the 100 TB note in the
+        -- docstring, now applied); any collision is identical on both
+        -- engines (same hash), so the differential stays exact
         SELECT DISTINCT doc_id,
-               substr(lower(text), CAST(p AS INTEGER), {_SHINGLE_K}) AS s
+               ('0x' || substr(md5(substr(lower(text), CAST(p AS INTEGER),
+                                          {_SHINGLE_K})), 1, 12))::BIGINT AS s
         FROM (
             SELECT doc_id, lower(text) AS text,
                    unnest(range(1, length(text) - {_SHINGLE_K} + 2,
@@ -1477,7 +1482,9 @@ def q260_substring_shingle_overlap(spark: SparkSession, sf_dir: str) -> DataFram
     shared count and containment n_shared/min(|A|,|B|).
 
     Determinism: pure string arithmetic end to end — substr positions
-    are integer stride math, matching is exact string equality, and
+    are integer stride math, matching is exact equality on the shared
+    48-bit md5-prefix shingle key (collisions, if any, are identical
+    cross-engine), and
     the single float op (containment) is one exact-integer division
     rounded at 4.
 
@@ -1506,7 +1513,19 @@ def q260_substring_shingle_overlap(spark: SparkSession, sf_dir: str) -> DataFram
             "t",
         )
         .select(
-            "doc_id", F.substring(F.col("t"), F.col("p"), _SHINGLE_K).alias("s")
+            "doc_id",
+            # 48-bit hash key (see oracle note): narrower shuffle, same plan
+            F.conv(
+                F.substring(
+                    F.md5(F.substring(F.col("t"), F.col("p"), _SHINGLE_K)),
+                    1,
+                    12,
+                ),
+                16,
+                10,
+            )
+            .cast("long")
+            .alias("s"),
         )
         .distinct()
     )

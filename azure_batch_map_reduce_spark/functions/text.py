@@ -3710,3 +3710,101 @@ def q358_encoding_corruption_audit(spark: SparkSession, sf_dir: str) -> DataFram
         )
         .orderBy("source")
     )
+
+
+# q107's BM25 query terms {data, model, training} include words absent
+# from the fixture vocabulary (cf = 0 -> ln(0) errors in DuckDB, null in
+# Spark); query likelihood needs cf > 0, so the fixed query uses three
+# terms probed present at every SF (selectivity discipline).
+_QL_TERMS = ("data", "spark", "join")
+_QL_MU = 200.0
+
+
+@query(
+    "q360_query_likelihood_dirichlet",
+    oracle=f"""
+    WITH d AS (
+        SELECT doc_id, string_split(lower(text), ' ') AS ws
+        FROM documents
+    ),
+    tf AS (
+        SELECT doc_id, len(ws) AS dl,
+               {", ".join(
+                   f"len(list_filter(ws, x -> x = '{t}')) AS tf_{t}"
+                   for t in _QL_TERMS)}
+        FROM d
+    ),
+    coll AS (
+        SELECT CAST(sum(dl) AS DOUBLE) AS cl,
+               {", ".join(
+                   f"CAST(sum(tf_{t}) AS DOUBLE) AS cf_{t}"
+                   for t in _QL_TERMS)}
+        FROM tf
+    )
+    SELECT tf.doc_id,
+           CAST(tf.dl AS BIGINT) AS doc_len,
+           round({" + ".join(
+               f"ln((tf.tf_{t} + {_QL_MU} * (coll.cf_{t} / coll.cl))"
+               f" / (tf.dl + {_QL_MU}))"
+               for t in _QL_TERMS)}, 6) AS ql_score
+    FROM tf CROSS JOIN coll
+    ORDER BY ql_score DESC, tf.doc_id
+    LIMIT 10
+    """,
+    tags=("text", "retrieval", "language-model", "dirichlet", "llm"),
+)
+def q360_query_likelihood_dirichlet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dirichlet-smoothed query-likelihood retrieval (Zhai & Lafferty)
+    for the same fixed query as q107's BM25 ({data, model, training}):
+    score(d) = Σ_w ln((tf + μ·p(w|C)) / (|d| + μ)), μ = 200 — the
+    language-modeling ranking baseline that complements BM25 (sparse
+    heuristic) and q79 (dense): three retrieval families over one
+    corpus lets an eval harness (q293's nDCG) compare them directly.
+
+    Determinism: term frequencies are map-side array filters (exact
+    ints); the collection model is one 1-row aggregate; the 3-term
+    score sums ln() terms in FIXED expression order (engine-identical
+    accumulation; libm ulps absorbed by round(6)); the top-10 ranks
+    the ROUNDED score with a doc_id tie-break.
+
+    Scale posture: exactly q107's shape — two corpus scans (collection
+    stats, scoring), stats broadcast back as one row, scoring pure
+    map-side, TakeOrdered(10). Zero token-level shuffles: the filter
+    runs inside the row. Reference contract: per-doc scoring = map
+    slot (``App.config:16``); ranked cut = reduce slot
+    (``App.config:17``)."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    ws = F.split(F.lower(F.col("text")), " ")
+    # Per-term tf via a closure FACTORY — a default-arg lambda
+    # (lambda x, t=t: ...) is the 2-arg higher-order-function form and
+    # binds t to the ELEMENT INDEX (SKILL trap).
+
+    def tf_of(term):
+        return F.size(F.filter(ws, lambda x: x == F.lit(term)))
+
+    tf = docs.select(
+        "doc_id",
+        F.size(ws).alias("dl"),
+        *[tf_of(t).alias(f"tf_{t}") for t in _QL_TERMS],
+    )
+    coll = tf.agg(
+        F.sum("dl").cast("double").alias("cl"),
+        *[F.sum(f"tf_{t}").cast("double").alias(f"cf_{t}") for t in _QL_TERMS],
+    )
+    score = None
+    for t in _QL_TERMS:
+        term = F.log(
+            (F.col(f"tf_{t}") + _QL_MU * (F.col(f"cf_{t}") / F.col("cl")))
+            / (F.col("dl") + _QL_MU)
+        )
+        score = term if score is None else score + term
+    return (
+        tf.crossJoin(F.broadcast(coll))
+        .select(
+            "doc_id",
+            F.col("dl").cast("long").alias("doc_len"),
+            F.round(score, 6).alias("ql_score"),
+        )
+        .orderBy(F.desc("ql_score"), F.asc("doc_id"))
+        .limit(10)
+    )

@@ -1633,3 +1633,142 @@ def q331_column_masking_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("segment")
     )
+
+
+@query(
+    "q361_incremental_aggregate_maintenance",
+    oracle="""
+    WITH base AS (
+        SELECT date_trunc('month', o_orderdate) AS m,
+               count(*) AS n,
+               sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
+        FROM orders WHERE o_orderdate < TIMESTAMP '1999-01-01 00:00:00'
+        GROUP BY m
+    ),
+    delta AS (
+        -- inserts: the 1999+ slice arrives; deletes: every 97th old key
+        -- is retracted (GDPR purge / correction replay)
+        SELECT date_trunc('month', o_orderdate) AS m,
+               CAST(1 AS BIGINT) AS dn,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS dcents
+        FROM orders WHERE o_orderdate >= TIMESTAMP '1999-01-01 00:00:00'
+        UNION ALL
+        SELECT date_trunc('month', o_orderdate) AS m,
+               CAST(-1 AS BIGINT) AS dn,
+               -CAST(round(o_totalprice * 100) AS BIGINT) AS dcents
+        FROM orders
+        WHERE o_orderdate < TIMESTAMP '1999-01-01 00:00:00'
+          AND o_orderkey % 97 = 0
+    ),
+    dagg AS (
+        SELECT m, sum(dn) AS dn, sum(dcents) AS dcents
+        FROM delta GROUP BY m
+    ),
+    maintained AS (
+        SELECT coalesce(b.m, d.m) AS m,
+               coalesce(b.n, 0) + coalesce(d.dn, 0) AS n,
+               coalesce(b.cents, 0) + coalesce(d.dcents, 0) AS cents
+        FROM base b FULL OUTER JOIN dagg d ON b.m = d.m
+    ),
+    recomputed AS (
+        SELECT date_trunc('month', o_orderdate) AS m,
+               count(*) AS n,
+               sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
+        FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1999-01-01 00:00:00'
+           OR o_orderkey % 97 <> 0
+        GROUP BY m
+    )
+    SELECT mt.m AS month,
+           CAST(mt.n AS BIGINT) AS n_orders,
+           CAST(mt.cents AS BIGINT) AS total_cents,
+           (mt.n = rc.n AND mt.cents = rc.cents) AS matches_recompute
+    FROM maintained mt JOIN recomputed rc ON mt.m = rc.m
+    WHERE mt.n > 0
+    ORDER BY month
+    """,
+    tags=("etl", "incremental", "view-maintenance", "delta"),
+)
+def q361_incremental_aggregate_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance for an aggregate: a month-grain
+    (count, revenue) rollup is maintained under a change stream of
+    INSERTS (the 1999+ order slice arriving) and DELETES (every 97th
+    pre-1999 key retracted — the GDPR-purge/correction replay case) by
+    applying SIGNED delta aggregates at the GROUP grain — never
+    touching the base fact rows again. The classic IVM identity
+    (count/sum are self-maintainable under insert+delete); the audit
+    recomputes from scratch and carries the equality in-result, so any
+    drift in the maintenance algebra is a visible column, not a silent
+    corruption. Complements q168 (row-grain CDC materialize) and q346
+    (index maintenance) at the third grain a lakehouse maintains:
+    aggregates.
+
+    Determinism: money is integer cents (cast(round(price·100)) — a
+    2dp double times 100 rounds identically on both engines) summed as
+    longs; counts are exact; groups emptied by deletions drop on the
+    exact n > 0 predicate.
+
+    Scale posture: the base rollup is partial+final at month grain;
+    the delta is aggregated AT THE SAME GRAIN before the merge, so
+    the merge join touches ≤|months| rows regardless of delta volume
+    — the whole point of IVM at 100 TB (apply a KB-sized delta-agg,
+    not a full recompute). The scratch recompute exists only as the
+    audit and is documented droppable in production (the q285
+    discipline). Reference contract: delta aggregation = map slot
+    (``App.config:16``); grain merge = reduce slot
+    (``App.config:17``)."""
+    o = load_tables(spark, sf_dir)["orders"]
+    cutoff = F.lit("1999-01-01 00:00:00").cast("timestamp")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    m = F.date_trunc("month", F.col("o_orderdate")).alias("m")
+    base = (
+        o.where(F.col("o_orderdate") < cutoff)
+        .groupBy(m)
+        .agg(F.count(F.lit(1)).alias("n"), F.sum(cents).alias("cents"))
+    )
+    inserts = o.where(F.col("o_orderdate") >= cutoff).select(
+        m, F.lit(1).cast("long").alias("dn"), cents.alias("dcents")
+    )
+    deletes = o.where(
+        (F.col("o_orderdate") < cutoff) & (F.col("o_orderkey") % 97 == 0)
+    ).select(
+        m, F.lit(-1).cast("long").alias("dn"), (-cents).alias("dcents")
+    )
+    dagg = (
+        inserts.unionAll(deletes)
+        .groupBy("m")
+        .agg(F.sum("dn").alias("dn"), F.sum("dcents").alias("dcents"))
+    )
+    maintained = (
+        base.join(dagg, "m", "full_outer")
+        .select(
+            "m",
+            (F.coalesce("n", F.lit(0)) + F.coalesce("dn", F.lit(0))).alias("n"),
+            (
+                F.coalesce("cents", F.lit(0)) + F.coalesce("dcents", F.lit(0))
+            ).alias("cents"),
+        )
+        .where(F.col("n") > 0)
+    )
+    recomputed = (
+        o.where(
+            (F.col("o_orderdate") >= cutoff) | (F.col("o_orderkey") % 97 != 0)
+        )
+        .groupBy(m)
+        .agg(
+            F.count(F.lit(1)).alias("rn"), F.sum(cents).alias("rcents")
+        )
+    )
+    return (
+        maintained.join(recomputed, "m")
+        .select(
+            F.col("m").alias("month"),
+            F.col("n").cast("long").alias("n_orders"),
+            F.col("cents").cast("long").alias("total_cents"),
+            (
+                (F.col("n") == F.col("rn"))
+                & (F.col("cents") == F.col("rcents"))
+            ).alias("matches_recompute"),
+        )
+        .orderBy("month")
+    )

@@ -402,3 +402,14 @@ def test_q358_detects_exactly_the_injected_corruption(spark, sf_dir):
     assert sum(r["n_replacement"] for r in rows) == want[0]
     assert sum(r["n_control"] for r in rows) == want[1]
     assert sum(r["n_mojibake"] for r in rows) == want[2]
+
+
+def test_q361_maintenance_matches_recompute_everywhere(spark, sf_dir):
+    """IVM invariant: the maintained aggregate equals the from-scratch
+    recompute for every surviving group."""
+    from azure_batch_map_reduce_spark.registry import load_all
+
+    rows = load_all()["q361_incremental_aggregate_maintenance"].fn(
+        spark, sf_dir
+    ).collect()
+    assert rows and all(r["matches_recompute"] for r in rows)
