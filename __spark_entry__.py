@@ -248,6 +248,7 @@ _VERIFY_FIRST = [
     "q359_largest_remainder_allocation",
     "q360_query_likelihood_dirichlet",
     "q361_incremental_aggregate_maintenance",
+    "q362_merkle_antientropy_repair",
 ]
 
 

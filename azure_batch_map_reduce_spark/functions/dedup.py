@@ -1534,10 +1534,13 @@ def q260_substring_shingle_overlap(spark: SparkSession, sf_dir: str) -> DataFram
     )
     kept = sh.join(df_keep.select("s"), "s")
     sizes = kept.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    a = kept.select(F.col("doc_id").alias("doc_a"), "s")
-    b = kept.select(F.col("doc_id").alias("doc_b"), "s")
+    a = kept.select(F.col("doc_id").alias("doc_a"), F.col("s").alias("sa"))
+    b = kept.select(F.col("doc_id").alias("doc_b"), F.col("s").alias("sb"))
     shared = (
-        a.join(b, (a["s"] == b["s"]) & (F.col("doc_a") < F.col("doc_b")))
+        a.join(
+            b,
+            (F.col("sa") == F.col("sb")) & (F.col("doc_a") < F.col("doc_b")),
+        )
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("n_shared"))
         .where(F.col("n_shared") >= _SHINGLE_MIN_SHARED)

@@ -1772,3 +1772,169 @@ def q361_incremental_aggregate_maintenance(spark: SparkSession, sf_dir: str) -> 
         )
         .orderBy("month")
     )
+
+
+_AE_BUCKET = 256     # keys per Merkle range bucket
+_AE_MUT = 503        # every Nth key's price drifts on replica B
+_AE_MUT_OFF = 7
+_AE_MISS = 701       # every Nth key is missing from replica B
+_AE_MISS_OFF = 13
+
+
+@query(
+    "q362_merkle_antientropy_repair",
+    oracle=f"""
+    WITH a AS (
+        SELECT o_orderkey AS k, o_orderkey // {_AE_BUCKET} AS bucket,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+               o_orderstatus AS st
+        FROM orders
+    ),
+    b AS (
+        SELECT k, bucket,
+               CASE WHEN k % {_AE_MUT} = {_AE_MUT_OFF}
+                    THEN cents + 100 ELSE cents END AS cents,
+               st
+        FROM a WHERE k % {_AE_MISS} <> {_AE_MISS_OFF}
+    ),
+    da AS (
+        SELECT bucket, count(*) AS n_a,
+               sum(('0x' || substr(md5(CAST(k AS VARCHAR) || '|' ||
+                       CAST(cents AS VARCHAR) || '|' || st), 1, 12))::BIGINT)
+                   AS dig_a
+        FROM a GROUP BY bucket
+    ),
+    db AS (
+        SELECT bucket, count(*) AS n_b,
+               sum(('0x' || substr(md5(CAST(k AS VARCHAR) || '|' ||
+                       CAST(cents AS VARCHAR) || '|' || st), 1, 12))::BIGINT)
+                   AS dig_b
+        FROM b GROUP BY bucket
+    ),
+    flagged AS (
+        SELECT da.bucket, da.n_a, coalesce(db.n_b, 0) AS n_b
+        FROM da LEFT JOIN db ON da.bucket = db.bucket
+        WHERE db.bucket IS NULL OR da.n_a <> db.n_b OR da.dig_a <> db.dig_b
+    ),
+    divergent AS (
+        SELECT f.bucket,
+               count(*) FILTER (WHERE b.k IS NULL
+                                OR a.cents <> b.cents OR a.st <> b.st)
+                   AS n_divergent_keys
+        FROM flagged f
+        JOIN a ON a.bucket = f.bucket
+        LEFT JOIN b ON b.k = a.k
+        GROUP BY f.bucket
+    )
+    SELECT f.bucket, CAST(f.n_a AS BIGINT) AS n_a,
+           CAST(f.n_b AS BIGINT) AS n_b,
+           CAST(d.n_divergent_keys AS BIGINT) AS n_divergent_keys
+    FROM flagged f JOIN divergent d ON f.bucket = d.bucket
+    ORDER BY f.bucket
+    """,
+    tags=("etl", "anti-entropy", "merkle", "replication", "audit"),
+)
+def q362_merkle_antientropy_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merkle-range anti-entropy between two table replicas (the
+    Dynamo/Cassandra repair primitive, at lakehouse grain): replica B
+    is the orders table with deterministic divergence injected (every
+    503rd key's price drifted one dollar, every 701st key missing);
+    both replicas roll up to per-key-range digests — an
+    ORDER-INDEPENDENT sum of 48-bit row hashes plus a count — and
+    only ranges whose (count, digest) disagree are opened row-by-row
+    to count the keys needing resync. The point at 100 TB: replica
+    comparison moves |key-space|/256 digest rows, not the table, and
+    the row-level diff touches ONLY flagged ranges.
+
+    Determinism: money canonicalizes to integer cents before hashing
+    (the q98 rule); the digest is a sum of exact 48-bit integers (no
+    overflow: < 2^48·n fits BIGINT through sf100); divergence
+    injection is pure key arithmetic shared by both engines.
+
+    Scale posture: two partial+final digest rollups at range grain;
+    the flagged set is tiny by construction (divergence is rare in a
+    healthy replica pair), so the row-level join is a semi-join
+    against a broadcastable flag list; the full-outer row compare
+    runs only inside flagged ranges. Reference contract: per-range
+    digesting = map slot (``App.config:16``); digest compare + range
+    repair plan = reduce slot (``App.config:17``)."""
+    o = load_tables(spark, sf_dir)["orders"]
+    a = o.select(
+        F.col("o_orderkey").alias("k"),
+        F.expr(f"o_orderkey div {_AE_BUCKET}").alias("bucket"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        F.col("o_orderstatus").alias("st"),
+    )
+    b = a.where(F.col("k") % _AE_MISS != _AE_MISS_OFF).select(
+        "k",
+        "bucket",
+        F.when(
+            F.col("k") % _AE_MUT == _AE_MUT_OFF, F.col("cents") + 100
+        ).otherwise(F.col("cents")).alias("cents"),
+        "st",
+    )
+
+    def digest(df):
+        row_h = F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        "|",
+                        F.col("k").cast("string"),
+                        F.col("cents").cast("string"),
+                        F.col("st"),
+                    )
+                ),
+                1,
+                12,
+            ),
+            16,
+            10,
+        ).cast("long")
+        return df.groupBy("bucket").agg(
+            F.count(F.lit(1)).alias("n"), F.sum(row_h).alias("dig")
+        )
+
+    da = digest(a).select(
+        "bucket", F.col("n").alias("n_a"), F.col("dig").alias("dig_a")
+    )
+    db = digest(b).select(
+        "bucket", F.col("n").alias("n_b"), F.col("dig").alias("dig_b")
+    )
+    flagged = (
+        da.join(db, "bucket", "left")
+        .where(
+            F.col("n_b").isNull()
+            | (F.col("n_a") != F.col("n_b"))
+            | (F.col("dig_a") != F.col("dig_b"))
+        )
+        .select("bucket", "n_a", F.coalesce("n_b", F.lit(0)).alias("n_b"))
+    )
+    in_flagged = a.join(
+        F.broadcast(flagged.select("bucket")), "bucket", "left_semi"
+    )
+    bb = b.select(
+        F.col("k").alias("bk"),
+        F.col("cents").alias("b_cents"),
+        F.col("st").alias("b_st"),
+    )
+    divergent = (
+        in_flagged.join(bb, F.col("k") == F.col("bk"), "left")
+        .where(
+            F.col("bk").isNull()
+            | (F.col("cents") != F.col("b_cents"))
+            | (F.col("st") != F.col("b_st"))
+        )
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n_divergent_keys"))
+    )
+    return (
+        flagged.join(divergent, "bucket")
+        .select(
+            "bucket",
+            F.col("n_a").cast("long").alias("n_a"),
+            F.col("n_b").cast("long").alias("n_b"),
+            F.col("n_divergent_keys").cast("long").alias("n_divergent_keys"),
+        )
+        .orderBy("bucket")
+    )

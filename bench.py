@@ -111,6 +111,16 @@ HEADLINE = [
     "q345_cohort_ltv_matrix",
     "q346_incremental_index_maintenance",
     "q347_srm_check",
+    # Round-4 operators: TPC-H Q10 top-k, rank-stat running sums, DSIR
+    # scoring (corpus-heavy text), chunk dedup explode+argmin, LM
+    # retrieval, grain-merged IVM, Merkle digest rollups.
+    "q348_returned_item_customers",
+    "q353_mann_whitney_u",
+    "q356_dsir_importance_resampling",
+    "q357_chunk_first_occurrence_dedup",
+    "q360_query_likelihood_dirichlet",
+    "q361_incremental_aggregate_maintenance",
+    "q362_merkle_antientropy_repair",
 ]
 
 

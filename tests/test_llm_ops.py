@@ -413,3 +413,30 @@ def test_q361_maintenance_matches_recompute_everywhere(spark, sf_dir):
         spark, sf_dir
     ).collect()
     assert rows and all(r["matches_recompute"] for r in rows)
+
+
+def test_q362_flags_exactly_the_injected_divergence(spark, sf_dir):
+    """Anti-entropy invariant: total divergent keys == injected
+    mutations + injected deletions (no false positives/negatives —
+    the digest is exact, not probabilistic, at bucket grain)."""
+    from azure_batch_map_reduce_spark.catalog import load_tables
+    from azure_batch_map_reduce_spark.operators.etl import (
+        _AE_MISS,
+        _AE_MISS_OFF,
+        _AE_MUT,
+        _AE_MUT_OFF,
+    )
+    from azure_batch_map_reduce_spark.registry import load_all
+
+    from pyspark.sql import functions as F
+
+    o = load_tables(spark, sf_dir)["orders"]
+    missing = o.where(F.col("o_orderkey") % _AE_MISS == _AE_MISS_OFF).count()
+    mutated = o.where(
+        (F.col("o_orderkey") % _AE_MUT == _AE_MUT_OFF)
+        & (F.col("o_orderkey") % _AE_MISS != _AE_MISS_OFF)
+    ).count()
+    rows = load_all()["q362_merkle_antientropy_repair"].fn(
+        spark, sf_dir
+    ).collect()
+    assert sum(r["n_divergent_keys"] for r in rows) == missing + mutated

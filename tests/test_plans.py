@@ -1040,3 +1040,12 @@ def test_q356_model_tables_broadcast_no_cartesian(spark, sf_dir):
 def test_r4_curation_no_cartesian(spark, sf_dir, name):
     plan = plan_of(REGISTRY[name].fn(spark, sf_dir))
     assert "CartesianProduct" not in plan
+
+
+def test_q362_row_diff_confined_to_flagged_ranges(spark, sf_dir):
+    """Anti-entropy: digest rollups are partial+final at range grain
+    and the row-level diff joins through a broadcast of the flagged
+    bucket list — the table itself is never pair-joined."""
+    plan = plan_of(REGISTRY["q362_merkle_antientropy_repair"].fn(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "LeftSemi" in plan
