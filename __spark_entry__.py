@@ -249,6 +249,7 @@ _VERIFY_FIRST = [
     "q360_query_likelihood_dirichlet",
     "q361_incremental_aggregate_maintenance",
     "q362_merkle_antientropy_repair",
+    "q363_token_budget_knapsack",
 ]
 
 

@@ -5842,3 +5842,90 @@ def q359_largest_remainder_allocation(spark: SparkSession, sf_dir: str) -> DataF
         )
         .orderBy("source")
     )
+
+
+_KNAP_BUDGET = 20_000  # token budget for the greedy selection
+
+
+@query(
+    "q363_token_budget_knapsack",
+    oracle=f"""
+    WITH d AS (
+        SELECT doc_id, source,
+               len(string_split(text, ' ')) AS toks,
+               len(list_distinct(string_split(text, ' '))) AS uniq
+        FROM documents
+    ),
+    scored AS (
+        SELECT doc_id, source, toks,
+               round(CAST(uniq AS DOUBLE) / toks, 4) AS density
+        FROM d WHERE toks > 0
+    ),
+    ranked AS (
+        SELECT doc_id, source, toks, density,
+               sum(toks) OVER (ORDER BY density DESC, doc_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                                        AND CURRENT ROW) AS cum_toks
+        FROM scored
+    ),
+    sel AS (
+        SELECT source, toks FROM ranked WHERE cum_toks <= {_KNAP_BUDGET}
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_selected,
+           CAST(sum(toks) AS BIGINT) AS tokens_selected
+    FROM sel GROUP BY source ORDER BY source
+    """,
+    tags=("llm", "curation", "selection", "knapsack", "budget"),
+)
+def q363_token_budget_knapsack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy value-per-token data selection under a GLOBAL token
+    budget (the fractional-knapsack heuristic every budgeted curation
+    run uses): score each document by lexical density (distinct/total
+    tokens — a stand-in for any quality score), take documents in
+    density order until the next whole document would exceed the
+    budget, and report the per-source composition of the selected
+    set. Complements q263 (water-filling PER-SOURCE budgets) and
+    q307 (coverage objective): this is the single-constraint
+    value-density objective.
+
+    Determinism: density is one exact-integer division rounded at 4
+    BEFORE ordering (the q337 argmax discipline), tie-broken by
+    doc_id, so the greedy order is total; the running token total is
+    an exact integer cumulative; selection is a pure cum <= budget
+    predicate (whole documents only).
+
+    Scale posture: scoring is a stateless map; the budget cut rides
+    the window-free ``distributed_running_sum`` over the
+    (density, doc_id) order — range shuffle + broadcast offsets,
+    never a global window over doc-grain rows; the rollup is
+    |sources|-grain. The oracle uses a plain SQL window; the engine
+    does not. Reference contract: scoring = map slot
+    (``App.config:16``); budgeted cut = reduce slot
+    (``App.config:17``)."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    ws = F.split("text", " ")
+    scored = docs.select(
+        "doc_id",
+        "source",
+        F.size(ws).alias("toks"),
+        F.round(
+            F.size(F.array_distinct(ws)).cast("double") / F.size(ws), 4
+        ).alias("density"),
+    ).where(F.col("toks") > 0)
+    from azure_batch_map_reduce_spark.operators.ranks import desc_key
+
+    ranked = distributed_running_sum(
+        scored,
+        [F.asc(desc_key(F.col("density"))), F.asc("doc_id")],
+        {"cum_toks": "toks"},
+    )
+    return (
+        ranked.where(F.col("cum_toks") <= _KNAP_BUDGET)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_selected"),
+            F.sum("toks").cast("long").alias("tokens_selected"),
+        )
+        .orderBy("source")
+    )

@@ -1049,3 +1049,15 @@ def test_q362_row_diff_confined_to_flagged_ranges(spark, sf_dir):
     plan = plan_of(REGISTRY["q362_merkle_antientropy_repair"].fn(spark, sf_dir))
     assert "CartesianProduct" not in plan
     assert "LeftSemi" in plan
+
+
+def test_q363_budget_cut_rides_range_partitioning(spark, sf_dir):
+    """Knapsack selection: the cumulative-token cut must use the
+    window-free running sum (range exchange + broadcast offsets), not
+    a global window over doc-grain rows."""
+    df = REGISTRY["q363_token_budget_knapsack"].fn(spark, sf_dir)
+    plan = plan_of(df)
+    assert "Exchange rangepartitioning" in plan
+    assert "CartesianProduct" not in plan
+    offenders = _unpartitioned_windows(optimized_of(df))
+    assert not offenders, offenders
