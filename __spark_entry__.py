@@ -250,6 +250,7 @@ _VERIFY_FIRST = [
     "q361_incremental_aggregate_maintenance",
     "q362_merkle_antientropy_repair",
     "q363_token_budget_knapsack",
+    "q364_stream_full_outer_join",
 ]
 
 

@@ -1304,3 +1304,105 @@ def q305_watermark_delay_recommendation(spark: SparkSession, sf_dir: str) -> Dat
         )
         .orderBy("rank_pos")
     )
+
+
+@query(
+    "q364_stream_full_outer_join",
+    oracle="""
+    WITH p AS (
+        SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+    ),
+    c AS (
+        SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+    ),
+    wm AS (
+        SELECT least((SELECT max(ts) FROM p), (SELECT max(ts) FROM c))
+               - INTERVAL 10 MINUTE AS w
+    )
+    SELECT p.event_id AS purchase_id, p.ts AS purchase_ts,
+           c.event_id AS click_id, c.ts AS click_ts,
+           p.user_id AS user_id
+    FROM p JOIN c ON p.user_id = c.user_id
+       AND c.ts >= p.ts - INTERVAL 1 HOUR
+       AND c.ts <= p.ts
+    UNION ALL
+    SELECT p.event_id, p.ts, CAST(NULL AS BIGINT), CAST(NULL AS TIMESTAMP),
+           p.user_id
+    FROM p CROSS JOIN wm
+    WHERE p.ts < wm.w
+      AND NOT EXISTS (
+          SELECT 1 FROM c
+          WHERE c.user_id = p.user_id
+            AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts <= p.ts
+      )
+    UNION ALL
+    SELECT CAST(NULL AS BIGINT), CAST(NULL AS TIMESTAMP), c.event_id, c.ts,
+           c.user_id
+    FROM c CROSS JOIN wm
+    WHERE c.ts + INTERVAL 1 HOUR < wm.w
+      AND NOT EXISTS (
+          SELECT 1 FROM p
+          WHERE p.user_id = c.user_id
+            AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+      )
+    """,
+    tags=("streaming", "join", "full-outer", "watermark"),
+)
+def q364_stream_full_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream FULL OUTER interval join — the last cell of the
+    streaming join matrix (inner q87, left outer q275): purchases
+    match same-user clicks in the preceding hour; purchases with no
+    click AND clicks never followed by a purchase within an hour both
+    emit null-padded rows once the watermark proves their fate. The
+    two null populations are different products (abandoned-attribution
+    vs dead-end-engagement) out of ONE stateful operator.
+
+    Null-emission contract (both replayed exactly by the batch
+    oracle against the final availableNow watermark W = min over both
+    streams of max event time − 10 min): a purchase settles unmatched
+    when W > purchase_ts (its latest possible click is at purchase_ts
+    itself); a click settles unmatched only when W > click_ts + 1 h
+    (a matching purchase may arrive up to an hour later) — the
+    asymmetry IS the interval condition, and rows W never settles are
+    withheld (q85's open-window rule). Matched rows emit eagerly.
+
+    Scale posture: identical bounded state to q275 — the range
+    condition lets Spark evict each side at (watermark − interval),
+    so state is (1 h + delay) × arrival rate per side plus a matched
+    bit; without the range bounds Spark rejects the outer join rather
+    than buffer history. Reference contract: the two per-event
+    streams are map-slot fan-outs; the watermark-settled merge is the
+    reduce slot (``App.config:16-17``)."""
+    ev = events_stream(spark, sf_dir)
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            "user_id",
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", "10 minutes")
+    )
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "10 minutes")
+    )
+    joined = purchases.join(
+        clicks,
+        (F.col("user_id") == F.col("c_user_id"))
+        & (F.col("click_ts") >= F.col("purchase_ts") - F.expr("INTERVAL 1 HOUR"))
+        & (F.col("click_ts") <= F.col("purchase_ts")),
+        "fullOuter",
+    ).select(
+        "purchase_id",
+        "purchase_ts",
+        "click_id",
+        "click_ts",
+        F.coalesce("user_id", "c_user_id").alias("user_id"),
+    )
+    return run_available_now(joined, "append")
