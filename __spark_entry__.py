@@ -251,6 +251,7 @@ _VERIFY_FIRST = [
     "q362_merkle_antientropy_repair",
     "q363_token_budget_knapsack",
     "q364_stream_full_outer_join",
+    "q365_bitemporal_asof",
 ]
 
 

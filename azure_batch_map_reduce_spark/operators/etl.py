@@ -1938,3 +1938,126 @@ def q362_merkle_antientropy_repair(spark: SparkSession, sf_dir: str) -> DataFram
         )
         .orderBy("bucket")
     )
+
+
+_BT_VALID_AT = "1999-06-01 00:00:00"   # valid-time (real-world) axis point
+_BT_KNOWN_1 = "1999-01-15 00:00:00"    # transaction-time axis: early
+_BT_KNOWN_2 = "2000-06-01 00:00:00"    # transaction-time axis: late
+
+
+@query(
+    "q365_bitemporal_asof",
+    oracle=f"""
+    WITH v1 AS (
+        SELECT o_orderkey AS k, o_orderstatus AS st,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+               o_orderdate AS valid_from,
+               TIMESTAMP '9999-01-01 00:00:00' AS valid_to,
+               o_orderdate AS tx_from
+        FROM orders
+    ),
+    v2 AS (
+        -- correction RECORDED 30 days after the order, retroactively
+        -- EFFECTIVE from 15 days after it: the two time axes move
+        -- independently, which is the whole point of bitemporality
+        SELECT k, st, cents + 100 AS cents,
+               valid_from + INTERVAL 15 DAY AS valid_from,
+               valid_to,
+               tx_from + INTERVAL 30 DAY AS tx_from
+        FROM v1 WHERE k % 11 = 0
+    ),
+    versions AS (SELECT * FROM v1 UNION ALL SELECT * FROM v2),
+    axes AS (
+        SELECT TIMESTAMP '{_BT_KNOWN_1}' AS known_at
+        UNION ALL SELECT TIMESTAMP '{_BT_KNOWN_2}'
+    ),
+    applicable AS (
+        SELECT a.known_at, v.k, v.st, v.cents,
+               row_number() OVER (
+                   PARTITION BY a.known_at, v.k
+                   ORDER BY v.tx_from DESC
+               ) AS rn
+        FROM versions v CROSS JOIN axes a
+        WHERE v.valid_from <= TIMESTAMP '{_BT_VALID_AT}'
+          AND TIMESTAMP '{_BT_VALID_AT}' < v.valid_to
+          AND v.tx_from <= a.known_at
+    )
+    SELECT known_at, st AS status,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(cents) AS BIGINT) AS total_cents
+    FROM applicable WHERE rn = 1
+    GROUP BY known_at, st
+    ORDER BY known_at, status
+    """,
+    tags=("etl", "bitemporal", "as-of", "scd", "audit"),
+)
+def q365_bitemporal_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitemporal as-of reconstruction: order versions carry BOTH a
+    valid-time interval (when the fact was true in the world) and a
+    transaction time (when the system learned it); the query answers
+    "what did the book say about valid-time V, as known at time T" for
+    two values of T — the same V gives DIFFERENT totals at the two
+    knowledge points because a retroactive price correction (recorded
+    30 d after each 11th order, effective 15 d after it) only exists
+    on the later tx axis. This is the axis SCD2 (q99/q268, tx-time
+    only) cannot express, and the reconstruction every audited
+    restatement (q292) is formally an instance of.
+
+    Determinism: versions are synthesized by pure key/date arithmetic
+    (+INTERVAL on µs timestamps is exact on both engines); money is
+    integer cents; per-key version choice is max-tx row_number with a
+    deterministic total order (at most 2 versions per key).
+
+    Scale posture: the version union is column-trimmed before the
+    2-row axes broadcast; the per-(axis, key) version pick is a
+    window partitioned by key (data-partitioned, never global); the
+    rollup is (2 × |statuses|)-grain. At 100 TB the same plan reads
+    the version table once per axis value. Reference contract:
+    version filtering = map slot (``App.config:16``); per-key as-of
+    pick + rollup = reduce slot (``App.config:17``)."""
+    o = load_tables(spark, sf_dir)["orders"]
+    v1 = o.select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderstatus").alias("st"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        F.col("o_orderdate").alias("valid_from"),
+        F.lit("9999-01-01 00:00:00").cast("timestamp").alias("valid_to"),
+        F.col("o_orderdate").alias("tx_from"),
+    )
+    v2 = v1.where(F.col("k") % 11 == 0).select(
+        "k",
+        "st",
+        (F.col("cents") + 100).alias("cents"),
+        (F.col("valid_from") + F.expr("INTERVAL 15 DAY")).alias("valid_from"),
+        "valid_to",
+        (F.col("tx_from") + F.expr("INTERVAL 30 DAY")).alias("tx_from"),
+    )
+    versions = v1.unionAll(v2)
+    axes = spark.createDataFrame(
+        [(_BT_KNOWN_1,), (_BT_KNOWN_2,)], "known_at_s string"
+    ).select(F.col("known_at_s").cast("timestamp").alias("known_at"))
+    valid_at = F.lit(_BT_VALID_AT).cast("timestamp")
+    app = (
+        versions.where(
+            (F.col("valid_from") <= valid_at) & (valid_at < F.col("valid_to"))
+        )
+        .crossJoin(F.broadcast(axes))
+        .where(F.col("tx_from") <= F.col("known_at"))
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("known_at", "k").orderBy(
+                    F.desc("tx_from")
+                )
+            ),
+        )
+        .where(F.col("rn") == 1)
+    )
+    return (
+        app.groupBy("known_at", F.col("st").alias("status"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.sum("cents").cast("long").alias("total_cents"),
+        )
+        .orderBy("known_at", "status")
+    )

@@ -440,3 +440,21 @@ def test_q362_flags_exactly_the_injected_divergence(spark, sf_dir):
         spark, sf_dir
     ).collect()
     assert sum(r["n_divergent_keys"] for r in rows) == missing + mutated
+
+
+def test_q365_axes_cover_same_orders_and_corrections_only_add(spark, sf_dir):
+    """Bitemporal invariants: both knowledge points cover the SAME
+    order population (a correction replaces a version, never adds or
+    removes an order), and the later knowledge point's total is
+    >= the earlier one's (corrections are +100 cents only)."""
+    from azure_batch_map_reduce_spark.registry import load_all
+
+    rows = load_all()["q365_bitemporal_asof"].fn(spark, sf_dir).collect()
+    by_axis = {}
+    for r in rows:
+        a = by_axis.setdefault(str(r["known_at"]), [0, 0])
+        a[0] += r["n_orders"]
+        a[1] += r["total_cents"]
+    (k1, (n1, c1)), (k2, (n2, c2)) = sorted(by_axis.items())
+    assert n1 == n2
+    assert c2 >= c1
