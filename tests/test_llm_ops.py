@@ -442,19 +442,55 @@ def test_q362_flags_exactly_the_injected_divergence(spark, sf_dir):
     assert sum(r["n_divergent_keys"] for r in rows) == missing + mutated
 
 
-def test_q365_axes_cover_same_orders_and_corrections_only_add(spark, sf_dir):
-    """Bitemporal invariants: both knowledge points cover the SAME
-    order population (a correction replaces a version, never adds or
-    removes an order), and the later knowledge point's total is
-    >= the earlier one's (corrections are +100 cents only)."""
+def test_q365_tx_axis_hides_late_orders_exactly(spark, sf_dir):
+    """Bitemporal invariants, computed independently: at knowledge
+    point T the visible population is orders with orderdate <=
+    min(T, V) — orders placed after T exist in the world at V but are
+    not yet RECORDED (the tx axis at work); and at the late knowledge
+    point the total equals base cents + 100 x (visible corrected keys
+    whose correction is both recorded and valid-effective)."""
+    from azure_batch_map_reduce_spark.catalog import load_tables
+    from azure_batch_map_reduce_spark.operators.etl import (
+        _BT_KNOWN_1,
+        _BT_KNOWN_2,
+        _BT_VALID_AT,
+    )
     from azure_batch_map_reduce_spark.registry import load_all
 
+    from pyspark.sql import functions as F
+
+    o = load_tables(spark, sf_dir)["orders"]
     rows = load_all()["q365_bitemporal_asof"].fn(spark, sf_dir).collect()
     by_axis = {}
     for r in rows:
         a = by_axis.setdefault(str(r["known_at"]), [0, 0])
         a[0] += r["n_orders"]
         a[1] += r["total_cents"]
-    (k1, (n1, c1)), (k2, (n2, c2)) = sorted(by_axis.items())
-    assert n1 == n2
-    assert c2 >= c1
+    for known, (n, cents) in by_axis.items():
+        cut = min(known, _BT_VALID_AT)
+        expect_n = o.where(
+            F.col("o_orderdate") <= F.lit(cut).cast("timestamp")
+        ).count()
+        assert n == expect_n, (known, n, expect_n)
+    # late-axis total = base cents of visible orders + 100 per visible
+    # corrected key whose correction is recorded (tx) and effective (V)
+    base = o.where(
+        F.col("o_orderdate") <= F.lit(_BT_VALID_AT).cast("timestamp")
+    ).select(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("c"),
+        F.sum(
+            F.when(
+                (F.col("o_orderkey") % 11 == 0)
+                & (
+                    F.col("o_orderdate") + F.expr("INTERVAL 30 DAY")
+                    <= F.lit(_BT_KNOWN_2).cast("timestamp")
+                )
+                & (
+                    F.col("o_orderdate") + F.expr("INTERVAL 15 DAY")
+                    <= F.lit(_BT_VALID_AT).cast("timestamp")
+                ),
+                100,
+            ).otherwise(0)
+        ).alias("corr"),
+    ).first()
+    assert by_axis[_BT_KNOWN_2][1] == base["c"] + base["corr"]
