@@ -252,6 +252,8 @@ _VERIFY_FIRST = [
     "q363_token_budget_knapsack",
     "q364_stream_full_outer_join",
     "q365_bitemporal_asof",
+    "q366_simpson_paradox_detector",
+    "q367_rendezvous_hash_churn",
 ]
 
 

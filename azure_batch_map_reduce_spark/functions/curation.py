@@ -5929,3 +5929,269 @@ def q363_token_budget_knapsack(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+_SP_LATE_US = 60 * 86_400_000_000  # late-shipment threshold (60 d, µs)
+
+
+@query(
+    "q366_simpson_paradox_detector",
+    oracle=f"""
+    WITH marked AS (
+        SELECT o.o_orderkey,
+               CAST(year(o.o_orderdate) AS VARCHAR) AS stratum,
+               CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END AS urgent,
+               CASE WHEN EXISTS (
+                   SELECT 1 FROM lineitem l
+                   WHERE l.l_orderkey = o.o_orderkey
+                     AND epoch_us(l.l_shipdate) - epoch_us(o.o_orderdate)
+                         > {_SP_LATE_US}
+               ) THEN 1 ELSE 0 END AS late
+        FROM orders o
+    ),
+    cells AS (
+        SELECT stratum,
+               sum(urgent) AS n_u, sum(urgent * late) AS late_u,
+               sum(1 - urgent) AS n_o, sum((1 - urgent) * late) AS late_o
+        FROM marked GROUP BY stratum
+        UNION ALL
+        SELECT 'POOLED',
+               sum(urgent), sum(urgent * late),
+               sum(1 - urgent), sum((1 - urgent) * late)
+        FROM marked
+    ),
+    signed AS (
+        SELECT stratum, n_u, late_u, n_o, late_o,
+               sign(late_u * n_o - late_o * n_u) AS direction
+        FROM cells
+    ),
+    pooled AS (
+        SELECT direction AS pooled_dir FROM signed WHERE stratum = 'POOLED'
+    )
+    SELECT s.stratum,
+           CAST(s.n_u AS BIGINT) AS n_urgent,
+           CAST(s.late_u AS BIGINT) AS late_urgent,
+           CAST(s.n_o AS BIGINT) AS n_other,
+           CAST(s.late_o AS BIGINT) AS late_other,
+           CAST((1000000 * s.late_u) // s.n_u
+                - (1000000 * s.late_o) // s.n_o AS BIGINT) AS rate_diff_ppm,
+           CAST(s.direction AS INTEGER) AS direction,
+           s.direction * p.pooled_dir < 0 AS opposes_pooled
+    FROM signed s CROSS JOIN pooled p
+    ORDER BY s.stratum
+    """,
+    tags=("stats", "experimentation", "simpson", "audit"),
+)
+def q366_simpson_paradox_detector(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simpson's-paradox audit: is the pooled association between
+    order urgency and late shipment OPPOSITE to the per-year
+    associations? The aggregation forensic every experimentation /
+    observational-metrics stack runs before trusting a pooled rate
+    comparison (confounding by stratum mix inverts conclusions; the
+    stratified complement of q320's DiD and q347's SRM gate).
+
+    Determinism: the association direction is an exact integer
+    cross-multiplication sign — sign(late_u·n_o − late_o·n_u), never
+    a float rate compare; displayed rate differences are floor-scaled
+    integer ppm; the lateness flag is exact µs arithmetic (Spark
+    unix_micros ≡ DuckDB epoch_us).
+
+    Scale posture: lateness is ONE left-semi-shaped existence check
+    per order (the q330 plan) folded into a 0/1 column; everything
+    after is a |years|+1-grain partial+final aggregate plus a 1-row
+    pooled broadcast. Reference contract: per-order marking = map
+    slot (``App.config:16``); stratum/pooled contrast = reduce slot
+    (``App.config:17``)."""
+    t = load_tables(spark, sf_dir)
+    o = t["orders"]
+    late_keys = (
+        t["lineitem"]
+        .select("l_orderkey", "l_shipdate")
+        .join(
+            o.select("o_orderkey", "o_orderdate"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .where(
+            F.unix_micros("l_shipdate") - F.unix_micros("o_orderdate")
+            > _SP_LATE_US
+        )
+        .select("o_orderkey")
+        .distinct()
+    )
+    marked = (
+        o.join(
+            late_keys.withColumn("is_late", F.lit(1)), "o_orderkey", "left"
+        )
+        .select(
+            F.year("o_orderdate").cast("string").alias("stratum"),
+            F.col("o_orderpriority")
+            .isin("1-URGENT", "2-HIGH")
+            .cast("int")
+            .alias("urgent"),
+            F.coalesce("is_late", F.lit(0)).alias("late"),
+        )
+    )
+    def cells(df, label=None):
+        g = df.groupBy(
+            F.lit(label).alias("stratum") if label else F.col("stratum")
+        )
+        return g.agg(
+            F.sum("urgent").alias("n_u"),
+            F.sum(F.col("urgent") * F.col("late")).alias("late_u"),
+            F.sum(1 - F.col("urgent")).alias("n_o"),
+            F.sum((1 - F.col("urgent")) * F.col("late")).alias("late_o"),
+        )
+    signed = (
+        cells(marked)
+        .unionAll(cells(marked, "POOLED"))
+        .withColumn(
+            "direction",
+            F.signum(
+                (F.col("late_u") * F.col("n_o"))
+                - (F.col("late_o") * F.col("n_u"))
+            ).cast("int"),
+        )
+    )
+    pooled = signed.where(F.col("stratum") == "POOLED").select(
+        F.col("direction").alias("pooled_dir")
+    )
+    return (
+        signed.crossJoin(F.broadcast(pooled))
+        .select(
+            "stratum",
+            F.col("n_u").cast("long").alias("n_urgent"),
+            F.col("late_u").cast("long").alias("late_urgent"),
+            F.col("n_o").cast("long").alias("n_other"),
+            F.col("late_o").cast("long").alias("late_other"),
+            (
+                F.expr("(1000000 * late_u) div n_u")
+                - F.expr("(1000000 * late_o) div n_o")
+            ).cast("long").alias("rate_diff_ppm"),
+            "direction",
+            (F.col("direction") * F.col("pooled_dir") < 0).alias(
+                "opposes_pooled"
+            ),
+        )
+        .orderBy("stratum")
+    )
+
+
+_HRW_BEFORE = tuple(f"s{i}" for i in range(8))
+_HRW_AFTER = _HRW_BEFORE + ("s8",)
+
+
+def _hrw_case_sql(shards, h):
+    """CASE chain picking the max-weight shard (first match breaks the
+    astronomically-unlikely hash tie deterministically)."""
+    mx = "greatest(" + ", ".join(h(s) for s in shards) + ")"
+    whens = " ".join(
+        f"WHEN {h(s)} = {mx} THEN '{s}'" for s in shards
+    )
+    return f"CASE {whens} END"
+
+
+def _hrw_duck(s):
+    return (
+        f"(('0x' || substr(md5('hrw|{s}|' || CAST(doc_id AS VARCHAR)), "
+        f"1, 12))::BIGINT)"
+    )
+
+
+def _hrw_spark(s):
+    return (
+        f"cast(conv(substring(md5(concat('hrw|{s}|', "
+        f"cast(doc_id as string))), 1, 12), 16, 10) as bigint)"
+    )
+
+
+@query(
+    "q367_rendezvous_hash_churn",
+    oracle=f"""
+    WITH assigned AS (
+        SELECT doc_id,
+               {_hrw_case_sql(_HRW_BEFORE, _hrw_duck)} AS before_shard,
+               {_hrw_case_sql(_HRW_AFTER, _hrw_duck)} AS after_shard
+        FROM documents
+    ),
+    shards AS (
+        SELECT unnest(['{"', '".join(_HRW_AFTER)}']) AS shard
+    )
+    SELECT s.shard,
+           CAST(count(*) FILTER (WHERE a.before_shard = s.shard)
+                AS BIGINT) AS n_before,
+           CAST(count(*) FILTER (WHERE a.after_shard = s.shard)
+                AS BIGINT) AS n_after,
+           CAST(count(*) FILTER (WHERE a.after_shard = s.shard
+                                 AND a.before_shard <> s.shard)
+                AS BIGINT) AS moved_in,
+           CAST(count(*) FILTER (WHERE a.before_shard = s.shard
+                                 AND a.after_shard <> s.shard)
+                AS BIGINT) AS moved_out
+    FROM shards s CROSS JOIN assigned a
+    GROUP BY s.shard
+    ORDER BY s.shard
+    """,
+    tags=("sharding", "consistent-hashing", "rendezvous", "infra"),
+)
+def q367_rendezvous_hash_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rendezvous (highest-random-weight) hashing shard assignment and
+    its scale-out churn: every document goes to the shard maximizing
+    hash(shard, doc); adding a ninth shard reassigns ONLY the
+    documents the new shard now wins — in expectation 1/9 of the
+    corpus, and provably nothing moves BETWEEN surviving shards (the
+    minimal-disruption property that makes HRW/consistent hashing the
+    standard for caches, shard maps, and embedding-index placement —
+    contrast q75's static mod-N plan, where adding a shard moves
+    ~8/9 of everything). Emits per shard: population before/after,
+    inflow, outflow.
+
+    Determinism: weights are the shared 48-bit md5 prefix; the argmax
+    is a greatest() + first-match CASE chain (deterministic tie-break
+    by shard order, identical text both engines); all outputs are
+    exact counts. The no-lateral-movement property is pinned by an
+    invariant test (moved_in = 0 for every surviving shard).
+
+    Scale posture: assignment is a stateless map-side expression (9
+    md5s per row, whole-stage codegen); the rollup is a
+    |shards|-grain partial+final aggregate. The oracle's shard × doc
+    cross join is oracle-only convenience — the engine pivots with
+    conditional aggregation at shard grain. Reference contract:
+    per-doc placement = map slot (``App.config:16``); churn
+    accounting = reduce slot (``App.config:17``)."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    assigned = docs.selectExpr(
+        "doc_id",
+        f"{_hrw_case_sql(_HRW_BEFORE, _hrw_spark)} AS before_shard",
+        f"{_hrw_case_sql(_HRW_AFTER, _hrw_spark)} AS after_shard",
+    )
+    shards = spark.createDataFrame(
+        [(s,) for s in _HRW_AFTER], "shard string"
+    )
+    per_before = assigned.groupBy(
+        F.col("before_shard").alias("shard")
+    ).agg(F.count(F.lit(1)).alias("n_before"))
+    per_after = assigned.groupBy(F.col("after_shard").alias("shard")).agg(
+        F.count(F.lit(1)).alias("n_after"),
+        F.sum(
+            F.when(F.col("before_shard") != F.col("after_shard"), 1).otherwise(0)
+        ).alias("moved_in"),
+    )
+    per_out = assigned.groupBy(F.col("before_shard").alias("shard")).agg(
+        F.sum(
+            F.when(F.col("before_shard") != F.col("after_shard"), 1).otherwise(0)
+        ).alias("moved_out")
+    )
+    return (
+        shards.join(F.broadcast(per_before), "shard", "left")
+        .join(F.broadcast(per_after), "shard", "left")
+        .join(F.broadcast(per_out), "shard", "left")
+        .select(
+            "shard",
+            F.coalesce("n_before", F.lit(0)).cast("long").alias("n_before"),
+            F.coalesce("n_after", F.lit(0)).cast("long").alias("n_after"),
+            F.coalesce("moved_in", F.lit(0)).cast("long").alias("moved_in"),
+            F.coalesce("moved_out", F.lit(0)).cast("long").alias("moved_out"),
+        )
+        .orderBy("shard")
+    )

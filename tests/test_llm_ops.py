@@ -494,3 +494,21 @@ def test_q365_tx_axis_hides_late_orders_exactly(spark, sf_dir):
         ).alias("corr"),
     ).first()
     assert by_axis[_BT_KNOWN_2][1] == base["c"] + base["corr"]
+
+
+def test_q367_hrw_never_moves_keys_between_surviving_shards(spark, sf_dir):
+    """The minimal-disruption property: adding a shard moves keys ONLY
+    to the new shard — inflow at every surviving shard is exactly 0,
+    population is conserved, and the new shard's inflow equals total
+    outflow."""
+    from azure_batch_map_reduce_spark.registry import load_all
+
+    rows = {r["shard"]: r for r in load_all()["q367_rendezvous_hash_churn"]
+            .fn(spark, sf_dir).collect()}
+    surviving = [s for s in rows if s != "s8"]
+    assert all(rows[s]["moved_in"] == 0 for s in surviving)
+    assert rows["s8"]["n_before"] == 0
+    assert rows["s8"]["moved_in"] == sum(r["moved_out"] for r in rows.values())
+    assert sum(r["n_before"] for r in rows.values()) == sum(
+        r["n_after"] for r in rows.values()
+    )
