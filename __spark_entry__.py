@@ -254,6 +254,8 @@ _VERIFY_FIRST = [
     "q365_bitemporal_asof",
     "q366_simpson_paradox_detector",
     "q367_rendezvous_hash_churn",
+    "q368_kneser_ney_bigram_lm",
+    "q369_postings_delta_varint_size",
 ]
 
 

@@ -3808,3 +3808,198 @@ def q360_query_likelihood_dirichlet(spark: SparkSession, sf_dir: str) -> DataFra
         .orderBy(F.desc("ql_score"), F.asc("doc_id"))
         .limit(10)
     )
+
+
+_KN_D = 0.75  # absolute discount
+
+
+@query(
+    "q368_kneser_ney_bigram_lm",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents
+    ),
+    bg AS (
+        SELECT ws[i] AS w1, ws[i + 1] AS w2
+        FROM (SELECT ws, unnest(generate_series(1, len(ws) - 1)) AS i
+              FROM toks)
+    ),
+    c12 AS (SELECT w1, w2, count(*) AS c FROM bg GROUP BY w1, w2),
+    c1 AS (
+        SELECT w1, sum(c) AS c1, count(*) AS fanout FROM c12 GROUP BY w1
+    ),
+    cont AS (SELECT w2, count(*) AS n_prec FROM c12 GROUP BY w2),
+    t AS (SELECT count(*) AS n_types FROM c12)
+    SELECT x.w1, x.w2,
+           CAST(x.c AS BIGINT) AS c_bigram,
+           CAST(c1.c1 AS BIGINT) AS c_unigram,
+           round(greatest(x.c - {_KN_D}, 0) / c1.c1
+                 + ({_KN_D} * c1.fanout / c1.c1)
+                   * (cont.n_prec / CAST(t.n_types AS DOUBLE)),
+                 6) AS p_kn
+    FROM c12 x
+    JOIN c1 ON x.w1 = c1.w1
+    JOIN cont ON x.w2 = cont.w2
+    CROSS JOIN t
+    ORDER BY x.c DESC, x.w1, x.w2
+    LIMIT 20
+    """,
+    tags=("text", "language-model", "kneser-ney", "smoothing", "llm"),
+)
+def q368_kneser_ney_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated Kneser–Ney bigram language model (absolute
+    discount d = 0.75): P(w2|w1) = max(c12−d, 0)/c1 +
+    (d·|fanout(w1)|/c1)·P_cont(w2), where the continuation
+    probability P_cont counts how many DISTINCT contexts precede w2 —
+    the smoothing insight ("Francisco" is frequent but only ever
+    follows "San") that makes KN the standard n-gram smoother, and
+    the upgrade over q257's add-one LM whose mass assignment this
+    replaces. Emits the top-20 bigrams with their component counts.
+
+    Determinism: all model state is exact integer counts; p_kn is a
+    fixed-order arithmetic expression over exact operands (one
+    greatest(), three divisions, identical text both engines) rounded
+    at 6; the top-20 ranks by exact count with a bigram tie-break.
+
+    Scale posture: the model is three partial+final aggregates at
+    bigram-type / context-type / continuation-type grain — vocab²-
+    bounded state, never corpus-grain after the first explode; the
+    probability join touches type-grain tables only and the 20-row
+    cut is TakeOrdered. Exactly the shape a KenLM-style training job
+    distributes. Reference contract: bigram extraction = map slot
+    (``App.config:16``); smoothing consolidation = reduce slot
+    (``App.config:17``)."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    ws = F.split(F.lower(F.col("text")), " ")
+    bg = docs.select(
+        F.explode(
+            F.when(
+                F.size(ws) >= 2,
+                F.transform(
+                    F.sequence(F.lit(1), F.size(ws) - 1),
+                    lambda i: F.struct(
+                        F.element_at(ws, i).alias("w1"),
+                        F.element_at(ws, i + 1).alias("w2"),
+                    ),
+                ),
+            )
+        ).alias("p")
+    ).select("p.w1", "p.w2")
+    c12 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c"))
+    c1 = c12.groupBy("w1").agg(
+        F.sum("c").alias("c1"), F.count(F.lit(1)).alias("fanout")
+    )
+    cont = c12.groupBy("w2").agg(F.count(F.lit(1)).alias("n_prec"))
+    t = c12.agg(F.count(F.lit(1)).alias("n_types"))
+    return (
+        c12.join(c1, "w1")
+        .join(cont, "w2")
+        .crossJoin(F.broadcast(t))
+        .select(
+            "w1",
+            "w2",
+            F.col("c").cast("long").alias("c_bigram"),
+            F.col("c1").cast("long").alias("c_unigram"),
+            F.round(
+                F.greatest(F.col("c") - _KN_D, F.lit(0.0)) / F.col("c1")
+                + (_KN_D * F.col("fanout") / F.col("c1"))
+                * (F.col("n_prec") / F.col("n_types").cast("double")),
+                6,
+            ).alias("p_kn"),
+        )
+        .orderBy(F.desc("c_bigram"), F.asc("w1"), F.asc("w2"))
+        .limit(20)
+    )
+
+
+_VARINT_TOP = 30
+
+
+@query(
+    "q369_postings_delta_varint_size",
+    oracle=f"""
+    WITH toks AS (
+        SELECT DISTINCT doc_id,
+               unnest(string_split(lower(text), ' ')) AS term
+        FROM documents
+    ),
+    gaps AS (
+        SELECT term, doc_id,
+               doc_id - lag(doc_id)
+                   OVER (PARTITION BY term ORDER BY doc_id) AS gap
+        FROM toks
+    ),
+    sized AS (
+        SELECT term,
+               count(*) AS df,
+               sum(CASE WHEN coalesce(gap, doc_id + 1) < 128 THEN 1
+                        WHEN coalesce(gap, doc_id + 1) < 16384 THEN 2
+                        WHEN coalesce(gap, doc_id + 1) < 2097152 THEN 3
+                        ELSE 4 END) AS delta_bytes
+        FROM gaps GROUP BY term
+    )
+    SELECT term,
+           CAST(df AS BIGINT) AS df,
+           CAST(delta_bytes AS BIGINT) AS delta_bytes,
+           CAST(8 * df AS BIGINT) AS raw_bytes,
+           CAST((1000000 * (8 * df - delta_bytes)) // (8 * df) AS BIGINT)
+               AS savings_ppm
+    FROM sized
+    ORDER BY df DESC, term
+    LIMIT {_VARINT_TOP}
+    """,
+    tags=("text", "index", "compression", "varint", "storage"),
+)
+def q369_postings_delta_varint_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Posting-list delta + varint size estimation: for the 30
+    highest-DF terms, the byte cost of storing each term's sorted
+    doc-id list as varint-encoded GAPS (first entry encodes doc_id+1)
+    versus raw 8-byte ids — the storage calculus behind every
+    inverted index (q274/q303/q346 build the lists; this prices
+    them), and the reason dense postings compress ~8× (gaps of hot
+    terms are small). Savings are floor-scaled integer ppm.
+
+    Determinism: gaps are exact integer differences from a lag over a
+    total (term, doc_id) order; varint width is a pure CASE on
+    128/16384/2097152 thresholds; every output is an integer.
+
+    Scale posture: one distinct (term, doc) shuffle, then the lag
+    window is PARTITIONED BY TERM (data-partitioned — hot-term skew
+    is bounded by df and handled by AQE; at extreme skew, split hot
+    terms' lists by doc-range and add per-range carry gaps). The
+    rollup is term-grain; the 30-row cut is TakeOrdered. Reference
+    contract: per-doc term emission = map slot (``App.config:16``);
+    sizing consolidation = reduce slot (``App.config:17``)."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.col("text")), " ")).alias("term"),
+    ).distinct()
+    w = Window.partitionBy("term").orderBy("doc_id")
+    gaps = toks.withColumn(
+        "gap", F.coalesce(F.col("doc_id") - F.lag("doc_id").over(w),
+                          F.col("doc_id") + 1)
+    )
+    vbytes = (
+        F.when(F.col("gap") < 128, 1)
+        .when(F.col("gap") < 16384, 2)
+        .when(F.col("gap") < 2097152, 3)
+        .otherwise(4)
+    )
+    sized = gaps.groupBy("term").agg(
+        F.count(F.lit(1)).alias("df"),
+        F.sum(vbytes).alias("delta_bytes"),
+    )
+    return (
+        sized.select(
+            "term",
+            F.col("df").cast("long").alias("df"),
+            F.col("delta_bytes").cast("long").alias("delta_bytes"),
+            (8 * F.col("df")).cast("long").alias("raw_bytes"),
+            F.expr(
+                "cast((1000000 * (8 * df - delta_bytes)) div (8 * df) as bigint)"
+            ).alias("savings_ppm"),
+        )
+        .orderBy(F.desc("df"), F.asc("term"))
+        .limit(_VARINT_TOP)
+    )

@@ -512,3 +512,24 @@ def test_q367_hrw_never_moves_keys_between_surviving_shards(spark, sf_dir):
     assert sum(r["n_before"] for r in rows.values()) == sum(
         r["n_after"] for r in rows.values()
     )
+
+
+def test_q368_kn_probabilities_sane(spark, sf_dir):
+    rows = REGISTRY["q368_kneser_ney_bigram_lm"].fn(spark, sf_dir).collect()
+    assert len(rows) == 20
+    counts = [r["c_bigram"] for r in rows]
+    assert counts == sorted(counts, reverse=True)
+    for r in rows:
+        assert 0.0 < r["p_kn"] <= 1.0
+        assert r["c_bigram"] <= r["c_unigram"]
+
+
+def test_q369_varint_sizing_bounds(spark, sf_dir):
+    rows = REGISTRY["q369_postings_delta_varint_size"].fn(
+        spark, sf_dir
+    ).collect()
+    assert rows
+    for r in rows:
+        assert r["df"] <= r["delta_bytes"] <= 4 * r["df"]
+        assert r["raw_bytes"] == 8 * r["df"]
+        assert 0 <= r["savings_ppm"] < 1_000_000
