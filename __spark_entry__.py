@@ -256,6 +256,9 @@ _VERIFY_FIRST = [
     "q367_rendezvous_hash_churn",
     "q368_kneser_ney_bigram_lm",
     "q369_postings_delta_varint_size",
+    "q370_slo_burn_rate_alert",
+    "q371_split_leakage_audit",
+    "q372_ljung_box_whiteness",
 ]
 
 

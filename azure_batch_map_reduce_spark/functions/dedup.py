@@ -2300,3 +2300,134 @@ def q357_chunk_first_occurrence_dedup(spark: SparkSession, sf_dir: str) -> DataF
         )
         .orderBy("source")
     )
+
+
+_LEAK_TEST_MOD = 10  # md5 bucket 0 of 10 -> test split
+
+
+@query(
+    "q371_split_leakage_audit",
+    oracle=f"""
+    WITH {_PAIRS_CTES},
+    split AS (
+        SELECT doc_id,
+               CASE WHEN ('0x' || substr(md5('split|' ||
+                          CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT
+                         % {_LEAK_TEST_MOD} = 0
+                    THEN 'test' ELSE 'train' END AS part
+        FROM documents
+    ),
+    tagged AS (
+        SELECT p.doc_a, p.doc_b, sa.part AS part_a, sb.part AS part_b
+        FROM pairs p
+        JOIN split sa ON sa.doc_id = p.doc_a
+        JOIN split sb ON sb.doc_id = p.doc_b
+    ),
+    leaked AS (
+        SELECT DISTINCT CASE WHEN part_a = 'test' THEN doc_a
+                             ELSE doc_b END AS test_doc
+        FROM tagged WHERE part_a <> part_b
+    ),
+    nt AS (SELECT count(*) AS n_test FROM split WHERE part = 'test')
+    SELECT CAST((SELECT count(*) FROM tagged) AS BIGINT) AS n_pairs,
+           CAST((SELECT count(*) FROM tagged WHERE part_a <> part_b)
+                AS BIGINT) AS n_cross_pairs,
+           CAST(nt.n_test AS BIGINT) AS n_test_docs,
+           CAST((SELECT count(*) FROM leaked) AS BIGINT)
+               AS n_leaked_test_docs,
+           CAST((1000000 * (SELECT count(*) FROM leaked)) // nt.n_test
+                AS BIGINT) AS leak_ppm
+    FROM nt
+    """,
+    tags=("dedup", "split", "leakage", "contamination", "llm"),
+)
+def q371_split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-split near-duplicate leakage audit: after a deterministic
+    train/test split (md5 bucket of doc_id), how many near-duplicate
+    pairs (q62's banded MinHash machinery, Jaccard ≥ 0.8) CROSS the
+    split boundary — i.e., test documents whose near-twin sits in
+    train. The eval-integrity gate a pretraining pipeline runs
+    ALONGSIDE benchmark decontamination (q69 checks against external
+    benchmarks; this checks the corpus against its own held-out
+    slice — the leak that silently inflates held-out perplexity/eval
+    wins). Emits pair counts by boundary relation, the leaked
+    test-doc count, and the leak rate in floor-scaled integer ppm.
+
+    Determinism: the split is the shared 48-bit md5 bucket; pair
+    generation is q62's engine-pinned shingle/minhash/band pipeline;
+    all outputs are exact integers.
+
+    Scale posture: candidate pairs come from the banded equi-join
+    (never all-pairs); the split tag is a map-side expression joined
+    at pair grain; the audit is two tiny aggregates. The fix for a
+    leaked doc — move it, not drop it — is why the leaked set is
+    emitted at doc grain internally. Reference contract: per-doc
+    split+shingle = map slot (``App.config:16``); boundary audit =
+    reduce slot (``App.config:17``)."""
+    docs = _spread(load_tables(spark, sf_dir)["documents"], "doc_id")
+    prs = neardup_pairs(docs).select("doc_a", "doc_b")
+    part = (
+        F.when(
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit("split|"), F.col("doc_id").cast("string"))),
+                    1,
+                    12,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % _LEAK_TEST_MOD
+            == 0,
+            "test",
+        ).otherwise("train")
+    )
+    split = load_tables(spark, sf_dir)["documents"].select(
+        "doc_id", part.alias("part")
+    )
+    tagged = (
+        prs.join(
+            split.select(
+                F.col("doc_id").alias("doc_a"), F.col("part").alias("part_a")
+            ),
+            "doc_a",
+        )
+        .join(
+            split.select(
+                F.col("doc_id").alias("doc_b"), F.col("part").alias("part_b")
+            ),
+            "doc_b",
+        )
+    )
+    leaked = (
+        tagged.where(F.col("part_a") != F.col("part_b"))
+        .select(
+            F.when(F.col("part_a") == "test", F.col("doc_a"))
+            .otherwise(F.col("doc_b"))
+            .alias("test_doc")
+        )
+        .distinct()
+    )
+    counts = tagged.agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum(
+            F.when(F.col("part_a") != F.col("part_b"), 1).otherwise(0)
+        ).alias("n_cross_pairs"),
+    )
+    nt = split.where(F.col("part") == "test").agg(
+        F.count(F.lit(1)).alias("n_test")
+    )
+    nl = leaked.agg(F.count(F.lit(1)).alias("n_leaked"))
+    return (
+        counts.crossJoin(F.broadcast(nt))
+        .crossJoin(F.broadcast(nl))
+        .select(
+            F.col("n_pairs").cast("long").alias("n_pairs"),
+            F.col("n_cross_pairs").cast("long").alias("n_cross_pairs"),
+            F.col("n_test").cast("long").alias("n_test_docs"),
+            F.col("n_leaked").cast("long").alias("n_leaked_test_docs"),
+            F.expr(
+                "cast((1000000 * n_leaked) div n_test as bigint)"
+            ).alias("leak_ppm"),
+        )
+    )

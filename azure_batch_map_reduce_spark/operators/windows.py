@@ -3496,3 +3496,230 @@ def q340_position_based_attribution(spark: SparkSession, sf_dir: str) -> DataFra
         )
         .orderBy("channel")
     )
+
+
+@query(
+    "q370_slo_burn_rate_alert",
+    oracle="""
+    WITH h AS (
+        SELECT date_trunc('hour', ts) AS hr,
+               sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS err,
+               count(*) AS tot
+        FROM events GROUP BY 1
+    ),
+    w AS (
+        SELECT hr, err, tot,
+               sum(err) OVER (ORDER BY hr ROWS BETWEEN 5 PRECEDING
+                              AND CURRENT ROW) AS err6,
+               sum(tot) OVER (ORDER BY hr ROWS BETWEEN 5 PRECEDING
+                              AND CURRENT ROW) AS tot6
+        FROM h
+    )
+    SELECT hr AS hour,
+           CAST(err AS BIGINT) AS errors,
+           CAST(tot AS BIGINT) AS total,
+           round(err / (0.25 * tot), 4) AS burn_1h,
+           round(err6 / (0.25 * tot6), 4) AS burn_6h,
+           10 * err > 3 * tot AND 40 * err6 > 11 * tot6 AS page
+    FROM w
+    ORDER BY hour
+    """,
+    tags=("timeseries", "slo", "alerting", "sre", "window"),
+)
+def q370_slo_burn_rate_alert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-window error-budget burn-rate alerting (the SRE-workbook
+    pattern): with a 75%-success SLO, each hour's burn rate is
+    err_ratio / 0.25, and a page fires only when BOTH the fast window
+    (1 h, threshold 1.2) and the slow window (trailing 6 h, threshold
+    1.1) burn hot — the two-window AND that suppresses blips (fast
+    only) and stale pages (slow only). Thresholds are tuned against
+    the fixture's ~20% baseline error rate so both alert states occur
+    at every SF (selectivity discipline).
+
+    Determinism: the page decision is EXACT integer cross-
+    multiplication (10·err > 3·tot ∧ 40·err6 > 11·tot6 — never a
+    float threshold compare); burn rates are display-only rounded
+    ratios of exact counts.
+
+    Scale posture: one corpus-grain partial+final rollup to hour
+    grain, then a trailing 6-row frame on the BOUNDED hourly series
+    (bounded_order — the audited single-partition bucket-grain frame;
+    at multi-year scale partition the frame by day and carry a 5-row
+    boundary overlap). Reference contract: hourly counting = map
+    slot (``App.config:16``); windowed alert evaluation = reduce slot
+    (``App.config:17``)."""
+    ev = load_tables(spark, sf_dir)["events"]
+    h = ev.groupBy(F.date_trunc("hour", F.col("ts")).alias("hr")).agg(
+        F.sum(
+            F.when(F.col("event_type") == "error", 1).otherwise(0)
+        ).alias("err"),
+        F.count(F.lit(1)).alias("tot"),
+    )
+    w6 = bounded_order("hr").rowsBetween(-5, 0)
+    w = h.select(
+        "hr",
+        "err",
+        "tot",
+        F.sum("err").over(w6).alias("err6"),
+        F.sum("tot").over(w6).alias("tot6"),
+    )
+    return w.select(
+        F.col("hr").alias("hour"),
+        F.col("err").cast("long").alias("errors"),
+        F.col("tot").cast("long").alias("total"),
+        F.round(F.col("err") / (0.25 * F.col("tot")), 4).alias("burn_1h"),
+        F.round(F.col("err6") / (0.25 * F.col("tot6")), 4).alias("burn_6h"),
+        (
+            (10 * F.col("err") > 3 * F.col("tot"))
+            & (40 * F.col("err6") > 11 * F.col("tot6"))
+        ).alias("page"),
+    ).orderBy("hour")
+
+
+_LB_MAX_LAG = 6
+# chi-square 95% critical values for df = 1..6 (literal constants, the
+# q339 discipline — no special functions in either engine)
+_LB_CHI2_95 = (3.841, 5.991, 7.815, 9.488, 11.070, 12.592)
+
+
+@query(
+    "q372_ljung_box_whiteness",
+    oracle=f"""
+    WITH daily AS (
+        SELECT date_trunc('day', ts) AS day,
+               CAST(count(*) AS DOUBLE) AS x
+        FROM events GROUP BY 1
+    ),
+    series AS (
+        SELECT list(x ORDER BY day) AS arr, count(*) AS n FROM daily
+    ),
+    stats AS (
+        SELECT arr, n,
+               list_reduce(list_prepend(0.0, arr), (a, b) -> a + b) / n AS m
+        FROM series
+    ),
+    centered AS (
+        SELECT arr, n, m,
+               list_reduce(list_prepend(0.0,
+                   list_transform(arr, x -> (x - m) * (x - m))),
+                   (a, b) -> a + b) AS denom
+        FROM stats
+    ),
+    acf AS (
+        SELECT lag, n,
+               list_reduce(list_prepend(0.0,
+                   list_transform(range(1, n - lag + 1),
+                                  i -> (arr[CAST(i AS INTEGER)] - m)
+                                     * (arr[CAST(i + lag AS INTEGER)] - m))),
+                   (a, b) -> a + b) / denom AS r
+        FROM centered, unnest(range(1, {_LB_MAX_LAG} + 1)) t(lag)
+    ),
+    q AS (
+        SELECT lag, n, r,
+               n * (n + 2.0)
+               * sum(r * r / (n - lag)) OVER (ORDER BY lag) AS q_stat
+        FROM acf
+    ),
+    crit AS (
+        SELECT * FROM (VALUES
+            {", ".join(f"({k + 1}, {c})" for k, c in enumerate(_LB_CHI2_95))}
+        ) t(lag, chi2_95)
+    )
+    SELECT q.lag,
+           CAST(q.n AS BIGINT) AS n_days,
+           round(q.r, 6) + 0.0 AS acf,
+           round(q.q_stat, 4) AS q_stat,
+           round(q.q_stat, 4) > crit.chi2_95 AS reject_white
+    FROM q JOIN crit ON q.lag = crit.lag
+    ORDER BY q.lag
+    """,
+    tags=("timeseries", "statistics", "ljung-box", "diagnostics"),
+)
+def q372_ljung_box_whiteness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ljung–Box whiteness test on the daily event-count series:
+    Q(m) = n(n+2)·Σ_{{k≤m}} r_k²/(n−k) against χ²₀.₉₅(m) for m = 1..6
+    — the residual-autocorrelation diagnostic every forecast model
+    (q298 Holt, q335 Holt-Winters) should be checked with before its
+    residuals are trusted as noise; composes q279's ACF machinery
+    into the portmanteau statistic.
+
+    Determinism: the ACF folds in position order over the day-ordered
+    series (q279's construction — engine-identical accumulation); Q
+    accumulates over the ≤6-row lag grain in lag order; critical
+    values are literals (the q339 discipline); the reject flag
+    compares the ROUNDED Q.
+
+    Scale posture: one corpus rollup to day grain, one ≤|days|-element
+    ordered fold (driver-free, array-based), then 6 rows of
+    arithmetic with a bounded cumulative frame. Reference contract:
+    day counting = map slot (``App.config:16``); portmanteau
+    consolidation = reduce slot (``App.config:17``)."""
+    ev = load_tables(spark, sf_dir)["events"]
+    daily = ev.groupBy(F.date_trunc("day", F.col("ts")).alias("day")).agg(
+        F.count(F.lit(1)).cast("double").alias("x")
+    )
+    series = daily.agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("day", "x"))),
+            lambda s: s.getField("x"),
+        ).alias("arr"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    m = F.aggregate(F.col("arr"), F.lit(0.0), lambda a, b: a + b) / F.col("n")
+    stats = series.select("arr", "n", m.alias("m"))
+    denom = F.aggregate(
+        F.transform(F.col("arr"), lambda x: (x - F.col("m")) * (x - F.col("m"))),
+        F.lit(0.0),
+        lambda a, b: a + b,
+    )
+    centered = stats.select("arr", "n", "m", denom.alias("denom"))
+    lags = spark.createDataFrame(
+        [(k,) for k in range(1, _LB_MAX_LAG + 1)], "lag int"
+    )
+    acov = F.aggregate(
+        F.transform(
+            F.sequence(F.lit(1), F.col("n") - F.col("lag")),
+            lambda i: (F.element_at(F.col("arr"), i.cast("integer")) - F.col("m"))
+            * (
+                F.element_at(
+                    F.col("arr"), (i + F.col("lag")).cast("integer")
+                )
+                - F.col("m")
+            ),
+        ),
+        F.lit(0.0),
+        lambda a, b: a + b,
+    )
+    acf = centered.crossJoin(F.broadcast(lags)).select(
+        "lag", "n", (acov / F.col("denom")).alias("r")
+    )
+    wq = bounded_order("lag").rowsBetween(Window.unboundedPreceding, 0)
+    q = acf.select(
+        "lag",
+        "n",
+        "r",
+        (
+            F.col("n")
+            * (F.col("n") + F.lit(2.0))
+            * F.sum(
+                F.col("r") * F.col("r") / (F.col("n") - F.col("lag"))
+            ).over(wq)
+        ).alias("q_stat"),
+    )
+    crit = spark.createDataFrame(
+        [(k + 1, c) for k, c in enumerate(_LB_CHI2_95)],
+        "lag int, chi2_95 double",
+    )
+    return (
+        q.join(F.broadcast(crit), "lag")
+        .select(
+            "lag",
+            F.col("n").cast("long").alias("n_days"),
+            round_nz(F.col("r"), 6).alias("acf"),
+            F.round(F.col("q_stat"), 4).alias("q_stat"),
+            (F.round(F.col("q_stat"), 4) > F.col("chi2_95")).alias(
+                "reject_white"
+            ),
+        )
+        .orderBy("lag")
+    )
