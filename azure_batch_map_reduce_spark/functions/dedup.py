@@ -1648,7 +1648,9 @@ def q271_dedup_transitive_safety(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     direct = (
         prs.join(
-            F.broadcast(comp.select(F.col("node").alias("doc_a"), "grp")),
+            # comp is cluster-member (doc) grain — grows with duplicate
+            # mass; unhinted equi-join (the q329/q260 rule).
+            comp.select(F.col("node").alias("doc_a"), "grp"),
             "doc_a",
         )
         .groupBy("grp")

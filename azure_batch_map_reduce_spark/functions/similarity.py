@@ -1673,8 +1673,11 @@ def q259_rag_context_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= 8)
     )
+    # doc-grain cost table must not be force-broadcast; the SMALL
+    # side here is topk (queries x 8 rows), which AQE broadcasts on
+    # its own (the q329 rule).
     with_cost = topk.join(
-        F.broadcast(docs.select("doc_id", "n_chars")),
+        docs.select("doc_id", "n_chars"),
         topk["vec_id"] == F.col("doc_id"),
     ).select(
         "query_id",

@@ -1422,8 +1422,10 @@ def q310_late_arriving_dimension(spark: SparkSession, sf_dir: str) -> DataFrame:
     dim = t["customer"].where(F.col("c_custkey") % 7 != 0).select(
         "c_custkey", "c_mktsegment"
     )
+    # customer is a growing dim — unhinted (the q329 rule); AQE
+    # broadcasts the 2-column projection while it fits.
     joined = t["events"].join(
-        F.broadcast(dim), t["events"]["user_id"] == dim["c_custkey"], "left"
+        dim, t["events"]["user_id"] == dim["c_custkey"], "left"
     )
     seg = F.coalesce(F.col("c_mktsegment"), F.lit("UNRESOLVED"))
     return (

@@ -974,8 +974,10 @@ def q219_cold_start_fallback(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rnk") <= 3)
     )
     buyers = t["orders"].select("o_custkey").distinct()
+    # buyers is custkey-grain (grows with the fact table) — no forced
+    # broadcast (the q329 rule); AQE promotes from runtime size.
     cold = t["customer"].join(
-        F.broadcast(buyers), F.col("c_custkey") == F.col("o_custkey"), "left_anti"
+        buyers, F.col("c_custkey") == F.col("o_custkey"), "left_anti"
     ).select("c_custkey", "c_nationkey")
     return (
         cold.join(F.broadcast(top3), F.col("c_nationkey") == F.col("nk"))
@@ -1192,7 +1194,9 @@ def q328_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).cast("long")
     per_order = (
         orders.join(
-            F.broadcast(building.select("c_custkey")),
+            # 1/5 of a GROWING customer dim — unhinted (the q329 rule):
+            # AQE broadcasts while it fits, shuffles beyond.
+            building.select("c_custkey"),
             F.col("o_custkey") == F.col("c_custkey"),
         )
         .join(late_items, F.col("l_orderkey") == F.col("o_orderkey"))

@@ -314,11 +314,16 @@ def q142_stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     pattern (the streaming face of the reference's per-task sideloaded
     ResourceFiles, ``Program.cs:346``).
 
-    Scale posture: the static side is planned as a broadcast into every
-    micro-batch, so the stream never shuffles for the join — the only
-    stateful piece is the tiny per-segment running aggregate. The dim
-    is re-resolvable per batch, which is how dimension updates flow in
-    without restarting the query.
+    Scale posture: the projected 2-column static side broadcasts into
+    every micro-batch at fixture scale so the stream never shuffles
+    for the join — but customer is a GROWING dim (billions of rows at
+    100 TB exceed any broadcast limit), so the hint is deliberately
+    omitted (the q329 rule): the planner broadcasts while the dim
+    fits and falls back to a per-batch shuffle join beyond, where the
+    production answer is a pre-bucketed static side or a state-store
+    lookup. The only stateful piece is the tiny per-segment running
+    aggregate; the dim is re-resolvable per batch, which is how
+    dimension updates flow in without restarting the query.
     """
     from azure_batch_map_reduce_spark.catalog import load_tables
 
@@ -327,7 +332,7 @@ def q142_stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c_custkey"), F.col("c_mktsegment").alias("segment")
     )
     enriched = ev.join(
-        F.broadcast(cust), ev["user_id"] == cust["c_custkey"], "inner"
+        cust, ev["user_id"] == cust["c_custkey"], "inner"
     )
     agg = enriched.groupBy("segment").agg(
         F.count(F.lit(1)).alias("n_events"),
