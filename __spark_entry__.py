@@ -259,6 +259,7 @@ _VERIFY_FIRST = [
     "q370_slo_burn_rate_alert",
     "q371_split_leakage_audit",
     "q372_ljung_box_whiteness",
+    "q373_markov_removal_attribution",
 ]
 
 

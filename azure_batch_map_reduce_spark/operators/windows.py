@@ -3723,3 +3723,259 @@ def q372_ljung_box_whiteness(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lag")
     )
+
+
+_MRK_CH = ("click", "error", "signup", "view")  # to-idx 0..3; CONV = 4
+_MRK_K = 8  # truncated power-iteration steps
+
+
+def _mrk_oracle() -> str:
+    def vmul(t):
+        return (
+            "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+            f"list_transform(range(0, 5), f -> acc[f + 1] * mv[f * 5 + {t} + 1])), "
+            "(a, b) -> a + b)"
+        )
+
+    step = (
+        "[CAST(0.0 AS DOUBLE), "
+        + ", ".join(vmul(t) for t in range(4))
+        + f", acc[6] + {vmul(4)}]"
+    )
+    fold = (
+        "list_reduce(list_prepend("
+        "[CAST(1.0 AS DOUBLE), 0.0, 0.0, 0.0, 0.0, 0.0], "
+        f"list_transform(range({_MRK_K}), z -> [CAST(0.0 AS DOUBLE)])), "
+        f"(acc, x) -> {step})[6]"
+    )
+    variants = "SELECT 'full' AS variant, m AS mv FROM mat"
+    for c, name in enumerate(_MRK_CH):
+        variants += (
+            f"\n        UNION ALL SELECT '{name}', "
+            f"list_transform(range(1, 26), "
+            f"i -> CASE WHEN (i - 1) % 5 = {c} THEN CAST(0.0 AS DOUBLE) "
+            f"ELSE m[CAST(i AS INTEGER)] END) FROM mat"
+        )
+    return f"""
+    WITH ordered AS (
+        SELECT user_id, event_type,
+               row_number() OVER (PARTITION BY user_id
+                   ORDER BY date_trunc('microseconds', ts), event_id) AS rn
+        FROM events
+    ),
+    firstbuy AS (
+        SELECT user_id, min(rn) AS buy_rn FROM ordered
+        WHERE event_type = 'purchase' GROUP BY user_id
+    ),
+    kept AS (
+        SELECT o.user_id, o.event_type, o.rn
+        FROM ordered o LEFT JOIN firstbuy b ON o.user_id = b.user_id
+        WHERE b.buy_rn IS NULL OR o.rn <= b.buy_rn
+    ),
+    trans AS (
+        SELECT user_id,
+               coalesce(lag(event_type) OVER (PARTITION BY user_id ORDER BY rn),
+                        'START') AS f,
+               event_type AS t
+        FROM kept
+        UNION ALL
+        SELECT k.user_id, k.event_type, 'NULL'
+        FROM kept k
+        JOIN (SELECT user_id, max(rn) AS mr FROM kept GROUP BY user_id) z
+          ON z.user_id = k.user_id AND z.mr = k.rn
+        WHERE k.event_type <> 'purchase'
+    ),
+    cnt AS (SELECT f, t, count(*) AS c FROM trans GROUP BY f, t),
+    tot AS (SELECT f, sum(c) AS n FROM cnt GROUP BY f),
+    cells AS (
+        SELECT fi.fi * 5 + ti.ti AS idx,
+               coalesce(c.c / CAST(tot.n AS DOUBLE), 0.0) AS p
+        FROM (VALUES ('START', 0), ('click', 1), ('error', 2),
+                     ('signup', 3), ('view', 4)) fi(f, fi)
+        CROSS JOIN (VALUES ('click', 0), ('error', 1), ('signup', 2),
+                           ('view', 3), ('purchase', 4)) ti(t, ti)
+        LEFT JOIN cnt c ON c.f = fi.f AND c.t = ti.t
+        LEFT JOIN tot ON tot.f = fi.f
+    ),
+    mat AS (SELECT list(p ORDER BY idx) AS m FROM cells),
+    variants AS (
+        {variants}
+    ),
+    conv AS (
+        SELECT variant, {fold} AS p_conv FROM variants
+    ),
+    full_p AS (SELECT p_conv AS pf FROM conv WHERE variant = 'full'),
+    rem AS (
+        SELECT c.variant AS channel,
+               f.pf AS p_conv_full,
+               c.p_conv AS p_conv_removed,
+               1.0 - c.p_conv / f.pf AS re
+        FROM conv c CROSS JOIN full_p f
+        WHERE c.variant <> 'full'
+    ),
+    s AS (SELECT sum(re) AS sre FROM rem)
+    SELECT r.channel,
+           round(r.p_conv_full, 6) AS p_conv_full,
+           round(r.p_conv_removed, 6) AS p_conv_removed,
+           round(r.re, 6) + 0.0 AS removal_effect,
+           round(r.re / s.sre, 6) + 0.0 AS attribution_share
+    FROM rem r CROSS JOIN s
+    ORDER BY r.channel
+    """
+
+
+@query(
+    "q373_markov_removal_attribution",
+    oracle=_mrk_oracle(),
+    tags=("attribution", "markov", "marketing", "iterative", "graph"),
+)
+def q373_markov_removal_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markov-chain removal-effect attribution (Anderl et al.): model
+    user journeys as a first-order chain over event channels with
+    purchase absorbing, estimate P(convert) by an 8-step truncated
+    power iteration from START, then re-run the chain with each
+    channel REMOVED (transitions into it dropped, un-renormalized —
+    the removal-effect convention) and credit each channel its
+    conversion-probability drop, normalized to shares. The
+    principled middle ground between last-touch (q152), position
+    rules (q340), and exact-Shapley (q295) attribution.
+
+    Determinism: journeys trim at the first purchase under a total
+    (ts, event_id) order; transition probabilities are exact-count
+    divisions; the 5×5 matrix lives in ONE dense 25-slot array built
+    at fixed (from × to) index grain, and every power step folds its
+    products in identical slot order on both engines (prepended-seed
+    aggregate ≡ list_reduce with a same-type list accumulator — the
+    q267 lesson), so all five chain evaluations are bit-identical
+    before the 6dp rounds.
+
+    Scale posture: the corpus is touched once (per-user windows,
+    data-partitioned) to build transition counts at ≤ 5×6 grain;
+    matrix assembly, the five 8-step folds, and the share rollup all
+    run on 1-to-5-row frames. At 100 TB only the journey scan grows.
+    Reference contract: per-user journey extraction = map slot
+    (``App.config:16``); chain evaluation = reduce slot
+    (``App.config:17``)."""
+    ev = load_tables(spark, sf_dir)["events"]
+    wu = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ordered = ev.select(
+        "user_id", "event_type", F.row_number().over(wu).alias("rn")
+    )
+    firstbuy = (
+        ordered.where(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.min("rn").alias("buy_rn"))
+    )
+    kept = ordered.join(firstbuy, "user_id", "left").where(
+        F.col("buy_rn").isNull() | (F.col("rn") <= F.col("buy_rn"))
+    )
+    wk = Window.partitionBy("user_id").orderBy("rn")
+    trans = kept.select(
+        F.coalesce(F.lag("event_type").over(wk), F.lit("START")).alias("f"),
+        F.col("event_type").alias("t"),
+    )
+    last = kept.withColumn(
+        "mr", F.max("rn").over(Window.partitionBy("user_id"))
+    ).where((F.col("rn") == F.col("mr")) & (F.col("event_type") != "purchase"))
+    trans = trans.unionAll(
+        last.select(F.col("event_type").alias("f"), F.lit("NULL").alias("t"))
+    )
+    cnt = trans.groupBy("f", "t").agg(F.count(F.lit(1)).alias("c"))
+    tot = cnt.groupBy("f").agg(F.sum("c").alias("n"))
+    fi = spark.createDataFrame(
+        [("START", 0)] + [(ch, i + 1) for i, ch in enumerate(_MRK_CH)],
+        "f string, fi int",
+    )
+    ti = spark.createDataFrame(
+        [(ch, i) for i, ch in enumerate(_MRK_CH)] + [("purchase", 4)],
+        "t string, ti int",
+    )
+    cells = (
+        # both literal frames inherit defaultParallelism partitions; an
+        # unhinted crossJoin would schedule 32x32 = 1024 tasks for 25
+        # rows — broadcast one side (5 literal rows, genuinely bounded)
+        fi.coalesce(1)
+        .crossJoin(F.broadcast(ti))
+        .join(F.broadcast(cnt), ["f", "t"], "left")
+        .join(F.broadcast(tot), "f", "left")
+        .select(
+            (F.col("fi") * 5 + F.col("ti")).alias("idx"),
+            F.coalesce(
+                F.col("c") / F.col("n").cast("double"), F.lit(0.0)
+            ).alias("p"),
+        )
+    )
+    mat = cells.agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("idx", "p"))),
+            lambda s: s.getField("p"),
+        ).alias("m")
+    )
+
+    def zeroed(c):
+        return F.transform(
+            F.sequence(F.lit(1), F.lit(25)),
+            lambda i: F.when((i - 1) % 5 == c, F.lit(0.0)).otherwise(
+                F.element_at(F.col("m"), i.cast("integer"))
+            ),
+        )
+
+    variants = mat.select(
+        F.lit("full").alias("variant"), F.col("m").alias("mv")
+    )
+    for c, name in enumerate(_MRK_CH):
+        variants = variants.unionAll(
+            mat.select(F.lit(name).alias("variant"), zeroed(c).alias("mv"))
+        )
+
+    def vmul(acc, t):
+        return F.aggregate(
+            F.sequence(F.lit(0), F.lit(4)),
+            F.lit(0.0),
+            lambda a, f: a
+            + F.element_at(acc, (f + 1).cast("integer"))
+            * F.element_at(F.col("mv"), (f * 5 + t + 1).cast("integer")),
+        )
+
+    fold = F.aggregate(
+        F.sequence(F.lit(1), F.lit(_MRK_K)),
+        F.array(
+            F.lit(1.0), F.lit(0.0), F.lit(0.0), F.lit(0.0), F.lit(0.0), F.lit(0.0)
+        ),
+        lambda acc, _: F.array(
+            F.lit(0.0),
+            vmul(acc, 0),
+            vmul(acc, 1),
+            vmul(acc, 2),
+            vmul(acc, 3),
+            F.element_at(acc, 6) + vmul(acc, 4),
+        ),
+    )
+    conv = variants.select(
+        "variant", F.element_at(fold, 6).alias("p_conv")
+    )
+    full_p = conv.where(F.col("variant") == "full").select(
+        F.col("p_conv").alias("pf")
+    )
+    rem = (
+        conv.where(F.col("variant") != "full")
+        .crossJoin(F.broadcast(full_p))
+        .select(
+            F.col("variant").alias("channel"),
+            F.col("pf").alias("p_conv_full"),
+            "p_conv",
+            (F.lit(1.0) - F.col("p_conv") / F.col("pf")).alias("re"),
+        )
+    )
+    s = rem.agg(F.sum("re").alias("sre"))
+    return (
+        rem.crossJoin(F.broadcast(s))
+        .select(
+            "channel",
+            F.round("p_conv_full", 6).alias("p_conv_full"),
+            F.round("p_conv", 6).alias("p_conv_removed"),
+            round_nz(F.col("re"), 6).alias("removal_effect"),
+            round_nz(F.col("re") / F.col("sre"), 6).alias("attribution_share"),
+        )
+        .orderBy("channel")
+    )
