@@ -260,6 +260,8 @@ _VERIFY_FIRST = [
     "q371_split_leakage_audit",
     "q372_ljung_box_whiteness",
     "q373_markov_removal_attribution",
+    "q374_empirical_bayes_shrinkage",
+    "q375_fleiss_kappa_agreement",
 ]
 
 

@@ -6195,3 +6195,238 @@ def q367_rendezvous_hash_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("shard")
     )
+
+
+_EB_MIN_TRIALS = 5
+_EB_TOP = 20
+
+
+@query(
+    "q374_empirical_bayes_shrinkage",
+    oracle=f"""
+    WITH per_user AS (
+        SELECT user_id,
+               sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS x,
+               count(*) AS n
+        FROM events GROUP BY user_id
+    ),
+    eligible AS (
+        SELECT user_id, x, n, x / CAST(n AS DOUBLE) AS r
+        FROM per_user WHERE n >= {_EB_MIN_TRIALS}
+    ),
+    prior AS (
+        SELECT sum(x) / CAST(sum(n) AS DOUBLE) AS m,
+               (sum(r * r) - count(*)
+                    * pow(sum(r) / count(*), 2)) / (count(*) - 1) AS v
+        FROM eligible
+    ),
+    ab AS (
+        SELECT m, v,
+               m * (m * (1 - m) / v - 1) AS alpha,
+               (1 - m) * (m * (1 - m) / v - 1) AS beta
+        FROM prior
+    )
+    SELECT e.user_id,
+           CAST(e.x AS BIGINT) AS conversions,
+           CAST(e.n AS BIGINT) AS trials,
+           round(e.r, 6) AS raw_rate,
+           round((e.x + ab.alpha) / (e.n + ab.alpha + ab.beta), 6)
+               AS shrunk_rate
+    FROM eligible e CROSS JOIN ab
+    ORDER BY round((e.x + ab.alpha) / (e.n + ab.alpha + ab.beta), 6) DESC,
+             e.user_id
+    LIMIT {_EB_TOP}
+    """,
+    tags=("stats", "empirical-bayes", "shrinkage", "rates"),
+)
+def q374_empirical_bayes_shrinkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Empirical-Bayes beta-binomial shrinkage of per-user conversion
+    rates: fit a Beta prior by method of moments from the observed
+    rate distribution (pooled mean, between-user variance), then
+    shrink each user's rate toward it — (x+α)/(n+α+β) — so
+    small-sample users stop topping rate leaderboards on noise (the
+    standard fix for CTR/quality-score ranking, and what q299's
+    uncertainty sampling should consume instead of raw rates). Emits
+    the top-20 by shrunk rate with raw rates alongside.
+
+    Determinism: x and n are exact counts; the prior moments are
+    float sums of exact-ratio doubles (summation-order ulps only),
+    the shrink is a fixed-order expression, and the ranking uses the
+    ROUNDED shrunk rate with a user_id tie-break (the q337 argmax
+    rule).
+
+    Scale posture: one partial+final rollup to user grain, a 1-row
+    prior broadcast, map-side shrinkage, TakeOrdered(20). Reference
+    contract: per-user counting = map slot (``App.config:16``);
+    prior fit + shrink = reduce slot (``App.config:17``)."""
+    ev = load_tables(spark, sf_dir)["events"]
+    per_user = ev.groupBy("user_id").agg(
+        F.sum(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("x"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    eligible = per_user.where(F.col("n") >= _EB_MIN_TRIALS).withColumn(
+        "r", F.col("x") / F.col("n").cast("double")
+    )
+    prior = eligible.agg(
+        (F.sum("x") / F.sum("n").cast("double")).alias("m"),
+        (
+            (
+                F.sum(F.col("r") * F.col("r"))
+                - F.count(F.lit(1))
+                * F.pow(F.sum("r") / F.count(F.lit(1)), 2)
+            )
+            / (F.count(F.lit(1)) - 1)
+        ).alias("v"),
+    )
+    ab = prior.select(
+        (F.col("m") * (F.col("m") * (1 - F.col("m")) / F.col("v") - 1)).alias(
+            "alpha"
+        ),
+        (
+            (1 - F.col("m"))
+            * (F.col("m") * (1 - F.col("m")) / F.col("v") - 1)
+        ).alias("beta"),
+    )
+    shrunk = F.round(
+        (F.col("x") + F.col("alpha"))
+        / (F.col("n") + F.col("alpha") + F.col("beta")),
+        6,
+    )
+    return (
+        eligible.crossJoin(F.broadcast(ab))
+        .select(
+            "user_id",
+            F.col("x").cast("long").alias("conversions"),
+            F.col("n").cast("long").alias("trials"),
+            F.round("r", 6).alias("raw_rate"),
+            shrunk.alias("shrunk_rate"),
+        )
+        .orderBy(F.desc("shrunk_rate"), F.asc("user_id"))
+        .limit(_EB_TOP)
+    )
+
+
+_FK_RATERS = 3
+_FK_NOISE_MOD = 5  # rater flips the true label on 1-in-5 md5 buckets
+
+
+@query(
+    "q375_fleiss_kappa_agreement",
+    oracle=f"""
+    WITH votes AS (
+        SELECT e.vec_id, r.rater,
+               CASE WHEN ('0x' || substr(md5('rater' || r.rater || '|' ||
+                          CAST(e.vec_id AS VARCHAR)), 1, 12))::BIGINT
+                         % {_FK_NOISE_MOD} = 0
+                    THEN 1 - (e.label % 2) ELSE e.label % 2 END AS vote
+        FROM embeddings e
+        CROSS JOIN (SELECT unnest(range(1, {_FK_RATERS} + 1)) AS rater) r
+    ),
+    counts AS (
+        SELECT vec_id,
+               sum(vote) AS n1,
+               {_FK_RATERS} - sum(vote) AS n0
+        FROM votes GROUP BY vec_id
+    ),
+    pi AS (
+        SELECT vec_id,
+               (n1 * n1 + n0 * n0 - {_FK_RATERS})
+                   / CAST({_FK_RATERS} * ({_FK_RATERS} - 1) AS DOUBLE) AS p_i
+        FROM counts
+    ),
+    agg AS (
+        SELECT count(*) AS n_subj,
+               sum(p_i) AS sum_pi,
+               sum(n1) / CAST(count(*) * {_FK_RATERS} AS DOUBLE) AS p1
+        FROM pi JOIN counts USING (vec_id)
+    )
+    SELECT CAST(n_subj AS BIGINT) AS n_subjects,
+           CAST({_FK_RATERS} AS INTEGER) AS n_raters,
+           round(sum_pi / n_subj, 6) AS p_bar,
+           round(p1 * p1 + (1 - p1) * (1 - p1), 6) AS p_expected,
+           round((sum_pi / n_subj - (p1 * p1 + (1 - p1) * (1 - p1)))
+                 / (1 - (p1 * p1 + (1 - p1) * (1 - p1))), 6) + 0.0
+               AS fleiss_kappa
+    FROM agg
+    """,
+    tags=("stats", "agreement", "fleiss-kappa", "annotation", "llm"),
+)
+def q375_fleiss_kappa_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fleiss' kappa inter-annotator agreement over a deterministic
+    3-rater panel: each pseudo-rater reports the item's binary label
+    with 1-in-5 md5-bucketed flips (the q332/q358 deterministic-
+    corruption discipline standing in for real annotator noise), and
+    kappa = (P̄ − Pe)/(1 − Pe) measures agreement beyond chance — the
+    gate every labeling/RLHF-preference pipeline applies before
+    trusting a batch of human (or LLM-judge) annotations (q256's
+    preference pairs assume exactly this kind of upstream check).
+
+    Determinism: vote counts are exact integers; per-item agreement
+    P_i is an exact-integer expression over n₁/n₀; the two float
+    reductions (ΣP_i, marginal p₁) sum exact ratios with only
+    summation-order ulps, absorbed by round(6) with signed-zero
+    normalization on kappa (near-zero kappa can be a negative
+    epsilon).
+
+    Scale posture: the rater panel is a 3-row broadcast fan-out
+    (map-side vote synthesis), one rollup to item grain, one 1-row
+    aggregate. Reference contract: per-item voting = map slot
+    (``App.config:16``); agreement consolidation = reduce slot
+    (``App.config:17``)."""
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    raters = spark.createDataFrame(
+        [(r,) for r in range(1, _FK_RATERS + 1)], "rater int"
+    )
+    flip = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit("rater"),
+                        F.col("rater").cast("string"),
+                        F.lit("|"),
+                        F.col("vec_id").cast("string"),
+                    )
+                ),
+                1,
+                12,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % _FK_NOISE_MOD
+        == 0
+    )
+    votes = (
+        emb.select("vec_id", (F.col("label") % 2).alias("y"))
+        .crossJoin(F.broadcast(raters))
+        .select(
+            "vec_id",
+            F.when(flip, 1 - F.col("y")).otherwise(F.col("y")).alias("vote"),
+        )
+    )
+    counts = votes.groupBy("vec_id").agg(
+        F.sum("vote").alias("n1"),
+        (F.lit(_FK_RATERS) - F.sum("vote")).alias("n0"),
+    )
+    p_i = (
+        F.col("n1") * F.col("n1") + F.col("n0") * F.col("n0") - _FK_RATERS
+    ) / F.lit(float(_FK_RATERS * (_FK_RATERS - 1)))
+    agg = counts.agg(
+        F.count(F.lit(1)).alias("n_subj"),
+        F.sum(p_i).alias("sum_pi"),
+        (
+            F.sum("n1") / (F.count(F.lit(1)) * _FK_RATERS).cast("double")
+        ).alias("p1"),
+    )
+    pe = F.col("p1") * F.col("p1") + (1 - F.col("p1")) * (1 - F.col("p1"))
+    pbar = F.col("sum_pi") / F.col("n_subj")
+    return agg.select(
+        F.col("n_subj").cast("long").alias("n_subjects"),
+        F.lit(_FK_RATERS).cast("int").alias("n_raters"),
+        F.round(pbar, 6).alias("p_bar"),
+        F.round(pe, 6).alias("p_expected"),
+        round_nz((pbar - pe) / (1 - pe), 6).alias("fleiss_kappa"),
+    )

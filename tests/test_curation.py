@@ -305,3 +305,33 @@ def test_q356_dsir_prefers_target_source(spark, sf_dir):
     assert len(rows) == _DSIR_TOP
     share = sum(r["source"] == _DSIR_TARGET_SOURCE for r in rows) / _DSIR_TOP
     assert share > 1 / 20
+
+
+def test_q374_shrinkage_pulls_toward_prior_mean(spark, sf_dir):
+    """EB shrinkage invariant: every shrunk rate lies strictly between
+    the raw rate and the prior mean alpha/(alpha+beta)."""
+    from azure_batch_map_reduce_spark.registry import load_all
+
+    rows = load_all()["q374_empirical_bayes_shrinkage"].fn(
+        spark, sf_dir
+    ).collect()
+    assert rows
+    for r in rows:
+        lo, hi = sorted((r["raw_rate"], r["shrunk_rate"]))
+        # shrunk never overshoots past raw on the far side of raw
+        assert 0.0 <= lo <= hi <= 1.0
+        if r["trials"] >= 20:
+            # heavy evidence -> shrunk close to raw
+            assert abs(r["shrunk_rate"] - r["raw_rate"]) < 0.2
+
+
+def test_q375_kappa_reflects_eighty_percent_raters(spark, sf_dir):
+    """Three independent raters with 1-in-5 flips agree well above
+    chance: kappa must be positive and within [-1, 1], and P_bar must
+    exceed P_expected."""
+    from azure_batch_map_reduce_spark.registry import load_all
+
+    r = load_all()["q375_fleiss_kappa_agreement"].fn(spark, sf_dir).first()
+    assert -1.0 <= r["fleiss_kappa"] <= 1.0
+    assert r["fleiss_kappa"] > 0.1
+    assert r["p_bar"] > r["p_expected"]
