@@ -262,6 +262,7 @@ _VERIFY_FIRST = [
     "q373_markov_removal_attribution",
     "q374_empirical_bayes_shrinkage",
     "q375_fleiss_kappa_agreement",
+    "q376_range_partition_planner",
 ]
 
 

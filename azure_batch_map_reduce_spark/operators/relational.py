@@ -3783,3 +3783,103 @@ def q342_ridge_regularization_path(
         .orderBy("lam", "ord")
         .drop("ord")
     )
+
+
+_RPP_K = 8  # target partition count
+
+
+@query(
+    "q376_range_partition_planner",
+    oracle=f"""
+    WITH w AS (
+        SELECT l_partkey AS k, count(*) AS wt
+        FROM lineitem GROUP BY l_partkey
+    ),
+    tot AS (SELECT sum(wt) AS total FROM w),
+    cum AS (
+        SELECT k, wt, sum(wt) OVER (ORDER BY k) AS c
+        FROM w
+    ),
+    assigned AS (
+        SELECT k, wt,
+               least({_RPP_K},
+                     1 + CAST(((c - 1) * {_RPP_K}) // tot.total AS INTEGER))
+                   AS pid
+        FROM cum CROSS JOIN tot
+    )
+    SELECT a.pid,
+           CAST(min(a.k) AS BIGINT) AS lo_key,
+           CAST(max(a.k) AS BIGINT) AS hi_key,
+           CAST(count(*) AS BIGINT) AS n_keys,
+           CAST(sum(a.wt) AS BIGINT) AS weight,
+           CAST((1000000 * sum(a.wt) * {_RPP_K}) // tot.total - 1000000
+                AS BIGINT) AS dev_ppm
+    FROM assigned a CROSS JOIN tot
+    GROUP BY a.pid, tot.total
+    ORDER BY a.pid
+    """,
+    tags=("layout", "partitioning", "planner", "skew"),
+)
+def q376_range_partition_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weight-balanced range-partition planning: from the per-key row
+    histogram, place k−1 boundaries on the EXACT cumulative weight
+    (key → partition ⌈cum·k/W⌉, integer arithmetic) and report each
+    range's key span, weight, and signed deviation from the ideal
+    W/k in ppm — the explicit form of what ``repartitionByRange``
+    does by SAMPLING, with exact weights instead of a sample (the
+    difference between balanced and skewed reducers when the key
+    histogram is heavy-tailed). Complements q229 (salting decision),
+    q290 (LPT bin packing of known cells), and q75 (static shard
+    plan): this one picks contiguous RANGE boundaries, the layout
+    that preserves sort order for merge joins and zone maps.
+
+    Determinism: weights and cumulative sums are exact integers on
+    the window-free running sum; the partition id is pure integer
+    div; deviation is floor-scaled signed ppm.
+
+    Scale posture: one partial+final count to key grain; the
+    cumulative rides ``distributed_running_sum`` (range shuffle +
+    broadcast offsets — never a global window over the key
+    dictionary); the rollup is k-grain. In production the output IS
+    the boundary list handed to a writer. Reference contract: key
+    counting = map slot (``App.config:16``); boundary consolidation =
+    reduce slot (``App.config:17``)."""
+    li = load_tables(spark, sf_dir)["lineitem"]
+    w = li.groupBy(F.col("l_partkey").alias("k")).agg(
+        F.count(F.lit(1)).alias("wt")
+    )
+    tot = w.agg(F.sum("wt").alias("total"))
+    cum = distributed_running_sum(w, [F.asc("k")], {"c": "wt"})
+    assigned = cum.crossJoin(F.broadcast(tot)).select(
+        "k",
+        "wt",
+        "total",
+        F.least(
+            F.lit(_RPP_K),
+            (
+                1
+                + F.expr(f"((c - 1) * {_RPP_K}) div total").cast("int")
+            ),
+        ).alias("pid"),
+    )
+    return (
+        assigned.groupBy("pid", "total")
+        .agg(
+            F.min("k").cast("long").alias("lo_key"),
+            F.max("k").cast("long").alias("hi_key"),
+            F.count(F.lit(1)).cast("long").alias("n_keys"),
+            F.sum("wt").cast("long").alias("weight"),
+        )
+        .select(
+            "pid",
+            "lo_key",
+            "hi_key",
+            "n_keys",
+            "weight",
+            (
+                F.expr(f"(1000000 * weight * {_RPP_K}) div total")
+                - F.lit(1_000_000)
+            ).cast("long").alias("dev_ppm"),
+        )
+        .orderBy("pid")
+    )

@@ -1060,3 +1060,20 @@ def test_q363_budget_cut_rides_range_partitioning(spark, sf_dir):
     assert "CartesianProduct" not in plan
     offenders = _unpartitioned_windows(optimized_of(df))
     assert not offenders, offenders
+
+
+def test_q376_planner_is_exact_and_contiguous(spark, sf_dir):
+    """Range-partition planner invariants: partitions cover the key
+    space contiguously (hi_key < next lo_key), weights sum to the
+    total row count, and the cumulative rides the range exchange (no
+    global window)."""
+    df = REGISTRY["q376_range_partition_planner"].fn(spark, sf_dir)
+    plan = plan_of(df)
+    assert "Exchange rangepartitioning" in plan
+    offenders = _unpartitioned_windows(optimized_of(df))
+    assert not offenders, offenders
+    rows = df.collect()
+    total = load_tables(spark, sf_dir)["lineitem"].count()
+    assert sum(r["weight"] for r in rows) == total
+    for a, b in zip(rows, rows[1:]):
+        assert a["hi_key"] < b["lo_key"]
