@@ -263,6 +263,7 @@ _VERIFY_FIRST = [
     "q374_empirical_bayes_shrinkage",
     "q375_fleiss_kappa_agreement",
     "q376_range_partition_planner",
+    "q377_team_draft_interleave",
 ]
 
 

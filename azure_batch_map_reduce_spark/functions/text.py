@@ -4003,3 +4003,178 @@ def q369_postings_delta_varint_size(spark: SparkSession, sf_dir: str) -> DataFra
         .orderBy(F.desc("df"), F.asc("term"))
         .limit(_VARINT_TOP)
     )
+
+
+def _tdi_oracle() -> str:
+    """Team-draft interleave oracle: the two ranker subqueries are the
+    REGISTERED q107/q360 oracles verbatim (nested-WITH subqueries), so
+    the composition inherits their verified semantics; the draft fold
+    encodes (doc, team) pairs in one flat BIGINT list (same-type
+    accumulator, the q267 rule)."""
+    from azure_batch_map_reduce_spark.registry import REGISTRY
+
+    bm = REGISTRY["q107_bm25_retrieval"].oracle
+    ql = REGISTRY["q360_query_likelihood_dirichlet"].oracle
+    picked = "list_transform(range(1, len(acc) // 2 + 1), i -> acc[2 * i - 1])"
+    cand = lambda side: (  # noqa: E731
+        f"list_filter({side}, e -> NOT list_contains({picked}, e))[1]"
+    )
+    step = f"""
+        CASE
+          WHEN (len(acc) // 2) % 2 = 0 THEN
+            CASE WHEN {cand('a')} IS NOT NULL
+                 THEN list_append(list_append(acc, {cand('a')}), 0)
+                 WHEN {cand('b')} IS NOT NULL
+                 THEN list_append(list_append(acc, {cand('b')}), 1)
+                 ELSE acc END
+          ELSE
+            CASE WHEN {cand('b')} IS NOT NULL
+                 THEN list_append(list_append(acc, {cand('b')}), 1)
+                 WHEN {cand('a')} IS NOT NULL
+                 THEN list_append(list_append(acc, {cand('a')}), 0)
+                 ELSE acc END
+        END"""
+    return f"""
+    WITH aq AS (SELECT * FROM ({bm})),
+    bq AS (SELECT * FROM ({ql})),
+    arrs AS (
+        SELECT (SELECT list(doc_id ORDER BY bm25 DESC, doc_id) FROM aq) AS a,
+               (SELECT list(doc_id ORDER BY ql_score DESC, doc_id) FROM bq)
+                   AS b
+    ),
+    folded AS (
+        SELECT list_reduce(
+            list_prepend(CAST([] AS BIGINT[]),
+                         list_transform(range(20), z -> CAST([0] AS BIGINT[]))),
+            (acc, x) -> {step}) AS acc
+        FROM arrs
+    )
+    SELECT CAST(i AS INTEGER) AS position,
+           acc[2 * i - 1] AS doc_id,
+           CAST(acc[2 * i] AS INTEGER) AS team
+    FROM folded, unnest(range(1, len(acc) // 2 + 1)) t(i)
+    ORDER BY position
+    """
+
+
+@query(
+    "q377_team_draft_interleave",
+    oracle=_tdi_oracle(),
+    tags=("retrieval", "evaluation", "interleaving", "ir"),
+)
+def q377_team_draft_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Team-draft interleaving of two rankers (Radlinski et al.) —
+    BM25 (q107) vs Dirichlet query likelihood (q360) for the shared
+    query: teams alternate picks (A first, deterministically — the
+    production coin flip is per-impression), each taking its
+    highest-ranked not-yet-picked document, falling back to the other
+    list when exhausted. The interleaved list is what an online
+    ranker comparison SERVES; clicks on team-A vs team-B documents
+    then decide the winner with per-impression sensitivity no offline
+    metric (q293's nDCG) matches. Composes two verified operators —
+    the oracle embeds their REGISTERED oracle texts as subqueries.
+
+    Determinism: both input rankings order by (rounded score desc,
+    doc_id); the draft is a 20-step fold over a flat [doc, team, ...]
+    BIGINT accumulator (same-type list, the q267 rule) with identical
+    pick logic on both engines — pure integer list operations.
+
+    Scale posture: the ranker subplans keep their own posture (two
+    corpus scans + TakeOrdered each); the draft folds over two
+    10-element arrays on a 1-row frame. Reference contract: the two
+    rankers are map-slot programs; the interleave is the reduce slot
+    (``App.config:16-17``)."""
+    from azure_batch_map_reduce_spark.registry import REGISTRY
+
+    a_df = REGISTRY["q107_bm25_retrieval"].fn(spark, sf_dir)
+    b_df = REGISTRY["q360_query_likelihood_dirichlet"].fn(spark, sf_dir)
+
+    def ordered_ids(df, score):
+        return df.agg(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            (F.lit(0.0) - F.col(score)).alias("k"),
+                            F.col("doc_id").alias("d"),
+                        )
+                    )
+                ),
+                lambda s: s.getField("d"),
+            ).alias("ids")
+        )
+
+    arrs = (
+        ordered_ids(a_df, "bm25")
+        .select(F.col("ids").alias("a"))
+        .crossJoin(
+            F.broadcast(
+                ordered_ids(b_df, "ql_score").select(F.col("ids").alias("b"))
+            )
+        )
+    )
+
+    def picked(acc):
+        # guard: on the empty accumulator sequence(1, 0) is a
+        # DESCENDING [1, 0] (SKILL trap) and element_at(acc, 1) throws
+        return F.when(
+            F.size(acc) >= 2,
+            F.transform(
+                F.sequence(F.lit(1), (F.size(acc) / 2).cast("integer")),
+                lambda i: F.element_at(acc, (2 * i - 1).cast("integer")),
+            ),
+        ).otherwise(F.array().cast("array<long>"))
+
+    def cand(side, acc):
+        # try_element_at: the filtered list is EMPTY when the side is
+        # exhausted (plain element_at throws on index 1 of []).
+        return F.try_element_at(
+            F.filter(
+                F.col(side),
+                lambda e: ~F.array_contains(picked(acc), e),
+            ),
+            F.lit(1),
+        )
+
+    def take(acc, first, second, t_first, t_second):
+        c1, c2 = cand(first, acc), cand(second, acc)
+        return (
+            F.when(
+                c1.isNotNull(),
+                F.concat(acc, F.array(c1, F.lit(t_first).cast("long"))),
+            )
+            .when(
+                c2.isNotNull(),
+                F.concat(acc, F.array(c2, F.lit(t_second).cast("long"))),
+            )
+            .otherwise(acc)
+        )
+
+    fold = F.aggregate(
+        F.sequence(F.lit(1), F.lit(20)),
+        F.array().cast("array<long>"),
+        lambda acc, _: F.when(
+            ((F.size(acc) / 2).cast("int") % 2) == 0,
+            take(acc, "a", "b", 0, 1),
+        ).otherwise(take(acc, "b", "a", 1, 0)),
+    )
+    folded = arrs.select(fold.alias("acc"))
+    return (
+        folded.select(
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(1), (F.size("acc") / 2).cast("integer")),
+                    lambda i: F.struct(
+                        F.element_at(F.col("acc"), (2 * i - 1).cast("integer")).alias("d"),
+                        F.element_at(F.col("acc"), (2 * i).cast("integer")).alias("t"),
+                    ),
+                )
+            ).alias("pos0", "p")
+        )
+        .select(
+            (F.col("pos0") + 1).cast("int").alias("position"),
+            F.col("p.d").alias("doc_id"),
+            F.col("p.t").cast("int").alias("team"),
+        )
+        .orderBy("position")
+    )

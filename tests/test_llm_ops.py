@@ -533,3 +533,21 @@ def test_q369_varint_sizing_bounds(spark, sf_dir):
         assert r["df"] <= r["delta_bytes"] <= 4 * r["df"]
         assert r["raw_bytes"] == 8 * r["df"]
         assert 0 <= r["savings_ppm"] < 1_000_000
+
+
+def test_q377_interleave_is_a_valid_team_draft(spark, sf_dir):
+    """Team-draft invariants: no document repeats, both teams pick,
+    and each team's picks preserve its own ranking order."""
+    rows = REGISTRY["q377_team_draft_interleave"].fn(
+        spark, sf_dir
+    ).orderBy("position").collect()
+    docs = [r["doc_id"] for r in rows]
+    assert len(docs) == len(set(docs))
+    teams = {r["team"] for r in rows}
+    assert teams == {0, 1}
+    a_rank = [
+        r["doc_id"]
+        for r in REGISTRY["q107_bm25_retrieval"].fn(spark, sf_dir).collect()
+    ]
+    a_picks = [r["doc_id"] for r in rows if r["team"] == 0 and r["doc_id"] in a_rank]
+    assert a_picks == [d for d in a_rank if d in a_picks]
