@@ -264,6 +264,7 @@ _VERIFY_FIRST = [
     "q375_fleiss_kappa_agreement",
     "q376_range_partition_planner",
     "q377_team_draft_interleave",
+    "q378_als_user_factor_step",
 ]
 
 

@@ -3452,3 +3452,160 @@ def q343_linear_model_gd_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("item", "idx", round_nz(F.col("raw"), 6).alias("value"))
         .orderBy("item", "idx")
     )
+
+
+# Deterministic k=2 item factors from md5 channel hashes (baked as
+# literals into BOTH engines, the _JL_M discipline).
+def _als_item_factors() -> list[tuple[str, float, float]]:
+    import hashlib
+
+    out = []
+    for t in ("click", "error", "purchase", "signup", "view"):
+        h = hashlib.md5(f"als|{t}".encode()).digest()
+        out.append(
+            (t, round(h[0] / 255 * 2 - 1, 4), round(h[1] / 255 * 2 - 1, 4))
+        )
+    return out
+
+
+_ALS_F = _als_item_factors()
+_ALS_LAMBDA = 0.1
+_ALS_TOP = 20
+
+
+@query(
+    "q378_als_user_factor_step",
+    oracle=f"""
+    WITH r AS (
+        SELECT user_id, event_type,
+               round(avg(value), 4) AS rui
+        FROM events GROUP BY user_id, event_type
+    ),
+    fac AS (
+        SELECT * FROM (VALUES
+            {", ".join(f"('{t}', {f1}, {f2})" for t, f1, f2 in _ALS_F)}
+        ) t(event_type, f1, f2)
+    ),
+    joined AS (
+        SELECT r.user_id, r.event_type, r.rui, fac.f1, fac.f2
+        FROM r JOIN fac ON r.event_type = fac.event_type
+    ),
+    folded AS (
+        SELECT user_id, count(*) AS n_items,
+               list_reduce(
+                   list_prepend([CAST(0.0 AS DOUBLE), 0.0, 0.0, 0.0, 0.0],
+                       list(
+                           [f1 * f1, f1 * f2, f2 * f2, rui * f1, rui * f2]
+                           ORDER BY event_type)),
+                   (acc, x) -> [acc[1] + x[1], acc[2] + x[2], acc[3] + x[3],
+                                acc[4] + x[4], acc[5] + x[5]]) AS m
+        FROM joined GROUP BY user_id
+    ),
+    solved AS (
+        SELECT user_id, n_items,
+               m[1] + {_ALS_LAMBDA} AS a11, m[2] AS a12,
+               m[3] + {_ALS_LAMBDA} AS a22, m[4] AS b1, m[5] AS b2
+        FROM folded
+    ),
+    u AS (
+        SELECT user_id, n_items,
+               (a22 * b1 - a12 * b2) / (a11 * a22 - a12 * a12) AS u1,
+               (a11 * b2 - a12 * b1) / (a11 * a22 - a12 * a12) AS u2
+        FROM solved
+    )
+    SELECT user_id,
+           CAST(n_items AS BIGINT) AS n_items,
+           round(u1, 6) + 0.0 AS u1,
+           round(u2, 6) + 0.0 AS u2,
+           round(u1 * {_ALS_F[2][1]} + u2 * {_ALS_F[2][2]}, 6) + 0.0
+               AS pred_purchase
+    FROM u
+    ORDER BY round(u1 * {_ALS_F[2][1]} + u2 * {_ALS_F[2][2]}, 6) DESC, user_id
+    LIMIT {_ALS_TOP}
+    """,
+    tags=("recsys", "als", "matrix-factorization", "closed-form"),
+)
+def q378_als_user_factor_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One exact ALS half-step (k = 2, λ = 0.1): with item factors
+    fixed (deterministic md5-derived literals, the q327 matrix
+    discipline), each user's factor solves the ridge normal equations
+    (Σfᵢfᵢᵀ + λI)u = Σrᵤᵢfᵢ in CLOSED FORM via the 2×2 inverse — the
+    alternating-least-squares building block behind collaborative
+    filtering (q212's item-CF neighbor twin), distributed exactly as
+    production ALS is: per-user independent small solves after a
+    ratings rollup. Emits the top-20 users by predicted affinity for
+    the 'purchase' item.
+
+    Determinism: ratings round at 4 BEFORE the solve (avg ulps); the
+    5-element moment vector folds in event_type order as a same-type
+    DOUBLE-list accumulator (the q267 rule) so every solve sees
+    bit-identical moments; the 2×2 inverse is fixed-order arithmetic;
+    the ranking uses the ROUNDED prediction with a user_id tie-break.
+
+    Scale posture: one (user, item) rollup (partial+final), a 5-row
+    broadcast factor join, then a per-user bounded fold and pure
+    map-side algebra — no iteration, no driver participation;
+    TakeOrdered(20). A full ALS sweep is this same plan alternating
+    sides. Reference contract: rating aggregation = map slot
+    (``App.config:16``); per-user solve = reduce slot
+    (``App.config:17``)."""
+    ev = load_tables(spark, sf_dir)["events"]
+    r = ev.groupBy("user_id", "event_type").agg(
+        F.round(F.avg("value"), 4).alias("rui")
+    )
+    fac = spark.createDataFrame(
+        _ALS_F, "event_type string, f1 double, f2 double"
+    )
+    joined = r.join(F.broadcast(fac), "event_type")
+    folded = joined.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.aggregate(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            "event_type",
+                            F.array(
+                                F.col("f1") * F.col("f1"),
+                                F.col("f1") * F.col("f2"),
+                                F.col("f2") * F.col("f2"),
+                                F.col("rui") * F.col("f1"),
+                                F.col("rui") * F.col("f2"),
+                            ).alias("v"),
+                        )
+                    )
+                ),
+                lambda s: s.getField("v"),
+            ),
+            F.array(*(F.lit(0.0) for _ in range(5))),
+            lambda acc, x: F.array(
+                *(
+                    F.element_at(acc, i) + F.element_at(x, i)
+                    for i in range(1, 6)
+                )
+            ),
+        ).alias("m"),
+    )
+    a11 = F.element_at("m", 1) + _ALS_LAMBDA
+    a12 = F.element_at("m", 2)
+    a22 = F.element_at("m", 3) + _ALS_LAMBDA
+    b1 = F.element_at("m", 4)
+    b2 = F.element_at("m", 5)
+    det = a11 * a22 - a12 * a12
+    u1 = (a22 * b1 - a12 * b2) / det
+    u2 = (a11 * b2 - a12 * b1) / det
+    from azure_batch_map_reduce_spark.operators.ranks import round_nz as _rnz
+
+    pf1, pf2 = _ALS_F[2][1], _ALS_F[2][2]
+    pred = _rnz(u1 * pf1 + u2 * pf2, 6)
+    return (
+        folded.select(
+            "user_id",
+            F.col("n_items").cast("long").alias("n_items"),
+            _rnz(u1, 6).alias("u1"),
+            _rnz(u2, 6).alias("u2"),
+            pred.alias("pred_purchase"),
+        )
+        .orderBy(F.desc("pred_purchase"), F.asc("user_id"))
+        .limit(_ALS_TOP)
+    )

@@ -551,3 +551,46 @@ def test_q377_interleave_is_a_valid_team_draft(spark, sf_dir):
     ]
     a_picks = [r["doc_id"] for r in rows if r["team"] == 0 and r["doc_id"] in a_rank]
     assert a_picks == [d for d in a_rank if d in a_picks]
+
+
+def test_q378_als_solve_satisfies_normal_equations(spark, sf_dir):
+    """ALS invariant: for each emitted user, recompute the moments
+    independently (pandas) and check (A u - b) ~ 0 — the closed-form
+    solve actually solves its system."""
+    import hashlib
+
+    from azure_batch_map_reduce_spark.catalog import load_tables
+    from azure_batch_map_reduce_spark.functions.similarity import (
+        _ALS_LAMBDA,
+    )
+
+    from pyspark.sql import functions as F
+
+    fac = {}
+    for t in ("click", "error", "purchase", "signup", "view"):
+        h = hashlib.md5(f"als|{t}".encode()).digest()
+        fac[t] = (round(h[0] / 255 * 2 - 1, 4), round(h[1] / 255 * 2 - 1, 4))
+    rows = REGISTRY["q378_als_user_factor_step"].fn(spark, sf_dir).collect()
+    ev = load_tables(spark, sf_dir)["events"]
+    ratings = {
+        (r["user_id"], r["event_type"]): r["rui"]
+        for r in ev.groupBy("user_id", "event_type")
+        .agg(F.round(F.avg("value"), 4).alias("rui"))
+        .collect()
+    }
+    for row in rows[:5]:
+        a11 = a12 = a22 = b1 = b2 = 0.0
+        for t, (f1, f2) in fac.items():
+            rui = ratings.get((row["user_id"], t))
+            if rui is None:
+                continue
+            a11 += f1 * f1
+            a12 += f1 * f2
+            a22 += f2 * f2
+            b1 += rui * f1
+            b2 += rui * f2
+        a11 += _ALS_LAMBDA
+        a22 += _ALS_LAMBDA
+        r1 = a11 * row["u1"] + a12 * row["u2"] - b1
+        r2 = a12 * row["u1"] + a22 * row["u2"] - b2
+        assert abs(r1) < 1e-4 and abs(r2) < 1e-4, (row, r1, r2)
