@@ -265,6 +265,8 @@ _VERIFY_FIRST = [
     "q376_range_partition_planner",
     "q377_team_draft_interleave",
     "q378_als_user_factor_step",
+    "q379_oneway_anova",
+    "q380_gini_concentration",
 ]
 
 

@@ -6430,3 +6430,160 @@ def q375_fleiss_kappa_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(pe, 6).alias("p_expected"),
         round_nz((pbar - pe) / (1 - pe), 6).alias("fleiss_kappa"),
     )
+
+
+# F(4, inf) 95% critical value (literal, the q339/q372 discipline).
+_ANOVA_F_CRIT = 2.372
+
+
+@query(
+    "q379_oneway_anova",
+    oracle=f"""
+    WITH g AS (
+        SELECT event_type, count(*) AS n, sum(value) AS s,
+               sum(value * value) AS ss
+        FROM events GROUP BY event_type
+    ),
+    tot AS (
+        SELECT sum(n) AS nn, sum(s) AS st, count(*) AS k FROM g
+    ),
+    parts AS (
+        SELECT tot.k, tot.nn,
+               sum(g.n * pow(g.s / g.n - tot.st / tot.nn, 2)) AS ssb,
+               sum(g.ss - g.n * pow(g.s / g.n, 2)) AS ssw
+        FROM g CROSS JOIN tot GROUP BY tot.k, tot.nn
+    )
+    SELECT CAST(k AS INTEGER) AS n_groups,
+           CAST(nn AS BIGINT) AS n_obs,
+           round(ssb, 4) AS ss_between,
+           round(ssw, 4) AS ss_within,
+           round((ssb / (k - 1)) / (ssw / (nn - k)), 6) AS f_stat,
+           round((ssb / (k - 1)) / (ssw / (nn - k)), 6) > {_ANOVA_F_CRIT}
+               AS reject_equal_means
+    FROM parts
+    """,
+    tags=("stats", "anova", "experimentation", "hypothesis-test"),
+)
+def q379_oneway_anova(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA: do mean event values differ across event types?
+    Between/within sum-of-squares decomposition and the F statistic
+    against the literal F(k−1, ∞) 95% critical value — the k-group
+    generalization of q344's Welch t (which only compares two), and
+    the gate before any per-group mean comparison is read as signal.
+
+    Determinism: the decomposition needs only per-group (n, Σx, Σx²)
+    — three partial+final sums whose order ulps wash out at the 4/6dp
+    rounds; the reject flag compares the ROUNDED F (the q353 rule).
+
+    Scale posture: one |groups|-grain aggregate, a 1-row total, and
+    |groups| rows of arithmetic — the textbook two-pass-free ANOVA
+    (Σx² identity instead of residual passes). Reference contract:
+    group moments = map slot (``App.config:16``); decomposition =
+    reduce slot (``App.config:17``)."""
+    ev = load_tables(spark, sf_dir)["events"]
+    g = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("value").alias("s"),
+        F.sum(F.col("value") * F.col("value")).alias("ss"),
+    )
+    tot = g.agg(
+        F.sum("n").alias("nn"),
+        F.sum("s").alias("st"),
+        F.count(F.lit(1)).alias("k"),
+    )
+    parts = (
+        g.crossJoin(F.broadcast(tot))
+        .groupBy("k", "nn")
+        .agg(
+            F.sum(
+                F.col("n")
+                * F.pow(
+                    F.col("s") / F.col("n") - F.col("st") / F.col("nn"), 2
+                )
+            ).alias("ssb"),
+            F.sum(
+                F.col("ss") - F.col("n") * F.pow(F.col("s") / F.col("n"), 2)
+            ).alias("ssw"),
+        )
+    )
+    f_stat = F.round(
+        (F.col("ssb") / (F.col("k") - 1))
+        / (F.col("ssw") / (F.col("nn") - F.col("k"))),
+        6,
+    )
+    return parts.select(
+        F.col("k").cast("int").alias("n_groups"),
+        F.col("nn").cast("long").alias("n_obs"),
+        F.round("ssb", 4).alias("ss_between"),
+        F.round("ssw", 4).alias("ss_within"),
+        f_stat.alias("f_stat"),
+        (f_stat > _ANOVA_F_CRIT).alias("reject_equal_means"),
+    )
+
+
+@query(
+    "q380_gini_concentration",
+    oracle="""
+    WITH pc AS (
+        SELECT o_custkey,
+               sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
+        FROM orders GROUP BY o_custkey
+    ),
+    ranked AS (
+        SELECT cents,
+               row_number() OVER (ORDER BY cents, o_custkey) AS i
+        FROM pc
+    ),
+    agg AS (
+        SELECT count(*) AS n, sum(cents) AS tot,
+               sum(i * cents) AS iw
+        FROM ranked
+    )
+    SELECT CAST(n AS BIGINT) AS n_customers,
+           CAST(tot AS BIGINT) AS total_cents,
+           round(2.0 * iw / (n * CAST(tot AS DOUBLE))
+                 - (n + 1.0) / n, 6) + 0.0 AS gini
+    FROM agg
+    """,
+    tags=("stats", "gini", "concentration", "inequality"),
+)
+def q380_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of customer revenue concentration:
+    G = 2·Σ i·x₍ᵢ₎ / (n·Σx) − (n+1)/n over the rank-ordered per-
+    customer totals — the single-number inequality measure that
+    complements q153's Pareto coverage (top-x% share) and q105's
+    skew profile; the same statistic applied to per-source token
+    counts is the corpus-balance number a dataset card (q321) quotes.
+
+    Determinism: money is integer cents summed as longs; the rank
+    rides the window-free distributed row_number with a custkey
+    tie-break; Σi·x is an exact integer sum (< 2^63 through sf100);
+    the final expression is two divisions rounded with signed-zero
+    normalization (perfect equality gives a −0.0-prone epsilon).
+
+    Scale posture: one custkey-grain rollup, the sample-sort rank
+    (range shuffle + broadcast offsets — never a global window), one
+    1-row moment aggregate. Reference contract: per-customer totals
+    = map slot (``App.config:16``); rank + Gini consolidation =
+    reduce slot (``App.config:17``)."""
+    o = load_tables(spark, sf_dir)["orders"]
+    pc = o.groupBy("o_custkey").agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("cents")
+    )
+    ranked = distributed_row_number(
+        pc, [F.asc("cents"), F.asc("o_custkey")], out="i"
+    )
+    agg = ranked.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("cents").alias("tot"),
+        F.sum(F.col("i") * F.col("cents")).alias("iw"),
+    )
+    return agg.select(
+        F.col("n").cast("long").alias("n_customers"),
+        F.col("tot").cast("long").alias("total_cents"),
+        round_nz(
+            2.0 * F.col("iw") / (F.col("n") * F.col("tot").cast("double"))
+            - (F.col("n") + 1.0) / F.col("n"),
+            6,
+        ).alias("gini"),
+    )
