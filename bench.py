@@ -121,6 +121,10 @@ HEADLINE = [
     "q360_query_likelihood_dirichlet",
     "q361_incremental_aggregate_maintenance",
     "q362_merkle_antientropy_repair",
+    # Round-4b: banded-pair leakage audit (the heaviest new shape) and
+    # the journey-chain attribution fold.
+    "q371_split_leakage_audit",
+    "q373_markov_removal_attribution",
 ]
 
 
