@@ -3857,125 +3857,117 @@ def q373_markov_removal_attribution(spark: SparkSession, sf_dir: str) -> DataFra
     (``App.config:16``); chain evaluation = reduce slot
     (``App.config:17``)."""
     ev = load_tables(spark, sf_dir)["events"]
-    wu = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    ordered = ev.select(
-        "user_id", "event_type", F.row_number().over(wu).alias("rn")
+    # Journey extraction in ONE shuffle (the q130 session-path shape):
+    # per-user sorted event arrays, trimmed at the first purchase, with
+    # START/terminal edges built by array math — a window-cascade
+    # formulation (row_number + lag + max windows) cost 3x this on the
+    # same corpus (three user-grain passes vs one).
+    # Project narrow THEN fan out: the single-row-group fixture scan
+    # yields ONE partition, so the collect_list partial agg would run
+    # single-threaded (3 s for 0.2 s of scan) — rebalance_for_cpu is
+    # the documented fix for exactly this shape.
+    from azure_batch_map_reduce_spark.catalog import rebalance_for_cpu
+
+    per_user = rebalance_for_cpu(
+        ev.select("user_id", "ts", "event_id", "event_type")
+    ).groupBy("user_id").agg(
+        F.transform(
+            F.array_sort(
+                F.collect_list(F.struct("ts", "event_id", "event_type"))
+            ),
+            lambda s: s.getField("event_type"),
+        ).alias("types")
     )
-    firstbuy = (
-        ordered.where(F.col("event_type") == "purchase")
-        .groupBy("user_id")
-        .agg(F.min("rn").alias("buy_rn"))
+    pos = F.array_position(F.col("types"), "purchase")
+    kept_arr = F.when(
+        pos > 0, F.slice(F.col("types"), 1, pos.cast("int"))
+    ).otherwise(F.col("types"))
+    journeys = per_user.select(kept_arr.alias("k"))
+    f_list = F.concat(
+        F.array(F.lit("START")),
+        F.when(
+            F.size("k") >= 2, F.slice(F.col("k"), 1, F.size("k") - 1)
+        ).otherwise(F.array().cast("array<string>")),
     )
-    kept = ordered.join(firstbuy, "user_id", "left").where(
-        F.col("buy_rn").isNull() | (F.col("rn") <= F.col("buy_rn"))
+    pair_arr = F.zip_with(
+        f_list,
+        F.col("k"),
+        lambda f, t: F.struct(f.alias("f"), t.alias("t")),
     )
-    wk = Window.partitionBy("user_id").orderBy("rn")
-    trans = kept.select(
-        F.coalesce(F.lag("event_type").over(wk), F.lit("START")).alias("f"),
-        F.col("event_type").alias("t"),
-    )
-    last = kept.withColumn(
-        "mr", F.max("rn").over(Window.partitionBy("user_id"))
-    ).where((F.col("rn") == F.col("mr")) & (F.col("event_type") != "purchase"))
-    trans = trans.unionAll(
-        last.select(F.col("event_type").alias("f"), F.lit("NULL").alias("t"))
+    with_terminal = F.when(
+        F.element_at(F.col("k"), -1) != "purchase",
+        F.concat(
+            pair_arr,
+            F.array(
+                F.struct(
+                    F.element_at(F.col("k"), -1).alias("f"),
+                    F.lit("NULL").alias("t"),
+                )
+            ),
+        ),
+    ).otherwise(pair_arr)
+    trans = journeys.select(F.explode(with_terminal).alias("p")).select(
+        "p.f", "p.t"
     )
     cnt = trans.groupBy("f", "t").agg(F.count(F.lit(1)).alias("c"))
-    tot = cnt.groupBy("f").agg(F.sum("c").alias("n"))
-    fi = spark.createDataFrame(
-        [("START", 0)] + [(ch, i + 1) for i, ch in enumerate(_MRK_CH)],
-        "f string, fi int",
-    )
-    ti = spark.createDataFrame(
-        [(ch, i) for i, ch in enumerate(_MRK_CH)] + [("purchase", 4)],
-        "t string, ti int",
-    )
-    cells = (
-        # both literal frames inherit defaultParallelism partitions; an
-        # unhinted crossJoin would schedule 32x32 = 1024 tasks for 25
-        # rows — broadcast one side (5 literal rows, genuinely bounded)
-        fi.coalesce(1)
-        .crossJoin(F.broadcast(ti))
-        .join(F.broadcast(cnt), ["f", "t"], "left")
-        .join(F.broadcast(tot), "f", "left")
-        .select(
-            (F.col("fi") * 5 + F.col("ti")).alias("idx"),
-            F.coalesce(
-                F.col("c") / F.col("n").cast("double"), F.lit(0.0)
-            ).alias("p"),
-        )
-    )
-    mat = cells.agg(
-        F.transform(
-            F.array_sort(F.collect_list(F.struct("idx", "p"))),
-            lambda s: s.getField("p"),
-        ).alias("m")
-    )
+    # The transition table is BOUNDED state (<= 5x6 rows): collect it
+    # ONCE (the q343 parameter-server precedent) and finish the matrix
+    # + variant construction in plain Python. The DataFrame
+    # formulation of this tail (literal grid + two broadcast joins +
+    # a checkpointed 1-row matrix feeding five variant branches)
+    # re-executed the corpus-grain journey pipeline once per broadcast
+    # subtree and per materialization job — 32.7 s at sf0.1; this
+    # shape pays for it exactly once (~1 s).
+    counts = {(r["f"], r["t"]): r["c"] for r in cnt.collect()}
+    totals = {}
+    for (f, _), c in counts.items():
+        totals[f] = totals.get(f, 0) + c
+    from_states = ["START"] + list(_MRK_CH)
+    to_states = list(_MRK_CH) + ["purchase"]
+    m = [
+        (counts.get((f, t), 0) / totals[f]) if totals.get(f) else 0.0
+        for f in from_states
+        for t in to_states
+    ]
+    def chain_p_conv(mv):
+        # identical arithmetic order to the oracle's list_reduce fold:
+        # seed [1,0,0,0,0,0], each step sums f = 0..4 left-to-right
+        # (Python float IS binary64; += associativity matches the
+        # prepended-zero folds, so values are bit-identical)
+        acc = [1.0, 0.0, 0.0, 0.0, 0.0, 0.0]
+        for _ in range(_MRK_K):
+            nxt = [0.0]
+            for t in range(5):
+                sacc = 0.0
+                for f in range(5):
+                    sacc = sacc + acc[f] * mv[f * 5 + t]
+                nxt.append(sacc)
+            nxt[5] = acc[5] + nxt[5]
+            acc = [0.0, nxt[1], nxt[2], nxt[3], nxt[4], nxt[5]]
+        return acc[5]
 
-    def zeroed(c):
-        return F.transform(
-            F.sequence(F.lit(1), F.lit(25)),
-            lambda i: F.when((i - 1) % 5 == c, F.lit(0.0)).otherwise(
-                F.element_at(F.col("m"), i.cast("integer"))
-            ),
-        )
-
-    variants = mat.select(
-        F.lit("full").alias("variant"), F.col("m").alias("mv")
-    )
+    p_full = chain_p_conv(m)
+    out_rows = []
     for c, name in enumerate(_MRK_CH):
-        variants = variants.unionAll(
-            mat.select(F.lit(name).alias("variant"), zeroed(c).alias("mv"))
-        )
+        mv = [0.0 if i % 5 == c else v for i, v in enumerate(m)]
+        p_rm = chain_p_conv(mv)
+        out_rows.append((name, p_full, p_rm, 1.0 - p_rm / p_full))
+    sre = 0.0
+    for _, _, _, re_ in out_rows:
+        sre = sre + re_
+    from azure_batch_map_reduce_spark.operators.ranks import round_nz
 
-    def vmul(acc, t):
-        return F.aggregate(
-            F.sequence(F.lit(0), F.lit(4)),
-            F.lit(0.0),
-            lambda a, f: a
-            + F.element_at(acc, (f + 1).cast("integer"))
-            * F.element_at(F.col("mv"), (f * 5 + t + 1).cast("integer")),
-        )
-
-    fold = F.aggregate(
-        F.sequence(F.lit(1), F.lit(_MRK_K)),
-        F.array(
-            F.lit(1.0), F.lit(0.0), F.lit(0.0), F.lit(0.0), F.lit(0.0), F.lit(0.0)
-        ),
-        lambda acc, _: F.array(
-            F.lit(0.0),
-            vmul(acc, 0),
-            vmul(acc, 1),
-            vmul(acc, 2),
-            vmul(acc, 3),
-            F.element_at(acc, 6) + vmul(acc, 4),
-        ),
-    )
-    conv = variants.select(
-        "variant", F.element_at(fold, 6).alias("p_conv")
-    )
-    full_p = conv.where(F.col("variant") == "full").select(
-        F.col("p_conv").alias("pf")
-    )
-    rem = (
-        conv.where(F.col("variant") != "full")
-        .crossJoin(F.broadcast(full_p))
-        .select(
-            F.col("variant").alias("channel"),
-            F.col("pf").alias("p_conv_full"),
-            "p_conv",
-            (F.lit(1.0) - F.col("p_conv") / F.col("pf")).alias("re"),
-        )
-    )
-    s = rem.agg(F.sum("re").alias("sre"))
     return (
-        rem.crossJoin(F.broadcast(s))
+        spark.createDataFrame(
+            out_rows,
+            "channel string, pf double, pr double, re double",
+        )
         .select(
             "channel",
-            F.round("p_conv_full", 6).alias("p_conv_full"),
-            F.round("p_conv", 6).alias("p_conv_removed"),
+            F.round("pf", 6).alias("p_conv_full"),
+            F.round("pr", 6).alias("p_conv_removed"),
             round_nz(F.col("re"), 6).alias("removal_effect"),
-            round_nz(F.col("re") / F.col("sre"), 6).alias("attribution_share"),
+            round_nz(F.col("re") / F.lit(sre), 6).alias("attribution_share"),
         )
         .orderBy("channel")
     )
