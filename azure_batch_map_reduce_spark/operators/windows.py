@@ -3842,17 +3842,22 @@ def q373_markov_removal_attribution(spark: SparkSession, sf_dir: str) -> DataFra
 
     Determinism: journeys trim at the first purchase under a total
     (ts, event_id) order; transition probabilities are exact-count
-    divisions; the 5×5 matrix lives in ONE dense 25-slot array built
-    at fixed (from × to) index grain, and every power step folds its
-    products in identical slot order on both engines (prepended-seed
-    aggregate ≡ list_reduce with a same-type list accumulator — the
-    q267 lesson), so all five chain evaluations are bit-identical
-    before the 6dp rounds.
+    divisions over the collected ≤5×6 count table; the 5×5 matrix is
+    ONE dense 25-slot list, and every power step sums its products
+    driver-side in the EXACT order of the oracle's prepended-seed
+    list_reduce (Python float IS binary64; left-to-right += matches
+    the fold associativity), so all five chain evaluations are
+    bit-identical before the 6dp rounds.
 
-    Scale posture: the corpus is touched once (per-user windows,
-    data-partitioned) to build transition counts at ≤ 5×6 grain;
-    matrix assembly, the five 8-step folds, and the share rollup all
-    run on 1-to-5-row frames. At 100 TB only the journey scan grows.
+    Scale posture: the corpus is touched ONCE — a single
+    groupBy-sorted-array pass per user (the q130 session-path shape;
+    the window-cascade formulation cost 3×) down to the BOUNDED
+    ≤5×6 transition table, collected driver-side (the q343
+    parameter-server precedent); matrix assembly and the five 8-step
+    folds are then scalar math. The DataFrame formulation of that
+    bounded tail re-executed the corpus pipeline once per broadcast
+    subtree and materialization job (32.7 s vs 1.6 s at sf0.1).
+    At 100 TB only the journey pass grows.
     Reference contract: per-user journey extraction = map slot
     (``App.config:16``); chain evaluation = reduce slot
     (``App.config:17``)."""
