@@ -267,6 +267,8 @@ _VERIFY_FIRST = [
     "q378_als_user_factor_step",
     "q379_oneway_anova",
     "q380_gini_concentration",
+    "q381_heaps_law_fit",
+    "q382_count_overdispersion",
 ]
 
 

@@ -6587,3 +6587,73 @@ def q380_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("gini"),
     )
+
+
+@query(
+    "q382_count_overdispersion",
+    oracle="""
+    WITH per_user AS (
+        SELECT user_id, count(*) AS c FROM events GROUP BY user_id
+    ),
+    mom AS (
+        SELECT count(*) AS n, sum(c) AS s, sum(c * c) AS ss FROM per_user
+    ),
+    stats AS (
+        SELECT n,
+               s / CAST(n AS DOUBLE) AS m,
+               (ss - n * pow(s / CAST(n AS DOUBLE), 2)) / (n - 1) AS v
+        FROM mom
+    )
+    SELECT CAST(n AS BIGINT) AS n_users,
+           round(m, 4) AS mean_events,
+           round(v, 4) AS var_events,
+           round(v / m, 4) AS dispersion_index,
+           round(v / m, 4) > 1.0 AS overdispersed,
+           round(CASE WHEN v > m THEN m * m / (v - m) ELSE NULL END, 4)
+               AS nb_r,
+           round(CASE WHEN v > m THEN m / v ELSE NULL END, 4) AS nb_p
+    FROM stats
+    """,
+    tags=("stats", "count-model", "overdispersion", "negative-binomial"),
+)
+def q382_count_overdispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-model overdispersion check with negative-binomial
+    method-of-moments fit: per-user event counts should be Poisson
+    (variance = mean) under memoryless behavior; the dispersion index
+    v/m > 1 says they cluster (heavy users — the reality every usage
+    model must handle), and the NB parameters r = m²/(v−m),
+    p = m/v are the drop-in correction. The count-distribution gate
+    before any per-user rate modeling (q374's shrinkage prior
+    implicitly assumes this check was read).
+
+    Determinism: counts are exact; mean/variance come from the one-
+    pass Σ/Σ² identity (order ulps under the 4dp round); the
+    overdispersion flag compares the ROUNDED index; NB parameters are
+    null when v ≤ m (Poisson or under-dispersed — no NB fit exists),
+    identically on both engines.
+
+    Scale posture: one user-grain rollup and one 1-row moment
+    aggregate. Reference contract: per-user counting = map slot
+    (``App.config:16``); moments + fit = reduce slot
+    (``App.config:17``)."""
+    ev = load_tables(spark, sf_dir)["events"]
+    per_user = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("c"))
+    mom = per_user.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("c").alias("s"),
+        F.sum(F.col("c") * F.col("c")).alias("ss"),
+    )
+    m = F.col("s") / F.col("n").cast("double")
+    v = (F.col("ss") - F.col("n") * F.pow(m, 2)) / (F.col("n") - 1)
+    disp = F.round(v / m, 4)
+    return mom.select(
+        F.col("n").cast("long").alias("n_users"),
+        F.round(m, 4).alias("mean_events"),
+        F.round(v, 4).alias("var_events"),
+        disp.alias("dispersion_index"),
+        (disp > 1.0).alias("overdispersed"),
+        F.round(
+            F.when(v > m, m * m / (v - m)).otherwise(F.lit(None)), 4
+        ).alias("nb_r"),
+        F.round(F.when(v > m, m / v).otherwise(F.lit(None)), 4).alias("nb_p"),
+    )

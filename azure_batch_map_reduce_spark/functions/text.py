@@ -4178,3 +4178,134 @@ def q377_team_draft_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("position")
     )
+
+
+_HEAPS_CHECKPOINTS = (50, 100, 200, 300, 400, 500)
+
+
+@query(
+    "q381_heaps_law_fit",
+    oracle=f"""
+    WITH firsts AS (
+        SELECT tok, min(doc_id) AS first_doc
+        FROM (
+            SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok
+            FROM documents
+        )
+        GROUP BY tok
+    ),
+    toks_per_doc AS (
+        SELECT doc_id, len(string_split(lower(text), ' ')) AS nt
+        FROM documents
+    ),
+    cps AS (
+        SELECT unnest([{", ".join(str(c) for c in _HEAPS_CHECKPOINTS)}])
+            AS cp
+    ),
+    curve AS (
+        SELECT cp,
+               (SELECT sum(nt) FROM toks_per_doc WHERE doc_id < cp)
+                   AS n_tokens,
+               (SELECT count(*) FROM firsts WHERE first_doc < cp) AS vocab
+        FROM cps
+    ),
+    pts AS (
+        SELECT cp, n_tokens, vocab,
+               ln(CAST(n_tokens AS DOUBLE)) AS lx,
+               ln(CAST(vocab AS DOUBLE)) AS ly
+        FROM curve WHERE n_tokens > 0 AND vocab > 0
+    ),
+    fit AS (
+        SELECT count(*) AS k, sum(lx) AS sx, sum(ly) AS sy,
+               sum(lx * lx) AS sxx, sum(lx * ly) AS sxy
+        FROM pts
+    )
+    SELECT p.cp AS checkpoint_docs,
+           CAST(p.n_tokens AS BIGINT) AS n_tokens,
+           CAST(p.vocab AS BIGINT) AS vocab,
+           round((f.k * f.sxy - f.sx * f.sy)
+                 / (f.k * f.sxx - f.sx * f.sx), 4) AS heaps_beta,
+           round(exp((f.sy - (f.k * f.sxy - f.sx * f.sy)
+                             / (f.k * f.sxx - f.sx * f.sx) * f.sx) / f.k),
+                 4) AS heaps_k
+    FROM pts p CROSS JOIN fit f
+    ORDER BY p.cp
+    """,
+    tags=("text", "corpus-linguistics", "heaps-law", "vocabulary", "llm"),
+)
+def q381_heaps_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law fit of vocabulary growth: V(n) ≈ K·n^β estimated by
+    log-log least squares over the cumulative (tokens seen, distinct
+    vocabulary) curve at fixed document checkpoints — the growth
+    exponent that predicts how much NEW vocabulary (and thus tokenizer
+    pressure, q124/q202's concern) further crawling will bring; the
+    growth-side companion to q184's Zipf frequency slope.
+
+    Determinism: the curve is exact-integer (first-occurrence doc per
+    token via MIN, prefix sums by doc_id threshold); ln/exp are libm
+    on identical exact inputs with the OLS in one fixed-order
+    expression, rounded at 4 (the q138/q184 regression discipline).
+
+    Scale posture: one (token → min doc) partial+final aggregate, a
+    per-doc token-count rollup, and a ≤|checkpoints|-row curve join —
+    the corpus is never re-scanned per checkpoint (the threshold
+    comparisons run on the two tiny aggregates). Reference contract:
+    first-occurrence extraction = map slot (``App.config:16``); curve
+    + fit = reduce slot (``App.config:17``)."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.lower(F.col("text")), " ")).alias("tok")
+    )
+    firsts = toks.groupBy("tok").agg(F.min("doc_id").alias("first_doc"))
+    tpd = docs.select(
+        "doc_id", F.size(F.split(F.lower(F.col("text")), " ")).alias("nt")
+    )
+    cps = spark.createDataFrame(
+        [(c,) for c in _HEAPS_CHECKPOINTS], "cp int"
+    )
+    n_tok = (
+        tpd.crossJoin(F.broadcast(cps))
+        .where(F.col("doc_id") < F.col("cp"))
+        .groupBy("cp")
+        .agg(F.sum("nt").alias("n_tokens"))
+    )
+    vocab = (
+        firsts.crossJoin(F.broadcast(cps))
+        .where(F.col("first_doc") < F.col("cp"))
+        .groupBy("cp")
+        .agg(F.count(F.lit(1)).alias("vocab"))
+    )
+    pts = (
+        n_tok.join(vocab, "cp")
+        .where((F.col("n_tokens") > 0) & (F.col("vocab") > 0))
+        .select(
+            "cp",
+            "n_tokens",
+            "vocab",
+            F.log(F.col("n_tokens").cast("double")).alias("lx"),
+            F.log(F.col("vocab").cast("double")).alias("ly"),
+        )
+    )
+    fit = pts.agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("lx").alias("sx"),
+        F.sum("ly").alias("sy"),
+        F.sum(F.col("lx") * F.col("lx")).alias("sxx"),
+        F.sum(F.col("lx") * F.col("ly")).alias("sxy"),
+    )
+    beta = (F.col("k") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("k") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return (
+        pts.crossJoin(F.broadcast(fit))
+        .select(
+            F.col("cp").alias("checkpoint_docs"),
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            F.col("vocab").cast("long").alias("vocab"),
+            F.round(beta, 4).alias("heaps_beta"),
+            F.round(
+                F.exp((F.col("sy") - beta * F.col("sx")) / F.col("k")), 4
+            ).alias("heaps_k"),
+        )
+        .orderBy("checkpoint_docs")
+    )
