@@ -269,6 +269,8 @@ _VERIFY_FIRST = [
     "q380_gini_concentration",
     "q381_heaps_law_fit",
     "q382_count_overdispersion",
+    "q383_propensity_score_matching",
+    "q384_neardup_modularity",
 ]
 
 

@@ -6657,3 +6657,164 @@ def q382_count_overdispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("nb_r"),
         F.round(F.when(v > m, m / v).otherwise(F.lit(None)), 4).alias("nb_p"),
     )
+
+
+@query(
+    "q383_propensity_score_matching",
+    oracle="""
+    WITH base AS (
+        SELECT doc_id, lang,
+               len(string_split(text, ' ')) AS y,
+               round(1 / (1 + exp(-((n_chars - 500) / 200.0))), 6) AS s,
+               (('0x' || substr(md5('psm|' || CAST(doc_id AS VARCHAR)),
+                               1, 12))::BIGINT % 5 = 0) AS treated
+        FROM documents
+    ),
+    keyed AS (
+        SELECT *, CAST(round(s * 1000000) AS BIGINT) * 1000000 + doc_id
+                      AS key
+        FROM base
+    ),
+    t AS (SELECT * FROM keyed WHERE treated),
+    c AS (SELECT * FROM keyed WHERE NOT treated),
+    prevm AS (
+        SELECT t.doc_id, t.lang, t.s, t.y, c.s AS ps, c.y AS py
+        FROM t ASOF LEFT JOIN c ON t.lang = c.lang AND c.key <= t.key
+    ),
+    nextm AS (
+        SELECT t.doc_id, c.s AS ns, c.y AS ny
+        FROM t ASOF LEFT JOIN c ON t.lang = c.lang AND c.key >= t.key
+    ),
+    chosen AS (
+        SELECT p.lang, p.y,
+               CASE WHEN p.ps IS NULL THEN n.ny
+                    WHEN n.ns IS NULL THEN p.py
+                    WHEN round(p.s - p.ps, 6) <= round(n.ns - p.s, 6)
+                        THEN p.py
+                    ELSE n.ny END AS ym
+        FROM prevm p JOIN nextm n ON p.doc_id = n.doc_id
+    ),
+    ctl AS (
+        SELECT lang, avg(CAST(y AS DOUBLE)) AS cbar
+        FROM keyed WHERE NOT treated GROUP BY lang
+    )
+    SELECT ch.lang,
+           CAST(count(*) AS BIGINT) AS n_treated,
+           round(avg(CAST(ch.y AS DOUBLE)) - ctl.cbar, 4) + 0.0
+               AS naive_diff,
+           round(avg(CAST(ch.y - ch.ym AS DOUBLE)), 4) + 0.0
+               AS att_matched
+    FROM chosen ch JOIN ctl ON ch.lang = ctl.lang
+    GROUP BY ch.lang, ctl.cbar
+    ORDER BY ch.lang
+    """,
+    tags=("causal", "matching", "propensity", "experimentation"),
+)
+def q383_propensity_score_matching(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Propensity-score matching: each md5-assigned 'treated' document
+    is matched (with replacement, within language) to the control
+    whose propensity score — a logistic of the n_chars confounder —
+    is NEAREST, and the average treated-minus-matched outcome (token
+    count) is the ATT. The naive treated-vs-all-controls difference
+    rides alongside: matching on the confounder's score is what
+    collapses it toward zero under this null treatment. Completes the
+    causal toolkit around q318 (CUPED), q320 (DiD), q334 (QTE), and
+    q336 (uplift) with the observational-matching member.
+
+    Determinism: scores round at 6 before everything; the nearest
+    match decomposes into BACKWARD + FORWARD as-of joins on an exact
+    integer (score·10⁶, doc_id) key (unique by construction — doc_id
+    occupies the low 10⁶ band; the bound holds through sf1) using the
+    engine's union+window as-of primitive against DuckDB's native
+    ASOF JOIN (the q157 parity pairing), with the nearer side chosen
+    on rounded distances, ties to the backward match.
+
+    Scale posture: two as-of joins = two (lang-keyed) shuffles,
+    linear in rows (never a score cross join); aggregates at
+    |langs| grain. Reference contract: scoring = map slot
+    (``App.config:16``); match + contrast = reduce slot
+    (``App.config:17``)."""
+    from azure_batch_map_reduce_spark.operators.joins import asof_join
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    s = F.round(
+        1 / (1 + F.exp(-((F.col("n_chars") - 500) / F.lit(200.0)))), 6
+    )
+    treated_flag = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("psm|"), F.col("doc_id").cast("string"))),
+                1,
+                12,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 5
+        == 0
+    )
+    base = docs.select(
+        "doc_id",
+        "lang",
+        F.size(F.split("text", " ")).alias("y"),
+        s.alias("s"),
+        treated_flag.alias("treated"),
+    ).withColumn(
+        "key",
+        F.round(F.col("s") * 1_000_000).cast("long") * 1_000_000
+        + F.col("doc_id"),
+    )
+    t = base.where("treated").select("doc_id", "lang", "key", "s", "y")
+    c = base.where(~F.col("treated")).select(
+        "lang", "key", F.col("s").alias("cs"), F.col("y").alias("cy")
+    )
+    prevm = asof_join(
+        t, c, on="key", by="lang", value_cols=["cs", "cy"]
+    ).select(
+        "doc_id", "lang", "s", "y",
+        F.col("cs").alias("ps"), F.col("cy").alias("py"),
+    )
+    t_neg = t.withColumn("key", -F.col("key"))
+    c_neg = c.withColumn("key", -F.col("key"))
+    nextm = asof_join(
+        t_neg, c_neg, on="key", by="lang", value_cols=["cs", "cy"]
+    ).select(
+        F.col("doc_id").alias("n_doc"),
+        F.col("cs").alias("ns"), F.col("cy").alias("ny"),
+    )
+    chosen = (
+        prevm.join(nextm, F.col("doc_id") == F.col("n_doc"))
+        .select(
+            "lang",
+            "y",
+            F.when(F.col("ps").isNull(), F.col("ny"))
+            .when(F.col("ns").isNull(), F.col("py"))
+            .when(
+                F.round(F.col("s") - F.col("ps"), 6)
+                <= F.round(F.col("ns") - F.col("s"), 6),
+                F.col("py"),
+            )
+            .otherwise(F.col("ny"))
+            .alias("ym"),
+        )
+    )
+    ctl = (
+        base.where(~F.col("treated"))
+        .groupBy("lang")
+        .agg(F.avg(F.col("y").cast("double")).alias("cbar"))
+    )
+    return (
+        chosen.join(F.broadcast(ctl), "lang")
+        .groupBy("lang", "cbar")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_treated"),
+            round_nz(
+                F.avg(F.col("y").cast("double")) - F.first("cbar"), 4
+            ).alias("naive_diff"),
+            round_nz(
+                F.avg((F.col("y") - F.col("ym")).cast("double")), 4
+            ).alias("att_matched"),
+        )
+        .select("lang", "n_treated", "naive_diff", "att_matched")
+        .orderBy("lang")
+    )

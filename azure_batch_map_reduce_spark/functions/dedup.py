@@ -24,6 +24,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window, functions as F
 
 from azure_batch_map_reduce_spark.catalog import load_tables
+from azure_batch_map_reduce_spark.operators.ranks import round_nz
 from azure_batch_map_reduce_spark.registry import query
 
 # 16 fixed affine permutations for MinHash: (a, b) applied as
@@ -2432,4 +2433,121 @@ def q371_split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "cast((1000000 * n_leaked) div n_test as bigint)"
             ).alias("leak_ppm"),
         )
+    )
+
+
+@query(
+    "q384_neardup_modularity",
+    oracle=f"""
+    WITH RECURSIVE {_PAIRS_CTES},
+    edges AS (
+        SELECT doc_a AS u, doc_b AS v FROM pairs
+        UNION
+        SELECT doc_b, doc_a FROM pairs
+    ),
+    reach AS (
+        SELECT u AS node, u AS lab0 FROM edges
+        UNION
+        SELECT e.v AS node, r.lab0 FROM reach r JOIN edges e ON e.u = r.node
+    ),
+    comp AS (SELECT node, min(lab0) AS grp FROM reach GROUP BY node),
+    m AS (SELECT count(*) AS m FROM pairs),
+    deg AS (
+        SELECT node, count(*) AS d
+        FROM (SELECT doc_a AS node FROM pairs
+              UNION ALL SELECT doc_b FROM pairs)
+        GROUP BY node
+    ),
+    intra AS (
+        SELECT ca.grp, count(*) AS e_c
+        FROM pairs p
+        JOIN comp ca ON ca.node = p.doc_a
+        JOIN comp cb ON cb.node = p.doc_b
+        WHERE ca.grp = cb.grp
+        GROUP BY ca.grp
+    ),
+    dsum AS (
+        SELECT c.grp, count(*) AS n_nodes, sum(d.d) AS d_c
+        FROM comp c JOIN deg d ON d.node = c.node
+        GROUP BY c.grp
+    )
+    SELECT ds.grp AS community,
+           CAST(ds.n_nodes AS BIGINT) AS n_nodes,
+           CAST(coalesce(i.e_c, 0) AS BIGINT) AS intra_edges,
+           CAST(ds.d_c AS BIGINT) AS degree_sum,
+           round(coalesce(i.e_c, 0) / CAST(m.m AS DOUBLE)
+                 - pow(ds.d_c / (2.0 * m.m), 2), 6) + 0.0
+               AS modularity_term
+    FROM dsum ds LEFT JOIN intra i ON ds.grp = i.grp CROSS JOIN m
+    ORDER BY community
+    """,
+    tags=("dedup", "graph", "modularity", "clustering", "audit"),
+)
+def q384_neardup_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman modularity of the near-duplicate communities: per
+    connected component of the MinHash pair graph, its contribution
+    e_c/m − (d_c/2m)² — the community-quality number that says
+    whether the dedup clusters are denser than a degree-preserving
+    random graph would make them (low modularity ⇒ the components
+    are hash-collision chains, the q271 transitive-contamination
+    signal expressed as the standard graph statistic). Completes the
+    graph family (PageRank q103, triangles q109, components q66,
+    Adamic-Adar q296) with its quality metric.
+
+    Determinism: edges, degrees, and intra-community counts are exact
+    integers from q62's engine-pinned pair generation and q66's
+    bounded label propagation; each term is fixed-order arithmetic on
+    exact operands rounded at 6 with signed-zero normalization (a
+    hub-heavy community's term can be a negative epsilon).
+
+    Scale posture: pair generation is banded equi-join (never
+    all-pairs); the closure is the bounded label-propagation loop;
+    degrees and intra counts are pair-grain aggregates joined at
+    component grain; m is a 1-row broadcast. Reference contract:
+    edge emission = map slot (``App.config:16``); community rollup =
+    reduce slot (``App.config:17``)."""
+    docs = _spread(load_tables(spark, sf_dir)["documents"], "doc_id")
+    prs = neardup_pairs(docs).select("doc_a", "doc_b").persist()
+    comp = connected_components(
+        prs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
+    ).select("node", F.col("label").alias("grp"))
+    m = prs.agg(F.count(F.lit(1)).alias("m"))
+    deg = (
+        prs.select(F.col("doc_a").alias("node"))
+        .unionAll(prs.select(F.col("doc_b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    ca = comp.select(F.col("node").alias("doc_a"), F.col("grp").alias("ga"))
+    cb = comp.select(F.col("node").alias("doc_b"), F.col("grp").alias("gb"))
+    intra = (
+        prs.join(ca, "doc_a")
+        .join(cb, "doc_b")
+        .where(F.col("ga") == F.col("gb"))
+        .groupBy(F.col("ga").alias("grp"))
+        .agg(F.count(F.lit(1)).alias("e_c"))
+    )
+    dsum = (
+        comp.join(deg, "node")
+        .groupBy("grp")
+        .agg(
+            F.count(F.lit(1)).alias("n_nodes"),
+            F.sum("d").alias("d_c"),
+        )
+    )
+    return (
+        dsum.join(intra, "grp", "left")
+        .crossJoin(F.broadcast(m))
+        .select(
+            F.col("grp").alias("community"),
+            F.col("n_nodes").cast("long").alias("n_nodes"),
+            F.coalesce("e_c", F.lit(0)).cast("long").alias("intra_edges"),
+            F.col("d_c").cast("long").alias("degree_sum"),
+            round_nz(
+                F.coalesce("e_c", F.lit(0)) / F.col("m").cast("double")
+                - F.pow(F.col("d_c") / (2.0 * F.col("m")), 2),
+                6,
+            ).alias("modularity_term"),
+        )
+        .orderBy("community")
     )
