@@ -271,6 +271,7 @@ _VERIFY_FIRST = [
     "q382_count_overdispersion",
     "q383_propensity_score_matching",
     "q384_neardup_modularity",
+    "q385_transition_entropy",
 ]
 
 

@@ -3976,3 +3976,109 @@ def q373_markov_removal_attribution(spark: SparkSession, sf_dir: str) -> DataFra
         )
         .orderBy("channel")
     )
+
+
+@query(
+    "q385_transition_entropy",
+    oracle="""
+    WITH seq AS (
+        SELECT event_type,
+               lag(event_type) OVER (
+                   PARTITION BY user_id
+                   ORDER BY date_trunc('microseconds', ts), event_id
+               ) AS prev_type
+        FROM events
+    ),
+    trans AS (
+        SELECT prev_type AS f, event_type AS t, count(*) AS c
+        FROM seq WHERE prev_type IS NOT NULL
+        GROUP BY f, t
+    ),
+    tot AS (SELECT f, sum(c) AS n FROM trans GROUP BY f),
+    all_n AS (SELECT sum(c) AS nn FROM trans),
+    terms AS (
+        SELECT tr.f, tot.n,
+               -(tr.c / CAST(all_n.nn AS DOUBLE))
+                   * ln(tr.c / CAST(tot.n AS DOUBLE)) AS h_term,
+               (tr.c / CAST(tot.n AS DOUBLE))
+                   * ln(tr.c / CAST(tot.n AS DOUBLE)) AS row_term
+        FROM trans tr JOIN tot ON tr.f = tot.f CROSS JOIN all_n
+    ),
+    ce AS (SELECT round(sum(h_term), 6) AS ce FROM terms)
+    SELECT f AS from_state,
+           CAST(n AS BIGINT) AS n_transitions,
+           round(-sum(row_term), 6) AS row_entropy,
+           ce.ce AS conditional_entropy
+    FROM terms CROSS JOIN ce
+    GROUP BY f, n, ce.ce
+    ORDER BY from_state
+    """,
+    tags=("timeseries", "entropy", "markov", "behavior"),
+)
+def q385_transition_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavioral predictability via transition entropy: per current
+    event type, the Shannon entropy of the NEXT event's distribution
+    (row entropy of q251's Markov matrix), plus the overall
+    conditional entropy H(next|current) = Σ p(x)·H(next|x) — the
+    number that says how far user behavior is from deterministic
+    (0 bits) vs uniform-random (ln 5 ≈ 1.609 nats), and the
+    information-theoretic sanity check on q373's chain model (a chain
+    near uniform entropy attributes nothing meaningfully).
+
+    Determinism: transition counts are exact under the shared
+    (ts, event_id) total order; entropy terms are ln() over exact
+    ratios summed at ≤|types|² grain (order ulps under round 6);
+    the conditional entropy repeats identically on every row (a
+    1-row aggregate joined back).
+
+    Scale posture: one per-user lag pass to (from, to) counts —
+    ≤|types|² state; everything after is arithmetic on that bounded
+    table. Reference contract: transition extraction = map slot
+    (``App.config:16``); entropy consolidation = reduce slot
+    (``App.config:17``)."""
+    ev = load_tables(spark, sf_dir)["events"]
+    wu = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type", F.lag("event_type").over(wu).alias("prev_type")
+    ).where(F.col("prev_type").isNotNull())
+    trans = seq.groupBy(
+        F.col("prev_type").alias("f"), F.col("event_type").alias("t")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    tot = trans.groupBy("f").agg(F.sum("c").alias("n"))
+    all_n = trans.agg(F.sum("c").alias("nn"))
+    terms = (
+        trans.join(F.broadcast(tot), "f")
+        .crossJoin(F.broadcast(all_n))
+        .select(
+            "f",
+            "c",
+            "n",
+            (
+                -(F.col("c") / F.col("nn").cast("double"))
+                * F.log(F.col("c") / F.col("n").cast("double"))
+            ).alias("h_term"),
+            # per-row entropy contribution computed BEFORE the group
+            # (n is per-f constant; referencing it via max() inside the
+            # aggregate would be a nested-aggregate error)
+            (
+                (F.col("c") / F.col("n").cast("double"))
+                * F.log(F.col("c") / F.col("n").cast("double"))
+            ).alias("row_term"),
+        )
+    )
+    cond = terms.agg(F.round(F.sum("h_term"), 6).alias("ce"))
+    return (
+        terms.groupBy("f", "n")
+        .agg(
+            F.round(-F.sum("row_term"), 6).alias("row_entropy"),
+        )
+        .withColumn("n_transitions", F.col("n").cast("long"))
+        .crossJoin(F.broadcast(cond))
+        .select(
+            F.col("f").alias("from_state"),
+            "n_transitions",
+            "row_entropy",
+            F.col("ce").alias("conditional_entropy"),
+        )
+        .orderBy("from_state")
+    )
