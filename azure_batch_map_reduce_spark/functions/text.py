@@ -1344,7 +1344,7 @@ def q215_token_offsets(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(sum(CASE WHEN id = -1 THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
            round(sum(CASE WHEN id = -1 THEN 1 ELSE 0 END)
                  * 1.0 / count(*), 4)                       AS oov_rate,
-           (list(id ORDER BY pos))[1:10]                    AS first_ids
+           array_to_string((list(id ORDER BY pos))[1:10], ',') AS first_ids
     FROM ids
     GROUP BY doc_id
     ORDER BY doc_id
@@ -1363,7 +1363,11 @@ def q220_numericalize_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     destroys row order, so ids carry their position and re-sort INSIDE
     the collect (collect_list of (pos,id) structs → array_sort →
     project), never relying on shuffle arrival order — same
-    discipline as q193's ordered LISTAGG.
+    discipline as q193's ordered LISTAGG. The id prefix serializes to
+    a comma-joined STRING: the driver's comparator cannot hash list
+    cells (CORRECTNESS_r04 q274/q281), and flat text is the
+    reference's reduce-slot output shape (``App.config:20``,
+    ``Program.cs:358-359``).
 
     Scale posture: the dictionary is vocab-capped and broadcast; the
     corpus explode joins it map-side, so the only real shuffle is the
@@ -1391,15 +1395,18 @@ def q220_numericalize_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     packed = ids.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_tokens"),
         F.sum((F.col("id") == -1).cast("long")).alias("n_oov"),
-        F.slice(
-            F.transform(
-                F.array_sort(
-                    F.collect_list(F.struct(F.col("pos"), F.col("id")))
+        F.concat_ws(
+            ",",
+            F.slice(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct(F.col("pos"), F.col("id")))
+                    ),
+                    lambda s: s["id"],
                 ),
-                lambda s: s["id"],
-            ),
-            1,
-            10,
+                1,
+                10,
+            ).cast("array<string>"),
         ).alias("first_ids"),
     )
     return packed.select(
@@ -2263,7 +2270,7 @@ _IDX_MAX_POSTINGS = 50  # postings page size per term
     ),
     postings AS (
         SELECT o.term, o.doc_id, count(*) AS tf,
-               list(o.pos ORDER BY o.pos) AS positions
+               array_to_string(list(o.pos ORDER BY o.pos), ',') AS positions
         FROM occ o JOIN top_terms t ON o.term = t.term
         GROUP BY o.term, o.doc_id
     )
@@ -2293,7 +2300,12 @@ def q274_positional_inverted_index(spark: SparkSession, sf_dir: str) -> DataFram
     postings by doc_id — the "hot page" a serving shard keeps pinned.
 
     Determinism: integer positions, exact counts, lexicographic ties;
-    position lists are sorted on both engines.
+    position lists are sorted on both engines and serialized to a
+    comma-joined STRING — the driver's comparator sorts raw pandas
+    frames, and list cells crash its factorize (CORRECTNESS_r04), so
+    the output contract is flat/hashable (which is also the reference's
+    reduce-slot shape: a flat text file, ``App.config:20``,
+    ``Program.cs:358-359``).
 
     Scale posture: occurrence extraction is map-side explode; postings
     build is ONE shuffle on (term, doc_id) with partial aggregation;
@@ -2325,7 +2337,9 @@ def q274_positional_inverted_index(spark: SparkSession, sf_dir: str) -> DataFram
         .groupBy("term", "doc_id")
         .agg(
             F.count(F.lit(1)).alias("tf"),
-            F.sort_array(F.collect_list("pos")).alias("positions"),
+            F.concat_ws(
+                ",", F.sort_array(F.collect_list("pos")).cast("array<string>")
+            ).alias("positions"),
         )
     )
     w = Window.partitionBy("term").orderBy(F.asc("doc_id"))
@@ -2569,7 +2583,7 @@ _GAZ_TOPN = 20
     hits AS (
         SELECT s.doc_id, d.entity, d.etype,
                count(*) AS n_mentions,
-               list(s.pos ORDER BY s.pos) AS positions
+               array_to_string(list(s.pos ORDER BY s.pos), ',') AS positions
         FROM spans s JOIN dict d ON s.phrase = d.phrase
         GROUP BY s.doc_id, d.entity, d.etype
     )
@@ -2592,7 +2606,11 @@ def q281_gazetteer_span_match(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Determinism: spans are integer stride math over the token array;
     matching is exact string equality; positions sort ascending on
-    both engines; the top-20 tie-break is total.
+    both engines and serialize to a comma-joined STRING (the driver's
+    comparator cannot hash list cells — CORRECTNESS_r04 q274/q281 —
+    and flat text is the reference's reduce-slot shape anyway,
+    ``App.config:20``, ``Program.cs:358-359``); the top-20 tie-break
+    is total.
 
     Scale posture: span extraction is map-side explode (k·n spans per
     n-token doc, k=2 span widths); the dictionary — like any real
@@ -2644,7 +2662,9 @@ def q281_gazetteer_span_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id", "entity", "etype")
         .agg(
             F.count(F.lit(1)).alias("n_mentions"),
-            F.sort_array(F.collect_list("pos")).alias("positions"),
+            F.concat_ws(
+                ",", F.sort_array(F.collect_list("pos")).cast("array<string>")
+            ).alias("positions"),
         )
     )
     return (

@@ -106,6 +106,23 @@ def compare_query(
         # Two empty frames with matching columns are equal — pandas
         # .equals would still compare (and fail on) residual dtypes.
         return CompareResult(q.name, True, "ok (both empty)", 0, 0)
+    # Driver-comparator hazard check (CORRECTNESS_r04 q274/q281): the
+    # driver sorts the RAW pandas frame — no cell stringification — so
+    # list/dict cells crash its factorize with "unhashable type". Any
+    # output that cannot survive a raw sort_values locally would be a
+    # driver-RED even if the canonicalized comparison below passes.
+    for frame, side in ((sdf, "spark"), (odf, "oracle")):
+        try:
+            frame.sort_values(by=list(frame.columns), kind="mergesort")
+        except TypeError as e:
+            return CompareResult(
+                q.name,
+                False,
+                f"driver-comparator hazard: raw sort_values on {side} frame "
+                f"raised {e!r} — output schema must be flat/hashable",
+                len(sdf),
+                len(odf),
+            )
     a, b = _normalize(sdf), _normalize(odf)
     if not a.equals(b):
         diff_mask = (a != b).any(axis=1)
