@@ -5858,12 +5858,12 @@ _KNAP_BUDGET = 20_000  # token budget for the greedy selection
     ),
     scored AS (
         SELECT doc_id, source, toks,
-               round(CAST(uniq AS DOUBLE) / toks, 4) AS density
+               (2 * uniq * 10000 + toks) // (2 * toks) AS density_s
         FROM d WHERE toks > 0
     ),
     ranked AS (
-        SELECT doc_id, source, toks, density,
-               sum(toks) OVER (ORDER BY density DESC, doc_id
+        SELECT doc_id, source, toks, density_s,
+               sum(toks) OVER (ORDER BY density_s DESC, doc_id
                                ROWS BETWEEN UNBOUNDED PRECEDING
                                         AND CURRENT ROW) AS cum_toks
         FROM scored
@@ -5889,11 +5889,16 @@ def q363_token_budget_knapsack(spark: SparkSession, sf_dir: str) -> DataFrame:
     q307 (coverage objective): this is the single-constraint
     value-density objective.
 
-    Determinism: density is one exact-integer division rounded at 4
-    BEFORE ordering (the q337 argmax discipline), tie-broken by
-    doc_id, so the greedy order is total; the running token total is
-    an exact integer cumulative; selection is a pure cum <= budget
-    predicate (whole documents only).
+    Determinism: density is a ratio of exact integers scaled to 1e4
+    and rounded half-up ENTIRELY in integer arithmetic —
+    ``(2*uniq*10000 + toks) div (2*toks)`` on both engines — because
+    ratios like 13/32 land exactly on 4th-decimal halves where
+    Spark's HALF_UP and DuckDB's half-even `round()` disagree (the
+    q345 trap; density is the greedy ORDERING key, so one flip would
+    change which docs fit the budget). Tie-broken by doc_id, so the
+    greedy order is total; the running token total is an exact
+    integer cumulative; selection is a pure cum <= budget predicate
+    (whole documents only).
 
     Scale posture: scoring is a stateless map; the budget cut rides
     the window-free ``distributed_running_sum`` over the
@@ -5905,19 +5910,26 @@ def q363_token_budget_knapsack(spark: SparkSession, sf_dir: str) -> DataFrame:
     (``App.config:17``)."""
     docs = load_tables(spark, sf_dir)["documents"]
     ws = F.split("text", " ")
-    scored = docs.select(
-        "doc_id",
-        "source",
-        F.size(ws).alias("toks"),
-        F.round(
-            F.size(F.array_distinct(ws)).cast("double") / F.size(ws), 4
-        ).alias("density"),
-    ).where(F.col("toks") > 0)
-    from azure_batch_map_reduce_spark.operators.ranks import desc_key
-
+    toks = F.size(ws).cast("long")
+    uniq = F.size(F.array_distinct(ws)).cast("long")
+    scored = (
+        docs.select(
+            "doc_id",
+            "source",
+            toks.alias("toks"),
+            (F.lit(2) * uniq * F.lit(10_000) + toks).alias("_num"),
+        )
+        .where(F.col("toks") > 0)
+        .select(
+            "doc_id",
+            "source",
+            "toks",
+            F.expr("_num div (2 * toks)").alias("density_s"),
+        )
+    )
     ranked = distributed_running_sum(
         scored,
-        [F.asc(desc_key(F.col("density"))), F.asc("doc_id")],
+        [F.asc(F.lit(0) - F.col("density_s")), F.asc("doc_id")],
         {"cum_toks": "toks"},
     )
     return (
@@ -6229,7 +6241,7 @@ _EB_TOP = 20
     SELECT e.user_id,
            CAST(e.x AS BIGINT) AS conversions,
            CAST(e.n AS BIGINT) AS trials,
-           round(e.r, 6) AS raw_rate,
+           ((2 * e.x * 1000000 + e.n) // (2 * e.n)) / 1000000.0 AS raw_rate,
            round((e.x + ab.alpha) / (e.n + ab.alpha + ab.beta), 6)
                AS shrunk_rate
     FROM eligible e CROSS JOIN ab
@@ -6249,11 +6261,15 @@ def q374_empirical_bayes_shrinkage(spark: SparkSession, sf_dir: str) -> DataFram
     uncertainty sampling should consume instead of raw rates). Emits
     the top-20 by shrunk rate with raw rates alongside.
 
-    Determinism: x and n are exact counts; the prior moments are
-    float sums of exact-ratio doubles (summation-order ulps only),
-    the shrink is a fixed-order expression, and the ranking uses the
-    ROUNDED shrunk rate with a user_id tie-break (the q337 argmax
-    rule).
+    Determinism: x and n are exact counts; raw_rate is the exact
+    integer ratio x/n rounded half-up IN INTEGER ARITHMETIC on both
+    engines — ``((2*x*1e6 + n) div (2*n)) / 1e6`` — because odd/128
+    ratios sit exactly on 6th-decimal halves where Spark's HALF_UP
+    and DuckDB's half-even disagree (the q345 trap). The prior
+    moments are float sums of exact-ratio doubles (summation-order
+    ulps only); the shrink's round() halves are unreachable (alpha/
+    beta irrational); the ranking uses the ROUNDED shrunk rate with
+    a user_id tie-break (the q337 argmax rule).
 
     Scale posture: one partial+final rollup to user grain, a 1-row
     prior broadcast, map-side shrinkage, TakeOrdered(20). Reference
@@ -6300,7 +6316,9 @@ def q374_empirical_bayes_shrinkage(spark: SparkSession, sf_dir: str) -> DataFram
             "user_id",
             F.col("x").cast("long").alias("conversions"),
             F.col("n").cast("long").alias("trials"),
-            F.round("r", 6).alias("raw_rate"),
+            (
+                F.expr("(2 * x * 1000000 + n) div (2 * n)") / F.lit(1e6)
+            ).alias("raw_rate"),
             shrunk.alias("shrunk_rate"),
         )
         .orderBy(F.desc("shrunk_rate"), F.asc("user_id"))

@@ -2535,7 +2535,7 @@ def q384_neardup_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("d").alias("d_c"),
         )
     )
-    return (
+    out = (
         dsum.join(intra, "grp", "left")
         .crossJoin(F.broadcast(m))
         .select(
@@ -2551,3 +2551,10 @@ def q384_neardup_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("community")
     )
+    # The result is bounded community grain: materialize it eagerly so
+    # the pair frame's cached blocks can be released NOW instead of
+    # leaking into the long-lived bench/driver session (matching
+    # connected_components' own persist/unpersist discipline).
+    out = out.localCheckpoint(eager=True)
+    prs.unpersist()
+    return out

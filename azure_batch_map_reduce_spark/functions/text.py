@@ -3775,7 +3775,11 @@ _QL_MU = 200.0
 )
 def q360_query_likelihood_dirichlet(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dirichlet-smoothed query-likelihood retrieval (Zhai & Lafferty)
-    for the same fixed query as q107's BM25 ({data, model, training}):
+    for a fixed query {data, spark, join} — deliberately a DIFFERENT
+    term set from q107's BM25 query ({data, model, training}), because
+    'model'/'training' have collection frequency 0 in this fixture and
+    DuckDB's ln(0) is a hard error (the SKILL ln-probe rule); every
+    QL term is chosen for nonzero cf:
     score(d) = Σ_w ln((tf + μ·p(w|C)) / (|d| + μ)), μ = 200 — the
     language-modeling ranking baseline that complements BM25 (sparse
     heuristic) and q79 (dense): three retrieval families over one
@@ -4084,8 +4088,12 @@ def _tdi_oracle() -> str:
 )
 def q377_team_draft_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Team-draft interleaving of two rankers (Radlinski et al.) —
-    BM25 (q107) vs Dirichlet query likelihood (q360) for the shared
-    query: teams alternate picks (A first, deterministically — the
+    BM25 (q107) vs Dirichlet query likelihood (q360). The two rankers
+    answer DIFFERENT fixed queries ({data, model, training} vs
+    {data, spark, join} — q360's terms need nonzero collection
+    frequency); the draft exercises the interleave mechanics over
+    their top-10 lists, not an A/B of one shared query. Teams
+    alternate picks (A first, deterministically — the
     production coin flip is per-impression), each taking its
     highest-ranked not-yet-picked document, falling back to the other
     list when exhausted. The interleaved list is what an online

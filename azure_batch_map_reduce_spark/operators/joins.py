@@ -1462,10 +1462,6 @@ def q349_ship_delay_priority_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     classification = map slot, priority-mix consolidation = reduce
     slot (``App.config:16-17``)."""
     t = load_tables(spark, sf_dir)
-    d = (
-        (F.unix_micros("l_shipdate") - F.unix_micros("o_orderdate"))
-        / F.lit(86_400_000_000)
-    ).cast("long")  # exact: both operands are integral micros
     joined = (
         t["lineitem"]
         .select("l_orderkey", "l_shipdate")

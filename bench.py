@@ -1,6 +1,8 @@
 #!/usr/bin/env python
 """Benchmark: run the headline queries at $SPARK_GRAFT_SF_DIR (default
-sf0.1) on local[$SPARK_GRAFT_CPUS]; print ONE JSON line.
+sf0.1) on local[$SPARK_GRAFT_CPUS]; the FINAL stdout line is a compact
+JSON summary ({metric, value, unit, sf, n_queries}); full per-query
+times print on the line before it and land in BENCH_DETAIL.json.
 
 Each query is fully materialized through the noop sink (forces every
 operator, skips result serialization). The flagship runs once untimed to
@@ -125,6 +127,35 @@ HEADLINE = [
     # the journey-chain attribution fold.
     "q371_split_leakage_audit",
     "q373_markov_removal_attribution",
+    # Round-5 (r4 verdict task 5): the round-4b tail that had no bench
+    # rows — greedy knapsack ordering, streaming full-outer join,
+    # bitemporal as-of, Simpson slicing, rendezvous churn, KN bigram LM
+    # (corpus-heavy), varint postings, SLO burn, Ljung-Box, EB
+    # shrinkage, Fleiss kappa, range planner, interleaving, ALS step,
+    # ANOVA, Gini, Heaps fit, overdispersion, and the two heaviest:
+    # q383 dual as-of (union+window vs native ASOF) and q384 modularity
+    # over q62 pairs + q66 components.
+    "q363_token_budget_knapsack",
+    "q364_stream_full_outer_join",
+    "q365_bitemporal_asof",
+    "q366_simpson_paradox_detector",
+    "q367_rendezvous_hash_churn",
+    "q368_kneser_ney_bigram_lm",
+    "q369_postings_delta_varint_size",
+    "q370_slo_burn_rate_alert",
+    "q372_ljung_box_whiteness",
+    "q374_empirical_bayes_shrinkage",
+    "q375_fleiss_kappa_agreement",
+    "q376_range_partition_planner",
+    "q377_team_draft_interleave",
+    "q378_als_user_factor_step",
+    "q379_oneway_anova",
+    "q380_gini_concentration",
+    "q381_heaps_law_fit",
+    "q382_count_overdispersion",
+    "q383_propensity_score_matching",
+    "q384_neardup_modularity",
+    "q385_transition_entropy",
 ]
 
 
@@ -158,14 +189,36 @@ def main() -> None:
         spark.catalog.clearCache()
 
     total = round(sum(times.values()), 3)
+    # Output protocol (r4 verdict task 3): the driver keeps only a ~2 KB
+    # TAIL of stdout and parses the FINAL line — the 87-query per-query
+    # dict outgrew that window in round 4 (BENCH_r04 parsed: null). So:
+    # per-query detail goes to a sidecar file + a non-final stdout line
+    # (retrievable locally), and the LAST printed line is a compact
+    # summary that always fits the tail window. This also matches the
+    # reference's own contract of a one-line wall-clock report
+    # (Program.cs:145-148).
+    detail = {
+        "metric": "headline_queries_total_time",
+        "value": total,
+        "unit": "sec",
+        "queries": times,
+        "sf": sf,
+    }
+    try:
+        with open(os.path.join(os.path.dirname(__file__), "BENCH_DETAIL.json"), "w") as f:
+            json.dump(detail, f, indent=1, sort_keys=True)
+    except OSError:
+        pass  # read-only checkout: the stdout detail line still has it
+    print(json.dumps(detail))
     print(
         json.dumps(
             {
                 "metric": "headline_queries_total_time",
                 "value": total,
                 "unit": "sec",
-                "queries": times,
                 "sf": sf,
+                "n_queries": len(times),
+                "detail": "BENCH_DETAIL.json",
             }
         )
     )
