@@ -18,9 +18,17 @@ import pytest
 
 from pyspark.sql.types import ArrayType, MapType, StructType
 
-from azure_batch_map_reduce_spark.registry import load_all
+from azure_batch_map_reduce_spark.registry import ROWS_ONLY_RATIONALE, load_all
 
 REGISTRY = load_all()
+
+
+def test_every_rows_only_query_is_documented():
+    """No silent rows-only rows: every oracle=None query carries an
+    explicit rationale (r4 verdict task 6), and no rationale goes
+    stale when a query gains an oracle."""
+    oracleless = {n for n, q in REGISTRY.items() if not q.oracle}
+    assert oracleless == set(ROWS_ONLY_RATIONALE)
 
 
 def _complex_cols(schema: StructType) -> list[str]:
