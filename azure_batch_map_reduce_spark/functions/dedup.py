@@ -2558,3 +2558,111 @@ def q384_neardup_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = out.localCheckpoint(eager=True)
     prs.unpersist()
     return out
+
+
+@query(
+    "q389_rouge2_neardup_recall",
+    oracle=f"""
+    WITH {_PAIRS_CTES},
+    toks AS (
+        SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+    ),
+    bg_pos AS (
+        SELECT doc_id, ws,
+               unnest(generate_series(1, len(ws) - 1)) AS i
+        FROM toks WHERE len(ws) > 1
+    ),
+    bgs AS (
+        SELECT DISTINCT doc_id,
+               ws[CAST(i AS INTEGER)] || ' ' ||
+               ws[CAST(i + 1 AS INTEGER)] AS bg
+        FROM bg_pos
+        WHERE ws[CAST(i AS INTEGER)] <> ''
+          AND ws[CAST(i + 1 AS INTEGER)] <> ''
+    ),
+    refn AS (SELECT doc_id, count(*) AS nref FROM bgs GROUP BY doc_id),
+    ov AS (
+        SELECT p.doc_a, p.doc_b, count(*) AS n_overlap
+        FROM pairs p
+        JOIN bgs ba ON ba.doc_id = p.doc_a
+        JOIN bgs bb ON bb.doc_id = p.doc_b AND bb.bg = ba.bg
+        GROUP BY p.doc_a, p.doc_b
+    )
+    SELECT p.doc_a, p.doc_b,
+           CAST(r.nref AS BIGINT) AS n_ref_bigrams,
+           CAST(coalesce(o.n_overlap, 0) AS BIGINT) AS n_overlap,
+           CAST((1000000 * coalesce(o.n_overlap, 0)) // r.nref
+                AS BIGINT) AS rouge2_recall_ppm
+    FROM pairs p
+    JOIN refn r ON r.doc_id = p.doc_a
+    LEFT JOIN ov o ON o.doc_a = p.doc_a AND o.doc_b = p.doc_b
+    ORDER BY p.doc_a, p.doc_b
+    """,
+    tags=("dedup", "rouge", "similarity", "text", "llm"),
+)
+def q389_rouge2_neardup_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROUGE-2 recall over the near-duplicate candidate pairs: for each
+    q62 MinHash pair, the fraction of the REFERENCE document's distinct
+    bigrams that the candidate also contains — the summarization-eval
+    metric repurposed as a dedup second opinion (MinHash certifies
+    unigram-set Jaccard; ROUGE-2 checks whether local word ORDER also
+    survives, separating true near-copies from bag-of-words twins).
+
+    Determinism: bigrams are exact position arithmetic over the
+    whitespace token array; overlap counts distinct-bigram set
+    intersections (exact integers); the recall is floor integer
+    division to ppm — no float anywhere.
+
+    Scale posture: the pair list comes from the banded equi-join
+    (never all-pairs); bigram extraction is a map-side explode; the
+    overlap join touches ONLY candidate-pair bigrams (pair-grain
+    fan-out, bounded by near-dup pair count × doc length), with
+    partial aggregation on (doc_a, doc_b). Reference contract:
+    per-doc bigram emission = map slot (``App.config:16``); per-pair
+    overlap rollup = reduce slot (``App.config:17``)."""
+    docs = _spread(load_tables(spark, sf_dir)["documents"], "doc_id")
+    prs = neardup_pairs(docs).select("doc_a", "doc_b")
+    ws = F.split("text", " ")
+    bigrams = (
+        docs.select("doc_id", ws.alias("ws"))
+        .where(F.size("ws") > 1)
+        .select(
+            "doc_id",
+            F.explode(
+                F.zip_with(
+                    F.slice(F.col("ws"), 1, F.size("ws") - 1),
+                    F.slice(F.col("ws"), 2, F.size("ws") - 1),
+                    lambda x, y: F.concat(x, F.lit(" "), y),
+                )
+            ).alias("bg"),
+        )
+        .where(~F.col("bg").startswith(" ") & ~F.col("bg").endswith(" "))
+        .distinct()
+    )
+    refn = bigrams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("nref"))
+    ba = bigrams.select(F.col("doc_id").alias("doc_a"), "bg")
+    bb = bigrams.select(F.col("doc_id").alias("doc_b"), "bg")
+    ov = (
+        prs.join(ba, "doc_a")
+        .join(bb, ["doc_b", "bg"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+    )
+    return (
+        prs.join(
+            refn.select(F.col("doc_id").alias("doc_a"), "nref"), "doc_a"
+        )
+        .join(ov, ["doc_a", "doc_b"], "left")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.col("nref").cast("long").alias("n_ref_bigrams"),
+            F.coalesce("n_overlap", F.lit(0))
+            .cast("long")
+            .alias("n_overlap"),
+            F.expr("(1000000 * coalesce(n_overlap, 0)) div nref")
+            .cast("long")
+            .alias("rouge2_recall_ppm"),
+        )
+        .orderBy("doc_a", "doc_b")
+    )

@@ -2063,3 +2063,158 @@ def q365_bitemporal_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("known_at", "status")
     )
+
+
+_IND_CANDIDATES = (
+    # (label, fk_table, fk_col, pk_table, pk_col)
+    ("events.user_id->customer.c_custkey", "events", "user_id", "customer", "c_custkey"),
+    ("embeddings.vec_id->documents.doc_id", "embeddings", "vec_id", "documents", "doc_id"),
+    ("lineitem.l_orderkey->orders.o_orderkey", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem.l_partkey->part.p_partkey", "lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem.l_suppkey->supplier.s_suppkey", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("orders.o_custkey->customer.c_custkey", "orders", "o_custkey", "customer", "c_custkey"),
+)
+
+
+def _ind_select_sql(label, ft, fc, pt, pc):
+    return f"""
+    SELECT '{label}' AS dependency,
+           CAST(count(*) AS BIGINT) AS n_fk_distinct,
+           CAST(count(p.pk) AS BIGINT) AS n_contained,
+           CAST((1000000 * count(p.pk)) // count(*) AS BIGINT)
+               AS containment_ppm,
+           count(p.pk) = count(*) AS is_inclusion
+    FROM (SELECT DISTINCT {fc} AS fk FROM {ft} WHERE {fc} IS NOT NULL) f
+    LEFT JOIN (SELECT DISTINCT {pc} AS pk FROM {pt}) p ON f.fk = p.pk
+    """
+
+
+@query(
+    "q386_inclusion_dependency_profile",
+    oracle="\nUNION ALL\n".join(
+        _ind_select_sql(*c) for c in _IND_CANDIDATES
+    )
+    + "\nORDER BY dependency",
+    tags=("etl", "profiling", "inclusion-dependency", "fk-discovery"),
+)
+def q386_inclusion_dependency_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inclusion-dependency (foreign-key discovery) profiling: for each
+    candidate column pair A→B, what fraction of A's DISTINCT non-null
+    values appear in B? Containment = 1 certifies a join key; anything
+    lower quantifies referential drift — the schema-inference pass every
+    data catalog runs before it dares suggest a join, and the profiling
+    twin of q317's referential-integrity audit (which counts VIOLATING
+    ROWS of a declared FK; this DISCOVERS candidate FKs at value grain).
+
+    Determinism: distinct-value sets and containment counts are exact;
+    the ppm ratio is floor integer division of exact longs on both
+    engines (no float rounding anywhere).
+
+    Scale posture: each candidate is one DISTINCT on the fk column
+    (partial+final, shrinks to value grain) joined to the pk side's
+    distinct values — dim-side sets (customer/part/supplier) broadcast
+    under AQE, the fact-fact candidate (lineitem→orders) shuffles on
+    the value; candidates run as a union of independent subplans, so a
+    scheduler overlaps them. Reference contract: per-value emission =
+    map slot (``App.config:16``); containment rollup = reduce slot
+    (``App.config:17``)."""
+    t = load_tables(spark, sf_dir)
+    parts = []
+    for label, ft, fc, pt, pc in _IND_CANDIDATES:
+        f = (
+            t[ft]
+            .where(F.col(fc).isNotNull())
+            .select(F.col(fc).alias("fk"))
+            .distinct()
+        )
+        p = t[pt].select(F.col(pc).alias("pk")).distinct()
+        parts.append(
+            f.join(p, f["fk"] == p["pk"], "left").agg(
+                F.lit(label).alias("dependency"),
+                F.count(F.lit(1)).cast("long").alias("n_fk_distinct"),
+                F.count("pk").cast("long").alias("n_contained"),
+                F.expr("(1000000 * count(pk)) div count(*)")
+                .cast("long")
+                .alias("containment_ppm"),
+                (F.count("pk") == F.count(F.lit(1))).alias("is_inclusion"),
+            )
+        )
+    out = parts[0]
+    for more in parts[1:]:
+        out = out.unionAll(more)
+    return out.orderBy("dependency")
+
+
+_FD_CANDIDATES = (
+    # (label, table, X, Y) — does X functionally determine Y?
+    ("documents.doc_id->lang", "documents", "doc_id", "lang"),
+    ("documents.source->lang", "documents", "source", "lang"),
+    ("events.user_id->event_type", "events", "user_id", "event_type"),
+    ("lineitem.l_orderkey->l_returnflag", "lineitem", "l_orderkey", "l_returnflag"),
+    ("orders.o_custkey->o_orderpriority", "orders", "o_custkey", "o_orderpriority"),
+)
+
+
+def _fd_select_sql(label, tbl, x, y):
+    return f"""
+    SELECT '{label}' AS dependency,
+           CAST(count(*) AS BIGINT) AS n_groups,
+           CAST(sum(CASE WHEN n_y > 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_violating,
+           CAST((1000000 * sum(CASE WHEN n_y > 1 THEN 1 ELSE 0 END))
+                // count(*) AS BIGINT) AS violation_ppm,
+           sum(CASE WHEN n_y > 1 THEN 1 ELSE 0 END) = 0 AS holds
+    FROM (SELECT {x} AS x, count(DISTINCT {y}) AS n_y
+          FROM {tbl} GROUP BY {x})
+    """
+
+
+@query(
+    "q387_functional_dependency_audit",
+    oracle="\nUNION ALL\n".join(_fd_select_sql(*c) for c in _FD_CANDIDATES)
+    + "\nORDER BY dependency",
+    tags=("etl", "profiling", "functional-dependency", "audit"),
+)
+def q387_functional_dependency_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Functional-dependency audit: for each candidate X→Y, how many X
+    groups see MORE than one distinct Y? Zero violations certify the
+    dependency (X is a key for Y — safe to denormalize or use as a
+    dedup grain); a nonzero count quantifies how wrong the assumption
+    is. The other half of schema profiling next to q386's
+    inclusion-dependency discovery — together they recover the PK/FK
+    skeleton a lakehouse catalog needs from raw parquet.
+
+    Determinism: per-group distinct counts and violation tallies are
+    exact integers; the ppm ratio is floor integer division.
+
+    Scale posture: each candidate is ONE partial+final aggregate to X
+    grain with a distinct-count inside (Spark plans partial distinct
+    aggregation map-side), then a 1-row rollup; candidates union as
+    independent subplans. No joins at all. Reference contract:
+    per-row (X, Y) emission = map slot (``App.config:16``); violation
+    rollup = reduce slot (``App.config:17``)."""
+    t = load_tables(spark, sf_dir)
+    parts = []
+    for label, tbl, x, y in _FD_CANDIDATES:
+        grouped = t[tbl].groupBy(F.col(x).alias("x")).agg(
+            F.countDistinct(F.col(y)).alias("n_y")
+        )
+        viol = F.sum(F.when(F.col("n_y") > 1, 1).otherwise(0))
+        parts.append(
+            grouped.agg(
+                F.lit(label).alias("dependency"),
+                F.count(F.lit(1)).cast("long").alias("n_groups"),
+                viol.cast("long").alias("n_violating"),
+                F.expr(
+                    "(1000000 * sum(CASE WHEN n_y > 1 THEN 1 ELSE 0 END))"
+                    " div count(*)"
+                )
+                .cast("long")
+                .alias("violation_ppm"),
+                (viol == F.lit(0)).alias("holds"),
+            )
+        )
+    out = parts[0]
+    for more in parts[1:]:
+        out = out.unionAll(more)
+    return out.orderBy("dependency")

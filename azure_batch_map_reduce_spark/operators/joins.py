@@ -1700,3 +1700,151 @@ def q352_inactive_high_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("nation")
     )
+
+
+_AP_TOPN = 20  # triples reported
+
+
+@query(
+    "q388_apriori_triple_itemsets",
+    oracle=f"""
+    WITH baskets AS (
+        SELECT DISTINCT l.l_orderkey, p.p_brand
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    ),
+    tot AS (SELECT count(DISTINCT l_orderkey) AS n_orders FROM baskets),
+    l2 AS (
+        SELECT a.p_brand AS ba, b.p_brand AS bb, count(*) AS n
+        FROM baskets a
+        JOIN baskets b ON a.l_orderkey = b.l_orderkey
+                      AND a.p_brand < b.p_brand
+        GROUP BY a.p_brand, b.p_brand
+        HAVING 20 * count(*) >= (SELECT n_orders FROM tot)
+    ),
+    tris AS (
+        SELECT a.p_brand AS ba, b.p_brand AS bb, c.p_brand AS bc,
+               count(*) AS support_n
+        FROM baskets a
+        JOIN baskets b ON a.l_orderkey = b.l_orderkey
+                      AND a.p_brand < b.p_brand
+        JOIN baskets c ON a.l_orderkey = c.l_orderkey
+                      AND b.p_brand < c.p_brand
+        WHERE EXISTS (SELECT 1 FROM l2 WHERE l2.ba = a.p_brand
+                                        AND l2.bb = b.p_brand)
+          AND EXISTS (SELECT 1 FROM l2 WHERE l2.ba = a.p_brand
+                                        AND l2.bb = c.p_brand)
+          AND EXISTS (SELECT 1 FROM l2 WHERE l2.ba = b.p_brand
+                                        AND l2.bb = c.p_brand)
+        GROUP BY a.p_brand, b.p_brand, c.p_brand
+        HAVING 20 * count(*) >= (SELECT n_orders FROM tot)
+    )
+    SELECT ba AS brand_a, bb AS brand_b, bc AS brand_c,
+           CAST(support_n AS BIGINT) AS support_n,
+           CAST((1000000 * support_n) // (SELECT n_orders FROM tot)
+                AS BIGINT) AS support_ppm
+    FROM tris
+    ORDER BY support_n DESC, brand_a, brand_b, brand_c
+    LIMIT {_AP_TOPN}
+    """,
+    tags=("join", "basket", "apriori", "itemset", "association-rules"),
+)
+def q388_apriori_triple_itemsets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Level-wise Apriori over brand baskets: frequent brand TRIPLES at
+    5% minimum support, with the L2 prune applied exactly as Agrawal &
+    Srikant prescribe — a triple is only counted when all three of its
+    sub-pairs are themselves frequent. Extends q136 (pair lift) to the
+    3-itemset level every association-rule miner needs before rule
+    generation.
+
+    Determinism: supports are exact basket counts; the 5% threshold is
+    the pure-integer predicate ``20·support ≥ n_orders`` (no float
+    rounding); the top-20 orders by (support desc, lexicographic
+    triple) — a total order.
+
+    Scale posture: items map to a BOUNDED vocabulary (25 brands), so
+    pair/triple spaces are ≤ 300 / ≤ 2300 regardless of fact size; the
+    self-joins co-partition on l_orderkey (one shuffle shared by both
+    levels), per-basket brand sets are tiny, and the L2 prune list
+    broadcasts (≤ 300 rows) into the triple join's EXISTS semi-joins.
+    Reference contract: per-basket itemization = map slot
+    (``App.config:16``); level-wise support rollup = reduce slot
+    (``App.config:17``)."""
+    t = load_tables(spark, sf_dir)
+    baskets = (
+        t["lineitem"]
+        .join(F.broadcast(t["part"]), F.col("l_partkey") == F.col("p_partkey"))
+        .select("l_orderkey", "p_brand")
+        .distinct()
+        .persist()
+    )
+    n_orders = baskets.select(
+        F.countDistinct("l_orderkey").alias("n_orders")
+    )
+    a, b, c = baskets.alias("a"), baskets.alias("b"), baskets.alias("c")
+    l2 = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.p_brand") < F.col("b.p_brand")),
+        )
+        .groupBy(
+            F.col("a.p_brand").alias("ba"), F.col("b.p_brand").alias("bb")
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .crossJoin(F.broadcast(n_orders))
+        .where(F.lit(20) * F.col("n") >= F.col("n_orders"))
+        .select("ba", "bb")
+    )
+    tris = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.p_brand") < F.col("b.p_brand")),
+        )
+        .join(
+            c,
+            (F.col("a.l_orderkey") == F.col("c.l_orderkey"))
+            & (F.col("b.p_brand") < F.col("c.p_brand")),
+        )
+        .select(
+            F.col("a.l_orderkey").alias("l_orderkey"),
+            F.col("a.p_brand").alias("ba"),
+            F.col("b.p_brand").alias("bb"),
+            F.col("c.p_brand").alias("bc"),
+        )
+    )
+    for pa, pb in (("ba", "bb"), ("ba", "bc"), ("bb", "bc")):
+        tris = tris.join(
+            F.broadcast(
+                l2.select(
+                    F.col("ba").alias(f"_{pa}"), F.col("bb").alias(f"_{pb}")
+                )
+            ),
+            (F.col(pa) == F.col(f"_{pa}")) & (F.col(pb) == F.col(f"_{pb}")),
+            "left_semi",
+        )
+    out = (
+        tris.groupBy("ba", "bb", "bc")
+        .agg(F.count(F.lit(1)).alias("support_n"))
+        .crossJoin(F.broadcast(n_orders))
+        .where(F.lit(20) * F.col("support_n") >= F.col("n_orders"))
+        .select(
+            F.col("ba").alias("brand_a"),
+            F.col("bb").alias("brand_b"),
+            F.col("bc").alias("brand_c"),
+            F.col("support_n").cast("long").alias("support_n"),
+            F.expr("(1000000 * support_n) div n_orders")
+            .cast("long")
+            .alias("support_ppm"),
+        )
+        .orderBy(
+            F.desc("support_n"), "brand_a", "brand_b", "brand_c"
+        )
+        .limit(_AP_TOPN)
+    )
+    # Bounded top-20 result: materialize eagerly so the basket frame's
+    # cached blocks release now instead of leaking into the long-lived
+    # bench/driver session (the q384 unpersist discipline).
+    out = out.localCheckpoint(eager=True)
+    baskets.unpersist()
+    return out
