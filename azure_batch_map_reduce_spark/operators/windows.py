@@ -4082,3 +4082,413 @@ def q385_transition_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("from_state")
     )
+
+
+_MASE_H = 14     # forecast horizon (days)
+_MASE_M = 7      # seasonal period (days)
+
+
+@query(
+    "q390_seasonal_naive_mase",
+    oracle=f"""
+    WITH daily AS (
+        SELECT date_trunc('day', o_orderdate) AS day,
+               sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
+        FROM orders GROUP BY 1
+    ),
+    bounds AS (SELECT max(day) AS max_day FROM daily),
+    lagged AS (
+        SELECT d.day, d.cents, p.cents AS cents_m,
+               d.day > b.max_day - INTERVAL {_MASE_H} DAY AS is_test
+        FROM daily d
+        JOIN daily p ON p.day = d.day - INTERVAL {_MASE_M} DAY
+        CROSS JOIN bounds b
+    )
+    SELECT CAST((SELECT count(*) FROM daily) AS BIGINT) AS n_days,
+           CAST(sum(CASE WHEN is_test THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_test,
+           CAST(sum(CASE WHEN is_test THEN 0 ELSE 1 END) AS BIGINT)
+               AS n_train_diffs,
+           CAST(sum(CASE WHEN is_test THEN abs(cents - cents_m)
+                         ELSE 0 END) AS BIGINT) AS sum_abs_err_test_cents,
+           CAST(sum(CASE WHEN is_test THEN 0
+                         ELSE abs(cents - cents_m) END) AS BIGINT)
+               AS sum_abs_err_train_cents,
+           CAST((1000000 * sum(CASE WHEN is_test THEN abs(cents - cents_m)
+                                    ELSE 0 END)
+                 * sum(CASE WHEN is_test THEN 0 ELSE 1 END))
+                // (sum(CASE WHEN is_test THEN 1 ELSE 0 END)
+                    * sum(CASE WHEN is_test THEN 0
+                               ELSE abs(cents - cents_m) END))
+               AS BIGINT) AS mase_ppm
+    FROM lagged
+    """,
+    tags=("timeseries", "forecast", "mase", "evaluation"),
+)
+def q390_seasonal_naive_mase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MASE (mean absolute scaled error, Hyndman & Koehler) of the
+    seasonal-naive forecast on daily order revenue: the last 14 days
+    are the held-out horizon, the forecast for each day is the value
+    one seasonal period (7 days) earlier, and the error scale is the
+    in-sample seasonal-naive MAE — the denominators-of-record for
+    every forecasting bake-off (q298 Holt / q335 Holt-Winters produce
+    the forecasts; this is the metric that says whether they beat the
+    naive bar: MASE < 1e6 ppm means better than naive).
+
+    Determinism: revenue is exact integer cents; the lag join is
+    calendar arithmetic on day-truncated timestamps; MASE is the
+    exact integer identity Σ|e_test|·T / (H·Σ|Δm_train|) floored to
+    ppm — no float anywhere.
+
+    Scale posture: ONE partial+final rollup to day grain (bounded),
+    a day-grain equi-join on day−7 (no window, no shuffle of fact
+    rows beyond the rollup), and a 1-row summary. Reference
+    contract: per-order day bucketing = map slot (``App.config:16``);
+    error rollup = reduce slot (``App.config:17``)."""
+    orders = load_tables(spark, sf_dir)["orders"]
+    daily = orders.groupBy(
+        F.date_trunc("day", F.col("o_orderdate")).alias("day")
+    ).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
+            "cents"
+        )
+    )
+    bounds = daily.agg(F.max("day").alias("max_day"))
+    p = daily.select(
+        (F.col("day") + F.expr(f"INTERVAL {_MASE_M} DAYS")).alias("day"),
+        F.col("cents").alias("cents_m"),
+    )
+    lagged = (
+        daily.join(p, "day")
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            "cents",
+            "cents_m",
+            (
+                F.col("day")
+                > F.col("max_day") - F.expr(f"INTERVAL {_MASE_H} DAYS")
+            ).alias("is_test"),
+        )
+    )
+    n_days = daily.agg(F.count(F.lit(1)).cast("long").alias("n_days"))
+    err = F.abs(F.col("cents") - F.col("cents_m"))
+    test_err = F.sum(F.when(F.col("is_test"), err).otherwise(0))
+    train_err = F.sum(F.when(F.col("is_test"), 0).otherwise(err))
+    n_test = F.sum(F.when(F.col("is_test"), 1).otherwise(0))
+    n_train = F.sum(F.when(F.col("is_test"), 0).otherwise(1))
+    return (
+        lagged.agg(
+            n_test.cast("long").alias("n_test"),
+            n_train.cast("long").alias("n_train_diffs"),
+            test_err.cast("long").alias("sum_abs_err_test_cents"),
+            train_err.cast("long").alias("sum_abs_err_train_cents"),
+            (
+                (F.lit(1_000_000) * test_err * n_train)
+            ).alias("_num"),
+            (n_test * train_err).alias("_den"),
+        )
+        .crossJoin(F.broadcast(n_days))
+        .select(
+            "n_days",
+            "n_test",
+            "n_train_diffs",
+            "sum_abs_err_test_cents",
+            "sum_abs_err_train_cents",
+            F.expr("_num div _den").cast("long").alias("mase_ppm"),
+        )
+    )
+
+
+@query(
+    "q391_mann_kendall_trend",
+    oracle="""
+    WITH daily AS (
+        SELECT date_trunc('day', o_orderdate) AS day,
+               sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
+        FROM orders GROUP BY 1
+    ),
+    s AS (
+        SELECT sum(CASE WHEN b.cents > a.cents THEN 1
+                        WHEN b.cents < a.cents THEN -1 ELSE 0 END) AS s_stat
+        FROM daily a JOIN daily b ON a.day < b.day
+    ),
+    n AS (SELECT count(*) AS n FROM daily),
+    ties AS (
+        SELECT coalesce(sum(t * (t - 1) * (2 * t + 5)), 0) AS tie18
+        FROM (SELECT count(*) AS t FROM daily GROUP BY cents)
+        WHERE t > 1
+    ),
+    var18 AS (
+        SELECT n.n, s.s_stat,
+               n.n * (n.n - 1) * (2 * n.n + 5) - ties.tie18 AS v18
+        FROM n CROSS JOIN s CROSS JOIN ties
+    )
+    SELECT CAST(n AS BIGINT) AS n_days,
+           CAST(s_stat AS BIGINT) AS s_stat,
+           CAST(v18 AS BIGINT) AS var_s_x18,
+           round(CASE WHEN s_stat > 0
+                      THEN (s_stat - 1) / sqrt(v18 / 18.0)
+                      WHEN s_stat < 0
+                      THEN (s_stat + 1) / sqrt(v18 / 18.0)
+                      ELSE 0.0 END, 6) + 0.0 AS z_stat,
+           CASE WHEN round(CASE WHEN s_stat > 0
+                                THEN (s_stat - 1) / sqrt(v18 / 18.0)
+                                WHEN s_stat < 0
+                                THEN (s_stat + 1) / sqrt(v18 / 18.0)
+                                ELSE 0.0 END, 6) > 1.959964 THEN 'increasing'
+                WHEN round(CASE WHEN s_stat > 0
+                                THEN (s_stat - 1) / sqrt(v18 / 18.0)
+                                WHEN s_stat < 0
+                                THEN (s_stat + 1) / sqrt(v18 / 18.0)
+                                ELSE 0.0 END, 6) < -1.959964 THEN 'decreasing'
+                ELSE 'no trend' END AS trend
+    FROM var18
+    """,
+    tags=("timeseries", "statistics", "trend", "mann-kendall"),
+)
+def q391_mann_kendall_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Kendall nonparametric trend test on daily order revenue:
+    S = Σ_{i<j} sign(x_j − x_i) over the day-ordered series, variance
+    with the exact tie correction, and the continuity-corrected normal
+    z — the distribution-free "is this metric drifting" gate that
+    complements q178's Theil-Sen slope (MK decides IF there is a
+    monotone trend; Theil-Sen sizes it) and feeds the same alerting
+    path as q145's CUSUM.
+
+    Determinism: revenue is exact integer cents so every sign and tie
+    count is exact; variance stays ×18-scaled INTEGER; the only floats
+    are one division, one IEEE sqrt (exactly-rounded, engine-identical)
+    and the final z division, rounded at 6 with signed-zero
+    normalization; the 1.96 threshold compares against the ROUNDED z
+    (z is irrational — the boundary is unreachable).
+
+    Scale posture: ONE partial+final rollup to day grain (bounded:
+    |days|, not |orders|), then a day-grain a<b self-join — |days|²
+    pairs of integer compares, independent of fact volume (at 10 years
+    that is 6.7M comparisons — one task's work); ties and n are
+    day-grain aggregates. Reference contract: day bucketing = map slot
+    (``App.config:16``); pair rollup = reduce slot
+    (``App.config:17``)."""
+    orders = load_tables(spark, sf_dir)["orders"]
+    daily = orders.groupBy(
+        F.date_trunc("day", F.col("o_orderdate")).alias("day")
+    ).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
+            "cents"
+        )
+    ).persist()
+    a, b = daily.alias("a"), daily.alias("b")
+    s = (
+        a.join(b, F.col("a.day") < F.col("b.day"))
+        .agg(
+            F.sum(
+                F.when(F.col("b.cents") > F.col("a.cents"), 1)
+                .when(F.col("b.cents") < F.col("a.cents"), -1)
+                .otherwise(0)
+            ).alias("s_stat")
+        )
+    )
+    n = daily.agg(F.count(F.lit(1)).alias("n"))
+    ties = (
+        daily.groupBy("cents")
+        .agg(F.count(F.lit(1)).alias("t"))
+        .where(F.col("t") > 1)
+        .agg(
+            F.coalesce(
+                F.sum(
+                    F.col("t") * (F.col("t") - 1) * (2 * F.col("t") + 5)
+                ),
+                F.lit(0),
+            ).alias("tie18")
+        )
+    )
+    v18 = (F.col("n") * (F.col("n") - 1) * (2 * F.col("n") + 5)
+           - F.col("tie18"))
+    z = (
+        F.when(
+            F.col("s_stat") > 0,
+            (F.col("s_stat") - 1) / F.sqrt(F.col("var_s_x18") / F.lit(18.0)),
+        )
+        .when(
+            F.col("s_stat") < 0,
+            (F.col("s_stat") + 1) / F.sqrt(F.col("var_s_x18") / F.lit(18.0)),
+        )
+        .otherwise(F.lit(0.0))
+    )
+    out = (
+        n.crossJoin(s)
+        .crossJoin(ties)
+        .select(
+            F.col("n").cast("long").alias("n_days"),
+            F.col("s_stat").cast("long").alias("s_stat"),
+            v18.cast("long").alias("var_s_x18"),
+        )
+        .select(
+            "n_days",
+            "s_stat",
+            "var_s_x18",
+            round_nz(z, 6).alias("z_stat"),
+        )
+        .select(
+            "n_days",
+            "s_stat",
+            "var_s_x18",
+            "z_stat",
+            F.when(F.col("z_stat") > 1.959964, "increasing")
+            .when(F.col("z_stat") < -1.959964, "decreasing")
+            .otherwise("no trend")
+            .alias("trend"),
+        )
+    )
+    out = out.localCheckpoint(eager=True)
+    daily.unpersist()
+    return out
+
+
+_CCF_MAX_LAG = 7
+
+
+@query(
+    "q392_lagged_cross_correlation",
+    oracle=f"""
+    WITH daily AS (
+        SELECT date_trunc('day', ts) AS day,
+               CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+                    AS DOUBLE) AS x,
+               CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                    AS DOUBLE) AS y
+        FROM events GROUP BY 1
+    ),
+    series AS (
+        SELECT list(x ORDER BY day) AS ax, list(y ORDER BY day) AS ay,
+               count(*) AS n
+        FROM daily
+    ),
+    stats AS (
+        SELECT ax, ay, n,
+               list_reduce(list_prepend(CAST(0.0 AS DOUBLE), ax),
+                           (a, b) -> a + b) / n AS mx,
+               list_reduce(list_prepend(CAST(0.0 AS DOUBLE), ay),
+                           (a, b) -> a + b) / n AS my
+        FROM series
+    ),
+    centered AS (
+        SELECT ax, ay, n, mx, my,
+               sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                        list_transform(ax, v -> (v - mx) * (v - mx))),
+                        (a, b) -> a + b)
+                  * list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                        list_transform(ay, v -> (v - my) * (v - my))),
+                        (a, b) -> a + b)) AS denom
+        FROM stats
+    )
+    SELECT lag,
+           CAST(n AS BIGINT) AS n_days,
+           round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                     list_transform(
+                         range(greatest(1, 1 - lag),
+                               least(n, n - lag) + 1),
+                         i -> (ax[CAST(i AS INTEGER)] - mx)
+                            * (ay[CAST(i + lag AS INTEGER)] - my))),
+                     (a, b) -> a + b) / denom, 6) + 0.0 AS ccf
+    FROM centered,
+         unnest(range(-{_CCF_MAX_LAG}, {_CCF_MAX_LAG} + 1)) t(lag)
+    ORDER BY lag
+    """,
+    tags=("timeseries", "statistics", "cross-correlation", "window"),
+)
+def q392_lagged_cross_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lagged cross-correlation between the daily 'view' and daily
+    'purchase' event-count series at lags −7..7 — the lead/lag probe
+    that says whether views PRECEDE purchases (positive lag peak) and
+    by how many days: the causal-direction screen run before any
+    attribution model (q152/q340) is trusted, extending q279's ACF
+    (one series against itself) to two series.
+
+    Determinism: both series collapse to one day-ordered array each;
+    means, the denominator, and every lag's numerator are sequential
+    left-to-right folds (Spark `aggregate` seeded 0.0 ≡ DuckDB
+    `list_reduce` with a prepended DOUBLE-cast 0.0 seed — bare float
+    literals in DuckDB lambdas bind as DECIMAL, the SKILL trap); the
+    closing division rounds at 6 with signed-zero normalization.
+
+    Scale posture: ONE partial+final aggregate to day grain (bounded),
+    then 15 lag rows of array arithmetic independent of event volume —
+    the same day-grain pre-aggregation trick as q279 (CCF over raw
+    events would be a self-join; over the rollup it is free).
+    Reference contract: day bucketing = map slot (``App.config:16``);
+    series assembly = reduce slot (``App.config:17``)."""
+    events = load_tables(spark, sf_dir)["events"]
+    daily = events.groupBy(
+        F.date_trunc("day", F.col("ts")).alias("day")
+    ).agg(
+        F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0))
+        .cast("double")
+        .alias("x"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .cast("double")
+        .alias("y"),
+    )
+    series = daily.agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("day", "x"))),
+            lambda s: s.getField("x"),
+        ).alias("ax"),
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("day", "y"))),
+            lambda s: s.getField("y"),
+        ).alias("ay"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    fold = lambda arr: F.aggregate(arr, F.lit(0.0), lambda a, b: a + b)
+    stats = series.withColumn(
+        "mx", fold(F.col("ax")) / F.col("n")
+    ).withColumn("my", fold(F.col("ay")) / F.col("n"))
+    centered = stats.withColumn(
+        "denom",
+        F.sqrt(
+            fold(
+                F.transform(
+                    F.col("ax"),
+                    lambda v: (v - F.col("mx")) * (v - F.col("mx")),
+                )
+            )
+            * fold(
+                F.transform(
+                    F.col("ay"),
+                    lambda v: (v - F.col("my")) * (v - F.col("my")),
+                )
+            )
+        ),
+    )
+    lagged = centered.select(
+        "ax",
+        "ay",
+        "n",
+        "mx",
+        "my",
+        "denom",
+        F.explode(
+            F.sequence(F.lit(-_CCF_MAX_LAG), F.lit(_CCF_MAX_LAG))
+        ).alias("lag"),
+    )
+    num = fold(
+        F.transform(
+            F.sequence(
+                F.greatest(F.lit(1), F.lit(1) - F.col("lag")),
+                F.least(F.col("n"), F.col("n") - F.col("lag")),
+            ),
+            lambda i: (
+                F.element_at("ax", i.cast("int")) - F.col("mx")
+            )
+            * (
+                F.element_at("ay", (i + F.col("lag")).cast("int"))
+                - F.col("my")
+            ),
+        )
+    )
+    return lagged.select(
+        "lag",
+        F.col("n").cast("long").alias("n_days"),
+        round_nz(num / F.col("denom"), 6).alias("ccf"),
+    ).orderBy("lag")
