@@ -6836,3 +6836,81 @@ def q383_propensity_score_matching(spark: SparkSession, sf_dir: str) -> DataFram
         .select("lang", "n_treated", "naive_diff", "att_matched")
         .orderBy("lang")
     )
+
+
+@query(
+    "q394_k_anonymity_audit",
+    oracle="""
+    WITH qi AS (
+        SELECT c_nationkey, c_mktsegment,
+               CAST(round(c_acctbal * 100) AS BIGINT) // 100000 AS bal_band,
+               count(*) AS k
+        FROM customer
+        GROUP BY 1, 2, 3
+    ),
+    tot AS (SELECT sum(k) AS n_rows FROM qi),
+    bucketed AS (
+        SELECT CASE WHEN k = 1 THEN 'k=1'
+                    WHEN k < 5 THEN 'k=2-4'
+                    ELSE 'k>=5' END AS risk_bucket,
+               count(*) AS n_groups, sum(k) AS n_rows
+        FROM qi GROUP BY 1
+    )
+    SELECT b.risk_bucket,
+           CAST(b.n_groups AS BIGINT) AS n_groups,
+           CAST(b.n_rows AS BIGINT) AS n_rows,
+           CAST((1000000 * b.n_rows) // t.n_rows AS BIGINT) AS rows_ppm
+    FROM bucketed b CROSS JOIN tot t
+    ORDER BY b.risk_bucket
+    """,
+    tags=("privacy", "k-anonymity", "audit", "curation"),
+)
+def q394_k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit of the customer table under the
+    quasi-identifier tuple (nation, market segment, account-balance
+    band of 1000): how many identity groups — and how many ROWS — sit
+    at k=1 (unique, re-identifiable), k=2-4 (fragile), k≥5
+    (conventionally safe)? The privacy gate a release pipeline runs
+    before publishing "anonymized" extracts, complementing q54's PII
+    scrub (scrubbing direct identifiers does nothing about
+    quasi-identifier uniqueness — this measures that residual risk).
+
+    Determinism: the balance band is exact integer cents floor-divided
+    by 100000 (never float floor); group sizes, bucket tallies, and
+    the ppm share are exact integer arithmetic throughout.
+
+    Scale posture: ONE partial+final aggregate to quasi-identifier
+    grain (the group-by IS the audit), a 3-row bucket rollup, and a
+    1-row total broadcast — no joins over fact-sized data. Reference
+    contract: per-row QI projection = map slot (``App.config:16``);
+    risk rollup = reduce slot (``App.config:17``)."""
+    cust = load_tables(spark, sf_dir)["customer"]
+    qi = cust.groupBy(
+        "c_nationkey",
+        "c_mktsegment",
+        F.expr(
+            "CAST(round(c_acctbal * 100) AS BIGINT) div 100000"
+        ).alias("bal_band"),
+    ).agg(F.count(F.lit(1)).alias("k"))
+    tot = qi.agg(F.sum("k").alias("total_rows"))
+    bucketed = qi.groupBy(
+        F.when(F.col("k") == 1, "k=1")
+        .when(F.col("k") < 5, "k=2-4")
+        .otherwise("k>=5")
+        .alias("risk_bucket")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_groups"),
+        F.sum("k").cast("long").alias("n_rows"),
+    )
+    return (
+        bucketed.crossJoin(F.broadcast(tot))
+        .select(
+            "risk_bucket",
+            "n_groups",
+            "n_rows",
+            F.expr("(1000000 * n_rows) div total_rows")
+            .cast("long")
+            .alias("rows_ppm"),
+        )
+        .orderBy("risk_bucket")
+    )

@@ -2666,3 +2666,157 @@ def q389_rouge2_neardup_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_a", "doc_b")
     )
+
+
+_BQ_SAMPLE = 200  # doc_id < N audit sample (fixed size, q284 rule)
+
+
+@query(
+    "q396_blocking_quality_metrics",
+    oracle=f"""
+    WITH sample AS (
+        SELECT doc_id, text FROM documents WHERE doc_id < {_BQ_SAMPLE}
+    ),
+    w AS (SELECT doc_id,
+                 list_distinct(list_transform(
+                     generate_series(1, length(string_split(text, ' ')) - 2),
+                     i -> concat_ws(' ', string_split(text, ' ')[i],
+                                         string_split(text, ' ')[i+1],
+                                         string_split(text, ' ')[i+2]))) AS sh
+          FROM sample),
+    ids AS (SELECT doc_id, {_HASH_SQL.format(expr="s")} AS wid
+            FROM (SELECT doc_id, unnest(sh) AS s FROM w)),
+    mh AS (SELECT doc_id, {_minhash_sql_cols()} FROM ids GROUP BY doc_id),
+    bands AS (
+        {" UNION ALL ".join(f"SELECT doc_id, {b} AS band, {_band_key_sql(b)} AS bkey FROM mh" for b in range(N_BANDS))}
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey
+                                  AND a.doc_id < b.doc_id
+    ),
+    truth AS (
+        SELECT wa.doc_id AS doc_a, wb.doc_id AS doc_b
+        FROM w wa JOIN w wb ON wa.doc_id < wb.doc_id
+        WHERE 5 * length(list_intersect(wa.sh, wb.sh))
+              >= 4 * length(list_distinct(list_concat(wa.sh, wb.sh)))
+    ),
+    found AS (
+        SELECT t.doc_a FROM truth t
+        JOIN cand c ON c.doc_a = t.doc_a AND c.doc_b = t.doc_b
+    ),
+    m AS (
+        SELECT (SELECT count(*) FROM sample) AS n_docs,
+               (SELECT count(*) FROM cand) AS n_candidates,
+               (SELECT count(*) FROM truth) AS n_true,
+               (SELECT count(*) FROM found) AS n_true_found
+    )
+    SELECT CAST(n_docs AS BIGINT) AS n_docs,
+           CAST(n_docs * (n_docs - 1) // 2 AS BIGINT) AS n_all_pairs,
+           CAST(n_candidates AS BIGINT) AS n_candidates,
+           CAST(n_true AS BIGINT) AS n_true_pairs,
+           CAST(n_true_found AS BIGINT) AS n_true_found,
+           CAST((1000000 * (n_docs * (n_docs - 1) // 2 - n_candidates))
+                // (n_docs * (n_docs - 1) // 2) AS BIGINT)
+               AS reduction_ratio_ppm,
+           CAST(CASE WHEN n_true = 0 THEN 1000000
+                     ELSE (1000000 * n_true_found) // n_true END
+                AS BIGINT) AS pairs_completeness_ppm
+    FROM m
+    """,
+    tags=("dedup", "entity-resolution", "blocking", "evaluation"),
+)
+def q396_blocking_quality_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocking-quality evaluation (Christen's reduction ratio + pairs
+    completeness) of the q62 LSH banding scheme, measured on a fixed
+    200-document audit sample where exhaustive ground truth is
+    affordable: reduction ratio = how many of the all-pairs comparisons
+    blocking avoided; pairs completeness = what fraction of TRUE
+    near-dup pairs (exact trigram Jaccard ≥ 0.8 over ALL sample pairs)
+    the bands still surfaced. The recall side of the dedup story — q62
+    verifies precision inside candidates, q284 predicts recall from the
+    S-curve; this MEASURES it against exhaustive truth.
+
+    Determinism: the truth predicate is the pure-integer cross-multiply
+    ``5·|∩| ≥ 4·|∪|`` (no rounded Jaccard anywhere); candidates come
+    from the engine-pinned md5 minhash bands; all metrics are exact
+    integers with floor-ppm division.
+
+    Scale posture: the exhaustive all-pairs truth join is confined to
+    the FIXED-SIZE sample (≤200·199/2 pairs — corpus-size-free, the
+    q284 rule); banding on the sample reuses the q62 machinery
+    (map-side signatures, band equi-join). The audit is how a 100 TB
+    pipeline validates its blocking config before the full run, on a
+    pinned sample. Reference contract: signature build = map slot
+    (``App.config:16``); metric rollup = reduce slot
+    (``App.config:17``)."""
+    docs = _spread(
+        load_tables(spark, sf_dir)["documents"].where(
+            F.col("doc_id") < _BQ_SAMPLE
+        ),
+        "doc_id",
+    )
+    tri = _trigram_rows(docs)
+    ids = tri.select("doc_id", _hash48(F.col("s")).alias("wid"))
+    mh = ids.groupBy("doc_id").agg(*_minhash_exprs(F.col("wid")))
+    w = tri.groupBy("doc_id").agg(F.collect_set("s").alias("sh")).persist()
+    bands = _band_frame(mh)
+    a, b_ = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b_,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bkey") == F.col("b.bkey"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .distinct()
+        .persist()
+    )
+    wa = w.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    wb = w.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    truth = (
+        wa.join(wb, F.col("doc_a") < F.col("doc_b"))
+        .where(
+            F.lit(5) * F.size(F.array_intersect("sh_a", "sh_b"))
+            >= F.lit(4)
+            * F.size(F.array_union("sh_a", "sh_b"))
+        )
+        .select("doc_a", "doc_b")
+        .persist()
+    )
+    found = truth.join(cand, ["doc_a", "doc_b"], "left_semi")
+    n_docs = docs.count()
+    m = (
+        truth.agg(F.count(F.lit(1)).alias("n_true"))
+        .crossJoin(cand.agg(F.count(F.lit(1)).alias("n_candidates")))
+        .crossJoin(found.agg(F.count(F.lit(1)).alias("n_true_found")))
+        .select(
+            F.lit(n_docs).cast("long").alias("n_docs"),
+            F.lit(n_docs * (n_docs - 1) // 2)
+            .cast("long")
+            .alias("n_all_pairs"),
+            F.col("n_candidates").cast("long"),
+            F.col("n_true").cast("long").alias("n_true_pairs"),
+            F.col("n_true_found").cast("long"),
+            F.expr(
+                f"(1000000 * ({n_docs * (n_docs - 1) // 2} - n_candidates))"
+                f" div {n_docs * (n_docs - 1) // 2}"
+            )
+            .cast("long")
+            .alias("reduction_ratio_ppm"),
+            F.when(F.col("n_true") == 0, F.lit(1_000_000))
+            .otherwise(
+                F.expr("(1000000 * n_true_found) div n_true")
+            )
+            .cast("long")
+            .alias("pairs_completeness_ppm"),
+        )
+    )
+    out = m.localCheckpoint(eager=True)
+    for frame in (w, cand, truth):
+        frame.unpersist()
+    return out

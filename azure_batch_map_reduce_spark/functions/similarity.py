@@ -3609,3 +3609,265 @@ def q378_als_user_factor_step(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("pred_purchase"), F.asc("user_id"))
         .limit(_ALS_TOP)
     )
+
+
+_KLD_PROBES = 25  # fixed probe-set size (corpus-size-free, q284 rule)
+_KLD_K = 5
+
+
+@query(
+    "q393_knn_label_disagreement",
+    oracle=f"""
+    WITH p AS (
+        SELECT vec_id, label,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+        FROM embeddings WHERE vec_id < {_KLD_PROBES}
+    ),
+    c AS (
+        SELECT vec_id, label,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+        FROM embeddings
+    ),
+    scored AS (
+        SELECT p.vec_id AS probe, p.label AS own,
+               c.vec_id AS nb, c.label AS nb_label,
+               round(list_dot_product(c.e, p.e)
+                     / sqrt(list_dot_product(c.e, c.e)
+                            * list_dot_product(p.e, p.e)), 6) AS cosine
+        FROM p JOIN c ON c.vec_id <> p.vec_id
+    ),
+    top AS (
+        SELECT * FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY probe ORDER BY cosine DESC, nb ASC) AS rn
+            FROM scored
+        ) WHERE rn <= {_KLD_K}
+    ),
+    votes AS (
+        SELECT probe, own, nb_label, count(*) AS v
+        FROM top GROUP BY probe, own, nb_label
+    ),
+    maj AS (
+        SELECT * FROM (
+            SELECT probe, own, nb_label, v, row_number() OVER (
+                PARTITION BY probe ORDER BY v DESC, nb_label ASC) AS rn
+            FROM votes
+        ) WHERE rn = 1
+    )
+    SELECT m.probe AS vec_id,
+           CAST(m.own AS INTEGER) AS label,
+           CAST(m.nb_label AS INTEGER) AS majority_label,
+           CAST(m.v AS BIGINT) AS n_majority,
+           CAST(coalesce(o.v, 0) AS BIGINT) AS n_agree,
+           m.nb_label <> m.own AS disagrees
+    FROM maj m
+    LEFT JOIN votes o ON o.probe = m.probe AND o.nb_label = m.own
+    ORDER BY vec_id
+    """,
+    tags=("similarity", "knn", "label-noise", "audit", "llm"),
+)
+def q393_knn_label_disagreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NN label-noise audit (Confident-Learning style): for a fixed
+    probe set, does each example's label AGREE with the majority label
+    of its 5 cosine nearest neighbors? A disagreeing example is a
+    mislabel candidate — the triage list a labeling pipeline reviews
+    first, and the data-quality twin of q312's hubness audit (same
+    kNN machinery, different question).
+
+    Determinism: cosines follow q70's discipline (float arrays cast to
+    double, fixed-order dot products, round 6) with vec_id tie-breaks
+    in BOTH the top-k cut and the majority vote (count desc, smaller
+    label wins ties) — every ranking is total.
+
+    Scale posture: the probe set is FIXED SIZE (25 — corpus-size-free,
+    the q284 rule), so probe×corpus scoring is linear in the corpus and
+    embarrassingly parallel; per-probe top-k partitions by probe; votes
+    are 25×k rows. At production scale the scoring join swaps for
+    q73/q280's bucketed ANN without touching the audit logic.
+    Reference contract: per-vector scoring = map slot
+    (``App.config:16``); vote rollup = reduce slot (``App.config:17``)."""
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    p = emb.where(F.col("vec_id") < _KLD_PROBES).select(
+        F.col("vec_id").alias("probe"),
+        F.col("label").alias("own"),
+        _as_double(F.col("embedding")).alias("pe"),
+    )
+    c = emb.select(
+        F.col("vec_id").alias("nb"),
+        F.col("label").alias("nb_label"),
+        _as_double(F.col("embedding")).alias("ce"),
+    )
+    scored = c.crossJoin(F.broadcast(p)).where(
+        F.col("nb") != F.col("probe")
+    ).select(
+        "probe",
+        "own",
+        "nb",
+        "nb_label",
+        F.round(
+            _dot(F.col("ce"), F.col("pe"))
+            / F.sqrt(
+                _dot(F.col("ce"), F.col("ce"))
+                * _dot(F.col("pe"), F.col("pe"))
+            ),
+            6,
+        ).alias("cosine"),
+    )
+    wk = Window.partitionBy("probe").orderBy(
+        F.desc("cosine"), F.asc("nb")
+    )
+    top = scored.withColumn("rn", F.row_number().over(wk)).where(
+        F.col("rn") <= _KLD_K
+    )
+    votes = top.groupBy("probe", "own", "nb_label").agg(
+        F.count(F.lit(1)).alias("v")
+    )
+    wm = Window.partitionBy("probe").orderBy(F.desc("v"), F.asc("nb_label"))
+    maj = votes.withColumn("rn", F.row_number().over(wm)).where(
+        F.col("rn") == 1
+    )
+    own_votes = votes.select(
+        F.col("probe").alias("o_probe"),
+        F.col("nb_label").alias("o_label"),
+        F.col("v").alias("own_v"),
+    )
+    return (
+        maj.join(
+            own_votes,
+            (F.col("probe") == F.col("o_probe"))
+            & (F.col("own") == F.col("o_label")),
+            "left",
+        )
+        .select(
+            F.col("probe").alias("vec_id"),
+            F.col("own").cast("int").alias("label"),
+            F.col("nb_label").cast("int").alias("majority_label"),
+            F.col("v").cast("long").alias("n_majority"),
+            F.coalesce("own_v", F.lit(0)).cast("long").alias("n_agree"),
+            (F.col("nb_label") != F.col("own")).alias("disagrees"),
+        )
+        .orderBy("vec_id")
+    )
+
+
+_CD_SCALE = 1_000_000  # per-dimension fixed-point scale
+
+
+@query(
+    "q397_source_centroid_drift",
+    oracle=f"""
+    WITH ev AS (
+        SELECT vec_id, generate_subscripts(embedding, 1) AS dim,
+               unnest(embedding) AS val
+        FROM embeddings
+    ),
+    v AS (
+        SELECT d.source, ev.dim,
+               CAST(round(CAST(ev.val AS DOUBLE) * {_CD_SCALE}) AS BIGINT)
+                   AS vi
+        FROM ev JOIN documents d ON d.doc_id = ev.vec_id
+    ),
+    per_src AS (
+        SELECT source, dim, sum(vi) AS s FROM v GROUP BY source, dim
+    ),
+    nsrc AS (
+        SELECT d.source, count(*) AS n_vecs
+        FROM embeddings e JOIN documents d ON d.doc_id = e.vec_id
+        GROUP BY d.source
+    ),
+    gsum AS (SELECT dim, sum(vi) AS g FROM v GROUP BY dim),
+    dots AS (
+        SELECT s.source,
+               sum(CAST(s.s AS HUGEINT) * g.g) AS num,
+               sum(CAST(s.s AS HUGEINT) * s.s) AS a2,
+               sum(CAST(g.g AS HUGEINT) * g.g) AS b2
+        FROM per_src s JOIN gsum g ON g.dim = s.dim
+        GROUP BY s.source
+    )
+    SELECT d.source,
+           CAST(n.n_vecs AS BIGINT) AS n_vecs,
+           round(CAST(num AS DOUBLE)
+                 / sqrt(CAST(a2 AS DOUBLE) * CAST(b2 AS DOUBLE)), 6) + 0.0
+               AS centroid_cosine
+    FROM dots d JOIN nsrc n ON n.source = d.source
+    ORDER BY d.source
+    """,
+    tags=("similarity", "embeddings", "drift", "centroid", "llm"),
+)
+def q397_source_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source embedding-centroid drift: the cosine between each
+    source's mean embedding and the global mean — the distribution-
+    shift monitor a curation pipeline tracks per ingest source (a
+    source whose centroid swings away from the corpus signals topic
+    drift or a broken upstream encoder, before any downstream eval
+    notices). Complements q269's scalar stream-drift with the
+    embedding-space version.
+
+    Determinism: each float coordinate maps to fixed-point 1e6 integer
+    (exactly, on both engines); per-(source,dim) sums are EXACT
+    integers; cosine is scale-invariant so the count divisors cancel;
+    and the dot products themselves stay EXACT — Spark decimal(38,0)
+    ≡ DuckDB HUGEINT sums of integer products, order-independent — so
+    floats appear only in the single closing convert/sqrt/divide,
+    rounded at 6 with signed-zero normalization. (A double-fold
+    version differed by one 6th-decimal ulp between engines — integer
+    dot products make the divergence unrepresentable.)
+
+    Scale posture: the only corpus-size work is ONE explode to
+    (source, dim) grain with partial+final integer aggregation —
+    bounded output (sources × dims); everything after is arithmetic on
+    |sources| rows. Reference contract: per-vector dimension emission
+    = map slot (``App.config:16``); centroid rollup = reduce slot
+    (``App.config:17``)."""
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    docs = load_tables(spark, sf_dir)["documents"].select(
+        "doc_id", "source"
+    )
+    joined = emb.join(
+        docs, emb["vec_id"] == docs["doc_id"]
+    ).select("source", "vec_id", "embedding")
+    v = joined.select(
+        "source",
+        F.posexplode("embedding").alias("dim0", "val"),
+    ).select(
+        "source",
+        (F.col("dim0") + 1).alias("dim"),
+        # Cast to DOUBLE before the multiply: Spark would otherwise run
+        # float32 arithmetic while DuckDB promotes to double — 150 of
+        # 32k coordinates round differently at sf0.001.
+        F.round(F.col("val").cast("double") * _CD_SCALE)
+        .cast("long")
+        .alias("vi"),
+    )
+    per_src = v.groupBy("source", "dim").agg(F.sum("vi").alias("s"))
+    nsrc = joined.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_vecs")
+    )
+    glob = v.groupBy("dim").agg(F.sum("vi").alias("g"))
+    dec = lambda c: F.col(c).cast("decimal(38,0)")
+    dots = (
+        per_src.join(glob, "dim")
+        .groupBy("source")
+        .agg(
+            F.sum(dec("s") * dec("g")).alias("num"),
+            F.sum(dec("s") * dec("s")).alias("a2"),
+            F.sum(dec("g") * dec("g")).alias("b2"),
+        )
+    )
+    from azure_batch_map_reduce_spark.operators.ranks import round_nz
+
+    return (
+        dots.join(nsrc, "source")
+        .select(
+            "source",
+            F.col("n_vecs").cast("long").alias("n_vecs"),
+            round_nz(
+                F.col("num").cast("double")
+                / F.sqrt(
+                    F.col("a2").cast("double") * F.col("b2").cast("double")
+                ),
+                6,
+            ).alias("centroid_cosine"),
+        )
+        .orderBy("source")
+    )

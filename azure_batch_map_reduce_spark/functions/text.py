@@ -4337,3 +4337,179 @@ def q381_heaps_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("checkpoint_docs")
     )
+
+
+_GT_MAX_C = 10
+
+
+@query(
+    "q395_good_turing_counts",
+    oracle=f"""
+    WITH tok AS (
+        SELECT unnest(string_split(lower(text), ' ')) AS w FROM documents
+    ),
+    tf AS (
+        SELECT w, count(*) AS c FROM tok WHERE w <> '' GROUP BY w
+    ),
+    nc AS (
+        SELECT c, count(*) AS n_c FROM tf
+        WHERE c <= {_GT_MAX_C} + 1 GROUP BY c
+    ),
+    tot AS (SELECT sum(c) AS n_tokens FROM tf)
+    SELECT a.c,
+           CAST(a.n_c AS BIGINT) AS n_c,
+           CAST(coalesce(b.n_c, 0) AS BIGINT) AS n_c_plus_1,
+           CAST((1000000 * (a.c + 1) * coalesce(b.n_c, 0)) // a.n_c
+                AS BIGINT) AS c_star_ppm,
+           CAST((1000000 * a.c * a.n_c) // t.n_tokens AS BIGINT)
+               AS mass_ppm
+    FROM nc a
+    LEFT JOIN nc b ON b.c = a.c + 1
+    CROSS JOIN tot t
+    WHERE a.c <= {_GT_MAX_C}
+    ORDER BY a.c
+    """,
+    tags=("text", "language-model", "good-turing", "smoothing", "llm"),
+)
+def q395_good_turing_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Good-Turing count-of-counts table: for each raw unigram count
+    c = 1..10, the number of types N_c, the adjusted count
+    c* = (c+1)·N_{c+1}/N_c, and the probability mass c·N_c/N — the
+    frequency-of-frequencies statistic under every smoothing scheme
+    (q368's Kneser-Ney absolute discount is calibrated from exactly
+    these N_1/N_2 cells, and N_1/N estimates the unseen-event mass).
+
+    Determinism: type counts and count-of-counts are exact integers;
+    c* and the mass columns are floor integer division to ppm — no
+    float anywhere.
+
+    Scale posture: one corpus explode to token grain, ONE partial+final
+    rollup to word grain, a second rollup to count-of-counts grain
+    (≤ max count rows) and a scalar total — the classic two-level
+    aggregation, all map-side combinable. Reference contract: token
+    emission = map slot (``App.config:16``); count-of-counts rollup =
+    reduce slot (``App.config:17``)."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    tf = (
+        docs.select(
+            F.explode(F.split(F.lower(F.col("text")), " ")).alias("w")
+        )
+        .where(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    nc = (
+        tf.where(F.col("c") <= _GT_MAX_C + 1)
+        .groupBy("c")
+        .agg(F.count(F.lit(1)).alias("n_c"))
+    )
+    tot = tf.agg(F.sum("c").alias("n_tokens"))
+    b = nc.select((F.col("c") - 1).alias("c"), F.col("n_c").alias("n_c1"))
+    return (
+        nc.where(F.col("c") <= _GT_MAX_C)
+        .join(F.broadcast(b), "c", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "c",
+            F.col("n_c").cast("long").alias("n_c"),
+            F.coalesce("n_c1", F.lit(0)).cast("long").alias("n_c_plus_1"),
+            F.expr("(1000000 * (c + 1) * coalesce(n_c1, 0)) div n_c")
+            .cast("long")
+            .alias("c_star_ppm"),
+            F.expr("(1000000 * c * n_c) div n_tokens")
+            .cast("long")
+            .alias("mass_ppm"),
+        )
+        .orderBy("c")
+    )
+
+
+_MSTTR_W = 30  # segment width (tokens); trailing partial segment drops
+
+
+@query(
+    "q398_msttr_lexical_diversity",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id,
+               unnest(string_split(lower(text), ' ')) AS w,
+               generate_subscripts(string_split(lower(text), ' '), 1) AS pos
+        FROM documents
+    ),
+    numbered AS (
+        SELECT doc_id, w,
+               row_number() OVER (PARTITION BY doc_id ORDER BY pos) - 1
+                   AS tpos
+        FROM tok WHERE w <> ''
+    ),
+    segs AS (
+        SELECT doc_id, tpos // {_MSTTR_W} AS seg,
+               count(*) AS n_tok, count(DISTINCT w) AS n_types
+        FROM numbered
+        GROUP BY doc_id, tpos // {_MSTTR_W}
+        HAVING count(*) = {_MSTTR_W}
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_segments,
+           CAST((1000000 * sum(n_types)) // ({_MSTTR_W} * count(*))
+                AS BIGINT) AS msttr_ppm
+    FROM segs
+    GROUP BY doc_id
+    ORDER BY doc_id
+    """,
+    tags=("text", "lexical-diversity", "quality", "llm"),
+)
+def q398_msttr_lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean segmental type-token ratio (MSTTR-30): each document's
+    token stream splits into consecutive 30-token segments (trailing
+    partial segment dropped, per the standard definition), each
+    segment scores distinct/30, and the document reports the mean —
+    the length-robust lexical-diversity measure that raw TTR is not
+    (TTR decays with length; MSTTR compares fairly across documents,
+    which is why curation stacks use it next to q57's repetition
+    signals and q381's Heaps fit).
+
+    Determinism: token positions are exact; segment membership is
+    integer floor division; with a FIXED segment width the mean of
+    per-segment ratios collapses to the exact integer identity
+    Σtypes/(30·K), floored to ppm — no float anywhere.
+
+    Scale posture: one corpus explode with a per-document position
+    (the window partitions by doc_id — never global), one
+    partial+final rollup to (doc, segment) grain with a distinct
+    inside, one rollup to doc grain. Reference contract: token
+    emission = map slot (``App.config:16``); segment rollup = reduce
+    slot (``App.config:17``)."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    tok = docs.select(
+        "doc_id",
+        F.posexplode(F.split(F.lower(F.col("text")), " ")).alias(
+            "pos", "w"
+        ),
+    ).where(F.col("w") != "")
+    win = Window.partitionBy("doc_id").orderBy("pos")
+    numbered = tok.select(
+        "doc_id", "w", (F.row_number().over(win) - 1).alias("tpos")
+    )
+    segs = (
+        numbered.groupBy(
+            "doc_id", (F.col("tpos") / _MSTTR_W).cast("long").alias("seg")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_tok"),
+            F.countDistinct("w").alias("n_types"),
+        )
+        .where(F.col("n_tok") == _MSTTR_W)
+    )
+    return (
+        segs.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_segments"),
+            F.expr(
+                f"(1000000 * sum(n_types)) div ({_MSTTR_W} * count(*))"
+            )
+            .cast("long")
+            .alias("msttr_ppm"),
+        )
+        .orderBy("doc_id")
+    )
