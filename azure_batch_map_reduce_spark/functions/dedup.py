@@ -2820,3 +2820,118 @@ def q396_blocking_quality_metrics(spark: SparkSession, sf_dir: str) -> DataFrame
     for frame in (w, cand, truth):
         frame.unpersist()
     return out
+
+
+_INC_DELTA_MOD = 10  # doc_id % MOD == 7 plays the newly-ingested batch
+
+
+@query(
+    "q399_incremental_neardup_maintenance",
+    oracle=f"""
+    WITH {_SHINGLE_CTE},
+    bands AS (
+        {" UNION ALL ".join(f"SELECT doc_id, {b} AS band, {_band_key_sql(b)} AS bkey FROM mh" for b in range(N_BANDS))}
+    ),
+    delta AS (
+        SELECT doc_id FROM documents WHERE doc_id % {_INC_DELTA_MOD} = 7
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey
+                                  AND a.doc_id < b.doc_id
+        WHERE a.doc_id IN (SELECT doc_id FROM delta)
+           OR b.doc_id IN (SELECT doc_id FROM delta)
+    )
+    SELECT c.doc_a, c.doc_b,
+           c.doc_a % {_INC_DELTA_MOD} = 7 AS delta_a,
+           c.doc_b % {_INC_DELTA_MOD} = 7 AS delta_b,
+           CAST((1000000 * length(list_intersect(wa.sh, wb.sh)))
+                // length(list_distinct(list_concat(wa.sh, wb.sh)))
+               AS BIGINT) AS jaccard_ppm
+    FROM cand c
+    JOIN w wa ON wa.doc_id = c.doc_a
+    JOIN w wb ON wb.doc_id = c.doc_b
+    WHERE 5 * length(list_intersect(wa.sh, wb.sh))
+          >= 4 * length(list_distinct(list_concat(wa.sh, wb.sh)))
+    ORDER BY doc_a, doc_b
+    """,
+    tags=("dedup", "incremental", "minhash", "lsh", "llm"),
+)
+def q399_incremental_neardup_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental near-duplicate maintenance: when a delta batch
+    arrives (here the deterministic slice doc_id % 10 = 7), emit ONLY
+    the near-dup pairs that INVOLVE a delta document — new-vs-base and
+    new-vs-new — never re-comparing base-vs-base pairs the previous run
+    already settled. This is how q62's dedup actually runs in
+    production: signatures and band buckets are durable state, each
+    ingest probes its own signatures against the bucket index, and the
+    pair log grows append-only (the IVM pattern of q346/q361 applied
+    to the dedup graph).
+
+    Determinism: the delta membership is integer modulus; candidates
+    come from the engine-pinned md5 minhash bands; verification is the
+    pure-integer cross-multiply ``5·|∩| ≥ 4·|∪|`` with floor-ppm
+    Jaccard — no float anywhere.
+
+    Scale posture: the band join's probe side is |delta| signatures,
+    not the corpus — cost scales with ingest size times bucket
+    occupancy (the whole point of incremental maintenance); the
+    delta filter pushes into the band join as an IN-subquery
+    (semi-join) so base-vs-base bucket pairs are never materialized;
+    shingle sets join back only for surviving candidates. Reference
+    contract: signature build = map slot (``App.config:16``); pair
+    append = reduce slot (``App.config:17``)."""
+    docs = _spread(load_tables(spark, sf_dir)["documents"], "doc_id")
+    tri = _trigram_rows(docs)
+    ids = tri.select("doc_id", _hash48(F.col("s")).alias("wid"))
+    mh = ids.groupBy("doc_id").agg(*_minhash_exprs(F.col("wid"))).persist()
+    w = tri.groupBy("doc_id").agg(F.collect_set("s").alias("sh")).persist()
+    bands = _band_frame(mh)
+    is_delta = lambda c: F.col(c) % _INC_DELTA_MOD == 7
+    a, b_ = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b_,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bkey") == F.col("b.bkey"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .where(is_delta("a.doc_id") | is_delta("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .distinct()
+    )
+    wa = w.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    wb = w.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    uni = F.size(F.array_union("sh_a", "sh_b"))
+    out = (
+        cand.join(wa, "doc_a")
+        .join(wb, "doc_b")
+        .where(F.lit(5) * inter >= F.lit(4) * uni)
+        .select(
+            "doc_a",
+            "doc_b",
+            is_delta("doc_a").alias("delta_a"),
+            is_delta("doc_b").alias("delta_b"),
+            (
+                (F.lit(1_000_000) * inter.cast("long"))
+                .cast("long")
+            ).alias("_num"),
+            uni.cast("long").alias("_den"),
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            "delta_a",
+            "delta_b",
+            F.expr("_num div _den").cast("long").alias("jaccard_ppm"),
+        )
+        .orderBy("doc_a", "doc_b")
+    )
+    out = out.localCheckpoint(eager=True)
+    mh.unpersist()
+    w.unpersist()
+    return out

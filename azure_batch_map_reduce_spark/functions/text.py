@@ -4513,3 +4513,108 @@ def q398_msttr_lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+_DUP_N = 8  # n-gram width for the intra-document duplication audit
+
+
+@query(
+    "q400_duplicate_ngram_fraction",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id,
+               string_split(lower(text), ' ') AS ws
+        FROM documents
+    ),
+    pos AS (
+        SELECT doc_id, ws,
+               unnest(generate_series(1, len(ws) - {_DUP_N} + 1)) AS i
+        FROM tok WHERE len(ws) >= {_DUP_N}
+    ),
+    grams AS (
+        SELECT doc_id,
+               list_aggregate(ws[CAST(i AS INTEGER):
+                                 CAST(i + {_DUP_N} - 1 AS INTEGER)],
+                              'string_agg', ' ') AS g
+        FROM pos
+    ),
+    per_doc AS (
+        SELECT doc_id, count(*) AS n_ngrams,
+               count(DISTINCT g) AS n_distinct,
+               max(cnt) AS max_repeat
+        FROM (SELECT doc_id, g, count(*) AS cnt
+              FROM grams GROUP BY doc_id, g)
+        GROUP BY doc_id
+    )
+    SELECT doc_id,
+           CAST(n_ngrams AS BIGINT) AS n_ngrams,
+           CAST(n_distinct AS BIGINT) AS n_distinct,
+           CAST(max_repeat AS BIGINT) AS max_repeat,
+           CAST((1000000 * (n_ngrams - n_distinct)) // n_ngrams
+                AS BIGINT) AS dup_ppm
+    FROM per_doc
+    ORDER BY doc_id
+    """,
+    tags=("text", "dedup", "quality", "repetition", "llm"),
+)
+def q400_duplicate_ngram_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-document duplicate 8-gram fraction (the Gopher/RefinedWeb
+    repetition gate): per document, how many of its 8-token windows are
+    repeats of an earlier window? High dup_ppm marks boilerplate
+    loops, template spam, and decoding pathologies that per-CORPUS
+    dedup (q60-q68) cannot see because the repetition lives inside one
+    document. Complements q57's short-range repetition signals with
+    the long-window measure quality pipelines actually gate on.
+
+    Determinism: windows are exact position arithmetic over the token
+    array; counts are exact integers; the fraction is floor integer
+    division to ppm.
+
+    Scale posture: one map-side explode to (doc, window) grain — the
+    8-gram text itself never shuffles wider than the doc's own
+    windows; partial+final aggregation to (doc, gram) then doc grain.
+    At 100 TB the gram column would hash to 64 bits before the
+    shuffle (q260's trick); kept as text here for oracle parity.
+    Reference contract: window emission = map slot
+    (``App.config:16``); per-doc rollup = reduce slot
+    (``App.config:17``)."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    ws = F.split(F.lower(F.col("text")), " ")
+    grams = (
+        docs.select("doc_id", ws.alias("ws"))
+        .where(F.size("ws") >= _DUP_N)
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(
+                        F.lit(1), F.size("ws") - F.lit(_DUP_N - 1)
+                    ),
+                    lambda i: F.concat_ws(
+                        " ", F.slice("ws", i, _DUP_N)
+                    ),
+                )
+            ).alias("g"),
+        )
+    )
+    per_gram = grams.groupBy("doc_id", "g").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    return (
+        per_gram.groupBy("doc_id")
+        .agg(
+            F.sum("cnt").cast("long").alias("n_ngrams"),
+            F.count(F.lit(1)).cast("long").alias("n_distinct"),
+            F.max("cnt").cast("long").alias("max_repeat"),
+        )
+        .select(
+            "doc_id",
+            "n_ngrams",
+            "n_distinct",
+            "max_repeat",
+            F.expr("(1000000 * (n_ngrams - n_distinct)) div n_ngrams")
+            .cast("long")
+            .alias("dup_ppm"),
+        )
+        .orderBy("doc_id")
+    )

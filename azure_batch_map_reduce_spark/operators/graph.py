@@ -541,3 +541,104 @@ def q296_adamic_adar_links(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("adamic_adar"), F.asc("cust_a"), F.asc("cust_b"))
         .limit(_AA_TOPN)
     )
+
+
+@query(
+    "q401_degree_assortativity",
+    oracle="""
+    WITH edges AS (
+        SELECT DISTINCT o.o_custkey AS c, l.l_partkey AS p
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    ),
+    dc AS (SELECT c, count(*) AS d FROM edges GROUP BY c),
+    dp AS (SELECT p, count(*) AS d FROM edges GROUP BY p),
+    xy AS (
+        SELECT dc.d AS x, dp.d AS y
+        FROM edges e JOIN dc ON dc.c = e.c JOIN dp ON dp.p = e.p
+    ),
+    m AS (
+        SELECT count(*) AS n,
+               sum(CAST(x AS HUGEINT)) AS sx,
+               sum(CAST(y AS HUGEINT)) AS sy,
+               sum(CAST(x AS HUGEINT) * y) AS sxy,
+               sum(CAST(x AS HUGEINT) * x) AS sxx,
+               sum(CAST(y AS HUGEINT) * y) AS syy
+        FROM xy
+    )
+    SELECT CAST(n AS BIGINT) AS n_edges,
+           round(CAST(n * sxy - sx * sy AS DOUBLE)
+                 / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                        * CAST(n * syy - sy * sy AS DOUBLE)), 6) + 0.0
+               AS assortativity
+    FROM m
+    """,
+    tags=("graph", "assortativity", "degree", "statistics"),
+)
+def q401_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity of the bipartite customer-part purchase
+    graph: the Pearson correlation, over edges, between the customer
+    endpoint's degree and the part endpoint's degree (Newman's
+    assortativity coefficient specialized to a bipartite graph).
+    Negative values mean heavy buyers concentrate on niche parts —
+    the structural statistic that decides whether q212's
+    item-CF similarity needs degree normalization, completing the
+    graph-stats family (q218 degree distribution, q109 clustering,
+    q384 modularity).
+
+    Determinism: degrees are exact distinct-edge counts; every moment
+    (Σx, Σxy, Σx², ...) accumulates as EXACT integers — Spark
+    decimal(38,0) ≡ DuckDB HUGEINT, order-independent — and floats
+    appear only in the single closing convert/sqrt/divide, rounded at
+    6 with signed-zero normalization (the q397 rule).
+
+    Scale posture: one DISTINCT on the fact join (the edge list), two
+    partial+final degree rollups, one edge-grain join back (both
+    degree tables shuffle on their own key — at production scale the
+    edge list is bucketed by c and the dp join broadcasts when parts
+    are a bounded catalog), then a 1-row moment rollup. Reference
+    contract: per-edge degree emission = map slot (``App.config:16``);
+    moment rollup = reduce slot (``App.config:17``)."""
+    t = load_tables(spark, sf_dir)
+    edges = (
+        t["lineitem"]
+        .join(
+            t["orders"],
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .select(
+            F.col("o_custkey").alias("c"), F.col("l_partkey").alias("p")
+        )
+        .distinct()
+    )
+    dc = edges.groupBy("c").agg(F.count(F.lit(1)).alias("dx"))
+    dp = edges.groupBy("p").agg(F.count(F.lit(1)).alias("dy"))
+    xy = edges.join(dc, "c").join(dp, "p").select(
+        F.col("dx").alias("x"), F.col("dy").alias("y")
+    )
+    dec = lambda c: F.col(c).cast("decimal(38,0)")
+    m = xy.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(dec("x")).alias("sx"),
+        F.sum(dec("y")).alias("sy"),
+        F.sum(dec("x") * dec("y")).alias("sxy"),
+        F.sum(dec("x") * dec("x")).alias("sxx"),
+        F.sum(dec("y") * dec("y")).alias("syy"),
+    )
+    from azure_batch_map_reduce_spark.operators.ranks import round_nz
+
+    n = F.col("n").cast("decimal(38,0)")
+    return m.select(
+        F.col("n").cast("long").alias("n_edges"),
+        round_nz(
+            (n * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+            / F.sqrt(
+                (n * F.col("sxx") - F.col("sx") * F.col("sx")).cast(
+                    "double"
+                )
+                * (n * F.col("syy") - F.col("sy") * F.col("sy")).cast(
+                    "double"
+                )
+            ),
+            6,
+        ).alias("assortativity"),
+    )

@@ -189,12 +189,14 @@ def test_boilerplate_flags_are_consistent(spark, sf_dir):
 
 
 def test_inverted_index_positions_match_tf(spark, sf_dir):
-    """Each posting's position list is strictly increasing, within the
-    document's token range, and its length equals tf."""
+    """Each posting's position list (serialized as a comma-joined
+    string — the driver-hashable output contract) is strictly
+    increasing, within the document's token range, and its length
+    equals tf."""
     rows = REGISTRY["q274_positional_inverted_index"].fn(spark, sf_dir).collect()
     assert rows
     for r in rows:
-        pos = list(r.positions)
+        pos = [int(p) for p in r.positions.split(",")]
         assert len(pos) == r.tf
         assert pos == sorted(pos) and len(set(pos)) == len(pos)
         assert pos[0] >= 0
@@ -219,7 +221,7 @@ def test_gazetteer_positions_point_at_phrase(spark, sf_dir):
     for r in hits:
         words = docs[r.doc_id]
         phrase = phrase_of[r.entity].split(" ")
-        for p in r.positions:
+        for p in (int(x) for x in r.positions.split(",")):
             assert words[p : p + len(phrase)] == phrase, (r.doc_id, r.entity, p)
 
 
