@@ -4492,3 +4492,95 @@ def q392_lagged_cross_correlation(spark: SparkSession, sf_dir: str) -> DataFrame
         F.col("n").cast("long").alias("n_days"),
         round_nz(num / F.col("denom"), 6).alias("ccf"),
     ).orderBy("lag")
+
+
+@query(
+    "q403_backfill_range_planner",
+    oracle="""
+    WITH bounds AS (
+        SELECT date_trunc('day', min(o_orderdate)) AS lo,
+               date_trunc('day', max(o_orderdate)) AS hi
+        FROM orders
+    ),
+    spine AS (
+        SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS d
+        FROM bounds
+    ),
+    present AS (SELECT DISTINCT date_trunc('day', o_orderdate) AS d
+                FROM orders),
+    missing AS (
+        SELECT s.d,
+               epoch_us(s.d) // 86400000000 AS di
+        FROM spine s LEFT JOIN present p ON p.d = s.d
+        WHERE p.d IS NULL
+    ),
+    islands AS (
+        SELECT d, di,
+               di - row_number() OVER (ORDER BY di) AS grp
+        FROM missing
+    )
+    SELECT min(d) AS range_start,
+           max(d) AS range_end,
+           CAST(count(*) AS BIGINT) AS n_days
+    FROM islands
+    GROUP BY grp
+    ORDER BY range_start
+    """,
+    tags=("etl", "calendar", "backfill", "gaps-islands"),
+)
+def q403_backfill_range_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backfill range planner: which calendar days have NO order
+    partition, consolidated into contiguous [start, end] ranges via
+    the gaps-and-islands idiom (day_index − row_number is constant
+    within a run) — the work order an orchestrator turns into one
+    backfill job per RANGE instead of one per missing day. The
+    operational complement of q213's spine report (q213 counts the
+    silence; this plans the repair).
+
+    Determinism: the spine is exact calendar arithmetic from a 1-row
+    bounds aggregate; day indices are integer microsecond floor
+    division (never float); ranges are integer group-bys.
+
+    Scale posture: the spine is |days| rows broadcast-joined against
+    the day-grain DISTINCT of the fact table (the only corpus-sized
+    work is that one rollup); the islands window runs on the MISSING
+    subset — bounded by |days| — under ``bounded_order``'s audited
+    single partition. Day-grain timestamps stay TIMESTAMP on both
+    engines (the q104/q128 DATE-normalization rule). Reference
+    contract: day bucketing = map slot (``App.config:16``); range
+    consolidation = reduce slot (``App.config:17``)."""
+    orders = load_tables(spark, sf_dir)["orders"]
+    bounds = orders.agg(
+        F.date_trunc("day", F.min("o_orderdate")).alias("lo"),
+        F.date_trunc("day", F.max("o_orderdate")).alias("hi"),
+    )
+    spine = bounds.select(
+        F.explode(
+            F.sequence("lo", "hi", F.expr("INTERVAL 1 DAY"))
+        ).alias("d")
+    )
+    present = orders.select(
+        F.date_trunc("day", F.col("o_orderdate")).alias("d")
+    ).distinct()
+    missing = (
+        spine.join(present, "d", "left_anti")
+        .select("d", F.expr("unix_micros(d) div 86400000000").alias("di"))
+    )
+    islands = missing.select(
+        "d",
+        "di",
+        (
+            F.col("di")
+            - F.row_number().over(bounded_order(F.asc("di")))
+        ).alias("grp"),
+    )
+    return (
+        islands.groupBy("grp")
+        .agg(
+            F.min("d").alias("range_start"),
+            F.max("d").alias("range_end"),
+            F.count(F.lit(1)).cast("long").alias("n_days"),
+        )
+        .select("range_start", "range_end", "n_days")
+        .orderBy("range_start")
+    )

@@ -120,3 +120,98 @@ def q122_streaming_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("value", 2).alias("last_value"),
         F.col("ts").alias("last_ts"),
     )
+
+
+_ISL_DUP_MOD = 7     # event_id % MOD == 3 is redelivered (at-least-once)
+_ISL_BATCH_W = 1000  # synthetic micro-batch width in event_ids
+
+
+@query(
+    "q402_idempotent_sink_ledger",
+    oracle=f"""
+    WITH deliveries AS (
+        SELECT event_id, event_id // {_ISL_BATCH_W} AS batch_id,
+               1 AS delivery_no
+        FROM events
+        UNION ALL
+        SELECT event_id, event_id // {_ISL_BATCH_W} AS batch_id,
+               2 AS delivery_no
+        FROM events WHERE event_id % {_ISL_DUP_MOD} = 3
+    ),
+    ledger AS (
+        SELECT batch_id, event_id,
+               min(delivery_no) AS first_delivery,
+               count(*) AS n_deliveries
+        FROM deliveries GROUP BY batch_id, event_id
+    )
+    SELECT batch_id,
+           CAST(sum(n_deliveries) AS BIGINT) AS n_deliveries,
+           CAST(count(*) AS BIGINT) AS n_accepted,
+           CAST(sum(n_deliveries - 1) AS BIGINT) AS n_dup_rejected,
+           sum(n_deliveries - 1) = 0 AS exactly_once_clean
+    FROM ledger
+    GROUP BY batch_id
+    ORDER BY batch_id
+    """,
+    tags=("streaming", "sink", "exactly-once", "idempotence", "audit"),
+)
+def q402_idempotent_sink_ledger(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Idempotent-sink ledger accounting under at-least-once delivery:
+    the event stream replays with a deterministic redelivery slice
+    (event_id % 7 = 3 arrives twice), the sink's dedup ledger accepts
+    only each key's FIRST delivery, and the audit reports per
+    micro-batch how many deliveries arrived, were accepted, and were
+    rejected as duplicates — the exactly-once-over-at-least-once
+    arithmetic every foreachBatch sink (q84's merge-upsert, this
+    module's versioned-parquet MERGE) must get right, surfaced as a
+    checkable table instead of trusted silently.
+
+    Determinism: the redelivery set and batch assignment are integer
+    arithmetic on event_id; all tallies are exact counts.
+
+    Scale posture: ledger state is one row per (batch, key) — the
+    same bounded-per-key shape as the streaming dedup operator
+    (q83) — built by ONE partial+final aggregate; the per-batch audit
+    is a second bounded rollup. In production the ledger is the
+    sink-side keyed state store; here it materializes as a frame so
+    the oracle can replay it. Reference contract: delivery emission =
+    map slot (``App.config:16``); ledger rollup = reduce slot
+    (``App.config:17``)."""
+    from azure_batch_map_reduce_spark.catalog import load_tables
+
+    ev = load_tables(spark, sf_dir)["events"].select("event_id")
+    once = ev.select(
+        "event_id",
+        F.expr(f"event_id div {_ISL_BATCH_W}").alias("batch_id"),
+        F.lit(1).alias("delivery_no"),
+    )
+    again = (
+        ev.where(F.col("event_id") % _ISL_DUP_MOD == 3)
+        .select(
+            "event_id",
+            F.expr(f"event_id div {_ISL_BATCH_W}").alias("batch_id"),
+            F.lit(2).alias("delivery_no"),
+        )
+    )
+    ledger = (
+        once.unionAll(again)
+        .groupBy("batch_id", "event_id")
+        .agg(
+            F.min("delivery_no").alias("first_delivery"),
+            F.count(F.lit(1)).alias("n_deliveries"),
+        )
+    )
+    return (
+        ledger.groupBy("batch_id")
+        .agg(
+            F.sum("n_deliveries").cast("long").alias("n_deliveries"),
+            F.count(F.lit(1)).cast("long").alias("n_accepted"),
+            F.sum(F.col("n_deliveries") - 1)
+            .cast("long")
+            .alias("n_dup_rejected"),
+            (F.sum(F.col("n_deliveries") - 1) == 0).alias(
+                "exactly_once_clean"
+            ),
+        )
+        .orderBy("batch_id")
+    )

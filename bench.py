@@ -156,6 +156,27 @@ HEADLINE = [
     "q383_propensity_score_matching",
     "q384_neardup_modularity",
     "q385_transition_entropy",
+    # Round-5 operators: profiling joins, Apriori triple self-join,
+    # pair-grain ROUGE-2, day-grain stats, kNN audit, privacy rollup,
+    # LM counts, sample-bounded blocking eval, exact-dot drift,
+    # incremental dedup probe, 8-gram repetition explode,
+    # edge-grain assortativity moments.
+    "q386_inclusion_dependency_profile",
+    "q387_functional_dependency_audit",
+    "q388_apriori_triple_itemsets",
+    "q389_rouge2_neardup_recall",
+    "q390_seasonal_naive_mase",
+    "q391_mann_kendall_trend",
+    "q392_lagged_cross_correlation",
+    "q393_knn_label_disagreement",
+    "q394_k_anonymity_audit",
+    "q395_good_turing_counts",
+    "q396_blocking_quality_metrics",
+    "q397_source_centroid_drift",
+    "q398_msttr_lexical_diversity",
+    "q399_incremental_neardup_maintenance",
+    "q400_duplicate_ngram_fraction",
+    "q401_degree_assortativity",
 ]
 
 
