@@ -177,6 +177,8 @@ HEADLINE = [
     "q399_incremental_neardup_maintenance",
     "q400_duplicate_ngram_fraction",
     "q401_degree_assortativity",
+    "q402_idempotent_sink_ledger",
+    "q403_backfill_range_planner",
 ]
 
 
