@@ -2873,36 +2873,49 @@ def q399_incremental_neardup_maintenance(spark: SparkSession, sf_dir: str) -> Da
     pure-integer cross-multiply ``5·|∩| ≥ 4·|∪|`` with floor-ppm
     Jaccard — no float anywhere.
 
-    Scale posture: the band join's probe side is |delta| signatures,
-    not the corpus — cost scales with ingest size times bucket
-    occupancy (the whole point of incremental maintenance); the
-    delta filter pushes into the band join as an IN-subquery
-    (semi-join) so base-vs-base bucket pairs are never materialized;
-    shingle sets join back only for surviving candidates. Reference
-    contract: signature build = map slot (``App.config:16``); pair
-    append = reduce slot (``App.config:17``)."""
+    Scale posture: the band lookup is TWO equi-joins whose probe side
+    is the |delta| band rows (delta-vs-all and base-vs-delta), so
+    base-vs-base bucket pairs are never materialized — cost scales
+    with ingest size times bucket occupancy, the whole point of
+    incremental maintenance; shingle sets join back only for
+    surviving candidates. Pinned in
+    ``tests/test_plans.py::test_q399_band_probe_is_delta_sided``.
+    Reference contract: signature build = map slot
+    (``App.config:16``); pair append = reduce slot
+    (``App.config:17``)."""
     docs = _spread(load_tables(spark, sf_dir)["documents"], "doc_id")
     tri = _trigram_rows(docs)
     ids = tri.select("doc_id", _hash48(F.col("s")).alias("wid"))
     mh = ids.groupBy("doc_id").agg(*_minhash_exprs(F.col("wid"))).persist()
     w = tri.groupBy("doc_id").agg(F.collect_set("s").alias("sh")).persist()
-    bands = _band_frame(mh)
+    bands = _band_frame(mh).persist()
     is_delta = lambda c: F.col(c) % _INC_DELTA_MOD == 7
-    a, b_ = bands.alias("a"), bands.alias("b")
-    cand = (
-        a.join(
-            b_,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bkey") == F.col("b.bkey"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .where(is_delta("a.doc_id") | is_delta("b.doc_id"))
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-        )
-        .distinct()
+    # Probe the bucket index FROM the delta side only: two equi-joins
+    # whose build side is |delta| band rows. A single self-join with an
+    # OR-filter above it would materialize base-vs-base bucket pairs
+    # first and filter after — exactly the cost incremental
+    # maintenance exists to avoid.
+    d_bands = bands.where(is_delta("doc_id"))
+    base_bands = bands.where(~is_delta("doc_id"))
+    da, ba = d_bands.alias("a"), bands.alias("b")
+    p1 = da.join(
+        ba,
+        (F.col("a.band") == F.col("b.band"))
+        & (F.col("a.bkey") == F.col("b.bkey"))
+        & (F.col("a.doc_id") < F.col("b.doc_id")),
+    ).select(
+        F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
     )
+    bb, db = base_bands.alias("a"), d_bands.alias("b")
+    p2 = bb.join(
+        db,
+        (F.col("a.band") == F.col("b.band"))
+        & (F.col("a.bkey") == F.col("b.bkey"))
+        & (F.col("a.doc_id") < F.col("b.doc_id")),
+    ).select(
+        F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+    )
+    cand = p1.unionAll(p2).distinct()
     wa = w.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
     wb = w.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
@@ -2932,6 +2945,6 @@ def q399_incremental_neardup_maintenance(spark: SparkSession, sf_dir: str) -> Da
         .orderBy("doc_a", "doc_b")
     )
     out = out.localCheckpoint(eager=True)
-    mh.unpersist()
-    w.unpersist()
+    for frame in (mh, w, bands):
+        frame.unpersist()
     return out
