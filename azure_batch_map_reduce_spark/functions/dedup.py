@@ -2825,6 +2825,41 @@ def q396_blocking_quality_metrics(spark: SparkSession, sf_dir: str) -> DataFrame
 _INC_DELTA_MOD = 10  # doc_id % MOD == 7 plays the newly-ingested batch
 
 
+def _inc_band_candidates(bands: DataFrame) -> DataFrame:
+    """Delta-sided candidate pairs for incremental near-dup (q399).
+
+    Probes the bucket index FROM the delta slice only: two equi-joins
+    whose build side is |delta| band rows (delta-vs-all and
+    base-vs-delta). A single self-join with an OR-filter above it would
+    materialize base-vs-base bucket pairs first and filter after —
+    exactly the cost incremental maintenance exists to avoid. Shared
+    with ``tests/test_plans.py::test_q399_band_probe_is_delta_sided``,
+    which pins this plan shape.
+    """
+    is_delta = lambda c: F.col(c) % _INC_DELTA_MOD == 7
+    d_bands = bands.where(is_delta("doc_id"))
+    base_bands = bands.where(~is_delta("doc_id"))
+    da, ba = d_bands.alias("a"), bands.alias("b")
+    p1 = da.join(
+        ba,
+        (F.col("a.band") == F.col("b.band"))
+        & (F.col("a.bkey") == F.col("b.bkey"))
+        & (F.col("a.doc_id") < F.col("b.doc_id")),
+    ).select(
+        F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+    )
+    bb, db = base_bands.alias("a"), d_bands.alias("b")
+    p2 = bb.join(
+        db,
+        (F.col("a.band") == F.col("b.band"))
+        & (F.col("a.bkey") == F.col("b.bkey"))
+        & (F.col("a.doc_id") < F.col("b.doc_id")),
+    ).select(
+        F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+    )
+    return p1.unionAll(p2).distinct()
+
+
 @query(
     "q399_incremental_neardup_maintenance",
     oracle=f"""
@@ -2890,32 +2925,7 @@ def q399_incremental_neardup_maintenance(spark: SparkSession, sf_dir: str) -> Da
     w = tri.groupBy("doc_id").agg(F.collect_set("s").alias("sh")).persist()
     bands = _band_frame(mh).persist()
     is_delta = lambda c: F.col(c) % _INC_DELTA_MOD == 7
-    # Probe the bucket index FROM the delta side only: two equi-joins
-    # whose build side is |delta| band rows. A single self-join with an
-    # OR-filter above it would materialize base-vs-base bucket pairs
-    # first and filter after — exactly the cost incremental
-    # maintenance exists to avoid.
-    d_bands = bands.where(is_delta("doc_id"))
-    base_bands = bands.where(~is_delta("doc_id"))
-    da, ba = d_bands.alias("a"), bands.alias("b")
-    p1 = da.join(
-        ba,
-        (F.col("a.band") == F.col("b.band"))
-        & (F.col("a.bkey") == F.col("b.bkey"))
-        & (F.col("a.doc_id") < F.col("b.doc_id")),
-    ).select(
-        F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
-    )
-    bb, db = base_bands.alias("a"), d_bands.alias("b")
-    p2 = bb.join(
-        db,
-        (F.col("a.band") == F.col("b.band"))
-        & (F.col("a.bkey") == F.col("b.bkey"))
-        & (F.col("a.doc_id") < F.col("b.doc_id")),
-    ).select(
-        F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
-    )
-    cand = p1.unionAll(p2).distinct()
+    cand = _inc_band_candidates(bands)
     wa = w.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
     wb = w.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
     inter = F.size(F.array_intersect("sh_a", "sh_b"))

@@ -4346,10 +4346,15 @@ _GT_MAX_C = 10
     "q395_good_turing_counts",
     oracle=f"""
     WITH tok AS (
-        SELECT unnest(string_split(lower(text), ' ')) AS w FROM documents
+        SELECT string_split(lower(text), ' ') AS ws FROM documents
+    ),
+    bg AS (
+        SELECT ws[i] || ' ' || ws[i + 1] AS b
+        FROM tok, unnest(generate_series(1, len(ws) - 1)) AS t(i)
+        WHERE ws[i] <> '' AND ws[i + 1] <> ''
     ),
     tf AS (
-        SELECT w, count(*) AS c FROM tok WHERE w <> '' GROUP BY w
+        SELECT b, count(*) AS c FROM bg GROUP BY b
     ),
     nc AS (
         SELECT c, count(*) AS n_c FROM tf
@@ -4372,30 +4377,51 @@ _GT_MAX_C = 10
     tags=("text", "language-model", "good-turing", "smoothing", "llm"),
 )
 def q395_good_turing_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Good-Turing count-of-counts table: for each raw unigram count
-    c = 1..10, the number of types N_c, the adjusted count
-    c* = (c+1)·N_{c+1}/N_c, and the probability mass c·N_c/N — the
-    frequency-of-frequencies statistic under every smoothing scheme
-    (q368's Kneser-Ney absolute discount is calibrated from exactly
-    these N_1/N_2 cells, and N_1/N estimates the unseen-event mass).
+    """Good-Turing count-of-counts table over BIGRAM types: for each
+    raw bigram count c = 1..10, the number of types N_c, the adjusted
+    count c* = (c+1)·N_{c+1}/N_c, and the probability mass c·N_c/N —
+    the frequency-of-frequencies statistic under every smoothing
+    scheme (q368's Kneser-Ney absolute discount is calibrated from
+    exactly these N_1/N_2 cells, and N_1/N estimates the unseen-event
+    mass). Bigram grain (not unigram) is deliberate: the fixture's
+    unigram counts bottom out near 26 even at sf0.01, leaving every
+    N_{c<=11} cell empty and the operator vacuous — bigram types are
+    sparse enough that the low-count cells are populated at every
+    fixture scale (probed: N_1=9..10 at sf0.001/0.01, 9 populated
+    cells at sf0.1 — and it is also the grain q368's discount
+    actually smooths).
+    ``tests/test_llm_ops.py::test_q395_count_of_counts_nonempty``
+    pins the non-degeneracy.
 
     Determinism: type counts and count-of-counts are exact integers;
     c* and the mass columns are floor integer division to ppm — no
     float anywhere.
 
-    Scale posture: one corpus explode to token grain, ONE partial+final
-    rollup to word grain, a second rollup to count-of-counts grain
-    (≤ max count rows) and a scalar total — the classic two-level
-    aggregation, all map-side combinable. Reference contract: token
-    emission = map slot (``App.config:16``); count-of-counts rollup =
-    reduce slot (``App.config:17``)."""
+    Scale posture: one corpus explode to bigram grain, ONE
+    partial+final rollup to bigram-type grain, a second rollup to
+    count-of-counts grain (≤ max count rows) and a scalar total — the
+    classic two-level aggregation, all map-side combinable. Reference
+    contract: bigram emission = map slot (``App.config:16``);
+    count-of-counts rollup = reduce slot (``App.config:17``)."""
     docs = load_tables(spark, sf_dir)["documents"]
+    ws = F.split(F.lower(F.col("text")), " ")
     tf = (
         docs.select(
-            F.explode(F.split(F.lower(F.col("text")), " ")).alias("w")
+            F.explode(
+                F.when(
+                    F.size(ws) >= 2,
+                    F.transform(
+                        F.sequence(F.lit(1), F.size(ws) - 1),
+                        lambda i: F.struct(
+                            F.element_at(ws, i).alias("w1"),
+                            F.element_at(ws, i + 1).alias("w2"),
+                        ),
+                    ),
+                )
+            ).alias("p")
         )
-        .where(F.col("w") != "")
-        .groupBy("w")
+        .where((F.col("p.w1") != "") & (F.col("p.w2") != ""))
+        .groupBy("p.w1", "p.w2")
         .agg(F.count(F.lit(1)).alias("c"))
     )
     nc = (

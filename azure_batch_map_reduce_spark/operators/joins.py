@@ -1703,6 +1703,7 @@ def q352_inactive_high_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _AP_TOPN = 20  # triples reported
+_AP_L2 = 40  # frequent-pair cut: top-N pairs by support
 
 
 @query(
@@ -1714,12 +1715,13 @@ _AP_TOPN = 20  # triples reported
     ),
     tot AS (SELECT count(DISTINCT l_orderkey) AS n_orders FROM baskets),
     l2 AS (
-        SELECT a.p_brand AS ba, b.p_brand AS bb, count(*) AS n
+        SELECT a.p_brand AS ba, b.p_brand AS bb
         FROM baskets a
         JOIN baskets b ON a.l_orderkey = b.l_orderkey
                       AND a.p_brand < b.p_brand
         GROUP BY a.p_brand, b.p_brand
-        HAVING 20 * count(*) >= (SELECT n_orders FROM tot)
+        ORDER BY count(*) DESC, ba, bb
+        LIMIT {_AP_L2}
     ),
     tris AS (
         SELECT a.p_brand AS ba, b.p_brand AS bb, c.p_brand AS bc,
@@ -1736,7 +1738,6 @@ _AP_TOPN = 20  # triples reported
           AND EXISTS (SELECT 1 FROM l2 WHERE l2.ba = b.p_brand
                                         AND l2.bb = c.p_brand)
         GROUP BY a.p_brand, b.p_brand, c.p_brand
-        HAVING 20 * count(*) >= (SELECT n_orders FROM tot)
     )
     SELECT ba AS brand_a, bb AS brand_b, bc AS brand_c,
            CAST(support_n AS BIGINT) AS support_n,
@@ -1749,23 +1750,34 @@ _AP_TOPN = 20  # triples reported
     tags=("join", "basket", "apriori", "itemset", "association-rules"),
 )
 def q388_apriori_triple_itemsets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Level-wise Apriori over brand baskets: frequent brand TRIPLES at
-    5% minimum support, with the L2 prune applied exactly as Agrawal &
-    Srikant prescribe — a triple is only counted when all three of its
-    sub-pairs are themselves frequent. Extends q136 (pair lift) to the
+    """Level-wise Apriori over brand baskets: frequent brand TRIPLES,
+    with the L2 prune applied exactly as Agrawal & Srikant prescribe —
+    a triple is only counted when all three of its sub-pairs are
+    themselves frequent. "Frequent pair" is the top-40 pairs by
+    support (a rank cut, not a fixed fraction): the fixture's uniform
+    baskets never push any pair past a few percent support (max pair
+    support probed at 4.75%/3.15%/2.53% for sf0.001/0.01/0.1), so a
+    fixed 5% minimum support left every level empty and the prune
+    unexercised — the rank cut keeps L2 at exactly 40 of the 300
+    possible pairs and L3 non-empty (53/58 surviving triples probed
+    at sf0.001/0.01) at every scale. Extends q136 (pair lift) to the
     3-itemset level every association-rule miner needs before rule
     generation.
 
-    Determinism: supports are exact basket counts; the 5% threshold is
-    the pure-integer predicate ``20·support ≥ n_orders`` (no float
-    rounding); the top-20 orders by (support desc, lexicographic
-    triple) — a total order.
+    Determinism: supports are exact basket counts; the L2 rank cut
+    orders by (support desc, lexicographic pair) — a total order even
+    through boundary ties; the top-20 triples order by (support desc,
+    lexicographic triple).
 
     Scale posture: items map to a BOUNDED vocabulary (25 brands), so
     pair/triple spaces are ≤ 300 / ≤ 2300 regardless of fact size; the
     self-joins co-partition on l_orderkey (one shuffle shared by both
     levels), per-basket brand sets are tiny, and the L2 prune list
-    broadcasts (≤ 300 rows) into the triple join's EXISTS semi-joins.
+    broadcasts (exactly 40 rows) into the triple join's EXISTS
+    semi-joins; the rank cut itself is a TakeOrdered over ≤ 300
+    pair-grain rows, never a fact-side sort.
+    ``tests/test_llm_ops.py::test_q388_prune_levels_nonempty`` pins
+    the non-degeneracy of both levels.
     Reference contract: per-basket itemization = map slot
     (``App.config:16``); level-wise support rollup = reduce slot
     (``App.config:17``)."""
@@ -1791,8 +1803,8 @@ def q388_apriori_triple_itemsets(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("a.p_brand").alias("ba"), F.col("b.p_brand").alias("bb")
         )
         .agg(F.count(F.lit(1)).alias("n"))
-        .crossJoin(F.broadcast(n_orders))
-        .where(F.lit(20) * F.col("n") >= F.col("n_orders"))
+        .orderBy(F.desc("n"), "ba", "bb")
+        .limit(_AP_L2)
         .select("ba", "bb")
     )
     tris = (
@@ -1827,7 +1839,6 @@ def q388_apriori_triple_itemsets(spark: SparkSession, sf_dir: str) -> DataFrame:
         tris.groupBy("ba", "bb", "bc")
         .agg(F.count(F.lit(1)).alias("support_n"))
         .crossJoin(F.broadcast(n_orders))
-        .where(F.lit(20) * F.col("support_n") >= F.col("n_orders"))
         .select(
             F.col("ba").alias("brand_a"),
             F.col("bb").alias("brand_b"),

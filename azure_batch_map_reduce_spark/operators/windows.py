@@ -4176,6 +4176,10 @@ def q390_seasonal_naive_mase(spark: SparkSession, sf_dir: str) -> DataFrame:
     train_err = F.sum(F.when(F.col("is_test"), 0).otherwise(err))
     n_test = F.sum(F.when(F.col("is_test"), 1).otherwise(0))
     n_train = F.sum(F.when(F.col("is_test"), 0).otherwise(1))
+    # 1e6 * Σ|e_test| * T reaches ~8.4e18 at sf0.1 — 91% of int64 max —
+    # so the ppm numerator multiplies in decimal(38,0), matching the
+    # oracle's HUGEINT sum-of-BIGINT arithmetic (the q397/q401 pattern).
+    dec = lambda e: e.cast("decimal(38,0)")
     return (
         lagged.agg(
             n_test.cast("long").alias("n_test"),
@@ -4183,9 +4187,11 @@ def q390_seasonal_naive_mase(spark: SparkSession, sf_dir: str) -> DataFrame:
             test_err.cast("long").alias("sum_abs_err_test_cents"),
             train_err.cast("long").alias("sum_abs_err_train_cents"),
             (
-                (F.lit(1_000_000) * test_err * n_train)
+                F.lit(1_000_000).cast("decimal(38,0)")
+                * dec(test_err)
+                * dec(n_train)
             ).alias("_num"),
-            (n_test * train_err).alias("_den"),
+            (dec(n_test) * dec(train_err)).alias("_den"),
         )
         .crossJoin(F.broadcast(n_days))
         .select(

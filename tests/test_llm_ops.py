@@ -596,3 +596,35 @@ def test_q378_als_solve_satisfies_normal_equations(spark, sf_dir):
         r1 = a11 * row["u1"] + a12 * row["u2"] - b1
         r2 = a12 * row["u1"] + a22 * row["u2"] - b2
         assert abs(r1) < 1e-4 and abs(r2) < 1e-4, (row, r1, r2)
+
+
+def test_q395_count_of_counts_nonempty(spark, sf_dir):
+    """r5 ADVICE: the unigram-grain version returned ZERO rows at every
+    fixture scale (min unigram count ~26), making the oracle check
+    vacuous. Bigram grain must populate the low-count cells — pin that
+    N_1 exists and every c* / mass column is consistent."""
+    rows = REGISTRY["q395_good_turing_counts"].fn(spark, sf_dir).collect()
+    assert rows, "Good-Turing count-of-counts table is empty at fixture scale"
+    by_c = {r["c"]: r for r in rows}
+    assert 1 in by_c, f"N_1 cell missing: {sorted(by_c)}"
+    for r in rows:
+        assert r["n_c"] > 0
+        # c* = (c+1)·N_{c+1}/N_c floored to ppm, recomputed exactly.
+        assert r["c_star_ppm"] == (
+            1_000_000 * (r["c"] + 1) * r["n_c_plus_1"]
+        ) // r["n_c"]
+
+
+def test_q388_prune_levels_nonempty(spark, sf_dir):
+    """r5 ADVICE: the fixed 5% minimum support left L2 and L3 empty at
+    every fixture scale (max pair support 4.75%), so the Apriori prune
+    was never exercised. The top-40 rank cut must yield a non-empty
+    triple level whose sub-pairs are all frequent."""
+    rows = REGISTRY["q388_apriori_triple_itemsets"].fn(spark, sf_dir).collect()
+    assert rows, "Apriori triple level is empty at fixture scale"
+    assert all(r["support_n"] >= 1 for r in rows)
+    # Anti-monotonicity: a triple's support never exceeds any sub-pair's,
+    # so its brands must each appear in some reported triple consistently
+    # ordered lexicographically.
+    for r in rows:
+        assert r["brand_a"] < r["brand_b"] < r["brand_c"]

@@ -42,7 +42,12 @@ def _complex_cols(schema: StructType) -> list[str]:
 @pytest.mark.parametrize("name", sorted(REGISTRY))
 def test_final_schema_is_flat(spark, sf_dir, name):
     q = REGISTRY[name]
-    df = q.fn(spark, sf_dir)  # analysis only — never executed here
+    # Mostly analysis-only; the handful of eager builders
+    # (localCheckpoint(eager=True) in q384/q388/q391/q396/q399, the
+    # count() in q396) do run real jobs at sf0.001 here — accepted cost,
+    # since the final schema only exists on the built frame and the
+    # differential suite executes the same queries anyway.
+    df = q.fn(spark, sf_dir)
     bad = _complex_cols(df.schema)
     assert not bad, (
         f"{name} emits complex-typed column(s) {bad} — the driver's "

@@ -1077,3 +1077,45 @@ def test_q376_planner_is_exact_and_contiguous(spark, sf_dir):
     assert sum(r["weight"] for r in rows) == total
     for a, b in zip(rows, rows[1:]):
         assert a["hi_key"] < b["lo_key"]
+
+
+def test_q399_band_probe_is_delta_sided(spark, sf_dir):
+    """Incremental near-dup (q399): BOTH band-bucket equi-joins must
+    have a side filtered to the delta slice (doc_id % 10 = 7) so
+    base-vs-base bucket pairs are never materialized — the defining
+    cost property of incremental maintenance. Walks the optimized
+    logical plan: every Join whose condition touches the band key has
+    the delta-modulus predicate in at least one subtree."""
+    from azure_batch_map_reduce_spark.catalog import load_tables as _lt
+    from azure_batch_map_reduce_spark.functions.dedup import (
+        _band_frame,
+        _hash48,
+        _inc_band_candidates,
+        _minhash_exprs,
+        _trigram_rows,
+    )
+
+    docs = _lt(spark, sf_dir)["documents"]
+    tri = _trigram_rows(docs)
+    ids = tri.select("doc_id", _hash48(F.col("s")).alias("wid"))
+    bands = _band_frame(ids.groupBy("doc_id").agg(*_minhash_exprs(F.col("wid"))))
+    cand = _inc_band_candidates(bands)
+
+    def walk(node):
+        yield node
+        ch = node.children()
+        for i in range(ch.size()):
+            yield from walk(ch.apply(i))
+
+    root = cand._jdf.queryExecution().optimizedPlan()
+    band_joins = [
+        n
+        for n in walk(root)
+        if n.nodeName() == "Join" and "bkey" in n.condition().toString()
+    ]
+    assert len(band_joins) == 2, [j.condition().toString() for j in band_joins]
+    for j in band_joins:
+        sides = [j.left().toString(), j.right().toString()]
+        assert any("% 10) = 7" in s for s in sides), (
+            "band join has no delta-sided probe:\n" + j.condition().toString()
+        )
