@@ -36,6 +36,7 @@ from azure_batch_map_reduce_spark.operators.ranks import (
     bounded_order,
     distributed_row_number,
     distributed_running_sum,
+    half_up_ratio,
     ntile_from_rank,
     rank_small,
     round_nz,
@@ -2546,9 +2547,10 @@ def q266_class_balanced_undersample(spark: SparkSession, sf_dir: str) -> DataFra
     SELECT p.bin,
            CAST(p.n AS BIGINT)     AS n_docs,
            CAST(p.n_pos AS BIGINT) AS n_pos,
-           round(CAST(p.n_pos AS DOUBLE) / p.n, 6) AS raw_rate,
+           ((2 * p.n_pos * 1000000 + p.n) // (2 * p.n)) / 1000000.0
+                                                   AS raw_rate,
            round(i.iso, 6)                         AS iso_rate,
-           (round(CAST(p.n_pos AS DOUBLE) / p.n, 6)
+           (((2 * p.n_pos * 1000000 + p.n) // (2 * p.n)) / 1000000.0
                <> round(i.iso, 6))                 AS adjusted
     FROM per_bin p JOIN iso i ON p.bin = i.bin
     ORDER BY p.bin
@@ -2623,7 +2625,7 @@ def q277_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min("avg_ij").alias("m"))
     )
     iso = mn.groupBy("k").agg(F.max("m").alias("iso"))
-    raw = F.round(F.col("n_pos").cast("double") / F.col("n"), 6)
+    raw = half_up_ratio(F.col("n_pos"), F.col("n"), 6)
     return (
         per_bin.join(F.broadcast(iso), per_bin["bin"] == iso["k"])
         .select(

@@ -24,7 +24,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window, functions as F
 
 from azure_batch_map_reduce_spark.catalog import load_tables
-from azure_batch_map_reduce_spark.operators.ranks import round_nz
+from azure_batch_map_reduce_spark.operators.ranks import half_up_ratio, round_nz
 from azure_batch_map_reduce_spark.registry import query
 
 # 16 fixed affine permutations for MinHash: (a, b) applied as
@@ -1716,7 +1716,7 @@ _FS_M = {"segment": 0.95, "acctbal_band": 0.9, "name_suffix": 0.8}
     SELECT a.field,
            CAST(p.np AS BIGINT) AS n_pairs,
            CAST(a.na AS BIGINT) AS n_agree,
-           round(CAST(a.na AS DOUBLE) / p.np, 6)      AS u,
+           ((2 * a.na * 1000000 + p.np) // (2 * p.np)) / 1000000.0 AS u,
            m.m                                        AS m,
            round(log2(m.m / (CAST(a.na AS DOUBLE) / p.np)), 4)
                                                       AS weight_agree,
@@ -1793,7 +1793,7 @@ def q278_fellegi_sunter_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             "field",
             F.col("np").cast("long").alias("n_pairs"),
             F.col("na").cast("long").alias("n_agree"),
-            F.round(u, 6).alias("u"),
+            half_up_ratio(F.col("na"), F.col("np"), 6).alias("u"),
             "m",
             F.round(F.log2(F.col("m") / u), 4).alias("weight_agree"),
             F.round(F.log2((1 - F.col("m")) / (1 - u)), 4).alias(

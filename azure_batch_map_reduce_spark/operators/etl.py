@@ -19,6 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from azure_batch_map_reduce_spark.catalog import load_tables
+from azure_batch_map_reduce_spark.operators.ranks import half_up_ratio
 from azure_batch_map_reduce_spark.registry import query
 
 
@@ -882,7 +883,8 @@ def q168_cdc_materialize(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(n_rows AS BIGINT)     AS n_rows,
            CAST(n_runs AS BIGINT)     AS n_runs,
            CAST(n_distinct AS BIGINT) AS n_distinct,
-           round(CAST(n_runs AS DOUBLE) / n_rows, 6) AS runs_ratio,
+           ((2 * n_runs * 1000000 + n_rows) // (2 * n_rows)) / 1000000.0
+               AS runs_ratio,
            CAST(n_runs AS DOUBLE) / n_rows < 0.5     AS rle_friendly
     FROM (
         SELECT 'l_returnflag' AS col_name, n_rows, runs_rf AS n_runs, nd_rf AS n_distinct FROM agg
@@ -943,7 +945,7 @@ def q191_encoding_layout_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_rows").cast("long").alias("n_rows"),
         F.col("n_runs").cast("long").alias("n_runs"),
         F.col("n_distinct").cast("long").alias("n_distinct"),
-        F.round(F.col("n_runs").cast("double") / F.col("n_rows"), 6).alias(
+        half_up_ratio(F.col("n_runs"), F.col("n_rows"), 6).alias(
             "runs_ratio"
         ),
         (F.col("n_runs").cast("double") / F.col("n_rows") < 0.5).alias(
@@ -1231,7 +1233,8 @@ def q231_freshness_slo(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(n AS BIGINT)          AS n_rows,
            CAST(n_distinct AS BIGINT) AS n_distinct,
            n_distinct = n             AS is_candidate_key,
-           round(CAST(n_distinct AS DOUBLE) / n, 6) AS uniqueness
+           ((2 * n_distinct * 1000000 + n) // (2 * n)) / 1000000.0
+               AS uniqueness
     FROM (
         SELECT 'o_orderkey' AS col_name, n, d_orderkey AS n_distinct FROM stats
         UNION ALL SELECT 'o_custkey', n, d_custkey FROM stats
@@ -1273,7 +1276,7 @@ def q232_uniqueness_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").cast("long").alias("n_rows"),
         F.col("n_distinct").cast("long").alias("n_distinct"),
         (F.col("n_distinct") == F.col("n")).alias("is_candidate_key"),
-        F.round(F.col("n_distinct").cast("double") / F.col("n"), 6).alias(
+        half_up_ratio(F.col("n_distinct"), F.col("n"), 6).alias(
             "uniqueness"
         ),
     ).orderBy("col_name")

@@ -24,6 +24,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from azure_batch_map_reduce_spark.catalog import load_tables
+from azure_batch_map_reduce_spark.operators.ranks import half_up_ratio
 from azure_batch_map_reduce_spark.registry import query
 
 
@@ -466,7 +467,9 @@ def q116_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY a.p_brand, b.p_brand
     )
     SELECT brand_a, brand_b, CAST(pair_n AS BIGINT) AS pair_n,
-           round(CAST(pair_n * n_orders AS DOUBLE) / (na.n * nb.n), 6) AS lift
+           ((2 * CAST(pair_n AS HUGEINT) * n_orders * 1000000
+                 + na.n * nb.n)
+                // (2 * na.n * nb.n)) / 1000000.0 AS lift
     FROM pairs
     CROSS JOIN tot
     JOIN brand_n na ON na.p_brand = brand_a
@@ -524,9 +527,9 @@ def q136_market_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
             "brand_a",
             "brand_b",
             "pair_n",
-            F.round(
-                (F.col("pair_n") * F.col("n_orders")).cast("double")
-                / (F.col("n_a") * F.col("n_b")),
+            half_up_ratio(
+                F.col("pair_n").cast("decimal(38,0)") * F.col("n_orders"),
+                F.col("n_a") * F.col("n_b"),
                 6,
             ).alias("lift"),
         )

@@ -313,6 +313,35 @@ def round_nz(col: Column, digits: int) -> Column:
     return F.round(col, digits) + F.lit(0.0)
 
 
+def half_up_ratio(num: Column, den: Column, digits: int) -> Column:
+    """Exact half-up rounding of a NONNEGATIVE integer ratio
+    ``num/den`` to ``digits`` decimals, computed entirely in
+    decimal(38,0) integer arithmetic and scaled back to a double:
+    ``round_half_up(a/b, k) = (2·a·10^k + b) div (2·b) / 10^k``.
+
+    This is the engine-portable form of ``round(a/b, k)`` for exact
+    integer operands — the q345 trap: rounding the IEEE quotient is
+    boundary-unstable (Spark's round goes through the double's EXACT
+    BigDecimal expansion half-up, DuckDB's scales by ``10^k`` in
+    double first, so a quotient near a half k-th decimal can round
+    apart), and a power-of-two denominator can even land exactly ON a
+    representable half. Integer arithmetic has no boundary at all.
+    decimal(38,0) ≡ DuckDB's HUGEINT sum type, so micros-sum
+    numerators that overflow int64 stay exact (q390's fix). Pair with
+    the oracle form ``((2*(a)*10^k + (b)) // (2*(b))) / 10^k.0``
+    (DuckDB ``sum(BIGINT)`` is already HUGEINT).
+
+    Negative numerators would need floor-vs-truncate care — every
+    swept site is a count/size/micros ratio, nonnegative by
+    construction."""
+    scale = F.lit(10**digits).cast("decimal(38,0)")
+    a = num.cast("decimal(38,0)")
+    b = den.cast("decimal(38,0)")
+    return F.call_function(
+        "div", F.lit(2).cast("decimal(38,0)") * a * scale + b, F.lit(2).cast("decimal(38,0)") * b
+    ) / F.lit(float(10**digits))
+
+
 def desc_key(col: Column) -> Column:
     """Descending numeric sort key for :func:`rank_small`: ``0 - col``
     instead of ``-col`` so a stray ``-0.0`` (e.g. ``round(-1e-9, 6)``)

@@ -31,6 +31,7 @@ from azure_batch_map_reduce_spark.operators.ranks import (
     bounded_order,
     distributed_running_extremum,
     distributed_running_sum,
+    half_up_ratio,
     round_nz,
 )
 from azure_batch_map_reduce_spark.registry import query
@@ -1550,8 +1551,8 @@ def q156_portable_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT w.event_type, w.week,
            CAST(w.distinct_users AS BIGINT) AS distinct_users,
            CAST(sum(d.daily_distinct) AS BIGINT) AS sum_daily_distinct,
-           round(CAST(sum(d.daily_distinct) AS DOUBLE) / w.distinct_users,
-                 6) AS inflation
+           ((2 * sum(d.daily_distinct) * 1000000 + w.distinct_users)
+                // (2 * w.distinct_users)) / 1000000.0 AS inflation
     FROM weekly w JOIN daily d
       ON w.event_type = d.event_type AND w.week = d.week
     GROUP BY w.event_type, w.week, w.distinct_users
@@ -1613,10 +1614,8 @@ def q159_bitmap_distinct_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "week",
             F.col("distinct_users").cast("long"),
             F.col("sum_daily_distinct").cast("long"),
-            F.round(
-                F.col("sum_daily_distinct").cast("double")
-                / F.col("distinct_users"),
-                6,
+            half_up_ratio(
+                F.col("sum_daily_distinct"), F.col("distinct_users"), 6
             ).alias("inflation"),
         )
         .orderBy("event_type", "week")

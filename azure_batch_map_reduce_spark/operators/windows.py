@@ -14,6 +14,7 @@ from azure_batch_map_reduce_spark.catalog import load_tables
 from azure_batch_map_reduce_spark.operators.ranks import (
     bounded_order,
     distributed_row_number,
+    half_up_ratio,
     ntile_from_rank,
     round_nz,
 )
@@ -1032,7 +1033,8 @@ def q145_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT wau.d AS day,
            CAST(dau.active_1d AS BIGINT) AS dau,
            CAST(wau.active_7d AS BIGINT) AS wau,
-           round(CAST(dau.active_1d AS DOUBLE) / wau.active_7d, 6) AS stickiness
+           ((2 * dau.active_1d * 1000000 + wau.active_7d)
+                // (2 * wau.active_7d)) / 1000000.0 AS stickiness
     FROM wau JOIN dau ON wau.d = dau.d
     ORDER BY day
     """,
@@ -1082,7 +1084,7 @@ def q148_rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
             "day",
             "dau",
             "wau",
-            F.round(F.col("dau").cast("double") / F.col("wau"), 6).alias(
+            half_up_ratio(F.col("dau"), F.col("wau"), 6).alias(
                 "stickiness"
             ),
         )
@@ -1202,8 +1204,10 @@ def q149_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT touch_type,
            CAST(count(*) AS BIGINT) AS n_purchases,
            round(sum(value), 2) AS attributed_value,
-           round(CAST(sum(epoch_us(t) - epoch_us(touch_t)) AS DOUBLE)
-                 / (count(*) * 60000000), 6) AS avg_mins_to_convert
+           ((2 * CAST(sum(epoch_us(t) - epoch_us(touch_t)) AS HUGEINT)
+                 * 1000000 + count(*) * 60000000)
+                // (2 * count(*) * 60000000)) / 1000000.0
+               AS avg_mins_to_convert
     FROM ordered
     WHERE event_type = 'purchase' AND touch_type IS NOT NULL
     GROUP BY touch_type
@@ -1256,11 +1260,9 @@ def q152_last_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_purchases"),
             F.round(F.sum("value"), 2).alias("attributed_value"),
-            F.round(
-                F.sum(
-                    F.unix_micros("ts") - F.unix_micros("touch_t")
-                ).cast("double")
-                / (F.count(F.lit(1)) * 60000000),
+            half_up_ratio(
+                F.sum(F.unix_micros("ts") - F.unix_micros("touch_t")),
+                F.count(F.lit(1)) * 60000000,
                 6,
             ).alias("avg_mins_to_convert"),
         )
@@ -1392,8 +1394,10 @@ def q160_seasonal_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         LEFT JOIN s3 ON s1.user_id = s3.user_id
     )
     SELECT reached, CAST(count(*) AS BIGINT) AS n_users,
-           round(CAST(sum(funnel_us) AS DOUBLE)
-                 / (count(funnel_us) * 60000000), 6) AS avg_funnel_mins
+           ((2 * CAST(sum(funnel_us) AS HUGEINT) * 1000000
+                 + count(funnel_us) * 60000000)
+                // (2 * count(funnel_us) * 60000000)) / 1000000.0
+               AS avg_funnel_mins
     FROM depth GROUP BY reached ORDER BY reached
     """,
     tags=("window", "funnel", "events", "time-constrained"),
@@ -1463,9 +1467,9 @@ def q165_window_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         depth.groupBy("reached")
         .agg(
             F.count(F.lit(1)).alias("n_users"),
-            F.round(
-                F.sum("funnel_us").cast("double")
-                / (F.count("funnel_us") * 60000000),
+            half_up_ratio(
+                F.sum("funnel_us"),
+                F.count("funnel_us") * 60000000,
                 6,
             ).alias("avg_funnel_mins"),
         )
@@ -1784,8 +1788,10 @@ def q182_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT event_type, h AS alert_hour,
            CAST(n AS BIGINT) AS n_events,
-           round(CAST(base_n AS DOUBLE) / base_hours, 4) AS baseline_rate,
-           round(CAST(n AS DOUBLE) * base_hours / base_n, 4) AS spike_ratio
+           ((2 * base_n * 10000 + base_hours) // (2 * base_hours))
+               / 10000.0 AS baseline_rate,
+           ((2 * n * base_hours * 10000 + base_n) // (2 * base_n))
+               / 10000.0 AS spike_ratio
     FROM walled
     WHERE base_hours >= 12
       AND 2 * n * base_hours > 3 * base_n
@@ -1841,11 +1847,11 @@ def q188_rate_alert_baseline(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_type",
             F.col("h").alias("alert_hour"),
             F.col("n").cast("long").alias("n_events"),
-            F.round(F.col("base_n").cast("double") / F.col("base_hours"), 4).alias(
+            half_up_ratio(F.col("base_n"), F.col("base_hours"), 4).alias(
                 "baseline_rate"
             ),
-            F.round(
-                F.col("n").cast("double") * F.col("base_hours") / F.col("base_n"), 4
+            half_up_ratio(
+                F.col("n") * F.col("base_hours"), F.col("base_n"), 4
             ).alias("spike_ratio"),
         )
         .orderBy("event_type", "alert_hour")
@@ -1996,7 +2002,7 @@ def q199_decayed_activity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT w_start, event_type,
            CAST(n AS BIGINT)      AS n,
            CAST(prev_n AS BIGINT) AS prev_n,
-           round(CAST(n AS DOUBLE) / prev_n, 4) AS growth
+           ((2 * n * 10000 + prev_n) // (2 * prev_n)) / 10000.0 AS growth
     FROM ranked
     WHERE rn = 1
     ORDER BY w_start
@@ -2052,7 +2058,7 @@ def q201_trending_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_type",
             F.col("n").cast("long").alias("n"),
             F.col("prev_n").cast("long").alias("prev_n"),
-            F.round(F.col("n").cast("double") / F.col("prev_n"), 4).alias(
+            half_up_ratio(F.col("n"), F.col("prev_n"), 4).alias(
                 "growth"
             ),
         )

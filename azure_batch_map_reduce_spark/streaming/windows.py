@@ -24,6 +24,7 @@ from azure_batch_map_reduce_spark.catalog import (
     normalize_event_ts,
     table_path,
 )
+from azure_batch_map_reduce_spark.operators.ranks import half_up_ratio
 from azure_batch_map_reduce_spark.registry import query
 
 
@@ -1116,8 +1117,10 @@ def q301_lambda_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT event_type,
            CAST(count(*) AS BIGINT)  AS n_pairs,
            CAST(sum(inv) AS BIGINT)  AS n_inversions,
-           round(CAST(sum(inv) AS DOUBLE) / count(*), 4) AS inversion_rate,
-           round(max(backstep_us) / 1000000.0, 3) AS max_backstep_s
+           ((2 * sum(inv) * 10000 + count(*)) // (2 * count(*)))
+               / 10000.0 AS inversion_rate,
+           ((2 * max(backstep_us) * 1000 + 1000000) // 2000000)
+               / 1000.0 AS max_backstep_s
     FROM pairs
     GROUP BY event_type
     ORDER BY event_type
@@ -1179,10 +1182,10 @@ def q304_out_of_order_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_pairs"),
             F.sum("inv").cast("long").alias("n_inversions"),
-            F.round(
-                F.sum("inv").cast("double") / F.count(F.lit(1)), 4
-            ).alias("inversion_rate"),
-            F.round(F.max("backstep_us") / 1000000.0, 3).alias(
+            half_up_ratio(F.sum("inv"), F.count(F.lit(1)), 4).alias(
+                "inversion_rate"
+            ),
+            half_up_ratio(F.max("backstep_us"), F.lit(1000000), 3).alias(
                 "max_backstep_s"
             ),
         )
