@@ -201,8 +201,10 @@ _PAIRS_CTES = f"""{_SHINGLE_CTE},
     pairs AS (
         SELECT doc_a, doc_b, jaccard FROM (
             SELECT c.doc_a, c.doc_b,
-                   round(CAST(length(list_intersect(wa.sh, wb.sh)) AS DOUBLE)
-                         / length(list_distinct(list_concat(wa.sh, wb.sh))), 4) AS jaccard
+                   ((2 * length(list_intersect(wa.sh, wb.sh)) * 10000
+                         + length(list_distinct(list_concat(wa.sh, wb.sh))))
+                        // (2 * length(list_distinct(list_concat(wa.sh, wb.sh)))))
+                       / 10000.0 AS jaccard
             FROM cand c
             JOIN w wa ON wa.doc_id = c.doc_a
             JOIN w wb ON wb.doc_id = c.doc_b
@@ -284,9 +286,9 @@ def neardup_pairs(docs: DataFrame) -> DataFrame:
     )
     wa = w.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
     wb = w.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
-    jac = F.round(
-        F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
-        / F.size(F.array_union("sh_a", "sh_b")),
+    jac = half_up_ratio(
+        F.size(F.array_intersect("sh_a", "sh_b")),
+        F.size(F.array_union("sh_a", "sh_b")),
         4,
     )
     return (
@@ -354,8 +356,11 @@ def simhash_frame(docs: DataFrame) -> DataFrame:
     g AS (SELECT doc_id, source, grams, length(grams) AS ng FROM raw),
     pairs AS (
         SELECT a.source, a.doc_id AS doc_a, b.doc_id AS doc_b,
-               round(CAST(length(list_intersect(a.grams, b.grams)) AS DOUBLE)
-                     / (a.ng + b.ng - length(list_intersect(a.grams, b.grams))), 4) AS jaccard
+               ((2 * length(list_intersect(a.grams, b.grams)) * 10000
+                     + (a.ng + b.ng - length(list_intersect(a.grams, b.grams))))
+                    // (2 * (a.ng + b.ng
+                             - length(list_intersect(a.grams, b.grams)))))
+                   / 10000.0 AS jaccard
         FROM g a JOIN g b ON a.source = b.source AND a.doc_id < b.doc_id
     )
     SELECT source, doc_a, doc_b, jaccard
@@ -411,9 +416,8 @@ def q64_ngram_jaccard_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         "doc_a",
         "doc_b",
-        F.round(
-            inter.cast("double") / (F.col("na") + F.col("nb") - inter),
-            4,
+        half_up_ratio(
+            inter, F.col("na") + F.col("nb") - inter, 4
         ).alias("jaccard"),
     )
     w = Window.partitionBy("source").orderBy(
@@ -710,8 +714,10 @@ _INCR_BANDS_SQL = " UNION ALL ".join(
     )
     SELECT batch_doc, other_doc, jaccard FROM (
         SELECT c.batch_doc, c.other_doc,
-               round(CAST(length(list_intersect(wa.sh, wb.sh)) AS DOUBLE)
-                     / length(list_distinct(list_concat(wa.sh, wb.sh))), 4) AS jaccard
+               ((2 * length(list_intersect(wa.sh, wb.sh)) * 10000
+                     + length(list_distinct(list_concat(wa.sh, wb.sh))))
+                    // (2 * length(list_distinct(list_concat(wa.sh, wb.sh)))))
+                   / 10000.0 AS jaccard
         FROM cand c
         JOIN w wa ON wa.doc_id = c.batch_doc
         JOIN w wb ON wb.doc_id = c.other_doc
@@ -754,9 +760,9 @@ def q100_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     wa = w.select(F.col("doc_id").alias("batch_doc"), F.col("sh").alias("sh_a"))
     wb = w.select(F.col("doc_id").alias("other_doc"), F.col("sh").alias("sh_b"))
-    jac = F.round(
-        F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
-        / F.size(F.array_union("sh_a", "sh_b")),
+    jac = half_up_ratio(
+        F.size(F.array_intersect("sh_a", "sh_b")),
+        F.size(F.array_union("sh_a", "sh_b")),
         4,
     )
     return (
@@ -838,9 +844,11 @@ PPJOIN_TAU = 0.6  # Jaccard threshold for the prefix-filtered join
            CAST(len(a.ts) AS BIGINT) AS n_i,
            CAST(len(b.ts) AS BIGINT) AS n_j,
            CAST(len(list_intersect(a.ts, b.ts)) AS BIGINT) AS n_common,
-           round(CAST(len(list_intersect(a.ts, b.ts)) AS DOUBLE)
-                 / (len(a.ts) + len(b.ts) - len(list_intersect(a.ts, b.ts))),
-                 6) AS jaccard
+           ((2 * len(list_intersect(a.ts, b.ts)) * 1000000
+                 + (len(a.ts) + len(b.ts) - len(list_intersect(a.ts, b.ts))))
+                // (2 * (len(a.ts) + len(b.ts)
+                         - len(list_intersect(a.ts, b.ts)))))
+               / 1000000.0 AS jaccard
     FROM toks a JOIN toks b ON a.doc_id < b.doc_id
     WHERE CAST(len(list_intersect(a.ts, b.ts)) AS DOUBLE)
           / (len(a.ts) + len(b.ts) - len(list_intersect(a.ts, b.ts))) >= 0.6
@@ -973,7 +981,11 @@ def q150_prefix_filter_simjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_i",
         "n_j",
         "n_common",
-        F.round("jacc_raw", 6).alias("jaccard"),
+        half_up_ratio(
+            F.col("n_common"),
+            F.col("n_i") + F.col("n_j") - F.col("n_common"),
+            6,
+        ).alias("jaccard"),
     ).orderBy("doc_i", "doc_j")
 
 
@@ -1463,8 +1475,9 @@ _SHINGLE_MIN_SHARED = 3
            CAST(s.n_shared AS BIGINT) AS n_shared,
            CAST(za.n_sh AS BIGINT)    AS n_sh_a,
            CAST(zb.n_sh AS BIGINT)    AS n_sh_b,
-           round(CAST(s.n_shared AS DOUBLE)
-                 / least(za.n_sh, zb.n_sh), 4) AS containment
+           ((2 * s.n_shared * 10000 + least(za.n_sh, zb.n_sh))
+                // (2 * least(za.n_sh, zb.n_sh))) / 10000.0
+               AS containment
     FROM shared s
     JOIN sizes za ON za.doc_id = s.doc_a
     JOIN sizes zb ON zb.doc_id = s.doc_b
@@ -1569,10 +1582,8 @@ def q260_substring_shingle_overlap(spark: SparkSession, sf_dir: str) -> DataFram
             F.col("n_shared").cast("long").alias("n_shared"),
             F.col("n_sh_a").cast("long").alias("n_sh_a"),
             F.col("n_sh_b").cast("long").alias("n_sh_b"),
-            F.round(
-                F.col("n_shared").cast("double")
-                / F.least("n_sh_a", "n_sh_b"),
-                4,
+            half_up_ratio(
+                F.col("n_shared"), F.least("n_sh_a", "n_sh_b"), 4
             ).alias("containment"),
         )
         .orderBy("doc_a", "doc_b")
@@ -1834,8 +1845,11 @@ _SCURVE_SAMPLE_M = 32
     ),
     g AS (SELECT doc_id, source, grams, length(grams) AS ng FROM raw),
     hist AS (
-        SELECT round(CAST(length(list_intersect(a.grams, b.grams)) AS DOUBLE)
-                     / (a.ng + b.ng - length(list_intersect(a.grams, b.grams))), 2) AS s,
+        SELECT ((2 * length(list_intersect(a.grams, b.grams)) * 100
+                     + (a.ng + b.ng - length(list_intersect(a.grams, b.grams))))
+                    // (2 * (a.ng + b.ng
+                             - length(list_intersect(a.grams, b.grams)))))
+                   / 100.0 AS s,
                count(*) AS n
         FROM g a JOIN g b ON a.source = b.source AND a.doc_id < b.doc_id
         GROUP BY 1
@@ -1968,8 +1982,8 @@ def q284_lsh_s_curve_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("doc_a") < F.col("doc_b")),
         )
         .select(
-            F.round(
-                inter.cast("double") / (F.col("na") + F.col("nb") - inter), 2
+            half_up_ratio(
+                inter, F.col("na") + F.col("nb") - inter, 2
             ).alias("s")
         )
         .groupBy("s")
@@ -2090,8 +2104,8 @@ _WIN_MIN_SHARED = 10
            CAST(s.n_shared AS BIGINT) AS n_shared,
            CAST(za.n_fp AS BIGINT) AS n_fp_a,
            CAST(zb.n_fp AS BIGINT) AS n_fp_b,
-           round(CAST(s.n_shared AS DOUBLE)
-                 / least(za.n_fp, zb.n_fp), 4) AS overlap
+           ((2 * s.n_shared * 10000 + least(za.n_fp, zb.n_fp))
+                // (2 * least(za.n_fp, zb.n_fp))) / 10000.0 AS overlap
     FROM shared s
     JOIN sizes za ON za.doc_id = s.doc_a
     JOIN sizes zb ON zb.doc_id = s.doc_b
@@ -2185,8 +2199,8 @@ def q297_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_shared").cast("long").alias("n_shared"),
             F.col("n_fp_a").cast("long").alias("n_fp_a"),
             F.col("n_fp_b").cast("long").alias("n_fp_b"),
-            F.round(
-                F.col("n_shared").cast("double") / F.least("n_fp_a", "n_fp_b"), 4
+            half_up_ratio(
+                F.col("n_shared"), F.least("n_fp_a", "n_fp_b"), 4
             ).alias("overlap"),
         )
         .orderBy("doc_a", "doc_b")

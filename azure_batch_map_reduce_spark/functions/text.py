@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window, functions as F
 
 from azure_batch_map_reduce_spark.catalog import load_tables
-from azure_batch_map_reduce_spark.operators.ranks import bounded_order
+from azure_batch_map_reduce_spark.operators.ranks import bounded_order, half_up_ratio
 from azure_batch_map_reduce_spark.registry import query
 
 # Distinct-marker-word language scoring: deterministic, vocabulary-based.
@@ -73,7 +73,8 @@ def q50_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT doc_id, lang, source, n_chars_actual,
            CAST(n_words AS BIGINT)                                        AS n_words,
-           round(CAST(n_chars_actual AS DOUBLE) / n_words, 4)             AS avg_word_len,
+           ((2 * n_chars_actual * 10000 + n_words) // (2 * n_words))
+               / 10000.0                                                  AS avg_word_len,
            round(CAST(n_stop AS DOUBLE) / 10, 4)                          AS stopword_coverage,
            round(least(CAST(n_words AS DOUBLE) / 100, 1.0) * 0.5
                  + (CAST(n_stop AS DOUBLE) / 10) * 0.5, 4)                AS quality
@@ -103,7 +104,7 @@ def q51_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         n_chars_actual.alias("n_chars_actual"),
         n_words.cast("long").alias("n_words"),
-        F.round(n_chars_actual.cast("double") / n_words, 4).alias("avg_word_len"),
+        half_up_ratio(n_chars_actual, n_words, 4).alias("avg_word_len"),
         F.round(stop_cov, 4).alias("stopword_coverage"),
         F.round(quality, 4).alias("quality"),
     )
@@ -772,7 +773,8 @@ def q143_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT src_a, src_b, CAST(n_common AS BIGINT) AS n_common,
            CAST(sa.sz AS BIGINT) AS vocab_a, CAST(sb.sz AS BIGINT) AS vocab_b,
-           round(CAST(n_common AS DOUBLE) / (sa.sz + sb.sz - n_common), 6)
+           ((2 * n_common * 1000000 + (sa.sz + sb.sz - n_common))
+                // (2 * (sa.sz + sb.sz - n_common))) / 1000000.0
                AS jaccard
     FROM inter
     JOIN sizes sa ON sa.source = src_a
@@ -819,9 +821,9 @@ def q146_source_vocab_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_common").cast("long").alias("n_common"),
             F.col("vocab_a").cast("long").alias("vocab_a"),
             F.col("vocab_b").cast("long").alias("vocab_b"),
-            F.round(
-                F.col("n_common").cast("double")
-                / (F.col("vocab_a") + F.col("vocab_b") - F.col("n_common")),
+            half_up_ratio(
+                F.col("n_common"),
+                F.col("vocab_a") + F.col("vocab_b") - F.col("n_common"),
                 6,
             ).alias("jaccard"),
         )
@@ -839,7 +841,8 @@ MG_K = 50  # Misra-Gries summary size; guarantees recall of items > n/K
     c AS (SELECT tok, count(*) AS cnt FROM t GROUP BY tok),
     n AS (SELECT sum(cnt) AS total FROM c)
     SELECT c.tok, CAST(c.cnt AS BIGINT) AS cnt,
-           round(CAST(c.cnt AS DOUBLE) / n.total, 6) AS share
+           ((2 * c.cnt * 1000000 + n.total) // (2 * n.total)) / 1000000.0
+               AS share
     FROM c, n WHERE c.cnt * 50 > n.total
     ORDER BY cnt DESC, tok
     """,
@@ -898,7 +901,7 @@ def q158_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "tok",
             "cnt",
-            F.round(F.col("cnt").cast("double") / F.col("total"), 6).alias(
+            half_up_ratio(F.col("cnt"), F.col("total"), 6).alias(
                 "share"
             ),
         )
@@ -1804,8 +1807,10 @@ def _bpe_apply_oracle() -> str:
     SELECT CAST(n_words AS BIGINT)   AS n_words,
            CAST(n_chars AS BIGINT)   AS n_chars,
            CAST(n_symbols AS BIGINT) AS n_symbols,
-           round(CAST(n_chars AS DOUBLE) / n_symbols, 4)  AS chars_per_symbol,
-           round(1.0 - CAST(n_symbols AS DOUBLE) / n_chars, 4) AS compression
+           ((2 * n_chars * 10000 + n_symbols) // (2 * n_symbols))
+               / 10000.0 AS chars_per_symbol,
+           ((2 * (n_chars - n_symbols) * 10000 + n_chars)
+                // (2 * n_chars)) / 10000.0 AS compression
     FROM stats
     """
 
@@ -1883,11 +1888,11 @@ def q246_bpe_compression_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_words",
         "n_chars",
         "n_symbols",
-        F.round(F.col("n_chars").cast("double") / F.col("n_symbols"), 4).alias(
+        half_up_ratio(F.col("n_chars"), F.col("n_symbols"), 4).alias(
             "chars_per_symbol"
         ),
-        F.round(
-            1.0 - F.col("n_symbols").cast("double") / F.col("n_chars"), 4
+        half_up_ratio(
+            F.col("n_chars") - F.col("n_symbols"), F.col("n_chars"), 4
         ).alias("compression"),
     )
 
@@ -2405,26 +2410,34 @@ _KMV_M = 1_000_000_007    # hash modulus (fits BIGINT after *131 step)
     ),
     est AS (
         SELECT source_a, source_b, na, nb,
-               round((ka - 1) * CAST({_KMV_M} AS DOUBLE) / ska[ka], 2) AS est_distinct_a,
-               round((kb - 1) * CAST({_KMV_M} AS DOUBLE) / skb[kb], 2) AS est_distinct_b,
+               ((2 * (ka - 1) * {_KMV_M} * 100 + ska[ka])
+                    // (2 * ska[ka])) / 100.0 AS est_distinct_a,
+               ((2 * (kb - 1) * {_KMV_M} * 100 + skb[kb])
+                    // (2 * skb[kb])) / 100.0 AS est_distinct_b,
                len(list_intersect(
                    list_intersect(
                        list_slice(list_sort(list_distinct(ska || skb)),
                                   1, {_KMV_K}),
                        ska), skb)) AS n_shared
         FROM pairs
+    ),
+    scaled AS (
+        SELECT e.source_a, e.source_b,
+               e.est_distinct_a, e.est_distinct_b,
+               (2 * e.n_shared * 10000 + {_KMV_K})
+                   // (2 * {_KMV_K}) AS m_est,
+               (2 * x.n_inter * 10000 + (e.na + e.nb - x.n_inter))
+                   // (2 * (e.na + e.nb - x.n_inter)) AS m_exact
+        FROM est e JOIN ex x
+          ON e.source_a = x.source_a AND e.source_b = x.source_b
     )
-    SELECT e.source_a, e.source_b,
-           e.est_distinct_a, e.est_distinct_b,
-           round(CAST(e.n_shared AS DOUBLE) / {_KMV_K}, 4) AS est_jaccard,
-           round(CAST(x.n_inter AS DOUBLE)
-                 / (e.na + e.nb - x.n_inter), 4) AS exact_jaccard,
-           round(abs(CAST(e.n_shared AS DOUBLE) / {_KMV_K}
-                     - CAST(x.n_inter AS DOUBLE)
-                       / (e.na + e.nb - x.n_inter)), 4) AS abs_err
-    FROM est e JOIN ex x
-      ON e.source_a = x.source_a AND e.source_b = x.source_b
-    ORDER BY e.source_a, e.source_b
+    SELECT source_a, source_b,
+           est_distinct_a, est_distinct_b,
+           m_est / 10000.0 AS est_jaccard,
+           m_exact / 10000.0 AS exact_jaccard,
+           abs(m_est - m_exact) / 10000.0 AS abs_err
+    FROM scaled
+    ORDER BY source_a, source_b
     """,
     tags=("text", "sketch", "kmv", "jaccard", "dedup"),
 )
@@ -2519,19 +2532,20 @@ def q276_kmv_overlap_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source_b",
         "na",
         "nb",
-        F.round(
-            (ka - 1).cast("double") * _KMV_M / F.element_at("ska", ka), 2
+        half_up_ratio(
+            (ka - 1).cast("long") * _KMV_M, F.element_at("ska", ka), 2
         ).alias("est_distinct_a"),
-        F.round(
-            (kb - 1).cast("double") * _KMV_M / F.element_at("skb", kb), 2
+        half_up_ratio(
+            (kb - 1).cast("long") * _KMV_M, F.element_at("skb", kb), 2
         ).alias("est_distinct_b"),
         F.size(
             F.array_intersect(F.array_intersect(u64, F.col("ska")), F.col("skb"))
         ).alias("n_shared"),
     )
-    ej = F.col("n_shared").cast("double") / _KMV_K
-    xj = F.col("n_inter").cast("double") / (
-        F.col("na") + F.col("nb") - F.col("n_inter")
+    m_est = F.expr(f"(2 * n_shared * 10000 + {_KMV_K}) div (2 * {_KMV_K})")
+    m_exact = F.expr(
+        "(2 * n_inter * 10000 + (na + nb - n_inter))"
+        " div (2 * (na + nb - n_inter))"
     )
     return (
         est.join(F.broadcast(ex), ["source_a", "source_b"])
@@ -2540,9 +2554,9 @@ def q276_kmv_overlap_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
             "source_b",
             "est_distinct_a",
             "est_distinct_b",
-            F.round(ej, 4).alias("est_jaccard"),
-            F.round(xj, 4).alias("exact_jaccard"),
-            F.round(F.abs(ej - xj), 4).alias("abs_err"),
+            (m_est / F.lit(10000.0)).alias("est_jaccard"),
+            (m_exact / F.lit(10000.0)).alias("exact_jaccard"),
+            (F.abs(m_est - m_exact) / F.lit(10000.0)).alias("abs_err"),
         )
         .orderBy("source_a", "source_b")
     )
@@ -2792,8 +2806,8 @@ _NOVELTY_BATCH = 50
     SELECT p.batch,
            CAST(p.n_bigrams AS BIGINT) AS n_bigrams,
            CAST(coalesce(n.n_new, 0) AS BIGINT) AS n_new,
-           round(CAST(coalesce(n.n_new, 0) AS DOUBLE) / p.n_bigrams, 4)
-               AS novelty_rate
+           ((2 * coalesce(n.n_new, 0) * 10000 + p.n_bigrams)
+                // (2 * p.n_bigrams)) / 10000.0 AS novelty_rate
     FROM per_batch p LEFT JOIN news n ON p.batch = n.batch
     ORDER BY p.batch
     """,
@@ -2857,9 +2871,9 @@ def q283_ngram_novelty_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             "batch",
             F.col("n_bigrams").cast("long").alias("n_bigrams"),
             n_new.cast("long").alias("n_new"),
-            F.round(
-                n_new.cast("double") / F.col("n_bigrams"), 4
-            ).alias("novelty_rate"),
+            half_up_ratio(n_new, F.col("n_bigrams"), 4).alias(
+                "novelty_rate"
+            ),
         )
         .orderBy("batch")
     )
@@ -2887,10 +2901,13 @@ def q283_ngram_novelty_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(count(*) AS BIGINT) AS n_positions,
            CAST(sum(CASE WHEN b.w2 = d.draft_w2 THEN 1 ELSE 0 END) AS BIGINT)
                AS n_accepted,
-           round(CAST(sum(CASE WHEN b.w2 = d.draft_w2 THEN 1 ELSE 0 END)
-                      AS DOUBLE) / count(*), 4) AS acceptance_rate,
-           round(1.0 + CAST(sum(CASE WHEN b.w2 = d.draft_w2 THEN 1 ELSE 0 END)
-                            AS DOUBLE) / count(*), 4) AS est_speedup
+           ((2 * sum(CASE WHEN b.w2 = d.draft_w2 THEN 1 ELSE 0 END) * 10000
+                 + count(*)) // (2 * count(*))) / 10000.0
+               AS acceptance_rate,
+           ((2 * (count(*) + sum(CASE WHEN b.w2 = d.draft_w2
+                                      THEN 1 ELSE 0 END)) * 10000
+                 + count(*)) // (2 * count(*))) / 10000.0
+               AS est_speedup
     FROM bigr b JOIN draft d ON b.w1 = d.w1
     GROUP BY b.source
     ORDER BY b.source
@@ -2955,11 +2972,11 @@ def q300_speculative_draft_acceptance(spark: SparkSession, sf_dir: str) -> DataF
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_positions"),
             accepted.cast("long").alias("n_accepted"),
-            F.round(
-                accepted.cast("double") / F.count(F.lit(1)), 4
-            ).alias("acceptance_rate"),
-            F.round(
-                1.0 + accepted.cast("double") / F.count(F.lit(1)), 4
+            half_up_ratio(accepted, F.count(F.lit(1)), 4).alias(
+                "acceptance_rate"
+            ),
+            half_up_ratio(
+                F.count(F.lit(1)) + accepted, F.count(F.lit(1)), 4
             ).alias("est_speedup"),
         )
         .orderBy("source")
@@ -3093,8 +3110,9 @@ _NEG_TOPN = 20
     SELECT p.w AS token,
            CAST(p.c AS BIGINT) AS count,
            round(p.cp / z.z, 6) AS p_negative,
-           round(CAST(p.c AS DOUBLE)
-                 / (SELECT sum(c) FROM cnt), 6) AS p_unigram
+           ((2 * p.c * 1000000 + (SELECT sum(c) FROM cnt))
+                // (2 * (SELECT sum(c) FROM cnt))) / 1000000.0
+               AS p_unigram
     FROM pw p CROSS JOIN z
     ORDER BY p.c DESC, p.w ASC
     LIMIT {_NEG_TOPN}
@@ -3148,7 +3166,7 @@ def q306_negative_sampling_table(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("w").alias("token"),
             F.col("c").cast("long").alias("count"),
             F.round(F.col("cp") / F.col("z"), 6).alias("p_negative"),
-            F.round(F.col("c").cast("double") / F.col("tot"), 6).alias(
+            half_up_ratio(F.col("c"), F.col("tot"), 6).alias(
                 "p_unigram"
             ),
         )
@@ -3185,8 +3203,8 @@ _PFX_MAX_DEPTH = 8
            CAST(distinct_prefixes AS BIGINT) AS distinct_prefixes,
            CAST(docs_sharing AS BIGINT) AS docs_sharing,
            CAST(reusable_tokens AS BIGINT) AS reusable_tokens,
-           round(CAST(reusable_tokens AS DOUBLE) / (n_docs * k), 6)
-               AS cache_hit_ratio
+           ((2 * reusable_tokens * 1000000 + n_docs * k)
+                // (2 * n_docs * k)) / 1000000.0 AS cache_hit_ratio
     FROM agg
     ORDER BY prefix_len
     """,
@@ -3241,10 +3259,8 @@ def q325_prefix_cache_sharing(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("distinct_prefixes").cast("long").alias("distinct_prefixes"),
         F.col("docs_sharing").cast("long").alias("docs_sharing"),
         F.col("reusable_tokens").cast("long").alias("reusable_tokens"),
-        F.round(
-            F.col("reusable_tokens").cast("double")
-            / (F.col("n_docs") * F.col("k")),
-            6,
+        half_up_ratio(
+            F.col("reusable_tokens"), F.col("n_docs") * F.col("k"), 6
         ).alias("cache_hit_ratio"),
     ).orderBy("prefix_len")
 
@@ -3261,13 +3277,14 @@ _SUBWORD_RE = "[A-Za-z]+|[0-9]|[^A-Za-z0-9 ]"
            CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_words,
            CAST(sum(len(regexp_extract_all(text, '{_SUBWORD_RE}')))
                 AS BIGINT) AS total_subwords,
-           round(CAST(sum(n_chars) AS DOUBLE)
-                 / sum(len(regexp_extract_all(text, '{_SUBWORD_RE}'))), 6)
-               AS chars_per_subword,
-           round(CAST(sum(len(regexp_extract_all(text, '{_SUBWORD_RE}')))
-                      AS DOUBLE)
-                 / sum(len(string_split(text, ' '))), 6)
-               AS fertility
+           ((2 * sum(n_chars) * 1000000
+                 + sum(len(regexp_extract_all(text, '{_SUBWORD_RE}'))))
+                // (2 * sum(len(regexp_extract_all(text, '{_SUBWORD_RE}')))))
+               / 1000000.0 AS chars_per_subword,
+           ((2 * sum(len(regexp_extract_all(text, '{_SUBWORD_RE}')))
+                 * 1000000 + sum(len(string_split(text, ' '))))
+                // (2 * sum(len(string_split(text, ' ')))))
+               / 1000000.0 AS fertility
     FROM documents
     GROUP BY lang
     ORDER BY lang
@@ -3308,11 +3325,11 @@ def q326_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("total_chars").cast("long").alias("total_chars"),
         F.col("total_words").cast("long").alias("total_words"),
         F.col("total_subwords").cast("long").alias("total_subwords"),
-        F.round(
-            F.col("total_chars").cast("double") / F.col("total_subwords"), 6
+        half_up_ratio(
+            F.col("total_chars"), F.col("total_subwords"), 6
         ).alias("chars_per_subword"),
-        F.round(
-            F.col("total_subwords").cast("double") / F.col("total_words"), 6
+        half_up_ratio(
+            F.col("total_subwords"), F.col("total_words"), 6
         ).alias("fertility"),
     ).orderBy("lang")
 
