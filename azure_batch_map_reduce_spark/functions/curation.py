@@ -37,6 +37,7 @@ from azure_batch_map_reduce_spark.operators.ranks import (
     distributed_row_number,
     distributed_running_sum,
     half_up_ratio,
+    half_up_ratio_signed,
     ntile_from_rank,
     rank_small,
     round_nz,
@@ -576,8 +577,9 @@ def q102_reservoir_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q112_priority_sample",
     oracle="""
     SELECT doc_id, n_chars,
-           round(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 17, 8))::BIGINT
-                      AS DOUBLE) / n_chars, 6) AS priority
+           ((2 * ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 17, 8))::BIGINT
+                 * 1000000 + n_chars) // (2 * n_chars)) / 1000000.0
+               AS priority
     FROM documents
     WHERE n_chars > 0
     ORDER BY CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 17, 8))::BIGINT
@@ -612,7 +614,19 @@ def q112_priority_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "n_chars", prio.alias("prio"))
         .orderBy(F.asc("prio"), F.asc("doc_id"))
         .limit(20)
-        .select("doc_id", "n_chars", F.round("prio", 6).alias("priority"))
+        .select(
+            "doc_id",
+            "n_chars",
+            half_up_ratio(
+                F.conv(
+                    F.substring(F.md5(F.col("doc_id").cast("string")), 17, 8),
+                    16,
+                    10,
+                ).cast("long"),
+                F.col("n_chars"),
+                6,
+            ).alias("priority"),
+        )
     )
 
 
@@ -1027,11 +1041,12 @@ def q170_correlated_sample_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT a.decile,
            CAST(a.n AS BIGINT) AS n_customers,
            CAST(a.n_pos AS BIGINT) AS n_pos,
-           round(CAST(sum(a.n_pos) OVER (
+           ((2 * sum(a.n_pos) OVER (
                      ORDER BY a.decile
                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                 AS DOUBLE) / t.pp, 6) AS capture,
-           round(CAST(a.n_pos * t.nn AS DOUBLE) / (a.n * t.pp), 6) AS lift
+                 * 1000000 + t.pp) // (2 * t.pp)) / 1000000.0 AS capture,
+           ((2 * a.n_pos * t.nn * 1000000 + a.n * t.pp)
+                // (2 * a.n * t.pp)) / 1000000.0 AS lift
     FROM agg a CROSS JOIN tot t
     ORDER BY a.decile
     """,
@@ -1118,12 +1133,12 @@ def q171_lift_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             "decile",
             F.col("n").cast("long").alias("n_customers"),
             F.col("n_pos").cast("long").alias("n_pos"),
-            F.round(F.col("cum_pos").cast("double") / F.col("pp"), 6).alias(
+            half_up_ratio(F.col("cum_pos"), F.col("pp"), 6).alias(
                 "capture"
             ),
-            F.round(
-                (F.col("n_pos") * F.col("nn")).cast("double")
-                / (F.col("n") * F.col("pp")),
+            half_up_ratio(
+                F.col("n_pos") * F.col("nn"),
+                F.col("n") * F.col("pp"),
                 6,
             ).alias("lift"),
         )
@@ -2293,7 +2308,8 @@ _BOOT_REPS = 20
     per_rep AS (
         SELECT rep,
                sum(w) AS n_eff,
-               round(CAST(sum(w * n_chars) AS DOUBLE) / sum(w), 4) AS mean_chars
+               ((2 * sum(w * n_chars) * 10000 + sum(w)) // (2 * sum(w)))
+                   / 10000.0 AS mean_chars
         FROM weighted GROUP BY rep HAVING sum(w) > 0
     ),
     ranked AS (
@@ -2303,7 +2319,8 @@ _BOOT_REPS = 20
         FROM per_rep
     ),
     full_mean AS (
-        SELECT round(CAST(sum(n_chars) AS DOUBLE) / count(*), 4) AS point
+        SELECT ((2 * sum(n_chars) * 10000 + count(*)) // (2 * count(*)))
+                   / 10000.0 AS point
         FROM documents
     )
     SELECT r.rep, CAST(r.n_eff AS BIGINT) AS n_eff, r.mean_chars,
@@ -2369,10 +2386,8 @@ def q265_poisson_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         weighted.groupBy("rep")
         .agg(
             F.sum("w").alias("n_eff"),
-            F.round(
-                F.sum(F.col("w") * F.col("n_chars")).cast("double")
-                / F.sum("w"),
-                4,
+            half_up_ratio(
+                F.sum(F.col("w") * F.col("n_chars")), F.sum("w"), 4
             ).alias("mean_chars"),
         )
         .where(F.col("n_eff") > 0)
@@ -2398,9 +2413,7 @@ def q265_poisson_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("ci_hi"),
     )
     full_mean = docs.agg(
-        F.round(
-            F.sum("n_chars").cast("double") / F.count(F.lit(1)), 4
-        ).alias("point")
+        half_up_ratio(F.sum("n_chars"), F.count(F.lit(1)), 4).alias("point")
     )
     return (
         ranked.crossJoin(F.broadcast(full_mean))
@@ -2673,8 +2686,8 @@ _MASK_DENOM = 20      # 1-in-20 start positions -> ~15% corruption
            CAST(len(w.ws) AS BIGINT)          AS n_tokens,
            CAST(coalesce(p.n_spans, 0) AS BIGINT)  AS n_spans,
            CAST(coalesce(p.n_masked, 0) AS BIGINT) AS n_masked,
-           round(CAST(coalesce(p.n_masked, 0) AS DOUBLE) / len(w.ws), 4)
-               AS corruption_rate,
+           ((2 * coalesce(p.n_masked, 0) * 10000 + len(w.ws))
+                // (2 * len(w.ws))) / 10000.0 AS corruption_rate,
            CAST(coalesce(p.n_masked, 0) + coalesce(p.n_spans, 0) AS BIGINT)
                AS target_len
     FROM w LEFT JOIN per p ON w.doc_id = p.doc_id
@@ -2760,7 +2773,7 @@ def q288_span_corruption_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_tokens").cast("long").alias("n_tokens"),
             ns.cast("long").alias("n_spans"),
             nm.cast("long").alias("n_masked"),
-            F.round(nm.cast("double") / F.col("n_tokens"), 4).alias(
+            half_up_ratio(nm, F.col("n_tokens"), 4).alias(
                 "corruption_rate"
             ),
             (nm + ns).cast("long").alias("target_len"),
@@ -2786,8 +2799,8 @@ def q288_span_corruption_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(least(c1, c2) AS BIGINT)              AS len_prefix,
            CAST(greatest(c1, c2) - least(c1, c2) AS BIGINT) AS len_middle,
            CAST(n - greatest(c1, c2) AS BIGINT)       AS len_suffix,
-           round(CAST(greatest(c1, c2) - least(c1, c2) AS DOUBLE) / n, 4)
-               AS middle_frac
+           ((2 * (greatest(c1, c2) - least(c1, c2)) * 10000 + n)
+                // (2 * n)) / 10000.0 AS middle_frac
     FROM cuts
     ORDER BY doc_id
     """,
@@ -2837,7 +2850,7 @@ def q289_fim_split_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         lo.cast("long").alias("len_prefix"),
         (hi - lo).cast("long").alias("len_middle"),
         (F.col("n") - hi).cast("long").alias("len_suffix"),
-        F.round((hi - lo).cast("double") / F.col("n"), 4).alias("middle_frac"),
+        half_up_ratio(hi - lo, F.col("n"), 4).alias("middle_frac"),
     ).orderBy("doc_id")
 
 
@@ -2870,12 +2883,12 @@ _LF_SQL = (
     )
     SELECT p.lf,
            CAST(count(*) AS BIGINT) AS n_votes,
-           round(CAST(count(*) AS DOUBLE) / any_value(nd.n_docs), 4)
-               AS coverage,
-           round(CAST(sum(p.overlapped) AS DOUBLE) / count(*), 4)
-               AS overlap_rate,
-           round(CAST(sum(p.conflicted) AS DOUBLE) / count(*), 4)
-               AS conflict_rate
+           ((2 * count(*) * 10000 + any_value(nd.n_docs))
+                // (2 * any_value(nd.n_docs))) / 10000.0 AS coverage,
+           ((2 * sum(p.overlapped) * 10000 + count(*))
+                // (2 * count(*))) / 10000.0 AS overlap_rate,
+           ((2 * sum(p.conflicted) * 10000 + count(*))
+                // (2 * count(*))) / 10000.0 AS conflict_rate
     FROM pairs p CROSS JOIN nd
     GROUP BY p.lf
     ORDER BY p.lf
@@ -2939,14 +2952,14 @@ def q291_weak_supervision_lf_summary(spark: SparkSession, sf_dir: str) -> DataFr
         .groupBy("lf")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_votes"),
-            F.round(
-                F.count(F.lit(1)).cast("double") / F.first("n_docs"), 4
+            half_up_ratio(
+                F.count(F.lit(1)), F.first("n_docs"), 4
             ).alias("coverage"),
-            F.round(
-                F.sum("overlapped").cast("double") / F.count(F.lit(1)), 4
+            half_up_ratio(
+                F.sum("overlapped"), F.count(F.lit(1)), 4
             ).alias("overlap_rate"),
-            F.round(
-                F.sum("conflicted").cast("double") / F.count(F.lit(1)), 4
+            half_up_ratio(
+                F.sum("conflicted"), F.count(F.lit(1)), 4
             ).alias("conflict_rate"),
         )
         .orderBy("lf")
@@ -3171,8 +3184,8 @@ def _coverage_oracle() -> str:
     SELECT s.step, s.doc_id,
            CAST(s.gain AS BIGINT) AS gain,
            CAST(bit_count(s.cov) AS BIGINT) AS covered_terms,
-           round(CAST(bit_count(s.cov) AS DOUBLE) / nv.nv, 4)
-               AS coverage_frac
+           ((2 * bit_count(s.cov) * 10000 + nv.nv) // (2 * nv.nv))
+               / 10000.0 AS coverage_frac
     FROM s{_COV_K} s CROSS JOIN nv
     ORDER BY s.step
     """
@@ -3280,8 +3293,8 @@ def q307_submodular_coverage_selection(spark: SparkSession, sf_dir: str) -> Data
             "doc_id",
             F.col("gain").cast("long").alias("gain"),
             F.expr("cast(bit_count(cov) as bigint)").alias("covered_terms"),
-            F.round(
-                F.expr("cast(bit_count(cov) as double)") / F.col("nv"), 4
+            half_up_ratio(
+                F.expr("bit_count(cov)"), F.col("nv"), 4
             ).alias("coverage_frac"),
         )
         .orderBy("step")
@@ -3775,11 +3788,13 @@ def q320_difference_in_differences(spark: SparkSession, sf_dir: str) -> DataFram
         UNION ALL SELECT 'total_ws_tokens', CAST(total_ws_tokens AS DOUBLE), 5
             FROM base
         UNION ALL SELECT 'avg_chars_per_doc',
-            round(CAST(total_chars AS DOUBLE) / n_docs, 4), 6 FROM base
+            ((2 * total_chars * 10000 + n_docs) // (2 * n_docs))
+                / 10000.0, 6 FROM base
         UNION ALL SELECT 'min_chars', CAST(min_chars AS DOUBLE), 7 FROM base
         UNION ALL SELECT 'max_chars', CAST(max_chars AS DOUBLE), 8 FROM base
         UNION ALL SELECT 'exact_dup_rate',
-            round(1.0 - CAST(d.n_distinct_texts AS DOUBLE) / b.n_docs, 6), 9
+            ((2 * (b.n_docs - d.n_distinct_texts) * 1000000 + b.n_docs)
+                 // (2 * b.n_docs)) / 1000000.0, 9
             FROM base b CROSS JOIN dup d
     ) ORDER BY ord
     """,
@@ -3824,16 +3839,16 @@ def q321_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("total_ws_tokens", F.col("total_ws_tokens").cast("double"), 5),
         (
             "avg_chars_per_doc",
-            F.round(F.col("total_chars").cast("double") / F.col("n_docs"), 4),
+            half_up_ratio(F.col("total_chars"), F.col("n_docs"), 4),
             6,
         ),
         ("min_chars", F.col("min_chars").cast("double"), 7),
         ("max_chars", F.col("max_chars").cast("double"), 8),
         (
             "exact_dup_rate",
-            F.round(
-                1.0
-                - F.col("n_distinct_texts").cast("double") / F.col("n_docs"),
+            half_up_ratio(
+                F.col("n_docs") - F.col("n_distinct_texts"),
+                F.col("n_docs"),
                 6,
             ),
             9,
@@ -4161,13 +4176,14 @@ def q323_bh_fdr_control(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(both_wrong AS BIGINT) AS both_wrong,
            CAST(a_only AS BIGINT) AS a_only,
            CAST(b_only AS BIGINT) AS b_only,
-           round(CAST(both_correct + a_only AS DOUBLE) / n, 6)
-               AS accuracy_a,
-           round(CAST(both_correct + b_only AS DOUBLE) / n, 6)
-               AS accuracy_b,
-           round((abs(a_only - b_only) - 1.0)
-                 * (abs(a_only - b_only) - 1.0)
-                 / (a_only + b_only), 6) AS mcnemar_chi2
+           ((2 * (both_correct + a_only) * 1000000 + n) // (2 * n))
+               / 1000000.0 AS accuracy_a,
+           ((2 * (both_correct + b_only) * 1000000 + n) // (2 * n))
+               / 1000000.0 AS accuracy_b,
+           ((2 * (abs(a_only - b_only) - 1)
+                 * (abs(a_only - b_only) - 1) * 1000000
+                 + (a_only + b_only)) // (2 * (a_only + b_only)))
+               / 1000000.0 AS mcnemar_chi2
     FROM counts
     """,
     tags=("experimentation", "evaluation", "mcnemar", "paired-test"),
@@ -4249,20 +4265,16 @@ def q324_mcnemar_paired_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("both_wrong").cast("long").alias("both_wrong"),
         F.col("a_only").cast("long").alias("a_only"),
         F.col("b_only").cast("long").alias("b_only"),
-        F.round(
-            (F.col("both_correct") + F.col("a_only")).cast("double")
-            / F.col("n"),
-            6,
+        half_up_ratio(
+            F.col("both_correct") + F.col("a_only"), F.col("n"), 6
         ).alias("accuracy_a"),
-        F.round(
-            (F.col("both_correct") + F.col("b_only")).cast("double")
-            / F.col("n"),
-            6,
+        half_up_ratio(
+            F.col("both_correct") + F.col("b_only"), F.col("n"), 6
         ).alias("accuracy_b"),
-        F.round(
-            (F.abs(F.col("a_only") - F.col("b_only")) - 1.0)
-            * (F.abs(F.col("a_only") - F.col("b_only")) - 1.0)
-            / (F.col("a_only") + F.col("b_only")),
+        half_up_ratio(
+            (F.abs(F.col("a_only") - F.col("b_only")) - 1)
+            * (F.abs(F.col("a_only") - F.col("b_only")) - 1),
+            F.col("a_only") + F.col("b_only"),
             6,
         ).alias("mcnemar_chi2"),
     )
@@ -4330,8 +4342,8 @@ _CP_ALPHA_DEN = 10  # integer rank arithmetic
            CAST(m.med_cents AS DOUBLE) / 100 AS predicted_median,
            CAST(q.qhat_cents AS DOUBLE) / 100 AS interval_halfwidth,
            CAST(t.n_test AS BIGINT) AS n_test,
-           round(CAST(t.n_covered AS DOUBLE) / t.n_test, 6)
-               AS empirical_coverage
+           ((2 * t.n_covered * 1000000 + t.n_test) // (2 * t.n_test))
+               / 1000000.0 AS empirical_coverage
     FROM med m
     JOIN qhat q ON m.event_type = q.event_type
     JOIN test t ON m.event_type = t.event_type
@@ -4464,9 +4476,9 @@ def q333_conformal_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
             "interval_halfwidth"
         ),
         F.col("n_test").cast("long").alias("n_test"),
-        F.round(
-            F.col("n_covered").cast("double") / F.col("n_test"), 6
-        ).alias("empirical_coverage"),
+        half_up_ratio(F.col("n_covered"), F.col("n_test"), 6).alias(
+            "empirical_coverage"
+        ),
     ).orderBy("event_type")
     return out
 
@@ -4627,10 +4639,20 @@ def q334_quantile_treatment_effect(spark: SparkSession, sf_dir: str) -> DataFram
            CAST(n_ctrl AS BIGINT) AS n_ctrl,
            CAST(resp_treat AS BIGINT) AS resp_treat,
            CAST(resp_ctrl AS BIGINT) AS resp_ctrl,
-           round(CAST(resp_treat AS DOUBLE) / n_treat
-                 - CAST(resp_ctrl AS DOUBLE) / n_ctrl, 6) + 0.0 AS uplift,
-           round(cum_rt - CAST(cum_rc AS DOUBLE) * cum_nt / cum_nc, 6)
-               + 0.0 AS qini
+           (CASE WHEN resp_treat * n_ctrl - resp_ctrl * n_treat >= 0
+                 THEN (2 * (resp_treat * n_ctrl - resp_ctrl * n_treat)
+                           * 1000000 + n_treat * n_ctrl)
+                      // (2 * n_treat * n_ctrl)
+                 ELSE -((2 * (resp_ctrl * n_treat - resp_treat * n_ctrl)
+                             * 1000000 + n_treat * n_ctrl)
+                        // (2 * n_treat * n_ctrl)) END) / 1000000.0
+               AS uplift,
+           (CASE WHEN cum_rt * cum_nc - cum_rc * cum_nt >= 0
+                 THEN (2 * (cum_rt * cum_nc - cum_rc * cum_nt) * 1000000
+                           + cum_nc) // (2 * cum_nc)
+                 ELSE -((2 * (cum_rc * cum_nt - cum_rt * cum_nc) * 1000000
+                             + cum_nc) // (2 * cum_nc)) END) / 1000000.0
+               AS qini
     FROM curve
     ORDER BY decile
     """,
@@ -4715,16 +4737,16 @@ def q336_uplift_qini_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_ctrl").cast("long").alias("n_ctrl"),
         F.col("resp_treat").cast("long").alias("resp_treat"),
         F.col("resp_ctrl").cast("long").alias("resp_ctrl"),
-        round_nz(
-            F.col("resp_treat").cast("double") / F.col("n_treat")
-            - F.col("resp_ctrl").cast("double") / F.col("n_ctrl"),
+        half_up_ratio_signed(
+            F.col("resp_treat") * F.col("n_ctrl")
+            - F.col("resp_ctrl") * F.col("n_treat"),
+            F.col("n_treat") * F.col("n_ctrl"),
             6,
         ).alias("uplift"),
-        round_nz(
-            F.col("cum_rt")
-            - F.col("cum_rc").cast("double")
-            * F.col("cum_nt")
-            / F.col("cum_nc"),
+        half_up_ratio_signed(
+            F.col("cum_rt") * F.col("cum_nc")
+            - F.col("cum_rc") * F.col("cum_nt"),
+            F.col("cum_nc"),
             6,
         ).alias("qini"),
     ).orderBy("decile")
@@ -4763,8 +4785,8 @@ _EPOCH_SHARDS = 8
     SELECT c.epoch, CAST(c.shard AS INTEGER) AS shard,
            CAST(c.n_docs AS BIGINT) AS n_docs,
            CAST(c.n_sources AS BIGINT) AS n_sources,
-           round(CAST(m.n_moved AS DOUBLE) / m.n_total, 6)
-               AS reshuffle_rate_to_next
+           ((2 * m.n_moved * 1000000 + m.n_total) // (2 * m.n_total))
+               / 1000000.0 AS reshuffle_rate_to_next
     FROM cells c
     LEFT JOIN moved m ON c.epoch = m.epoch
     ORDER BY c.epoch, c.shard
@@ -4850,9 +4872,9 @@ def q338_epoch_shuffle_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("shard").cast("integer").alias("shard"),
             F.col("n_docs").cast("long").alias("n_docs"),
             F.col("n_sources").cast("long").alias("n_sources"),
-            F.round(
-                F.col("n_moved").cast("double") / F.col("n_total"), 6
-            ).alias("reshuffle_rate_to_next"),
+            half_up_ratio(F.col("n_moved"), F.col("n_total"), 6).alias(
+                "reshuffle_rate_to_next"
+            ),
         )
         .orderBy("epoch", "shard")
     )
@@ -5208,7 +5230,8 @@ _SRM_CHI2_CRIT = 3.841  # chi-square(1 dof) at alpha=0.05 — literal constant
     )
     SELECT CAST(n0 AS BIGINT) AS n_control,
            CAST(n1 AS BIGINT) AS n_treatment,
-           round(CAST(n1 AS DOUBLE) / n, 6) AS treatment_share,
+           ((2 * n1 * 1000000 + n) // (2 * n)) / 1000000.0
+               AS treatment_share,
            round((CAST(n0 AS DOUBLE) - CAST(n AS DOUBLE) / 2)
                  * (CAST(n0 AS DOUBLE) - CAST(n AS DOUBLE) / 2)
                  / (CAST(n AS DOUBLE) / 2)
@@ -5277,7 +5300,7 @@ def q347_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     return counts.select(
         F.col("n0").cast("long").alias("n_control"),
         F.col("n1").cast("long").alias("n_treatment"),
-        F.round(F.col("n1").cast("double") / F.col("n"), 6).alias(
+        half_up_ratio(F.col("n1"), F.col("n"), 6).alias(
             "treatment_share"
         ),
         F.round(chi2, 6).alias("srm_chi2"),

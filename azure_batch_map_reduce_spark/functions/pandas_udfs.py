@@ -151,8 +151,10 @@ def q95_grouped_agg_pandas_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT p.user_id,
            CAST(count(*) AS BIGINT) AS n_purchases,
            CAST(count(c.t) AS BIGINT) AS n_matched,
-           round(CAST(sum(epoch_us(p.t) - epoch_us(c.t)) AS DOUBLE)
-                 / (count(c.t) * 60000000), 6) AS avg_gap_mins
+           ((2 * CAST(sum(epoch_us(p.t) - epoch_us(c.t)) AS HUGEINT)
+                 * 1000000 + count(c.t) * 60000000)
+                // (2 * count(c.t) * 60000000)) / 1000000.0
+               AS avg_gap_mins
     FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.t > c.t
     GROUP BY p.user_id
     ORDER BY p.user_id
@@ -229,7 +231,11 @@ def q157_cogroup_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
                     .astype("int64")
                 )
                 gap_us = int((p_us.values - c_us.values).sum())
-                avg_gap = round(gap_us / (n_matched * 60000000), 6)
+                # Exact half-up in integer arithmetic — mirrors the
+                # oracle's HUGEINT form; Python round() is half-EVEN
+                # and would flip on exact-half minute averages.
+                den = n_matched * 60000000
+                avg_gap = ((2 * gap_us * 10**6 + den) // (2 * den)) / 1e6
         return pd.DataFrame(
             {
                 "user_id": [uid],

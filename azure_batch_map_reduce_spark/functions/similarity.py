@@ -20,6 +20,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window, functions as F
 
 from azure_batch_map_reduce_spark.catalog import load_tables
+from azure_batch_map_reduce_spark.operators.ranks import half_up_ratio
 from azure_batch_map_reduce_spark.registry import query
 
 
@@ -657,8 +658,9 @@ _KNN_SCALE = 1048576  # 2^20: float32 -> exact integer grid
            CAST(count(*) AS BIGINT) AS n_test,
            CAST(sum(CASE WHEN predicted = true_label THEN 1 ELSE 0 END)
                 AS BIGINT) AS n_correct,
-           round(CAST(sum(CASE WHEN predicted = true_label THEN 1 ELSE 0 END)
-                      AS DOUBLE) / count(*), 6) AS accuracy
+           ((2 * sum(CASE WHEN predicted = true_label THEN 1 ELSE 0 END)
+                 * 1000000 + count(*)) // (2 * count(*))) / 1000000.0
+               AS accuracy
     FROM pred WHERE pk = 1
     GROUP BY true_label ORDER BY true_label
     """,
@@ -767,9 +769,9 @@ def q169_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
             "true_label",
             "n_test",
             "n_correct",
-            F.round(
-                F.col("n_correct").cast("double") / F.col("n_test"), 6
-            ).alias("accuracy"),
+            half_up_ratio(F.col("n_correct"), F.col("n_test"), 6).alias(
+                "accuracy"
+            ),
         )
         .orderBy("true_label")
     )

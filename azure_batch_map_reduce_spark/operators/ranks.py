@@ -342,6 +342,21 @@ def half_up_ratio(num: Column, den: Column, digits: int) -> Column:
     ) / F.lit(float(10**digits))
 
 
+def half_up_ratio_signed(num: Column, den: Column, digits: int) -> Column:
+    """:func:`half_up_ratio` for a SIGNED integer numerator (positive
+    denominator): rounds half away from zero — ``sign(n) ·
+    half_up(|n|/d, k)`` — matching what both engines' ``round()`` does
+    to a signed double, without the float boundary. A negative
+    numerator rounding to zero yields integer 0 → ``+0.0`` after the
+    closing division, so the :func:`round_nz` signed-zero discipline
+    is built in. Oracle form: ``(CASE WHEN n >= 0 THEN (2*n*10^k + d)
+    // (2*d) ELSE -((2*(-n)*10^k + d) // (2*d)) END) / 10^k.0``."""
+    mag = half_up_ratio(F.abs(num), den, digits)
+    # 0.0 - mag (not -mag): a negative epsilon that rounds to zero must
+    # come out +0.0, the desc_key/round_nz signed-zero rule.
+    return F.when(num >= 0, mag).otherwise(F.lit(0.0) - mag)
+
+
 def desc_key(col: Column) -> Column:
     """Descending numeric sort key for :func:`rank_small`: ``0 - col``
     instead of ``-col`` so a stray ``-0.0`` (e.g. ``round(-1e-9, 6)``)

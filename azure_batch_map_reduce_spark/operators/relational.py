@@ -1301,8 +1301,9 @@ def q141_ab_proportion_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(count(*) AS BIGINT) AS n_suppliers,
            CAST(min(CASE WHEN CAST(cum_cents AS DOUBLE) / total_cents >= 0.8
                          THEN rnk END) AS BIGINT) AS suppliers_to_80,
-           round(CAST(max(CASE WHEN rnk = 1 THEN cents END) AS DOUBLE)
-                 / max(total_cents), 6) AS top_share,
+           ((2 * max(CASE WHEN rnk = 1 THEN cents END) * 1000000
+                 + max(total_cents)) // (2 * max(total_cents)))
+               / 1000000.0 AS top_share,
            round(CAST(max(total_cents) AS DOUBLE) / 100, 2) AS total_revenue
     FROM ranked
     GROUP BY n_name
@@ -1363,9 +1364,9 @@ def q153_pareto_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .cast("long")
             .alias("suppliers_to_80"),
-            F.round(
-                F.max(F.when(F.col("rnk") == 1, F.col("cents"))).cast("double")
-                / F.max("total_cents"),
+            half_up_ratio(
+                F.max(F.when(F.col("rnk") == 1, F.col("cents"))),
+                F.max("total_cents"),
                 6,
             ).alias("top_share"),
             F.round(F.max("total_cents").cast("double") / 100, 2).alias(

@@ -693,6 +693,7 @@ def _register_zone_maps() -> None:
     from azure_batch_map_reduce_spark.catalog import load_tables
     from azure_batch_map_reduce_spark.operators.ranks import (
         distributed_row_number,
+        half_up_ratio,
     )
     from azure_batch_map_reduce_spark.registry import query
 
@@ -727,9 +728,9 @@ def _register_zone_maps() -> None:
                CAST(count(*) AS BIGINT) AS n_files,
                CAST(sum(CASE WHEN hi < DATE '{lo}' OR lo > DATE '{hi}'
                     THEN 1 ELSE 0 END) AS BIGINT) AS files_skipped,
-               round(CAST(sum(CASE WHEN hi < DATE '{lo}' OR lo > DATE '{hi}'
-                     THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 4)
-                   AS skip_rate
+               ((2 * sum(CASE WHEN hi < DATE '{lo}' OR lo > DATE '{hi}'
+                     THEN 1 ELSE 0 END) * 10000 + count(*))
+                    // (2 * count(*))) / 10000.0 AS skip_rate
         FROM zones
         GROUP BY layout
         ORDER BY layout
@@ -802,9 +803,9 @@ def _register_zone_maps() -> None:
             .agg(
                 F.count(F.lit(1)).cast("long").alias("n_files"),
                 F.sum(skipped).cast("long").alias("files_skipped"),
-                F.round(
-                    F.sum(skipped).cast("double") / F.count(F.lit(1)), 4
-                ).alias("skip_rate"),
+                half_up_ratio(F.sum(skipped), F.count(F.lit(1)), 4).alias(
+                    "skip_rate"
+                ),
             )
             .orderBy("layout")
         )
