@@ -4,18 +4,15 @@
 # shipping. `verify-sf01` stress-runs the same differential at sf0.1
 # (600k lineitem): traps that survive 60k rows (exact .5-cent rounding
 # boundaries, signed-zero epsilons, tie collisions) surface here.
-# Plain `test` runs everything at sf0.001. (`verify-sf001` is kept as a
-# deprecated alias of verify-driver — it always ran sf0.01.)
+# Plain `test` runs everything at sf0.001.
 
-.PHONY: test verify-driver verify-sf001 verify-sf01 bench operators
+.PHONY: test verify-driver verify-sf01 bench operators
 
 test:
 	python -m pytest tests/ -q
 
 verify-driver:
 	SPARK_GRAFT_TEST_SF_DIR=/root/testdata/sf0.01 python -m pytest tests/test_oracle_diff.py -q
-
-verify-sf001: verify-driver
 
 verify-sf01:
 	SPARK_GRAFT_TEST_SF_DIR=/root/testdata/sf0.1 python -m pytest tests/test_oracle_diff.py -q

@@ -264,3 +264,68 @@ def q229_salting_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return planned.where(F.col("salt_factor") > 1).orderBy(
         F.desc("n_rows"), F.asc("key")
     )
+
+
+@query(
+    "q404_hot_key_skew_join",
+    oracle="""
+    WITH fact AS (
+        SELECT CASE WHEN l_orderkey % 10 <> 0 THEN 1 ELSE l_suppkey END
+                   AS account,
+               l_extendedprice * (1 - l_discount) AS rev
+        FROM lineitem
+    )
+    SELECT s.s_nationkey AS nation_key,
+           CAST(count(*) AS BIGINT) AS n_items,
+           CAST(count(DISTINCT f.account) AS BIGINT) AS n_accounts,
+           round(sum(f.rev), 2) AS revenue
+    FROM fact f JOIN supplier s ON f.account = s.s_suppkey
+    GROUP BY s.s_nationkey
+    ORDER BY nation_key
+    """,
+    tags=("skew", "join", "aqe", "hot-key", "stress"),
+)
+def q404_hot_key_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adversarial hot-key join — the one-mega-customer shape: ~90% of
+    line items collapse onto a single account (account 1), the rest
+    spread over the supplier key space, then the fact joins the
+    supplier dim on that account key. The deliberately-unsalted engine
+    plan is the STRESS FIXTURE for Spark's runtime skew handling: at
+    fixture scale the dim broadcasts (hash join — immune to skew); at
+    100 TB with a non-broadcastable dim the same plan becomes a
+    shuffle join whose hot partition AQE's OptimizeSkewedJoin splits
+    at runtime —
+    ``tests/test_plans.py::test_aqe_skew_join_splits_hot_key`` forces
+    that regime (broadcast off, skew thresholds at test scale) and
+    asserts the split actually fires (``skew=true`` in the final
+    adaptive plan) AND that :func:`salted_join` — the design-time
+    counter for skew AQE can't see — produces the identical result on
+    the same fixture.
+
+    Determinism: the hot-key mapping is integer modulus; counts exact;
+    revenue is one rounded double sum at nation grain (25 groups,
+    sub-ulp stable on this fixture — same expression as q19).
+
+    Scale posture: no manual salt in the query itself — runtime skew
+    mitigation is the point; the salted variant is pinned equivalent
+    in the plan test. Reference contract: per-item account mapping =
+    map slot (``App.config:16``); account rollup = reduce slot
+    (``App.config:17``)."""
+    t = load_tables(spark, sf_dir)
+    fact = t["lineitem"].select(
+        F.when(F.col("l_orderkey") % 10 != 0, F.lit(1))
+        .otherwise(F.col("l_suppkey"))
+        .alias("account"),
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("rev"),
+    )
+    dim = t["supplier"].select("s_suppkey", "s_nationkey")
+    return (
+        fact.join(dim, fact["account"] == dim["s_suppkey"])
+        .groupBy(F.col("s_nationkey").alias("nation_key"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_items"),
+            F.countDistinct("account").cast("long").alias("n_accounts"),
+            F.round(F.sum("rev"), 2).alias("revenue"),
+        )
+        .orderBy("nation_key")
+    )

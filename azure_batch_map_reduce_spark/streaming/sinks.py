@@ -215,3 +215,84 @@ def q402_idempotent_sink_ledger(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("batch_id")
     )
+
+def run_idempotent_ledger_stream(
+    spark: SparkSession, sf_dir: str, n_files: int = 8
+) -> DataFrame:
+    """q402's exactly-once ledger driven by a REAL ``writeStream``:
+    the at-least-once delivery stream (every event once, the
+    ``event_id % 7 = 3`` slice redelivered) is fragmented into files,
+    consumed one file per micro-batch under ``availableNow``, and a
+    ``foreachBatch`` sink maintains a durable key ledger — each batch
+    accepts only event_ids absent from the ledger (plus within-batch
+    dedup) and appends a per-micro-batch audit row. The versioned
+    ledger write mirrors q122's commit protocol (new directory per
+    version, pointer = latest): readers never observe a torn state.
+
+    Returns the audit frame (micro_batch_id, n_deliveries, n_accepted,
+    n_dup_rejected). Whatever the file→batch split, the TOTALS must
+    equal q402's batch-shaped arithmetic — duplicates land in the same
+    batch (within-batch dedup) or a later one (ledger anti-join), and
+    exactly one delivery per key survives. Pinned in
+    ``tests/test_streaming.py::test_q402_stream_ledger_is_exactly_once``.
+
+    Scale posture: ledger state is one key column, partitioned on
+    event_id; the anti-join co-partitions batch-vs-ledger; the audit
+    is driver-side only at (n_batches) grain. On a table format the
+    version directories become a MERGE-on-key with file pruning."""
+    import glob
+    import os
+
+    from azure_batch_map_reduce_spark.catalog import load_tables
+
+    d = tempfile.mkdtemp(prefix="abmr-ledger-stream-")
+    src = os.path.join(d, "src")
+    led = os.path.join(d, "ledger")
+    audit_dir = os.path.join(d, "audit")
+    os.makedirs(audit_dir)
+
+    ev = load_tables(spark, sf_dir)["events"].select("event_id")
+    deliveries = ev.select("event_id", F.lit(1).alias("delivery_no")).unionAll(
+        ev.where(F.col("event_id") % _ISL_DUP_MOD == 3).select(
+            "event_id", F.lit(2).alias("delivery_no")
+        )
+    )
+    deliveries.repartition(n_files).write.parquet(src)
+    schema = spark.read.parquet(src).schema
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+
+    def ledger_batch(batch: DataFrame, batch_id: int) -> None:
+        s = batch.sparkSession
+        n_deliveries = batch.count()
+        incoming = batch.select("event_id").dropDuplicates(["event_id"])
+        versions = sorted(glob.glob(f"{led}_v*"))
+        if versions:
+            seen = s.read.parquet(versions[-1])
+            accepted = incoming.join(seen, "event_id", "left_anti")
+            new_ledger = seen.unionAll(accepted)
+        else:
+            accepted = incoming
+            new_ledger = accepted
+        n_accepted = accepted.count()
+        new_ledger.write.mode("errorifexists").parquet(
+            f"{led}_v{batch_id:05d}"
+        )
+        s.createDataFrame(
+            [(batch_id, n_deliveries, n_accepted, n_deliveries - n_accepted)],
+            "micro_batch_id long, n_deliveries long, n_accepted long,"
+            " n_dup_rejected long",
+        ).write.mode("append").parquet(audit_dir)
+
+    q = (
+        stream.writeStream.foreachBatch(ledger_batch)
+        .option("checkpointLocation", os.path.join(d, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.read.parquet(audit_dir).orderBy("micro_batch_id")

@@ -1119,3 +1119,87 @@ def test_q399_band_probe_is_delta_sided(spark, sf_dir):
         assert any("% 10) = 7" in s for s in sides), (
             "band join has no delta-sided probe:\n" + j.condition().toString()
         )
+
+
+def test_aqe_skew_join_splits_hot_key(spark, sf_dir):
+    """r5 verdict task 6: adversarial skew fixture for q404's hot-key
+    join. Forces the 100 TB regime at test scale — broadcast OFF (so
+    the join is a real shuffle join) and AQE skew thresholds lowered to
+    fixture sizes — then asserts (a) OptimizeSkewedJoin actually split
+    the hot partition (`skew=true` in the final adaptive plan) and
+    (b) the design-time counter, `salted_join`, yields the identical
+    aggregate on the same fixture."""
+    from azure_batch_map_reduce_spark.operators.skew import salted_join
+
+    t = load_tables(spark, sf_dir)
+    # Fan the fact out to 16 map tasks first: AQE splits a skewed
+    # REDUCE partition by dividing its MAP outputs among extra tasks,
+    # so a single-mapper shuffle (one tiny fixture file) is
+    # indivisible and the rule silently declines. At 100 TB there are
+    # always thousands of mappers; the repartition recreates that.
+    fact = (
+        t["lineitem"]
+        .select(
+            F.when(F.col("l_orderkey") % 10 != 0, F.lit(1))
+            .otherwise(F.col("l_suppkey"))
+            .alias("account"),
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "rev"
+            ),
+        )
+        .repartition(16)
+    )
+    dim = t["supplier"].select(
+        F.col("s_suppkey").alias("account"), "s_nationkey"
+    )
+
+    def rollup(joined):
+        return [
+            (r["nation_key"], r["n_items"], r["revenue"])
+            for r in joined.groupBy(
+                F.col("s_nationkey").alias("nation_key")
+            )
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_items"),
+                F.round(F.sum("rev"), 2).alias("revenue"),
+            )
+            .orderBy("nation_key")
+            .collect()
+        ]
+
+    keys = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "1.0",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "4KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "2KB",
+        "spark.sql.adaptive.coalescePartitions.enabled": "false",
+    }
+    saved = {}
+    for k, v in keys.items():
+        try:
+            saved[k] = spark.conf.get(k)
+        except Exception:
+            saved[k] = None
+        spark.conf.set(k, v)
+    try:
+        joined = fact.join(dim, "account")
+        # Execute THIS frame (each derived frame has its own
+        # QueryExecution — the rollup's run would leave this one
+        # unexecuted and its adaptive plan non-final).
+        joined.collect()
+        plain = rollup(joined)
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan, (
+            "AQE did not split the hot partition:\n" + plan[:2000]
+        )
+        salted = rollup(
+            salted_join(fact, dim, key="account", n_salt=8, salt_basis="rev")
+        )
+        assert salted == plain
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
