@@ -179,6 +179,7 @@ HEADLINE = [
     "q401_degree_assortativity",
     "q402_idempotent_sink_ledger",
     "q403_backfill_range_planner",
+    "q404_hot_key_skew_join",
 ]
 
 
