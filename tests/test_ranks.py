@@ -203,3 +203,62 @@ def test_bounded_order_keeps_constant_partition(spark):
     )
     opt = df._jdf.queryExecution().optimizedPlan().toString()
     assert "windowspecdefinition(0," in opt
+
+
+def test_half_up_ratio_matches_exact_rational_half_up(spark):
+    """half_up_ratio / half_up_ratio_signed vs the exact Fraction
+    definition of round-half-away-from-zero, including exact-half
+    boundary cases (power-of-two denominators — the q345 class) and
+    the DuckDB oracle form on identical operands."""
+    from fractions import Fraction
+
+    import duckdb
+
+    from azure_batch_map_reduce_spark.operators.ranks import (
+        half_up_ratio,
+        half_up_ratio_signed,
+    )
+
+    cases = [
+        # (num, den, digits) — halves, near-halves, big operands
+        (1, 128, 6),       # 0.0078125 → exact half at 6dp
+        (2, 64, 4),        # 0.03125   → exact half at 4dp
+        (3, 8, 2),         # 0.375     → exact half at 2dp
+        (1, 3, 6),
+        (7, 3, 4),
+        (0, 5, 6),
+        (999_999, 1_000_000, 6),
+        (10**12 + 7, 60_000_000, 6),   # micros-average magnitude
+        (123456789, 128, 2),
+    ]
+
+    def exact(n, d, k):
+        x = Fraction(n, d) * 10**k
+        q, r = divmod(abs(x.numerator), x.denominator)
+        m = q + (1 if 2 * r >= x.denominator else 0)
+        return (m if x >= 0 else -m) / 10**k
+
+    rows = spark.range(1).select(
+        *[
+            half_up_ratio(F.lit(n), F.lit(d), k).alias(f"p{i}")
+            for i, (n, d, k) in enumerate(cases)
+        ],
+        *[
+            half_up_ratio_signed(F.lit(-n), F.lit(d), k).alias(f"m{i}")
+            for i, (n, d, k) in enumerate(cases)
+        ],
+    ).first()
+    con = duckdb.connect()
+    for i, (n, d, k) in enumerate(cases):
+        want = exact(n, d, k)
+        assert rows[f"p{i}"] == want, (n, d, k, rows[f"p{i}"], want)
+        assert rows[f"m{i}"] == exact(-n, d, k), (n, d, k)
+        # -0.0 never escapes the signed variant (hash is sign-sensitive)
+        if exact(-n, d, k) == 0:
+            assert str(rows[f"m{i}"]) == "0.0"
+        got = con.execute(
+            f"SELECT ((2 * CAST({n} AS HUGEINT) * {10**k} + {d})"
+            f" // (2 * {d})) / {10**k}.0"
+        ).fetchone()[0]
+        assert got == want, (n, d, k, got, want)
+    con.close()
