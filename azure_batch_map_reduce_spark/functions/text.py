@@ -2065,6 +2065,9 @@ def q257_bigram_lm_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     Reference contract: map slot (``App.config:16``) = per-doc
     scoring; reduce slot (``App.config:17``) = model-count
     consolidation."""
+    # No scan spread here: this frame BRANCHES (model build + scoring
+    # paths), and a repartition re-executes per branch — measured 1.7×
+    # slower than the single-split scan at sf0.1.
     docs = load_tables(spark, sf_dir)["documents"]
     arr = F.filter(
         F.split(F.lower(F.col("text")), "[^a-z]+"), lambda x: x != F.lit("")
@@ -3910,7 +3913,9 @@ def q368_kneser_ney_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     distributes. Reference contract: bigram extraction = map slot
     (``App.config:16``); smoothing consolidation = reduce slot
     (``App.config:17``)."""
-    docs = load_tables(spark, sf_dir)["documents"]
+    # Spread the single-split fixture scan before the CPU-heavy bigram
+    # explode (no-op at scale where the source has many splits).
+    docs = load_tables(spark, sf_dir)["documents"].repartition(32, "doc_id")
     ws = F.split(F.lower(F.col("text")), " ")
     bg = docs.select(
         F.explode(
@@ -4420,7 +4425,9 @@ def q395_good_turing_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     classic two-level aggregation, all map-side combinable. Reference
     contract: bigram emission = map slot (``App.config:16``);
     count-of-counts rollup = reduce slot (``App.config:17``)."""
-    docs = load_tables(spark, sf_dir)["documents"]
+    # Spread the single-split fixture scan before the CPU-heavy bigram
+    # explode (no-op at scale where the source has many splits).
+    docs = load_tables(spark, sf_dir)["documents"].repartition(32, "doc_id")
     ws = F.split(F.lower(F.col("text")), " ")
     tf = (
         docs.select(
@@ -4621,7 +4628,9 @@ def q400_duplicate_ngram_fraction(spark: SparkSession, sf_dir: str) -> DataFrame
     Reference contract: window emission = map slot
     (``App.config:16``); per-doc rollup = reduce slot
     (``App.config:17``)."""
-    docs = load_tables(spark, sf_dir)["documents"]
+    # Spread the single-split fixture scan before the CPU-heavy n-gram
+    # explode (no-op at scale where the source has many splits).
+    docs = load_tables(spark, sf_dir)["documents"].repartition(32, "doc_id")
     ws = F.split(F.lower(F.col("text")), " ")
     grams = (
         docs.select("doc_id", ws.alias("ws"))
