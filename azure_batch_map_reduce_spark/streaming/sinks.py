@@ -230,9 +230,12 @@ def run_idempotent_ledger_stream(
     version, pointer = latest): readers never observe a torn state.
 
     Returns the audit frame (micro_batch_id, n_deliveries, n_accepted,
-    n_dup_rejected). Whatever the file→batch split, the TOTALS must
-    equal q402's batch-shaped arithmetic — duplicates land in the same
-    batch (within-batch dedup) or a later one (ledger anti-join), and
+    n_dup_rejected); its FINAL row is a crash-replay drill — the full
+    delivery log re-offered as one batch after a simulated checkpoint
+    loss, which the ledger must absorb with zero acceptances. Whatever
+    the file→batch split, the stream rows' TOTALS must equal q402's
+    batch-shaped arithmetic — duplicates land in the same batch
+    (within-batch dedup) or a later one (ledger anti-join), and
     exactly one delivery per key survives. Pinned in
     ``tests/test_streaming.py::test_q402_stream_ledger_is_exactly_once``.
 
@@ -295,4 +298,10 @@ def run_idempotent_ledger_stream(
         .start()
     )
     q.awaitTermination(300)
+    # Crash-replay drill: a restarted job whose checkpoint was lost
+    # redelivers EVERYTHING. Push the full delivery log through the
+    # same ledger merge as one more batch — exactly-once means the
+    # ledger absorbs it with zero new acceptances, which the audit's
+    # final row records (and the test asserts).
+    ledger_batch(spark.read.parquet(src), 1_000_000)
     return spark.read.parquet(audit_dir).orderBy("micro_batch_id")

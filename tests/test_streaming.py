@@ -277,6 +277,9 @@ def test_q402_stream_ledger_is_exactly_once(spark, sf_dir):
     )
 
     audit = run_idempotent_ledger_stream(spark, sf_dir).collect()
+    # Final row is the crash-replay drill: every delivery re-offered
+    # at once after a simulated checkpoint loss.
+    replay, audit = audit[-1], audit[:-1]
     assert len(audit) > 1, "availableNow produced a single micro-batch"
     ev = load_tables(spark, sf_dir)["events"].select("event_id")
     n_events = ev.count()
@@ -286,3 +289,5 @@ def test_q402_stream_ledger_is_exactly_once(spark, sf_dir):
     assert sum(r["n_deliveries"] for r in audit) == n_events + n_dups
     for r in audit:
         assert r["n_accepted"] + r["n_dup_rejected"] == r["n_deliveries"]
+    assert replay["n_accepted"] == 0, "replay after checkpoint loss re-accepted keys"
+    assert replay["n_dup_rejected"] == n_events + n_dups
