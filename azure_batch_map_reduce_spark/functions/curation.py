@@ -2562,9 +2562,9 @@ def q266_class_balanced_undersample(spark: SparkSession, sf_dir: str) -> DataFra
            CAST(p.n_pos AS BIGINT) AS n_pos,
            ((2 * p.n_pos * 1000000 + p.n) // (2 * p.n)) / 1000000.0
                                                    AS raw_rate,
-           round(i.iso, 6)                         AS iso_rate,
+           round(i.iso * 1000000) / 1000000.0      AS iso_rate,
            (((2 * p.n_pos * 1000000 + p.n) // (2 * p.n)) / 1000000.0
-               <> round(i.iso, 6))                 AS adjusted
+               <> round(i.iso * 1000000) / 1000000.0) AS adjusted
     FROM per_bin p JOIN iso i ON p.bin = i.bin
     ORDER BY p.bin
     """,
@@ -2646,8 +2646,17 @@ def q277_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n").cast("long").alias("n_docs"),
             F.col("n_pos").cast("long").alias("n_pos"),
             raw.alias("raw_rate"),
-            F.round("iso", 6).alias("iso_rate"),
-            (raw != F.round("iso", 6)).alias("adjusted"),
+            # round(x·1e6)/1e6, NOT round(x, 6): scaling in double first
+            # and rounding the product at INTEGER grain is the same
+            # algorithm DuckDB's 2-arg round runs, and integer-grain
+            # halves are exactly representable — so the two engines
+            # are bit-identical even when x·1e6 lands on a boundary
+            # (Spark's round(x, 6) instead rounds the double's exact
+            # BigDecimal expansion, which can disagree there).
+            (F.round(F.col("iso") * 1e6) / F.lit(1e6)).alias("iso_rate"),
+            (raw != F.round(F.col("iso") * 1e6) / F.lit(1e6)).alias(
+                "adjusted"
+            ),
         )
         .orderBy("bin")
     )
