@@ -2456,6 +2456,14 @@ def q276_kmv_overlap_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     Jaccard, and the absolute error — the audit column that tells an
     operator whether k=64 suffices before scaling out.
 
+    abs_err semantics (changed round 6, applied identically to engine
+    and oracle): ``|round(est,4) - round(exact,4)|`` — the difference
+    of the already-rounded published columns — not the former
+    ``round(|est - exact|, 4)``. At a boundary case the emitted value
+    can differ by 1e-4 from pre-r6 BENCH/driver outputs; a driver-row
+    mismatch against an OLD recorded hash is this semantic shift, not
+    a regression.
+
     Determinism: the hash is an explicit polynomial fold ((acc*131 +
     ascii) mod 1e9+7) evaluated as the SAME sequential lambda on both
     engines (seed prepended on the DuckDB side because list_reduce

@@ -333,7 +333,15 @@ def half_up_ratio(num: Column, den: Column, digits: int) -> Column:
 
     Negative numerators would need floor-vs-truncate care — every
     swept site is a count/size/micros ratio, nonnegative by
-    construction."""
+    construction.
+
+    int64 quotient limit: ``div`` returns LONG even on decimal
+    operands, so ``ratio * 10^digits`` must fit int64 (~9.2e18);
+    beyond it the quotient silently WRAPS negative (no null, no ANSI
+    error) — boundary pinned in
+    ``tests/test_ranks.py::test_half_up_ratio_int64_quotient_boundary``.
+    Rescale first at any future call site whose ratio can exceed
+    ``9.2e18 / 10^digits``."""
     scale = F.lit(10**digits).cast("decimal(38,0)")
     a = num.cast("decimal(38,0)")
     b = den.cast("decimal(38,0)")

@@ -20,6 +20,7 @@ sessionization state.
 
 from __future__ import annotations
 
+import shutil
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
@@ -297,11 +298,26 @@ def run_idempotent_ledger_stream(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    # A stalled availableNow stream would otherwise fall through and
+    # run the replay drill + audit read against PARTIAL ledger state —
+    # fail loudly instead (awaitTermination returns False on timeout).
+    finished = q.awaitTermination(300)
+    if not finished:
+        q.stop()
+        shutil.rmtree(d, ignore_errors=True)
+        raise TimeoutError("q402 ledger stream did not finish within 300 s")
     # Crash-replay drill: a restarted job whose checkpoint was lost
     # redelivers EVERYTHING. Push the full delivery log through the
     # same ledger merge as one more batch — exactly-once means the
     # ledger absorbs it with zero new acceptances, which the audit's
     # final row records (and the test asserts).
     ledger_batch(spark.read.parquet(src), 1_000_000)
-    return spark.read.parquet(audit_dir).orderBy("micro_batch_id")
+    # Materialize the audit (n_batches-grain, tiny) so the scratch tree
+    # can be deleted before returning a frame that no longer reads it.
+    rows = spark.read.parquet(audit_dir).orderBy("micro_batch_id").collect()
+    shutil.rmtree(d, ignore_errors=True)
+    return spark.createDataFrame(
+        rows,
+        "micro_batch_id long, n_deliveries long, n_accepted long,"
+        " n_dup_rejected long",
+    )

@@ -55,7 +55,11 @@ def run_available_now(df: DataFrame, output_mode: str = "append") -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    # awaitTermination returns False on timeout — a stalled stream must
+    # fail loudly, not hand back a partial memory table (ADVICE r6).
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError(f"availableNow stream {name} did not finish in 300 s")
     return df.sparkSession.table(name)
 
 
@@ -1414,3 +1418,91 @@ def q364_stream_full_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("user_id", "c_user_id").alias("user_id"),
     )
     return run_available_now(joined, "append")
+
+
+# ---- multi-source streaming union (q406) ----
+
+@query(
+    "q406_multi_source_stream_union",
+    oracle="""
+    WITH agg AS (
+        SELECT time_bucket(INTERVAL '1 hour', ts) + INTERVAL 1 HOUR AS window_end,
+               event_type,
+               count(*)             AS n,
+               round(sum(value), 2) AS total_value
+        FROM events
+        GROUP BY 1, 2
+    )
+    SELECT window_end, event_type, n, total_value
+    FROM agg
+    WHERE window_end <= (SELECT max(ts) - INTERVAL 10 MINUTE FROM events)
+    """,
+    tags=("streaming", "union", "multi-source", "watermark"),
+)
+def q406_multi_source_stream_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-way STREAMING union: three independent file-source streams
+    (the event log sharded by ``event_id % 3`` into three source
+    directories — three ingest feeds of one logical stream) merged
+    with ``unionByName`` under ONE event-time watermark, then a
+    watermarked 1-hour tumbling aggregate per event_type. The single
+    ``withWatermark`` sits ABOVE the union, so the watermark advances
+    on the merged stream's global max event time — deliberately NOT
+    one watermark per source, which Spark would combine under the
+    ``multipleWatermarkPolicy`` default as the min over sources and a
+    lagging shard would then hold every window open. Emission follows
+    q85's closure rule (append mode: a window emits once
+    window_end ≤ final watermark = global max ts − 10 min; the
+    trailing open windows are withheld), replayed exactly by the
+    oracle.
+
+    Determinism: the shard assignment is a pure function of event_id;
+    the union is a bag merge feeding a commutative aggregate, so shard
+    order never matters; counts are exact integers.
+
+    Scale posture: each source directory lists and reads its own files
+    in parallel (this is the N-feed ingest shape — per-region or
+    per-producer directories); union is a no-shuffle plan node; the
+    windowed aggregate is partial+final on (window, event_type) with
+    watermark-bounded state. Reference contract: the reference fans
+    out one task per input blob under a single job barrier
+    (``Program.cs`` task-per-file submission); N source dirs merging
+    into one watermark is that fan-in expressed as a continuous
+    stream."""
+    import os
+    import shutil
+    import tempfile
+
+    from azure_batch_map_reduce_spark.catalog import load_tables
+
+    d = tempfile.mkdtemp(prefix="abmr-union-")
+    ev = load_tables(spark, sf_dir)["events"].select(
+        "event_id", "event_type", "ts", "value"
+    )
+    srcs = []
+    for i in range(3):
+        src = os.path.join(d, f"feed{i}")
+        ev.where(F.col("event_id") % 3 == i).coalesce(1).write.parquet(src)
+        srcs.append(src)
+    schema = spark.read.parquet(srcs[0]).schema
+
+    merged = None
+    for src in srcs:
+        s = spark.readStream.schema(schema).parquet(src)
+        merged = s if merged is None else merged.unionByName(s)
+
+    agg = (
+        merged.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(F.col("w.end").alias("window_end"), "event_type", "n", "total_value")
+    )
+    result = run_available_now(agg, "append")
+    # Window-grain result; materialize so the scratch feeds can go.
+    rows = result.collect()
+    shutil.rmtree(d, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "window_end timestamp, event_type string, n long, total_value double"
+    )

@@ -262,3 +262,29 @@ def test_half_up_ratio_matches_exact_rational_half_up(spark):
         ).fetchone()[0]
         assert got == want, (n, d, k, got, want)
     con.close()
+
+
+def test_half_up_ratio_int64_quotient_boundary(spark):
+    """Pin the documented int64 limit of half_up_ratio (ADVICE r6):
+    operands are decimal(38,0) but Spark's ``div`` (IntegralDivide)
+    returns LONG, so the QUOTIENT ``ratio * 10^k`` must fit int64
+    (~9.22e18). At the last safe magnitude the helper is exact; one
+    decade beyond it the quotient silently WRAPS to a negative long —
+    there is no null and no ANSI error — so any future call site whose
+    ratio can exceed ~9.2e18 / 10^k must rescale first. Every current
+    repo site is a bounded ratio (rates, averages, shares ≤ micros
+    scale), verified when added per the rounding-contract test."""
+    from azure_batch_map_reduce_spark.operators.ranks import half_up_ratio
+
+    row = spark.range(1).select(
+        # quotient = 9_223_372_036_854 * 10^6 ≈ 9.223e18 < 2^63-1: safe
+        half_up_ratio(F.lit(9_223_372_036_854), F.lit(1), 6).alias("safe"),
+        # quotient = 10^13 * 10^6 = 10^19 > 2^63-1: wraps, goes negative
+        half_up_ratio(F.lit(10**13), F.lit(1), 6).alias("wrapped"),
+    ).first()
+    assert row["safe"] == 9_223_372_036_854.0
+    assert row["wrapped"] < 0, (
+        "int64 quotient overflow no longer wraps silently — if Spark "
+        "changed IntegralDivide semantics, revisit the half_up_ratio "
+        "docstring contract"
+    )
