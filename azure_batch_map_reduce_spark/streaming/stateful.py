@@ -113,9 +113,11 @@ def sessionize_stream(events: DataFrame) -> DataFrame:
     )
 
 
-@query(
-    "q84_stateful_sessionize",
-    oracle="""
+# Batch gaps-and-islands replay of the stateful sessionizer — shared by
+# q84 (single-run stream) and q405 (kill + restart-from-checkpoint): the
+# final reconciled session set is the same whatever the micro-batch /
+# restart boundaries, which is exactly what sharing one oracle asserts.
+_SESSIONIZE_ORACLE = """
     WITH x AS (
         SELECT user_id, event_id, ts, value,
                CASE WHEN lag(ts) OVER w IS NULL
@@ -142,7 +144,12 @@ def sessionize_stream(events: DataFrame) -> DataFrame:
            round(coalesce(max(gap_s), 0), 2) AS max_gap_s
     FROM y
     GROUP BY user_id, sess_id
-    """,
+"""
+
+
+@query(
+    "q84_stateful_sessionize",
+    oracle=_SESSIONIZE_ORACLE,
     tags=("streaming", "stateful", "session"),
 )
 def q84_stateful_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -442,3 +449,170 @@ query(
     oracle=_Q267_ORACLE,
     tags=("streaming", "stateful", "rate-limit", "quota"),
 )(q267_stateful_rate_limit)
+
+
+# ---- restart-from-checkpoint (q405) ----
+
+def _restart_cut_us(ev: DataFrame) -> int:
+    """Deterministic crash point for q405: the integer-µs midpoint of
+    the LONGEST intra-session gap (adjacent same-user events ≤ 30 min
+    apart, ties broken on user_id then ts) — placing the cut INSIDE a
+    session guarantees the restart drill has carried state to restore
+    (the global time midpoint can land in dead air at small SF, making
+    the drill vacuous; pinned in
+    ``tests/test_streaming.py::test_q405_restart_spans_checkpoint``).
+    Falls back to the global midpoint if no user ever has two events
+    within one gap. One window pass at (user) grain, µs integer
+    arithmetic throughout (q318's interval rule)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    us = F.unix_micros("ts")
+    gaps = (
+        ev.select(
+            "user_id",
+            us.alias("t"),
+            F.lag(us).over(w).alias("prev_t"),
+        )
+        .where(
+            F.col("prev_t").isNotNull()
+            & ((F.col("t") - F.col("prev_t")) <= int(GAP_S) * 1_000_000)
+            & ((F.col("t") - F.col("prev_t")) >= 2)
+        )
+        .orderBy(
+            (F.col("t") - F.col("prev_t")).desc(),
+            F.col("user_id").asc(),
+            F.col("t").asc(),
+        )
+        .limit(1)
+        .first()
+    )
+    if gaps is not None:
+        return (gaps["prev_t"] + gaps["t"]) // 2
+    bounds = ev.agg(F.min(us).alias("lo"), F.max(us).alias("hi")).first()
+    return (bounds["lo"] + bounds["hi"]) // 2
+
+
+def _sessionize_pipeline(spark: SparkSession, src: str, schema) -> DataFrame:
+    """The q405 streaming plan — file source → stateful sessionizer.
+    Factored out so the pre- and post-restart queries are built from
+    the SAME code path (a restart must re-submit an identical plan for
+    checkpoint state compatibility)."""
+    stream = spark.readStream.schema(schema).parquet(src)
+    return sessionize_stream(stream)
+
+
+@query(
+    "q405_stream_restart_from_checkpoint",
+    oracle=_SESSIONIZE_ORACLE,
+    tags=("streaming", "stateful", "checkpoint", "restart"),
+)
+def q405_stream_restart_from_checkpoint(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Stateful-stream KILL + RESTART from checkpoint — the recovery
+    drill the rest of the streaming family never exercises (q84/q86
+    run once and terminate). The event log is split at the
+    :func:`_restart_cut_us` crash point — the µs midpoint of the
+    longest intra-session gap, guaranteeing a session SPANS the cut —
+    into two delivery files; query #1 sessionizes file 1
+    under ``availableNow`` with a durable checkpoint and terminates
+    (the simulated crash — state lives only in the checkpoint's state
+    store). File 2 then lands and a NEW query — same plan, same
+    checkpoint — resumes: the file-source log skips the already-
+    processed file and ``applyInPandasWithState`` restores each user's
+    carried open session, so sessions SPANNING the cut are extended,
+    not restarted. Snapshot reconciliation (the module's update-style
+    contract: latest row per (user_id, session_start) wins, and
+    ``n_events`` grows monotonically under extension, so max_by on it
+    picks the survivor) yields the final session set, which must equal
+    the batch gaps-and-islands oracle — restart transparency IS the
+    correctness property, and it fails if either the source log
+    re-delivers file 1 or the state store comes back empty (a spanning
+    session would then split in two and shift the oracle's grain).
+    Non-degeneracy (≥1 session genuinely spans the cut) is pinned in
+    ``tests/test_streaming.py::test_q405_restart_spans_checkpoint``.
+
+    Determinism: the cut is integer-µs arithmetic over a totally
+    ordered gap ranking (q318's interval rule); each phase is ONE file
+    so per-run batch contents are fixed; within a batch the
+    sessionizer totally orders on (ts, event_id).
+
+    Scale posture: identical to q84 — O(1) state per user sharded by
+    group key; the checkpoint adds an O(files) source log and an
+    O(users) state store snapshot, both executor-distributed. The
+    reconciliation aggregate is session-grain, partial+final, no
+    window. Reference contract: restart-from-checkpoint replaces the
+    reference's whole-job resubmission on failure (``Program.cs``
+    monitors task state but re-runs failed tasks from scratch;
+    SURVEY §2.1 L13) with resumable per-key state."""
+    import os
+    import shutil
+    import tempfile
+
+    from azure_batch_map_reduce_spark.catalog import load_tables
+
+    d = tempfile.mkdtemp(prefix="abmr-restart-")
+    src = os.path.join(d, "src")
+    out = os.path.join(d, "out")
+    ckpt = os.path.join(d, "ckpt")
+
+    ev = load_tables(spark, sf_dir)["events"].select(
+        "user_id", "event_id", "ts", "value"
+    )
+    cut_us = _restart_cut_us(ev)
+
+    # Phase 1: everything at or before the cut, as ONE delivery file.
+    ev.where(F.unix_micros("ts") <= cut_us).coalesce(1).write.parquet(src)
+    schema = spark.read.parquet(src).schema
+
+    def run_once() -> None:
+        q = (
+            _sessionize_pipeline(spark, src, schema)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            shutil.rmtree(d, ignore_errors=True)
+            raise TimeoutError("q405 stream did not finish within 300 s")
+
+    run_once()  # query #1: processes file 1, checkpoints, terminates
+
+    # Phase 2 lands AFTER the "crash"; all its timestamps exceed the cut,
+    # so carried sessions only ever extend forward.
+    ev.where(F.unix_micros("ts") > cut_us).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+
+    run_once()  # query #2: restart — same plan, same checkpoint
+
+    snapshots = spark.read.parquet(out)
+    final = (
+        snapshots.groupBy("user_id", "session_start")
+        .agg(
+            F.max_by(
+                F.struct("session_end", "n_events", "total_value", "max_gap_s"),
+                "n_events",
+            ).alias("s")
+        )
+        .select(
+            "user_id",
+            "session_start",
+            F.col("s.session_end").alias("session_end"),
+            F.col("s.n_events").alias("n_events"),
+            F.col("s.total_value").alias("total_value"),
+            F.col("s.max_gap_s").alias("max_gap_s"),
+        )
+    )
+    # Session-grain result (same memory class as q84's memory sink);
+    # materialize so the scratch tree can be removed before returning.
+    rows = final.collect()
+    shutil.rmtree(d, ignore_errors=True)
+    return spark.createDataFrame(rows, OUT_SCHEMA)

@@ -291,3 +291,50 @@ def test_q402_stream_ledger_is_exactly_once(spark, sf_dir):
         assert r["n_accepted"] + r["n_dup_rejected"] == r["n_deliveries"]
     assert replay["n_accepted"] == 0, "replay after checkpoint loss re-accepted keys"
     assert replay["n_dup_rejected"] == n_events + n_dups
+
+
+def test_q405_restart_spans_checkpoint(spark, sf_dir):
+    """Non-degeneracy for the restart drill: at least one session must
+    genuinely SPAN the _restart_cut_us crash point (events on both sides),
+    otherwise the restart never has carried state to restore and the
+    oracle match is vacuous. Also asserts the restarted run extended a
+    carried session rather than re-emitting phase-1 snapshots: a
+    spanning session's final row must end AFTER the cut while starting
+    at or before it."""
+    from azure_batch_map_reduce_spark.streaming.stateful import (
+        _restart_cut_us,
+        q405_stream_restart_from_checkpoint,
+    )
+
+    ev = load_tables(spark, sf_dir)["events"]
+    cut_us = _restart_cut_us(ev)
+
+    final = q405_stream_restart_from_checkpoint(spark, sf_dir)
+    spanning = final.where(
+        (F.unix_micros("session_start") <= cut_us)
+        & (F.unix_micros("session_end") > cut_us)
+    ).count()
+    assert spanning >= 1, "no session spans the restart cut — drill is vacuous"
+
+
+def test_q406_union_withholds_open_windows(spark, sf_dir):
+    """Non-degeneracy for the N-way streaming union: the merged stream
+    must produce a non-empty multi-event-type result AND withhold at
+    least one trailing open window relative to the unwatermarked batch
+    aggregate — proving the single above-union watermark actually
+    gated emission (not one lagging per-source watermark, not a
+    pass-through)."""
+    from azure_batch_map_reduce_spark.streaming.windows import (
+        q406_multi_source_stream_union,
+    )
+
+    out = q406_multi_source_stream_union(spark, sf_dir)
+    rows = out.count()
+    assert rows > 0
+    assert out.select("event_type").distinct().count() > 1
+
+    ev = load_tables(spark, sf_dir)["events"]
+    all_windows = (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type").count().count()
+    )
+    assert rows < all_windows, "no open window was withheld — watermark inert"
