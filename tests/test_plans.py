@@ -1203,3 +1203,47 @@ def test_aqe_skew_join_splits_hot_key(spark, sf_dir):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_q406_single_watermark_above_union(spark, sf_dir, tmp_path):
+    """q406's defining plan property: ONE EventTimeWatermark node
+    sitting ABOVE a 3-way union of streaming sources. Per-source
+    watermarks would min-combine under multipleWatermarkPolicy and a
+    lagging shard would hold every window open — so the pin asserts
+    exactly one watermark node in the analyzed plan and that the union
+    (3 streaming leaves) is entirely BELOW it."""
+    from azure_batch_map_reduce_spark.catalog import load_tables as _lt
+
+    ev = _lt(spark, sf_dir)["events"].select("event_id", "event_type", "ts", "value")
+    srcs = []
+    for i in range(3):
+        src = str(tmp_path / f"feed{i}")
+        ev.where(F.col("event_id") % 3 == i).coalesce(1).write.parquet(src)
+        srcs.append(src)
+    schema = spark.read.parquet(srcs[0]).schema
+
+    merged = None
+    for src in srcs:
+        s = spark.readStream.schema(schema).parquet(src)
+        merged = s if merged is None else merged.unionByName(s)
+    agg = (
+        merged.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+    def walk(node):
+        yield node
+        ch = node.children()
+        for i in range(ch.size()):
+            yield from walk(ch.apply(i))
+
+    root = agg._jdf.queryExecution().analyzed()
+    nodes = list(walk(root))
+    wm = [n for n in nodes if n.nodeName() == "EventTimeWatermark"]
+    assert len(wm) == 1, [n.nodeName() for n in nodes]
+    # All 3 streaming leaves live below the single watermark node.
+    leaves_below_wm = [
+        n for n in walk(wm[0]) if "StreamingRelation" in n.nodeName()
+    ]
+    assert len(leaves_below_wm) == 3, [n.nodeName() for n in nodes]
