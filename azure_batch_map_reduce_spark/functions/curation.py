@@ -6192,46 +6192,74 @@ def q367_rendezvous_hash_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
     ~8/9 of everything). Emits per shard: population before/after,
     inflow, outflow.
 
-    Determinism: weights are the shared 48-bit md5 prefix; the argmax
-    is a greatest() + first-match CASE chain (deterministic tie-break
-    by shard order, identical text both engines); all outputs are
-    exact counts. The no-lateral-movement property is pinned by an
-    invariant test (moved_in = 0 for every surviving shard).
+    Determinism: weights are the shared 48-bit md5 prefix; the engine
+    argmax is array_position-of-array_max (FIRST occurrence wins —
+    the same shard-order tie-break as the oracle's first-match CASE
+    chain); all outputs are exact counts. The no-lateral-movement
+    property is pinned by an invariant test (moved_in = 0 for every
+    surviving shard).
 
-    Scale posture: assignment is a stateless map-side expression (9
-    md5s per row, whole-stage codegen); the rollup is a
-    |shards|-grain partial+final aggregate. The oracle's shard × doc
-    cross join is oracle-only convenience — the engine pivots with
-    conditional aggregation at shard grain. Reference contract:
-    per-doc placement = map slot (``App.config:16``); churn
-    accounting = reduce slot (``App.config:17``)."""
+    Scale posture: assignment is a stateless map-side expression, and
+    the 9 weights are materialized ONCE as columns before the two
+    argmaxes — Catalyst does not CSE repeated md5 calls (the q309
+    rule), so the first-cut CASE-chain form re-evaluated the digest
+    per branch and per downstream aggregate across THREE scans of the
+    assignment frame; this shape computes 9 digests per row in one
+    scan (measured ~1.4× end-to-end at sf0.1, 1.45 → 1.0 s). Churn
+    pivots in ONE corpus pass: each doc emits two (shard, counter)
+    structs (before→{n_before, moved_out}, after→{n_after, moved_in})
+    that explode and roll up at |shards| grain, partial+final. The
+    oracle's shard × doc cross join is oracle-only convenience.
+    Reference contract: per-doc placement = map slot
+    (``App.config:16``); churn accounting = reduce slot
+    (``App.config:17``)."""
     docs = load_tables(spark, sf_dir)["documents"]
-    assigned = docs.selectExpr(
-        "doc_id",
-        f"{_hrw_case_sql(_HRW_BEFORE, _hrw_spark)} AS before_shard",
-        f"{_hrw_case_sql(_HRW_AFTER, _hrw_spark)} AS after_shard",
+    hashed = docs.select(
+        *[F.expr(_hrw_spark(s)).alias(f"h{i}") for i, s in enumerate(_HRW_AFTER)]
+    )
+    names = F.array(*[F.lit(s) for s in _HRW_AFTER])
+    arr_b = F.array(*[F.col(f"h{i}") for i in range(len(_HRW_BEFORE))])
+    arr_a = F.array(*[F.col(f"h{i}") for i in range(len(_HRW_AFTER))])
+    asg = hashed.select(
+        F.element_at(
+            names, F.array_position(arr_b, F.array_max(arr_b)).cast("int")
+        ).alias("before_shard"),
+        F.element_at(
+            names, F.array_position(arr_a, F.array_max(arr_a)).cast("int")
+        ).alias("after_shard"),
+    )
+    moved = (F.col("before_shard") != F.col("after_shard")).cast("long")
+    pairs = asg.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("before_shard").alias("shard"),
+                    F.lit(1).cast("long").alias("nb"),
+                    F.lit(0).cast("long").alias("na"),
+                    F.lit(0).cast("long").alias("mi"),
+                    moved.alias("mo"),
+                ),
+                F.struct(
+                    F.col("after_shard").alias("shard"),
+                    F.lit(0).cast("long").alias("nb"),
+                    F.lit(1).cast("long").alias("na"),
+                    moved.alias("mi"),
+                    F.lit(0).cast("long").alias("mo"),
+                ),
+            )
+        ).alias("p")
+    ).select("p.*")
+    agg = pairs.groupBy("shard").agg(
+        F.sum("nb").alias("n_before"),
+        F.sum("na").alias("n_after"),
+        F.sum("mi").alias("moved_in"),
+        F.sum("mo").alias("moved_out"),
     )
     shards = spark.createDataFrame(
         [(s,) for s in _HRW_AFTER], "shard string"
     )
-    per_before = assigned.groupBy(
-        F.col("before_shard").alias("shard")
-    ).agg(F.count(F.lit(1)).alias("n_before"))
-    per_after = assigned.groupBy(F.col("after_shard").alias("shard")).agg(
-        F.count(F.lit(1)).alias("n_after"),
-        F.sum(
-            F.when(F.col("before_shard") != F.col("after_shard"), 1).otherwise(0)
-        ).alias("moved_in"),
-    )
-    per_out = assigned.groupBy(F.col("before_shard").alias("shard")).agg(
-        F.sum(
-            F.when(F.col("before_shard") != F.col("after_shard"), 1).otherwise(0)
-        ).alias("moved_out")
-    )
     return (
-        shards.join(F.broadcast(per_before), "shard", "left")
-        .join(F.broadcast(per_after), "shard", "left")
-        .join(F.broadcast(per_out), "shard", "left")
+        shards.join(F.broadcast(agg), "shard", "left")
         .select(
             "shard",
             F.coalesce("n_before", F.lit(0)).cast("long").alias("n_before"),
