@@ -548,21 +548,32 @@ def q405_stream_restart_from_checkpoint(
     reference's whole-job resubmission on failure (``Program.cs``
     monitors task state but re-runs failed tasks from scratch;
     SURVEY §2.1 L13) with resumable per-key state."""
+    from azure_batch_map_reduce_spark.catalog import load_tables
+
+    ev = load_tables(spark, sf_dir)["events"].select(
+        "user_id", "event_id", "ts", "value"
+    )
+    return run_restart_drill(spark, ev, _restart_cut_us(ev))
+
+
+def run_restart_drill(spark: SparkSession, ev: DataFrame, cut_us: int) -> DataFrame:
+    """The q405 two-phase kill/restart drill at an ARBITRARY crash
+    point ``cut_us``: phase 1 = events at or before the cut, phase 2 =
+    the rest, each one delivery file; two availableNow queries share
+    one checkpoint; returns the reconciled final session set. Restart
+    transparency means the result equals the batch gaps-and-islands
+    sessionization for EVERY cut — the canonical cut is differential-
+    checked through q405's oracle, and cut-invariance is property-
+    tested at alternative crash points
+    (``tests/test_streaming.py::test_q405_restart_invariant_to_cut``)."""
     import os
     import shutil
     import tempfile
-
-    from azure_batch_map_reduce_spark.catalog import load_tables
 
     d = tempfile.mkdtemp(prefix="abmr-restart-")
     src = os.path.join(d, "src")
     out = os.path.join(d, "out")
     ckpt = os.path.join(d, "ckpt")
-
-    ev = load_tables(spark, sf_dir)["events"].select(
-        "user_id", "event_id", "ts", "value"
-    )
-    cut_us = _restart_cut_us(ev)
 
     # Phase 1: everything at or before the cut, as ONE delivery file.
     ev.where(F.unix_micros("ts") <= cut_us).coalesce(1).write.parquet(src)

@@ -338,3 +338,47 @@ def test_q406_union_withholds_open_windows(spark, sf_dir):
         ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type").count().count()
     )
     assert rows < all_windows, "no open window was withheld — watermark inert"
+
+
+def test_q405_restart_invariant_to_cut(spark, sf_dir):
+    """Restart transparency is a ∀-cut property: whatever crash point
+    splits the delivery log, kill + resume-from-checkpoint must yield
+    the SAME final session set as q84's single-run stream. Exercises
+    three adversarial cuts the canonical drill never hits: the first
+    quartile of event time (most state still ahead), the global time
+    midpoint (possibly dead air — empty carried state is also legal),
+    and a cut EXACTLY ON an event timestamp (boundary: that event must
+    land in phase 1, `<= cut`, and never replay in phase 2)."""
+    from azure_batch_map_reduce_spark.streaming.stateful import (
+        run_restart_drill,
+        sessionize_stream,
+    )
+    from azure_batch_map_reduce_spark.streaming.windows import (
+        events_stream,
+        run_available_now,
+    )
+
+    ev = load_tables(spark, sf_dir)["events"].select(
+        "user_id", "event_id", "ts", "value"
+    )
+    lo, hi = ev.agg(
+        F.min(F.unix_micros("ts")), F.max(F.unix_micros("ts"))
+    ).first()
+    on_event = (
+        ev.select(F.unix_micros("ts").alias("t"))
+        .orderBy("t")
+        .limit(ev.count() // 2)
+        .agg(F.max("t"))
+        .first()[0]
+    )
+    single = sorted(
+        tuple(r)
+        for r in run_available_now(
+            sessionize_stream(events_stream(spark, sf_dir))
+        ).collect()
+    )
+    for cut in (lo + (hi - lo) // 4, (lo + hi) // 2, on_event):
+        got = sorted(
+            tuple(r) for r in run_restart_drill(spark, ev, cut).collect()
+        )
+        assert got == single, f"cut {cut} broke restart transparency"
