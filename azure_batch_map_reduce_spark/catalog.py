@@ -33,6 +33,24 @@ def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
 
+def scratch_dir(prefix: str) -> str:
+    """A scratch directory whose removal is REGISTERED at creation
+    (atexit), for operators that must return a LAZY frame still
+    reading from it — round-trip sinks, versioned stream-upsert
+    ledgers — and therefore can't rmtree inline the way q402/q405/q406
+    do after materializing. Before this helper those sites leaked one
+    dir per run into $TMPDIR (~680 dirs across six rounds of
+    differential sweeps); now every scratch tree dies with the
+    process while staying readable for the process's whole life."""
+    import atexit
+    import shutil
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix=prefix)
+    atexit.register(shutil.rmtree, d, ignore_errors=True)
+    return d
+
+
 def ensure_nanos_readable(spark: SparkSession) -> None:
     """events.parquet stores ns-precision INT64 timestamps, which Spark 4
     refuses outright unless ``nanosAsLong`` is on. Our session factory

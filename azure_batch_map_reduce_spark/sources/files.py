@@ -125,9 +125,9 @@ def read_table(spark: SparkSession, table: str) -> DataFrame:
 
 
 def _roundtrip_dir(kind: str) -> str:
-    import tempfile
+    from azure_batch_map_reduce_spark.catalog import scratch_dir
 
-    return tempfile.mkdtemp(prefix=f"abmr-{kind}-rt-")
+    return scratch_dir(f"abmr-{kind}-rt-")
 
 
 def _register_roundtrips() -> None:
@@ -430,9 +430,10 @@ _register_partition_pruning()
 
 def _register_bad_records() -> None:
     import os
-    import tempfile
 
     from pyspark.sql import functions as F
+
+    from azure_batch_map_reduce_spark.catalog import scratch_dir
 
     from azure_batch_map_reduce_spark.catalog import load_tables
     from azure_batch_map_reduce_spark.registry import query
@@ -472,7 +473,7 @@ def _register_bad_records() -> None:
         detect-don't-abort posture the reference lacks entirely
         (a bad file fails its whole mapper, ``Program.cs:440-455``)."""
         orders = load_tables(spark, sf_dir)["orders"]
-        d = tempfile.mkdtemp(prefix="abmr-badcsv-")
+        d = scratch_dir("abmr-badcsv-")
         path = os.path.join(d, "orders.csv")
         mangled = orders.select(
             "o_orderkey",
@@ -522,9 +523,10 @@ _register_bad_records()
 
 def _register_dpp() -> None:
     import os
-    import tempfile
 
     from pyspark.sql import functions as F
+
+    from azure_batch_map_reduce_spark.catalog import scratch_dir
 
     from azure_batch_map_reduce_spark.catalog import load_tables
     from azure_batch_map_reduce_spark.registry import query
@@ -565,7 +567,7 @@ def _register_dpp() -> None:
         per call at fixture scale; a real deployment reads the
         already-partitioned table."""
         orders = load_tables(spark, sf_dir)["orders"]
-        d = tempfile.mkdtemp(prefix="abmr-dpp-")
+        d = scratch_dir("abmr-dpp-")
         fact_dir, dim_dir = os.path.join(d, "fact"), os.path.join(d, "dim")
         orders.withColumn("order_year", F.year("o_orderdate")).write.partitionBy(
             "order_year"

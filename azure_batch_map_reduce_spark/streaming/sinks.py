@@ -76,10 +76,11 @@ def q122_streaming_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     from azure_batch_map_reduce_spark.catalog import (
         align_session_for_oracle,
         normalize_event_ts,
+        scratch_dir,
     )
 
     align_session_for_oracle(spark)  # caller-owned sessions may be non-UTC
-    d = tempfile.mkdtemp(prefix="abmr-stream-upsert-")
+    d = scratch_dir("abmr-stream-upsert-")
     src = os.path.join(d, "src")
     tgt = os.path.join(d, "target")
 
@@ -112,7 +113,9 @@ def q122_streaming_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError("q122 upsert stream did not finish within 300 s")
 
     final = sorted(glob.glob(f"{tgt}_v*"))[-1]
     return spark.read.parquet(final).select(

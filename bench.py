@@ -180,6 +180,12 @@ HEADLINE = [
     "q402_idempotent_sink_ledger",
     "q403_backfill_range_planner",
     "q404_hot_key_skew_join",
+    # q405 (restart drill, ~8 s) and q406 (multi-source union, ~4 s)
+    # are EXCLUDED by design: both are dominated by fixed stream-
+    # startup + scratch-feed-write costs, not per-row throughput, so
+    # they would add ~24% to the headline total while measuring JVM
+    # stream bootstrap. Streaming throughput is represented by q80;
+    # their correctness runs in the differential gates at every SF.
 ]
 
 
