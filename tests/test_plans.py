@@ -1247,3 +1247,26 @@ def test_q406_single_watermark_above_union(spark, sf_dir, tmp_path):
         n for n in walk(wm[0]) if "StreamingRelation" in n.nodeName()
     ]
     assert len(leaves_below_wm) == 3, [n.nodeName() for n in nodes]
+
+
+def test_q62_result_invariant_to_join_strategy(spark, sf_dir):
+    """q62's band-bucket join carries no broadcast hint, so at fixture
+    scale Catalyst may broadcast it while the 100 TB regime is a
+    shuffle join. The q404 discipline: don't just pin the forced
+    regime's PLAN — pin that the RESULT is identical under it, so the
+    pair set the dedup finds is independent of the physical join
+    strategy AQE happens to pick at any scale."""
+    normal = sorted(
+        tuple(r)
+        for r in REGISTRY["q62_minhash_lsh_neardup"].fn(spark, sf_dir).collect()
+    )
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        df = REGISTRY["q62_minhash_lsh_neardup"].fn(spark, sf_dir)
+        plan = plan_of(df)
+        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+        forced = sorted(tuple(r) for r in df.collect())
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    assert forced == normal
