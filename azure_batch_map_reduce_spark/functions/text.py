@@ -3939,7 +3939,13 @@ def q368_kneser_ney_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("p")
     ).select("p.w1", "p.w2")
-    c12 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c"))
+    # Persisted (the q239 rule): c12 feeds FOUR separate aggregate
+    # subtrees (c1, cont, n_types, and the final join) and Catalyst
+    # does not reuse exchanges across them — uncached, the corpus
+    # explodes into bigram pairs four times (4 parquet scans observed).
+    # The cache is bigram-TYPE grain, vocab²-bounded; lifetime follows
+    # the wf convention above (runners clearCache() per query).
+    c12 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c")).persist()
     c1 = c12.groupBy("w1").agg(
         F.sum("c").alias("c1"), F.count(F.lit(1)).alias("fanout")
     )
