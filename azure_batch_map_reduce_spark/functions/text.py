@@ -2089,6 +2089,12 @@ def q257_bigram_lm_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("b"),
     ).select("doc_id", "source", "b.pos", "b.w1", "b.w2")
+    # Deliberately NOT persisted/derived-from-c2 (measured r7): the
+    # four model aggregates run as PARALLEL single-task branches over
+    # the one-split fixture scan and overlap almost fully — caching c2
+    # and folding c1/V from it serializes the chain (1.26 → 1.50 s at
+    # sf0.1) and spreading the scan re-executes per branch (→ 1.75 s).
+    # At 100 TB the multi-split scan parallelizes each branch anyway.
     c2 = bigr.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
     c1 = bigr.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
     v = (
