@@ -433,9 +433,7 @@ def _register_bad_records() -> None:
 
     from pyspark.sql import functions as F
 
-    from azure_batch_map_reduce_spark.catalog import scratch_dir
-
-    from azure_batch_map_reduce_spark.catalog import load_tables
+    from azure_batch_map_reduce_spark.catalog import load_tables, scratch_dir
     from azure_batch_map_reduce_spark.registry import query
 
     @query(
@@ -526,9 +524,7 @@ def _register_dpp() -> None:
 
     from pyspark.sql import functions as F
 
-    from azure_batch_map_reduce_spark.catalog import scratch_dir
-
-    from azure_batch_map_reduce_spark.catalog import load_tables
+    from azure_batch_map_reduce_spark.catalog import load_tables, scratch_dir
     from azure_batch_map_reduce_spark.registry import query
 
     @query(

@@ -21,7 +21,6 @@ sessionization state.
 from __future__ import annotations
 
 import shutil
-import tempfile
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
@@ -250,77 +249,95 @@ def run_idempotent_ledger_stream(
     import glob
     import os
 
-    from azure_batch_map_reduce_spark.catalog import load_tables
+    from azure_batch_map_reduce_spark.catalog import load_tables, scratch_dir
 
-    d = tempfile.mkdtemp(prefix="abmr-ledger-stream-")
+    # atexit-registered scratch (plus try/finally below) — any raise out
+    # of the stream/replay/audit phases removes the tree instead of
+    # leaking it.
+    d = scratch_dir("abmr-ledger-stream-")
     src = os.path.join(d, "src")
     led = os.path.join(d, "ledger")
     audit_dir = os.path.join(d, "audit")
     os.makedirs(audit_dir)
 
-    ev = load_tables(spark, sf_dir)["events"].select("event_id")
-    deliveries = ev.select("event_id", F.lit(1).alias("delivery_no")).unionAll(
-        ev.where(F.col("event_id") % _ISL_DUP_MOD == 3).select(
-            "event_id", F.lit(2).alias("delivery_no")
+    try:
+        ev = load_tables(spark, sf_dir)["events"].select("event_id")
+        deliveries = ev.select(
+            "event_id", F.lit(1).alias("delivery_no")
+        ).unionAll(
+            ev.where(F.col("event_id") % _ISL_DUP_MOD == 3).select(
+                "event_id", F.lit(2).alias("delivery_no")
+            )
         )
-    )
-    deliveries.repartition(n_files).write.parquet(src)
-    schema = spark.read.parquet(src).schema
+        deliveries.repartition(n_files).write.parquet(src)
+        schema = spark.read.parquet(src).schema
 
-    stream = (
-        spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(src)
-    )
-
-    def ledger_batch(batch: DataFrame, batch_id: int) -> None:
-        s = batch.sparkSession
-        n_deliveries = batch.count()
-        incoming = batch.select("event_id").dropDuplicates(["event_id"])
-        versions = sorted(glob.glob(f"{led}_v*"))
-        if versions:
-            seen = s.read.parquet(versions[-1])
-            accepted = incoming.join(seen, "event_id", "left_anti")
-            new_ledger = seen.unionAll(accepted)
-        else:
-            accepted = incoming
-            new_ledger = accepted
-        n_accepted = accepted.count()
-        new_ledger.write.mode("errorifexists").parquet(
-            f"{led}_v{batch_id:05d}"
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
         )
-        s.createDataFrame(
-            [(batch_id, n_deliveries, n_accepted, n_deliveries - n_accepted)],
+
+        def ledger_batch(batch: DataFrame, batch_id: int) -> None:
+            s = batch.sparkSession
+            n_deliveries = batch.count()
+            incoming = batch.select("event_id").dropDuplicates(["event_id"])
+            versions = sorted(glob.glob(f"{led}_v*"))
+            if versions:
+                seen = s.read.parquet(versions[-1])
+                accepted = incoming.join(seen, "event_id", "left_anti")
+                new_ledger = seen.unionAll(accepted)
+            else:
+                accepted = incoming
+                new_ledger = accepted
+            n_accepted = accepted.count()
+            new_ledger.write.mode("errorifexists").parquet(
+                f"{led}_v{batch_id:05d}"
+            )
+            s.createDataFrame(
+                [
+                    (
+                        batch_id,
+                        n_deliveries,
+                        n_accepted,
+                        n_deliveries - n_accepted,
+                    )
+                ],
+                "micro_batch_id long, n_deliveries long, n_accepted long,"
+                " n_dup_rejected long",
+            ).write.mode("append").parquet(audit_dir)
+
+        q = (
+            stream.writeStream.foreachBatch(ledger_batch)
+            .option("checkpointLocation", os.path.join(d, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        # A stalled availableNow stream would otherwise fall through and
+        # run the replay drill + audit read against PARTIAL ledger state —
+        # fail loudly instead (awaitTermination returns False on timeout).
+        finished = q.awaitTermination(300)
+        if not finished:
+            q.stop()
+            raise TimeoutError(
+                "q402 ledger stream did not finish within 300 s"
+            )
+        # Crash-replay drill: a restarted job whose checkpoint was lost
+        # redelivers EVERYTHING. Push the full delivery log through the
+        # same ledger merge as one more batch — exactly-once means the
+        # ledger absorbs it with zero new acceptances, which the audit's
+        # final row records (and the test asserts).
+        ledger_batch(spark.read.parquet(src), 1_000_000)
+        # Materialize the audit (n_batches-grain, tiny) so the scratch
+        # tree can be deleted before returning a frame that no longer
+        # reads it.
+        rows = (
+            spark.read.parquet(audit_dir).orderBy("micro_batch_id").collect()
+        )
+        return spark.createDataFrame(
+            rows,
             "micro_batch_id long, n_deliveries long, n_accepted long,"
             " n_dup_rejected long",
-        ).write.mode("append").parquet(audit_dir)
-
-    q = (
-        stream.writeStream.foreachBatch(ledger_batch)
-        .option("checkpointLocation", os.path.join(d, "ckpt"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    # A stalled availableNow stream would otherwise fall through and
-    # run the replay drill + audit read against PARTIAL ledger state —
-    # fail loudly instead (awaitTermination returns False on timeout).
-    finished = q.awaitTermination(300)
-    if not finished:
-        q.stop()
+        )
+    finally:
         shutil.rmtree(d, ignore_errors=True)
-        raise TimeoutError("q402 ledger stream did not finish within 300 s")
-    # Crash-replay drill: a restarted job whose checkpoint was lost
-    # redelivers EVERYTHING. Push the full delivery log through the
-    # same ledger merge as one more batch — exactly-once means the
-    # ledger absorbs it with zero new acceptances, which the audit's
-    # final row records (and the test asserts).
-    ledger_batch(spark.read.parquet(src), 1_000_000)
-    # Materialize the audit (n_batches-grain, tiny) so the scratch tree
-    # can be deleted before returning a frame that no longer reads it.
-    rows = spark.read.parquet(audit_dir).orderBy("micro_batch_id").collect()
-    shutil.rmtree(d, ignore_errors=True)
-    return spark.createDataFrame(
-        rows,
-        "micro_batch_id long, n_deliveries long, n_accepted long,"
-        " n_dup_rejected long",
-    )

@@ -568,62 +568,76 @@ def run_restart_drill(spark: SparkSession, ev: DataFrame, cut_us: int) -> DataFr
     (``tests/test_streaming.py::test_q405_restart_invariant_to_cut``)."""
     import os
     import shutil
-    import tempfile
 
-    d = tempfile.mkdtemp(prefix="abmr-restart-")
-    src = os.path.join(d, "src")
-    out = os.path.join(d, "out")
-    ckpt = os.path.join(d, "ckpt")
+    from azure_batch_map_reduce_spark.catalog import scratch_dir
 
-    # Phase 1: everything at or before the cut, as ONE delivery file.
-    ev.where(F.unix_micros("ts") <= cut_us).coalesce(1).write.parquet(src)
-    schema = spark.read.parquet(src).schema
+    # scratch_dir registers atexit cleanup, and the finally below removes
+    # the tree on EVERY exit path (success, timeout, or any other raise) —
+    # previously a non-timeout raise out of collect()/the stream phases
+    # leaked the dir for the life of $TMPDIR.
+    d = scratch_dir("abmr-restart-")
+    try:
+        src = os.path.join(d, "src")
+        out = os.path.join(d, "out")
+        ckpt = os.path.join(d, "ckpt")
 
-    def run_once() -> None:
-        q = (
-            _sessionize_pipeline(spark, src, schema)
-            .writeStream.format("parquet")
-            .option("path", out)
-            .option("checkpointLocation", ckpt)
-            .outputMode("append")
-            .trigger(availableNow=True)
-            .start()
+        # Phase 1: everything at or before the cut, as ONE delivery file.
+        ev.where(F.unix_micros("ts") <= cut_us).coalesce(1).write.parquet(src)
+        schema = spark.read.parquet(src).schema
+
+        def run_once() -> None:
+            q = (
+                _sessionize_pipeline(spark, src, schema)
+                .writeStream.format("parquet")
+                .option("path", out)
+                .option("checkpointLocation", ckpt)
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+            if not q.awaitTermination(300):
+                q.stop()
+                raise TimeoutError("q405 stream did not finish within 300 s")
+
+        run_once()  # query #1: processes file 1, checkpoints, terminates
+
+        # Phase 2 lands AFTER the "crash"; all its timestamps exceed the
+        # cut, so carried sessions only ever extend forward.
+        ev.where(F.unix_micros("ts") > cut_us).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+        run_once()  # query #2: restart — same plan, same checkpoint
+
+        snapshots = spark.read.parquet(out)
+        final = (
+            snapshots.groupBy("user_id", "session_start")
+            .agg(
+                F.max_by(
+                    F.struct(
+                        "session_end", "n_events", "total_value", "max_gap_s"
+                    ),
+                    "n_events",
+                ).alias("s")
+            )
+            .select(
+                "user_id",
+                "session_start",
+                F.col("s.session_end").alias("session_end"),
+                F.col("s.n_events").alias("n_events"),
+                F.col("s.total_value").alias("total_value"),
+                F.col("s.max_gap_s").alias("max_gap_s"),
+            )
         )
-        if not q.awaitTermination(300):
-            q.stop()
-            shutil.rmtree(d, ignore_errors=True)
-            raise TimeoutError("q405 stream did not finish within 300 s")
-
-    run_once()  # query #1: processes file 1, checkpoints, terminates
-
-    # Phase 2 lands AFTER the "crash"; all its timestamps exceed the cut,
-    # so carried sessions only ever extend forward.
-    ev.where(F.unix_micros("ts") > cut_us).coalesce(1).write.mode(
-        "append"
-    ).parquet(src)
-
-    run_once()  # query #2: restart — same plan, same checkpoint
-
-    snapshots = spark.read.parquet(out)
-    final = (
-        snapshots.groupBy("user_id", "session_start")
-        .agg(
-            F.max_by(
-                F.struct("session_end", "n_events", "total_value", "max_gap_s"),
-                "n_events",
-            ).alias("s")
-        )
-        .select(
-            "user_id",
-            "session_start",
-            F.col("s.session_end").alias("session_end"),
-            F.col("s.n_events").alias("n_events"),
-            F.col("s.total_value").alias("total_value"),
-            F.col("s.max_gap_s").alias("max_gap_s"),
-        )
-    )
-    # Session-grain result (same memory class as q84's memory sink);
-    # materialize so the scratch tree can be removed before returning.
-    rows = final.collect()
-    shutil.rmtree(d, ignore_errors=True)
-    return spark.createDataFrame(rows, OUT_SCHEMA)
+        # Session-grain result (same memory class as q84's memory sink);
+        # materialize so the scratch tree can be removed before returning.
+        # NOTE: this is the one collect() in the repo whose cardinality
+        # grows with the data (one row per user session) — acceptable for
+        # a restart DRILL whose result the driver hashes anyway, but a
+        # production variant would leave the parquet sink in place and
+        # write the reconciliation through to a table instead of
+        # round-tripping session rows via the driver.
+        rows = final.collect()
+        return spark.createDataFrame(rows, OUT_SCHEMA)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)

@@ -1470,39 +1470,50 @@ def q406_multi_source_stream_union(spark: SparkSession, sf_dir: str) -> DataFram
     stream."""
     import os
     import shutil
-    import tempfile
 
-    from azure_batch_map_reduce_spark.catalog import load_tables
+    from azure_batch_map_reduce_spark.catalog import load_tables, scratch_dir
 
-    d = tempfile.mkdtemp(prefix="abmr-union-")
-    ev = load_tables(spark, sf_dir)["events"].select(
-        "event_id", "event_type", "ts", "value"
-    )
-    srcs = []
-    for i in range(3):
-        src = os.path.join(d, f"feed{i}")
-        ev.where(F.col("event_id") % 3 == i).coalesce(1).write.parquet(src)
-        srcs.append(src)
-    schema = spark.read.parquet(srcs[0]).schema
-
-    merged = None
-    for src in srcs:
-        s = spark.readStream.schema(schema).parquet(src)
-        merged = s if merged is None else merged.unionByName(s)
-
-    agg = (
-        merged.withWatermark("ts", "10 minutes")
-        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
-        .agg(
-            F.count(F.lit(1)).alias("n"),
-            F.round(F.sum("value"), 2).alias("total_value"),
+    # atexit-registered scratch + try/finally: every exit path (success,
+    # stream timeout, any other raise) removes the feed dirs instead of
+    # leaking them.
+    d = scratch_dir("abmr-union-")
+    try:
+        ev = load_tables(spark, sf_dir)["events"].select(
+            "event_id", "event_type", "ts", "value"
         )
-        .select(F.col("w.end").alias("window_end"), "event_type", "n", "total_value")
-    )
-    result = run_available_now(agg, "append")
-    # Window-grain result; materialize so the scratch feeds can go.
-    rows = result.collect()
-    shutil.rmtree(d, ignore_errors=True)
-    return spark.createDataFrame(
-        rows, "window_end timestamp, event_type string, n long, total_value double"
-    )
+        srcs = []
+        for i in range(3):
+            src = os.path.join(d, f"feed{i}")
+            ev.where(F.col("event_id") % 3 == i).coalesce(1).write.parquet(src)
+            srcs.append(src)
+        schema = spark.read.parquet(srcs[0]).schema
+
+        merged = None
+        for src in srcs:
+            s = spark.readStream.schema(schema).parquet(src)
+            merged = s if merged is None else merged.unionByName(s)
+
+        agg = (
+            merged.withWatermark("ts", "10 minutes")
+            .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.round(F.sum("value"), 2).alias("total_value"),
+            )
+            .select(
+                F.col("w.end").alias("window_end"),
+                "event_type",
+                "n",
+                "total_value",
+            )
+        )
+        result = run_available_now(agg, "append")
+        # Window-grain result; materialize so the scratch feeds can go.
+        rows = result.collect()
+        return spark.createDataFrame(
+            rows,
+            "window_end timestamp, event_type string, n long,"
+            " total_value double",
+        )
+    finally:
+        shutil.rmtree(d, ignore_errors=True)

@@ -371,12 +371,32 @@ def test_q405_restart_invariant_to_cut(spark, sf_dir):
         .agg(F.max("t"))
         .first()[0]
     )
-    single = sorted(
-        tuple(r)
-        for r in run_available_now(
-            sessionize_stream(events_stream(spark, sf_dir))
-        ).collect()
+    # The single-run baseline gets the SAME max_by-on-n_events snapshot
+    # reconciliation the drill applies: with a multi-file fixture the raw
+    # stream output would contain intermediate trailing-session snapshots
+    # (one per micro-batch), and comparing against them would fail
+    # spuriously even though the final session set is identical.
+    raw = run_available_now(
+        sessionize_stream(events_stream(spark, sf_dir))
     )
+    reconciled = (
+        raw.groupBy("user_id", "session_start")
+        .agg(
+            F.max_by(
+                F.struct("session_end", "n_events", "total_value", "max_gap_s"),
+                "n_events",
+            ).alias("s")
+        )
+        .select(
+            "user_id",
+            "session_start",
+            F.col("s.session_end").alias("session_end"),
+            F.col("s.n_events").alias("n_events"),
+            F.col("s.total_value").alias("total_value"),
+            F.col("s.max_gap_s").alias("max_gap_s"),
+        )
+    )
+    single = sorted(tuple(r) for r in reconciled.collect())
     for cut in (lo + (hi - lo) // 4, (lo + hi) // 2, on_event):
         got = sorted(
             tuple(r) for r in run_restart_drill(spark, ev, cut).collect()
