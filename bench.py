@@ -9,10 +9,24 @@ operator, skips result serialization). The flagship runs once untimed to
 absorb JVM/codegen warmup.
 
 Protocol history: round 1 recorded ONE timed run per query; round 2
-switched to warm-up + best-of-2 (commit 697d23a). Cross-round totals
-straddling that change conflate real speedups with the lower-biased
-estimator — compare per-query times within a protocol, not across it.
-Rounds 3-4 keep the round-2 protocol unchanged.
+switched to warm-up + best-of-2 (commit 697d23a); rounds 3-7 kept
+that protocol. Round 8 moves to warm-up + MIN-OF-3 timed runs (r7
+verdict task 3): this host shows ±10-25% cross-run drift on identical
+code (documented 52-62 s totals across seven same-code r7 runs), and
+min-of-3 tightens the estimator enough that round-over-round ratios
+stop reading as phantom regressions. min-of-3 <= min-of-2 pointwise,
+so r8-vs-r7 per-query ratios carry a small DOWNWARD bias on top of
+any real change — compare within a protocol when precision matters.
+
+COMPARISON PROTOCOL (pinned here, not in round logs): judge/builder
+comparisons are per-query against the last committed BENCH_DETAIL.json
+on the same host, never totals across rounds; a regression is real
+only if it exceeds 1.3x AND reproduces across two separate bench
+invocations with the 1-minute load average under ~1 (totals measured
+within ~10 min of a heavy gate — full differential, big pytest —
+inflate 10-20% even after those processes exit). The `protocol` field
+in BENCH_DETAIL.json records the estimator so the artifact itself
+says what its numbers mean.
 
 Warning budget: ZERO `WARN WindowExec: No Partition Defined` lines in
 the bench stderr. Every audited bounded-grain frame (bins / deciles /
@@ -207,12 +221,14 @@ def main() -> None:
     for name in HEADLINE:
         # Steady-state protocol (JMH-style): one untimed warm-up run per
         # query absorbs codegen/JIT/scan-cache effects, then the best of
-        # two timed runs is recorded — min-of-N filters scheduler /
-        # noisy-neighbor jitter (observed ±25% run-to-run on this host)
-        # while still timing complete fresh-plan executions. Applied
-        # uniformly to every query.
+        # THREE timed runs is recorded (r8+; rounds 2-7 used best-of-2)
+        # — min-of-N filters scheduler / noisy-neighbor jitter (observed
+        # ±25% run-to-run on this host) while still timing complete
+        # fresh-plan executions. Applied uniformly to every query.
         materialize(name)
-        times[name] = round(min(materialize(name), materialize(name)), 3)
+        times[name] = round(
+            min(materialize(name), materialize(name), materialize(name)), 3
+        )
         # Queries that persist() intermediates (q239/q246 word-type
         # histograms) must not accumulate cached blocks across a
         # many-query session.
@@ -233,6 +249,14 @@ def main() -> None:
         "unit": "sec",
         "queries": times,
         "sf": sf,
+        # Estimator + noise contract, encoded in the artifact (r7
+        # verdict task 3): each per-query time is min of 3 timed runs
+        # after 1 untimed warm-up; this host drifts ±10-25% across
+        # identical-code invocations, so compare per-query vs the last
+        # committed detail and treat only >1.3x-and-reproducible as
+        # regression.
+        "protocol": "warmup+min_of_3 (r8+); rounds 2-7 were warmup+min_of_2",
+        "host_drift": "±10-25% cross-run on identical code; see module docstring",
     }
     try:
         with open(os.path.join(os.path.dirname(__file__), "BENCH_DETAIL.json"), "w") as f:
