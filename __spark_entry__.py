@@ -16,438 +16,61 @@ from azure_batch_map_reduce_spark.registry import load_all
 
 SMOKE_SF_DIR = "/root/testdata/sf0.001"
 
-# Round-8 verification ordering (driver samples ~50/round, taking the
-# HEAD of queries() — confirmed by r4..r7 samples each being exactly
-# _VERIFY_FIRST[0:50]). Per the r7 verdict's tasks 1 and 5:
-#   1. HEAD: the 61 never-stamped backlog queries (q136..q238 tail, in
-#      q-order) — the only registered queries with no driver
-#      CORRECTNESS row across r1..r7. ~50 land this round; the ~11
-#      remainder lead round 9.
-#   2. Behind them: all driver-green queries, oldest-verified first
-#      (r1 greens refresh soonest against code drift), with the 50
-#      rows CORRECTNESS_r07 just stamped rotated to the very back.
-#
-# STEADY-STATE POLICY (round 9+, once every query has at least one
-# driver row): keep the list sorted by (never-sampled first, then
-# ascending last-verified round, ties in q-order) and re-sort at the
-# top of every round. The driver provably samples the head; this
-# ordering makes each round stamp whichever rows are most stale, so
-# all 406 rows keep refreshing against code drift indefinitely.
-_VERIFY_FIRST = [
-    "q136_market_basket_lift",
-    "q137_ohlc_bars",
-    "q142_stream_static_enrich",
-    "q143_bigram_surprisal",
-    "q145_cusum_changepoint",
-    "q146_source_vocab_jaccard",
-    "q147_frame_sampling",
-    "q148_rolling_active_users",
-    "q149_activity_streaks",
-    "q151_quantile_normalization",
-    "q152_last_touch_attribution",
-    "q156_portable_hll",
-    "q158_heavy_hitters",
-    "q159_bitmap_distinct_rollup",
-    "q160_seasonal_anomaly",
-    "q161_grouped_ewma",
-    "q162_skyline",
-    "q164_vad_segments",
-    "q165_window_funnel",
-    "q170_correlated_sample_join",
-    "q172_stream_windowed_distinct",
-    "q174_bag_setops",
-    "q175_pmi_collocations",
-    "q178_theil_sen",
-    "q179_burstiness",
-    "q180_order_count_distribution",
-    "q182_rolling_corr",
-    "q184_zipf_token_slope",
-    "q187_url_domain_mix",
-    "q188_rate_alert_baseline",
-    "q189_mom_revenue_change",
-    "q192_lateness_profile",
-    "q193_ordered_listagg",
-    "q194_explode_outer_semantics",
-    "q195_group_aware_split",
-    "q196_portable_bloom_filter",
-    "q198_debounce_events",
-    "q199_decayed_activity_score",
-    "q201_trending_windows",
-    "q202_vocab_dictionary",
-    "q203_percentile_disc_vs_cont",
-    "q208_histogram_2d",
-    "q211_spatial_grid_join",
-    "q212_item_cf_cosine",
-    "q213_date_spine",
-    "q214_modality_alignment",
-    "q215_token_offsets",
-    "q216_union_schema_reconcile",
-    "q217_sprt_sequential_test",
-    "q219_cold_start_fallback",
-    "q221_feature_hashing",
-    "q222_fit_transform_bucketing",
-    "q223_sharded_exact_topk",
-    "q225_slice_evaluation",
-    "q227_sequence_feature_frame",
-    "q229_salting_plan",
-    "q230_mergeable_corpus_stats",
-    "q233_duplicate_payment_rule",
-    "q234_order_reconciliation",
-    "q237_window_group_limit_topk",
-    "q238_recursive_month_spine",
-    "q01_pricing_summary",
-    "q02_filter_predicates",
-    "q03_global_agg",
-    "q04_distinct",
-    "q05_rollup",
-    "q06_cube",
-    "q07_sort_limit",
-    "q08_set_ops",
-    "q09_agg_stats",
-    "q10_collect_agg",
-    "q11_having",
-    "q12_null_handling",
-    "q13_pivot",
-    "q14_unpivot",
-    "q15_sketch_aggs",
-    "q16_scalar_correlated_subquery",
-    "q17_top_revenue_supplier",
-    "q37_grouping_sets",
-    "q38_mergeable_sketches",
-    "q59_column_profile",
-    "q98_upsert_merge",
-    "q99_scd2_versions",
-    "q103_pagerank",
-    "q106_equiwidth_histogram",
-    "q109_triangle_count",
-    "q110_quality_audit",
-    "q114_recursive_reachability",
-    "q115_zorder_layout",
-    "q120_equidepth_histogram",
-    "q121_table_diff",
-    "q132_benford_audit",
-    "q133_chisq_independence",
-    "q134_weighted_median",
-    "q138_ols_trend",
-    "q139_ks_two_sample",
-    "q140_mad_outliers",
-    "q141_ab_proportion_ztest",
-    "q153_pareto_coverage",
-    "q154_psi_drift",
-    "q155_interval_concurrency",
-    "q166_point_in_time_join",
-    "q168_cdc_materialize",
-    "q177_shortest_paths",
-    "q191_encoding_layout_stats",
-    "q200_schema_contract_check",
-    "q209_forget_users",
-    "q218_degree_distribution",
-    "q226_temporal_embargo_split",
-    "q231_freshness_slo",
-    "q232_uniqueness_profile",
-    "q60_exact_dedup",
-    "q61_normalized_dedup",
-    "q62_minhash_lsh_neardup",
-    "q63_simhash",
-    "q64_ngram_jaccard_topk",
-    "q65_embedding_neardup",
-    "q66_neardup_clusters",
-    "q67_ml_minhash_lsh",
-    "q68_simhash_hamming_pairs",
-    "q70_cosine_topk",
-    "q71_lsh_bucketed_ann",
-    "q72_label_centroid_similarity",
-    "q73_ivf_ann",
-    "q79_retrieval_join",
-    "q80_tumbling_window",
-    "q82_session_window",
-    "q85_watermark_late_drop",
-    "q87_stream_stream_join",
-    "q100_incremental_neardup",
-    "q111_fuzzy_blocked_join",
-    "q150_prefix_filter_simjoin",
-    "q163_power_iteration_pca",
-    "q167_mutual_information",
-    "q169_knn_classify",
-    "q171_lift_curve",
-    "q181_golden_record",
-    "q183_label_embedding_pool",
-    "q186_embedding_dim_variance",
-    "q190_hybrid_rrf_retrieval",
-    "q228_dedup_threshold_sweep",
-    "q235_rfm_segmentation",
-    "q236_distributed_rank",
-    "q239_bpe_merge_training",
-    "q240_temperature_mixing",
-    "q241_hard_negative_mining",
-    "q242_pq_ann",
-    "q243_kmeans_lloyd_step",
-    "q244_group_kfold_split",
-    "q245_matryoshka_fidelity",
-    "q246_bpe_compression_rate",
-    "q247_seasonal_decompose",
-    "q248_vocab_kl_drift",
-    "q249_exact_quantiles_distributed",
-    "q250_dedup_cluster_profile",
-    "q251_markov_transitions",
-    "q252_length_bucket_batching",
-    "q253_stream_dominant_type",
-    "q254_portable_count_min",
-    "q255_distributed_auc",
-    "q18_salted_distinct_agg",
-    "q19_salted_join",
-    "q20_broadcast_join",
-    "q22_semi_join",
-    "q23_anti_join",
-    "q24_outer_join",
-    "q25_theta_join",
-    "q26_range_residual_join",
-    "q28_cross_join",
-    "q29_self_join",
-    "q39_orc_roundtrip",
-    "q40_string_funcs",
-    "q41_regexp",
-    "q42_hash_funcs",
-    "q43_date_funcs",
-    "q44_math_funcs",
-    "q45_json",
-    "q46_array_funcs",
-    "q47_map_funcs",
-    "q48_explode_split",
-    "q49_chunk_udtf",
-    "q58_json_apis",
-    "q84_stateful_sessionize",
-    "q86_transform_with_state",
-    "q90_file_manifest",
-    "q91_pipe_identity_wordcount",
-    "q93_scalar_pandas_udf",
-    "q94_grouped_map_zscore",
-    "q95_grouped_agg_pandas_udf",
-    "q96_csv_roundtrip",
-    "q97_json_roundtrip",
-    "q101_corrupt_tolerant_json",
-    "q107_bm25_retrieval",
-    "q116_lateral_topk",
-    "q118_compaction",
-    "q122_streaming_upsert",
-    "q125_schema_evolution",
-    "q129_curation_funnel",
-    "q144_null_safe_join",
-    "q157_cogroup_asof",
-    "q173_partitioned_sink_pruning",
-    "q176_not_in_null_semantics",
-    "q185_shuffle_hash_join",
-    "q197_csv_bad_records",
-    "q204_scalar_iter_udf",
-    "q205_arrow_batch_norms",
-    "q206_dynamic_partition_pruning",
-    "q207_try_functions",
-    "q210_variant_semistructured",
-    "q224_json_key_drift",
-    "q256_bradley_terry_preferences",
-    "q257_bigram_lm_filter",
-    "q258_semantic_cluster_dedup",
-    "q259_rag_context_assembly",
-    "q260_substring_shingle_overlap",
-    "q261_score_calibration_ece",
-    "q262_corpus_version_diff",
-    "q263_token_budget_waterfill",
-    "q264_doremi_mixture_reweight",
-    "q265_poisson_bootstrap_ci",
-    "q266_class_balanced_undersample",
-    "q267_stateful_rate_limit",
-    "q268_scd2_history",
-    "q269_stream_dist_drift",
-    "q270_ivf_recall_audit",
-    "q271_dedup_transitive_safety",
-    "q272_maxsim_late_interaction",
-    "q273_segment_boilerplate_removal",
-    "q274_positional_inverted_index",
-    "q275_stream_left_outer_join",
-    "q276_kmv_overlap_estimate",
-    "q277_isotonic_calibration",
-    "q278_fellegi_sunter_weights",
-    "q279_acf_daily_autocorrelation",
-    "q280_multiprobe_lsh_ann",
-    "q281_gazetteer_span_match",
-    "q282_wfq_interleave_schedule",
-    "q283_ngram_novelty_curve",
-    "q284_lsh_s_curve_tuning",
-    "q285_mergeable_quantile_histogram",
-    "q286_mmr_diversified_topk",
-    "q287_streaming_hll_distinct",
-    "q288_span_corruption_plan",
-    "q289_fim_split_plan",
-    "q290_lpt_shard_balancing",
-    "q291_weak_supervision_lf_summary",
-    "q292_dynamic_partition_overwrite",
-    "q293_ndcg_retrieval_eval",
-    "q294_sliding_hll_union",
-    "q295_shapley_attribution",
-    "q296_adamic_adar_links",
-    "q297_winnowing_fingerprints",
-    "q298_holt_linear_forecast",
-    "q299_active_learning_batch",
-    "q300_speculative_draft_acceptance",
-    "q301_lambda_reconciliation",
-    "q302_cms_join_size_estimate",
-    "q303_phrase_query_positional",
-    "q220_numericalize_corpus",
-    "q304_out_of_order_profile",
-    "q305_watermark_delay_recommendation",
-    "q306_negative_sampling_table",
-    "q307_submodular_coverage_selection",
-    "q308_neyman_allocation",
-    "q309_bloom_join_pruning",
-    "q310_late_arriving_dimension",
-    "q311_sq8_quantization_audit",
-    "q312_knn_hubness_audit",
-    "q313_shard_entropy_balance",
-    "q314_funnel_step_latency",
-    "q315_observed_metrics",
-    "q316_zone_map_skipping",
-    "q317_referential_integrity_audit",
-    "q318_cuped_variance_reduction",
-    "q319_feature_screening",
-    "q320_difference_in_differences",
-    "q321_dataset_card",
-    "q322_kaplan_meier_survival",
-    "q323_bh_fdr_control",
-    "q324_mcnemar_paired_eval",
-    "q325_prefix_cache_sharing",
-    "q326_tokenizer_fertility",
-    "q327_jl_projection_distortion",
-    "q328_shipping_priority",
-    "q329_large_volume_orders",
-    "q330_late_shipment_priority",
-    "q331_column_masking_policy",
-    "q332_symspell_typo_correction",
-    "q333_conformal_prediction",
-    "q334_quantile_treatment_effect",
-    "q335_holt_winters_seasonal",
-    "q336_uplift_qini_curve",
-    "q337_knn_shapley_valuation",
-    "q338_epoch_shuffle_plan",
-    "q339_power_analysis_sample_size",
-    "q340_position_based_attribution",
-    "q341_multiple_regression_closed_form",
-    "q342_ridge_regularization_path",
-    "q343_linear_model_gd_steps",
-    "q344_welch_t_test",
-    "q345_cohort_ltv_matrix",
-    "q346_incremental_index_maintenance",
-    "q347_srm_check",
-    "q348_returned_item_customers",
-    "q349_ship_delay_priority_mix",
-    "q350_promo_revenue_share",
-    "q351_disjunctive_predicate_revenue",
-    "q352_inactive_high_balance",
-    "q353_mann_whitney_u",
-    "q354_ips_offpolicy_eval",
-    "q355_spearman_rank_correlation",
-    "q356_dsir_importance_resampling",
-    "q357_chunk_first_occurrence_dedup",
-    "q358_encoding_corruption_audit",
-    "q359_largest_remainder_allocation",
-    "q360_query_likelihood_dirichlet",
-    "q361_incremental_aggregate_maintenance",
-    "q362_merkle_antientropy_repair",
-    "q363_token_budget_knapsack",
-    "q364_stream_full_outer_join",
-    "q365_bitemporal_asof",
-    "q366_simpson_paradox_detector",
-    "q367_rendezvous_hash_churn",
-    "q368_kneser_ney_bigram_lm",
-    "q369_postings_delta_varint_size",
-    "q370_slo_burn_rate_alert",
-    "q371_split_leakage_audit",
-    "q372_ljung_box_whiteness",
-    "q373_markov_removal_attribution",
-    "q374_empirical_bayes_shrinkage",
-    "q375_fleiss_kappa_agreement",
-    "q376_range_partition_planner",
-    "q377_team_draft_interleave",
-    "q378_als_user_factor_step",
-    "q379_oneway_anova",
-    "q380_gini_concentration",
-    "q381_heaps_law_fit",
-    "q382_count_overdispersion",
-    "q383_propensity_score_matching",
-    "q384_neardup_modularity",
-    "q385_transition_entropy",
-    "q386_inclusion_dependency_profile",
-    "q387_functional_dependency_audit",
-    "q388_apriori_triple_itemsets",
-    "q389_rouge2_neardup_recall",
-    "q390_seasonal_naive_mase",
-    "q391_mann_kendall_trend",
-    "q392_lagged_cross_correlation",
-    "q393_knn_label_disagreement",
-    "q394_k_anonymity_audit",
-    "q395_good_turing_counts",
-    "q396_blocking_quality_metrics",
-    "q397_source_centroid_drift",
-    "q398_msttr_lexical_diversity",
-    "q399_incremental_neardup_maintenance",
-    "q400_duplicate_ngram_fraction",
-    "q401_degree_assortativity",
-    "q402_idempotent_sink_ledger",
-    "q403_backfill_range_planner",
-    "q404_hot_key_skew_join",
-    "q405_stream_restart_from_checkpoint",
-    "q406_multi_source_stream_union",
-    "q21_revenue_by_nation",
-    "q27_asof_join",
-    "q30_topk_per_group",
-    "q31_running_total",
-    "q32_lag_lead",
-    "q33_moving_sum",
-    "q34_rank_ntile",
-    "q35_first_last_nth",
-    "q36_range_frame",
-    "q50_token_stats",
-    "q51_quality_score",
-    "q52_langid",
-    "q53_fingerprint",
-    "q54_pii_scrub",
-    "q55_deterministic_split",
-    "q56_stratified_sample",
-    "q57_repetition_signals",
-    "q69_contamination_check",
-    "q74_centroid_assign",
-    "q75_shard_plan",
-    "q76_embedding_quantize",
-    "q77_mix_plan",
-    "q78_tfidf_keywords",
-    "q81_sliding_window",
-    "q83_dedup_events",
-    "q88_event_transitions",
-    "q89_funnel_conversion",
-    "q92_multimodal_pipeline",
-    "q102_reservoir_per_group",
-    "q104_gapfill_resample",
-    "q105_key_skew_profile",
-    "q108_time_weighted_avg",
-    "q112_priority_sample",
-    "q113_token_entropy",
-    "q117_distribution_ranks",
-    "q119_winsorize",
-    "q123_sequence_packing",
-    "q124_vocab_coverage",
-    "q126_linear_interpolation",
-    "q127_trailing_time_window",
-    "q128_cumulative_distinct",
-    "q130_session_paths",
-    "q131_retention_cohorts",
-    "q135_skipgram_pairs",
-]
+# Verification ordering. The driver samples ~50 queries per round,
+# taking the HEAD of queries() (confirmed by r4..r7 samples each being
+# exactly the first 50 names). Rounds 4-7 maintained that head as a
+# hand-rotated static list, and the rotation trap re-armed three times
+# — the head kept being the rows the previous driver run had just
+# stamped. From round 8 the order is COMPUTED from the committed
+# CORRECTNESS_r*.json artifacts (steady-state policy, r7 verdict task
+# 5): never-sampled queries first in q-order, then ascending
+# last-verified round (stalest driver rows refresh soonest against
+# code drift), ties in q-order. Each driver round commits a new
+# CORRECTNESS file, so the order self-rotates with zero manual edits.
+
+
+def _last_verified_round() -> dict[str, int]:
+    """Per query, the newest round whose committed CORRECTNESS_r*.json
+    contains a row for it; queries absent from every file get no entry
+    (= never sampled by the driver)."""
+    import glob
+    import json
+    import os
+    import re as _re
+
+    last: dict[str, int] = {}
+    here = os.path.dirname(os.path.abspath(__file__))
+    for path in sorted(glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))):
+        rnd_match = _re.search(r"_r(\d+)\.json$", path)
+        if rnd_match is None:
+            continue
+        rnd = int(rnd_match.group(1))
+        try:
+            with open(path) as f:
+                rows = json.load(f)
+        except (OSError, ValueError):
+            continue  # malformed/unreadable artifact: skip, never fail
+        if not isinstance(rows, dict):
+            continue
+        for name in rows:
+            last[name] = max(last.get(name, 0), rnd)
+    return last
+
+
+def _qnum(name: str) -> int:
+    import re as _re
+
+    m = _re.match(r"q(\d+)_", name)
+    return int(m.group(1)) if m else 10**9
 
 
 def _ordered():
     reg = load_all()
-    out = {n: reg[n] for n in _VERIFY_FIRST if n in reg}
-    out.update((n, q) for n, q in reg.items() if n not in out)
-    return out
+    last = _last_verified_round()
+    # (never-sampled first, then stalest stamp, then q-order); with no
+    # readable CORRECTNESS files this degrades to plain q-order.
+    names = sorted(reg, key=lambda n: (n in last, last.get(n, 0), _qnum(n)))
+    return {n: reg[n] for n in names}
 
 
 def entry(spark: SparkSession) -> DataFrame:

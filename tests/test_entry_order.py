@@ -1,0 +1,77 @@
+"""Pins for the driver-contract verification ordering.
+
+The driver samples the HEAD of ``queries()`` (~50/round), so the order
+IS the verification schedule. Rounds 4-7 hand-rotated a static list and
+the head kept re-arming to just-stamped rows; round 8 replaced it with
+an order COMPUTED from the committed CORRECTNESS_r*.json artifacts.
+These tests pin the policy: never-sampled first in q-order, then
+ascending last-verified round, ties in q-order — so each driver round
+automatically schedules the stalest rows next. No SparkSession needed.
+"""
+
+from __future__ import annotations
+
+import importlib
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+entry = importlib.import_module("__spark_entry__")
+
+
+def test_queries_cover_registry_exactly_once():
+    from azure_batch_map_reduce_spark.registry import load_all
+
+    names = list(entry.queries())
+    assert len(names) == len(set(names))
+    assert set(names) == set(load_all())
+
+
+def test_never_sampled_queries_lead_in_q_order():
+    last = entry._last_verified_round()
+    names = list(entry.queries())
+    never = [n for n in names if n not in last]
+    # Every never-sampled query precedes every stamped query...
+    assert names[: len(never)] == never
+    # ...and the never-sampled block is in q-order.
+    assert never == sorted(never, key=entry._qnum)
+
+
+def test_stamped_queries_ordered_stalest_first():
+    last = entry._last_verified_round()
+    names = [n for n in entry.queries() if n in last]
+    keys = [(last[n], entry._qnum(n)) for n in names]
+    assert keys == sorted(keys)
+
+
+def test_oracle_sql_keys_subset_of_queries():
+    qs = set(entry.queries())
+    osql = entry.oracle_sql()
+    assert set(osql) <= qs
+    # Rows-only queries are the documented quartet and nothing more
+    # (registry.py:40-64 enforces the rationale).
+    rows_only = qs - set(osql)
+    assert rows_only == {
+        "q67_ml_minhash_lsh",
+        "q92_multimodal_pipeline",
+        "q147_frame_sampling",
+        "q164_vad_segments",
+    }
+
+
+def test_last_verified_round_is_monotone_union():
+    """Sanity on the artifact parse: every name appearing in any
+    CORRECTNESS file gets the MAX round across files, and parsing never
+    raises on the committed artifacts."""
+    import glob
+    import json
+    import re
+
+    here = Path(entry.__file__).parent
+    expected: dict[str, int] = {}
+    for p in sorted(glob.glob(str(here / "CORRECTNESS_r*.json"))):
+        rnd = int(re.search(r"_r(\d+)\.json$", p).group(1))
+        for name in json.load(open(p)):
+            expected[name] = max(expected.get(name, 0), rnd)
+    assert entry._last_verified_round() == expected
