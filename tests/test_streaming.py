@@ -402,3 +402,45 @@ def test_q405_restart_invariant_to_cut(spark, sf_dir):
             tuple(r) for r in run_restart_drill(spark, ev, cut).collect()
         )
         assert got == single, f"cut {cut} broke restart transparency"
+
+
+def test_restart_drill_cleans_scratch_on_failure(spark, sf_dir):
+    """r7 ADVICE regression pin: a raise out of the drill body (here an
+    AnalysisException from a frame missing the ts column, thrown after
+    the scratch dir exists) must remove the scratch tree via the
+    try/finally — previously only the success and timeout paths cleaned
+    up and every other raise leaked the dir until process exit."""
+    import glob
+    import os
+    import tempfile
+
+    from azure_batch_map_reduce_spark.streaming.stateful import (
+        run_restart_drill,
+    )
+
+    pattern = os.path.join(tempfile.gettempdir(), "abmr-restart-*")
+    pre = set(glob.glob(pattern))
+    ev_bad = load_tables(spark, sf_dir)["events"].select("user_id")
+    with pytest.raises(Exception):
+        run_restart_drill(spark, ev_bad, 0)
+    assert set(glob.glob(pattern)) - pre == set()
+
+
+def test_union_stream_cleans_scratch_on_failure(spark, sf_dir, monkeypatch):
+    """Same pin for q406: a raise out of the stream phase (simulated by
+    making run_available_now blow up) must remove the feed dirs."""
+    import glob
+    import os
+    import tempfile
+
+    from azure_batch_map_reduce_spark.streaming import windows as sw
+
+    def boom(*a, **k):
+        raise RuntimeError("simulated stream failure")
+
+    monkeypatch.setattr(sw, "run_available_now", boom)
+    pattern = os.path.join(tempfile.gettempdir(), "abmr-union-*")
+    pre = set(glob.glob(pattern))
+    with pytest.raises(RuntimeError, match="simulated stream failure"):
+        sw.q406_multi_source_stream_union(spark, sf_dir)
+    assert set(glob.glob(pattern)) - pre == set()
