@@ -29,17 +29,19 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 # CORRECTNESS file, so the order self-rotates with zero manual edits.
 
 
-def _last_verified_round() -> dict[str, int]:
+def _last_verified_round(artifact_dir: str | None = None) -> dict[str, int]:
     """Per query, the newest round whose committed CORRECTNESS_r*.json
     contains a row for it; queries absent from every file get no entry
-    (= never sampled by the driver)."""
+    (= never sampled by the driver). ``artifact_dir`` defaults to this
+    file's directory (the repo root, where the driver commits the
+    artifacts); tests pass a synthetic dir."""
     import glob
     import json
     import os
     import re as _re
 
     last: dict[str, int] = {}
-    here = os.path.dirname(os.path.abspath(__file__))
+    here = artifact_dir or os.path.dirname(os.path.abspath(__file__))
     for path in sorted(glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))):
         rnd_match = _re.search(r"_r(\d+)\.json$", path)
         if rnd_match is None:

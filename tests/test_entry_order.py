@@ -75,3 +75,25 @@ def test_last_verified_round_is_monotone_union():
         for name in json.load(open(p)):
             expected[name] = max(expected.get(name, 0), rnd)
     assert entry._last_verified_round() == expected
+
+
+def test_last_verified_round_synthetic_artifacts(tmp_path):
+    """The parse is shaped by whatever the driver writes, so pin the
+    contract against synthetic artifacts: latest round wins per name,
+    malformed or non-dict files are skipped silently, and a directory
+    with no artifacts yields an empty map (=> plain q-order)."""
+    import json
+
+    (tmp_path / "CORRECTNESS_r01.json").write_text(
+        json.dumps({"q01_a": {"hash_match": True}, "q02_b": {}})
+    )
+    (tmp_path / "CORRECTNESS_r03.json").write_text(
+        json.dumps({"q02_b": {}, "q05_c": {}})
+    )
+    (tmp_path / "CORRECTNESS_r02.json").write_text("{not json")
+    (tmp_path / "CORRECTNESS_r04.json").write_text(json.dumps([1, 2]))
+    got = entry._last_verified_round(str(tmp_path))
+    assert got == {"q01_a": 1, "q02_b": 3, "q05_c": 3}
+    empty = tmp_path / "none"
+    empty.mkdir()
+    assert entry._last_verified_round(str(empty)) == {}
