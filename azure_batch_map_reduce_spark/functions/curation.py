@@ -6976,3 +6976,107 @@ def q394_k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("risk_bucket")
     )
+
+
+_DP_EPS_EACH = 0.25          # per-release budget; two releases compose
+_DP_SCALE = 1.0 / _DP_EPS_EACH  # Laplace b = sensitivity/epsilon, sens=1
+
+
+@query(
+    "q407_dp_noisy_count_release",
+    oracle="""
+    WITH g AS (
+        SELECT c_nationkey,
+               count(*) AS n_customers,
+               sum(CASE WHEN c_acctbal > 5000 THEN 1 ELSE 0 END) AS n_high_bal
+        FROM customer
+        GROUP BY c_nationkey
+    ),
+    noised AS (
+        SELECT c_nationkey, n_customers, n_high_bal,
+               (CAST(('0x' || substr(md5('dpc|' || CAST(c_nationkey AS VARCHAR)), 1, 8))::BIGINT AS DOUBLE) + 0.5) / 4294967296.0 AS uc,
+               (CAST(('0x' || substr(md5('dph|' || CAST(c_nationkey AS VARCHAR)), 1, 8))::BIGINT AS DOUBLE) + 0.5) / 4294967296.0 AS uh
+    FROM g
+    )
+    SELECT c_nationkey,
+           CAST(n_customers AS BIGINT) AS n_customers,
+           round(n_customers - 4.0 * sign(uc - 0.5) * ln(1.0 - 2.0 * abs(uc - 0.5)), 6) + 0.0 AS noisy_n_customers,
+           CAST(n_high_bal AS BIGINT) AS n_high_bal,
+           round(n_high_bal - 4.0 * sign(uh - 0.5) * ln(1.0 - 2.0 * abs(uh - 0.5)), 6) + 0.0 AS noisy_n_high_bal,
+           CAST(0.5 AS DOUBLE) AS epsilon_total
+    FROM noised
+    ORDER BY c_nationkey
+    """,
+    tags=("privacy", "differential-privacy", "laplace", "release", "curation"),
+)
+def q407_dp_noisy_count_release(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ε-differentially-private release of per-nation customer counts
+    via the Laplace mechanism: two count statistics per group (all
+    customers; high-balance customers, acctbal > 5000) each released
+    at ε=0.25 with sensitivity 1 (one customer = one row in exactly
+    one nation, contributing ≤1 to each stat), composing sequentially
+    to the reported ε_total=0.5 budget. This is the publish gate a
+    corpus pipeline runs before shipping dataset-card statistics
+    (q321) over data containing individuals — completing the privacy
+    family: q54 scrubs direct identifiers, q394 measures residual
+    quasi-identifier risk, q209 erases on request, and this releases
+    aggregate stats with a quantified privacy guarantee. The true
+    counts ride along as the in-result calibration audit (the q254 /
+    q270 audit pattern); the release set is the noisy columns only.
+
+    Determinism: the Laplace draw is the inverse CDF applied to a
+    hash-uniform — u = (first 8 md5 hex chars of the salted group key
+    + 0.5) / 2^32, noise = -(1/ε)·sign(u-½)·ln(1-2|u-½|). Every step
+    up to the ln is exact IEEE (x+0.5 needs 33 bits, division is by a
+    power of two, u-½ and 1-2|u-½| are multiples of 2^-33), so both
+    engines hand bit-identical arguments to ln; the single libm call
+    lands on a 6-digit round with group-grain row counts, the same
+    exposure class as the entropy queries. round_nz + oracle `+0.0`
+    guard the signed-zero comparator rule (a noisy count CAN be
+    negative — standard for unclamped DP releases, documented here
+    rather than clamped so the audit shows the mechanism raw).
+
+    Scale posture: ONE partial+final count aggregate to group grain
+    (map-side combine does the data-sized work); noise is a handful
+    of scalar expressions ON the group-grain rows — no joins, no
+    windows, no second scan. At 100 TB the release grain stays tiny
+    regardless of fact size; widening to contingency tables or
+    histograms (q106/q120) reuses the same salted-hash draw per cell.
+    Reference contract: per-row projection = map slot
+    (``App.config:16``); the count consolidation = reduce slot
+    (``App.config:17``, ``Program.cs:351-384``).
+    """
+    cust = load_tables(spark, sf_dir)["customer"]
+    g = cust.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).cast("long").alias("n_customers"),
+        F.sum(F.when(F.col("c_acctbal") > 5000, 1).otherwise(0))
+        .cast("long")
+        .alias("n_high_bal"),
+    )
+
+    def laplace(salt: str) -> Column:
+        h = F.md5(F.concat(F.lit(salt), F.col("c_nationkey").cast("string")))
+        x = F.conv(F.substring(h, 1, 8), 16, 10).cast("long").cast("double")
+        u = (x + F.lit(0.5)) / F.lit(4294967296.0)
+        v = u - F.lit(0.5)
+        return (
+            -F.lit(_DP_SCALE)
+            * F.signum(v)
+            * F.log(F.lit(1.0) - F.lit(2.0) * F.abs(v))
+        )
+
+    return (
+        g.select(
+            "c_nationkey",
+            "n_customers",
+            round_nz(F.col("n_customers") + laplace("dpc|"), 6).alias(
+                "noisy_n_customers"
+            ),
+            "n_high_bal",
+            round_nz(F.col("n_high_bal") + laplace("dph|"), 6).alias(
+                "noisy_n_high_bal"
+            ),
+            F.lit(0.5).alias("epsilon_total"),
+        )
+        .orderBy("c_nationkey")
+    )

@@ -1270,3 +1270,23 @@ def test_q62_result_invariant_to_join_strategy(spark, sf_dir):
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
     assert forced == normal
+
+
+def test_q407_dp_release_is_single_aggregate(spark, sf_dir):
+    """The DP release must stay one partial+final count aggregate with
+    noise as scalar expressions on GROUP-grain rows: no window, no
+    join, no second fact scan (the audit columns reuse the same agg),
+    and the customer scan pruned to the two needed columns."""
+    df = REGISTRY["q407_dp_noisy_count_release"].fn(spark, sf_dir)
+    explained = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    assert "WindowExec" not in explained
+    assert "Join" not in explained
+    # formatted explain mentions each node twice (tree + detail): one
+    # scan node = 2 mentions, the partial+final pair = 4.
+    assert explained.count("Scan parquet") == 2
+    read_schema = [l for l in explained.splitlines() if "ReadSchema" in l][0]
+    assert "c_nationkey" in read_schema and "c_acctbal" in read_schema
+    assert "c_name" not in read_schema and "c_address" not in read_schema
+    assert explained.count("HashAggregate") == 4
