@@ -224,6 +224,63 @@ def _register_roundtrips() -> None:
             F.round(F.sum("s_acctbal"), 2).alias("total_bal"),
         )
 
+    @query(
+        "q408_xml_roundtrip",
+        oracle="""
+        SELECT p_brand || ' <&> ' || p_type AS brand_type,
+               count(*) AS n_parts,
+               round(sum(p_retailprice), 2) AS total_price
+        FROM part
+        GROUP BY 1
+        """,
+        tags=("source", "xml"),
+    )
+    def q408_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """XML sink → XML scan with an explicit schema (Spark 4's
+        NATIVE xml source — no external package), completing the text-
+        format matrix beside CSV (q96) and JSON-lines (q97). The group
+        key is deliberately decorated with XML metacharacters
+        (``' <&> '``) so the writer's entity escaping and the reader's
+        unescaping are ON the verified path — the classic silent-
+        corruption spot of XML interchange — and doubles must survive
+        the text round-trip at full precision (shortest-roundtrip
+        printing, the q97 contract). Losslessness is proven by
+        hash-matching the re-read copy's aggregate against the ORIGINAL
+        parquet table's oracle.
+
+        Scale posture: XML is a row-wise interchange format — no
+        column pruning or predicate pushdown reaches the scan (unlike
+        parquet/ORC), which is exactly why the engine treats it as an
+        ingest/egress edge, not a storage layout; the aggregate itself
+        is one partial+final pass at (brand, type) grain.
+        Reference contract: mapper/reducer outputs are opaque text
+        files renamed into a shared namespace (``Program.cs:341-344``,
+        ``App.config:19-20``) — XML is that contract with a schema
+        bolted on at read time."""
+        part = load_tables(spark, sf_dir)["part"].select(
+            F.concat(
+                F.col("p_brand"), F.lit(" <&> "), F.col("p_type")
+            ).alias("brand_type"),
+            "p_partkey",
+            "p_retailprice",
+        )
+        d = _roundtrip_dir("xml")
+        part.write.mode("overwrite").format("xml").option(
+            "rootTag", "parts"
+        ).option("rowTag", "part").save(d)
+        back = (
+            spark.read.format("xml")
+            .option("rowTag", "part")
+            .schema(
+                "brand_type string, p_partkey long, p_retailprice double"
+            )
+            .load(d)
+        )
+        return back.groupBy("brand_type").agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            F.round(F.sum("p_retailprice"), 2).alias("total_price"),
+        )
+
 
 _register_roundtrips()
 
