@@ -7080,3 +7080,143 @@ def q407_dp_noisy_count_release(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_nationkey")
     )
+
+
+_IPF_ROUNDS = 3
+_IPF_ORACLE_LEVELS = "".join(
+    f"""
+s{r} AS MATERIALIZED (
+    SELECT seg, list_reduce(list({'n' if r == 1 else 'n * w'} ORDER BY nat),
+                            (a, b) -> a + b) AS m
+    FROM {'grid0' if r == 1 else f'g{2 * r - 2}'} GROUP BY seg
+),
+g{2 * r - 1} AS MATERIALIZED (
+    SELECT g.nat, g.seg, g.n_customers, g.n,
+           {'(t.total / 5.0) / s.m' if r == 1 else 'g.w * (t.total / 5.0) / s.m'} AS w
+    FROM {'grid0' if r == 1 else f'g{2 * r - 2}'} g JOIN s{r} s USING (seg) CROSS JOIN tot t
+),
+c{r} AS MATERIALIZED (
+    SELECT nat, list_reduce(list(n * w ORDER BY seg), (a, b) -> a + b) AS m
+    FROM g{2 * r - 1} GROUP BY nat
+),
+g{2 * r} AS MATERIALIZED (
+    SELECT g.nat, g.seg, g.n_customers, g.n, g.w * (t.total / 25.0) / c.m AS w
+    FROM g{2 * r - 1} g JOIN c{r} c USING (nat) CROSS JOIN tot t
+),"""
+    for r in range(1, _IPF_ROUNDS + 1)
+)
+
+
+@query(
+    "q409_ipf_raking_weights",
+    oracle=f"""
+    WITH grid0 AS MATERIALIZED (
+        SELECT c_nationkey AS nat, c_mktsegment AS seg,
+               count(*) AS n_customers, CAST(count(*) AS DOUBLE) AS n
+        FROM customer GROUP BY 1, 2
+    ),
+    tot AS MATERIALIZED (
+        SELECT CAST(sum(n_customers) AS DOUBLE) AS total FROM grid0
+    ),{_IPF_ORACLE_LEVELS}
+    final AS (SELECT * FROM g{2 * _IPF_ROUNDS})
+    SELECT nat AS c_nationkey, seg AS c_mktsegment,
+           CAST(n_customers AS BIGINT) AS n_customers,
+           round(w, 6) + 0.0 AS raked_weight,
+           round(n * w, 6) + 0.0 AS raked_mass
+    FROM final
+    ORDER BY c_nationkey, c_mktsegment
+    """,
+    tags=("curation", "mixture", "raking", "ipf", "iterative"),
+)
+def q409_ipf_raking_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterative proportional fitting (raking) of per-cell sampling
+    weights so the (nation × market-segment) customer grid matches
+    BOTH equal-share marginal targets (total/5 per segment, total/25
+    per nation) — the classic survey-weighting algorithm, and the
+    corpus-rebalancing primitive that complements the mixture family:
+    DoReMi (q264) reweights one axis from proxy losses, DSIR (q356)
+    reweights by importance ratios, Neyman (q308) allocates a sample
+    budget — raking is what you run when the TARGET is a joint
+    marginal specification (e.g. "equal language share AND equal
+    source share") and the observed grid must be deformed minimally
+    (min KL) to honor it. Three alternating scaling rounds (segment
+    axis then nation axis) leave segment masses within ~0.4% of
+    target on the fixture — convergence behavior, not a pinned bound.
+
+    Determinism: each marginal sum is a SEQUENTIAL fold over the
+    cell list sorted by the opposite key (Spark: `F.aggregate` over
+    `array_sort(collect_list(struct(key, val)))` seeded 0.0; DuckDB:
+    `list_reduce(list(val ORDER BY key))` seeded with the first
+    element — identical because 0.0 + x is exact for the positive
+    first term), so both engines add the SAME doubles in the SAME
+    order and every scaling ratio is bit-identical; the equal-share
+    targets are single exact IEEE divisions of the integer total.
+    Float sums via plain SUM() would differ by summation-order ulps
+    and compound over rounds (the q397 lesson applied prospectively).
+
+    Scale posture: ONE partial+final count aggregate reduces the
+    fact table to grid grain (|nations|×|segments| ≤ 125 cells);
+    all six scalings run on that bounded grain with 5/25-row
+    broadcast marginal joins, `localCheckpoint(eager)` per scaling
+    keeping the iterative plan shallow (the q103/q286 rule). At
+    100 TB the grid for realistic axes (language × source) is still
+    thousands of cells — the fact table is scanned exactly once.
+    Reference contract: per-row cell projection = map slot
+    (``App.config:16``); the alternating consolidations = staged
+    reduce slots under the DAG barrier (``Program.cs:351-384``).
+    """
+    cust = load_tables(spark, sf_dir)["customer"]
+    grid = (
+        cust.groupBy(
+            F.col("c_nationkey").alias("nat"),
+            F.col("c_mktsegment").alias("seg"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+        .withColumn("n", F.col("n_customers").cast("double"))
+    )
+    tot = grid.agg(F.sum("n_customers").cast("double").alias("total"))
+    grid = grid.crossJoin(F.broadcast(tot)).localCheckpoint(eager=True)
+
+    def fold_sum(order_key: str, val: Column) -> Column:
+        arr = F.array_sort(
+            F.collect_list(F.struct(F.col(order_key).alias("k"), val.alias("v")))
+        )
+        return F.aggregate(arr, F.lit(0.0), lambda a, x: a + x["v"])
+
+    w = F.col("n")  # pre-round-1 mass per cell (w0 = 1)
+    for r in range(1, _IPF_ROUNDS + 1):
+        mass = F.col("n") if r == 1 else F.col("n") * F.col("w")
+        seg_m = grid.groupBy("seg").agg(fold_sum("nat", mass).alias("m"))
+        scaled = (
+            grid.join(F.broadcast(seg_m), "seg")
+            .withColumn(
+                "w",
+                (F.col("total") / F.lit(5.0)) / F.col("m")
+                if r == 1
+                else F.col("w") * (F.col("total") / F.lit(5.0)) / F.col("m"),
+            )
+            .drop("m")
+            .localCheckpoint(eager=True)
+        )
+        nat_m = scaled.groupBy("nat").agg(
+            fold_sum("seg", F.col("n") * F.col("w")).alias("m")
+        )
+        grid = (
+            scaled.join(F.broadcast(nat_m), "nat")
+            .withColumn(
+                "w", F.col("w") * (F.col("total") / F.lit(25.0)) / F.col("m")
+            )
+            .drop("m")
+            .localCheckpoint(eager=True)
+        )
+
+    return (
+        grid.select(
+            F.col("nat").alias("c_nationkey"),
+            F.col("seg").alias("c_mktsegment"),
+            F.col("n_customers").cast("long").alias("n_customers"),
+            round_nz(F.col("w"), 6).alias("raked_weight"),
+            round_nz(F.col("n") * F.col("w"), 6).alias("raked_mass"),
+        )
+        .orderBy("c_nationkey", "c_mktsegment")
+    )

@@ -194,10 +194,12 @@ HEADLINE = [
     "q402_idempotent_sink_ledger",
     "q403_backfill_range_planner",
     "q404_hot_key_skew_join",
-    # Round-8 operator: DP Laplace release (group-grain scalar math on
-    # one partial+final count aggregate — cheap, but new ops get bench
-    # rows so cost regressions are visible).
+    # Round-8 operators: DP Laplace release (group-grain scalar math on
+    # one partial+final count aggregate) and IPF raking (iterative
+    # grid-grain scaling with per-round localCheckpoints) — cheap, but
+    # new ops get bench rows so cost regressions are visible.
     "q407_dp_noisy_count_release",
+    "q409_ipf_raking_weights",
     # q405 (restart drill, ~8 s) and q406 (multi-source union, ~4 s)
     # are EXCLUDED by design: both are dominated by fixed stream-
     # startup + scratch-feed-write costs, not per-row throughput, so

@@ -365,3 +365,21 @@ def test_duckdb_round_preserves_negative_zero_without_nz():
 
     v = duckdb.sql("SELECT round((-1e-9)::DOUBLE, 4)").fetchone()[0]
     assert v == 0.0 and math.copysign(1.0, v) == -1.0
+
+
+def test_q409_raking_matches_marginal_targets(spark, sf_dir):
+    """IPF invariants: the final (nation-side) scaling makes every
+    nation's raked mass EXACTLY total/25 (up to float round), so total
+    mass is preserved; the segment axis — scaled one half-round
+    earlier — must sit within 1% of total/5 (convergence behavior of
+    3 alternating rounds on this grid, not a theoretical bound)."""
+    from azure_batch_map_reduce_spark.registry import load_all
+
+    df = load_all()["q409_ipf_raking_weights"].fn(spark, sf_dir).toPandas()
+    total = df.n_customers.sum()
+    nat_mass = df.groupby("c_nationkey").raked_mass.sum()
+    assert (nat_mass - total / 25.0).abs().max() < 1e-4
+    seg_mass = df.groupby("c_mktsegment").raked_mass.sum()
+    assert (seg_mass / (total / 5.0) - 1.0).abs().max() < 0.01
+    assert abs(df.raked_mass.sum() - total) < 1e-3
+    assert (df.raked_weight > 0).all()
