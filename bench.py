@@ -197,7 +197,13 @@ HEADLINE = [
     # Round-8 operators: DP Laplace release (group-grain scalar math on
     # one partial+final count aggregate) and IPF raking (iterative
     # grid-grain scaling with per-round localCheckpoints) — cheap, but
-    # new ops get bench rows so cost regressions are visible.
+    # new ops get bench rows so cost regressions are visible. NOTE:
+    # q409's eager localCheckpoints execute inside fn() — i.e. during
+    # untimed plan construction — so its recorded time covers only the
+    # final sort over the checkpointed grid; its full cost lands in the
+    # bench's wall-clock, not its row (same for any eager-materializing
+    # query; the recorded metric is consistent because the driver runs
+    # this same protocol).
     "q407_dp_noisy_count_release",
     "q409_ipf_raking_weights",
     # q405 (restart drill, ~8 s) and q406 (multi-source union, ~4 s)
