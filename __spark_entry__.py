@@ -29,12 +29,27 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 # CORRECTNESS file, so the order self-rotates with zero manual edits.
 
 
+def _row_verified(row) -> bool:
+    """A CORRECTNESS row counts as a successful verification iff the
+    oracle check was green (``hash_match`` True, no error) or the
+    documented rows-only check succeeded (``err == 'no_oracle'`` with a
+    recorded row count). Failed rows — ``hash_match`` False or a real
+    error — do NOT stamp: they stay in the never-verified head block so
+    the driver re-checks them soonest, not last (r8 ADVICE item 1)."""
+    if not isinstance(row, dict):
+        return False
+    if row.get("err") is None and row.get("hash_match") is True:
+        return True
+    return row.get("err") == "no_oracle" and row.get("spark_rows") is not None
+
+
 def _last_verified_round(artifact_dir: str | None = None) -> dict[str, int]:
     """Per query, the newest round whose committed CORRECTNESS_r*.json
-    contains a row for it; queries absent from every file get no entry
-    (= never sampled by the driver). ``artifact_dir`` defaults to this
-    file's directory (the repo root, where the driver commits the
-    artifacts); tests pass a synthetic dir."""
+    contains a SUCCESSFUL row for it (see :func:`_row_verified`);
+    queries absent from every file — or only ever present as failures —
+    get no entry (= scheduled in the head block). ``artifact_dir``
+    defaults to this file's directory (the repo root, where the driver
+    commits the artifacts); tests pass a synthetic dir."""
     import glob
     import json
     import os
@@ -54,8 +69,9 @@ def _last_verified_round(artifact_dir: str | None = None) -> dict[str, int]:
             continue  # malformed/unreadable artifact: skip, never fail
         if not isinstance(rows, dict):
             continue
-        for name in rows:
-            last[name] = max(last.get(name, 0), rnd)
+        for name, row in rows.items():
+            if _row_verified(row):
+                last[name] = max(last.get(name, 0), rnd)
     return last
 
 

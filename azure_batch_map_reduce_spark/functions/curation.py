@@ -7019,10 +7019,23 @@ def q407_dp_noisy_count_release(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus pipeline runs before shipping dataset-card statistics
     (q321) over data containing individuals — completing the privacy
     family: q54 scrubs direct identifiers, q394 measures residual
-    quasi-identifier risk, q209 erases on request, and this releases
-    aggregate stats with a quantified privacy guarantee. The true
-    counts ride along as the in-result calibration audit (the q254 /
-    q270 audit pattern); the release set is the noisy columns only.
+    quasi-identifier risk, q209 erases on request, and this exercises
+    the Laplace release mechanism's arithmetic.
+
+    **This query verifies the mechanism's MATH, not a privacy
+    guarantee.** Two properties of this test harness void actual
+    differential privacy: (1) the noise is a deterministic, publicly
+    recomputable function of the released group key (salted md5 of
+    c_nationkey) — required so both engines draw identical noise for
+    the differential check, but an adversary can recompute and subtract
+    it; (2) the exact true counts ship in the same result as the
+    in-result calibration audit (the q254/q270 audit pattern). A
+    production release would draw noise from a secret-seeded CSPRNG
+    and publish the noisy columns ONLY; what this query pins is that
+    the inverse-CDF Laplace arithmetic at ε=0.25 per stat (sequential
+    composition to ε_total=0.5, sensitivity 1: one customer = one row
+    in exactly one nation, contributing ≤1 to each stat) is
+    bit-reproducible cross-engine.
 
     Determinism: the Laplace draw is the inverse CDF applied to a
     hash-uniform — u = (first 8 md5 hex chars of the salted group key
@@ -7183,7 +7196,6 @@ def q409_ipf_raking_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         return F.aggregate(arr, F.lit(0.0), lambda a, x: a + x["v"])
 
-    w = F.col("n")  # pre-round-1 mass per cell (w0 = 1)
     for r in range(1, _IPF_ROUNDS + 1):
         mass = F.col("n") if r == 1 else F.col("n") * F.col("w")
         seg_m = grid.groupBy("seg").agg(fold_sum("nat", mass).alias("m"))

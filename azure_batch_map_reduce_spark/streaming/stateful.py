@@ -211,6 +211,80 @@ try:
         def close(self) -> None:
             pass
 
+    class SessionizeTWS(StatefulProcessor):
+        """Sessionization on the typed state-variable API — the
+        transformWithStateInPandas twin of :func:`_sessionize` (same
+        carried open-session state, same snapshot emission contract,
+        same totally-ordered per-batch fold), so a restart drill built
+        on it must reconcile to the identical gaps-and-islands session
+        set. State holds the open trailing session as µs-integer
+        bounds + three scalars: the typed-state wire format round-trips
+        longs/doubles exactly, and µs integers sidestep any
+        timestamp-unit coercion between the state server and pandas
+        (q318's interval rule); timestamps are reconstructed exactly
+        via Timestamp(ns)."""
+
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState(
+                "open_session",
+                "start_us long, last_us long, n long, total double, max_gap double",
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            ev = pd.concat(list(rows), ignore_index=True)
+            if ev.empty:
+                return
+            ev = ev.sort_values(["ts", "event_id"], ignore_index=True)
+            gaps = ev["ts"].diff().dt.total_seconds()
+            carry = tuple(self._state.get()) if self._state.exists() else None
+            sessions: list[tuple] = []
+            if carry is not None:
+                start_us, last_us, n, total, max_gap = carry
+                start = pd.Timestamp(int(start_us) * 1000)
+                last_ts = pd.Timestamp(int(last_us) * 1000)
+                first_gap = (ev["ts"].iloc[0] - last_ts).total_seconds()
+                if first_gap <= GAP_S:
+                    cur = [start, ev["ts"].iloc[0], n + 1,
+                           total + ev["value"].iloc[0], max(max_gap, first_gap)]
+                else:
+                    sessions.append((start, last_ts, n, total, max_gap))
+                    cur = [ev["ts"].iloc[0], ev["ts"].iloc[0], 1,
+                           ev["value"].iloc[0], 0.0]
+            else:
+                cur = [ev["ts"].iloc[0], ev["ts"].iloc[0], 1,
+                       ev["value"].iloc[0], 0.0]
+            for i in range(1, len(ev)):
+                g = gaps.iloc[i]
+                if g > GAP_S:
+                    sessions.append(tuple(cur))
+                    cur = [ev["ts"].iloc[i], ev["ts"].iloc[i], 1,
+                           ev["value"].iloc[i], 0.0]
+                else:
+                    cur[1] = ev["ts"].iloc[i]
+                    cur[2] += 1
+                    cur[3] += ev["value"].iloc[i]
+                    cur[4] = max(cur[4], g)
+            sessions.append(tuple(cur))
+            self._state.update(
+                (int(pd.Timestamp(cur[0]).value // 1000),
+                 int(pd.Timestamp(cur[1]).value // 1000),
+                 int(cur[2]), float(cur[3]), float(cur[4]))
+            )
+            uid = int(key[0])
+            yield pd.DataFrame(
+                {
+                    "user_id": [uid] * len(sessions),
+                    "session_start": [s[0] for s in sessions],
+                    "session_end": [s[1] for s in sessions],
+                    "n_events": [int(s[2]) for s in sessions],
+                    "total_value": [round(float(s[3]), 2) for s in sessions],
+                    "max_gap_s": [round(float(s[4]), 2) for s in sessions],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
     HAS_TWS = True
 except ImportError:  # pragma: no cover
     HAS_TWS = False
@@ -315,6 +389,27 @@ query(
     oracle=_Q86_ORACLE,
     tags=("streaming", "stateful", "transformWithState"),
 )(q86_transform_with_state)
+
+
+def sessionize_stream_tws(events: DataFrame) -> DataFrame:
+    """Sessionize a streaming events frame on the Spark 4 typed-state
+    API (:class:`SessionizeTWS` via ``transformWithStateInPandas``);
+    on protobuf-free runtimes degrades to the semantically identical
+    ``applyInPandasWithState`` sessionizer (:func:`sessionize_stream`)
+    — the q86 capability-degradation contract, with the executed path
+    reported by :func:`q86_capability` and recorded by callers."""
+    if not HAS_TWS:
+        return sessionize_stream(events)
+    return (
+        events.select("user_id", "event_id", "ts", "value")
+        .groupBy("user_id")
+        .transformWithStateInPandas(
+            SessionizeTWS(),
+            outputStructType=OUT_SCHEMA,
+            outputMode="Append",
+            timeMode="None",
+        )
+    )
 
 
 # ---- token-bucket rate limiting (q267) ----
@@ -495,13 +590,17 @@ def _restart_cut_us(ev: DataFrame) -> int:
     return (bounds["lo"] + bounds["hi"]) // 2
 
 
-def _sessionize_pipeline(spark: SparkSession, src: str, schema) -> DataFrame:
-    """The q405 streaming plan — file source → stateful sessionizer.
-    Factored out so the pre- and post-restart queries are built from
-    the SAME code path (a restart must re-submit an identical plan for
-    checkpoint state compatibility)."""
+def _sessionize_pipeline(
+    spark: SparkSession, src: str, schema, sessionize_fn=None
+) -> DataFrame:
+    """The q405/q410 streaming plan — file source → stateful
+    sessionizer. Factored out so the pre- and post-restart queries are
+    built from the SAME code path (a restart must re-submit an
+    identical plan for checkpoint state compatibility);
+    ``sessionize_fn`` selects the state API (default:
+    ``applyInPandasWithState``; q410 passes the typed-state twin)."""
     stream = spark.readStream.schema(schema).parquet(src)
-    return sessionize_stream(stream)
+    return (sessionize_fn or sessionize_stream)(stream)
 
 
 @query(
@@ -556,20 +655,121 @@ def q405_stream_restart_from_checkpoint(
     return run_restart_drill(spark, ev, _restart_cut_us(ev))
 
 
-def run_restart_drill(spark: SparkSession, ev: DataFrame, cut_us: int) -> DataFrame:
+def _restart_drill_phases(
+    spark: SparkSession, ev: DataFrame, cut_us: int, root: str, sessionize_fn=None
+) -> DataFrame:
+    """The two-phase kill/restart machinery shared by the drill and the
+    write-through modes: phase 1 = events at or before the cut, phase 2
+    = the rest, each one delivery file under ``root/src``; two
+    availableNow queries share ``root/ckpt``; returns the LAZY
+    reconciled session frame still reading ``root/out`` (callers own
+    materialization and the lifecycle of ``root``, which must be a
+    fresh directory — a reused one fails loudly on the phase-1 write
+    rather than silently mixing delivery files)."""
+    import os
+
+    src = os.path.join(root, "src")
+    out = os.path.join(root, "out")
+    ckpt = os.path.join(root, "ckpt")
+
+    # Phase 1: everything at or before the cut, as ONE delivery file.
+    ev.where(F.unix_micros("ts") <= cut_us).coalesce(1).write.parquet(src)
+    schema = spark.read.parquet(src).schema
+
+    def run_once() -> None:
+        q = (
+            _sessionize_pipeline(spark, src, schema, sessionize_fn)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError("restart-drill stream did not finish within 300 s")
+
+    run_once()  # query #1: processes file 1, checkpoints, terminates
+
+    # Phase 2 lands AFTER the "crash"; all its timestamps exceed the
+    # cut, so carried sessions only ever extend forward.
+    ev.where(F.unix_micros("ts") > cut_us).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+
+    run_once()  # query #2: restart — same plan, same checkpoint
+
+    # Snapshot reconciliation: update-style latest-wins per
+    # (user_id, session_start); n_events grows monotonically under
+    # extension, so max_by picks the survivor. Session-grain
+    # partial+final aggregate, no window.
+    snapshots = spark.read.parquet(out)
+    return (
+        snapshots.groupBy("user_id", "session_start")
+        .agg(
+            F.max_by(
+                F.struct(
+                    "session_end", "n_events", "total_value", "max_gap_s"
+                ),
+                "n_events",
+            ).alias("s")
+        )
+        .select(
+            "user_id",
+            "session_start",
+            F.col("s.session_end").alias("session_end"),
+            F.col("s.n_events").alias("n_events"),
+            F.col("s.total_value").alias("total_value"),
+            F.col("s.max_gap_s").alias("max_gap_s"),
+        )
+    )
+
+
+def run_restart_drill(
+    spark: SparkSession,
+    ev: DataFrame,
+    cut_us: int,
+    sink_dir: str | None = None,
+    sessionize_fn=None,
+) -> DataFrame:
     """The q405 two-phase kill/restart drill at an ARBITRARY crash
-    point ``cut_us``: phase 1 = events at or before the cut, phase 2 =
-    the rest, each one delivery file; two availableNow queries share
-    one checkpoint; returns the reconciled final session set. Restart
+    point ``cut_us``; returns the reconciled final session set. Restart
     transparency means the result equals the batch gaps-and-islands
     sessionization for EVERY cut — the canonical cut is differential-
     checked through q405's oracle, and cut-invariance is property-
-    tested at alternative crash points
-    (``tests/test_streaming.py::test_q405_restart_invariant_to_cut``)."""
+    tested at alternative crash points in BOTH modes
+    (``tests/test_streaming.py::test_q405_restart_invariant_to_cut``).
+
+    Two modes (r8 verdict task 3):
+
+    - **drill** (``sink_dir=None``): self-contained — a scratch tree
+      holds src/out/ckpt and is removed on every exit path, which
+      forces materializing the session rows via the driver before
+      returning. Session-grain (same memory class as q84's memory
+      sink) and the shape the driver's hash check wants, but the ONE
+      collect() in the repo whose cardinality grows with the data.
+    - **write-through** (``sink_dir=<fresh dir>``): the production
+      shape — the parquet sink, checkpoint, and reconciled result stay
+      under the caller-owned ``sink_dir``; the reconciliation is a
+      fully distributed table WRITE (``sink_dir/final``) and the
+      return value is a lazy scan of it. Nothing round-trips the
+      driver; the caller owns ``sink_dir``'s lifecycle (q411 hands it
+      a ``catalog.scratch_dir`` so tests/driver runs still clean up
+      at exit).
+
+    ``sessionize_fn`` selects the state API (q410 passes the
+    typed-state twin)."""
     import os
     import shutil
 
     from azure_batch_map_reduce_spark.catalog import scratch_dir
+
+    if sink_dir is not None:
+        final = _restart_drill_phases(spark, ev, cut_us, sink_dir, sessionize_fn)
+        final_path = os.path.join(sink_dir, "final")
+        final.write.mode("overwrite").parquet(final_path)
+        return spark.read.parquet(final_path)
 
     # scratch_dir registers atexit cleanup, and the finally below removes
     # the tree on EVERY exit path (success, timeout, or any other raise) —
@@ -577,67 +777,106 @@ def run_restart_drill(spark: SparkSession, ev: DataFrame, cut_us: int) -> DataFr
     # leaked the dir for the life of $TMPDIR.
     d = scratch_dir("abmr-restart-")
     try:
-        src = os.path.join(d, "src")
-        out = os.path.join(d, "out")
-        ckpt = os.path.join(d, "ckpt")
-
-        # Phase 1: everything at or before the cut, as ONE delivery file.
-        ev.where(F.unix_micros("ts") <= cut_us).coalesce(1).write.parquet(src)
-        schema = spark.read.parquet(src).schema
-
-        def run_once() -> None:
-            q = (
-                _sessionize_pipeline(spark, src, schema)
-                .writeStream.format("parquet")
-                .option("path", out)
-                .option("checkpointLocation", ckpt)
-                .outputMode("append")
-                .trigger(availableNow=True)
-                .start()
-            )
-            if not q.awaitTermination(300):
-                q.stop()
-                raise TimeoutError("q405 stream did not finish within 300 s")
-
-        run_once()  # query #1: processes file 1, checkpoints, terminates
-
-        # Phase 2 lands AFTER the "crash"; all its timestamps exceed the
-        # cut, so carried sessions only ever extend forward.
-        ev.where(F.unix_micros("ts") > cut_us).coalesce(1).write.mode(
-            "append"
-        ).parquet(src)
-
-        run_once()  # query #2: restart — same plan, same checkpoint
-
-        snapshots = spark.read.parquet(out)
-        final = (
-            snapshots.groupBy("user_id", "session_start")
-            .agg(
-                F.max_by(
-                    F.struct(
-                        "session_end", "n_events", "total_value", "max_gap_s"
-                    ),
-                    "n_events",
-                ).alias("s")
-            )
-            .select(
-                "user_id",
-                "session_start",
-                F.col("s.session_end").alias("session_end"),
-                F.col("s.n_events").alias("n_events"),
-                F.col("s.total_value").alias("total_value"),
-                F.col("s.max_gap_s").alias("max_gap_s"),
-            )
-        )
-        # Session-grain result (same memory class as q84's memory sink);
-        # materialize so the scratch tree can be removed before returning.
-        # NOTE: this is the one collect() in the repo whose cardinality
-        # grows with the data (one row per user session) — acceptable for
-        # a restart DRILL whose result the driver hashes anyway, but a
-        # production variant would leave the parquet sink in place and
-        # write the reconciliation through to a table instead of
-        # round-tripping session rows via the driver.
+        final = _restart_drill_phases(spark, ev, cut_us, d, sessionize_fn)
         rows = final.collect()
         return spark.createDataFrame(rows, OUT_SCHEMA)
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+# The executed-path column is baked into BOTH sides at registration
+# time, exactly the q86 contract: the driver's CORRECTNESS row records
+# which state API produced q410's rows.
+_Q410_ORACLE = f"""
+SELECT s.*,
+       '{'transformWithState' if HAS_TWS else 'applyInPandasWithState-fallback'}'
+           AS state_api
+FROM ({_SESSIONIZE_ORACLE}) s
+"""
+
+
+@query(
+    "q410_tws_restart_sessionize",
+    oracle=_Q410_ORACLE,
+    tags=("streaming", "stateful", "transformWithState", "checkpoint", "restart"),
+)
+def q410_tws_restart_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q405's kill + restart-from-checkpoint drill ported to the Spark 4
+    typed-state API: the sessionizer is :class:`SessionizeTWS` on
+    ``transformWithStateInPandas`` (named state variables from the
+    handle — the API that also carries timers and TTL), and restart
+    transparency must hold across the state-server round-trip — the
+    restarted query restores each user's open session from the typed
+    value state and the reconciled set equals q84's batch
+    gaps-and-islands oracle. Completes SURVEY §2.2i's one unexercised
+    row (q86 covers single-run TWS; this covers TWS state RECOVERY).
+
+    On protobuf-free runtimes (the typed-state wire format's
+    dependency) the drill degrades to the semantically identical
+    ``applyInPandasWithState`` sessionizer — still a real two-phase
+    kill/restart against the same checkpoint — and the executed path
+    is recorded in the ``state_api`` column, mirrored as a literal in
+    the generated oracle so the driver's hash check captures it (the
+    q86 capability-degradation contract).
+
+    Determinism: identical to q405 — integer-µs cut from a totally
+    ordered gap ranking, one delivery file per phase, total
+    (ts, event_id) order inside the sessionizer; the TWS state tuple
+    stores µs longs + doubles, which the state server round-trips
+    exactly.
+
+    Scale posture: identical to q405 — O(1) typed state per user
+    sharded by group key, O(files) source log, session-grain
+    partial+final reconciliation, no window. Reference contract: same
+    as q405 (restart-from-checkpoint replaces whole-job resubmission,
+    ``Program.cs`` task-state monitor, SURVEY §2.1 L13).
+    """
+    from azure_batch_map_reduce_spark.catalog import load_tables
+
+    ev = load_tables(spark, sf_dir)["events"].select(
+        "user_id", "event_id", "ts", "value"
+    )
+    return run_restart_drill(
+        spark, ev, _restart_cut_us(ev), sessionize_fn=sessionize_stream_tws
+    ).withColumn("state_api", F.lit(q86_capability()))
+
+
+@query(
+    "q411_restart_writethrough_sink",
+    oracle=_SESSIONIZE_ORACLE,
+    tags=("streaming", "stateful", "checkpoint", "restart", "sink"),
+)
+def q411_restart_writethrough_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRODUCTION shape of the q405 restart drill (r8 verdict task
+    3): same two-phase kill/restart against one checkpoint, but the
+    parquet sink stays in place and the snapshot reconciliation is a
+    fully distributed table WRITE to ``sink_dir/final`` — the returned
+    frame is a lazy scan of that table and NO session row ever
+    round-trips the driver (q405's drill-mode collect() was the one
+    data-cardinality collect in the repo; this is the documented
+    write-through alternative, now executable). The sink root comes
+    from ``catalog.scratch_dir`` so the tree stays readable for the
+    returned lazy frame's whole life and dies with the process — the
+    same lifecycle as the q96/q97 round-trip sinks.
+
+    Determinism: identical to q405 (same cut, same delivery files,
+    same sessionizer); the parquet round-trip of the reconciled table
+    preserves longs/doubles/µs-timestamps exactly, so the oracle is
+    q84's gaps-and-islands SQL unchanged.
+
+    Scale posture: strictly better than drill mode — reconciliation is
+    a session-grain partial+final aggregate flowing straight into a
+    distributed parquet write (at 100 TB: one shuffle at session
+    grain, zero driver traffic); downstream consumers read
+    ``final`` as a table. Reference contract: the persisted-output
+    shape matches the reference's durable blob output container
+    (``Program.cs:351-384``, results uploaded per-task then gathered),
+    replacing gather-to-driver with write-through.
+    """
+    from azure_batch_map_reduce_spark.catalog import load_tables, scratch_dir
+
+    ev = load_tables(spark, sf_dir)["events"].select(
+        "user_id", "event_id", "ts", "value"
+    )
+    sink = scratch_dir("abmr-restart-sink-")
+    return run_restart_drill(spark, ev, _restart_cut_us(ev), sink_dir=sink)

@@ -212,6 +212,10 @@ HEADLINE = [
     # they would add ~24% to the headline total while measuring JVM
     # stream bootstrap. Streaming throughput is represented by q80;
     # their correctness runs in the differential gates at every SF.
+    # q408 (native-XML round-trip) is likewise EXCLUDED: like the
+    # q96/q97/q39 round-trip family it measures sink+scan of a small
+    # grouped table (fixed serialization cost, not data-sized
+    # throughput); its correctness runs in the differential gates.
 ]
 
 

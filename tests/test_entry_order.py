@@ -62,8 +62,9 @@ def test_oracle_sql_keys_subset_of_queries():
 
 def test_last_verified_round_is_monotone_union():
     """Sanity on the artifact parse: every name appearing in any
-    CORRECTNESS file gets the MAX round across files, and parsing never
-    raises on the committed artifacts."""
+    CORRECTNESS file with a SUCCESSFUL row gets the MAX successful
+    round across files, and parsing never raises on the committed
+    artifacts."""
     import glob
     import json
     import re
@@ -72,23 +73,25 @@ def test_last_verified_round_is_monotone_union():
     expected: dict[str, int] = {}
     for p in sorted(glob.glob(str(here / "CORRECTNESS_r*.json"))):
         rnd = int(re.search(r"_r(\d+)\.json$", p).group(1))
-        for name in json.load(open(p)):
-            expected[name] = max(expected.get(name, 0), rnd)
+        for name, row in json.load(open(p)).items():
+            if entry._row_verified(row):
+                expected[name] = max(expected.get(name, 0), rnd)
     assert entry._last_verified_round() == expected
 
 
 def test_last_verified_round_synthetic_artifacts(tmp_path):
     """The parse is shaped by whatever the driver writes, so pin the
-    contract against synthetic artifacts: latest round wins per name,
-    malformed or non-dict files are skipped silently, and a directory
-    with no artifacts yields an empty map (=> plain q-order)."""
+    contract against synthetic artifacts: latest SUCCESSFUL round wins
+    per name, malformed or non-dict files are skipped silently, and a
+    directory with no artifacts yields an empty map (=> plain q-order)."""
     import json
 
+    green = {"hash_match": True, "err": None}
     (tmp_path / "CORRECTNESS_r01.json").write_text(
-        json.dumps({"q01_a": {"hash_match": True}, "q02_b": {}})
+        json.dumps({"q01_a": green, "q02_b": green})
     )
     (tmp_path / "CORRECTNESS_r03.json").write_text(
-        json.dumps({"q02_b": {}, "q05_c": {}})
+        json.dumps({"q02_b": green, "q05_c": green})
     )
     (tmp_path / "CORRECTNESS_r02.json").write_text("{not json")
     (tmp_path / "CORRECTNESS_r04.json").write_text(json.dumps([1, 2]))
@@ -97,3 +100,38 @@ def test_last_verified_round_synthetic_artifacts(tmp_path):
     empty = tmp_path / "none"
     empty.mkdir()
     assert entry._last_verified_round(str(empty)) == {}
+
+
+def test_failed_rows_do_not_stamp(tmp_path):
+    """r8 ADVICE item 1: a driver row with hash_match=False or a real
+    err must NOT count as verified — the query rejoins the head block
+    instead of sorting to the back of the schedule. Rows-only successes
+    (err='no_oracle' with a row count) DO stamp; a rows-only run that
+    itself crashed (no spark_rows) does not."""
+    import json
+
+    (tmp_path / "CORRECTNESS_r01.json").write_text(
+        json.dumps(
+            {
+                "q01_green": {"hash_match": True, "err": None},
+                "q02_hash_fail": {"hash_match": False, "err": None},
+                "q03_errored": {"hash_match": None, "err": "Traceback ..."},
+                "q04_rows_only_ok": {
+                    "hash_match": None,
+                    "err": "no_oracle",
+                    "spark_rows": 10,
+                },
+                "q05_rows_only_crash": {
+                    "hash_match": None,
+                    "err": "no_oracle",
+                    "spark_rows": None,
+                },
+            }
+        )
+    )
+    # q02 later fixed and re-stamped green: latest SUCCESS wins.
+    (tmp_path / "CORRECTNESS_r02.json").write_text(
+        json.dumps({"q02_hash_fail": {"hash_match": True, "err": None}})
+    )
+    got = entry._last_verified_round(str(tmp_path))
+    assert got == {"q01_green": 1, "q02_hash_fail": 2, "q04_rows_only_ok": 1}

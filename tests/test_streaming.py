@@ -340,7 +340,7 @@ def test_q406_union_withholds_open_windows(spark, sf_dir):
     assert rows < all_windows, "no open window was withheld — watermark inert"
 
 
-def test_q405_restart_invariant_to_cut(spark, sf_dir):
+def test_q405_restart_invariant_to_cut(spark, sf_dir, tmp_path):
     """Restart transparency is a ∀-cut property: whatever crash point
     splits the delivery log, kill + resume-from-checkpoint must yield
     the SAME final session set as q84's single-run stream. Exercises
@@ -402,14 +402,61 @@ def test_q405_restart_invariant_to_cut(spark, sf_dir):
             tuple(r) for r in run_restart_drill(spark, ev, cut).collect()
         )
         assert got == single, f"cut {cut} broke restart transparency"
+        # r8 verdict task 3: the ∀-cut property must hold identically in
+        # write-through mode — distributed table-write reconciliation,
+        # lazy read-back, zero driver round-trip of session rows.
+        sink = tmp_path / f"sink-{cut}"
+        sink.mkdir()
+        wt = run_restart_drill(spark, ev, cut, sink_dir=str(sink))
+        got_wt = sorted(tuple(r) for r in wt.collect())
+        assert got_wt == single, f"cut {cut} broke write-through mode"
+        assert (sink / "final").exists(), "write-through left no final table"
 
 
-def test_restart_drill_cleans_scratch_on_failure(spark, sf_dir):
+def test_q410_tws_restart_matches_drill(spark, sf_dir):
+    """q410 pin (r8 verdict task 4): the typed-state restart drill —
+    or, on protobuf-free runtimes, its documented
+    applyInPandasWithState degradation — reconciles to the same
+    session set as q405, carries the executed-path column matching
+    q86_capability(), and a session genuinely SPANS the cut (same
+    non-degeneracy bar as q405's pin)."""
+    from azure_batch_map_reduce_spark.streaming.stateful import (
+        _restart_cut_us,
+        q86_capability,
+        q405_stream_restart_from_checkpoint,
+        q410_tws_restart_sessionize,
+    )
+
+    ev = load_tables(spark, sf_dir)["events"]
+    cut_us = _restart_cut_us(ev)
+    got = q410_tws_restart_sessionize(spark, sf_dir)
+    assert got.select("state_api").distinct().collect()[0][0] == q86_capability()
+    spanning = got.where(
+        (F.unix_micros("session_start") <= cut_us)
+        & (F.unix_micros("session_end") > cut_us)
+    ).count()
+    assert spanning >= 1, "no session spans the restart cut — drill is vacuous"
+    base = sorted(
+        tuple(r)
+        for r in q405_stream_restart_from_checkpoint(spark, sf_dir).collect()
+    )
+    twin = sorted(
+        tuple(r) for r in got.drop("state_api").collect()
+    )
+    assert twin == base
+
+
+def test_restart_drill_cleans_scratch_on_failure(spark, sf_dir, monkeypatch, tmp_path):
     """r7 ADVICE regression pin: a raise out of the drill body (here an
     AnalysisException from a frame missing the ts column, thrown after
     the scratch dir exists) must remove the scratch tree via the
     try/finally — previously only the success and timeout paths cleaned
-    up and every other raise leaked the dir until process exit."""
+    up and every other raise leaked the dir until process exit.
+
+    r8 ADVICE item 4: scratch dirs come from ``tempfile.mkdtemp``, so
+    redirect ``tempfile.tempdir`` to a per-test tmp_path — the old
+    pre/post glob diff over the shared $TMPDIR failed spuriously when
+    any concurrent process created an abmr-restart-* dir mid-test."""
     import glob
     import os
     import tempfile
@@ -418,17 +465,17 @@ def test_restart_drill_cleans_scratch_on_failure(spark, sf_dir):
         run_restart_drill,
     )
 
-    pattern = os.path.join(tempfile.gettempdir(), "abmr-restart-*")
-    pre = set(glob.glob(pattern))
+    monkeypatch.setattr(tempfile, "tempdir", str(tmp_path))
     ev_bad = load_tables(spark, sf_dir)["events"].select("user_id")
     with pytest.raises(Exception):
         run_restart_drill(spark, ev_bad, 0)
-    assert set(glob.glob(pattern)) - pre == set()
+    assert glob.glob(os.path.join(str(tmp_path), "abmr-restart-*")) == []
 
 
-def test_union_stream_cleans_scratch_on_failure(spark, sf_dir, monkeypatch):
+def test_union_stream_cleans_scratch_on_failure(spark, sf_dir, monkeypatch, tmp_path):
     """Same pin for q406: a raise out of the stream phase (simulated by
-    making run_available_now blow up) must remove the feed dirs."""
+    making run_available_now blow up) must remove the feed dirs. Same
+    per-test $TMPDIR isolation as the restart-drill pin (r8 ADVICE)."""
     import glob
     import os
     import tempfile
@@ -439,8 +486,7 @@ def test_union_stream_cleans_scratch_on_failure(spark, sf_dir, monkeypatch):
         raise RuntimeError("simulated stream failure")
 
     monkeypatch.setattr(sw, "run_available_now", boom)
-    pattern = os.path.join(tempfile.gettempdir(), "abmr-union-*")
-    pre = set(glob.glob(pattern))
+    monkeypatch.setattr(tempfile, "tempdir", str(tmp_path))
     with pytest.raises(RuntimeError, match="simulated stream failure"):
         sw.q406_multi_source_stream_union(spark, sf_dir)
-    assert set(glob.glob(pattern)) - pre == set()
+    assert glob.glob(os.path.join(str(tmp_path), "abmr-union-*")) == []
