@@ -4690,3 +4690,99 @@ def q400_duplicate_ngram_fraction(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .orderBy("doc_id")
     )
+
+
+_Q413_ORACLE = """
+    WITH toks AS (
+        SELECT source,
+               unnest(list_filter(string_split_regex(lower(text), '[^a-z]+'),
+                                  x -> x <> '')) AS tok
+        FROM documents
+    ),
+    c AS (SELECT source, tok, count(*) AS c FROM toks GROUP BY source, tok),
+    p AS (
+        SELECT source,
+               count(*) AS d_observed,
+               CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS f1,
+               CAST(sum(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT) AS f2,
+               CAST(sum(c) AS BIGINT) AS n_tokens
+        FROM c GROUP BY source
+    )
+    SELECT source, d_observed, f1, f2, n_tokens,
+           d_observed
+             + ((2 * CAST(f1 * (f1 - 1) AS HUGEINT) * 10000 + 2 * (f2 + 1))
+                 // (2 * CAST(2 * (f2 + 1) AS HUGEINT))) / 10000.0 AS chao1,
+           ((2 * (n_tokens - f1) * 10000 + n_tokens)
+                 // (2 * n_tokens)) / 10000.0 AS coverage
+    FROM p
+    ORDER BY source
+"""
+
+
+@query(
+    "q413_chao1_vocab_richness",
+    oracle=_Q413_ORACLE,
+    tags=("text", "vocabulary", "richness", "chao1", "coverage", "estimation"),
+)
+def q413_chao1_vocab_richness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chao1 species-richness estimation of each source's vocabulary —
+    "how many distinct tokens does this source REALLY have, beyond the
+    ones the sample surfaced?" — the corpus-coverage question a
+    training-mix planner asks before trusting per-source vocabulary
+    stats (complements q146's observed-vocab Jaccard and q395's
+    Good-Turing count smoothing). Per source: observed distinct
+    tokens D, singleton count f1, doubleton count f2, the
+    bias-corrected Chao1 lower bound D + f1(f1−1)/(2(f2+1)) (defined
+    even at f2=0), and the Good-Turing sample coverage 1 − f1/N as
+    the companion "how complete is this sample" gauge.
+
+    Determinism: token counts are exact integers; both released
+    ratios are integer half-up rounds via ``ranks.half_up_ratio``
+    (oracle: the paired ``(2·a·10^k + b) // (2·b)`` form with the
+    count-product numerator cast to HUGEINT — the r6 literal-math
+    rule), and chao1 adds an exact ≤2^53 integer to the rounded
+    ratio — bit-identical cross-engine, no libm anywhere.
+
+    Scale posture: one explode to token grain, then two partial+final
+    hash aggregates ((source, tok) → source); the frequency-of-
+    frequency profile is f1/f2 only, so nothing wider than the
+    (source, token) count map ever shuffles, and the released grain
+    is #sources. At 100 TB this is the same two-stage shape as the
+    portable sketches (q156/q285). Reference contract: tokenize =
+    map slot (``App.config:16``); count consolidation = reduce slot
+    (``App.config:17``, ``Program.cs:351-384``)."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    toks = docs.select(
+        "source",
+        F.explode(
+            F.filter(
+                F.split(F.lower(F.col("text")), "[^a-z]+"),
+                lambda x: x != F.lit(""),
+            )
+        ).alias("tok"),
+    )
+    counts = toks.groupBy("source", "tok").agg(F.count(F.lit(1)).alias("c"))
+    per = counts.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("d_observed"),
+        F.sum(F.when(F.col("c") == 1, 1).otherwise(0)).cast("long").alias("f1"),
+        F.sum(F.when(F.col("c") == 2, 1).otherwise(0)).cast("long").alias("f2"),
+        F.sum("c").cast("long").alias("n_tokens"),
+    )
+    return per.select(
+        "source",
+        "d_observed",
+        "f1",
+        "f2",
+        "n_tokens",
+        (
+            F.col("d_observed")
+            + half_up_ratio(
+                F.col("f1") * (F.col("f1") - F.lit(1)),
+                F.lit(2) * (F.col("f2") + F.lit(1)),
+                4,
+            )
+        ).alias("chao1"),
+        half_up_ratio(F.col("n_tokens") - F.col("f1"), F.col("n_tokens"), 4).alias(
+            "coverage"
+        ),
+    ).orderBy("source")

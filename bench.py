@@ -206,6 +206,14 @@ HEADLINE = [
     # this same protocol).
     "q407_dp_noisy_count_release",
     "q409_ipf_raking_weights",
+    # Round-9 operators: blocked edit-distance near-dup (equi-join on
+    # the prefix block key + integer-threshold Levenshtein verify) and
+    # Chao1 vocabulary-richness estimation (explode + two partial+final
+    # aggregates) — new ops get bench rows so cost regressions are
+    # visible. q410/q411 (restart-drill variants) follow the q405
+    # exclusion above: stream-bootstrap-dominated, not throughput.
+    "q412_blocked_edit_distance_neardup",
+    "q413_chao1_vocab_richness",
     # q405 (restart drill, ~8 s) and q406 (multi-source union, ~4 s)
     # are EXCLUDED by design: both are dominated by fixed stream-
     # startup + scratch-feed-write costs, not per-row throughput, so

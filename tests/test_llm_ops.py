@@ -628,3 +628,45 @@ def test_q388_prune_levels_nonempty(spark, sf_dir):
     # ordered lexicographically.
     for r in rows:
         assert r["brand_a"] < r["brand_b"] < r["brand_c"]
+
+
+def test_q412_edit_distance_neardups_nonempty_and_bounded(spark, sf_dir):
+    """Non-degeneracy (r6 rule: an empty fixture result passes the
+    comparator vacuously) + the operator's own invariants: every pair
+    is within the 10% relative threshold, ppm is the integer floor of
+    dist/max_len, and pairs are same-language with doc_a < doc_b."""
+    rows = (
+        REGISTRY["q412_blocked_edit_distance_neardup"]
+        .fn(spark, sf_dir)
+        .collect()
+    )
+    assert len(rows) > 0, "no blocked near-dup pair at fixture SF — vacuous"
+    for r in rows:
+        assert r.doc_a < r.doc_b
+        assert r.dist * 10 <= r.max_len
+        assert r.edit_ppm == (1_000_000 * r.dist) // r.max_len
+
+
+def test_q412_pair_join_is_equi_not_cartesian(spark, sf_dir):
+    """Plan pin: candidate generation must be an equi-join on the
+    block key — never a cartesian/nested-loop pair explosion (the
+    whole point of blocking)."""
+    df = REGISTRY["q412_blocked_edit_distance_neardup"].fn(spark, sf_dir)
+    explained = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    assert "CartesianProduct" not in explained
+    assert "BroadcastNestedLoopJoin" not in explained
+
+
+def test_q413_chao1_invariants(spark, sf_dir):
+    """Chao1 is a LOWER-bound richness estimate: chao1 >= observed D,
+    with equality iff f1 <= 1; Good-Turing coverage lies in (0, 1];
+    per-source rows cover every source exactly once."""
+    rows = REGISTRY["q413_chao1_vocab_richness"].fn(spark, sf_dir).collect()
+    assert len(rows) > 0
+    assert len({r.source for r in rows}) == len(rows)
+    for r in rows:
+        assert r.chao1 >= r.d_observed
+        assert 0.0 < r.coverage <= 1.0
+        assert r.f1 + r.f2 <= r.d_observed
