@@ -3873,3 +3873,203 @@ def q397_source_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# Fixed-point scale for q414: 1e5 keeps the largest exact integer in
+# the pipeline (a_num = n·xx − 2·dot + q) under ~1e14 at every fixture
+# SF — two orders of margin below double's 2^53 exact-integer ceiling,
+# so the single closing int→double cast is EXACT on both engines.
+_SIL_SCALE = 100_000.0
+
+_Q414_ORACLE = """
+    WITH dims AS (SELECT unnest(generate_series(1, 64)) AS dim),
+    okl AS (SELECT label FROM embeddings GROUP BY label HAVING count(*) >= 2),
+    pts AS (
+        SELECT e.vec_id, e.label, d.dim AS dim,
+               CAST(round(CAST(e.embedding[d.dim] AS DOUBLE) * 100000)
+                    AS BIGINT) AS xi
+        FROM embeddings e JOIN okl USING (label) CROSS JOIN dims d
+    ),
+    xx AS (SELECT vec_id, label, sum(xi * xi) AS xx FROM pts
+           GROUP BY vec_id, label),
+    cdim AS (SELECT label AS k, dim, sum(xi) AS s FROM pts
+             GROUP BY label, dim),
+    cstat AS (SELECT label AS k, count(*) AS n, sum(xx) AS q FROM xx
+              GROUP BY label),
+    dots AS (
+        SELECT p.vec_id, p.label, c.k, sum(p.xi * c.s) AS dot
+        FROM pts p JOIN cdim c ON p.dim = c.dim
+        GROUP BY p.vec_id, p.label, c.k
+    ),
+    a_ik AS (
+        SELECT d.vec_id, d.label, d.k,
+               s.n * x.xx - 2 * d.dot + s.q AS a_num,
+               s.n AS n
+        FROM dots d
+        JOIN cstat s ON s.k = d.k
+        JOIN xx x ON x.vec_id = d.vec_id
+    ),
+    ab AS (
+        SELECT vec_id, label,
+               max(CASE WHEN k = label
+                        THEN CAST(a_num AS DOUBLE) / (n - 1) END) AS a,
+               min(CASE WHEN k <> label
+                        THEN CAST(a_num AS DOUBLE) / n END) AS b
+        FROM a_ik GROUP BY vec_id, label
+    ),
+    si AS (
+        SELECT vec_id, label,
+               CASE WHEN greatest(a, b) > 0
+                    THEN (b - a) / greatest(a, b) ELSE 0.0 END AS s
+        FROM ab
+    )
+    SELECT label,
+           CAST(count(*) AS BIGINT) AS n_points,
+           round(list_reduce(
+                     list_prepend(CAST(0.0 AS DOUBLE),
+                                  list(s ORDER BY vec_id)),
+                     (acc, x) -> acc + x) / count(*), 6) + 0.0
+               AS mean_silhouette,
+           CAST(sum(CASE WHEN s > 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_positive
+    FROM si
+    GROUP BY label
+    ORDER BY label
+"""
+
+
+@query(
+    "q414_cluster_silhouette_audit",
+    oracle=_Q414_ORACLE,
+    tags=("similarity", "embeddings", "clustering", "silhouette", "evaluation"),
+)
+def q414_cluster_silhouette_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cluster silhouette audit of the embedding space's ``label``
+    partition — "are these clusters actually separated, or is the
+    labeling noise?" — the cluster-quality gauge a curation pipeline
+    runs before trusting label-bucketed dedup (q258 SemDeDup) or IVF
+    cells built from the same partition (q73). True silhouette over
+    squared-Euclidean dissimilarity via the closed form
+    Σ_{j∈k}|x−y_j|² = n_k·(x·x) − 2·x·S_k + Q_k, so NO pairwise
+    point-point distances are ever materialized: a(i) = that sum over
+    the own cluster / (n−1) (the self term is identically 0), b(i) =
+    min over other clusters of the mean, s(i) = (b−a)/max(a,b).
+    Released per label: point count, mean silhouette, and how many
+    points sit on the correct side (s > 0). Singleton clusters are
+    excluded up front (a(i) is undefined there).
+
+    Determinism: coordinates quantize to fixed-point 1e5 integers
+    (exactly, both engines — the q397 idiom); n_k, x·x, x·S_k, Q_k and
+    every a_num are EXACT integers < 2^53, so the one int→double cast
+    is exact; a and b are single IEEE divisions of identical doubles;
+    s(i) is elementwise IEEE arithmetic on identical inputs —
+    bit-identical cross-engine. The per-label mean folds s(i) in
+    vec_id order with an explicit 0.0 seed (Spark ``F.aggregate`` over
+    ``array_sort(collect_list)`` ≡ DuckDB ``list_reduce(list_prepend(
+    0.0, list(... ORDER BY ...)))`` — the signed-term-safe q409 form),
+    then one division and a signed-zero-normalized 6-digit round.
+
+    Scale posture: one explode to point-dim grain; cluster statistics
+    (S_k, Q_k, n_k) are label×dim grain and BROADCAST to the
+    point-grain join, so the corpus shuffles once for the per-point
+    aggregates and never pairs with itself — O(points · labels · dims)
+    work, not O(points²). At much larger n_k the exact-integer bound
+    grows linearly — rescale the fixed point or lift a_num to
+    decimal(38,0) (the q397 posture). Reference contract: per-vector
+    statistics = map slot (``App.config:16``); cluster rollup +
+    verdict = reduce slot (``App.config:17``, ``Program.cs:351-384``)."""
+    from azure_batch_map_reduce_spark.operators.ranks import round_nz
+
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    okl = (
+        emb.groupBy("label")
+        .agg(F.count(F.lit(1)).alias("nl"))
+        .where(F.col("nl") >= 2)
+        .select("label")
+    )
+    pts = (
+        emb.join(F.broadcast(okl), "label")
+        .select("vec_id", "label", F.posexplode("embedding").alias("dim0", "val"))
+        .select(
+            "vec_id",
+            "label",
+            (F.col("dim0") + 1).alias("dim"),
+            F.round(F.col("val").cast("double") * F.lit(_SIL_SCALE))
+            .cast("long")
+            .alias("xi"),
+        )
+    )
+    xx = pts.groupBy("vec_id", "label").agg(
+        F.sum(F.col("xi") * F.col("xi")).alias("xx")
+    )
+    cdim = pts.groupBy(F.col("label").alias("k"), "dim").agg(
+        F.sum("xi").alias("s")
+    )
+    cstat = xx.groupBy(F.col("label").alias("k")).agg(
+        F.count(F.lit(1)).alias("n"), F.sum("xx").alias("q")
+    )
+    dots = (
+        pts.join(F.broadcast(cdim), "dim")
+        .groupBy("vec_id", "label", "k")
+        .agg(F.sum(F.col("xi") * F.col("s")).alias("dot"))
+    )
+    a_ik = (
+        dots.join(F.broadcast(cstat), "k")
+        .join(xx.select("vec_id", "xx"), "vec_id")
+        .select(
+            "vec_id",
+            "label",
+            "k",
+            "n",
+            (
+                F.col("n") * F.col("xx") - F.lit(2) * F.col("dot") + F.col("q")
+            ).alias("a_num"),
+        )
+    )
+    ab = a_ik.groupBy("vec_id", "label").agg(
+        F.max(
+            F.when(
+                F.col("k") == F.col("label"),
+                F.col("a_num").cast("double") / (F.col("n") - 1).cast("double"),
+            )
+        ).alias("a"),
+        F.min(
+            F.when(
+                F.col("k") != F.col("label"),
+                F.col("a_num").cast("double") / F.col("n").cast("double"),
+            )
+        ).alias("b"),
+    )
+    si = ab.select(
+        "vec_id",
+        "label",
+        F.when(
+            F.greatest("a", "b") > 0,
+            (F.col("b") - F.col("a")) / F.greatest("a", "b"),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("s"),
+    )
+    folded = si.groupBy("label").agg(
+        F.count(F.lit(1)).cast("long").alias("n_points"),
+        F.aggregate(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(F.col("vec_id").alias("k"), F.col("s").alias("v"))
+                )
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x["v"],
+        ).alias("_sum"),
+        F.sum(F.when(F.col("s") > 0, 1).otherwise(0)).cast("long").alias(
+            "n_positive"
+        ),
+    )
+    return folded.select(
+        "label",
+        "n_points",
+        round_nz(F.col("_sum") / F.col("n_points").cast("double"), 6).alias(
+            "mean_silhouette"
+        ),
+        "n_positive",
+    ).orderBy("label")

@@ -214,6 +214,9 @@ HEADLINE = [
     # exclusion above: stream-bootstrap-dominated, not throughput.
     "q412_blocked_edit_distance_neardup",
     "q413_chao1_vocab_richness",
+    # q414: closed-form silhouette — point-dim explode + broadcast
+    # cluster stats; no pairwise distances.
+    "q414_cluster_silhouette_audit",
     # q405 (restart drill, ~8 s) and q406 (multi-source union, ~4 s)
     # are EXCLUDED by design: both are dominated by fixed stream-
     # startup + scratch-feed-write costs, not per-row throughput, so

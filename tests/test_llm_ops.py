@@ -670,3 +670,33 @@ def test_q413_chao1_invariants(spark, sf_dir):
         assert r.chao1 >= r.d_observed
         assert 0.0 < r.coverage <= 1.0
         assert r.f1 + r.f2 <= r.d_observed
+
+
+def test_q414_silhouette_bounds_and_coverage(spark, sf_dir):
+    """Silhouette invariants: one row per (multi-member) label, mean
+    in [-1, 1], n_positive <= n_points; and the fixture's labels are
+    RANDOM, so the audit must read them as unseparated (mean well
+    below the 0.5 'real clusters' bar) — the operator's whole point
+    is catching exactly this."""
+    rows = (
+        REGISTRY["q414_cluster_silhouette_audit"].fn(spark, sf_dir).collect()
+    )
+    assert len(rows) > 0
+    assert len({r.label for r in rows}) == len(rows)
+    for r in rows:
+        assert -1.0 <= r.mean_silhouette <= 1.0
+        assert 0 <= r.n_positive <= r.n_points
+        assert r.mean_silhouette < 0.5, "random fixture labels read as separated"
+
+
+def test_q414_no_pairwise_blowup(spark, sf_dir):
+    """Plan pin: the closed-form silhouette must never pair points
+    with points — cluster stats broadcast to point grain; no
+    cartesian/nested-loop anywhere."""
+    df = REGISTRY["q414_cluster_silhouette_audit"].fn(spark, sf_dir)
+    explained = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    assert "CartesianProduct" not in explained
+    assert "BroadcastNestedLoopJoin" not in explained
+    assert "BroadcastHashJoin" in explained
