@@ -1290,3 +1290,20 @@ def test_q407_dp_release_is_single_aggregate(spark, sf_dir):
     assert "c_nationkey" in read_schema and "c_acctbal" in read_schema
     assert "c_name" not in read_schema and "c_address" not in read_schema
     assert explained.count("HashAggregate") == 4
+
+
+def test_q411_writethrough_returns_bare_scan(spark, sf_dir):
+    """r8 verdict task 3 pin: the write-through restart drill's RETURN
+    value must be a lazy scan of the written reconciliation table —
+    no aggregate, no join, no collect-shaped LocalRelation riding
+    above it (the whole point is zero session rows through the
+    driver). One scan node = 2 mentions in formatted explain."""
+    df = REGISTRY["q411_restart_writethrough_sink"].fn(spark, sf_dir)
+    explained = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    assert explained.count("Scan parquet") == 2
+    assert "HashAggregate" not in explained
+    assert "Join" not in explained
+    assert "LocalTableScan" not in explained
+    assert "/final" in explained
