@@ -3087,3 +3087,90 @@ def q412_blocked_edit_distance_neardup(
         )
         .orderBy("doc_a", "doc_b")
     )
+
+
+@query(
+    "q415_canonical_doc_selection",
+    oracle=f"""
+    WITH RECURSIVE {_PAIRS_CTES},
+    edges AS (
+        SELECT doc_a AS u, doc_b AS v FROM pairs
+        UNION
+        SELECT doc_b, doc_a FROM pairs
+    ),
+    reach AS (
+        SELECT u AS node, u AS label FROM edges
+        UNION
+        SELECT e.v AS node, r.label FROM reach r JOIN edges e ON e.u = r.node
+    ),
+    lab AS (SELECT node, min(label) AS cluster_rep FROM reach GROUP BY node),
+    members AS (
+        SELECT l.node AS doc_id, l.cluster_rep,
+               CAST(d.n_chars AS BIGINT) AS n_chars,
+               row_number() OVER (
+                   PARTITION BY l.cluster_rep
+                   ORDER BY d.n_chars DESC, l.node ASC
+               ) AS rn
+        FROM lab l JOIN documents d ON d.doc_id = l.node
+    ),
+    canon AS (SELECT cluster_rep, doc_id AS canonical_id FROM members
+              WHERE rn = 1)
+    SELECT m.doc_id, m.cluster_rep, c.canonical_id, m.n_chars,
+           m.doc_id = c.canonical_id AS keep
+    FROM members m JOIN canon c ON c.cluster_rep = m.cluster_rep
+    ORDER BY m.doc_id
+    """,
+    tags=("dedup", "clustering", "canonical", "curation"),
+)
+def q415_canonical_doc_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup family's LAST MILE: q62 finds near-dup pairs, q66
+    closes them into clusters — this turns clusters into an executable
+    keep/drop plan. Per clustered document: its cluster, the cluster's
+    CANONICAL representative (longest text wins, ties to the lowest
+    doc_id — the keep-the-most-content policy a corpus pipeline
+    actually applies, richer than q66's min-id label), and the keep
+    verdict. Docs in no cluster are untouched by dedup and carry no
+    row. Downstream, ``keep = false`` rows are the anti-join list that
+    materializes the deduplicated corpus.
+
+    Determinism: cluster labels are min-ids from the q66 fixpoint
+    (exact integers); the canonical argmax orders by exact
+    (n_chars DESC, doc_id ASC) — a total order, engine-independent.
+
+    Scale posture: inherits q62/q66's banded-LSH + bounded-round
+    label-propagation costs; the selection itself adds one
+    members-grain join to documents (pruned to doc_id, n_chars) and
+    one cluster-grain argmax (``max_by`` on an exact composite key —
+    partial+final, no window over the corpus). Cluster count and
+    membership are sparse (only near-dup docs appear), so every
+    post-closure frame is |clustered docs|-sized, not corpus-sized.
+    Reference contract: per-doc signature = map slot
+    (``App.config:16``); cluster consolidation + plan emission =
+    reduce slot (``App.config:17``, ``Program.cs:351-384``)."""
+    docs = _spread(load_tables(spark, sf_dir)["documents"], "doc_id")
+    edges = neardup_pairs(docs).select(
+        F.col("doc_a").alias("u"), F.col("doc_b").alias("v")
+    )
+    labels = connected_components(edges)
+    members = labels.join(
+        docs.select("doc_id", F.col("n_chars").cast("long").alias("n_chars")),
+        labels["node"] == F.col("doc_id"),
+    ).select(
+        "doc_id", F.col("label").alias("cluster_rep"), "n_chars"
+    )
+    canon = members.groupBy("cluster_rep").agg(
+        F.max_by(
+            F.col("doc_id"), F.struct(F.col("n_chars"), -F.col("doc_id"))
+        ).alias("canonical_id")
+    )
+    return (
+        members.join(canon, "cluster_rep")
+        .select(
+            "doc_id",
+            "cluster_rep",
+            "canonical_id",
+            "n_chars",
+            (F.col("doc_id") == F.col("canonical_id")).alias("keep"),
+        )
+        .orderBy("doc_id")
+    )

@@ -4786,3 +4786,111 @@ def q413_chao1_vocab_richness(spark: SparkSession, sf_dir: str) -> DataFrame:
             "coverage"
         ),
     ).orderBy("source")
+
+
+_Q416_ORACLE = """
+    WITH per_doc AS (
+        SELECT source,
+               CAST(length(regexp_extract_all(lower(text), '[a-z]+'))
+                    AS BIGINT) AS w,
+               CAST(length(regexp_extract_all(text, '[.!?]'))
+                    AS BIGINT) AS s,
+               CAST(length(regexp_extract_all(lower(text), '[aeiou]+'))
+                    AS BIGINT) AS y
+        FROM documents
+    ),
+    agg AS (
+        SELECT source,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(w) AS BIGINT) AS words,
+               greatest(CAST(sum(s) AS BIGINT), 1) AS sentences,
+               CAST(sum(y) AS BIGINT) AS syllables
+        FROM per_doc GROUP BY source
+    )
+    SELECT source, n_docs, words, sentences, syllables,
+           ((2 * words * 10000 + sentences) // (2 * sentences)) / 10000.0
+               AS words_per_sentence,
+           ((2 * syllables * 10000 + words) // (2 * words)) / 10000.0
+               AS syllables_per_word,
+           round(206.835
+                 - 1.015 * (CAST(words AS DOUBLE) / sentences)
+                 - 84.6 * (CAST(syllables AS DOUBLE) / words), 6) + 0.0
+               AS flesch_reading_ease
+    FROM agg
+    ORDER BY source
+"""
+
+
+@query(
+    "q416_readability_scores",
+    oracle=_Q416_ORACLE,
+    tags=("text", "readability", "quality", "flesch", "curation"),
+)
+def q416_readability_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source Flesch reading-ease scoring — the classic
+    text-difficulty gauge a curation pipeline uses to tier corpora by
+    complexity (alongside q51's surface signals and q257's perplexity
+    gate): 206.835 − 1.015·(words/sentence) − 84.6·(syllables/word),
+    with a vowel-RUN count as the standard dictionary-free syllable
+    proxy, sentences counted as terminal-punctuation marks (floored at
+    1 per source so the ratio is total), and words as alphabetic runs.
+    Released per source: the raw counts, both ratios, and the score.
+
+    Determinism: all three counts are exact integers
+    (``regexp_count`` ≡ DuckDB ``len(regexp_extract_all)`` on
+    identical patterns); the released ratios are integer half-up
+    rounds (``ranks.half_up_ratio`` / the paired ``//`` form); the
+    Flesch combination is elementwise IEEE arithmetic on two exact
+    int→double divisions — no libm — rounded at 6 with signed-zero
+    normalization (the score CAN go negative on dense text).
+
+    Scale posture: per-document counting is a map-only projection
+    (three regex scans per doc, no explode — the token stream is never
+    materialized, unlike q413 which needs per-token grain); one
+    partial+final aggregate to source grain. At 100 TB this is the
+    cheapest shape a corpus statistic can have. Reference contract:
+    per-doc counting = map slot (``App.config:16``); source rollup =
+    reduce slot (``App.config:17``, ``Program.cs:351-384``)."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    per_doc = docs.select(
+        "source",
+        F.regexp_count(F.lower(F.col("text")), F.lit("[a-z]+"))
+        .cast("long")
+        .alias("w"),
+        F.regexp_count(F.col("text"), F.lit("[.!?]")).cast("long").alias("s"),
+        F.regexp_count(F.lower(F.col("text")), F.lit("[aeiou]+"))
+        .cast("long")
+        .alias("y"),
+    )
+    agg = per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("w").cast("long").alias("words"),
+        F.greatest(F.sum("s").cast("long"), F.lit(1)).alias("sentences"),
+        F.sum("y").cast("long").alias("syllables"),
+    )
+    from azure_batch_map_reduce_spark.operators.ranks import round_nz
+
+    return agg.select(
+        "source",
+        "n_docs",
+        "words",
+        "sentences",
+        "syllables",
+        half_up_ratio(F.col("words"), F.col("sentences"), 4).alias(
+            "words_per_sentence"
+        ),
+        half_up_ratio(F.col("syllables"), F.col("words"), 4).alias(
+            "syllables_per_word"
+        ),
+        round_nz(
+            F.lit(206.835)
+            - F.lit(1.015)
+            * (F.col("words").cast("double") / F.col("sentences").cast("double"))
+            - F.lit(84.6)
+            * (
+                F.col("syllables").cast("double")
+                / F.col("words").cast("double")
+            ),
+            6,
+        ).alias("flesch_reading_ease"),
+    ).orderBy("source")

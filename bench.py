@@ -217,6 +217,10 @@ HEADLINE = [
     # q414: closed-form silhouette — point-dim explode + broadcast
     # cluster stats; no pairwise distances.
     "q414_cluster_silhouette_audit",
+    # q415: cluster keep/drop planning (LSH pairs → closure → argmax);
+    # q416: map-only regex counting + one source-grain aggregate.
+    "q415_canonical_doc_selection",
+    "q416_readability_scores",
     # q405 (restart drill, ~8 s) and q406 (multi-source union, ~4 s)
     # are EXCLUDED by design: both are dominated by fixed stream-
     # startup + scratch-feed-write costs, not per-row throughput, so

