@@ -4894,3 +4894,99 @@ def q416_readability_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("flesch_reading_ease"),
     ).orderBy("source")
+
+
+_Q417_ORACLE = """
+    WITH tok AS (
+        SELECT source, doc_id, string_split(lower(text), ' ') AS ws
+        FROM documents
+    ),
+    grams AS (
+        SELECT source, n, g FROM (
+            SELECT t.source, nn.n,
+                   unnest(generate_series(1, len(t.ws) - nn.n + 1)) AS i,
+                   t.ws
+            FROM tok t CROSS JOIN (SELECT unnest([1, 2, 3]) AS n) nn
+            WHERE len(t.ws) >= nn.n
+        ) p,
+        LATERAL (SELECT list_aggregate(
+                     p.ws[CAST(p.i AS INTEGER):CAST(p.i + p.n - 1 AS INTEGER)],
+                     'string_agg', ' ') AS g)
+    )
+    SELECT source, CAST(n AS BIGINT) AS n,
+           CAST(count(*) AS BIGINT) AS total_ngrams,
+           CAST(count(DISTINCT g) AS BIGINT) AS distinct_ngrams,
+           ((2 * count(DISTINCT g) * 10000 + count(*)) // (2 * count(*)))
+               / 10000.0 AS distinct_ratio
+    FROM grams
+    GROUP BY source, n
+    ORDER BY source, n
+"""
+
+
+@query(
+    "q417_distinct_ngram_diversity",
+    oracle=_Q417_ORACLE,
+    tags=("text", "diversity", "ngram", "evaluation", "llm"),
+)
+def q417_distinct_ngram_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-n lexical-diversity metrics per source — distinct-1/2/3
+    (unique n-grams over total n-grams, the standard generation-
+    diversity gauge from the dialogue-generation literature): low
+    distinct-n flags a mode-collapsed or template-heavy source before
+    it floods a training mix (corpus-level complement to q400's
+    INTRA-document repetition and q398's MSTTR). Long format, one row
+    per (source, n) with the raw counts and the ratio.
+
+    Determinism: grams are exact strings from the q400 space-split
+    window idiom; counts are exact integers; the released ratio is the
+    integer half-up form — no floats beyond the final scale division.
+
+    Scale posture: one explode to gram grain per n (windows of the
+    doc's own token array — the gram stream shuffles once, keyed
+    (source, n, gram), for the distinct count; totals ride the same
+    partial+final aggregate). At 100 TB hash grams to 64 bits before
+    the shuffle (q260's trick, kept as text for oracle parity) or
+    substitute the KMV sketch (q276) for the distinct side. Reference
+    contract: window emission = map slot (``App.config:16``);
+    diversity rollup = reduce slot (``App.config:17``,
+    ``Program.cs:351-384``)."""
+    docs = load_tables(spark, sf_dir)["documents"].repartition(32, "doc_id")
+    ws = F.split(F.lower(F.col("text")), " ")
+    base = docs.select("source", ws.alias("ws"))
+
+    # Closure factory, NOT a default-arg lambda: `lambda i, n=n:` is the
+    # 2-arg higher-order-function form whose second argument silently
+    # binds to the ELEMENT INDEX (the q281 trap).
+    def window_at(n: int):
+        return lambda i: F.concat_ws(" ", F.slice("ws", i, n))
+
+    grams = None
+    for n in (1, 2, 3):
+        g = (
+            base.where(F.size("ws") >= n)
+            .select(
+                "source",
+                F.lit(n).cast("long").alias("n"),
+                F.explode(
+                    F.transform(
+                        F.sequence(F.lit(1), F.size("ws") - F.lit(n - 1)),
+                        window_at(n),
+                    )
+                ).alias("g"),
+            )
+        )
+        grams = g if grams is None else grams.unionByName(g)
+    per = grams.groupBy("source", "n").agg(
+        F.count(F.lit(1)).cast("long").alias("total_ngrams"),
+        F.count_distinct(F.col("g")).cast("long").alias("distinct_ngrams"),
+    )
+    return per.select(
+        "source",
+        "n",
+        "total_ngrams",
+        "distinct_ngrams",
+        half_up_ratio(F.col("distinct_ngrams"), F.col("total_ngrams"), 4).alias(
+            "distinct_ratio"
+        ),
+    ).orderBy("source", "n")

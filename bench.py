@@ -221,6 +221,8 @@ HEADLINE = [
     # q416: map-only regex counting + one source-grain aggregate.
     "q415_canonical_doc_selection",
     "q416_readability_scores",
+    # q417: three gram explodes unioned, one (source, n, gram) shuffle.
+    "q417_distinct_ngram_diversity",
     # q405 (restart drill, ~8 s) and q406 (multi-source union, ~4 s)
     # are EXCLUDED by design: both are dominated by fixed stream-
     # startup + scratch-feed-write costs, not per-row throughput, so

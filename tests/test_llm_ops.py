@@ -740,3 +740,27 @@ def test_q416_readability_count_consistency(spark, sf_dir):
         num = 2 * r.words * 10**4 + r.sentences
         assert r.words_per_sentence == (num // (2 * r.sentences)) / 10**4
         assert math.isfinite(r.flesch_reading_ease)
+
+
+def test_q417_distinct_n_invariants(spark, sf_dir):
+    """Diversity invariants: 3 rows per source (n = 1, 2, 3);
+    distinct <= total; ratio in (0, 1]; diversity never decreases
+    with n on natural text (longer windows are rarer — strictly a
+    property of THIS corpus class, which is exactly what makes it a
+    useful canary against a gram-construction regression); and the
+    gram totals telescope: total_(n+1) = total_n - n_docs_with_len>=n
+    is fixture-dependent, so pin the weaker total_(n+1) < total_n."""
+    rows = (
+        REGISTRY["q417_distinct_ngram_diversity"].fn(spark, sf_dir).collect()
+    )
+    assert len(rows) > 0 and len(rows) % 3 == 0
+    by_src = {}
+    for r in rows:
+        by_src.setdefault(r.source, {})[r.n] = r
+    for src, d in by_src.items():
+        assert set(d) == {1, 2, 3}
+        for r in d.values():
+            assert 0 < r.distinct_ngrams <= r.total_ngrams
+            assert 0.0 < r.distinct_ratio <= 1.0
+        assert d[1].distinct_ratio <= d[2].distinct_ratio <= d[3].distinct_ratio
+        assert d[3].total_ngrams < d[2].total_ngrams < d[1].total_ngrams
