@@ -4953,7 +4953,11 @@ def q417_distinct_ngram_diversity(spark: SparkSession, sf_dir: str) -> DataFrame
     ``Program.cs:351-384``)."""
     docs = load_tables(spark, sf_dir)["documents"].repartition(32, "doc_id")
     ws = F.split(F.lower(F.col("text")), " ")
-    base = docs.select("source", ws.alias("ws"))
+    # Persist the tokenized frame: all three gram widths branch from it,
+    # and without the persist each branch re-runs the scan+split
+    # (A/B at sf0.1, reproduced twice: 1.63→1.23 s and 1.42→0.88 s —
+    # the q368-side outcome of the persist-vs-overlap empirical call).
+    base = docs.select("source", ws.alias("ws")).persist()
 
     # Closure factory, NOT a default-arg lambda: `lambda i, n=n:` is the
     # 2-arg higher-order-function form whose second argument silently
@@ -4981,12 +4985,20 @@ def q417_distinct_ngram_diversity(spark: SparkSession, sf_dir: str) -> DataFrame
         F.count(F.lit(1)).cast("long").alias("total_ngrams"),
         F.count_distinct(F.col("g")).cast("long").alias("distinct_ngrams"),
     )
-    return per.select(
-        "source",
-        "n",
-        "total_ngrams",
-        "distinct_ngrams",
-        half_up_ratio(F.col("distinct_ngrams"), F.col("total_ngrams"), 4).alias(
-            "distinct_ratio"
-        ),
-    ).orderBy("source", "n")
+    out = (
+        per.select(
+            "source",
+            "n",
+            "total_ngrams",
+            "distinct_ngrams",
+            half_up_ratio(
+                F.col("distinct_ngrams"), F.col("total_ngrams"), 4
+            ).alias("distinct_ratio"),
+        )
+        .orderBy("source", "n")
+        # Materialize the (sources × 3)-row result so the persisted
+        # token frame can be released before returning (q399's rule).
+        .localCheckpoint(eager=True)
+    )
+    base.unpersist()
+    return out
