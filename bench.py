@@ -222,6 +222,10 @@ HEADLINE = [
     "q415_canonical_doc_selection",
     "q416_readability_scores",
     # q417: three gram explodes unioned, one (source, n, gram) shuffle.
+    # NOTE: like q409, its eager localCheckpoint (which releases the
+    # persisted token frame) executes inside fn() — the recorded row
+    # covers only the checkpointed 30-row scan; the real gram cost
+    # (~0.9-1.4 s at sf0.1) lands in the bench's wall-clock.
     "q417_distinct_ngram_diversity",
     # q405 (restart drill, ~8 s) and q406 (multi-source union, ~4 s)
     # are EXCLUDED by design: both are dominated by fixed stream-
