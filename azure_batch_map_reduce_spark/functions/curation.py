@@ -7232,3 +7232,155 @@ def q409_ipf_raking_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_nationkey", "c_mktsegment")
     )
+
+
+_PERM_K = 200  # randomization-test resamples (deterministic, salted)
+
+
+@query(
+    "q418_randomization_test",
+    oracle=f"""
+    WITH pool AS (
+        SELECT doc_id, source, CAST(n_chars AS BIGINT) AS v
+        FROM documents WHERE source IN ('src0', 'src1')
+    ),
+    obs AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_pool,
+               abs(CAST(sum(CASE WHEN source = 'src0' THEN v END) AS DOUBLE)
+                     / sum(CASE WHEN source = 'src0' THEN 1 END)
+                   - CAST(sum(CASE WHEN source = 'src1' THEN v END) AS DOUBLE)
+                     / sum(CASE WHEN source = 'src1' THEN 1 END)) AS t_obs
+        FROM pool
+    ),
+    assigned AS (
+        SELECT k.k, p.v,
+               ('0x' || substr(md5('q418:' || CAST(k.k AS VARCHAR) || ':'
+                                   || CAST(p.doc_id AS VARCHAR)), 1, 8)
+               )::BIGINT % 2 AS bit
+        FROM pool p CROSS JOIN (SELECT unnest(generate_series(1, {_PERM_K}))
+                                AS k) k
+    ),
+    perm AS (
+        SELECT k,
+               abs(CAST(sum(CASE WHEN bit = 0 THEN v END) AS DOUBLE)
+                     / sum(CASE WHEN bit = 0 THEN 1 END)
+                   - CAST(sum(CASE WHEN bit = 1 THEN v END) AS DOUBLE)
+                     / sum(CASE WHEN bit = 1 THEN 1 END)) AS t_k
+        FROM assigned GROUP BY k
+    )
+    SELECT o.n_pool,
+           round(o.t_obs, 6) + 0.0 AS t_obs,
+           CAST({_PERM_K} AS BIGINT) AS n_perms,
+           CAST(sum(CASE WHEN p.t_k >= o.t_obs THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_ge,
+           ((2 * (1 + sum(CASE WHEN p.t_k >= o.t_obs THEN 1 ELSE 0 END))
+               * 10000 + ({_PERM_K} + 1)) // (2 * ({_PERM_K} + 1))) / 10000.0
+               AS p_value
+    FROM perm p CROSS JOIN obs o
+    GROUP BY o.n_pool, o.t_obs
+    """,
+    tags=("stats", "randomization", "permutation", "hypothesis-test", "curation"),
+)
+def q418_randomization_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic randomization (permutation-style) test of whether
+    two sources differ in mean document length — the
+    distribution-free significance check a curation pipeline runs
+    before acting on a per-source quality gap (complements q131's
+    parametric ANOVA and q265's Poisson-bootstrap CIs with the
+    resampling-inference class the family lacked). The pooled src0 ∪
+    src1 docs are re-assigned 200 times by a salted-md5 coin
+    (random-REASSIGNMENT form: binomial splits, valid under the null
+    of exchangeability; the fixed-margin permutation variant needs a
+    full sort per resample — see Scale posture); the p-value is the
+    add-one-smoothed fraction of resamples whose |mean difference|
+    reaches the observed one.
+
+    Determinism: assignment bits are exact integer md5 windows (the
+    q55/q407 idiom, salted per resample); every group sum/count is an
+    exact integer; each mean is ONE IEEE division of exact-in-double
+    integers, the |difference| is elementwise IEEE on identical
+    inputs, and the ≥-comparison of bit-identical doubles is
+    engine-independent; the released p-value is an integer half-up
+    ratio. No libm anywhere.
+
+    Scale posture: the resample grid is pool × K rows built by an
+    in-plan ``sequence`` explode (no driver loop, no crossJoin of two
+    data-sized tables — K is a constant), aggregated partial+final to
+    K grain; the observed statistic is a 1-row broadcast onto the
+    K-row frame. At 100 TB the grid multiplies the POOL, so either
+    sample the pool first (q112's priority sample) or sketch the
+    per-resample sums; the fixed-margin variant would add a
+    distributed rank per resample (q171's sample-sort primitive).
+    Reference contract: per-doc assignment = map slot
+    (``App.config:16``); per-resample consolidation = reduce slot
+    (``App.config:17``, ``Program.cs:351-384``)."""
+    from azure_batch_map_reduce_spark.operators.ranks import (
+        half_up_ratio,
+        round_nz,
+    )
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    pool = docs.where(F.col("source").isin("src0", "src1")).select(
+        "doc_id", "source", F.col("n_chars").cast("long").alias("v")
+    )
+    obs = pool.agg(
+        F.count(F.lit(1)).cast("long").alias("n_pool"),
+        F.abs(
+            F.sum(F.when(F.col("source") == "src0", F.col("v")))
+            .cast("double")
+            / F.sum(F.when(F.col("source") == "src0", 1)).cast("double")
+            - F.sum(F.when(F.col("source") == "src1", F.col("v")))
+            .cast("double")
+            / F.sum(F.when(F.col("source") == "src1", 1)).cast("double")
+        ).alias("t_obs"),
+    )
+    bit = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        ":",
+                        F.lit("q418"),
+                        F.col("k").cast("string"),
+                        F.col("doc_id").cast("string"),
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 2
+    )
+    assigned = pool.select(
+        "doc_id",
+        "v",
+        F.explode(F.sequence(F.lit(1), F.lit(_PERM_K))).alias("k"),
+    ).select("k", "v", bit.alias("bit"))
+    perm = assigned.groupBy("k").agg(
+        F.abs(
+            F.sum(F.when(F.col("bit") == 0, F.col("v"))).cast("double")
+            / F.sum(F.when(F.col("bit") == 0, 1)).cast("double")
+            - F.sum(F.when(F.col("bit") == 1, F.col("v"))).cast("double")
+            / F.sum(F.when(F.col("bit") == 1, 1)).cast("double")
+        ).alias("t_k")
+    )
+    return (
+        perm.crossJoin(F.broadcast(obs))
+        .groupBy("n_pool", "t_obs")
+        .agg(
+            F.sum(F.when(F.col("t_k") >= F.col("t_obs"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_ge")
+        )
+        .select(
+            "n_pool",
+            round_nz(F.col("t_obs"), 6).alias("t_obs"),
+            F.lit(_PERM_K).cast("long").alias("n_perms"),
+            "n_ge",
+            half_up_ratio(
+                F.lit(1) + F.col("n_ge"), F.lit(_PERM_K + 1), 4
+            ).alias("p_value"),
+        )
+    )

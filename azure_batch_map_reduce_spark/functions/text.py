@@ -5002,3 +5002,200 @@ def q417_distinct_ngram_diversity(spark: SparkSession, sf_dir: str) -> DataFrame
     )
     base.unpersist()
     return out
+
+
+_Q419_ORACLE = """
+    WITH mx AS (SELECT max(doc_id) AS mid FROM documents),
+    tok AS (
+        SELECT d.doc_id,
+               least(9, (d.doc_id * 10) // (mx.mid + 1)) AS bucket,
+               list_filter(string_split_regex(lower(d.text), '[^a-z]+'),
+                           x -> x <> '') AS ws
+        FROM documents d CROSS JOIN mx
+    ),
+    toks AS (
+        SELECT bucket,
+               list_aggregate(ws[CAST(i AS INTEGER):CAST(i + 2 AS INTEGER)],
+                              'string_agg', ' ') AS tok
+        FROM (SELECT bucket, ws,
+                     unnest(generate_series(1, len(ws) - 2)) AS i
+              FROM tok WHERE len(ws) >= 3)
+    ),
+    tc AS (SELECT bucket, count(*) AS n FROM toks GROUP BY bucket),
+    fb AS (SELECT tok, min(bucket) AS b FROM toks GROUP BY tok),
+    vb AS (SELECT b AS bucket, count(*) AS v FROM fb GROUP BY b),
+    spine AS (SELECT unnest(generate_series(0, 9)) AS bucket),
+    cum AS (
+        SELECT s.bucket,
+               sum(coalesce(tc.n, 0)) OVER w AS n_tokens_cum,
+               sum(coalesce(vb.v, 0)) OVER w AS vocab_cum
+        FROM spine s
+        LEFT JOIN tc ON tc.bucket = s.bucket
+        LEFT JOIN vb ON vb.bucket = s.bucket
+        WINDOW w AS (ORDER BY s.bucket
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ),
+    pts AS (
+        SELECT bucket, n_tokens_cum, vocab_cum,
+               ln(CAST(n_tokens_cum AS DOUBLE)) AS x,
+               ln(CAST(vocab_cum AS DOUBLE)) AS y
+        FROM cum WHERE n_tokens_cum > 0
+    ),
+    fold AS (
+        SELECT CAST(count(*) AS DOUBLE) AS m,
+               list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                   list(x ORDER BY bucket)), (a, e) -> a + e) AS sx,
+               list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                   list(y ORDER BY bucket)), (a, e) -> a + e) AS sy,
+               list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                   list(x * y ORDER BY bucket)), (a, e) -> a + e) AS sxy,
+               list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                   list(x * x ORDER BY bucket)), (a, e) -> a + e) AS sxx
+        FROM pts
+    )
+    SELECT p.bucket,
+           CAST(p.n_tokens_cum AS BIGINT) AS n_tokens_cum,
+           CAST(p.vocab_cum AS BIGINT) AS vocab_cum,
+           round((f.m * f.sxy - f.sx * f.sy)
+                 / (f.m * f.sxx - f.sx * f.sx), 6) + 0.0 AS heaps_beta
+    FROM pts p CROSS JOIN fold f
+    ORDER BY p.bucket
+"""
+
+
+@query(
+    "q419_heaps_law_vocab_growth",
+    oracle=_Q419_ORACLE,
+    tags=("text", "vocabulary", "scaling-law", "heaps", "estimation"),
+)
+def q419_heaps_law_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law vocabulary-growth curve and exponent — "how fast
+    does this corpus keep yielding NEW tokens as it grows?" — the
+    scaling-law companion to q413's point-estimate (Chao1 asks how
+    much vocabulary is left; Heaps' V(N) ≈ K·N^β says how fast more
+    corpus buys it, the quantity a data-mix planner extrapolates
+    before scaling a source 100×). Docs are split into 10 cumulative
+    ingestion checkpoints by doc_id range; per checkpoint the running
+    unit total N and running distinct-vocabulary size V are exact
+    integers (a unit counts toward V at its FIRST bucket — min-bucket
+    per unit, so the corpus never pairs with itself); β is the
+    log-log OLS slope over the 10 (ln N, ln V) points. The vocabulary
+    UNIT is the word TRIGRAM: the fixture's unigram vocabulary is 31
+    words, all seen in checkpoint 0 (V constant, β exactly 0 — the r6
+    vacuous-fixture rule), while the trigram vocabulary grows 6.5×
+    across the checkpoints and exercises the whole curve; on a real
+    corpus the same query runs at any gram width.
+
+    Determinism: checkpoint assignment is integer arithmetic off a
+    1-row broadcast max(doc_id) (no data-sized window); N/V are exact
+    integers; the two ln calls per checkpoint see bit-identical
+    exact-in-double integer arguments (the accepted single-libm
+    class); the four OLS sums fold SEQUENTIALLY over bucket-sorted
+    10-element lists with an explicit 0.0 seed (the signed-safe q409
+    form — plain SUM() would drift by summation order), and the slope
+    is elementwise IEEE on identical sums, rounded at 6 with
+    signed-zero normalization.
+
+    Scale posture: one token explode feeding two partial+final
+    aggregates (bucket grain and token grain — the (tok, min bucket)
+    map is vocabulary-sized, the same shuffle class as q413); the
+    cumulative/OLS stage runs on a 10-row frame through the declared
+    bounded window (``ranks.bounded_order``). At 100 TB the
+    checkpoint key comes from ingest partition ranges instead of
+    max(doc_id). Reference contract: tokenize+assign = map slot
+    (``App.config:16``); vocabulary consolidation = reduce slot
+    (``App.config:17``, ``Program.cs:351-384``)."""
+    from azure_batch_map_reduce_spark.operators.ranks import (
+        bounded_order,
+        round_nz,
+    )
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    mx = docs.agg(F.max("doc_id").alias("mid"))
+    tok = (
+        docs.crossJoin(F.broadcast(mx))
+        .select(
+            F.least(
+                F.lit(9), F.expr("(doc_id * 10) div (mid + 1)")
+            ).alias("bucket"),
+            F.filter(
+                F.split(F.lower(F.col("text")), "[^a-z]+"),
+                lambda x: x != F.lit(""),
+            ).alias("ws"),
+        )
+    )
+    toks = tok.where(F.size("ws") >= 3).select(
+        "bucket",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("ws") - F.lit(2)),
+                lambda i: F.concat_ws(" ", F.slice("ws", i, 3)),
+            )
+        ).alias("tok"),
+    )
+    tc = toks.groupBy("bucket").agg(F.count(F.lit(1)).alias("n"))
+    fb = toks.groupBy("tok").agg(F.min("bucket").alias("b"))
+    vb = fb.groupBy(F.col("b").alias("bucket")).agg(
+        F.count(F.lit(1)).alias("v")
+    )
+    spine = spark.range(0, 10).select(F.col("id").alias("bucket"))
+    w = bounded_order("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    cum = (
+        spine.join(tc, "bucket", "left")
+        .join(vb, "bucket", "left")
+        .select(
+            "bucket",
+            F.sum(F.coalesce(F.col("n"), F.lit(0)))
+            .over(w)
+            .cast("long")
+            .alias("n_tokens_cum"),
+            F.sum(F.coalesce(F.col("v"), F.lit(0)))
+            .over(w)
+            .cast("long")
+            .alias("vocab_cum"),
+        )
+        .where(F.col("n_tokens_cum") > 0)
+    )
+    pts = cum.select(
+        "bucket",
+        "n_tokens_cum",
+        "vocab_cum",
+        F.log(F.col("n_tokens_cum").cast("double")).alias("x"),
+        F.log(F.col("vocab_cum").cast("double")).alias("y"),
+    )
+
+    def fold(expr_name: str) -> Column:
+        return F.aggregate(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(F.col("bucket").alias("k"), F.col(expr_name).alias("v"))
+                )
+            ),
+            F.lit(0.0),
+            lambda a, e: a + e["v"],
+        )
+
+    folded = pts.select(
+        "bucket", "x", "y", (F.col("x") * F.col("y")).alias("xy"),
+        (F.col("x") * F.col("x")).alias("xx"),
+    ).agg(
+        F.count(F.lit(1)).cast("double").alias("m"),
+        fold("x").alias("sx"),
+        fold("y").alias("sy"),
+        fold("xy").alias("sxy"),
+        fold("xx").alias("sxx"),
+    )
+    return (
+        pts.crossJoin(F.broadcast(folded))
+        .select(
+            "bucket",
+            "n_tokens_cum",
+            "vocab_cum",
+            round_nz(
+                (F.col("m") * F.col("sxy") - F.col("sx") * F.col("sy"))
+                / (F.col("m") * F.col("sxx") - F.col("sx") * F.col("sx")),
+                6,
+            ).alias("heaps_beta"),
+        )
+        .orderBy("bucket")
+    )

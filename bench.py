@@ -221,6 +221,11 @@ HEADLINE = [
     # q416: map-only regex counting + one source-grain aggregate.
     "q415_canonical_doc_selection",
     "q416_readability_scores",
+    # q418: resample grid = pool × 200 by in-plan sequence explode,
+    # partial+final to resample grain; q419: one trigram explode into
+    # bucket- and vocab-grain aggregates + a 10-row OLS fold.
+    "q418_randomization_test",
+    "q419_heaps_law_vocab_growth",
     # q417: three gram explodes unioned, one (source, n, gram) shuffle.
     # NOTE: like q409, its eager localCheckpoint (which releases the
     # persisted token frame) executes inside fn() — the recorded row

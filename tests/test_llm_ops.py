@@ -764,3 +764,42 @@ def test_q417_distinct_n_invariants(spark, sf_dir):
             assert 0.0 < r.distinct_ratio <= 1.0
         assert d[1].distinct_ratio <= d[2].distinct_ratio <= d[3].distinct_ratio
         assert d[3].total_ngrams < d[2].total_ngrams < d[1].total_ngrams
+
+
+def test_q418_randomization_test_invariants(spark, sf_dir):
+    """Randomization-test invariants: exactly one released row; the
+    p-value is the add-one ratio of n_ge; p in (0, 1]; t_obs
+    nonnegative; and the deterministic resample coin actually varies
+    (n_ge strictly between 0 and n_perms would be ideal but is
+    fixture-dependent — pin the bounds)."""
+    rows = REGISTRY["q418_randomization_test"].fn(spark, sf_dir).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r.t_obs >= 0.0
+    assert 0 <= r.n_ge <= r.n_perms == 200
+    expect = (2 * (1 + r.n_ge) * 10**4 + (r.n_perms + 1)) // (
+        2 * (r.n_perms + 1)
+    ) / 10**4
+    assert r.p_value == expect
+    assert 0.0 < r.p_value <= 1.0
+
+
+def test_q419_heaps_growth_monotone(spark, sf_dir):
+    """Heaps-curve invariants: 10 checkpoints; N and V strictly
+    positive, both nondecreasing, V <= N everywhere; one β repeated
+    on every row, and 0 < β < 1 on natural-ish text (sublinear
+    vocabulary growth — β >= 1 would mean every new token is novel,
+    a gram-plumbing regression)."""
+    rows = (
+        REGISTRY["q419_heaps_law_vocab_growth"].fn(spark, sf_dir).collect()
+    )
+    assert len(rows) == 10
+    assert [r.bucket for r in rows] == list(range(10))
+    betas = {r.heaps_beta for r in rows}
+    assert len(betas) == 1
+    assert 0.0 < rows[0].heaps_beta < 1.0
+    for prev, cur in zip(rows, rows[1:]):
+        assert cur.n_tokens_cum > prev.n_tokens_cum
+        assert cur.vocab_cum >= prev.vocab_cum
+    for r in rows:
+        assert 0 < r.vocab_cum <= r.n_tokens_cum
