@@ -4710,7 +4710,7 @@ _Q413_ORACLE = """
     )
     SELECT source, d_observed, f1, f2, n_tokens,
            d_observed
-             + ((2 * CAST(f1 * (f1 - 1) AS HUGEINT) * 10000 + 2 * (f2 + 1))
+             + ((2 * (CAST(f1 AS HUGEINT) * (f1 - 1)) * 10000 + 2 * (f2 + 1))
                  // (2 * CAST(2 * (f2 + 1) AS HUGEINT))) / 10000.0 AS chao1,
            ((2 * (n_tokens - f1) * 10000 + n_tokens)
                  // (2 * n_tokens)) / 10000.0 AS coverage
@@ -4738,10 +4738,14 @@ def q413_chao1_vocab_richness(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Determinism: token counts are exact integers; both released
     ratios are integer half-up rounds via ``ranks.half_up_ratio``
-    (oracle: the paired ``(2·a·10^k + b) // (2·b)`` form with the
-    count-product numerator cast to HUGEINT — the r6 literal-math
-    rule), and chao1 adds an exact ≤2^53 integer to the rounded
-    ratio — bit-identical cross-engine, no libm anywhere.
+    (oracle: the paired ``(2·a·10^k + b) // (2·b)`` form), and chao1
+    adds an exact ≤2^53 integer to the rounded ratio — bit-identical
+    cross-engine, no libm anywhere. The f1·(f1−1) count product is
+    widened BEFORE the multiply on both engines (Spark
+    decimal(38,0)·decimal, DuckDB ``CAST(f1 AS HUGEINT) * (f1-1)``) —
+    an int64 product would silently wrap on Spark past f1≈3.0e9
+    singletons while DuckDB raises, a latent cross-engine divergence
+    (r9 ADVICE item 2).
 
     Scale posture: one explode to token grain, then two partial+final
     hash aggregates ((source, tok) → source); the frequency-of-
@@ -4777,7 +4781,10 @@ def q413_chao1_vocab_richness(spark: SparkSession, sf_dir: str) -> DataFrame:
         (
             F.col("d_observed")
             + half_up_ratio(
-                F.col("f1") * (F.col("f1") - F.lit(1)),
+                # Widen f1 BEFORE the product: int64 f1*(f1-1) wraps
+                # silently past f1~3.0e9 (r9 ADVICE item 2).
+                F.col("f1").cast("decimal(38,0)")
+                * (F.col("f1") - F.lit(1)).cast("decimal(38,0)"),
                 F.lit(2) * (F.col("f2") + F.lit(1)),
                 4,
             )

@@ -2,7 +2,9 @@
 """Benchmark: run the headline queries at $SPARK_GRAFT_SF_DIR (default
 sf0.1) on local[$SPARK_GRAFT_CPUS]; the FINAL stdout line is a compact
 JSON summary ({metric, value, unit, sf, n_queries}); full per-query
-times print on the line before it and land in BENCH_DETAIL.json.
+times print on the line before it and land in BENCH_DETAIL.json (or
+the path in $SPARK_GRAFT_BENCH_DETAIL when set, so judge/driver runs
+need not overwrite the committed round artifact; r9 verdict task 4).
 
 Each query is fully materialized through the noop sink (forces every
 operator, skips result serialization). The flagship runs once untimed to
@@ -300,8 +302,16 @@ def main() -> None:
         "protocol": "warmup+min_of_3 (r8+); rounds 2-7 were warmup+min_of_2",
         "host_drift": "±10-25% cross-run on identical code; see module docstring",
     }
+    # Detail sidecar path: $SPARK_GRAFT_BENCH_DETAIL overrides (r9
+    # verdict task 4 — judge/driver runs can write elsewhere instead of
+    # clobbering the builder's committed round artifact); default is
+    # unchanged: BENCH_DETAIL.json next to this file.
+    detail_path = os.environ.get(
+        "SPARK_GRAFT_BENCH_DETAIL",
+        os.path.join(os.path.dirname(__file__), "BENCH_DETAIL.json"),
+    )
     try:
-        with open(os.path.join(os.path.dirname(__file__), "BENCH_DETAIL.json"), "w") as f:
+        with open(detail_path, "w") as f:
             json.dump(detail, f, indent=1, sort_keys=True)
     except OSError:
         pass  # read-only checkout: the stdout detail line still has it
