@@ -803,3 +803,51 @@ def test_q419_heaps_growth_monotone(spark, sf_dir):
         assert cur.vocab_cum >= prev.vocab_cum
     for r in rows:
         assert 0 < r.vocab_cum <= r.n_tokens_cum
+
+
+def test_q420_normalization_recovers_nonascii_domain(spark, sf_dir):
+    """Non-degeneracy + the operator's whole point: the decorated
+    corpus is 100% non-ASCII (q412's octet gate would drop it all),
+    yet pairs survive through the normalization on-ramp — including
+    at least one CROSS-ENCODING pair (one side precomposed, one side
+    decomposed) that only exists because NFC canonicalized both to
+    the same form. Parity contract: combining marks are composed
+    away only on odd (decomposed-decorated) doc_ids; accent folding
+    releases bytes on every decorated doc."""
+    rows = (
+        REGISTRY["q420_unicode_normalized_neardup"].fn(spark, sf_dir).collect()
+    )
+    assert len(rows) > 0, "no normalized near-dup pair at fixture SF — vacuous"
+    for r in rows:
+        assert r.doc_a < r.doc_b
+        assert r.dist * 10 <= r.max_len
+        assert r.edit_ppm == (1_000_000 * r.dist) // r.max_len
+        # Even doc_ids carry precomposed accents: NFC composes nothing.
+        if r.doc_a % 2 == 0:
+            assert r.marks_composed_a == 0
+        if r.doc_b % 2 == 0:
+            assert r.marks_composed_b == 0
+        # Every doc containing a/e was decorated; folding released bytes.
+        assert r.bytes_folded_a > 0 and r.bytes_folded_b > 0
+    assert any(
+        r.marks_composed_a > 0 or r.marks_composed_b > 0 for r in rows
+    ), "no decomposed-decorated doc in any pair — NFC path unexercised"
+    assert any(
+        (r.doc_a % 2) != (r.doc_b % 2) for r in rows
+    ), "no cross-encoding pair — canonical equivalence unexercised"
+
+
+def test_q420_arrow_batched_udfs_equi_join(spark, sf_dir):
+    """Plan pin: the normalization UDFs must run as Arrow-batched
+    pandas evaluation (never row-at-a-time PythonUDF), candidate
+    generation stays an equi-join on the block key (q412's rule), and
+    no window appears anywhere."""
+    df = REGISTRY["q420_unicode_normalized_neardup"].fn(spark, sf_dir)
+    explained = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    assert "ArrowEvalPython" in explained
+    assert "BatchEvalPython" not in explained  # the row-at-a-time node
+    assert "CartesianProduct" not in explained
+    assert "BroadcastNestedLoopJoin" not in explained
+    assert "WindowExec" not in explained
