@@ -851,3 +851,37 @@ def test_q420_arrow_batched_udfs_equi_join(spark, sf_dir):
     assert "CartesianProduct" not in explained
     assert "BroadcastNestedLoopJoin" not in explained
     assert "WindowExec" not in explained
+
+
+def test_q421_materialization_executes_keep_drop_plan(spark, sf_dir):
+    """The survivor set must be exactly documents minus q415's drop
+    list (non-degenerate: at least one doc actually dropped), with one
+    row per survivor and content digests present."""
+    docs = {
+        r.doc_id
+        for r in REGISTRY["q421_dedup_corpus_materialization"]
+        .fn(spark, sf_dir)
+        .collect()
+    }
+    plan = REGISTRY["q415_canonical_doc_selection"].fn(spark, sf_dir).collect()
+    dropped = {r.doc_id for r in plan if not r.keep}
+    kept_clustered = {r.doc_id for r in plan if r.keep}
+    assert dropped, "no doc dropped at fixture SF — plan execution vacuous"
+    assert docs.isdisjoint(dropped)
+    assert kept_clustered <= docs
+
+
+def test_q421_returns_scan_of_written_table(spark, sf_dir):
+    """q408's round-trip discipline as a plan pin: the returned frame
+    must be a lazy scan of the WRITTEN parquet (plus the contract
+    orderBy) — no aggregate, no join, no LocalTableScan riding above
+    it. One scan node = 2 mentions in formatted explain."""
+    df = REGISTRY["q421_dedup_corpus_materialization"].fn(spark, sf_dir)
+    explained = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    assert explained.count("Scan parquet") == 2
+    assert "HashAggregate" not in explained
+    assert "Join" not in explained
+    assert "LocalTableScan" not in explained
+    assert "spark_graft_dedup_corpus_" in explained
