@@ -218,29 +218,90 @@ FRAME_RATE_HZ = 4
 TARGET_FRAMES = 6
 
 
-@query("q147_frame_sampling", oracle=None, tags=("multimodal", "video", "sampling"))
+_HEX_FOLD = (
+    "list_reduce(list_transform(string_split({h}, ''), "
+    "c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)), "
+    "(a, b) -> a * 16 + b)"
+)
+
+_Q147_MIX = (
+    "sha256('frame:' || asset_id || ':' || n_bytes || ':' || frame_idx)"
+)
+
+_Q147_ORACLE = f"""
+    WITH f AS (
+        SELECT list_extract(string_split(filename, '/'), -1) AS asset_id,
+               CAST(size AS BIGINT) AS n_bytes,
+               CAST(size % 9000 + 1000 AS BIGINT) AS duration_ms
+        FROM read_blob('__SF_DIR__/*.parquet')
+    ),
+    fr AS (
+        SELECT asset_id, n_bytes, duration_ms,
+               unnest(generate_series(CAST(0 AS BIGINT), CAST(5 AS BIGINT)))
+                   AS frame_idx
+        FROM f
+    ),
+    dec AS (
+        SELECT asset_id, duration_ms, frame_idx,
+               (frame_idx * duration_ms) // 6 AS frame_ts_ms,
+               substr({_Q147_MIX}, 1, 16) AS phash,
+               {_HEX_FOLD.format(h=f"substr({_Q147_MIX}, 1, 8)")}
+                   / 4294967295.0 AS brightness
+        FROM fr
+    )
+    SELECT asset_id,
+           CAST(count(*) AS BIGINT) AS n_frames,
+           max(duration_ms) AS duration_ms,
+           max(frame_ts_ms) AS last_frame_ms,
+           round(avg(brightness), 6) + 0.0 AS avg_brightness,
+           CAST(count(DISTINCT phash) AS BIGINT) AS n_distinct_phash,
+           bool_and(brightness >= 0 AND brightness <= 1) AS brightness_ok,
+           (count(*) = 6
+            AND min(frame_ts_ms) = 0
+            AND max(frame_ts_ms) = (5 * max(duration_ms)) // 6
+            AND count(DISTINCT frame_ts_ms) = count(*)) AS grid_ok
+    FROM dec
+    GROUP BY asset_id
+    ORDER BY asset_id
+"""
+
+
+@query(
+    "q147_frame_sampling",
+    oracle=_Q147_ORACLE,
+    tags=("multimodal", "video", "sampling"),
+)
 def q147_frame_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Uniform frame-sampling plan + per-frame featurization for
     video-like binary assets: each asset gets a deterministic duration
-    (stubbed from payload size — a real build reads the container
-    header), a uniform grid of TARGET_FRAMES sample timestamps is laid
-    out per asset, and a mapInPandas "decoder" emits one row per
-    sampled frame with a perceptual-hash stub and a brightness stub
-    derived deterministically from (payload sha, frame index).
+    (stubbed from the ACTUAL payload byte length — a real build reads
+    the container header), a uniform grid of TARGET_FRAMES sample
+    timestamps is laid out per asset, and a mapInPandas "decoder"
+    emits one row per sampled frame with a perceptual-hash stub and a
+    brightness stub derived deterministically from (asset_id, scan
+    n_bytes, frame index).
 
     This is the Spark-side contract a real ffmpeg-backed sampler needs:
     grid planning stays declarative (sequence + posexplode — no
     Python, and ``frame_idx`` is assigned by the plan so the decoder is
     stateless across Arrow batches), only the per-frame decode runs in
     Arrow batches, and the payload column is dropped before the frame
-    rows fan out so the shuffle never carries bytes. Rows-only check
-    (payload decoding is outside SQL's reach), so the result carries
-    self-verifying invariants: ``grid_ok`` recomputes the expected
-    frame grid DECLARATIVELY from duration_ms and checks the
-    UDF-emitted rows against it — exactly TARGET_FRAMES frames, first
-    ts 0, last ts floor((N−1)·duration/N), all timestamps distinct
-    (stride ≥ 1000/6 ms, so a correct grid never collides) — and
-    ``brightness_ok`` pins the stub's [0,1] range.
+    rows fan out so the shuffle never carries bytes.
+
+    FULL DuckDB oracle since round 10 (r9 verdict task 6 — formerly
+    rows-only): ``read_blob``'s (filename, size) lets the oracle
+    rebuild duration (size vs the engine's payload-length — a
+    length-conservation check on binaryFile content), the frame grid
+    (integer ``(i·duration) // 6``, which the engine's
+    double-divide-then-truncate provably equals for these magnitudes),
+    the phash/brightness draws (same sha256 seed string, hex→int char
+    fold), and the per-asset rollup. The stub seed moved off the
+    payload digest to make this expressible — q164's rule; q92 keeps
+    the content-digest path and stays rows-only. The in-result
+    invariants remain: ``grid_ok`` (exactly TARGET_FRAMES frames,
+    first ts 0, last ts floor((N−1)·duration/N), all distinct —
+    stride ≥ 1000/6 ms so a correct grid never collides) and
+    ``brightness_ok`` ([0,1] range).
     tests/test_multimodal.py asserts both all-true.
     """
     assets = load_assets(spark, sf_dir, glob="*.parquet")
@@ -251,11 +312,11 @@ def q147_frame_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
     # inside one asset's frames must not reset the index).
     planned = assets.select(
         "asset_id",
-        "content",
+        "n_bytes",
         (F.length("content").cast("long") % 9000 + 1000).alias("duration_ms"),
     ).select(
         "asset_id",
-        "content",
+        "n_bytes",
         "duration_ms",
         F.posexplode(
             F.transform(
@@ -271,12 +332,17 @@ def q147_frame_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            shas = pdf["content"].map(
-                lambda b: hashlib.sha256(bytes(b)).hexdigest()
-            )
+            # Seeded from (asset_id, scan n_bytes, frame index) — not
+            # the payload digest — so the read_blob oracle can replay
+            # the draw from stat columns (the q164 rule; DuckDB digests
+            # are VARCHAR-only, blob bytes unreachable). duration_ms
+            # still derives from the ACTUAL payload length upstream,
+            # which the oracle cross-checks against the file's size.
             mix = [
-                hashlib.sha256(f"{s}:{i}".encode()).hexdigest()
-                for s, i in zip(shas, pdf["frame_idx"])
+                hashlib.sha256(f"frame:{a}:{n}:{i}".encode()).hexdigest()
+                for a, n, i in zip(
+                    pdf["asset_id"], pdf["n_bytes"], pdf["frame_idx"]
+                )
             ]
             yield pd.DataFrame(
                 {
@@ -331,21 +397,105 @@ VAD_FRAME_BYTES = 4096
 VAD_THRESHOLD = 0.6
 
 
+_Q164_ORACLE = """
+    WITH f AS (
+        SELECT list_extract(string_split(filename, '/'), -1) AS asset_id,
+               CAST(size AS BIGINT) AS n_bytes,
+               greatest(CAST(1 AS BIGINT),
+                        CAST((size + 4095) // 4096 AS BIGINT)) AS n_frames
+        FROM read_blob('__SF_DIR__/*.parquet')
+    ),
+    fr AS (
+        SELECT asset_id, n_bytes, n_frames,
+               unnest(generate_series(CAST(0 AS BIGINT), n_frames - 1)) AS i
+        FROM f
+    ),
+    en AS (
+        SELECT asset_id, n_frames, i,
+               (list_reduce(
+                    list_transform(
+                        string_split(
+                            substr(sha256('vad:' || asset_id || ':'
+                                          || n_bytes || ':' || i), 1, 8),
+                            ''),
+                        c -> CAST(strpos('0123456789abcdef', c) - 1
+                                  AS BIGINT)),
+                    (a, b) -> a * 16 + b) / 4294967295.0) > 0.6 AS voiced
+        FROM fr
+    ),
+    base AS (
+        SELECT asset_id, max(n_frames) AS n_frames,
+               CAST(sum(CASE WHEN voiced THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_voiced
+        FROM en GROUP BY asset_id
+    ),
+    runs AS (
+        SELECT asset_id,
+               i - row_number() OVER (PARTITION BY asset_id ORDER BY i)
+                   AS grp
+        FROM en WHERE voiced
+    ),
+    runlen AS (
+        SELECT asset_id, grp, CAST(count(*) AS BIGINT) AS len
+        FROM runs GROUP BY asset_id, grp
+    ),
+    seg AS (
+        SELECT asset_id, CAST(count(*) AS BIGINT) AS n_segments,
+               max(len) AS longest
+        FROM runlen GROUP BY asset_id
+    )
+    SELECT b.asset_id, b.n_frames, b.n_voiced,
+           coalesce(s.n_segments, 0) AS n_segments,
+           coalesce(s.longest, 0) AS longest_segment,
+           round(CAST(b.n_voiced AS DOUBLE) / b.n_frames, 6) + 0.0
+               AS voiced_ratio,
+           -- engine-side frames_ok compares the UDF's payload-length
+           -- framing against the scan's n_bytes; here both derive
+           -- from the one stat read_blob exposes, so the comparison
+           -- is definitionally true (the cross-engine check is the
+           -- n_frames VALUE equality itself).
+           true AS frames_ok,
+           (coalesce(s.n_segments, 0) <= b.n_voiced
+            AND b.n_voiced <= b.n_frames
+            AND coalesce(s.longest, 0) <= b.n_voiced
+            AND (coalesce(s.n_segments, 0) = 0) = (b.n_voiced = 0)
+            AND coalesce(s.longest, 0) * coalesce(s.n_segments, 0)
+                >= b.n_voiced) AS counts_ok,
+           true AS ratio_ok
+    FROM base b LEFT JOIN seg s USING (asset_id)
+    ORDER BY b.asset_id
+"""
+
+
 @query(
     "q164_vad_segments",
-    oracle=None,
+    oracle=_Q164_ORACLE,
     tags=("multimodal", "audio", "segmentation", "vad"),
 )
 def q164_vad_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Voice-activity-style segmentation over opaque audio-like binary
     payloads: each asset's bytes are framed into fixed 4096-byte
-    windows, each frame gets an energy score (deterministic stub from
-    the frame bytes' sha — a real build computes RMS over decoded PCM;
-    swap ``_frame_energy`` only), frames above threshold are "voiced",
-    and consecutive voiced frames merge into segments (the
-    gaps-and-islands step, run in-process per asset). Emits per asset:
-    frame count, voiced count, segment count, longest segment, and
-    voiced ratio.
+    windows, each frame gets an energy score (deterministic stub
+    seeded from (asset_id, payload length, frame index) — a real
+    build computes RMS over decoded PCM; swap ``_frame_energy``
+    only), frames above threshold are "voiced", and consecutive
+    voiced frames merge into segments (the gaps-and-islands step, run
+    in-process per asset). Emits per asset: frame count, voiced
+    count, segment count, longest segment, and voiced ratio.
+
+    FULL DuckDB oracle since round 10 (r9 verdict task 6 — formerly
+    rows-only): ``read_blob('__SF_DIR__/*.parquet')`` exposes
+    (filename, size), from which the oracle independently rebuilds
+    the frame grid (``ceil(size/4096)`` vs the engine's framing of
+    the ACTUAL payload bytes — a genuine length-conservation check on
+    the binaryFile content), replays the energy draw (``sha256`` of
+    the same seed string, hex→int via a character fold), and runs the
+    islands algebra in SQL windows. The energy seed was moved off the
+    payload's content digest to make exactly this possible — DuckDB
+    1.0's digest functions are VARCHAR-only and BLOB→VARCHAR casts
+    don't preserve bytes, so content-seeded arithmetic (q92/q147's
+    feature stubs originally, q92's still) cannot be expressed over
+    ``read_blob``.
 
     The Spark-side contract: framing + thresholding + islands all
     happen inside ONE mapInPandas pass over each asset's payload —
@@ -353,21 +503,31 @@ def q164_vad_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     where the bytes already are (instead of exploding frames and
     re-grouping) avoids shuffling either payloads or frame rows
     entirely. Compare q147, which fans frame rows out because its
-    consumers are per-frame. Rows-only check (byte decoding is outside
-    SQL's reach), so the result carries self-verifying invariants:
-    ``frames_ok`` recomputes the expected frame count DECLARATIVELY
-    from the scan's n_bytes (ceil-division in plain column math — no
-    Python in that branch) against the UDF's n_frames; ``counts_ok``
-    pins the gaps-and-islands algebra (segments ≤ voiced ≤ frames,
-    longest ≤ voiced, segments and voiced vanish together, and the
-    pigeonhole bound longest·segments ≥ voiced); ``ratio_ok``
-    recomputes voiced_ratio from the emitted counts.
+    consumers are per-frame. The result keeps its self-verifying
+    invariants alongside the oracle: ``frames_ok`` recomputes the
+    expected frame count DECLARATIVELY from the scan's n_bytes
+    (ceil-division in plain column math — no Python in that branch)
+    against the UDF's n_frames; ``counts_ok`` pins the
+    gaps-and-islands algebra (segments ≤ voiced ≤ frames, longest ≤
+    voiced, segments and voiced vanish together, and the pigeonhole
+    bound longest·segments ≥ voiced); ``ratio_ok`` recomputes
+    voiced_ratio from the emitted counts.
     tests/test_multimodal.py asserts all three all-true.
     """
     assets = load_assets(spark, sf_dir, glob="*.parquet")
 
-    def _frame_energy(payload_sha: str, frame_idx: int) -> float:
-        h = hashlib.sha256(f"vad:{payload_sha}:{frame_idx}".encode()).hexdigest()
+    def _frame_energy(asset_id: str, n_bytes: int, frame_idx: int) -> float:
+        # Seeded from (asset_id, payload length, frame index) — NOT the
+        # payload's content digest — deliberately, so the DuckDB oracle
+        # can reproduce the draw from read_blob's stat columns: this
+        # DuckDB's digest functions are VARCHAR-only and BLOB→VARCHAR
+        # casts don't preserve bytes, so content-seeded arithmetic is
+        # unreachable from SQL (q92 stays rows-only for exactly that
+        # reason). A real build replaces this with RMS over decoded
+        # PCM, where no cross-engine oracle exists either way.
+        h = hashlib.sha256(
+            f"vad:{asset_id}:{n_bytes}:{frame_idx}".encode()
+        ).hexdigest()
         return int(h[:8], 16) / 0xFFFFFFFF
 
     def segment(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -375,10 +535,9 @@ def q164_vad_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             rows = []
             for asset_id, content in zip(pdf["asset_id"], pdf["content"]):
                 data = bytes(content)
-                sha = hashlib.sha256(data).hexdigest()
                 n_frames = max(1, (len(data) + VAD_FRAME_BYTES - 1) // VAD_FRAME_BYTES)
                 voiced = [
-                    _frame_energy(sha, i) > VAD_THRESHOLD
+                    _frame_energy(asset_id, len(data), i) > VAD_THRESHOLD
                     for i in range(n_frames)
                 ]
                 n_segments = 0

@@ -48,18 +48,15 @@ ROWS_ONLY_RATIONALE: dict[str, str] = {
     ),
     "q92_multimodal_pipeline": (
         "binary-content decode plumbing (driver-accepted rows-only r1): "
-        "DuckDB cannot reproduce the binaryFile metadata structs + "
-        "Pandas-UDF batch shapes; the schema/partitioning contract is "
-        "pinned in tests/test_multimodal.py."
-    ),
-    "q147_frame_sampling": (
-        "binary-content frame sampling over binaryFile rows — no DuckDB "
-        "equivalent for the decode-stub batch contract; pinned in "
-        "tests/test_multimodal.py."
-    ),
-    "q164_vad_segments": (
-        "binary-content VAD segmentation over binaryFile rows — same "
-        "decode-stub class as q147; pinned in tests/test_multimodal.py."
+        "every emitted stat (dims, features, shas) seeds from "
+        "sha256(payload BYTES), and this DuckDB's digest functions are "
+        "VARCHAR-only — BLOB→VARCHAR casts do not preserve bytes "
+        "(verified r4), so read_blob cannot replay content-seeded "
+        "arithmetic. Conservation invariants (bytes/counts/feature "
+        "bounds) are verified IN-RESULT against a no-UDF scan branch; "
+        "schema/partitioning pinned in tests/test_multimodal.py. "
+        "Contrast q147/q164, which moved their stub seeds to "
+        "read_blob's stat columns and gained full oracles in r10."
     ),
 }
 
