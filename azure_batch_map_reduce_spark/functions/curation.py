@@ -7384,3 +7384,119 @@ def q418_randomization_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("p_value"),
         )
     )
+
+
+# --- q422: unbiased pass@k evaluation -------------------------------
+
+_PASS_AT_KS = (1, 5, 10)
+
+
+def _pass_at_k_sql(k: int) -> str:
+    """DuckDB pass@k ppm-fraction: 1 − C(n−c,k)/C(n,k) computed as the
+    falling-factorial ratio Π(n−c−i)/Π(n−i) in HUGEINT, released with
+    the half-up integer idiom (never a rounded float quotient)."""
+    num = (
+        "CASE WHEN n - c < {k} THEN CAST(0 AS HUGEINT) ELSE "
+        "list_reduce(list_transform(generate_series(0, {k} - 1), "
+        "i -> CAST(n - c - i AS HUGEINT)), (a, b) -> a * b) END"
+    ).format(k=k)
+    den = (
+        "list_reduce(list_transform(generate_series(0, {k} - 1), "
+        "i -> CAST(n - i AS HUGEINT)), (a, b) -> a * b)"
+    ).format(k=k)
+    return (
+        f"((2 * (({den}) - ({num})) * 1000000 + ({den}))"
+        f" // (2 * ({den}))) / 1000000.0 AS pass_at_{k}"
+    )
+
+
+_Q422_ORACLE = f"""
+    WITH s AS (
+        SELECT user_id,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS c
+        FROM events
+        GROUP BY user_id
+        HAVING count(*) >= 10
+    )
+    SELECT user_id, n AS n_samples, c AS n_correct,
+           {_pass_at_k_sql(1)},
+           {_pass_at_k_sql(5)},
+           {_pass_at_k_sql(10)}
+    FROM s
+    ORDER BY user_id
+"""
+
+
+@query(
+    "q422_pass_at_k_eval",
+    oracle=_Q422_ORACLE,
+    tags=("eval", "pass-at-k", "combinatorics", "llm"),
+)
+def q422_pass_at_k_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unbiased pass@k estimation — THE functional-correctness metric
+    of LLM code/reasoning evals (HumanEval's estimator): for a problem
+    with n sampled attempts of which c passed, pass@k =
+    1 − C(n−c, k)/C(n, k), the probability that at least one of k
+    drawn attempts passes. The naive 1−(1−c/n)^k is biased; the
+    combinatorial form is exact. Computed here at k = 1, 5, 10 per
+    problem over a deterministic fixture mapping (problem = user_id,
+    attempts = that user's events, pass = event_type 'purchase' —
+    documented stand-ins; the estimator is the operator). Problems
+    with n < 10 are excluded so every reported k is well-defined.
+
+    Determinism: the binomial RATIO telescopes to the falling-
+    factorial ratio prod_i<k(n−c−i) / prod_i<k(n−i) — both products
+    exact integers (≤ n^10 ≈ 10^29 at fixture user grains, held in
+    decimal(38,0) / HUGEINT, widened BEFORE multiplying — the q413
+    rule), with C(n−c,k) = 0 exactly when n−c < k (the guard keeps
+    negative factors out of the product). Release is the half-up
+    integer idiom at 6 digits (``ranks.half_up_ratio``) — no float
+    quotient anywhere, bit-identical cross-engine.
+
+    Scale posture: ONE partial+final count aggregate to problem grain,
+    then pure scalar expressions — the same shape as q407's release
+    stage; nothing wider than (problem, n, c) ever shuffles. At a
+    real eval harness's scale (millions of problems × hundreds of
+    samples) this is a map-side count plus k-bounded scalar math.
+    Reference contract: per-attempt grading = map slot
+    (``App.config:16``); per-problem consolidation = reduce slot
+    (``App.config:17``, ``Program.cs:351-384``)."""
+    from functools import reduce as _reduce
+
+    events = load_tables(spark, sf_dir)["events"]
+    s = (
+        events.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+            .cast("long")
+            .alias("c"),
+        )
+        .where(F.col("n") >= 10)
+    )
+
+    one = F.lit(1).cast("decimal(38,0)")
+
+    def fall(base: Column, k: int) -> Column:
+        # Falling factorial Π_{i<k}(base − i), widened per factor
+        # before the multiply (int64 products would wrap silently).
+        return _reduce(
+            lambda acc, i: acc * (base - F.lit(i)).cast("decimal(38,0)"),
+            range(k),
+            one,
+        )
+
+    cols = [
+        F.col("user_id"),
+        F.col("n").alias("n_samples"),
+        F.col("c").alias("n_correct"),
+    ]
+    for k in _PASS_AT_KS:
+        num = F.when(
+            F.col("n") - F.col("c") < k, F.lit(0).cast("decimal(38,0)")
+        ).otherwise(fall(F.col("n") - F.col("c"), k))
+        den = fall(F.col("n"), k)
+        cols.append(half_up_ratio(den - num, den, 6).alias(f"pass_at_{k}"))
+    return s.select(*cols).orderBy("user_id")

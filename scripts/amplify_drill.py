@@ -1,0 +1,161 @@
+#!/usr/bin/env python
+"""One-off synthetic 10x amplification drill (r9 verdict task 3).
+
+Driver fixtures are read-only and capped at sf0.1, so every 100 TB
+claim in the repo is a plan audit. This drill grounds the scaling story
+empirically: it builds a ~10x amplified documents/embeddings corpus in
+a SCRATCH dir (never touching /root/testdata) and times the text/dedup/
+ANN headliners at 1x vs 10x. A healthy operator scales ~linearly in
+corpus size; anything clearly superlinear is a real finding to fix.
+
+Amplification design — content must stay INDEPENDENT across copies:
+a naive 10x union of identical text would give every doc 9 new exact
+near-duplicates, exploding q62/q399/q412's candidate sets ~100x by
+SEMANTICS (more true pairs), which would read as superlinear runtime
+without any plan flaw. Instead each copy k rotates the alphabet by k
+(a Caesar substitution): lengths, languages, block-size distributions
+and within-copy near-dup structure are all preserved, while shingles,
+minhash bands, and prefix blocks differ across copies — so true output
+size scales ~10x, and runtime should too.
+
+Timing protocol (differs from bench.py deliberately): each measurement
+covers fn() PLUS materialization through the noop sink, so queries
+that do eager work during plan construction (q417's checkpoint) are
+charged fully; one untimed warm-up per (query, dir), then min of 2
+timed runs, cache cleared between queries. Same-session comparisons
+only — the 1x/10x ratio is the metric, not absolute seconds.
+
+Usage: python scripts/amplify_drill.py [--rebuild]
+Results land on stdout (one JSON line) and in SCALE.md by hand.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from azure_batch_map_reduce_spark.registry import load_all
+from azure_batch_map_reduce_spark.session import get_spark
+
+BASE = "/root/testdata/sf0.1"
+AMP_DIR = os.environ.get("SPARK_GRAFT_AMP_DIR", "/tmp/spark_graft_amp10")
+COPIES = 10
+ID_STRIDE = 1_000_000
+
+DRILL_QUERIES = [
+    "q62_minhash_lsh_neardup",
+    "q260_substring_shingle_overlap",
+    "q399_incremental_neardup_maintenance",
+    "q412_blocked_edit_distance_neardup",
+    "q414_cluster_silhouette_audit",
+    "q417_distinct_ngram_diversity",
+    "q419_heaps_law_vocab_growth",
+]
+
+_ALPHA = "abcdefghijklmnopqrstuvwxyz"
+
+
+def _rot(k: int) -> str:
+    return _ALPHA[k:] + _ALPHA[:k]
+
+
+def build_amp(spark) -> None:
+    os.makedirs(AMP_DIR, exist_ok=True)
+    docs = spark.read.parquet(os.path.join(BASE, "documents.parquet"))
+    copies = []
+    for k in range(COPIES):
+        copies.append(
+            docs.select(
+                (F.col("doc_id") + F.lit(k * ID_STRIDE)).alias("doc_id"),
+                F.translate(
+                    F.col("text"),
+                    _ALPHA + _ALPHA.upper(),
+                    _rot(k) + _rot(k).upper(),
+                ).alias("text"),
+                "lang",
+                "source",
+                "n_chars",
+            )
+        )
+    amp_docs = copies[0]
+    for c in copies[1:]:
+        amp_docs = amp_docs.unionByName(c)
+    amp_docs.repartition(32).write.mode("overwrite").parquet(
+        os.path.join(AMP_DIR, "documents.parquet")
+    )
+
+    emb = spark.read.parquet(os.path.join(BASE, "embeddings.parquet"))
+    amp_emb = None
+    for k in range(COPIES):
+        c = emb.select(
+            (F.col("vec_id") + F.lit(k * ID_STRIDE)).alias("vec_id"),
+            "embedding",
+            "label",
+        )
+        amp_emb = c if amp_emb is None else amp_emb.unionByName(c)
+    amp_emb.repartition(32).write.mode("overwrite").parquet(
+        os.path.join(AMP_DIR, "embeddings.parquet")
+    )
+
+    for t in (
+        "region",
+        "nation",
+        "customer",
+        "supplier",
+        "part",
+        "orders",
+        "lineitem",
+        "events",
+    ):
+        src = os.path.join(BASE, f"{t}.parquet")
+        dst = os.path.join(AMP_DIR, f"{t}.parquet")
+        if not os.path.exists(dst):
+            shutil.copy(src, dst)
+
+
+def main() -> int:
+    rebuild = "--rebuild" in sys.argv
+    registry = load_all()
+    spark = get_spark(app_name="abmr-amp-drill")
+    if rebuild or not os.path.exists(
+        os.path.join(AMP_DIR, "documents.parquet")
+    ):
+        build_amp(spark)
+
+    def run_once(name: str, sf_dir: str) -> float:
+        t0 = time.perf_counter()
+        df = registry[name].fn(spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        return time.perf_counter() - t0
+
+    # JVM/codegen warmup
+    run_once("q62_minhash_lsh_neardup", "/root/testdata/sf0.01")
+    spark.catalog.clearCache()
+
+    results = {}
+    for name in DRILL_QUERIES:
+        row = {}
+        for label, d in (("x1", BASE), ("x10", AMP_DIR)):
+            run_once(name, d)  # untimed warm-up
+            spark.catalog.clearCache()
+            t = min(run_once(name, d), run_once(name, d))
+            spark.catalog.clearCache()
+            row[label] = round(t, 3)
+        row["ratio"] = round(row["x10"] / row["x1"], 2)
+        results[name] = row
+        print(json.dumps({name: row}), flush=True)
+
+    print(json.dumps({"metric": "amp10_drill", "queries": results}))
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
