@@ -12,6 +12,9 @@ from azure_batch_map_reduce_spark.functions.curation import (
     IPV4_RE,
     _bigrams,
 )
+from azure_batch_map_reduce_spark.registry import load_all
+
+REGISTRY = load_all()
 
 
 def test_bigrams_degenerate_docs(spark):
@@ -335,3 +338,49 @@ def test_q375_kappa_reflects_eighty_percent_raters(spark, sf_dir):
     assert -1.0 <= r["fleiss_kappa"] <= 1.0
     assert r["fleiss_kappa"] > 0.1
     assert r["p_bar"] > r["p_expected"]
+
+
+def test_q422_pass_at_k_invariants(spark, sf_dir):
+    """pass@k is monotone nondecreasing in k (more draws can only
+    help), bounded by [c/n rounded, 1], equals 1 exactly when n−c < k,
+    and pass@1 is c/n (the k=1 ratio telescopes): all at problem
+    grain with n ≥ 10 enforced."""
+    rows = REGISTRY["q422_pass_at_k_eval"].fn(spark, sf_dir).collect()
+    assert len(rows) > 0
+    saw_partial = False
+    for r in rows:
+        assert r.n_samples >= 10
+        assert 0 <= r.n_correct <= r.n_samples
+        assert 0.0 <= r.pass_at_1 <= r.pass_at_5 <= r.pass_at_10 <= 1.0
+        assert r.pass_at_1 == round(r.n_correct / r.n_samples + 1e-12, 6) or (
+            abs(r.pass_at_1 - r.n_correct / r.n_samples) < 5e-7
+        )
+        if r.n_samples - r.n_correct < 10:
+            assert r.pass_at_10 == 1.0
+        if 0 < r.pass_at_10 < 1.0:
+            saw_partial = True
+    assert saw_partial, "all pass@10 saturated — estimator unexercised"
+
+
+def test_q423_temperature_flattens_mixture(spark, sf_dir):
+    """Temperature invariants: weights sum to ~1, every source
+    appears once, and α = 1/2 FLATTENS — below-average sources are
+    upsampled (factor > 1), above-average downsampled (< 1), with
+    weight order preserving size order (monotone transform)."""
+    rows = (
+        REGISTRY["q423_temperature_mixture_weights"]
+        .fn(spark, sf_dir)
+        .collect()
+    )
+    assert len(rows) >= 2
+    assert len({r.source for r in rows}) == len(rows)
+    assert abs(sum(r.w_temp for r in rows) - 1.0) < 1e-4
+    mean_sz = sum(r.n_chars_total for r in rows) / len(rows)
+    for r in rows:
+        if r.n_chars_total < mean_sz * 0.99:
+            assert r.upsample_factor > 1.0
+        if r.n_chars_total > mean_sz * 1.01:
+            assert r.upsample_factor < 1.0
+    by_sz = sorted(rows, key=lambda r: r.n_chars_total)
+    for a, b in zip(by_sz, by_sz[1:]):
+        assert a.w_temp <= b.w_temp
