@@ -7604,3 +7604,141 @@ def q423_temperature_mixture_weights(
         )
         .orderBy("source")
     )
+
+
+# --- q424: context-window packing audit -------------------------------
+
+_PACK_CONTEXT = 512
+
+
+_Q424_ORACLE = f"""
+    WITH d AS (
+        SELECT doc_id,
+               CAST(len(list_filter(string_split_regex(lower(text),
+                                                       '[^a-z]+'),
+                                    x -> x <> '')) AS BIGINT) AS toks
+        FROM documents
+    ),
+    c AS (
+        SELECT doc_id, toks,
+               CAST(sum(toks) OVER (ORDER BY doc_id) AS BIGINT) AS cum_end
+        FROM d
+    ),
+    spans AS (
+        SELECT doc_id, toks, cum_end - toks AS strt, cum_end,
+               (cum_end - toks) // {_PACK_CONTEXT} AS c0,
+               (cum_end - 1) // {_PACK_CONTEXT} AS c1
+        FROM c WHERE toks > 0
+    ),
+    x AS (
+        SELECT *, unnest(generate_series(c0, c1)) AS chunk_id FROM spans
+    )
+    SELECT chunk_id,
+           CAST(count(*) AS BIGINT) AS n_docs_touching,
+           CAST(sum(CASE WHEN c0 = chunk_id THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_docs_starting,
+           CAST(sum(CASE WHEN c0 = chunk_id AND c1 > chunk_id
+                         THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_boundary_crossers,
+           CAST(sum(least(cum_end, (chunk_id + 1) * {_PACK_CONTEXT})
+                    - greatest(strt, chunk_id * {_PACK_CONTEXT}))
+                AS BIGINT) AS tokens_in_chunk,
+           CAST((1000000 * sum(least(cum_end, (chunk_id + 1) * {_PACK_CONTEXT})
+                               - greatest(strt, chunk_id * {_PACK_CONTEXT})))
+                // {_PACK_CONTEXT} AS BIGINT) AS utilization_ppm
+    FROM x
+    GROUP BY chunk_id
+    ORDER BY chunk_id
+"""
+
+
+@query(
+    "q424_context_window_packing",
+    oracle=_Q424_ORACLE,
+    tags=("training", "packing", "context-window", "llm"),
+)
+def q424_context_window_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window packing audit — the GPT-style training-data
+    assembly step the repo's curation family hands off to: documents
+    are concatenated in a fixed epoch order (doc_id — q338's shuffle
+    plan supplies a permuted order in production) and the token
+    stream is cut into fixed 512-token context windows
+    (``_PACK_CONTEXT``). Per chunk:
+    how many documents touch it, start in it, CROSS its right
+    boundary (the attention-contamination rows a real pipeline masks
+    or discards), the tokens it holds, and utilization ppm (< 10⁶
+    only on the tail chunk — concat packing wastes nothing inside the
+    stream, which is exactly why it is the default over padded
+    per-doc batches).
+
+    Determinism: token counts are exact integers (the q413 tokenizer);
+    chunk assignment is integer division on an exact global running
+    sum; every released figure is integer arithmetic (utilization is
+    floor-ppm). No floats anywhere.
+
+    Scale posture: the global cumulative sum is
+    ``ranks.distributed_running_sum`` — range-partition + partition-
+    local window + broadcast offsets, NO global single-partition
+    window (zero WindowExec warnings); the span explode emits
+    n_docs + n_chunks rows (each doc spans ≥1 chunks, adjacent
+    overlaps only), so the fan-out is linear in corpus size with a
+    1/{ctx} chunk-grain result. At 100 TB this is the same shape the
+    epoch planner (q338) and shard balancer (q290) already use.
+    Reference contract: per-doc token accounting = map slot
+    (``App.config:16``); stream cut + chunk rollup = reduce slot
+    (``App.config:17``, ``Program.cs:351-384``)."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    d = docs.select(
+        "doc_id",
+        F.size(
+            F.filter(
+                F.split(F.lower(F.col("text")), "[^a-z]+"),
+                lambda x: x != F.lit(""),
+            )
+        )
+        .cast("long")
+        .alias("toks"),
+    )
+    r = distributed_running_sum(d, [F.col("doc_id")], {"cum_end": "toks"})
+    ctx = F.lit(_PACK_CONTEXT)
+    spans = r.where(F.col("toks") > 0).select(
+        "doc_id",
+        "toks",
+        (F.col("cum_end") - F.col("toks")).alias("strt"),
+        F.col("cum_end").cast("long").alias("cum_end"),
+        F.expr(f"(cum_end - toks) div {_PACK_CONTEXT}").alias("c0"),
+        F.expr(f"(cum_end - 1) div {_PACK_CONTEXT}").alias("c1"),
+    )
+    x = spans.select(
+        "*", F.explode(F.sequence("c0", "c1")).alias("chunk_id")
+    )
+    in_chunk = F.least(
+        F.col("cum_end"), (F.col("chunk_id") + 1) * ctx
+    ) - F.greatest(F.col("strt"), F.col("chunk_id") * ctx)
+    return (
+        x.groupBy("chunk_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs_touching"),
+            F.sum(F.when(F.col("c0") == F.col("chunk_id"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_docs_starting"),
+            F.sum(
+                F.when(
+                    (F.col("c0") == F.col("chunk_id"))
+                    & (F.col("c1") > F.col("chunk_id")),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_boundary_crossers"),
+            F.sum(in_chunk).cast("long").alias("tokens_in_chunk"),
+            F.expr(
+                f"(1000000 * sum(least(cum_end, (chunk_id + 1) * {_PACK_CONTEXT})"
+                f" - greatest(strt, chunk_id * {_PACK_CONTEXT})))"
+                f" div {_PACK_CONTEXT}"
+            )
+            .cast("long")
+            .alias("utilization_ppm"),
+        )
+        .orderBy("chunk_id")
+    )

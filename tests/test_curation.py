@@ -384,3 +384,52 @@ def test_q423_temperature_flattens_mixture(spark, sf_dir):
     by_sz = sorted(rows, key=lambda r: r.n_chars_total)
     for a, b in zip(by_sz, by_sz[1:]):
         assert a.w_temp <= b.w_temp
+
+
+def test_q424_packing_conservation_and_contiguity(spark, sf_dir):
+    """Packing invariants: chunk ids are contiguous from 0; every
+    non-tail chunk holds exactly 512 tokens at utilization 1e6 ppm; at
+    most ONE document crosses each chunk's right boundary (concat
+    packing property); touching = starting + (0 or 1 carried over);
+    and tokens are conserved: chunk totals sum to the corpus total."""
+    from pyspark.sql import functions as F
+
+    from azure_batch_map_reduce_spark.catalog import load_tables
+
+    rows = (
+        REGISTRY["q424_context_window_packing"].fn(spark, sf_dir).collect()
+    )
+    assert len(rows) > 1
+    assert [r.chunk_id for r in rows] == list(range(len(rows)))
+    for r in rows[:-1]:
+        assert r.tokens_in_chunk == 512
+        assert r.utilization_ppm == 1_000_000
+    assert rows[-1].tokens_in_chunk <= 512
+    for i, r in enumerate(rows):
+        assert 0 <= r.n_boundary_crossers <= 1
+        carried = 0 if i == 0 else rows[i - 1].n_boundary_crossers
+        assert r.n_docs_touching == r.n_docs_starting + carried
+    docs = load_tables(spark, sf_dir)["documents"]
+    total = docs.select(
+        F.sum(
+            F.size(
+                F.filter(
+                    F.split(F.lower(F.col("text")), "[^a-z]+"),
+                    lambda x: x != F.lit(""),
+                )
+            ).cast("long")
+        ).alias("t")
+    ).collect()[0]["t"]
+    assert sum(r.tokens_in_chunk for r in rows) == total
+
+
+def test_q424_uses_distributed_running_sum_not_global_window(spark, sf_dir):
+    """Plan pin: the global cumulative sum must be the range-partition
+    + broadcast-offset shape — a range exchange present, and every
+    Window node partitioned (no single-partition global window)."""
+    df = REGISTRY["q424_context_window_packing"].fn(spark, sf_dir)
+    explained = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    assert "rangepartitioning" in explained
+    assert "CartesianProduct" not in explained
