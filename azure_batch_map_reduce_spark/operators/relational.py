@@ -3883,3 +3883,190 @@ def q376_range_partition_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("pid")
     )
+
+
+# --- q425: mergeable Misra-Gries heavy-hitter summaries ----------------
+
+_MG_K = 8
+
+
+_Q425_ORACLE = f"""
+    WITH toks AS (
+        SELECT source,
+               unnest(list_filter(string_split_regex(lower(text), '[^a-z]+'),
+                                  x -> x <> '')) AS w
+        FROM documents
+    ),
+    c AS (
+        SELECT source, w, CAST(count(*) AS BIGINT) AS c
+        FROM toks GROUP BY source, w
+    ),
+    r AS (
+        SELECT source, w, c,
+               row_number() OVER (PARTITION BY source
+                                  ORDER BY c DESC, w ASC) AS rn
+        FROM c
+    ),
+    thr AS (
+        SELECT source,
+               coalesce(max(CASE WHEN rn = {_MG_K} + 1 THEN c END), 0)
+                   AS t_s
+        FROM r GROUP BY source
+    ),
+    summ AS (
+        SELECT r.source, r.w, r.c - thr.t_s AS est
+        FROM r JOIN thr USING (source)
+        WHERE r.rn <= {_MG_K} AND r.c - thr.t_s > 0
+    ),
+    merged AS (
+        SELECT w, CAST(sum(est) AS BIGINT) AS m
+        FROM summ GROUP BY w
+    ),
+    mr AS (
+        SELECT w, m, row_number() OVER (ORDER BY m DESC, w ASC) AS rn
+        FROM merged
+    ),
+    mthr AS (
+        SELECT coalesce(max(CASE WHEN rn = {_MG_K} + 1 THEN m END), 0)
+            AS t_m
+        FROM mr
+    ),
+    offs AS (
+        SELECT CAST((SELECT sum(t_s) FROM thr) + (SELECT t_m FROM mthr)
+                    AS BIGINT) AS offset_total
+    ),
+    final AS (
+        SELECT w, m - (SELECT t_m FROM mthr) AS est
+        FROM mr
+        WHERE rn <= {_MG_K} AND m - (SELECT t_m FROM mthr) > 0
+    ),
+    exact AS (
+        SELECT w, CAST(sum(c) AS BIGINT) AS exact_count
+        FROM c GROUP BY w
+    )
+    SELECT f.w AS word, f.est AS mg_estimate, e.exact_count,
+           o.offset_total,
+           (f.est <= e.exact_count
+            AND e.exact_count - f.est <= o.offset_total) AS bound_ok
+    FROM final f JOIN exact e ON e.w = f.w CROSS JOIN offs o
+    ORDER BY f.w
+"""
+
+
+@query(
+    "q425_misra_gries_heavy_hitters",
+    oracle=_Q425_ORACLE,
+    tags=("sketch", "heavy-hitters", "misra-gries", "mergeable"),
+)
+def q425_misra_gries_heavy_hitters(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Mergeable Misra-Gries heavy-hitter summaries — the frequent-
+    items sketch the portable family lacked (q156 HLL answers "how
+    many distinct", q158 CMS answers "how often is THIS item", q276
+    KMV answers "how big is the intersection"; Misra-Gries answers
+    "WHICH items are frequent" with a deterministic deficit bound, no
+    hashing at all). The batch/mergeable form (Agarwal et al.'s
+    mergeable-summaries construction): each source builds a k-counter
+    summary — its top-k words by exact count with the (k+1)-th
+    largest count subtracted from each — and the per-source summaries
+    MERGE by summing estimates and re-truncating the combined counter
+    set the same way. Emitted per surviving counter: the merged
+    estimate, the exact corpus count (the audit join), the total
+    subtracted offset, and the MG guarantee check
+    0 ≤ exact − estimate ≤ Σ offsets — underestimates only, bounded
+    deficit, the property that makes the sketch trustworthy.
+
+    Determinism: counts are exact integers; every truncation ranks by
+    the total order (count DESC, word ASC); subtraction/merge are
+    integer — no hashing, no floats, bit-identical cross-engine.
+    Rank-boundary ties yield zero estimates and are dropped on both
+    engines identically.
+
+    Scale posture: the per-source summary is the MAP-SIDE partial
+    (k+1 rows kept per source after one (source, word) count
+    aggregate — at 100 TB per-executor summaries replace per-source
+    ones, same algebra since the construction is associative); the
+    merge is a k·#sources-row reduce. The ranking windows partition
+    by source / run over ≤ k·#sources merged rows — bounded frames,
+    never a corpus-wide window. The exact-count audit join exists
+    only for verification and would be absent in production (the
+    sketch's whole point is avoiding it). Reference contract:
+    summary build = map slot (``App.config:16``); merge =
+    reduce slot (``App.config:17``, ``Program.cs:351-384``)."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    toks = docs.select(
+        "source",
+        F.explode(
+            F.filter(
+                F.split(F.lower(F.col("text")), "[^a-z]+"),
+                lambda x: x != F.lit(""),
+            )
+        ).alias("w"),
+    )
+    c = toks.groupBy("source", "w").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    w_src = Window.partitionBy("source").orderBy(
+        F.col("c").desc(), F.col("w").asc()
+    )
+    r = c.withColumn("rn", F.row_number().over(w_src))
+    thr = r.groupBy("source").agg(
+        F.coalesce(
+            F.max(F.when(F.col("rn") == _MG_K + 1, F.col("c"))), F.lit(0)
+        )
+        .cast("long")
+        .alias("t_s")
+    )
+    summ = (
+        r.where(F.col("rn") <= _MG_K)
+        .join(thr, "source")
+        .select("source", "w", (F.col("c") - F.col("t_s")).alias("est"))
+        .where(F.col("est") > 0)
+    )
+    merged = summ.groupBy("w").agg(F.sum("est").cast("long").alias("m"))
+    # The merged counter set is ≤ k·#sources rows — bounded, so the
+    # declared-constant-partition rank (bounded_order) applies.
+    mr = merged.withColumn(
+        "rn",
+        F.row_number().over(
+            bounded_order(F.col("m").desc(), F.col("w").asc())
+        ),
+    )
+    t_m = mr.agg(
+        F.coalesce(
+            F.max(F.when(F.col("rn") == _MG_K + 1, F.col("m"))), F.lit(0)
+        )
+        .cast("long")
+        .alias("t_m")
+    )
+    offs = (
+        thr.agg(F.sum("t_s").cast("long").alias("sum_ts"))
+        .crossJoin(F.broadcast(t_m))
+        .select((F.col("sum_ts") + F.col("t_m")).alias("offset_total"))
+    )
+    final = (
+        mr.where(F.col("rn") <= _MG_K)
+        .crossJoin(F.broadcast(t_m))
+        .select("w", (F.col("m") - F.col("t_m")).alias("est"))
+        .where(F.col("est") > 0)
+    )
+    exact = c.groupBy("w").agg(F.sum("c").cast("long").alias("exact_count"))
+    return (
+        final.join(exact, "w")
+        .crossJoin(F.broadcast(offs))
+        .select(
+            F.col("w").alias("word"),
+            F.col("est").alias("mg_estimate"),
+            "exact_count",
+            "offset_total",
+            (
+                (F.col("est") <= F.col("exact_count"))
+                & (
+                    F.col("exact_count") - F.col("est")
+                    <= F.col("offset_total")
+                )
+            ).alias("bound_ok"),
+        )
+        .orderBy("word")
+    )

@@ -256,6 +256,11 @@ HEADLINE = [
     "q420_unicode_normalized_neardup",
     "q422_pass_at_k_eval",
     "q423_temperature_mixture_weights",
+    # q424: global running sum (range-partition + offsets) + span
+    # explode to chunk grain; q425: two token aggregates + bounded
+    # rank windows (the mergeable-sketch shape).
+    "q424_context_window_packing",
+    "q425_misra_gries_heavy_hitters",
 ]
 
 

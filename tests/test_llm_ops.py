@@ -885,3 +885,42 @@ def test_q421_returns_scan_of_written_table(spark, sf_dir):
     assert "Join" not in explained
     assert "LocalTableScan" not in explained
     assert "spark_graft_dedup_corpus_" in explained
+
+
+def test_q425_mg_guarantee_and_truth_containment(spark, sf_dir):
+    """The MG deficit guarantee must HOLD (bound_ok everywhere, est ≤
+    exact), the summary must be non-degenerate (>1 counter, at least
+    one counter whose estimate differs from exact — i.e. truncation
+    actually subtracted something), and every word whose exact count
+    exceeds offset_total must be IN the summary (the frequent-items
+    completeness direction of Misra-Gries)."""
+    from pyspark.sql import functions as F
+
+    from azure_batch_map_reduce_spark.catalog import load_tables
+
+    rows = (
+        REGISTRY["q425_misra_gries_heavy_hitters"].fn(spark, sf_dir).collect()
+    )
+    assert len(rows) > 1
+    assert all(r.bound_ok for r in rows)
+    assert all(r.mg_estimate <= r.exact_count for r in rows)
+    assert any(r.mg_estimate < r.exact_count for r in rows)
+    offset = rows[0].offset_total
+    in_summary = {r.word for r in rows}
+    docs = load_tables(spark, sf_dir)["documents"]
+    exact = (
+        docs.select(
+            F.explode(
+                F.filter(
+                    F.split(F.lower(F.col("text")), "[^a-z]+"),
+                    lambda x: x != F.lit(""),
+                )
+            ).alias("w")
+        )
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .where(F.col("c") > offset)
+        .collect()
+    )
+    for r in exact:
+        assert r.w in in_summary, f"frequent word {r.w} missing from summary"
