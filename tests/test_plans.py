@@ -1307,3 +1307,52 @@ def test_q411_writethrough_returns_bare_scan(spark, sf_dir):
     assert "Join" not in explained
     assert "LocalTableScan" not in explained
     assert "/final" in explained
+
+
+def test_q422_pass_at_k_is_single_aggregate(spark, sf_dir):
+    """pass@k must stay ONE partial+final count aggregate to problem
+    grain with the combinatorics as scalar expressions (the q407
+    release shape): one events scan, no join, no window, and the scan
+    pruned to the two consumed columns."""
+    df = REGISTRY["q422_pass_at_k_eval"].fn(spark, sf_dir)
+    explained = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    assert "WindowExec" not in explained
+    assert "Join" not in explained
+    assert explained.count("Scan parquet") == 2
+    read_schema = [l for l in explained.splitlines() if "ReadSchema" in l][0]
+    assert "user_id" in read_schema and "event_type" in read_schema
+    assert "props" not in read_schema and "value" not in read_schema
+
+
+def test_q423_temperature_weights_broadcast_only(spark, sf_dir):
+    """The two normalizers (total size, sqrt-sum) must reach source
+    grain as 1-row BROADCASTS — no shuffle join, no window — and every
+    documents scan pruned to (source, n_chars)."""
+    df = REGISTRY["q423_temperature_mixture_weights"].fn(spark, sf_dir)
+    explained = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    assert "WindowExec" not in explained
+    assert "SortMergeJoin" not in explained
+    assert "BroadcastNestedLoopJoin" in explained  # the 1-row crossJoins
+    for line in explained.splitlines():
+        if "ReadSchema" in line:
+            assert "text" not in line and "doc_id" not in line
+
+
+def test_q425_mg_windows_are_bounded_and_audit_join_broadcasts(
+    spark, sf_dir
+):
+    """The sketch's rank windows run per source / over the ≤ k·sources
+    merged counters — never a corpus-wide unpartitioned window (the
+    bounded_order contract keeps the WindowExec warning a binary
+    signal) — and the exact-count audit join must broadcast the
+    k-row summary side, not shuffle the vocabulary."""
+    df = REGISTRY["q425_misra_gries_heavy_hitters"].fn(spark, sf_dir)
+    explained = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    assert "CartesianProduct" not in explained
+    assert "BroadcastHashJoin" in explained
