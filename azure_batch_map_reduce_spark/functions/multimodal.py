@@ -30,6 +30,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from azure_batch_map_reduce_spark.catalog import load_tables
+from azure_batch_map_reduce_spark.operators.ranks import half_up_ratio
 from azure_batch_map_reduce_spark.plans.mapreduce import file_source
 from azure_batch_map_reduce_spark.registry import query
 
@@ -447,8 +448,8 @@ _Q164_ORACLE = """
     SELECT b.asset_id, b.n_frames, b.n_voiced,
            coalesce(s.n_segments, 0) AS n_segments,
            coalesce(s.longest, 0) AS longest_segment,
-           round(CAST(b.n_voiced AS DOUBLE) / b.n_frames, 6) + 0.0
-               AS voiced_ratio,
+           ((2 * b.n_voiced * 1000000 + b.n_frames) // (2 * b.n_frames))
+               / 1000000.0 AS voiced_ratio,
            -- engine-side frames_ok compares the UDF's payload-length
            -- framing against the scan's n_bytes; here both derive
            -- from the one stat read_blob exposes, so the comparison
@@ -599,7 +600,14 @@ def q164_vad_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_voiced",
             "n_segments",
             "longest_segment",
-            F.round("voiced_ratio", 6).alias("voiced_ratio"),
+            # Released ratio uses the half-up INTEGER idiom (rounding
+            # the raw double flips on exact half-microdigit boundaries
+            # — reachable here: a 128-frame payload with odd n_voiced
+            # lands p/128 exactly on one); the UDF's raw IEEE ratio
+            # stays un-released, feeding only the ratio_ok audit.
+            half_up_ratio(F.col("n_voiced"), F.col("n_frames"), 6).alias(
+                "voiced_ratio"
+            ),
             (F.col("n_frames") == expected_frames).alias("frames_ok"),
             (
                 (F.col("n_segments") <= F.col("n_voiced"))

@@ -49,14 +49,13 @@ def test_oracle_sql_keys_subset_of_queries():
     qs = set(entry.queries())
     osql = entry.oracle_sql()
     assert set(osql) <= qs
-    # Rows-only queries are the documented quartet and nothing more
-    # (registry.py:40-64 enforces the rationale).
+    # Rows-only queries are the documented PAIR and nothing more
+    # (registry.py enforces the rationale). Down from the r1-r9
+    # quartet: q147/q164 gained full read_blob oracles in round 10.
     rows_only = qs - set(osql)
     assert rows_only == {
         "q67_ml_minhash_lsh",
         "q92_multimodal_pipeline",
-        "q147_frame_sampling",
-        "q164_vad_segments",
     }
 
 
