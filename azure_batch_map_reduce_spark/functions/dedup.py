@@ -3476,3 +3476,177 @@ def q421_dedup_corpus_materialization(
     d = scratch_dir("spark_graft_dedup_corpus_")
     survivors.write.mode("overwrite").parquet(d)
     return spark.read.parquet(d).orderBy("doc_id")
+
+
+# --- q426: phonetic (Soundex) blocking for typo-variant linkage -------
+
+# American Soundex letter->code map (H/W-transparency variant, matching
+# Spark's builtin): 26 lowercase letters -> digit / '0' (vowel+y,
+# resets runs) / '-' (h/w, transparent to runs).
+_SDX_FROM = "bfpvcgjkqszxdtlmnraeiouyhw"
+_SDX_TO = "1" * 4 + "2" * 8 + "3" * 2 + "4" + "5" * 2 + "6" + "0" * 6 + "--"
+
+# Hand-rolled Soundex as a DuckDB character fold — the INDEPENDENT
+# implementation paired against Spark's builtin in q426's differential
+# (same two-implementations discipline as q420's unicodedata/utf8proc
+# pairing). Accumulator is 'RESULT|last_effective_code'; vowels reset
+# the run, h/w are transparent, result capped at 4.
+_SDX_SQL = f"""rpad(string_split(list_reduce(
+    list_prepend(
+        upper(substr({{w}}, 1, 1)) || '|'
+            || replace(translate(substr({{w}}, 1, 1),
+                                 '{_SDX_FROM}', '{_SDX_TO}'), '-', ''),
+        string_split(substr({{w}}, 2), '')
+    ),
+    (acc, c) -> CASE
+        WHEN translate(c, '{_SDX_FROM}', '{_SDX_TO}') = '-' THEN acc
+        WHEN translate(c, '{_SDX_FROM}', '{_SDX_TO}') = '0'
+            THEN string_split(acc, '|')[1] || '|'
+        WHEN translate(c, '{_SDX_FROM}', '{_SDX_TO}')
+             = string_split(acc, '|')[2] THEN acc
+        ELSE (CASE WHEN length(string_split(acc, '|')[1]) < 4
+                   THEN string_split(acc, '|')[1]
+                        || translate(c, '{_SDX_FROM}', '{_SDX_TO}')
+                   ELSE string_split(acc, '|')[1] END)
+             || '|' || translate(c, '{_SDX_FROM}', '{_SDX_TO}')
+    END), '|')[1], 4, '0')"""
+
+# First non-initial vowel position (or a large sentinel), shared logic:
+# the deterministic typo rotates that vowel a->e->i->o->u->a, which
+# provably preserves the Soundex code (non-initial vowels only reset
+# coding runs; their identity never reaches the output).
+_Q426_VOWEL_POS = """least(
+    CASE WHEN strpos(substr({w}, 2), 'a') > 0
+         THEN strpos(substr({w}, 2), 'a') + 1 ELSE 99 END,
+    CASE WHEN strpos(substr({w}, 2), 'e') > 0
+         THEN strpos(substr({w}, 2), 'e') + 1 ELSE 99 END,
+    CASE WHEN strpos(substr({w}, 2), 'i') > 0
+         THEN strpos(substr({w}, 2), 'i') + 1 ELSE 99 END,
+    CASE WHEN strpos(substr({w}, 2), 'o') > 0
+         THEN strpos(substr({w}, 2), 'o') + 1 ELSE 99 END,
+    CASE WHEN strpos(substr({w}, 2), 'u') > 0
+         THEN strpos(substr({w}, 2), 'u') + 1 ELSE 99 END)"""
+
+
+_Q426_ORACLE = f"""
+    WITH vocab AS (
+        SELECT DISTINCT unnest(list_filter(
+                   string_split_regex(lower(text), '[^a-z]+'),
+                   x -> x <> '')) AS w
+        FROM documents
+    ),
+    vv AS (SELECT w FROM vocab WHERE length(w) >= 3),
+    pos AS (
+        SELECT w, {_Q426_VOWEL_POS.format(w="w")} AS p FROM vv
+    ),
+    typos AS (
+        SELECT w AS src,
+               substr(w, 1, p - 1)
+                   || translate(substr(w, p, 1), 'aeiou', 'eioua')
+                   || substr(w, p + 1) AS typo
+        FROM pos WHERE p < 99
+    ),
+    o AS (SELECT w, {_SDX_SQL.format(w="w")} AS code FROM vv),
+    t AS (SELECT src, typo, {_SDX_SQL.format(w="typo")} AS code
+          FROM typos),
+    pairs AS (
+        SELECT t.typo, o.w AS candidate, t.code,
+               CAST(levenshtein(t.typo, o.w) AS BIGINT) AS dist,
+               t.src = o.w AS is_source
+        FROM t JOIN o ON o.code = t.code
+        WHERE levenshtein(t.typo, o.w) <= 1 AND t.typo <> o.w
+    )
+    SELECT typo, candidate, code, dist, is_source
+    FROM pairs
+    ORDER BY typo, candidate
+"""
+
+
+@query(
+    "q426_phonetic_blocking_linkage",
+    oracle=_Q426_ORACLE,
+    tags=("dedup", "linkage", "phonetic", "soundex", "blocking"),
+)
+def q426_phonetic_blocking_linkage(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Phonetic (Soundex) blocking for typo-variant linkage — the
+    record-linkage family's third blocking scheme beside q412's
+    literal prefix blocks and q62's MinHash bands: candidates share a
+    SOUND class, so vowel-level corruptions that break prefix/shingle
+    blocking land in the same bucket for free. The drill follows
+    q332's deterministic-corruption precedent: every vocabulary word
+    (len ≥ 3) with a non-initial vowel gets one synthetic typo — that
+    vowel rotated a→e→i→o→u→a — which PROVABLY preserves the Soundex
+    code (non-initial vowels only reset coding runs; their identity
+    never reaches the code), so phonetic blocking must recover every
+    typo's source, verified by ``is_source`` and pinned complete in
+    tests. Within a block, exact Levenshtein ≤ 1 confirms candidates.
+
+    Two independent Soundex implementations face off in the
+    differential (the q420 discipline): Spark's builtin ``soundex()``
+    vs a from-scratch DuckDB character fold (``_SDX_SQL`` — the
+    H/W-transparency variant; cross-validated word-for-word on the
+    canonical Ashcraft/Tymczak/Pfister test set and the full fixture
+    vocabulary before registration).
+
+    Determinism: the typo injection is pure string arithmetic at a
+    computed position; Soundex is a deterministic fold; block keys
+    are exact 4-char strings; Levenshtein on ASCII is exact integer.
+    No hashing, no floats.
+
+    Scale posture: vocabulary-grain throughout — one distinct-word
+    aggregate from the corpus explode, then joins on the 4-char code
+    whose blocks are capped by the code space (6859 × 26 codes);
+    at 100 TB the vocabulary table is the same bounded frame the BPE
+    (q239) and typo-correction (q332) operators already maintain.
+    Reference contract: per-word encoding = map slot
+    (``App.config:16``); block join = reduce slot (``App.config:17``,
+    ``Program.cs:351-384``)."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    vocab = (
+        docs.select(
+            F.explode(
+                F.filter(
+                    F.split(F.lower(F.col("text")), "[^a-z]+"),
+                    lambda x: x != F.lit(""),
+                )
+            ).alias("w")
+        )
+        .distinct()
+        .where(F.length("w") >= 3)
+    )
+
+    def vowel_pos(w: Column) -> Column:
+        rest = F.substring(w, 2, 1_000_000)
+        cands = [
+            F.when(F.instr(rest, v) > 0, F.instr(rest, v) + 1).otherwise(99)
+            for v in "aeiou"
+        ]
+        return F.least(*cands)
+
+    pos = vocab.select("w", vowel_pos(F.col("w")).alias("p"))
+    typos = pos.where(F.col("p") < 99).select(
+        F.col("w").alias("src"),
+        F.concat(
+            F.expr("substring(w, 1, p - 1)"),
+            F.translate(F.expr("substring(w, p, 1)"), "aeiou", "eioua"),
+            F.expr("substring(w, p + 1)"),
+        ).alias("typo"),
+    )
+    o = vocab.select("w", F.soundex("w").alias("code"))
+    t = typos.select("src", "typo", F.soundex("typo").alias("code"))
+    return (
+        t.join(o, "code")
+        .where(
+            (F.levenshtein("typo", "w") <= 1) & (F.col("typo") != F.col("w"))
+        )
+        .select(
+            "typo",
+            F.col("w").alias("candidate"),
+            "code",
+            F.levenshtein("typo", "w").cast("long").alias("dist"),
+            (F.col("src") == F.col("w")).alias("is_source"),
+        )
+        .orderBy("typo", "candidate")
+    )

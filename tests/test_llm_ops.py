@@ -924,3 +924,41 @@ def test_q425_mg_guarantee_and_truth_containment(spark, sf_dir):
     )
     for r in exact:
         assert r.w in in_summary, f"frequent word {r.w} missing from summary"
+
+
+def test_q426_phonetic_recovery_is_complete(spark, sf_dir):
+    """Every injected typo must link back to its source word through
+    the Soundex block (the vowel-rotation invariance theorem made a
+    test), candidates are confirmed at Levenshtein ≤ 1, and the drill
+    is non-degenerate (multiple typos injected)."""
+    from pyspark.sql import functions as F
+
+    from azure_batch_map_reduce_spark.catalog import load_tables
+
+    rows = (
+        REGISTRY["q426_phonetic_blocking_linkage"].fn(spark, sf_dir).collect()
+    )
+    assert len(rows) > 3
+    for r in rows:
+        assert len(r.code) == 4 and r.code[0].isupper()
+        assert r.dist <= 1
+    # completeness: every word that SHOULD have produced a typo has a
+    # recovered is_source pair.
+    docs = load_tables(spark, sf_dir)["documents"]
+    vocab = {
+        r.w
+        for r in docs.select(
+            F.explode(
+                F.filter(
+                    F.split(F.lower(F.col("text")), "[^a-z]+"),
+                    lambda x: x != F.lit(""),
+                )
+            ).alias("w")
+        )
+        .distinct()
+        .collect()
+        if len(r.w) >= 3 and any(c in "aeiou" for c in r.w[1:])
+    }
+    recovered = {r.candidate for r in rows if r.is_source}
+    missing = vocab - recovered
+    assert not missing, f"typos not recovered for: {sorted(missing)[:5]}"
