@@ -7502,110 +7502,6 @@ def q422_pass_at_k_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     return s.select(*cols).orderBy("user_id")
 
 
-# --- q423: temperature-sampled mixture weights ------------------------
-
-_Q423_ORACLE = """
-    WITH s AS (
-        SELECT source, CAST(sum(n_chars) AS BIGINT) AS sz
-        FROM documents GROUP BY source
-    ),
-    t AS (
-        SELECT source, sz, sqrt(CAST(sz AS DOUBLE)) AS sq,
-               CAST(sum(sz) OVER () AS BIGINT) AS n_total
-        FROM s
-    ),
-    tot AS (
-        SELECT list_reduce(list(sq ORDER BY source), (a, b) -> a + b)
-            AS ssum
-        FROM t
-    )
-    SELECT source, sz AS n_chars_total,
-           ((2 * sz * 1000000 + n_total) // (2 * n_total)) / 1000000.0
-               AS p_share,
-           round(sq / ssum, 6) + 0.0 AS w_temp,
-           round((sq / ssum) / (CAST(sz AS DOUBLE) / n_total), 6) + 0.0
-               AS upsample_factor
-    FROM t, tot
-    ORDER BY source
-"""
-
-
-@query(
-    "q423_temperature_mixture_weights",
-    oracle=_Q423_ORACLE,
-    tags=("mixture", "sampling", "temperature", "multilingual", "llm"),
-)
-def q423_temperature_mixture_weights(
-    spark: SparkSession, sf_dir: str
-) -> DataFrame:
-    """Temperature-based source-sampling weights at α = 1/2 — the
-    multilingual-pretraining upsampling rule (sample source i with
-    probability ∝ p_i^α instead of its natural share p_i, flattening
-    the mixture so low-resource sources are upsampled and head
-    sources downsampled). This completes the mixture/rebalancing
-    family's missing axis: DoReMi (q264) reweights from proxy
-    losses, DSIR (q356) from importance ratios, Neyman (q308)
-    allocates a variance budget, waterfill (q263) a token budget, IPF
-    (q409) fits joint marginals — temperature sampling is the
-    no-side-information default every multilingual recipe starts
-    from. Emitted per source: corpus share p (half-up ppm), the
-    α = 1/2 weight w ∝ sqrt(size), and the upsample factor w/p (> 1
-    exactly for below-average sources).
-
-    Determinism: α is FIXED at 1/2 because sqrt is a correctly-
-    rounded IEEE operation on both engines — p^0.3-style temperatures
-    route through exp/ln (libm, engine-dependent) and would break the
-    differential (the q407 single-ln exposure is the accepted
-    ceiling; a general-α variant would document that exposure).
-    sqrt runs on exact integer-valued doubles (char sums < 2^53); the
-    weight normalizer folds the 5 source sqrts SEQUENTIALLY in source
-    order (Spark sorted-array ``aggregate`` vs DuckDB
-    ``list_reduce(list(... ORDER BY ...))`` — the q409 rule) so both
-    engines add the same doubles in the same order; every released
-    ratio is either the half-up integer idiom (p_share) or a single
-    bit-identical IEEE division chain rounded at 6 (w, upsample).
-
-    Scale posture: ONE partial+final aggregate to source grain
-    (bounded: #sources), then all math at that grain with two 1-row
-    broadcasts (total size, weight normalizer) — the q418
-    1-row-broadcast shape; nothing corpus-sized shuffles. At 100 TB
-    the size stats come from the catalog/ingest ledger and this is
-    pure driver-grain arithmetic. Reference contract: per-source
-    accounting = map slot (``App.config:16``); weight consolidation =
-    reduce slot (``App.config:17``, ``Program.cs:351-384``)."""
-    docs = load_tables(spark, sf_dir)["documents"]
-    s = docs.groupBy("source").agg(
-        F.sum("n_chars").cast("long").alias("sz")
-    )
-    total = s.agg(F.sum("sz").cast("long").alias("n_total"))
-    t = s.crossJoin(F.broadcast(total)).select(
-        "source",
-        "sz",
-        "n_total",
-        F.sqrt(F.col("sz").cast("double")).alias("sq"),
-    )
-    norm = t.agg(
-        F.aggregate(
-            F.array_sort(F.collect_list(F.struct("source", "sq"))),
-            F.lit(0.0),
-            lambda acc, x: acc + x["sq"],
-        ).alias("ssum")
-    )
-    w = F.col("sq") / F.col("ssum")
-    p_exact = F.col("sz").cast("double") / F.col("n_total")
-    return (
-        t.crossJoin(F.broadcast(norm))
-        .select(
-            "source",
-            F.col("sz").alias("n_chars_total"),
-            half_up_ratio(F.col("sz"), F.col("n_total"), 6).alias("p_share"),
-            (F.round(w, 6) + F.lit(0.0)).alias("w_temp"),
-            (F.round(w / p_exact, 6) + F.lit(0.0)).alias("upsample_factor"),
-        )
-        .orderBy("source")
-    )
-
-
 # --- q424: context-window packing audit -------------------------------
 
 _PACK_CONTEXT = 512
@@ -7658,12 +7554,17 @@ _Q424_ORACLE = f"""
     tags=("training", "packing", "context-window", "llm"),
 )
 def q424_context_window_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Context-window packing audit — the GPT-style training-data
-    assembly step the repo's curation family hands off to: documents
-    are concatenated in a fixed epoch order (doc_id — q338's shuffle
-    plan supplies a permuted order in production) and the token
-    stream is cut into fixed 512-token context windows
-    (``_PACK_CONTEXT``). Per chunk:
+    """Context-window packing audit — the token-level complement to
+    q123's sequence packing: q123 ASSIGNS whole documents to
+    sequences (doc grain, per-shard cumsum ÷ budget — no document
+    ever splits) and audits fill; this operator models the other
+    standard assembly mode, where the concatenated token STREAM is
+    cut at exact window boundaries and documents DO split — the mode
+    whose cost is attention contamination rather than padding waste,
+    which is exactly what it audits. Documents concatenate in a fixed
+    epoch order (doc_id — q338's shuffle plan supplies a permuted
+    order in production) and the stream is cut into fixed 512-token
+    context windows (``_PACK_CONTEXT``). Per chunk:
     how many documents touch it, start in it, CROSS its right
     boundary (the attention-contamination rows a real pipeline masks
     or discards), the tokens it holds, and utilization ppm (< 10⁶

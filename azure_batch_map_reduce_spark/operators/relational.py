@@ -3961,13 +3961,16 @@ _Q425_ORACLE = f"""
 def q425_misra_gries_heavy_hitters(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    """Mergeable Misra-Gries heavy-hitter summaries — the frequent-
-    items sketch the portable family lacked (q156 HLL answers "how
-    many distinct", q158 CMS answers "how often is THIS item", q276
-    KMV answers "how big is the intersection"; Misra-Gries answers
-    "WHICH items are frequent" with a deterministic deficit bound, no
-    hashing at all). The batch/mergeable form (Agarwal et al.'s
-    mergeable-summaries construction): each source builds a k-counter
+    """Mergeable Misra-Gries heavy-hitter summaries with the sketch's
+    ESTIMATES on the verified path — the missing half of q158: there,
+    MG runs engine-side as a per-partition PREFILTER whose output is
+    discarded after an exact recount (the oracle never sees the
+    sketch, only the exact answer); here the mergeable-summary
+    algebra ITSELF is cross-engine verified — per-source summaries,
+    the merge, the released estimates, and the deficit guarantee all
+    hash-match a from-scratch DuckDB derivation. The batch/mergeable
+    form (Agarwal et al.'s mergeable-summaries construction): each
+    source builds a k-counter
     summary — its top-k words by exact count with the (k+1)-th
     largest count subtracted from each — and the per-source summaries
     MERGE by summing estimates and re-truncating the combined counter

@@ -248,14 +248,12 @@ HEADLINE = [
     # (two Arrow-batched normalization UDFs + the q412 equi-join
     # dataflow — the repo's only UDF-heavy dedup row, worth a bench
     # line), q422 pass@k (one count aggregate + k-bounded scalar
-    # combinatorics), q423 temperature mixture (source-grain agg +
-    # two 1-row broadcasts). q421 (dedup-corpus parquet round-trip)
+    # combinatorics), q421 (dedup-corpus parquet round-trip)
     # is EXCLUDED per the q408 rule: its recorded time would measure
     # a small table's sink+scan, not throughput; correctness runs in
     # the differential gates at every SF.
     "q420_unicode_normalized_neardup",
     "q422_pass_at_k_eval",
-    "q423_temperature_mixture_weights",
     # q424: global running sum (range-partition + offsets) + span
     # explode to chunk grain; q425: two token aggregates + bounded
     # rank windows (the mergeable-sketch shape).

@@ -362,30 +362,6 @@ def test_q422_pass_at_k_invariants(spark, sf_dir):
     assert saw_partial, "all pass@10 saturated — estimator unexercised"
 
 
-def test_q423_temperature_flattens_mixture(spark, sf_dir):
-    """Temperature invariants: weights sum to ~1, every source
-    appears once, and α = 1/2 FLATTENS — below-average sources are
-    upsampled (factor > 1), above-average downsampled (< 1), with
-    weight order preserving size order (monotone transform)."""
-    rows = (
-        REGISTRY["q423_temperature_mixture_weights"]
-        .fn(spark, sf_dir)
-        .collect()
-    )
-    assert len(rows) >= 2
-    assert len({r.source for r in rows}) == len(rows)
-    assert abs(sum(r.w_temp for r in rows) - 1.0) < 1e-4
-    mean_sz = sum(r.n_chars_total for r in rows) / len(rows)
-    for r in rows:
-        if r.n_chars_total < mean_sz * 0.99:
-            assert r.upsample_factor > 1.0
-        if r.n_chars_total > mean_sz * 1.01:
-            assert r.upsample_factor < 1.0
-    by_sz = sorted(rows, key=lambda r: r.n_chars_total)
-    for a, b in zip(by_sz, by_sz[1:]):
-        assert a.w_temp <= b.w_temp
-
-
 def test_q424_packing_conservation_and_contiguity(spark, sf_dir):
     """Packing invariants: chunk ids are contiguous from 0; every
     non-tail chunk holds exactly 512 tokens at utilization 1e6 ppm; at

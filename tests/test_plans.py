@@ -1326,22 +1326,6 @@ def test_q422_pass_at_k_is_single_aggregate(spark, sf_dir):
     assert "props" not in read_schema and "value" not in read_schema
 
 
-def test_q423_temperature_weights_broadcast_only(spark, sf_dir):
-    """The two normalizers (total size, sqrt-sum) must reach source
-    grain as 1-row BROADCASTS — no shuffle join, no window — and every
-    documents scan pruned to (source, n_chars)."""
-    df = REGISTRY["q423_temperature_mixture_weights"].fn(spark, sf_dir)
-    explained = df._sc._jvm.PythonSQLUtils.explainString(
-        df._jdf.queryExecution(), "formatted"
-    )
-    assert "WindowExec" not in explained
-    assert "SortMergeJoin" not in explained
-    assert "BroadcastNestedLoopJoin" in explained  # the 1-row crossJoins
-    for line in explained.splitlines():
-        if "ReadSchema" in line:
-            assert "text" not in line and "doc_id" not in line
-
-
 def test_q425_mg_windows_are_bounded_and_audit_join_broadcasts(
     spark, sf_dir
 ):
