@@ -12,7 +12,11 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window, functions as F
 
 from azure_batch_map_reduce_spark.catalog import load_tables
-from azure_batch_map_reduce_spark.operators.ranks import bounded_order, half_up_ratio
+from azure_batch_map_reduce_spark.operators.ranks import (
+    bounded_order,
+    half_up_ratio,
+    round_nz,
+)
 from azure_batch_map_reduce_spark.registry import query
 
 # Distinct-marker-word language scoring: deterministic, vocabulary-based.
@@ -5206,3 +5210,148 @@ def q419_heaps_law_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+# --- q427: green-list text-watermark detection -------------------------
+
+# A 60-token chain over the fixture vocabulary in which EVERY adjacent
+# bigram is "green" under the detection hash (first hex digit of
+# md5('wm:' || prev || ':' || cur) even). Constructed offline by greedy
+# search — md5 is the same function everywhere, so both engines verify
+# (rather than trust) its greenness; it decorates the doc_id % 5 == 0
+# slice as the known-watermarked ground truth.
+_WM_CHAIN = (
+    "spark column fast merge small vector fast key spark value data part"
+    " query the big group part sort batch dup line slow vector customer"
+    " join scan vector big group part table agg fast merge small vector"
+    " fast key spark value data part query the big group part sort batch"
+    " dup line slow vector customer join scan vector big group part"
+)
+
+_WM_Z_FLAG = 3.0
+
+
+_Q427_ORACLE = f"""
+    WITH d AS (
+        SELECT doc_id,
+               doc_id % 5 = 0 AS watermarked,
+               CASE WHEN doc_id % 5 = 0
+                    THEN lower(text) || ' ' || '{_WM_CHAIN}'
+                    ELSE lower(text) END AS t
+        FROM documents
+    ),
+    toks AS (
+        SELECT doc_id, watermarked,
+               list_filter(string_split_regex(t, '[^a-z]+'),
+                           x -> x <> '') AS ws
+        FROM d
+    ),
+    bg AS (
+        SELECT doc_id, watermarked,
+               unnest(ws[1:len(ws) - 1]) AS prev,
+               unnest(ws[2:len(ws)]) AS cur
+        FROM toks WHERE len(ws) >= 2
+    ),
+    scored AS (
+        SELECT doc_id, watermarked,
+               CAST(count(*) AS BIGINT) AS n_scored,
+               CAST(sum(CASE WHEN substr(md5('wm:' || prev || ':' || cur),
+                                         1, 1) IN ('0','2','4','6','8',
+                                                   'a','c','e')
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_green
+        FROM bg GROUP BY doc_id, watermarked
+    )
+    SELECT doc_id, n_scored, n_green,
+           round(CAST(2 * n_green - n_scored AS DOUBLE)
+                 / sqrt(CAST(n_scored AS DOUBLE)), 6) + 0.0 AS z_score,
+           watermarked,
+           (CAST(2 * n_green - n_scored AS DOUBLE)
+            / sqrt(CAST(n_scored AS DOUBLE))) > {_WM_Z_FLAG} AS flagged
+    FROM scored
+    ORDER BY doc_id
+"""
+
+
+@query(
+    "q427_text_watermark_detection",
+    oracle=_Q427_ORACLE,
+    tags=("text", "watermark", "detection", "provenance", "llm"),
+)
+def q427_text_watermark_detection(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Green-list text-watermark detection (the Kirchenbauer-style
+    soft-watermark detector) — the AI-generated-text provenance audit
+    a training-data pipeline runs so model output doesn't silently
+    re-enter the training mix (a different mechanism from q257's
+    perplexity gate: watermark detection is a HYPOTHESIS TEST against
+    a known generator bias, not a fluency score). Each bigram
+    (prev, cur) is "green" if the first hex digit of
+    ``md5('wm:' || prev || ':' || cur)`` is even — under H0
+    (unwatermarked text) greens are Bernoulli(1/2), so the per-doc
+    statistic z = (2g − n)/√n is standard normal; watermarked text
+    biases token choice toward green continuations and z explodes.
+    The drill follows the q332/q426 deterministic-decoration
+    precedent: docs with doc_id % 5 == 0 get a 60-token all-green
+    chain appended (``_WM_CHAIN``, constructed offline but VERIFIED
+    by both engines' own md5 — nothing is trusted), so ground truth
+    is known and the detector must separate the slices across the
+    z > 3 threshold.
+
+    Determinism: tokenization and bigram pairing are exact; greenness
+    is a salted-md5 nibble test (the house uniform-draw pattern,
+    q407/q418); z is one subtraction, one IEEE sqrt, one IEEE
+    division — bit-identical — rounded at 6 with signed-zero
+    normalization only for DISPLAY (the flag compares the raw
+    double on both engines).
+
+    Scale posture: one bigram explode (the q257/q368 corpus shape) →
+    one partial+final aggregate to doc grain → scalar math; nothing
+    wider than (doc, prev, cur) shuffles and the released grain is
+    #docs. Reference contract: per-doc scoring = map slot
+    (``App.config:16``); corpus rollup = reduce slot
+    (``App.config:17``, ``Program.cs:351-384``)."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    wm = F.col("doc_id") % 5 == 0
+    t = F.when(
+        wm, F.concat(F.lower(F.col("text")), F.lit(" " + _WM_CHAIN))
+    ).otherwise(F.lower(F.col("text")))
+    toks = docs.select(
+        "doc_id",
+        wm.alias("watermarked"),
+        F.filter(F.split(t, "[^a-z]+"), lambda x: x != F.lit("")).alias(
+            "ws"
+        ),
+    ).where(F.size("ws") >= 2)
+    bg = toks.select(
+        "doc_id",
+        "watermarked",
+        F.explode(
+            F.zip_with(
+                F.slice("ws", 1, F.size("ws") - 1),
+                F.slice("ws", 2, F.size("ws") - 1),
+                lambda p, c: F.struct(p.alias("prev"), c.alias("cur")),
+            )
+        ).alias("pc"),
+    ).select("doc_id", "watermarked", "pc.prev", "pc.cur")
+    is_green = F.substring(
+        F.md5(F.concat_ws("", F.lit("wm:"), F.col("prev"), F.lit(":"), F.col("cur"))),
+        1,
+        1,
+    ).isin(list("02468ace"))
+    scored = bg.groupBy("doc_id", "watermarked").agg(
+        F.count(F.lit(1)).cast("long").alias("n_scored"),
+        F.sum(F.when(is_green, 1).otherwise(0)).cast("long").alias("n_green"),
+    )
+    z_raw = (
+        (F.lit(2) * F.col("n_green") - F.col("n_scored")).cast("double")
+        / F.sqrt(F.col("n_scored").cast("double"))
+    )
+    return scored.select(
+        "doc_id",
+        "n_scored",
+        "n_green",
+        round_nz(z_raw, 6).alias("z_score"),
+        "watermarked",
+        (z_raw > F.lit(_WM_Z_FLAG)).alias("flagged"),
+    ).orderBy("doc_id")

@@ -962,3 +962,27 @@ def test_q426_phonetic_recovery_is_complete(spark, sf_dir):
     recovered = {r.candidate for r in rows if r.is_source}
     missing = vocab - recovered
     assert not missing, f"typos not recovered for: {sorted(missing)[:5]}"
+
+
+def test_q427_watermark_detector_separates_slices(spark, sf_dir):
+    """Detection power + false-positive discipline: EVERY watermarked
+    doc must flag (the 60-token all-green tail pushes z far past 3);
+    unwatermarked docs flag at ≲ the N(0,1) tail rate (allow a small
+    deterministic handful); z recomputes from the emitted counts."""
+    import math
+
+    rows = (
+        REGISTRY["q427_text_watermark_detection"].fn(spark, sf_dir).collect()
+    )
+    assert len(rows) > 0
+    wm = [r for r in rows if r.watermarked]
+    clean = [r for r in rows if not r.watermarked]
+    assert wm and clean
+    for r in wm:
+        assert r.flagged, f"watermarked doc {r.doc_id} not flagged (z={r.z_score})"
+    false_pos = sum(1 for r in clean if r.flagged)
+    assert false_pos <= max(2, len(clean) // 100), false_pos
+    for r in rows[:50]:
+        z = (2 * r.n_green - r.n_scored) / math.sqrt(r.n_scored)
+        assert abs(z - r.z_score) < 5e-6
+        assert 0 <= r.n_green <= r.n_scored
