@@ -259,6 +259,8 @@ HEADLINE = [
     # rank windows (the mergeable-sketch shape).
     "q424_context_window_packing",
     "q425_misra_gries_heavy_hitters",
+    # q427: bigram explode (the q257/q368 corpus shape) + doc-grain agg.
+    "q427_text_watermark_detection",
 ]
 
 
