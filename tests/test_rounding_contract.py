@@ -44,6 +44,10 @@ ALLOWED = {
     "round(CAST(n_stop AS DOUBLE) / 10, 4)",
     # similarity.py q397: integer-decimal dot products over sqrt — sqrt
     "round(CAST(num AS DOUBLE) / sqrt(CAST(a2 AS DOUBLE) * CAST(b2 AS DOUBLE)), 6)",
+    # text.py q427: watermark z = (2g−n)/sqrt(n) — sqrt (n is never a
+    # perfect square times a power of 100 small enough to terminate;
+    # and the flag itself compares the raw double, not the round)
+    "round(CAST(2 * n_green - n_scored AS DOUBLE) / sqrt(CAST(n_scored AS DOUBLE)), 6)",
 }
 
 
