@@ -1340,3 +1340,20 @@ def test_q425_mg_windows_are_bounded_and_audit_join_broadcasts(
     )
     assert "CartesianProduct" not in explained
     assert "BroadcastHashJoin" in explained
+
+
+def test_q427_watermark_is_explode_plus_single_aggregate(spark, sf_dir):
+    """The detector must stay one bigram explode + one partial+final
+    doc-grain aggregate with the z-test as scalar math: one documents
+    scan, no join, no window, scan pruned to (doc_id, text)."""
+    df = REGISTRY["q427_text_watermark_detection"].fn(spark, sf_dir)
+    explained = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    assert "WindowExec" not in explained
+    assert "Join" not in explained
+    assert explained.count("Scan parquet") == 2
+    assert explained.count("HashAggregate") == 4
+    read_schema = [l for l in explained.splitlines() if "ReadSchema" in l][0]
+    assert "doc_id" in read_schema and "text" in read_schema
+    assert "source" not in read_schema and "lang" not in read_schema
