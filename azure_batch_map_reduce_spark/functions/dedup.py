@@ -3343,7 +3343,14 @@ def q420_unicode_normalized_neardup(
         (F.octet_length(nfc) - F.octet_length(norm))
         .cast("long")
         .alias("bytes_folded"),
-    )
+        # persist(): the normalized frame feeds BOTH self-join branches
+        # (a, b) plus the block-size filter — uncached, the two Arrow
+        # UDFs re-run per branch. A/B'd twice at sf0.1 per the
+        # empirical-call rule: 3.05/3.41 s uncached vs 1.44/1.40 s
+        # persisted (min-of-3 each, separate invocations, r10). The
+        # bench clears cache between queries; at 100 TB this column is
+        # materialized once at ingest instead (see docstring).
+    ).persist()
     ok_blocks = (
         d.groupBy("lang", "blk")
         .agg(F.count(F.lit(1)).alias("n"))
