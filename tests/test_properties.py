@@ -383,3 +383,91 @@ def test_q409_raking_matches_marginal_targets(spark, sf_dir):
     assert (seg_mass / (total / 5.0) - 1.0).abs().max() < 0.01
     assert abs(df.raked_mass.sum() - total) < 1e-3
     assert (df.raked_weight > 0).all()
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(10, 400), st.integers(0, 400)).map(
+            lambda t: (t[0], min(t[1], t[0]))
+        ),
+        min_size=1,
+        max_size=8,
+        unique=True,
+    )
+)
+@settings(max_examples=12, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_q422_pass_at_k_matches_exact_combinatorics(spark, ncs):
+    """The falling-factorial ratio must equal 1 − C(n−c,k)/C(n,k)
+    computed with arbitrary-precision math.comb and half-up rounded at
+    6 — for arbitrary (n, c), not just the fixture's. Catches any
+    widening or guard mistake in the decimal product chain."""
+    import math
+    from fractions import Fraction
+
+    from pyspark.sql import functions as F
+
+    from azure_batch_map_reduce_spark.functions.curation import (
+        q422_pass_at_k_eval,
+    )
+    from azure_batch_map_reduce_spark.operators.ranks import half_up_ratio
+
+    df = spark.createDataFrame(
+        [Row(n=n, c=c) for n, c in ncs], "n long, c long"
+    )
+    from functools import reduce
+
+    one = F.lit(1).cast("decimal(38,0)")
+
+    def fall(base, k):
+        return reduce(
+            lambda acc, i: acc * (base - F.lit(i)).cast("decimal(38,0)"),
+            range(k),
+            one,
+        )
+
+    cols = [F.col("n"), F.col("c")]
+    for k in (1, 5, 10):
+        num = F.when(
+            F.col("n") - F.col("c") < k, F.lit(0).cast("decimal(38,0)")
+        ).otherwise(fall(F.col("n") - F.col("c"), k))
+        den = fall(F.col("n"), k)
+        cols.append(half_up_ratio(den - num, den, 6).alias(f"p{k}"))
+    got = {(r.n, r.c): (r.p1, r.p5, r.p10) for r in df.select(*cols).collect()}
+    for n, c in ncs:
+        want = []
+        for k in (1, 5, 10):
+            frac = Fraction(1) - Fraction(math.comb(n - c, k), math.comb(n, k))
+            # half-up at 6 digits, exactly
+            scaled = frac * 10**6
+            ip = scaled.numerator // scaled.denominator
+            rem2 = 2 * (scaled.numerator - ip * scaled.denominator)
+            want.append((ip + (1 if rem2 >= scaled.denominator else 0)) / 1e6)
+        assert got[(n, c)] == tuple(want), (n, c, got[(n, c)], want)
+
+
+@given(
+    st.lists(
+        st.text(alphabet="abcdefghijklmnopqrstuvwxyz", min_size=1, max_size=12),
+        min_size=1,
+        max_size=30,
+        unique=True,
+    )
+)
+@settings(max_examples=10, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_q426_soundex_fold_matches_spark_builtin(spark, words):
+    """The from-scratch DuckDB Soundex character fold (q426's oracle)
+    must agree with Spark's builtin on ARBITRARY lowercase words, not
+    just the fixture vocabulary — pins the H/W-transparency and
+    vowel-reset rules of both implementations against each other."""
+    import duckdb
+    import pandas as pd
+
+    from azure_batch_map_reduce_spark.functions.dedup import _SDX_SQL
+
+    sdf = spark.createDataFrame([Row(w=w) for w in words], "w string")
+    got_spark = {r.w: r.sx for r in sdf.select("w", F.soundex("w").alias("sx")).collect()}
+    con = duckdb.connect()
+    con.register("wv", pd.DataFrame({"w": words}))
+    expr = _SDX_SQL.format(w="w")
+    got_duck = dict(con.execute(f"SELECT w, {expr} FROM wv").fetchall())
+    assert got_spark == got_duck
