@@ -7533,7 +7533,7 @@ _Q424_ORACLE = f"""
            CAST(count(*) AS BIGINT) AS n_docs_touching,
            CAST(sum(CASE WHEN c0 = chunk_id THEN 1 ELSE 0 END) AS BIGINT)
                AS n_docs_starting,
-           CAST(sum(CASE WHEN c0 = chunk_id AND c1 > chunk_id
+           CAST(sum(CASE WHEN c1 > chunk_id
                          THEN 1 ELSE 0 END) AS BIGINT)
                AS n_boundary_crossers,
            CAST(sum(least(cum_end, (chunk_id + 1) * {_PACK_CONTEXT})
@@ -7600,6 +7600,14 @@ def q424_context_window_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("toks"),
     )
+    return pack_chunk_audit(d)
+
+
+def pack_chunk_audit(d: DataFrame) -> DataFrame:
+    """q424's core on any (doc_id, toks) frame — factored out so unit
+    tests can drive it with synthetic multi-chunk documents (the
+    fixture's docs all fit inside one 512-token window, which is
+    exactly where the crosser-counting bug class hides)."""
     r = distributed_running_sum(d, [F.col("doc_id")], {"cum_end": "toks"})
     ctx = F.lit(_PACK_CONTEXT)
     spans = r.where(F.col("toks") > 0).select(
@@ -7623,23 +7631,25 @@ def q424_context_window_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(F.col("c0") == F.col("chunk_id"), 1).otherwise(0))
             .cast("long")
             .alias("n_docs_starting"),
+            # c1 > chunk_id alone (not ALSO c0 == chunk_id): a document
+            # spanning 3+ chunks crosses the right boundary of every
+            # chunk it traverses, not just the one it starts in —
+            # starting-only counting under-reports crossers as soon as
+            # any doc exceeds one window (round-10 review finding).
             F.sum(
-                F.when(
-                    (F.col("c0") == F.col("chunk_id"))
-                    & (F.col("c1") > F.col("chunk_id")),
-                    1,
-                ).otherwise(0)
+                F.when(F.col("c1") > F.col("chunk_id"), 1).otherwise(0)
             )
             .cast("long")
             .alias("n_boundary_crossers"),
             F.sum(in_chunk).cast("long").alias("tokens_in_chunk"),
-            F.expr(
-                f"(1000000 * sum(least(cum_end, (chunk_id + 1) * {_PACK_CONTEXT})"
-                f" - greatest(strt, chunk_id * {_PACK_CONTEXT})))"
-                f" div {_PACK_CONTEXT}"
-            )
-            .cast("long")
-            .alias("utilization_ppm"),
+        )
+        # Derived from the aggregated token count (not a re-stated sum
+        # expression) so the two released figures cannot drift apart.
+        .withColumn(
+            "utilization_ppm",
+            F.expr(f"(1000000 * tokens_in_chunk) div {_PACK_CONTEXT}").cast(
+                "long"
+            ),
         )
         .orderBy("chunk_id")
     )

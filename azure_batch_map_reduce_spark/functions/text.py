@@ -5214,7 +5214,7 @@ def q419_heaps_law_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- q427: green-list text-watermark detection -------------------------
 
-# A 60-token chain over the fixture vocabulary in which EVERY adjacent
+# A 150-token chain over the fixture vocabulary in which EVERY adjacent
 # bigram is "green" under the detection hash (first hex digit of
 # md5('wm:' || prev || ':' || cur) even). Constructed offline by greedy
 # search — md5 is the same function everywhere, so both engines verify
@@ -5225,7 +5225,15 @@ _WM_CHAIN = (
     " query the big group part sort batch dup line slow vector customer"
     " join scan vector big group part table agg fast merge small vector"
     " fast key spark value data part query the big group part sort batch"
-    " dup line slow vector customer join scan vector big group part"
+    " dup line slow vector customer join scan vector big group part table"
+    " agg fast merge small vector fast key spark value data part query"
+    " the big group part sort batch dup line slow vector customer join"
+    " scan vector big group part table agg fast merge small vector fast"
+    " key spark value data part query the big group part sort batch dup"
+    " line slow vector customer join scan vector big group part table agg"
+    " fast merge small vector fast key spark value data part query the"
+    " big group part sort batch dup line slow vector customer join scan"
+    " vector big group part"
 )
 
 _WM_Z_FLAG = 3.0
@@ -5292,8 +5300,11 @@ def q427_text_watermark_detection(
     statistic z = (2g − n)/√n is standard normal; watermarked text
     biases token choice toward green continuations and z explodes.
     The drill follows the q332/q426 deterministic-decoration
-    precedent: docs with doc_id % 5 == 0 get a 60-token all-green
-    chain appended (``_WM_CHAIN``, constructed offline but VERIFIED
+    precedent: docs with doc_id % 5 == 0 get a 150-token all-green
+    chain appended (long enough that the added ~149/√(n+149)
+    exceeds the z > 3 bar with margin even for the longest fixture
+    docs at every SF — a 60-token draft left the sf0.01/sf0.1
+    minimum watermarked z at 2.7–2.8, BELOW the flag) (``_WM_CHAIN``, constructed offline but VERIFIED
     by both engines' own md5 — nothing is trusted), so ground truth
     is known and the detector must separate the slices across the
     z > 3 threshold.

@@ -409,3 +409,33 @@ def test_q424_uses_distributed_running_sum_not_global_window(spark, sf_dir):
     )
     assert "rangepartitioning" in explained
     assert "CartesianProduct" not in explained
+
+
+def test_q424_multichunk_doc_crosses_every_traversed_boundary(spark):
+    """A document longer than one window must count as a boundary
+    crosser in EVERY chunk whose right edge it passes through — not
+    just the chunk it starts in (round-10 review finding; the fixture
+    can't exercise this because no doc exceeds 512 tokens). Layout:
+    doc 1 = 500 tokens, doc 2 = 1100 tokens (spans chunks 0..3),
+    doc 3 = 448 tokens (closes chunk 3 exactly)."""
+    from pyspark.sql import Row
+
+    from azure_batch_map_reduce_spark.functions.curation import (
+        pack_chunk_audit,
+    )
+
+    d = spark.createDataFrame(
+        [Row(doc_id=1, toks=500), Row(doc_id=2, toks=1100),
+         Row(doc_id=3, toks=448)],
+        "doc_id long, toks long",
+    )
+    rows = {r.chunk_id: r for r in pack_chunk_audit(d).collect()}
+    assert set(rows) == {0, 1, 2, 3}
+    # doc 2 starts in chunk 0 (at offset 500) and runs to 1600: it
+    # crosses the right boundaries of chunks 0, 1 and 2.
+    assert [rows[i].n_boundary_crossers for i in range(4)] == [1, 1, 1, 0]
+    assert [rows[i].n_docs_starting for i in range(4)] == [2, 0, 0, 1]
+    # touching = starting + carried-in (the previous chunk's crosser)
+    assert [rows[i].n_docs_touching for i in range(4)] == [2, 1, 1, 2]
+    assert all(rows[i].tokens_in_chunk == 512 for i in range(4))
+    assert all(rows[i].utilization_ppm == 1_000_000 for i in range(4))
