@@ -7390,6 +7390,43 @@ def q418_randomization_test(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _PASS_AT_KS = (1, 5, 10)
 
+# decimal(38,0) cliff for the k=10 falling-factorial release: half_up's
+# numerator is 2·den·10⁶ with den ≈ n¹⁰, which exceeds 10³⁸ at
+# n ≈ 1480 (Spark decimal overflow) while DuckDB HUGEINT errors at
+# n ≈ 1545 — the same silent-vs-raise divergence class as q413's
+# f1·(f1−1). The query therefore pins its verified domain to
+# n ≤ _PASS_AT_K_MAX_N on BOTH engines; an at-scale harness with more
+# samples per problem would compute the k=10 ratio with a per-factor
+# division fold (decimal(38,18) running quotient) instead.
+_PASS_AT_K_MAX_N = 1000
+
+
+def pass_at_k_columns(ks: tuple[int, ...] = _PASS_AT_KS) -> list[Column]:
+    """The pass@k release columns over an (n, c) problem-grain frame —
+    SHARED by q422 and its property test, so the test exercises the
+    production decimal chain rather than a copy of it."""
+    from functools import reduce as _reduce
+
+    one = F.lit(1).cast("decimal(38,0)")
+
+    def fall(base: Column, k: int) -> Column:
+        # Falling factorial Π_{i<k}(base − i), widened per factor
+        # before the multiply (int64 products would wrap silently).
+        return _reduce(
+            lambda acc, i: acc * (base - F.lit(i)).cast("decimal(38,0)"),
+            range(k),
+            one,
+        )
+
+    cols = []
+    for k in ks:
+        num = F.when(
+            F.col("n") - F.col("c") < k, F.lit(0).cast("decimal(38,0)")
+        ).otherwise(fall(F.col("n") - F.col("c"), k))
+        den = fall(F.col("n"), k)
+        cols.append(half_up_ratio(den - num, den, 6).alias(f"pass_at_{k}"))
+    return cols
+
 
 def _pass_at_k_sql(k: int) -> str:
     """DuckDB pass@k ppm-fraction: 1 − C(n−c,k)/C(n,k) computed as the
@@ -7418,7 +7455,7 @@ _Q422_ORACLE = f"""
                     AS BIGINT) AS c
         FROM events
         GROUP BY user_id
-        HAVING count(*) >= 10
+        HAVING count(*) BETWEEN 10 AND {_PASS_AT_K_MAX_N}
     )
     SELECT user_id, n AS n_samples, c AS n_correct,
            {_pass_at_k_sql(1)},
@@ -7460,11 +7497,13 @@ def q422_pass_at_k_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     stage; nothing wider than (problem, n, c) ever shuffles. At a
     real eval harness's scale (millions of problems × hundreds of
     samples) this is a map-side count plus k-bounded scalar math.
-    Reference contract: per-attempt grading = map slot
-    (``App.config:16``); per-problem consolidation = reduce slot
-    (``App.config:17``, ``Program.cs:351-384``)."""
-    from functools import reduce as _reduce
-
+    The verified domain is pinned to n ≤ 1000 samples per problem on
+    both engines (see ``_PASS_AT_K_MAX_N``: the k=10 decimal release
+    overflows 10³⁸ near n ≈ 1480 — Spark would NULL where DuckDB
+    raises); fixture grains top out near n ≈ 100. Reference contract:
+    per-attempt grading = map slot (``App.config:16``); per-problem
+    consolidation = reduce slot (``App.config:17``,
+    ``Program.cs:351-384``)."""
     events = load_tables(spark, sf_dir)["events"]
     s = (
         events.groupBy("user_id")
@@ -7474,31 +7513,14 @@ def q422_pass_at_k_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("long")
             .alias("c"),
         )
-        .where(F.col("n") >= 10)
+        .where((F.col("n") >= 10) & (F.col("n") <= _PASS_AT_K_MAX_N))
     )
-
-    one = F.lit(1).cast("decimal(38,0)")
-
-    def fall(base: Column, k: int) -> Column:
-        # Falling factorial Π_{i<k}(base − i), widened per factor
-        # before the multiply (int64 products would wrap silently).
-        return _reduce(
-            lambda acc, i: acc * (base - F.lit(i)).cast("decimal(38,0)"),
-            range(k),
-            one,
-        )
-
     cols = [
         F.col("user_id"),
         F.col("n").alias("n_samples"),
         F.col("c").alias("n_correct"),
+        *pass_at_k_columns(),
     ]
-    for k in _PASS_AT_KS:
-        num = F.when(
-            F.col("n") - F.col("c") < k, F.lit(0).cast("decimal(38,0)")
-        ).otherwise(fall(F.col("n") - F.col("c"), k))
-        den = fall(F.col("n"), k)
-        cols.append(half_up_ratio(den - num, den, 6).alias(f"pass_at_{k}"))
     return s.select(*cols).orderBy("user_id")
 
 

@@ -398,7 +398,11 @@ VAD_FRAME_BYTES = 4096
 VAD_THRESHOLD = 0.6
 
 
-_Q164_ORACLE = """
+_Q164_SEED = (
+    "substr(sha256('vad:' || asset_id || ':' || n_bytes || ':' || i), 1, 8)"
+)
+
+_Q164_ORACLE = f"""
     WITH f AS (
         SELECT list_extract(string_split(filename, '/'), -1) AS asset_id,
                CAST(size AS BIGINT) AS n_bytes,
@@ -413,15 +417,8 @@ _Q164_ORACLE = """
     ),
     en AS (
         SELECT asset_id, n_frames, i,
-               (list_reduce(
-                    list_transform(
-                        string_split(
-                            substr(sha256('vad:' || asset_id || ':'
-                                          || n_bytes || ':' || i), 1, 8),
-                            ''),
-                        c -> CAST(strpos('0123456789abcdef', c) - 1
-                                  AS BIGINT)),
-                    (a, b) -> a * 16 + b) / 4294967295.0) > 0.6 AS voiced
+               ({_HEX_FOLD.format(h=_Q164_SEED)}
+                / 4294967295.0) > 0.6 AS voiced
         FROM fr
     ),
     base AS (

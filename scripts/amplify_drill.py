@@ -124,10 +124,14 @@ def main() -> int:
     rebuild = "--rebuild" in sys.argv
     registry = load_all()
     spark = get_spark(app_name="abmr-amp-drill")
-    if rebuild or not os.path.exists(
-        os.path.join(AMP_DIR, "documents.parquet")
-    ):
+    # Guard on a completion MARKER, not the first artifact written: a
+    # build that crashed after documents.parquet (or a stale dir from
+    # different COPIES/ID_STRIDE) must not be silently reused — the
+    # timings would be against a mismatched corpus.
+    marker = os.path.join(AMP_DIR, f"_BUILT_x{COPIES}_s{ID_STRIDE}")
+    if rebuild or not os.path.exists(marker):
         build_amp(spark)
+        open(marker, "w").close()
 
     def run_once(name: str, sf_dir: str) -> float:
         t0 = time.perf_counter()

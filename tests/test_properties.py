@@ -397,42 +397,30 @@ def test_q409_raking_matches_marginal_targets(spark, sf_dir):
 )
 @settings(max_examples=12, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
 def test_q422_pass_at_k_matches_exact_combinatorics(spark, ncs):
-    """The falling-factorial ratio must equal 1 − C(n−c,k)/C(n,k)
-    computed with arbitrary-precision math.comb and half-up rounded at
-    6 — for arbitrary (n, c), not just the fixture's. Catches any
-    widening or guard mistake in the decimal product chain."""
+    """The PRODUCTION pass@k column chain (the exact expressions q422
+    releases, via the shared ``pass_at_k_columns`` builder) must equal
+    1 − C(n−c,k)/C(n,k) computed with arbitrary-precision math.comb
+    and half-up rounded at 6 — for arbitrary (n, c), not just the
+    fixture's. Catches any widening or guard mistake in the decimal
+    product chain."""
     import math
     from fractions import Fraction
 
     from pyspark.sql import functions as F
 
     from azure_batch_map_reduce_spark.functions.curation import (
-        q422_pass_at_k_eval,
+        pass_at_k_columns,
     )
-    from azure_batch_map_reduce_spark.operators.ranks import half_up_ratio
 
     df = spark.createDataFrame(
         [Row(n=n, c=c) for n, c in ncs], "n long, c long"
     )
-    from functools import reduce
-
-    one = F.lit(1).cast("decimal(38,0)")
-
-    def fall(base, k):
-        return reduce(
-            lambda acc, i: acc * (base - F.lit(i)).cast("decimal(38,0)"),
-            range(k),
-            one,
-        )
-
-    cols = [F.col("n"), F.col("c")]
-    for k in (1, 5, 10):
-        num = F.when(
-            F.col("n") - F.col("c") < k, F.lit(0).cast("decimal(38,0)")
-        ).otherwise(fall(F.col("n") - F.col("c"), k))
-        den = fall(F.col("n"), k)
-        cols.append(half_up_ratio(den - num, den, 6).alias(f"p{k}"))
-    got = {(r.n, r.c): (r.p1, r.p5, r.p10) for r in df.select(*cols).collect()}
+    got = {
+        (r.n, r.c): (r.pass_at_1, r.pass_at_5, r.pass_at_10)
+        for r in df.select(
+            F.col("n"), F.col("c"), *pass_at_k_columns()
+        ).collect()
+    }
     for n, c in ncs:
         want = []
         for k in (1, 5, 10):
