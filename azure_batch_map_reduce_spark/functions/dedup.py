@@ -3498,6 +3498,14 @@ _SDX_TO = "1" * 4 + "2" * 8 + "3" * 2 + "4" + "5" * 2 + "6" + "0" * 6 + "--"
 # (same two-implementations discipline as q420's unicodedata/utf8proc
 # pairing). Accumulator is 'RESULT|last_effective_code'; vowels reset
 # the run, h/w are transparent, result capped at 4.
+#
+# DuckDB 1.0.0 quirk (found by the hypothesis face-off test): a
+# list_reduce lambda branch that returns ``acc`` VERBATIM can, in a
+# vector that also contains single-element-list rows (1-letter words,
+# where the lambda never runs), leak the earlier row's fold result
+# into later rows — e.g. ['x','abba'] folded both to 'X000'. Every
+# branch below therefore RECONSTRUCTS the accumulator from its parts
+# instead of passing it through; semantics identical, evaluation safe.
 _SDX_SQL = f"""rpad(string_split(list_reduce(
     list_prepend(
         upper(substr({{w}}, 1, 1)) || '|'
@@ -3506,11 +3514,15 @@ _SDX_SQL = f"""rpad(string_split(list_reduce(
         string_split(substr({{w}}, 2), '')
     ),
     (acc, c) -> CASE
-        WHEN translate(c, '{_SDX_FROM}', '{_SDX_TO}') = '-' THEN acc
+        WHEN translate(c, '{_SDX_FROM}', '{_SDX_TO}') = '-'
+            THEN string_split(acc, '|')[1] || '|'
+                 || string_split(acc, '|')[2]
         WHEN translate(c, '{_SDX_FROM}', '{_SDX_TO}') = '0'
             THEN string_split(acc, '|')[1] || '|'
         WHEN translate(c, '{_SDX_FROM}', '{_SDX_TO}')
-             = string_split(acc, '|')[2] THEN acc
+             = string_split(acc, '|')[2]
+            THEN string_split(acc, '|')[1] || '|'
+                 || string_split(acc, '|')[2]
         ELSE (CASE WHEN length(string_split(acc, '|')[1]) < 4
                    THEN string_split(acc, '|')[1]
                         || translate(c, '{_SDX_FROM}', '{_SDX_TO}')

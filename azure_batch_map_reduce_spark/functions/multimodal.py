@@ -212,7 +212,7 @@ def q92_multimodal_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 FRAME_SCHEMA = (
     "asset_id string, duration_ms long, frame_idx long, frame_ts_ms long, "
-    "phash string, brightness double"
+    "phash string, brightness double, bright_u32 long"
 )
 
 FRAME_RATE_HZ = 4
@@ -247,6 +247,8 @@ _Q147_ORACLE = f"""
                (frame_idx * duration_ms) // 6 AS frame_ts_ms,
                substr({_Q147_MIX}, 1, 16) AS phash,
                {_HEX_FOLD.format(h=f"substr({_Q147_MIX}, 1, 8)")}
+                   AS bright_u32,
+               {_HEX_FOLD.format(h=f"substr({_Q147_MIX}, 1, 8)")}
                    / 4294967295.0 AS brightness
         FROM fr
     )
@@ -254,7 +256,9 @@ _Q147_ORACLE = f"""
            CAST(count(*) AS BIGINT) AS n_frames,
            max(duration_ms) AS duration_ms,
            max(frame_ts_ms) AS last_frame_ms,
-           round(avg(brightness), 6) + 0.0 AS avg_brightness,
+           ((2 * sum(bright_u32) * 1000000 + count(*) * 4294967295)
+            // (2 * (count(*) * 4294967295))) / 1000000.0
+               AS avg_brightness,
            CAST(count(DISTINCT phash) AS BIGINT) AS n_distinct_phash,
            bool_and(brightness >= 0 AND brightness <= 1) AS brightness_ok,
            (count(*) = 6
@@ -296,7 +300,10 @@ def q147_frame_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
     (integer ``(i·duration) // 6``, which the engine's
     double-divide-then-truncate provably equals for these magnitudes),
     the phash/brightness draws (same sha256 seed string, hex→int char
-    fold), and the per-asset rollup. The stub seed moved off the
+    fold), and the per-asset rollup. The released mean brightness is
+    the exact integer ratio sum(u32)/(n·0xFFFFFFFF) through
+    ``half_up_ratio`` — avg-of-doubles would hang bit-identity on both
+    engines summing six doubles in the same order (r10 ADVICE 3). The stub seed moved off the
     payload digest to make this expressible — q164's rule; q92 keeps
     the content-digest path and stays rows-only. The in-result
     invariants remain: ``grid_ok`` (exactly TARGET_FRAMES frames,
@@ -353,6 +360,12 @@ def q147_frame_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "frame_ts_ms": pdf["frame_ts_ms"].astype("int64"),
                     "phash": [m[:16] for m in mix],
                     "brightness": [int(m[:8], 16) / 0xFFFFFFFF for m in mix],
+                    # Raw 32-bit draw kept alongside the double: the
+                    # RELEASED per-asset mean is the exact integer ratio
+                    # sum(u32) / (n·0xFFFFFFFF) via half_up_ratio — the
+                    # avg-of-doubles form depended on both engines
+                    # summing in the same order (r10 ADVICE item 3).
+                    "bright_u32": [int(m[:8], 16) for m in mix],
                 }
             )
 
@@ -366,7 +379,11 @@ def q147_frame_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("frame_ts_ms").alias("first_frame_ms"),
             F.max("frame_ts_ms").alias("last_frame_ms"),
             F.countDistinct("frame_ts_ms").alias("n_distinct_ts"),
-            F.round(F.avg("brightness"), 6).alias("avg_brightness"),
+            half_up_ratio(
+                F.sum("bright_u32"),
+                F.count(F.lit(1)) * F.lit(0xFFFFFFFF),
+                6,
+            ).alias("avg_brightness"),
             F.countDistinct("phash").alias("n_distinct_phash"),
             F.min(
                 (F.col("brightness") >= 0.0) & (F.col("brightness") <= 1.0)

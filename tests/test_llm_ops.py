@@ -966,7 +966,7 @@ def test_q426_phonetic_recovery_is_complete(spark, sf_dir):
 
 def test_q427_watermark_detector_separates_slices(spark, sf_dir):
     """Detection power + false-positive discipline: EVERY watermarked
-    doc must flag (the 60-token all-green tail pushes z far past 3);
+    doc must flag (the 150-token all-green tail pushes z far past 3);
     unwatermarked docs flag at ≲ the N(0,1) tail rate (allow a small
     deterministic handful); z recomputes from the emitted counts."""
     import math
