@@ -7675,3 +7675,153 @@ def pack_chunk_audit(d: DataFrame) -> DataFrame:
         )
         .orderBy("chunk_id")
     )
+
+
+# --- q431: randomized-response local-DP frequency estimation -----------
+
+_RR_P_NUM, _RR_P_DEN = 3, 4  # report the true value with p = 3/4
+_RR_WINDOW = 1_000_000  # md5 uniform window for the keep/replace coin
+
+
+@query(
+    "q431_randomized_response_frequency",
+    oracle=f"""
+    WITH langs AS MATERIALIZED (
+        SELECT lang, row_number() OVER (ORDER BY lang) AS rnk
+        FROM (SELECT DISTINCT lang FROM documents)
+    ),
+    nl AS MATERIALIZED (SELECT count(*) AS L FROM langs),
+    drawn AS MATERIALIZED (
+        SELECT d.doc_id, d.lang,
+               ('0x' || substr(md5('rr1|' || CAST(d.doc_id AS VARCHAR)),
+                               1, 8))::BIGINT % {_RR_WINDOW}
+                   < {_RR_WINDOW * _RR_P_NUM // _RR_P_DEN} AS keep,
+               ('0x' || substr(md5('rr2|' || CAST(d.doc_id AS VARCHAR)),
+                               1, 8))::BIGINT % (SELECT L FROM nl) + 1
+                   AS ridx
+        FROM documents d
+    ),
+    reported AS MATERIALIZED (
+        SELECT CASE WHEN d.keep THEN d.lang ELSE l.lang END AS lang
+        FROM drawn d JOIN langs l ON l.rnk = d.ridx
+    ),
+    rc AS (SELECT lang, count(*) AS n_reported FROM reported GROUP BY lang),
+    tc AS (SELECT lang, count(*) AS n_true FROM documents GROUP BY lang),
+    tot AS (SELECT count(*) AS n FROM documents)
+    SELECT t.lang,
+           CAST(t.n_true AS BIGINT) AS n_true,
+           CAST(coalesce(r.n_reported, 0) AS BIGINT) AS n_reported,
+           (CASE WHEN {_RR_P_DEN} * nl.L * coalesce(r.n_reported, 0)
+                      - tot.n >= 0
+                 THEN (2 * ({_RR_P_DEN} * nl.L * coalesce(r.n_reported, 0)
+                            - tot.n) * 1000000
+                       + ({_RR_P_DEN - _RR_P_NUM} * nl.L))
+                      // (2 * ({_RR_P_DEN - _RR_P_NUM} * nl.L))
+                 ELSE -((2 * (tot.n
+                              - {_RR_P_DEN} * nl.L * coalesce(r.n_reported, 0))
+                             * 1000000
+                         + ({_RR_P_DEN - _RR_P_NUM} * nl.L))
+                        // (2 * ({_RR_P_DEN - _RR_P_NUM} * nl.L)))
+            END) / 1000000.0 AS n_est
+    FROM tc t
+    LEFT JOIN rc r USING (lang)
+    CROSS JOIN nl CROSS JOIN tot
+    ORDER BY t.lang
+    """,
+    tags=("privacy", "local-dp", "randomized-response", "curation"),
+)
+def q431_randomized_response_frequency(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """LOCAL differential privacy — generalized randomized response
+    (k-RR) over the language attribute, completing the privacy family
+    with the mechanism that runs where the DATA lives: q54 scrubs, q394
+    audits residual risk, q209 erases, q407 adds CENTRAL Laplace noise
+    to released aggregates; here each record itself lies with
+    calibrated probability (report the true lang w.p. p = 3/4, else a
+    uniform draw over the L langs) and the aggregator DEBIASES the
+    reported histogram back to an unbiased frequency estimate:
+    E[r_v] = p·n_v + n·(1−p)/L  ⇒  n̂_v = (L·r_v/p − n·(1−p)·L/(L·p))
+    = (4·L·r_v − n) / (3·L) at p = 3/4 — exact integer arithmetic,
+    released through the signed half-up idiom (estimates CAN
+    undershoot zero for rare values).
+
+    Like q407, this verifies the MECHANISM'S MATH, not a privacy
+    guarantee: the per-record coins are deterministic salted-md5 draws
+    (replayable by construction — that is what makes the differential
+    possible) and the true histogram is co-released for the
+    estimator-error readout, both of which void the ε guarantee a
+    production deployment would get from real randomness and
+    suppression of the truth.
+
+    Determinism: md5 windows → exact integer coins; the debiasing is a
+    ratio of exact integers (``half_up_ratio_signed``); no floats
+    before the single closing scale-back, no libm at all.
+
+    Scale posture: ONE corpus scan; the shuffle carries (lang) keys —
+    L ≤ 5 groups; the lang-index table is an L-row broadcast both
+    ways. At 100 TB this is the cheapest shape an aggregation can
+    take (map-side combine does nearly all the work), which is the
+    point of local DP: the server-side workload is a plain histogram.
+    Reference contract: per-record perturbation = map slot
+    (``App.config:16``); debiased rollup = reduce slot
+    (``App.config:17``, ``Program.cs:351-384``)."""
+    from azure_batch_map_reduce_spark.operators.ranks import rank_small
+
+    docs = load_tables(spark, sf_dir)["documents"].select("doc_id", "lang")
+    langs = rank_small(
+        docs.select("lang").distinct(),
+        [F.col("lang").alias("_k")],
+        ["lang"],
+    )
+    nl = langs.agg(F.count(F.lit(1)).alias("L"))
+    h = lambda salt: (  # noqa: E731
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(salt), F.col("doc_id").cast("string"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+    )
+    thresh = _RR_WINDOW * _RR_P_NUM // _RR_P_DEN
+    drawn = docs.crossJoin(F.broadcast(nl)).select(
+        "doc_id",
+        "lang",
+        (h("rr1|") % _RR_WINDOW < thresh).alias("keep"),
+        (h("rr2|") % F.col("L") + 1).alias("ridx"),
+    )
+    reported = drawn.join(
+        F.broadcast(langs.select(F.col("lang").alias("rlang"), "rnk")),
+        drawn["ridx"] == F.col("rnk"),
+    ).select(
+        F.when(F.col("keep"), F.col("lang"))
+        .otherwise(F.col("rlang"))
+        .alias("lang")
+    )
+    rc = reported.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_reported")
+    )
+    tc = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n_true"))
+    tot = docs.agg(F.count(F.lit(1)).alias("n"))
+    num = (
+        F.lit(_RR_P_DEN) * F.col("L") * F.coalesce(F.col("n_reported"), F.lit(0))
+        - F.col("n")
+    )
+    den = F.lit(_RR_P_DEN - _RR_P_NUM) * F.col("L")
+    return (
+        tc.join(rc, "lang", "left")
+        .crossJoin(F.broadcast(nl))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "lang",
+            F.col("n_true").cast("long").alias("n_true"),
+            F.coalesce(F.col("n_reported"), F.lit(0))
+            .cast("long")
+            .alias("n_reported"),
+            half_up_ratio_signed(num, den, 6).alias("n_est"),
+        )
+        .orderBy("lang")
+    )
