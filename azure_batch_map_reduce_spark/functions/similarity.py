@@ -4073,3 +4073,402 @@ def q414_cluster_silhouette_audit(spark: SparkSession, sf_dir: str) -> DataFrame
         ),
         "n_positive",
     ).orderBy("label")
+
+
+# --- q429: grid-accelerated DBSCAN over the embedding projection -------
+
+# Fixed-point scale for the 2-D projection (dims 1-2 of the embedding):
+# coords land in roughly ±40k units, so squared distances stay far below
+# int64. eps = 0.02 in embedding units; minPts = 4 core-neighbor bar
+# (neighbors EXCLUDING the point itself). Probed at every SF: 22/16/5
+# clusters with 209/201/204 noise points at sf0.001/0.01/0.1.
+_DB_SCALE = 100_000.0
+_DB_EPS = 2_000  # 0.02 * scale
+_DB_MINPTS = 4
+
+_Q429_ORACLE = f"""
+    WITH RECURSIVE pts AS MATERIALIZED (
+        SELECT vec_id,
+               CAST(round(CAST(embedding[1] AS DOUBLE) * {_DB_SCALE}) AS BIGINT) AS xi,
+               CAST(round(CAST(embedding[2] AS DOUBLE) * {_DB_SCALE}) AS BIGINT) AS yi
+        FROM embeddings
+    ),
+    -- brute-force pair scan: the oracle deliberately skips the engine's
+    -- grid so the differential PROVES the 3x3 cell join loses no pairs
+    pairs AS MATERIALIZED (
+        SELECT a.vec_id AS u, b.vec_id AS v
+        FROM pts a JOIN pts b
+          ON a.vec_id < b.vec_id
+         AND (a.xi - b.xi) * (a.xi - b.xi)
+             + (a.yi - b.yi) * (a.yi - b.yi) <= {_DB_EPS * _DB_EPS}
+    ),
+    nb AS MATERIALIZED (
+        SELECT u, v FROM pairs UNION ALL SELECT v, u FROM pairs
+    ),
+    deg AS MATERIALIZED (
+        SELECT p.vec_id, count(n.v) AS n_neighbors
+        FROM pts p LEFT JOIN nb n ON n.u = p.vec_id
+        GROUP BY p.vec_id
+    ),
+    core AS MATERIALIZED (
+        SELECT vec_id FROM deg WHERE n_neighbors >= {_DB_MINPTS}
+    ),
+    ce AS MATERIALIZED (
+        SELECT n.u, n.v FROM nb n
+        JOIN core a ON a.vec_id = n.u
+        JOIN core b ON b.vec_id = n.v
+    ),
+    reach AS (
+        SELECT u AS node, u AS label FROM ce
+        UNION
+        SELECT e.v AS node, r.label FROM reach r JOIN ce e ON e.u = r.node
+    ),
+    lab AS MATERIALIZED (
+        SELECT c.vec_id, coalesce(min(r.label), c.vec_id) AS cluster_id
+        FROM core c LEFT JOIN reach r ON r.node = c.vec_id
+        GROUP BY c.vec_id
+    ),
+    border AS MATERIALIZED (
+        SELECT n.u AS vec_id, min(l.cluster_id) AS cluster_id
+        FROM nb n
+        JOIN lab l ON l.vec_id = n.v
+        WHERE n.u NOT IN (SELECT vec_id FROM core)
+        GROUP BY n.u
+    )
+    SELECT d.vec_id,
+           CAST(d.n_neighbors AS BIGINT) AS n_neighbors,
+           CASE WHEN cl.vec_id IS NOT NULL THEN 'core'
+                WHEN bl.vec_id IS NOT NULL THEN 'border'
+                ELSE 'noise' END AS role,
+           CAST(coalesce(cl.cluster_id, bl.cluster_id) AS BIGINT)
+               AS cluster_id
+    FROM deg d
+    LEFT JOIN lab cl ON cl.vec_id = d.vec_id
+    LEFT JOIN border bl ON bl.vec_id = d.vec_id
+    ORDER BY d.vec_id
+"""
+
+
+@query(
+    "q429_grid_dbscan_clusters",
+    oracle=_Q429_ORACLE,
+    tags=("similarity", "clustering", "dbscan", "density", "embeddings"),
+)
+def q429_grid_dbscan_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DBSCAN density clustering over the 2-D embedding projection —
+    the clustering family's DENSITY member beside centroid k-means
+    (q243/q74) and its silhouette audit (q414): clusters are maximal
+    sets of ε-reachable core points (≥ minPts neighbors within ε),
+    points ε-near a core without the density bar are border, the rest
+    is noise — no k chosen in advance, arbitrary cluster shapes, an
+    explicit outlier class (the curation use: island-and-outlier maps
+    of an embedding space that centroid methods force into k blobs).
+
+    Engine dataflow is the GRID formulation: points bucket into
+    ε-sized cells, candidate pairs come from ONE equi-join on the 3×3
+    neighbor-cell keys (cell + 9 exploded offsets — the q211 spatial
+    idiom), exact squared integer distance filters candidates, core
+    flags come from one neighbor count, and core-core adjacency feeds
+    :func:`~azure_batch_map_reduce_spark.functions.dedup.connected_components`
+    (min-label propagation, localCheckpoint per round). The ORACLE
+    deliberately computes neighbors by brute-force O(n²) pair scan —
+    the differential therefore PROVES the grid join drops no pair
+    (a cell-boundary bug would surface as a role/cluster mismatch).
+
+    Border points adopt min(cluster of their core neighbors); cluster
+    ids are the component's min vec_id — both deterministic. Isolated
+    cores (degree ≥ minPts via border-only neighbors — possible when
+    every neighbor is sub-bar) self-label.
+
+    Determinism: fixed-point 1e5 integer coords (exact on both
+    engines), integer squared distances, integer counts; no floats
+    after the coordinate quantization, no libm.
+
+    Scale posture: candidate generation is the banded-equi-join
+    discipline (never all-pairs — the oracle's brute-force scan is the
+    REFERENCE implementation, not the engine's); cell population is
+    bounded by density (ε chosen so cells hold O(minPts) points), so
+    the neighbor join is linear in points with a small constant. The
+    label-propagation loop converges in ≤ diameter rounds (22 at
+    sf0.1's percolated giant cluster — max_iter=60 with the fixpoint
+    break; the large-star/small-star swap documented in
+    ``connected_components`` bounds this at O(log²) on 100 TB graphs).
+    Reference contract: per-point cell assignment + neighbor count =
+    map slot (``App.config:16``); component closure = reduce slot
+    (``App.config:17``, ``Program.cs:351-384``)."""
+    from azure_batch_map_reduce_spark.functions.dedup import (
+        connected_components,
+    )
+
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    pts = emb.select(
+        "vec_id",
+        F.round(F.element_at("embedding", 1).cast("double") * _DB_SCALE)
+        .cast("long")
+        .alias("xi"),
+        F.round(F.element_at("embedding", 2).cast("double") * _DB_SCALE)
+        .cast("long")
+        .alias("yi"),
+    ).withColumns(
+        {
+            "cx": F.floor(F.col("xi") / F.lit(float(_DB_EPS))).cast("long"),
+            "cy": F.floor(F.col("yi") / F.lit(float(_DB_EPS))).cast("long"),
+        }
+    ).persist()
+    cells = ", ".join(
+        f"struct({dx} AS dx, {dy} AS dy)"
+        for dx in (-1, 0, 1)
+        for dy in (-1, 0, 1)
+    )
+    offsets = F.expr(f"explode(array({cells}))")
+    probe = pts.select(
+        F.col("vec_id").alias("u"),
+        F.col("xi").alias("ux"),
+        F.col("yi").alias("uy"),
+        "cx",
+        "cy",
+        offsets.alias("o"),
+    ).select(
+        "u",
+        "ux",
+        "uy",
+        (F.col("cx") + F.col("o.dx")).alias("ncx"),
+        (F.col("cy") + F.col("o.dy")).alias("ncy"),
+    )
+    d2 = (F.col("ux") - F.col("xi")) * (F.col("ux") - F.col("xi")) + (
+        F.col("uy") - F.col("yi")
+    ) * (F.col("uy") - F.col("yi"))
+    pairs = (
+        probe.join(
+            pts.select("vec_id", "xi", "yi", "cx", "cy"),
+            (F.col("ncx") == F.col("cx")) & (F.col("ncy") == F.col("cy")),
+        )
+        .where(F.col("u") < F.col("vec_id"))
+        .where(d2 <= _DB_EPS * _DB_EPS)
+        .select("u", F.col("vec_id").alias("v"))
+        .persist()
+    )
+    nb = pairs.unionAll(
+        pairs.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    deg = (
+        pts.select("vec_id")
+        .join(nb, pts["vec_id"] == nb["u"], "left")
+        .groupBy("vec_id")
+        .agg(F.count(F.col("v")).alias("n_neighbors"))
+        .persist()
+    )
+    core = deg.where(F.col("n_neighbors") >= _DB_MINPTS).select("vec_id")
+    ce = (
+        nb.join(core.select(F.col("vec_id").alias("u")), "u")
+        .join(core.select(F.col("vec_id").alias("v")), "v")
+        .select("u", "v")
+    )
+    labels = connected_components(ce, max_iter=60)
+    lab = (
+        core.join(labels, core["vec_id"] == labels["node"], "left")
+        .select(
+            "vec_id",
+            F.coalesce(F.col("label"), F.col("vec_id")).alias("cluster_id"),
+        )
+        .persist()
+    )
+    border = (
+        nb.join(
+            lab.select(F.col("vec_id").alias("v"), "cluster_id"), "v"
+        )
+        .join(lab.select(F.col("vec_id").alias("u")), "u", "left_anti")
+        .groupBy("u")
+        .agg(F.min("cluster_id").alias("cluster_id"))
+    )
+    out = (
+        deg.join(
+            lab.select("vec_id", F.col("cluster_id").alias("_core_cl")),
+            "vec_id",
+            "left",
+        )
+        .join(
+            border.select(
+                F.col("u").alias("vec_id"),
+                F.col("cluster_id").alias("_border_cl"),
+            ),
+            "vec_id",
+            "left",
+        )
+        .select(
+            "vec_id",
+            F.col("n_neighbors").cast("long").alias("n_neighbors"),
+            F.when(F.col("_core_cl").isNotNull(), F.lit("core"))
+            .when(F.col("_border_cl").isNotNull(), F.lit("border"))
+            .otherwise(F.lit("noise"))
+            .alias("role"),
+            F.coalesce(F.col("_core_cl"), F.col("_border_cl"))
+            .cast("long")
+            .alias("cluster_id"),
+        )
+        .orderBy("vec_id")
+    )
+    return out
+
+
+# --- q432: greedy k-center coreset selection (Gonzalez traversal) ------
+
+_KC_K = 8  # number of centers selected
+_KC_SCALE = 100_000.0  # fixed-point per-coordinate scale
+
+
+def _kcenter_oracle_sql() -> str:
+    """Unrolled farthest-point traversal: c0 = min vec_id; each round
+    materializes the running min squared distance d{j} and the argmax
+    selection s{j+1} (ORDER BY d2 DESC, vec_id LIMIT 1 — the exact
+    tie-break the engine uses). All integer arithmetic; every CTE
+    MATERIALIZED (d{j} is referenced by both the argmax and the next
+    update — the pagerank inlining rule)."""
+    dist = (
+        "list_reduce(list_prepend(CAST(0 AS BIGINT), "
+        "list_transform(generate_series(1, 64), "
+        "i -> (p.xv[i] - c.xv[i]) * (p.xv[i] - c.xv[i]))), (a, b) -> a + b)"
+    )
+    ctes = [
+        f"""pts AS MATERIALIZED (
+        SELECT vec_id,
+               list_transform(embedding,
+                   x -> CAST(round(CAST(x AS DOUBLE) * {_KC_SCALE})
+                             AS BIGINT)) AS xv
+        FROM embeddings
+    )""",
+        "c0 AS MATERIALIZED (SELECT vec_id, xv FROM pts ORDER BY vec_id LIMIT 1)",
+        f"""d0 AS MATERIALIZED (
+        SELECT p.vec_id, {dist} AS d2 FROM pts p CROSS JOIN c0 c
+    )""",
+    ]
+    for j in range(1, _KC_K):
+        ctes.append(f"""s{j} AS MATERIALIZED (
+        SELECT p.vec_id, p.xv, d.d2
+        FROM d{j - 1} d JOIN pts p USING (vec_id)
+        ORDER BY d.d2 DESC, p.vec_id LIMIT 1
+    )""")
+        ctes.append(f"""d{j} AS MATERIALIZED (
+        SELECT p.vec_id, least(d.d2, {dist}) AS d2
+        FROM pts p
+        JOIN d{j - 1} d USING (vec_id)
+        CROSS JOIN s{j} c
+    )""")
+    selects = ["SELECT 0 AS iter, vec_id AS center_id, CAST(NULL AS BIGINT) AS radius2 FROM c0"]
+    selects += [
+        f"SELECT {j}, vec_id, d2 FROM s{j}" for j in range(1, _KC_K)
+    ]
+    selects.append(
+        f"SELECT {_KC_K}, CAST(-1 AS BIGINT), max(d2) FROM d{_KC_K - 1}"
+    )
+    return (
+        "WITH " + ",\n".join(ctes) + "\nSELECT iter, center_id, radius2 FROM ("
+        + " UNION ALL ".join(selects)
+        + ") ORDER BY iter"
+    )
+
+
+@query(
+    "q432_kcenter_coreset_selection",
+    oracle=_kcenter_oracle_sql(),
+    tags=("similarity", "coreset", "selection", "k-center", "embeddings"),
+)
+def q432_kcenter_coreset_selection(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Greedy k-center coreset selection (Gonzalez farthest-point
+    traversal) over the embedding table — the GEOMETRIC-coverage
+    member of the data-selection family: q307 maximizes set coverage
+    of vocabulary features, q299 picks by model uncertainty, q363 by
+    value-per-token, q356 by importance ratios; k-center instead picks
+    the subset that MINIMIZES the worst-case distance from any corpus
+    point to its nearest selected point (the 2-approximation coreset
+    used for data pruning and landmark selection in embedding spaces).
+    Selection order is the value: each next center is the point
+    currently FARTHEST from the selected set, so the emitted radius
+    sequence is non-increasing and the final row releases the
+    coverage radius of the whole corpus under the 8 chosen landmarks.
+
+    Determinism: coordinates quantize to fixed-point 1e5 integers
+    (exact on both engines, the q397 rule — float32 dot products
+    diverge); squared distances are exact int64 sums (≤ 64·(8e4)² ≈
+    4e11); the argmax tie-breaks on min vec_id over exact integers.
+    No floats anywhere in the released values.
+
+    Scale posture: each of the 8 rounds is ONE map over the points
+    (running-min update against a 1-row broadcast center) plus one
+    TakeOrdered(1) — no corpus shuffle, state is a single 64-int
+    vector per round; ``localCheckpoint`` per round truncates the
+    8-deep lineage. At 100 TB rounds stay corpus-linear and the
+    selected-set broadcast stays K rows — the same dataflow; K grows
+    only the broadcast. Reference contract: per-point distance update
+    = map slot (``App.config:16``); the argmax gather = reduce slot
+    (``App.config:17``, ``Program.cs:351-384``)."""
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    pts = emb.select(
+        "vec_id",
+        F.transform(
+            "embedding",
+            lambda x: F.round(x.cast("double") * _KC_SCALE).cast("long"),
+        ).alias("xv"),
+    ).persist()
+    c0 = pts.orderBy("vec_id").limit(1)
+    d2_to = F.aggregate(
+        F.zip_with(
+            F.col("xv"),
+            F.col("cv"),
+            lambda x, c: (x - c) * (x - c),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    state = (
+        pts.crossJoin(
+            F.broadcast(c0.select(F.col("xv").alias("cv")))
+        )
+        .select("vec_id", "xv", d2_to.alias("d2"))
+        .localCheckpoint(eager=True)
+    )
+    rows = [
+        c0.select(
+            F.lit(0).alias("iter"),
+            F.col("vec_id").alias("center_id"),
+            F.lit(None).cast("long").alias("radius2"),
+        )
+    ]
+    for j in range(1, _KC_K):
+        sel = (
+            state.orderBy(F.col("d2").desc(), F.col("vec_id"))
+            .limit(1)
+            .localCheckpoint(eager=True)
+        )
+        rows.append(
+            sel.select(
+                F.lit(j).alias("iter"),
+                F.col("vec_id").alias("center_id"),
+                F.col("d2").alias("radius2"),
+            )
+        )
+        state = (
+            state.crossJoin(
+                F.broadcast(sel.select(F.col("xv").alias("cv")))
+            )
+            .select(
+                "vec_id",
+                "xv",
+                F.least(F.col("d2"), d2_to).alias("d2"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    rows.append(
+        state.agg(F.max("d2").alias("radius2")).select(
+            F.lit(_KC_K).alias("iter"),
+            F.lit(-1).cast("long").alias("center_id"),
+            "radius2",
+        )
+    )
+    pts.unpersist()
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out.orderBy("iter")
