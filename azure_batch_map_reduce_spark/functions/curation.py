@@ -7715,13 +7715,13 @@ _RR_WINDOW = 1_000_000  # md5 uniform window for the keep/replace coin
                       - tot.n >= 0
                  THEN (2 * ({_RR_P_DEN} * nl.L * coalesce(r.n_reported, 0)
                             - tot.n) * 1000000
-                       + ({_RR_P_DEN - _RR_P_NUM} * nl.L))
-                      // (2 * ({_RR_P_DEN - _RR_P_NUM} * nl.L))
+                       + ({_RR_P_NUM} * nl.L))
+                      // (2 * ({_RR_P_NUM} * nl.L))
                  ELSE -((2 * (tot.n
                               - {_RR_P_DEN} * nl.L * coalesce(r.n_reported, 0))
                              * 1000000
-                         + ({_RR_P_DEN - _RR_P_NUM} * nl.L))
-                        // (2 * ({_RR_P_DEN - _RR_P_NUM} * nl.L)))
+                         + ({_RR_P_NUM} * nl.L))
+                        // (2 * ({_RR_P_NUM} * nl.L)))
             END) / 1000000.0 AS n_est
     FROM tc t
     LEFT JOIN rc r USING (lang)
@@ -7810,7 +7810,7 @@ def q431_randomized_response_frequency(
         F.lit(_RR_P_DEN) * F.col("L") * F.coalesce(F.col("n_reported"), F.lit(0))
         - F.col("n")
     )
-    den = F.lit(_RR_P_DEN - _RR_P_NUM) * F.col("L")
+    den = F.lit(_RR_P_NUM) * F.col("L")
     return (
         tc.join(rc, "lang", "left")
         .crossJoin(F.broadcast(nl))
@@ -7825,3 +7825,262 @@ def q431_randomized_response_frequency(
         )
         .orderBy("lang")
     )
+
+
+# --- q433: quality-classifier training (libm-free logistic GD) ---------
+
+_QC_STEPS = 3
+_QC_LR = 0.5  # exact binary64 literal on both engines
+_QC_QSCALE = 1_000_000  # per-example gradients quantized before the sum
+_QC_STOPS = ("scan", "column", "window", "order", "sort")
+_QC_THRESH = 300  # label rule: y = 1 iff n_chars > 300 (median ~312)
+
+
+def _qc_obs_sql() -> str:
+    stops = ", ".join(f"'{w}'" for w in _QC_STOPS)
+    return f"""
+    obs AS MATERIALIZED (
+        SELECT list_value(
+                   CAST(1.0 AS DOUBLE),
+                   (n_chars - {_QC_THRESH}) / CAST(100.0 AS DOUBLE),
+                   CAST(length(replace(text, ' ', '')) AS DOUBLE)
+                       / len(string_split(text, ' '))
+                       - CAST(5.0 AS DOUBLE),
+                   CAST(len(list_filter(string_split(lower(text), ' '),
+                            w -> list_contains([{stops}], w))) AS DOUBLE)
+                       / len(string_split(text, ' '))) AS xa,
+               CASE WHEN n_chars > {_QC_THRESH} THEN CAST(1.0 AS DOUBLE)
+                    ELSE CAST(0.0 AS DOUBLE) END AS y
+        FROM documents
+    )"""
+
+
+def _qc_oracle_sql() -> str:
+    """Three unrolled GD steps of the fast-sigmoid logistic trainer.
+    Each step: per-row margin z from the previous weights (prepend-0
+    fold in dim order), pre-update accuracy count, per-dim quantized
+    gradient sums, then the shared-arithmetic weight update. Every
+    step CTE MATERIALIZED (the q343/pagerank rule)."""
+    dims = "generate_series(1, 4)"
+    z_fold = (
+        f"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+        f"list_transform({dims}, i -> xa[i] * w.wl[i])), (a, b) -> a + b)"
+    )
+    step_tpl = """
+    g{k} AS MATERIALIZED (
+        SELECT s.dim AS dim,
+               sum(CAST(round((p - y) * s.xv * {qs}) AS BIGINT)) AS gq,
+               sum(CASE WHEN (z > 0) = (y = 1.0) THEN 1 ELSE 0 END)
+                   AS n_correct,
+               count(*) AS n
+        FROM (
+            SELECT e.p, e.y, e.z,
+                   unnest(list_transform({dims},
+                       i -> struct_pack(dim := i, xv := e.xa[i]))) AS s
+            FROM (
+                SELECT z, y,
+                       CAST(0.5 AS DOUBLE)
+                           + z / (CAST(2.0 AS DOUBLE)
+                                  * (CAST(1.0 AS DOUBLE) + abs(z))) AS p,
+                       xa
+                FROM (
+                    SELECT xa, y, {zf} AS z
+                    FROM obs CROSS JOIN w{p} w
+                )
+            ) e
+        )
+        GROUP BY s.dim
+    ),
+    w{k} AS MATERIALIZED (
+        SELECT list(w.wl[g.dim]
+                    - {lr} * (CAST(g.gq AS DOUBLE) / {qs} / g.n)
+                    ORDER BY g.dim) AS wl,
+               max(g.n_correct) AS n_correct,
+               max(g.n) AS n
+        FROM g{k} g CROSS JOIN w{p} w
+    )"""
+    steps = ",".join(
+        step_tpl.format(
+            k=k,
+            p=k - 1 if k > 1 else 0,
+            qs=_QC_QSCALE,
+            lr=_QC_LR,
+            dims=dims,
+            zf=z_fold,
+        )
+        for k in range(1, _QC_STEPS + 1)
+    )
+    final_acc = f"""
+    fin AS MATERIALIZED (
+        SELECT sum(CASE WHEN ({z_fold} > 0) = (y = 1.0) THEN 1 ELSE 0 END)
+                   AS n_correct,
+               count(*) AS n
+        FROM obs CROSS JOIN w{_QC_STEPS} w
+    )"""
+    acc_rows = " UNION ALL ".join(
+        f"SELECT 'acc' AS item, {k} AS idx,"
+        f" ((2 * n_correct * 1000000 + n) // (2 * n)) / 1000000.0 AS value"
+        f" FROM w{k}"
+        for k in range(1, _QC_STEPS + 1)
+    )
+    return f"""
+    WITH {_qc_obs_sql()},
+    w0 AS (SELECT list_transform({dims}, i -> CAST(0.0 AS DOUBLE)) AS wl),
+    {steps},
+    {final_acc}
+    SELECT item, CAST(idx AS INTEGER) AS idx, value FROM (
+        {acc_rows}
+        UNION ALL
+        SELECT 'acc', {_QC_STEPS + 1},
+               ((2 * n_correct * 1000000 + n) // (2 * n)) / 1000000.0
+        FROM fin
+        UNION ALL
+        SELECT 'w', s.dim, round(s.wv, 6) + 0.0
+        FROM (
+            SELECT unnest(list_transform({dims},
+                i -> struct_pack(dim := i, wv := w.wl[i]))) AS s
+            FROM w{_QC_STEPS} w
+        )
+    ) ORDER BY item, idx
+    """
+
+
+@query(
+    "q433_quality_classifier_training",
+    oracle=_qc_oracle_sql(),
+    tags=("llm", "training", "classifier", "quality", "curation"),
+)
+def q433_quality_classifier_training(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Quality-classifier TRAINING over document features — the
+    GPT-3/CCNet curation idiom where a small binary classifier learns
+    to separate "keep" from "drop" documents and its scores then gate
+    the corpus (q51 SCORES quality by fixed rules; q257 gates by LM
+    perplexity; this trains the model itself). Three full-batch
+    gradient steps of a logistic-style classifier on four per-doc
+    features (bias, centered length, centered avg word length,
+    stopword ratio) against the deterministic keep-label
+    ``n_chars > 300``; emits the pre-update training accuracy of every
+    step, the final post-training accuracy, and the final weights —
+    the accuracy sequence climbs 0.49 → 0.99+ at every SF (probed),
+    which is the operator's point: the training DYNAMICS are on the
+    verified path, not just one static score.
+
+    The activation is the RATIONAL fast sigmoid σ̃(z) = 0.5 +
+    z/(2(1+|z|)) — same shape, range, and monotonicity as the
+    logistic, but built from one division instead of exp, so every
+    per-row probability is a short shared IEEE sequence on both
+    engines and the operator needs NO libm call at all (the q407
+    single-ln exposure class, eliminated rather than tolerated).
+    Gradient = (σ̃(z) − y)·x, the logistic-loss form with the
+    substituted activation.
+
+    Determinism: the q343 discipline end to end — per-example
+    per-dimension gradient contributions QUANTIZED to 1e-6 and summed
+    as exact BIGINTs (order-free), the weight update w − lr·(gq/1e6/n)
+    the same binary64 sequence on both engines, accuracies as exact
+    integer counts through the half-up idiom, final weights rounded
+    at 6 with signed-zero normalization.
+
+    Scale posture: per step ONE corpus scan whose shuffle carries 4
+    integer cells (map-side combined) — the canonical data-parallel
+    training loop; model state is 4 doubles. Features derive from the
+    raw text in-plan (no precomputed table), so at 100 TB the
+    feature+gradient map fuses into the scan. Reference contract:
+    per-example gradient = map slot (``App.config:16``); model update
+    = reduce slot (``App.config:17``, ``Program.cs:351-384``)."""
+    from azure_batch_map_reduce_spark.operators.ranks import round_nz
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    words = F.split(F.col("text"), " ")
+    stop_arr = F.array(*[F.lit(w) for w in _QC_STOPS])
+    obs = docs.select(
+        F.array(
+            F.lit(1.0),
+            (F.col("n_chars") - _QC_THRESH) / F.lit(100.0),
+            F.length(F.regexp_replace("text", " ", "")).cast("double")
+            / F.size(words)
+            - F.lit(5.0),
+            F.size(
+                F.filter(
+                    F.split(F.lower(F.col("text")), " "),
+                    lambda w: F.array_contains(stop_arr, w),
+                )
+            ).cast("double")
+            / F.size(words),
+        ).alias("xa"),
+        F.when(F.col("n_chars") > _QC_THRESH, F.lit(1.0))
+        .otherwise(F.lit(0.0))
+        .alias("y"),
+    ).persist()
+    w = [0.0] * 4
+    accs = []  # (n_correct, n) per pre-update measurement
+    n_rows = None
+    for _ in range(_QC_STEPS):
+        wlit = F.array(*[F.lit(v) for v in w])
+        z = F.aggregate(
+            F.zip_with(F.col("xa"), wlit, lambda x, wv: x * wv),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        p = F.lit(0.5) + F.col("z") / (
+            F.lit(2.0) * (F.lit(1.0) + F.abs(F.col("z")))
+        )
+        per_dim = (
+            obs.select("xa", "y", z.alias("z"))
+            .select(
+                "y",
+                "z",
+                p.alias("p"),
+                F.posexplode("xa").alias("dim0", "xv"),
+            )
+            .groupBy((F.col("dim0") + 1).alias("dim"))
+            .agg(
+                F.sum(
+                    F.round(
+                        (F.col("p") - F.col("y")) * F.col("xv") * _QC_QSCALE
+                    ).cast("long")
+                ).alias("gq"),
+                F.sum(
+                    F.when(
+                        (F.col("z") > 0) == (F.col("y") == 1.0), 1
+                    ).otherwise(0)
+                ).alias("n_correct"),
+                F.count(F.lit(1)).alias("n"),
+            )
+        )
+        rows = per_dim.collect()
+        n_rows = rows[0]["n"]
+        accs.append((rows[0]["n_correct"], n_rows))
+        gq = {r["dim"]: r["gq"] for r in rows}
+        # Mirror the oracle's update arithmetic exactly (q343 rule).
+        w = [
+            w[d - 1] - _QC_LR * (gq[d] / _QC_QSCALE / n_rows)
+            for d in range(1, 5)
+        ]
+    wlit = F.array(*[F.lit(v) for v in w])
+    z = F.aggregate(
+        F.zip_with(F.col("xa"), wlit, lambda x, wv: x * wv),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    fin = obs.agg(
+        F.sum(
+            F.when((z > 0) == (F.col("y") == 1.0), 1).otherwise(0)
+        ).alias("n_correct"),
+        F.count(F.lit(1)).alias("n"),
+    ).collect()[0]
+    obs.unpersist()
+    acc_rows = [
+        ("acc", k + 1, int(nc), int(n)) for k, (nc, n) in enumerate(accs)
+    ]
+    acc_rows.append(("acc", _QC_STEPS + 1, int(fin["n_correct"]), int(fin["n"])))
+    acc_df = spark.createDataFrame(
+        acc_rows, "item string, idx int, num long, den long"
+    ).select("item", "idx", half_up_ratio(F.col("num"), F.col("den"), 6).alias("value"))
+    w_df = spark.createDataFrame(
+        [("w", d, w[d - 1]) for d in range(1, 5)],
+        "item string, idx int, raw double",
+    ).select("item", "idx", round_nz(F.col("raw"), 6).alias("value"))
+    return acc_df.unionByName(w_df).orderBy("item", "idx")

@@ -103,7 +103,10 @@ def load_all() -> dict[str, Query]:
         sinks as ssinks,
     )
     from azure_batch_map_reduce_spark.plans import mapreduce  # noqa: F401
-    from azure_batch_map_reduce_spark.sources import files  # noqa: F401
+    from azure_batch_map_reduce_spark.sources import (  # noqa: F401
+        files,
+        python_source,
+    )
 
     return REGISTRY
 

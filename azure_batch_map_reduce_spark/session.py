@@ -100,6 +100,10 @@ def get_spark(
         .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Spark 4.1 refuses Python data-source readers that implement
+        # pushFilters unless this is on (q428's source pushes EqualTo
+        # into pyarrow); runtime-settable, also set at the call site.
+        .config("spark.sql.python.filterPushdown.enabled", "true")
         # Audited bounded-grain frames declare their single partition
         # with a constant key (ranks.bounded_order); this rule would
         # fold the constant away and re-trigger WindowExec's "No

@@ -261,6 +261,20 @@ HEADLINE = [
     "q425_misra_gries_heavy_hitters",
     # q427: bigram explode (the q257/q368 corpus shape) + doc-grain agg.
     "q427_text_watermark_detection",
+    # Round-11 additions. q428: Python data-source scan (Arrow batches
+    # + pushed EqualTo) under one rollup; q429: grid-cell equi-join
+    # candidates + label-propagation components (22 rounds at sf0.1's
+    # percolated cluster — the heaviest new row by design); q430:
+    # rank-cut sparsify + degree-peel fixpoint; q431: one corpus scan
+    # to lang grain; q432: 8 broadcast-center distance maps + argmax
+    # gathers; q433: 3 gradient steps = 3 corpus scans with 4-cell
+    # quantized shuffles.
+    "q428_python_datasource_scan",
+    "q429_grid_dbscan_clusters",
+    "q430_kcore_decomposition",
+    "q431_randomized_response_frequency",
+    "q432_kcenter_coreset_selection",
+    "q433_quality_classifier_training",
 ]
 
 

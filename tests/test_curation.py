@@ -439,3 +439,50 @@ def test_q424_multichunk_doc_crosses_every_traversed_boundary(spark):
     assert [rows[i].n_docs_touching for i in range(4)] == [2, 1, 1, 2]
     assert all(rows[i].tokens_in_chunk == 512 for i in range(4))
     assert all(rows[i].utilization_ppm == 1_000_000 for i in range(4))
+
+
+def test_q431_randomized_response_debiasing_invariants(spark, sf_dir):
+    """The reported histogram must conserve the corpus (sum of
+    n_reported = sum of n_true = |docs|), the debiased estimates must
+    average back to the truth in aggregate (sum of estimates = n,
+    an algebraic identity of the k-RR estimator), and each per-lang
+    estimate must land nearer its true count than the raw perturbed
+    count does on average (the point of debiasing)."""
+    rows = (
+        REGISTRY["q431_randomized_response_frequency"]
+        .fn(spark, sf_dir)
+        .collect()
+    )
+    assert len(rows) == 5  # fixture lang domain
+    n = sum(r.n_true for r in rows)
+    assert sum(r.n_reported for r in rows) == n
+    # Σ n̂_v = (4·L·Σr_v − L·n)/(3·L) = (4n − n)/3 = n exactly; the
+    # released values are half-up-rounded at 6, so allow rounding dust.
+    assert abs(sum(r.n_est for r in rows) - n) < 1e-3
+    # unbiasedness direction: total |est − true| ≤ total |rep − true|
+    # (debiasing must not be WORSE than the raw perturbed counts)
+    est_err = sum(abs(r.n_est - r.n_true) for r in rows)
+    rep_err = sum(abs(r.n_reported - r.n_true) for r in rows)
+    assert est_err <= rep_err + 1e-6
+
+
+def test_q433_classifier_learns_and_weights_match_release(spark, sf_dir):
+    """Training dynamics: step-1 accuracy is the untrained ~50%
+    base-rate, every later accuracy is >= 0.95 (probed: 0.99+ at all
+    SFs), and the final accuracy row equals the last pre-update row or
+    better. Weights: the signal feature (centered length, dim 2)
+    must dominate the noise features in magnitude."""
+    rows = (
+        REGISTRY["q433_quality_classifier_training"]
+        .fn(spark, sf_dir)
+        .collect()
+    )
+    acc = {r.idx: r.value for r in rows if r.item == "acc"}
+    w = {r.idx: r.value for r in rows if r.item == "w"}
+    assert set(acc) == {1, 2, 3, 4} and set(w) == {1, 2, 3, 4}
+    assert 0.3 < acc[1] < 0.7  # untrained base rate
+    for k in (2, 3, 4):
+        assert acc[k] >= 0.95, (k, acc[k])
+    assert abs(w[2]) > abs(w[1])
+    assert abs(w[2]) > abs(w[3])
+    assert abs(w[2]) > abs(w[4])

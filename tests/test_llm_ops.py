@@ -986,3 +986,69 @@ def test_q427_watermark_detector_separates_slices(spark, sf_dir):
         z = (2 * r.n_green - r.n_scored) / math.sqrt(r.n_scored)
         assert abs(z - r.z_score) < 5e-6
         assert 0 <= r.n_green <= r.n_scored
+
+
+def test_q430_kcore_is_a_fixpoint(spark, sf_dir):
+    """Every released core degree must clear the peel bar k=2 — true
+    ONLY at the fixpoint (a truncated peel would release nodes whose
+    degree dropped below k in the final filter), so this pins
+    convergence, not just output shape. Non-degeneracy: both sides of
+    the bipartite graph survive."""
+    rows = (
+        REGISTRY["q430_kcore_decomposition"].fn(spark, sf_dir).collect()
+    )
+    assert rows, "k-core empty at this SF — peel degenerate"
+    assert min(r.core_degree for r in rows) >= 2
+    sides = {r.side for r in rows}
+    assert sides == {"user", "item"}
+
+
+def test_q429_dbscan_role_semantics(spark, sf_dir):
+    """Role invariants the oracle equality cannot state on its own:
+    cores carry >= minPts neighbors and a cluster id; borders carry a
+    cluster id and fewer than minPts neighbors; noise has no cluster;
+    cluster ids are component minima (every cluster id is the vec_id
+    of a core member of that cluster). Non-degeneracy: all three
+    roles occur and there is more than one cluster."""
+    rows = (
+        REGISTRY["q429_grid_dbscan_clusters"].fn(spark, sf_dir).collect()
+    )
+    by_role = {}
+    for r in rows:
+        by_role.setdefault(r.role, []).append(r)
+    assert set(by_role) == {"core", "border", "noise"}
+    for r in by_role["core"]:
+        assert r.n_neighbors >= 4 and r.cluster_id is not None
+    for r in by_role["border"]:
+        assert r.n_neighbors < 4 and r.cluster_id is not None
+    for r in by_role["noise"]:
+        assert r.cluster_id is None
+    core_by_id = {r.vec_id: r for r in by_role["core"]}
+    clusters = {r.cluster_id for r in by_role["core"]}
+    assert len(clusters) > 1
+    for cl in clusters:
+        assert core_by_id[cl].cluster_id == cl  # rep is its own min
+    # border clusters must reference an existing core cluster
+    for r in by_role["border"]:
+        assert r.cluster_id in clusters
+
+
+def test_q432_kcenter_radius_monotone_and_coverage(spark, sf_dir):
+    """Gonzalez invariants: the selected radius sequence is
+    non-increasing (each center is the current farthest point), all
+    center ids are distinct corpus points, and the final coverage
+    radius is <= the last selection radius."""
+    rows = (
+        REGISTRY["q432_kcenter_coreset_selection"]
+        .fn(spark, sf_dir)
+        .orderBy("iter")
+        .collect()
+    )
+    assert [r.iter for r in rows] == list(range(9))
+    centers = [r.center_id for r in rows[:8]]
+    assert len(set(centers)) == 8
+    radii = [r.radius2 for r in rows[1:8]]
+    assert all(a >= b for a, b in zip(radii, radii[1:]))
+    assert rows[8].center_id == -1
+    assert rows[8].radius2 <= radii[-1]
+    assert rows[8].radius2 > 0

@@ -1357,3 +1357,30 @@ def test_q427_watermark_is_explode_plus_single_aggregate(spark, sf_dir):
     read_schema = [l for l in explained.splitlines() if "ReadSchema" in l][0]
     assert "doc_id" in read_schema and "text" in read_schema
     assert "source" not in read_schema and "lang" not in read_schema
+
+
+def test_q428_python_source_pushes_equality_keeps_residual(spark, sf_dir):
+    """The Python data source must receive the EqualTo predicate
+    (PushedFilters on the BatchScan) while the non-equality residual
+    stays as a Filter node above it — both pushdown routes in one
+    plan."""
+    df = REGISTRY["q428_python_datasource_scan"].fn(spark, sf_dir)
+    explained = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    assert "BatchScan abmr_docs_meta" in explained
+    assert "PushedFilters: [EqualTo(source,src1)]" in explained
+    assert "Filter" in explained  # lang <> 'zh' evaluated above the scan
+    assert "NOT (lang" in explained or "isnotnull(lang" in explained
+
+
+def test_q429_dbscan_candidates_are_equi_join_not_cartesian(spark, sf_dir):
+    """The grid candidate generator must plan as an equi-join on the
+    3x3 cell keys — any CartesianProduct / nested-loop here is the
+    all-pairs blowup the grid exists to avoid."""
+    df = REGISTRY["q429_grid_dbscan_clusters"].fn(spark, sf_dir)
+    explained = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    assert "CartesianProduct" not in explained
+    assert "BroadcastNestedLoopJoin" not in explained
