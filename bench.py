@@ -275,6 +275,13 @@ HEADLINE = [
     "q431_randomized_response_frequency",
     "q432_kcenter_coreset_selection",
     "q433_quality_classifier_training",
+    # q434: star-contraction components (2 joins + 2 min-aggs per
+    # shrinking round); q435: two corpus count-aggregates then bounded
+    # CDF coupling; q436: one bigram explode, then EM on a <=1k-row
+    # held-out frame with broadcast count tables.
+    "q434_star_contraction_components",
+    "q435_wasserstein_source_drift",
+    "q436_deleted_interpolation_em",
 ]
 
 

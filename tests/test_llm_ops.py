@@ -1052,3 +1052,37 @@ def test_q432_kcenter_radius_monotone_and_coverage(spark, sf_dir):
     assert rows[8].center_id == -1
     assert rows[8].radius2 <= radii[-1]
     assert rows[8].radius2 > 0
+
+
+def test_q435_wasserstein_invariants(spark, sf_dir):
+    """W1 is a metric: nonnegative everywhere; and on this fixture no
+    source matches the pool exactly (w1 > 0) while staying far below
+    the corpus length range (~500) — a value near the range would mean
+    the CDF coupling lost a normalization factor."""
+    rows = (
+        REGISTRY["q435_wasserstein_source_drift"].fn(spark, sf_dir).collect()
+    )
+    assert len(rows) == 20  # fixture source domain
+    for r in rows:
+        assert 0.0 < r.w1_chars < 200.0, (r.source, r.w1_chars)
+
+
+def test_q436_em_moves_lambda_monotonically(spark, sf_dir):
+    """EM must move λ off its 0.5 init, keep it strictly inside (0,1),
+    and walk it MONOTONICALLY (each iteration continues discounting
+    the bigram component on this structureless word-soup corpus —
+    the truthful fixture reading, pinned like q414's unseparated
+    clusters)."""
+    rows = (
+        REGISTRY["q436_deleted_interpolation_em"]
+        .fn(spark, sf_dir)
+        .orderBy("iter")
+        .collect()
+    )
+    lams = [r.lambda_bi for r in rows]
+    assert len(lams) == 4 and lams[0] == 0.5
+    assert all(0.0 < l < 1.0 for l in lams)
+    assert lams[1] != 0.5
+    diffs = [b - a for a, b in zip(lams[1:], lams[2:])]
+    assert all(d < 0 for d in diffs) or all(d > 0 for d in diffs)
+    assert all(r.heldout_bigrams > 0 for r in rows)
