@@ -57,6 +57,30 @@ DRILL_QUERIES = [
     "q414_cluster_silhouette_audit",
     "q417_distinct_ngram_diversity",
     "q419_heaps_law_vocab_growth",
+    # Round-11 text/graph additions: rot-k copies keep the near-dup
+    # graph (q434), length distributions (q435), per-copy vocabularies
+    # (q436 — rotated alphabets are DISJOINT vocab, so the bounded EM
+    # frame grows 10x, which is the honest stress), and doc features
+    # (q433) independent across copies.
+    "q433_quality_classifier_training",
+    "q434_star_contraction_components",
+    "q435_wasserstein_source_drift",
+    "q436_deleted_interpolation_em",
+]
+
+# Geometric operators need a DIFFERENT amplification: identical-copy
+# embeddings put 10 coincident points at every location — a fixed-eps
+# DBSCAN then sees ~100x candidate pairs by SEMANTICS (density
+# doubling), the geometric analog of the naive-text-union trap above.
+# Instead copy k TRANSLATES dim 1 by k * 2.0 (far outside the +-0.4
+# data range): 10 disjoint clouds, each internally identical to 1x, so
+# true pairs/clusters scale exactly 10x and runtime should too.
+GEO_AMP_DIR = os.environ.get(
+    "SPARK_GRAFT_GEO_AMP_DIR", "/tmp/spark_graft_amp10_geo"
+)
+GEO_QUERIES = [
+    "q429_grid_dbscan_clusters",
+    "q432_kcenter_coreset_selection",
 ]
 
 _ALPHA = "abcdefghijklmnopqrstuvwxyz"
@@ -120,6 +144,45 @@ def build_amp(spark) -> None:
             shutil.copy(src, dst)
 
 
+def build_geo_amp(spark) -> None:
+    os.makedirs(GEO_AMP_DIR, exist_ok=True)
+    emb = spark.read.parquet(os.path.join(BASE, "embeddings.parquet"))
+    amp = None
+    for k in range(COPIES):
+        c = emb.select(
+            (F.col("vec_id") + F.lit(k * ID_STRIDE)).alias("vec_id"),
+            F.concat(
+                F.array(
+                    (
+                        F.element_at("embedding", 1).cast("double")
+                        + F.lit(2.0 * k)
+                    ).cast("float")
+                ),
+                F.slice("embedding", 2, 63),
+            ).alias("embedding"),
+            "label",
+        )
+        amp = c if amp is None else amp.unionByName(c)
+    amp.repartition(32).write.mode("overwrite").parquet(
+        os.path.join(GEO_AMP_DIR, "embeddings.parquet")
+    )
+    for t in (
+        "region",
+        "nation",
+        "customer",
+        "supplier",
+        "part",
+        "orders",
+        "lineitem",
+        "events",
+        "documents",
+    ):
+        src = os.path.join(BASE, f"{t}.parquet")
+        dst = os.path.join(GEO_AMP_DIR, f"{t}.parquet")
+        if not os.path.exists(dst):
+            shutil.copy(src, dst)
+
+
 def main() -> int:
     rebuild = "--rebuild" in sys.argv
     registry = load_all()
@@ -132,6 +195,10 @@ def main() -> int:
     if rebuild or not os.path.exists(marker):
         build_amp(spark)
         open(marker, "w").close()
+    geo_marker = os.path.join(GEO_AMP_DIR, f"_BUILT_x{COPIES}_s{ID_STRIDE}")
+    if rebuild or not os.path.exists(geo_marker):
+        build_geo_amp(spark)
+        open(geo_marker, "w").close()
 
     def run_once(name: str, sf_dir: str) -> float:
         t0 = time.perf_counter()
@@ -144,9 +211,10 @@ def main() -> int:
     spark.catalog.clearCache()
 
     results = {}
-    for name in DRILL_QUERIES:
+    for name in DRILL_QUERIES + GEO_QUERIES:
+        amp_d = GEO_AMP_DIR if name in GEO_QUERIES else AMP_DIR
         row = {}
-        for label, d in (("x1", BASE), ("x10", AMP_DIR)):
+        for label, d in (("x1", BASE), ("x10", amp_d)):
             run_once(name, d)  # untimed warm-up
             spark.catalog.clearCache()
             t = min(run_once(name, d), run_once(name, d))

