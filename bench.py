@@ -264,11 +264,19 @@ HEADLINE = [
     # Round-11 additions. q428: Python data-source scan (Arrow batches
     # + pushed EqualTo) under one rollup; q429: grid-cell equi-join
     # candidates + label-propagation components (22 rounds at sf0.1's
-    # percolated cluster — the heaviest new row by design); q430:
-    # rank-cut sparsify + degree-peel fixpoint; q431: one corpus scan
-    # to lang grain; q432: 8 broadcast-center distance maps + argmax
-    # gathers; q433: 3 gradient steps = 3 corpus scans with 4-cell
-    # quantized shuffles.
+    # percolated cluster); q430: rank-cut sparsify + degree-peel
+    # fixpoint; q431: one corpus scan to lang grain; q432: 8
+    # broadcast-center distance maps + argmax gathers; q433: 3
+    # gradient steps = 3 corpus scans with 4-cell quantized shuffles.
+    # NOTE (the q409/q417 caveat, extended): every ITERATIVE round-11
+    # query — q429/q430/q432/q433/q434/q436 — runs its loop (eager
+    # localCheckpoints, per-round count/collect parameter folds)
+    # inside fn(), so the recorded row covers only the final frame's
+    # materialization; the real loop cost lands in the bench's
+    # wall-clock, not the row. The amplification drill
+    # (scripts/amplify_drill.py, SCALE.md §8c2) times fn()+sink
+    # honestly for exactly these: q429 ≈ 6.1 s, q434 ≈ 2.0 s,
+    # q433 ≈ 1.9 s, q436 ≈ 1.6 s, q432 ≈ 0.9 s at sf0.1.
     "q428_python_datasource_scan",
     "q429_grid_dbscan_clusters",
     "q430_kcore_decomposition",
