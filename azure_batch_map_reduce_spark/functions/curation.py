@@ -7836,11 +7836,12 @@ _QC_STOPS = ("scan", "column", "window", "order", "sort")
 _QC_THRESH = 300  # label rule: y = 1 iff n_chars > 300 (median ~312)
 
 
-def _qc_obs_sql() -> str:
+def _qc_obs_sql(with_source: bool = False) -> str:
     stops = ", ".join(f"'{w}'" for w in _QC_STOPS)
+    src = "source," if with_source else ""
     return f"""
     obs AS MATERIALIZED (
-        SELECT list_value(
+        SELECT {src} list_value(
                    CAST(1.0 AS DOUBLE),
                    (n_chars - {_QC_THRESH}) / CAST(100.0 AS DOUBLE),
                    CAST(length(replace(text, ' ', '')) AS DOUBLE)
@@ -7855,13 +7856,18 @@ def _qc_obs_sql() -> str:
     )"""
 
 
-def _qc_oracle_sql() -> str:
-    """Three unrolled GD steps of the fast-sigmoid logistic trainer.
-    Each step: per-row margin z from the previous weights (prepend-0
-    fold in dim order), pre-update accuracy count, per-dim quantized
-    gradient sums, then the shared-arithmetic weight update. Every
-    step CTE MATERIALIZED (the q343/pagerank rule)."""
-    dims = "generate_series(1, 4)"
+_QC_DIMS = "generate_series(1, 4)"
+_QC_ZFOLD = (
+    f"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+    f"list_transform({_QC_DIMS}, i -> xa[i] * w.wl[i])), (a, b) -> a + b)"
+)
+
+
+def _qc_steps_sql() -> str:
+    """The unrolled GD step CTEs g{{k}}/w{{k}} (shared by q433's
+    training release and q437's cartography — ONE definition of the
+    weight path, so the two oracles cannot drift apart)."""
+    dims = _QC_DIMS
     z_fold = (
         f"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
         f"list_transform({dims}, i -> xa[i] * w.wl[i])), (a, b) -> a + b)"
@@ -7899,7 +7905,7 @@ def _qc_oracle_sql() -> str:
                max(g.n) AS n
         FROM g{k} g CROSS JOIN w{p} w
     )"""
-    steps = ",".join(
+    return ",".join(
         step_tpl.format(
             k=k,
             p=k - 1 if k > 1 else 0,
@@ -7910,6 +7916,17 @@ def _qc_oracle_sql() -> str:
         )
         for k in range(1, _QC_STEPS + 1)
     )
+
+
+def _qc_oracle_sql() -> str:
+    """Three unrolled GD steps of the fast-sigmoid logistic trainer.
+    Each step: per-row margin z from the previous weights (prepend-0
+    fold in dim order), pre-update accuracy count, per-dim quantized
+    gradient sums, then the shared-arithmetic weight update. Every
+    step CTE MATERIALIZED (the q343/pagerank rule)."""
+    dims = _QC_DIMS
+    z_fold = _QC_ZFOLD
+    steps = _qc_steps_sql()
     final_acc = f"""
     fin AS MATERIALIZED (
         SELECT sum(CASE WHEN ({z_fold} > 0) = (y = 1.0) THEN 1 ELSE 0 END)
@@ -7943,6 +7960,104 @@ def _qc_oracle_sql() -> str:
         )
     ) ORDER BY item, idx
     """
+
+
+def _qc_obs(
+    spark: SparkSession, sf_dir: str, with_source: bool = False
+) -> DataFrame:
+    """Feature/label frame for the quality-classifier family (the
+    Spark twin of ``_qc_obs_sql``): xa = [bias, centered length,
+    centered avg word length, stopword ratio], y = the n_chars > 300
+    keep-label. ``with_source`` carries the source column through for
+    q437's per-source cartography rollup."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    words = F.split(F.col("text"), " ")
+    stop_arr = F.array(*[F.lit(w) for w in _QC_STOPS])
+    cols = ["source"] if with_source else []
+    return docs.select(
+        *cols,
+        F.array(
+            F.lit(1.0),
+            (F.col("n_chars") - _QC_THRESH) / F.lit(100.0),
+            F.length(F.regexp_replace("text", " ", "")).cast("double")
+            / F.size(words)
+            - F.lit(5.0),
+            F.size(
+                F.filter(
+                    F.split(F.lower(F.col("text")), " "),
+                    lambda w: F.array_contains(stop_arr, w),
+                )
+            ).cast("double")
+            / F.size(words),
+        ).alias("xa"),
+        F.when(F.col("n_chars") > _QC_THRESH, F.lit(1.0))
+        .otherwise(F.lit(0.0))
+        .alias("y"),
+    )
+
+
+def _qc_margin(w: list) -> "Column":
+    """Per-row margin z = w·x as the shared fold (weights baked as
+    literals, zip_with product, 0.0-seed left fold in dim order — the
+    exact IEEE sequence the oracle's list_reduce mirrors)."""
+    wlit = F.array(*[F.lit(v) for v in w])
+    return F.aggregate(
+        F.zip_with(F.col("xa"), wlit, lambda x, wv: x * wv),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _qc_train(obs: DataFrame) -> tuple[list, list, int]:
+    """Run the three quantized-gradient steps over ``obs`` (xa, y);
+    returns ``(path, accs, n)`` — ``path[k]`` is the weight vector
+    AFTER step k+1 (the oracle's w{k+1} list), ``accs[k]`` the
+    (n_correct, n) measured with the PRE-update weights of step k+1.
+    One definition of the training loop, shared by q433's release and
+    q437's cartography (the Spark twin of ``_qc_steps_sql``)."""
+    w = [0.0] * 4
+    path: list = []
+    accs: list = []
+    n_rows = None
+    for _ in range(_QC_STEPS):
+        z = _qc_margin(w)
+        p = F.lit(0.5) + F.col("z") / (
+            F.lit(2.0) * (F.lit(1.0) + F.abs(F.col("z")))
+        )
+        per_dim = (
+            obs.select("xa", "y", z.alias("z"))
+            .select(
+                "y",
+                "z",
+                p.alias("p"),
+                F.posexplode("xa").alias("dim0", "xv"),
+            )
+            .groupBy((F.col("dim0") + 1).alias("dim"))
+            .agg(
+                F.sum(
+                    F.round(
+                        (F.col("p") - F.col("y")) * F.col("xv") * _QC_QSCALE
+                    ).cast("long")
+                ).alias("gq"),
+                F.sum(
+                    F.when(
+                        (F.col("z") > 0) == (F.col("y") == 1.0), 1
+                    ).otherwise(0)
+                ).alias("n_correct"),
+                F.count(F.lit(1)).alias("n"),
+            )
+        )
+        rows = per_dim.collect()
+        n_rows = rows[0]["n"]
+        accs.append((rows[0]["n_correct"], n_rows))
+        gq = {r["dim"]: r["gq"] for r in rows}
+        # Mirror the oracle's update arithmetic exactly (q343 rule).
+        w = [
+            w[d - 1] - _QC_LR * (gq[d] / _QC_QSCALE / n_rows)
+            for d in range(1, 5)
+        ]
+        path.append(list(w))
+    return path, accs, n_rows
 
 
 @query(
@@ -7992,79 +8107,10 @@ def q433_quality_classifier_training(
     = reduce slot (``App.config:17``, ``Program.cs:351-384``)."""
     from azure_batch_map_reduce_spark.operators.ranks import round_nz
 
-    docs = load_tables(spark, sf_dir)["documents"]
-    words = F.split(F.col("text"), " ")
-    stop_arr = F.array(*[F.lit(w) for w in _QC_STOPS])
-    obs = docs.select(
-        F.array(
-            F.lit(1.0),
-            (F.col("n_chars") - _QC_THRESH) / F.lit(100.0),
-            F.length(F.regexp_replace("text", " ", "")).cast("double")
-            / F.size(words)
-            - F.lit(5.0),
-            F.size(
-                F.filter(
-                    F.split(F.lower(F.col("text")), " "),
-                    lambda w: F.array_contains(stop_arr, w),
-                )
-            ).cast("double")
-            / F.size(words),
-        ).alias("xa"),
-        F.when(F.col("n_chars") > _QC_THRESH, F.lit(1.0))
-        .otherwise(F.lit(0.0))
-        .alias("y"),
-    ).persist()
-    w = [0.0] * 4
-    accs = []  # (n_correct, n) per pre-update measurement
-    n_rows = None
-    for _ in range(_QC_STEPS):
-        wlit = F.array(*[F.lit(v) for v in w])
-        z = F.aggregate(
-            F.zip_with(F.col("xa"), wlit, lambda x, wv: x * wv),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-        p = F.lit(0.5) + F.col("z") / (
-            F.lit(2.0) * (F.lit(1.0) + F.abs(F.col("z")))
-        )
-        per_dim = (
-            obs.select("xa", "y", z.alias("z"))
-            .select(
-                "y",
-                "z",
-                p.alias("p"),
-                F.posexplode("xa").alias("dim0", "xv"),
-            )
-            .groupBy((F.col("dim0") + 1).alias("dim"))
-            .agg(
-                F.sum(
-                    F.round(
-                        (F.col("p") - F.col("y")) * F.col("xv") * _QC_QSCALE
-                    ).cast("long")
-                ).alias("gq"),
-                F.sum(
-                    F.when(
-                        (F.col("z") > 0) == (F.col("y") == 1.0), 1
-                    ).otherwise(0)
-                ).alias("n_correct"),
-                F.count(F.lit(1)).alias("n"),
-            )
-        )
-        rows = per_dim.collect()
-        n_rows = rows[0]["n"]
-        accs.append((rows[0]["n_correct"], n_rows))
-        gq = {r["dim"]: r["gq"] for r in rows}
-        # Mirror the oracle's update arithmetic exactly (q343 rule).
-        w = [
-            w[d - 1] - _QC_LR * (gq[d] / _QC_QSCALE / n_rows)
-            for d in range(1, 5)
-        ]
-    wlit = F.array(*[F.lit(v) for v in w])
-    z = F.aggregate(
-        F.zip_with(F.col("xa"), wlit, lambda x, wv: x * wv),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
+    obs = _qc_obs(spark, sf_dir).persist()
+    path, accs, n_rows = _qc_train(obs)
+    w = path[-1]
+    z = _qc_margin(w)
     fin = obs.agg(
         F.sum(
             F.when((z > 0) == (F.col("y") == 1.0), 1).otherwise(0)
@@ -8084,3 +8130,273 @@ def q433_quality_classifier_training(
         "item string, idx int, raw double",
     ).select("item", "idx", round_nz(F.col("raw"), 6).alias("value"))
     return acc_df.unionByName(w_df).orderBy("item", "idx")
+
+
+# --- q437: dataset cartography (training-dynamics curation) ------------
+
+_CARTO_EASY = 0.70  # conf >= easy bar
+_CARTO_HARD = 0.60  # conf < hard bar; [hard, easy) = ambiguous
+
+
+def _carto_oracle_sql() -> str:
+    """Weight path via the SHARED step CTEs, then per-doc confidence
+    toward the true label under each post-step snapshot w1..w3, the
+    across-snapshot mean/std, and the per-(source, category) rollup
+    with quantized-integer means."""
+    folds = {
+        k: (
+            f"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+            f"list_transform({_QC_DIMS}, i -> xa[i] * w{k}.wl[i])), "
+            f"(a, b) -> a + b)"
+        )
+        for k in (1, 2, 3)
+    }
+    cexpr = {
+        k: (
+            f"CASE WHEN y = 1.0 THEN p{k} ELSE 1 - p{k} END"
+        )
+        for k in (1, 2, 3)
+    }
+    return f"""
+    WITH {_qc_obs_sql(with_source=True)},
+    w0 AS (SELECT list_transform({_QC_DIMS}, i -> CAST(0.0 AS DOUBLE)) AS wl),
+    {_qc_steps_sql()},
+    zz AS (
+        SELECT source, y,
+               {folds[1]} AS z1, {folds[2]} AS z2, {folds[3]} AS z3
+        FROM obs CROSS JOIN w1 CROSS JOIN w2 CROSS JOIN w3
+    ),
+    pp AS (
+        SELECT source, y,
+               CAST(0.5 AS DOUBLE) + z1 / (CAST(2.0 AS DOUBLE)
+                   * (CAST(1.0 AS DOUBLE) + abs(z1))) AS p1,
+               CAST(0.5 AS DOUBLE) + z2 / (CAST(2.0 AS DOUBLE)
+                   * (CAST(1.0 AS DOUBLE) + abs(z2))) AS p2,
+               CAST(0.5 AS DOUBLE) + z3 / (CAST(2.0 AS DOUBLE)
+                   * (CAST(1.0 AS DOUBLE) + abs(z3))) AS p3
+        FROM zz
+    ),
+    cc AS (
+        SELECT source,
+               {cexpr[1]} AS c1, {cexpr[2]} AS c2, {cexpr[3]} AS c3
+        FROM pp
+    ),
+    stats AS (
+        SELECT source,
+               ((c1 + c2) + c3) / CAST(3.0 AS DOUBLE) AS conf,
+               sqrt((((c1 - ((c1 + c2) + c3) / CAST(3.0 AS DOUBLE))
+                      * (c1 - ((c1 + c2) + c3) / CAST(3.0 AS DOUBLE))
+                      + (c2 - ((c1 + c2) + c3) / CAST(3.0 AS DOUBLE))
+                      * (c2 - ((c1 + c2) + c3) / CAST(3.0 AS DOUBLE)))
+                     + (c3 - ((c1 + c2) + c3) / CAST(3.0 AS DOUBLE))
+                     * (c3 - ((c1 + c2) + c3) / CAST(3.0 AS DOUBLE)))
+                    / CAST(3.0 AS DOUBLE)) AS vari
+        FROM cc
+    ),
+    catted AS (
+        SELECT source,
+               CASE WHEN conf >= {_CARTO_EASY} THEN 'easy'
+                    WHEN conf < {_CARTO_HARD} THEN 'hard'
+                    ELSE 'ambiguous' END AS category,
+               CAST(round(conf * {_QC_QSCALE}) AS BIGINT) AS conf_q,
+               CAST(round(vari * {_QC_QSCALE}) AS BIGINT) AS var_q
+        FROM stats
+    )
+    SELECT source, category,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           ((2 * sum(conf_q) * 1000000 + count(*) * {_QC_QSCALE})
+            // (2 * (count(*) * {_QC_QSCALE}))) / 1000000.0
+               AS mean_confidence,
+           ((2 * sum(var_q) * 1000000 + count(*) * {_QC_QSCALE})
+            // (2 * (count(*) * {_QC_QSCALE}))) / 1000000.0
+               AS mean_variability
+    FROM catted
+    GROUP BY source, category
+    ORDER BY source, category
+    """
+
+
+@query(
+    "q437_dataset_cartography",
+    oracle=_carto_oracle_sql(),
+    tags=("llm", "curation", "cartography", "training-dynamics"),
+)
+def q437_dataset_cartography(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset cartography (Swayamdipta et al., "Data Maps") — the
+    training-DYNAMICS member of the selection family: where q307/q299/
+    q432 pick by static features, geometry, or one model's
+    uncertainty, cartography watches HOW each example behaves ACROSS
+    training — per-doc confidence toward the true label under each of
+    q433's three post-step weight snapshots (the SAME shared weight
+    path — ``_qc_train`` / ``_qc_steps_sql``, one definition for both
+    queries), its across-snapshot mean ("confidence") and standard
+    deviation ("variability") — and maps the corpus into
+    easy-to-learn / ambiguous / hard-to-learn regions per source, the
+    triage a curation pipeline uses to find mislabeled (hard) and
+    most-informative (ambiguous) slices.
+
+    Fixture honesty: with three monotone full-batch steps the
+    variability axis barely spreads (σ ≈ 0.04 everywhere — probed),
+    so the region split here keys on confidence alone with
+    variability RELEASED as the diagnostic column; with real
+    multi-epoch stochastic training the same dataflow buckets on both
+    axes. Thresholds (≥ 0.70 easy, < 0.60 hard) hold all three
+    regions non-empty at every SF (probed: p5 ≈ 0.53, median ≈ 0.68,
+    p75 ≈ 0.73).
+
+    Determinism: the weight path is the q433-shared bit-identical
+    sequence; per-doc confidences are short shared IEEE chains (the
+    fast sigmoid, one division); the std's sqrt is IEEE
+    correctly-rounded (not a libm estimate); per-doc stats QUANTIZE
+    to 1e-6 integers before the order-free mean sums, and the
+    released means go through the half-up integer idiom.
+
+    Scale posture: after the (shared) training passes, cartography is
+    ONE corpus map — three scalar margin folds per row, no joins, no
+    windows — plus a partial+final rollup on the bounded
+    (source × 3-category) grain. Reference contract: per-example
+    snapshot scoring = map slot (``App.config:16``); the region
+    rollup = reduce slot (``App.config:17``, ``Program.cs:351-384``).
+    """
+    obs = _qc_obs(spark, sf_dir, with_source=True).persist()
+    path, _, _ = _qc_train(obs.select("xa", "y"))
+    ps = []
+    for k, wk in enumerate(path, start=1):
+        z = _qc_margin(wk)
+        ps.append(
+            (
+                F.lit(0.5)
+                + z / (F.lit(2.0) * (F.lit(1.0) + F.abs(z)))
+            ).alias(f"p{k}")
+        )
+    pp = obs.select("source", "y", *ps)
+    cs = [
+        F.when(F.col("y") == 1.0, F.col(f"p{k}")).otherwise(
+            1 - F.col(f"p{k}")
+        ).alias(f"c{k}")
+        for k in (1, 2, 3)
+    ]
+    cc = pp.select("source", *cs)
+    conf = ((F.col("c1") + F.col("c2")) + F.col("c3")) / F.lit(3.0)
+    stats = cc.select("source", conf.alias("conf"), "c1", "c2", "c3")
+    dev = lambda k: (F.col(f"c{k}") - F.col("conf")) * (  # noqa: E731
+        F.col(f"c{k}") - F.col("conf")
+    )
+    stats = stats.select(
+        "source",
+        "conf",
+        F.sqrt(((dev(1) + dev(2)) + dev(3)) / F.lit(3.0)).alias("vari"),
+    )
+    catted = stats.select(
+        "source",
+        F.when(F.col("conf") >= _CARTO_EASY, F.lit("easy"))
+        .when(F.col("conf") < _CARTO_HARD, F.lit("hard"))
+        .otherwise(F.lit("ambiguous"))
+        .alias("category"),
+        F.round(F.col("conf") * _QC_QSCALE).cast("long").alias("conf_q"),
+        F.round(F.col("vari") * _QC_QSCALE).cast("long").alias("var_q"),
+    )
+    obs.unpersist()
+    return (
+        catted.groupBy("source", "category")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("conf_q").alias("sconf"),
+            F.sum("var_q").alias("svar"),
+        )
+        .select(
+            "source",
+            "category",
+            F.col("n_docs").cast("long").alias("n_docs"),
+            half_up_ratio(
+                F.col("sconf"), F.col("n_docs") * F.lit(_QC_QSCALE), 6
+            ).alias("mean_confidence"),
+            half_up_ratio(
+                F.col("svar"), F.col("n_docs") * F.lit(_QC_QSCALE), 6
+            ).alias("mean_variability"),
+        )
+        .orderBy("source", "category")
+    )
+
+
+# --- q438: discrete-geometric (integer) DP noise release ----------------
+
+_DG_WINDOW = 0xFFFFFFFF  # 32-bit md5 windows for the two geometric draws
+
+
+@query(
+    "q438_discrete_geometric_release",
+    oracle=f"""
+    WITH g AS (
+        SELECT event_type, count(*) AS n FROM events GROUP BY event_type
+    ),
+    draws AS (
+        SELECT event_type, n,
+               (32 - length(bin(('0x' || substr(md5('dg1|' || event_type),
+                                                1, 8))::BIGINT))) AS g1,
+               (32 - length(bin(('0x' || substr(md5('dg2|' || event_type),
+                                                1, 8))::BIGINT))) AS g2
+        FROM g
+    )
+    SELECT event_type,
+           CAST(n AS BIGINT) AS n_true,
+           CAST(g1 - g2 AS BIGINT) AS noise,
+           CAST(n + g1 - g2 AS BIGINT) AS n_noisy
+    FROM draws
+    ORDER BY event_type
+    """,
+    tags=("privacy", "dp", "discrete-geometric", "integer-noise"),
+)
+def q438_discrete_geometric_release(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Discrete-geometric (two-sided geometric) noisy-count release —
+    the INTEGER DP mechanism completing the privacy family's noise
+    axis: q407 adds continuous Laplace (one ln per draw), q431
+    randomizes at the record; here the released count is n + (G₁ −
+    G₂) with G₁, G₂ iid Geometric(1/2) — the construction whose
+    difference is exactly the two-sided geometric (discrete Laplace)
+    distribution, the mechanism integer-valued deployments (census-
+    style tabulations) use because counts must STAY integers and the
+    guarantee analysis is exact, with ε = ln 2 per unit sensitivity
+    at this α = 1/2.
+
+    The geometric draw itself needs NO libm and no floats anywhere:
+    P(leading-zero-count of a uniform 32-bit word = j) = 2^-(j+1), so
+    G = 32 − length(bin(u)) over an md5 window IS a Geometric(1/2)
+    sample computed in pure integer/string ops (u = 0, probability
+    2⁻³², clamps at 31 — documented). Like q407/q431 this verifies
+    the MECHANISM'S MATH only: deterministic salted draws and the
+    co-released true counts void the privacy guarantee a production
+    deployment gets from real randomness.
+
+    Determinism: md5 windows → exact integers; ``length(bin(·))`` is
+    verified to agree between engines on the full domain including
+    the u = 0 edge; the release is integer arithmetic end to end —
+    the operator has NO floating-point at all, unique even within
+    the privacy family.
+
+    Scale posture: one partial+final count aggregate; noise is
+    group-grain scalar math on a 5-row frame. Reference contract:
+    count = map+reduce slots (``App.config:16-17``); the noise is
+    post-aggregation driver-free column math."""
+    events = load_tables(spark, sf_dir)["events"]
+    g = events.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+
+    def geo(salt: str) -> Column:
+        u = F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(salt), F.col("event_type"))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("long")
+        return F.lit(32) - F.length(F.bin(u))
+
+    noise = (geo("dg1|") - geo("dg2|")).cast("long")
+    return g.select(
+        "event_type",
+        F.col("n").cast("long").alias("n_true"),
+        noise.alias("noise"),
+        (F.col("n") + noise).cast("long").alias("n_noisy"),
+    ).orderBy("event_type")

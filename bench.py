@@ -290,6 +290,11 @@ HEADLINE = [
     "q434_star_contraction_components",
     "q435_wasserstein_source_drift",
     "q436_deleted_interpolation_em",
+    # q437: shares q433's training passes (eager, see NOTE above),
+    # then one corpus map + bounded rollup; q438: one count aggregate
+    # + 5-row integer noise math.
+    "q437_dataset_cartography",
+    "q438_discrete_geometric_release",
 ]
 
 

@@ -486,3 +486,41 @@ def test_q433_classifier_learns_and_weights_match_release(spark, sf_dir):
     assert abs(w[2]) > abs(w[1])
     assert abs(w[2]) > abs(w[3])
     assert abs(w[2]) > abs(w[4])
+
+
+def test_q437_cartography_regions_and_ordering(spark, sf_dir):
+    """All three regions occur; per-source region means respect the
+    threshold bands by construction (easy >= 0.70 > ambiguous >= 0.60
+    > hard); counts conserve the corpus."""
+    rows = (
+        REGISTRY["q437_dataset_cartography"].fn(spark, sf_dir).collect()
+    )
+    cats = {r.category for r in rows}
+    assert cats == {"easy", "ambiguous", "hard"}
+    for r in rows:
+        if r.category == "easy":
+            assert r.mean_confidence >= 0.70 - 1e-6
+        elif r.category == "hard":
+            assert r.mean_confidence < 0.60
+        else:
+            assert 0.60 - 1e-6 <= r.mean_confidence < 0.70
+        assert 0.0 <= r.mean_variability <= 0.25
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    assert sum(r.n_docs for r in rows) == docs.count()
+
+
+def test_q438_discrete_noise_consistency(spark, sf_dir):
+    """The released arithmetic must cohere (noisy − true = noise), the
+    two-sided geometric support is bounded by the 32-bit window
+    (|noise| <= 31), and the fixture's five salted draws are not all
+    zero (the mechanism actually perturbs)."""
+    rows = (
+        REGISTRY["q438_discrete_geometric_release"]
+        .fn(spark, sf_dir)
+        .collect()
+    )
+    assert len(rows) == 5
+    for r in rows:
+        assert r.n_noisy - r.n_true == r.noise
+        assert -31 <= r.noise <= 31
+    assert any(r.noise != 0 for r in rows)
