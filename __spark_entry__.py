@@ -43,19 +43,24 @@ def _row_verified(row) -> bool:
     return row.get("err") == "no_oracle" and row.get("spark_rows") is not None
 
 
-def _last_verified_round(artifact_dir: str | None = None) -> dict[str, int]:
-    """Per query, the newest round whose committed CORRECTNESS_r*.json
-    contains a SUCCESSFUL row for it (see :func:`_row_verified`);
-    queries absent from every file — or only ever present as failures —
-    get no entry (= scheduled in the head block). ``artifact_dir``
-    defaults to this file's directory (the repo root, where the driver
-    commits the artifacts); tests pass a synthetic dir."""
+def _last_stamps(
+    artifact_dir: str | None = None,
+) -> dict[str, tuple[int, bool]]:
+    """Per query, ``(round, oracle_green)`` of the NEWEST committed
+    CORRECTNESS_r*.json row that was a SUCCESSFUL verification (see
+    :func:`_row_verified`): ``round`` is the newest such round,
+    ``oracle_green`` whether THAT newest stamp was a full oracle match
+    (True) or a documented rows-only pass (False). Queries absent from
+    every file — or only ever present as failures — get no entry
+    (= scheduled in the head block). ``artifact_dir`` defaults to this
+    file's directory (the repo root, where the driver commits the
+    artifacts); tests pass a synthetic dir."""
     import glob
     import json
     import os
     import re as _re
 
-    last: dict[str, int] = {}
+    last: dict[str, tuple[int, bool]] = {}
     here = artifact_dir or os.path.dirname(os.path.abspath(__file__))
     for path in sorted(glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))):
         rnd_match = _re.search(r"_r(\d+)\.json$", path)
@@ -71,8 +76,18 @@ def _last_verified_round(artifact_dir: str | None = None) -> dict[str, int]:
             continue
         for name, row in rows.items():
             if _row_verified(row):
-                last[name] = max(last.get(name, 0), rnd)
+                green = row.get("err") is None and row.get("hash_match") is True
+                prev = last.get(name)
+                if prev is None or rnd >= prev[0]:
+                    last[name] = (rnd, green)
     return last
+
+
+def _last_verified_round(artifact_dir: str | None = None) -> dict[str, int]:
+    """Per query, the newest round with a SUCCESSFUL row (the rotation
+    staleness key); see :func:`_last_stamps` for the stamp-kind-aware
+    variant."""
+    return {n: r for n, (r, _) in _last_stamps(artifact_dir).items()}
 
 
 def _qnum(name: str) -> int:
@@ -84,10 +99,22 @@ def _qnum(name: str) -> int:
 
 def _ordered():
     reg = load_all()
-    last = _last_verified_round()
-    # (never-sampled first, then stalest stamp, then q-order); with no
-    # readable CORRECTNESS files this degrades to plain q-order.
-    names = sorted(reg, key=lambda n: (n in last, last.get(n, 0), _qnum(n)))
+    stamps = _last_stamps()
+    # Head block = never-successfully-sampled queries PLUS queries whose
+    # registry row HAS an oracle but whose newest successful stamp was a
+    # rows-only (`no_oracle`) pass — i.e. the query GAINED an oracle
+    # after its last stamp, so the driver has never actually run the
+    # differential it is now capable of (r11 verdict task 2; the
+    # concrete instances were q147/q164, rows-only-stamped r8, oracles
+    # added r10). Head in q-order, then ascending last-verified round
+    # (stalest first), ties in q-order; with no readable CORRECTNESS
+    # files this degrades to plain q-order.
+    def _key(n: str):
+        st = stamps.get(n)
+        in_head = st is None or (reg[n].oracle is not None and not st[1])
+        return (not in_head, 0 if in_head else st[0], _qnum(n))
+
+    names = sorted(reg, key=_key)
     return {n: reg[n] for n in names}
 
 

@@ -8365,7 +8365,13 @@ def q438_discrete_geometric_release(
     P(leading-zero-count of a uniform 32-bit word = j) = 2^-(j+1), so
     G = 32 − length(bin(u)) over an md5 window IS a Geometric(1/2)
     sample computed in pure integer/string ops (u = 0, probability
-    2⁻³², clamps at 31 — documented). Like q407/q431 this verifies
+    2⁻³², clamps at 31 — documented). The clamp makes the released
+    noise a TRUNCATED two-sided geometric, so the ε = ln 2 accounting
+    below is for the untruncated ideal mechanism; the truncation
+    deviates with probability 2⁻³² per draw, which a production
+    deployment absorbs as a δ-style slack (r11 ADVICE item 3 — no
+    code change, the accounting caveat just lives here explicitly).
+    Like q407/q431 this verifies
     the MECHANISM'S MATH only: deterministic salted draws and the
     co-released true counts void the privacy guarantee a production
     deployment gets from real randomness.

@@ -4199,8 +4199,17 @@ def q429_grid_dbscan_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     measured 18.8 vs 17.5 s — at fixture scale the per-round overhead
     dominates, so plain label propagation stays; at 100 TB (rounds
     amortize over real data volume) either remedy applies unchanged.)
-    Reference contract: per-point cell assignment + neighbor count =
-    map slot (``App.config:16``); component closure = reduce slot
+
+    Cache lifecycle (r11 ADVICE item 2): the four persisted
+    intermediates (pts/pairs/deg/lab) ALL feed the returned lazy plan
+    — deg and lab directly, pts and pairs through the neighbor and
+    border joins — so none can be unpersisted here without recomputing
+    the candidate join when the caller materializes the result. The
+    CALLER owns cleanup: materialize, then ``spark.catalog
+    .clearCache()`` (bench.py does exactly this after every query; the
+    differential harness runs one query per session). Reference
+    contract: per-point cell assignment + neighbor count = map slot
+    (``App.config:16``); component closure = reduce slot
     (``App.config:17``, ``Program.cs:351-384``)."""
     from azure_batch_map_reduce_spark.functions.dedup import (
         connected_components,

@@ -657,8 +657,14 @@ def q401_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- q430: k-core decomposition by iterative peeling -------------------
 
 _KCORE_K = 2  # peel threshold: both endpoints must keep degree >= K
-_KCORE_UNROLL = 8  # oracle unroll depth; fixture fixpoints in <= 3 rounds
 _KCORE_MAX_ROUNDS = 12  # Spark-side safety bound (loop exits at fixpoint)
+# Oracle unroll depth = the engine's round bound (r11 ADVICE item 1):
+# rounds past the fixpoint are idempotent no-ops, so unrolling to the
+# full engine bound keeps the oracle exact for ANY dataset the engine
+# accepts — previously 8 < 12 left a latent window where a 9-12-round
+# fixpoint would fail the differential with the engine right and the
+# oracle stale (fixtures peel in <= 3 rounds, so latent only).
+_KCORE_UNROLL = _KCORE_MAX_ROUNDS
 
 
 def _kcore_oracle_sql() -> str:

@@ -1,10 +1,13 @@
 #!/usr/bin/env python
 """Benchmark: run the headline queries at $SPARK_GRAFT_SF_DIR (default
 sf0.1) on local[$SPARK_GRAFT_CPUS]; the FINAL stdout line is a compact
-JSON summary ({metric, value, unit, sf, n_queries}); full per-query
-times print on the line before it and land in BENCH_DETAIL.json (or
-the path in $SPARK_GRAFT_BENCH_DETAIL when set, so judge/driver runs
-need not overwrite the committed round artifact; r9 verdict task 4).
+JSON summary ({metric, value, value_honest, unit, sf, n_queries});
+full per-query times print on the line before it and land in
+BENCH_DETAIL.local.json — an UNCOMMITTED default, so env-less runs
+(the driver's, the judge's) leave the committed round artifact alone
+(r11 verdict task 3). The builder's round flow commits the artifact
+explicitly via SPARK_GRAFT_BENCH_DETAIL=BENCH_DETAIL.json (`make
+bench-commit`).
 
 Each query is fully materialized through the noop sink (forces every
 operator, skips result serialization). The flagship runs once untimed to
@@ -304,15 +307,27 @@ def main() -> None:
     registry = load_all()
     spark = get_spark(app_name="abmr-bench")
 
-    def materialize(name: str) -> float:
-        df = registry[name].fn(spark, sf_dir)
+    def materialize(name: str) -> tuple[float, float]:
+        """Returns (sink_sec, honest_sec): sink_sec times only the noop
+        write of the built plan (the r1+ comparable protocol);
+        honest_sec times fn()+write together, so queries that run eager
+        loops (localCheckpoints, parameter-server collects) INSIDE
+        fn() — q409/q417/q429/q430/q432/q433/q434/q436/q437 — carry
+        their real wall cost in the artifact instead of only in the
+        bench's total runtime (r11 verdict task 1). fn() ran inside
+        every invocation before this change too; the honest field just
+        measures what was already happening."""
         t0 = time.perf_counter()
+        df = registry[name].fn(spark, sf_dir)
+        t1 = time.perf_counter()
         df.write.format("noop").mode("overwrite").save()
-        return time.perf_counter() - t0
+        t2 = time.perf_counter()
+        return t2 - t1, t2 - t0
 
     materialize("q01_pricing_summary")  # warmup, untimed
 
     times: dict[str, float] = {}
+    honest: dict[str, float] = {}
     for name in HEADLINE:
         # Steady-state protocol (JMH-style): one untimed warm-up run per
         # query absorbs codegen/JIT/scan-cache effects, then the best of
@@ -321,15 +336,16 @@ def main() -> None:
         # ±25% run-to-run on this host) while still timing complete
         # fresh-plan executions. Applied uniformly to every query.
         materialize(name)
-        times[name] = round(
-            min(materialize(name), materialize(name), materialize(name)), 3
-        )
+        runs = [materialize(name) for _ in range(3)]
+        times[name] = round(min(r[0] for r in runs), 3)
+        honest[name] = round(min(r[1] for r in runs), 3)
         # Queries that persist() intermediates (q239/q246 word-type
         # histograms) must not accumulate cached blocks across a
         # many-query session.
         spark.catalog.clearCache()
 
     total = round(sum(times.values()), 3)
+    total_honest = round(sum(honest.values()), 3)
     # Output protocol (r4 verdict task 3): the driver keeps only a ~2 KB
     # TAIL of stdout and parses the FINAL line — the 87-query per-query
     # dict outgrew that window in round 4 (BENCH_r04 parsed: null). So:
@@ -341,25 +357,39 @@ def main() -> None:
     detail = {
         "metric": "headline_queries_total_time",
         "value": total,
+        "value_honest": total_honest,
         "unit": "sec",
         "queries": times,
+        "queries_honest": honest,
         "sf": sf,
         # Estimator + noise contract, encoded in the artifact (r7
         # verdict task 3): each per-query time is min of 3 timed runs
         # after 1 untimed warm-up; this host drifts ±10-25% across
         # identical-code invocations, so compare per-query vs the last
         # committed detail and treat only >1.3x-and-reproducible as
-        # regression.
-        "protocol": "warmup+min_of_3 (r8+); rounds 2-7 were warmup+min_of_2",
+        # regression. Two per-query fields (r11 verdict task 1):
+        # `queries` times only the noop sink of the built plan — the
+        # protocol every round since r1 has recorded, and THE field
+        # round-over-round regressions are judged on; `queries_honest`
+        # times fn()+sink, so eager/iterative queries (q409, q417,
+        # q429, q430, q432, q433, q434, q436, q437) show their real
+        # wall cost in-artifact. The headline `value` sums `queries`;
+        # `value_honest` sums `queries_honest`.
+        "protocol": "warmup+min_of_3 (r8+); rounds 2-7 were warmup+min_of_2; "
+        "regressions judged on `queries` (sink-only); `queries_honest` "
+        "adds fn()-time for eager/iterative rows (r12+)",
         "host_drift": "±10-25% cross-run on identical code; see module docstring",
     }
-    # Detail sidecar path: $SPARK_GRAFT_BENCH_DETAIL overrides (r9
-    # verdict task 4 — judge/driver runs can write elsewhere instead of
-    # clobbering the builder's committed round artifact); default is
-    # unchanged: BENCH_DETAIL.json next to this file.
+    # Detail sidecar path: $SPARK_GRAFT_BENCH_DETAIL overrides; the
+    # DEFAULT is the UNCOMMITTED local name (r11 verdict task 3 — an
+    # env-less `python bench.py`, e.g. the driver's per-round run, must
+    # leave `git status` clean instead of clobbering the committed
+    # round artifact). The builder's round flow writes the committed
+    # artifact explicitly: `make bench-commit` sets
+    # SPARK_GRAFT_BENCH_DETAIL=BENCH_DETAIL.json.
     detail_path = os.environ.get(
         "SPARK_GRAFT_BENCH_DETAIL",
-        os.path.join(os.path.dirname(__file__), "BENCH_DETAIL.json"),
+        os.path.join(os.path.dirname(__file__), "BENCH_DETAIL.local.json"),
     )
     try:
         with open(detail_path, "w") as f:
@@ -372,10 +402,11 @@ def main() -> None:
             {
                 "metric": "headline_queries_total_time",
                 "value": total,
+                "value_honest": total_honest,
                 "unit": "sec",
                 "sf": sf,
                 "n_queries": len(times),
-                "detail": "BENCH_DETAIL.json",
+                "detail": os.path.basename(detail_path),
             }
         )
     )

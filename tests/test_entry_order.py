@@ -28,21 +28,105 @@ def test_queries_cover_registry_exactly_once():
     assert set(names) == set(load_all())
 
 
-def test_never_sampled_queries_lead_in_q_order():
-    last = entry._last_verified_round()
+def _head_names(reg, stamps):
+    """The policy's head block: never-successfully-stamped queries plus
+    oracle-gained queries (registry HAS an oracle, newest successful
+    stamp was rows-only — r11 verdict task 2)."""
+    return {
+        n
+        for n in reg
+        if n not in stamps
+        or (reg[n].oracle is not None and not stamps[n][1])
+    }
+
+
+def test_head_block_leads_in_q_order():
+    from azure_batch_map_reduce_spark.registry import load_all
+
+    reg = load_all()
+    stamps = entry._last_stamps()
     names = list(entry.queries())
-    never = [n for n in names if n not in last]
-    # Every never-sampled query precedes every stamped query...
-    assert names[: len(never)] == never
-    # ...and the never-sampled block is in q-order.
-    assert never == sorted(never, key=entry._qnum)
+    head = [n for n in names if n in _head_names(reg, stamps)]
+    # Every head-block query precedes every stamped query...
+    assert names[: len(head)] == head
+    # ...and the head block is in q-order.
+    assert head == sorted(head, key=entry._qnum)
 
 
 def test_stamped_queries_ordered_stalest_first():
-    last = entry._last_verified_round()
-    names = [n for n in entry.queries() if n in last]
-    keys = [(last[n], entry._qnum(n)) for n in names]
+    from azure_batch_map_reduce_spark.registry import load_all
+
+    reg = load_all()
+    stamps = entry._last_stamps()
+    head = _head_names(reg, stamps)
+    names = [n for n in entry.queries() if n not in head]
+    keys = [(stamps[n][0], entry._qnum(n)) for n in names]
     assert keys == sorted(keys)
+
+
+def test_oracle_gained_queries_join_head_block(tmp_path, monkeypatch):
+    """r11 verdict task 2: a query whose newest successful stamp was a
+    rows-only (`no_oracle`) pass but whose registry row now HAS an
+    oracle must sort into the head block — the driver has never run
+    the differential the query is now capable of. Synthetic artifacts:
+    q147/q164-shaped histories plus a genuinely-rows-only row (no
+    oracle in the registry) that must NOT join the head."""
+    import json
+
+    (tmp_path / "CORRECTNESS_r08.json").write_text(
+        json.dumps(
+            {
+                "q147_gained": {
+                    "hash_match": None,
+                    "err": "no_oracle",
+                    "spark_rows": 7,
+                },
+                "q092_forever_rows_only": {
+                    "hash_match": None,
+                    "err": "no_oracle",
+                    "spark_rows": 3,
+                },
+                "q001_green": {"hash_match": True, "err": None},
+            }
+        )
+    )
+    stamps = entry._last_stamps(str(tmp_path))
+    assert stamps == {
+        "q147_gained": (8, False),
+        "q092_forever_rows_only": (8, False),
+        "q001_green": (8, True),
+    }
+
+    class _Q:
+        def __init__(self, oracle):
+            self.oracle = oracle
+
+    reg = {
+        "q147_gained": _Q("SELECT 1"),  # oracle gained after the stamp
+        "q092_forever_rows_only": _Q(None),  # documented rows-only
+        "q001_green": _Q("SELECT 1"),
+        "q200_never": _Q("SELECT 1"),
+    }
+    head = _head_names(reg, stamps)
+    assert head == {"q147_gained", "q200_never"}
+
+
+def test_real_artifacts_leave_no_oracle_gained_backlog():
+    """After the r12 driver run stamps q147/q164 oracle-green, the head
+    block should contain ONLY genuinely-new queries: every oracle-
+    gained entry is by construction a query the driver must re-check,
+    so pin that each one is either new this round (no stamp at all) or
+    one of the two known rows-only-stamped/oracle-gained rows."""
+    from azure_batch_map_reduce_spark.registry import load_all
+
+    reg = load_all()
+    stamps = entry._last_stamps()
+    gained = {
+        n
+        for n in reg
+        if n in stamps and reg[n].oracle is not None and not stamps[n][1]
+    }
+    assert gained <= {"q147_frame_sampling", "q164_vad_segments"}
 
 
 def test_oracle_sql_keys_subset_of_queries():
