@@ -7836,9 +7836,10 @@ _QC_STOPS = ("scan", "column", "window", "order", "sort")
 _QC_THRESH = 300  # label rule: y = 1 iff n_chars > 300 (median ~312)
 
 
-def _qc_obs_sql(with_source: bool = False) -> str:
+def _qc_obs_sql(with_source: bool = False, with_id: bool = False) -> str:
     stops = ", ".join(f"'{w}'" for w in _QC_STOPS)
     src = "source," if with_source else ""
+    src = f"doc_id, {src}" if with_id else src
     return f"""
     obs AS MATERIALIZED (
         SELECT {src} list_value(
@@ -7863,10 +7864,14 @@ _QC_ZFOLD = (
 )
 
 
-def _qc_steps_sql() -> str:
+def _qc_steps_sql(n_steps: int = _QC_STEPS, subset: bool = False) -> str:
     """The unrolled GD step CTEs g{{k}}/w{{k}} (shared by q433's
     training release and q437's cartography — ONE definition of the
-    weight path, so the two oracles cannot drift apart)."""
+    weight path, so the two oracles cannot drift apart). ``subset``
+    trains step k on the deterministic half-corpus
+    ``doc_id % 2 = k % 2`` (q437's variability driver, r11 verdict
+    task 5 — obs must then carry doc_id); q433 keeps the full-batch
+    default, so its release is unchanged."""
     dims = _QC_DIMS
     z_fold = (
         f"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
@@ -7891,7 +7896,7 @@ def _qc_steps_sql() -> str:
                        xa
                 FROM (
                     SELECT xa, y, {zf} AS z
-                    FROM obs CROSS JOIN w{p} w
+                    FROM obs CROSS JOIN w{p} w{filt}
                 )
             ) e
         )
@@ -7913,8 +7918,9 @@ def _qc_steps_sql() -> str:
             lr=_QC_LR,
             dims=dims,
             zf=z_fold,
+            filt=f" WHERE doc_id % 2 = {k % 2}" if subset else "",
         )
-        for k in range(1, _QC_STEPS + 1)
+        for k in range(1, n_steps + 1)
     )
 
 
@@ -7963,17 +7969,23 @@ def _qc_oracle_sql() -> str:
 
 
 def _qc_obs(
-    spark: SparkSession, sf_dir: str, with_source: bool = False
+    spark: SparkSession,
+    sf_dir: str,
+    with_source: bool = False,
+    with_id: bool = False,
 ) -> DataFrame:
     """Feature/label frame for the quality-classifier family (the
     Spark twin of ``_qc_obs_sql``): xa = [bias, centered length,
     centered avg word length, stopword ratio], y = the n_chars > 300
     keep-label. ``with_source`` carries the source column through for
-    q437's per-source cartography rollup."""
+    q437's per-source cartography rollup; ``with_id`` carries doc_id
+    for the subset-varied weight path."""
     docs = load_tables(spark, sf_dir)["documents"]
     words = F.split(F.col("text"), " ")
     stop_arr = F.array(*[F.lit(w) for w in _QC_STOPS])
     cols = ["source"] if with_source else []
+    if with_id:
+        cols = ["doc_id", *cols]
     return docs.select(
         *cols,
         F.array(
@@ -8008,24 +8020,31 @@ def _qc_margin(w: list) -> "Column":
     )
 
 
-def _qc_train(obs: DataFrame) -> tuple[list, list, int]:
-    """Run the three quantized-gradient steps over ``obs`` (xa, y);
+def _qc_train(
+    obs: DataFrame, n_steps: int = _QC_STEPS, subset: bool = False
+) -> tuple[list, list, int]:
+    """Run ``n_steps`` quantized-gradient steps over ``obs`` (xa, y);
     returns ``(path, accs, n)`` — ``path[k]`` is the weight vector
     AFTER step k+1 (the oracle's w{k+1} list), ``accs[k]`` the
     (n_correct, n) measured with the PRE-update weights of step k+1.
+    ``subset`` trains step k on the half-corpus ``doc_id % 2 = k % 2``
+    (obs must carry doc_id; accuracy counts are then subset-grain).
     One definition of the training loop, shared by q433's release and
     q437's cartography (the Spark twin of ``_qc_steps_sql``)."""
     w = [0.0] * 4
     path: list = []
     accs: list = []
     n_rows = None
-    for _ in range(_QC_STEPS):
+    for k in range(1, n_steps + 1):
         z = _qc_margin(w)
         p = F.lit(0.5) + F.col("z") / (
             F.lit(2.0) * (F.lit(1.0) + F.abs(F.col("z")))
         )
+        base = (
+            obs.where((F.col("doc_id") % 2) == k % 2) if subset else obs
+        )
         per_dim = (
-            obs.select("xa", "y", z.alias("z"))
+            base.select("xa", "y", z.alias("z"))
             .select(
                 "y",
                 "z",
@@ -8134,70 +8153,82 @@ def q433_quality_classifier_training(
 
 # --- q437: dataset cartography (training-dynamics curation) ------------
 
-_CARTO_EASY = 0.70  # conf >= easy bar
-_CARTO_HARD = 0.60  # conf < hard bar; [hard, easy) = ambiguous
+_CARTO_STEPS = 6  # subset-varied steps; snapshots = steps 2..6
+_CARTO_SKIP = 1  # step-1 snapshot is warmup (Data-Maps convention)
+_CARTO_CONF = 0.60  # low-variability split: conf >= bar → easy
+_CARTO_VBAR = 0.030  # variability bar: vari >= bar → ambiguous
+_CARTO_SNAPS = tuple(range(_CARTO_SKIP + 1, _CARTO_STEPS + 1))
+
+
+def _carto_fold(terms: list[str]) -> str:
+    """Left-associated nested sum string — the EXACT IEEE addition
+    order the Spark side mirrors (functools.reduce over Column +)."""
+    s = terms[0]
+    for t in terms[1:]:
+        s = f"({s} + {t})"
+    return s
 
 
 def _carto_oracle_sql() -> str:
-    """Weight path via the SHARED step CTEs, then per-doc confidence
-    toward the true label under each post-step snapshot w1..w3, the
-    across-snapshot mean/std, and the per-(source, category) rollup
-    with quantized-integer means."""
+    """Weight path via the SHARED step CTEs (subset-varied, r11
+    verdict task 5), then per-doc confidence toward the true label
+    under each post-warmup snapshot w2..w6, the across-snapshot
+    mean/std (left-fold association shared with the engine), and the
+    per-(source, category) rollup with quantized-integer means."""
+    snaps = _CARTO_SNAPS
+    k_n = float(len(snaps))
     folds = {
         k: (
             f"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
             f"list_transform({_QC_DIMS}, i -> xa[i] * w{k}.wl[i])), "
             f"(a, b) -> a + b)"
         )
-        for k in (1, 2, 3)
+        for k in snaps
     }
-    cexpr = {
-        k: (
-            f"CASE WHEN y = 1.0 THEN p{k} ELSE 1 - p{k} END"
-        )
-        for k in (1, 2, 3)
-    }
+    joins = " ".join(f"CROSS JOIN w{k}" for k in snaps)
+    zcols = ", ".join(f"{folds[k]} AS z{k}" for k in snaps)
+    pcols = ", ".join(
+        f"CAST(0.5 AS DOUBLE) + z{k} / (CAST(2.0 AS DOUBLE)"
+        f" * (CAST(1.0 AS DOUBLE) + abs(z{k}))) AS p{k}"
+        for k in snaps
+    )
+    ccols = ", ".join(
+        f"CASE WHEN y = 1.0 THEN p{k} ELSE 1 - p{k} END AS c{k}"
+        for k in snaps
+    )
+    conf = f"{_carto_fold([f'c{k}' for k in snaps])} / CAST({k_n} AS DOUBLE)"
+    dev = _carto_fold([f"(c{k} - conf) * (c{k} - conf)" for k in snaps])
     return f"""
-    WITH {_qc_obs_sql(with_source=True)},
+    WITH {_qc_obs_sql(with_source=True, with_id=True)},
     w0 AS (SELECT list_transform({_QC_DIMS}, i -> CAST(0.0 AS DOUBLE)) AS wl),
-    {_qc_steps_sql()},
+    {_qc_steps_sql(_CARTO_STEPS, subset=True)},
     zz AS (
-        SELECT source, y,
-               {folds[1]} AS z1, {folds[2]} AS z2, {folds[3]} AS z3
-        FROM obs CROSS JOIN w1 CROSS JOIN w2 CROSS JOIN w3
+        SELECT source, y, {zcols}
+        FROM obs {joins}
     ),
     pp AS (
-        SELECT source, y,
-               CAST(0.5 AS DOUBLE) + z1 / (CAST(2.0 AS DOUBLE)
-                   * (CAST(1.0 AS DOUBLE) + abs(z1))) AS p1,
-               CAST(0.5 AS DOUBLE) + z2 / (CAST(2.0 AS DOUBLE)
-                   * (CAST(1.0 AS DOUBLE) + abs(z2))) AS p2,
-               CAST(0.5 AS DOUBLE) + z3 / (CAST(2.0 AS DOUBLE)
-                   * (CAST(1.0 AS DOUBLE) + abs(z3))) AS p3
+        SELECT source, y, {pcols}
         FROM zz
     ),
     cc AS (
-        SELECT source,
-               {cexpr[1]} AS c1, {cexpr[2]} AS c2, {cexpr[3]} AS c3
+        SELECT source, {ccols}
         FROM pp
     ),
-    stats AS (
-        SELECT source,
-               ((c1 + c2) + c3) / CAST(3.0 AS DOUBLE) AS conf,
-               sqrt((((c1 - ((c1 + c2) + c3) / CAST(3.0 AS DOUBLE))
-                      * (c1 - ((c1 + c2) + c3) / CAST(3.0 AS DOUBLE))
-                      + (c2 - ((c1 + c2) + c3) / CAST(3.0 AS DOUBLE))
-                      * (c2 - ((c1 + c2) + c3) / CAST(3.0 AS DOUBLE)))
-                     + (c3 - ((c1 + c2) + c3) / CAST(3.0 AS DOUBLE))
-                     * (c3 - ((c1 + c2) + c3) / CAST(3.0 AS DOUBLE)))
-                    / CAST(3.0 AS DOUBLE)) AS vari
+    stats0 AS (
+        SELECT source, {", ".join(f"c{k}" for k in snaps)},
+               {conf} AS conf
         FROM cc
+    ),
+    stats AS (
+        SELECT source, conf,
+               sqrt(({dev}) / CAST({k_n} AS DOUBLE)) AS vari
+        FROM stats0
     ),
     catted AS (
         SELECT source,
-               CASE WHEN conf >= {_CARTO_EASY} THEN 'easy'
-                    WHEN conf < {_CARTO_HARD} THEN 'hard'
-                    ELSE 'ambiguous' END AS category,
+               CASE WHEN vari >= {_CARTO_VBAR} THEN 'ambiguous'
+                    WHEN conf >= {_CARTO_CONF} THEN 'easy'
+                    ELSE 'hard' END AS category,
                CAST(round(conf * {_QC_QSCALE}) AS BIGINT) AS conf_q,
                CAST(round(vari * {_QC_QSCALE}) AS BIGINT) AS var_q
         FROM stats
@@ -8226,43 +8257,61 @@ def q437_dataset_cartography(spark: SparkSession, sf_dir: str) -> DataFrame:
     training-DYNAMICS member of the selection family: where q307/q299/
     q432 pick by static features, geometry, or one model's
     uncertainty, cartography watches HOW each example behaves ACROSS
-    training — per-doc confidence toward the true label under each of
-    q433's three post-step weight snapshots (the SAME shared weight
-    path — ``_qc_train`` / ``_qc_steps_sql``, one definition for both
+    training — per-doc confidence toward the true label under the
+    shared trainer's post-warmup weight snapshots (``_qc_train`` /
+    ``_qc_steps_sql``, one definition for both this and q433's
     queries), its across-snapshot mean ("confidence") and standard
     deviation ("variability") — and maps the corpus into
     easy-to-learn / ambiguous / hard-to-learn regions per source, the
     triage a curation pipeline uses to find mislabeled (hard) and
     most-informative (ambiguous) slices.
 
-    Fixture honesty: with three monotone full-batch steps the
-    variability axis barely spreads (σ ≈ 0.04 everywhere — probed),
-    so the region split here keys on confidence alone with
-    variability RELEASED as the diagnostic column; with real
-    multi-epoch stochastic training the same dataflow buckets on both
-    axes. Thresholds (≥ 0.70 easy, < 0.60 hard) hold all three
-    regions non-empty at every SF (probed: p5 ≈ 0.53, median ≈ 0.68,
-    p75 ≈ 0.73).
+    Both axes are EXERCISED (r11 verdict task 5): the weight path is
+    the shared trainer run for 6 steps with step k trained on the
+    deterministic half-corpus ``doc_id % 2 = k % 2`` (the
+    subset-varied mode of ``_qc_steps_sql`` / ``_qc_train`` — still
+    one definition for both oracles), snapshots are the POST-WARMUP
+    steps w2..w6 (the Data-Maps convention of skipping the raw first
+    step, without which every doc's trajectory starts at the
+    untrained 0.5 and σ measures distance-from-scratch instead of
+    training dynamics), and the region rule keys on BOTH axes:
+    ambiguous = σ ≥ 0.030, else easy/hard split at confidence 0.60.
+    Probed non-empty at every SF (easy/amb/hard = 79/359/62 at
+    sf0.001, 79/360/61 at sf0.01, 837/3560/603 at sf0.1). Fixture
+    honesty, updated: this full-batch rational-sigmoid trajectory is
+    smooth, so σ spans only [0.01, 0.034] (probed p5..max) — the
+    RANKING is informative (low-σ docs are the stuck-near-0.5 hard
+    core, high-σ docs actually moved) but the absolute spread stays
+    small; real multi-epoch stochastic training widens it without
+    changing this dataflow. q433's own release is UNCHANGED (it keeps
+    the 3-step full-batch default).
 
-    Determinism: the weight path is the q433-shared bit-identical
+    Determinism: the weight path is the shared bit-identical
     sequence; per-doc confidences are short shared IEEE chains (the
-    fast sigmoid, one division); the std's sqrt is IEEE
-    correctly-rounded (not a libm estimate); per-doc stats QUANTIZE
-    to 1e-6 integers before the order-free mean sums, and the
-    released means go through the half-up integer idiom.
+    fast sigmoid, one division); the across-snapshot mean and
+    deviation sums use ONE left-fold association emitted into both
+    engines (``_carto_fold`` / functools.reduce); the std's sqrt is
+    IEEE correctly-rounded (not a libm estimate); per-doc stats
+    QUANTIZE to 1e-6 integers before the order-free mean sums, and
+    the released means go through the half-up integer idiom.
 
-    Scale posture: after the (shared) training passes, cartography is
-    ONE corpus map — three scalar margin folds per row, no joins, no
-    windows — plus a partial+final rollup on the bounded
+    Scale posture: after the training passes (6 half-corpus scans),
+    cartography is ONE corpus map — five scalar margin folds per row,
+    no joins, no windows — plus a partial+final rollup on the bounded
     (source × 3-category) grain. Reference contract: per-example
     snapshot scoring = map slot (``App.config:16``); the region
     rollup = reduce slot (``App.config:17``, ``Program.cs:351-384``).
     """
-    obs = _qc_obs(spark, sf_dir, with_source=True).persist()
-    path, _, _ = _qc_train(obs.select("xa", "y"))
+    from functools import reduce
+
+    obs = _qc_obs(spark, sf_dir, with_source=True, with_id=True).persist()
+    path, _, _ = _qc_train(
+        obs.select("doc_id", "xa", "y"), _CARTO_STEPS, subset=True
+    )
+    snaps = list(_CARTO_SNAPS)
     ps = []
-    for k, wk in enumerate(path, start=1):
-        z = _qc_margin(wk)
+    for k in snaps:
+        z = _qc_margin(path[k - 1])
         ps.append(
             (
                 F.lit(0.5)
@@ -8274,24 +8323,31 @@ def q437_dataset_cartography(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("y") == 1.0, F.col(f"p{k}")).otherwise(
             1 - F.col(f"p{k}")
         ).alias(f"c{k}")
-        for k in (1, 2, 3)
+        for k in snaps
     ]
     cc = pp.select("source", *cs)
-    conf = ((F.col("c1") + F.col("c2")) + F.col("c3")) / F.lit(3.0)
-    stats = cc.select("source", conf.alias("conf"), "c1", "c2", "c3")
-    dev = lambda k: (F.col(f"c{k}") - F.col("conf")) * (  # noqa: E731
-        F.col(f"c{k}") - F.col("conf")
+    k_n = float(len(snaps))
+    conf = reduce(
+        lambda a, b: a + b, [F.col(f"c{k}") for k in snaps]
+    ) / F.lit(k_n)
+    stats = cc.select(
+        "source", conf.alias("conf"), *[f"c{k}" for k in snaps]
     )
+    devs = [
+        (F.col(f"c{k}") - F.col("conf"))
+        * (F.col(f"c{k}") - F.col("conf"))
+        for k in snaps
+    ]
     stats = stats.select(
         "source",
         "conf",
-        F.sqrt(((dev(1) + dev(2)) + dev(3)) / F.lit(3.0)).alias("vari"),
+        F.sqrt(reduce(lambda a, b: a + b, devs) / F.lit(k_n)).alias("vari"),
     )
     catted = stats.select(
         "source",
-        F.when(F.col("conf") >= _CARTO_EASY, F.lit("easy"))
-        .when(F.col("conf") < _CARTO_HARD, F.lit("hard"))
-        .otherwise(F.lit("ambiguous"))
+        F.when(F.col("vari") >= _CARTO_VBAR, F.lit("ambiguous"))
+        .when(F.col("conf") >= _CARTO_CONF, F.lit("easy"))
+        .otherwise(F.lit("hard"))
         .alias("category"),
         F.round(F.col("conf") * _QC_QSCALE).cast("long").alias("conf_q"),
         F.round(F.col("vari") * _QC_QSCALE).cast("long").alias("var_q"),

@@ -293,7 +293,8 @@ HEADLINE = [
     "q434_star_contraction_components",
     "q435_wasserstein_source_drift",
     "q436_deleted_interpolation_em",
-    # q437: shares q433's training passes (eager, see NOTE above),
+    # q437: runs the shared trainer for 6 half-corpus subset steps
+    # (eager, see NOTE above — its real cost is in `queries_honest`),
     # then one corpus map + bounded rollup; q438: one count aggregate
     # + 5-row integer noise math.
     "q437_dataset_cartography",
