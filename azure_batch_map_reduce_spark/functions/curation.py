@@ -8462,3 +8462,398 @@ def q438_discrete_geometric_release(
         noise.alias("noise"),
         (F.col("n") + noise).cast("long").alias("n_noisy"),
     ).orderBy("event_type")
+
+
+# --- q439: DP-SGD clipped-gradient private training ---------------------
+
+_DP_STEPS = 3  # gradient steps (the q433 grain)
+_DP_LR = 0.5  # exact binary64 literal on both engines
+_DP_CLIP_Q = 1_000_000  # clip bound C = 1.0 in 1e-6 gradient units
+_DP_NOISE_Q = 10_000  # discrete-geometric noise multiplier (1e-2 units)
+
+
+def _dpsgd_noise(step: int) -> list[int]:
+    """Per-dim summed-gradient noise for one step: q438's md5
+    leading-zero Geometric(1/2) difference, scaled to ``_DP_NOISE_Q``
+    quantized units — the EXACT integer the oracle's SQL computes
+    (``bin(u)`` string length = bit_length for u > 0, 1 for u = 0)."""
+    import hashlib
+
+    def geo(salt: str) -> int:
+        u = int(hashlib.md5(salt.encode()).hexdigest()[:8], 16)
+        return 32 - (u.bit_length() if u > 0 else 1)
+
+    return [
+        _DP_NOISE_Q
+        * (geo(f"dpsgd|{step}|{d}|1") - geo(f"dpsgd|{step}|{d}|2"))
+        for d in range(1, 5)
+    ]
+
+
+def _dpsgd_examples(obs: DataFrame, w: list) -> DataFrame:
+    """Per-example frame under weights ``w``: quantized BIGINT gradient
+    vector ``gq``, its exact squared norm ``s2``, ceil-sqrt ``su``
+    (floor-sqrt via IEEE double — exact input since s2 < 2^53 — with a
+    one-step integer correction, then +1 if still below), the clip
+    flag, and the CLIPPED vector ``cl`` = sign(g)·⌊|g|·Cq/su⌋ — floor
+    division against the CEIL sqrt guarantees ‖cl‖ ≤ ‖g‖·Cq/‖g‖ = Cq
+    exactly (the invariant test pins it per example). Shared by the
+    training loop and the invariant test."""
+    c2 = _DP_CLIP_Q * _DP_CLIP_Q
+    z = _qc_margin(w)
+    p = F.lit(0.5) + F.col("z") / (
+        F.lit(2.0) * (F.lit(1.0) + F.abs(F.col("z")))
+    )
+    return (
+        obs.select("xa", "y", z.alias("z"))
+        .select("xa", "y", "z", p.alias("p"))
+        .select(
+            "y",
+            "z",
+            F.transform(
+                "xa",
+                lambda x: F.round(
+                    (F.col("p") - F.col("y")) * x * _QC_QSCALE
+                ).cast("long"),
+            ).alias("gq"),
+        )
+        .select(
+            "y",
+            "z",
+            "gq",
+            F.aggregate(
+                F.transform("gq", lambda v: v * v),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            ).alias("s2"),
+        )
+        .select(
+            "y",
+            "z",
+            "gq",
+            "s2",
+            F.floor(F.sqrt(F.col("s2").cast("double")))
+            .cast("long")
+            .alias("s0"),
+        )
+        .select(
+            "y",
+            "z",
+            "gq",
+            "s2",
+            F.when(
+                (F.col("s0") + 1) * (F.col("s0") + 1) <= F.col("s2"),
+                F.col("s0") + 1,
+            )
+            .when(F.col("s0") * F.col("s0") > F.col("s2"), F.col("s0") - 1)
+            .otherwise(F.col("s0"))
+            .alias("sfl"),
+        )
+        .select(
+            "y",
+            "z",
+            "gq",
+            "s2",
+            (
+                F.col("sfl")
+                + F.when(
+                    F.col("sfl") * F.col("sfl") < F.col("s2"), 1
+                ).otherwise(0)
+            ).alias("su"),
+        )
+        .select(
+            "y",
+            "z",
+            "s2",
+            (F.col("s2") > F.lit(c2)).alias("is_clip"),
+            F.when(F.col("s2") <= F.lit(c2), F.col("gq"))
+            .otherwise(
+                F.expr(
+                    f"transform(gq, v -> CASE WHEN v >= 0"
+                    f" THEN (v * {_DP_CLIP_Q}) div su"
+                    f" ELSE -(((-v) * {_DP_CLIP_Q}) div su) END)"
+                )
+            )
+            .alias("cl"),
+        )
+    )
+
+
+def _dpsgd_step_frame(ex: DataFrame) -> DataFrame:
+    """One corpus scan's per-dim aggregate: summed CLIPPED quantized
+    gradients, clip count, pre-update accuracy count, n — the exact
+    q433 shuffle shape (4 integer cells, map-side combined) plus one
+    clip counter."""
+    return (
+        ex.select("y", "z", "is_clip", F.posexplode("cl").alias("dim0", "cv"))
+        .groupBy((F.col("dim0") + 1).alias("dim"))
+        .agg(
+            F.sum("cv").alias("cq"),
+            F.sum(F.when(F.col("is_clip"), 1).otherwise(0)).alias("n_clip"),
+            F.sum(
+                F.when((F.col("z") > 0) == (F.col("y") == 1.0), 1).otherwise(
+                    0
+                )
+            ).alias("n_correct"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+def _dpsgd_steps_sql() -> str:
+    """Unrolled DP-SGD step CTEs: per example the quantized gradient
+    list, exact integer squared norm, corrected floor-sqrt → ceil-sqrt,
+    the floor-division clip, then the per-dim sum + the md5
+    discrete-geometric noise inside the weight update."""
+    dims = _QC_DIMS
+    z_fold = _QC_ZFOLD
+    c2 = _DP_CLIP_Q * _DP_CLIP_Q
+    step_tpl = """
+    g{k} AS MATERIALIZED (
+        SELECT s.dim AS dim,
+               sum(s.cv) AS cq,
+               sum(CASE WHEN is_clip THEN 1 ELSE 0 END) AS n_clip,
+               sum(CASE WHEN (z > 0) = (y = 1.0) THEN 1 ELSE 0 END)
+                   AS n_correct,
+               count(*) AS n
+        FROM (
+            SELECT y, z, is_clip,
+                   unnest(list_transform({dims},
+                       i -> struct_pack(dim := i, cv := cl[i]))) AS s
+            FROM (
+                SELECT y, z, s2 > {c2} AS is_clip,
+                       CASE WHEN s2 <= {c2} THEN gq
+                            ELSE list_transform(gq, v -> CASE WHEN v >= 0
+                                 THEN (v * {cq}) // su
+                                 ELSE -(((-v) * {cq}) // su) END)
+                       END AS cl
+                FROM (
+                    SELECT y, z, gq, s2,
+                           sfl + CASE WHEN sfl * sfl < s2 THEN 1 ELSE 0 END
+                               AS su
+                    FROM (
+                        SELECT y, z, gq, s2,
+                               CASE WHEN (s0 + 1) * (s0 + 1) <= s2 THEN s0 + 1
+                                    WHEN s0 * s0 > s2 THEN s0 - 1
+                                    ELSE s0 END AS sfl
+                        FROM (
+                            SELECT y, z, gq, s2,
+                                   CAST(floor(sqrt(CAST(s2 AS DOUBLE)))
+                                        AS BIGINT) AS s0
+                            FROM (
+                                SELECT y, z, gq,
+                                       list_reduce(list_prepend(
+                                           CAST(0 AS BIGINT),
+                                           list_transform({dims},
+                                               i -> gq[i] * gq[i])),
+                                           (a, b) -> a + b) AS s2
+                                FROM (
+                                    SELECT y, z,
+                                           list_transform({dims},
+                                               i -> CAST(round((p - y)
+                                                   * xa[i] * {qs})
+                                                   AS BIGINT)) AS gq
+                                    FROM (
+                                        SELECT z, y,
+                                               CAST(0.5 AS DOUBLE)
+                                                   + z / (CAST(2.0 AS DOUBLE)
+                                                       * (CAST(1.0 AS DOUBLE)
+                                                          + abs(z))) AS p,
+                                               xa
+                                        FROM (
+                                            SELECT xa, y, {zf} AS z
+                                            FROM obs CROSS JOIN w{p} w
+                                        )
+                                    )
+                                )
+                            )
+                        )
+                    )
+                )
+            ) e
+        )
+        GROUP BY s.dim
+    ),
+    w{k} AS MATERIALIZED (
+        SELECT list(w.wl[g.dim]
+                    - {lr} * (CAST(g.cq
+                        + {nq} * (
+                            (32 - length(bin(('0x' || substr(
+                                md5('dpsgd|{k}|' || g.dim || '|1'),
+                                1, 8))::BIGINT)))
+                          - (32 - length(bin(('0x' || substr(
+                                md5('dpsgd|{k}|' || g.dim || '|2'),
+                                1, 8))::BIGINT)))
+                        ) AS DOUBLE) / {qs} / g.n)
+                    ORDER BY g.dim) AS wl,
+               max(g.n_correct) AS n_correct,
+               max(g.n_clip) AS n_clip,
+               max(g.n) AS n
+        FROM g{k} g CROSS JOIN w{p} w
+    )"""
+    return ",".join(
+        step_tpl.format(
+            k=k,
+            p=k - 1 if k > 1 else 0,
+            qs=_QC_QSCALE,
+            lr=_DP_LR,
+            cq=_DP_CLIP_Q,
+            c2=c2,
+            nq=_DP_NOISE_Q,
+            dims=dims,
+            zf=z_fold,
+        )
+        for k in range(1, _DP_STEPS + 1)
+    )
+
+
+def _dpsgd_oracle_sql() -> str:
+    dims = _QC_DIMS
+    z_fold = _QC_ZFOLD
+    acc_rows = " UNION ALL ".join(
+        f"SELECT 'acc' AS item, {k} AS idx,"
+        f" ((2 * n_correct * 1000000 + n) // (2 * n)) / 1000000.0 AS value"
+        f" FROM w{k}"
+        for k in range(1, _DP_STEPS + 1)
+    )
+    clip_rows = " UNION ALL ".join(
+        f"SELECT 'clip_frac', {k},"
+        f" ((2 * n_clip * 1000000 + n) // (2 * n)) / 1000000.0"
+        f" FROM w{k}"
+        for k in range(1, _DP_STEPS + 1)
+    )
+    return f"""
+    WITH {_qc_obs_sql()},
+    w0 AS (SELECT list_transform({dims}, i -> CAST(0.0 AS DOUBLE)) AS wl),
+    {_dpsgd_steps_sql()},
+    fin AS MATERIALIZED (
+        SELECT sum(CASE WHEN ({z_fold} > 0) = (y = 1.0) THEN 1 ELSE 0 END)
+                   AS n_correct,
+               count(*) AS n
+        FROM obs CROSS JOIN w{_DP_STEPS} w
+    )
+    SELECT item, CAST(idx AS INTEGER) AS idx, value FROM (
+        {acc_rows}
+        UNION ALL
+        SELECT 'acc', {_DP_STEPS + 1},
+               ((2 * n_correct * 1000000 + n) // (2 * n)) / 1000000.0
+        FROM fin
+        UNION ALL
+        {clip_rows}
+        UNION ALL
+        SELECT 'w', s.dim, round(s.wv, 6) + 0.0
+        FROM (
+            SELECT unnest(list_transform({dims},
+                i -> struct_pack(dim := i, wv := w.wl[i]))) AS s
+            FROM w{_DP_STEPS} w
+        )
+    ) ORDER BY item, idx
+    """
+
+
+@query(
+    "q439_dpsgd_private_training",
+    oracle=_dpsgd_oracle_sql(),
+    tags=("privacy", "dp", "training", "clipping", "curation"),
+)
+def q439_dpsgd_private_training(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """DP-SGD-style clipped-gradient training — the composition the
+    privacy and training families were missing (r11 verdict task 4):
+    q433 trains on RAW per-example gradients; q407/q438 noise COUNTS;
+    private ML ships per-example gradient CLIPPING (bounding each
+    example's influence = the sensitivity bound) + integer noise on
+    the SUMMED gradient, then the standard update. Three full-batch
+    steps of the q433 fast-sigmoid logistic trainer where each
+    example's quantized BIGINT gradient vector is clipped to L2 norm
+    C = 1.0 EXACTLY in integer arithmetic — squared norm as an exact
+    BIGINT sum, ceil-sqrt via corrected floor-sqrt (+1 when still
+    below), clipped component = sign(g)·⌊|g|·Cq/ceil‖g‖⌋, so
+    ‖clipped‖ ≤ Cq·‖g‖/‖g‖ = Cq with NO floating-point in the bound
+    (the invariant test pins it per example) — and each step's summed
+    gradient gets q438's md5 discrete-geometric noise (two-sided
+    Geometric(1/2) difference, ``_DP_NOISE_Q`` = 1e-2 units/draw)
+    before the weight update. Released: per-step pre-update accuracy
+    + final accuracy (climbs ~0.49 → 0.99+ at every SF — clipping and
+    noise at these scales leave the dynamics intact, which is the
+    operator's demonstration), per-step clip fraction (~0.33 at step
+    1 — the untrained gradient exceeds C for a third of the corpus —
+    then 0 once gradients shrink), and the final weights.
+
+    Like q407/q431/q438 this verifies the MECHANISM'S MATH only:
+    deterministic salted draws and co-released exact accuracies void
+    the (ε, δ) guarantee a production deployment gets from real
+    randomness and from not publishing side information; the ε
+    accounting for the untruncated two-sided geometric at α = 1/2 is
+    ln 2 per unit sensitivity per release, composed over
+    3 steps × 4 dims via basic composition.
+
+    Determinism: per-example gradients quantized to exact BIGINTs
+    (the q343 discipline); the clip path is integer-only (the
+    floor-sqrt seed reads an IEEE double sqrt whose input s2 < 2^53
+    is exactly representable, and the ±1 correction makes the integer
+    result exact regardless of the last-ulp direction); noise draws
+    are md5-window integer ops (q438's mechanism, verified on the
+    u = 0 edge); the weight update mirrors the oracle's binary64
+    sequence; releases use the half-up integer idiom and
+    ``round_nz``.
+
+    Scale posture: per step ONE corpus scan — feature map, gradient,
+    norm, and clip all fuse into the scan (no joins, no windows, no
+    per-example shuffle) — whose shuffle carries 4 integer cells plus
+    a clip counter, map-side combined; model state is 4 doubles via a
+    4-row parameter-server collect, exactly q433's dataflow with
+    clip+noise as extra scalar math. Reference contract: per-example
+    clipped gradient = map slot (``App.config:16``); noisy
+    aggregation + update = reduce slot (``App.config:17``,
+    ``Program.cs:351-384``)."""
+    from azure_batch_map_reduce_spark.operators.ranks import round_nz
+
+    obs = _qc_obs(spark, sf_dir).persist()
+    w = [0.0] * 4
+    accs: list = []
+    clips: list = []
+    n_rows = None
+    for k in range(1, _DP_STEPS + 1):
+        rows = _dpsgd_step_frame(_dpsgd_examples(obs, w)).collect()
+        n_rows = rows[0]["n"]
+        accs.append((rows[0]["n_correct"], n_rows))
+        clips.append((rows[0]["n_clip"], n_rows))
+        cq = {r["dim"]: r["cq"] for r in rows}
+        nz = _dpsgd_noise(k)
+        # Mirror the oracle's update arithmetic exactly (q343 rule).
+        w = [
+            w[d - 1] - _DP_LR * ((cq[d] + nz[d - 1]) / _QC_QSCALE / n_rows)
+            for d in range(1, 5)
+        ]
+    z = _qc_margin(w)
+    fin = obs.agg(
+        F.sum(
+            F.when((z > 0) == (F.col("y") == 1.0), 1).otherwise(0)
+        ).alias("n_correct"),
+        F.count(F.lit(1)).alias("n"),
+    ).collect()[0]
+    obs.unpersist()
+    ratio_rows = [
+        ("acc", k + 1, int(nc), int(n)) for k, (nc, n) in enumerate(accs)
+    ]
+    ratio_rows.append(
+        ("acc", _DP_STEPS + 1, int(fin["n_correct"]), int(fin["n"]))
+    )
+    ratio_rows.extend(
+        ("clip_frac", k + 1, int(nc), int(n))
+        for k, (nc, n) in enumerate(clips)
+    )
+    ratio_df = spark.createDataFrame(
+        ratio_rows, "item string, idx int, num long, den long"
+    ).select(
+        "item",
+        "idx",
+        half_up_ratio(F.col("num"), F.col("den"), 6).alias("value"),
+    )
+    w_df = spark.createDataFrame(
+        [("w", d, w[d - 1]) for d in range(1, 5)],
+        "item string, idx int, raw double",
+    ).select("item", "idx", round_nz(F.col("raw"), 6).alias("value"))
+    return ratio_df.unionByName(w_df).orderBy("item", "idx")

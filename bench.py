@@ -299,6 +299,10 @@ HEADLINE = [
     # + 5-row integer noise math.
     "q437_dataset_cartography",
     "q438_discrete_geometric_release",
+    # Round-12 operators. q439: DP-SGD — 3 corpus scans (gradient+
+    # norm+clip fused into each) with 4-cell integer shuffles, eager
+    # like q433 (honest cost in `queries_honest`).
+    "q439_dpsgd_private_training",
 ]
 
 

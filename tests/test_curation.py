@@ -538,3 +538,67 @@ def test_q438_discrete_noise_consistency(spark, sf_dir):
         assert r.n_noisy - r.n_true == r.noise
         assert -31 <= r.noise <= 31
     assert any(r.noise != 0 for r in rows)
+
+
+def test_q439_per_example_clip_bound_exact(spark, sf_dir):
+    """r11 verdict task 4's invariant: EVERY example's clipped
+    quantized gradient satisfies ||cl||^2 <= Cq^2 exactly (integer
+    arithmetic, no epsilon), the step-1 clip set is non-degenerate
+    (some clipped, some not — the untrained gradient exceeds C=1.0
+    for ~a third of the corpus), and clipping is tight: the max
+    clipped norm sits within the floor-division slack of the bound."""
+    from azure_batch_map_reduce_spark.functions.curation import (
+        _DP_CLIP_Q,
+        _dpsgd_examples,
+        _qc_obs,
+    )
+    from pyspark.sql import functions as F
+
+    ex = _dpsgd_examples(_qc_obs(spark, sf_dir), [0.0] * 4)
+    row = ex.agg(
+        F.max(
+            F.aggregate(
+                F.transform("cl", lambda v: v * v),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            )
+        ).alias("max_n2"),
+        F.max(
+            F.when(
+                F.col("is_clip"),
+                F.aggregate(
+                    F.transform("cl", lambda v: v * v),
+                    F.lit(0).cast("long"),
+                    lambda acc, x: acc + x,
+                ),
+            )
+        ).alias("max_clipped_n2"),
+        F.sum(F.when(F.col("is_clip"), 1).otherwise(0)).alias("n_clip"),
+        F.count(F.lit(1)).alias("n"),
+    ).collect()[0]
+    bound = _DP_CLIP_Q * _DP_CLIP_Q
+    assert row.max_n2 <= bound
+    assert 0 < row.n_clip < row.n
+    # Tightness: floor division loses < 1 quantized unit per dim, so a
+    # clipped norm lands within ~4 units of Cq (slack bound 10 units).
+    assert row.max_clipped_n2 >= (_DP_CLIP_Q - 10) ** 2
+
+
+def test_q439_training_converges_with_clip_and_noise(spark, sf_dir):
+    """Clipping + discrete noise at these scales must leave the
+    training dynamics intact: step-1 accuracy at the untrained base
+    rate, final accuracy >= 0.95; clip fraction decreasing and hitting
+    zero once gradients shrink."""
+    rows = (
+        REGISTRY["q439_dpsgd_private_training"].fn(spark, sf_dir).collect()
+    )
+    acc = {r.idx: r.value for r in rows if r.item == "acc"}
+    clip = {r.idx: r.value for r in rows if r.item == "clip_frac"}
+    w = {r.idx: r.value for r in rows if r.item == "w"}
+    assert set(acc) == {1, 2, 3, 4} and set(clip) == {1, 2, 3}
+    assert set(w) == {1, 2, 3, 4}
+    assert 0.3 < acc[1] < 0.7
+    assert acc[4] >= 0.95
+    assert clip[1] > 0.1  # untrained gradients exceed C for many docs
+    assert clip[3] <= clip[1]
+    assert abs(w[2]) > abs(w[1])  # signal feature dominates

@@ -1439,3 +1439,29 @@ def test_q436_em_joins_broadcast_the_count_tables(spark, sf_dir):
         df._jdf.queryExecution(), "formatted"
     )
     assert "WindowExec" not in explained
+
+
+def test_q439_step_is_single_scan_single_aggregate(spark, sf_dir):
+    """r11 verdict task 4's plan pin: one DP-SGD step = ONE corpus
+    scan with the feature map, gradient, norm, and clip all fused into
+    it, then one partial+final aggregate on the 4-dim grain — no
+    joins, no windows, no second scan, no new shuffles vs q433's step
+    (formatted explain mentions each node twice: 1 scan = 2, the
+    partial+final pair = 4)."""
+    from azure_batch_map_reduce_spark.functions.curation import (
+        _dpsgd_examples,
+        _dpsgd_step_frame,
+        _qc_obs,
+    )
+
+    df = _dpsgd_step_frame(_dpsgd_examples(_qc_obs(spark, sf_dir), [0.0] * 4))
+    explained = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    assert "WindowExec" not in explained
+    assert "Join" not in explained
+    assert explained.count("Scan parquet") == 2
+    assert explained.count("HashAggregate") == 4
+    read_schema = [l for l in explained.splitlines() if "ReadSchema" in l][0]
+    assert "text" in read_schema and "n_chars" in read_schema
+    assert "lang" not in read_schema and "source" not in read_schema
