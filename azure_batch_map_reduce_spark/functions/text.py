@@ -5586,3 +5586,229 @@ def q436_deleted_interpolation_em(
         )
         .orderBy("iter")
     )
+
+
+# --- q440: char-trigram Naive-Bayes language-ID TRAINING ----------------
+
+_NB_QSCALE = 1_000_000  # log-score quantization (integer units of 1e-6)
+
+
+def _nb_langid_oracle_sql() -> str:
+    """Shared-shape oracle: gram explode, add-one-smoothed per-(lang,
+    gram) quantized log scores over the COMPLETE gram×lang grid, per-
+    doc integer score sums, the two-aggregate deterministic argmax
+    (max score, then min lang among ties), and the confusion rollup."""
+    qs = _NB_QSCALE
+    return f"""
+    WITH g AS MATERIALIZED (
+        SELECT doc_id, lang AS lang_true, substr(text, CAST(i AS INTEGER), 3) AS gram
+        FROM (
+            SELECT doc_id, lang, text,
+                   unnest(generate_series(1, length(text) - 2)) AS i
+            FROM documents WHERE length(text) >= 3
+        )
+    ),
+    cnts AS MATERIALIZED (
+        SELECT lang_true AS lang, gram, count(*) AS c FROM g GROUP BY 1, 2
+    ),
+    tot AS MATERIALIZED (SELECT lang, sum(c) AS t FROM cnts GROUP BY 1),
+    vocab AS MATERIALIZED (SELECT count(DISTINCT gram) AS v FROM g),
+    grams AS MATERIALIZED (SELECT DISTINCT gram FROM g),
+    prior AS MATERIALIZED (
+        SELECT lang,
+               CAST(round(1000000.0
+                   * ln(CAST(cnt_l AS DOUBLE) / CAST(n AS DOUBLE)))
+                   AS BIGINT) AS pq
+        FROM (
+            SELECT lang, count(*) AS cnt_l,
+                   (SELECT count(*) FROM documents) AS n
+            FROM documents GROUP BY lang
+        )
+    ),
+    model AS MATERIALIZED (
+        SELECT gr.gram, t.lang,
+               CAST(round(1000000.0
+                   * ln((coalesce(c.c, 0) + 1)
+                        / CAST(t.t + v.v AS DOUBLE))) AS BIGINT) AS qlog
+        FROM grams gr
+        CROSS JOIN tot t
+        CROSS JOIN vocab v
+        LEFT JOIN cnts c ON c.lang = t.lang AND c.gram = gr.gram
+    ),
+    sc AS MATERIALIZED (
+        SELECT s.doc_id, s.lang_true, s.lang, s.s0 + p.pq AS score
+        FROM (
+            SELECT g.doc_id, g.lang_true, m.lang, sum(m.qlog) AS s0
+            FROM g JOIN model m ON m.gram = g.gram
+            GROUP BY 1, 2, 3
+        ) s
+        JOIN prior p ON p.lang = s.lang
+    ),
+    best AS MATERIALIZED (
+        SELECT doc_id, max(score) AS smax FROM sc GROUP BY 1
+    ),
+    pred AS MATERIALIZED (
+        SELECT sc.doc_id, sc.lang_true, min(sc.lang) AS pred_lang
+        FROM sc
+        JOIN best b ON b.doc_id = sc.doc_id AND sc.score = b.smax
+        GROUP BY 1, 2
+    ),
+    conf AS (
+        SELECT lang_true, pred_lang, count(*) AS n_docs
+        FROM pred GROUP BY 1, 2
+    ),
+    tt AS (SELECT lang_true, sum(n_docs) AS n_true FROM conf GROUP BY 1)
+    SELECT c.lang_true, c.pred_lang,
+           CAST(c.n_docs AS BIGINT) AS n_docs,
+           ((2 * c.n_docs * {qs} + t.n_true) // (2 * t.n_true))
+               / 1000000.0 AS share_of_true
+    FROM conf c JOIN tt t USING (lang_true)
+    ORDER BY lang_true, pred_lang
+    """
+
+
+@query(
+    "q440_naive_bayes_langid_training",
+    oracle=_nb_langid_oracle_sql(),
+    tags=("llm", "training", "language-id", "naive-bayes", "text"),
+)
+def q440_naive_bayes_langid_training(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Char-trigram Naive-Bayes language-ID TRAINING — the fastText/
+    CCNet gate trained in-plan (r11 verdict task 6): every pipeline
+    stage that consumes the corpus's ``lang`` column (q281's routing,
+    q326's per-lang stats, q412's blocking) TRUSTS a lang-ID some
+    model produced; this operator trains that model — add-one-smoothed
+    multinomial NB over character trigrams — scores every document,
+    and releases the (true, predicted) confusion matrix with per-true
+    shares, the classification complement to q433's regression-style
+    quality gate.
+
+    Fixture honesty (probed, the q437 discipline): the synthetic
+    corpus draws every document from ONE shared token vocabulary, so
+    the ``lang`` label is nearly text-independent — training accuracy
+    is 0.542/0.576/0.360 at sf0.001/0.01/0.1 against a majority-class
+    baseline of 0.386/0.436/0.412 (the small-SF lift is trigram
+    memorization; at sf0.1 the label is genuinely unlearnable from
+    text). The r11 verdict's "accuracy > 0.9" assumed separable
+    languages; the invariant test pins what the fixture supports —
+    accuracy strictly above the 1/|langs| = 0.2 uniform baseline at
+    every SF, corpus conservation, and every lang predicted — and the
+    confusion matrix itself is on the verified path, so a real corpus
+    swap gets the full differential for free.
+
+    Determinism: all counts exact integers; each log score is ONE
+    libm ln on bit-identical IEEE ratios of exact integers (the q407
+    single-ln exposure class), QUANTIZED to 1e-6 integer units before
+    any sum — per-doc scores are then exact BIGINT sums of quantized
+    cells (order-free); argmax is the two-aggregate idiom (max score
+    per doc, then min lang among exact-integer ties) — no window, no
+    engine-specific arg_max tie behavior; the released share uses the
+    half-up integer idiom.
+
+    Scale posture: the gram explode is one corpus map (positions via
+    ``sequence``, fused into the scan); the model is bounded —
+    |charset|³ × |langs| rows worst case — built by partial+final
+    aggregates and BROADCAST to the scoring join (no corpus shuffle on
+    the gram key); per-doc scores are one (doc, lang) partial+final
+    aggregate; the argmax is doc-grain. The corpus is scanned twice
+    (model build + scoring) — at 100 TB the model build is the
+    classic shared-pass candidate (persist here, a sampled or
+    incremental model in production). Reference contract: per-doc
+    gram counts + scoring = map slot (``App.config:16``); model
+    aggregation + confusion rollup = reduce slots (``App.config:17``,
+    ``Program.cs:351-384``)."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    grams = (
+        docs.where(F.length("text") >= 3)
+        .select(
+            "doc_id",
+            F.col("lang").alias("lang_true"),
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, length(text) - 2),"
+                    " i -> substring(text, i, 3))"
+                )
+            ).alias("gram"),
+        )
+        .persist()
+    )
+    cnts = (
+        grams.groupBy(F.col("lang_true").alias("lang"), "gram")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    tot = cnts.groupBy("lang").agg(F.sum("c").alias("t"))
+    vocab = grams.agg(F.countDistinct("gram").alias("v"))
+    gram_dim = grams.select("gram").distinct()
+    n_docs_df = docs.agg(F.count(F.lit(1)).alias("n"))
+    prior = (
+        docs.groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("cnt_l"))
+        .crossJoin(F.broadcast(n_docs_df))
+        .select(
+            "lang",
+            F.round(
+                F.lit(1000000.0)
+                * F.log(
+                    F.col("cnt_l").cast("double") / F.col("n").cast("double")
+                )
+            )
+            .cast("long")
+            .alias("pq"),
+        )
+    )
+    model = (
+        gram_dim.crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(vocab))
+        .join(F.broadcast(cnts), ["lang", "gram"], "left")
+        .select(
+            "gram",
+            "lang",
+            F.round(
+                F.lit(1000000.0)
+                * F.log(
+                    (F.coalesce(F.col("c"), F.lit(0)) + 1)
+                    / (F.col("t") + F.col("v")).cast("double")
+                )
+            )
+            .cast("long")
+            .alias("qlog"),
+        )
+    )
+    sc = (
+        grams.join(F.broadcast(model), "gram")
+        .groupBy("doc_id", "lang_true", "lang")
+        .agg(F.sum("qlog").alias("s0"))
+        .join(F.broadcast(prior), "lang")
+        .select(
+            "doc_id",
+            "lang_true",
+            "lang",
+            (F.col("s0") + F.col("pq")).alias("score"),
+        )
+        .persist()
+    )
+    best = sc.groupBy("doc_id").agg(F.max("score").alias("smax"))
+    pred = (
+        sc.join(best, "doc_id")
+        .where(F.col("score") == F.col("smax"))
+        .groupBy("doc_id", "lang_true")
+        .agg(F.min("lang").alias("pred_lang"))
+    )
+    conf = pred.groupBy("lang_true", "pred_lang").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    tt = conf.groupBy("lang_true").agg(F.sum("n_docs").alias("n_true"))
+    return (
+        conf.join(F.broadcast(tt), "lang_true")
+        .select(
+            "lang_true",
+            "pred_lang",
+            F.col("n_docs").cast("long").alias("n_docs"),
+            half_up_ratio(F.col("n_docs"), F.col("n_true"), 6).alias(
+                "share_of_true"
+            ),
+        )
+        .orderBy("lang_true", "pred_lang")
+    )

@@ -301,8 +301,11 @@ HEADLINE = [
     "q438_discrete_geometric_release",
     # Round-12 operators. q439: DP-SGD — 3 corpus scans (gradient+
     # norm+clip fused into each) with 4-cell integer shuffles, eager
-    # like q433 (honest cost in `queries_honest`).
+    # like q433 (honest cost in `queries_honest`). q440: NB lang-ID —
+    # trigram explode, bounded broadcast model, (doc, lang) score agg,
+    # two-aggregate argmax.
     "q439_dpsgd_private_training",
+    "q440_naive_bayes_langid_training",
 ]
 
 

@@ -1086,3 +1086,31 @@ def test_q436_em_moves_lambda_monotonically(spark, sf_dir):
     diffs = [b - a for a, b in zip(lams[1:], lams[2:])]
     assert all(d < 0 for d in diffs) or all(d > 0 for d in diffs)
     assert all(r.heldout_bigrams > 0 for r in rows)
+
+
+def test_q440_langid_confusion_invariants(spark, sf_dir):
+    """NB lang-ID (r11 verdict task 6): the confusion matrix conserves
+    the corpus (every document gets exactly one prediction), every
+    true lang appears, per-true shares sum to ~1, and training
+    accuracy beats the uniform 1/|langs| baseline (the fixture's lang
+    label is nearly text-independent — probed 0.542/0.576/0.360 vs
+    majority 0.386/0.436/0.412 — so the majority baseline is NOT
+    pinned; see the operator docstring)."""
+    rows = (
+        REGISTRY["q440_naive_bayes_langid_training"]
+        .fn(spark, sf_dir)
+        .collect()
+    )
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n = docs.count()
+    langs = {r["lang"] for r in docs.select("lang").distinct().collect()}
+    assert sum(r.n_docs for r in rows) == n
+    assert {r.lang_true for r in rows} == langs
+    acc = sum(r.n_docs for r in rows if r.lang_true == r.pred_lang) / n
+    assert acc > 1.0 / len(langs), acc
+    by_true: dict = {}
+    for r in rows:
+        by_true.setdefault(r.lang_true, 0.0)
+        by_true[r.lang_true] += r.share_of_true
+    for lang, s in by_true.items():
+        assert abs(s - 1.0) < 1e-4, (lang, s)
