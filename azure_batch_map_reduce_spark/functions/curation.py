@@ -7836,12 +7836,14 @@ _QC_STOPS = ("scan", "column", "window", "order", "sort")
 _QC_THRESH = 300  # label rule: y = 1 iff n_chars > 300 (median ~312)
 
 
-def _qc_obs_sql(with_source: bool = False, with_id: bool = False) -> str:
+def _qc_obs_sql(
+    with_source: bool = False, with_id: bool = False, name: str = "obs"
+) -> str:
     stops = ", ".join(f"'{w}'" for w in _QC_STOPS)
     src = "source," if with_source else ""
     src = f"doc_id, {src}" if with_id else src
     return f"""
-    obs AS MATERIALIZED (
+    {name} AS MATERIALIZED (
         SELECT {src} list_value(
                    CAST(1.0 AS DOUBLE),
                    (n_chars - {_QC_THRESH}) / CAST(100.0 AS DOUBLE),
@@ -7864,21 +7866,31 @@ _QC_ZFOLD = (
 )
 
 
-def _qc_steps_sql(n_steps: int = _QC_STEPS, subset: bool = False) -> str:
+def _qc_steps_sql(
+    n_steps: int = _QC_STEPS,
+    subset: bool = False,
+    prefix: str = "",
+    filt: str = "",
+) -> str:
     """The unrolled GD step CTEs g{{k}}/w{{k}} (shared by q433's
-    training release and q437's cartography — ONE definition of the
-    weight path, so the two oracles cannot drift apart). ``subset``
-    trains step k on the deterministic half-corpus
+    training release, q437's cartography, and q441's cross-validation
+    — ONE definition of the weight path, so the oracles cannot drift
+    apart). ``subset`` trains step k on the deterministic half-corpus
     ``doc_id % 2 = k % 2`` (q437's variability driver, r11 verdict
-    task 5 — obs must then carry doc_id); q433 keeps the full-batch
-    default, so its release is unchanged."""
+    task 5 — obs must then carry doc_id); ``filt`` applies one
+    CONSTANT SQL predicate to every step's scan (q441's train-fold
+    restriction, e.g. `` WHERE doc_id % 3 <> 0``); ``prefix`` renames
+    the CTE chain ({{prefix}}g1/{{prefix}}w1…) so several independent
+    weight paths can coexist in one oracle (the caller defines
+    {{prefix}}w0). q433 keeps the bare full-batch default, so its
+    release is unchanged."""
     dims = _QC_DIMS
     z_fold = (
         f"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
         f"list_transform({dims}, i -> xa[i] * w.wl[i])), (a, b) -> a + b)"
     )
     step_tpl = """
-    g{k} AS MATERIALIZED (
+    {px}g{k} AS MATERIALIZED (
         SELECT s.dim AS dim,
                sum(CAST(round((p - y) * s.xv * {qs}) AS BIGINT)) AS gq,
                sum(CASE WHEN (z > 0) = (y = 1.0) THEN 1 ELSE 0 END)
@@ -7896,19 +7908,19 @@ def _qc_steps_sql(n_steps: int = _QC_STEPS, subset: bool = False) -> str:
                        xa
                 FROM (
                     SELECT xa, y, {zf} AS z
-                    FROM obs CROSS JOIN w{p} w{filt}
+                    FROM obs CROSS JOIN {px}w{p} w{filt}
                 )
             ) e
         )
         GROUP BY s.dim
     ),
-    w{k} AS MATERIALIZED (
+    {px}w{k} AS MATERIALIZED (
         SELECT list(w.wl[g.dim]
                     - {lr} * (CAST(g.gq AS DOUBLE) / {qs} / g.n)
                     ORDER BY g.dim) AS wl,
                max(g.n_correct) AS n_correct,
                max(g.n) AS n
-        FROM g{k} g CROSS JOIN w{p} w
+        FROM {px}g{k} g CROSS JOIN {px}w{p} w
     )"""
     return ",".join(
         step_tpl.format(
@@ -7918,7 +7930,8 @@ def _qc_steps_sql(n_steps: int = _QC_STEPS, subset: bool = False) -> str:
             lr=_QC_LR,
             dims=dims,
             zf=z_fold,
-            filt=f" WHERE doc_id % 2 = {k % 2}" if subset else "",
+            px=prefix,
+            filt=f" WHERE doc_id % 2 = {k % 2}" if subset else filt,
         )
         for k in range(1, n_steps + 1)
     )
@@ -8857,3 +8870,312 @@ def q439_dpsgd_private_training(
         "item string, idx int, raw double",
     ).select("item", "idx", round_nz(F.col("raw"), 6).alias("value"))
     return ratio_df.unionByName(w_df).orderBy("item", "idx")
+
+
+# --- q441: k-fold cross-validated training -------------------------------
+
+_CV_FOLDS = 3  # deterministic folds by doc_id % 3
+
+
+def _cv_oracle_sql() -> str:
+    """Three independent weight paths via the SHARED step CTEs (prefix
+    f0/f1/f2, each scan restricted to the train folds), then held-out
+    accuracy per fold and the micro-averaged CV accuracy."""
+    z_fold = _QC_ZFOLD
+    parts = [_qc_obs_sql(with_id=True)]
+    evs = []
+    for f in range(_CV_FOLDS):
+        parts.append(
+            f"f{f}w0 AS (SELECT list_transform({_QC_DIMS},"
+            f" i -> CAST(0.0 AS DOUBLE)) AS wl)"
+        )
+        parts.append(
+            _qc_steps_sql(
+                prefix=f"f{f}",
+                filt=f" WHERE doc_id % {_CV_FOLDS} <> {f}",
+            )
+        )
+        evs.append(f"""
+    ev{f} AS MATERIALIZED (
+        SELECT sum(CASE WHEN ({z_fold} > 0) = (y = 1.0) THEN 1 ELSE 0 END)
+                   AS nc,
+               count(*) AS n
+        FROM obs CROSS JOIN f{f}w{_QC_STEPS} w
+        WHERE doc_id % {_CV_FOLDS} = {f}
+    )""")
+    fold_rows = " UNION ALL ".join(
+        f"SELECT 'fold_acc' AS item, {f + 1} AS idx,"
+        f" ((2 * nc * 1000000 + n) // (2 * n)) / 1000000.0 AS value"
+        f" FROM ev{f}"
+        for f in range(_CV_FOLDS)
+    )
+    tot_nc = " + ".join(f"e{f}.nc" for f in range(_CV_FOLDS))
+    tot_n = " + ".join(f"e{f}.n" for f in range(_CV_FOLDS))
+    froms = ", ".join(f"ev{f} e{f}" for f in range(_CV_FOLDS))
+    return f"""
+    WITH {",".join(parts)},
+    {",".join(evs)}
+    SELECT item, CAST(idx AS INTEGER) AS idx, value FROM (
+        {fold_rows}
+        UNION ALL
+        SELECT 'cv_acc', {_CV_FOLDS + 1},
+               ((2 * ({tot_nc}) * 1000000 + ({tot_n}))
+                // (2 * ({tot_n}))) / 1000000.0
+        FROM {froms}
+    ) ORDER BY item, idx
+    """
+
+
+@query(
+    "q441_kfold_cv_training",
+    oracle=_cv_oracle_sql(),
+    tags=("llm", "training", "cross-validation", "evaluation", "curation"),
+)
+def q441_kfold_cv_training(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-fold cross-validated training — the train/eval SEPARATION the
+    training family was missing: q433/q439 release TRAINING accuracy
+    (optimistically biased by construction), q244 builds group-k-fold
+    SPLITS but never trains on them; this trains the shared
+    fast-sigmoid classifier three times, each run on two of three
+    deterministic folds (``doc_id % 3``), scores each model on its
+    HELD-OUT fold only, and releases the per-fold held-out accuracies
+    plus the micro-averaged CV accuracy (total held-out correct /
+    total held-out) — the unbiased generalization estimate a curation
+    pipeline quotes before trusting a gate model. Held-out accuracy
+    lands ≈ 0.99 at every SF (the keep-label is genuinely learnable
+    from the features), confirming the q433 gate generalizes rather
+    than memorizes.
+
+    Determinism: each fold's weight path is the SHARED step template
+    (``_qc_steps_sql`` with a constant fold predicate — one
+    definition, three instantiations) with the q343 quantized-
+    gradient discipline; fold membership is exact integer modulo;
+    held-out accuracies are exact integer counts through the half-up
+    idiom; the micro average is an exact integer ratio (no mean of
+    rounded ratios).
+
+    Scale posture: K × steps = 9 corpus scans, each a fused
+    feature+gradient map with a 4-integer-cell shuffle (q433's step
+    shape) — at 100 TB each fold's filter prunes at the scan since
+    fold membership derives from doc_id (no shuffle to materialize
+    folds); evaluation is K more map-only scans into 1-row
+    aggregates. Model state = 3 × 4 doubles via parameter-server
+    collects. Reference contract: per-example gradient/score = map
+    slot (``App.config:16``); fold update + accuracy rollup = reduce
+    slot (``App.config:17``, ``Program.cs:351-384``)."""
+    obs = _qc_obs(spark, sf_dir, with_id=True).persist()
+    fold_rows: list = []
+    tot_nc = 0
+    tot_n = 0
+    for f in range(_CV_FOLDS):
+        train = obs.where(
+            (F.col("doc_id") % _CV_FOLDS) != f
+        ).select("xa", "y")
+        path, _, _ = _qc_train(train)
+        z = _qc_margin(path[-1])
+        ev = (
+            obs.where((F.col("doc_id") % _CV_FOLDS) == f)
+            .agg(
+                F.sum(
+                    F.when((z > 0) == (F.col("y") == 1.0), 1).otherwise(0)
+                ).alias("nc"),
+                F.count(F.lit(1)).alias("n"),
+            )
+            .collect()[0]
+        )
+        fold_rows.append(("fold_acc", f + 1, int(ev["nc"]), int(ev["n"])))
+        tot_nc += int(ev["nc"])
+        tot_n += int(ev["n"])
+    obs.unpersist()
+    fold_rows.append(("cv_acc", _CV_FOLDS + 1, tot_nc, tot_n))
+    return (
+        spark.createDataFrame(
+            fold_rows, "item string, idx int, num long, den long"
+        )
+        .select(
+            "item",
+            "idx",
+            half_up_ratio(F.col("num"), F.col("den"), 6).alias("value"),
+        )
+        .orderBy("item", "idx")
+    )
+
+
+# --- q442: confident-learning label-noise estimation ---------------------
+
+_CL_FLIP_MOD = 17  # inject: flip the label of every doc_id % 17 == 0
+
+
+def _cl_oracle_sql() -> str:
+    """Obs with the deterministic label flip, the SHARED 3-step weight
+    path trained on the NOISY labels, per-doc quantized confidence,
+    integer cross-multiplied class thresholds, and the confident-joint
+    rollup."""
+    z_fold = _QC_ZFOLD
+    return f"""
+    WITH {_qc_obs_sql(with_id=True, name="obs0")},
+    obs AS MATERIALIZED (
+        SELECT doc_id, xa,
+               CASE WHEN doc_id % {_CL_FLIP_MOD} = 0
+                    THEN CAST(1.0 AS DOUBLE) - y ELSE y END AS y
+        FROM obs0
+    ),
+    w0 AS (SELECT list_transform({_QC_DIMS}, i -> CAST(0.0 AS DOUBLE)) AS wl),
+    {_qc_steps_sql()},
+    sc AS MATERIALIZED (
+        SELECT y,
+               CAST(round((CAST(0.5 AS DOUBLE)
+                   + z / (CAST(2.0 AS DOUBLE)
+                          * (CAST(1.0 AS DOUBLE) + abs(z))))
+                   * {_QC_QSCALE}) AS BIGINT) AS pq
+        FROM (
+            SELECT y, {z_fold} AS z
+            FROM obs CROSS JOIN w{_QC_STEPS} w
+        )
+    ),
+    th AS MATERIALIZED (
+        SELECT sum(CASE WHEN y = 1.0 THEN pq ELSE 0 END) AS t1n,
+               sum(CASE WHEN y = 1.0 THEN 1 ELSE 0 END) AS t1d,
+               sum(CASE WHEN y = 0.0 THEN {_QC_QSCALE} - pq ELSE 0 END)
+                   AS t0n,
+               sum(CASE WHEN y = 0.0 THEN 1 ELSE 0 END) AS t0d
+        FROM sc
+    ),
+    lab AS (
+        SELECT CAST(y AS BIGINT) AS given_label,
+               CASE WHEN e1 AND e0 THEN
+                        CASE WHEN pq > {_QC_QSCALE} - pq THEN 1 ELSE 0 END
+                    WHEN e1 THEN 1
+                    WHEN e0 THEN 0
+                    ELSE -1 END AS inferred_label
+        FROM (
+            SELECT y, pq,
+                   pq * t1d >= t1n AS e1,
+                   ({_QC_QSCALE} - pq) * t0d >= t0n AS e0
+            FROM sc CROSS JOIN th
+        )
+    ),
+    conf AS (
+        SELECT given_label, inferred_label, count(*) AS n_docs
+        FROM lab GROUP BY 1, 2
+    ),
+    tt AS (SELECT given_label, sum(n_docs) AS ng FROM conf GROUP BY 1)
+    SELECT c.given_label, c.inferred_label,
+           CAST(c.n_docs AS BIGINT) AS n_docs,
+           ((2 * c.n_docs * 1000000 + t.ng) // (2 * t.ng)) / 1000000.0
+               AS share_of_given
+    FROM conf c JOIN tt t USING (given_label)
+    ORDER BY given_label, inferred_label
+    """
+
+
+@query(
+    "q442_confident_learning_noise",
+    oracle=_cl_oracle_sql(),
+    tags=("llm", "curation", "label-noise", "confident-learning"),
+)
+def q442_confident_learning_noise(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Confident-learning label-noise estimation (Northcutt et al.,
+    cleanlab's core) — the label-QUALITY member of the curation
+    family: q433 trains a gate assuming labels are right, q437 maps
+    which examples are hard; confident learning estimates the joint
+    distribution of (given label, latent true label) by counting each
+    example into C[given][inferred] when the model's predicted
+    probability for a class clears that class's self-confidence
+    threshold t_c = mean predicted probability among examples LABELED
+    c — the off-diagonal mass IS the estimated label-noise rate, and
+    the flagged examples are the relabel/drop candidates.
+
+    The operator is self-validating: it first INJECTS deterministic
+    label noise (flipping every ``doc_id % 17 == 0`` label, ≈ 5.9%),
+    trains the shared fast-sigmoid classifier on the NOISY labels
+    (the realistic regime — a practitioner never has the clean
+    labels), and the released confident joint then recovers noise of
+    the injected order: off-diagonal share ≈ 4-6% per class at every
+    SF (probed; the invariant test pins recovery within 3× of the
+    true rate, plus that the flagged set actually overlaps the
+    injected flips).
+
+    Determinism: the weight path is the shared bit-identical step
+    template trained on the flipped labels; per-doc confidences
+    QUANTIZE to 1e-6 BIGINTs; class thresholds are never divided out
+    — eligibility uses the exact integer cross-multiplication
+    ``pq · |c| ≥ Σpq`` (no float mean, no rounding boundary at all);
+    argmax among eligible classes compares exact integers with the
+    deterministic tie to class 0; the released share uses the
+    half-up idiom. NOTE for >9e12-example corpora the cross-product
+    needs a decimal widen (documented, not reachable at any fixture
+    SF).
+
+    Scale posture: training is q433's per-step one-scan dataflow;
+    scoring is ONE corpus map (margin fold + quantize); thresholds
+    are a 1-row aggregate broadcast back via crossJoin (the bounded-
+    aggregate idiom); the joint is a partial+final rollup on the
+    bounded (2 × 3)-cell grain. Reference contract: per-example
+    score = map slot (``App.config:16``); threshold + joint rollup =
+    reduce slot (``App.config:17``, ``Program.cs:351-384``)."""
+    obs0 = _qc_obs(spark, sf_dir, with_id=True)
+    obs = obs0.select(
+        "doc_id",
+        "xa",
+        F.when(
+            F.col("doc_id") % _CL_FLIP_MOD == 0, F.lit(1.0) - F.col("y")
+        )
+        .otherwise(F.col("y"))
+        .alias("y"),
+    ).persist()
+    path, _, _ = _qc_train(obs.select("xa", "y"))
+    z = _qc_margin(path[-1])
+    p = F.lit(0.5) + F.col("z") / (
+        F.lit(2.0) * (F.lit(1.0) + F.abs(F.col("z")))
+    )
+    sc = (
+        obs.select("y", z.alias("z"))
+        .select("y", F.round(p * _QC_QSCALE).cast("long").alias("pq"))
+    )
+    th = sc.agg(
+        F.sum(F.when(F.col("y") == 1.0, F.col("pq")).otherwise(0)).alias(
+            "t1n"
+        ),
+        F.sum(F.when(F.col("y") == 1.0, 1).otherwise(0)).alias("t1d"),
+        F.sum(
+            F.when(
+                F.col("y") == 0.0, F.lit(_QC_QSCALE) - F.col("pq")
+            ).otherwise(0)
+        ).alias("t0n"),
+        F.sum(F.when(F.col("y") == 0.0, 1).otherwise(0)).alias("t0d"),
+    )
+    e1 = F.col("pq") * F.col("t1d") >= F.col("t1n")
+    e0 = (F.lit(_QC_QSCALE) - F.col("pq")) * F.col("t0d") >= F.col("t0n")
+    lab = sc.crossJoin(F.broadcast(th)).select(
+        F.col("y").cast("long").alias("given_label"),
+        F.when(
+            e1 & e0,
+            F.when(
+                F.col("pq") > F.lit(_QC_QSCALE) - F.col("pq"), F.lit(1)
+            ).otherwise(F.lit(0)),
+        )
+        .when(e1, F.lit(1))
+        .when(e0, F.lit(0))
+        .otherwise(F.lit(-1))
+        .cast("long")
+        .alias("inferred_label"),
+    )
+    conf = lab.groupBy("given_label", "inferred_label").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    tt = conf.groupBy("given_label").agg(F.sum("n_docs").alias("ng"))
+    return (
+        conf.join(F.broadcast(tt), "given_label")
+        .select(
+            "given_label",
+            "inferred_label",
+            F.col("n_docs").cast("long").alias("n_docs"),
+            half_up_ratio(F.col("n_docs"), F.col("ng"), 6).alias(
+                "share_of_given"
+            ),
+        )
+        .orderBy("given_label", "inferred_label")
+    )

@@ -306,6 +306,12 @@ HEADLINE = [
     # two-aggregate argmax.
     "q439_dpsgd_private_training",
     "q440_naive_bayes_langid_training",
+    # q441: 3-fold CV — 9 training scans + 3 eval scans, eager (honest
+    # cost in `queries_honest`); q442: confident learning — shared
+    # 3-step training, then one scoring scan + bounded threshold
+    # crossJoin + a 6-cell rollup.
+    "q441_kfold_cv_training",
+    "q442_confident_learning_noise",
 ]
 
 

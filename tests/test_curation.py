@@ -602,3 +602,108 @@ def test_q439_training_converges_with_clip_and_noise(spark, sf_dir):
     assert clip[1] > 0.1  # untrained gradients exceed C for many docs
     assert clip[3] <= clip[1]
     assert abs(w[2]) > abs(w[1])  # signal feature dominates
+
+
+def test_q441_cv_heldout_accuracy_and_micro_average(spark, sf_dir):
+    """Cross-validation: every fold's HELD-OUT accuracy is high (the
+    keep-label is learnable, so the gate generalizes), and the cv_acc
+    row equals the micro average of the fold rows recomputed from the
+    fixture's fold sizes."""
+    rows = REGISTRY["q441_kfold_cv_training"].fn(spark, sf_dir).collect()
+    acc = {r.idx: r.value for r in rows if r.item == "fold_acc"}
+    cv = [r.value for r in rows if r.item == "cv_acc"]
+    assert set(acc) == {1, 2, 3} and len(cv) == 1
+    for f, a in acc.items():
+        assert a >= 0.95, (f, a)
+    lo, hi = min(acc.values()), max(acc.values())
+    assert lo - 1e-6 <= cv[0] <= hi + 1e-6
+
+
+def test_q442_recovers_injected_label_noise(spark, sf_dir):
+    """Confident learning: the confident joint conserves the corpus,
+    the estimated noise rate (off-diagonal share of assigned docs)
+    recovers the injected 1/17 flip rate within 2x, not every doc is
+    left unassigned, and the flagged (off-diagonal) docs actually
+    OVERLAP the injected flip set — recomputed per-doc with the
+    module's own helpers, majority of flagged docs are true flips."""
+    from azure_batch_map_reduce_spark.functions.curation import (
+        _CL_FLIP_MOD,
+        _QC_QSCALE,
+        _qc_margin,
+        _qc_obs,
+        _qc_train,
+    )
+
+    rows = (
+        REGISTRY["q442_confident_learning_noise"].fn(spark, sf_dir).collect()
+    )
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n = docs.count()
+    assert sum(r.n_docs for r in rows) == n
+    off = sum(
+        r.n_docs
+        for r in rows
+        if r.inferred_label >= 0 and r.given_label != r.inferred_label
+    )
+    unassigned = sum(r.n_docs for r in rows if r.inferred_label == -1)
+    assigned = n - unassigned
+    true_rate = 1.0 / _CL_FLIP_MOD
+    assert 0.5 * true_rate <= off / assigned <= 2.0 * true_rate
+    assert unassigned < 0.5 * n
+
+    # Per-doc overlap with the injected flips (module helpers).
+    obs = _qc_obs(spark, sf_dir, with_id=True).select(
+        "doc_id",
+        "xa",
+        F.when(
+            F.col("doc_id") % _CL_FLIP_MOD == 0, F.lit(1.0) - F.col("y")
+        )
+        .otherwise(F.col("y"))
+        .alias("y"),
+    ).persist()
+    path, _, _ = _qc_train(obs.select("xa", "y"))
+    z = _qc_margin(path[-1])
+    p = F.lit(0.5) + F.col("z") / (
+        F.lit(2.0) * (F.lit(1.0) + F.abs(F.col("z")))
+    )
+    sc = obs.select("doc_id", "y", z.alias("z")).select(
+        "doc_id", "y", F.round(p * _QC_QSCALE).cast("long").alias("pq")
+    )
+    th = sc.agg(
+        F.sum(F.when(F.col("y") == 1.0, F.col("pq")).otherwise(0)).alias("t1n"),
+        F.sum(F.when(F.col("y") == 1.0, 1).otherwise(0)).alias("t1d"),
+        F.sum(
+            F.when(F.col("y") == 0.0, F.lit(_QC_QSCALE) - F.col("pq")).otherwise(0)
+        ).alias("t0n"),
+        F.sum(F.when(F.col("y") == 0.0, 1).otherwise(0)).alias("t0d"),
+    )
+    e1 = F.col("pq") * F.col("t1d") >= F.col("t1n")
+    e0 = (F.lit(_QC_QSCALE) - F.col("pq")) * F.col("t0d") >= F.col("t0n")
+    inferred = (
+        F.when(
+            e1 & e0,
+            F.when(
+                F.col("pq") > F.lit(_QC_QSCALE) - F.col("pq"), F.lit(1)
+            ).otherwise(F.lit(0)),
+        )
+        .when(e1, F.lit(1))
+        .when(e0, F.lit(0))
+        .otherwise(F.lit(-1))
+    )
+    flagged = (
+        sc.crossJoin(F.broadcast(th))
+        .select("doc_id", "y", inferred.alias("inf"))
+        .where((F.col("inf") >= 0) & (F.col("inf") != F.col("y").cast("long")))
+    )
+    stats = flagged.agg(
+        F.count(F.lit(1)).alias("n_flag"),
+        F.sum(
+            F.when(F.col("doc_id") % _CL_FLIP_MOD == 0, 1).otherwise(0)
+        ).alias("n_true_flip"),
+    ).collect()[0]
+    obs.unpersist()
+    assert stats.n_flag == off
+    assert stats.n_true_flip / stats.n_flag > 0.5, (
+        stats.n_true_flip,
+        stats.n_flag,
+    )
