@@ -5812,3 +5812,264 @@ def q440_naive_bayes_langid_training(
         )
         .orderBy("lang_true", "pred_lang")
     )
+
+
+# --- q443: unigram-LM (SentencePiece-style) Viterbi segmentation --------
+
+_ULM_MAXLEN = 3  # candidate piece lengths 1..3
+_ULM_HUGE = 1_000_000_000_000_000  # unreachable-cost sentinel
+
+
+def _ulm_fold_expr(engine: str) -> str:
+    """The per-doc Viterbi DP as ONE fold expression, emitted for both
+    engines from one template (same candidate order, same tie-break:
+    least cost, ties to the SHORTEST piece via CASE order). The
+    accumulator is a rolling 6-element BIGINT list
+    [c(i-3), t(i-3), c(i-2), t(i-2), c(i-1), t(i-1)] — O(1) state per
+    position, O(n) per doc. DuckDB's list_reduce needs element type =
+    accumulator type, so the position stream is encoded as singleton
+    lists (the q267 same-type-list rule); Spark's aggregate() takes
+    the heterogeneous fold directly."""
+    if engine == "spark":
+        at = lambda arr, idx: f"element_at({arr}, {idx})"  # noqa: E731
+        i = "i"
+        seq = "sequence(1, n)"
+        init = (
+            "array(CAST({h} AS BIGINT), CAST(0 AS BIGINT),"
+            " CAST({h} AS BIGINT), CAST(0 AS BIGINT),"
+            " CAST(0 AS BIGINT), CAST(0 AS BIGINT))"
+        ).format(h=_ULM_HUGE)
+        cat = "array({c}, {t})"
+        fold = "aggregate({seq}, {init}, (acc, i) -> {body})"
+    else:
+        at = lambda arr, idx: f"{arr}[{idx}]"  # noqa: E731
+        i = "x[1]"
+        seq = (
+            "list_transform(generate_series(1, n),"
+            " j -> [CAST(j AS BIGINT)])"
+        )
+        init = (
+            "[CAST({h} AS BIGINT), CAST(0 AS BIGINT),"
+            " CAST({h} AS BIGINT), CAST(0 AS BIGINT),"
+            " CAST(0 AS BIGINT), CAST(0 AS BIGINT)]"
+        ).format(h=_ULM_HUGE)
+        cat = "[{c}, {t}]"
+        fold = "list_reduce(list_prepend({init}, {seq}), (acc, x) -> {body})"
+    c1 = f"{at('acc', 5)} + {at('e1', i)}"
+    c2 = (
+        f"CASE WHEN {i} >= 2 THEN {at('acc', 3)} + {at('e2', f'{i} - 1')}"
+        f" ELSE CAST({_ULM_HUGE} AS BIGINT) END"
+    )
+    c3 = (
+        f"CASE WHEN {i} >= 3 THEN {at('acc', 1)} + {at('e3', f'{i} - 2')}"
+        f" ELSE CAST({_ULM_HUGE} AS BIGINT) END"
+    )
+    cost = f"least({c1}, {c2}, {c3})"
+    tok = (
+        f"CASE WHEN ({c1}) <= ({c2}) AND ({c1}) <= ({c3})"
+        f" THEN {at('acc', 6)} + 1"
+        f" WHEN ({c2}) <= ({c3}) THEN {at('acc', 4)} + 1"
+        f" ELSE {at('acc', 2)} + 1 END"
+    )
+    if engine == "spark":
+        body = (
+            f"concat(slice(acc, 3, 4), {cat.format(c=cost, t=tok)})"
+        )
+    else:
+        body = (
+            f"list_concat(acc[3:6], {cat.format(c=cost, t=tok)})"
+        )
+    return fold.format(seq=seq, init=init, body=body)
+
+
+def _ulm_oracle_sql() -> str:
+    qs = 1_000_000
+    return f"""
+    WITH exp AS MATERIALIZED (
+        SELECT doc_id, source, text, n,
+               unnest(generate_series(1, n)) AS i
+        FROM (SELECT doc_id, source, text, length(text) AS n
+              FROM documents)
+    ),
+    pl AS MATERIALIZED (
+        SELECT doc_id, source, i, l,
+               substr(text, CAST(i - l + 1 AS INTEGER),
+                      CAST(l AS INTEGER)) AS piece
+        FROM (SELECT doc_id, source, text, i,
+                     unnest([1, 2, 3]) AS l
+              FROM exp)
+        WHERE l <= i
+    ),
+    cnts AS MATERIALIZED (SELECT piece, count(*) AS c FROM pl GROUP BY 1),
+    mtot AS MATERIALIZED (SELECT sum(c) AS tot, count(*) AS v FROM cnts),
+    model AS MATERIALIZED (
+        SELECT piece,
+               CAST(round(1000000.0
+                   * ln(CAST(tot + v AS DOUBLE) / (c + 1))) AS BIGINT) AS qc
+        FROM cnts CROSS JOIN mtot
+    ),
+    arr AS MATERIALIZED (
+        SELECT doc_id, source,
+               list(qc ORDER BY i) FILTER (WHERE l = 1) AS e1,
+               list(qc ORDER BY i) FILTER (WHERE l = 2) AS e2,
+               list(qc ORDER BY i) FILTER (WHERE l = 3) AS e3,
+               max(i) AS n
+        FROM pl JOIN model USING (piece)
+        GROUP BY doc_id, source
+    ),
+    dp AS MATERIALIZED (
+        SELECT source, n, {_ulm_fold_expr("duckdb")} AS st
+        FROM arr
+    ),
+    per_doc AS (SELECT source, n, st[5] AS cost_q, st[6] AS toks FROM dp)
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n) AS BIGINT) AS n_chars,
+           CAST(sum(toks) AS BIGINT) AS n_tokens,
+           ((2 * sum(toks) * {qs} + sum(n)) // (2 * sum(n)))
+               / 1000000.0 AS tokens_per_char,
+           ((2 * sum(cost_q) * {qs} + sum(toks) * {qs})
+            // (2 * sum(toks) * {qs})) / 1000000.0 AS mean_nats_per_token
+    FROM per_doc
+    GROUP BY source
+    ORDER BY source
+    """
+
+
+@query(
+    "q443_unigram_lm_viterbi_segmentation",
+    oracle=_ulm_oracle_sql(),
+    tags=("llm", "tokenizer", "unigram-lm", "viterbi", "text"),
+)
+def q443_unigram_lm_viterbi_segmentation(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Unigram-LM tokenizer Viterbi segmentation (Kudo 2018 — the
+    SentencePiece model) — the tokenizer family's LATTICE member:
+    q239 trains BPE by greedy pair merging, q326 measures fertility of
+    a fixed tokenizer; the unigram LM instead scores EVERY
+    segmentation of a document over a piece vocabulary and picks the
+    max-likelihood one — this operator builds the candidate vocabulary
+    (all corpus substrings of length 1–3, add-one-smoothed unigram
+    costs), runs the exact Viterbi DP per document, and releases
+    per-source segmentation stats: token counts, tokens-per-char
+    (the fertility of the OPTIMAL segmentation), and mean cost per
+    token — the E-step core of SentencePiece's EM trainer.
+
+    The DP is a single in-plan fold: per document, per-position piece
+    costs are gathered into three end-indexed arrays (one equi-join
+    against the bounded model — never a per-position lookup), then a
+    rolling 6-element BIGINT accumulator [cost/tokens for i−3, i−2,
+    i−1] advances position by position (O(1) state, O(n) work — NOT
+    the O(n²) list-append encoding), with ties broken to the shortest
+    piece by CASE order. Both engines run the SAME fold emitted from
+    one template (``_ulm_fold_expr``).
+
+    Determinism: piece costs are single-ln draws on bit-identical
+    integer ratios QUANTIZED to 1e-6 BIGINTs (the q440 exposure
+    class); the DP is then pure integer arithmetic — min/plus over
+    exact BIGINTs with an exact tie rule — so the per-doc cost and
+    token count are exactly equal on both engines; releases use the
+    half-up integer idiom.
+
+    Scale posture: the (i, l) explode is ≤ 3 rows per char — one
+    corpus map; the model is bounded (|charset|³ worst case) and
+    BROADCAST to the cost join; array gathering is one (doc)-grain
+    partial+final aggregate; the DP fold is map-side per-doc compute
+    fused above it; the release is a bounded source-grain rollup.
+    No per-position shuffles anywhere. Reference contract: per-doc
+    lattice + DP = map slot (``App.config:16``); vocabulary counts +
+    release rollup = reduce slots (``App.config:17``,
+    ``Program.cs:351-384``)."""
+    docs = load_tables(spark, sf_dir)["documents"].select(
+        "doc_id", "source", "text", F.length("text").alias("n")
+    )
+    pl = (
+        docs.select(
+            "doc_id",
+            "source",
+            "text",
+            F.explode(F.sequence(F.lit(1), F.col("n"))).alias("i"),
+        )
+        .select(
+            "doc_id",
+            "source",
+            "text",
+            "i",
+            F.explode(F.array(F.lit(1), F.lit(2), F.lit(3))).alias("l"),
+        )
+        .where(F.col("l") <= F.col("i"))
+        .select(
+            "doc_id",
+            "source",
+            "i",
+            "l",
+            F.expr("substring(text, i - l + 1, l)").alias("piece"),
+        )
+        .persist()
+    )
+    cnts = pl.groupBy("piece").agg(F.count(F.lit(1)).alias("c"))
+    mtot = cnts.agg(
+        F.sum("c").alias("tot"), F.count(F.lit(1)).alias("v")
+    )
+    model = cnts.crossJoin(F.broadcast(mtot)).select(
+        "piece",
+        F.round(
+            F.lit(1000000.0)
+            * F.log(
+                (F.col("tot") + F.col("v")).cast("double")
+                / (F.col("c") + 1)
+            )
+        )
+        .cast("long")
+        .alias("qc"),
+    )
+
+    def gather(lv: int) -> Column:
+        return F.transform(
+            F.array_sort(
+                F.collect_list(
+                    F.when(F.col("l") == lv, F.struct("i", "qc"))
+                )
+            ),
+            lambda x: x["qc"],
+        ).alias(f"e{lv}")
+
+    arr = (
+        pl.join(F.broadcast(model), "piece")
+        .groupBy("doc_id", "source")
+        .agg(gather(1), gather(2), gather(3), F.max("i").alias("n"))
+    )
+    per_doc = arr.select(
+        "source",
+        "n",
+        F.expr(_ulm_fold_expr("spark")).alias("st"),
+    ).select(
+        "source",
+        "n",
+        F.element_at("st", 5).alias("cost_q"),
+        F.element_at("st", 6).alias("toks"),
+    )
+    qs = 1_000_000
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n").alias("n_chars"),
+            F.sum("toks").alias("n_tokens"),
+            F.sum("cost_q").alias("cost_sum"),
+        )
+        .select(
+            "source",
+            F.col("n_docs").cast("long").alias("n_docs"),
+            F.col("n_chars").cast("long").alias("n_chars"),
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            half_up_ratio(F.col("n_tokens"), F.col("n_chars"), 6).alias(
+                "tokens_per_char"
+            ),
+            half_up_ratio(
+                F.col("cost_sum"), F.col("n_tokens") * F.lit(qs), 6
+            ).alias("mean_nats_per_token"),
+        )
+        .orderBy("source")
+    )

@@ -312,6 +312,9 @@ HEADLINE = [
     # crossJoin + a 6-cell rollup.
     "q441_kfold_cv_training",
     "q442_confident_learning_noise",
+    # q443: per-char (i, l) explode + broadcast cost join + the O(n)
+    # rolling Viterbi fold — the heaviest corpus map of the round.
+    "q443_unigram_lm_viterbi_segmentation",
 ]
 
 

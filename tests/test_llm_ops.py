@@ -1114,3 +1114,25 @@ def test_q440_langid_confusion_invariants(spark, sf_dir):
         by_true[r.lang_true] += r.share_of_true
     for lang, s in by_true.items():
         assert abs(s - 1.0) < 1e-4, (lang, s)
+
+
+def test_q443_viterbi_segmentation_bounds(spark, sf_dir):
+    """Viterbi segmentation structure: every source's optimal
+    segmentation uses between ceil(n/3) and n tokens (pieces are 1-3
+    chars), so tokens_per_char lies in [1/3, 1]; costs are positive;
+    doc counts conserve the corpus; and the DP actually beats the
+    all-singletons segmentation (tokens strictly below chars — a
+    degenerate DP that never picks length>1 pieces would fail)."""
+    rows = (
+        REGISTRY["q443_unigram_lm_viterbi_segmentation"]
+        .fn(spark, sf_dir)
+        .collect()
+    )
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    assert sum(r.n_docs for r in rows) == docs.count()
+    for r in rows:
+        assert r.n_tokens <= r.n_chars
+        assert 3 * r.n_tokens >= r.n_chars  # pieces at most 3 chars
+        assert 1.0 / 3 - 1e-6 <= r.tokens_per_char <= 1.0
+        assert r.mean_nats_per_token > 0
+        assert r.n_tokens < r.n_chars  # non-degenerate: multi-char pieces used
