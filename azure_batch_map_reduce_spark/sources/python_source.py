@@ -170,3 +170,197 @@ def q428_python_datasource_scan(
         )
         .orderBy("lang", "source")
     )
+
+
+# --- q444: user-defined Python data-source SINK (task-commit ledger) ----
+
+_LEDGER_SCHEMA = "source string, lang string, n_docs bigint, sum_chars bigint"
+
+
+class LedgerCommit:
+    """Per-task commit message: the temp file the task wrote, its
+    final rename target, the row count, and a content md5 — the
+    Python-sink analog of the reference's per-task OutputFile
+    (pattern-matched local file uploaded as ``{taskId}.txt`` on task
+    completion, ``Program.cs:339-345``)."""
+
+    def __init__(self, tmp: str, final: str, rows: int, md5: str) -> None:
+        self.tmp = tmp
+        self.final = final
+        self.rows = rows
+        self.md5 = md5
+
+
+try:  # pragma: no cover - import guard mirrors the reader's pattern
+    from pyspark.sql.datasource import DataSourceWriter, WriterCommitMessage
+
+    class _LedgerCommitMsg(WriterCommitMessage, LedgerCommit):
+        pass
+
+    class LedgerSinkWriter(DataSourceWriter):
+        """Task-commit CSV sink: each task streams its rows to a
+        DOT-PREFIXED temp file (invisible to any reader), returns a
+        commit message, and only the driver-side ``commit`` renames
+        temps to their final ``task-{partition}.csv`` names and writes
+        the ``_ledger.json`` manifest — write-temp/rename-on-commit,
+        the same protocol the reference gets from upload-on-task-
+        completion + rename-by-task-id (``Program.cs:341-344``).
+        ``abort`` removes temps so a failed job leaves NO visible
+        files. Local-mode note: rename happens driver-side on a
+        shared filesystem; a cluster deployment points ``path`` at
+        shared storage, exactly like the reference's blob container.
+        """
+
+        def __init__(self, options) -> None:
+            self._path = options["path"]
+            self._fail = options.get("fail_in_write") == "true"
+
+        def write(self, iterator):
+            import hashlib
+            import os
+
+            from pyspark import TaskContext
+
+            pid = TaskContext.get().partitionId()
+            if self._fail and pid == 0:
+                raise RuntimeError("injected write failure (test)")
+            lines = [
+                f"{r[0]},{r[1]},{r[2]},{r[3]}\n" for r in iterator
+            ]
+            body = "".join(lines)
+            tmp = os.path.join(self._path, f".task-{pid}.csv.tmp")
+            final = os.path.join(self._path, f"task-{pid}.csv")
+            with open(tmp, "w") as f:
+                f.write(body)
+            return _LedgerCommitMsg(
+                tmp=tmp,
+                final=final,
+                rows=len(lines),
+                md5=hashlib.md5(body.encode()).hexdigest(),
+            )
+
+        def commit(self, messages) -> None:
+            import json
+            import os
+
+            files = []
+            for m in messages:
+                if m is None:
+                    continue
+                os.replace(m.tmp, m.final)
+                files.append(
+                    {
+                        "name": os.path.basename(m.final),
+                        "rows": m.rows,
+                        "md5": m.md5,
+                    }
+                )
+            manifest = {
+                "files": sorted(files, key=lambda x: x["name"]),
+                "total_rows": sum(f["rows"] for f in files),
+            }
+            with open(os.path.join(self._path, "_ledger.json"), "w") as f:
+                json.dump(manifest, f, indent=1, sort_keys=True)
+
+        def abort(self, messages) -> None:
+            import glob
+            import os
+
+            for p in glob.glob(os.path.join(self._path, ".task-*.tmp")):
+                try:
+                    os.remove(p)
+                except OSError:
+                    pass
+
+    class LedgerSinkSource(DataSource):
+        """Python data source registered for its WRITER surface."""
+
+        @classmethod
+        def name(cls) -> str:
+            return "abmr_ledger_sink"
+
+        def schema(self) -> str:
+            return _LEDGER_SCHEMA
+
+        def writer(self, schema, overwrite) -> "LedgerSinkWriter":
+            return LedgerSinkWriter(self.options)
+
+    _HAVE_WRITER = True
+except ImportError:  # pragma: no cover - pyspark without writer API
+    _HAVE_WRITER = False
+
+
+if _HAVE_WRITER:
+
+    @query(
+        "q444_python_datasource_sink",
+        oracle="""
+        SELECT source, lang,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        FROM documents
+        GROUP BY source, lang
+        ORDER BY source, lang
+        """,
+        tags=("sink", "python-datasource", "commit-protocol"),
+    )
+    def q444_python_datasource_sink(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        """User-defined PYTHON data-source SINK on the verified path —
+        the write-side twin of q428's Python source, completing the
+        pluggable-I/O matrix: the reference's entire sink surface is
+        "task writes local file, matched by pattern, uploaded under
+        the task's id on completion" (``Program.cs:339-345``), and
+        Spark 4's Python Data Source writer API is the engine-native
+        form of exactly that contract — per-task ``write()`` with a
+        commit message, driver-side ``commit`` renaming temps to
+        ``task-{id}.csv`` and writing a ``_ledger.json`` manifest
+        (files, row counts, md5s), ``abort`` leaving no visible
+        output (both paths pinned in tests/test_sources.py).
+
+        The verified round trip: the bounded (source × lang) document
+        rollup is written through the sink across 4 write tasks, read
+        back from the committed ``task-*.csv`` files with an explicit
+        schema, and hash-compared against DuckDB aggregating the
+        original table — write-path corruption (quoting, ordering,
+        lost rows, double commits) fails the differential.
+
+        Determinism: exact integer counts/sums; CSV of
+        alphanumeric-safe strings and longs; the read-back result is
+        re-sorted, so task file assignment (shuffle-dependent) never
+        shows in the released frame.
+
+        Scale posture: the sink is embarrassingly parallel (one file
+        per task, no coordination until the driver-side metadata-only
+        commit — the standard job-commit protocol shape); the ledger
+        is bounded by task count. The written payload here is a
+        bounded aggregate; the protocol is payload-size-agnostic.
+        Reference contract: per-task output capture = ``OutputFile``
+        upload-on-completion (``Program.cs:339-345``); the manifest =
+        the gather list the reducer consumes (``Program.cs:365-378``).
+        """
+        from azure_batch_map_reduce_spark.catalog import (
+            load_tables,
+            scratch_dir,
+        )
+
+        spark.dataSource.register(LedgerSinkSource)
+        d = scratch_dir("abmr-pysink-")
+        agg = (
+            load_tables(spark, sf_dir)["documents"]
+            .groupBy("source", "lang")
+            .agg(
+                F.count(F.lit(1)).alias("n_docs"),
+                F.sum("n_chars").cast("long").alias("sum_chars"),
+            )
+        )
+        (
+            agg.repartition(4, "source")
+            .write.format("abmr_ledger_sink")
+            .option("path", d)
+            .mode("append")
+            .save()
+        )
+        back = spark.read.schema(_LEDGER_SCHEMA).csv(f"{d}/task-*.csv")
+        return back.orderBy("source", "lang")

@@ -314,6 +314,10 @@ HEADLINE = [
     "q442_confident_learning_noise",
     # q443: per-char (i, l) explode + broadcast cost join + the O(n)
     # rolling Viterbi fold — the heaviest corpus map of the round.
+    # q444 (Python data-source sink round-trip) is EXCLUDED per the
+    # q408/q421 rule: it measures a bounded table's sink+scan protocol
+    # cost, not data-sized throughput; correctness runs in the
+    # differential gates at every SF.
     "q443_unigram_lm_viterbi_segmentation",
 ]
 

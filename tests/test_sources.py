@@ -111,3 +111,83 @@ def test_compaction_respects_byte_target(spark, sf_dir, tmp_path):
     n_files = compact_parquet(spark, small, compacted, target_file_bytes=64 << 10)
     assert n_files > 1
     assert spark.read.parquet(compacted).count() == orders.count()
+
+
+def test_q444_sink_commit_protocol(spark, tmp_path):
+    """The Python sink's commit protocol: after a successful save the
+    directory holds exactly the committed task-*.csv files plus the
+    _ledger.json manifest (file list, per-file row counts and md5s,
+    total), and NO temp files; manifest row total equals the written
+    frame's count; per-file md5s match the committed bytes."""
+    import hashlib
+    import json
+    import os
+
+    from pyspark.sql import functions as F
+
+    from azure_batch_map_reduce_spark.sources.python_source import (
+        LedgerSinkSource,
+    )
+
+    spark.dataSource.register(LedgerSinkSource)
+    d = str(tmp_path / "sink")
+    os.makedirs(d)
+    df = spark.createDataFrame(
+        [(f"s{i % 3}", "en", i, 10 * i) for i in range(30)],
+        "source string, lang string, n_docs long, sum_chars long",
+    )
+    df.repartition(4, "source").write.format("abmr_ledger_sink").option(
+        "path", d
+    ).mode("append").save()
+    names = sorted(os.listdir(d))
+    assert "_ledger.json" in names
+    assert not [n for n in names if n.endswith(".tmp")]
+    manifest = json.load(open(os.path.join(d, "_ledger.json")))
+    task_files = [n for n in names if n.startswith("task-")]
+    assert sorted(f["name"] for f in manifest["files"]) == task_files
+    assert manifest["total_rows"] == 30
+    for f in manifest["files"]:
+        body = open(os.path.join(d, f["name"]), "rb").read()
+        assert hashlib.md5(body).hexdigest() == f["md5"]
+        assert body.count(b"\n") == f["rows"]
+    back = (
+        spark.read.schema(
+            "source string, lang string, n_docs long, sum_chars long"
+        )
+        .csv(f"{d}/task-*.csv")
+    )
+    assert back.count() == 30
+    assert back.agg(F.sum("sum_chars")).collect()[0][0] == sum(
+        10 * i for i in range(30)
+    )
+
+
+def test_q444_sink_abort_leaves_no_visible_output(spark, tmp_path):
+    """A failed write job must leave NO committed files and no temps
+    (abort path): the injected partition-0 failure aborts the job and
+    the directory stays empty."""
+    import os
+
+    import pytest
+
+    from azure_batch_map_reduce_spark.sources.python_source import (
+        LedgerSinkSource,
+    )
+
+    spark.dataSource.register(LedgerSinkSource)
+    d = str(tmp_path / "sink-abort")
+    os.makedirs(d)
+    df = spark.createDataFrame(
+        [("a", "en", 1, 2), ("b", "fr", 3, 4)],
+        "source string, lang string, n_docs long, sum_chars long",
+    )
+    with pytest.raises(Exception):
+        df.repartition(2).write.format("abmr_ledger_sink").option(
+            "path", d
+        ).option("fail_in_write", "true").mode("append").save()
+    leftovers = [
+        n
+        for n in os.listdir(d)
+        if n.startswith("task-") or n == "_ledger.json" or n.endswith(".tmp")
+    ]
+    assert leftovers == [], leftovers
