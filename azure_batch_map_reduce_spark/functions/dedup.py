@@ -3838,3 +3838,148 @@ def q434_star_contraction_components(
     return labels.select(
         "node", F.col("label").cast("long").alias("cluster_rep")
     ).orderBy("node")
+
+
+# --- q445: exact-substring duplicate coverage (cross-doc) ----------------
+
+_ESD_K = 40  # window length in chars (probed: ~9% coverage, stable)
+
+
+@query(
+    "q445_exact_substring_dup_coverage",
+    oracle=f"""
+    WITH g AS MATERIALIZED (
+        SELECT doc_id, source,
+               ('0x' || substr(md5(substr(text, CAST(i AS INTEGER),
+                                          {_ESD_K})), 1, 15))::BIGINT AS gh
+        FROM (
+            SELECT doc_id, source, text,
+                   unnest(generate_series(1, length(text) - {_ESD_K} + 1))
+                       AS i
+            FROM documents WHERE length(text) >= {_ESD_K}
+        )
+    ),
+    d AS MATERIALIZED (
+        SELECT gh FROM g GROUP BY gh HAVING count(DISTINCT doc_id) >= 2
+    ),
+    tot AS (
+        SELECT source, count(*) AS n_pos, count(DISTINCT doc_id) AS n_docs
+        FROM g GROUP BY source
+    ),
+    dup AS (
+        SELECT source, count(*) AS n_dup_pos,
+               count(DISTINCT gh) AS n_dup_grams
+        FROM g JOIN d USING (gh) GROUP BY source
+    )
+    SELECT t.source,
+           CAST(t.n_docs AS BIGINT) AS n_docs,
+           CAST(t.n_pos AS BIGINT) AS n_positions,
+           CAST(coalesce(u.n_dup_pos, 0) AS BIGINT) AS n_dup_positions,
+           CAST(coalesce(u.n_dup_grams, 0) AS BIGINT) AS n_dup_grams,
+           ((2 * coalesce(u.n_dup_pos, 0) * 1000000 + t.n_pos)
+            // (2 * t.n_pos)) / 1000000.0 AS dup_coverage
+    FROM tot t LEFT JOIN dup u USING (source)
+    ORDER BY source
+    """,
+    tags=("dedup", "exact-substring", "contamination", "text"),
+)
+def q445_exact_substring_dup_coverage(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Exact-substring duplicate coverage (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better") — the
+    EXACT cross-document member of the dedup family: MinHash/SimHash/
+    shingle members (q62/q63/q260) estimate whole-document similarity,
+    q400 measures WITHIN-doc repetition; the exact-substring method
+    instead finds every {_ESD_K}-char window that appears verbatim in
+    ≥ 2 distinct documents — the spans that method would cut — and
+    releases per-source coverage: how much of each source's text sits
+    under cross-document exact duplication (probed ≈ 9% at k = 40,
+    stable across SFs; k = 20 inflates to 33% at sf0.1 from
+    token-soup coincidences, which is why k is 40).
+
+    The suffix-array formulation of the paper is replaced by the
+    shuffle-native equivalent: fixed-k windows by position (one
+    corpus map), grouped on a 60-bit md5 window HASH — both engines
+    hash the same strings to the same 60-bit keys, so the derived
+    tables are identical even in the (2⁻⁶⁰-scale) collision case,
+    and the shuffle carries 8-byte keys instead of {_ESD_K}-char
+    strings (the 100 TB width win).
+
+    Determinism: md5-prefix integers, exact counts, half-up coverage
+    ratio; left-join zero-fill for sources with no duplicated window
+    (not reachable at fixture SFs but the correct identity).
+
+    Scale posture: one corpus map (windows fused into the scan), ONE
+    gram-keyed partial+final aggregate (the method's inherent
+    shuffle — the suffix-array alternative sorts the corpus, the same
+    O(n log n) movement), one equi-join of windows against the
+    duplicated-key set on the narrow hash key, then a bounded
+    source-grain rollup. No windows, no cartesians. Reference
+    contract: window hashing = map slot (``App.config:16``);
+    duplicate detection + coverage rollup = reduce slots
+    (``App.config:17``, ``Program.cs:351-384``)."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    g = (
+        docs.where(F.length("text") >= _ESD_K)
+        .select(
+            "doc_id",
+            "source",
+            "text",
+            F.explode(
+                F.sequence(F.lit(1), F.length("text") - _ESD_K + 1)
+            ).alias("i"),
+        )
+        .select(
+            "doc_id",
+            "source",
+            F.conv(
+                F.substring(
+                    F.md5(F.expr(f"substring(text, i, {_ESD_K})")), 1, 15
+                ),
+                16,
+                10,
+            )
+            .cast("long")
+            .alias("gh"),
+        )
+        .persist()
+    )
+    d = (
+        g.groupBy("gh")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .where(F.col("nd") >= 2)
+        .select("gh")
+    )
+    tot = g.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_pos"),
+        F.countDistinct("doc_id").alias("n_docs"),
+    )
+    dup = (
+        g.join(d, "gh")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_dup_pos"),
+            F.countDistinct("gh").alias("n_dup_grams"),
+        )
+    )
+    return (
+        tot.join(dup, "source", "left")
+        .select(
+            "source",
+            F.col("n_docs").cast("long").alias("n_docs"),
+            F.col("n_pos").cast("long").alias("n_positions"),
+            F.coalesce(F.col("n_dup_pos"), F.lit(0))
+            .cast("long")
+            .alias("n_dup_positions"),
+            F.coalesce(F.col("n_dup_grams"), F.lit(0))
+            .cast("long")
+            .alias("n_dup_grams"),
+            half_up_ratio(
+                F.coalesce(F.col("n_dup_pos"), F.lit(0)),
+                F.col("n_pos"),
+                6,
+            ).alias("dup_coverage"),
+        )
+        .orderBy("source")
+    )

@@ -319,6 +319,9 @@ HEADLINE = [
     # cost, not data-sized throughput; correctness runs in the
     # differential gates at every SF.
     "q443_unigram_lm_viterbi_segmentation",
+    # q445: per-char window hashing + ONE gram-keyed aggregate + hash
+    # equi-join — the exact-substring dedup shuffle shape.
+    "q445_exact_substring_dup_coverage",
 ]
 
 

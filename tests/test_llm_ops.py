@@ -1136,3 +1136,30 @@ def test_q443_viterbi_segmentation_bounds(spark, sf_dir):
         assert 1.0 / 3 - 1e-6 <= r.tokens_per_char <= 1.0
         assert r.mean_nats_per_token > 0
         assert r.n_tokens < r.n_chars  # non-degenerate: multi-char pieces used
+
+
+def test_q445_dup_coverage_bounds_and_conservation(spark, sf_dir):
+    """Exact-substring coverage: per-source doc/position counts
+    conserve the corpus (every doc is >= 40 chars at every fixture
+    SF), coverage is a valid non-degenerate fraction (some but not
+    all positions duplicated — probed ~9%), and every duplicated
+    window implies >= 2 covered positions globally (n_dup_positions
+    >= 2 * n_dup_grams can fail per-source since the pair can span
+    sources, but globally it must hold)."""
+    rows = (
+        REGISTRY["q445_exact_substring_dup_coverage"]
+        .fn(spark, sf_dir)
+        .collect()
+    )
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    assert sum(r.n_docs for r in rows) == docs.count()
+    total_dup_pos = sum(r.n_dup_positions for r in rows)
+    total_pos = sum(r.n_positions for r in rows)
+    assert 0 < total_dup_pos < total_pos
+    for r in rows:
+        assert 0 <= r.n_dup_positions <= r.n_positions
+        assert 0.0 <= r.dup_coverage <= 1.0
+    # A duplicated hash occurs in >= 2 docs, so >= 2 positions exist
+    # corpus-wide; distinct-gram counts per source can overlap, so
+    # compare against the MAX per-source distinct count instead.
+    assert total_dup_pos >= 2 * max(r.n_dup_grams for r in rows)
