@@ -364,3 +364,153 @@ if _HAVE_WRITER:
         )
         back = spark.read.schema(_LEDGER_SCHEMA).csv(f"{d}/task-*.csv")
         return back.orderBy("source", "lang")
+
+
+# --- q446: user-defined Python STREAMING source (offset-tracked) --------
+
+_STREAM_CHUNKS = 4  # micro-batches; power of 2 so the chunk filter is
+# a pyarrow bit_wise_and (this pyarrow build has no pc.mod)
+
+
+try:  # pragma: no cover - API guard
+    from pyspark.sql.datasource import DataSourceStreamReader
+
+    class _ChunkPartition(InputPartition):
+        def __init__(self, chunk: int, path: str) -> None:
+            self.chunk = chunk
+            self.path = path
+
+    class DocsStreamReader(DataSourceStreamReader):
+        """Offset-tracked micro-batch reader over the documents
+        parquet: the stream's offset space is the chunk index 0..4,
+        chunk c serving rows with ``doc_id % 4 == c`` (deterministic,
+        disjoint, exhaustive). ``latestOffset`` is pinned at the chunk
+        count, so an availableNow trigger drains exactly the four
+        micro-batches and stops — and every row is served exactly
+        once across batches, which the differential then verifies."""
+
+        def __init__(self, options) -> None:
+            self._path = options["path"]
+
+        def initialOffset(self) -> dict:  # noqa: N802 (API name)
+            return {"chunk": 0}
+
+        def latestOffset(self) -> dict:  # noqa: N802 (API name)
+            return {"chunk": _STREAM_CHUNKS}
+
+        def partitions(self, start: dict, end: dict):
+            return [
+                _ChunkPartition(c, self._path)
+                for c in range(start["chunk"], end["chunk"])
+            ]
+
+        def read(self, partition: "_ChunkPartition"):
+            import pyarrow.compute as pc
+            import pyarrow.parquet as pq
+
+            tbl = pq.read_table(partition.path, columns=_DOCS_COLUMNS)
+            tbl = tbl.filter(
+                pc.equal(
+                    pc.bit_wise_and(tbl["doc_id"], _STREAM_CHUNKS - 1),
+                    partition.chunk,
+                )
+            )
+            yield from tbl.to_batches()
+
+        def commit(self, end: dict) -> None:
+            pass
+
+    class DocsStreamSource(DataSource):
+        """Python data source registered for its STREAM-reader surface."""
+
+        @classmethod
+        def name(cls) -> str:
+            return "abmr_docs_stream"
+
+        def schema(self) -> str:
+            return _DOCS_SCHEMA
+
+        def streamReader(self, schema) -> "DocsStreamReader":
+            return DocsStreamReader(self.options)
+
+    _HAVE_STREAM = True
+except ImportError:  # pragma: no cover
+    _HAVE_STREAM = False
+
+
+if _HAVE_STREAM:
+
+    @query(
+        "q446_python_stream_source",
+        oracle="""
+        SELECT source, lang,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+               CAST(min(doc_id) AS BIGINT) AS min_doc,
+               CAST(max(doc_id) AS BIGINT) AS max_doc
+        FROM documents
+        GROUP BY source, lang
+        ORDER BY source, lang
+        """,
+        tags=("source", "python-datasource", "streaming", "offsets"),
+    )
+    def q446_python_stream_source(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        """User-defined PYTHON STREAMING source on the verified path —
+        the third face of the Python Data Source API (batch scan
+        q428, batch sink q444, now offset-tracked micro-batch
+        ingestion), covering the reference's dataflow when inputs
+        ARRIVE INCREMENTALLY instead of as one directory listing: the
+        source declares an offset space (chunk index) and Spark's
+        MicroBatchExecution drives the full offset contract —
+        ``initialOffset`` → ``latestOffset`` → ``partitions(start,
+        end)`` → per-partition ``read`` → ``commit``. Honesty note
+        (probed): Python streaming sources don't implement the
+        AvailableNow admission control, so Spark logs a fallback and
+        drains the whole offset range 0→4 in ONE batch whose four
+        input partitions are the doc_id-modulo chunks; the offset
+        bookkeeping (and checkpointed commit) is still the real
+        streaming path, which is the surface under test.
+
+        What the differential proves: exactly-once offset accounting —
+        every document crosses the stream exactly once (missed or
+        double-served chunks shift counts/sums/min/max), and the
+        Arrow-batch crossing preserves values bit-exactly, because
+        the final aggregate hash-matches DuckDB reading the same
+        parquet in one batch.
+
+        Determinism: chunking is doc_id modulo (data-derived, not
+        time-derived); the aggregate is exact integer math; complete
+        mode re-emits the final table whose content is
+        batch-order-independent.
+
+        Scale posture: the batch plans one partition per chunk here
+        (fixture-sized); a production source returns many partitions
+        per offset range (the API takes a list) — the offset
+        contract, not the fan-out, is what's exercised.
+        Aggregation state is the bounded (source × lang) grain.
+        Reference contract: incremental staging = the upload loop
+        (``Program.cs:248-258``) re-run per arrival; offset commit =
+        the task-completion barrier (``Program.cs:306,355``)."""
+        from azure_batch_map_reduce_spark.streaming.windows import (
+            run_available_now,
+        )
+
+        spark.dataSource.register(DocsStreamSource)
+        stream = (
+            spark.readStream.format("abmr_docs_stream")
+            .option("path", f"{sf_dir}/documents.parquet")
+            .load()
+        )
+        agg = (
+            stream.groupBy("source", "lang")
+            .agg(
+                F.count(F.lit(1)).alias("n_docs"),
+                F.sum("n_chars").cast("long").alias("sum_chars"),
+                F.min("doc_id").alias("min_doc"),
+                F.max("doc_id").alias("max_doc"),
+            )
+        )
+        out = run_available_now(agg, output_mode="complete")
+        return out.orderBy("source", "lang")

@@ -317,7 +317,8 @@ HEADLINE = [
     # q444 (Python data-source sink round-trip) is EXCLUDED per the
     # q408/q421 rule: it measures a bounded table's sink+scan protocol
     # cost, not data-sized throughput; correctness runs in the
-    # differential gates at every SF.
+    # differential gates at every SF. q446 (Python streaming source)
+    # is EXCLUDED per the q405/q406 rule: stream-bootstrap dominated.
     "q443_unigram_lm_viterbi_segmentation",
     # q445: per-char window hashing + ONE gram-keyed aggregate + hash
     # equi-join — the exact-substring dedup shuffle shape.

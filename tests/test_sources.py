@@ -191,3 +191,45 @@ def test_q444_sink_abort_leaves_no_visible_output(spark, tmp_path):
         if n.startswith("task-") or n == "_ledger.json" or n.endswith(".tmp")
     ]
     assert leftovers == [], leftovers
+
+
+def test_q446_stream_source_offset_contract(spark):
+    """The Python streaming source's offset bookkeeping: availableNow
+    (single-batch fallback for Python sources — probed, documented in
+    the operator) drains exactly the declared offset range in one
+    batch with one input partition per chunk, every row served
+    exactly once (total = corpus), and the query terminates."""
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from azure_batch_map_reduce_spark.sources.python_source import (
+        _STREAM_CHUNKS,
+        DocsStreamSource,
+    )
+
+    spark.dataSource.register(DocsStreamSource)
+    path = "/root/testdata/sf0.001/documents.parquet"
+    stream = (
+        spark.readStream.format("abmr_docs_stream")
+        .option("path", path)
+        .load()
+    )
+    agg = stream.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    name = f"t446_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(300)
+    prog = q.recentProgress
+    assert len(prog) >= 1
+    total_rows = sum(p["numInputRows"] for p in prog)
+    n_docs = spark.read.parquet(path).count()
+    assert total_rows == n_docs  # exactly once across the offset range
+    got = spark.table(name).agg(F.sum("n")).collect()[0][0]
+    assert got == n_docs
+    assert _STREAM_CHUNKS == 4
