@@ -5882,10 +5882,12 @@ def _ulm_fold_expr(engine: str) -> str:
     return fold.format(seq=seq, init=init, body=body)
 
 
-def _ulm_oracle_sql() -> str:
-    qs = 1_000_000
-    return f"""
-    WITH exp AS MATERIALIZED (
+# The lattice CTEs (positions → candidate pieces → smoothed model →
+# per-doc end-indexed cost arrays) — ONE definition shared by q443's
+# segmentation release and q447's hard-EM M-step, so the two oracles
+# cannot drift apart.
+_ULM_LATTICE_CTES = """
+    exp AS MATERIALIZED (
         SELECT doc_id, source, text, n,
                unnest(generate_series(1, n)) AS i
         FROM (SELECT doc_id, source, text, length(text) AS n
@@ -5916,7 +5918,13 @@ def _ulm_oracle_sql() -> str:
                max(i) AS n
         FROM pl JOIN model USING (piece)
         GROUP BY doc_id, source
-    ),
+    )"""
+
+
+def _ulm_oracle_sql() -> str:
+    qs = 1_000_000
+    return f"""
+    WITH {_ULM_LATTICE_CTES},
     dp AS MATERIALIZED (
         SELECT source, n, {_ulm_fold_expr("duckdb")} AS st
         FROM arr
@@ -5936,51 +5944,12 @@ def _ulm_oracle_sql() -> str:
     """
 
 
-@query(
-    "q443_unigram_lm_viterbi_segmentation",
-    oracle=_ulm_oracle_sql(),
-    tags=("llm", "tokenizer", "unigram-lm", "viterbi", "text"),
-)
-def q443_unigram_lm_viterbi_segmentation(
-    spark: SparkSession, sf_dir: str
-) -> DataFrame:
-    """Unigram-LM tokenizer Viterbi segmentation (Kudo 2018 — the
-    SentencePiece model) — the tokenizer family's LATTICE member:
-    q239 trains BPE by greedy pair merging, q326 measures fertility of
-    a fixed tokenizer; the unigram LM instead scores EVERY
-    segmentation of a document over a piece vocabulary and picks the
-    max-likelihood one — this operator builds the candidate vocabulary
-    (all corpus substrings of length 1–3, add-one-smoothed unigram
-    costs), runs the exact Viterbi DP per document, and releases
-    per-source segmentation stats: token counts, tokens-per-char
-    (the fertility of the OPTIMAL segmentation), and mean cost per
-    token — the E-step core of SentencePiece's EM trainer.
-
-    The DP is a single in-plan fold: per document, per-position piece
-    costs are gathered into three end-indexed arrays (one equi-join
-    against the bounded model — never a per-position lookup), then a
-    rolling 6-element BIGINT accumulator [cost/tokens for i−3, i−2,
-    i−1] advances position by position (O(1) state, O(n) work — NOT
-    the O(n²) list-append encoding), with ties broken to the shortest
-    piece by CASE order. Both engines run the SAME fold emitted from
-    one template (``_ulm_fold_expr``).
-
-    Determinism: piece costs are single-ln draws on bit-identical
-    integer ratios QUANTIZED to 1e-6 BIGINTs (the q440 exposure
-    class); the DP is then pure integer arithmetic — min/plus over
-    exact BIGINTs with an exact tie rule — so the per-doc cost and
-    token count are exactly equal on both engines; releases use the
-    half-up integer idiom.
-
-    Scale posture: the (i, l) explode is ≤ 3 rows per char — one
-    corpus map; the model is bounded (|charset|³ worst case) and
-    BROADCAST to the cost join; array gathering is one (doc)-grain
-    partial+final aggregate; the DP fold is map-side per-doc compute
-    fused above it; the release is a bounded source-grain rollup.
-    No per-position shuffles anywhere. Reference contract: per-doc
-    lattice + DP = map slot (``App.config:16``); vocabulary counts +
-    release rollup = reduce slots (``App.config:17``,
-    ``Program.cs:351-384``)."""
+def _ulm_arr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark twin of ``_ULM_LATTICE_CTES``: per-doc end-indexed piece
+    cost arrays e1/e2/e3 + n over the add-one-smoothed quantized
+    unigram model (shared by q443 and q447). The (i, l) explode frame
+    is persisted internally — callers clearCache() per the bench/
+    differential session discipline."""
     docs = load_tables(spark, sf_dir)["documents"].select(
         "doc_id", "source", "text", F.length("text").alias("n")
     )
@@ -6035,11 +6004,59 @@ def q443_unigram_lm_viterbi_segmentation(
             lambda x: x["qc"],
         ).alias(f"e{lv}")
 
-    arr = (
+    return (
         pl.join(F.broadcast(model), "piece")
         .groupBy("doc_id", "source")
         .agg(gather(1), gather(2), gather(3), F.max("i").alias("n"))
     )
+
+
+@query(
+    "q443_unigram_lm_viterbi_segmentation",
+    oracle=_ulm_oracle_sql(),
+    tags=("llm", "tokenizer", "unigram-lm", "viterbi", "text"),
+)
+def q443_unigram_lm_viterbi_segmentation(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Unigram-LM tokenizer Viterbi segmentation (Kudo 2018 — the
+    SentencePiece model) — the tokenizer family's LATTICE member:
+    q239 trains BPE by greedy pair merging, q326 measures fertility of
+    a fixed tokenizer; the unigram LM instead scores EVERY
+    segmentation of a document over a piece vocabulary and picks the
+    max-likelihood one — this operator builds the candidate vocabulary
+    (all corpus substrings of length 1–3, add-one-smoothed unigram
+    costs), runs the exact Viterbi DP per document, and releases
+    per-source segmentation stats: token counts, tokens-per-char
+    (the fertility of the OPTIMAL segmentation), and mean cost per
+    token — the E-step core of SentencePiece's EM trainer.
+
+    The DP is a single in-plan fold: per document, per-position piece
+    costs are gathered into three end-indexed arrays (one equi-join
+    against the bounded model — never a per-position lookup), then a
+    rolling 6-element BIGINT accumulator [cost/tokens for i−3, i−2,
+    i−1] advances position by position (O(1) state, O(n) work — NOT
+    the O(n²) list-append encoding), with ties broken to the shortest
+    piece by CASE order. Both engines run the SAME fold emitted from
+    one template (``_ulm_fold_expr``).
+
+    Determinism: piece costs are single-ln draws on bit-identical
+    integer ratios QUANTIZED to 1e-6 BIGINTs (the q440 exposure
+    class); the DP is then pure integer arithmetic — min/plus over
+    exact BIGINTs with an exact tie rule — so the per-doc cost and
+    token count are exactly equal on both engines; releases use the
+    half-up integer idiom.
+
+    Scale posture: the (i, l) explode is ≤ 3 rows per char — one
+    corpus map; the model is bounded (|charset|³ worst case) and
+    BROADCAST to the cost join; array gathering is one (doc)-grain
+    partial+final aggregate; the DP fold is map-side per-doc compute
+    fused above it; the release is a bounded source-grain rollup.
+    No per-position shuffles anywhere. Reference contract: per-doc
+    lattice + DP = map slot (``App.config:16``); vocabulary counts +
+    release rollup = reduce slots (``App.config:17``,
+    ``Program.cs:351-384``)."""
+    arr = _ulm_arr(spark, sf_dir)
     per_doc = arr.select(
         "source",
         "n",
@@ -6072,4 +6089,277 @@ def q443_unigram_lm_viterbi_segmentation(
             ).alias("mean_nats_per_token"),
         )
         .orderBy("source")
+    )
+
+
+# --- q447: unigram-LM hard-EM M-step (Viterbi piece usage) ---------------
+
+_ULM_TOPN = 20  # released head of the usage-ranked piece table
+
+
+def _ulm_cost_table_expr(engine: str) -> str:
+    """Forward DP emitting the FULL cost table c_0..c_n as a BIGINT
+    list (q443's rolling fold keeps O(1) state but discards the table;
+    backtracking needs all of it). Same candidate order and tie rule
+    as q443. O(n²) element copies per doc (list append) — bounded by
+    document length, never by corpus size."""
+    h = f"CAST({_ULM_HUGE} AS BIGINT)"
+    if engine == "spark":
+        at = lambda a, i: f"element_at({a}, {i})"  # noqa: E731
+        i = "i"
+        c1 = f"{at('acc', i)} + {at('e1', i)}"
+        c2 = (
+            f"CASE WHEN {i} >= 2 THEN {at('acc', f'{i} - 1')}"
+            f" + {at('e2', f'{i} - 1')} ELSE {h} END"
+        )
+        c3 = (
+            f"CASE WHEN {i} >= 3 THEN {at('acc', f'{i} - 2')}"
+            f" + {at('e3', f'{i} - 2')} ELSE {h} END"
+        )
+        return (
+            f"aggregate(sequence(1, n), array(CAST(0 AS BIGINT)),"
+            f" (acc, i) -> concat(acc, array(least({c1}, {c2}, {c3}))))"
+        )
+    i = "x[1]"
+    c1 = f"acc[{i}] + e1[{i}]"
+    c2 = (
+        f"CASE WHEN {i} >= 2 THEN acc[{i} - 1] + e2[{i} - 1]"
+        f" ELSE {h} END"
+    )
+    c3 = (
+        f"CASE WHEN {i} >= 3 THEN acc[{i} - 2] + e3[{i} - 2]"
+        f" ELSE {h} END"
+    )
+    return (
+        f"list_reduce(list_prepend([CAST(0 AS BIGINT)],"
+        f" list_transform(generate_series(1, n), j -> [CAST(j AS BIGINT)])),"
+        f" (acc, x) -> list_concat(acc, [least({c1}, {c2}, {c3})]))"
+    )
+
+
+def _ulm_lstar_expr(engine: str) -> str:
+    """Per-position chosen-length array l*[1..n], computed VECTORIZED
+    against the finished cost table (a list_transform/transform — no
+    fold): at each position the three candidates are recomputed
+    exactly as the forward pass built them, with the same
+    shortest-piece tie rule. Keeping this OUT of the backtrack fold
+    matters twice over: the walk's lambda stays tiny (a large
+    candidate lambda inside list_reduce segfaults DuckDB 1.0 at
+    ~200-doc chunks — reproduced, bisected), and the O(n) candidate
+    math runs once instead of once per walk step."""
+    h = f"CAST({_ULM_HUGE} AS BIGINT)"
+    if engine == "spark":
+        at = lambda a, i: f"element_at({a}, CAST({i} AS INT))"  # noqa: E731
+        c1 = f"{at('costs', 'i')} + {at('e1', 'i')}"
+        c2 = (
+            f"CASE WHEN i >= 2 THEN {at('costs', 'i - 1')}"
+            f" + {at('e2', 'i - 1')} ELSE {h} END"
+        )
+        c3 = (
+            f"CASE WHEN i >= 3 THEN {at('costs', 'i - 2')}"
+            f" + {at('e3', 'i - 2')} ELSE {h} END"
+        )
+        return (
+            f"transform(sequence(1, n), i -> CAST("
+            f"CASE WHEN ({c1}) <= ({c2}) AND ({c1}) <= ({c3}) THEN 1"
+            f" WHEN ({c2}) <= ({c3}) THEN 2 ELSE 3 END AS BIGINT))"
+        )
+    c1 = "costs[CAST(i AS INTEGER)] + e1[CAST(i AS INTEGER)]"
+    c2 = (
+        f"CASE WHEN i >= 2 THEN costs[CAST(i - 1 AS INTEGER)]"
+        f" + e2[CAST(i - 1 AS INTEGER)] ELSE {h} END"
+    )
+    c3 = (
+        f"CASE WHEN i >= 3 THEN costs[CAST(i - 2 AS INTEGER)]"
+        f" + e3[CAST(i - 2 AS INTEGER)] ELSE {h} END"
+    )
+    return (
+        f"list_transform(generate_series(1, n), i -> CAST("
+        f"CASE WHEN ({c1}) <= ({c2}) AND ({c1}) <= ({c3}) THEN 1"
+        f" WHEN ({c2}) <= ({c3}) THEN 2 ELSE 3 END AS BIGINT))"
+    )
+
+
+def _ulm_backtrack_expr(engine: str) -> str:
+    """Backward path walk over the precomputed l* array: acc is the
+    boundary list NEWEST-FIRST starting [n]; each step reads the
+    current boundary p at the FIXED index 1, prepends p − l*[p], and
+    no-ops once p = 0 — the released list is therefore ascending
+    (0 … n) after zero-padding at the front. n iterations bound the
+    walk. Two DuckDB 1.0 list_reduce bugs shaped this lambda
+    (bisected at ~200-doc chunk volume; the q267 accumulator-bug
+    family, new members): (a) indexing the accumulator at
+    ``len(acc)`` reads CORRUPT values — p therefore lives at the
+    FIXED index 1 via prepend-encoding; (b) a CASE branch that
+    returns the accumulator UNCHANGED segfaults outright — the fold
+    therefore ALWAYS prepends, padding finished walks with zeros
+    that the hi > lo pair filter drops."""
+    if engine == "spark":
+        p = "element_at(acc, 1)"
+        step = (
+            f"CASE WHEN {p} = 0 THEN CAST(0 AS BIGINT)"
+            f" ELSE {p} - element_at(ls, CAST({p} AS INT)) END"
+        )
+        return (
+            f"aggregate(sequence(1, n), array(CAST(n AS BIGINT)),"
+            f" (acc, j) -> concat(array({step}), acc))"
+        )
+    p = "acc[1]"
+    step = (
+        f"CASE WHEN {p} = 0 THEN CAST(0 AS BIGINT)"
+        f" ELSE {p} - ls[CAST({p} AS INTEGER)] END"
+    )
+    return (
+        f"list_reduce(list_prepend([CAST(n AS BIGINT)],"
+        f" list_transform(generate_series(1, n), j -> [CAST(j AS BIGINT)])),"
+        f" (acc, x) -> list_prepend({step}, acc))"
+    )
+
+
+def _ulm_mstep_oracle_sql() -> str:
+    return f"""
+    WITH {_ULM_LATTICE_CTES},
+    ct AS MATERIALIZED (
+        SELECT a.doc_id, a.source, d.text, a.n, a.e1, a.e2, a.e3,
+               {_ulm_cost_table_expr("duckdb")} AS costs
+        FROM arr a JOIN documents d USING (doc_id)
+    ),
+    lt AS MATERIALIZED (
+        SELECT doc_id, text, n, {_ulm_lstar_expr("duckdb")} AS ls
+        FROM ct
+    ),
+    bt AS MATERIALIZED (
+        SELECT doc_id, text, {_ulm_backtrack_expr("duckdb")} AS b
+        FROM lt
+    ),
+    pieces AS MATERIALIZED (
+        SELECT doc_id,
+               substr(text, CAST(s.lo + 1 AS INTEGER),
+                      CAST(s.hi - s.lo AS INTEGER)) AS piece
+        FROM (
+            SELECT doc_id, text,
+                   unnest(list_transform(generate_series(1, len(b) - 1),
+                       i -> struct_pack(hi := b[CAST(i + 1 AS INTEGER)],
+                                        lo := b[CAST(i AS INTEGER)]))) AS s
+            FROM bt
+        )
+        WHERE s.hi > s.lo
+    ),
+    used AS MATERIALIZED (
+        SELECT piece, count(*) AS n_used FROM pieces GROUP BY 1
+    ),
+    t2 AS (SELECT sum(n_used) AS t FROM used),
+    rk AS (
+        SELECT piece, n_used,
+               row_number() OVER (ORDER BY n_used DESC, piece ASC) AS rank
+        FROM used
+    )
+    SELECT CAST(rank AS BIGINT) AS rank, piece,
+           CAST(n_used AS BIGINT) AS n_used,
+           ((2 * n_used * 1000000 + t.t) // (2 * t.t)) / 1000000.0
+               AS usage_share
+    FROM rk CROSS JOIN t2 t
+    WHERE rank <= {_ULM_TOPN}
+    ORDER BY rank
+    """
+
+
+@query(
+    "q447_unigram_lm_hard_em_mstep",
+    oracle=_ulm_mstep_oracle_sql(),
+    tags=("llm", "tokenizer", "unigram-lm", "em", "viterbi", "text"),
+)
+def q447_unigram_lm_hard_em_mstep(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Unigram-LM hard-EM M-step — the piece-usage recount that makes
+    q443 a TRAINER, not just a scorer: SentencePiece's EM loop
+    alternates (E) Viterbi-segment the corpus under the current piece
+    model with (M) re-estimate piece probabilities from the counts
+    the optimal segmentations actually used. This operator runs the
+    full step: the shared lattice (``_ULM_LATTICE_CTES`` /
+    ``_ulm_arr`` — one definition with q443), a forward DP that keeps
+    the FULL cost table, exact backtracking that reconstructs every
+    document's optimal piece sequence in-plan (a bounded fold — no
+    UDF, no driver loop), and the corpus-wide usage recount; released
+    is the usage-ranked head of the new piece table (top {_ULM_TOPN}
+    with exact counts and half-up shares) — the next model's heaviest
+    pieces, on the verified path.
+
+    Determinism: the cost table and backtrack use the SAME candidate
+    order and shortest-piece tie rule as q443's forward pass (the
+    reconstruction provably walks a cost-optimal path); all DP state
+    is exact BIGINTs over the 1e-6-quantized ln costs (the q440
+    exposure class); the released ranking tie-breaks by piece string
+    (byte order on both engines); shares use the half-up idiom;
+    rank is a ``bounded_order`` window (vocab ≤ |charset|³ — an
+    audited bounded grain).
+
+    Scale posture: identical shuffle profile to q443 (one corpus
+    map + bounded broadcast model + doc-grain gather) plus one
+    (piece)-keyed recount aggregate; the per-doc DP is O(n²) in
+    ELEMENT COPIES (full cost table as an immutable list) but bounded
+    by document length — chunk long documents upstream (q49) before
+    segmenting at 100 TB. Reference contract: per-doc segmentation =
+    map slot (``App.config:16``); usage recount + rank = reduce
+    slots (``App.config:17``, ``Program.cs:351-384``)."""
+    from azure_batch_map_reduce_spark.operators.ranks import bounded_order
+
+    docs = load_tables(spark, sf_dir)["documents"].select("doc_id", "text")
+    ct = (
+        _ulm_arr(spark, sf_dir)
+        .join(docs, "doc_id")
+        .select(
+            "doc_id",
+            "text",
+            "n",
+            "e1",
+            "e2",
+            "e3",
+            F.expr(_ulm_cost_table_expr("spark")).alias("costs"),
+        )
+    )
+    lt = ct.select(
+        "doc_id", "text", "n", F.expr(_ulm_lstar_expr("spark")).alias("ls")
+    )
+    bt = lt.select(
+        "doc_id", "text", F.expr(_ulm_backtrack_expr("spark")).alias("b")
+    )
+    pieces = (
+        bt.select(
+            "doc_id",
+            "text",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(b) - 1),"
+                    " i -> named_struct('hi', element_at(b, i + 1),"
+                    " 'lo', element_at(b, i)))"
+                )
+            ).alias("s"),
+        )
+        .where(F.col("s.hi") > F.col("s.lo"))
+        .select(
+            "doc_id",
+            F.expr("substring(text, s.lo + 1, s.hi - s.lo)").alias("piece"),
+        )
+    )
+    used = pieces.groupBy("piece").agg(F.count(F.lit(1)).alias("n_used"))
+    t2 = used.agg(F.sum("n_used").alias("t"))
+    rk = used.withColumn(
+        "rank",
+        F.row_number().over(
+            bounded_order(F.col("n_used").desc(), F.col("piece").asc())
+        ),
+    ).where(F.col("rank") <= _ULM_TOPN)
+    return (
+        rk.crossJoin(F.broadcast(t2))
+        .select(
+            F.col("rank").cast("long").alias("rank"),
+            "piece",
+            F.col("n_used").cast("long").alias("n_used"),
+            half_up_ratio(F.col("n_used"), F.col("t"), 6).alias(
+                "usage_share"
+            ),
+        )
+        .orderBy("rank")
     )

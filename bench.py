@@ -323,6 +323,9 @@ HEADLINE = [
     # q445: per-char window hashing + ONE gram-keyed aggregate + hash
     # equi-join — the exact-substring dedup shuffle shape.
     "q445_exact_substring_dup_coverage",
+    # q447: the q443 lattice + full-cost-table DP + l* map + backtrack
+    # walk + piece recount — the round's deepest per-row compute.
+    "q447_unigram_lm_hard_em_mstep",
 ]
 
 

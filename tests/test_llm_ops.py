@@ -1163,3 +1163,65 @@ def test_q445_dup_coverage_bounds_and_conservation(spark, sf_dir):
     # corpus-wide; distinct-gram counts per source can overlap, so
     # compare against the MAX per-source distinct count instead.
     assert total_dup_pos >= 2 * max(r.n_dup_grams for r in rows)
+
+
+def test_q447_mstep_counts_match_q443_tokens(spark, sf_dir):
+    """Hard-EM consistency: the reconstructed Viterbi paths' total
+    piece usage (q447's Σ n_used over the FULL piece table, recomputed
+    here via the module helpers) must equal q443's released total
+    token count exactly — a backtracking bug (wrong tie rule, dropped
+    boundary, off-by-one) breaks the equality; the released top-20 is
+    a prefix of that table with positive counts and shares summing
+    below 1."""
+    from pyspark.sql import functions as F
+
+    from azure_batch_map_reduce_spark.functions.text import (
+        _ulm_arr,
+        _ulm_backtrack_expr,
+        _ulm_cost_table_expr,
+        _ulm_lstar_expr,
+    )
+
+    seg = (
+        REGISTRY["q443_unigram_lm_viterbi_segmentation"]
+        .fn(spark, sf_dir)
+        .collect()
+    )
+    total_tokens = sum(r.n_tokens for r in seg)
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    ct = (
+        _ulm_arr(spark, sf_dir)
+        .join(docs, "doc_id")
+        .select(
+            "doc_id", "text", "n", "e1", "e2", "e3",
+            F.expr(_ulm_cost_table_expr("spark")).alias("costs"),
+        )
+    )
+    lt = ct.select(
+        "doc_id", "text", "n", F.expr(_ulm_lstar_expr("spark")).alias("ls")
+    )
+    bt = lt.select(
+        "doc_id", F.expr(_ulm_backtrack_expr("spark")).alias("b")
+    )
+    # tokens per doc = number of strictly-increasing boundary pairs
+    n_pieces = bt.select(
+        F.expr(
+            "aggregate(transform(sequence(1, size(b) - 1),"
+            " i -> CASE WHEN element_at(b, i + 1) > element_at(b, i)"
+            " THEN 1 ELSE 0 END), 0, (a, x) -> a + x)"
+        ).alias("k")
+    ).agg(F.sum("k")).collect()[0][0]
+    spark.catalog.clearCache()
+    assert n_pieces == total_tokens, (n_pieces, total_tokens)
+
+    rows = (
+        REGISTRY["q447_unigram_lm_hard_em_mstep"].fn(spark, sf_dir).collect()
+    )
+    assert [r.rank for r in rows] == list(range(1, 21))
+    counts = [r.n_used for r in rows]
+    assert counts == sorted(counts, reverse=True)
+    assert all(c > 0 for c in counts)
+    assert 0 < sum(r.usage_share for r in rows) < 1.0
