@@ -9179,3 +9179,211 @@ def q442_confident_learning_noise(
         )
         .orderBy("given_label", "inferred_label")
     )
+
+
+# --- q448: TracIn gradient-influence data valuation ----------------------
+
+_TI_PROBE_MOD = 10  # probe slice: doc_id % 10 == 0; train = the rest
+_TI_TOPN = 20  # released head of the influence ranking
+
+
+def _tracin_oracle_sql() -> str:
+    """Weight path via the SHARED step CTEs restricted to the train
+    slice, then per step the probe slice's summed quantized gradient
+    vector and every train doc's quantized gradient, folded into the
+    exact integer influence sum."""
+    zf = _QC_ZFOLD
+    gdim = ", ".join(
+        f"CAST(round((p - y) * xa[{d}] * {_QC_QSCALE}) AS BIGINT) AS g{d}"
+        for d in range(1, 5)
+    )
+    steps = []
+    for k in range(1, _QC_STEPS + 1):
+        p = k - 1
+        steps.append(f"""
+    tg{k} AS MATERIALIZED (
+        SELECT doc_id, {gdim}
+        FROM (
+            SELECT doc_id, y, xa,
+                   CAST(0.5 AS DOUBLE) + z / (CAST(2.0 AS DOUBLE)
+                       * (CAST(1.0 AS DOUBLE) + abs(z))) AS p
+            FROM (
+                SELECT doc_id, y, xa, {zf} AS z
+                FROM obs CROSS JOIN w{p} w
+                WHERE doc_id % {_TI_PROBE_MOD} <> 0
+            )
+        )
+    ),
+    pg{k} AS MATERIALIZED (
+        SELECT sum(g1) AS p1, sum(g2) AS p2, sum(g3) AS p3, sum(g4) AS p4
+        FROM (
+            SELECT {gdim}
+            FROM (
+                SELECT y, xa,
+                       CAST(0.5 AS DOUBLE) + z / (CAST(2.0 AS DOUBLE)
+                           * (CAST(1.0 AS DOUBLE) + abs(z))) AS p
+                FROM (
+                    SELECT y, xa, {zf} AS z
+                    FROM obs CROSS JOIN w{p} w
+                    WHERE doc_id % {_TI_PROBE_MOD} = 0
+                )
+            )
+        )
+    )""")
+    infl = " + ".join(
+        f"(t{k}.g1 * p{k}.p1 + t{k}.g2 * p{k}.p2"
+        f" + t{k}.g3 * p{k}.p3 + t{k}.g4 * p{k}.p4)"
+        for k in range(1, _QC_STEPS + 1)
+    )
+    joins = " ".join(
+        f"JOIN tg{k} t{k} USING (doc_id) CROSS JOIN pg{k} p{k}"
+        for k in range(2, _QC_STEPS + 1)
+    )
+    return f"""
+    WITH {_qc_obs_sql(with_id=True)},
+    w0 AS (SELECT list_transform({_QC_DIMS}, i -> CAST(0.0 AS DOUBLE)) AS wl),
+    {_qc_steps_sql(filt=f" WHERE doc_id % {_TI_PROBE_MOD} <> 0")},
+    {",".join(steps)},
+    infl AS (
+        SELECT t1.doc_id, {infl} AS influence_q
+        FROM tg1 t1 CROSS JOIN pg1 p1 {joins}
+    ),
+    top AS (
+        SELECT doc_id, influence_q,
+               row_number() OVER (ORDER BY influence_q DESC, doc_id ASC)
+                   AS rank
+        FROM infl
+    )
+    SELECT CAST(rank AS BIGINT) AS rank,
+           CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(influence_q AS BIGINT) AS influence_q
+    FROM top WHERE rank <= {_TI_TOPN}
+    ORDER BY rank
+    """
+
+
+@query(
+    "q448_tracin_gradient_influence",
+    oracle=_tracin_oracle_sql(),
+    tags=("llm", "curation", "data-valuation", "influence", "tracin"),
+)
+def q448_tracin_gradient_influence(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """TracIn gradient-influence data valuation (Pruthi et al. 2020)
+    — the GRADIENT member of the attribution family beside q337's
+    kNN-Shapley (geometry) and q437's cartography (dynamics): a
+    training example's influence on a probe set is the sum over
+    training steps of the dot product between its per-example
+    gradient and the probe set's summed gradient, both taken at that
+    step's pre-update weights. High positive influence = the examples
+    whose updates pushed the model hardest in the probe's own
+    gradient direction (the probe-aligned curriculum core);
+    strongly negative = examples training AGAINST the probe slice
+    (mislabeled/conflicting-data candidates). Released: the top-20
+    most probe-aligned training documents with their EXACT integer
+    influence scores.
+
+    Setup: probe slice = ``doc_id % 10 == 0`` (held out of
+    training), weight path = the shared step template restricted to
+    the train slice (``_qc_steps_sql(filt=...)`` — the q441
+    mechanism, one definition); per step both the per-train-doc
+    gradient and the probe's summed gradient are quantized to 1e-6
+    BIGINTs, so every influence score is an EXACT integer
+    (Σₖ gᵢ(k)·G_probe(k) in 1e-12 units) — no rounding anywhere in
+    the released column.
+
+    Determinism: quantized-integer gradients (q343 discipline), exact
+    BIGINT dot products and sums (order-free), global top-20 by the
+    total order (influence DESC, doc_id ASC) — Catalyst plans the
+    limit as TakeOrdered (no global sort materialization), and the
+    final rank is assigned on the 20-row bounded frame.
+
+    Scale posture: per step ONE train-slice scan emitting 4 integer
+    gradient cells per doc (doc-grain, no shuffle — the gradient map
+    fuses into the scan) plus one probe-slice partial+final
+    aggregate broadcast back via crossJoin (1-row); the three
+    per-step doc-grain frames join on doc_id (co-partitioned
+    equi-joins); the release is TakeOrdered top-20. Model state = 4
+    doubles per step via the shared parameter-server collects.
+    Reference contract: per-example gradient = map slot
+    (``App.config:16``); probe aggregation + influence ranking =
+    reduce slots (``App.config:17``, ``Program.cs:351-384``)."""
+    from azure_batch_map_reduce_spark.operators.ranks import bounded_order
+
+    obs = _qc_obs(spark, sf_dir, with_id=True).persist()
+    train = obs.where(F.col("doc_id") % _TI_PROBE_MOD != 0)
+    probe = obs.where(F.col("doc_id") % _TI_PROBE_MOD == 0)
+    path, _, _ = _qc_train(train.select("xa", "y"))
+    weights = [[0.0] * 4, *path[:-1]]  # pre-update weights per step
+    per_step_doc = []
+    per_step_probe = []
+    for w in weights:
+        z = _qc_margin(w)
+        p = F.lit(0.5) + F.col("z") / (
+            F.lit(2.0) * (F.lit(1.0) + F.abs(F.col("z")))
+        )
+        gcols = [
+            F.round(
+                (F.col("p") - F.col("y"))
+                * F.element_at("xa", d)
+                * _QC_QSCALE
+            )
+            .cast("long")
+            .alias(f"g{d}")
+            for d in range(1, 5)
+        ]
+        tg = (
+            train.select("doc_id", "y", "xa", z.alias("z"))
+            .select("doc_id", "y", "xa", p.alias("p"))
+            .select("doc_id", *gcols)
+        )
+        pg = (
+            probe.select("y", "xa", z.alias("z"))
+            .select("y", "xa", p.alias("p"))
+            .select(*gcols)
+            .agg(*[F.sum(f"g{d}").alias(f"p{d}") for d in range(1, 5)])
+        )
+        per_step_doc.append(tg)
+        per_step_probe.append(pg)
+    infl = None
+    for k, (tg, pg) in enumerate(zip(per_step_doc, per_step_probe)):
+        term = tg.crossJoin(F.broadcast(pg)).select(
+            "doc_id",
+            sum(
+                [
+                    F.col(f"g{d}") * F.col(f"p{d}")
+                    for d in range(1, 5)
+                ],
+                F.lit(0).cast("long"),
+            ).alias(f"t{k}"),
+        )
+        infl = term if infl is None else infl.join(term, "doc_id")
+    total = infl.select(
+        "doc_id",
+        sum(
+            [F.col(f"t{k}") for k in range(len(per_step_doc))],
+            F.lit(0).cast("long"),
+        ).alias("influence_q"),
+    )
+    top = total.orderBy(
+        F.col("influence_q").desc(), F.col("doc_id").asc()
+    ).limit(_TI_TOPN)
+    out = (
+        top.withColumn(
+            "rank",
+            F.row_number().over(
+                bounded_order(
+                    F.col("influence_q").desc(), F.col("doc_id").asc()
+                )
+            ),
+        )
+        .select(
+            F.col("rank").cast("long").alias("rank"),
+            F.col("doc_id").cast("long").alias("doc_id"),
+            F.col("influence_q").cast("long").alias("influence_q"),
+        )
+        .orderBy("rank")
+    )
+    obs.unpersist()
+    return out

@@ -326,6 +326,9 @@ HEADLINE = [
     # q447: the q443 lattice + full-cost-table DP + l* map + backtrack
     # walk + piece recount — the round's deepest per-row compute.
     "q447_unigram_lm_hard_em_mstep",
+    # q448: shared training (eager) + 3 gradient scans, doc-grain
+    # equi-joins, TakeOrdered top-20 (honest cost in `queries_honest`).
+    "q448_tracin_gradient_influence",
 ]
 
 

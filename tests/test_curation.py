@@ -707,3 +707,20 @@ def test_q442_recovers_injected_label_noise(spark, sf_dir):
         stats.n_true_flip,
         stats.n_flag,
     )
+
+
+def test_q448_tracin_influence_semantics(spark, sf_dir):
+    """TracIn sanity: the released head is probe-EXCLUDED (no doc_id
+    divisible by 10 — probe docs never rank), ranks are 1..20 with
+    influence non-increasing, scores are exact integers, and the
+    top-1 influence is strictly positive (the probe and train slices
+    share the same learnable label rule, so SOME train doc must push
+    in the probe's gradient direction)."""
+    rows = (
+        REGISTRY["q448_tracin_gradient_influence"].fn(spark, sf_dir).collect()
+    )
+    assert [r.rank for r in rows] == list(range(1, 21))
+    assert all(r.doc_id % 10 != 0 for r in rows)
+    vals = [r.influence_q for r in rows]
+    assert vals == sorted(vals, reverse=True)
+    assert vals[0] > 0
