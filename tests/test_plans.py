@@ -1465,3 +1465,55 @@ def test_q439_step_is_single_scan_single_aggregate(spark, sf_dir):
     read_schema = [l for l in explained.splitlines() if "ReadSchema" in l][0]
     assert "text" in read_schema and "n_chars" in read_schema
     assert "lang" not in read_schema and "source" not in read_schema
+
+
+def test_q440_langid_model_joins_are_broadcast(spark, sf_dir):
+    """The NB scoring join must BROADCAST the bounded model/prior
+    frames into the gram stream (no shuffle of the corpus on the gram
+    key beyond its own aggregates); no window functions; the ONLY
+    sort-merge joins are the doc_id-keyed argmax joins (score frame ⋈
+    per-doc max — both sides data-sized and co-partitioned, the
+    correct shape), never a gram- or lang-keyed one."""
+    df = REGISTRY["q440_naive_bayes_langid_training"].fn(spark, sf_dir)
+    explained = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    assert "WindowExec" not in explained
+    assert "CartesianProduct" not in explained
+    assert "BroadcastHashJoin" in explained
+    # At most the two argmax joins sort-merge (x2 formatted mentions
+    # each), keyed on the doc grain (the correct co-partitioned shape).
+    assert explained.count("SortMergeJoin") <= 4
+    assert "hashpartitioning(doc_id" in explained
+    spark.catalog.clearCache()
+
+
+def test_q443_viterbi_plan_shape(spark, sf_dir):
+    """The segmentation plan: no window functions, the model join is
+    broadcast, and the DP fold runs above a doc-grain aggregate (no
+    per-position shuffle — HashAggregate pairs only)."""
+    df = REGISTRY["q443_unigram_lm_viterbi_segmentation"].fn(spark, sf_dir)
+    explained = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    assert "WindowExec" not in explained
+    assert "BroadcastHashJoin" in explained
+    assert "SortMergeJoin" not in explained
+    assert "CartesianProduct" not in explained
+    spark.catalog.clearCache()
+
+
+def test_q445_exact_substring_no_window_no_cartesian(spark, sf_dir):
+    """Exact-substring coverage: the duplicated-window detection is
+    equi-join machinery only — no window, no cartesian; the gram key
+    in every exchange is the 8-byte hash, never the 40-char string
+    (ReadSchema keeps text out of the shuffled columns: the window
+    hash is computed before the exchange)."""
+    df = REGISTRY["q445_exact_substring_dup_coverage"].fn(spark, sf_dir)
+    explained = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    assert "WindowExec" not in explained
+    assert "CartesianProduct" not in explained
+    assert "hashpartitioning(gh" in explained
+    spark.catalog.clearCache()
