@@ -66,6 +66,21 @@ DRILL_QUERIES = [
     "q434_star_contraction_components",
     "q435_wasserstein_source_drift",
     "q436_deleted_interpolation_em",
+    # Round-12 additions. Rot-k copies keep doc features independent
+    # (q439/q441/q442/q448 — the training/attribution family), make
+    # cross-copy 40-char windows DISJOINT while preserving within-copy
+    # duplication (q445 — true dup positions scale exactly 10x), and
+    # give each copy a rotated (disjoint) piece/trigram vocabulary
+    # (q440/q443/q447 — model size grows ~10x, the honest stress for
+    # the broadcast-model path).
+    "q439_dpsgd_private_training",
+    "q440_naive_bayes_langid_training",
+    "q441_kfold_cv_training",
+    "q442_confident_learning_noise",
+    "q443_unigram_lm_viterbi_segmentation",
+    "q445_exact_substring_dup_coverage",
+    "q447_unigram_lm_hard_em_mstep",
+    "q448_tracin_gradient_influence",
 ]
 
 # Geometric operators need a DIFFERENT amplification: identical-copy
@@ -210,8 +225,17 @@ def main() -> int:
     run_once("q62_minhash_lsh_neardup", "/root/testdata/sf0.01")
     spark.catalog.clearCache()
 
+    # --only=q439,q445 reruns a subset (new-round additions) without
+    # repeating rows already recorded in SCALE.md — ratios are
+    # same-session comparisons per query, so subsetting is sound.
+    only = None
+    for a in sys.argv:
+        if a.startswith("--only="):
+            only = set(a.split("=", 1)[1].split(","))
     results = {}
     for name in DRILL_QUERIES + GEO_QUERIES:
+        if only and not any(name.startswith(p) for p in only):
+            continue
         amp_d = GEO_AMP_DIR if name in GEO_QUERIES else AMP_DIR
         row = {}
         for label, d in (("x1", BASE), ("x10", amp_d)):
