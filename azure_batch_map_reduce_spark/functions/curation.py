@@ -9387,3 +9387,137 @@ def q448_tracin_gradient_influence(
     )
     obs.unpersist()
     return out
+
+
+# --- q449: worst-group training audit (group-DRO evaluation) --------------
+
+
+def _dro_oracle_sql() -> str:
+    """Shared weight path, then per checkpoint (pre-update w0..w2 and
+    the final w3) the per-source accuracy table, its worst row (min
+    accuracy, ties to the smaller source name — the exact double
+    division is bit-identical cross-engine), and the overall
+    accuracy."""
+    zf = _QC_ZFOLD
+    chks = []
+    for k in range(_QC_STEPS + 1):
+        chks.append(f"""
+    sa{k} AS MATERIALIZED (
+        SELECT source,
+               sum(CASE WHEN ({zf} > 0) = (y = 1.0) THEN 1 ELSE 0 END)
+                   AS nc,
+               count(*) AS n
+        FROM obs CROSS JOIN w{k} w
+        GROUP BY source
+    ),
+    worst{k} AS MATERIALIZED (
+        SELECT source, nc, n FROM sa{k}
+        ORDER BY CAST(nc AS DOUBLE) / n ASC, source ASC LIMIT 1
+    ),
+    tot{k} AS MATERIALIZED (
+        SELECT sum(nc) AS nc, sum(n) AS n FROM sa{k}
+    )""")
+    rows = " UNION ALL ".join(
+        f"SELECT {k} AS checkpoint, w.source AS worst_source,"
+        f" ((2 * w.nc * 1000000 + w.n) // (2 * w.n)) / 1000000.0"
+        f"     AS worst_acc,"
+        f" ((2 * t.nc * 1000000 + t.n) // (2 * t.n)) / 1000000.0"
+        f"     AS overall_acc"
+        f" FROM worst{k} w CROSS JOIN tot{k} t"
+        for k in range(_QC_STEPS + 1)
+    )
+    return f"""
+    WITH {_qc_obs_sql(with_source=True)},
+    w0 AS (SELECT list_transform({_QC_DIMS}, i -> CAST(0.0 AS DOUBLE)) AS wl),
+    {_qc_steps_sql()},
+    {",".join(chks)}
+    SELECT CAST(checkpoint AS BIGINT) AS checkpoint, worst_source,
+           worst_acc, overall_acc
+    FROM ({rows})
+    ORDER BY checkpoint
+    """
+
+
+@query(
+    "q449_worst_group_training_audit",
+    oracle=_dro_oracle_sql(),
+    tags=("llm", "training", "robustness", "group-dro", "curation"),
+)
+def q449_worst_group_training_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Worst-group training audit (the group-DRO evaluation loop,
+    Sagawa et al.) — the ROBUSTNESS member of the training family:
+    average accuracy (q433's release) can climb while a subgroup is
+    left behind, which is exactly what distributionally-robust
+    training monitors; this operator scores every checkpoint of the
+    shared weight path (untrained w0, post-step w1..w3) against EVERY
+    source's slice and releases, per checkpoint, the worst source,
+    its accuracy, and the overall accuracy — the worst-vs-average gap
+    trajectory a curation pipeline watches to decide whether a gate
+    model needs group reweighting (q264's DoReMi being the remedy
+    member).
+
+    Determinism: the weight path is the shared bit-identical
+    template; per-source counts are exact integers; the worst-group
+    argmin compares the IEEE double nc/n (identical division on both
+    engines) with a source-name tie-break; released accuracies use
+    the half-up integer idiom.
+
+    Scale posture: per checkpoint ONE corpus scan into a bounded
+    (source)-grain partial+final aggregate; the argmin and overall
+    rollup are bounded-grain math; checkpoints reuse the training
+    scans' session (4 extra map-only passes total). Reference
+    contract: per-example scoring = map slot (``App.config:16``);
+    group rollup + argmin = reduce slots (``App.config:17``,
+    ``Program.cs:351-384``)."""
+    obs = _qc_obs(spark, sf_dir, with_source=True).persist()
+    path, _, _ = _qc_train(obs.select("xa", "y"))
+    out_rows = []
+    for k, w in enumerate([[0.0] * 4, *path]):
+        z = _qc_margin(w)
+        sa = (
+            obs.select("source", "y", z.alias("z"))
+            .groupBy("source")
+            .agg(
+                F.sum(
+                    F.when(
+                        (F.col("z") > 0) == (F.col("y") == 1.0), 1
+                    ).otherwise(0)
+                ).alias("nc"),
+                F.count(F.lit(1)).alias("n"),
+            )
+            .collect()
+        )
+        worst = min(
+            sa, key=lambda r: (r["nc"] / r["n"], r["source"])
+        )
+        tn = sum(r["n"] for r in sa)
+        tc = sum(r["nc"] for r in sa)
+        out_rows.append(
+            (
+                k,
+                worst["source"],
+                int(worst["nc"]),
+                int(worst["n"]),
+                int(tc),
+                int(tn),
+            )
+        )
+    obs.unpersist()
+    return (
+        spark.createDataFrame(
+            out_rows,
+            "checkpoint long, worst_source string,"
+            " wnc long, wn long, tnc long, tn long",
+        )
+        .select(
+            "checkpoint",
+            "worst_source",
+            half_up_ratio(F.col("wnc"), F.col("wn"), 6).alias("worst_acc"),
+            half_up_ratio(F.col("tnc"), F.col("tn"), 6).alias(
+                "overall_acc"
+            ),
+        )
+        .orderBy("checkpoint")
+    )

@@ -329,6 +329,9 @@ HEADLINE = [
     # q448: shared training (eager) + 3 gradient scans, doc-grain
     # equi-joins, TakeOrdered top-20 (honest cost in `queries_honest`).
     "q448_tracin_gradient_influence",
+    # q449: shared training (eager) + 4 checkpoint scans to the
+    # bounded source grain (honest cost in `queries_honest`).
+    "q449_worst_group_training_audit",
 ]
 
 

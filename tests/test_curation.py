@@ -724,3 +724,23 @@ def test_q448_tracin_influence_semantics(spark, sf_dir):
     vals = [r.influence_q for r in rows]
     assert vals == sorted(vals, reverse=True)
     assert vals[0] > 0
+
+
+def test_q449_worst_group_audit_semantics(spark, sf_dir):
+    """DRO audit: four checkpoints (w0..w3), worst_acc <= overall_acc
+    at every one (the argmin can't beat the average), checkpoint 0 is
+    the untrained base rate, the final overall accuracy is high, and
+    the worst group also ends high (the fixture's label rule is
+    source-independent, so no group should be left behind — a real
+    gap here would be a finding)."""
+    rows = (
+        REGISTRY["q449_worst_group_training_audit"]
+        .fn(spark, sf_dir)
+        .collect()
+    )
+    assert [r.checkpoint for r in rows] == [0, 1, 2, 3]
+    for r in rows:
+        assert r.worst_acc <= r.overall_acc + 1e-9
+    assert 0.3 < rows[0].overall_acc < 0.7
+    assert rows[-1].overall_acc >= 0.95
+    assert rows[-1].worst_acc >= 0.85
