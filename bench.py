@@ -324,7 +324,11 @@ HEADLINE = [
     # equi-join — the exact-substring dedup shuffle shape.
     "q445_exact_substring_dup_coverage",
     # q447: the q443 lattice + full-cost-table DP + l* map + backtrack
-    # walk + piece recount — the round's deepest per-row compute.
+    # walk + piece recount — the round's deepest per-row compute and
+    # the headline's heaviest honest row by design (≈30 s at sf0.1,
+    # profiled ~14 s shared lattice + ~7 s backtrack + fold; the 10×
+    # drill measured 8.15× at 10× data — data-proportional map work,
+    # not a shuffle bottleneck; see SCALE.md §8c3).
     "q447_unigram_lm_hard_em_mstep",
     # q448: shared training (eager) + 3 gradient scans, doc-grain
     # equi-joins, TakeOrdered top-20 (honest cost in `queries_honest`).
