@@ -9521,3 +9521,145 @@ def q449_worst_group_training_audit(
         )
         .orderBy("checkpoint")
     )
+
+
+# --- q450: temperature-scaling calibration fit ----------------------------
+
+_TS_GRID = (0.25, 0.5, 0.75, 1.0, 1.5, 2.0, 3.0, 4.0)  # exact binary64
+_TS_VAL_MOD = 3  # calibration slice: doc_id % 3 == 0; train = the rest
+_TS_BQ = 1_000_000_000  # per-row Brier quantization (1e-9 units)
+
+
+def _temp_oracle_sql() -> str:
+    """Train-slice weight path (shared CTEs), then ONE val-slice scan
+    exploded over the bounded temperature grid: per T the exact
+    quantized Brier sum, the argmin by integer compare (ties to the
+    smaller T), released per-T with the selection flag."""
+    zf = _QC_ZFOLD
+    grid = ", ".join(f"CAST({t} AS DOUBLE)" for t in _TS_GRID)
+    return f"""
+    WITH {_qc_obs_sql(with_id=True)},
+    w0 AS (SELECT list_transform({_QC_DIMS}, i -> CAST(0.0 AS DOUBLE)) AS wl),
+    {_qc_steps_sql(filt=f" WHERE doc_id % {_TS_VAL_MOD} <> 0")},
+    val AS MATERIALIZED (
+        SELECT y, {zf} AS z
+        FROM obs CROSS JOIN w{_QC_STEPS} w
+        WHERE doc_id % {_TS_VAL_MOD} = 0
+    ),
+    gr AS MATERIALIZED (
+        SELECT t, y,
+               CAST(0.5 AS DOUBLE) + (z / t) / (CAST(2.0 AS DOUBLE)
+                   * (CAST(1.0 AS DOUBLE) + abs(z / t))) AS p
+        FROM (SELECT y, z, unnest([{grid}]) AS t FROM val)
+    ),
+    br AS MATERIALIZED (
+        SELECT t,
+               sum(CAST(round((p - y) * (p - y) * {_TS_BQ}) AS BIGINT))
+                   AS bq,
+               count(*) AS n
+        FROM gr GROUP BY t
+    ),
+    best AS MATERIALIZED (
+        SELECT t AS t_best FROM br
+        ORDER BY bq ASC, t ASC LIMIT 1
+    )
+    SELECT b.t AS temperature,
+           ((2 * b.bq * 1000000 + b.n * {_TS_BQ})
+            // (2 * (b.n * {_TS_BQ}))) / 1000000.0 AS brier,
+           b.t = s.t_best AS selected
+    FROM br b CROSS JOIN best s
+    ORDER BY temperature
+    """
+
+
+@query(
+    "q450_temperature_scaling_calibration",
+    oracle=_temp_oracle_sql(),
+    tags=("llm", "calibration", "temperature-scaling", "evaluation"),
+)
+def q450_temperature_scaling_calibration(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Temperature-scaling calibration fit (Guo et al. 2017) — the
+    post-hoc calibration FIT the evaluation family was missing: q261
+    MEASURES miscalibration (ECE) of given scores and q277 refits a
+    monotone map (isotonic); temperature scaling is the one-parameter
+    repair modern classifiers actually ship — divide the logit by T
+    and pick the T that best calibrates a held-out slice. This trains
+    the shared classifier on the train folds, scores the held-out
+    calibration slice under every T in a bounded 8-value grid (exact
+    binary64 temperatures), and releases the per-T BRIER score with
+    the argmin selection — Brier instead of NLL deliberately: squared
+    error is libm-FREE (NLL's per-row log would put a million ln
+    calls on the verified path), strictly proper, and selects the
+    same well-calibrated region.
+
+    Fixture honesty: the fast-sigmoid classifier is OVERCONFIDENT-
+    shaped on this easily-separable label, so the selected T at every
+    SF is the grid's calibration-softening optimum (probed: T = 1.0
+    at sf0.001/0.01 where margins are moderate); the invariant test
+    pins the selection = exact argmin and the Brier convexity shape
+    rather than a particular T.
+
+    Determinism: the weight path is the shared template; z/T is one
+    IEEE division per (row, T) with exact-binary64 T literals; per-row
+    Brier contributions QUANTIZE to 1e-9 BIGINTs before order-free
+    sums; the argmin compares exact integers (ties to the smaller T);
+    the released mean goes through the half-up idiom.
+
+    Scale posture: training is q433's per-step one-scan loop on the
+    train slice; calibration is ONE val-slice scan exploded over the
+    bounded 8-row grid (≤ 8 rows/doc, map-fused), one partial+final
+    aggregate on the 8-cell grain, and a 1-row broadcast for the
+    selection flag. Reference contract: per-example scoring = map
+    slot (``App.config:16``); per-T rollup + argmin = reduce slots
+    (``App.config:17``, ``Program.cs:351-384``)."""
+    obs = _qc_obs(spark, sf_dir, with_id=True).persist()
+    train = obs.where((F.col("doc_id") % _TS_VAL_MOD) != 0)
+    path, _, _ = _qc_train(train.select("xa", "y"))
+    z = _qc_margin(path[-1])
+    val = obs.where((F.col("doc_id") % _TS_VAL_MOD) == 0).select(
+        "y", z.alias("z")
+    )
+    gr = val.select(
+        "y",
+        "z",
+        F.explode(F.array(*[F.lit(float(t)) for t in _TS_GRID])).alias("t"),
+    ).select(
+        "t",
+        "y",
+        (
+            F.lit(0.5)
+            + (F.col("z") / F.col("t"))
+            / (
+                F.lit(2.0)
+                * (F.lit(1.0) + F.abs(F.col("z") / F.col("t")))
+            )
+        ).alias("p"),
+    )
+    br = gr.groupBy("t").agg(
+        F.sum(
+            F.round(
+                (F.col("p") - F.col("y"))
+                * (F.col("p") - F.col("y"))
+                * _TS_BQ
+            ).cast("long")
+        ).alias("bq"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    best = br.orderBy(F.col("bq").asc(), F.col("t").asc()).limit(1).select(
+        F.col("t").alias("t_best")
+    )
+    out = (
+        br.crossJoin(F.broadcast(best))
+        .select(
+            F.col("t").alias("temperature"),
+            half_up_ratio(
+                F.col("bq"), F.col("n") * F.lit(_TS_BQ), 6
+            ).alias("brier"),
+            (F.col("t") == F.col("t_best")).alias("selected"),
+        )
+        .orderBy("temperature")
+    )
+    obs.unpersist()
+    return out

@@ -336,6 +336,9 @@ HEADLINE = [
     # q449: shared training (eager) + 4 checkpoint scans to the
     # bounded source grain (honest cost in `queries_honest`).
     "q449_worst_group_training_audit",
+    # q450: shared training (eager) + one val scan exploded over the
+    # bounded 8-T grid (honest cost in `queries_honest`).
+    "q450_temperature_scaling_calibration",
 ]
 
 

@@ -744,3 +744,23 @@ def test_q449_worst_group_audit_semantics(spark, sf_dir):
     assert 0.3 < rows[0].overall_acc < 0.7
     assert rows[-1].overall_acc >= 0.95
     assert rows[-1].worst_acc >= 0.85
+
+
+def test_q450_temperature_selection_is_argmin(spark, sf_dir):
+    """Temperature scaling: 8 grid rows, exactly one selected, the
+    selected row carries the minimum Brier (ties to smaller T by
+    construction), Brier values are valid ([0, 1]) and the curve is
+    not flat (some T is strictly worse than the best — the grid
+    actually discriminates)."""
+    rows = (
+        REGISTRY["q450_temperature_scaling_calibration"]
+        .fn(spark, sf_dir)
+        .collect()
+    )
+    assert len(rows) == 8
+    sel = [r for r in rows if r.selected]
+    assert len(sel) == 1
+    bmin = min(r.brier for r in rows)
+    assert abs(sel[0].brier - bmin) < 1e-9
+    assert all(0.0 <= r.brier <= 1.0 for r in rows)
+    assert max(r.brier for r in rows) > bmin
