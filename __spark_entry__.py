@@ -90,6 +90,23 @@ def _last_verified_round(artifact_dir: str | None = None) -> dict[str, int]:
     return {n: r for n, (r, _) in _last_stamps(artifact_dir).items()}
 
 
+# Queries whose RESULT SEMANTICS changed after their newest driver
+# stamp (the rotation orders by stamp recency, so a recently-stamped
+# query whose release just changed would otherwise be re-checked LAST
+# — the stamp certifies the old semantics). Entry value = the round
+# whose stamp is now stale; the name rejoins the head block until the
+# driver records a SUCCESSFUL stamp in a LATER round, after which the
+# entry is inert (self-cleaning — safe to leave or prune). Add a name
+# here whenever a change alters a stamped query's released values;
+# pure refactors that keep results bit-identical (verified by the
+# local differential) do not qualify.
+RESTAMP_AFTER: dict[str, int] = {
+    # r12: two-axis region rule + 6-step subset-varied snapshots
+    # replaced the r11-stamped confidence-only release.
+    "q437_dataset_cartography": 11,
+}
+
+
 def _qnum(name: str) -> int:
     import re as _re
 
@@ -111,7 +128,11 @@ def _ordered():
     # files this degrades to plain q-order.
     def _key(n: str):
         st = stamps.get(n)
-        in_head = st is None or (reg[n].oracle is not None and not st[1])
+        in_head = (
+            st is None
+            or (reg[n].oracle is not None and not st[1])
+            or st[0] <= RESTAMP_AFTER.get(n, -1)
+        )
         return (not in_head, 0 if in_head else st[0], _qnum(n))
 
     names = sorted(reg, key=_key)

@@ -29,14 +29,16 @@ def test_queries_cover_registry_exactly_once():
 
 
 def _head_names(reg, stamps):
-    """The policy's head block: never-successfully-stamped queries plus
+    """The policy's head block: never-successfully-stamped queries,
     oracle-gained queries (registry HAS an oracle, newest successful
-    stamp was rows-only — r11 verdict task 2)."""
+    stamp was rows-only — r11 verdict task 2), and semantics-changed
+    queries whose newest stamp is <= their RESTAMP_AFTER round (r12)."""
     return {
         n
         for n in reg
         if n not in stamps
         or (reg[n].oracle is not None and not stamps[n][1])
+        or stamps[n][0] <= entry.RESTAMP_AFTER.get(n, -1)
     }
 
 
@@ -218,3 +220,53 @@ def test_failed_rows_do_not_stamp(tmp_path):
     )
     got = entry._last_verified_round(str(tmp_path))
     assert got == {"q01_green": 1, "q02_hash_fail": 2, "q04_rows_only_ok": 1}
+
+
+def test_restamp_after_forces_head_until_newer_stamp(tmp_path):
+    """RESTAMP_AFTER semantics (r12): a query whose release changed
+    after its newest stamp sorts into the head block while its newest
+    stamp round <= the recorded stale round, and becomes an ordinary
+    tail row once a LATER round stamps it (the entry is then inert)."""
+    import json
+
+    green = {"hash_match": True, "err": None}
+    (tmp_path / "CORRECTNESS_r11.json").write_text(
+        json.dumps({"q437_x": green, "q01_y": green})
+    )
+    stamps = entry._last_stamps(str(tmp_path))
+
+    class _Q:
+        oracle = "SELECT 1"
+
+    reg = {"q437_x": _Q(), "q01_y": _Q()}
+    fake_restamp = {"q437_x": 11}
+    head = {
+        n
+        for n in reg
+        if n not in stamps
+        or (reg[n].oracle is not None and not stamps[n][1])
+        or stamps[n][0] <= fake_restamp.get(n, -1)
+    }
+    assert head == {"q437_x"}
+    # A later stamp clears it.
+    (tmp_path / "CORRECTNESS_r12.json").write_text(
+        json.dumps({"q437_x": green})
+    )
+    stamps = entry._last_stamps(str(tmp_path))
+    head = {
+        n
+        for n in reg
+        if n not in stamps
+        or (reg[n].oracle is not None and not stamps[n][1])
+        or stamps[n][0] <= fake_restamp.get(n, -1)
+    }
+    assert head == set()
+
+
+def test_q437_leads_r12_schedule():
+    """The concrete r12 instance: q437's two-axis release shipped
+    after its r11 stamp, so it must sit in the head block alongside
+    the never-stamped round-12 queries and the oracle-gained pair."""
+    names = list(entry.queries())
+    head_cut = names.index("q39_orc_roundtrip")  # first ordinary row
+    assert "q437_dataset_cartography" in names[:head_cut]
