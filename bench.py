@@ -339,6 +339,9 @@ HEADLINE = [
     # q450: shared training (eager) + one val scan exploded over the
     # bounded 8-T grid (honest cost in `queries_honest`).
     "q450_temperature_scaling_calibration",
+    # q451: shared training (eager) + 3 moment scans with 4-cell
+    # (S1, S2, n) shuffles (honest cost in `queries_honest`).
+    "q451_gradient_noise_scale",
 ]
 
 

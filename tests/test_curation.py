@@ -764,3 +764,20 @@ def test_q450_temperature_selection_is_argmin(spark, sf_dir):
     assert abs(sel[0].brier - bmin) < 1e-9
     assert all(0.0 <= r.brier <= 1.0 for r in rows)
     assert max(r.brier for r in rows) > bmin
+
+
+def test_q451_noise_scale_trajectory(spark, sf_dir):
+    """GNS invariants: three steps; noise scale strictly positive and
+    RISING (the mean gradient shrinks faster than the per-example
+    spread on this separable label); the variance trace strictly
+    FALLING (per-example gradients shrink as p approaches y); both
+    released values finite and well-scaled."""
+    rows = (
+        REGISTRY["q451_gradient_noise_scale"].fn(spark, sf_dir).collect()
+    )
+    assert [r.step for r in rows] == [1, 2, 3]
+    ns = [r.noise_scale for r in rows]
+    tr = [r.trace_sigma for r in rows]
+    assert all(v > 0 for v in ns) and all(v > 0 for v in tr)
+    assert ns == sorted(ns)
+    assert tr == sorted(tr, reverse=True)
