@@ -9708,8 +9708,9 @@ def _gns_oracle_sql() -> str:
     )""")
     rows = " UNION ALL ".join(
         f"SELECT {k} AS step,"
-        f" ((2 * tr_q * 1000000 + g2_q) // (2 * g2_q)) / 1000000.0"
-        f"     AS noise_scale,"
+        f" CASE WHEN g2_q = 0 THEN NULL"
+        f"      ELSE ((2 * tr_q * 1000000 + g2_q) // (2 * g2_q)) / 1000000.0"
+        f" END AS noise_scale,"
         f" ((2 * tr_q * 1000000 + (n * CAST(n AS HUGEINT) * {_QC_QSCALE}"
         f"      * {_QC_QSCALE})) // (2 * (n * CAST(n AS HUGEINT)"
         f"      * {_QC_QSCALE} * {_QC_QSCALE}))) / 1000000.0"
@@ -9760,7 +9761,14 @@ def q451_gradient_noise_scale(
     sf0.1 exceeds int64 — the q390 widening rule); both released
     ratios go through the half-up idiom (quotients bounded: the
     noise scale is ≤ ~10⁶ at fixture gradients, within the int64
-    quotient limit).
+    quotient limit). Two near-convergence edges are explicit (r12
+    ADVICE item 3): a literally zero summed gradient (g2_q = 0)
+    releases NULL on both engines instead of a div-by-zero error /
+    engine-split null, and the half-up idiom's int64 quotient limit
+    means a noise scale beyond ~9.2e18/10⁶ ≈ 9.2e12 would wrap
+    silently negative (per ranks.py) — that regime is ~10⁷× beyond
+    the released trajectory and signals a numerically dead mean
+    gradient, the condition the NULL guard flags one step later.
 
     Scale posture: per step ONE corpus scan (the q433 fused
     feature+gradient map) into a 4-cell partial+final aggregate
@@ -9803,9 +9811,18 @@ def q451_gradient_noise_scale(
             F.sum(dec("s1") * dec("s1")).alias("g2_q"),
         ).select(
             F.lit(k).cast("long").alias("step"),
-            half_up_ratio(F.col("tr_q"), F.col("g2_q"), 6).alias(
-                "noise_scale"
-            ),
+            # Zero-gradient guard (r12 ADVICE item 3): if every summed
+            # per-dim gradient is exactly zero, DuckDB's integer // by
+            # zero errors and Spark's div yields null — release NULL
+            # explicitly on BOTH engines instead. Unreachable at
+            # fixture gradients; the guard makes the degenerate-
+            # convergence edge well-defined rather than engine-split.
+            F.when(
+                F.col("g2_q") == F.lit(0).cast("decimal(38,0)"),
+                F.lit(None).cast("double"),
+            )
+            .otherwise(half_up_ratio(F.col("tr_q"), F.col("g2_q"), 6))
+            .alias("noise_scale"),
             half_up_ratio(
                 F.col("tr_q"),
                 dec("n")

@@ -5891,7 +5891,8 @@ _ULM_LATTICE_CTES = """
         SELECT doc_id, source, text, n,
                unnest(generate_series(1, n)) AS i
         FROM (SELECT doc_id, source, text, length(text) AS n
-              FROM documents)
+              FROM documents
+              WHERE length(text) >= 1)
     ),
     pl AS MATERIALIZED (
         SELECT doc_id, source, i, l,
@@ -5950,8 +5951,16 @@ def _ulm_arr(spark: SparkSession, sf_dir: str) -> DataFrame:
     unigram model (shared by q443 and q447). The (i, l) explode frame
     is persisted internally — callers clearCache() per the bench/
     differential session discipline."""
-    docs = load_tables(spark, sf_dir)["documents"].select(
-        "doc_id", "source", "text", F.length("text").alias("n")
+    docs = (
+        load_tables(spark, sf_dir)["documents"]
+        .select("doc_id", "source", "text", F.length("text").alias("n"))
+        # Empty-doc guard (r12 ADVICE item 2): Spark's sequence(1, 0)
+        # is the DESCENDING [1, 0] while DuckDB's generate_series(1, 0)
+        # is empty, so a length-0 doc would inject an empty-string
+        # piece into the Spark-side vocabulary and shift every smoothed
+        # cost corpus-wide. Matches q440's >= 3 / q445's >= 40 guards;
+        # the CTE twin carries the same predicate.
+        .where(F.col("n") >= 1)
     )
     pl = (
         docs.select(

@@ -263,10 +263,89 @@ def test_restamp_after_forces_head_until_newer_stamp(tmp_path):
     assert head == set()
 
 
-def test_q437_leads_r12_schedule():
-    """The concrete r12 instance: q437's two-axis release shipped
-    after its r11 stamp, so it must sit in the head block alongside
-    the never-stamped round-12 queries and the oracle-gained pair."""
+def test_restamp_entries_schedule_consistently_with_live_stamps():
+    """Round-invariant live-artifact pin (r12 verdict task 1 replaced
+    the round-specific ``test_q437_leads_r12_schedule``, which pinned a
+    transient schedule and went red the moment the driver stamped q437
+    — the RESTAMP rule self-cleaning as designed). The only property a
+    test may assert against the REAL artifact directory is one that
+    holds in EVERY round: each RESTAMP_AFTER entry sits in the head
+    block IFF its newest successful stamp is not newer than the
+    recorded stale round. No names-of-this-round, no positional
+    schedule pins — those belong in synthetic-artifact tests
+    (``test_restamp_after_forces_head_until_newer_stamp``)."""
     names = list(entry.queries())
-    head_cut = names.index("q39_orc_roundtrip")  # first ordinary row
-    assert "q437_dataset_cartography" in names[:head_cut]
+    stamps = entry._last_stamps()
+    reg_oracles = entry.oracle_sql()
+    # Head block = maximal prefix of rows the rotation keyed in_head;
+    # recompute membership per the documented rule and check each
+    # RESTAMP entry lands on the side its stamp dictates.
+    for name, stale_round in entry.RESTAMP_AFTER.items():
+        if name not in names:
+            continue  # entry may outlive a renamed query; inert
+        st = stamps.get(name)
+        should_lead = (
+            st is None
+            or (name in reg_oracles and not st[1])
+            or st[0] <= stale_round
+        )
+        # Position check: head rows all sort before every stamped
+        # ordinary row. q01 is stamped green every round since r1 with
+        # no RESTAMP entry, so it is ordinary whenever q437 is not.
+        anchor = names.index("q01_pricing_summary")
+        if should_lead:
+            assert names.index(name) < anchor, (
+                f"{name} has no stamp newer than round {stale_round} "
+                "but did not schedule in the head block"
+            )
+        else:
+            assert st is not None and st[0] > stale_round
+
+
+def test_no_unconditional_live_schedule_pins():
+    """Meta-guard for the trap class that went red twice (r8 hand-
+    rotated lists, r12 ``test_q437_leads_r12_schedule``): a test that
+    reads the REAL artifact directory must assert only round-invariant
+    properties, never "query X is in this round's head block" — the
+    driver's very next CORRECTNESS commit changes the head by design.
+    Concretely: in any test function WITHOUT a tmp_path fixture
+    (= reads live artifacts), an ``assert "<literal>" in <slice>`` /
+    ``not in <slice>`` is banned unless the function also consults the
+    stamps that make the claim conditional (``_last_stamps`` /
+    ``RESTAMP_AFTER``)."""
+    import ast
+    import inspect
+
+    src = inspect.getsource(type(entry) and __import__("sys").modules[__name__])
+    tree = ast.parse(src)
+    offenders = []
+    for fn in ast.walk(tree):
+        if not isinstance(fn, ast.FunctionDef) or not fn.name.startswith("test_"):
+            continue
+        if any(a.arg == "tmp_path" for a in fn.args.args):
+            continue  # synthetic-artifact test: literal pins are fine
+        fn_src = ast.unparse(fn)
+        stamp_aware = "_last_stamps" in fn_src or "RESTAMP_AFTER" in fn_src
+        for node in ast.walk(fn):
+            if not isinstance(node, ast.Assert):
+                continue
+            for cmp_node in ast.walk(node):
+                if not isinstance(cmp_node, ast.Compare):
+                    continue
+                if not any(isinstance(op, (ast.In, ast.NotIn)) for op in cmp_node.ops):
+                    continue
+                lhs_literal_qname = (
+                    isinstance(cmp_node.left, ast.Constant)
+                    and isinstance(cmp_node.left.value, str)
+                    and cmp_node.left.value.startswith("q")
+                )
+                rhs_slice = any(
+                    isinstance(c, ast.Subscript) for c in cmp_node.comparators
+                )
+                if lhs_literal_qname and rhs_slice and not stamp_aware:
+                    offenders.append(fn.name)
+    assert offenders == [], (
+        f"round-specific live-artifact schedule pins: {offenders} — "
+        "make the assertion stamp-conditional or move it to a "
+        "tmp_path synthetic-artifact test"
+    )
