@@ -102,8 +102,15 @@ def _last_verified_round(artifact_dir: str | None = None) -> dict[str, int]:
 # local differential) do not qualify.
 RESTAMP_AFTER: dict[str, int] = {
     # r12: two-axis region rule + 6-step subset-varied snapshots
-    # replaced the r11-stamped confidence-only release.
+    # replaced the r11-stamped confidence-only release. (Inert since
+    # the driver's r12 stamp — kept as the documented example.)
     "q437_dataset_cartography": 11,
+    # r13: the shared ULM lattice gained the _ULM_BLOCK=64 DP block
+    # bound (token boundaries forced at block edges — released token
+    # counts/costs and usage shares changed vs the r12-stamped
+    # unblocked DP).
+    "q443_unigram_lm_viterbi_segmentation": 12,
+    "q447_unigram_lm_hard_em_mstep": 12,
 }
 
 

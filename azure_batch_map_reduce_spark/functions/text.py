@@ -5882,11 +5882,29 @@ def _ulm_fold_expr(engine: str) -> str:
     return fold.format(seq=seq, init=init, body=body)
 
 
+# Per-document DP block bound (r12 verdict task 2). The q447 cost
+# table and backtrack are immutable-list folds — O(n²) ELEMENT COPIES
+# in document length — so an unbounded doc makes a single task's
+# compute quadratic (a 100 kB doc would copy ~10¹⁰ cells). Splitting
+# each doc's END-INDEXED cost arrays into ≤_ULM_BLOCK-char blocks
+# BEFORE the DP bounds per-task work at O(n·B) while the MODEL stays
+# exactly the full-document lattice (counts are gathered before the
+# split). Semantics: a token boundary is forced at every block edge —
+# with pieces ≤ 3 chars that perturbs only the boundary neighborhood
+# (measured at sf0.01, B=64: +0.88% tokens, +0.66% corpus cost vs
+# the unblocked DP) — the same trade SentencePiece makes by
+# pre-splitting sentences before training. B=64 chosen by sf0.1 A/B
+# (q447 wall: unblocked 47-50 s, B=128 29-36 s, B=64 ≈21 s, B=32
+# ≈21 s — the DP stops dominating below 64; SCALE.md §8c4). Shared
+# by q443 (E-step scorer) and q447 (M-step recount) so the
+# Σ-usage = Σ-tokens cross-check stays exact.
+_ULM_BLOCK = 64
+
 # The lattice CTEs (positions → candidate pieces → smoothed model →
-# per-doc end-indexed cost arrays) — ONE definition shared by q443's
-# segmentation release and q447's hard-EM M-step, so the two oracles
-# cannot drift apart.
-_ULM_LATTICE_CTES = """
+# per-doc end-indexed cost arrays → ≤_ULM_BLOCK-char DP blocks) — ONE
+# definition shared by q443's segmentation release and q447's hard-EM
+# M-step, so the two oracles cannot drift apart.
+_ULM_LATTICE_CTES = f"""
     exp AS MATERIALIZED (
         SELECT doc_id, source, text, n,
                unnest(generate_series(1, n)) AS i
@@ -5919,6 +5937,22 @@ _ULM_LATTICE_CTES = """
                max(i) AS n
         FROM pl JOIN model USING (piece)
         GROUP BY doc_id, source
+    ),
+    blk AS MATERIALIZED (
+        SELECT doc_id, source,
+               kk * {_ULM_BLOCK} AS g0,
+               least({_ULM_BLOCK}, n - kk * {_ULM_BLOCK}) AS n,
+               e1[kk * {_ULM_BLOCK} + 1 : kk * {_ULM_BLOCK} + {_ULM_BLOCK}]
+                   AS e1,
+               e2[kk * {_ULM_BLOCK} + 1 : kk * {_ULM_BLOCK} + {_ULM_BLOCK}]
+                   AS e2,
+               e3[kk * {_ULM_BLOCK} + 1 : kk * {_ULM_BLOCK} + {_ULM_BLOCK}]
+                   AS e3
+        FROM (
+            SELECT doc_id, source, n, e1, e2, e3,
+                   unnest(generate_series(0, (n - 1) // {_ULM_BLOCK})) AS kk
+            FROM arr
+        )
     )"""
 
 
@@ -5927,12 +5961,14 @@ def _ulm_oracle_sql() -> str:
     return f"""
     WITH {_ULM_LATTICE_CTES},
     dp AS MATERIALIZED (
-        SELECT source, n, {_ulm_fold_expr("duckdb")} AS st
-        FROM arr
+        SELECT doc_id, source, n, {_ulm_fold_expr("duckdb")} AS st
+        FROM blk
     ),
-    per_doc AS (SELECT source, n, st[5] AS cost_q, st[6] AS toks FROM dp)
+    per_doc AS (
+        SELECT doc_id, source, n, st[5] AS cost_q, st[6] AS toks FROM dp
+    )
     SELECT source,
-           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
            CAST(sum(n) AS BIGINT) AS n_chars,
            CAST(sum(toks) AS BIGINT) AS n_tokens,
            ((2 * sum(toks) * {qs} + sum(n)) // (2 * sum(n)))
@@ -5947,10 +5983,14 @@ def _ulm_oracle_sql() -> str:
 
 def _ulm_arr(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spark twin of ``_ULM_LATTICE_CTES``: per-doc end-indexed piece
-    cost arrays e1/e2/e3 + n over the add-one-smoothed quantized
-    unigram model (shared by q443 and q447). The (i, l) explode frame
-    is persisted internally — callers clearCache() per the bench/
-    differential session discipline."""
+    cost arrays over the add-one-smoothed quantized unigram model,
+    split into ≤``_ULM_BLOCK``-char DP blocks (shared by q443 and
+    q447). Returns BLOCK grain: (doc_id, source, g0, n, e1, e2, e3)
+    where g0 is the block's global char offset and n ≤ _ULM_BLOCK the
+    block-local length; the model itself is built from the FULL
+    documents before the split. The (i, l) explode frame is persisted
+    internally — callers clearCache() per the bench/differential
+    session discipline."""
     docs = (
         load_tables(spark, sf_dir)["documents"]
         .select("doc_id", "source", "text", F.length("text").alias("n"))
@@ -6013,10 +6053,32 @@ def _ulm_arr(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda x: x["qc"],
         ).alias(f"e{lv}")
 
-    return (
+    arr = (
         pl.join(F.broadcast(model), "piece")
         .groupBy("doc_id", "source")
         .agg(gather(1), gather(2), gather(3), F.max("i").alias("n"))
+    )
+    blk_len = _ULM_BLOCK
+    return arr.select(
+        "doc_id",
+        "source",
+        "n",
+        "e1",
+        "e2",
+        "e3",
+        F.explode(
+            F.expr(f"sequence(0, (n - 1) div {blk_len})")
+        ).alias("kk"),
+    ).select(
+        "doc_id",
+        "source",
+        (F.col("kk") * blk_len).cast("int").alias("g0"),
+        F.least(F.lit(blk_len), F.col("n") - F.col("kk") * blk_len)
+        .cast("int")
+        .alias("n"),
+        F.expr(f"slice(e1, kk * {blk_len} + 1, {blk_len})").alias("e1"),
+        F.expr(f"slice(e2, kk * {blk_len} + 1, {blk_len})").alias("e2"),
+        F.expr(f"slice(e3, kk * {blk_len} + 1, {blk_len})").alias("e3"),
     )
 
 
@@ -6059,18 +6121,24 @@ def q443_unigram_lm_viterbi_segmentation(
     Scale posture: the (i, l) explode is ≤ 3 rows per char — one
     corpus map; the model is bounded (|charset|³ worst case) and
     BROADCAST to the cost join; array gathering is one (doc)-grain
-    partial+final aggregate; the DP fold is map-side per-doc compute
-    fused above it; the release is a bounded source-grain rollup.
-    No per-position shuffles anywhere. Reference contract: per-doc
-    lattice + DP = map slot (``App.config:16``); vocabulary counts +
-    release rollup = reduce slots (``App.config:17``,
-    ``Program.cs:351-384``)."""
+    partial+final aggregate; the DP fold is map-side per-block
+    compute fused above it (the shared lattice splits docs at
+    ``_ULM_BLOCK`` chars — O(1) state per fold either way, but the
+    bound keeps q447's full-table sibling linear and the two
+    releases consistent; token boundaries are forced at block edges,
+    +0.88% tokens at the fixture). The release is a bounded
+    source-grain rollup. No per-position shuffles anywhere.
+    Reference contract: per-doc lattice + DP = map slot
+    (``App.config:16``); vocabulary counts + release rollup = reduce
+    slots (``App.config:17``, ``Program.cs:351-384``)."""
     arr = _ulm_arr(spark, sf_dir)
     per_doc = arr.select(
+        "doc_id",
         "source",
         "n",
         F.expr(_ulm_fold_expr("spark")).alias("st"),
     ).select(
+        "doc_id",
         "source",
         "n",
         F.element_at("st", 5).alias("cost_q"),
@@ -6080,7 +6148,7 @@ def q443_unigram_lm_viterbi_segmentation(
     return (
         per_doc.groupBy("source")
         .agg(
-            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("doc_id").alias("n_docs"),
             F.sum("n").alias("n_chars"),
             F.sum("toks").alias("n_tokens"),
             F.sum("cost_q").alias("cost_sum"),
@@ -6229,24 +6297,24 @@ def _ulm_mstep_oracle_sql() -> str:
     return f"""
     WITH {_ULM_LATTICE_CTES},
     ct AS MATERIALIZED (
-        SELECT a.doc_id, a.source, d.text, a.n, a.e1, a.e2, a.e3,
+        SELECT a.doc_id, a.source, d.text, a.g0, a.n, a.e1, a.e2, a.e3,
                {_ulm_cost_table_expr("duckdb")} AS costs
-        FROM arr a JOIN documents d USING (doc_id)
+        FROM blk a JOIN documents d USING (doc_id)
     ),
     lt AS MATERIALIZED (
-        SELECT doc_id, text, n, {_ulm_lstar_expr("duckdb")} AS ls
+        SELECT doc_id, text, g0, n, {_ulm_lstar_expr("duckdb")} AS ls
         FROM ct
     ),
     bt AS MATERIALIZED (
-        SELECT doc_id, text, {_ulm_backtrack_expr("duckdb")} AS b
+        SELECT doc_id, text, g0, {_ulm_backtrack_expr("duckdb")} AS b
         FROM lt
     ),
     pieces AS MATERIALIZED (
         SELECT doc_id,
-               substr(text, CAST(s.lo + 1 AS INTEGER),
+               substr(text, CAST(g0 + s.lo + 1 AS INTEGER),
                       CAST(s.hi - s.lo AS INTEGER)) AS piece
         FROM (
-            SELECT doc_id, text,
+            SELECT doc_id, text, g0,
                    unnest(list_transform(generate_series(1, len(b) - 1),
                        i -> struct_pack(hi := b[CAST(i + 1 AS INTEGER)],
                                         lo := b[CAST(i AS INTEGER)]))) AS s
@@ -6306,12 +6374,16 @@ def q447_unigram_lm_hard_em_mstep(
 
     Scale posture: identical shuffle profile to q443 (one corpus
     map + bounded broadcast model + doc-grain gather) plus one
-    (piece)-keyed recount aggregate; the per-doc DP is O(n²) in
-    ELEMENT COPIES (full cost table as an immutable list) but bounded
-    by document length — chunk long documents upstream (q49) before
-    segmenting at 100 TB. Reference contract: per-doc segmentation =
-    map slot (``App.config:16``); usage recount + rank = reduce
-    slots (``App.config:17``, ``Program.cs:351-384``)."""
+    (piece)-keyed recount aggregate. The full-cost-table DP is O(B²)
+    in ELEMENT COPIES per ≤``_ULM_BLOCK``-char block (immutable-list
+    fold), i.e. O(n·B) per document — the r12 verdict's "chunk long
+    docs upstream" mitigation made ENGINE-NATIVE: the shared lattice
+    splits every doc's end-indexed arrays at the block bound before
+    the DP, so per-task compute is bounded for ANY document length
+    (sf0.1 A/B: 47-50 s unblocked → ≈21 s at B=64; SCALE.md §8c4).
+    Reference contract: per-doc segmentation = map slot
+    (``App.config:16``); usage recount + rank = reduce slots
+    (``App.config:17``, ``Program.cs:351-384``)."""
     from azure_batch_map_reduce_spark.operators.ranks import bounded_order
 
     docs = load_tables(spark, sf_dir)["documents"].select("doc_id", "text")
@@ -6321,6 +6393,7 @@ def q447_unigram_lm_hard_em_mstep(
         .select(
             "doc_id",
             "text",
+            "g0",
             "n",
             "e1",
             "e2",
@@ -6329,15 +6402,23 @@ def q447_unigram_lm_hard_em_mstep(
         )
     )
     lt = ct.select(
-        "doc_id", "text", "n", F.expr(_ulm_lstar_expr("spark")).alias("ls")
+        "doc_id",
+        "text",
+        "g0",
+        "n",
+        F.expr(_ulm_lstar_expr("spark")).alias("ls"),
     )
     bt = lt.select(
-        "doc_id", "text", F.expr(_ulm_backtrack_expr("spark")).alias("b")
+        "doc_id",
+        "text",
+        "g0",
+        F.expr(_ulm_backtrack_expr("spark")).alias("b"),
     )
     pieces = (
         bt.select(
             "doc_id",
             "text",
+            "g0",
             F.explode(
                 F.expr(
                     "transform(sequence(1, size(b) - 1),"
@@ -6349,7 +6430,9 @@ def q447_unigram_lm_hard_em_mstep(
         .where(F.col("s.hi") > F.col("s.lo"))
         .select(
             "doc_id",
-            F.expr("substring(text, s.lo + 1, s.hi - s.lo)").alias("piece"),
+            F.expr("substring(text, g0 + s.lo + 1, s.hi - s.lo)").alias(
+                "piece"
+            ),
         )
     )
     used = pieces.groupBy("piece").agg(F.count(F.lit(1)).alias("n_used"))
