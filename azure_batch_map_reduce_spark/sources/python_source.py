@@ -376,9 +376,12 @@ try:  # pragma: no cover - API guard
     from pyspark.sql.datasource import DataSourceStreamReader
 
     class _ChunkPartition(InputPartition):
-        def __init__(self, chunk: int, path: str) -> None:
+        def __init__(
+            self, chunk: int, path: str, n_chunks: int = _STREAM_CHUNKS
+        ) -> None:
             self.chunk = chunk
             self.path = path
+            self.n_chunks = n_chunks
 
     class DocsStreamReader(DataSourceStreamReader):
         """Offset-tracked micro-batch reader over the documents
@@ -391,16 +394,19 @@ try:  # pragma: no cover - API guard
 
         def __init__(self, options) -> None:
             self._path = options["path"]
+            # power of 2 so the chunk filter stays a pyarrow
+            # bit_wise_and; the paced drill widens it to 8.
+            self._chunks = int(options.get("chunks", _STREAM_CHUNKS))
 
         def initialOffset(self) -> dict:  # noqa: N802 (API name)
             return {"chunk": 0}
 
         def latestOffset(self) -> dict:  # noqa: N802 (API name)
-            return {"chunk": _STREAM_CHUNKS}
+            return {"chunk": self._chunks}
 
         def partitions(self, start: dict, end: dict):
             return [
-                _ChunkPartition(c, self._path)
+                _ChunkPartition(c, self._path, self._chunks)
                 for c in range(start["chunk"], end["chunk"])
             ]
 
@@ -411,7 +417,7 @@ try:  # pragma: no cover - API guard
             tbl = pq.read_table(partition.path, columns=_DOCS_COLUMNS)
             tbl = tbl.filter(
                 pc.equal(
-                    pc.bit_wise_and(tbl["doc_id"], _STREAM_CHUNKS - 1),
+                    pc.bit_wise_and(tbl["doc_id"], partition.n_chunks - 1),
                     partition.chunk,
                 )
             )
@@ -514,3 +520,149 @@ if _HAVE_STREAM:
         )
         out = run_available_now(agg, output_mode="complete")
         return out.orderBy("source", "lang")
+
+
+# --- r12 verdict task 4: REAL multi-batch progression drill ---------------
+
+if _HAVE_STREAM:
+
+    class PacedDocsStreamReader(DocsStreamReader):
+        """Rate-limited variant of :class:`DocsStreamReader` for the
+        multi-batch drill: ``latestOffset`` advances ONE chunk per
+        call, so a processing-time trigger drives a genuine
+        multi-micro-batch progression (availableNow drains Python
+        sources in a single batch — the documented fallback q446
+        probes). Every ``partitions(start, end)`` plan and every
+        ``commit(end)`` is journaled to a driver-side ledger file, so
+        the drill verifies the offset ranges Spark ACTUALLY planned —
+        disjoint, contiguous, exactly covering the offset space — not
+        just the final row counts. The stream reader object lives on
+        the driver for the query's lifetime (offset management is
+        driver-side in the Python data source API), so instance state
+        is the legitimate place for the pacing counter."""
+
+        def __init__(self, options) -> None:
+            super().__init__(options)
+            self._ledger_path = options["ledger"]
+            self._available = 0
+
+        def latestOffset(self) -> dict:  # noqa: N802 (API name)
+            if self._available < self._chunks:
+                self._available += 1
+            return {"chunk": self._available}
+
+        def partitions(self, start: dict, end: dict):
+            self._journal(
+                {"event": "plan", "start": start["chunk"], "end": end["chunk"]}
+            )
+            return super().partitions(start, end)
+
+        def commit(self, end: dict) -> None:
+            self._journal({"event": "commit", "end": end["chunk"]})
+
+        def _journal(self, rec: dict) -> None:
+            import json
+
+            with open(self._ledger_path, "a") as f:
+                f.write(json.dumps(rec) + "\n")
+
+    class PacedDocsStreamSource(DataSource):
+        """Python data source registered for the paced stream drill."""
+
+        @classmethod
+        def name(cls) -> str:
+            return "abmr_docs_stream_paced"
+
+        def schema(self) -> str:
+            return _DOCS_SCHEMA
+
+        def streamReader(self, schema) -> "PacedDocsStreamReader":
+            return PacedDocsStreamReader(self.options)
+
+    _PACED_CHUNKS = 8  # offset space for the drill; >= 3 batches even
+    # if a trigger cycle ever reads latestOffset twice
+
+    def run_paced_stream_drill(
+        spark: SparkSession, sf_dir: str, timeout: float = 300.0
+    ) -> tuple[list[dict], DataFrame]:
+        """Drive the paced Python streaming source through a
+        processing-time trigger until every chunk is COMMITTED, then
+        stop; returns ``(ledger_records, rows)`` where ``rows`` carries
+        every streamed document with the micro-batch id that served it
+        (foreachBatch parquet sink in a scratch dir, atexit-cleaned).
+        Bounded by construction: ``latestOffset`` saturates at
+        ``_PACED_CHUNKS`` so the query goes idle once the table is
+        drained; a stall past ``timeout`` raises instead of returning
+        partial state (the r6 streaming rule).
+
+        Commit-lag note (probed): MicroBatchExecution calls the
+        source's ``commit(end)`` as part of constructing the NEXT
+        micro-batch, so the FINAL batch's commit is deferred while the
+        stream idles at the saturated offset — the ledger records
+        commits 1..N-1 plus every plan 0..N, and the drill's
+        completion signal is therefore (all ranges planned) AND (row
+        count == table count), not the last commit."""
+        import json
+        import os
+        import time
+
+        from azure_batch_map_reduce_spark.catalog import scratch_dir
+
+        d = scratch_dir("abmr_paced_stream_")
+        ledger = os.path.join(d, "offsets.jsonl")
+        out_dir = os.path.join(d, "batches")
+        spark.dataSource.register(PacedDocsStreamSource)
+        stream = (
+            spark.readStream.format("abmr_docs_stream_paced")
+            .option("path", f"{sf_dir}/documents.parquet")
+            .option("chunks", _PACED_CHUNKS)
+            .option("ledger", ledger)
+            .load()
+        )
+
+        def sink(batch_df: DataFrame, batch_id: int) -> None:
+            (
+                batch_df.withColumn("batch_id", F.lit(batch_id))
+                .write.mode("append")
+                .parquet(out_dir)
+            )
+
+        n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+        q = (
+            stream.writeStream.foreachBatch(sink)
+            .option("checkpointLocation", os.path.join(d, "ckpt"))
+            .trigger(processingTime="100 milliseconds")
+            .start()
+        )
+        try:
+            deadline = time.time() + timeout
+            while True:
+                if q.exception() is not None:
+                    raise q.exception()
+                planned = 0
+                if os.path.exists(ledger):
+                    with open(ledger) as f:
+                        for line in f:
+                            rec = json.loads(line)
+                            if rec["event"] == "plan":
+                                planned = max(planned, rec["end"])
+                streamed = 0
+                if planned >= _PACED_CHUNKS:
+                    try:
+                        streamed = spark.read.parquet(out_dir).count()
+                    except Exception:
+                        streamed = 0  # sink dir mid-write; retry
+                if streamed >= n_docs:
+                    break
+                if time.time() > deadline:
+                    raise TimeoutError(
+                        f"paced stream drill stalled at planned chunk "
+                        f"{planned}/{_PACED_CHUNKS}, {streamed}/{n_docs} "
+                        f"rows after {timeout} s"
+                    )
+                time.sleep(0.2)
+        finally:
+            q.stop()
+        with open(ledger) as f:
+            records = [json.loads(line) for line in f]
+        return records, spark.read.parquet(out_dir)
