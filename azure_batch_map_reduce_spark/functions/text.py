@@ -5900,10 +5900,42 @@ def _ulm_fold_expr(engine: str) -> str:
 # Σ-usage = Σ-tokens cross-check stays exact.
 _ULM_BLOCK = 64
 
+def _ulm_block_ctes(model_cte: str, arr_cte: str, blk_cte: str) -> str:
+    """CTE-pair template: gather per-doc end-indexed cost arrays from
+    ``pl`` joined to ``model_cte``, then split them into ≤_ULM_BLOCK
+    DP blocks — ONE text used for the initial model (q443/q447) and
+    the re-estimated model (q452's second E-step), so the two
+    constructions cannot drift apart."""
+    b = _ULM_BLOCK
+    return f"""
+    {arr_cte} AS MATERIALIZED (
+        SELECT doc_id, source,
+               list(qc ORDER BY i) FILTER (WHERE l = 1) AS e1,
+               list(qc ORDER BY i) FILTER (WHERE l = 2) AS e2,
+               list(qc ORDER BY i) FILTER (WHERE l = 3) AS e3,
+               max(i) AS n
+        FROM pl JOIN {model_cte} USING (piece)
+        GROUP BY doc_id, source
+    ),
+    {blk_cte} AS MATERIALIZED (
+        SELECT doc_id, source,
+               kk * {b} AS g0,
+               least({b}, n - kk * {b}) AS n,
+               e1[kk * {b} + 1 : kk * {b} + {b}] AS e1,
+               e2[kk * {b} + 1 : kk * {b} + {b}] AS e2,
+               e3[kk * {b} + 1 : kk * {b} + {b}] AS e3
+        FROM (
+            SELECT doc_id, source, n, e1, e2, e3,
+                   unnest(generate_series(0, (n - 1) // {b})) AS kk
+            FROM {arr_cte}
+        )
+    )"""
+
+
 # The lattice CTEs (positions → candidate pieces → smoothed model →
 # per-doc end-indexed cost arrays → ≤_ULM_BLOCK-char DP blocks) — ONE
-# definition shared by q443's segmentation release and q447's hard-EM
-# M-step, so the two oracles cannot drift apart.
+# definition shared by q443's segmentation release, q447's hard-EM
+# M-step, and q452's EM round 2, so the oracles cannot drift apart.
 _ULM_LATTICE_CTES = f"""
     exp AS MATERIALIZED (
         SELECT doc_id, source, text, n,
@@ -5929,31 +5961,7 @@ _ULM_LATTICE_CTES = f"""
                    * ln(CAST(tot + v AS DOUBLE) / (c + 1))) AS BIGINT) AS qc
         FROM cnts CROSS JOIN mtot
     ),
-    arr AS MATERIALIZED (
-        SELECT doc_id, source,
-               list(qc ORDER BY i) FILTER (WHERE l = 1) AS e1,
-               list(qc ORDER BY i) FILTER (WHERE l = 2) AS e2,
-               list(qc ORDER BY i) FILTER (WHERE l = 3) AS e3,
-               max(i) AS n
-        FROM pl JOIN model USING (piece)
-        GROUP BY doc_id, source
-    ),
-    blk AS MATERIALIZED (
-        SELECT doc_id, source,
-               kk * {_ULM_BLOCK} AS g0,
-               least({_ULM_BLOCK}, n - kk * {_ULM_BLOCK}) AS n,
-               e1[kk * {_ULM_BLOCK} + 1 : kk * {_ULM_BLOCK} + {_ULM_BLOCK}]
-                   AS e1,
-               e2[kk * {_ULM_BLOCK} + 1 : kk * {_ULM_BLOCK} + {_ULM_BLOCK}]
-                   AS e2,
-               e3[kk * {_ULM_BLOCK} + 1 : kk * {_ULM_BLOCK} + {_ULM_BLOCK}]
-                   AS e3
-        FROM (
-            SELECT doc_id, source, n, e1, e2, e3,
-                   unnest(generate_series(0, (n - 1) // {_ULM_BLOCK})) AS kk
-            FROM arr
-        )
-    )"""
+    {_ulm_block_ctes("model", "arr", "blk")}"""
 
 
 def _ulm_oracle_sql() -> str:
@@ -5981,16 +5989,11 @@ def _ulm_oracle_sql() -> str:
     """
 
 
-def _ulm_arr(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Spark twin of ``_ULM_LATTICE_CTES``: per-doc end-indexed piece
-    cost arrays over the add-one-smoothed quantized unigram model,
-    split into ≤``_ULM_BLOCK``-char DP blocks (shared by q443 and
-    q447). Returns BLOCK grain: (doc_id, source, g0, n, e1, e2, e3)
-    where g0 is the block's global char offset and n ≤ _ULM_BLOCK the
-    block-local length; the model itself is built from the FULL
-    documents before the split. The (i, l) explode frame is persisted
-    internally — callers clearCache() per the bench/differential
-    session discipline."""
+def _ulm_pl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The (doc, position, length) candidate-piece explode — Spark
+    twin of the ``pl`` CTE. PERSISTED (it feeds the model aggregate
+    and one array gather per model) — callers clearCache() per the
+    bench/differential session discipline."""
     docs = (
         load_tables(spark, sf_dir)["documents"]
         .select("doc_id", "source", "text", F.length("text").alias("n"))
@@ -6002,7 +6005,7 @@ def _ulm_arr(spark: SparkSession, sf_dir: str) -> DataFrame:
         # the CTE twin carries the same predicate.
         .where(F.col("n") >= 1)
     )
-    pl = (
+    return (
         docs.select(
             "doc_id",
             "source",
@@ -6026,11 +6029,19 @@ def _ulm_arr(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .persist()
     )
-    cnts = pl.groupBy("piece").agg(F.count(F.lit(1)).alias("c"))
-    mtot = cnts.agg(
-        F.sum("c").alias("tot"), F.count(F.lit(1)).alias("v")
-    )
-    model = cnts.crossJoin(F.broadcast(mtot)).select(
+
+
+def _ulm_cnts(pl: DataFrame) -> DataFrame:
+    """Candidate-piece counts (the ``cnts`` CTE): the model VOCABULARY
+    — every corpus substring of length 1-3."""
+    return pl.groupBy("piece").agg(F.count(F.lit(1)).alias("c"))
+
+
+def _ulm_model0(cnts: DataFrame) -> DataFrame:
+    """Initial add-one-smoothed quantized model (the ``model`` CTE):
+    qc = round(1e6 · ln((tot + v) / (c + 1))) per candidate piece."""
+    mtot = cnts.agg(F.sum("c").alias("tot"), F.count(F.lit(1)).alias("v"))
+    return cnts.crossJoin(F.broadcast(mtot)).select(
         "piece",
         F.round(
             F.lit(1000000.0)
@@ -6042,6 +6053,15 @@ def _ulm_arr(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("qc"),
     )
+
+
+def _ulm_block_arrays(pl: DataFrame, model: DataFrame) -> DataFrame:
+    """Spark twin of :func:`_ulm_block_ctes`: gather per-doc
+    end-indexed cost arrays from ``pl`` joined to ``model`` (columns
+    piece, qc), then split into ≤``_ULM_BLOCK``-char DP blocks.
+    Returns BLOCK grain: (doc_id, source, g0, n, e1, e2, e3) where g0
+    is the block's global char offset and n ≤ _ULM_BLOCK the
+    block-local length."""
 
     def gather(lv: int) -> Column:
         return F.transform(
@@ -6080,6 +6100,14 @@ def _ulm_arr(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(f"slice(e2, kk * {blk_len} + 1, {blk_len})").alias("e2"),
         F.expr(f"slice(e3, kk * {blk_len} + 1, {blk_len})").alias("e3"),
     )
+
+
+def _ulm_arr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked cost arrays under the INITIAL model — the composition
+    q443/q447 consume (see the component helpers above; the model is
+    built from FULL documents before the block split)."""
+    pl = _ulm_pl(spark, sf_dir)
+    return _ulm_block_arrays(pl, _ulm_model0(_ulm_cnts(pl)))
 
 
 @query(
@@ -6293,9 +6321,12 @@ def _ulm_backtrack_expr(engine: str) -> str:
     )
 
 
-def _ulm_mstep_oracle_sql() -> str:
+def _ulm_usage_ctes() -> str:
+    """CTEs reconstructing every document's optimal piece sequence
+    under the initial model (full-table forward pass over ``blk``,
+    vectorized l*, backtrack walk) and recounting corpus-wide piece
+    usage — shared verbatim by q447's release and q452's M-step."""
     return f"""
-    WITH {_ULM_LATTICE_CTES},
     ct AS MATERIALIZED (
         SELECT a.doc_id, a.source, d.text, a.g0, a.n, a.e1, a.e2, a.e3,
                {_ulm_cost_table_expr("duckdb")} AS costs
@@ -6324,7 +6355,13 @@ def _ulm_mstep_oracle_sql() -> str:
     ),
     used AS MATERIALIZED (
         SELECT piece, count(*) AS n_used FROM pieces GROUP BY 1
-    ),
+    )"""
+
+
+def _ulm_mstep_oracle_sql() -> str:
+    return f"""
+    WITH {_ULM_LATTICE_CTES},
+    {_ulm_usage_ctes()},
     t2 AS (SELECT sum(n_used) AS t FROM used),
     rk AS (
         SELECT piece, n_used,
@@ -6339,6 +6376,59 @@ def _ulm_mstep_oracle_sql() -> str:
     WHERE rank <= {_ULM_TOPN}
     ORDER BY rank
     """
+
+
+def _ulm_usage(spark: SparkSession, sf_dir: str, blk: DataFrame) -> DataFrame:
+    """Spark twin of :func:`_ulm_usage_ctes`: per-block full-cost-table
+    forward pass, vectorized l*, backtrack walk reconstructing the
+    optimal piece sequence in-plan, then the corpus-wide usage recount
+    → (piece, n_used). Shared by q447's release and q452's M-step."""
+    docs = load_tables(spark, sf_dir)["documents"].select("doc_id", "text")
+    ct = blk.join(docs, "doc_id").select(
+        "doc_id",
+        "text",
+        "g0",
+        "n",
+        "e1",
+        "e2",
+        "e3",
+        F.expr(_ulm_cost_table_expr("spark")).alias("costs"),
+    )
+    lt = ct.select(
+        "doc_id",
+        "text",
+        "g0",
+        "n",
+        F.expr(_ulm_lstar_expr("spark")).alias("ls"),
+    )
+    bt = lt.select(
+        "doc_id",
+        "text",
+        "g0",
+        F.expr(_ulm_backtrack_expr("spark")).alias("b"),
+    )
+    pieces = (
+        bt.select(
+            "doc_id",
+            "text",
+            "g0",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(b) - 1),"
+                    " i -> named_struct('hi', element_at(b, i + 1),"
+                    " 'lo', element_at(b, i)))"
+                )
+            ).alias("s"),
+        )
+        .where(F.col("s.hi") > F.col("s.lo"))
+        .select(
+            "doc_id",
+            F.expr("substring(text, g0 + s.lo + 1, s.hi - s.lo)").alias(
+                "piece"
+            ),
+        )
+    )
+    return pieces.groupBy("piece").agg(F.count(F.lit(1)).alias("n_used"))
 
 
 @query(
@@ -6386,56 +6476,7 @@ def q447_unigram_lm_hard_em_mstep(
     (``App.config:17``, ``Program.cs:351-384``)."""
     from azure_batch_map_reduce_spark.operators.ranks import bounded_order
 
-    docs = load_tables(spark, sf_dir)["documents"].select("doc_id", "text")
-    ct = (
-        _ulm_arr(spark, sf_dir)
-        .join(docs, "doc_id")
-        .select(
-            "doc_id",
-            "text",
-            "g0",
-            "n",
-            "e1",
-            "e2",
-            "e3",
-            F.expr(_ulm_cost_table_expr("spark")).alias("costs"),
-        )
-    )
-    lt = ct.select(
-        "doc_id",
-        "text",
-        "g0",
-        "n",
-        F.expr(_ulm_lstar_expr("spark")).alias("ls"),
-    )
-    bt = lt.select(
-        "doc_id",
-        "text",
-        "g0",
-        F.expr(_ulm_backtrack_expr("spark")).alias("b"),
-    )
-    pieces = (
-        bt.select(
-            "doc_id",
-            "text",
-            "g0",
-            F.explode(
-                F.expr(
-                    "transform(sequence(1, size(b) - 1),"
-                    " i -> named_struct('hi', element_at(b, i + 1),"
-                    " 'lo', element_at(b, i)))"
-                )
-            ).alias("s"),
-        )
-        .where(F.col("s.hi") > F.col("s.lo"))
-        .select(
-            "doc_id",
-            F.expr("substring(text, g0 + s.lo + 1, s.hi - s.lo)").alias(
-                "piece"
-            ),
-        )
-    )
-    used = pieces.groupBy("piece").agg(F.count(F.lit(1)).alias("n_used"))
+    used = _ulm_usage(spark, sf_dir, _ulm_arr(spark, sf_dir))
     t2 = used.agg(F.sum("n_used").alias("t"))
     rk = used.withColumn(
         "rank",
@@ -6455,3 +6496,202 @@ def q447_unigram_lm_hard_em_mstep(
         )
         .orderBy("rank")
     )
+
+
+# --- q452: unigram-LM EM round 2 (monotone second E-step) ----------------
+
+_ULM_TOPM = 50  # model-head size for the vocab-churn release
+
+
+def _ulm_em2_oracle_sql() -> str:
+    qs = 1_000_000
+    return f"""
+    WITH {_ULM_LATTICE_CTES},
+    {_ulm_usage_ctes()},
+    dp0 AS MATERIALIZED (
+        SELECT {_ulm_fold_expr("duckdb")} AS st FROM blk
+    ),
+    it1 AS MATERIALIZED (
+        SELECT sum(st[5]) AS cost_q, sum(st[6]) AS toks FROM dp0
+    ),
+    m1tot AS MATERIALIZED (
+        SELECT (SELECT sum(n_used) FROM used) AS t1,
+               (SELECT count(*) FROM cnts) AS v
+    ),
+    model1 AS MATERIALIZED (
+        SELECT c.piece,
+               CAST(round(1000000.0 * ln(CAST(t1 + v AS DOUBLE)
+                   / (coalesce(u.n_used, 0) + 1))) AS BIGINT) AS qc
+        FROM cnts c
+        LEFT JOIN used u USING (piece)
+        CROSS JOIN m1tot
+    ),
+    rescore AS MATERIALIZED (
+        SELECT sum(u.n_used * m.qc) AS c21
+        FROM used u JOIN model1 m USING (piece)
+    ),
+    {_ulm_block_ctes("model1", "arr1", "blk1")},
+    dp1 AS MATERIALIZED (
+        SELECT {_ulm_fold_expr("duckdb")} AS st FROM blk1
+    ),
+    it2 AS MATERIALIZED (
+        SELECT sum(st[5]) AS cost_q, sum(st[6]) AS toks FROM dp1
+    ),
+    top0 AS (SELECT piece FROM model
+             ORDER BY qc ASC, piece ASC LIMIT {_ULM_TOPM}),
+    top1 AS (SELECT piece FROM model1
+             ORDER BY qc ASC, piece ASC LIMIT {_ULM_TOPM}),
+    churn AS MATERIALIZED (
+        SELECT {_ULM_TOPM} - count(*) AS ch
+        FROM top0 JOIN top1 USING (piece)
+    )
+    SELECT * FROM (
+        SELECT CAST(1 AS BIGINT) AS iteration,
+               CAST(cost_q AS BIGINT) AS cost_q,
+               CAST(NULL AS BIGINT) AS rescored_prev_cost_q,
+               CAST(toks AS BIGINT) AS n_tokens,
+               ((2 * cost_q * {qs} + toks * {qs})
+                // (2 * toks * {qs})) / 1000000.0 AS mean_nats_per_token,
+               CAST(NULL AS BIGINT) AS top_vocab_churn
+        FROM it1
+        UNION ALL
+        SELECT CAST(2 AS BIGINT),
+               CAST(i2.cost_q AS BIGINT),
+               CAST(r.c21 AS BIGINT),
+               CAST(i2.toks AS BIGINT),
+               ((2 * i2.cost_q * {qs} + i2.toks * {qs})
+                // (2 * i2.toks * {qs})) / 1000000.0,
+               CAST(c.ch AS BIGINT)
+        FROM it2 i2 CROSS JOIN rescore r CROSS JOIN churn c
+    )
+    ORDER BY iteration
+    """
+
+
+@query(
+    "q452_unigram_lm_em_round2",
+    oracle=_ulm_em2_oracle_sql(),
+    tags=("llm", "tokenizer", "unigram-lm", "em", "viterbi", "text"),
+)
+def q452_unigram_lm_em_round2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM EM ROUND 2 — closing the training loop (r12 verdict
+    task 5): q443 scores the corpus under the initial candidate model
+    (E-step 1), q447 re-estimates piece probabilities from the optimal
+    segmentations' usage counts (M-step); this operator feeds that
+    re-estimated model into a SECOND E-step and releases the
+    per-iteration trajectory on the verified path: corpus cost and
+    token count under each model, the OLD segmentation re-scored under
+    the NEW model, and the model-head vocabulary churn (how many of
+    the {_ULM_TOPM} most-probable pieces changed between models).
+
+    EM monotonicity, made EXACT by quantization (the q436 posterior-
+    quantization discipline): both models quantize costs to 1e-6
+    BIGINTs, so the Viterbi DP is pure integer min/plus — and the old
+    segmentation is one feasible point of the same blocked
+    segmentation space the second E-step searches, so
+    cost(seg2 | model1) ≤ cost(seg1 | model1) holds as an exact
+    integer inequality (released as cost_q ≤ rescored_prev_cost_q on
+    the iteration-2 row; pinned by an invariant test). The add-one
+    smoothing means the M-step is not the unsmoothed cost argmin, so
+    the cross-model comparison cost(seg1|model1) vs cost(seg1|model0)
+    is NOT asserted — the provable inequality is the within-model one,
+    stated exactly. rescored_prev_cost_q needs no second backtrack:
+    cost(seg1 | model1) = Σ_p n_used(p) · qc1(p) over q447's usage
+    table.
+
+    Determinism: model1's smoothed costs are single-ln draws on
+    bit-identical IEEE ratios of exact integers (the q440/q443
+    exposure class), quantized before any sum; every released number
+    is exact integer math or the half-up idiom; the churn join is on
+    unique piece strings with a total (qc, piece) order.
+
+    Scale posture: one candidate explode (persisted, reused by both
+    models' array gathers), the model aggregates and both model joins
+    are vocab-bounded broadcasts, the usage recount is q447's
+    (piece)-keyed aggregate, and the second E-step is the same
+    blocked O(n·B) map work as the first — per-document compute stays
+    bounded by ``_ULM_BLOCK``. The release is a 2-row fold of 1-row
+    aggregates (broadcast cross joins). Reference contract: per-doc
+    segmentation = map slot (``App.config:16``); usage recount, model
+    re-estimation and the released trajectory = reduce slots
+    (``App.config:17``, ``Program.cs:351-384``)."""
+    from azure_batch_map_reduce_spark.operators.ranks import half_up_ratio
+
+    qs = 1_000_000
+    pl = _ulm_pl(spark, sf_dir)
+    cnts = _ulm_cnts(pl)
+    model0 = _ulm_model0(cnts)
+    blk0 = _ulm_block_arrays(pl, model0).persist()
+    it1 = blk0.select(F.expr(_ulm_fold_expr("spark")).alias("st")).agg(
+        F.sum(F.element_at("st", 5)).alias("cost_q"),
+        F.sum(F.element_at("st", 6)).alias("toks"),
+    )
+    used = _ulm_usage(spark, sf_dir, blk0).persist()
+    m1tot = used.agg(F.sum("n_used").alias("t1")).crossJoin(
+        F.broadcast(cnts.agg(F.count(F.lit(1)).alias("v")))
+    )
+    model1 = (
+        cnts.join(used, "piece", "left")
+        .crossJoin(F.broadcast(m1tot))
+        .select(
+            "piece",
+            F.round(
+                F.lit(1000000.0)
+                * F.log(
+                    (F.col("t1") + F.col("v")).cast("double")
+                    / (F.coalesce(F.col("n_used"), F.lit(0)) + 1)
+                )
+            )
+            .cast("long")
+            .alias("qc"),
+        )
+    )
+    rescore = used.join(F.broadcast(model1), "piece").agg(
+        F.sum(F.col("n_used") * F.col("qc")).alias("c21")
+    )
+    it2 = (
+        _ulm_block_arrays(pl, model1)
+        .select(F.expr(_ulm_fold_expr("spark")).alias("st"))
+        .agg(
+            F.sum(F.element_at("st", 5)).alias("cost_q"),
+            F.sum(F.element_at("st", 6)).alias("toks"),
+        )
+    )
+    top0 = (
+        model0.orderBy(F.col("qc").asc(), F.col("piece").asc())
+        .limit(_ULM_TOPM)
+        .select("piece")
+    )
+    top1 = (
+        model1.orderBy(F.col("qc").asc(), F.col("piece").asc())
+        .limit(_ULM_TOPM)
+        .select("piece")
+    )
+    churn = top0.join(top1, "piece").agg(
+        (F.lit(_ULM_TOPM) - F.count(F.lit(1))).alias("ch")
+    )
+    row1 = it1.select(
+        F.lit(1).cast("long").alias("iteration"),
+        F.col("cost_q").cast("long").alias("cost_q"),
+        F.lit(None).cast("long").alias("rescored_prev_cost_q"),
+        F.col("toks").cast("long").alias("n_tokens"),
+        half_up_ratio(F.col("cost_q"), F.col("toks") * qs, 6).alias(
+            "mean_nats_per_token"
+        ),
+        F.lit(None).cast("long").alias("top_vocab_churn"),
+    )
+    row2 = (
+        it2.crossJoin(F.broadcast(rescore))
+        .crossJoin(F.broadcast(churn))
+        .select(
+            F.lit(2).cast("long").alias("iteration"),
+            F.col("cost_q").cast("long").alias("cost_q"),
+            F.col("c21").cast("long").alias("rescored_prev_cost_q"),
+            F.col("toks").cast("long").alias("n_tokens"),
+            half_up_ratio(F.col("cost_q"), F.col("toks") * qs, 6).alias(
+                "mean_nats_per_token"
+            ),
+            F.col("ch").cast("long").alias("top_vocab_churn"),
+        )
+    )
+    return row1.unionByName(row2).orderBy("iteration")

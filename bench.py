@@ -342,6 +342,10 @@ HEADLINE = [
     # q451: shared training (eager) + 3 moment scans with 4-cell
     # (S1, S2, n) shuffles (honest cost in `queries_honest`).
     "q451_gradient_noise_scale",
+    # q452: EM round 2 — q447's usage recount plus a SECOND blocked
+    # E-step under the re-estimated model (two model gathers over the
+    # persisted candidate explode); roughly q447 + q443 in one row.
+    "q452_unigram_lm_em_round2",
 ]
 
 

@@ -1225,3 +1225,52 @@ def test_q447_mstep_counts_match_q443_tokens(spark, sf_dir):
     assert counts == sorted(counts, reverse=True)
     assert all(c > 0 for c in counts)
     assert 0 < sum(r.usage_share for r in rows) < 1.0
+
+
+def test_q452_em_round2_monotone_and_consistent(spark, sf_dir):
+    """EM round 2 invariants: (a) the second E-step is EXACTLY monotone
+    — under the re-estimated model, re-segmenting cannot cost more
+    than the old segmentation (integer inequality, no tolerance);
+    (b) iteration 1 reproduces q443's released corpus totals (same
+    model, same blocked DP); (c) token counts stay in the valid
+    [ceil(n/3), n] band vs iteration 1's chars via q443; (d) churn is
+    a valid head count; (e) the rescored cost is itself positive."""
+    rows = {
+        r.iteration: r
+        for r in REGISTRY["q452_unigram_lm_em_round2"]
+        .fn(spark, sf_dir)
+        .collect()
+    }
+    spark.catalog.clearCache()
+    assert set(rows) == {1, 2}
+    it1, it2 = rows[1], rows[2]
+
+    seg = (
+        REGISTRY["q443_unigram_lm_viterbi_segmentation"]
+        .fn(spark, sf_dir)
+        .collect()
+    )
+    spark.catalog.clearCache()
+    assert it1.n_tokens == sum(r.n_tokens for r in seg)
+    # (q443 releases cost only through per-source half-up means, so
+    # the exact corpus cost_q has no released counterpart to tie to;
+    # the differential pins it cross-engine instead.)
+    assert it1.rescored_prev_cost_q is None
+    assert it1.top_vocab_churn is None
+
+    # (a) exact monotonicity of the second E-step.
+    assert it2.cost_q <= it2.rescored_prev_cost_q, (
+        it2.cost_q,
+        it2.rescored_prev_cost_q,
+    )
+    assert it2.cost_q > 0
+    # (c) token-count band: pieces are 1-3 chars on the same corpus.
+    n_chars = sum(r.n_chars for r in seg)
+    for it in (it1, it2):
+        assert it.n_tokens <= n_chars
+        assert 3 * it.n_tokens >= n_chars
+    # (d) churn is a count within the released head size.
+    assert 0 <= it2.top_vocab_churn <= 50
+    # (e) both means positive and finite.
+    assert it1.mean_nats_per_token > 0
+    assert it2.mean_nats_per_token > 0
