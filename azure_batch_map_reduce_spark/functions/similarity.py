@@ -4487,3 +4487,261 @@ def q432_kcenter_coreset_selection(
     for r in rows[1:]:
         out = out.unionByName(r)
     return out.orderBy("iter")
+
+
+# --- q453: multi-probe LSH recall audit (r12 verdict task 6) --------------
+
+_Q453_SWEEP = (1, 3, 5, 7)  # probe budgets: home bucket .. all Hamming-1
+_Q453_COS = (
+    "round(list_dot_product({a}, {b})"
+    " / sqrt(list_dot_product({a}, {a}) * list_dot_product({b}, {b})), 6)"
+)
+
+
+def _q453_sig_sql(e: str) -> str:
+    return "concat(" + ", ".join(
+        f"CASE WHEN {e}[{i}] >= 0 THEN '1' ELSE '0' END" for i in range(1, 7)
+    ) + ")"
+
+
+@query(
+    "q453_multiprobe_lsh_recall_audit",
+    oracle=f"""
+    WITH n AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+        FROM embeddings
+    ),
+    sigs AS (SELECT vec_id, e, {_q453_sig_sql("e")} AS sig FROM n),
+    qv AS (SELECT vec_id AS query_id, e AS qe, sig AS qsig
+           FROM sigs WHERE vec_id < 5),
+    corpus AS (SELECT vec_id, e, sig FROM sigs WHERE vec_id >= 5),
+    flips AS (
+        SELECT query_id, i,
+               concat(substr(qsig, 1, CAST(i - 1 AS INTEGER)),
+                      CASE WHEN substr(qsig, CAST(i AS INTEGER), 1) = '1'
+                           THEN '0' ELSE '1' END,
+                      substr(qsig, CAST(i + 1 AS INTEGER),
+                             CAST(6 - i AS INTEGER))) AS psig,
+               abs(qe[CAST(i AS INTEGER)]) AS m
+        FROM qv, generate_series(1, 6) AS t(i)
+    ),
+    ranked AS (
+        SELECT query_id, psig,
+               row_number() OVER (
+                   PARTITION BY query_id ORDER BY m ASC, i ASC) + 1 AS rk
+        FROM flips
+    ),
+    probes0 AS (
+        SELECT query_id, qsig AS psig, 1 AS rk FROM qv
+        UNION ALL
+        SELECT query_id, psig, rk FROM ranked
+    ),
+    probes AS (
+        SELECT query_id, psig,
+               unnest(list_filter([{", ".join(map(str, _Q453_SWEEP))}],
+                                  p -> p >= rk)) AS n_probe
+        FROM probes0
+    ),
+    scored AS (
+        SELECT q.query_id, v.vec_id, v.sig,
+               {_Q453_COS.format(a="v.e", b="q.qe")} AS cosine
+        FROM corpus v CROSS JOIN qv q
+    ),
+    gt AS (
+        SELECT query_id, vec_id FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY query_id
+                ORDER BY cosine DESC, vec_id ASC) AS rn
+            FROM scored
+        ) WHERE rn <= 10
+    ),
+    cand AS (
+        SELECT p.query_id, p.n_probe, s.vec_id, s.cosine
+        FROM probes p
+        JOIN scored s ON s.query_id = p.query_id AND s.sig = p.psig
+    ),
+    topk AS (
+        SELECT query_id, n_probe, vec_id FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY query_id, n_probe
+                ORDER BY cosine DESC, vec_id ASC) AS rn
+            FROM cand
+        ) WHERE rn <= 10
+    ),
+    sizes AS (
+        SELECT query_id, n_probe, count(*) AS n_candidates
+        FROM cand GROUP BY query_id, n_probe
+    )
+    SELECT z.query_id, CAST(z.n_probe AS INTEGER) AS n_probe,
+           CAST(z.n_candidates AS BIGINT) AS n_candidates,
+           CAST(count(g.vec_id) AS BIGINT) AS n_hits,
+           round(count(g.vec_id) / 10.0, 4) AS recall_at_10
+    FROM sizes z
+    JOIN topk k ON k.query_id = z.query_id AND k.n_probe = z.n_probe
+    LEFT JOIN gt g ON g.query_id = k.query_id AND g.vec_id = k.vec_id
+    GROUP BY z.query_id, z.n_probe, z.n_candidates
+    ORDER BY z.query_id, z.n_probe
+    """,
+    tags=("similarity", "ann", "lsh", "multi-probe", "evaluation", "recall"),
+)
+def q453_multiprobe_lsh_recall_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Recall@10 audit of the MULTI-PROBE LSH path (q280's design)
+    against brute-force ground truth, swept over the probe budget
+    n_probe ∈ {_Q453_SWEEP} — the second half of the ANN evaluation
+    matrix (q270 audits the IVF path; q280's multi-probe trade-off
+    was previously released without its recall curve — r12 verdict
+    task 6). Probe ORDER is query-aware, per Lv et al.: after the
+    home bucket, Hamming-1 flips probe in ascending |q[i]| — the
+    hyperplane the query sits closest to is the one a near neighbor
+    most likely crossed. Emits per (query, n_probe): candidate count
+    (the cost proxy) and recall@10, putting the recall/probe
+    trade-off itself on the verified path.
+
+    Determinism: the signature is exact sign arithmetic; probe
+    ranking orders raw |coordinate| doubles (comparisons only, no
+    summation — bit-identical cross-engine) with the dim index
+    tie-break; cosine rounds at 6 with the vec_id tie-break
+    (q70/q270 discipline); recall is an exact integer count over a
+    10-row intersection divided once (one IEEE division,
+    bit-identical).
+
+    Scale posture: the probe table is ≤ 7 rows per query × the sweep
+    explode (a bucket probed at rank r serves every budget ≥ r — no
+    re-scoring per sweep point, q270's trick); probes and queries
+    BROADCAST to the corpus scan, so candidate generation is
+    map-side with NO corpus shuffle (q280's plan shape preserved);
+    both top-10s are bounded per-group windows. The brute-force
+    ground truth is the audit's deliberate cost — at 100 TB it runs
+    on a query sample against a corpus slice, and the dataflow is
+    sampling-invariant. Reference contract: per-vector signature +
+    scoring = map slot (``App.config:16``); recall consolidation =
+    reduce slot (``App.config:17``, ``Program.cs:351-384``)."""
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    sig = F.concat(
+        *[
+            F.when(F.element_at("e", i) >= 0, F.lit("1")).otherwise(
+                F.lit("0")
+            )
+            for i in range(1, 7)
+        ]
+    )
+    base = emb.select(
+        "vec_id", _as_double(F.col("embedding")).alias("e")
+    ).select("vec_id", "e", sig.alias("sig"))
+    qv = base.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("e").alias("qe"),
+        F.col("sig").alias("qsig"),
+    )
+    corpus = base.where(F.col("vec_id") >= 5)
+
+    flips = qv.select(
+        "query_id",
+        "qsig",
+        "qe",
+        F.explode(F.sequence(F.lit(1), F.lit(6))).alias("i"),
+    ).select(
+        "query_id",
+        F.expr(
+            "concat(substring(qsig, 1, i - 1),"
+            " CASE WHEN substring(qsig, i, 1) = '1' THEN '0' ELSE '1' END,"
+            " substring(qsig, i + 1, 6 - i))"
+        ).alias("psig"),
+        F.abs(F.element_at("qe", F.col("i"))).alias("m"),
+        "i",
+    )
+    w_rank = Window.partitionBy("query_id").orderBy(
+        F.asc("m"), F.asc("i")
+    )
+    ranked = flips.withColumn(
+        "rk", F.row_number().over(w_rank) + 1
+    ).select("query_id", "psig", "rk")
+    probes = (
+        qv.select(
+            "query_id", F.col("qsig").alias("psig"), F.lit(1).alias("rk")
+        )
+        .unionByName(ranked)
+        .select(
+            "query_id",
+            "psig",
+            F.explode(
+                F.expr(
+                    f"filter(array({', '.join(map(str, _Q453_SWEEP))}),"
+                    " p -> p >= rk)"
+                )
+            ).alias("n_probe"),
+        )
+    )
+    scored = corpus.crossJoin(
+        F.broadcast(qv.select("query_id", "qe"))
+    ).select(
+        "query_id",
+        "vec_id",
+        "sig",
+        F.round(
+            _dot(F.col("e"), F.col("qe"))
+            / F.sqrt(
+                _dot(F.col("e"), F.col("e"))
+                * _dot(F.col("qe"), F.col("qe"))
+            ),
+            6,
+        ).alias("cosine"),
+    )
+    w_gt = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("vec_id")
+    )
+    gt = (
+        scored.withColumn("rn", F.row_number().over(w_gt))
+        .where(F.col("rn") <= 10)
+        .select(
+            F.col("query_id").alias("gt_query"),
+            F.col("vec_id").alias("gt_vec"),
+        )
+    )
+    # Fresh aliases on the probe side: scored and probes both carry
+    # query_id, and a same-attribute join condition silently collapses
+    # to trivially-true (the q270 trap — Spark warns, then mis-joins).
+    cand = scored.join(
+        F.broadcast(
+            probes.select(
+                F.col("query_id").alias("p_query"),
+                "psig",
+                "n_probe",
+            )
+        ),
+        (F.col("query_id") == F.col("p_query"))
+        & (F.col("sig") == F.col("psig")),
+    ).drop("p_query", "psig")
+    w_topk = Window.partitionBy("query_id", "n_probe").orderBy(
+        F.desc("cosine"), F.asc("vec_id")
+    )
+    topk = (
+        cand.withColumn("rn", F.row_number().over(w_topk))
+        .where(F.col("rn") <= 10)
+        .select("query_id", "n_probe", "vec_id")
+    )
+    sizes = cand.groupBy("query_id", "n_probe").agg(
+        F.count(F.lit(1)).alias("n_candidates")
+    )
+    return (
+        topk.join(
+            F.broadcast(gt),
+            (F.col("query_id") == F.col("gt_query"))
+            & (F.col("vec_id") == F.col("gt_vec")),
+            "left",
+        )
+        .drop("gt_query")
+        .groupBy("query_id", "n_probe")
+        .agg(F.count("gt_vec").alias("n_hits"))
+        .join(F.broadcast(sizes), ["query_id", "n_probe"])
+        .select(
+            "query_id",
+            F.col("n_probe").cast("int").alias("n_probe"),
+            F.col("n_candidates").cast("long").alias("n_candidates"),
+            F.col("n_hits").cast("long").alias("n_hits"),
+            F.round(F.col("n_hits") / 10.0, 4).alias("recall_at_10"),
+        )
+        .orderBy("query_id", "n_probe")
+    )

@@ -1274,3 +1274,37 @@ def test_q452_em_round2_monotone_and_consistent(spark, sf_dir):
     # (e) both means positive and finite.
     assert it1.mean_nats_per_token > 0
     assert it2.mean_nats_per_token > 0
+
+
+def test_q453_multiprobe_recall_monotone(spark, sf_dir):
+    """Multi-probe recall audit structure: the sweep grid is complete
+    (5 queries x 4 budgets), candidate sets NEST so candidates and
+    hits are non-decreasing in the probe budget per query (exact — a
+    violation means the rank->budget explode double-served or dropped
+    a bucket), hits stay within the top-10 band, and probing buys
+    recall corpus-wide (total hits at budget 7 strictly above budget
+    1 — probed non-degenerate at every fixture SF, e.g. 2 -> 11
+    total hits at sf0.1)."""
+    rows = (
+        REGISTRY["q453_multiprobe_lsh_recall_audit"]
+        .fn(spark, sf_dir)
+        .collect()
+    )
+    assert len(rows) == 20
+    by_q: dict = {}
+    for r in rows:
+        assert 0 <= r.n_hits <= 10
+        assert r.n_hits <= r.n_candidates
+        assert abs(r.recall_at_10 - r.n_hits / 10.0) < 1e-9
+        by_q.setdefault(r.query_id, []).append(r)
+    assert set(by_q) == {0, 1, 2, 3, 4}
+    for q, rs in by_q.items():
+        rs = sorted(rs, key=lambda r: r.n_probe)
+        assert [r.n_probe for r in rs] == [1, 3, 5, 7]
+        cands = [r.n_candidates for r in rs]
+        hits = [r.n_hits for r in rs]
+        assert cands == sorted(cands), (q, cands)
+        assert hits == sorted(hits), (q, hits)
+    total = {p: sum(r.n_hits for r in rows if r.n_probe == p)
+             for p in (1, 7)}
+    assert total[7] > total[1], total
