@@ -6503,17 +6503,11 @@ def q447_unigram_lm_hard_em_mstep(
 _ULM_TOPM = 50  # model-head size for the vocab-churn release
 
 
-def _ulm_em2_oracle_sql() -> str:
-    qs = 1_000_000
-    return f"""
-    WITH {_ULM_LATTICE_CTES},
-    {_ulm_usage_ctes()},
-    dp0 AS MATERIALIZED (
-        SELECT {_ulm_fold_expr("duckdb")} AS st FROM blk
-    ),
-    it1 AS MATERIALIZED (
-        SELECT sum(st[5]) AS cost_q, sum(st[6]) AS toks FROM dp0
-    ),
+def _ulm_model1_ctes() -> str:
+    """Re-estimated model CTEs (M-step output → smoothed costs over
+    the FULL candidate vocabulary) — shared by q452's second E-step
+    and q454's prune evaluation so the re-estimation cannot drift."""
+    return """
     m1tot AS MATERIALIZED (
         SELECT (SELECT sum(n_used) FROM used) AS t1,
                (SELECT count(*) FROM cnts) AS v
@@ -6525,7 +6519,46 @@ def _ulm_em2_oracle_sql() -> str:
         FROM cnts c
         LEFT JOIN used u USING (piece)
         CROSS JOIN m1tot
+    )"""
+
+
+def _ulm_model1(cnts: DataFrame, used: DataFrame) -> DataFrame:
+    """Spark twin of :func:`_ulm_model1_ctes`: add-one-smoothed
+    quantized costs over the FULL candidate vocabulary from the
+    M-step's usage counts (unused pieces smooth to the ceiling)."""
+    m1tot = used.agg(F.sum("n_used").alias("t1")).crossJoin(
+        F.broadcast(cnts.agg(F.count(F.lit(1)).alias("v")))
+    )
+    return (
+        cnts.join(used, "piece", "left")
+        .crossJoin(F.broadcast(m1tot))
+        .select(
+            "piece",
+            F.round(
+                F.lit(1000000.0)
+                * F.log(
+                    (F.col("t1") + F.col("v")).cast("double")
+                    / (F.coalesce(F.col("n_used"), F.lit(0)) + 1)
+                )
+            )
+            .cast("long")
+            .alias("qc"),
+        )
+    )
+
+
+def _ulm_em2_oracle_sql() -> str:
+    qs = 1_000_000
+    return f"""
+    WITH {_ULM_LATTICE_CTES},
+    {_ulm_usage_ctes()},
+    dp0 AS MATERIALIZED (
+        SELECT {_ulm_fold_expr("duckdb")} AS st FROM blk
     ),
+    it1 AS MATERIALIZED (
+        SELECT sum(st[5]) AS cost_q, sum(st[6]) AS toks FROM dp0
+    ),
+    {_ulm_model1_ctes()},
     rescore AS MATERIALIZED (
         SELECT sum(u.n_used * m.qc) AS c21
         FROM used u JOIN model1 m USING (piece)
@@ -6627,25 +6660,7 @@ def q452_unigram_lm_em_round2(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.element_at("st", 6)).alias("toks"),
     )
     used = _ulm_usage(spark, sf_dir, blk0).persist()
-    m1tot = used.agg(F.sum("n_used").alias("t1")).crossJoin(
-        F.broadcast(cnts.agg(F.count(F.lit(1)).alias("v")))
-    )
-    model1 = (
-        cnts.join(used, "piece", "left")
-        .crossJoin(F.broadcast(m1tot))
-        .select(
-            "piece",
-            F.round(
-                F.lit(1000000.0)
-                * F.log(
-                    (F.col("t1") + F.col("v")).cast("double")
-                    / (F.coalesce(F.col("n_used"), F.lit(0)) + 1)
-                )
-            )
-            .cast("long")
-            .alias("qc"),
-        )
-    )
+    model1 = _ulm_model1(cnts, used)
     rescore = used.join(F.broadcast(model1), "piece").agg(
         F.sum(F.col("n_used") * F.col("qc")).alias("c21")
     )
@@ -6695,3 +6710,225 @@ def q452_unigram_lm_em_round2(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return row1.unionByName(row2).orderBy("iteration")
+
+
+# --- q454: unigram-LM vocabulary pruning (the SentencePiece prune step) ---
+
+_ULM_KEEP = 200  # multi-char pieces retained (rank cut, the q388 lesson)
+
+
+def _ulm_prune_oracle_sql() -> str:
+    qs = 1_000_000
+    return f"""
+    WITH {_ULM_LATTICE_CTES},
+    {_ulm_usage_ctes()},
+    {_ulm_model1_ctes()},
+    {_ulm_block_ctes("model1", "arr1", "blk1")},
+    dp1 AS MATERIALIZED (
+        SELECT {_ulm_fold_expr("duckdb")} AS st FROM blk1
+    ),
+    it_full AS MATERIALIZED (
+        SELECT sum(st[5]) AS cost_q, sum(st[6]) AS toks FROM dp1
+    ),
+    kept AS MATERIALIZED (
+        SELECT piece FROM (
+            SELECT piece,
+                   row_number() OVER (
+                       ORDER BY n_used DESC, piece ASC) AS rk
+            FROM used WHERE length(piece) >= 2
+        ) WHERE rk <= {_ULM_KEEP}
+    ),
+    model2 AS MATERIALIZED (
+        SELECT m.piece,
+               CASE WHEN length(m.piece) = 1 OR k.piece IS NOT NULL
+                    THEN m.qc
+                    ELSE CAST({_ULM_HUGE} AS BIGINT) END AS qc
+        FROM model1 m LEFT JOIN kept k USING (piece)
+    ),
+    {_ulm_block_ctes("model2", "arr2", "blk2")},
+    dp2 AS MATERIALIZED (
+        SELECT {_ulm_fold_expr("duckdb")} AS st FROM blk2
+    ),
+    it_pruned AS MATERIALIZED (
+        SELECT sum(st[5]) AS cost_q, sum(st[6]) AS toks FROM dp2
+    ),
+    mass AS MATERIALIZED (
+        SELECT sum(CASE WHEN length(u.piece) >= 2 AND k.piece IS NULL
+                        THEN u.n_used ELSE 0 END) AS pruned_used,
+               sum(u.n_used) AS total_used
+        FROM used u LEFT JOIN kept k USING (piece)
+    ),
+    avail AS MATERIALIZED (
+        SELECT (SELECT count(*) FROM cnts WHERE length(piece) >= 2)
+                   AS full_multi,
+               (SELECT count(*) FROM kept) AS kept_multi
+    )
+    SELECT * FROM (
+        SELECT CAST('full_model1' AS VARCHAR) AS variant,
+               CAST(a.full_multi AS BIGINT) AS n_multi_pieces,
+               CAST(i.cost_q AS BIGINT) AS cost_q,
+               CAST(i.toks AS BIGINT) AS n_tokens,
+               ((2 * i.cost_q * {qs} + i.toks * {qs})
+                // (2 * i.toks * {qs})) / 1000000.0
+                   AS mean_nats_per_token,
+               CAST(NULL AS DOUBLE) AS pruned_usage_share
+        FROM it_full i CROSS JOIN avail a
+        UNION ALL
+        SELECT CAST('pruned_top{_ULM_KEEP}' AS VARCHAR),
+               CAST(a.kept_multi AS BIGINT),
+               CAST(i.cost_q AS BIGINT),
+               CAST(i.toks AS BIGINT),
+               ((2 * i.cost_q * {qs} + i.toks * {qs})
+                // (2 * i.toks * {qs})) / 1000000.0,
+               ((2 * m.pruned_used * {qs} + m.total_used)
+                // (2 * m.total_used)) / 1000000.0
+        FROM it_pruned i CROSS JOIN avail a CROSS JOIN mass m
+    )
+    ORDER BY variant
+    """
+
+
+@query(
+    "q454_unigram_lm_vocab_pruning",
+    oracle=_ulm_prune_oracle_sql(),
+    tags=("llm", "tokenizer", "unigram-lm", "pruning", "viterbi", "text"),
+)
+def q454_unigram_lm_vocab_pruning(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Unigram-LM VOCABULARY PRUNING — the third phase of the
+    SentencePiece trainer (seed vocabulary → EM rounds → prune to the
+    target size): keep every single-char piece (segmentability
+    guarantee) plus the top {_ULM_KEEP} multi-char pieces by M-step
+    usage (rank cut, not a threshold — the q388 lesson), price every
+    other piece at the unreachable-cost sentinel, and re-run the
+    blocked Viterbi E-step. Released per variant (full re-estimated
+    model vs pruned): available multi-char vocabulary, corpus cost,
+    token count, mean cost per token, and the pruned pieces' usage
+    share — the LOSS-INCREASE-per-vocab-saving curve point that
+    SentencePiece ranks prune candidates by.
+
+    Exact monotonicity (pinned): pruning only RESTRICTS the
+    segmentation space — model2 equals model1 on every kept piece and
+    is +∞ elsewhere, so cost(pruned) ≥ cost(full) as an exact integer
+    inequality. Deliberately NOT re-smoothed after pruning: the prune
+    metric compares like with like (the re-smooth belongs to the next
+    EM round, q452's machinery). Single-char pieces always exist
+    (every char occurs as its own candidate), so the pruned DP is
+    never forced through the sentinel — the all-singletons path costs
+    ≤ 64·max(qc) ≈ 8e8 << the 1e15 sentinel per block.
+
+    Determinism: the keep set is an exact integer rank cut with the
+    piece tie-break; everything downstream is the q443/q452 integer
+    DP; releases use the half-up idiom.
+
+    Scale posture: q452's dataflow plus one vocab-bounded rank
+    (``bounded_order`` grain) and one more blocked O(n·B) E-step —
+    per-document compute stays bounded; the keep set and both models
+    broadcast. Reference contract: per-doc segmentation = map slot
+    (``App.config:16``); usage rank, prune and the released
+    comparison = reduce slots (``App.config:17``,
+    ``Program.cs:351-384``)."""
+    from azure_batch_map_reduce_spark.operators.ranks import (
+        bounded_order,
+        half_up_ratio,
+    )
+
+    qs = 1_000_000
+    pl = _ulm_pl(spark, sf_dir)
+    cnts = _ulm_cnts(pl).persist()
+    model0 = _ulm_model0(cnts)
+    blk0 = _ulm_block_arrays(pl, model0)
+    used = _ulm_usage(spark, sf_dir, blk0).persist()
+    model1 = _ulm_model1(cnts, used).persist()
+    it_full = (
+        _ulm_block_arrays(pl, model1)
+        .select(F.expr(_ulm_fold_expr("spark")).alias("st"))
+        .agg(
+            F.sum(F.element_at("st", 5)).alias("cost_q"),
+            F.sum(F.element_at("st", 6)).alias("toks"),
+        )
+    )
+    kept = (
+        used.where(F.length("piece") >= 2)
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                bounded_order(F.col("n_used").desc(), F.col("piece").asc())
+            ),
+        )
+        .where(F.col("rk") <= _ULM_KEEP)
+        .select("piece")
+    )
+    model2 = (
+        model1.join(
+            F.broadcast(kept.withColumn("is_kept", F.lit(1))),
+            "piece",
+            "left",
+        )
+        .select(
+            "piece",
+            F.when(
+                (F.length("piece") == 1) | F.col("is_kept").isNotNull(),
+                F.col("qc"),
+            )
+            .otherwise(F.lit(_ULM_HUGE).cast("long"))
+            .alias("qc"),
+        )
+    )
+    it_pruned = (
+        _ulm_block_arrays(pl, model2)
+        .select(F.expr(_ulm_fold_expr("spark")).alias("st"))
+        .agg(
+            F.sum(F.element_at("st", 5)).alias("cost_q"),
+            F.sum(F.element_at("st", 6)).alias("toks"),
+        )
+    )
+    mass = (
+        used.join(
+            F.broadcast(kept.withColumn("is_kept", F.lit(1))),
+            "piece",
+            "left",
+        )
+        .agg(
+            F.sum(
+                F.when(
+                    (F.length("piece") >= 2) & F.col("is_kept").isNull(),
+                    F.col("n_used"),
+                ).otherwise(F.lit(0))
+            ).alias("pruned_used"),
+            F.sum("n_used").alias("total_used"),
+        )
+    )
+    avail = cnts.where(F.length("piece") >= 2).agg(
+        F.count(F.lit(1)).alias("full_multi")
+    ).crossJoin(
+        F.broadcast(kept.agg(F.count(F.lit(1)).alias("kept_multi")))
+    )
+    row_full = it_full.crossJoin(F.broadcast(avail)).select(
+        F.lit("full_model1").alias("variant"),
+        F.col("full_multi").cast("long").alias("n_multi_pieces"),
+        F.col("cost_q").cast("long").alias("cost_q"),
+        F.col("toks").cast("long").alias("n_tokens"),
+        half_up_ratio(F.col("cost_q"), F.col("toks") * qs, 6).alias(
+            "mean_nats_per_token"
+        ),
+        F.lit(None).cast("double").alias("pruned_usage_share"),
+    )
+    row_pruned = (
+        it_pruned.crossJoin(F.broadcast(avail))
+        .crossJoin(F.broadcast(mass))
+        .select(
+            F.lit(f"pruned_top{_ULM_KEEP}").alias("variant"),
+            F.col("kept_multi").cast("long").alias("n_multi_pieces"),
+            F.col("cost_q").cast("long").alias("cost_q"),
+            F.col("toks").cast("long").alias("n_tokens"),
+            half_up_ratio(F.col("cost_q"), F.col("toks") * qs, 6).alias(
+                "mean_nats_per_token"
+            ),
+            half_up_ratio(F.col("pruned_used"), F.col("total_used"), 6).alias(
+                "pruned_usage_share"
+            ),
+        )
+    )
+    return row_full.unionByName(row_pruned).orderBy("variant")

@@ -1308,3 +1308,39 @@ def test_q453_multiprobe_recall_monotone(spark, sf_dir):
     total = {p: sum(r.n_hits for r in rows if r.n_probe == p)
              for p in (1, 7)}
     assert total[7] > total[1], total
+
+
+def test_q454_prune_monotone_cost(spark, sf_dir):
+    """Vocabulary pruning invariants: the pruned model equals the full
+    re-estimated model on kept pieces and +inf elsewhere, so pruning
+    RESTRICTS the segmentation space — corpus cost must rise or stay
+    equal EXACTLY (integer inequality, no tolerance); the rank cut
+    must bite (kept multi-char vocab strictly below full — probed
+    491 -> 200 at every fixture SF); the pruned usage share is a
+    valid non-degenerate fraction; token counts stay in the 1-3-char
+    band relative to each other (pruning cannot shrink the optimal
+    token count below the full model's by more than... it cannot
+    shrink it at all on equal-cost ties broken identically, but the
+    DP's tie rule makes only >= provable for COST, so tokens are
+    checked for the valid band, not monotonicity)."""
+    rows = {
+        r.variant: r
+        for r in REGISTRY["q454_unigram_lm_vocab_pruning"]
+        .fn(spark, sf_dir)
+        .collect()
+    }
+    spark.catalog.clearCache()
+    assert set(rows) == {"full_model1", "pruned_top200"}
+    full, pruned = rows["full_model1"], rows["pruned_top200"]
+    assert pruned.cost_q >= full.cost_q, (pruned.cost_q, full.cost_q)
+    assert pruned.n_multi_pieces < full.n_multi_pieces
+    assert pruned.n_multi_pieces <= 200
+    assert full.pruned_usage_share is None
+    assert 0.0 < pruned.pruned_usage_share < 1.0
+    for r in (full, pruned):
+        assert r.n_tokens <= r.cost_q  # costs are ~5e6/token
+        assert r.mean_nats_per_token > 0
+    # Pruning the usage TAIL must cost less than its share suggests
+    # linearly: the relative cost increase is bounded by the pruned
+    # share times the worst piece-cost ratio; sanity: < 10%.
+    assert pruned.cost_q < full.cost_q * 1.10
