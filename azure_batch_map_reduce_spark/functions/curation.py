@@ -9835,3 +9835,193 @@ def q451_gradient_noise_scale(
         out = ns if out is None else out.unionByName(ns)
     obs.unpersist()
     return out.orderBy("step")
+
+
+# --- q455: exponential-mechanism DP median (pure-integer selection) -------
+
+_EM_CAP = 50  # weight-exponent cap: w = 2^max(cap + u - u_max, 0); the
+# fixture's 30-day domain keeps every exponent >= 20, so the cap's
+# truncation (weights 2^50-deep below the mode collapse to 1) is
+# unreachable here and bounds rho*W inside decimal(38,0)/HUGEINT.
+_EM_DENOM = 1 << 60  # the 60-bit md5 draw's denominator
+
+
+@query(
+    "q455_exponential_mechanism_dp_median",
+    oracle=f"""
+    WITH daily AS (
+        SELECT date_trunc('day', ts) AS d, count(*) AS cnt
+        FROM events GROUP BY 1
+    ),
+    nn AS (SELECT count(*) AS nd FROM daily),
+    cand AS (SELECT cnt AS v, count(*) AS m FROM daily GROUP BY 1),
+    ranked AS (
+        SELECT v, m,
+               coalesce(sum(m) OVER (ORDER BY v ASC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                   0) AS below
+        FROM cand
+    ),
+    util AS (
+        SELECT v, m, below,
+               -abs(below - (nd - below - m)) AS u
+        FROM ranked CROSS JOIN nn
+    ),
+    umax AS (SELECT max(u) AS mu FROM util),
+    wts AS (
+        SELECT v, m, u,
+               (1::BIGINT << CAST(greatest({_EM_CAP} + u - mu, 0)
+                                  AS INTEGER)) AS w
+        FROM util CROSS JOIN umax
+    ),
+    cum AS (
+        SELECT v, m, u, w,
+               sum(w) OVER (ORDER BY v ASC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw
+        FROM wts
+    ),
+    tot AS (SELECT sum(w) AS tw FROM wts),
+    draw AS (
+        SELECT ('0x' || substr(md5('q455|dp-median'), 1, 15))::BIGINT AS rho
+    ),
+    thr AS (
+        SELECT (CAST(rho AS HUGEINT) * CAST(tw AS HUGEINT))
+                   // {_EM_DENOM} AS t
+        FROM draw CROSS JOIN tot
+    ),
+    med AS (
+        SELECT min(v) AS true_med FROM (
+            SELECT v, sum(m) OVER (ORDER BY v ASC
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cd
+            FROM cand
+        ) x CROSS JOIN nn
+        WHERE cd >= (nd + 1) // 2
+    )
+    SELECT CAST(c.v AS BIGINT) AS cnt_value,
+           CAST(c.m AS BIGINT) AS n_days,
+           CAST(c.u AS BIGINT) AS utility,
+           CAST(c.w AS BIGINT) AS w_num,
+           CAST(c.cw AS BIGINT) AS cum_w,
+           (c.cw > t.t AND c.cw - c.w <= t.t) AS selected,
+           (c.v = (SELECT true_med FROM med)) AS is_true_median
+    FROM cum c CROSS JOIN thr t
+    ORDER BY cnt_value
+    """,
+    tags=("privacy", "dp", "exponential-mechanism", "median", "selection"),
+)
+def q455_exponential_mechanism_dp_median(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Exponential-mechanism DP MEDIAN — the SELECTION mechanism
+    completing the privacy family (q407 central Laplace on counts,
+    q438 discrete-geometric integer noise, q431 local randomized
+    response; this is McSherry-Talwar selection from a candidate set,
+    the mechanism census-style releases use for non-numeric or
+    rank-based statistics). Candidates are the distinct daily event
+    counts; utility u(v) = -|#days below v - #days above v| (the
+    standard median utility, sensitivity 1); weights are BASE-2
+    exponentials w = 2^(u - u_max + cap) clamped at exponent 0 — so
+    the whole mechanism, draw included, is PURE INTEGER arithmetic
+    with NO floating point anywhere (the q438 property, extended from
+    noise to selection): selection picks the first candidate in value
+    order whose cumulative weight exceeds (ρ·W) >> 60 for a 60-bit
+    md5 uniform ρ. Released: the full bounded candidate table with
+    utilities, weights, cumulative weights, the selected flag, and
+    the true-median flag — the audit view a DP release reviewer needs.
+
+    Mechanism-math-only disclaimer (the q407/q438 rule): the salted
+    md5 draw is DETERMINISTIC and the true utilities/weights are
+    co-released, which voids any actual privacy guarantee — what the
+    differential verifies is the mechanism arithmetic. With base-2
+    weights and sensitivity-1 utility the idealized guarantee is
+    ε = 2·ln 2 per release; the exponent cap deviates from the ideal
+    only for candidates ≥ {_EM_CAP} utility units below the mode
+    (weight floor 1 instead of 2^-d — unreachable on the fixture's
+    30-day domain where depths stay ≤ 30).
+
+    Determinism: counts, ranks, utilities, weights, cumulative sums,
+    the threshold product and the comparison are all exact integers;
+    both engines read the same md5 hex window.
+
+    Scale posture: one events scan to day grain (partial+final), then
+    every downstream frame is the ≤|distinct-counts| candidate grain
+    (audited bounded — ``bounded_order`` windows); the threshold is a
+    1-row broadcast. At 100 TB the day-grain aggregate is the only
+    data-sized stage. Reference contract: day rollup = map slot
+    (``App.config:16``); candidate scoring + selection = reduce slots
+    (``App.config:17``, ``Program.cs:351-384``)."""
+    events = load_tables(spark, sf_dir)["events"]
+    daily = events.groupBy(
+        F.date_trunc("day", F.col("ts")).alias("d")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    nn = daily.agg(F.count(F.lit(1)).alias("nd"))
+    cand = daily.groupBy(F.col("cnt").alias("v")).agg(
+        F.count(F.lit(1)).alias("m")
+    )
+    w_below = bounded_order(F.asc("v")).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    util = (
+        cand.withColumn(
+            "below", F.coalesce(F.sum("m").over(w_below), F.lit(0))
+        )
+        .crossJoin(F.broadcast(nn))
+        .select(
+            "v",
+            "m",
+            (
+                -F.abs(
+                    F.col("below")
+                    - (F.col("nd") - F.col("below") - F.col("m"))
+                )
+            ).alias("u"),
+        )
+    )
+    umax = util.agg(F.max("u").alias("mu"))
+    wts = util.crossJoin(F.broadcast(umax)).select(
+        "v",
+        "m",
+        "u",
+        F.expr(
+            f"shiftleft(CAST(1 AS BIGINT),"
+            f" CAST(greatest({_EM_CAP} + u - mu, 0) AS INT))"
+        ).alias("w"),
+    )
+    w_cum = bounded_order(F.asc("v")).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = wts.withColumn("cw", F.sum("w").over(w_cum))
+    tot = wts.agg(F.sum("w").alias("tw"))
+    rho = F.conv(
+        F.substring(F.md5(F.lit("q455|dp-median")), 1, 15), 16, 10
+    ).cast("long")
+    thr = tot.select(
+        F.call_function(
+            "div",
+            rho.cast("decimal(38,0)") * F.col("tw").cast("decimal(38,0)"),
+            F.lit(_EM_DENOM).cast("decimal(38,0)"),
+        ).alias("t")
+    )
+    med = (
+        cand.withColumn("cd", F.sum("m").over(w_cum))
+        .crossJoin(F.broadcast(nn))
+        .where(F.col("cd") >= F.expr("(nd + 1) div 2"))
+        .agg(F.min("v").alias("true_med"))
+    )
+    return (
+        cum.crossJoin(F.broadcast(thr))
+        .crossJoin(F.broadcast(med))
+        .select(
+            F.col("v").cast("long").alias("cnt_value"),
+            F.col("m").cast("long").alias("n_days"),
+            F.col("u").cast("long").alias("utility"),
+            F.col("w").cast("long").alias("w_num"),
+            F.col("cw").cast("long").alias("cum_w"),
+            (
+                (F.col("cw") > F.col("t"))
+                & (F.col("cw") - F.col("w") <= F.col("t"))
+            ).alias("selected"),
+            (F.col("v") == F.col("true_med")).alias("is_true_median"),
+        )
+        .orderBy("cnt_value")
+    )

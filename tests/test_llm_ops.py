@@ -1344,3 +1344,32 @@ def test_q454_prune_monotone_cost(spark, sf_dir):
     # linearly: the relative cost increase is bounded by the pruned
     # share times the worst piece-cost ratio; sanity: < 10%.
     assert pruned.cost_q < full.cost_q * 1.10
+
+
+def test_q455_exponential_mechanism_structure(spark, sf_dir):
+    """Exponential-mechanism invariants the differential can't state:
+    exactly ONE candidate is selected (the inverse-CDF pick is a
+    partition of [0, W)); cumulative weights are strictly increasing
+    and end at the total; the true median attains the MAXIMUM utility
+    (the median-utility peak property); utilities are <= 0 with
+    sensitivity-bounded steps; day multiplicities conserve the
+    30-day fixture calendar; and weights follow the exact base-2 law
+    w = 2^(cap + u - u_max) (no clamp fires on this domain)."""
+    rows = (
+        REGISTRY["q455_exponential_mechanism_dp_median"]
+        .fn(spark, sf_dir)
+        .orderBy("cnt_value")
+        .collect()
+    )
+    assert sum(1 for r in rows if r.selected) == 1
+    assert sum(1 for r in rows if r.is_true_median) == 1
+    assert sum(r.n_days for r in rows) == 30
+    umax = max(r.utility for r in rows)
+    true_med = next(r for r in rows if r.is_true_median)
+    assert true_med.utility == umax
+    cw = [r.cum_w for r in rows]
+    assert cw == sorted(cw) and len(set(cw)) == len(cw)
+    assert cw[-1] == sum(r.w_num for r in rows)
+    for r in rows:
+        assert r.utility <= 0
+        assert r.w_num == 2 ** (50 + r.utility - umax), r
