@@ -4073,3 +4073,170 @@ def q425_misra_gries_heavy_hitters(
         )
         .orderBy("word")
     )
+
+
+# --- q456: regression leverage + Cook's distance diagnostics --------------
+
+
+def _diag3_formulas() -> dict[str, str]:
+    """Per-row OLS diagnostics as SHARED formula text over the q341
+    moment columns (n, s1, s2, s11, s12, s22, sy, s1y, s2y, syy) and
+    the row's (x1, x2, y): the symmetric 3×3 inverse via cofactors,
+    leverage h = x'(X'X)⁻¹x expanded, residual from the Cramer
+    coefficients, and Cook's D = e²h / (p·s²·(1−h)²) with p = 3.
+    Identical text evaluates in Spark ``F.expr`` and DuckDB, so given
+    exact integer sums both engines run one IEEE op sequence and the
+    pre-round diagnostics are bit-identical (the ``_ols3_formulas``
+    discipline)."""
+    n, s1, s2 = "CAST(n AS DOUBLE)", "CAST(s1 AS DOUBLE)", "CAST(s2 AS DOUBLE)"
+    s11, s12, s22 = (
+        "CAST(s11 AS DOUBLE)",
+        "CAST(s12 AS DOUBLE)",
+        "CAST(s22 AS DOUBLE)",
+    )
+    sy, s1y, s2y = (
+        "CAST(sy AS DOUBLE)",
+        "CAST(s1y AS DOUBLE)",
+        "CAST(s2y AS DOUBLE)",
+    )
+    x1, x2, y = "CAST(x1 AS DOUBLE)", "CAST(x2 AS DOUBLE)", "CAST(y AS DOUBLE)"
+    det = (
+        f"({n} * ({s11} * {s22} - {s12} * {s12})"
+        f" - {s1} * ({s1} * {s22} - {s12} * {s2})"
+        f" + {s2} * ({s1} * {s12} - {s11} * {s2}))"
+    )
+    a00 = f"(({s11} * {s22} - {s12} * {s12}) / {det})"
+    a01 = f"(-({s1} * {s22} - {s12} * {s2}) / {det})"
+    a02 = f"(({s1} * {s12} - {s11} * {s2}) / {det})"
+    a11 = f"(({n} * {s22} - {s2} * {s2}) / {det})"
+    a12 = f"(-({n} * {s12} - {s1} * {s2}) / {det})"
+    a22 = f"(({n} * {s11} - {s1} * {s1}) / {det})"
+    h = (
+        f"({a00} + {a11} * {x1} * {x1} + {a22} * {x2} * {x2}"
+        f" + 2.0 * ({a01} * {x1} + {a02} * {x2} + {a12} * {x1} * {x2}))"
+    )
+    b0, b1, b2 = _OLS3["b0"], _OLS3["b1"], _OLS3["b2"]
+    resid = f"({y} - ({b0} + {b1} * {x1} + {b2} * {x2}))"
+    sse = f"(CAST(syy AS DOUBLE) - {b0} * {sy} - {b1} * {s1y} - {b2} * {s2y})"
+    mse = f"({sse} / ({n} - 3.0))"
+    cooksd = (
+        f"({resid} * {resid} * {h}"
+        f" / (3.0 * {mse} * (1.0 - {h}) * (1.0 - {h})))"
+    )
+    return {"h": h, "resid": resid, "cooksd": cooksd}
+
+
+_DIAG3 = _diag3_formulas()
+
+
+@query(
+    "q456_regression_influence_diagnostics",
+    oracle=f"""
+    WITH obs AS (
+        SELECT l_orderkey, l_linenumber,
+               CAST(l_quantity AS BIGINT) AS x1,
+               CAST(round(l_discount * 10000) AS BIGINT) AS x2,
+               CAST(round(l_extendedprice) AS BIGINT) AS y
+        FROM lineitem
+    ),
+    sums AS MATERIALIZED (
+        SELECT count(*) AS n,
+               sum(x1) AS s1, sum(x2) AS s2,
+               sum(x1 * x1) AS s11, sum(x1 * x2) AS s12,
+               sum(x2 * x2) AS s22,
+               sum(y) AS sy, sum(x1 * y) AS s1y, sum(x2 * y) AS s2y,
+               sum(y * y) AS syy
+        FROM obs
+    ),
+    diag AS (
+        SELECT l_orderkey, l_linenumber, x1, x2,
+               {_DIAG3["h"]} AS h,
+               {_DIAG3["resid"]} AS resid,
+               {_DIAG3["cooksd"]} AS cd
+        FROM obs CROSS JOIN sums
+    )
+    SELECT l_orderkey, CAST(l_linenumber AS INTEGER) AS l_linenumber,
+           CAST(x1 AS BIGINT) AS quantity,
+           CAST(x2 AS BIGINT) AS discount_bp,
+           round(h, 8) + 0.0 AS leverage,
+           round(resid, 4) + 0.0 AS residual,
+           round(cd, 10) + 0.0 AS cooks_d
+    FROM diag
+    ORDER BY cd DESC, l_orderkey ASC, l_linenumber ASC
+    LIMIT 20
+    """,
+    tags=("statistics", "regression", "diagnostics", "influence", "leverage"),
+)
+def q456_regression_influence_diagnostics(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-row REGRESSION DIAGNOSTICS — leverage and Cook's distance
+    over q341's closed-form OLS (price ~ quantity + discount): the
+    model-side data-valuation member beside the training-side family
+    (q448 TracIn influence, q337 KNN-Shapley) — which observations
+    does the fitted model DEPEND on? Leverage h_i = x_i'(X'X)⁻¹x_i
+    (expanded through the symmetric 3×3 cofactor inverse — no matrix
+    library), residual from the Cramer coefficients, Cook's
+    D_i = e_i²·h_i / (p·s²·(1−h_i)²). Released: the top 20 most
+    influential rows with all three diagnostics.
+
+    Determinism: one exact-BIGINT moment pass (the q341 sums,
+    broadcast); every per-row diagnostic evaluates the SAME formula
+    text on both engines (one IEEE op sequence → bit-identical
+    pre-round values), so the unrounded Cook's-D ordering cannot
+    flip cross-engine; ties break on (orderkey, linenumber); releases
+    round signed-zero-safe.
+
+    Scale posture: ONE partial+final moment aggregate (10 cells,
+    broadcast back), then a single map over the fact table and a
+    TakeOrdered(20) — no windows, no joins beyond the 1-row
+    broadcast; the trace identity Σh_i = p is pinned as an invariant.
+    Reference contract: per-row diagnostic = map slot
+    (``App.config:16``); top-k consolidation = reduce slot
+    (``App.config:17``, ``Program.cs:351-384``)."""
+    li = load_tables(spark, sf_dir)["lineitem"]
+    obs = li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.col("l_quantity").cast("long").alias("x1"),
+        F.round(F.col("l_discount") * 10000).cast("long").alias("x2"),
+        F.round(F.col("l_extendedprice")).cast("long").alias("y"),
+    )
+    sums = obs.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x1").alias("s1"),
+        F.sum("x2").alias("s2"),
+        F.sum(F.col("x1") * F.col("x1")).alias("s11"),
+        F.sum(F.col("x1") * F.col("x2")).alias("s12"),
+        F.sum(F.col("x2") * F.col("x2")).alias("s22"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x1") * F.col("y")).alias("s1y"),
+        F.sum(F.col("x2") * F.col("y")).alias("s2y"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    diag = obs.crossJoin(F.broadcast(sums)).select(
+        "l_orderkey",
+        "l_linenumber",
+        "x1",
+        "x2",
+        F.expr(_DIAG3["h"]).alias("h"),
+        F.expr(_DIAG3["resid"]).alias("resid"),
+        F.expr(_DIAG3["cooksd"]).alias("cd"),
+    )
+    return (
+        diag.orderBy(
+            F.col("cd").desc(),
+            F.col("l_orderkey").asc(),
+            F.col("l_linenumber").asc(),
+        )
+        .limit(20)
+        .select(
+            "l_orderkey",
+            F.col("l_linenumber").cast("int").alias("l_linenumber"),
+            F.col("x1").cast("long").alias("quantity"),
+            F.col("x2").cast("long").alias("discount_bp"),
+            round_nz(F.col("h"), 8).alias("leverage"),
+            round_nz(F.col("resid"), 4).alias("residual"),
+            round_nz(F.col("cd"), 10).alias("cooks_d"),
+        )
+    )

@@ -1373,3 +1373,52 @@ def test_q455_exponential_mechanism_structure(spark, sf_dir):
     for r in rows:
         assert r.utility <= 0
         assert r.w_num == 2 ** (50 + r.utility - umax), r
+
+
+def test_q456_leverage_trace_identity(spark, sf_dir):
+    """Regression-diagnostics invariants: the hat-matrix trace
+    identity sum(h_i) = p = 3 over the FULL fact table (an exact
+    linear-algebra identity - a wrong cofactor or a dropped moment
+    breaks it immediately); released leverages lie in (0, 1); Cook's
+    distances are non-negative and the released head is the true
+    top-20 (non-increasing)."""
+    from pyspark.sql import functions as F
+
+    from azure_batch_map_reduce_spark.operators.relational import _DIAG3
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    obs = li.select(
+        F.col("l_quantity").cast("long").alias("x1"),
+        F.round(F.col("l_discount") * 10000).cast("long").alias("x2"),
+        F.round(F.col("l_extendedprice")).cast("long").alias("y"),
+    )
+    sums = obs.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x1").alias("s1"),
+        F.sum("x2").alias("s2"),
+        F.sum(F.col("x1") * F.col("x1")).alias("s11"),
+        F.sum(F.col("x1") * F.col("x2")).alias("s12"),
+        F.sum(F.col("x2") * F.col("x2")).alias("s22"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x1") * F.col("y")).alias("s1y"),
+        F.sum(F.col("x2") * F.col("y")).alias("s2y"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    trace = (
+        obs.crossJoin(F.broadcast(sums))
+        .agg(F.sum(F.expr(_DIAG3["h"])))
+        .collect()[0][0]
+    )
+    assert abs(trace - 3.0) < 1e-6, trace
+
+    rows = (
+        REGISTRY["q456_regression_influence_diagnostics"]
+        .fn(spark, sf_dir)
+        .collect()
+    )
+    assert len(rows) == 20
+    cds = [r.cooks_d for r in rows]
+    assert cds == sorted(cds, reverse=True)
+    for r in rows:
+        assert 0.0 < r.leverage < 1.0
+        assert r.cooks_d >= 0.0
