@@ -4596,3 +4596,186 @@ def q403_backfill_range_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("range_start", "range_end", "n_days")
         .orderBy("range_start")
     )
+
+
+# --- q457: CUSUM changepoint detection (control-chart monitoring) ---------
+
+_CUSUM_KC = 2  # allowance kappa = KC * sigma_z (z-units)
+_CUSUM_HC = 6  # alarm threshold H = HC * sigma_z
+_CUSUM_SHIFT_DAY = 20  # injected level shift starts AFTER this day
+
+
+@query(
+    "q457_cusum_changepoint_detection",
+    oracle=f"""
+    WITH daily AS (
+        SELECT date_trunc('day', ts) AS d,
+               count(*) FILTER (WHERE user_id % 2 = 1) AS c_base,
+               count(*) AS c_all
+        FROM events GROUP BY 1
+    ),
+    idx AS (
+        SELECT row_number() OVER (ORDER BY d) AS i,
+               CASE WHEN row_number() OVER (ORDER BY d)
+                        <= {_CUSUM_SHIFT_DAY}
+                    THEN c_base ELSE c_all END AS x
+        FROM daily
+    ),
+    base AS (
+        SELECT sum(x) FILTER (WHERE i <= 15) AS m15,
+               CAST(floor(sqrt(CAST(15 * sum(x) FILTER (WHERE i <= 15)
+                                    AS DOUBLE))) AS BIGINT) AS sz
+        FROM idx
+    ),
+    series AS (
+        SELECT list(15 * x - m15 ORDER BY i) AS zs,
+               list(x ORDER BY i) AS xs, m15, sz
+        FROM idx CROSS JOIN base
+        GROUP BY m15, sz
+    ),
+    folded AS (
+        SELECT xs, zs, m15, sz,
+               list_reduce(
+                   list_prepend([CAST(0 AS BIGINT)],
+                       list_transform(zs, z -> [z])),
+                   (acc, zz) -> list_prepend(
+                       greatest(CAST(0 AS BIGINT),
+                                acc[1] + zz[1] - {_CUSUM_KC} * sz),
+                       acc)) AS run
+        FROM series
+    )
+    SELECT CAST(i AS BIGINT) AS day_idx,
+           CAST(xs[CAST(i AS INTEGER)] AS BIGINT) AS n_events,
+           CAST(zs[CAST(i AS INTEGER)] AS BIGINT) AS z_scaled,
+           CAST(run[CAST(len(run) - i AS INTEGER)] AS BIGINT)
+               AS cusum_pos,
+           run[CAST(len(run) - i AS INTEGER)]
+               > {_CUSUM_HC} * sz AS alarm
+    FROM (
+        SELECT xs, zs, sz, run,
+               unnest(generate_series(1, len(zs))) AS i
+        FROM folded
+    )
+    ORDER BY day_idx
+    """,
+    tags=("timeseries", "monitoring", "changepoint", "cusum", "quality"),
+)
+def q457_cusum_changepoint_detection(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """One-sided CUSUM control chart over the daily event series — the
+    SEQUENTIAL changepoint detector the monitoring family lacked
+    (q370's burn-rate alert is a two-window ratio; q391 Mann-Kendall
+    tests a monotone trend offline; CUSUM is the Page 1954 sequential
+    test that accumulates evidence and alarms at a level SHIFT —
+    the standard pipeline-health alarm for ingest-volume drift). A
+    deterministic shift is INJECTED so detection is non-vacuous at
+    every SF (the q388 lesson): days 1-{_CUSUM_SHIFT_DAY} count only
+    odd-user events, later days count all — a documented ~2× level
+    step at day {_CUSUM_SHIFT_DAY + 1}. Released per day: the count,
+    the centered statistic, the running CUSUM⁺, and the alarm flag
+    (first alarm lands day 21-23 at every fixture SF, never before
+    the injection — pinned).
+
+    Mechanism, all integer: z_t = 15·x_t − Σ(first 15 days) is
+    exactly 15·(x_t − μ̂) with the in-control mean estimated from the
+    pre-shift window; allowance κ = {_CUSUM_KC}·σ_z and threshold
+    H = {_CUSUM_HC}·σ_z with σ_z = ⌊√(15·m15)⌋ — the Poisson-scaled
+    noise unit via ONE floor-sqrt on an exact integer (correctly
+    rounded IEEE, identical cross-engine — the q439 precedent);
+    S⁺_t = max(0, S⁺_{{t-1}} + z_t − κ) is a pure-integer fold.
+
+    Determinism: the recursion is sequential, so both engines run the
+    identical left-to-right fold over the day-ordered z array with a
+    prepend-encoded accumulator (current S⁺ at FIXED index 1, the
+    q447 DuckDB-fold discipline); everything released is an exact
+    BIGINT or boolean.
+
+    Scale posture: one events scan to day grain (partial+final), the
+    fold runs on the ≤|days| array in a single row (the q277/q290
+    bounded-grain reduction), per-key monitoring at scale partitions
+    the fold by key exactly like q298. Reference contract: per-event
+    day bucketing = map slot (``App.config:16``); series assembly +
+    sequential test = reduce slot (``App.config:17``,
+    ``Program.cs:351-384``)."""
+    events = load_tables(spark, sf_dir)["events"]
+    daily = events.groupBy(
+        F.date_trunc("day", F.col("ts")).alias("d")
+    ).agg(
+        F.count(F.when(F.col("user_id") % 2 == 1, 1)).alias("c_base"),
+        F.count(F.lit(1)).alias("c_all"),
+    )
+    w_day = bounded_order(F.asc("d"))
+    idx = daily.withColumn("i", F.row_number().over(w_day)).select(
+        "i",
+        F.when(F.col("i") <= _CUSUM_SHIFT_DAY, F.col("c_base"))
+        .otherwise(F.col("c_all"))
+        .alias("x"),
+    )
+    base = idx.agg(
+        F.sum(F.when(F.col("i") <= 15, F.col("x"))).alias("m15"),
+        F.floor(
+            F.sqrt(
+                (
+                    F.lit(15)
+                    * F.sum(F.when(F.col("i") <= 15, F.col("x")))
+                ).cast("double")
+            )
+        )
+        .cast("long")
+        .alias("sz"),
+    )
+    series = (
+        idx.crossJoin(F.broadcast(base))
+        .groupBy("m15", "sz")
+        .agg(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct("i", (15 * F.col("x") - F.col("m15")).alias("z"))
+                    )
+                ),
+                lambda s: s.getField("z"),
+            ).alias("zs"),
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("i", "x"))),
+                lambda s: s.getField("x"),
+            ).alias("xs"),
+        )
+    )
+    folded = series.withColumn(
+        "run",
+        F.expr(
+            f"aggregate(zs, array(CAST(0 AS BIGINT)),"
+            f" (acc, z) -> concat(array(greatest(CAST(0 AS BIGINT),"
+            f" element_at(acc, 1) + z - {_CUSUM_KC} * sz)), acc))"
+        ),
+    )
+    return (
+        folded.select(
+            "xs",
+            "zs",
+            "run",
+            "sz",
+            F.explode(F.expr("sequence(1, size(zs))")).alias("day_idx"),
+        )
+        .select(
+            F.col("day_idx").cast("long").alias("day_idx"),
+            F.expr("element_at(xs, CAST(day_idx AS INT))")
+            .cast("long")
+            .alias("n_events"),
+            F.expr("element_at(zs, CAST(day_idx AS INT))")
+            .cast("long")
+            .alias("z_scaled"),
+            F.expr("element_at(run, CAST(size(run) - day_idx AS INT))")
+            .cast("long")
+            .alias("cusum_pos"),
+            (
+                F.expr(
+                    "element_at(run, CAST(size(run) - day_idx AS INT))"
+                )
+                > F.lit(_CUSUM_HC) * F.col("sz")
+            ).alias("alarm"),
+        )
+        .orderBy("day_idx")
+    )

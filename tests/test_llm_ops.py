@@ -1422,3 +1422,40 @@ def test_q456_leverage_trace_identity(spark, sf_dir):
     for r in rows:
         assert 0.0 < r.leverage < 1.0
         assert r.cooks_d >= 0.0
+
+
+def test_q457_cusum_detects_injected_shift_only(spark, sf_dir):
+    """CUSUM invariants: the statistic is a valid one-sided control
+    chart (S+ >= 0 everywhere; S+ exactly follows the recursion
+    max(0, prev + z - kappa) recomputed here from the released
+    z_scaled column); NO alarm fires during the in-control window
+    (days <= 20, before the injected shift); the alarm DOES fire
+    within a few days of the injection (probed: day 21-23 at every
+    fixture SF) and stays latched-practically (the level shift is
+    sustained); and the 30-day calendar is complete."""
+    rows = (
+        REGISTRY["q457_cusum_changepoint_detection"]
+        .fn(spark, sf_dir)
+        .orderBy("day_idx")
+        .collect()
+    )
+    assert [r.day_idx for r in rows] == list(range(1, 31))
+    m15 = None
+    # Recompute kappa from the released columns: z = 15*x - m15.
+    m15 = 15 * rows[0].n_events - rows[0].z_scaled
+    import math
+
+    sz = math.isqrt(15 * m15)
+    kappa, h = 2 * sz, 6 * sz
+    s = 0
+    for r in rows:
+        assert 15 * r.n_events - m15 == r.z_scaled
+        s = max(0, s + r.z_scaled - kappa)
+        assert r.cusum_pos == s, (r.day_idx, r.cusum_pos, s)
+        assert r.alarm == (s > h)
+        assert r.cusum_pos >= 0
+    pre = [r for r in rows if r.day_idx <= 20]
+    post = [r for r in rows if r.day_idx > 20]
+    assert not any(r.alarm for r in pre)
+    first = min((r.day_idx for r in post if r.alarm), default=None)
+    assert first is not None and first <= 24, first
