@@ -6932,3 +6932,274 @@ def q454_unigram_lm_vocab_pruning(
         )
     )
     return row_full.unionByName(row_pruned).orderBy("variant")
+
+
+# --- q458: RM3 pseudo-relevance feedback query expansion ------------------
+
+_RM3_FB = 10      # feedback depth (first-pass docs)
+_RM3_EXP = 5      # expansion terms
+_RM3_LAMBDA = 0.6  # original-query interpolation weight
+_RM3_MINLEN = 4   # expansion candidate min length (stoplist substitute)
+
+# Shared formula text (the _OLS3 discipline): identical strings run in
+# Spark F.expr and DuckDB so every libm-touching score term is ONE IEEE
+# op sequence on both engines, quantized to 1e-6 BIGINTs BEFORE any
+# order-sensitive sum.
+_RM3_S1 = " + ".join(
+    f"ln((tf_{t} + 200.0 * (cf_{t} / cl)) / (dl + 200.0))"
+    for t in _QL_TERMS
+)
+_RM3_DELTA = (
+    "CAST(round(1000000.0 * qw * (ln(c + 200.0 * (cfw / cl))"
+    " - ln(200.0 * (cfw / cl)))) AS BIGINT)"
+)
+_RM3_S0 = (
+    "CAST(round(1000000.0 * qw * ln(200.0 * (cfw / cl))) AS BIGINT)"
+)
+_RM3_DL = "CAST(round(1000000.0 * ln(dl + 200.0)) AS BIGINT)"
+
+
+def _rm3_oracle_sql() -> str:
+    orig = ", ".join(f"'{t}'" for t in _QL_TERMS)
+    return f"""
+    WITH d AS MATERIALIZED (
+        SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents
+    ),
+    tf AS MATERIALIZED (
+        SELECT doc_id, len(ws) AS dl,
+               {", ".join(
+                   f"len(list_filter(ws, x -> x = '{t}')) AS tf_{t}"
+                   for t in _QL_TERMS)}
+        FROM d
+    ),
+    coll AS MATERIALIZED (
+        SELECT CAST(sum(dl) AS DOUBLE) AS cl,
+               {", ".join(
+                   f"CAST(sum(tf_{t}) AS DOUBLE) AS cf_{t}"
+                   for t in _QL_TERMS)}
+        FROM tf
+    ),
+    fb AS MATERIALIZED (
+        SELECT doc_id, dl FROM (
+            SELECT tf.doc_id, tf.dl, round({_RM3_S1}, 6) AS s
+            FROM tf CROSS JOIN coll
+            ORDER BY s DESC, tf.doc_id ASC LIMIT {_RM3_FB}
+        )
+    ),
+    fbtok AS MATERIALIZED (
+        SELECT w, sum((2 * c * 1000000 + dl) // (2 * dl)) AS rw
+        FROM (
+            SELECT f.doc_id, u.w, f.dl, count(*) AS c
+            FROM fb f
+            JOIN (SELECT doc_id, unnest(ws) AS w FROM d) u USING (doc_id)
+            WHERE length(u.w) >= {_RM3_MINLEN} AND u.w NOT IN ({orig})
+            GROUP BY f.doc_id, u.w, f.dl
+        )
+        GROUP BY w
+    ),
+    expt AS MATERIALIZED (
+        SELECT w, rw FROM (
+            SELECT w, rw,
+                   row_number() OVER (ORDER BY rw DESC, w ASC) AS rk
+            FROM fbtok
+        ) WHERE rk <= {_RM3_EXP}
+    ),
+    qmodel AS MATERIALIZED (
+        SELECT w, {_RM3_LAMBDA} / {len(_QL_TERMS)} AS qw
+        FROM (VALUES {", ".join(f"('{t}')" for t in _QL_TERMS)}) v(w)
+        UNION ALL
+        SELECT w, {round(1 - _RM3_LAMBDA, 10)}
+                  * (CAST(rw AS DOUBLE)
+                     / (SELECT CAST(sum(rw) AS DOUBLE) FROM expt))
+        FROM expt
+    ),
+    toks AS MATERIALIZED (SELECT doc_id, unnest(ws) AS w FROM d),
+    dln AS MATERIALIZED (SELECT doc_id, len(ws) AS dl FROM d),
+    cln AS (SELECT CAST(sum(dl) AS DOUBLE) AS cl FROM dln),
+    cf AS MATERIALIZED (
+        SELECT q.w, q.qw, CAST(count(*) AS DOUBLE) AS cfw
+        FROM qmodel q JOIN toks t ON t.w = q.w
+        GROUP BY q.w, q.qw
+    ),
+    s0 AS (
+        SELECT sum({_RM3_S0}) AS s0q FROM cf CROSS JOIN cln
+    ),
+    delta AS MATERIALIZED (
+        SELECT tfm.doc_id, sum({_RM3_DELTA}) AS dq
+        FROM (SELECT doc_id, w, count(*) AS c FROM toks GROUP BY 1, 2) tfm
+        JOIN cf ON cf.w = tfm.w
+        CROSS JOIN cln
+        GROUP BY tfm.doc_id
+    ),
+    exps AS (
+        SELECT string_agg(w, ',' ORDER BY rw DESC, w ASC) AS terms
+        FROM expt
+    )
+    SELECT s.doc_id,
+           CAST(s.dl AS BIGINT) AS doc_len,
+           s.sq / 1000000.0 AS rm3_score,
+           e.terms AS expansion_terms
+    FROM (
+        SELECT dln.doc_id, dln.dl,
+               s0.s0q - {_RM3_DL} + coalesce(delta.dq, 0) AS sq
+        FROM dln CROSS JOIN s0 LEFT JOIN delta USING (doc_id)
+    ) s CROSS JOIN exps e
+    ORDER BY s.sq DESC, s.doc_id ASC
+    LIMIT 10
+    """
+
+
+@query(
+    "q458_rm3_pseudo_relevance_feedback",
+    oracle=_rm3_oracle_sql(),
+    tags=("text", "retrieval", "rm3", "query-expansion", "feedback", "llm"),
+)
+def q458_rm3_pseudo_relevance_feedback(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """RM3 pseudo-relevance feedback (Lavrenko & Croft relevance
+    models, the Abdul-Jaleel RM3 interpolation) — the FEEDBACK-LOOP
+    member the retrieval family lacked: q107/q360/q79 rank with a
+    fixed query, q190 fuses rankers, q286 diversifies; RM3 instead
+    reads the first pass's top {_RM3_FB} documents, estimates a
+    relevance language model from them, expands the query with its
+    top {_RM3_EXP} terms (min length {_RM3_MINLEN}, originals
+    excluded — the stoplist substitute), interpolates at
+    λ = {_RM3_LAMBDA}, and RE-SCORES the corpus under the expanded
+    Dirichlet query model. Released: the re-ranked top 10 with the
+    expansion-term list on every row (the terms themselves are on the
+    verified path).
+
+    Determinism: relevance-model weights quantize per feedback doc
+    BEFORE summing (exact half-up of tf/|d| at 1e-6 — the q436
+    quantize-before-sum discipline), so the expansion rank cut is an
+    integer order; second-pass scoring uses the sparse decomposition
+    score = Σ_w qw·ln(μp_w) − ln(|d|+μ) + Σ_{{matched}} qw·(ln(tf+μp_w)
+    − ln(μp_w)) with every libm-touching term evaluated from SHARED
+    formula text (one IEEE op sequence) and quantized to 1e-6 BIGINTs
+    before the order-free sums — the final ranking compares exact
+    integers. Expansion terms come from feedback documents, so their
+    collection frequency is provably nonzero (the ln(0) probe rule).
+
+    Scale posture: two corpus scans for the first pass (q360's
+    shape), one token explode for the relevance model restricted to
+    the {_RM3_FB} broadcast feedback docs, and the second pass is the
+    SPARSE form — one (doc, term) aggregate semi-joined to the
+    8-term broadcast query model, so re-scoring touches only matching
+    postings (the production query-expansion dataflow); top-10 is a
+    TakeOrdered. Reference contract: per-doc scoring = map slot
+    (``App.config:16``); feedback-model estimation + re-ranked cut =
+    reduce slots (``App.config:17``, ``Program.cs:351-384``)."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    d = docs.select(
+        "doc_id", F.split(F.lower(F.col("text")), " ").alias("ws")
+    )
+
+    def tf_of(term):
+        return F.size(F.filter(F.col("ws"), lambda x: x == F.lit(term)))
+
+    tf = d.select(
+        "doc_id",
+        F.size("ws").alias("dl"),
+        *[tf_of(t).alias(f"tf_{t}") for t in _QL_TERMS],
+    )
+    coll = tf.agg(
+        F.sum("dl").cast("double").alias("cl"),
+        *[
+            F.sum(f"tf_{t}").cast("double").alias(f"cf_{t}")
+            for t in _QL_TERMS
+        ],
+    )
+    fb = (
+        tf.crossJoin(F.broadcast(coll))
+        .select(
+            "doc_id", "dl", F.round(F.expr(_RM3_S1), 6).alias("s")
+        )
+        .orderBy(F.desc("s"), F.asc("doc_id"))
+        .limit(_RM3_FB)
+        .select("doc_id", "dl")
+    )
+    fbtok = (
+        d.join(F.broadcast(fb), "doc_id")
+        .select("doc_id", "dl", F.explode("ws").alias("w"))
+        .where(
+            (F.length("w") >= _RM3_MINLEN) & ~F.col("w").isin(*_QL_TERMS)
+        )
+        .groupBy("doc_id", "w", "dl")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .select(
+            "w", F.expr("(2 * c * 1000000 + dl) div (2 * dl)").alias("cq")
+        )
+        .groupBy("w")
+        .agg(F.sum("cq").alias("rw"))
+    )
+    expt = (
+        fbtok.orderBy(F.desc("rw"), F.asc("w")).limit(_RM3_EXP).persist()
+    )
+    rw_tot = expt.agg(F.sum("rw").alias("tot"))
+    orig = spark.createDataFrame(
+        [(t,) for t in _QL_TERMS], "w string"
+    ).select("w", F.lit(_RM3_LAMBDA / len(_QL_TERMS)).alias("qw"))
+    qmodel = orig.unionByName(
+        expt.crossJoin(F.broadcast(rw_tot)).select(
+            "w",
+            (
+                F.lit(round(1 - _RM3_LAMBDA, 10))
+                * (F.col("rw").cast("double") / F.col("tot").cast("double"))
+            ).alias("qw"),
+        )
+    )
+    toks = d.select("doc_id", F.explode("ws").alias("w"))
+    dln = d.select("doc_id", F.size("ws").alias("dl"))
+    cln = dln.agg(F.sum("dl").cast("double").alias("cl"))
+    cf = (
+        qmodel.join(toks, "w")
+        .groupBy("w", "qw")
+        .agg(F.count(F.lit(1)).cast("double").alias("cfw"))
+    )
+    s0 = cf.crossJoin(F.broadcast(cln)).agg(
+        F.sum(F.expr(_RM3_S0)).alias("s0q")
+    )
+    tfm = toks.groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("c"))
+    delta = (
+        tfm.join(F.broadcast(cf), "w")
+        .crossJoin(F.broadcast(cln))
+        .select("doc_id", F.expr(_RM3_DELTA).alias("dq1"))
+        .groupBy("doc_id")
+        .agg(F.sum("dq1").alias("dq"))
+    )
+    exps = expt.agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct((-F.col("rw")).alias("nrw"), "w"))
+                ),
+                lambda x: x.getField("w"),
+            ),
+            ",",
+        ).alias("terms")
+    )
+    scored = (
+        dln.crossJoin(F.broadcast(s0))
+        .join(delta, "doc_id", "left")
+        .select(
+            "doc_id",
+            "dl",
+            (
+                F.col("s0q")
+                - F.expr(_RM3_DL)
+                + F.coalesce(F.col("dq"), F.lit(0))
+            ).alias("sq"),
+        )
+    )
+    return (
+        scored.crossJoin(F.broadcast(exps))
+        .orderBy(F.desc("sq"), F.asc("doc_id"))
+        .limit(10)
+        .select(
+            "doc_id",
+            F.col("dl").cast("long").alias("doc_len"),
+            (F.col("sq") / 1000000.0).alias("rm3_score"),
+            F.col("terms").alias("expansion_terms"),
+        )
+    )

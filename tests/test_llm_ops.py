@@ -1459,3 +1459,36 @@ def test_q457_cusum_detects_injected_shift_only(spark, sf_dir):
     assert not any(r.alarm for r in pre)
     first = min((r.day_idx for r in post if r.alarm), default=None)
     assert first is not None and first <= 24, first
+
+
+def test_q458_rm3_expansion_structure(spark, sf_dir):
+    """RM3 invariants: exactly 5 expansion terms, none an original
+    query term, all >= 4 chars (the stoplist substitute), identical
+    on every released row; 10 re-ranked docs with non-increasing
+    scores; and the feedback loop actually DOES something - the
+    expanded ranking must differ from the first-pass q360 ranking in
+    membership or order (a broken interpolation that zeroes the
+    expansion weights would collapse to the first pass)."""
+    rows = (
+        REGISTRY["q458_rm3_pseudo_relevance_feedback"]
+        .fn(spark, sf_dir)
+        .collect()
+    )
+    assert len(rows) == 10
+    terms = rows[0].expansion_terms.split(",")
+    assert len(terms) == 5 and len(set(terms)) == 5
+    for t in terms:
+        assert len(t) >= 4
+        assert t not in ("data", "spark", "join")
+    assert all(r.expansion_terms == rows[0].expansion_terms for r in rows)
+    scores = [r.rm3_score for r in rows]
+    assert scores == sorted(scores, reverse=True)
+
+    first_pass = [
+        r.doc_id
+        for r in REGISTRY["q360_query_likelihood_dirichlet"]
+        .fn(spark, sf_dir)
+        .collect()
+    ]
+    reranked = [r.doc_id for r in rows]
+    assert reranked != first_pass
