@@ -10025,3 +10025,232 @@ def q455_exponential_mechanism_dp_median(
         )
         .orderBy("cnt_value")
     )
+
+
+# --- q459: momentum (heavy-ball) training step ----------------------------
+
+_MOM_STEPS = 4
+_MOM_BETA_NUM = 9  # beta = 0.9 carried exactly: V_k = 9*V_{k-1} + 10^k*gq_k
+# so v_k = V_k / 10^k with V_k an exact BIGINT (<= ~1.5e13 at sf0.1 for
+# 4 steps - no overflow; more steps would widen to decimal(38,0)).
+
+
+def _mom_oracle_sql() -> str:
+    dims = _QC_DIMS
+    z_fold = _QC_ZFOLD
+    qs = _QC_QSCALE
+    lr = _QC_LR
+    steps = []
+    for k in range(1, _MOM_STEPS + 1):
+        p = k - 1
+        tenk = 10**k
+        # mg{k} mirrors _qc_steps_sql's gradient CTE verbatim (same
+        # fused scan, quantized per-example gradients) against the
+        # momentum weight path mw{p}.
+        steps.append(f"""
+    mg{k} AS MATERIALIZED (
+        SELECT s.dim AS dim,
+               sum(CAST(round((p - y) * s.xv * {qs}) AS BIGINT)) AS gq,
+               sum(CASE WHEN (z > 0) = (y = 1.0) THEN 1 ELSE 0 END)
+                   AS n_correct,
+               count(*) AS n
+        FROM (
+            SELECT e.p, e.y, e.z,
+                   unnest(list_transform({dims},
+                       i -> struct_pack(dim := i, xv := e.xa[i]))) AS s
+            FROM (
+                SELECT z, y,
+                       CAST(0.5 AS DOUBLE)
+                           + z / (CAST(2.0 AS DOUBLE)
+                                  * (CAST(1.0 AS DOUBLE) + abs(z))) AS p,
+                       xa
+                FROM (
+                    SELECT xa, y, {z_fold} AS z
+                    FROM obs CROSS JOIN mw{p} w
+                )
+            ) e
+        )
+        GROUP BY s.dim
+    ),
+    mv{k} AS MATERIALIZED (
+        SELECT list({_MOM_BETA_NUM} * v.vl[g.dim] + {tenk} * g.gq
+                    ORDER BY g.dim) AS vl,
+               max(g.n_correct) AS n_correct,
+               max(g.n) AS n
+        FROM mg{k} g CROSS JOIN mv{p} v
+    ),
+    mw{k} AS MATERIALIZED (
+        SELECT list(w.wl[g.dim]
+                    - {lr} * (CAST(v.vl[g.dim] AS DOUBLE)
+                              / {tenk} / {qs} / g.n)
+                    ORDER BY g.dim) AS wl
+        FROM mg{k} g CROSS JOIN mw{p} w CROSS JOIN mv{k} v
+    )""")
+    acc_rows = " UNION ALL ".join(
+        f"SELECT 'acc' AS item, {k} AS idx,"
+        f" ((2 * n_correct * 1000000 + n) // (2 * n)) / 1000000.0 AS value"
+        f" FROM mv{k}"
+        for k in range(1, _MOM_STEPS + 1)
+    )
+    return f"""
+    WITH {_qc_obs_sql()},
+    mw0 AS (SELECT list_transform({dims}, i -> CAST(0.0 AS DOUBLE)) AS wl),
+    mv0 AS (SELECT list_transform({dims}, i -> CAST(0 AS BIGINT)) AS vl),
+    {",".join(steps)},
+    fin AS MATERIALIZED (
+        SELECT sum(CASE WHEN ({z_fold} > 0) = (y = 1.0) THEN 1 ELSE 0 END)
+                   AS n_correct,
+               count(*) AS n
+        FROM obs CROSS JOIN mw{_MOM_STEPS} w
+    )
+    SELECT item, CAST(idx AS INTEGER) AS idx, value FROM (
+        {acc_rows}
+        UNION ALL
+        SELECT 'acc', {_MOM_STEPS + 1},
+               ((2 * n_correct * 1000000 + n) // (2 * n)) / 1000000.0
+        FROM fin
+        UNION ALL
+        SELECT 'w', s.dim, round(s.wv, 6) + 0.0
+        FROM (
+            SELECT unnest(list_transform({dims},
+                i -> struct_pack(dim := i, wv := w.wl[i]))) AS s
+            FROM mw{_MOM_STEPS} w
+        )
+        UNION ALL
+        SELECT 'v', s.dim,
+               round(CAST(s.vv AS DOUBLE) / {10**_MOM_STEPS} / {qs}, 6)
+                   + 0.0
+        FROM (
+            SELECT unnest(list_transform({dims},
+                i -> struct_pack(dim := i, vv := v.vl[i]))) AS s
+            FROM mv{_MOM_STEPS} v
+        )
+    ) ORDER BY item, idx
+    """
+
+
+@query(
+    "q459_momentum_training",
+    oracle=_mom_oracle_sql(),
+    tags=("llm", "training", "optimizer", "momentum", "curation"),
+)
+def q459_momentum_training(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy-ball MOMENTUM training — the optimizer-STATE member of
+    the training family (q433 plain GD, q439 DP-SGD's clipped+noised
+    gradients, q441's fold restriction; this adds the velocity buffer
+    every production optimizer carries): v_k = β·v_{{k-1}} + g_k,
+    w_k = w_{{k-1}} − lr·v_k with β = 0.9 over {_MOM_STEPS} full-batch
+    steps of the shared fast-sigmoid classifier. Released: the
+    per-step pre-update accuracy trajectory, the final weights, and
+    the final per-dim velocity — optimizer state itself on the
+    verified path.
+
+    Exactness: β = 0.9 is carried EXACTLY by integer bookkeeping —
+    V_k = 9·V_{{k-1}} + 10^k·gq_k keeps the velocity an exact BIGINT
+    in (gradient-quantum / 10^k) units (the q343 quantization
+    discipline applied to optimizer state; ≤ ~1.5e13 at sf0.1 for 4
+    steps, far inside int64 — more steps would widen per the q390
+    rule), and the weight update divides it back out in ONE shared
+    IEEE sequence (V/10^k/qs/n) identical on both engines. The
+    gradient scan is verbatim q433's fused map (quantized per-example
+    gradients, map-side combined).
+
+    Determinism: all state transitions are exact integers; the only
+    floats are the shared-text margin fold and weight updates (one
+    op sequence both engines); releases round signed-zero-safe.
+
+    Scale posture: identical to q433 — per step ONE fused corpus scan
+    shuffling 4 integer cells, model+velocity state as a bounded
+    parameter-server collect (model-grain, never data-grain).
+    Reference contract: per-example gradient = map slot
+    (``App.config:16``); velocity/weight update = reduce slot
+    (``App.config:17``, ``Program.cs:351-384``)."""
+    obs = _qc_obs(spark, sf_dir).persist()
+    w = [0.0] * 4
+    vint = [0] * 4
+    accs: list = []
+    n_rows = None
+    for k in range(1, _MOM_STEPS + 1):
+        z = _qc_margin(w)
+        p = F.lit(0.5) + F.col("z") / (
+            F.lit(2.0) * (F.lit(1.0) + F.abs(F.col("z")))
+        )
+        per_dim = (
+            obs.select("xa", "y", z.alias("z"))
+            .select(
+                "y",
+                "z",
+                p.alias("p"),
+                F.posexplode("xa").alias("dim0", "xv"),
+            )
+            .groupBy((F.col("dim0") + 1).alias("dim"))
+            .agg(
+                F.sum(
+                    F.round(
+                        (F.col("p") - F.col("y")) * F.col("xv") * _QC_QSCALE
+                    ).cast("long")
+                ).alias("gq"),
+                F.sum(
+                    F.when(
+                        (F.col("z") > 0) == (F.col("y") == 1.0), 1
+                    ).otherwise(0)
+                ).alias("n_correct"),
+                F.count(F.lit(1)).alias("n"),
+            )
+        )
+        rows = per_dim.collect()
+        n_rows = rows[0]["n"]
+        accs.append((rows[0]["n_correct"], n_rows))
+        gq = {r["dim"]: r["gq"] for r in rows}
+        tenk = 10**k
+        vint = [
+            _MOM_BETA_NUM * vint[d - 1] + tenk * gq[d] for d in range(1, 5)
+        ]
+        # Mirror the oracle's update text exactly (q343 rule): the
+        # Python divisions run the same IEEE sequence as the SQL's.
+        w = [
+            w[d - 1] - _QC_LR * (vint[d - 1] / tenk / _QC_QSCALE / n_rows)
+            for d in range(1, 5)
+        ]
+    z = _qc_margin(w)
+    fin = (
+        obs.select("y", z.alias("z"))
+        .agg(
+            F.sum(
+                F.when((F.col("z") > 0) == (F.col("y") == 1.0), 1).otherwise(
+                    0
+                )
+            ).alias("n_correct"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .collect()[0]
+    )
+    obs.unpersist()
+    from azure_batch_map_reduce_spark.operators.ranks import round_nz
+
+    acc_rows = [
+        ("acc", k + 1, int(nc), int(n)) for k, (nc, n) in enumerate(accs)
+    ]
+    acc_rows.append(
+        ("acc", _MOM_STEPS + 1, int(fin["n_correct"]), int(fin["n"]))
+    )
+    acc_df = spark.createDataFrame(
+        acc_rows, "item string, idx int, num long, den long"
+    ).select(
+        "item",
+        "idx",
+        half_up_ratio(F.col("num"), F.col("den"), 6).alias("value"),
+    )
+    wv_df = spark.createDataFrame(
+        [("w", d, w[d - 1]) for d in range(1, 5)]
+        + [
+            (
+                "v",
+                d,
+                vint[d - 1] / 10**_MOM_STEPS / _QC_QSCALE,
+            )
+            for d in range(1, 5)
+        ],
+        "item string, idx int, raw double",
+    ).select("item", "idx", round_nz(F.col("raw"), 6).alias("value"))
+    return acc_df.unionByName(wv_df).orderBy("item", "idx")

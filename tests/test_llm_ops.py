@@ -1492,3 +1492,35 @@ def test_q458_rm3_expansion_structure(spark, sf_dir):
     ]
     reranked = [r.doc_id for r in rows]
     assert reranked != first_pass
+
+
+def test_q459_momentum_vs_plain_gd(spark, sf_dir):
+    """Momentum invariants: step-1 pre-update accuracy EQUALS q433's
+    (both paths start at w=0 - a bit-exact tie); the velocity buffer
+    actually changes the trajectory (final weights differ from plain
+    GD's); training converges (final accuracy > 0.9); the released
+    velocity has all 4 dims and points OPPOSITE the accumulated
+    weight movement on the dominant dim (updates subtract lr*v)."""
+    mom = {
+        (r.item, r.idx): r.value
+        for r in REGISTRY["q459_momentum_training"].fn(spark, sf_dir).collect()
+    }
+    gd = {
+        (r.item, r.idx): r.value
+        for r in REGISTRY["q433_quality_classifier_training"]
+        .fn(spark, sf_dir)
+        .collect()
+    }
+    spark.catalog.clearCache()
+    assert mom[("acc", 1)] == gd[("acc", 1)]
+    assert mom[("acc", 5)] > 0.9
+    assert [k for (it, k) in mom if it == "acc"] and len(
+        [k for (it, k) in mom if it == "v"]
+    ) == 4
+    mom_w = [mom[("w", d)] for d in range(1, 5)]
+    gd_w = [gd[("w", d)] for d in range(1, 5)]
+    assert mom_w != gd_w
+    # Dominant dim: weight moved up => accumulated velocity negative.
+    dom = max(range(4), key=lambda d: abs(mom_w[d]))
+    v_dom = mom[("v", dom + 1)]
+    assert mom_w[dom] * v_dom < 0, (mom_w[dom], v_dom)
