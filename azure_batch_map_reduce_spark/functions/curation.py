@@ -10254,3 +10254,184 @@ def q459_momentum_training(spark: SparkSession, sf_dir: str) -> DataFrame:
         "item string, idx int, raw double",
     ).select("item", "idx", round_nz(F.col("raw"), 6).alias("value"))
     return acc_df.unionByName(wv_df).orderBy("item", "idx")
+
+
+# --- q461: license/provenance propagation through window packing ----------
+
+_LIC_NAMES = ("cc-by", "cc-by-nc", "mit")
+
+
+def _lic_case_sql(src: str) -> str:
+    return (
+        f"CASE ('0x' || substr(md5('lic|' || {src}), 1, 8))::BIGINT % 3"
+        f" WHEN 0 THEN '{_LIC_NAMES[0]}'"
+        f" WHEN 1 THEN '{_LIC_NAMES[1]}'"
+        f" ELSE '{_LIC_NAMES[2]}' END"
+    )
+
+
+@query(
+    "q461_license_propagation_packing",
+    oracle=f"""
+    WITH d AS (
+        SELECT doc_id, source,
+               {_lic_case_sql("source")} AS license,
+               CAST(len(list_filter(string_split_regex(lower(text),
+                                                       '[^a-z]+'),
+                                    x -> x <> '')) AS BIGINT) AS toks
+        FROM documents
+    ),
+    c AS (
+        SELECT doc_id, source, license, toks,
+               CAST(sum(toks) OVER (ORDER BY source, doc_id) AS BIGINT)
+                   AS cum_end
+        FROM d
+    ),
+    spans AS (
+        SELECT doc_id, source, license, toks, cum_end - toks AS strt,
+               cum_end,
+               (cum_end - toks) // {_PACK_CONTEXT} AS c0,
+               (cum_end - 1) // {_PACK_CONTEXT} AS c1
+        FROM c WHERE toks > 0
+    ),
+    x AS (
+        SELECT *, unnest(generate_series(c0, c1)) AS chunk_id FROM spans
+    ),
+    win AS MATERIALIZED (
+        SELECT chunk_id,
+               array_to_string(list_sort(list_distinct(list(license))),
+                               '+') AS license_profile,
+               CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+               CAST(sum(least(cum_end, (chunk_id + 1) * {_PACK_CONTEXT})
+                        - greatest(strt, chunk_id * {_PACK_CONTEXT}))
+                    AS BIGINT) AS toks
+        FROM x
+        GROUP BY chunk_id
+    ),
+    tot AS (SELECT count(*) AS nw FROM win)
+    SELECT license_profile,
+           CAST(count(*) AS BIGINT) AS n_windows,
+           CAST(sum(toks) AS BIGINT) AS n_tokens,
+           CAST(max(n_sources) AS BIGINT) AS max_sources,
+           contains(license_profile, '+') AS mixed,
+           contains(license_profile, 'cc-by-nc') AS has_nc,
+           ((2 * count(*) * 1000000 + t.nw) // (2 * t.nw)) / 1000000.0
+               AS window_share
+    FROM win CROSS JOIN tot t
+    GROUP BY license_profile, t.nw
+    ORDER BY license_profile
+    """,
+    tags=("training", "packing", "provenance", "license", "lineage", "llm"),
+)
+def q461_license_propagation_packing(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """LICENSE/PROVENANCE propagation through context-window packing —
+    the lineage operator a compliance review runs on assembled
+    training data: q424 audits the token-stream cut's attention
+    contamination; this propagates each document's license (a
+    deterministic md5 3-way split of its source — the fixture carries
+    no license column, so the mapping is synthetic and documented) to
+    every 512-token window it touches, and rolls the corpus up by
+    LICENSE PROFILE: for each distinct sorted license set, how many
+    windows carry exactly that set, their token mass, the worst
+    source fan-in, whether the profile is MIXED (a window spanning
+    docs under different licenses — the row a cc-by-nc obligation
+    contaminates), and the window share. The release is the
+    compliance table: "N% of packed windows mix cc-by-nc into
+    otherwise-permissive data".
+
+    Determinism: the license split is salted md5 mod 3; window
+    assignment is integer division on the exact global running sum
+    (q424's machinery); profiles are sorted-distinct joins; shares
+    use the half-up idiom.
+
+    Scale posture: identical to q424 — ``distributed_running_sum``
+    (range-partition + local window + broadcast offsets, zero global
+    windows), a linear span explode, one window-grain aggregate, then
+    a ≤2^|licenses| bounded profile rollup. Reference contract:
+    per-doc license tagging = map slot (``App.config:16``); window
+    assembly + compliance rollup = reduce slots (``App.config:17``,
+    ``Program.cs:351-384``)."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    lic = F.element_at(
+        F.array(*[F.lit(x) for x in _LIC_NAMES]),
+        (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit("lic|"), F.col("source"))), 1, 8
+                ),
+                16,
+                10,
+            ).cast("long")
+            % 3
+            + 1
+        ).cast("int"),
+    )
+    d = docs.select(
+        "doc_id",
+        "source",
+        lic.alias("license"),
+        F.size(
+            F.filter(
+                F.split(F.lower(F.col("text")), "[^a-z]+"),
+                lambda x: x != F.lit(""),
+            )
+        )
+        .cast("long")
+        .alias("toks"),
+    )
+    # Concatenate in (source, doc_id) order — the per-source-shard
+    # pack order real pipelines use; license mixing then happens only
+    # at shard boundaries, which is exactly the compliance question
+    # (doc_id order interleaves sources and every window trivially
+    # mixes all licenses — probed, degenerate).
+    r = distributed_running_sum(
+        d, [F.col("source"), F.col("doc_id")], {"cum_end": "toks"}
+    )
+    ctx = _PACK_CONTEXT
+    spans = r.where(F.col("toks") > 0).select(
+        "doc_id",
+        "source",
+        "license",
+        "toks",
+        (F.col("cum_end") - F.col("toks")).alias("strt"),
+        F.col("cum_end").cast("long").alias("cum_end"),
+        F.expr(f"(cum_end - toks) div {ctx}").alias("c0"),
+        F.expr(f"(cum_end - 1) div {ctx}").alias("c1"),
+    )
+    x = spans.select(
+        "*", F.explode(F.sequence("c0", "c1")).alias("chunk_id")
+    )
+    overlap = F.least(
+        F.col("cum_end"), (F.col("chunk_id") + 1) * F.lit(ctx)
+    ) - F.greatest(F.col("strt"), F.col("chunk_id") * F.lit(ctx))
+    win = x.groupBy("chunk_id").agg(
+        F.array_join(
+            F.array_sort(F.array_distinct(F.collect_list("license"))), "+"
+        ).alias("license_profile"),
+        F.countDistinct("source").cast("long").alias("n_sources"),
+        F.sum(overlap).cast("long").alias("toks"),
+    )
+    tot = win.agg(F.count(F.lit(1)).alias("nw"))
+    return (
+        win.crossJoin(F.broadcast(tot))
+        .groupBy("license_profile", "nw")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_windows"),
+            F.sum("toks").cast("long").alias("n_tokens"),
+            F.max("n_sources").cast("long").alias("max_sources"),
+        )
+        .select(
+            "license_profile",
+            "n_windows",
+            "n_tokens",
+            "max_sources",
+            F.col("license_profile").contains("+").alias("mixed"),
+            F.col("license_profile").contains("cc-by-nc").alias("has_nc"),
+            half_up_ratio(F.col("n_windows"), F.col("nw"), 6).alias(
+                "window_share"
+            ),
+        )
+        .orderBy("license_profile")
+    )

@@ -7203,3 +7203,138 @@ def q458_rm3_pseudo_relevance_feedback(
             F.col("terms").alias("expansion_terms"),
         )
     )
+
+
+# --- q460: greedy bigram-LM decoding (deterministic generation) -----------
+
+_DECODE_STEPS = 12
+
+
+def _decode_oracle_sql() -> str:
+    steps = []
+    for k in range(1, _DECODE_STEPS + 1):
+        steps.append(f"""
+    s{k} AS MATERIALIZED (
+        SELECT b.w2 AS tok, b.c AS c, c1.tot AS tot
+        FROM bg b
+        JOIN s{k - 1} p ON b.w1 = p.tok
+        JOIN c1 ON c1.w1 = b.w1
+        ORDER BY b.c DESC, b.w2 ASC
+        LIMIT 1
+    )""")
+    rows = " UNION ALL ".join(
+        f"SELECT {k} AS step, tok, CAST(c AS BIGINT) AS pair_count,"
+        f" ((2 * c * 1000000 + tot) // (2 * tot)) / 1000000.0 AS prob"
+        f" FROM s{k}"
+        for k in range(1, _DECODE_STEPS + 1)
+    )
+    return f"""
+    WITH toks AS MATERIALIZED (
+        SELECT string_split(lower(text), ' ') AS ws FROM documents
+    ),
+    bg AS MATERIALIZED (
+        SELECT ws[i] AS w1, ws[i + 1] AS w2, count(*) AS c
+        FROM (SELECT ws, unnest(generate_series(1, len(ws) - 1)) AS i
+              FROM toks)
+        GROUP BY 1, 2
+    ),
+    c1 AS MATERIALIZED (SELECT w1, sum(c) AS tot FROM bg GROUP BY 1),
+    s0 AS MATERIALIZED (
+        SELECT w2 AS tok FROM bg GROUP BY w2
+        ORDER BY sum(c) DESC, w2 ASC LIMIT 1
+    ),
+    {",".join(steps)}
+    SELECT CAST(step AS BIGINT) AS step, tok, pair_count, prob
+    FROM ({rows})
+    ORDER BY step
+    """
+
+
+@query(
+    "q460_greedy_bigram_decoding",
+    oracle=_decode_oracle_sql(),
+    tags=("text", "language-model", "decoding", "generation", "llm"),
+)
+def q460_greedy_bigram_decoding(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Greedy DECODING from the corpus bigram model — the GENERATION
+    member of the language-model family (q368 smooths the bigram
+    model, q257 scores with it, q300 estimates speculative acceptance
+    from it; this one actually DECODES): start at the corpus's most
+    frequent token and take {_DECODE_STEPS} argmax steps
+    tok_{{t+1}} = argmax_w c(tok_t, w). Released per step: the token,
+    its bigram count, and its probability among the predecessor's
+    successors — the greedy chain a draft model or an autocomplete
+    surface would emit. The fixture's chain honestly enters a 6-token
+    cycle ("join key filter hash vector small …") — exactly what
+    greedy decoding does on a peaked model, and why production
+    decoders add sampling; the deterministic argmax IS the verified
+    surface.
+
+    Determinism: counts are exact integers; every argmax orders
+    (count DESC, token ASC) — a total order; probabilities use the
+    half-up idiom.
+
+    Scale posture: the bigram model is ONE partial+final aggregate
+    (persisted); each decode step is a 1-row lookup against it —
+    state is a single (token) row, the parameter-server grain (the
+    q433 rule: collects are model-grain, never data-grain), and the
+    step count is a constant. An N-step decode at 100 TB touches the
+    corpus exactly once. Reference contract: bigram counting = map
+    slot (``App.config:16``); the sequential argmax chain = reduce
+    slot (``App.config:17``, ``Program.cs:351-384``)."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    ws = F.split(F.lower(F.col("text")), " ")
+    bg = (
+        docs.select(ws.alias("ws"))
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(ws) - 1),"
+                    " i -> struct(element_at(ws, i) AS w1,"
+                    " element_at(ws, i + 1) AS w2))"
+                )
+            ).alias("p")
+        )
+        .groupBy(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+        .agg(F.count(F.lit(1)).alias("c"))
+        .persist()
+    )
+    c1 = bg.groupBy("w1").agg(F.sum("c").alias("tot"))
+    start = (
+        bg.groupBy("w2")
+        .agg(F.sum("c").alias("tc"))
+        .orderBy(F.desc("tc"), F.asc("w2"))
+        .limit(1)
+        .collect()[0]["w2"]
+    )
+    cur = start
+    out: list = []
+    for k in range(1, _DECODE_STEPS + 1):
+        row = (
+            bg.where(F.col("w1") == cur)
+            .join(c1.where(F.col("w1") == cur), "w1")
+            .orderBy(F.desc("c"), F.asc("w2"))
+            .limit(1)
+            .collect()
+        )[0]
+        out.append((k, row["w2"], int(row["c"]), int(row["tot"])))
+        cur = row["w2"]
+    bg.unpersist()
+    from azure_batch_map_reduce_spark.operators.ranks import half_up_ratio
+
+    return (
+        spark.createDataFrame(
+            out, "step long, tok string, pair_count long, tot long"
+        )
+        .select(
+            "step",
+            "tok",
+            "pair_count",
+            half_up_ratio(F.col("pair_count"), F.col("tot"), 6).alias(
+                "prob"
+            ),
+        )
+        .orderBy("step")
+    )

@@ -346,6 +346,26 @@ HEADLINE = [
     # E-step under the re-estimated model (two model gathers over the
     # persisted candidate explode); roughly q447 + q443 in one row.
     "q452_unigram_lm_em_round2",
+    # q453: multi-probe LSH recall sweep — broadcast probes + one
+    # brute-force scoring pass; no corpus shuffle.
+    "q453_multiprobe_lsh_recall_audit",
+    # q454: the prune evaluation — q452's dataflow plus one more
+    # blocked E-step (the tokenizer trainer's third phase).
+    "q454_unigram_lm_vocab_pruning",
+    # q455: day-grain aggregate + bounded candidate selection; the
+    # pure-integer exponential mechanism.
+    "q455_exponential_mechanism_dp_median",
+    # q456: one 10-cell moment aggregate broadcast over a single
+    # fact-table map + TakeOrdered(20).
+    "q456_regression_influence_diagnostics",
+    # q457: day-grain aggregate + a 30-element integer fold.
+    "q457_cusum_changepoint_detection",
+    # q458: two QL passes + the sparse expanded-model rescoring —
+    # token explode with an 8-term broadcast semi-join.
+    "q458_rm3_pseudo_relevance_feedback",
+    # q459: 4 fused gradient scans + final accuracy scan (eager,
+    # model-grain collects — honest cost in `queries_honest`).
+    "q459_momentum_training",
 ]
 
 
