@@ -7871,6 +7871,8 @@ def _qc_steps_sql(
     subset: bool = False,
     prefix: str = "",
     filt: str = "",
+    lr: float = _QC_LR,
+    obs_name: str = "obs",
 ) -> str:
     """The unrolled GD step CTEs g{{k}}/w{{k}} (shared by q433's
     training release, q437's cartography, and q441's cross-validation
@@ -7882,7 +7884,8 @@ def _qc_steps_sql(
     restriction, e.g. `` WHERE doc_id % 3 <> 0``); ``prefix`` renames
     the CTE chain ({{prefix}}g1/{{prefix}}w1…) so several independent
     weight paths can coexist in one oracle (the caller defines
-    {{prefix}}w0). q433 keeps the bare full-batch default, so its
+    {{prefix}}w0); ``lr`` overrides the learning rate (q462's
+    hyperparameter race — exact binary64 literals only). q433 keeps the bare full-batch default, so its
     release is unchanged."""
     dims = _QC_DIMS
     z_fold = (
@@ -7908,7 +7911,7 @@ def _qc_steps_sql(
                        xa
                 FROM (
                     SELECT xa, y, {zf} AS z
-                    FROM obs CROSS JOIN {px}w{p} w{filt}
+                    FROM {obs} CROSS JOIN {px}w{p} w{filt}
                 )
             ) e
         )
@@ -7927,10 +7930,11 @@ def _qc_steps_sql(
             k=k,
             p=k - 1 if k > 1 else 0,
             qs=_QC_QSCALE,
-            lr=_QC_LR,
+            lr=lr,
             dims=dims,
             zf=z_fold,
             px=prefix,
+            obs=obs_name,
             filt=f" WHERE doc_id % 2 = {k % 2}" if subset else filt,
         )
         for k in range(1, n_steps + 1)
@@ -8034,7 +8038,11 @@ def _qc_margin(w: list) -> "Column":
 
 
 def _qc_train(
-    obs: DataFrame, n_steps: int = _QC_STEPS, subset: bool = False
+    obs: DataFrame,
+    n_steps: int = _QC_STEPS,
+    subset: bool = False,
+    lr: float = _QC_LR,
+    w0: list | None = None,
 ) -> tuple[list, list, int]:
     """Run ``n_steps`` quantized-gradient steps over ``obs`` (xa, y);
     returns ``(path, accs, n)`` — ``path[k]`` is the weight vector
@@ -8044,7 +8052,7 @@ def _qc_train(
     (obs must carry doc_id; accuracy counts are then subset-grain).
     One definition of the training loop, shared by q433's release and
     q437's cartography (the Spark twin of ``_qc_steps_sql``)."""
-    w = [0.0] * 4
+    w = [0.0] * 4 if w0 is None else list(w0)
     path: list = []
     accs: list = []
     n_rows = None
@@ -8085,7 +8093,7 @@ def _qc_train(
         gq = {r["dim"]: r["gq"] for r in rows}
         # Mirror the oracle's update arithmetic exactly (q343 rule).
         w = [
-            w[d - 1] - _QC_LR * (gq[d] / _QC_QSCALE / n_rows)
+            w[d - 1] - lr * (gq[d] / _QC_QSCALE / n_rows)
             for d in range(1, 5)
         ]
         path.append(list(w))
@@ -10434,4 +10442,190 @@ def q461_license_propagation_packing(
             ),
         )
         .orderBy("license_profile")
+    )
+
+# --- q462: successive-halving feature-subset race --------------------------
+
+# Candidate model configs = feature masks over the 4 shared features
+# (1 = keep dim, 0 = zero it out). The fixture's label is a length
+# threshold, so configs carrying dim 2 (centered length) separate
+# decisively from those without it at every SF — a NON-VACUOUS
+# elimination (the q388 lesson; an lr race was probed first and the
+# objective is too separable for lr to matter).
+_SH_MASKS = (
+    ("bias+len", (1, 1, 0, 0)),
+    ("bias+awl", (1, 0, 1, 0)),
+    ("bias+stop", (1, 0, 0, 1)),
+    ("all", (1, 1, 1, 1)),
+)
+
+
+def _sh_mask_sql(mask: tuple) -> str:
+    cells = ", ".join(
+        f"xa[{d + 1}]" if keep else "CAST(0.0 AS DOUBLE)"
+        for d, keep in enumerate(mask)
+    )
+    return f"list_value({cells})"
+
+
+def _sh_oracle_sql() -> str:
+    chains = []
+    evals = []
+    cands = []
+    for i, (name, mask) in enumerate(_SH_MASKS):
+        px = f"h{i}_"
+        chains.append(
+            f"obs{i} AS MATERIALIZED (SELECT {_sh_mask_sql(mask)} AS xa,"
+            f" y FROM obs)"
+        )
+        chains.append(
+            f"{px}w0 AS (SELECT list_transform({_QC_DIMS},"
+            f" i -> CAST(0.0 AS DOUBLE)) AS wl)"
+        )
+        chains.append(_qc_steps_sql(3, prefix=px, obs_name=f"obs{i}"))
+        zf = _QC_ZFOLD.replace("xa[i]", "xa[i]")  # shared fold text
+        evals.append(f"""
+    {px}fin AS MATERIALIZED (
+        SELECT sum(CASE WHEN ({zf} > 0) = (y = 1.0)
+                   THEN 1 ELSE 0 END) AS n_correct,
+               count(*) AS n
+        FROM obs{i} CROSS JOIN {px}w3 w
+    )""")
+        cands.append(
+            f"SELECT '{name}' AS config,"
+            f" (SELECT n_correct FROM {px}w2) AS acc1,"
+            f" (SELECT n_correct FROM {px}w3) AS acc2,"
+            f" (SELECT n_correct FROM {px}fin) AS acc3,"
+            f" (SELECT n FROM {px}fin) AS n"
+        )
+    return f"""
+    WITH {_qc_obs_sql()},
+    {",".join(chains)},
+    {",".join(evals)},
+    cand AS MATERIALIZED (
+        SELECT *,
+               row_number() OVER (ORDER BY acc1 DESC, config ASC) AS r1
+        FROM ({" UNION ALL ".join(cands)})
+    ),
+    cand2 AS MATERIALIZED (
+        SELECT *,
+               row_number() OVER (ORDER BY acc2 DESC, config ASC) AS r2
+        FROM cand WHERE r1 <= 2
+    )
+    SELECT rnd, config, acc, survived FROM (
+        SELECT 1 AS rnd, config,
+               ((2 * acc1 * 1000000 + n) // (2 * n)) / 1000000.0 AS acc,
+               r1 <= 2 AS survived
+        FROM cand
+        UNION ALL
+        SELECT 2, config,
+               ((2 * acc2 * 1000000 + n) // (2 * n)) / 1000000.0,
+               r2 = 1
+        FROM cand2
+        UNION ALL
+        SELECT 3, config,
+               ((2 * acc3 * 1000000 + n) // (2 * n)) / 1000000.0,
+               TRUE
+        FROM cand2 WHERE r2 = 1
+    )
+    ORDER BY rnd, config
+    """
+
+
+@query(
+    "q462_successive_halving_feature_race",
+    oracle=_sh_oracle_sql(),
+    tags=("llm", "training", "hyperparameter", "successive-halving",
+          "model-selection", "curation"),
+)
+def q462_successive_halving_feature_race(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """SUCCESSIVE HALVING over model configurations — the
+    hyperparameter/model-SEARCH member of the training family (q433
+    trains one config; q441 cross-validates one; this races
+    {len(_SH_MASKS)} feature-subset configs under the
+    Jamieson-Talwalkar elimination schedule at the heart of
+    Hyperband): every config takes one full-batch step, the top half
+    by accuracy survives, survivors take another step, the winner
+    finishes a third. Released per round: each live candidate's
+    config name, post-step accuracy, and survival — the elimination
+    bracket on the verified path. The candidates are feature MASKS
+    (an lr race was probed first: the objective is separable enough
+    that every lr ties — the mask race separates decisively at every
+    SF because only configs carrying the length feature can learn
+    the length-threshold label).
+
+    Determinism: all four weight paths reuse the SHARED step template
+    (obs-name override) so each path is bit-exact q433 arithmetic on
+    its masked features; rankings compare exact integer
+    correct-counts with the config name as tie-break; released
+    accuracies use the half-up idiom.
+
+    Engine-vs-oracle cost note: the ENGINE runs the real halving
+    schedule (4+2+1 = 7 gradient scans, survivors warm-starting from
+    their round-N weights); the ORACLE, unable to conditionally
+    instantiate CTEs, materializes all 12 steps and applies the
+    elimination in the final select — same released rows,
+    deliberately different compute shape.
+
+    Scale posture: q433's dataflow × live candidates; the bracket
+    bounds total scans at Σ n/2^k — successive halving's point.
+    Reference contract: per-example gradient = map slot
+    (``App.config:16``); elimination = reduce slot
+    (``App.config:17``, ``Program.cs:351-384``)."""
+    base = _qc_obs(spark, sf_dir)
+
+    def masked(mask: tuple) -> DataFrame:
+        cells = [
+            F.element_at("xa", d + 1) if keep else F.lit(0.0)
+            for d, keep in enumerate(mask)
+        ]
+        return base.select(F.array(*cells).alias("xa"), "y").persist()
+
+    obs_by = {name: masked(mask) for name, mask in _SH_MASKS}
+
+    def acc_of(name: str, w: list) -> tuple:
+        z = _qc_margin(w)
+        r = obs_by[name].agg(
+            F.sum(
+                F.when((z > 0) == (F.col("y") == 1.0), 1).otherwise(0)
+            ).alias("nc"),
+            F.count(F.lit(1)).alias("n"),
+        ).collect()[0]
+        return int(r["nc"]), int(r["n"])
+
+    names = [n for n, _ in _SH_MASKS]
+    state = {}
+    for name in names:
+        path, _, _ = _qc_train(obs_by[name], 1)
+        state[name] = path[-1]
+    acc1 = {n: acc_of(n, state[n]) for n in names}
+    surv1 = sorted(names, key=lambda n: (-acc1[n][0], n))[:2]
+    for n in surv1:
+        path, _, _ = _qc_train(obs_by[n], 1, w0=state[n])
+        state[n] = path[-1]
+    acc2 = {n: acc_of(n, state[n]) for n in surv1}
+    winner = sorted(surv1, key=lambda n: (-acc2[n][0], n))[0]
+    path, _, _ = _qc_train(obs_by[winner], 1, w0=state[winner])
+    acc3 = {winner: acc_of(winner, path[-1])}
+    for df in obs_by.values():
+        df.unpersist()
+    rows = (
+        [(1, n, acc1[n][0], acc1[n][1], n in surv1) for n in names]
+        + [(2, n, acc2[n][0], acc2[n][1], n == winner) for n in surv1]
+        + [(3, winner, acc3[winner][0], acc3[winner][1], True)]
+    )
+    return (
+        spark.createDataFrame(
+            rows,
+            "rnd int, config string, nc long, n long, survived boolean",
+        )
+        .select(
+            "rnd",
+            "config",
+            half_up_ratio(F.col("nc"), F.col("n"), 6).alias("acc"),
+            "survived",
+        )
+        .orderBy("rnd", "config")
     )

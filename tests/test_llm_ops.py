@@ -1623,3 +1623,30 @@ def test_q461_license_propagation_conservation(spark, sf_dir):
         )
     ).collect()[0][0]
     assert sum(r.n_tokens for r in rows) == total_toks
+
+
+def test_q462_halving_eliminates_signal_free_configs(spark, sf_dir):
+    """Successive-halving invariants: a 4/2/1 bracket (7 rows); round
+    1 keeps exactly the two configs that carry the length feature
+    (the only signal for the length-threshold label - their accuracy
+    exceeds the signal-free configs by a wide margin, so the
+    elimination is non-vacuous, not a tie-break); rounds conserve
+    survivors; the winner carries the length feature."""
+    rows = (
+        REGISTRY["q462_successive_halving_feature_race"]
+        .fn(spark, sf_dir)
+        .collect()
+    )
+    spark.catalog.clearCache()
+    r1 = [r for r in rows if r.rnd == 1]
+    r2 = [r for r in rows if r.rnd == 2]
+    r3 = [r for r in rows if r.rnd == 3]
+    assert (len(r1), len(r2), len(r3)) == (4, 2, 1)
+    surv1 = {r.config for r in r1 if r.survived}
+    assert surv1 == {"all", "bias+len"}
+    signal = [r.acc for r in r1 if r.config in surv1]
+    noise = [r.acc for r in r1 if r.config not in surv1]
+    assert min(signal) > max(noise) + 0.3
+    assert {r.config for r in r2} == surv1
+    assert sum(1 for r in r2 if r.survived) == 1
+    assert r3[0].survived and "len" in r3[0].config or r3[0].config == "all"
