@@ -10126,8 +10126,14 @@ def _mom_oracle_sql() -> str:
         )
         UNION ALL
         SELECT 'v', s.dim,
-               round(CAST(s.vv AS DOUBLE) / {10**_MOM_STEPS} / {qs}, 6)
-                   + 0.0
+               (CASE WHEN s.vv >= 0
+                     THEN (2 * CAST(s.vv AS HUGEINT) * 1000000
+                           + {10**_MOM_STEPS * qs})
+                          // (2 * CAST({10**_MOM_STEPS * qs} AS HUGEINT))
+                     ELSE -((2 * CAST(-s.vv AS HUGEINT) * 1000000
+                             + {10**_MOM_STEPS * qs})
+                            // (2 * CAST({10**_MOM_STEPS * qs} AS HUGEINT)))
+                END) / 1000000.0 + 0.0
         FROM (
             SELECT unnest(list_transform({dims},
                 i -> struct_pack(dim := i, vv := v.vl[i]))) AS s
@@ -10249,19 +10255,25 @@ def q459_momentum_training(spark: SparkSession, sf_dir: str) -> DataFrame:
         "idx",
         half_up_ratio(F.col("num"), F.col("den"), 6).alias("value"),
     )
-    wv_df = spark.createDataFrame(
-        [("w", d, w[d - 1]) for d in range(1, 5)]
-        + [
-            (
-                "v",
-                d,
-                vint[d - 1] / 10**_MOM_STEPS / _QC_QSCALE,
-            )
-            for d in range(1, 5)
-        ],
+    w_df = spark.createDataFrame(
+        [("w", d, w[d - 1]) for d in range(1, 5)],
         "item string, idx int, raw double",
     ).select("item", "idx", round_nz(F.col("raw"), 6).alias("value"))
-    return acc_df.unionByName(wv_df).orderBy("item", "idx")
+    # Velocity is an exact integer over the exact denominator
+    # 10^steps * qscale - release through the SIGNED half-up idiom,
+    # not a rounded double ratio (the q345 trap; caught by the
+    # rounding-contract test).
+    v_df = spark.createDataFrame(
+        [("v", d, vint[d - 1]) for d in range(1, 5)],
+        "item string, idx int, vq long",
+    ).select(
+        "item",
+        "idx",
+        half_up_ratio_signed(
+            F.col("vq"), F.lit(10**_MOM_STEPS * _QC_QSCALE), 6
+        ).alias("value"),
+    )
+    return acc_df.unionByName(w_df).unionByName(v_df).orderBy("item", "idx")
 
 
 # --- q461: license/provenance propagation through window packing ----------
@@ -10629,3 +10641,168 @@ def q462_successive_halving_feature_race(
         )
         .orderBy("rnd", "config")
     )
+
+
+# --- q463: gradient-matching data selection (CRAIG-style) ------------------
+
+_GM_K = 10  # selected coreset size (greedy rounds)
+
+
+def _gm_oracle_sql() -> str:
+    qs = _QC_QSCALE
+    steps = []
+    for t in range(1, _GM_K + 1):
+        prev_picks = " UNION ALL ".join(
+            f"SELECT doc_id FROM s{j}" for j in range(1, t)
+        )
+        excl = (
+            f"AND g.doc_id NOT IN ({prev_picks})" if t > 1 else ""
+        )
+        steps.append(f"""
+    s{t} AS MATERIALIZED (
+        SELECT g.doc_id, g.g1, g.g2, g.g3, g.g4,
+               (CAST(g.g1 AS HUGEINT) * r.r1
+                + CAST(g.g2 AS HUGEINT) * r.r2
+                + CAST(g.g3 AS HUGEINT) * r.r3
+                + CAST(g.g4 AS HUGEINT) * r.r4) AS dot
+        FROM gdoc g CROSS JOIN r{t - 1} r
+        WHERE TRUE {excl}
+        ORDER BY dot DESC, g.doc_id ASC
+        LIMIT 1
+    ),
+    r{t} AS MATERIALIZED (
+        SELECT r.r1 - m.m * s.g1 AS r1,
+               r.r2 - m.m * s.g2 AS r2,
+               r.r3 - m.m * s.g3 AS r3,
+               r.r4 - m.m * s.g4 AS r4
+        FROM r{t - 1} r CROSS JOIN s{t} s CROSS JOIN mm m
+    )""")
+    rows = " UNION ALL ".join(
+        f"SELECT {t} AS rnd, s.doc_id,"
+        f" CAST(s.dot // {qs} AS BIGINT) AS dot_scaled,"
+        f" CAST((CAST(r.r1 AS HUGEINT) * r.r1 + CAST(r.r2 AS HUGEINT) * r.r2"
+        f"       + CAST(r.r3 AS HUGEINT) * r.r3"
+        f"       + CAST(r.r4 AS HUGEINT) * r.r4) // {qs} AS BIGINT)"
+        f"     AS resid_norm2_scaled"
+        f" FROM s{t} s CROSS JOIN r{t} r"
+        for t in range(1, _GM_K + 1)
+    )
+    return f"""
+    WITH {_qc_obs_sql(with_id=True)},
+    gdoc AS MATERIALIZED (
+        SELECT doc_id,
+               CAST(round((0.5 - y) * xa[1] * {qs}) AS BIGINT) AS g1,
+               CAST(round((0.5 - y) * xa[2] * {qs}) AS BIGINT) AS g2,
+               CAST(round((0.5 - y) * xa[3] * {qs}) AS BIGINT) AS g3,
+               CAST(round((0.5 - y) * xa[4] * {qs}) AS BIGINT) AS g4
+        FROM obs
+    ),
+    mm AS (SELECT count(*) // {_GM_K} AS m FROM gdoc),
+    r0 AS MATERIALIZED (
+        SELECT sum(g1) AS r1, sum(g2) AS r2, sum(g3) AS r3, sum(g4) AS r4
+        FROM gdoc
+    ),
+    n0 AS (
+        SELECT CAST((CAST(r1 AS HUGEINT) * r1 + CAST(r2 AS HUGEINT) * r2
+                     + CAST(r3 AS HUGEINT) * r3 + CAST(r4 AS HUGEINT) * r4)
+                    // {qs} AS BIGINT) AS full_norm2
+        FROM r0
+    ),
+    {",".join(steps)}
+    SELECT CAST(x.rnd AS BIGINT) AS rnd, x.doc_id, x.dot_scaled,
+           x.resid_norm2_scaled, n0.full_norm2
+    FROM ({rows}) x CROSS JOIN n0
+    ORDER BY rnd
+    """
+
+
+@query(
+    "q463_gradient_matching_selection",
+    oracle=_gm_oracle_sql(),
+    tags=("llm", "training", "data-selection", "coreset", "curation"),
+)
+def q463_gradient_matching_selection(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Gradient-matching DATA SELECTION (CRAIG / GradMatch style) —
+    the curation family's optimization-aware selector: q432 picks a
+    geometric k-center coreset, q363 a value-per-token knapsack; this
+    greedily picks the {_GM_K} documents whose SCALED gradient sum
+    best matches the full-corpus gradient at the shared classifier's
+    init (matching pursuit: each round takes the doc with the largest
+    exact-integer dot product against the current residual, then
+    subtracts m·g_doc with m = n div {_GM_K}). Released per round:
+    the pick, its matching dot product, the residual norm²
+    trajectory, and the full-gradient norm² — training on the
+    selection approximates training on the corpus to the released
+    residual.
+
+    Determinism: per-example gradients quantize to 1e-6 BIGINTs at
+    the deterministic init (z = 0 → p = 0.5 exactly — no libm
+    anywhere); dots and norms are exact HUGEINT/decimal(38,0)
+    cross-products (r² exceeds int64 — the q390 widening rule),
+    released floor-scaled by 1e6; argmax ties break on doc_id.
+
+    Scale posture: ONE corpus scan builds the per-doc gradient frame
+    (persisted, doc grain); each greedy round is a TakeOrdered(1)
+    over it with the 4-cell residual as broadcast literals — the
+    residual is parameter-server state (the q433 rule), and the
+    round count is the constant k. Reference contract: per-doc
+    gradient = map slot (``App.config:16``); greedy matching = reduce
+    slot (``App.config:17``, ``Program.cs:351-384``)."""
+    qs = _QC_QSCALE
+    obs = _qc_obs(spark, sf_dir, with_id=True)
+    gdoc = obs.select(
+        "doc_id",
+        *[
+            F.round(
+                (F.lit(0.5) - F.col("y"))
+                * F.element_at("xa", d)
+                * qs
+            )
+            .cast("long")
+            .alias(f"g{d}")
+            for d in range(1, 5)
+        ],
+    ).persist()
+    tot = gdoc.agg(
+        F.count(F.lit(1)).alias("n"),
+        *[F.sum(f"g{d}").alias(f"r{d}") for d in range(1, 5)],
+    ).collect()[0]
+    n = int(tot["n"])
+    m = n // _GM_K
+    r = [int(tot[f"r{d}"]) for d in range(1, 5)]
+    full_norm2 = sum(v * v for v in r) // qs
+    picked: list = []
+    out: list = []
+    for t in range(1, _GM_K + 1):
+        dot = sum(
+            F.col(f"g{d}").cast("decimal(38,0)") * F.lit(r[d - 1]).cast("decimal(38,0)")
+            for d in range(1, 5)
+        )
+        cand = gdoc
+        if picked:
+            cand = cand.where(~F.col("doc_id").isin(*picked))
+        row = (
+            cand.select("doc_id", "g1", "g2", "g3", "g4", dot.alias("dot"))
+            .orderBy(F.desc("dot"), F.asc("doc_id"))
+            .limit(1)
+            .collect()
+        )[0]
+        picked.append(int(row["doc_id"]))
+        r = [r[d - 1] - m * int(row[f"g{d}"]) for d in range(1, 5)]
+        out.append(
+            (
+                t,
+                int(row["doc_id"]),
+                int(row["dot"]) // qs,
+                sum(v * v for v in r) // qs,
+                full_norm2,
+            )
+        )
+    gdoc.unpersist()
+    return spark.createDataFrame(
+        out,
+        "rnd long, doc_id long, dot_scaled long,"
+        " resid_norm2_scaled long, full_norm2 long",
+    ).orderBy("rnd")

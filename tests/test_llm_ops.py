@@ -1650,3 +1650,62 @@ def test_q462_halving_eliminates_signal_free_configs(spark, sf_dir):
     assert {r.config for r in r2} == surv1
     assert sum(1 for r in r2 if r.survived) == 1
     assert r3[0].survived and "len" in r3[0].config or r3[0].config == "all"
+
+
+def test_q463_gradient_matching_reduces_residual(spark, sf_dir):
+    """Gradient-matching invariants: 10 greedy rounds pick 10 DISTINCT
+    documents; the full-gradient norm is constant across rows; the
+    best residual along the trajectory is far below the do-nothing
+    baseline (matching pursuit with a fixed n/k scale oscillates near
+    the bottom, so the pin is on the minimum, not monotonicity -
+    probed >= 99% reduction by round ~6 at every SF); residual norms
+    are non-negative; and round 1's pick maximizes the dot product
+    against the full gradient (recomputed independently here)."""
+    from pyspark.sql import functions as F
+
+    from azure_batch_map_reduce_spark.functions.curation import (
+        _QC_QSCALE,
+        _qc_obs,
+    )
+
+    rows = (
+        REGISTRY["q463_gradient_matching_selection"]
+        .fn(spark, sf_dir)
+        .orderBy("rnd")
+        .collect()
+    )
+    spark.catalog.clearCache()
+    assert [r.rnd for r in rows] == list(range(1, 11))
+    assert len({r.doc_id for r in rows}) == 10
+    assert len({r.full_norm2 for r in rows}) == 1
+    full = rows[0].full_norm2
+    assert all(r.resid_norm2_scaled >= 0 for r in rows)
+    assert min(r.resid_norm2_scaled for r in rows) < full * 0.05
+
+    obs = _qc_obs(spark, sf_dir, with_id=True)
+    gdoc = obs.select(
+        "doc_id",
+        *[
+            F.round(
+                (F.lit(0.5) - F.col("y")) * F.element_at("xa", d) * _QC_QSCALE
+            )
+            .cast("long")
+            .alias(f"g{d}")
+            for d in range(1, 5)
+        ],
+    )
+    tot = gdoc.agg(
+        *[F.sum(f"g{d}").alias(f"r{d}") for d in range(1, 5)]
+    ).collect()[0]
+    dot = sum(
+        F.col(f"g{d}").cast("decimal(38,0)")
+        * F.lit(int(tot[f"r{d}"])).cast("decimal(38,0)")
+        for d in range(1, 5)
+    )
+    best = (
+        gdoc.select("doc_id", dot.alias("dot"))
+        .orderBy(F.desc("dot"), F.asc("doc_id"))
+        .limit(1)
+        .collect()[0]
+    )
+    assert rows[0].doc_id == best["doc_id"]
