@@ -366,7 +366,24 @@ HEADLINE = [
     # q459: 4 fused gradient scans + final accuracy scan (eager,
     # model-grain collects — honest cost in `queries_honest`).
     "q459_momentum_training",
+    # q460: one bigram aggregate + 12 1-row argmax lookups (eager).
+    "q460_greedy_bigram_decoding",
+    # q461: q424's running-sum packing + a bounded profile rollup.
+    "q461_license_propagation_packing",
+    # q462: the real 4+2+1 halving schedule — 7 gradient + 7 eval
+    # scans over masked feature frames (eager).
+    "q462_successive_halving_feature_race",
+    # q463: one gradient-frame scan + 10 TakeOrdered(1) rounds
+    # against broadcast residual literals (eager).
+    "q463_gradient_matching_selection",
 ]
+
+
+def _load_1min() -> float:
+    try:
+        return round(os.getloadavg()[0], 2)
+    except OSError:  # pragma: no cover - non-POSIX
+        return -1.0
 
 
 def main() -> None:
@@ -392,6 +409,7 @@ def main() -> None:
         t2 = time.perf_counter()
         return t2 - t1, t2 - t0
 
+    load_at_start = _load_1min()
     materialize("q01_pricing_summary")  # warmup, untimed
 
     times: dict[str, float] = {}
@@ -447,6 +465,10 @@ def main() -> None:
         "regressions judged on `queries` (sink-only); `queries_honest` "
         "adds fn()-time for eager/iterative rows (r12+)",
         "host_drift": "±10-25% cross-run on identical code; see module docstring",
+        # r12 verdict task 3: record the host's 1-minute load average at
+        # measurement START so the comparison protocol can tell a
+        # drift-elevated session from a regression without a re-run.
+        "load_1min": load_at_start,
     }
     # Detail sidecar path: $SPARK_GRAFT_BENCH_DETAIL overrides; the
     # DEFAULT is the UNCOMMITTED local name (r11 verdict task 3 — an

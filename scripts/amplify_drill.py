@@ -81,6 +81,18 @@ DRILL_QUERIES = [
     "q445_exact_substring_dup_coverage",
     "q447_unigram_lm_hard_em_mstep",
     "q448_tracin_gradient_influence",
+    # Round-13 additions: the blocked-DP tokenizer pipeline (q452 EM
+    # round 2, q454 prune — both run the q447 backtrack plus extra
+    # blocked E-steps; rot-k copies grow the piece vocabulary ~10x),
+    # the sparse RM3 rescoring (rotated vocabularies keep feedback
+    # models disjoint across copies), and the two eager training
+    # selectors (q462 bracket, q463 matching pursuit — rot-k keeps
+    # features independent).
+    "q452_unigram_lm_em_round2",
+    "q454_unigram_lm_vocab_pruning",
+    "q458_rm3_pseudo_relevance_feedback",
+    "q462_successive_halving_feature_race",
+    "q463_gradient_matching_selection",
 ]
 
 # Geometric operators need a DIFFERENT amplification: identical-copy
