@@ -1709,3 +1709,41 @@ def test_q463_gradient_matching_reduces_residual(spark, sf_dir):
         .collect()[0]
     )
     assert rows[0].doc_id == best["doc_id"]
+
+
+def test_q464_table_arg_udtf_run_algebra(spark, sf_dir):
+    """Table-argument UDTF invariants: per-source doc counts conserve
+    the corpus; run algebra holds exactly - islands partition each
+    source's sequence, so 1 <= longest <= n_docs and n_runs bands
+    between ceil(n/longest) and n - longest + 1; and the UDTF result
+    equals an independent per-source Python recomputation over the
+    (source, doc_id)-ordered n_chars sequence (a broken ORDER BY
+    inside the table-argument feed corrupts this immediately)."""
+    rows = {
+        r.source: r
+        for r in REGISTRY["q464_table_argument_udtf"].fn(spark, sf_dir).collect()
+    }
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    got = docs.select("source", "doc_id", "n_chars").collect()
+    by_src: dict = {}
+    for r in sorted(got, key=lambda r: (r.source, r.doc_id)):
+        by_src.setdefault(r.source, []).append(r.n_chars)
+    assert set(by_src) == set(rows)
+    for src, seq in by_src.items():
+        longest, cur, runs, prev = 0, 0, 0, None
+        for v in seq:
+            if prev is None or v <= prev:
+                runs += 1
+                cur = 1
+            else:
+                cur += 1
+            longest = max(longest, cur)
+            prev = v
+        r = rows[src]
+        assert (r.n_docs, r.longest_inc_run, r.n_runs) == (
+            len(seq),
+            longest,
+            runs,
+        ), src
+        assert 1 <= r.longest_inc_run <= r.n_docs
+        assert r.n_runs <= r.n_docs - r.longest_inc_run + 1
