@@ -1517,3 +1517,87 @@ def q406_multi_source_stream_union(spark: SparkSession, sf_dir: str) -> DataFram
         )
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+# --- q465: DYNAMIC-GAP session windows (per-key gap expression) ------------
+
+
+@query(
+    "q465_dynamic_gap_session_window",
+    oracle="""
+    WITH g AS (
+        SELECT user_id, ts, value,
+               CASE WHEN user_id % 2 = 0 THEN INTERVAL 30 MINUTE
+                    ELSE INTERVAL 10 MINUTE END AS gap
+        FROM events
+    ),
+    x AS (
+        SELECT user_id, ts, value, gap,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR ts - lag(ts) OVER w > gap
+                    THEN 1 ELSE 0 END AS new_sess
+        FROM g
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, value ASC)
+    ),
+    y AS (
+        SELECT *, sum(new_sess) OVER (
+            PARTITION BY user_id ORDER BY ts ASC
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
+        FROM x
+    )
+    SELECT user_id,
+           min(ts)            AS session_start,
+           max(ts) + max(gap) AS session_end,
+           count(*)           AS n_events,
+           round(sum(value), 2) AS total_value
+    FROM y
+    GROUP BY user_id, sess_id
+    """,
+    tags=("streaming", "session", "dynamic-gap"),
+)
+def q465_dynamic_gap_session_window(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Session windows with a DYNAMIC, per-key inactivity gap — the
+    session-window variant q82's fixed 30-minute gap doesn't cover
+    (Spark 3.2+: ``session_window(ts, gap_expression)``, the API a
+    production sessionizer uses when engagement tiers time out
+    differently): even users close after 30 idle minutes, odd users
+    after 10. Shorter gaps split odd users' activity into MORE
+    sessions — the oracle replays the same rule with a per-user gap
+    in the gaps-and-islands idiom (session_end = last event + that
+    user's gap, exactly Spark's session_window end).
+
+    Determinism: gap choice is integer parity; session membership
+    compares exact µs timestamps; value sums round at 2 (the fixture
+    generates 2dp values — exact in both engines' doubles at this
+    magnitude, the q80 family's rule).
+
+    Scale posture: one hash exchange on user_id (the same shuffle
+    fixed-gap sessionization pays — the gap expression evaluates
+    map-side per row); state per open session is O(1). Works
+    identically under structured streaming with a watermark (the
+    fixed-gap streamed drill is q84/q405's family; this row pins the
+    gap-EXPRESSION surface). Reference contract: per-event gap
+    tagging = map slot (``App.config:16``); session merge = reduce
+    slot (``App.config:17``)."""
+    events = load_tables(spark, sf_dir)["events"]
+    gap = F.when(F.col("user_id") % 2 == 0, F.lit("30 minutes")).otherwise(
+        F.lit("10 minutes")
+    )
+    return (
+        events.groupBy(
+            F.session_window("ts", gap).alias("w"), "user_id"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "total_value",
+        )
+    )

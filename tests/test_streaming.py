@@ -490,3 +490,46 @@ def test_union_stream_cleans_scratch_on_failure(spark, sf_dir, monkeypatch, tmp_
     with pytest.raises(RuntimeError, match="simulated stream failure"):
         sw.q406_multi_source_stream_union(spark, sf_dir)
     assert glob.glob(os.path.join(str(tmp_path), "abmr-union-*")) == []
+
+
+def test_q465_dynamic_gap_splits_more_sessions(spark, sf_dir):
+    """Dynamic-gap invariant: odd users (10-minute gap) can only have
+    MORE OR EQUAL sessions than they would under the even users'
+    30-minute gap (shrinking the gap refines the partition of a
+    user's timeline), and the per-user session counts must strictly
+    exceed the 30-minute baseline somewhere (non-vacuous at every
+    fixture SF); session spans conserve events per user."""
+    from pyspark.sql import functions as F
+
+    from azure_batch_map_reduce_spark.registry import load_all
+
+    reg = load_all()
+    dyn = reg["q465_dynamic_gap_session_window"].fn(spark, sf_dir).collect()
+    fixed = reg["q82_session_window"].fn(spark, sf_dir).collect()
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    n_per_user = {
+        r.user_id: r.n
+        for r in events.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+
+    def sess_counts(rows):
+        d: dict = {}
+        ev: dict = {}
+        for r in rows:
+            d[r.user_id] = d.get(r.user_id, 0) + 1
+            ev[r.user_id] = ev.get(r.user_id, 0) + r.n_events
+        return d, ev
+
+    dyn_n, dyn_ev = sess_counts(dyn)
+    fix_n, _ = sess_counts(fixed)
+    assert dyn_ev == n_per_user  # conservation
+    strict = 0
+    for u, n in dyn_n.items():
+        if u % 2 == 1:
+            assert n >= fix_n[u], u  # refinement
+            strict += n > fix_n[u]
+        else:
+            assert n == fix_n[u], u  # even users identical to fixed gap
+    assert strict > 0
