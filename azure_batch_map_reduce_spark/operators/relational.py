@@ -4240,3 +4240,174 @@ def q456_regression_influence_diagnostics(
             round_nz(F.col("cd"), 10).alias("cooks_d"),
         )
     )
+
+
+# --- q466: storage-encoding advisor (dictionary / RLE / plain) -------------
+
+# (column, byte width of a plain-encoded value, SQL expression)
+_ENC_COLS = (
+    ("l_returnflag", 1, "l_returnflag"),
+    ("l_linestatus", 1, "l_linestatus"),
+    ("l_quantity", 8, "l_quantity"),
+    ("l_extendedprice", 8, "l_extendedprice"),
+)
+_ENC_RLE_HDR = 4  # per-run length header bytes
+
+
+def _enc_oracle_sql() -> str:
+    branches = []
+    for name, width, expr in _ENC_COLS:
+        branches.append(f"""
+    SELECT '{name}' AS col_name,
+           CAST({width} AS BIGINT) AS width_bytes,
+           count(*) AS n,
+           count(DISTINCT v) AS ndv,
+           count(*) - sum(CASE WHEN v = pv THEN 1 ELSE 0 END) AS runs
+    FROM (
+        SELECT {expr} AS v,
+               lag({expr}) OVER (
+                   PARTITION BY l_orderkey
+                   ORDER BY l_linenumber ASC, l_partkey ASC,
+                            l_suppkey ASC, l_extendedprice ASC) AS pv
+        FROM lineitem
+    )""")
+    return f"""
+    WITH percol AS ({" UNION ALL ".join(branches)}),
+    sized AS (
+        SELECT col_name, width_bytes, n, ndv, runs,
+               n * width_bytes AS plain_bytes,
+               ndv * width_bytes
+                   + (n * length(bin(greatest(ndv - 1, 1))) + 7) // 8
+                   AS dict_bytes,
+               runs * (width_bytes + {_ENC_RLE_HDR}) AS rle_bytes
+        FROM percol
+    )
+    SELECT col_name,
+           CAST(n AS BIGINT) AS n,
+           CAST(ndv AS BIGINT) AS ndv,
+           CAST(runs AS BIGINT) AS runs,
+           CAST(plain_bytes AS BIGINT) AS plain_bytes,
+           CAST(dict_bytes AS BIGINT) AS dict_bytes,
+           CAST(rle_bytes AS BIGINT) AS rle_bytes,
+           CASE WHEN rle_bytes <= dict_bytes AND rle_bytes <= plain_bytes
+                THEN 'rle'
+                WHEN dict_bytes <= plain_bytes THEN 'dictionary'
+                ELSE 'plain' END AS chosen
+    FROM sized
+    ORDER BY col_name
+    """
+
+
+@query(
+    "q466_storage_encoding_advisor",
+    oracle=_enc_oracle_sql(),
+    tags=("layout", "encoding", "storage", "advisor", "statistics"),
+)
+def q466_storage_encoding_advisor(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Storage ENCODING ADVISOR — the layout family's write-side
+    member (q316 simulates zone-map skipping against real row-group
+    stats, q369 sizes delta+varint postings, q115 plans Z-order; this
+    picks the column encoding a parquet/ORC writer would): per
+    column, the advisor gathers the three statistics the choice turns
+    on — value count, distinct count, and RUN count — and prices
+    plain (n·w), dictionary (ndv·w + n·⌈log₂ ndv⌉ bits packed) and
+    RLE (runs·(w + header)) layouts, releasing all three sizes and
+    the winner. Low-cardinality flags choose dictionary; the run
+    statistic is computed within (l_orderkey, l_linenumber) groups —
+    the page-local adjacency a writer actually sees (runs never span
+    row groups), which also keeps the computation a per-group window
+    instead of a global one.
+
+    Determinism: counts/ndv/runs are exact integers; the bit width is
+    length(bin(ndv−1)) on both engines; sizes are pure integer
+    arithmetic; doubles participate only through exact EQUALITY
+    comparisons (ndv / adjacent-run tests), which are bit-exact on
+    identical parquet values.
+
+    Scale posture: one fact scan; the lag runs inside the
+    orderkey-partitioned window (co-partitioned with the table's
+    natural key — at 100 TB this is the per-page pass the writer
+    already makes); the rollup is |columns|-grain. Reference
+    contract: per-page stats = map slot (``App.config:16``); advisor
+    rollup = reduce slot (``App.config:17``)."""
+    li = load_tables(spark, sf_dir)["lineitem"]
+    # (l_orderkey, l_linenumber) is NOT unique in this fixture (probed:
+    # 11,785 dup pairs at sf0.01) — the page order must be TOTAL or the
+    # two engines disagree on adjacency; (+partkey, suppkey,
+    # extendedprice) is unique at every SF.
+    w_adj = Window.partitionBy("l_orderkey").orderBy(
+        F.asc("l_linenumber"),
+        F.asc("l_partkey"),
+        F.asc("l_suppkey"),
+        F.asc("l_extendedprice"),
+    )
+    frames = []
+    for name, width, expr in _ENC_COLS:
+        v = F.expr(expr)
+        percol = (
+            li.select(
+                "l_orderkey",
+                "l_linenumber",
+                "l_partkey",
+                "l_suppkey",
+                "l_extendedprice",
+                v.alias("v"),
+            )
+            .withColumn("pv", F.lag("v").over(w_adj))
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.countDistinct("v").alias("ndv"),
+                (
+                    F.count(F.lit(1))
+                    - F.sum(
+                        F.when(F.col("v") == F.col("pv"), 1).otherwise(0)
+                    )
+                ).alias("runs"),
+            )
+            .select(
+                F.lit(name).alias("col_name"),
+                F.lit(width).cast("long").alias("width_bytes"),
+                "n",
+                "ndv",
+                "runs",
+            )
+        )
+        frames.append(percol)
+    percol = frames[0]
+    for fdf in frames[1:]:
+        percol = percol.unionByName(fdf)
+    sized = percol.select(
+        "col_name",
+        "n",
+        "ndv",
+        "runs",
+        (F.col("n") * F.col("width_bytes")).alias("plain_bytes"),
+        (
+            F.col("ndv") * F.col("width_bytes")
+            + F.expr(
+                "(n * length(bin(greatest(ndv - 1, 1))) + 7) div 8"
+            )
+        ).alias("dict_bytes"),
+        (F.col("runs") * (F.col("width_bytes") + _ENC_RLE_HDR)).alias(
+            "rle_bytes"
+        ),
+    )
+    return sized.select(
+        "col_name",
+        F.col("n").cast("long").alias("n"),
+        F.col("ndv").cast("long").alias("ndv"),
+        F.col("runs").cast("long").alias("runs"),
+        F.col("plain_bytes").cast("long").alias("plain_bytes"),
+        F.col("dict_bytes").cast("long").alias("dict_bytes"),
+        F.col("rle_bytes").cast("long").alias("rle_bytes"),
+        F.when(
+            (F.col("rle_bytes") <= F.col("dict_bytes"))
+            & (F.col("rle_bytes") <= F.col("plain_bytes")),
+            F.lit("rle"),
+        )
+        .when(F.col("dict_bytes") <= F.col("plain_bytes"), F.lit("dictionary"))
+        .otherwise(F.lit("plain"))
+        .alias("chosen"),
+    ).orderBy("col_name")

@@ -1747,3 +1747,38 @@ def test_q464_table_arg_udtf_run_algebra(spark, sf_dir):
         ), src
         assert 1 <= r.longest_inc_run <= r.n_docs
         assert r.n_runs <= r.n_docs - r.longest_inc_run + 1
+
+
+def test_q466_encoding_advisor_algebra(spark, sf_dir):
+    """Encoding-advisor invariants: size formulas recompute exactly
+    from the released stats; the chosen encoding is the true argmin
+    (rle > dict > plain precedence on ties, as released); run counts
+    band between ndv (every distinct value starts >= 1 run) and n;
+    and the fixture's shape is non-vacuous - low-cardinality columns
+    choose dictionary while the near-unique price column does not."""
+    rows = (
+        REGISTRY["q466_storage_encoding_advisor"].fn(spark, sf_dir).collect()
+    )
+    assert len(rows) == 4
+    width = {"l_returnflag": 1, "l_linestatus": 1,
+             "l_quantity": 8, "l_extendedprice": 8}
+    chosen = {}
+    for r in rows:
+        w = width[r.col_name]
+        assert r.plain_bytes == r.n * w
+        bits = max(r.ndv - 1, 1).bit_length()
+        assert r.dict_bytes == r.ndv * w + (r.n * bits + 7) // 8
+        assert r.rle_bytes == r.runs * (w + 4)
+        assert r.ndv <= r.runs <= r.n
+        if r.rle_bytes <= r.dict_bytes and r.rle_bytes <= r.plain_bytes:
+            want = "rle"
+        elif r.dict_bytes <= r.plain_bytes:
+            want = "dictionary"
+        else:
+            want = "plain"
+        assert r.chosen == want, r
+        chosen[r.col_name] = r.chosen
+    assert chosen["l_returnflag"] == "dictionary"
+    assert chosen["l_linestatus"] == "dictionary"
+    assert chosen["l_quantity"] == "dictionary"
+    assert chosen["l_extendedprice"] == "plain"
