@@ -10806,3 +10806,111 @@ def q463_gradient_matching_selection(
         "rnd long, doc_id long, dot_scaled long,"
         " resid_norm2_scaled long, full_norm2 long",
     ).orderBy("rnd")
+
+
+# --- q468: out-of-fold target encoding (leakage-safe features) -------------
+
+_TE_FOLDS = 3
+
+
+@query(
+    "q468_out_of_fold_target_encoding",
+    oracle=f"""
+    WITH d AS (
+        SELECT doc_id, lang,
+               CASE WHEN n_chars > {_QC_THRESH} THEN 1 ELSE 0 END AS y,
+               doc_id % {_TE_FOLDS} AS fold
+        FROM documents
+    ),
+    per_lang AS (
+        SELECT lang, count(*) AS n_lang, sum(y) AS y_lang FROM d GROUP BY 1
+    ),
+    per_cell AS (
+        SELECT lang, fold, count(*) AS n_cell, sum(y) AS y_cell
+        FROM d GROUP BY 1, 2
+    )
+    SELECT c.lang, CAST(c.fold AS INTEGER) AS fold,
+           CAST(c.n_cell AS BIGINT) AS n_docs,
+           CAST(l.n_lang - c.n_cell AS BIGINT) AS oof_n,
+           CAST(l.y_lang - c.y_cell AS BIGINT) AS oof_pos,
+           CASE WHEN l.n_lang = c.n_cell THEN NULL
+                ELSE ((2 * (l.y_lang - c.y_cell) * 1000000
+                       + (l.n_lang - c.n_cell))
+                      // (2 * (l.n_lang - c.n_cell))) / 1000000.0
+           END AS oof_encoding,
+           ((2 * l.y_lang * 1000000 + l.n_lang) // (2 * l.n_lang))
+               / 1000000.0 AS naive_encoding
+    FROM per_cell c JOIN per_lang l USING (lang)
+    ORDER BY c.lang, c.fold
+    """,
+    tags=("features", "target-encoding", "leakage", "folds", "curation"),
+)
+def q468_out_of_fold_target_encoding(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """OUT-OF-FOLD target encoding — the leakage-safe feature-
+    engineering operator (q222 pins the fit-transform split for
+    discretization; q441 holds folds out for EVALUATION; this holds
+    them out for FEATURE CONSTRUCTION): the mean-target encoding of a
+    categorical column (lang) computed, for each fold, over the OTHER
+    folds only — the standard defense against target leakage, where a
+    category's encoding would otherwise carry each row's own label
+    into training. Released per (lang, fold): fold size, out-of-fold
+    support and positive count, the OOF encoding, and the naive
+    full-data encoding beside it — the leakage audit is the released
+    DIFFERENCE (the naive column includes the fold's own labels; the
+    OOF one provably cannot).
+
+    Determinism: the label is the exact q433 threshold rule; folds
+    are doc_id % {_TE_FOLDS}; the OOF totals are per-category totals
+    MINUS per-cell totals (one identity, no per-row anti-joins);
+    encodings use the half-up idiom on exact integer ratios.
+
+    Scale posture: two partial+final aggregates to (lang) and
+    (lang, fold) grain — both bounded — and a broadcast join between
+    them; the subtraction identity means the corpus is scanned ONCE,
+    never once per fold. Reference contract: per-doc labeling = map
+    slot (``App.config:16``); encoding tables = reduce slot
+    (``App.config:17``)."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    d = docs.select(
+        "lang",
+        (F.col("doc_id") % _TE_FOLDS).cast("int").alias("fold"),
+        F.when(F.col("n_chars") > _QC_THRESH, 1).otherwise(0).alias("y"),
+    )
+    per_lang = d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_lang"), F.sum("y").alias("y_lang")
+    )
+    per_cell = d.groupBy("lang", "fold").agg(
+        F.count(F.lit(1)).alias("n_cell"), F.sum("y").alias("y_cell")
+    )
+    return (
+        per_cell.join(F.broadcast(per_lang), "lang")
+        .select(
+            "lang",
+            "fold",
+            F.col("n_cell").cast("long").alias("n_docs"),
+            (F.col("n_lang") - F.col("n_cell")).cast("long").alias("oof_n"),
+            (F.col("y_lang") - F.col("y_cell"))
+            .cast("long")
+            .alias("oof_pos"),
+            # Degenerate-cell guard (the q451 discipline): a lang whose
+            # docs all share one fold has no out-of-fold support —
+            # release NULL on both engines, never divide by zero.
+            F.when(
+                F.col("n_lang") == F.col("n_cell"), F.lit(None)
+            )
+            .otherwise(
+                half_up_ratio(
+                    F.col("y_lang") - F.col("y_cell"),
+                    F.col("n_lang") - F.col("n_cell"),
+                    6,
+                )
+            )
+            .alias("oof_encoding"),
+            half_up_ratio(F.col("y_lang"), F.col("n_lang"), 6).alias(
+                "naive_encoding"
+            ),
+        )
+        .orderBy("lang", "fold")
+    )

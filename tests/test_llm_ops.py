@@ -1782,3 +1782,44 @@ def test_q466_encoding_advisor_algebra(spark, sf_dir):
     assert chosen["l_linestatus"] == "dictionary"
     assert chosen["l_quantity"] == "dictionary"
     assert chosen["l_extendedprice"] == "plain"
+
+
+def test_q468_oof_encoding_excludes_own_fold(spark, sf_dir):
+    """OOF target-encoding invariants: per (lang, fold) the
+    out-of-fold support equals the lang total minus the cell size
+    (recomputed independently); the weighted recombination identity
+    holds exactly - sum over folds of oof_pos equals (folds-1) times
+    the lang's positive count (each fold's positives appear in every
+    OTHER fold's OOF numerator); and the naive encoding equals the
+    lang's full-data rate, constant across that lang's rows."""
+    from collections import defaultdict
+
+    rows = (
+        REGISTRY["q468_out_of_fold_target_encoding"]
+        .fn(spark, sf_dir)
+        .collect()
+    )
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").collect()
+    n = defaultdict(int)
+    pos = defaultdict(int)
+    cell_n = defaultdict(int)
+    cell_pos = defaultdict(int)
+    for d in docs:
+        y = 1 if d.n_chars > 300 else 0
+        n[d.lang] += 1
+        pos[d.lang] += y
+        cell_n[(d.lang, d.doc_id % 3)] += 1
+        cell_pos[(d.lang, d.doc_id % 3)] += y
+    by_lang = defaultdict(list)
+    for r in rows:
+        assert r.n_docs == cell_n[(r.lang, r.fold)]
+        assert r.oof_n == n[r.lang] - cell_n[(r.lang, r.fold)]
+        assert r.oof_pos == pos[r.lang] - cell_pos[(r.lang, r.fold)]
+        if r.oof_n > 0:
+            assert 0.0 <= r.oof_encoding <= 1.0
+        by_lang[r.lang].append(r)
+    for lang, rs in by_lang.items():
+        k = len(rs)
+        assert sum(r.oof_pos for r in rs) == (k - 1) * pos[lang]
+        naive = {r.naive_encoding for r in rs}
+        assert len(naive) == 1
