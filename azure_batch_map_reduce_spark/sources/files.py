@@ -867,3 +867,102 @@ def _register_zone_maps() -> None:
 
 
 _register_zone_maps()
+
+
+# --- q467: malformed-CSV PERMISSIVE ingestion audit -------------------------
+
+
+def _register_malformed_csv() -> None:
+    from pyspark.sql import functions as F
+
+    from azure_batch_map_reduce_spark.catalog import load_tables
+    from azure_batch_map_reduce_spark.registry import query
+
+    @query(
+        "q467_malformed_csv_permissive",
+        oracle="""
+        WITH src AS (
+            SELECT o_orderkey, o_orderpriority,
+                   CASE WHEN o_orderkey % 37 = 0 THEN NULL
+                        ELSE o_totalprice END AS price,
+                   (o_orderkey % 37 = 0) AS corrupt
+            FROM orders
+        )
+        SELECT o_orderpriority,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(sum(CASE WHEN corrupt THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_corrupt,
+               round(sum(price), 2) AS parsed_total
+        FROM src
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
+        """,
+        tags=("source", "csv", "permissive", "corrupt-record", "quality"),
+    )
+    def q467_malformed_csv_permissive(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        """Malformed-CSV ingestion under PERMISSIVE mode — the
+        robustness row of the source matrix (q96 proves the clean CSV
+        round-trip; real feeds are dirty): the orders table is written
+        as raw CSV text with a DETERMINISTIC corruption (every
+        o_orderkey % 37 = 0 row carries a non-numeric price token),
+        then read back with an explicit schema, ``mode=PERMISSIVE``
+        and ``columnNameOfCorruptRecord`` — Spark's contract is to
+        NULL the unparseable field, keep the parseable ones, and
+        capture the raw line in the corrupt-record column. The
+        released per-priority rollup (row counts, corrupt counts,
+        parsed-price totals) hash-matches an oracle that recomputes
+        the same damage from the clean table — proving no corrupt row
+        was dropped (DROPMALFORMED would fail the row counts), no
+        clean row mis-parsed, and every corruption was detected.
+
+        Determinism: the corruption rule is integer modulo; prices
+        round-trip CSV text exactly (shortest-roundtrip printing, the
+        q96/q97 rule); the rollup is exact counts + a 2dp money sum.
+
+        Scale posture: one text write + one schema-applied CSV scan
+        (PERMISSIVE parsing is per-row map work; the corrupt-record
+        column prunes away when unused); the rollup is
+        priority-grain. Reference contract: opaque byte ingestion =
+        the reference's whole data model (``Program.cs:252,286-289``);
+        per-row parse = map slot (``App.config:16``); audit rollup =
+        reduce slot (``App.config:17``)."""
+        orders = load_tables(spark, sf_dir)["orders"]
+        d = _roundtrip_dir("badcsv")
+        lines = orders.select(
+            F.concat_ws(
+                ",",
+                F.col("o_orderkey").cast("string"),
+                F.col("o_orderpriority"),
+                F.when(
+                    F.col("o_orderkey") % 37 == 0, F.lit("CORRUPT")
+                ).otherwise(F.col("o_totalprice").cast("string")),
+            ).alias("value")
+        )
+        lines.write.mode("overwrite").text(d)
+        back = (
+            spark.read.schema(
+                "o_orderkey long, o_orderpriority string,"
+                " o_totalprice double, _bad string"
+            )
+            .option("mode", "PERMISSIVE")
+            .option("columnNameOfCorruptRecord", "_bad")
+            .csv(d)
+        )
+        return (
+            back.groupBy("o_orderpriority")
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum(
+                    F.when(F.col("_bad").isNotNull(), 1).otherwise(0)
+                )
+                .cast("long")
+                .alias("n_corrupt"),
+                F.round(F.sum("o_totalprice"), 2).alias("parsed_total"),
+            )
+            .orderBy("o_orderpriority")
+        )
+
+
+_register_malformed_csv()

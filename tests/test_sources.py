@@ -307,3 +307,49 @@ def test_paced_stream_real_multibatch_offset_progression(spark, sf_dir):
         .collect()
     }
     assert streamed == batch
+
+
+def test_q467_permissive_keeps_and_flags_corrupt_rows(spark, sf_dir):
+    """PERMISSIVE-mode invariants: row counts conserve the table
+    (nothing dropped - DROPMALFORMED would fail this); the corrupt
+    count equals the injected o_orderkey % 37 = 0 population exactly;
+    corruption is non-vacuous at every SF; and parsed totals equal
+    the clean totals minus the corrupted rows' prices."""
+    from pyspark.sql import functions as F
+
+    from azure_batch_map_reduce_spark.registry import load_all
+
+    rows = (
+        load_all()["q467_malformed_csv_permissive"]
+        .fn(spark, sf_dir)
+        .collect()
+    )
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    want = {
+        r.o_orderpriority: (r.n, r.nc, r.t)
+        for r in orders.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.when(F.col("o_orderkey") % 37 == 0, 1).otherwise(0)
+            ).alias("nc"),
+            F.round(
+                F.sum(
+                    F.when(
+                        F.col("o_orderkey") % 37 != 0,
+                        F.col("o_totalprice"),
+                    )
+                ),
+                2,
+            ).alias("t"),
+        )
+        .collect()
+    }
+    assert {r.o_orderpriority for r in rows} == set(want)
+    total_corrupt = 0
+    for r in rows:
+        n, nc, t = want[r.o_orderpriority]
+        assert (r.n_rows, r.n_corrupt) == (n, nc)
+        assert abs(r.parsed_total - t) < 0.02
+        total_corrupt += r.n_corrupt
+    assert total_corrupt > 0
