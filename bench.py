@@ -376,6 +376,19 @@ HEADLINE = [
     # q463: one gradient-frame scan + 10 TakeOrdered(1) rounds
     # against broadcast residual literals (eager).
     "q463_gradient_matching_selection",
+    # q464: table-argument UDTF — one hash exchange, Python partition
+    # stream with O(1) state.
+    "q464_table_argument_udtf",
+    # q465: dynamic-gap session windows — one user_id exchange.
+    "q465_dynamic_gap_session_window",
+    # q466: one fact scan with an orderkey-partitioned lag window per
+    # column + a |columns|-grain rollup.
+    "q466_storage_encoding_advisor",
+    # q467: text write + PERMISSIVE CSV scan + priority rollup.
+    "q467_malformed_csv_permissive",
+    # q468: two bounded aggregates + a broadcast join (the
+    # subtraction identity - one corpus scan total).
+    "q468_out_of_fold_target_encoding",
 ]
 
 
