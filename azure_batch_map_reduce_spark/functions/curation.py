@@ -10791,11 +10791,18 @@ def q463_gradient_matching_selection(
         )[0]
         picked.append(int(row["doc_id"]))
         r = [r[d - 1] - m * int(row[f"g{d}"]) for d in range(1, 5)]
+        # DuckDB `//` truncates toward zero; Python `//` floors. The dot
+        # is positive at current fixture SFs, but a negative max dot not
+        # divisible by qs would diverge by 1 cross-engine — release with
+        # the signed truncating idiom (the ranks.py floor-vs-truncate
+        # rule; norm² terms are nonnegative so plain // is exact there).
+        dot_val = int(row["dot"])
+        dot_scaled = dot_val // qs if dot_val >= 0 else -((-dot_val) // qs)
         out.append(
             (
                 t,
                 int(row["doc_id"]),
-                int(row["dot"]) // qs,
+                dot_scaled,
                 sum(v * v for v in r) // qs,
                 full_norm2,
             )

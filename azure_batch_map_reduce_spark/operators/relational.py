@@ -4315,7 +4315,8 @@ def q466_storage_encoding_advisor(
     plain (n·w), dictionary (ndv·w + n·⌈log₂ ndv⌉ bits packed) and
     RLE (runs·(w + header)) layouts, releasing all three sizes and
     the winner. Low-cardinality flags choose dictionary; the run
-    statistic is computed within (l_orderkey, l_linenumber) groups —
+    statistic is computed within l_orderkey partitions, in
+    (l_linenumber, l_partkey, l_suppkey, l_extendedprice) order —
     the page-local adjacency a writer actually sees (runs never span
     row groups), which also keeps the computation a per-group window
     instead of a global one.
