@@ -169,6 +169,28 @@ def q84_stateful_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 try:
     # The typed-state API needs Spark 4.0+ AND protobuf (its state-server
     # wire format); gate on both so the module imports on any runtime.
+    #
+    # FORMAL RETIREMENT OF THE REAL PATH ON THIS RUNTIME (r14, closing
+    # the r13 verdict's task 2): `transformWithStateInPandas` cannot
+    # execute here, permanently, because the Python worker half of the
+    # state server (`pyspark/sql/streaming/stateful_processor_api_client
+    # .py`) imports `pyspark.sql.streaming.proto.StateMessage_pb2` —
+    # protoc-generated gencode whose first statements call
+    # `google.protobuf.descriptor_pool`, `internal.builder`, and
+    # `runtime_version.ValidateProtobufRuntimeVersion(PUBLIC, 6.33.0)`.
+    # The environment has NO `google.protobuf` distribution (checked:
+    # site-packages, dist-packages, and Spark's jars ship only shaded
+    # JVM protobuf), package installation is prohibited, and the
+    # runtime cannot be shimmed: the gencode round-trips a serialized
+    # FileDescriptorProto through the descriptor pool and the message
+    # classes do real wire-format (de)serialization against it — a
+    # faithful stand-in IS the protobuf runtime. The fallback contract
+    # is therefore PERMANENT here: q86/q410 execute the semantically
+    # identical `applyInPandasWithState` path, record it in-band
+    # (`state_api` / `executed_path` columns, mirrored into the oracle
+    # text so the differential verifies the recorded path too), and on
+    # any runtime where `import google.protobuf` succeeds this same
+    # code switches to the real typed-state API with zero edits.
     import google.protobuf  # noqa: F401
 
     from pyspark.sql.streaming.stateful_processor import (
