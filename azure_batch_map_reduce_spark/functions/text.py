@@ -7276,14 +7276,22 @@ def q460_greedy_bigram_decoding(
     (count DESC, token ASC) — a total order; probabilities use the
     half-up idiom.
 
-    Scale posture: the bigram model is ONE partial+final aggregate
-    (persisted); each decode step is a 1-row lookup against it —
-    state is a single (token) row, the parameter-server grain (the
-    q433 rule: collects are model-grain, never data-grain), and the
-    step count is a constant. An N-step decode at 100 TB touches the
-    corpus exactly once. Reference contract: bigram counting = map
-    slot (``App.config:16``); the sequential argmax chain = reduce
-    slot (``App.config:17``, ``Program.cs:351-384``)."""
+    Scale posture (r14 single-pass rework, r13 verdict task 6): the
+    bigram model is ONE partial+final aggregate (persisted — it feeds
+    two separate aggregate subtrees, the q239 exchange-reuse rule);
+    the GREEDY POLICY TABLE — per predecessor its argmax successor,
+    that pair's count, and the predecessor's total — is ONE more
+    partial+final aggregate (`min(struct(-c, w2))`, window-free),
+    collected ONCE at model grain (distinct predecessors, 4 small
+    cells each — the q433 parameter-server rule; previously each of
+    the {_DECODE_STEPS} steps was its own 1-row collect + rescan of
+    the persisted frame = {_DECODE_STEPS + 1} sequential Spark jobs).
+    The chain walk is a driver-side dict lookup over that single
+    collect. An N-step decode at 100 TB touches the corpus exactly
+    once and runs exactly THREE jobs (policy, start, release)
+    regardless of N. Reference contract: bigram counting = map slot
+    (``App.config:16``); the sequential argmax chain = reduce slot
+    (``App.config:17``, ``Program.cs:351-384``)."""
     docs = load_tables(spark, sf_dir)["documents"]
     ws = F.split(F.lower(F.col("text")), " ")
     bg = (
@@ -7299,9 +7307,41 @@ def q460_greedy_bigram_decoding(
         )
         .groupBy(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
         .agg(F.count(F.lit(1)).alias("c"))
+        # Model grain: observed bigram support (vocab²-bounded; 931 rows
+        # at sf0.1). coalesce(1) keeps the map-side partial aggregation
+        # fully distributed and lands only the FINAL agg + the two
+        # downstream policy/start aggregates on single tasks — 32 tiny
+        # scheduled tasks per stage cost more than the data here. For a
+        # corpus whose bigram support outgrows one task, raise the
+        # target; the plan shape is unchanged.
+        .coalesce(1)
         .persist()
     )
-    c1 = bg.groupBy("w1").agg(F.sum("c").alias("tot"))
+    # Greedy policy table: per w1 its argmax successor under the total
+    # order (c DESC, w2 ASC) — encoded window-free as min(struct(-c, w2))
+    # (negating the integer count flips the order; string ties then break
+    # ascending inside the struct comparison) — plus the w1 total. ONE
+    # aggregate, ONE model-grain collect; the 12-step walk is then a
+    # driver-side dict chase, not 12 Spark jobs.
+    policy = {
+        r["w1"]: (r["tok"], int(r["c"]), int(r["tot"]))
+        for r in (
+            bg.groupBy("w1")
+            .agg(
+                F.min(
+                    F.struct((-F.col("c")).alias("nc"), F.col("w2"))
+                ).alias("m"),
+                F.sum("c").alias("tot"),
+            )
+            .select(
+                "w1",
+                F.col("m.w2").alias("tok"),
+                (-F.col("m.nc")).alias("c"),
+                "tot",
+            )
+            .collect()
+        )
+    }
     start = (
         bg.groupBy("w2")
         .agg(F.sum("c").alias("tc"))
@@ -7309,19 +7349,13 @@ def q460_greedy_bigram_decoding(
         .limit(1)
         .collect()[0]["w2"]
     )
+    bg.unpersist()
     cur = start
     out: list = []
     for k in range(1, _DECODE_STEPS + 1):
-        row = (
-            bg.where(F.col("w1") == cur)
-            .join(c1.where(F.col("w1") == cur), "w1")
-            .orderBy(F.desc("c"), F.asc("w2"))
-            .limit(1)
-            .collect()
-        )[0]
-        out.append((k, row["w2"], int(row["c"]), int(row["tot"])))
-        cur = row["w2"]
-    bg.unpersist()
+        tok, c, tot = policy[cur]
+        out.append((k, tok, c, tot))
+        cur = tok
     from azure_batch_map_reduce_spark.operators.ranks import half_up_ratio
 
     return (

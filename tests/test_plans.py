@@ -1517,3 +1517,36 @@ def test_q445_exact_substring_no_window_no_cartesian(spark, sf_dir):
     assert "CartesianProduct" not in explained
     assert "hashpartitioning(gh" in explained
     spark.catalog.clearCache()
+
+
+def test_q460_decode_is_constant_job_count(spark, sf_dir):
+    """r13 verdict task 6's pin: the greedy decode walks its chain
+    driver-side from ONE model-grain policy collect — the corpus is
+    aggregated once and the Spark job count is a CONSTANT (policy,
+    start, release, + the persisted model's materialization), not
+    O(steps). The old shape ran one job per decode step (13 jobs);
+    this pins the ceiling low enough that a per-step collect regression
+    fails loudly."""
+    sc = spark.sparkContext
+    spark.catalog.clearCache()
+    sc.setJobGroup("q460pin", "decode job-count pin")
+    try:
+        df = REGISTRY["q460_greedy_bigram_decoding"].fn(spark, sf_dir)
+        rows = df.collect()
+    finally:
+        sc.setJobGroup(None, None)
+    assert len(rows) == 12
+    tracker = sc.statusTracker()
+    jobs = tracker.getJobIdsForGroup("q460pin")
+    # AQE materializes each query stage as its own job, so even the
+    # 3-action shape books ~17 jobs cold (catalog load + bg build
+    # stages + policy + start + release). The pin is the ceiling: the
+    # per-step shape added one full job PER decode step (+12); 20
+    # fails loudly on any regression to per-step collects while
+    # tolerating AQE's stage-per-job accounting.
+    assert 0 < len(jobs) <= 20, f"decode ran {len(jobs)} jobs: {jobs}"
+    # Released frame is a LocalRelation walk — no corpus scan above it.
+    explained = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    assert "Scan parquet" not in explained
