@@ -1823,3 +1823,27 @@ def test_q468_oof_encoding_excludes_own_fold(spark, sf_dir):
         assert sum(r.oof_pos for r in rs) == (k - 1) * pos[lang]
         naive = {r.naive_encoding for r in rs}
         assert len(naive) == 1
+
+
+def test_ulm_shared_store_lifecycle(spark, sf_dir):
+    """r13 verdict task 1's cache-lifecycle pin: the shared lattice
+    component store memoizes per (application, sf_dir, block) and its
+    localCheckpointed frames survive `spark.catalog.clearCache()`
+    (which clears only the SQL CacheManager) — the property the whole
+    family sharing rests on. The clear hook empties the store."""
+    from azure_batch_map_reduce_spark.functions.text import (
+        _ULM_SHARED,
+        _ulm_clear_shared,
+        _ulm_component,
+    )
+
+    _ulm_clear_shared()
+    a = _ulm_component(spark, sf_dir, "blk0")
+    n = a.count()
+    assert n > 0
+    spark.catalog.clearCache()
+    b = _ulm_component(spark, sf_dir, "blk0")
+    assert b is a, "memo must return the SAME checkpointed frame"
+    assert b.count() == n, "checkpointed data must survive clearCache"
+    _ulm_clear_shared()
+    assert not _ULM_SHARED

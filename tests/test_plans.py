@@ -1489,17 +1489,37 @@ def test_q440_langid_model_joins_are_broadcast(spark, sf_dir):
 
 
 def test_q443_viterbi_plan_shape(spark, sf_dir):
-    """The segmentation plan: no window functions, the model join is
-    broadcast, and the DP fold runs above a doc-grain aggregate (no
-    per-position shuffle — HashAggregate pairs only)."""
-    df = REGISTRY["q443_unigram_lm_viterbi_segmentation"].fn(spark, sf_dir)
-    explained = df._sc._jvm.PythonSQLUtils.explainString(
-        df._jdf.queryExecution(), "formatted"
+    """The segmentation BUILD plan: no window functions, the model
+    join is broadcast, and the DP fold runs above a doc-grain
+    aggregate (no per-position shuffle). Since r14 the built lattice
+    is localCheckpointed into the session-shared component store, so
+    the build shape is pinned on the un-checkpointed composition and
+    the RELEASED frame is separately pinned to ride the checkpoint
+    (no parquet re-scan above it — the sharing that cut the family's
+    four identical rebuilds)."""
+    from azure_batch_map_reduce_spark.functions.text import (
+        _ulm_block_arrays,
+        _ulm_cnts,
+        _ulm_model0,
+        _ulm_pl,
+    )
+
+    pl = _ulm_pl(spark, sf_dir)
+    build = _ulm_block_arrays(pl, _ulm_model0(_ulm_cnts(pl)))
+    explained = build._sc._jvm.PythonSQLUtils.explainString(
+        build._jdf.queryExecution(), "formatted"
     )
     assert "WindowExec" not in explained
     assert "BroadcastHashJoin" in explained
     assert "SortMergeJoin" not in explained
     assert "CartesianProduct" not in explained
+
+    df = REGISTRY["q443_unigram_lm_viterbi_segmentation"].fn(spark, sf_dir)
+    released = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    assert "Scan ExistingRDD" in released
+    assert "Scan parquet" not in released
     spark.catalog.clearCache()
 
 
