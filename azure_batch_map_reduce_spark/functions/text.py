@@ -6576,22 +6576,27 @@ def q447_unigram_lm_hard_em_mstep(
 _ULM_TOPM = 50  # model-head size for the vocab-churn release
 
 
-def _ulm_model1_ctes() -> str:
+def _ulm_model1_ctes(
+    used: str = "used", model: str = "model1", tot: str = "m1tot"
+) -> str:
     """Re-estimated model CTEs (M-step output → smoothed costs over
     the FULL candidate vocabulary) — shared by q452's second E-step
-    and q454's prune evaluation so the re-estimation cannot drift."""
-    return """
-    m1tot AS MATERIALIZED (
-        SELECT (SELECT sum(n_used) FROM used) AS t1,
+    and q454's prune evaluation so the re-estimation cannot drift;
+    parametrized (r14) so q470's EM loop can re-estimate once per
+    round with distinct CTE names. Defaults render the exact pre-r14
+    text."""
+    return f"""
+    {tot} AS MATERIALIZED (
+        SELECT (SELECT sum(n_used) FROM {used}) AS t1,
                (SELECT count(*) FROM cnts) AS v
     ),
-    model1 AS MATERIALIZED (
+    {model} AS MATERIALIZED (
         SELECT c.piece,
                CAST(round(1000000.0 * ln(CAST(t1 + v AS DOUBLE)
                    / (coalesce(u.n_used, 0) + 1))) AS BIGINT) AS qc
         FROM cnts c
-        LEFT JOIN used u USING (piece)
-        CROSS JOIN m1tot
+        LEFT JOIN {used} u USING (piece)
+        CROSS JOIN {tot}
     )"""
 
 
@@ -7002,6 +7007,164 @@ def q454_unigram_lm_vocab_pruning(
         )
     )
     return row_full.unionByName(row_pruned).orderBy("variant")
+
+
+# --- q470: unigram-LM EM trained to a convergence gate --------------------
+
+_ULM_EM_MAX = 5       # EM round budget (hard cap)
+_ULM_EM_GATE_PML = 15  # stop when delta < 1.5% of prev cost (per mille)
+
+
+def _ulm_emc_oracle_sql() -> str:
+    qs = 1_000_000
+    k = _ULM_EM_MAX
+    ctes = [
+        _ULM_LATTICE_CTES,
+        _ulm_usage_ctes(),
+        _ulm_model1_ctes(),
+        _ulm_block_ctes("model1", "arr1", "blk1"),
+    ]
+    for r in range(3, k + 1):
+        m = r - 1
+        ctes.append(
+            _ulm_usage_ctes(blk=f"blk{r - 2}", out=f"used{m}", sfx=str(m))
+        )
+        ctes.append(
+            _ulm_model1_ctes(
+                used=f"used{m}", model=f"model{m}", tot=f"m{m}tot"
+            )
+        )
+        ctes.append(_ulm_block_ctes(f"model{m}", f"arr{m}", f"blk{m}"))
+    blks = ["blk"] + [f"blk{i}" for i in range(1, k)]
+    cost_rows = " UNION ALL ".join(
+        f"SELECT {i + 1} AS r, sum(st[5]) AS cq, sum(st[6]) AS tk FROM"
+        f" (SELECT {_ulm_fold_expr('duckdb')} AS st FROM {b})"
+        for i, b in enumerate(blks)
+    )
+    return f"""
+    WITH {",".join(ctes)},
+    cc AS MATERIALIZED ({cost_rows}),
+    dd AS (
+        SELECT r, cq, tk, lag(cq) OVER (ORDER BY r) AS pcq FROM cc
+    ),
+    ee AS (
+        SELECT r, cq, tk, pcq - cq AS delta,
+               CASE WHEN pcq IS NOT NULL
+                     AND (pcq - cq) * 1000 < pcq * {_ULM_EM_GATE_PML}
+                    THEN 1 ELSE 0 END AS conv
+        FROM dd
+    ),
+    stop AS (
+        SELECT coalesce(min(r) FILTER (WHERE conv = 1), {k}) AS sr FROM ee
+    )
+    SELECT CAST(r AS BIGINT) AS iteration,
+           CAST(cq AS BIGINT) AS cost_q,
+           CAST(tk AS BIGINT) AS n_tokens,
+           CAST(delta AS BIGINT) AS delta_cost_q,
+           ((2 * cq * {qs} + tk * {qs}) // (2 * tk * {qs})) / 1000000.0
+               AS mean_nats_per_token,
+           CAST(conv AS BIGINT) AS converged
+    FROM ee CROSS JOIN stop
+    WHERE r <= sr
+    ORDER BY r
+    """
+
+
+@query(
+    "q470_unigram_lm_em_convergence",
+    oracle=_ulm_emc_oracle_sql(),
+    tags=("llm", "tokenizer", "unigram-lm", "em", "training",
+          "convergence"),
+)
+def q470_unigram_lm_em_convergence(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Unigram-LM hard-EM trained TO CONVERGENCE — the loop that
+    makes q443 (E-step) / q447 (M-step) / q452 (round 2) a finished
+    trainer (r13 verdict task 5): alternate Viterbi-segment /
+    usage-recount / re-smooth until the exact-integer gate fires —
+    round r stops the run when (cost_{{r-1}} − cost_r)·1000 <
+    cost_{{r-1}}·{_ULM_EM_GATE_PML} (a {_ULM_EM_GATE_PML / 10}%
+    relative-improvement floor, computed entirely in BIGINTs — no
+    float ever enters the stopping decision) — or the
+    {_ULM_EM_MAX}-round budget runs out. Released per EXECUTED round:
+    the exact corpus cost, token count, cost delta, mean nats/token,
+    and the gate verdict. At all three fixture SFs the gate fires at
+    round 4 (deltas 19%→1.9%→1.4%), one short of the cap — the stop
+    is demonstrably the GATE, not the budget. Hard-EM monotonicity
+    (cost strictly decreasing, the q452 exact inequality) holds at
+    every released step and is pinned by an invariant test.
+
+    Determinism: every per-round cost is the exact BIGINT sum of the
+    shared blocked Viterbi fold (the q443/q447/q452/q454 lattice —
+    one definition, so the trainer cannot drift from the steps it
+    composes); deltas and the gate are pure integer arithmetic;
+    means use the half-up idiom.
+
+    Scale posture: rounds 1-2 ride the session-shared lattice store
+    (`_ulm_component` — built once per corpus snapshot, §8c6); each
+    later round is ONE usage recount + ONE vocab-bounded re-smooth +
+    ONE blocked array gather, localCheckpoint'ed per round (the
+    q103 iterative-lineage rule). Per round the driver sees exactly
+    one 2-cell row (cost, tokens) — parameter-server grain (the q433
+    rule); the corpus is never collected. The oracle unrolls the
+    full {_ULM_EM_MAX}-round budget statically and releases the same
+    executed prefix. Reference contract: per-doc segmentation = map
+    slot (``App.config:16``); usage recount, re-estimation and the
+    stopping rule = reduce slots (``App.config:17``,
+    ``Program.cs:351-384``)."""
+    cnts = _ulm_component(spark, sf_dir, "cnts")
+    pl = _ulm_component(spark, sf_dir, "pl")
+    blk = _ulm_component(spark, sf_dir, "blk0")
+    out: list = []
+    prev: int | None = None
+    r = 1
+    while True:
+        row = (
+            blk.select(F.expr(_ulm_fold_expr("spark")).alias("st"))
+            .agg(
+                F.sum(F.element_at("st", 5)).alias("cq"),
+                F.sum(F.element_at("st", 6)).alias("tk"),
+            )
+            .collect()[0]
+        )
+        cq, tk = int(row["cq"]), int(row["tk"])
+        delta = None if prev is None else prev - cq
+        conv = (
+            delta is not None
+            and delta * 1000 < prev * _ULM_EM_GATE_PML
+        )
+        out.append((r, cq, tk, delta, 1 if conv else 0))
+        if conv or r >= _ULM_EM_MAX:
+            break
+        if r == 1:
+            blk = _ulm_component(spark, sf_dir, "blk1")
+        else:
+            used_r = _ulm_usage(spark, sf_dir, blk)
+            blk = _ulm_block_arrays(
+                pl, _ulm_model1(cnts, used_r)
+            ).localCheckpoint(eager=True)
+        prev = cq
+        r += 1
+    qs = 1_000_000
+    return (
+        spark.createDataFrame(
+            out,
+            "iteration long, cost_q long, n_tokens long,"
+            " delta_cost_q long, converged long",
+        )
+        .select(
+            "iteration",
+            "cost_q",
+            "n_tokens",
+            "delta_cost_q",
+            half_up_ratio(F.col("cost_q"), F.col("n_tokens") * qs, 6).alias(
+                "mean_nats_per_token"
+            ),
+            "converged",
+        )
+        .orderBy("iteration")
+    )
 
 
 # --- q458: RM3 pseudo-relevance feedback query expansion ------------------

@@ -389,6 +389,11 @@ HEADLINE = [
     # q468: two bounded aggregates + a broadcast join (the
     # subtraction identity - one corpus scan total).
     "q468_out_of_fold_target_encoding",
+    # q470: the EM trainer loop — rounds 1-2 ride the shared lattice
+    # store; each later round is one usage pass + re-smooth + gather
+    # (eager; per-round 2-cell collects — honest cost in
+    # `queries_honest`).
+    "q470_unigram_lm_em_convergence",
 ]
 
 

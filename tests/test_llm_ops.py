@@ -1847,3 +1847,39 @@ def test_ulm_shared_store_lifecycle(spark, sf_dir):
     assert b.count() == n, "checkpointed data must survive clearCache"
     _ulm_clear_shared()
     assert not _ULM_SHARED
+
+
+def test_q470_em_monotone_and_gate_fires(spark, sf_dir):
+    """The convergence trainer's invariants: (a) hard-EM monotonicity
+    — released costs strictly decrease and each delta_cost_q equals
+    the exact difference of adjacent costs (the q452 inequality at
+    EVERY step); (b) the run stops on the GATE, not the budget — the
+    last released round carries converged=1, earlier rounds 0, and at
+    the fixtures the released round count is strictly below the
+    _ULM_EM_MAX cap; (c) the gate verdict reproduces from the
+    released integers (delta*1000 < prev*gate_pml)."""
+    from azure_batch_map_reduce_spark.functions.text import (
+        _ULM_EM_GATE_PML,
+        _ULM_EM_MAX,
+    )
+
+    rows = (
+        REGISTRY["q470_unigram_lm_em_convergence"]
+        .fn(spark, sf_dir)
+        .orderBy("iteration")
+        .collect()
+    )
+    assert 3 <= len(rows) < _ULM_EM_MAX, "gate must fire before the cap"
+    for i, r in enumerate(rows):
+        assert r.iteration == i + 1
+        if i == 0:
+            assert r.delta_cost_q is None
+        else:
+            prev = rows[i - 1]
+            assert r.cost_q < prev.cost_q, "EM cost must strictly decrease"
+            assert r.delta_cost_q == prev.cost_q - r.cost_q
+            expect_conv = (
+                r.delta_cost_q * 1000 < prev.cost_q * _ULM_EM_GATE_PML
+            )
+            assert r.converged == (1 if expect_conv else 0)
+        assert r.converged == (1 if i == len(rows) - 1 else 0)
