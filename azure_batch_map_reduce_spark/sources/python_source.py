@@ -666,3 +666,306 @@ if _HAVE_STREAM:
         with open(ledger) as f:
             records = [json.loads(line) for line in f]
         return records, spark.read.parquet(out_dir)
+
+
+# --- q469: end-to-end exactly-once through BOTH Python endpoints ----------
+#
+# r13 verdict task 3: q446 proves the streaming source's offset
+# contract and q444 proves the sink's commit/abort — separately. This
+# composes them into the reference's full L5->L6->L8->L9 loop as one
+# living pipeline: a paced Python streaming source feeds micro-batches
+# through the Python sink's write-temp/rename-on-commit protocol, the
+# query is killed mid-stream and restarted from its checkpoint, and
+# the union of committed ledger manifests must equal the source table
+# — no dupes, no gaps — at the q446 grain.
+
+_EO_CHUNKS = 8  # offset space; kill after half is planned
+
+_DOC_ROW_SCHEMA = "doc_id bigint, source string, lang string, n_chars bigint"
+
+
+if _HAVE_STREAM and _HAVE_WRITER:
+
+    class ResumablePacedDocsStreamReader(PacedDocsStreamReader):
+        """Paced reader whose pacing counter SURVIVES a driver restart:
+        on construction it recovers ``_available`` from the journal's
+        max planned end. Without this, a restarted reader would report
+        latestOffset=1 while the checkpoint sits at a higher committed
+        offset — and a pacing counter behind the checkpoint is exactly
+        the non-monotonic-offset regression the exactly-once contract
+        forbids. (The journal doubles as the drill's evidence file.)"""
+
+        def __init__(self, options) -> None:
+            import json
+            import os
+
+            super().__init__(options)
+            if os.path.exists(self._ledger_path):
+                with open(self._ledger_path) as f:
+                    for line in f:
+                        rec = json.loads(line)
+                        if rec["event"] == "plan":
+                            self._available = max(
+                                self._available, rec["end"]
+                            )
+
+    class ResumablePacedDocsStreamSource(DataSource):
+        """Python data source for the exactly-once restart drill."""
+
+        @classmethod
+        def name(cls) -> str:
+            return "abmr_docs_stream_paced_resume"
+
+        def schema(self) -> str:
+            return _DOCS_SCHEMA
+
+        def streamReader(self, schema) -> "ResumablePacedDocsStreamReader":
+            return ResumablePacedDocsStreamReader(self.options)
+
+    class DocRowLedgerSinkSource(DataSource):
+        """The q444 ledger sink at DOCUMENT grain (4 columns:
+        doc_id, source, lang, n_chars) — same writer, same
+        write-temp/rename-on-commit protocol, different row shape."""
+
+        @classmethod
+        def name(cls) -> str:
+            return "abmr_doc_ledger_sink"
+
+        def schema(self) -> str:
+            return _DOC_ROW_SCHEMA
+
+        def writer(self, schema, overwrite) -> "LedgerSinkWriter":
+            return LedgerSinkWriter(self.options)
+
+    def run_exactly_once_pipeline(
+        spark: SparkSession, sf_dir: str, timeout: float = 300.0
+    ) -> tuple[dict, DataFrame]:
+        """Drive the composed source->sink pipeline through a
+        mid-stream kill/restart; returns ``(drill_info, rows)`` where
+        ``rows`` is the manifest-governed union of every committed
+        batch's ledger files (doc grain) and ``drill_info`` records
+        the evidence the invariant test pins: planned offset at the
+        kill, commits before/after, batch dirs with and without
+        manifests.
+
+        Exactly-once mechanics, spelled out: Spark's WAL replays a
+        planned-but-incomplete batch after restart with the SAME batch
+        id and offsets, so the re-run overwrites the same per-batch
+        sink directory (os.replace is idempotent) and rewrites its
+        manifest; a batch killed BEFORE its driver-side commit leaves
+        temp files but no ``_ledger.json``, and readers consume ONLY
+        manifest-listed files — the sink contract from q444. Distinct
+        batch ids map to disjoint offset ranges (the source contract
+        from q446), so the union of committed manifests covers every
+        document exactly once."""
+        import glob
+        import json
+        import os
+        import time
+
+        from azure_batch_map_reduce_spark.catalog import scratch_dir
+
+        d = scratch_dir("abmr_exactly_once_")
+        journal = os.path.join(d, "offsets.jsonl")
+        batches_root = os.path.join(d, "batches")
+        os.makedirs(batches_root, exist_ok=True)
+        spark.dataSource.register(ResumablePacedDocsStreamSource)
+        spark.dataSource.register(DocRowLedgerSinkSource)
+
+        def sink(batch_df: DataFrame, batch_id: int) -> None:
+            bdir = os.path.join(batches_root, f"batch-{batch_id}")
+            os.makedirs(bdir, exist_ok=True)
+            (
+                batch_df.select("doc_id", "source", "lang", "n_chars")
+                .write.format("abmr_doc_ledger_sink")
+                .option("path", bdir)
+                .mode("append")
+                .save()
+            )
+
+        def start_query():
+            stream = (
+                spark.readStream.format("abmr_docs_stream_paced_resume")
+                .option("path", f"{sf_dir}/documents.parquet")
+                .option("chunks", _EO_CHUNKS)
+                .option("ledger", journal)
+                .load()
+            )
+            return (
+                stream.writeStream.foreachBatch(sink)
+                .option(
+                    "checkpointLocation", os.path.join(d, "ckpt")
+                )
+                .trigger(processingTime="100 milliseconds")
+                .start()
+            )
+
+        def journal_state() -> tuple[int, int]:
+            planned, commits = 0, 0
+            if os.path.exists(journal):
+                with open(journal) as f:
+                    for line in f:
+                        rec = json.loads(line)
+                        if rec["event"] == "plan":
+                            planned = max(planned, rec["end"])
+                        elif rec["event"] == "commit":
+                            commits += 1
+            return planned, commits
+
+        # Phase 1: run until at least one batch is COMMITTED and half
+        # the offset space is planned, then kill mid-stream.
+        q = start_query()
+        deadline = time.time() + timeout
+        try:
+            while True:
+                if q.exception() is not None:
+                    raise q.exception()
+                planned, commits = journal_state()
+                if commits >= 1 and planned >= _EO_CHUNKS // 2:
+                    break
+                if time.time() > deadline:
+                    raise TimeoutError(
+                        f"exactly-once drill phase 1 stalled at planned "
+                        f"{planned}, {commits} commits"
+                    )
+                time.sleep(0.1)
+        finally:
+            q.stop()
+        planned_at_kill, commits_at_kill = journal_state()
+
+        def committed_docs() -> int:
+            n = 0
+            for man in glob.glob(
+                os.path.join(batches_root, "batch-*", "_ledger.json")
+            ):
+                with open(man) as f:
+                    n += json.load(f)["total_rows"]
+            return n
+
+        n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+
+        # Phase 2: restart from the same checkpoint; the resumable
+        # reader recovers its pacing from the journal. Drain until the
+        # committed manifests cover the table.
+        q = start_query()
+        deadline = time.time() + timeout
+        try:
+            while True:
+                if q.exception() is not None:
+                    raise q.exception()
+                planned, commits = journal_state()
+                if planned >= _EO_CHUNKS and committed_docs() >= n_docs:
+                    break
+                if time.time() > deadline:
+                    raise TimeoutError(
+                        f"exactly-once drill phase 2 stalled at planned "
+                        f"{planned}, {committed_docs()}/{n_docs} rows"
+                    )
+                time.sleep(0.1)
+        finally:
+            q.stop()
+
+        all_dirs = sorted(glob.glob(os.path.join(batches_root, "batch-*")))
+        committed_files: list[str] = []
+        uncommitted_dirs: list[str] = []
+        for bdir in all_dirs:
+            man = os.path.join(bdir, "_ledger.json")
+            if not os.path.exists(man):
+                uncommitted_dirs.append(bdir)
+                continue
+            with open(man) as f:
+                manifest = json.load(f)
+            committed_files.extend(
+                os.path.join(bdir, rec["name"])
+                for rec in manifest["files"]
+                if rec["rows"] > 0
+            )
+        planned_final, commits_final = journal_state()
+        plan_ranges: list[tuple[int, int]] = []
+        with open(journal) as f:
+            for line in f:
+                rec = json.loads(line)
+                if rec["event"] == "plan":
+                    plan_ranges.append((rec["start"], rec["end"]))
+        info = {
+            "plan_ranges": plan_ranges,
+            "planned_at_kill": planned_at_kill,
+            "commits_at_kill": commits_at_kill,
+            "planned_final": planned_final,
+            "commits_final": commits_final,
+            "n_batch_dirs": len(all_dirs),
+            "n_uncommitted_dirs": len(uncommitted_dirs),
+            "n_docs": n_docs,
+        }
+        rows = spark.read.schema(_DOC_ROW_SCHEMA).csv(committed_files)
+        return info, rows
+
+    @query(
+        "q469_exactly_once_source_to_sink",
+        oracle="""
+        SELECT source, lang,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(count(DISTINCT doc_id) AS BIGINT) AS n_distinct_docs,
+               CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+               CAST(min(doc_id) AS BIGINT) AS min_doc,
+               CAST(max(doc_id) AS BIGINT) AS max_doc
+        FROM documents
+        GROUP BY source, lang
+        ORDER BY source, lang
+        """,
+        tags=(
+            "streaming", "source", "sink", "python-datasource",
+            "exactly-once", "checkpoint", "restart",
+        ),
+    )
+    def q469_exactly_once_source_to_sink(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        """END-TO-END EXACTLY-ONCE through BOTH custom Python
+        endpoints (r13 verdict task 3) — the reference's full
+        L5→L6→L8→L9 loop as one living pipeline: the paced Python
+        STREAMING SOURCE (q446's offset contract, made restart-proof
+        by journal-recovered pacing) feeds real micro-batches through
+        the Python SINK's write-temp/rename-on-commit protocol
+        (q444's ledger contract, ``Program.cs:339-345``) into
+        per-batch directories; the query is KILLED once at least one
+        batch has committed and half the offset space is planned,
+        restarted from its checkpoint, and drained. The released
+        frame reads ONLY manifest-listed files from committed batch
+        dirs — the union must reproduce the source table with no
+        duplicates (n_docs == n_distinct_docs per group) and no gaps
+        (every count/sum/min/max matches DuckDB reading the parquet
+        directly).
+
+        Why this is exactly-once and not just at-least-once: a batch
+        replayed after the kill re-runs with the SAME batch id and
+        offsets (Spark's WAL), so its re-write lands in the same
+        directory and atomically replaces the same manifest; a batch
+        killed before its driver-side commit leaves no manifest and
+        is invisible to the release. Duplicates or gaps from a broken
+        offset resume, a double-committed batch, or a reader trusting
+        directory listings over manifests all shift the differential.
+
+        Determinism: batch boundaries vary run to run, but the
+        released rollup is batch-partition-invariant (exact integer
+        aggregates over the union). Scale posture: the sink is
+        per-task parallel with a metadata-only driver commit (the
+        standard job-commit shape); offset planning is O(chunks);
+        at 1000 executors the same protocol is how a structured
+        stream commits to blob storage — manifests, not listings,
+        define visibility. Reference contract: map fan-out =
+        ``Program.cs:322-352``; output capture/rename =
+        ``Program.cs:339-345``; barrier + gather =
+        ``Program.cs:355-378``."""
+        _, rows = run_exactly_once_pipeline(spark, sf_dir)
+        return (
+            rows.groupBy("source", "lang")
+            .agg(
+                F.count(F.lit(1)).alias("n_docs"),
+                F.countDistinct("doc_id").alias("n_distinct_docs"),
+                F.sum("n_chars").cast("long").alias("sum_chars"),
+                F.min("doc_id").alias("min_doc"),
+                F.max("doc_id").alias("max_doc"),
+            )
+            .orderBy("source", "lang")
+        )

@@ -319,6 +319,9 @@ HEADLINE = [
     # cost, not data-sized throughput; correctness runs in the
     # differential gates at every SF. q446 (Python streaming source)
     # is EXCLUDED per the q405/q406 rule: stream-bootstrap dominated.
+    # q469 (exactly-once source->sink kill/restart drill) is EXCLUDED
+    # per the same rule: two stream incarnations + poll sleeps measure
+    # drill choreography, not throughput; differential-gated at all SFs.
     "q443_unigram_lm_viterbi_segmentation",
     # q445: per-char window hashing + ONE gram-keyed aggregate + hash
     # equi-join — the exact-substring dedup shuffle shape.

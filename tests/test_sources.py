@@ -353,3 +353,44 @@ def test_q467_permissive_keeps_and_flags_corrupt_rows(spark, sf_dir):
         assert abs(r.parsed_total - t) < 0.02
         total_corrupt += r.n_corrupt
     assert total_corrupt > 0
+
+
+def test_q469_exactly_once_restart_invariants(spark, sf_dir):
+    """r13 verdict task 3's restart pin: the composed Python
+    source->sink pipeline must genuinely SPLIT across the kill —
+    phase 1 stops with the offset space only partly planned and at
+    least one batch committed, phase 2 both re-plans and commits MORE
+    batches — and the manifest-governed union must be exactly-once at
+    document grain: distinct doc_ids == total rows == the table's
+    count (no dupes, no gaps). Also pins the journal's plan ranges
+    disjoint+contiguous across BOTH query incarnations (the resumable
+    pacing contract: a restart must never regress the offset)."""
+    import json
+    import os
+
+    from azure_batch_map_reduce_spark.sources.python_source import (
+        _EO_CHUNKS,
+        run_exactly_once_pipeline,
+    )
+
+    info, rows = run_exactly_once_pipeline(spark, sf_dir)
+    assert 1 <= info["commits_at_kill"], "no batch committed before kill"
+    assert info["planned_at_kill"] < _EO_CHUNKS, "kill was not mid-stream"
+    assert info["planned_final"] == _EO_CHUNKS
+    assert info["commits_final"] > info["commits_at_kill"], (
+        "restart committed nothing new"
+    )
+    n = rows.count()
+    assert n == info["n_docs"]
+    assert rows.select("doc_id").distinct().count() == n
+
+    # Journal plan ranges across BOTH query incarnations: a WAL
+    # replay repeats the SAME range (dedup to one); after dedup the
+    # non-empty ranges must tile 0.._EO_CHUNKS exactly — disjoint,
+    # contiguous, never regressing across the restart.
+    ranges = sorted(
+        {(s, e) for s, e in info["plan_ranges"] if e > s}
+    )
+    assert ranges[0][0] == 0 and ranges[-1][1] == _EO_CHUNKS
+    for (s1, e1), (s2, e2) in zip(ranges, ranges[1:]):
+        assert e1 == s2, f"plan ranges not contiguous: {ranges}"
