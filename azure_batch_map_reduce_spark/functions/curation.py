@@ -7873,6 +7873,7 @@ def _qc_steps_sql(
     filt: str = "",
     lr: float = _QC_LR,
     obs_name: str = "obs",
+    lrs: list | None = None,
 ) -> str:
     """The unrolled GD step CTEs g{{k}}/w{{k}} (shared by q433's
     training release, q437's cartography, and q441's cross-validation
@@ -7885,7 +7886,9 @@ def _qc_steps_sql(
     the CTE chain ({{prefix}}g1/{{prefix}}w1…) so several independent
     weight paths can coexist in one oracle (the caller defines
     {{prefix}}w0); ``lr`` overrides the learning rate (q462's
-    hyperparameter race — exact binary64 literals only). q433 keeps the bare full-batch default, so its
+    hyperparameter race — exact binary64 literals only); ``lrs``
+    overrides it PER STEP (q475's schedule — same literal rule).
+    q433 keeps the bare full-batch default, so its
     release is unchanged."""
     dims = _QC_DIMS
     z_fold = (
@@ -7930,7 +7933,7 @@ def _qc_steps_sql(
             k=k,
             p=k - 1 if k > 1 else 0,
             qs=_QC_QSCALE,
-            lr=lr,
+            lr=lrs[k - 1] if lrs is not None else lr,
             dims=dims,
             zf=z_fold,
             px=prefix,
@@ -8043,6 +8046,7 @@ def _qc_train(
     subset: bool = False,
     lr: float = _QC_LR,
     w0: list | None = None,
+    lrs: list | None = None,
 ) -> tuple[list, list, int]:
     """Run ``n_steps`` quantized-gradient steps over ``obs`` (xa, y);
     returns ``(path, accs, n)`` — ``path[k]`` is the weight vector
@@ -8092,8 +8096,9 @@ def _qc_train(
         accs.append((rows[0]["n_correct"], n_rows))
         gq = {r["dim"]: r["gq"] for r in rows}
         # Mirror the oracle's update arithmetic exactly (q343 rule).
+        step_lr = lrs[k - 1] if lrs is not None else lr
         w = [
-            w[d - 1] - lr * (gq[d] / _QC_QSCALE / n_rows)
+            w[d - 1] - step_lr * (gq[d] / _QC_QSCALE / n_rows)
             for d in range(1, 5)
         ]
         path.append(list(w))
@@ -10920,4 +10925,627 @@ def q468_out_of_fold_target_encoding(
             ),
         )
         .orderBy("lang", "fold")
+    )
+
+
+# --- q473: federated averaging (FedAvg) round ------------------------------
+
+_FED_SHARDS = 4
+_FED_LOCAL_STEPS = 2
+
+
+def _fed_oracle_sql() -> str:
+    qs = _QC_QSCALE
+    shard_ctes = []
+    for k in range(_FED_SHARDS):
+        shard_ctes.append(
+            f"f{k}_w0 AS (SELECT list_transform({_QC_DIMS},"
+            f" i -> CAST(0.0 AS DOUBLE)) AS wl)"
+        )
+        shard_ctes.append(
+            _qc_steps_sql(
+                n_steps=_FED_LOCAL_STEPS,
+                prefix=f"f{k}_",
+                filt=f" WHERE doc_id % {_FED_SHARDS} = {k}",
+            )
+        )
+        # Post-local-training accuracy on the shard's own data.
+        shard_ctes.append(f"""
+    f{k}_fin AS MATERIALIZED (
+        SELECT sum(CASE WHEN ({_QC_ZFOLD} > 0) = (y = 1.0)
+                        THEN 1 ELSE 0 END) AS n_correct,
+               count(*) AS n
+        FROM obs CROSS JOIN f{k}_w{_FED_LOCAL_STEPS} w
+        WHERE doc_id % {_FED_SHARDS} = {k}
+    )""")
+    # Sample-weighted average in a FIXED left-associative IEEE order
+    # (shard 0 first) — the Spark side mirrors the same sequence.
+    num = "CAST(f0_fin.n AS DOUBLE) * f0_w.wl[i]"
+    den = "f0_fin.n"
+    for k in range(1, _FED_SHARDS):
+        num = f"({num} + f{k}_fin.n * f{k}_w.wl[i])"
+        den = f"{den} + f{k}_fin.n"
+    favg_from = " CROSS JOIN ".join(
+        f"f{k}_w{_FED_LOCAL_STEPS} f{k}_w" for k in range(_FED_SHARDS)
+    ) + " CROSS JOIN " + " CROSS JOIN ".join(
+        f"f{k}_fin" for k in range(_FED_SHARDS)
+    )
+    shard_rows = " UNION ALL ".join(
+        f"SELECT 'shard_acc' AS item, {k} AS idx,"
+        f" ((2 * n_correct * {qs} + n) // (2 * n)) / 1000000.0 AS value"
+        f" FROM f{k}_fin"
+        f" UNION ALL SELECT 'shard_n', {k}, CAST(n AS DOUBLE)"
+        f" FROM f{k}_fin"
+        for k in range(_FED_SHARDS)
+    )
+    return f"""
+    WITH {_qc_obs_sql(with_id=True)},
+    {",".join(shard_ctes)},
+    favg AS MATERIALIZED (
+        SELECT list_transform({_QC_DIMS},
+            i -> {num} / CAST({den} AS DOUBLE)) AS wl
+        FROM {favg_from}
+    ),
+    gfin AS MATERIALIZED (
+        SELECT sum(CASE WHEN ({_QC_ZFOLD} > 0) = (y = 1.0)
+                        THEN 1 ELSE 0 END) AS n_correct,
+               count(*) AS n
+        FROM obs CROSS JOIN favg w
+    )
+    SELECT item, CAST(idx AS INTEGER) AS idx, value FROM (
+        {shard_rows}
+        UNION ALL
+        SELECT 'avg_acc', 0,
+               ((2 * n_correct * {qs} + n) // (2 * n)) / 1000000.0
+        FROM gfin
+        UNION ALL
+        SELECT 'w_avg', s.dim, round(s.wv, 6) + 0.0
+        FROM (
+            SELECT unnest(list_transform({_QC_DIMS},
+                i -> struct_pack(dim := i, wv := w.wl[i]))) AS s
+            FROM favg w
+        )
+    ) ORDER BY item, idx
+    """
+
+
+@query(
+    "q473_federated_averaging_round",
+    oracle=_fed_oracle_sql(),
+    tags=("llm", "training", "federated", "fedavg", "distributed",
+          "curation"),
+)
+def q473_federated_averaging_round(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """One FEDERATED-AVERAGING round (McMahan et al. 2017) over the
+    shared quality classifier — the communication-efficient member of
+    the training family (q433 trains centrally every step; q459 adds
+    momentum; this trains {_FED_SHARDS} disjoint shards LOCALLY for
+    {_FED_LOCAL_STEPS} steps each and synchronizes ONCE by
+    sample-weighted model averaging — the data-parallel regime where
+    gradients are too expensive to ship every step). Released: each
+    shard's size and post-local-training accuracy on its own data,
+    the averaged model's global accuracy, and the averaged weights —
+    at the fixtures the averaged model's global accuracy lands in the
+    high-90s (probed), the FedAvg claim on IID shards.
+
+    Determinism: shards are doc_id % {_FED_SHARDS} (data-derived);
+    every local step is the exact q433 arithmetic (quantized BIGINT
+    gradient sums, shared-sequence weight update — ONE definition via
+    ``_qc_steps_sql``); the weighted average runs in a FIXED
+    left-associative IEEE order mirrored on both engines; accuracies
+    release via the half-up idiom, weights via round_nz.
+
+    Scale posture: per local step ONE filtered corpus scan shuffling
+    4 integer cells per shard; the sync ships {_FED_SHARDS} 4-double
+    vectors — parameter-server grain (the q433 rule). At 100 TB this
+    is the shape that beats per-step synchronization: local compute
+    scales with executors, the average is O(shards·dims) on the
+    driver. Reference contract: shard training = map slots
+    (``App.config:16``); the weighted average + global eval = reduce
+    slot (``App.config:17``, ``Program.cs:351-384``)."""
+    from azure_batch_map_reduce_spark.operators.ranks import round_nz
+
+    obs = _qc_obs(spark, sf_dir, with_id=True).persist()
+    shard_w: list = []
+    shard_stats: list = []
+    for k in range(_FED_SHARDS):
+        shard = obs.where((F.col("doc_id") % _FED_SHARDS) == k)
+        path, _accs, _n = _qc_train(shard, n_steps=_FED_LOCAL_STEPS)
+        w_k = path[-1]
+        fin = (
+            shard.select(_qc_margin(w_k).alias("z"), "y")
+            .agg(
+                F.sum(
+                    F.when(
+                        (F.col("z") > 0) == (F.col("y") == 1.0), 1
+                    ).otherwise(0)
+                ).alias("n_correct"),
+                F.count(F.lit(1)).alias("n"),
+            )
+            .collect()[0]
+        )
+        shard_w.append(w_k)
+        shard_stats.append((int(fin["n_correct"]), int(fin["n"])))
+    # Mirror the oracle's fixed left-associative weighted average.
+    w_avg = []
+    for i in range(4):
+        num = float(shard_stats[0][1]) * shard_w[0][i]
+        den = shard_stats[0][1]
+        for k in range(1, _FED_SHARDS):
+            num = num + shard_stats[k][1] * shard_w[k][i]
+            den = den + shard_stats[k][1]
+        w_avg.append(num / float(den))
+    gfin = (
+        obs.select(_qc_margin(w_avg).alias("z"), "y")
+        .agg(
+            F.sum(
+                F.when(
+                    (F.col("z") > 0) == (F.col("y") == 1.0), 1
+                ).otherwise(0)
+            ).alias("n_correct"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .collect()[0]
+    )
+    obs.unpersist()
+
+    def hup(nc: int, n: int) -> float:
+        return ((2 * nc * _QC_QSCALE + n) // (2 * n)) / 1000000.0
+
+    rows = []
+    for k, (nc, n) in enumerate(shard_stats):
+        rows.append(("shard_acc", k, hup(nc, n)))
+        rows.append(("shard_n", k, float(n)))
+    rows.append(("avg_acc", 0, hup(int(gfin["n_correct"]), int(gfin["n"]))))
+    out = spark.createDataFrame(
+        rows, "item string, idx int, value double"
+    )
+    wrows = spark.createDataFrame(
+        [(i + 1, w_avg[i]) for i in range(4)], "idx int, wv double"
+    ).select(
+        F.lit("w_avg").alias("item"),
+        "idx",
+        round_nz(F.col("wv"), 6).alias("value"),
+    )
+    return out.unionByName(wrows).orderBy("item", "idx")
+
+
+# --- q474: Polyak/SWA tail-averaged iterate --------------------------------
+
+_SWA_STEPS = 4
+_SWA_TAIL = 3  # average the last 3 iterates
+
+
+def _swa_oracle_sql() -> str:
+    qs = _QC_QSCALE
+    first = _SWA_STEPS - _SWA_TAIL + 1
+    num = f"w{first}.wl[i]"
+    for k in range(first + 1, _SWA_STEPS + 1):
+        num = f"({num} + w{k}.wl[i])"
+    tail_from = " CROSS JOIN ".join(
+        f"w{k} w{k}" for k in range(first, _SWA_STEPS + 1)
+    )
+    return f"""
+    WITH {_qc_obs_sql()},
+    w0 AS (SELECT list_transform({_QC_DIMS}, i -> CAST(0.0 AS DOUBLE))
+               AS wl),
+    {_qc_steps_sql(n_steps=_SWA_STEPS)},
+    swa AS MATERIALIZED (
+        SELECT list_transform({_QC_DIMS},
+            i -> {num} / CAST({_SWA_TAIL} AS DOUBLE)) AS wl
+        FROM {tail_from}
+    ),
+    fin_last AS MATERIALIZED (
+        SELECT sum(CASE WHEN ({_QC_ZFOLD} > 0) = (y = 1.0)
+                        THEN 1 ELSE 0 END) AS n_correct, count(*) AS n
+        FROM obs CROSS JOIN w{_SWA_STEPS} w
+    ),
+    fin_swa AS MATERIALIZED (
+        SELECT sum(CASE WHEN ({_QC_ZFOLD} > 0) = (y = 1.0)
+                        THEN 1 ELSE 0 END) AS n_correct, count(*) AS n
+        FROM obs CROSS JOIN swa w
+    )
+    SELECT item, CAST(idx AS INTEGER) AS idx, value FROM (
+        SELECT 'acc_final' AS item, 0 AS idx,
+               ((2 * n_correct * {qs} + n) // (2 * n)) / 1000000.0 AS value
+        FROM fin_last
+        UNION ALL
+        SELECT 'acc_swa', 0,
+               ((2 * n_correct * {qs} + n) // (2 * n)) / 1000000.0
+        FROM fin_swa
+        UNION ALL
+        SELECT 'w_final', s.dim, round(s.wv, 6) + 0.0
+        FROM (SELECT unnest(list_transform({_QC_DIMS},
+                  i -> struct_pack(dim := i, wv := w.wl[i]))) AS s
+              FROM w{_SWA_STEPS} w)
+        UNION ALL
+        SELECT 'w_swa', s.dim, round(s.wv, 6) + 0.0
+        FROM (SELECT unnest(list_transform({_QC_DIMS},
+                  i -> struct_pack(dim := i, wv := w.wl[i]))) AS s
+              FROM swa w)
+    ) ORDER BY item, idx
+    """
+
+
+@query(
+    "q474_polyak_tail_averaging",
+    oracle=_swa_oracle_sql(),
+    tags=("llm", "training", "averaging", "swa", "polyak", "curation"),
+)
+def q474_polyak_tail_averaging(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Polyak / stochastic-weight-averaging TAIL AVERAGE of the GD
+    trajectory — the checkpoint-averaging member of the optimizer
+    family (q433 releases the last iterate; q459 smooths the STEP
+    with momentum; this smooths the ITERATE: the released model is
+    the mean of the last {_SWA_TAIL} of {_SWA_STEPS} iterates, the
+    SWA/EMA idiom every large-model trainer ships). Released: global
+    accuracy of the final iterate vs the tail average, and both
+    weight vectors — the averaged model trades none of the fixture
+    accuracy (probed) while damping the oscillating length dimension,
+    which is the method's claim.
+
+    Determinism: the weight path is the exact q433 arithmetic (ONE
+    definition via ``_qc_steps_sql``); the tail mean is a fixed
+    left-associative 3-term sum / 3.0 mirrored on both engines;
+    accuracies half-up, weights round_nz.
+
+    Scale posture: the {_SWA_STEPS}-step trajectory is the q433 loop
+    (one fused corpus scan per step, 4-cell shuffles); averaging is
+    O(dims) driver work; the two accuracy passes are one corpus scan
+    each. Checkpoint averaging at 100 TB is exactly this: model-grain
+    state ops, zero extra data passes beyond the final evals.
+    Reference contract: per-example gradient = map slot
+    (``App.config:16``); iterate average + eval = reduce slot
+    (``App.config:17``, ``Program.cs:351-384``)."""
+    from azure_batch_map_reduce_spark.operators.ranks import round_nz
+
+    obs = _qc_obs(spark, sf_dir).persist()
+    path, _accs, _n = _qc_train(obs, n_steps=_SWA_STEPS)
+    w_last = path[-1]
+    tail = path[_SWA_STEPS - _SWA_TAIL:]
+    w_swa = []
+    for i in range(4):
+        num = tail[0][i]
+        for t in tail[1:]:
+            num = num + t[i]
+        w_swa.append(num / float(_SWA_TAIL))
+
+    def acc_of(w: list) -> tuple[int, int]:
+        r = (
+            obs.select(_qc_margin(w).alias("z"), "y")
+            .agg(
+                F.sum(
+                    F.when(
+                        (F.col("z") > 0) == (F.col("y") == 1.0), 1
+                    ).otherwise(0)
+                ).alias("n_correct"),
+                F.count(F.lit(1)).alias("n"),
+            )
+            .collect()[0]
+        )
+        return int(r["n_correct"]), int(r["n"])
+
+    nc_l, n_l = acc_of(w_last)
+    nc_s, n_s = acc_of(w_swa)
+    obs.unpersist()
+
+    def hup(nc: int, n: int) -> float:
+        return ((2 * nc * _QC_QSCALE + n) // (2 * n)) / 1000000.0
+
+    out = spark.createDataFrame(
+        [
+            ("acc_final", 0, hup(nc_l, n_l)),
+            ("acc_swa", 0, hup(nc_s, n_s)),
+        ],
+        "item string, idx int, value double",
+    )
+    wrows = spark.createDataFrame(
+        [("w_final", i + 1, w_last[i]) for i in range(4)]
+        + [("w_swa", i + 1, w_swa[i]) for i in range(4)],
+        "item string, idx int, wv double",
+    ).select("item", "idx", round_nz(F.col("wv"), 6).alias("value"))
+    return out.unionByName(wrows).orderBy("item", "idx")
+
+
+# --- q475: learning-rate schedule (warmup -> decay) ------------------------
+
+# Exact dyadic binary64 literals (the q462 literal rule): 2 warmup
+# steps toward the q433 base rate 0.5, then dyadic decay.
+_LRS_SCHED = [0.25, 0.5, 0.375, 0.25]
+
+
+def _lrs_oracle_sql() -> str:
+    qs = _QC_QSCALE
+    k = len(_LRS_SCHED)
+    acc_rows = " UNION ALL ".join(
+        f"SELECT 'acc' AS item, {j} AS idx,"
+        f" ((2 * n_correct * {qs} + n) // (2 * n)) / 1000000.0 AS value"
+        f" FROM w{j}"
+        for j in range(1, k + 1)
+    )
+    lr_rows = " UNION ALL ".join(
+        f"SELECT 'lr', {j}, CAST({_LRS_SCHED[j - 1]} AS DOUBLE)"
+        for j in range(1, k + 1)
+    )
+    return f"""
+    WITH {_qc_obs_sql()},
+    w0 AS (SELECT list_transform({_QC_DIMS}, i -> CAST(0.0 AS DOUBLE))
+               AS wl),
+    {_qc_steps_sql(n_steps=k, lrs=_LRS_SCHED)},
+    fin AS MATERIALIZED (
+        SELECT sum(CASE WHEN ({_QC_ZFOLD} > 0) = (y = 1.0)
+                        THEN 1 ELSE 0 END) AS n_correct, count(*) AS n
+        FROM obs CROSS JOIN w{k} w
+    )
+    SELECT item, CAST(idx AS INTEGER) AS idx, value FROM (
+        {acc_rows}
+        UNION ALL
+        SELECT 'acc', {k + 1},
+               ((2 * n_correct * {qs} + n) // (2 * n)) / 1000000.0
+        FROM fin
+        UNION ALL
+        {lr_rows}
+        UNION ALL
+        SELECT 'w', s.dim, round(s.wv, 6) + 0.0
+        FROM (SELECT unnest(list_transform({_QC_DIMS},
+                  i -> struct_pack(dim := i, wv := w.wl[i]))) AS s
+              FROM w{k} w)
+    ) ORDER BY item, idx
+    """
+
+
+@query(
+    "q475_lr_schedule_training",
+    oracle=_lrs_oracle_sql(),
+    tags=("llm", "training", "schedule", "warmup", "curation"),
+)
+def q475_lr_schedule_training(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Learning-rate SCHEDULED training (linear warmup → decay) —
+    the schedule member of the optimizer family (q433 trains at a
+    constant rate, q459 smooths the step with momentum, q474 smooths
+    the iterate; this varies THE RATE per step, the warmup-then-decay
+    idiom every transformer run ships): {len(_LRS_SCHED)} steps at
+    rates {_LRS_SCHED} — half-rate warmup first (the large-batch
+    stability trick), peak at the q433 base, then dyadic decay.
+    Released: the schedule itself, every step's pre-update accuracy,
+    the final accuracy, and the final weights — a wrong schedule
+    (skipped warmup, no decay) shifts every released cell.
+
+    Determinism: rates are exact dyadic binary64 literals rendered
+    into BOTH engines' step arithmetic (the q462 literal rule); each
+    step is the exact q433 quantized-gradient sequence with the
+    step's own rate (ONE template, ``_qc_steps_sql(lrs=...)``);
+    accuracies half-up, weights round_nz.
+
+    Scale posture: identical to q433 — per step ONE fused corpus
+    scan shuffling 4 integer cells; the schedule is driver-side
+    metadata. Reference contract: per-example gradient = map slot
+    (``App.config:16``); scheduled update = reduce slot
+    (``App.config:17``, ``Program.cs:351-384``)."""
+    from azure_batch_map_reduce_spark.operators.ranks import round_nz
+
+    obs = _qc_obs(spark, sf_dir).persist()
+    k = len(_LRS_SCHED)
+    path, accs, _n = _qc_train(obs, n_steps=k, lrs=_LRS_SCHED)
+    w_fin = path[-1]
+    fin = (
+        obs.select(_qc_margin(w_fin).alias("z"), "y")
+        .agg(
+            F.sum(
+                F.when(
+                    (F.col("z") > 0) == (F.col("y") == 1.0), 1
+                ).otherwise(0)
+            ).alias("n_correct"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .collect()[0]
+    )
+    obs.unpersist()
+
+    def hup(nc: int, n: int) -> float:
+        return ((2 * nc * _QC_QSCALE + n) // (2 * n)) / 1000000.0
+
+    rows = [("acc", j + 1, hup(nc, n)) for j, (nc, n) in enumerate(accs)]
+    rows.append(("acc", k + 1, hup(int(fin["n_correct"]), int(fin["n"]))))
+    rows += [("lr", j + 1, _LRS_SCHED[j]) for j in range(k)]
+    out = spark.createDataFrame(rows, "item string, idx int, value double")
+    wrows = spark.createDataFrame(
+        [(i + 1, w_fin[i]) for i in range(4)], "idx int, wv double"
+    ).select(
+        F.lit("w").alias("item"), "idx",
+        round_nz(F.col("wv"), 6).alias("value"),
+    )
+    return out.unionByName(wrows).orderBy("item", "idx")
+
+
+# --- q476: gradient-accumulation equivalence audit -------------------------
+
+_GA_MICRO = 4  # micro-batches, deliberately UNEQUAL (40/30/20/10%
+# of doc_id % 10) so the naive mean-of-means contrast is non-vacuous:
+# equal buckets make mean-of-means EQUAL the full mean mathematically
+# (the q388 vacuous-pass class, probed and avoided).
+_GA_CUTS = [(0, 4), (4, 7), (7, 9), (9, 10)]  # [lo, hi) on doc_id % 10
+
+
+def _ga_oracle_sql() -> str:
+    qs = _QC_QSCALE
+    micro_ctes = ",".join(
+        f"""
+    m{b} AS MATERIALIZED (
+        SELECT s.dim AS dim,
+               sum(CAST(round((CAST(0.5 AS DOUBLE) - y) * s.xv * {qs})
+                   AS BIGINT)) AS gq,
+               count(DISTINCT doc_id) AS n
+        FROM (
+            SELECT doc_id, y,
+                   unnest(list_transform({_QC_DIMS},
+                       i -> struct_pack(dim := i, xv := xa[i]))) AS s
+            FROM obs WHERE doc_id % 10 >= {_GA_CUTS[b][0]}
+                  AND doc_id % 10 < {_GA_CUTS[b][1]}
+        )
+        GROUP BY s.dim
+    )"""
+        for b in range(_GA_MICRO)
+    )
+    acc_num = "CAST(m0.gq AS HUGEINT)"
+    mean_num = "CAST(m0.gq AS DOUBLE) / {qs} / m0.n".format(qs=qs)
+    for b in range(1, _GA_MICRO):
+        acc_num = f"({acc_num} + m{b}.gq)"
+        mean_num = f"({mean_num} + CAST(m{b}.gq AS DOUBLE) / {qs} / m{b}.n)"
+    micro_from = " CROSS JOIN ".join(
+        f"m{b} m{b}" for b in range(_GA_MICRO)
+    )
+    return f"""
+    WITH {_qc_obs_sql(with_id=True)},
+    {micro_ctes},
+    full_g AS MATERIALIZED (
+        SELECT s.dim AS dim,
+               sum(CAST(round((CAST(0.5 AS DOUBLE) - y) * s.xv * {qs})
+                   AS BIGINT)) AS gq,
+               count(DISTINCT doc_id) AS n
+        FROM (
+            SELECT doc_id, y,
+                   unnest(list_transform({_QC_DIMS},
+                       i -> struct_pack(dim := i, xv := xa[i]))) AS s
+            FROM obs
+        )
+        GROUP BY s.dim
+    ),
+    acc AS MATERIALIZED (
+        SELECT m0.dim AS dim,
+               CAST({acc_num} AS BIGINT) AS gq_accum,
+               {mean_num} / {_GA_MICRO} AS mean_of_means
+        FROM {micro_from}
+        WHERE m0.dim = m1.dim AND m1.dim = m2.dim AND m2.dim = m3.dim
+    )
+    SELECT CAST(f.dim AS INTEGER) AS dim,
+           CAST(f.gq AS BIGINT) AS gq_full,
+           CAST(a.gq_accum AS BIGINT) AS gq_accum,
+           CAST(f.gq - a.gq_accum AS BIGINT) AS accum_error,
+           round(CAST(f.gq AS DOUBLE) / {qs} / f.n, 6) + 0.0 AS mean_full,
+           round(a.mean_of_means, 6) + 0.0 AS mean_of_means,
+           round(a.mean_of_means
+                 - CAST(f.gq AS DOUBLE) / {qs} / f.n, 6) + 0.0
+               AS mean_bias
+    FROM full_g f JOIN acc a ON a.dim = f.dim
+    ORDER BY dim
+    """
+
+
+@query(
+    "q476_gradient_accumulation_audit",
+    oracle=_ga_oracle_sql(),
+    tags=("llm", "training", "gradient-accumulation", "numerics",
+          "curation"),
+)
+def q476_gradient_accumulation_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """GRADIENT-ACCUMULATION equivalence audit — the numerics member
+    of the training family (q433 quantizes per-example gradients to
+    BIGINTs before summing; THIS operator demonstrates the property
+    that quantization buys): the init-gradient of the shared
+    classifier is computed (a) in one full-batch pass and (b) as
+    {_GA_MICRO} accumulated micro-batch partial sums, and the two
+    BIGINT paths agree EXACTLY (accum_error = 0 per dimension,
+    released on the verified path) — integer sums are associative,
+    so gradient accumulation is free. The released CONTRAST is the
+    naive float path a framework must avoid: averaging per-micro-
+    batch MEANS (mean-of-means) biases the gradient whenever
+    micro-batches are unequal — the released mean_bias is the exact
+    discrepancy against the true full-batch mean.
+
+    At init z = 0 → σ̃ = 0.5 exactly (the q433/q463 init trick), so
+    per-example gradients are (0.5 − y)·x quantized — no libm.
+
+    Determinism: both gradient paths are exact integer arithmetic
+    (HUGEINT-widened accumulation, the q390 rule); the float means
+    round at 6 with signed-zero normalization (mean_bias can be a
+    negative epsilon — the round_nz class).
+
+    Scale posture: the audit is two partial+final aggregates over one
+    corpus scan each (the micro-batch path groups by (bucket, dim)
+    then folds driver-free in-plan); at 1000 executors THIS IS the
+    map-side-combine argument: quantized integer partials merge in
+    any order, shape, or batch size with zero drift. Reference
+    contract: per-example gradient = map slot (``App.config:16``);
+    accumulation = reduce slot (``App.config:17``,
+    ``Program.cs:351-384``)."""
+    from azure_batch_map_reduce_spark.operators.ranks import round_nz
+
+    obs = _qc_obs(spark, sf_dir, with_id=True).persist()
+    qs = _QC_QSCALE
+
+    def grad_of(df: DataFrame) -> DataFrame:
+        return (
+            df.select(
+                "doc_id",
+                "y",
+                F.posexplode("xa").alias("dim0", "xv"),
+            )
+            .groupBy((F.col("dim0") + 1).alias("dim"))
+            .agg(
+                F.sum(
+                    F.round(
+                        (F.lit(0.5) - F.col("y")) * F.col("xv") * qs
+                    ).cast("long")
+                ).alias("gq"),
+                F.countDistinct("doc_id").alias("n"),
+            )
+        )
+
+    full_g = grad_of(obs)
+    micro = [
+        grad_of(
+            obs.where(
+                ((F.col("doc_id") % 10) >= _GA_CUTS[b][0])
+                & ((F.col("doc_id") % 10) < _GA_CUTS[b][1])
+            )
+        ).select(
+            "dim",
+            F.col("gq").alias(f"gq{b}"),
+            F.col("n").alias(f"n{b}"),
+        )
+        for b in range(_GA_MICRO)
+    ]
+    joined = micro[0]
+    for m in micro[1:]:
+        joined = joined.join(m, "dim")
+    acc_expr = F.col("gq0").cast("decimal(38,0)")
+    mean_expr = F.col("gq0").cast("double") / qs / F.col("n0")
+    for b in range(1, _GA_MICRO):
+        acc_expr = acc_expr + F.col(f"gq{b}")
+        mean_expr = mean_expr + F.col(f"gq{b}").cast("double") / qs / F.col(
+            f"n{b}"
+        )
+    acc = joined.select(
+        "dim",
+        acc_expr.cast("long").alias("gq_accum"),
+        (mean_expr / _GA_MICRO).alias("mean_of_means"),
+    )
+    obs.unpersist()
+    return (
+        full_g.join(acc, "dim")
+        .select(
+            F.col("dim").cast("int").alias("dim"),
+            F.col("gq").alias("gq_full"),
+            "gq_accum",
+            (F.col("gq") - F.col("gq_accum")).alias("accum_error"),
+            round_nz(F.col("gq").cast("double") / qs / F.col("n"), 6).alias(
+                "mean_full"
+            ),
+            round_nz(F.col("mean_of_means"), 6).alias("mean_of_means"),
+            round_nz(
+                F.col("mean_of_means")
+                - F.col("gq").cast("double") / qs / F.col("n"),
+                6,
+            ).alias("mean_bias"),
+        )
+        .orderBy("dim")
     )

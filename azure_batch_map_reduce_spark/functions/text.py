@@ -6124,6 +6124,11 @@ def _ulm_block_arrays(pl: DataFrame, model: DataFrame) -> DataFrame:
 
 _ULM_SHARED: dict[tuple, dict[str, DataFrame]] = {}
 
+# Checkpoint the candidate explode only while its row storage
+# (~120 B/char × chars) stays a comfortable fraction of the default
+# 8 GB heap; beyond this, recompute it per consumer (SCALE.md §8c7).
+_ULM_PL_CACHE_MAX_CHARS = 20_000_000
+
 
 def _ulm_clear_shared() -> None:
     """Drop all memoized lattice components (test hook)."""
@@ -6143,7 +6148,30 @@ def _ulm_component(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name in ent:
         return ent[name]
     if name == "pl":
+        # SIZE-AWARE checkpoint policy (r14 100x-drill finding,
+        # SCALE.md §8c7): pl is the position×3 candidate explode —
+        # the one data-sized frame here. At 100x (75M rows, ~25M
+        # chars) materializing it into executor storage STARVED the
+        # downstream DP stage (usage pass 22 s lazy → 76 s with pl
+        # checkpointed; memory pressure, not compute), while at
+        # fixture scale the checkpoint saves q454's second gather
+        # (~7 s at sf0.1). So: checkpoint when the corpus is small
+        # enough that ~120 B/char of row storage stays a fraction of
+        # the heap (≤ _ULM_PL_CACHE_MAX_CHARS ≈ 2.4 GB), recompute
+        # otherwise — at real scale the explode is ALWAYS recomputed,
+        # a cheap map fused into the parquet scan. The policy affects
+        # only wall time; released values are identical either way.
+        n_chars = (
+            load_tables(spark, sf_dir)["documents"]
+            .agg(F.sum("n_chars"))
+            .collect()[0][0]
+            or 0
+        )
         df = _ulm_pl(spark, sf_dir)
+        if n_chars <= _ULM_PL_CACHE_MAX_CHARS:
+            df = df.localCheckpoint(eager=True)
+        ent[name] = df
+        return df
     elif name == "cnts":
         df = _ulm_cnts(_ulm_component(spark, sf_dir, "pl"))
     elif name == "blk0":
@@ -7605,3 +7633,293 @@ def q460_greedy_bigram_decoding(
         )
         .orderBy("step")
     )
+
+
+# --- q472: nucleus (top-p) successor-set audit ----------------------------
+
+_NUC_P_NUM, _NUC_P_DEN = 8, 10  # p = 0.8, kept as an exact rational
+_NUC_TOPN = 10                  # released head: most-productive contexts
+
+
+def _nucleus_oracle_sql() -> str:
+    return f"""
+    WITH toks AS MATERIALIZED (
+        SELECT string_split(lower(text), ' ') AS ws FROM documents
+    ),
+    bg AS MATERIALIZED (
+        SELECT ws[i] AS w1, ws[i + 1] AS w2, count(*) AS c
+        FROM (SELECT ws, unnest(generate_series(1, len(ws) - 1)) AS i
+              FROM toks)
+        GROUP BY 1, 2
+    ),
+    cum AS (
+        SELECT w1, w2, c,
+               sum(c) OVER (PARTITION BY w1 ORDER BY c DESC, w2 ASC
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) AS ccum,
+               sum(c) OVER (PARTITION BY w1) AS tot,
+               count(*) OVER (PARTITION BY w1) AS n_succ
+        FROM bg
+    ),
+    nuc AS (
+        SELECT w1, max(tot) AS tot, max(n_succ) AS n_succ,
+               count(*) FILTER (WHERE (ccum - c) * {_NUC_P_DEN}
+                                      < tot * {_NUC_P_NUM})
+                   AS nucleus_size,
+               max(ccum) FILTER (WHERE (ccum - c) * {_NUC_P_DEN}
+                                       < tot * {_NUC_P_NUM})
+                   AS nucleus_mass_c
+        FROM cum GROUP BY w1
+    )
+    SELECT w1 AS token,
+           CAST(n_succ AS BIGINT) AS n_successors,
+           CAST(tot AS BIGINT) AS total_count,
+           CAST(nucleus_size AS BIGINT) AS nucleus_size,
+           ((2 * nucleus_mass_c * 1000000 + tot) // (2 * tot))
+               / 1000000.0 AS nucleus_mass
+    FROM nuc
+    ORDER BY total_count DESC, token ASC
+    LIMIT {_NUC_TOPN}
+    """
+
+
+@query(
+    "q472_nucleus_successor_audit",
+    oracle=_nucleus_oracle_sql(),
+    tags=("text", "language-model", "decoding", "nucleus", "top-p",
+          "llm"),
+)
+def q472_nucleus_successor_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Nucleus (top-p) SUCCESSOR-SET audit over the corpus bigram
+    model — the sampling-side complement of q460's greedy argmax and
+    q471's beam: nucleus sampling (Holtzman et al. 2020) draws from
+    the smallest successor set whose cumulative probability reaches
+    p, and THIS operator releases that set's exact size and mass per
+    context — the deterministic skeleton of the sampler (which
+    successors are in play, and how peaked the distribution is)
+    without ever drawing a random number. Per top-{_NUC_TOPN}
+    predecessor (by total continuation count): successor count,
+    total count, nucleus size at p = {_NUC_P_NUM}/{_NUC_P_DEN}, and
+    the nucleus's exact probability mass. A flat context (nucleus
+    ≈ 0.8·n_succ) tells a decoder temperature will matter; a peaked
+    one (nucleus of 1-2) decodes greedily anyway.
+
+    Determinism: membership is the exact integer test
+    (ccum_excl·{_NUC_P_DEN} < tot·{_NUC_P_NUM}) over the total order
+    (count DESC, token ASC); masses release via the half-up idiom.
+
+    Scale posture: ONE corpus explode + bigram aggregate, then
+    vocab-grain windows PARTITIONED BY the predecessor (bounded,
+    data-keyed — co-partitioned with the aggregate's own shuffle) and
+    a vocab-grain rollup; the release is a TakeOrdered({_NUC_TOPN}).
+    No global windows, no second corpus pass. Reference contract:
+    bigram counting = map slot (``App.config:16``); nucleus rollup =
+    reduce slot (``App.config:17``, ``Program.cs:351-384``)."""
+    from pyspark.sql import Window as W
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    ws = F.split(F.lower(F.col("text")), " ")
+    bg = (
+        docs.select(ws.alias("ws"))
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(ws) - 1),"
+                    " i -> struct(element_at(ws, i) AS w1,"
+                    " element_at(ws, i + 1) AS w2))"
+                )
+            ).alias("p")
+        )
+        .groupBy(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    wcum = (
+        W.partitionBy("w1")
+        .orderBy(F.desc("c"), F.asc("w2"))
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    wall = W.partitionBy("w1")
+    cum = bg.select(
+        "w1",
+        "c",
+        F.sum("c").over(wcum).alias("ccum"),
+        F.sum("c").over(wall).alias("tot"),
+        F.count(F.lit(1)).over(wall).alias("n_succ"),
+    )
+    in_nuc = (F.col("ccum") - F.col("c")) * _NUC_P_DEN < F.col(
+        "tot"
+    ) * _NUC_P_NUM
+    nuc = cum.groupBy("w1").agg(
+        F.max("tot").alias("tot"),
+        F.max("n_succ").alias("n_succ"),
+        F.sum(F.when(in_nuc, 1).otherwise(0)).alias("nucleus_size"),
+        F.max(F.when(in_nuc, F.col("ccum"))).alias("nucleus_mass_c"),
+    )
+    return (
+        nuc.orderBy(F.desc("tot"), F.asc("w1"))
+        .limit(_NUC_TOPN)
+        .select(
+            F.col("w1").alias("token"),
+            F.col("n_succ").cast("long").alias("n_successors"),
+            F.col("tot").cast("long").alias("total_count"),
+            F.col("nucleus_size").cast("long").alias("nucleus_size"),
+            half_up_ratio(F.col("nucleus_mass_c"), F.col("tot"), 6).alias(
+                "nucleus_mass"
+            ),
+        )
+    )
+
+
+# --- q471: beam-search decoding over the smoothed bigram model ------------
+
+_BEAM_B = 3  # beam width
+_BEAM_L = 6  # decode steps
+
+
+def _beam_oracle_sql() -> str:
+    steps = []
+    for k in range(1, _BEAM_L + 1):
+        steps.append(f"""
+    b{k} AS MATERIALIZED (
+        SELECT b.seq || ',' || m.w2 AS seq, m.w2 AS last,
+               b.cq + m.qc AS cq
+        FROM b{k - 1} b JOIN model m ON m.w1 = b.last
+        ORDER BY cq ASC, seq ASC LIMIT {_BEAM_B}
+    )""")
+    return f"""
+    WITH toks AS MATERIALIZED (
+        SELECT string_split(lower(text), ' ') AS ws FROM documents
+    ),
+    bg AS MATERIALIZED (
+        SELECT ws[i] AS w1, ws[i + 1] AS w2, count(*) AS c
+        FROM (SELECT ws, unnest(generate_series(1, len(ws) - 1)) AS i
+              FROM toks)
+        GROUP BY 1, 2
+    ),
+    vv AS (SELECT count(DISTINCT w2) AS v FROM bg),
+    c1 AS (SELECT w1, sum(c) AS tot FROM bg GROUP BY 1),
+    model AS MATERIALIZED (
+        SELECT b.w1, b.w2,
+               CAST(round(1000000.0 * ln(CAST(t.tot + vv.v AS DOUBLE)
+                   / (b.c + 1))) AS BIGINT) AS qc
+        FROM bg b JOIN c1 t ON t.w1 = b.w1 CROSS JOIN vv
+    ),
+    s0 AS MATERIALIZED (
+        SELECT w2 AS tok FROM bg GROUP BY w2
+        ORDER BY sum(c) DESC, w2 ASC LIMIT 1
+    ),
+    b0 AS (SELECT tok AS seq, tok AS last, CAST(0 AS BIGINT) AS cq
+           FROM s0),
+    {",".join(steps)}
+    SELECT CAST(row_number() OVER (ORDER BY cq ASC, seq ASC) AS BIGINT)
+               AS rank,
+           seq AS sequence, last AS last_token, cq AS cost_q
+    FROM b{_BEAM_L}
+    ORDER BY rank
+    """
+
+
+@query(
+    "q471_beam_search_decoding",
+    oracle=_beam_oracle_sql(),
+    tags=("text", "language-model", "decoding", "beam-search", "llm"),
+)
+def q471_beam_search_decoding(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """BEAM-SEARCH decoding over the add-one-smoothed corpus bigram
+    model — the decode family's search member (q460 walks the greedy
+    argmax chain; q472 audits the sampler's nucleus; this keeps the
+    {_BEAM_B} lowest-cost partial sequences alive for {_BEAM_L}
+    expansion steps): from the corpus's most frequent start token,
+    every step expands each beam to every observed successor, scores
+    seq cost + smoothed piece cost, and keeps the global top-{_BEAM_B}
+    under the total order (cost ASC, sequence ASC). Released: the
+    final beams with their exact integer costs — at the fixtures the
+    runner-up beams genuinely diverge from the greedy path (probed),
+    which is beam search's whole point.
+
+    Determinism: smoothed costs quantize single-ln draws on
+    bit-identical integer ratios to 1e-6 BIGINTs (the q440/q443
+    exposure class — the SAME formula as the ULM initial model);
+    beam state and ranking are then exact integer sums with a
+    sequence-string tie-break — a total order at every step.
+
+    Scale posture: ONE corpus explode + bigram aggregate builds the
+    model; the Spark side collects the observed-successor cost table
+    ONCE at model grain (the q460 policy-table rule — vocab²-observed
+    rows, 931 at sf0.1) and walks the beam driver-side: beam state is
+    {_BEAM_B} tuples, never data-sized, and the job count is constant
+    in {_BEAM_L}. The oracle unrolls the identical expansion as
+    {_BEAM_L} top-{_BEAM_B} CTEs. Reference contract: bigram counting
+    = map slot (``App.config:16``); beam expansion + rank = reduce
+    slot (``App.config:17``, ``Program.cs:351-384``)."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    ws = F.split(F.lower(F.col("text")), " ")
+    bg = (
+        docs.select(ws.alias("ws"))
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(ws) - 1),"
+                    " i -> struct(element_at(ws, i) AS w1,"
+                    " element_at(ws, i + 1) AS w2))"
+                )
+            ).alias("p")
+        )
+        .groupBy(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+        .agg(F.count(F.lit(1)).alias("c"))
+        .coalesce(1)
+        .persist()
+    )
+    vv = bg.agg(F.countDistinct("w2").alias("v"))
+    c1 = bg.groupBy("w1").agg(F.sum("c").alias("tot"))
+    model_rows = (
+        bg.join(c1, "w1")
+        .crossJoin(F.broadcast(vv))
+        .select(
+            "w1",
+            "w2",
+            F.round(
+                F.lit(1000000.0)
+                * F.log(
+                    (F.col("tot") + F.col("v")).cast("double")
+                    / (F.col("c") + 1)
+                )
+            )
+            .cast("long")
+            .alias("qc"),
+        )
+        .collect()
+    )
+    succ: dict[str, list] = {}
+    for r in model_rows:
+        succ.setdefault(r["w1"], []).append((r["w2"], int(r["qc"])))
+    start = (
+        bg.groupBy("w2")
+        .agg(F.sum("c").alias("tc"))
+        .orderBy(F.desc("tc"), F.asc("w2"))
+        .limit(1)
+        .collect()[0]["w2"]
+    )
+    bg.unpersist()
+    beams = [(start, start, 0)]  # (seq, last, cost_q)
+    for _ in range(_BEAM_L):
+        cand = [
+            (f"{seq},{w2}", w2, cq + qc)
+            for seq, last, cq in beams
+            for w2, qc in succ.get(last, [])
+        ]
+        cand.sort(key=lambda t: (t[2], t[0]))
+        beams = cand[:_BEAM_B]
+    out = [
+        (i + 1, seq, last, cq)
+        for i, (seq, last, cq) in enumerate(
+            sorted(beams, key=lambda t: (t[2], t[0]))
+        )
+    ]
+    return spark.createDataFrame(
+        out, "rank long, sequence string, last_token string, cost_q long"
+    ).orderBy("rank")

@@ -397,6 +397,21 @@ HEADLINE = [
     # (eager; per-round 2-cell collects — honest cost in
     # `queries_honest`).
     "q470_unigram_lm_em_convergence",
+    # q471: one bigram aggregate + a model-grain cost-table collect;
+    # the beam walk is driver-side (eager).
+    "q471_beam_search_decoding",
+    # q472: one bigram aggregate + vocab-grain partitioned windows +
+    # TakeOrdered(10).
+    "q472_nucleus_successor_audit",
+    # q473: 4 shards x 2 local GD scans + 5 eval scans (eager,
+    # model-grain collects).
+    "q473_federated_averaging_round",
+    # q474: 4 GD scans + 2 eval scans (eager, model-grain collects).
+    "q474_polyak_tail_averaging",
+    # q475: 4 scheduled GD scans + 1 eval scan (eager).
+    "q475_lr_schedule_training",
+    # q476: two gradient aggregates over one corpus scan each.
+    "q476_gradient_accumulation_audit",
 ]
 
 

