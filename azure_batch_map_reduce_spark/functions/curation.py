@@ -7874,6 +7874,7 @@ def _qc_steps_sql(
     lr: float = _QC_LR,
     obs_name: str = "obs",
     lrs: list | None = None,
+    dims_n: int = 4,
 ) -> str:
     """The unrolled GD step CTEs g{{k}}/w{{k}} (shared by q433's
     training release, q437's cartography, and q441's cross-validation
@@ -7890,7 +7891,7 @@ def _qc_steps_sql(
     overrides it PER STEP (q475's schedule — same literal rule).
     q433 keeps the bare full-batch default, so its
     release is unchanged."""
-    dims = _QC_DIMS
+    dims = f"generate_series(1, {dims_n})"
     z_fold = (
         f"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
         f"list_transform({dims}, i -> xa[i] * w.wl[i])), (a, b) -> a + b)"
@@ -8047,6 +8048,7 @@ def _qc_train(
     lr: float = _QC_LR,
     w0: list | None = None,
     lrs: list | None = None,
+    dims_n: int = 4,
 ) -> tuple[list, list, int]:
     """Run ``n_steps`` quantized-gradient steps over ``obs`` (xa, y);
     returns ``(path, accs, n)`` — ``path[k]`` is the weight vector
@@ -8056,7 +8058,7 @@ def _qc_train(
     (obs must carry doc_id; accuracy counts are then subset-grain).
     One definition of the training loop, shared by q433's release and
     q437's cartography (the Spark twin of ``_qc_steps_sql``)."""
-    w = [0.0] * 4 if w0 is None else list(w0)
+    w = [0.0] * dims_n if w0 is None else list(w0)
     path: list = []
     accs: list = []
     n_rows = None
@@ -8099,7 +8101,7 @@ def _qc_train(
         step_lr = lrs[k - 1] if lrs is not None else lr
         w = [
             w[d - 1] - step_lr * (gq[d] / _QC_QSCALE / n_rows)
-            for d in range(1, 5)
+            for d in range(1, dims_n + 1)
         ]
         path.append(list(w))
     return path, accs, n_rows
@@ -11549,3 +11551,417 @@ def q476_gradient_accumulation_audit(
         )
         .orderBy("dim")
     )
+
+
+# --- q477: knowledge distillation (teacher -> 2-feature student) ----------
+
+_KD_TEACHER_STEPS = 3
+_KD_STUDENT_STEPS = 2
+_KD_SDIMS = 2  # student keeps [bias, centered length] only
+
+
+def _kd_zfold(dims_n: int, xa: str = "xa") -> str:
+    return (
+        f"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+        f"list_transform(generate_series(1, {dims_n}),"
+        f" i -> {xa}[i] * w.wl[i])), (a, b) -> a + b)"
+    )
+
+
+def _kd_oracle_sql() -> str:
+    qs = _QC_QSCALE
+    zt = _kd_zfold(4)
+    zs = _kd_zfold(_KD_SDIMS)
+    return f"""
+    WITH {_qc_obs_sql()},
+    t_w0 AS (SELECT list_transform({_QC_DIMS}, i -> CAST(0.0 AS DOUBLE))
+                 AS wl),
+    {_qc_steps_sql(n_steps=_KD_TEACHER_STEPS, prefix="t_")},
+    obs2 AS MATERIALIZED (
+        SELECT list_value(xa[1], xa[2]) AS xa,
+               CAST(0.5 AS DOUBLE)
+                   + z_t / (CAST(2.0 AS DOUBLE)
+                            * (CAST(1.0 AS DOUBLE) + abs(z_t))) AS y,
+               yhard, z_t
+        FROM (
+            SELECT xa, y AS yhard, {zt} AS z_t
+            FROM obs CROSS JOIN t_w{_KD_TEACHER_STEPS} w
+        )
+    ),
+    s_w0 AS (SELECT list_transform(generate_series(1, {_KD_SDIMS}),
+                 i -> CAST(0.0 AS DOUBLE)) AS wl),
+    {_qc_steps_sql(n_steps=_KD_STUDENT_STEPS, prefix="s_",
+                   obs_name="obs2", dims_n=_KD_SDIMS)},
+    ev AS MATERIALIZED (
+        SELECT sum(CASE WHEN (z_s > 0) = (yhard = 1.0)
+                        THEN 1 ELSE 0 END) AS s_correct,
+               sum(CASE WHEN (z_t > 0) = (yhard = 1.0)
+                        THEN 1 ELSE 0 END) AS t_correct,
+               sum(CASE WHEN (z_s > 0) = (z_t > 0)
+                        THEN 1 ELSE 0 END) AS agree,
+               count(*) AS n
+        FROM (
+            SELECT o.yhard, o.z_t, {zs} AS z_s
+            FROM obs2 o CROSS JOIN s_w{_KD_STUDENT_STEPS} w
+        )
+    )
+    SELECT item, CAST(idx AS INTEGER) AS idx, value FROM (
+        SELECT 'acc_teacher' AS item, 0 AS idx,
+               ((2 * t_correct * {qs} + n) // (2 * n)) / 1000000.0 AS value
+        FROM ev
+        UNION ALL
+        SELECT 'acc_student', 0,
+               ((2 * s_correct * {qs} + n) // (2 * n)) / 1000000.0 FROM ev
+        UNION ALL
+        SELECT 'agreement', 0,
+               ((2 * agree * {qs} + n) // (2 * n)) / 1000000.0 FROM ev
+        UNION ALL
+        SELECT 'w_student', s.dim, round(s.wv, 6) + 0.0
+        FROM (SELECT unnest(list_transform(generate_series(1, {_KD_SDIMS}),
+                  i -> struct_pack(dim := i, wv := w.wl[i]))) AS s
+              FROM s_w{_KD_STUDENT_STEPS} w)
+    ) ORDER BY item, idx
+    """
+
+
+@query(
+    "q477_knowledge_distillation",
+    oracle=_kd_oracle_sql(),
+    tags=("llm", "training", "distillation", "compression", "curation"),
+)
+def q477_knowledge_distillation(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """KNOWLEDGE DISTILLATION (Hinton et al. 2015) on the shared
+    classifier — the model-compression member of the training family:
+    the 4-feature teacher trains {_KD_TEACHER_STEPS} q433 steps on
+    hard labels, then a {_KD_SDIMS}-feature STUDENT (bias + centered
+    length only) trains {_KD_STUDENT_STEPS} steps against the
+    teacher's SOFT targets σ̃(z_t) — the gradient (σ̃(z_s) − p_t)·x
+    is the distillation loss's, carrying the teacher's confidence
+    into the smaller model instead of 0/1 labels. Released: teacher
+    and student accuracy against the true labels, student-teacher
+    agreement, and the student weights — the fixture student recovers
+    most of the teacher's accuracy from half the features (probed),
+    which is distillation's claim.
+
+    Determinism: the teacher path is the exact q433 arithmetic; soft
+    targets are the rational fast-sigmoid (no libm) of bit-identical
+    folds; student steps reuse the SAME template at dims_n=2 with
+    y := soft target (quantized-gradient BIGINT sums); accuracies and
+    agreement release half-up, weights round_nz.
+
+    Scale posture: teacher and student are both the q433 loop — one
+    fused corpus scan per step, model-grain state; the soft-target
+    frame adds ONE column to the scan, never a second pass. At 100 TB
+    distillation-from-logits is exactly this shape: the teacher's
+    forward pass fuses into the student's gradient scan. Reference
+    contract: per-example gradients = map slot (``App.config:16``);
+    model updates + eval = reduce slots (``App.config:17``,
+    ``Program.cs:351-384``)."""
+    from azure_batch_map_reduce_spark.operators.ranks import round_nz
+
+    obs = _qc_obs(spark, sf_dir).persist()
+    tpath, _taccs, _n = _qc_train(obs, n_steps=_KD_TEACHER_STEPS)
+    w_t = tpath[-1]
+    zt = _qc_margin(w_t)
+    # Two-stage select: z_t must exist before the soft-target
+    # expression references it.
+    obs2 = (
+        obs.select("xa", F.col("y").alias("yhard"), zt.alias("z_t"))
+        .select(
+            F.array(
+                F.element_at("xa", 1), F.element_at("xa", 2)
+            ).alias("xa"),
+            (
+                F.lit(0.5)
+                + F.col("z_t")
+                / (F.lit(2.0) * (F.lit(1.0) + F.abs(F.col("z_t"))))
+            ).alias("y"),
+            "yhard",
+            "z_t",
+        )
+        .persist()
+    )
+    spath, _saccs, _sn = _qc_train(
+        obs2, n_steps=_KD_STUDENT_STEPS, dims_n=_KD_SDIMS
+    )
+    w_s = spath[-1]
+    zs = _qc_margin(w_s)
+    ev = (
+        obs2.select("yhard", "z_t", zs.alias("z_s"))
+        .agg(
+            F.sum(
+                F.when(
+                    (F.col("z_s") > 0) == (F.col("yhard") == 1.0), 1
+                ).otherwise(0)
+            ).alias("s_correct"),
+            F.sum(
+                F.when(
+                    (F.col("z_t") > 0) == (F.col("yhard") == 1.0), 1
+                ).otherwise(0)
+            ).alias("t_correct"),
+            F.sum(
+                F.when((F.col("z_s") > 0) == (F.col("z_t") > 0), 1).otherwise(
+                    0
+                )
+            ).alias("agree"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .collect()[0]
+    )
+    obs2.unpersist()
+    obs.unpersist()
+
+    def hup(nc: int, n: int) -> float:
+        return ((2 * nc * _QC_QSCALE + n) // (2 * n)) / 1000000.0
+
+    n = int(ev["n"])
+    out = spark.createDataFrame(
+        [
+            ("acc_teacher", 0, hup(int(ev["t_correct"]), n)),
+            ("acc_student", 0, hup(int(ev["s_correct"]), n)),
+            ("agreement", 0, hup(int(ev["agree"]), n)),
+        ],
+        "item string, idx int, value double",
+    )
+    wrows = spark.createDataFrame(
+        [(i + 1, w_s[i]) for i in range(_KD_SDIMS)], "idx int, wv double"
+    ).select(
+        F.lit("w_student").alias("item"),
+        "idx",
+        round_nz(F.col("wv"), 6).alias("value"),
+    )
+    return out.unionByName(wrows).orderBy("item", "idx")
+
+
+# --- q478: DPO-style preference-pair optimization --------------------------
+
+_DPO_BETA = 2.0  # exact binary64 literal
+_DPO_LR = 0.5
+_DPO_STEPS = 2
+_DPO_DFOLD = (
+    "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+    "list_transform(generate_series(1, 4), i -> xd[i] * w.wl[i])),"
+    " (a, b) -> a + b)"
+)
+
+
+def _dpo_oracle_sql() -> str:
+    qs = _QC_QSCALE
+    b, lr = _DPO_BETA, _DPO_LR
+    step_tpl = f"""
+    g{{k}} AS MATERIALIZED (
+        SELECT s.dim AS dim,
+               sum(CAST(round(-(CAST(0.5 AS DOUBLE)
+                       + nd / (CAST(2.0 AS DOUBLE)
+                               * (CAST(1.0 AS DOUBLE) + abs(nd))))
+                       * s.xv * {qs}) AS BIGINT)) AS gq,
+               sum(CASE WHEN d > 0 THEN 1 ELSE 0 END) AS n_ranked,
+               count(*) AS n
+        FROM (
+            SELECT e.d, -{b} * e.d AS nd,
+                   unnest(list_transform(generate_series(1, 4),
+                       i -> struct_pack(dim := i, xv := e.xd[i]))) AS s
+            FROM (
+                SELECT xd, {_DPO_DFOLD} AS d
+                FROM pairs CROSS JOIN w{{p}} w
+            ) e
+        )
+        GROUP BY s.dim
+    ),
+    w{{k}} AS MATERIALIZED (
+        SELECT list(w.wl[g.dim]
+                    - {lr} * (CAST(g.gq AS DOUBLE) / {qs} / g.n)
+                    ORDER BY g.dim) AS wl,
+               max(g.n_ranked) AS n_ranked,
+               max(g.n) AS n
+        FROM g{{k}} g CROSS JOIN w{{p}} w
+    )"""
+    steps = ",".join(
+        step_tpl.format(k=k, p=k - 1) for k in range(1, _DPO_STEPS + 1)
+    )
+    acc_rows = " UNION ALL ".join(
+        f"SELECT 'rank_acc' AS item, {k} AS idx,"
+        f" ((2 * n_ranked * {qs} + n) // (2 * n)) / 1000000.0 AS value"
+        f" FROM w{k}"
+        for k in range(1, _DPO_STEPS + 1)
+    )
+    return f"""
+    WITH {_qc_obs_sql(with_id=True)},
+    pairs AS MATERIALIZED (
+        SELECT list_transform(generate_series(1, 4),
+                   i -> CASE WHEN a.y = 1.0 THEN a.xa[i] - b.xa[i]
+                             ELSE b.xa[i] - a.xa[i] END) AS xd
+        FROM obs a JOIN obs b ON b.doc_id = a.doc_id + 1
+        WHERE a.y <> b.y
+    ),
+    w0 AS (SELECT list_transform(generate_series(1, 4),
+               i -> CAST(0.0 AS DOUBLE)) AS wl),
+    {steps},
+    fin AS MATERIALIZED (
+        SELECT sum(CASE WHEN {_DPO_DFOLD} > 0 THEN 1 ELSE 0 END)
+                   AS n_ranked,
+               count(*) AS n
+        FROM pairs CROSS JOIN w{_DPO_STEPS} w
+    )
+    SELECT item, CAST(idx AS INTEGER) AS idx, value FROM (
+        {acc_rows}
+        UNION ALL
+        SELECT 'rank_acc', {_DPO_STEPS + 1},
+               ((2 * n_ranked * {qs} + n) // (2 * n)) / 1000000.0 FROM fin
+        UNION ALL
+        SELECT 'pair_n', 0, CAST(n AS DOUBLE) FROM fin
+        UNION ALL
+        SELECT 'w', s.dim, round(s.wv, 6) + 0.0
+        FROM (SELECT unnest(list_transform(generate_series(1, 4),
+                  i -> struct_pack(dim := i, wv := w.wl[i]))) AS s
+              FROM w{_DPO_STEPS} w)
+    ) ORDER BY item, idx
+    """
+
+
+@query(
+    "q478_dpo_preference_step",
+    oracle=_dpo_oracle_sql(),
+    tags=("llm", "training", "preferences", "dpo", "rlhf", "curation"),
+)
+def q478_dpo_preference_step(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """DPO-STYLE preference optimization (Rafailov et al. 2023) on
+    deterministic preference pairs — the alignment member of the
+    training family (q256 fits Bradley-Terry strengths to pairs; this
+    OPTIMIZES a model against them, the direct-preference objective
+    that replaced the RLHF reward-model loop): adjacent-doc_id pairs
+    with opposite quality labels form (chosen, rejected); the loss
+    −log σ(β·(s_w(x_c) − s_w(x_r))) differentiates to
+    −σ(−β·d)·(x_c − x_r), taken here with the rational fast sigmoid
+    (libm-free, the q433 activation) for {_DPO_STEPS} full-batch
+    steps at β = {_DPO_BETA}. Released: each step's pre-update
+    pairwise ranking accuracy (0 at the zero init — no direction yet
+    — then high after one step, probed), the final ranking accuracy,
+    the pair count, and the weights.
+
+    Determinism: pairing is an equi-join on doc_id adjacency with an
+    exact label-inequality filter (no windows, no sampling);
+    per-pair per-dim gradients quantize to BIGINTs; updates are the
+    shared q433 arithmetic; accuracies half-up, weights round_nz.
+
+    Scale posture: pair construction is ONE self-equi-join
+    co-partitioned on doc_id (shifted key — the q166 adjacency
+    idiom); each step is one fused pair scan shuffling 4 integer
+    cells; model state is 4 doubles — the q433 parameter-server
+    shape on pair grain. Reference contract: per-pair gradient = map
+    slot (``App.config:16``); update + ranking eval = reduce slots
+    (``App.config:17``, ``Program.cs:351-384``)."""
+    from azure_batch_map_reduce_spark.operators.ranks import round_nz
+
+    obs = _qc_obs(spark, sf_dir, with_id=True)
+    a = obs.select(
+        F.col("doc_id").alias("id_a"),
+        F.col("xa").alias("xa_a"),
+        F.col("y").alias("y_a"),
+    )
+    bb = obs.select(
+        (F.col("doc_id") - 1).alias("id_a"),
+        F.col("xa").alias("xa_b"),
+        F.col("y").alias("y_b"),
+    )
+    pairs = (
+        a.join(bb, "id_a")
+        .where(F.col("y_a") != F.col("y_b"))
+        .select(
+            F.when(
+                F.col("y_a") == 1.0,
+                F.zip_with(
+                    "xa_a", "xa_b", lambda c, r: c - r
+                ),
+            )
+            .otherwise(
+                F.zip_with("xa_b", "xa_a", lambda c, r: c - r)
+            )
+            .alias("xd")
+        )
+        .persist()
+    )
+
+    def dfold(w: list) -> "Column":
+        wlit = F.array(*[F.lit(v) for v in w])
+        return F.aggregate(
+            F.zip_with(F.col("xd"), wlit, lambda x, wv: x * wv),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    w = [0.0] * 4
+    accs: list = []
+    n_pairs = 0
+    for _k in range(1, _DPO_STEPS + 1):
+        nd = -_DPO_BETA * F.col("d")
+        sig = F.lit(0.5) + nd / (F.lit(2.0) * (F.lit(1.0) + F.abs(nd)))
+        rows = (
+            pairs.select(dfold(w).alias("d"), "xd")
+            .select(
+                "d",
+                sig.alias("sig"),
+                F.posexplode("xd").alias("dim0", "xv"),
+            )
+            .groupBy((F.col("dim0") + 1).alias("dim"))
+            .agg(
+                F.sum(
+                    F.round(
+                        -F.col("sig") * F.col("xv") * _QC_QSCALE
+                    ).cast("long")
+                ).alias("gq"),
+                F.sum(
+                    F.when(F.col("d") > 0, 1).otherwise(0)
+                ).alias("n_ranked"),
+                F.count(F.lit(1)).alias("n"),
+            )
+            .collect()
+        )
+        n_pairs = int(rows[0]["n"])
+        accs.append(int(rows[0]["n_ranked"]))
+        gq = {r["dim"]: int(r["gq"]) for r in rows}
+        w = [
+            w[d - 1] - _DPO_LR * (gq[d] / _QC_QSCALE / n_pairs)
+            for d in range(1, 5)
+        ]
+    fin = (
+        pairs.select(dfold(w).alias("d"))
+        .agg(
+            F.sum(F.when(F.col("d") > 0, 1).otherwise(0)).alias(
+                "n_ranked"
+            ),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .collect()[0]
+    )
+    pairs.unpersist()
+
+    def hup(nc: int, n: int) -> float:
+        return ((2 * nc * _QC_QSCALE + n) // (2 * n)) / 1000000.0
+
+    rows_out = [
+        ("rank_acc", k + 1, hup(accs[k], n_pairs))
+        for k in range(_DPO_STEPS)
+    ]
+    rows_out.append(
+        (
+            "rank_acc",
+            _DPO_STEPS + 1,
+            hup(int(fin["n_ranked"]), int(fin["n"])),
+        )
+    )
+    rows_out.append(("pair_n", 0, float(n_pairs)))
+    out = spark.createDataFrame(
+        rows_out, "item string, idx int, value double"
+    )
+    wrows = spark.createDataFrame(
+        [(i + 1, w[i]) for i in range(4)], "idx int, wv double"
+    ).select(
+        F.lit("w").alias("item"), "idx",
+        round_nz(F.col("wv"), 6).alias("value"),
+    )
+    return out.unionByName(wrows).orderBy("item", "idx")

@@ -412,6 +412,11 @@ HEADLINE = [
     "q475_lr_schedule_training",
     # q476: two gradient aggregates over one corpus scan each.
     "q476_gradient_accumulation_audit",
+    # q477: 3 teacher + 2 student GD scans + 1 eval scan (eager).
+    "q477_knowledge_distillation",
+    # q478: one doc_id-adjacency self-join + 2 pair-grain GD scans +
+    # 1 eval scan (eager).
+    "q478_dpo_preference_step",
 ]
 
 

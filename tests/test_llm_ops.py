@@ -2013,3 +2013,36 @@ def test_q476_exact_accumulation_and_nonvacuous_bias(spark, sf_dir):
     assert len(rows) == 4
     assert all(r.accum_error == 0 for r in rows)
     assert any(abs(r.mean_bias) > 0 for r in rows)
+
+
+def test_q477_distillation_invariants(spark, sf_dir):
+    """Distillation invariants: the 2-feature student must agree with
+    the teacher on a large majority of documents (agreement > 0.7 —
+    the soft targets actually transferred), all released rates are in
+    [0, 1], and the student releases exactly _KD_SDIMS weights."""
+    from azure_batch_map_reduce_spark.functions.curation import _KD_SDIMS
+
+    rows = (
+        REGISTRY["q477_knowledge_distillation"].fn(spark, sf_dir).collect()
+    )
+    by = {(r.item, r.idx): r.value for r in rows}
+    assert 0.7 < by[("agreement", 0)] <= 1.0
+    for key in (("acc_teacher", 0), ("acc_student", 0)):
+        assert 0.0 <= by[key] <= 1.0
+    assert len([k for k in by if k[0] == "w_student"]) == _KD_SDIMS
+
+
+def test_q478_dpo_learns_to_rank(spark, sf_dir):
+    """DPO invariants: step 1's pre-update ranking accuracy is
+    exactly 0 at the zero init (no direction), the post-step
+    accuracies reach a large majority (the pairs are separable by
+    construction — opposite quality labels), and the bias dimension's
+    released weight is exactly 0 (pair differences cancel it)."""
+    rows = (
+        REGISTRY["q478_dpo_preference_step"].fn(spark, sf_dir).collect()
+    )
+    by = {(r.item, r.idx): r.value for r in rows}
+    assert by[("rank_acc", 1)] == 0.0
+    assert by[("rank_acc", 3)] > 0.9
+    assert by[("w", 1)] == 0.0
+    assert by[("pair_n", 0)] > 0
