@@ -93,6 +93,21 @@ DRILL_QUERIES = [
     "q458_rm3_pseudo_relevance_feedback",
     "q462_successive_halving_feature_race",
     "q463_gradient_matching_selection",
+    # Round-14 additions: the EM-to-convergence trainer (the heaviest
+    # new row - rides the shared lattice, which the drill clears per
+    # run so every run pays the full build), the two decode-family
+    # members (model-grain collects over the rotated - hence ~10x
+    # larger - bigram vocabulary), and the optimizer-family batch
+    # (fixed-dim model state; corpus-proportional feature scans).
+    "q470_unigram_lm_em_convergence",
+    "q471_beam_search_decoding",
+    "q472_nucleus_successor_audit",
+    "q473_federated_averaging_round",
+    "q474_polyak_tail_averaging",
+    "q475_lr_schedule_training",
+    "q476_gradient_accumulation_audit",
+    "q477_knowledge_distillation",
+    "q478_dpo_preference_step",
 ]
 
 # Geometric operators need a DIFFERENT amplification: identical-copy
@@ -359,6 +374,13 @@ def main() -> int:
         open(geo_marker, "w").close()
 
     def run_once(name: str, sf_dir: str) -> float:
+        # Clear the ULM shared store so every drill run is charged the
+        # full lattice build (same rule as the --x100 mode).
+        from azure_batch_map_reduce_spark.functions.text import (
+            _ulm_clear_shared,
+        )
+
+        _ulm_clear_shared()
         t0 = time.perf_counter()
         df = registry[name].fn(spark, sf_dir)
         df.write.format("noop").mode("overwrite").save()
