@@ -11430,7 +11430,12 @@ def _ga_oracle_sql() -> str:
            CAST(f.gq AS BIGINT) AS gq_full,
            CAST(a.gq_accum AS BIGINT) AS gq_accum,
            CAST(f.gq - a.gq_accum AS BIGINT) AS accum_error,
-           round(CAST(f.gq AS DOUBLE) / {qs} / f.n, 6) + 0.0 AS mean_full,
+           (CASE WHEN f.gq >= 0
+                 THEN (2 * f.gq * 1000000 + {qs} * f.n)
+                      // (2 * {qs} * f.n)
+                 ELSE -((2 * (-f.gq) * 1000000 + {qs} * f.n)
+                        // (2 * {qs} * f.n)) END) / 1000000.0
+               AS mean_full,
            round(a.mean_of_means, 6) + 0.0 AS mean_of_means,
            round(a.mean_of_means
                  - CAST(f.gq AS DOUBLE) / {qs} / f.n, 6) + 0.0
@@ -11539,9 +11544,9 @@ def q476_gradient_accumulation_audit(
             F.col("gq").alias("gq_full"),
             "gq_accum",
             (F.col("gq") - F.col("gq_accum")).alias("accum_error"),
-            round_nz(F.col("gq").cast("double") / qs / F.col("n"), 6).alias(
-                "mean_full"
-            ),
+            half_up_ratio_signed(
+                F.col("gq"), F.lit(qs) * F.col("n"), 6
+            ).alias("mean_full"),
             round_nz(F.col("mean_of_means"), 6).alias("mean_of_means"),
             round_nz(
                 F.col("mean_of_means")
