@@ -6191,6 +6191,28 @@ def _ulm_component(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
                 _ulm_component(spark, sf_dir, "used"),
             ),
         )
+    elif (m := __import__("re").fullmatch(r"used(\d+)", name)) is not None:
+        # k-th usage recount: the optimal-segmentation count under the
+        # (k-1)-th re-estimated model — q470's later EM rounds. used1
+        # is the plain "used" component; usedK reads blk(K-1).
+        k = int(m.group(1))
+        dep = "used" if k == 1 else None
+        if dep is not None:
+            return _ulm_component(spark, sf_dir, dep)
+        df = _ulm_usage(
+            spark, sf_dir, _ulm_component(spark, sf_dir, f"blk{k - 1}")
+        )
+    elif (m := __import__("re").fullmatch(r"blk(\d+)", name)) is not None:
+        # k-th blocked arrays: under the model re-estimated from the
+        # k-th usage recount (blk0/blk1 are handled explicitly above).
+        k = int(m.group(1))
+        df = _ulm_block_arrays(
+            _ulm_component(spark, sf_dir, "pl"),
+            _ulm_model1(
+                _ulm_component(spark, sf_dir, "cnts"),
+                _ulm_component(spark, sf_dir, f"used{k}"),
+            ),
+        )
     else:  # pragma: no cover - programming error
         raise KeyError(name)
     df = df.localCheckpoint(eager=True)
@@ -7129,11 +7151,12 @@ def q470_unigram_lm_em_convergence(
     composes); deltas and the gate are pure integer arithmetic;
     means use the half-up idiom.
 
-    Scale posture: rounds 1-2 ride the session-shared lattice store
-    (`_ulm_component` — built once per corpus snapshot, §8c6); each
-    later round is ONE usage recount + ONE vocab-bounded re-smooth +
-    ONE blocked array gather, localCheckpoint'ed per round (the
-    q103 iterative-lineage rule). Per round the driver sees exactly
+    Scale posture: EVERY round rides the session-shared lattice store
+    (`_ulm_component` — usedK/blkK components, built once per corpus
+    snapshot, §8c6); each later round is ONE usage recount + ONE
+    vocab-bounded re-smooth + ONE blocked array gather, checkpointed
+    in the store (the q103 iterative-lineage rule, memoized so a
+    second trainer run reuses the rounds). Per round the driver sees exactly
     one 2-cell row (cost, tokens) — parameter-server grain (the q433
     rule); the corpus is never collected. The oracle unrolls the
     full {_ULM_EM_MAX}-round budget statically and releases the same
@@ -7141,8 +7164,6 @@ def q470_unigram_lm_em_convergence(
     slot (``App.config:16``); usage recount, re-estimation and the
     stopping rule = reduce slots (``App.config:17``,
     ``Program.cs:351-384``)."""
-    cnts = _ulm_component(spark, sf_dir, "cnts")
-    pl = _ulm_component(spark, sf_dir, "pl")
     blk = _ulm_component(spark, sf_dir, "blk0")
     out: list = []
     prev: int | None = None
@@ -7165,13 +7186,11 @@ def q470_unigram_lm_em_convergence(
         out.append((r, cq, tk, delta, 1 if conv else 0))
         if conv or r >= _ULM_EM_MAX:
             break
-        if r == 1:
-            blk = _ulm_component(spark, sf_dir, "blk1")
-        else:
-            used_r = _ulm_usage(spark, sf_dir, blk)
-            blk = _ulm_block_arrays(
-                pl, _ulm_model1(cnts, used_r)
-            ).localCheckpoint(eager=True)
+        # Every round's usage recount and re-modeled arrays live in
+        # the session-shared store (usedK/blkK components) — a second
+        # trainer run, or a sibling query consuming the same round,
+        # reuses them instead of rebuilding (the §8c6 session rule).
+        blk = _ulm_component(spark, sf_dir, f"blk{r}")
         prev = cq
         r += 1
     qs = 1_000_000
