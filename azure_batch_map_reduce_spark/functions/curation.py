@@ -11970,3 +11970,147 @@ def q478_dpo_preference_step(
         round_nz(F.col("wv"), 6).alias("value"),
     )
     return out.unionByName(wrows).orderBy("item", "idx")
+
+
+# --- q479: MoE top-1 routing load-balance + capacity audit -----------------
+
+_MOE_E = 8           # experts
+_MOE_CAP_NUM = 5     # capacity factor 5/4 = 1.25, exact rational
+_MOE_CAP_DEN = 4
+
+
+def _moe_oracle_sql() -> str:
+    e = _MOE_E
+    return f"""
+    WITH toks AS MATERIALIZED (
+        SELECT ('0x' || substr(md5(w), 1, 8))::BIGINT % {e} AS expert
+        FROM (SELECT unnest(string_split(lower(text), ' ')) AS w
+              FROM documents)
+        WHERE w <> ''
+    ),
+    loads AS MATERIALIZED (
+        SELECT expert, count(*) AS n_tokens FROM toks GROUP BY 1
+    ),
+    tot AS (
+        SELECT sum(n_tokens) AS t,
+               -- ceil(1.25 * T / E) in exact integers
+               ({_MOE_CAP_NUM} * sum(n_tokens)
+                + {_MOE_CAP_DEN} * {e} - 1)
+                   // ({_MOE_CAP_DEN} * {e}) AS cap
+        FROM loads
+    ),
+    summary AS (
+        SELECT sum(CAST(n_tokens AS HUGEINT) * n_tokens) AS sq FROM loads
+    )
+    SELECT CAST(l.expert AS INTEGER) AS expert,
+           CAST(l.n_tokens AS BIGINT) AS n_tokens,
+           ((2 * l.n_tokens * 1000000 + t.t) // (2 * t.t)) / 1000000.0
+               AS load_share,
+           CAST(t.cap AS BIGINT) AS capacity,
+           CAST(greatest(l.n_tokens - t.cap, 0) AS BIGINT) AS n_overflow,
+           ((2 * {e} * s.sq * 1000000 + CAST(t.t AS HUGEINT) * t.t)
+            // (2 * CAST(t.t AS HUGEINT) * t.t)) / 1000000.0
+               AS balance_loss
+    FROM loads l CROSS JOIN tot t CROSS JOIN summary s
+    ORDER BY expert
+    """
+
+
+@query(
+    "q479_moe_routing_capacity_audit",
+    oracle=_moe_oracle_sql(),
+    tags=("llm", "moe", "routing", "capacity", "load-balance",
+          "curation"),
+)
+def q479_moe_routing_capacity_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Mixture-of-experts TOP-1 ROUTING audit (Switch Transformer,
+    Fedus et al. 2021) — the sharded-compute member of the pipeline
+    family: corpus tokens route to {_MOE_E} experts by a
+    content-derived hash (the data-engineering skeleton of a learned
+    router: deterministic per token, skewed exactly as the token
+    distribution is), and the audit releases per expert the load, its
+    share, the CAPACITY at factor {_MOE_CAP_NUM}/{_MOE_CAP_DEN}
+    (ceil(1.25·T/E), exact integer ceiling), and the OVERFLOW — the
+    tokens a capacity-bounded expert would drop, the number that
+    decides whether a routing scheme trains or starves. The released
+    balance_loss is the Switch aux statistic E·Σ f_e² (= E·Σn_e²/T²,
+    its hash-router form where router mass equals realized load): 1.0
+    at perfect balance, E at collapse — the fixture lands just above
+    1 (probed), hash routing's whole point.
+
+    Determinism: routing is md5-derived (the q437/q441 salted-hash
+    idiom, byte-identical cross-engine on identical strings); counts,
+    capacity, and overflow are exact integers (the ceiling as
+    (a + b − 1) div b); shares and the loss release via the half-up
+    idiom with HUGEINT/decimal widening for Σn² · T² (the q390 rule).
+
+    Scale posture: ONE corpus explode + ONE (expert)-keyed
+    partial+final aggregate — expert grain is a CONSTANT {_MOE_E}, so
+    every released quantity lives at bounded grain; no windows, no
+    second pass. At 100 TB this is the audit you run BEFORE buying
+    the all-to-all: overflow percentages at expert grain are the
+    dispatch plan's cost model. Reference contract: token routing =
+    map slot (``App.config:16``); per-expert rollup = reduce slot
+    (``App.config:17``, ``Program.cs:351-384``)."""
+    from azure_batch_map_reduce_spark.operators.ranks import (
+        half_up_ratio,
+    )
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    e = _MOE_E
+    toks = (
+        docs.select(
+            F.explode(F.split(F.lower(F.col("text")), " ")).alias("w")
+        )
+        .where(F.col("w") != "")
+        .select(
+            (
+                F.conv(F.substring(F.md5(F.col("w")), 1, 8), 16, 10)
+                .cast("long")
+                % e
+            ).alias("expert")
+        )
+    )
+    loads = toks.groupBy("expert").agg(
+        F.count(F.lit(1)).alias("n_tokens")
+    )
+    tot = loads.agg(F.sum("n_tokens").alias("t")).select(
+        "t",
+        F.floor(
+            (
+                F.lit(_MOE_CAP_NUM) * F.col("t")
+                + F.lit(_MOE_CAP_DEN * e - 1)
+            )
+            / F.lit(_MOE_CAP_DEN * e)
+        )
+        .cast("long")
+        .alias("cap"),
+    )
+    summary = loads.agg(
+        F.sum(
+            F.col("n_tokens").cast("decimal(38,0)") * F.col("n_tokens")
+        ).alias("sq")
+    )
+    return (
+        loads.crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(summary))
+        .select(
+            F.col("expert").cast("int").alias("expert"),
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            half_up_ratio(F.col("n_tokens"), F.col("t"), 6).alias(
+                "load_share"
+            ),
+            F.col("cap").cast("long").alias("capacity"),
+            F.greatest(
+                F.col("n_tokens") - F.col("cap"), F.lit(0)
+            ).cast("long").alias("n_overflow"),
+            half_up_ratio(
+                F.lit(e) * F.col("sq"),
+                F.col("t").cast("decimal(38,0)") * F.col("t"),
+                6,
+            ).alias("balance_loss"),
+        )
+        .orderBy("expert")
+    )

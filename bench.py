@@ -417,6 +417,8 @@ HEADLINE = [
     # q478: one doc_id-adjacency self-join + 2 pair-grain GD scans +
     # 1 eval scan (eager).
     "q478_dpo_preference_step",
+    # q479: one corpus explode + one constant-grain expert rollup.
+    "q479_moe_routing_capacity_audit",
 ]
 
 

@@ -2046,3 +2046,44 @@ def test_q478_dpo_learns_to_rank(spark, sf_dir):
     assert by[("rank_acc", 3)] > 0.9
     assert by[("w", 1)] == 0.0
     assert by[("pair_n", 0)] > 0
+
+
+def test_q479_moe_conservation_and_loss_bounds(spark, sf_dir):
+    """MoE audit invariants: expert loads conserve the token count
+    (Σ n_tokens equals the corpus's non-empty whitespace tokens),
+    capacity = ceil(1.25·T/E) exactly, overflow = max(0, load − cap)
+    per row, and the balance loss sits in [1, E] (1 = perfect
+    balance, E = collapse) and reproduces from the released loads."""
+    from pyspark.sql import functions as F
+
+    from azure_batch_map_reduce_spark.functions.curation import (
+        _MOE_CAP_DEN,
+        _MOE_CAP_NUM,
+        _MOE_E,
+    )
+
+    rows = (
+        REGISTRY["q479_moe_routing_capacity_audit"]
+        .fn(spark, sf_dir)
+        .collect()
+    )
+    assert len(rows) == _MOE_E
+    t = sum(r.n_tokens for r in rows)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n_toks = (
+        docs.select(
+            F.explode(F.split(F.lower(F.col("text")), " ")).alias("w")
+        )
+        .where(F.col("w") != "")
+        .count()
+    )
+    assert t == n_toks, "routing must conserve tokens"
+    cap = (_MOE_CAP_NUM * t + _MOE_CAP_DEN * _MOE_E - 1) // (
+        _MOE_CAP_DEN * _MOE_E
+    )
+    for r in rows:
+        assert r.capacity == cap
+        assert r.n_overflow == max(0, r.n_tokens - cap)
+    loss = _MOE_E * sum(r.n_tokens**2 for r in rows) / (t * t)
+    assert 1.0 <= rows[0].balance_loss <= _MOE_E
+    assert abs(rows[0].balance_loss - loss) < 1e-5
