@@ -781,3 +781,43 @@ def test_q451_noise_scale_trajectory(spark, sf_dir):
     assert all(v > 0 for v in ns) and all(v > 0 for v in tr)
     assert ns == sorted(ns)
     assert tr == sorted(tr, reverse=True)
+
+
+def test_qc_shared_store_lifecycle_and_equivalence(spark, sf_dir):
+    """r14 optimization-round pin for the trainer-family feature
+    store (the §8c6 lattice-store pattern applied to `_qc_obs`):
+    (a) the store memoizes ONE superset frame per (application,
+    sf_dir) and survives `spark.catalog.clearCache()`; (b) every
+    slice shape returns EXACTLY the raw builder's rows — columns,
+    order and values — so sharing cannot move any released number;
+    (c) the clear hook empties the store."""
+    from azure_batch_map_reduce_spark.functions.curation import (
+        _QC_SHARED,
+        _qc_clear_shared,
+        _qc_obs,
+        _qc_obs_shared,
+    )
+
+    _qc_clear_shared()
+    a = _qc_obs_shared(spark, sf_dir)
+    n = a.count()
+    assert n > 0
+    assert len(_QC_SHARED) == 1
+    spark.catalog.clearCache()
+    b = _qc_obs_shared(spark, sf_dir, with_id=True)
+    assert len(_QC_SHARED) == 1, "second slice must reuse the memo"
+    assert b.count() == n, "checkpointed data must survive clearCache"
+    for kw in (
+        {},
+        {"with_id": True},
+        {"with_source": True},
+        {"with_id": True, "with_source": True},
+    ):
+        raw = _qc_obs(spark, sf_dir, **kw)
+        shared = _qc_obs_shared(spark, sf_dir, **kw)
+        assert shared.columns == raw.columns
+        r_rows = sorted(map(repr, raw.collect()))
+        s_rows = sorted(map(repr, shared.collect()))
+        assert r_rows == s_rows, f"slice {kw} must match the raw builder"
+    _qc_clear_shared()
+    assert not _QC_SHARED
