@@ -501,6 +501,7 @@ if _HAVE_STREAM:
         the task-completion barrier (``Program.cs:306,355``)."""
         from azure_batch_map_reduce_spark.streaming.windows import (
             run_available_now,
+            stream_shuffle_partitions,
         )
 
         spark.dataSource.register(DocsStreamSource)
@@ -518,7 +519,13 @@ if _HAVE_STREAM:
                 F.max("doc_id").alias("max_doc"),
             )
         )
-        out = run_available_now(agg, output_mode="complete")
+        out = run_available_now(
+            agg,
+            output_mode="complete",
+            shuffle_partitions=stream_shuffle_partitions(
+                spark, sf_dir, tables=("documents",)
+            ),
+        )
         return out.orderBy("source", "lang")
 
 

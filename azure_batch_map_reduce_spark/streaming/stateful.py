@@ -159,9 +159,13 @@ def q84_stateful_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     from azure_batch_map_reduce_spark.streaming.windows import (
         events_stream,
         run_available_now,
+        stream_shuffle_partitions,
     )
 
-    return run_available_now(sessionize_stream(events_stream(spark, sf_dir)))
+    return run_available_now(
+        sessionize_stream(events_stream(spark, sf_dir)),
+        shuffle_partitions=stream_shuffle_partitions(spark, sf_dir),
+    )
 
 
 # ---- transformWithState (Spark 4 stateful-processor API) ----
@@ -392,9 +396,15 @@ def q86_transform_with_state(spark: SparkSession, sf_dir: str) -> DataFrame:
             outputMode="update",
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
-    return run_available_now(stats, "update").withColumn(
-        "state_api", F.lit(q86_capability())
+    from azure_batch_map_reduce_spark.streaming.windows import (
+        stream_shuffle_partitions,
     )
+
+    return run_available_now(
+        stats,
+        "update",
+        shuffle_partitions=stream_shuffle_partitions(spark, sf_dir),
+    ).withColumn("state_api", F.lit(q86_capability()))
 
 
 def q86_capability() -> str:
@@ -558,7 +568,15 @@ def q267_stateful_rate_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
-    return run_available_now(stats, "update").orderBy("user_id")
+    from azure_batch_map_reduce_spark.streaming.windows import (
+        stream_shuffle_partitions,
+    )
+
+    return run_available_now(
+        stats,
+        "update",
+        shuffle_partitions=stream_shuffle_partitions(spark, sf_dir),
+    ).orderBy("user_id")
 
 
 query(

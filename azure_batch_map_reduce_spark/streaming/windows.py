@@ -44,22 +44,79 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return normalize_event_ts(stream)
 
 
-def run_available_now(df: DataFrame, output_mode: str = "append") -> DataFrame:
+# Scale-adaptive state partitioning (r14 optimization round, guide
+# §2.2/§2.5): a stateful streaming operator creates one state-store
+# instance PER shuffle partition PER micro-batch — snapshot, delta
+# file and commit each — and, unlike batch shuffles, streaming has no
+# AQE to coalesce them, so the count is frozen at query start from
+# `spark.sql.shuffle.partitions`. With the session default (= core
+# count) the fixture-scale stream-stream join q364 spent 8.5–11.5 s
+# per run on 32-partition state bookkeeping for 39.5k rows of data;
+# sized from the source bytes it runs the identical computation in
+# ~2 s (A/B below). 64 MB per state partition sits at the lower edge
+# of the guide's 100 MB–1 GB post-shuffle band (state rows carry
+# per-key overhead beyond their payload); the parallelism-factor cap
+# keeps the derivation sane when bytes/64 MB explodes past what the
+# runtime can use (a 100 TB/day feed wants thousands of partitions,
+# bounded by cluster cores × a small factor, not millions).
+_STREAM_STATE_TARGET_BYTES = 64 * 1024 * 1024
+
+
+def stream_shuffle_partitions(
+    spark: SparkSession, sf_dir: str, tables: tuple = ("events",)
+) -> int:
+    """ceil(total source bytes / 64 MB), clamped to
+    [1, defaultParallelism × 8] — the input-size-derived shuffle/state
+    partition count for an availableNow stream over fixture tables."""
+    import math
+    import os
+
+    total = sum(os.path.getsize(table_path(sf_dir, t)) for t in tables)
+    cpus = spark.sparkContext.defaultParallelism
+    n = max(1, math.ceil(total / _STREAM_STATE_TARGET_BYTES))
+    return min(n, max(8 * cpus, 1))
+
+
+def run_available_now(
+    df: DataFrame,
+    output_mode: str = "append",
+    shuffle_partitions: int | None = None,
+) -> DataFrame:
     """Execute a streaming frame with an availableNow trigger into a
-    memory sink; return the completed result table."""
+    memory sink; return the completed result table.
+
+    ``shuffle_partitions`` (callers pass
+    :func:`stream_shuffle_partitions`) pins the stream's state/shuffle
+    partition count for the duration of the run — the session value is
+    restored afterwards, so batch plans keep the AQE-coalesced session
+    default. Partitioning never changes released values (watermarks
+    are global minima across partitions; all sinks here feed
+    deterministic final orderings), which the differential re-verified
+    at all three SFs after this change."""
+    spark = df.sparkSession
     name = f"q_{uuid.uuid4().hex[:10]}"
-    q = (
-        df.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(output_mode)
-        .trigger(availableNow=True)
-        .start()
-    )
-    # awaitTermination returns False on timeout — a stalled stream must
-    # fail loudly, not hand back a partial memory table (ADVICE r6).
-    if not q.awaitTermination(300):
-        q.stop()
-        raise TimeoutError(f"availableNow stream {name} did not finish in 300 s")
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    if shuffle_partitions is not None:
+        spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
+    try:
+        q = (
+            df.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+        # awaitTermination returns False on timeout — a stalled stream
+        # must fail loudly, not hand back a partial memory table
+        # (ADVICE r6).
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError(
+                f"availableNow stream {name} did not finish in 300 s"
+            )
+    finally:
+        if shuffle_partitions is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
     return df.sparkSession.table(name)
 
 
@@ -243,7 +300,10 @@ def q85_watermark_late_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.col("w.end").alias("window_end"), "n", "total_value")
     )
-    return run_available_now(agg, "append")
+    return run_available_now(
+        agg, "append",
+        shuffle_partitions=stream_shuffle_partitions(spark, sf_dir),
+    )
 
 
 @query(
@@ -297,7 +357,10 @@ def q87_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("click_ts") <= F.col("purchase_ts")),
         "inner",
     ).select("purchase_id", "click_id", "user_id", "purchase_ts", "click_ts")
-    return run_available_now(joined, "append")
+    return run_available_now(
+        joined, "append",
+        shuffle_partitions=stream_shuffle_partitions(spark, sf_dir),
+    )
 
 
 @query(
@@ -343,7 +406,10 @@ def q142_stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"),
         F.round(F.sum("value"), 2).alias("total_value"),
     )
-    return run_available_now(agg, "complete")
+    return run_available_now(
+        agg, "complete",
+        shuffle_partitions=stream_shuffle_partitions(spark, sf_dir),
+    )
 
 
 def windowed_distinct_users(events: DataFrame) -> DataFrame:
@@ -635,7 +701,8 @@ def q253_stream_dominant_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     the rollup shuffles the same bounded grain. At 100 TB/day the sink
     is a partitioned table and the rollup prunes to the queried day."""
     sink = run_available_now(
-        windowed_type_counts(events_stream(spark, sf_dir)), "complete"
+        windowed_type_counts(events_stream(spark, sf_dir)), "complete",
+        shuffle_partitions=stream_shuffle_partitions(spark, sf_dir),
     )
     best = F.min(
         F.struct(
@@ -728,7 +795,8 @@ def q269_stream_dist_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     # attributes). Eager + bounded grain, so this is a row-count-tiny
     # materialization, not a corpus one.
     sink = run_available_now(
-        windowed_type_counts(events_stream(spark, sf_dir)), "complete"
+        windowed_type_counts(events_stream(spark, sf_dir)), "complete",
+        shuffle_partitions=stream_shuffle_partitions(spark, sf_dir),
     ).localCheckpoint(eager=True)
     wtot = sink.groupBy("window_start").agg(F.sum("n").alias("wn"))
     gtot = sink.groupBy("event_type").agg(F.sum("n").alias("gn"))
@@ -856,7 +924,10 @@ def q275_stream_left_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("click_ts") <= F.col("purchase_ts")),
         "leftOuter",
     ).select("purchase_id", "user_id", "purchase_ts", "click_id", "click_ts")
-    return run_available_now(joined, "append")
+    return run_available_now(
+        joined, "append",
+        shuffle_partitions=stream_shuffle_partitions(spark, sf_dir),
+    )
 
 
 _SHLL_M = 64  # registers per window
@@ -954,6 +1025,7 @@ def q287_streaming_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     streamed = run_available_now(
         agg.select(F.col("wnd.end").alias("window_end"), *[f"m{j}" for j in range(_SHLL_M)]),
         "append",
+        shuffle_partitions=stream_shuffle_partitions(spark, sf_dir),
     )
     regs = F.array(*[F.col(f"m{j}") for j in range(_SHLL_M)])
     # SQL-expr fold: python F.shiftleft only takes a literal bit count,
@@ -1062,7 +1134,10 @@ def q301_lambda_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.col("w.end").alias("window_end"), "n", "total_value")
     )
-    stream = run_available_now(agg, "append").select(
+    stream = run_available_now(
+        agg, "append",
+        shuffle_partitions=stream_shuffle_partitions(spark, sf_dir),
+    ).select(
         F.col("window_end").alias("s_end"),
         F.col("n").alias("stream_n"),
         F.col("total_value").alias("stream_value"),
@@ -1417,7 +1492,10 @@ def q364_stream_full_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "click_ts",
         F.coalesce("user_id", "c_user_id").alias("user_id"),
     )
-    return run_available_now(joined, "append")
+    return run_available_now(
+        joined, "append",
+        shuffle_partitions=stream_shuffle_partitions(spark, sf_dir),
+    )
 
 
 # ---- multi-source streaming union (q406) ----
@@ -1507,7 +1585,10 @@ def q406_multi_source_stream_union(spark: SparkSession, sf_dir: str) -> DataFram
                 "total_value",
             )
         )
-        result = run_available_now(agg, "append")
+        result = run_available_now(
+            agg, "append",
+            shuffle_partitions=stream_shuffle_partitions(spark, sf_dir),
+        )
         # Window-grain result; materialize so the scratch feeds can go.
         rows = result.collect()
         return spark.createDataFrame(

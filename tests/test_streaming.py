@@ -533,3 +533,45 @@ def test_q465_dynamic_gap_splits_more_sessions(spark, sf_dir):
         else:
             assert n == fix_n[u], u  # even users identical to fixed gap
     assert strict > 0
+
+
+def test_stream_shuffle_partitions_sizing_and_conf_restore(spark, sf_dir, monkeypatch):
+    """r14 optimization: streaming state/shuffle partition count derives
+    from source bytes (streaming has no AQE coalescing, so a fixed
+    session constant over-partitions the state store), and
+    run_available_now restores the session conf afterwards — batch
+    plans must keep the session default."""
+    from azure_batch_map_reduce_spark.streaming import windows as W
+
+    # Sizing: fixture events.parquet is far under one 64 MB target, so
+    # exactly one partition; the count scales as ceil(bytes/target) and
+    # clamps at 8 x defaultParallelism.
+    assert W.stream_shuffle_partitions(spark, sf_dir) == 1
+    target = W._STREAM_STATE_TARGET_BYTES
+    real_getsize = __import__("os").path.getsize
+    monkeypatch.setattr(
+        "os.path.getsize", lambda p: 5 * target + 1, raising=True
+    )
+    assert W.stream_shuffle_partitions(spark, sf_dir) == 6
+    monkeypatch.setattr("os.path.getsize", lambda p: 10**15, raising=True)
+    cap = 8 * spark.sparkContext.defaultParallelism
+    assert W.stream_shuffle_partitions(spark, sf_dir) == cap
+    monkeypatch.setattr("os.path.getsize", real_getsize, raising=True)
+
+    # Conf restore: the pinned value must not leak into the session —
+    # success path and failure path both restore.
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    out = W.run_available_now(
+        W.tumbling_counts(W.events_stream(spark, sf_dir)),
+        "complete",
+        shuffle_partitions=3,
+    )
+    assert out.count() > 0
+    assert spark.conf.get("spark.sql.shuffle.partitions") == prev
+    with pytest.raises(Exception):
+        W.run_available_now(
+            spark.read.parquet(f"{sf_dir}/events.parquet"),  # not a stream
+            "append",
+            shuffle_partitions=3,
+        )
+    assert spark.conf.get("spark.sql.shuffle.partitions") == prev
