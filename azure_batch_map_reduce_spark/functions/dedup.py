@@ -497,6 +497,18 @@ def q65_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.filter(F.col("cosine") >= 0.3)
 
 
+def _loop_shuffle_partitions(spark: SparkSession, n_edges: int) -> int:
+    """Shuffle-partition count for an iterative graph loop, derived
+    from the MEASURED edge count (~64 MB of ~48-byte edge rows per
+    partition), clamped to [1, 8 × defaultParallelism] — the same
+    input-size derivation as the streaming state sizing. A fixed
+    session constant is sized for corpus-grain queries; an
+    O(diameter)-round loop over a bounded edge set pays that constant's
+    scheduling overhead every round (guide §2.2)."""
+    n = max(1, -(-n_edges * 48 // (64 * 1024 * 1024)))
+    return min(n, max(8 * spark.sparkContext.defaultParallelism, 1))
+
+
 def connected_components(
     edges: DataFrame, max_iter: int = 25, shortcut: bool = False
 ) -> DataFrame:
@@ -529,6 +541,7 @@ def connected_components(
     sym = edges.union(
         edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
     ).persist()
+    spark = sym.sparkSession
     # localCheckpoint (NOT persist) per round: persist caches data but
     # keeps lineage, so each round's plan embeds every previous round's
     # tree — at sf0.1 the CC loop needed enough rounds that plan-tree
@@ -541,28 +554,41 @@ def connected_components(
         .localCheckpoint(eager=True)
     )
     prev_sum = labels.agg(F.sum("label")).first()[0]
-    for _ in range(max_iter):
-        nbr = sym.join(labels, sym["v"] == labels["node"]).select(
-            sym["u"].alias("node"), "label"
-        )
-        labels = nbr.union(labels).groupBy("node").agg(
-            F.min("label").alias("label")
-        )
-        if shortcut:
-            lab2 = labels.select(
-                F.col("node").alias("_n2"), F.col("label").alias("_l2")
+    # Scale-adaptive loop partitioning (r14 optimization round): sym is
+    # persisted and already materialized by the labels build, so the
+    # count is a cache read. The session conf is restored after the
+    # loop; every round's result is localCheckpointed, so no lazy
+    # subtree of the returned frame re-executes under the restored
+    # conf. Label values are partitioning-independent (min is
+    # commutative/associative), which the differential re-verifies.
+    loop_parts = _loop_shuffle_partitions(spark, sym.count())
+    prev_conf = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(loop_parts))
+    try:
+        for _ in range(max_iter):
+            nbr = sym.join(labels, sym["v"] == labels["node"]).select(
+                sym["u"].alias("node"), "label"
             )
-            labels = labels.join(
-                lab2, labels["label"] == F.col("_n2"), "left"
-            ).select(
-                "node",
-                F.coalesce(F.col("_l2"), F.col("label")).alias("label"),
+            labels = nbr.union(labels).groupBy("node").agg(
+                F.min("label").alias("label")
             )
-        labels = labels.localCheckpoint(eager=True)
-        cur_sum = labels.agg(F.sum("label")).first()[0]
-        if cur_sum == prev_sum:
-            break
-        prev_sum = cur_sum
+            if shortcut:
+                lab2 = labels.select(
+                    F.col("node").alias("_n2"), F.col("label").alias("_l2")
+                )
+                labels = labels.join(
+                    lab2, labels["label"] == F.col("_n2"), "left"
+                ).select(
+                    "node",
+                    F.coalesce(F.col("_l2"), F.col("label")).alias("label"),
+                )
+            labels = labels.localCheckpoint(eager=True)
+            cur_sum = labels.agg(F.sum("label")).first()[0]
+            if cur_sum == prev_sum:
+                break
+            prev_sum = cur_sum
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_conf)
     sym.unpersist()
     return labels
 
@@ -3734,46 +3760,59 @@ def star_contraction_components(
         .localCheckpoint(eager=True)
     )
     prev_cnt = E.count()
-    for _ in range(max_iter):
-        sym = E.unionAll(
-            E.select(F.col("b").alias("a"), F.col("a").alias("b"))
-        )
-        m1 = sym.groupBy("a").agg(
-            F.least(F.min("b"), F.first("a")).alias("m")
-        )
-        e1 = (
-            sym.join(m1, "a")
-            .where(F.col("b") > F.col("a"))
-            .select(F.col("b").alias("a"), F.col("m").alias("b"))
-            .where(F.col("a") != F.col("b"))
-            .distinct()
-        )
-        nbr2 = e1.select(
-            F.greatest("a", "b").alias("hi"), F.least("a", "b").alias("lo")
-        ).where(F.col("hi") != F.col("lo")).distinct()
-        m2 = nbr2.groupBy("hi").agg(F.min("lo").alias("m"))
-        e2 = (
-            nbr2.join(m2, "hi")
-            .where(F.col("lo") != F.col("m"))
-            .select(F.col("lo").alias("a"), F.col("m").alias("b"))
-            .unionAll(
-                m2.select(F.col("hi").alias("a"), F.col("m").alias("b"))
+    # Scale-adaptive loop partitioning — same derivation and rationale
+    # as connected_components: each round shuffles a SHRINKING edge set
+    # several times, so size the rounds' shuffles from the measured
+    # initial edge count instead of the session's corpus-grain constant
+    # (restored after the loop; every round's frame is checkpointed, so
+    # nothing lazy escapes). min/distinct are partitioning-independent.
+    spark = edges.sparkSession
+    loop_parts = _loop_shuffle_partitions(spark, prev_cnt)
+    prev_conf = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(loop_parts))
+    try:
+        for _ in range(max_iter):
+            sym = E.unionAll(
+                E.select(F.col("b").alias("a"), F.col("a").alias("b"))
             )
-            .distinct()
-            .localCheckpoint(eager=True)
-        )
-        cur_cnt = e2.count()
-        if cur_cnt == prev_cnt:
-            both = E.unionAll(e2).distinct().count()
-            if both == cur_cnt:
-                E = e2
-                break
-        prev_cnt = cur_cnt
-        E = e2
-    else:
-        raise RuntimeError(
-            f"star contraction did not converge in {max_iter} rounds"
-        )
+            m1 = sym.groupBy("a").agg(
+                F.least(F.min("b"), F.first("a")).alias("m")
+            )
+            e1 = (
+                sym.join(m1, "a")
+                .where(F.col("b") > F.col("a"))
+                .select(F.col("b").alias("a"), F.col("m").alias("b"))
+                .where(F.col("a") != F.col("b"))
+                .distinct()
+            )
+            nbr2 = e1.select(
+                F.greatest("a", "b").alias("hi"), F.least("a", "b").alias("lo")
+            ).where(F.col("hi") != F.col("lo")).distinct()
+            m2 = nbr2.groupBy("hi").agg(F.min("lo").alias("m"))
+            e2 = (
+                nbr2.join(m2, "hi")
+                .where(F.col("lo") != F.col("m"))
+                .select(F.col("lo").alias("a"), F.col("m").alias("b"))
+                .unionAll(
+                    m2.select(F.col("hi").alias("a"), F.col("m").alias("b"))
+                )
+                .distinct()
+                .localCheckpoint(eager=True)
+            )
+            cur_cnt = e2.count()
+            if cur_cnt == prev_cnt:
+                both = E.unionAll(e2).distinct().count()
+                if both == cur_cnt:
+                    E = e2
+                    break
+            prev_cnt = cur_cnt
+            E = e2
+        else:
+            raise RuntimeError(
+                f"star contraction did not converge in {max_iter} rounds"
+            )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_conf)
     nodes = edges.select(F.col("u").alias("node")).unionAll(
         edges.select(F.col("v").alias("node"))
     ).distinct()
