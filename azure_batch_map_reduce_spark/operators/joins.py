@@ -1810,25 +1810,41 @@ def q388_apriori_triple_itemsets(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(_AP_L2)
         .select("ba", "bb")
     )
-    tris = (
+    # r14 optimization (guide §3.2 "reduce the big side before the
+    # join", §3.3 "explode before a join multiplies the shuffle"): the
+    # (ba, bb) ∈ L2 prune used to run AFTER the triple join, so every
+    # infrequent pair still fanned out over its basket's c-side brands
+    # first. A left-semi commutes with the later inner join on
+    # preserved columns, so applying it to the PAIR frame first drops
+    # ~87% of the c-join's probe input (top-40 of 300 pairs) and
+    # changes no released row — the same three sub-pair predicates
+    # gate every triple either way (oracle-green re-verified at all
+    # three SFs).
+    ab = (
         a.join(
             b,
             (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
             & (F.col("a.p_brand") < F.col("b.p_brand")),
         )
-        .join(
-            c,
-            (F.col("a.l_orderkey") == F.col("c.l_orderkey"))
-            & (F.col("b.p_brand") < F.col("c.p_brand")),
-        )
         .select(
-            F.col("a.l_orderkey").alias("l_orderkey"),
+            F.col("a.l_orderkey").alias("ab_orderkey"),
             F.col("a.p_brand").alias("ba"),
             F.col("b.p_brand").alias("bb"),
-            F.col("c.p_brand").alias("bc"),
+        )
+        .join(
+            F.broadcast(
+                l2.select(F.col("ba").alias("_ba"), F.col("bb").alias("_bb"))
+            ),
+            (F.col("ba") == F.col("_ba")) & (F.col("bb") == F.col("_bb")),
+            "left_semi",
         )
     )
-    for pa, pb in (("ba", "bb"), ("ba", "bc"), ("bb", "bc")):
+    tris = ab.join(
+        c,
+        (F.col("ab_orderkey") == F.col("c.l_orderkey"))
+        & (F.col("bb") < F.col("c.p_brand")),
+    ).select("ba", "bb", F.col("c.p_brand").alias("bc"))
+    for pa, pb in (("ba", "bc"), ("bb", "bc")):
         tris = tris.join(
             F.broadcast(
                 l2.select(
