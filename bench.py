@@ -445,11 +445,15 @@ def main() -> None:
         bench's total runtime (r11 verdict task 1). fn() ran inside
         every invocation before this change too; the honest field just
         measures what was already happening."""
+        # Guide §1.5: label the jobs so a UI/event-log reading of a
+        # bench run maps stages back to queries.
+        spark.sparkContext.setJobDescription(f"bench: {name}")
         t0 = time.perf_counter()
         df = registry[name].fn(spark, sf_dir)
         t1 = time.perf_counter()
         df.write.format("noop").mode("overwrite").save()
         t2 = time.perf_counter()
+        spark.sparkContext.setJobDescription(None)
         return t2 - t1, t2 - t0
 
     load_at_start = _load_1min()
