@@ -1033,6 +1033,18 @@ def test_q429_dbscan_role_semantics(spark, sf_dir):
         assert r.cluster_id in clusters
 
 
+def test_q429_scoped_shuffle_conf_restores(spark, sf_dir):
+    """r14 optimization: q429 pins an input-size-derived shuffle
+    partition count for its eager phase; the session conf must be
+    restored when fn() returns, and the returned (lazy) frame must
+    still materialize correctly under the restored conf."""
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    df = REGISTRY["q429_grid_dbscan_clusters"].fn(spark, sf_dir)
+    assert spark.conf.get("spark.sql.shuffle.partitions") == prev
+    assert df.count() > 0
+    assert spark.conf.get("spark.sql.shuffle.partitions") == prev
+
+
 def test_q432_kcenter_radius_monotone_and_coverage(spark, sf_dir):
     """Gonzalez invariants: the selected radius sequence is
     non-increasing (each center is the current farthest point), all
