@@ -8064,8 +8064,24 @@ _QC_SHARED: dict[tuple, DataFrame] = {}
 _QC_CACHE_MAX_DOCS = 2_000_000
 
 
+def _release_checkpoint_blocks(df: DataFrame) -> None:
+    """Best-effort free of a localCheckpoint'ed frame's storage blocks
+    (r14 ADVICE item 3): the checkpointed RDD lives inside the frame's
+    LogicalRDD leaf; unpersisting it returns the MEMORY_AND_DISK blocks
+    immediately instead of waiting for the ContextCleaner to notice the
+    reference drop. Defensive by design — a non-checkpointed (lazy,
+    over-bound) entry or an internal-API change just skips the free."""
+    try:
+        df._jdf.queryExecution().analyzed().rdd().unpersist(False)
+    except Exception:
+        pass
+
+
 def _qc_clear_shared() -> None:
-    """Drop all memoized feature frames (test/drill hook)."""
+    """Drop all memoized feature frames (test/drill hook), releasing
+    their checkpoint blocks best-effort first."""
+    for df in _QC_SHARED.values():
+        _release_checkpoint_blocks(df)
     _QC_SHARED.clear()
 
 
@@ -8078,10 +8094,15 @@ def _qc_obs_shared(
     """:func:`_qc_obs` resolved through the session-shared store: one
     superset build per (application, sf_dir), sliced to the shape the
     caller asked for (same columns, same order as the raw builder)."""
+    import os
+
     app = spark.sparkContext.applicationId
     for k in [k for k in _QC_SHARED if k[0] != app]:
         del _QC_SHARED[k]
-    key = (app, sf_dir)
+    # realpath-normalized key (r14 ADVICE item 3): two spellings of the
+    # same fixture dir must not build two stores. The fixtures are
+    # immutable per process, so no mtime invalidation is needed.
+    key = (app, os.path.realpath(sf_dir))
     df = _QC_SHARED.get(key)
     if df is None:
         df = _qc_obs(spark, sf_dir, with_source=True, with_id=True)

@@ -497,15 +497,51 @@ def q65_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.filter(F.col("cosine") >= 0.3)
 
 
-def _loop_shuffle_partitions(spark: SparkSession, n_edges: int) -> int:
+# Catalyst's per-type defaultSize, mirrored for the Python side
+# (pyspark's type objects do not expose it); unknown types take the
+# StringType default of 20 B.
+_FIELD_DEFAULT_BYTES = {
+    "boolean": 1,
+    "byte": 1,
+    "short": 2,
+    "integer": 4,
+    "date": 4,
+    "float": 4,
+    "long": 8,
+    "double": 8,
+    "timestamp": 8,
+    "timestamp_ntz": 8,
+    "string": 20,
+    "binary": 100,
+}
+
+
+def _loop_shuffle_partitions(
+    spark: SparkSession, n_edges: int, schema=None
+) -> int:
     """Shuffle-partition count for an iterative graph loop, derived
-    from the MEASURED edge count (~64 MB of ~48-byte edge rows per
+    from the MEASURED edge count × estimated row width (~64 MB per
     partition), clamped to [1, 8 × defaultParallelism] — the same
     input-size derivation as the streaming state sizing. A fixed
     session constant is sized for corpus-grain queries; an
     O(diameter)-round loop over a bounded edge set pays that constant's
-    scheduling overhead every round (guide §2.2)."""
-    n = max(1, -(-n_edges * 48 // (64 * 1024 * 1024)))
+    scheduling overhead every round (guide §2.2).
+
+    Row width (r14 verdict task 5): derived from the frame's schema
+    when given — UnsafeRow overhead (8 B header word + null bits) plus
+    each field's estimated width (mirroring Catalyst's defaultSize per
+    type) — with a 48 B floor covering shuffle serialization overhead;
+    the floor keeps the fixture-scale counts identical to the prior
+    flat 48 B/row constant while wide edge schemas now scale the
+    estimate instead of under-deriving."""
+    row_bytes = 48
+    if schema is not None:
+        est = 16 + sum(
+            _FIELD_DEFAULT_BYTES.get(f.dataType.typeName(), 20)
+            for f in schema.fields
+        )
+        row_bytes = max(row_bytes, est)
+    n = max(1, -(-n_edges * row_bytes // (64 * 1024 * 1024)))
     return min(n, max(8 * spark.sparkContext.defaultParallelism, 1))
 
 
@@ -561,10 +597,10 @@ def connected_components(
     # subtree of the returned frame re-executes under the restored
     # conf. Label values are partitioning-independent (min is
     # commutative/associative), which the differential re-verifies.
-    loop_parts = _loop_shuffle_partitions(spark, sym.count())
-    prev_conf = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", str(loop_parts))
-    try:
+    from azure_batch_map_reduce_spark.session import scoped_shuffle_partitions
+
+    loop_parts = _loop_shuffle_partitions(spark, sym.count(), sym.schema)
+    with scoped_shuffle_partitions(spark, loop_parts):
         for _ in range(max_iter):
             nbr = sym.join(labels, sym["v"] == labels["node"]).select(
                 sym["u"].alias("node"), "label"
@@ -587,8 +623,6 @@ def connected_components(
             if cur_sum == prev_sum:
                 break
             prev_sum = cur_sum
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev_conf)
     sym.unpersist()
     return labels
 
@@ -3766,11 +3800,11 @@ def star_contraction_components(
     # initial edge count instead of the session's corpus-grain constant
     # (restored after the loop; every round's frame is checkpointed, so
     # nothing lazy escapes). min/distinct are partitioning-independent.
+    from azure_batch_map_reduce_spark.session import scoped_shuffle_partitions
+
     spark = edges.sparkSession
-    loop_parts = _loop_shuffle_partitions(spark, prev_cnt)
-    prev_conf = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", str(loop_parts))
-    try:
+    loop_parts = _loop_shuffle_partitions(spark, prev_cnt, E.schema)
+    with scoped_shuffle_partitions(spark, loop_parts):
         for _ in range(max_iter):
             sym = E.unionAll(
                 E.select(F.col("b").alias("a"), F.col("a").alias("b"))
@@ -3811,8 +3845,6 @@ def star_contraction_components(
             raise RuntimeError(
                 f"star contraction did not converge in {max_iter} rounds"
             )
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev_conf)
     nodes = edges.select(F.col("u").alias("node")).unionAll(
         edges.select(F.col("v").alias("node"))
     ).distinct()

@@ -4228,15 +4228,12 @@ def q429_grid_dbscan_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     # persisted/checkpointed intermediates, so nothing heavy executes
     # under the restored conf. A/B (interleaved, warm, sf0.1): honest
     # 11.2→9.2 s min / 12.4→10.6 mean, sink 0.87→0.47, identical rows.
-    _prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set(
-        "spark.sql.shuffle.partitions",
-        str(stream_shuffle_partitions(spark, sf_dir, tables=("embeddings",))),
-    )
-    try:
+    from azure_batch_map_reduce_spark.session import scoped_shuffle_partitions
+
+    with scoped_shuffle_partitions(
+        spark, stream_shuffle_partitions(spark, sf_dir, tables=("embeddings",))
+    ):
         return _q429_build(spark, sf_dir, connected_components)
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", _prev_parts)
 
 
 def _q429_build(spark, sf_dir, connected_components) -> DataFrame:

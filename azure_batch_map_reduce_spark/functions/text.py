@@ -6131,7 +6131,15 @@ _ULM_PL_CACHE_MAX_CHARS = 20_000_000
 
 
 def _ulm_clear_shared() -> None:
-    """Drop all memoized lattice components (test hook)."""
+    """Drop all memoized lattice components (test hook), releasing
+    their checkpoint blocks best-effort first (r14 ADVICE item 3)."""
+    from azure_batch_map_reduce_spark.functions.curation import (
+        _release_checkpoint_blocks,
+    )
+
+    for ent in _ULM_SHARED.values():
+        for df in ent.values():
+            _release_checkpoint_blocks(df)
     _ULM_SHARED.clear()
 
 
@@ -6141,10 +6149,15 @@ def _ulm_component(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     vocab-bounded model projections (model0/model1) are rebuilt from
     checkpointed inputs at each use — they cost one broadcast-sized
     scan and caching them would only add storage."""
+    import os
+
     app = spark.sparkContext.applicationId
     for k in [k for k in _ULM_SHARED if k[0] != app]:
         del _ULM_SHARED[k]
-    ent = _ULM_SHARED.setdefault((app, sf_dir, _ULM_BLOCK), {})
+    # realpath-normalized key (r14 ADVICE item 3, same as _QC_SHARED).
+    ent = _ULM_SHARED.setdefault(
+        (app, os.path.realpath(sf_dir), _ULM_BLOCK), {}
+    )
     if name in ent:
         return ent[name]
     if name == "pl":

@@ -12,9 +12,41 @@ driven by config, not code, so the plan shape survives the scale-up.
 
 from __future__ import annotations
 
+import contextlib
 import os
 
 from pyspark.sql import SparkSession
+
+
+@contextlib.contextmanager
+def scoped_shuffle_partitions(spark: SparkSession, n: int | None):
+    """Pin ``spark.sql.shuffle.partitions`` to ``n`` for the scope and
+    restore the previous value on exit (success AND failure paths) —
+    the ONE definition of the get/set/finally pattern the iterative
+    loops and streaming runs share (r14 ADVICE item 2: the repeated
+    inline blocks drifted apart; this prevents that).
+
+    ``n=None`` is a no-op scope (callers with a conditional pin keep
+    one code path).
+
+    Concurrency contract (documented where the pattern is defined, per
+    the same ADVICE item): the session conf is GLOBAL to the
+    SparkSession, so a scope is only sound while this session executes
+    queries single-threaded — a parallel query planned inside the
+    window would silently inherit the pinned value. Every harness in
+    this repo (bench.py, the differential runners, the drills) runs
+    queries sequentially on the session; guide §2.6 thread-pool
+    overlap must NOT be combined with these scopes.
+    """
+    if n is None:
+        yield
+        return
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(int(n)))
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
 
 
 def autoscale_conf(

@@ -67,11 +67,30 @@ def stream_shuffle_partitions(
 ) -> int:
     """ceil(total source bytes / 64 MB), clamped to
     [1, defaultParallelism × 8] — the input-size-derived shuffle/state
-    partition count for an availableNow stream over fixture tables."""
+    partition count for an availableNow stream over fixture tables.
+
+    Sizes from the SUM of data files under each table path (r14
+    verdict task 5 / ADVICE item 1): the fixtures are single parquet
+    files, but the normal Spark layout is a directory of part files,
+    where a bare ``os.path.getsize`` returns the directory inode size
+    (~4 KB) and silently collapses the stream to one state partition.
+    Hidden entries (``_SUCCESS``, ``.crc``) are skipped like Spark's
+    own file index does."""
     import math
     import os
 
-    total = sum(os.path.getsize(table_path(sf_dir, t)) for t in tables)
+    def _data_bytes(path: str) -> int:
+        if os.path.isfile(path):
+            return os.path.getsize(path)
+        total = 0
+        for root, _dirs, files in os.walk(path):
+            for f in files:
+                if f.startswith((".", "_")):
+                    continue
+                total += os.path.getsize(os.path.join(root, f))
+        return total
+
+    total = sum(_data_bytes(table_path(sf_dir, t)) for t in tables)
     cpus = spark.sparkContext.defaultParallelism
     n = max(1, math.ceil(total / _STREAM_STATE_TARGET_BYTES))
     return min(n, max(8 * cpus, 1))
@@ -93,12 +112,11 @@ def run_available_now(
     are global minima across partitions; all sinks here feed
     deterministic final orderings), which the differential re-verified
     at all three SFs after this change."""
+    from azure_batch_map_reduce_spark.session import scoped_shuffle_partitions
+
     spark = df.sparkSession
     name = f"q_{uuid.uuid4().hex[:10]}"
-    prev = spark.conf.get("spark.sql.shuffle.partitions")
-    if shuffle_partitions is not None:
-        spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
-    try:
+    with scoped_shuffle_partitions(spark, shuffle_partitions):
         q = (
             df.writeStream.format("memory")
             .queryName(name)
@@ -114,9 +132,6 @@ def run_available_now(
             raise TimeoutError(
                 f"availableNow stream {name} did not finish in 300 s"
             )
-    finally:
-        if shuffle_partitions is not None:
-            spark.conf.set("spark.sql.shuffle.partitions", prev)
     return df.sparkSession.table(name)
 
 

@@ -429,32 +429,42 @@ def _load_1min() -> float:
         return -1.0
 
 
+def make_materializer(spark, registry, sf_dir):
+    """The ONE definition of the per-query measurement (shared with
+    scripts/bench_subset.py — r14 ADVICE item 4: the subset A/B tool
+    had re-implemented this by hand, a drift risk). Returns
+    ``materialize(name) -> (sink_sec, honest_sec)``: ``sink_sec``
+    times only the noop write of the built plan (the r1+ comparable
+    protocol); ``honest_sec`` times fn()+write together, so queries
+    that run eager loops (localCheckpoints, parameter-server
+    collects) INSIDE fn() carry their real wall cost in the artifact
+    (r11 verdict task 1). Jobs are labelled per guide §1.5 and the
+    label is always reset afterwards so it cannot stick to later
+    jobs in the session."""
+
+    def materialize(name: str) -> tuple[float, float]:
+        spark.sparkContext.setJobDescription(f"bench: {name}")
+        try:
+            t0 = time.perf_counter()
+            df = registry[name].fn(spark, sf_dir)
+            t1 = time.perf_counter()
+            df.write.format("noop").mode("overwrite").save()
+            t2 = time.perf_counter()
+        finally:
+            spark.sparkContext.setJobDescription(None)
+        return t2 - t1, t2 - t0
+
+    return materialize
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
     registry = load_all()
     spark = get_spark(app_name="abmr-bench")
 
-    def materialize(name: str) -> tuple[float, float]:
-        """Returns (sink_sec, honest_sec): sink_sec times only the noop
-        write of the built plan (the r1+ comparable protocol);
-        honest_sec times fn()+write together, so queries that run eager
-        loops (localCheckpoints, parameter-server collects) INSIDE
-        fn() — q409/q417/q429/q430/q432/q433/q434/q436/q437 — carry
-        their real wall cost in the artifact instead of only in the
-        bench's total runtime (r11 verdict task 1). fn() ran inside
-        every invocation before this change too; the honest field just
-        measures what was already happening."""
-        # Guide §1.5: label the jobs so a UI/event-log reading of a
-        # bench run maps stages back to queries.
-        spark.sparkContext.setJobDescription(f"bench: {name}")
-        t0 = time.perf_counter()
-        df = registry[name].fn(spark, sf_dir)
-        t1 = time.perf_counter()
-        df.write.format("noop").mode("overwrite").save()
-        t2 = time.perf_counter()
-        spark.sparkContext.setJobDescription(None)
-        return t2 - t1, t2 - t0
+    # One shared definition of the measurement — see make_materializer.
+    materialize = make_materializer(spark, registry, sf_dir)
 
     load_at_start = _load_1min()
     materialize("q01_pricing_summary")  # warmup, untimed

@@ -3,6 +3,10 @@
 (warm-up + min-of-3 noop sink, clearCache between queries, load_1min
 recorded) — the A/B instrument for single-family optimization work.
 
+The per-query measurement is IMPORTED from bench.py
+(``make_materializer``) so the two tools cannot drift (r14 ADVICE
+item 4); job labels are reset by the shared helper after every query.
+
 Usage: python scripts/bench_subset.py q433_... q459_... [...]
 Prints one JSON line per run: {"queries": {...}, "queries_honest":
 {...}, "total": ..., "total_honest": ..., "load_1min": ...}.
@@ -13,10 +17,13 @@ from __future__ import annotations
 import json
 import os
 import sys
-import time
+import time  # noqa: F401  (kept for interactive use in drills)
 
-from azure_batch_map_reduce_spark.registry import load_all
-from azure_batch_map_reduce_spark.session import get_spark
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from bench import make_materializer  # noqa: E402
+from azure_batch_map_reduce_spark.registry import load_all  # noqa: E402
+from azure_batch_map_reduce_spark.session import get_spark  # noqa: E402
 
 
 def main() -> int:
@@ -24,14 +31,7 @@ def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     registry = load_all()
     spark = get_spark(app_name="abmr-bench-subset")
-
-    def materialize(name: str) -> tuple[float, float]:
-        t0 = time.perf_counter()
-        df = registry[name].fn(spark, sf_dir)
-        t1 = time.perf_counter()
-        df.write.format("noop").mode("overwrite").save()
-        t2 = time.perf_counter()
-        return t2 - t1, t2 - t0
+    materialize = make_materializer(spark, registry, sf_dir)
 
     try:
         load = round(os.getloadavg()[0], 2)
@@ -41,7 +41,6 @@ def main() -> int:
     times: dict[str, float] = {}
     honest: dict[str, float] = {}
     for name in names:
-        spark.sparkContext.setJobDescription(f"bench-subset: {name}")
         materialize(name)
         runs = [materialize(name) for _ in range(3)]
         times[name] = round(min(r[0] for r in runs), 3)

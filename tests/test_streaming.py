@@ -575,3 +575,84 @@ def test_stream_shuffle_partitions_sizing_and_conf_restore(spark, sf_dir, monkey
             shuffle_partitions=3,
         )
     assert spark.conf.get("spark.sql.shuffle.partitions") == prev
+
+
+def test_stream_shuffle_partitions_directory_table(spark, tmp_path):
+    """r14 verdict task 5 / ADVICE item 1: a directory-style parquet
+    table (the normal Spark layout) must size from the SUM of its data
+    files, not the directory inode; _SUCCESS/.crc bookkeeping files are
+    skipped like Spark's own file index."""
+    from azure_batch_map_reduce_spark.streaming import windows as W
+
+    target = W._STREAM_STATE_TARGET_BYTES
+    tdir = tmp_path / "events.parquet"
+    tdir.mkdir()
+    # Three part files of 1.2 targets total -> ceil = 2 partitions.
+    (tdir / "part-00000.parquet").write_bytes(b"x" * (target // 2))
+    (tdir / "part-00001.parquet").write_bytes(b"x" * (target // 2))
+    (tdir / "part-00002.parquet").write_bytes(b"x" * (target // 5 + 16))
+    (tdir / "_SUCCESS").write_bytes(b"")
+    (tdir / ".part-00000.parquet.crc").write_bytes(b"y" * 10**6)
+    assert W.stream_shuffle_partitions(spark, str(tmp_path)) == 2
+    # Single-file tables (the fixtures) still size from the file.
+    assert W.stream_shuffle_partitions(
+        spark, "/root/testdata/sf0.001"
+    ) == 1
+
+
+def test_loop_shuffle_partitions_schema_row_width(spark):
+    """r14 verdict task 5: the graph-loop sizing derives row width from
+    the frame schema (16 B UnsafeRow overhead + field defaultSizes)
+    with a 48 B floor that keeps fixture-scale counts identical to the
+    prior flat constant."""
+    from azure_batch_map_reduce_spark.functions.dedup import (
+        _FIELD_DEFAULT_BYTES,
+        _loop_shuffle_partitions,
+    )
+
+    two_longs = spark.range(1).select(
+        F.col("id").alias("u"), F.col("id").alias("v")
+    )
+    # 2x8 B fields + 16 B overhead = 32 B -> floored to 48 B: identical
+    # derivation to the historical constant.
+    mb64 = 64 * 1024 * 1024
+    assert _loop_shuffle_partitions(spark, 10, two_longs.schema) == 1
+    assert (
+        _loop_shuffle_partitions(spark, mb64 // 48 + 1, two_longs.schema)
+        == 2
+    )
+    # A wide edge payload scales the estimate instead of under-deriving.
+    wide = two_longs.select(
+        "u", "v", F.lit("x").cast("string").alias("blob")
+    )
+    w_bytes = 16 + sum(
+        _FIELD_DEFAULT_BYTES.get(f.dataType.typeName(), 20)
+        for f in wide.schema.fields
+    )
+    assert w_bytes > 48
+    assert (
+        _loop_shuffle_partitions(spark, mb64 // w_bytes + 1, wide.schema)
+        == 2
+    )
+    # Cap unchanged.
+    cap = 8 * spark.sparkContext.defaultParallelism
+    assert _loop_shuffle_partitions(spark, 10**14, two_longs.schema) == cap
+
+
+def test_scoped_shuffle_partitions_contextmanager(spark):
+    """The shared scope helper restores on success, failure and the
+    None no-op path (r14 ADVICE item 2)."""
+    from azure_batch_map_reduce_spark.session import scoped_shuffle_partitions
+
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    with scoped_shuffle_partitions(spark, 3):
+        assert spark.conf.get("spark.sql.shuffle.partitions") == "3"
+    assert spark.conf.get("spark.sql.shuffle.partitions") == prev
+    with pytest.raises(RuntimeError):
+        with scoped_shuffle_partitions(spark, 5):
+            assert spark.conf.get("spark.sql.shuffle.partitions") == "5"
+            raise RuntimeError("boom")
+    assert spark.conf.get("spark.sql.shuffle.partitions") == prev
+    with scoped_shuffle_partitions(spark, None):
+        assert spark.conf.get("spark.sql.shuffle.partitions") == prev
+    assert spark.conf.get("spark.sql.shuffle.partitions") == prev
