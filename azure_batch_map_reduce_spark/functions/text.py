@@ -6857,6 +6857,88 @@ def q452_unigram_lm_em_round2(spark: SparkSession, sf_dir: str) -> DataFrame:
 _ULM_KEEP = 200  # multi-char pieces retained (rank cut, the q388 lesson)
 
 
+def _ulm_pruned_block_arrays(
+    spark: SparkSession, sf_dir: str, kept: DataFrame
+) -> DataFrame:
+    """q454's blk2 — blocked cost arrays under the PRUNED model —
+    derived from the session-shared blk1 plus a SPARSE kept-position
+    overlay instead of a full re-gather (r14 verdict task 1, guide
+    §5/§8.4 "decide with small rows").
+
+    Why this is exact: model2 equals model1 on every kept piece and on
+    every single-char piece, and is the +∞ sentinel elsewhere; the
+    model join keeps every pl row on both sides (the model's piece set
+    IS pl's piece set), so blk2's arrays have IDENTICAL SHAPE to
+    blk1's and differ only in value — e1 is unchanged (all single
+    chars kept at their model1 cost), and e2/e3 entries are blk1's
+    value where the 2-/3-gram at that position is kept and the
+    sentinel otherwise. So instead of re-running the full
+    position-grain gather (pl ⋈ model2 → collect_list → array_sort →
+    block explode — 3.6 s at sf0.1, the query's dominant stage), scan
+    pl once through a broadcast semi-join against the ≤{_ULM_KEEP}-row
+    keep set (only kept positions survive — a tiny shuffle), aggregate
+    their block-local offsets per (doc, block), and MASK the
+    checkpointed blk1 arrays elementwise. Index mapping (end-indexed
+    arrays, block size B): a kept (i, l=2) lives in block
+    kk = (i-2) div B at local offset i-1-kk·B; a kept (i, l=3) in
+    kk = (i-3) div B at i-2-kk·B — the exact slice arithmetic of
+    ``_ulm_block_arrays``, reproduced entry-for-entry (unread
+    block-edge entries included), so the downstream DP fold is
+    bit-identical. Scale posture: the overlay scan is a map fused
+    into pl's source (pl itself is recomputed, not stored, at real
+    scale) followed by a ~0-selectivity broadcast filter; the mask is
+    a map over blk1 — no position-grain shuffle remains."""
+    b = _ULM_BLOCK
+    pl = _ulm_component(spark, sf_dir, "pl")
+    blk1 = _ulm_component(spark, sf_dir, "blk1")
+    kp = (
+        pl.where(F.col("l") >= 2)
+        .join(F.broadcast(kept), "piece")
+        .select(
+            "doc_id",
+            F.expr(
+                f"CAST((CASE WHEN l = 2 THEN (i - 2) div {b}"
+                f" ELSE (i - 3) div {b} END) * {b} AS INT)"
+            ).alias("g0"),
+            F.expr(
+                f"CASE WHEN l = 2 THEN i - 1 - ((i - 2) div {b}) * {b}"
+                f" ELSE i - 2 - ((i - 3) div {b}) * {b} END"
+            ).alias("j"),
+            "l",
+        )
+        .groupBy("doc_id", "g0")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.when(F.col("l") == 2, F.col("j")))
+            ).alias("k2"),
+            F.sort_array(
+                F.collect_list(F.when(F.col("l") == 3, F.col("j")))
+            ).alias("k3"),
+        )
+    )
+    huge = F.lit(_ULM_HUGE).cast("long")
+
+    def masked(e: str, k: str):
+        # array_contains(NULL, v) is NULL -> the otherwise() branch, so
+        # blocks with no kept positions (left-join miss) go all-HUGE.
+        return F.transform(
+            F.col(e),
+            lambda x, i: F.when(
+                F.array_contains(F.col(k), i + F.lit(1)), x
+            ).otherwise(huge),
+        ).alias(e)
+
+    return blk1.join(kp, ["doc_id", "g0"], "left").select(
+        "doc_id",
+        "source",
+        "g0",
+        "n",
+        "e1",
+        masked("e2", "k2"),
+        masked("e3", "k3"),
+    )
+
+
 def _ulm_prune_oracle_sql() -> str:
     qs = 1_000_000
     return f"""
@@ -6975,10 +7057,8 @@ def q454_unigram_lm_vocab_pruning(
     )
 
     qs = 1_000_000
-    pl = _ulm_component(spark, sf_dir, "pl")
     cnts = _ulm_component(spark, sf_dir, "cnts")
     used = _ulm_component(spark, sf_dir, "used")
-    model1 = _ulm_model1(cnts, used).persist()
     it_full = (
         _ulm_component(spark, sf_dir, "blk1")
         .select(F.expr(_ulm_fold_expr("spark")).alias("st"))
@@ -6998,24 +7078,13 @@ def q454_unigram_lm_vocab_pruning(
         .where(F.col("rk") <= _ULM_KEEP)
         .select("piece")
     )
-    model2 = (
-        model1.join(
-            F.broadcast(kept.withColumn("is_kept", F.lit(1))),
-            "piece",
-            "left",
-        )
-        .select(
-            "piece",
-            F.when(
-                (F.length("piece") == 1) | F.col("is_kept").isNotNull(),
-                F.col("qc"),
-            )
-            .otherwise(F.lit(_ULM_HUGE).cast("long"))
-            .alias("qc"),
-        )
-    )
+    # blk2 derives from blk1 + a sparse kept-position overlay (see
+    # _ulm_pruned_block_arrays) — the explicit model2 frame the
+    # pre-r15 shape joined against pl is algebraically folded into
+    # the mask, so the position-grain gather runs once per session
+    # (blk1), not once more here.
     it_pruned = (
-        _ulm_block_arrays(pl, model2)
+        _ulm_pruned_block_arrays(spark, sf_dir, kept)
         .select(F.expr(_ulm_fold_expr("spark")).alias("st"))
         .agg(
             F.sum(F.element_at("st", 5)).alias("cost_q"),

@@ -2099,3 +2099,61 @@ def test_q479_moe_conservation_and_loss_bounds(spark, sf_dir):
     loss = _MOE_E * sum(r.n_tokens**2 for r in rows) / (t * t)
     assert 1.0 <= rows[0].balance_loss <= _MOE_E
     assert abs(rows[0].balance_loss - loss) < 1e-5
+
+
+def test_q454_pruned_blocks_equal_full_regather(spark, sf_dir):
+    """r15 optimization (r14 verdict task 1): q454's blk2 is now
+    DERIVED from the checkpointed blk1 plus a sparse kept-position
+    overlay instead of a second position-grain gather. This pins the
+    algebra: the overlay-masked arrays must equal — entry for entry,
+    unread block-edge slots included — what the old shape
+    (_ulm_block_arrays against the explicit pruned model2) produces."""
+    from azure_batch_map_reduce_spark.functions.text import (
+        _ULM_HUGE,
+        _ULM_KEEP,
+        _ulm_block_arrays,
+        _ulm_component,
+        _ulm_model1,
+        _ulm_pruned_block_arrays,
+    )
+    from azure_batch_map_reduce_spark.operators.ranks import bounded_order
+
+    cnts = _ulm_component(spark, sf_dir, "cnts")
+    used = _ulm_component(spark, sf_dir, "used")
+    kept = (
+        used.where(F.length("piece") >= 2)
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                bounded_order(F.col("n_used").desc(), F.col("piece").asc())
+            ),
+        )
+        .where(F.col("rk") <= _ULM_KEEP)
+        .select("piece")
+    )
+    model1 = _ulm_model1(cnts, used)
+    model2 = (
+        model1.join(
+            F.broadcast(kept.withColumn("is_kept", F.lit(1))),
+            "piece",
+            "left",
+        )
+        .select(
+            "piece",
+            F.when(
+                (F.length("piece") == 1) | F.col("is_kept").isNotNull(),
+                F.col("qc"),
+            )
+            .otherwise(F.lit(_ULM_HUGE).cast("long"))
+            .alias("qc"),
+        )
+    )
+    old = _ulm_block_arrays(
+        _ulm_component(spark, sf_dir, "pl"), model2
+    )
+    new = _ulm_pruned_block_arrays(spark, sf_dir, kept)
+    cols = ["doc_id", "source", "g0", "n", "e1", "e2", "e3"]
+    a = sorted(map(tuple, old.select(*cols).collect()))
+    b = sorted(map(tuple, new.select(*cols).collect()))
+    assert len(a) == len(b) > 0
+    assert a == b
