@@ -8079,10 +8079,12 @@ def _release_checkpoint_blocks(df: DataFrame) -> None:
 
 def _qc_clear_shared() -> None:
     """Drop all memoized feature frames (test/drill hook), releasing
-    their checkpoint blocks best-effort first."""
+    their checkpoint blocks best-effort first; the derived default
+    weight-path memo clears with it."""
     for df in _QC_SHARED.values():
         _release_checkpoint_blocks(df)
     _QC_SHARED.clear()
+    _QC_PATH_SHARED.clear()
 
 
 def _qc_obs_shared(
@@ -8198,6 +8200,162 @@ def _qc_train(
     return path, accs, n_rows
 
 
+# --- r15 optimization round: shared default weight path + fused steps -----
+#
+# Two complementary job-count levers for the trainer family (r14
+# verdict task 2 — at fixture scale each per-step Spark job on the
+# 5000-row checkpointed feature frame is almost pure scheduling
+# overhead, so honest time ≈ job count × per-job latency; at 100 TB the
+# same changes remove genuinely redundant corpus scans):
+#
+# 1. `_qc_train_shared_path` — the DEFAULT full-corpus training path
+#    (lr=_QC_LR, 4 dims, no subset/schedule) is one deterministic
+#    artifact consumed verbatim by SIX queries (q433, q449, q451, q474
+#    extends it to 4 steps, q477's teacher, and q433's own releases).
+#    Before r15 each re-ran the 3 training scans per invocation; the
+#    path is now memoized per (application, realpath(sf_dir)) in the
+#    `_QC_SHARED` idiom, extend-and-slice so q474's step 4 continues
+#    from the cached step 3. Model-grain state only (lists of 4
+#    doubles + exact integer counts) — nothing persists across
+#    processes, nothing is keyed on data content, and every cached
+#    value is bit-identical to what each consumer computed before (one
+#    template, one arithmetic sequence — pinned by test).
+#
+# 2. `_qc_multi_step` — ONE fused scan computing the q433 step
+#    aggregates for MANY (weights, feature-mask, row-slice) specs at
+#    once: per spec and dimension the quantized BIGINT gradient sum,
+#    plus the exact correct/total counts at the spec's weights. The
+#    per-row arithmetic is _qc_train's exactly (same fold, same
+#    rational sigmoid, same half-up quantization — integer sums are
+#    order-free, so conditional aggregation over the superset frame
+#    equals per-slice aggregation); q441's three folds, q462's four
+#    mask candidates and q473's four shards are INDEPENDENT models, so
+#    their per-step scans fuse (guide §2.4: one pass instead of N) and
+#    a round's evaluation fuses into the NEXT round's step scan (the
+#    step aggregate's counts at weights w ARE the evaluation of w).
+
+_QC_PATH_SHARED: dict[tuple, tuple[list, list, int]] = {}
+
+
+def _qc_clear_shared_path() -> None:
+    """Drop all memoized weight paths (test/drill hook)."""
+    _QC_PATH_SHARED.clear()
+
+
+def _qc_train_shared_path(
+    spark: SparkSession, sf_dir: str, n_steps: int = _QC_STEPS
+) -> tuple[list, list, int]:
+    """The default-config training path through the session store:
+    returns ``(path[:n_steps], accs[:n_steps], n)`` exactly as
+    ``_qc_train(_qc_obs_shared(...), n_steps)`` would, extending the
+    cached path with warm-started steps when a caller needs more."""
+    import os
+
+    app = spark.sparkContext.applicationId
+    for k in [k for k in _QC_PATH_SHARED if k[0] != app]:
+        del _QC_PATH_SHARED[k]
+    key = (app, os.path.realpath(sf_dir))
+    path, accs, n = _QC_PATH_SHARED.get(key, ([], [], 0))
+    if len(path) < n_steps:
+        more_path, more_accs, n = _qc_train(
+            _qc_obs_shared(spark, sf_dir),
+            n_steps=n_steps - len(path),
+            w0=path[-1] if path else None,
+        )
+        path = path + more_path
+        accs = accs + more_accs
+        _QC_PATH_SHARED[key] = (path, accs, n)
+    return path[:n_steps], accs[:n_steps], n
+
+
+def _qc_multi_step(
+    frame: DataFrame, specs: list[dict], with_grads: bool = True
+) -> dict:
+    """ONE fused scan evaluating every spec's q433 step aggregates.
+
+    Each spec: ``{"name": str, "w": list, "xa": Column | None (the
+    frame's xa), "inc": Column | None (row-slice predicate), "dims_n":
+    int (default 4)}``. Returns ``{name: {"gq": {dim: int}, "nc": int,
+    "n": int}}`` — ``nc``/``n`` are the correct/total counts at the
+    spec's weights (the pre-update accuracy of this step ≡ the
+    post-update evaluation of the previous one), ``gq`` the quantized
+    per-dim gradient sums (omitted when ``with_grads=False``)."""
+    # Project each spec's margin fold ONCE per row, then aggregate
+    # simple column references — the fold would otherwise be
+    # re-evaluated inside every aggregate expression (6× per spec),
+    # bloating both per-row work and codegen. Same expressions, same
+    # per-row IEEE sequence, just named.
+    proj = [F.col("y").alias("y")]
+    aggs = []
+    for i, s in enumerate(specs):
+        xa = s.get("xa")
+        xa = F.col("xa") if xa is None else xa
+        inc = s.get("inc")
+        dims_n = s.get("dims_n", 4)
+        wlit = F.array(*[F.lit(v) for v in s["w"]])
+        z = F.aggregate(
+            F.zip_with(xa, wlit, lambda x, wv: x * wv),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        proj.append(z.alias(f"s{i}_z"))
+        if inc is not None:
+            proj.append(inc.alias(f"s{i}_inc"))
+        if with_grads:
+            for d in range(1, dims_n + 1):
+                proj.append(F.element_at(xa, d).alias(f"s{i}_x{d}"))
+        zc = F.col(f"s{i}_z")
+        pc = F.lit(0.5) + zc / (F.lit(2.0) * (F.lit(1.0) + F.abs(zc)))
+        incc = F.col(f"s{i}_inc") if inc is not None else None
+        correct = (zc > 0) == (F.col("y") == 1.0)
+        if with_grads:
+            for d in range(1, dims_n + 1):
+                g = (
+                    F.round(
+                        (pc - F.col("y")) * F.col(f"s{i}_x{d}") * _QC_QSCALE
+                    ).cast("long")
+                )
+                aggs.append(
+                    F.sum(F.when(incc, g) if incc is not None else g).alias(
+                        f"s{i}_g{d}"
+                    )
+                )
+        cond = correct if incc is None else (incc & correct)
+        aggs.append(
+            F.sum(F.when(cond, 1).otherwise(0)).alias(f"s{i}_nc")
+        )
+        aggs.append(
+            (
+                F.count(F.lit(1))
+                if incc is None
+                else F.sum(F.when(incc, 1).otherwise(0))
+            ).alias(f"s{i}_n")
+        )
+    row = frame.select(*proj).agg(*aggs).collect()[0]
+    out = {}
+    for i, s in enumerate(specs):
+        ent = {
+            "nc": int(row[f"s{i}_nc"]),
+            "n": int(row[f"s{i}_n"]),
+        }
+        if with_grads:
+            ent["gq"] = {
+                d: int(row[f"s{i}_g{d}"])
+                for d in range(1, s.get("dims_n", 4) + 1)
+            }
+        out[s["name"]] = ent
+    return out
+
+
+def _qc_update(w: list, gq: dict, n: int, lr: float = _QC_LR) -> list:
+    """The shared weight update — the exact binary64 sequence
+    _qc_train and the oracle's step CTEs use."""
+    return [
+        w[d - 1] - lr * (gq[d] / _QC_QSCALE / n)
+        for d in range(1, len(w) + 1)
+    ]
+
+
 @query(
     "q433_quality_classifier_training",
     oracle=_qc_oracle_sql(),
@@ -8245,8 +8403,10 @@ def q433_quality_classifier_training(
     = reduce slot (``App.config:17``, ``Program.cs:351-384``)."""
     from azure_batch_map_reduce_spark.operators.ranks import round_nz
 
-    obs = _qc_obs_shared(spark, sf_dir).persist()
-    path, accs, n_rows = _qc_train(obs)
+    obs = _qc_obs_shared(spark, sf_dir)
+    # Session-shared default path (r15): the 3 training scans run once
+    # per application across the six default-path consumers.
+    path, accs, n_rows = _qc_train_shared_path(spark, sf_dir)
     w = path[-1]
     z = _qc_margin(w)
     fin = obs.agg(
@@ -8255,7 +8415,6 @@ def q433_quality_classifier_training(
         ).alias("n_correct"),
         F.count(F.lit(1)).alias("n"),
     ).collect()[0]
-    obs.unpersist()
     acc_rows = [
         ("acc", k + 1, int(nc), int(n)) for k, (nc, n) in enumerate(accs)
     ]
@@ -9069,30 +9228,52 @@ def q441_kfold_cv_training(spark: SparkSession, sf_dir: str) -> DataFrame:
     collects. Reference contract: per-example gradient/score = map
     slot (``App.config:16``); fold update + accuracy rollup = reduce
     slot (``App.config:17``, ``Program.cs:351-384``)."""
-    obs = _qc_obs_shared(spark, sf_dir, with_id=True).persist()
+    obs = _qc_obs_shared(spark, sf_dir, with_id=True)
+    # Fused fold training (r15, guide §2.4): the K folds are
+    # INDEPENDENT models over doc_id-derived slices of one frame, so
+    # each step's K gradient scans collapse into ONE conditional-
+    # aggregate scan (integer sums are order-free — slice-gated sums
+    # over the superset equal per-slice sums), and the K held-out
+    # evaluations into one more. 12 jobs -> 4; per-row arithmetic,
+    # update sequence and released integers are bit-identical (the
+    # shared-template discipline, pinned by the oracle at all SFs).
+    ws = {f: [0.0] * 4 for f in range(_CV_FOLDS)}
+    train_inc = {
+        f: (F.col("doc_id") % _CV_FOLDS) != f for f in range(_CV_FOLDS)
+    }
+    for _step in range(_QC_STEPS):
+        g = _qc_multi_step(
+            obs,
+            [
+                {"name": f, "w": ws[f], "inc": train_inc[f]}
+                for f in range(_CV_FOLDS)
+            ],
+        )
+        ws = {
+            f: _qc_update(ws[f], g[f]["gq"], g[f]["n"])
+            for f in range(_CV_FOLDS)
+        }
+    ev = _qc_multi_step(
+        obs,
+        [
+            {
+                "name": f,
+                "w": ws[f],
+                "inc": (F.col("doc_id") % _CV_FOLDS) == f,
+            }
+            for f in range(_CV_FOLDS)
+        ],
+        with_grads=False,
+    )
     fold_rows: list = []
     tot_nc = 0
     tot_n = 0
     for f in range(_CV_FOLDS):
-        train = obs.where(
-            (F.col("doc_id") % _CV_FOLDS) != f
-        ).select("xa", "y")
-        path, _, _ = _qc_train(train)
-        z = _qc_margin(path[-1])
-        ev = (
-            obs.where((F.col("doc_id") % _CV_FOLDS) == f)
-            .agg(
-                F.sum(
-                    F.when((z > 0) == (F.col("y") == 1.0), 1).otherwise(0)
-                ).alias("nc"),
-                F.count(F.lit(1)).alias("n"),
-            )
-            .collect()[0]
+        fold_rows.append(
+            ("fold_acc", f + 1, ev[f]["nc"], ev[f]["n"])
         )
-        fold_rows.append(("fold_acc", f + 1, int(ev["nc"]), int(ev["n"])))
-        tot_nc += int(ev["nc"])
-        tot_n += int(ev["n"])
-    obs.unpersist()
+        tot_nc += ev[f]["nc"]
+        tot_n += ev[f]["n"]
     fold_rows.append(("cv_acc", _CV_FOLDS + 1, tot_nc, tot_n))
     return (
         spark.createDataFrame(
@@ -9577,40 +9758,44 @@ def q449_worst_group_training_audit(
     contract: per-example scoring = map slot (``App.config:16``);
     group rollup + argmin = reduce slots (``App.config:17``,
     ``Program.cs:351-384``)."""
-    obs = _qc_obs_shared(spark, sf_dir, with_source=True).persist()
-    path, _, _ = _qc_train(obs.select("xa", "y"))
-    out_rows = []
-    for k, w in enumerate([[0.0] * 4, *path]):
+    obs = _qc_obs_shared(spark, sf_dir, with_source=True)
+    # Session-shared default path + ONE fused checkpoint scan (r15):
+    # all four checkpoints' weights are known up front, so the four
+    # per-checkpoint (source)-grain scans collapse into one scan with
+    # a correct-count column per checkpoint — exact integer counts,
+    # identical values, 5 jobs -> 1 (plus the once-per-session path).
+    path, _, _ = _qc_train_shared_path(spark, sf_dir)
+    weights = [[0.0] * 4, *path]
+    nc_cols = []
+    for k, w in enumerate(weights):
         z = _qc_margin(w)
-        sa = (
-            obs.select("source", "y", z.alias("z"))
-            .groupBy("source")
-            .agg(
-                F.sum(
-                    F.when(
-                        (F.col("z") > 0) == (F.col("y") == 1.0), 1
-                    ).otherwise(0)
-                ).alias("nc"),
-                F.count(F.lit(1)).alias("n"),
-            )
-            .collect()
+        nc_cols.append(
+            F.sum(
+                F.when((z > 0) == (F.col("y") == 1.0), 1).otherwise(0)
+            ).alias(f"nc{k}")
         )
+    sa = (
+        obs.groupBy("source")
+        .agg(*nc_cols, F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    out_rows = []
+    for k in range(len(weights)):
         worst = min(
-            sa, key=lambda r: (r["nc"] / r["n"], r["source"])
+            sa, key=lambda r, k=k: (r[f"nc{k}"] / r["n"], r["source"])
         )
         tn = sum(r["n"] for r in sa)
-        tc = sum(r["nc"] for r in sa)
+        tc = sum(r[f"nc{k}"] for r in sa)
         out_rows.append(
             (
                 k,
                 worst["source"],
-                int(worst["nc"]),
+                int(worst[f"nc{k}"]),
                 int(worst["n"]),
                 int(tc),
                 int(tn),
             )
         )
-    obs.unpersist()
     return (
         spark.createDataFrame(
             out_rows,
@@ -9884,7 +10069,10 @@ def q451_gradient_noise_scale(
     aggregation + ratio = reduce slots (``App.config:17``,
     ``Program.cs:351-384``)."""
     obs = _qc_obs_shared(spark, sf_dir).persist()
-    path, _, _ = _qc_train(obs)
+    # Session-shared default path (r15): the moment frame below is the
+    # query's own lazy release plan; only the training scans ride the
+    # shared store.
+    path, _, _ = _qc_train_shared_path(spark, sf_dir)
     out = None
     for k, w in enumerate([[0.0] * 4, *path[:-1]], start=1):
         z = _qc_margin(w)
@@ -10686,41 +10874,49 @@ def q462_successive_halving_feature_race(
     (``App.config:17``, ``Program.cs:351-384``)."""
     base = _qc_obs_shared(spark, sf_dir)
 
-    def masked(mask: tuple) -> DataFrame:
-        cells = [
-            F.element_at("xa", d + 1) if keep else F.lit(0.0)
-            for d, keep in enumerate(mask)
-        ]
-        return base.select(F.array(*cells).alias("xa"), "y").persist()
+    # Fused bracket (r15, guide §2.4): the four mask candidates are
+    # INDEPENDENT models over ONE frame, so each round's per-candidate
+    # gradient scans fuse into one conditional-aggregate scan, and a
+    # round's post-step evaluations fuse into the NEXT round's step
+    # scan (the step aggregate's correct-count at weights w IS the
+    # evaluation of w). The oracle materializes all 12 steps anyway,
+    # so the speculative gradients computed for candidates that are
+    # then eliminated change nothing released. 14 jobs -> 4; per-row
+    # arithmetic is the exact shared template (masked cells as inline
+    # expressions instead of materialized frames — same values).
+    def xa_of(mask: tuple):
+        return F.array(
+            *[
+                F.element_at("xa", d + 1) if keep else F.lit(0.0)
+                for d, keep in enumerate(mask)
+            ]
+        )
 
-    obs_by = {name: masked(mask) for name, mask in _SH_MASKS}
-
-    def acc_of(name: str, w: list) -> tuple:
-        z = _qc_margin(w)
-        r = obs_by[name].agg(
-            F.sum(
-                F.when((z > 0) == (F.col("y") == 1.0), 1).otherwise(0)
-            ).alias("nc"),
-            F.count(F.lit(1)).alias("n"),
-        ).collect()[0]
-        return int(r["nc"]), int(r["n"])
-
+    xa_by = dict((name, xa_of(mask)) for name, mask in _SH_MASKS)
     names = [n for n, _ in _SH_MASKS]
-    state = {}
-    for name in names:
-        path, _, _ = _qc_train(obs_by[name], 1)
-        state[name] = path[-1]
-    acc1 = {n: acc_of(n, state[n]) for n in names}
+    g1 = _qc_multi_step(
+        base, [{"name": n, "w": [0.0] * 4, "xa": xa_by[n]} for n in names]
+    )
+    state = {n: _qc_update([0.0] * 4, g1[n]["gq"], g1[n]["n"]) for n in names}
+    g2 = _qc_multi_step(
+        base, [{"name": n, "w": state[n], "xa": xa_by[n]} for n in names]
+    )
+    acc1 = {n: (g2[n]["nc"], g2[n]["n"]) for n in names}
     surv1 = sorted(names, key=lambda n: (-acc1[n][0], n))[:2]
     for n in surv1:
-        path, _, _ = _qc_train(obs_by[n], 1, w0=state[n])
-        state[n] = path[-1]
-    acc2 = {n: acc_of(n, state[n]) for n in surv1}
+        state[n] = _qc_update(state[n], g2[n]["gq"], g2[n]["n"])
+    g3 = _qc_multi_step(
+        base, [{"name": n, "w": state[n], "xa": xa_by[n]} for n in surv1]
+    )
+    acc2 = {n: (g3[n]["nc"], g3[n]["n"]) for n in surv1}
     winner = sorted(surv1, key=lambda n: (-acc2[n][0], n))[0]
-    path, _, _ = _qc_train(obs_by[winner], 1, w0=state[winner])
-    acc3 = {winner: acc_of(winner, path[-1])}
-    for df in obs_by.values():
-        df.unpersist()
+    w3 = _qc_update(state[winner], g3[winner]["gq"], g3[winner]["n"])
+    e3 = _qc_multi_step(
+        base,
+        [{"name": winner, "w": w3, "xa": xa_by[winner]}],
+        with_grads=False,
+    )
+    acc3 = {winner: (e3[winner]["nc"], e3[winner]["n"])}
     rows = (
         [(1, n, acc1[n][0], acc1[n][1], n in surv1) for n in names]
         + [(2, n, acc2[n][0], acc2[n][1], n == winner) for n in surv1]
@@ -11140,49 +11336,57 @@ def q473_federated_averaging_round(
     slot (``App.config:17``, ``Program.cs:351-384``)."""
     from azure_batch_map_reduce_spark.operators.ranks import round_nz
 
-    obs = _qc_obs_shared(spark, sf_dir, with_id=True).persist()
-    shard_w: list = []
-    shard_stats: list = []
-    for k in range(_FED_SHARDS):
-        shard = obs.where((F.col("doc_id") % _FED_SHARDS) == k)
-        path, _accs, _n = _qc_train(shard, n_steps=_FED_LOCAL_STEPS)
-        w_k = path[-1]
-        fin = (
-            shard.select(_qc_margin(w_k).alias("z"), "y")
-            .agg(
-                F.sum(
-                    F.when(
-                        (F.col("z") > 0) == (F.col("y") == 1.0), 1
-                    ).otherwise(0)
-                ).alias("n_correct"),
-                F.count(F.lit(1)).alias("n"),
-            )
-            .collect()[0]
+    obs = _qc_obs_shared(spark, sf_dir, with_id=True)
+    # Fused shard training (r15, guide §2.4): the shards are DISJOINT
+    # doc_id slices training INDEPENDENT models, so each local step's
+    # four per-shard scans fuse into one conditional-aggregate scan,
+    # and the four post-training shard evaluations fuse with the
+    # global averaged-model evaluation into one more. 13 jobs -> 3;
+    # per-row arithmetic, update sequence and the fixed
+    # left-associative weighted average are bit-identical.
+    shard_inc = {
+        k: (F.col("doc_id") % _FED_SHARDS) == k for k in range(_FED_SHARDS)
+    }
+    ws = {k: [0.0] * 4 for k in range(_FED_SHARDS)}
+    shard_n = {}
+    for _step in range(_FED_LOCAL_STEPS):
+        g = _qc_multi_step(
+            obs,
+            [
+                {"name": k, "w": ws[k], "inc": shard_inc[k]}
+                for k in range(_FED_SHARDS)
+            ],
         )
-        shard_w.append(w_k)
-        shard_stats.append((int(fin["n_correct"]), int(fin["n"])))
-    # Mirror the oracle's fixed left-associative weighted average.
+        ws = {
+            k: _qc_update(ws[k], g[k]["gq"], g[k]["n"])
+            for k in range(_FED_SHARDS)
+        }
+        shard_n = {k: g[k]["n"] for k in range(_FED_SHARDS)}
+    shard_w = [ws[k] for k in range(_FED_SHARDS)]
+    # Mirror the oracle's fixed left-associative weighted average (the
+    # shard sizes are already known from the step scans — same exact
+    # integers the eval scan re-counts).
     w_avg = []
     for i in range(4):
-        num = float(shard_stats[0][1]) * shard_w[0][i]
-        den = shard_stats[0][1]
+        num = float(shard_n[0]) * shard_w[0][i]
+        den = shard_n[0]
         for k in range(1, _FED_SHARDS):
-            num = num + shard_stats[k][1] * shard_w[k][i]
-            den = den + shard_stats[k][1]
+            num = num + shard_n[k] * shard_w[k][i]
+            den = den + shard_n[k]
         w_avg.append(num / float(den))
-    gfin = (
-        obs.select(_qc_margin(w_avg).alias("z"), "y")
-        .agg(
-            F.sum(
-                F.when(
-                    (F.col("z") > 0) == (F.col("y") == 1.0), 1
-                ).otherwise(0)
-            ).alias("n_correct"),
-            F.count(F.lit(1)).alias("n"),
-        )
-        .collect()[0]
+    ev = _qc_multi_step(
+        obs,
+        [
+            {"name": k, "w": ws[k], "inc": shard_inc[k]}
+            for k in range(_FED_SHARDS)
+        ]
+        + [{"name": "g", "w": w_avg}],
+        with_grads=False,
     )
-    obs.unpersist()
+    shard_stats = [
+        (ev[k]["nc"], ev[k]["n"]) for k in range(_FED_SHARDS)
+    ]
+    gfin = {"n_correct": ev["g"]["nc"], "n": ev["g"]["n"]}
 
     def hup(nc: int, n: int) -> float:
         return ((2 * nc * _QC_QSCALE + n) // (2 * n)) / 1000000.0
@@ -11296,8 +11500,14 @@ def q474_polyak_tail_averaging(
     (``App.config:17``, ``Program.cs:351-384``)."""
     from azure_batch_map_reduce_spark.operators.ranks import round_nz
 
-    obs = _qc_obs_shared(spark, sf_dir).persist()
-    path, _accs, _n = _qc_train(obs, n_steps=_SWA_STEPS)
+    obs = _qc_obs_shared(spark, sf_dir)
+    # Session-shared default path, extended to 4 steps (r15): steps
+    # 1-3 come from the cache when a sibling already trained them;
+    # the two accuracy passes fuse into ONE scan (both weight vectors
+    # are known — the counts are independent exact-integer aggregates).
+    path, _accs, _n = _qc_train_shared_path(
+        spark, sf_dir, n_steps=_SWA_STEPS
+    )
     w_last = path[-1]
     tail = path[_SWA_STEPS - _SWA_TAIL:]
     w_swa = []
@@ -11307,24 +11517,16 @@ def q474_polyak_tail_averaging(
             num = num + t[i]
         w_swa.append(num / float(_SWA_TAIL))
 
-    def acc_of(w: list) -> tuple[int, int]:
-        r = (
-            obs.select(_qc_margin(w).alias("z"), "y")
-            .agg(
-                F.sum(
-                    F.when(
-                        (F.col("z") > 0) == (F.col("y") == 1.0), 1
-                    ).otherwise(0)
-                ).alias("n_correct"),
-                F.count(F.lit(1)).alias("n"),
-            )
-            .collect()[0]
-        )
-        return int(r["n_correct"]), int(r["n"])
-
-    nc_l, n_l = acc_of(w_last)
-    nc_s, n_s = acc_of(w_swa)
-    obs.unpersist()
+    ev = _qc_multi_step(
+        obs,
+        [
+            {"name": "last", "w": w_last},
+            {"name": "swa", "w": w_swa},
+        ],
+        with_grads=False,
+    )
+    nc_l, n_l = ev["last"]["nc"], ev["last"]["n"]
+    nc_s, n_s = ev["swa"]["nc"], ev["swa"]["n"]
 
     def hup(nc: int, n: int) -> float:
         return ((2 * nc * _QC_QSCALE + n) // (2 * n)) / 1000000.0
@@ -11758,7 +11960,11 @@ def q477_knowledge_distillation(
     from azure_batch_map_reduce_spark.operators.ranks import round_nz
 
     obs = _qc_obs_shared(spark, sf_dir).persist()
-    tpath, _taccs, _n = _qc_train(obs, n_steps=_KD_TEACHER_STEPS)
+    # The teacher IS the shared default path (r15) — same steps, same
+    # arithmetic; the student loop below stays query-specific.
+    tpath, _taccs, _n = _qc_train_shared_path(
+        spark, sf_dir, n_steps=_KD_TEACHER_STEPS
+    )
     w_t = tpath[-1]
     zt = _qc_margin(w_t)
     # Two-stage select: z_t must exist before the soft-target

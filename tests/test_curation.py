@@ -821,3 +821,70 @@ def test_qc_shared_store_lifecycle_and_equivalence(spark, sf_dir):
         assert r_rows == s_rows, f"slice {kw} must match the raw builder"
     _qc_clear_shared()
     assert not _QC_SHARED
+
+def test_qc_shared_path_and_multi_step_equivalence(spark, sf_dir):
+    """r15 optimization-round pin for the trainer-family fused scans:
+    (a) `_qc_train_shared_path` returns BIT-IDENTICAL (path, accs, n)
+    to a fresh `_qc_train` run, including when the cached path is
+    EXTENDED (2 steps cached, 4 requested — the warm-start must
+    reproduce the uncached arithmetic exactly); (b) `_qc_multi_step`'s
+    fused conditional aggregates equal the per-slice scans they
+    replaced — same quantized gradient integers, same correct/total
+    counts, for full-frame, row-sliced and masked-xa specs; (c) the
+    shared clear hook empties the path memo too."""
+    from pyspark.sql import functions as F
+
+    from azure_batch_map_reduce_spark.functions.curation import (
+        _QC_PATH_SHARED,
+        _qc_clear_shared,
+        _qc_margin,
+        _qc_multi_step,
+        _qc_obs_shared,
+        _qc_train,
+        _qc_train_shared_path,
+        _qc_update,
+    )
+
+    _qc_clear_shared()
+    obs = _qc_obs_shared(spark, sf_dir, with_id=True)
+
+    # (a) extend-and-slice: cache 2 steps, then request 4.
+    p2, a2, _ = _qc_train_shared_path(spark, sf_dir, n_steps=2)
+    assert len(_QC_PATH_SHARED) == 1
+    p4, a4, n4 = _qc_train_shared_path(spark, sf_dir, n_steps=4)
+    f4, fa4, fn4 = _qc_train(obs.select("xa", "y"), n_steps=4)
+    assert p4 == f4 and a4 == fa4 and n4 == fn4
+    assert p2 == f4[:2] and a2 == fa4[:2]
+    p3, a3, _ = _qc_train_shared_path(spark, sf_dir)  # slice, no scan
+    assert p3 == f4[:3] and a3 == fa4[:3]
+
+    # (b) fused scan vs the per-slice originals it replaced.
+    w = f4[1]
+    inc = (F.col("doc_id") % 3) != 0
+    xa_masked = F.array(
+        F.element_at("xa", 1),
+        F.lit(0.0),
+        F.element_at("xa", 3),
+        F.lit(0.0),
+    )
+    fused = _qc_multi_step(
+        obs,
+        [
+            {"name": "full", "w": w},
+            {"name": "slice", "w": w, "inc": inc},
+            {"name": "masked", "w": w, "xa": xa_masked},
+        ],
+    )
+    for name, frame in [
+        ("full", obs.select("xa", "y")),
+        ("slice", obs.where(inc).select("xa", "y")),
+        ("masked", obs.select(xa_masked.alias("xa"), "y")),
+    ]:
+        path1, accs1, n1 = _qc_train(frame, n_steps=1, w0=w)
+        got = fused[name]
+        assert (got["nc"], got["n"]) == accs1[0], name
+        assert _qc_update(w, got["gq"], got["n"]) == path1[0], name
+
+    # (c) the clear hook drops the path memo with the frame memo.
+    _qc_clear_shared()
+    assert not _QC_PATH_SHARED
