@@ -471,6 +471,47 @@ def main() -> None:
 
     times: dict[str, float] = {}
     honest: dict[str, float] = {}
+
+    # r15 (r14 verdict task 3): price the session-shared store builds
+    # EXPLICITLY. The warmup+min-of-3 protocol pays each family's
+    # one-time shared-store build (the ULM lattice store in text.py,
+    # the trainer feature store + default weight path in curation.py)
+    # inside the first family query's UNTIMED warm-up, so the regular
+    # rows price steady state only. These two ACCOUNTING ROWS make the
+    # one-time cost visible: each clears its store via the same hook
+    # the tests/drills use, then runs ONE cold fn()+sink of the
+    # family's canonical consumer (q443 builds the lattice store, q433
+    # the feature store + weight path). Additions-only — every
+    # pre-existing row keeps its protocol and meaning; cross-round
+    # total comparisons should subtract the `cold_store:` rows (they
+    # price work that earlier rounds ran in untimed warmup, not new
+    # work). The stores are left WARM afterwards, so the family rows
+    # below keep their steady-state semantics.
+    from azure_batch_map_reduce_spark.functions.curation import (
+        _qc_clear_shared,
+    )
+    from azure_batch_map_reduce_spark.functions.text import (
+        _ulm_clear_shared,
+    )
+
+    for row, qname, clear in (
+        (
+            "cold_store:ulm_lattice(q443)",
+            "q443_unigram_lm_viterbi_segmentation",
+            _ulm_clear_shared,
+        ),
+        (
+            "cold_store:qc_trainer(q433)",
+            "q433_quality_classifier_training",
+            _qc_clear_shared,
+        ),
+    ):
+        clear()
+        sink_s, honest_s = materialize(qname)
+        times[row] = round(sink_s, 3)
+        honest[row] = round(honest_s, 3)
+        spark.catalog.clearCache()
+
     for name in HEADLINE:
         # Steady-state protocol (JMH-style): one untimed warm-up run per
         # query absorbs codegen/JIT/scan-cache effects, then the best of
@@ -520,7 +561,10 @@ def main() -> None:
         # `value_honest` sums `queries_honest`.
         "protocol": "warmup+min_of_3 (r8+); rounds 2-7 were warmup+min_of_2; "
         "regressions judged on `queries` (sink-only); `queries_honest` "
-        "adds fn()-time for eager/iterative rows (r12+)",
+        "adds fn()-time for eager/iterative rows (r12+); `cold_store:` "
+        "rows (r15+) price the one-time session-shared store builds "
+        "(single cold run each, not min-of-3) — subtract them when "
+        "comparing totals to rounds <= 14",
         "host_drift": "±10-25% cross-run on identical code; see module docstring",
         # r12 verdict task 3: record the host's 1-minute load average at
         # measurement START so the comparison protocol can tell a
