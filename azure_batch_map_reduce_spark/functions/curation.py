@@ -8268,70 +8268,92 @@ def _qc_train_shared_path(
     return path[:n_steps], accs[:n_steps], n
 
 
+def _qc_dlit(v: float) -> str:
+    """The exact binary64 literal as SQL text: repr() round-trips the
+    double exactly and the CAST constant-folds to the same Literal
+    the Column API's ``F.lit(v)`` built (a bare SQL ``0.5`` would be
+    DECIMAL, never use one for a double)."""
+    return f"CAST('{v!r}' AS DOUBLE)"
+
+
 def _qc_multi_step(
     frame: DataFrame, specs: list[dict], with_grads: bool = True
 ) -> dict:
     """ONE fused scan evaluating every spec's q433 step aggregates.
 
-    Each spec: ``{"name": str, "w": list, "xa": Column | None (the
-    frame's xa), "inc": Column | None (row-slice predicate), "dims_n":
-    int (default 4)}``. Returns ``{name: {"gq": {dim: int}, "nc": int,
-    "n": int}}`` — ``nc``/``n`` are the correct/total counts at the
-    spec's weights (the pre-update accuracy of this step ≡ the
-    post-update evaluation of the previous one), ``gq`` the quantized
-    per-dim gradient sums (omitted when ``with_grads=False``)."""
+    Each spec: ``{"name": str, "w": list, "xa_sql": str | None (SQL
+    for the feature array; default the frame's xa), "inc_sql": str |
+    None (SQL row-slice predicate), "dims_n": int (default 4)}``.
+    Returns ``{name: {"gq": {dim: int}, "nc": int, "n": int}}`` —
+    ``nc``/``n`` are the correct/total counts at the spec's weights
+    (the pre-update accuracy of this step ≡ the post-update
+    evaluation of the previous one), ``gq`` the quantized per-dim
+    gradient sums (omitted when ``with_grads=False``)."""
     # Project each spec's margin fold ONCE per row, then aggregate
     # simple column references — the fold would otherwise be
     # re-evaluated inside every aggregate expression (6× per spec),
     # bloating both per-row work and codegen. Same expressions, same
     # per-row IEEE sequence, just named.
-    proj = [F.col("y").alias("y")]
+    #
+    # The expressions are built as SQL TEXT, not Column objects: a
+    # profiled 4-spec call spent 0.55 s in driver-side Column
+    # construction (one JVM round trip per operator node — hundreds
+    # per call) vs 0.08 s executing; selectExpr/expr parse the same
+    # trees in a handful of calls (guide §5 — the driver should do
+    # almost no work). Double literals render as
+    # CAST('<repr>' AS DOUBLE): repr round-trips binary64 exactly and
+    # the cast constant-folds to the identical literal the Column API
+    # produced, so the per-row IEEE sequence cannot move (pinned by
+    # the fused-vs-per-slice equivalence test and the oracle at all
+    # three SFs).
+    proj = ["y"]
     aggs = []
     for i, s in enumerate(specs):
-        xa = s.get("xa")
-        xa = F.col("xa") if xa is None else xa
-        inc = s.get("inc")
+        xa = s.get("xa_sql", "xa")
+        inc = s.get("inc_sql")
         dims_n = s.get("dims_n", 4)
-        wlit = F.array(*[F.lit(v) for v in s["w"]])
-        z = F.aggregate(
-            F.zip_with(xa, wlit, lambda x, wv: x * wv),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
+        warr = "array({})".format(
+            ", ".join(_qc_dlit(v) for v in s["w"])
         )
-        proj.append(z.alias(f"s{i}_z"))
+        z = (
+            f"aggregate(zip_with({xa}, {warr}, (x, wv) -> x * wv), "
+            f"{_qc_dlit(0.0)}, (acc, x) -> acc + x)"
+        )
+        proj.append(f"{z} AS s{i}_z")
         if inc is not None:
-            proj.append(inc.alias(f"s{i}_inc"))
+            proj.append(f"({inc}) AS s{i}_inc")
         if with_grads:
             for d in range(1, dims_n + 1):
-                proj.append(F.element_at(xa, d).alias(f"s{i}_x{d}"))
-        zc = F.col(f"s{i}_z")
-        pc = F.lit(0.5) + zc / (F.lit(2.0) * (F.lit(1.0) + F.abs(zc)))
-        incc = F.col(f"s{i}_inc") if inc is not None else None
-        correct = (zc > 0) == (F.col("y") == 1.0)
+                proj.append(f"element_at({xa}, {d}) AS s{i}_x{d}")
+        zc = f"s{i}_z"
+        pc = (
+            f"({_qc_dlit(0.5)} + {zc} / ({_qc_dlit(2.0)} * "
+            f"({_qc_dlit(1.0)} + abs({zc}))))"
+        )
+        correct = f"(({zc} > 0) = (y = {_qc_dlit(1.0)}))"
         if with_grads:
             for d in range(1, dims_n + 1):
                 g = (
-                    F.round(
-                        (pc - F.col("y")) * F.col(f"s{i}_x{d}") * _QC_QSCALE
-                    ).cast("long")
+                    f"CAST(round(({pc} - y) * s{i}_x{d} * {_QC_QSCALE}) "
+                    f"AS BIGINT)"
                 )
-                aggs.append(
-                    F.sum(F.when(incc, g) if incc is not None else g).alias(
-                        f"s{i}_g{d}"
-                    )
-                )
-        cond = correct if incc is None else (incc & correct)
+                if inc is not None:
+                    g = f"CASE WHEN s{i}_inc THEN {g} END"
+                aggs.append(f"sum({g}) AS s{i}_g{d}")
+        cond = correct if inc is None else f"(s{i}_inc AND {correct})"
         aggs.append(
-            F.sum(F.when(cond, 1).otherwise(0)).alias(f"s{i}_nc")
+            f"sum(CASE WHEN {cond} THEN 1 ELSE 0 END) AS s{i}_nc"
         )
         aggs.append(
-            (
-                F.count(F.lit(1))
-                if incc is None
-                else F.sum(F.when(incc, 1).otherwise(0))
-            ).alias(f"s{i}_n")
+            f"count(1) AS s{i}_n"
+            if inc is None
+            else f"sum(CASE WHEN s{i}_inc THEN 1 ELSE 0 END) AS s{i}_n"
         )
-    row = frame.select(*proj).agg(*aggs).collect()[0]
+    row = (
+        frame.selectExpr(*proj)
+        .agg(*[F.expr(a) for a in aggs])
+        .collect()[0]
+    )
     out = {}
     for i, s in enumerate(specs):
         ent = {
@@ -9239,13 +9261,13 @@ def q441_kfold_cv_training(spark: SparkSession, sf_dir: str) -> DataFrame:
     # shared-template discipline, pinned by the oracle at all SFs).
     ws = {f: [0.0] * 4 for f in range(_CV_FOLDS)}
     train_inc = {
-        f: (F.col("doc_id") % _CV_FOLDS) != f for f in range(_CV_FOLDS)
+        f: f"(doc_id % {_CV_FOLDS}) != {f}" for f in range(_CV_FOLDS)
     }
     for _step in range(_QC_STEPS):
         g = _qc_multi_step(
             obs,
             [
-                {"name": f, "w": ws[f], "inc": train_inc[f]}
+                {"name": f, "w": ws[f], "inc_sql": train_inc[f]}
                 for f in range(_CV_FOLDS)
             ],
         )
@@ -9259,7 +9281,7 @@ def q441_kfold_cv_training(spark: SparkSession, sf_dir: str) -> DataFrame:
             {
                 "name": f,
                 "w": ws[f],
-                "inc": (F.col("doc_id") % _CV_FOLDS) == f,
+                "inc_sql": f"(doc_id % {_CV_FOLDS}) = {f}",
             }
             for f in range(_CV_FOLDS)
         ],
@@ -10884,36 +10906,39 @@ def q462_successive_halving_feature_race(
     # then eliminated change nothing released. 14 jobs -> 4; per-row
     # arithmetic is the exact shared template (masked cells as inline
     # expressions instead of materialized frames — same values).
-    def xa_of(mask: tuple):
-        return F.array(
-            *[
-                F.element_at("xa", d + 1) if keep else F.lit(0.0)
+    def xa_of(mask: tuple) -> str:
+        return "array({})".format(
+            ", ".join(
+                f"element_at(xa, {d + 1})" if keep else _qc_dlit(0.0)
                 for d, keep in enumerate(mask)
-            ]
+            )
         )
 
     xa_by = dict((name, xa_of(mask)) for name, mask in _SH_MASKS)
     names = [n for n, _ in _SH_MASKS]
     g1 = _qc_multi_step(
-        base, [{"name": n, "w": [0.0] * 4, "xa": xa_by[n]} for n in names]
+        base,
+        [{"name": n, "w": [0.0] * 4, "xa_sql": xa_by[n]} for n in names],
     )
     state = {n: _qc_update([0.0] * 4, g1[n]["gq"], g1[n]["n"]) for n in names}
     g2 = _qc_multi_step(
-        base, [{"name": n, "w": state[n], "xa": xa_by[n]} for n in names]
+        base,
+        [{"name": n, "w": state[n], "xa_sql": xa_by[n]} for n in names],
     )
     acc1 = {n: (g2[n]["nc"], g2[n]["n"]) for n in names}
     surv1 = sorted(names, key=lambda n: (-acc1[n][0], n))[:2]
     for n in surv1:
         state[n] = _qc_update(state[n], g2[n]["gq"], g2[n]["n"])
     g3 = _qc_multi_step(
-        base, [{"name": n, "w": state[n], "xa": xa_by[n]} for n in surv1]
+        base,
+        [{"name": n, "w": state[n], "xa_sql": xa_by[n]} for n in surv1],
     )
     acc2 = {n: (g3[n]["nc"], g3[n]["n"]) for n in surv1}
     winner = sorted(surv1, key=lambda n: (-acc2[n][0], n))[0]
     w3 = _qc_update(state[winner], g3[winner]["gq"], g3[winner]["n"])
     e3 = _qc_multi_step(
         base,
-        [{"name": winner, "w": w3, "xa": xa_by[winner]}],
+        [{"name": winner, "w": w3, "xa_sql": xa_by[winner]}],
         with_grads=False,
     )
     acc3 = {winner: (e3[winner]["nc"], e3[winner]["n"])}
@@ -11345,7 +11370,7 @@ def q473_federated_averaging_round(
     # per-row arithmetic, update sequence and the fixed
     # left-associative weighted average are bit-identical.
     shard_inc = {
-        k: (F.col("doc_id") % _FED_SHARDS) == k for k in range(_FED_SHARDS)
+        k: f"(doc_id % {_FED_SHARDS}) = {k}" for k in range(_FED_SHARDS)
     }
     ws = {k: [0.0] * 4 for k in range(_FED_SHARDS)}
     shard_n = {}
@@ -11353,7 +11378,7 @@ def q473_federated_averaging_round(
         g = _qc_multi_step(
             obs,
             [
-                {"name": k, "w": ws[k], "inc": shard_inc[k]}
+                {"name": k, "w": ws[k], "inc_sql": shard_inc[k]}
                 for k in range(_FED_SHARDS)
             ],
         )
@@ -11377,7 +11402,7 @@ def q473_federated_averaging_round(
     ev = _qc_multi_step(
         obs,
         [
-            {"name": k, "w": ws[k], "inc": shard_inc[k]}
+            {"name": k, "w": ws[k], "inc_sql": shard_inc[k]}
             for k in range(_FED_SHARDS)
         ]
         + [{"name": "g", "w": w_avg}],

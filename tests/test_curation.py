@@ -867,12 +867,16 @@ def test_qc_shared_path_and_multi_step_equivalence(spark, sf_dir):
         F.element_at("xa", 3),
         F.lit(0.0),
     )
+    xa_masked_sql = (
+        "array(element_at(xa, 1), CAST('0.0' AS DOUBLE), "
+        "element_at(xa, 3), CAST('0.0' AS DOUBLE))"
+    )
     fused = _qc_multi_step(
         obs,
         [
             {"name": "full", "w": w},
-            {"name": "slice", "w": w, "inc": inc},
-            {"name": "masked", "w": w, "xa": xa_masked},
+            {"name": "slice", "w": w, "inc_sql": "(doc_id % 3) != 0"},
+            {"name": "masked", "w": w, "xa_sql": xa_masked_sql},
         ],
     )
     for name, frame in [
