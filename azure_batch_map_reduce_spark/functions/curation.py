@@ -8156,40 +8156,30 @@ def _qc_train(
     accs: list = []
     n_rows = None
     for k in range(1, n_steps + 1):
-        z = _qc_margin(w)
-        p = F.lit(0.5) + F.col("z") / (
-            F.lit(2.0) * (F.lit(1.0) + F.abs(F.col("z")))
-        )
-        base = (
-            obs.where((F.col("doc_id") % 2) == k % 2) if subset else obs
-        )
-        per_dim = (
-            base.select("xa", "y", z.alias("z"))
-            .select(
-                "y",
-                "z",
-                p.alias("p"),
-                F.posexplode("xa").alias("dim0", "xv"),
-            )
-            .groupBy((F.col("dim0") + 1).alias("dim"))
-            .agg(
-                F.sum(
-                    F.round(
-                        (F.col("p") - F.col("y")) * F.col("xv") * _QC_QSCALE
-                    ).cast("long")
-                ).alias("gq"),
-                F.sum(
-                    F.when(
-                        (F.col("z") > 0) == (F.col("y") == 1.0), 1
-                    ).otherwise(0)
-                ).alias("n_correct"),
-                F.count(F.lit(1)).alias("n"),
-            )
-        )
-        rows = per_dim.collect()
-        n_rows = rows[0]["n"]
-        accs.append((rows[0]["n_correct"], n_rows))
-        gq = {r["dim"]: r["gq"] for r in rows}
+        # r15: each step is ONE wide aggregate over the frame (the
+        # _qc_multi_step template with a single spec) instead of a
+        # posexplode + groupBy(dim) two-stage job — same quantized
+        # BIGINT gradient sums and counts (integer sums are order-
+        # free; dim-grouped vs per-dim-column is the same multiset
+        # per dim), one stage and no exchange per step. The subset
+        # filter becomes the spec's slice predicate (gated integer
+        # sums over the superset equal sums over the filtered frame).
+        g = _qc_multi_step(
+            obs,
+            [
+                {
+                    "name": 0,
+                    "w": w,
+                    "inc_sql": (
+                        f"(doc_id % 2) = {k % 2}" if subset else None
+                    ),
+                    "dims_n": dims_n,
+                }
+            ],
+        )[0]
+        n_rows = g["n"]
+        accs.append((g["nc"], n_rows))
+        gq = g["gq"]
         # Mirror the oracle's update arithmetic exactly (q343 rule).
         step_lr = lrs[k - 1] if lrs is not None else lr
         w = [
