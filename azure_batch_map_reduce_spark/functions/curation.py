@@ -8420,13 +8420,8 @@ def q433_quality_classifier_training(
     # per application across the six default-path consumers.
     path, accs, n_rows = _qc_train_shared_path(spark, sf_dir)
     w = path[-1]
-    z = _qc_margin(w)
-    fin = obs.agg(
-        F.sum(
-            F.when((z > 0) == (F.col("y") == 1.0), 1).otherwise(0)
-        ).alias("n_correct"),
-        F.count(F.lit(1)).alias("n"),
-    ).collect()[0]
+    ev = _qc_multi_step(obs, [{"name": 0, "w": w}], with_grads=False)[0]
+    fin = {"n_correct": ev["nc"], "n": ev["n"]}
     acc_rows = [
         ("acc", k + 1, int(nc), int(n)) for k, (nc, n) in enumerate(accs)
     ]
@@ -8870,23 +8865,22 @@ def _dpsgd_examples(obs: DataFrame, w: list) -> DataFrame:
 
 
 def _dpsgd_step_frame(ex: DataFrame) -> DataFrame:
-    """One corpus scan's per-dim aggregate: summed CLIPPED quantized
-    gradients, clip count, pre-update accuracy count, n — the exact
-    q433 shuffle shape (4 integer cells, map-side combined) plus one
-    clip counter."""
-    return (
-        ex.select("y", "z", "is_clip", F.posexplode("cl").alias("dim0", "cv"))
-        .groupBy((F.col("dim0") + 1).alias("dim"))
-        .agg(
-            F.sum("cv").alias("cq"),
-            F.sum(F.when(F.col("is_clip"), 1).otherwise(0)).alias("n_clip"),
-            F.sum(
-                F.when((F.col("z") > 0) == (F.col("y") == 1.0), 1).otherwise(
-                    0
-                )
-            ).alias("n_correct"),
-            F.count(F.lit(1)).alias("n"),
-        )
+    """One corpus scan's aggregate: per-dim summed CLIPPED quantized
+    gradients as columns ``cq1..cq4``, clip count, pre-update accuracy
+    count, n. r15: ONE wide global aggregate (per-dim columns) instead
+    of posexplode + groupBy(dim) — the same exact integer sums per dim
+    (``sum(element_at(cl, d))`` sums the same multiset the dim group
+    held) with one stage and no exchange."""
+    return ex.agg(
+        *[
+            F.expr(f"sum(element_at(cl, {d}))").alias(f"cq{d}")
+            for d in range(1, 5)
+        ],
+        F.sum(F.when(F.col("is_clip"), 1).otherwise(0)).alias("n_clip"),
+        F.sum(
+            F.when((F.col("z") > 0) == (F.col("y") == 1.0), 1).otherwise(0)
+        ).alias("n_correct"),
+        F.count(F.lit(1)).alias("n"),
     )
 
 
@@ -9106,31 +9100,23 @@ def q439_dpsgd_private_training(
     clips: list = []
     n_rows = None
     for k in range(1, _DP_STEPS + 1):
-        rows = _dpsgd_step_frame(_dpsgd_examples(obs, w)).collect()
-        n_rows = rows[0]["n"]
-        accs.append((rows[0]["n_correct"], n_rows))
-        clips.append((rows[0]["n_clip"], n_rows))
-        cq = {r["dim"]: r["cq"] for r in rows}
+        row = _dpsgd_step_frame(_dpsgd_examples(obs, w)).collect()[0]
+        n_rows = row["n"]
+        accs.append((row["n_correct"], n_rows))
+        clips.append((row["n_clip"], n_rows))
+        cq = {d: row[f"cq{d}"] for d in range(1, 5)}
         nz = _dpsgd_noise(k)
         # Mirror the oracle's update arithmetic exactly (q343 rule).
         w = [
             w[d - 1] - _DP_LR * ((cq[d] + nz[d - 1]) / _QC_QSCALE / n_rows)
             for d in range(1, 5)
         ]
-    z = _qc_margin(w)
-    fin = obs.agg(
-        F.sum(
-            F.when((z > 0) == (F.col("y") == 1.0), 1).otherwise(0)
-        ).alias("n_correct"),
-        F.count(F.lit(1)).alias("n"),
-    ).collect()[0]
+    fin = _qc_multi_step(obs, [{"name": 0, "w": w}], with_grads=False)[0]
     obs.unpersist()
     ratio_rows = [
         ("acc", k + 1, int(nc), int(n)) for k, (nc, n) in enumerate(accs)
     ]
-    ratio_rows.append(
-        ("acc", _DP_STEPS + 1, int(fin["n_correct"]), int(fin["n"]))
-    )
+    ratio_rows.append(("acc", _DP_STEPS + 1, fin["nc"], fin["n"]))
     ratio_rows.extend(
         ("clip_frac", k + 1, int(nc), int(n))
         for k, (nc, n) in enumerate(clips)
@@ -9598,72 +9584,67 @@ def q448_tracin_gradient_influence(
     limit as TakeOrdered (no global sort materialization), and the
     final rank is assigned on the 20-row bounded frame.
 
-    Scale posture: per step ONE train-slice scan emitting 4 integer
-    gradient cells per doc (doc-grain, no shuffle — the gradient map
-    fuses into the scan) plus one probe-slice partial+final
-    aggregate broadcast back via crossJoin (1-row); the three
-    per-step doc-grain frames join on doc_id (co-partitioned
-    equi-joins); the release is TakeOrdered top-20. Model state = 4
+    Scale posture (r15): ONE fused probe-slice aggregate computes all
+    three checkpoints' summed gradients (12 exact integer cells, one
+    job) whose collected values become literals of ONE train-slice
+    scan that evaluates every step's dot product and the total
+    influence per doc — no joins, no crossJoins, doc-grain with no
+    shuffle; the release is TakeOrdered top-20. Model state = 4
     doubles per step via the shared parameter-server collects.
     Reference contract: per-example gradient = map slot
     (``App.config:16``); probe aggregation + influence ranking =
     reduce slots (``App.config:17``, ``Program.cs:351-384``)."""
     from azure_batch_map_reduce_spark.operators.ranks import bounded_order
 
-    obs = _qc_obs_shared(spark, sf_dir, with_id=True).persist()
+    obs = _qc_obs_shared(spark, sf_dir, with_id=True)
     train = obs.where(F.col("doc_id") % _TI_PROBE_MOD != 0)
-    probe = obs.where(F.col("doc_id") % _TI_PROBE_MOD == 0)
     path, _, _ = _qc_train(train.select("xa", "y"))
     weights = [[0.0] * 4, *path[:-1]]  # pre-update weights per step
-    per_step_doc = []
-    per_step_probe = []
-    for w in weights:
-        z = _qc_margin(w)
-        p = F.lit(0.5) + F.col("z") / (
-            F.lit(2.0) * (F.lit(1.0) + F.abs(F.col("z")))
+
+    # r15: all three checkpoints' weights are known up front, so the
+    # three probe-slice aggregates FUSE into one fused scan (the
+    # _qc_multi_step idiom — 12 exact integer sums in one job) whose
+    # collected values become LITERALS of a single train-slice pass
+    # computing every step's dot product and the total influence at
+    # once: 3 probe scans + 3 train-grain frames + 2 doc_id joins + 3
+    # broadcast crossJoins collapse to 1 fused probe aggregate + 1
+    # train scan (same exact BIGINT products and left-assoc sums).
+    probe_g = _qc_multi_step(
+        obs,
+        [
+            {
+                "name": k,
+                "w": w,
+                "inc_sql": f"(doc_id % {_TI_PROBE_MOD}) = 0",
+            }
+            for k, w in enumerate(weights)
+        ],
+    )
+    proj = ["doc_id", "y"]
+    for k, w in enumerate(weights):
+        warr = "array({})".format(", ".join(_qc_dlit(v) for v in w))
+        proj.append(
+            f"aggregate(zip_with(xa, {warr}, (x, wv) -> x * wv), "
+            f"{_qc_dlit(0.0)}, (acc, x) -> acc + x) AS z{k}"
         )
-        gcols = [
-            F.round(
-                (F.col("p") - F.col("y"))
-                * F.element_at("xa", d)
-                * _QC_QSCALE
-            )
-            .cast("long")
-            .alias(f"g{d}")
+    proj += [f"element_at(xa, {d}) AS x{d}" for d in range(1, 5)]
+    terms = []
+    for k in range(len(weights)):
+        pk = (
+            f"({_qc_dlit(0.5)} + z{k} / ({_qc_dlit(2.0)} * "
+            f"({_qc_dlit(1.0)} + abs(z{k}))))"
+        )
+        dots = " + ".join(
+            f"CAST(round(({pk} - y) * x{d} * {_QC_QSCALE}) AS BIGINT)"
+            f" * {probe_g[k]['gq'][d]}L"
             for d in range(1, 5)
-        ]
-        tg = (
-            train.select("doc_id", "y", "xa", z.alias("z"))
-            .select("doc_id", "y", "xa", p.alias("p"))
-            .select("doc_id", *gcols)
         )
-        pg = (
-            probe.select("y", "xa", z.alias("z"))
-            .select("y", "xa", p.alias("p"))
-            .select(*gcols)
-            .agg(*[F.sum(f"g{d}").alias(f"p{d}") for d in range(1, 5)])
-        )
-        per_step_doc.append(tg)
-        per_step_probe.append(pg)
-    infl = None
-    for k, (tg, pg) in enumerate(zip(per_step_doc, per_step_probe)):
-        term = tg.crossJoin(F.broadcast(pg)).select(
-            "doc_id",
-            sum(
-                [
-                    F.col(f"g{d}") * F.col(f"p{d}")
-                    for d in range(1, 5)
-                ],
-                F.lit(0).cast("long"),
-            ).alias(f"t{k}"),
-        )
-        infl = term if infl is None else infl.join(term, "doc_id")
-    total = infl.select(
+        terms.append(f"(CAST(0 AS BIGINT) + {dots})")
+    total = train.selectExpr(*proj).selectExpr(
         "doc_id",
-        sum(
-            [F.col(f"t{k}") for k in range(len(per_step_doc))],
-            F.lit(0).cast("long"),
-        ).alias("influence_q"),
+        "(CAST(0 AS BIGINT) + {}) AS influence_q".format(
+            " + ".join(terms)
+        ),
     )
     top = total.orderBy(
         F.col("influence_q").desc(), F.col("doc_id").asc()
@@ -9684,7 +9665,6 @@ def q448_tracin_gradient_influence(
         )
         .orderBy("rank")
     )
-    obs.unpersist()
     return out
 
 
@@ -10080,41 +10060,58 @@ def q451_gradient_noise_scale(
     per-example gradient = map slot (``App.config:16``); moment
     aggregation + ratio = reduce slots (``App.config:17``,
     ``Program.cs:351-384``)."""
-    obs = _qc_obs_shared(spark, sf_dir).persist()
+    obs = _qc_obs_shared(spark, sf_dir)
     # Session-shared default path (r15): the moment frame below is the
     # query's own lazy release plan; only the training scans ride the
     # shared store.
     path, _, _ = _qc_train_shared_path(spark, sf_dir)
     out = None
     for k, w in enumerate([[0.0] * 4, *path[:-1]], start=1):
-        z = _qc_margin(w)
-        p = F.lit(0.5) + F.col("z") / (
-            F.lit(2.0) * (F.lit(1.0) + F.abs(F.col("z")))
+        # r15: per-dim first/second gradient moments as columns of ONE
+        # wide aggregate (SQL text, the _qc_multi_step discipline)
+        # instead of posexplode + groupBy(dim) + a second aggregate —
+        # the cross-dim folds (Σ s2_d, Σ s1_d²) become scalar decimal
+        # sums over the same exact integers (order-free).
+        warr = "array({})".format(", ".join(_qc_dlit(v) for v in w))
+        zsql = (
+            f"aggregate(zip_with(xa, {warr}, (x, wv) -> x * wv), "
+            f"{_qc_dlit(0.0)}, (acc, x) -> acc + x)"
         )
-        gs = (
-            obs.select("xa", "y", z.alias("z"))
-            .select("y", p.alias("p"), F.posexplode("xa").alias("dim0", "xv"))
-            .select(
-                F.round((F.col("p") - F.col("y")) * F.col("xv") * _QC_QSCALE)
-                .cast("long")
-                .alias("gq"),
-                (F.col("dim0") + 1).alias("dim"),
-            )
-            .groupBy("dim")
-            .agg(
-                F.sum("gq").alias("s1"),
-                F.sum(F.col("gq") * F.col("gq")).alias("s2"),
-                F.count(F.lit(1)).alias("n"),
-            )
+        psql = (
+            f"({_qc_dlit(0.5)} + z / ({_qc_dlit(2.0)} * "
+            f"({_qc_dlit(1.0)} + abs(z))))"
+        )
+        step = obs.selectExpr(
+            "y", f"{zsql} AS z", *[f"element_at(xa, {d}) AS x{d}" for d in range(1, 5)]
+        ).selectExpr(
+            *[
+                f"CAST(round(({psql} - y) * x{d} * {_QC_QSCALE})"
+                f" AS BIGINT) AS gq{d}"
+                for d in range(1, 5)
+            ]
+        )
+        gs = step.agg(
+            *[F.expr(f"sum(gq{d})").alias(f"s1_{d}") for d in range(1, 5)],
+            *[
+                F.expr(f"sum(gq{d} * gq{d})").alias(f"s2_{d}")
+                for d in range(1, 5)
+            ],
+            F.count(F.lit(1)).alias("n"),
         )
         dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
-        ns = gs.agg(
-            F.max("n").alias("n"),
-            (
-                F.max("n").cast("decimal(38,0)") * F.sum(dec("s2"))
-                - F.sum(dec("s1") * dec("s1"))
-            ).alias("tr_q"),
-            F.sum(dec("s1") * dec("s1")).alias("g2_q"),
+        s2sum = dec("s2_1") + dec("s2_2") + dec("s2_3") + dec("s2_4")
+        g2sum = (
+            dec("s1_1") * dec("s1_1")
+            + dec("s1_2") * dec("s1_2")
+            + dec("s1_3") * dec("s1_3")
+            + dec("s1_4") * dec("s1_4")
+        )
+        ns = gs.select(
+            F.col("n").alias("n"),
+            (F.col("n").cast("decimal(38,0)") * s2sum - g2sum).alias(
+                "tr_q"
+            ),
+            g2sum.alias("g2_q"),
         ).select(
             F.lit(k).cast("long").alias("step"),
             # Zero-gradient guard (r12 ADVICE item 3): if every summed
@@ -10477,43 +10474,20 @@ def q459_momentum_training(spark: SparkSession, sf_dir: str) -> DataFrame:
     Reference contract: per-example gradient = map slot
     (``App.config:16``); velocity/weight update = reduce slot
     (``App.config:17``, ``Program.cs:351-384``)."""
-    obs = _qc_obs_shared(spark, sf_dir).persist()
+    obs = _qc_obs_shared(spark, sf_dir)
     w = [0.0] * 4
     vint = [0] * 4
     accs: list = []
     n_rows = None
     for k in range(1, _MOM_STEPS + 1):
-        z = _qc_margin(w)
-        p = F.lit(0.5) + F.col("z") / (
-            F.lit(2.0) * (F.lit(1.0) + F.abs(F.col("z")))
-        )
-        per_dim = (
-            obs.select("xa", "y", z.alias("z"))
-            .select(
-                "y",
-                "z",
-                p.alias("p"),
-                F.posexplode("xa").alias("dim0", "xv"),
-            )
-            .groupBy((F.col("dim0") + 1).alias("dim"))
-            .agg(
-                F.sum(
-                    F.round(
-                        (F.col("p") - F.col("y")) * F.col("xv") * _QC_QSCALE
-                    ).cast("long")
-                ).alias("gq"),
-                F.sum(
-                    F.when(
-                        (F.col("z") > 0) == (F.col("y") == 1.0), 1
-                    ).otherwise(0)
-                ).alias("n_correct"),
-                F.count(F.lit(1)).alias("n"),
-            )
-        )
-        rows = per_dim.collect()
-        n_rows = rows[0]["n"]
-        accs.append((rows[0]["n_correct"], n_rows))
-        gq = {r["dim"]: r["gq"] for r in rows}
+        # r15: one wide aggregate per step (the shared _qc_multi_step
+        # template — same quantized BIGINT sums, one stage, no
+        # per-dim explode/exchange); the velocity bookkeeping stays
+        # exact driver-side integer math.
+        g = _qc_multi_step(obs, [{"name": 0, "w": w}])[0]
+        n_rows = g["n"]
+        accs.append((g["nc"], n_rows))
+        gq = g["gq"]
         tenk = 10**k
         vint = [
             _MOM_BETA_NUM * vint[d - 1] + tenk * gq[d] for d in range(1, 5)
@@ -10524,20 +10498,8 @@ def q459_momentum_training(spark: SparkSession, sf_dir: str) -> DataFrame:
             w[d - 1] - _QC_LR * (vint[d - 1] / tenk / _QC_QSCALE / n_rows)
             for d in range(1, 5)
         ]
-    z = _qc_margin(w)
-    fin = (
-        obs.select("y", z.alias("z"))
-        .agg(
-            F.sum(
-                F.when((F.col("z") > 0) == (F.col("y") == 1.0), 1).otherwise(
-                    0
-                )
-            ).alias("n_correct"),
-            F.count(F.lit(1)).alias("n"),
-        )
-        .collect()[0]
-    )
-    obs.unpersist()
+    fin = _qc_multi_step(obs, [{"name": 0, "w": w}], with_grads=False)[0]
+    fin = {"n_correct": fin["nc"], "n": fin["n"]}
     from azure_batch_map_reduce_spark.operators.ranks import round_nz
 
     acc_rows = [
@@ -11640,23 +11602,14 @@ def q475_lr_schedule_training(
     (``App.config:17``, ``Program.cs:351-384``)."""
     from azure_batch_map_reduce_spark.operators.ranks import round_nz
 
-    obs = _qc_obs_shared(spark, sf_dir).persist()
+    obs = _qc_obs_shared(spark, sf_dir)
     k = len(_LRS_SCHED)
     path, accs, _n = _qc_train(obs, n_steps=k, lrs=_LRS_SCHED)
     w_fin = path[-1]
-    fin = (
-        obs.select(_qc_margin(w_fin).alias("z"), "y")
-        .agg(
-            F.sum(
-                F.when(
-                    (F.col("z") > 0) == (F.col("y") == 1.0), 1
-                ).otherwise(0)
-            ).alias("n_correct"),
-            F.count(F.lit(1)).alias("n"),
-        )
-        .collect()[0]
-    )
-    obs.unpersist()
+    ev = _qc_multi_step(
+        obs, [{"name": 0, "w": w_fin}], with_grads=False
+    )[0]
+    fin = {"n_correct": ev["nc"], "n": ev["n"]}
 
     def hup(nc: int, n: int) -> float:
         return ((2 * nc * _QC_QSCALE + n) // (2 * n)) / 1000000.0
@@ -11784,9 +11737,10 @@ def q476_gradient_accumulation_audit(
     round at 6 with signed-zero normalization (mean_bias can be a
     negative epsilon — the round_nz class).
 
-    Scale posture: the audit is two partial+final aggregates over one
-    corpus scan each (the micro-batch path groups by (bucket, dim)
-    then folds driver-free in-plan); at 1000 executors THIS IS the
+    Scale posture: the audit is ONE partial+final wide aggregate over
+    one corpus scan (r15 — the full-batch and all micro-batch partial
+    sums are slice-gated columns of the same aggregate, folded
+    driver-free in-plan); at 1000 executors THIS IS the
     map-side-combine argument: quantized integer partials merge in
     any order, shape, or batch size with zero drift. Reference
     contract: per-example gradient = map slot (``App.config:16``);
@@ -11794,76 +11748,78 @@ def q476_gradient_accumulation_audit(
     ``Program.cs:351-384``)."""
     from azure_batch_map_reduce_spark.operators.ranks import round_nz
 
-    obs = _qc_obs_shared(spark, sf_dir, with_id=True).persist()
+    obs = _qc_obs_shared(spark, sf_dir, with_id=True)
     qs = _QC_QSCALE
 
-    def grad_of(df: DataFrame) -> DataFrame:
-        return (
-            df.select(
-                "doc_id",
-                "y",
-                F.posexplode("xa").alias("dim0", "xv"),
-            )
-            .groupBy((F.col("dim0") + 1).alias("dim"))
-            .agg(
-                F.sum(
-                    F.round(
-                        (F.lit(0.5) - F.col("y")) * F.col("xv") * qs
-                    ).cast("long")
-                ).alias("gq"),
-                F.countDistinct("doc_id").alias("n"),
-            )
+    # r15: the full-batch gradient and the four micro-batch partial
+    # sums all fuse into ONE wide aggregate over one corpus scan
+    # (previously 5 posexplode+groupBy(dim) subtrees joined 4 times on
+    # dim — Catalyst does not share aggregate subtrees, so the sink
+    # re-scanned the frame five times). Slice-gated integer sums over
+    # the superset equal per-slice sums exactly; the doc counts keep
+    # the original count(DISTINCT ...) form, gated per micro-batch.
+    # The released doubles reproduce the same left-associative IEEE
+    # sequence the joined form evaluated.
+    def g_of(d: int, gate: str | None) -> str:
+        g = (
+            f"CAST(round(({_qc_dlit(0.5)} - y) * element_at(xa, {d})"
+            f" * {qs}) AS BIGINT)"
         )
+        return f"sum({g})" if gate is None else f"sum(CASE WHEN {gate} THEN {g} END)"
 
-    full_g = grad_of(obs)
-    micro = [
-        grad_of(
-            obs.where(
-                ((F.col("doc_id") % 10) >= _GA_CUTS[b][0])
-                & ((F.col("doc_id") % 10) < _GA_CUTS[b][1])
-            )
-        ).select(
-            "dim",
-            F.col("gq").alias(f"gq{b}"),
-            F.col("n").alias(f"n{b}"),
-        )
+    gates = [
+        f"((doc_id % 10) >= {_GA_CUTS[b][0]}"
+        f" AND (doc_id % 10) < {_GA_CUTS[b][1]})"
         for b in range(_GA_MICRO)
     ]
-    joined = micro[0]
-    for m in micro[1:]:
-        joined = joined.join(m, "dim")
-    acc_expr = F.col("gq0").cast("decimal(38,0)")
-    mean_expr = F.col("gq0").cast("double") / qs / F.col("n0")
-    for b in range(1, _GA_MICRO):
-        acc_expr = acc_expr + F.col(f"gq{b}")
-        mean_expr = mean_expr + F.col(f"gq{b}").cast("double") / qs / F.col(
-            f"n{b}"
-        )
-    acc = joined.select(
-        "dim",
-        acc_expr.cast("long").alias("gq_accum"),
-        (mean_expr / _GA_MICRO).alias("mean_of_means"),
-    )
-    obs.unpersist()
-    return (
-        full_g.join(acc, "dim")
-        .select(
-            F.col("dim").cast("int").alias("dim"),
-            F.col("gq").alias("gq_full"),
-            "gq_accum",
-            (F.col("gq") - F.col("gq_accum")).alias("accum_error"),
+    aggs = []
+    for d in range(1, 5):
+        aggs.append(f"{g_of(d, None)} AS gq_full_{d}")
+        aggs += [
+            f"{g_of(d, gates[b])} AS gq{b}_{d}" for b in range(_GA_MICRO)
+        ]
+    aggs.append("count(DISTINCT doc_id) AS n_full")
+    aggs += [
+        f"count(DISTINCT CASE WHEN {gates[b]} THEN doc_id END) AS n{b}"
+        for b in range(_GA_MICRO)
+    ]
+    one = obs.agg(*[F.expr(a) for a in aggs])
+    cols = []
+    for d in range(1, 5):
+        acc_expr = F.col(f"gq0_{d}").cast("decimal(38,0)")
+        mean_expr = F.col(f"gq0_{d}").cast("double") / qs / F.col("n0")
+        for b in range(1, _GA_MICRO):
+            acc_expr = acc_expr + F.col(f"gq{b}_{d}")
+            mean_expr = mean_expr + F.col(f"gq{b}_{d}").cast(
+                "double"
+            ) / qs / F.col(f"n{b}")
+        mom = mean_expr / _GA_MICRO
+        cols += [
+            F.col(f"gq_full_{d}").alias(f"gf_{d}"),
+            acc_expr.cast("long").alias(f"ga_{d}"),
+            (F.col(f"gq_full_{d}") - acc_expr.cast("long")).alias(
+                f"ae_{d}"
+            ),
             half_up_ratio_signed(
-                F.col("gq"), F.lit(qs) * F.col("n"), 6
-            ).alias("mean_full"),
-            round_nz(F.col("mean_of_means"), 6).alias("mean_of_means"),
+                F.col(f"gq_full_{d}"), F.lit(qs) * F.col("n_full"), 6
+            ).alias(f"mf_{d}"),
+            round_nz(mom, 6).alias(f"mm_{d}"),
             round_nz(
-                F.col("mean_of_means")
-                - F.col("gq").cast("double") / qs / F.col("n"),
+                mom
+                - F.col(f"gq_full_{d}").cast("double")
+                / qs
+                / F.col("n_full"),
                 6,
-            ).alias("mean_bias"),
+            ).alias(f"mb_{d}"),
+        ]
+    stack = "stack(4, {}) AS (dim, gq_full, gq_accum, accum_error, mean_full, mean_of_means, mean_bias)".format(
+        ", ".join(
+            f"{d}, gf_{d}, ga_{d}, ae_{d}, mf_{d}, mm_{d}, mb_{d}"
+            for d in range(1, 5)
         )
-        .orderBy("dim")
     )
+    # stack's dim literals are INT, matching the old (pos+1) cast.
+    return one.select(*cols).selectExpr(stack).orderBy("dim")
 
 
 # --- q477: knowledge distillation (teacher -> 2-feature student) ----------
@@ -12203,58 +12159,53 @@ def q478_dpo_preference_step(
         .persist()
     )
 
-    def dfold(w: list) -> "Column":
-        wlit = F.array(*[F.lit(v) for v in w])
-        return F.aggregate(
-            F.zip_with(F.col("xd"), wlit, lambda x, wv: x * wv),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
+    def dfold_sql(w: list) -> str:
+        warr = "array({})".format(", ".join(_qc_dlit(v) for v in w))
+        return (
+            f"aggregate(zip_with(xd, {warr}, (x, wv) -> x * wv), "
+            f"{_qc_dlit(0.0)}, (acc, x) -> acc + x)"
         )
+
+    def dpo_step(w: list, with_grads: bool = True) -> dict:
+        # r15: one wide aggregate per step (the _qc_multi_step SQL-
+        # text discipline on pair grain) — same quantized BIGINT
+        # sums, one stage, no per-dim explode/exchange. The fast
+        # sigmoid's argument renders as the SAME pre-negated literal
+        # the Column build used (Python folds -beta before lit()).
+        proj = [f"{dfold_sql(w)} AS d"]
+        if with_grads:
+            proj += [f"element_at(xd, {d}) AS x{d}" for d in range(1, 5)]
+        frame = pairs.selectExpr(*proj)
+        aggs = []
+        if with_grads:
+            nd = f"({_qc_dlit(-_DPO_BETA)} * d)"
+            sig = (
+                f"({_qc_dlit(0.5)} + {nd} / ({_qc_dlit(2.0)} * "
+                f"({_qc_dlit(1.0)} + abs({nd}))))"
+            )
+            frame = frame.selectExpr("*", f"{sig} AS sig")
+            aggs += [
+                f"sum(CAST(round(-sig * x{d} * {_QC_QSCALE}) AS BIGINT))"
+                f" AS g{d}"
+                for d in range(1, 5)
+            ]
+        aggs.append("sum(CASE WHEN d > 0 THEN 1 ELSE 0 END) AS n_ranked")
+        aggs.append("count(1) AS n")
+        return frame.agg(*[F.expr(a) for a in aggs]).collect()[0]
 
     w = [0.0] * 4
     accs: list = []
     n_pairs = 0
     for _k in range(1, _DPO_STEPS + 1):
-        nd = -_DPO_BETA * F.col("d")
-        sig = F.lit(0.5) + nd / (F.lit(2.0) * (F.lit(1.0) + F.abs(nd)))
-        rows = (
-            pairs.select(dfold(w).alias("d"), "xd")
-            .select(
-                "d",
-                sig.alias("sig"),
-                F.posexplode("xd").alias("dim0", "xv"),
-            )
-            .groupBy((F.col("dim0") + 1).alias("dim"))
-            .agg(
-                F.sum(
-                    F.round(
-                        -F.col("sig") * F.col("xv") * _QC_QSCALE
-                    ).cast("long")
-                ).alias("gq"),
-                F.sum(
-                    F.when(F.col("d") > 0, 1).otherwise(0)
-                ).alias("n_ranked"),
-                F.count(F.lit(1)).alias("n"),
-            )
-            .collect()
-        )
-        n_pairs = int(rows[0]["n"])
-        accs.append(int(rows[0]["n_ranked"]))
-        gq = {r["dim"]: int(r["gq"]) for r in rows}
+        row = dpo_step(w)
+        n_pairs = int(row["n"])
+        accs.append(int(row["n_ranked"]))
+        gq = {d: int(row[f"g{d}"]) for d in range(1, 5)}
         w = [
             w[d - 1] - _DPO_LR * (gq[d] / _QC_QSCALE / n_pairs)
             for d in range(1, 5)
         ]
-    fin = (
-        pairs.select(dfold(w).alias("d"))
-        .agg(
-            F.sum(F.when(F.col("d") > 0, 1).otherwise(0)).alias(
-                "n_ranked"
-            ),
-            F.count(F.lit(1)).alias("n"),
-        )
-        .collect()[0]
-    )
+    fin = dpo_step(w, with_grads=False)
     pairs.unpersist()
 
     def hup(nc: int, n: int) -> float:

@@ -3395,48 +3395,45 @@ def q343_linear_model_gd_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("xa"),
         (2 * (F.col("label") % 2) - 1).cast("double").alias("y"),
     ).persist()
+    # r15: each step is ONE wide aggregate (65 per-dim gradient-sum
+    # columns + loss + n) instead of a posexplode to 65 dim groups —
+    # the same exact BIGINT sums per dim with one stage and no
+    # exchange; expressions are built as SQL text because a 65-literal
+    # Column tree costs hundreds of driver JVM round trips per step
+    # (the curation._qc_multi_step discipline).
+    from azure_batch_map_reduce_spark.functions.curation import _qc_dlit
+
     w = [0.0] * 65
     losses = []
     n_rows = None
     for _ in range(_GD_STEPS):
-        wlit = F.array(*[F.lit(v) for v in w])
+        warr = "array({})".format(", ".join(_qc_dlit(v) for v in w))
         err = (
-            F.aggregate(
-                F.zip_with(F.col("xa"), wlit, lambda x, wv: x * wv),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            )
-            - F.col("y")
+            f"(aggregate(zip_with(xa, {warr}, (x, wv) -> x * wv), "
+            f"{_qc_dlit(0.0)}, (acc, x) -> acc + x) - y)"
         )
-        per_dim = (
-            obs.select(
-                err.alias("err"),
-                F.posexplode("xa").alias("dim0", "xv"),
-            )
-            .groupBy((F.col("dim0") + 1).alias("dim"))
-            .agg(
-                F.sum(
-                    F.round(F.col("err") * F.col("xv") * _GD_QSCALE).cast(
-                        "long"
-                    )
-                ).alias("gq"),
-                F.sum(
-                    F.round(F.col("err") * F.col("err") * _GD_QSCALE).cast(
-                        "long"
-                    )
-                ).alias("lq"),
-                F.count(F.lit(1)).alias("n"),
-            )
+        proj = [f"{err} AS err"] + [
+            f"element_at(xa, {d}) AS x{d}" for d in range(1, 66)
+        ]
+        aggs = [
+            f"sum(CAST(round(err * x{d} * {_GD_QSCALE}) AS BIGINT))"
+            f" AS g{d}"
+            for d in range(1, 66)
+        ] + [
+            f"sum(CAST(round(err * err * {_GD_QSCALE}) AS BIGINT)) AS lq",
+            "count(1) AS n",
+        ]
+        row = (
+            obs.selectExpr(*proj)
+            .agg(*[F.expr(a) for a in aggs])
+            .collect()[0]
         )
-        rows = per_dim.collect()
-        n_rows = rows[0]["n"]
+        n_rows = row["n"]
         # Mirror the oracle's update arithmetic exactly: binary64 ops in
         # the same order (w − lr·(gq/1e6/n)).
-        gq = {r["dim"]: r["gq"] for r in rows}
-        lq = rows[0]["lq"]  # same total in every dim group
-        losses.append(lq / _GD_QSCALE / n_rows)
+        losses.append(row["lq"] / _GD_QSCALE / n_rows)
         w = [
-            w[d - 1] - _GD_LR * (gq[d] / _GD_QSCALE / n_rows)
+            w[d - 1] - _GD_LR * (row[f"g{d}"] / _GD_QSCALE / n_rows)
             for d in range(1, 66)
         ]
     obs.unpersist()

@@ -5571,7 +5571,11 @@ def q436_deleted_interpolation_em(
         t_held = row["t"]
         lam = row["gq"] / _DI_QSCALE / row["t"]
         path.append(lam)
-    total_held = held.agg(F.sum("c")).collect()[0][0]
+    # r15: sum the persisted probs frame, not `held` — the left
+    # broadcast joins preserve held's rows and its `c` exactly (one
+    # model row per key), so this is the same integer without
+    # re-running the corpus explode a second time.
+    total_held = probs.agg(F.sum("c")).collect()[0][0]
     tr_bi.unpersist()
     probs.unpersist()
     return (

@@ -4344,41 +4344,54 @@ def q466_storage_encoding_advisor(
         F.asc("l_suppkey"),
         F.asc("l_extendedprice"),
     )
-    frames = []
-    for name, width, expr in _ENC_COLS:
-        v = F.expr(expr)
-        percol = (
-            li.select(
-                "l_orderkey",
-                "l_linenumber",
-                "l_partkey",
-                "l_suppkey",
-                "l_extendedprice",
-                v.alias("v"),
-            )
-            .withColumn("pv", F.lag("v").over(w_adj))
-            .agg(
-                F.count(F.lit(1)).alias("n"),
-                F.countDistinct("v").alias("ndv"),
-                (
-                    F.count(F.lit(1))
-                    - F.sum(
-                        F.when(F.col("v") == F.col("pv"), 1).otherwise(0)
+    # r15 (guide §2.4): every advised column shares the SAME window
+    # (same partition key, same total order), so the four per-column
+    # scan+window+aggregate subtrees fuse into ONE fact scan, ONE
+    # orderkey exchange/WindowExec carrying all four lag columns, and
+    # ONE aggregate (per-column ndv/runs as sibling aggregates); the
+    # released per-column rows come back via stack. Counts, distincts
+    # and run tests are the identical exact comparisons per column.
+    sel = li.select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_partkey",
+        "l_suppkey",
+        "l_extendedprice",
+        *[
+            F.expr(expr).alias(f"v{i}")
+            for i, (_n, _w, expr) in enumerate(_ENC_COLS)
+        ],
+    )
+    lagged = sel.select(
+        *[F.col(f"v{i}") for i in range(len(_ENC_COLS))],
+        *[
+            F.lag(f"v{i}").over(w_adj).alias(f"pv{i}")
+            for i in range(len(_ENC_COLS))
+        ],
+    )
+    aggs = [F.count(F.lit(1)).alias("n")]
+    for i in range(len(_ENC_COLS)):
+        aggs.append(F.countDistinct(f"v{i}").alias(f"ndv{i}"))
+        aggs.append(
+            (
+                F.count(F.lit(1))
+                - F.sum(
+                    F.when(F.col(f"v{i}") == F.col(f"pv{i}"), 1).otherwise(
+                        0
                     )
-                ).alias("runs"),
-            )
-            .select(
-                F.lit(name).alias("col_name"),
-                F.lit(width).cast("long").alias("width_bytes"),
-                "n",
-                "ndv",
-                "runs",
-            )
+                )
+            ).alias(f"runs{i}")
         )
-        frames.append(percol)
-    percol = frames[0]
-    for fdf in frames[1:]:
-        percol = percol.unionByName(fdf)
+    one = lagged.agg(*aggs)
+    percol = one.selectExpr(
+        "stack({}, {}) AS (col_name, width_bytes, n, ndv, runs)".format(
+            len(_ENC_COLS),
+            ", ".join(
+                f"'{name}', CAST({width} AS BIGINT), n, ndv{i}, runs{i}"
+                for i, (name, width, _e) in enumerate(_ENC_COLS)
+            ),
+        )
+    )
     sized = percol.select(
         "col_name",
         "n",
