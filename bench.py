@@ -460,6 +460,30 @@ def make_materializer(spark, registry, sf_dir):
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
+
+    # r15 (r14 verdict task 8): LOAD-GATE the COMMITTED anchor. Two
+    # committed r14 artifacts of identical code differed 25% because
+    # their sessions started at different host load; the committed
+    # detail is only comparable when measured quiet. When writing the
+    # committed artifact (SPARK_GRAFT_BENCH_DETAIL set — `make
+    # bench-commit`), refuse to start above load 0.5 unless
+    # SPARK_GRAFT_BENCH_FORCE=1. Env-less runs (the driver's, the
+    # judge's) are untouched: they write the uncommitted local file
+    # and must never be blocked.
+    if os.environ.get("SPARK_GRAFT_BENCH_DETAIL") and not os.environ.get(
+        "SPARK_GRAFT_BENCH_FORCE"
+    ):
+        load_now = _load_1min()
+        if load_now >= 0.5:
+            print(
+                f"bench-commit refused: load_1min={load_now} >= 0.5 — "
+                "the committed anchor must be measured on a quiet host "
+                "(r14 verdict task 8). Wait for the load to fall or set "
+                "SPARK_GRAFT_BENCH_FORCE=1.",
+                file=sys.stderr,
+            )
+            raise SystemExit(1)
+
     registry = load_all()
     spark = get_spark(app_name="abmr-bench")
 
